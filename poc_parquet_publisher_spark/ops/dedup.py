@@ -1,0 +1,316 @@
+"""Deduplication operators over a (id, text) corpus.
+
+Scale design notes (the part that matters at 100 TB):
+
+- ``exact_dedup`` / ``fingerprint_dedup``: one hash-groupBy. Spark runs it
+  as partial (map-side) + final aggregation, so the shuffle carries one row
+  per distinct hash per partition, not one per input row. The group key is
+  a 128-bit md5, so skew is impossible unless the corpus itself is
+  pathologically duplicated -- exactly the case AQE skew handling covers.
+- ``ngram_jaccard_pairs``: never enumerates O(n^2) pairs. Documents are
+  exploded to distinct shingles, candidate pairs come from a self-equi-join
+  on the shingle (i.e. blocking), and Jaccard is computed from group
+  counts. The join key (shingle) is the only shuffle key; a stop-shingle
+  cap (``max_docs_per_shingle``) drops degenerate blocks that would
+  otherwise quadratically explode -- the standard guard in web-scale dedup.
+- ``minhash_lsh_pairs``: pyspark.ml MinHashLSH -- signature generation is a
+  narrow map; approxSimilarityJoin hash-partitions by band bucket, the
+  canonical sub-quadratic near-dup join.
+- ``simhash``: 64-bit sign-of-sum over token hashes; a pure expression
+  pipeline (explode -> 64 conditional sums -> concat), all JVM-side.
+
+Reference anchor: the reference has no dedup surface at all (SURVEY.md
+section 2.1 end); these are the north-star extensions from BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str | Column, lowercase: bool = True) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if lowercase:
+        c = F.lower(c)
+    return F.split(c, " ")
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, normalize: bool = True
+) -> DataFrame:
+    """Group identical texts; keep the smallest id as the survivor.
+
+    Returns one row per distinct text: (h, keep_id, dup_cnt).
+    """
+    key = F.lower(F.col(text_col)) if normalize else F.col(text_col)
+    return (
+        df.groupBy(F.md5(key).alias("h"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Key-collision fingerprint dedup (sorted distinct token bag).
+
+    Catches reorderings/repeats that defeat exact hashing; still a single
+    hash-groupBy, so the cost profile is identical to exact dedup.
+    """
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(_tokens(text_col))), " "
+        )
+    ).alias("fingerprint")
+    return df.groupBy(fp).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt")
+    )
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Distinct k-token shingles per document -> (id, shingle), plus the
+    per-document shingle count as ``n_sh`` (needed for Jaccard)."""
+    toks = _tokens(text_col)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+            ),
+        )
+    )
+    return (
+        df.filter(F.size(toks) >= k)
+        .select(F.col(id_col).alias("doc"), sh.alias("sh"))
+        .select("doc", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_docs_per_shingle: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by k-gram shingle Jaccard, via shingle blocking.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold,
+    jaccard rounded to 4 decimals. Only pairs sharing >= 1 shingle are ever
+    formed; ``max_docs_per_shingle`` drops stop-shingles whose blocks would
+    explode quadratically.
+    """
+    sh = shingles(df, id_col, text_col, k).cache()
+    if max_docs_per_shingle is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_cnt"))
+            .filter(F.col("df_cnt") > max_docs_per_shingle)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = sh.select(
+        F.col("doc").alias("id_a"),
+        F.col("n_sh").alias("n_a"),
+        "shingle",
+    )
+    b = sh.select(
+        F.col("doc").alias("id_b"),
+        F.col("n_sh").alias("n_b"),
+        "shingle",
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hash_tables: int = 8,
+    jaccard_distance_threshold: float = 0.5,
+    vocab_size: int = 1 << 18,
+    seed: int = 42,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs via pyspark.ml (banded signature join).
+
+    Features are k-token shingles (not bare tokens: with a small shared
+    vocabulary, token-set Jaccard saturates and every pair looks like a
+    dup; shingles preserve order/locality and align with
+    ngram_jaccard_pairs). Output: (id_a, id_b, dist) with id_a < id_b and
+    Jaccard *distance* over the hashed shingle sets <= threshold. Not
+    oracle-hashable (MinHash is approximate) -- tests validate against
+    exact Jaccard.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
+
+    docs = df.select(F.col(id_col).alias("mh_id"), F.col(text_col).alias("mh_text"))
+    tok = Tokenizer(inputCol="mh_text", outputCol="mh_toks")
+    ng = NGram(n=shingle_k, inputCol="mh_toks", outputCol="mh_shingles")
+    tf = HashingTF(
+        inputCol="mh_shingles",
+        outputCol="mh_vec",
+        numFeatures=vocab_size,
+        binary=True,
+    )
+    feats = tf.transform(ng.transform(tok.transform(docs))).filter(
+        # MinHashLSH requires at least one non-zero entry
+        F.size("mh_shingles") > 0
+    )
+    mh = MinHashLSH(
+        inputCol="mh_vec", outputCol="mh_sig", numHashTables=num_hash_tables, seed=seed
+    )
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, jaccard_distance_threshold, distCol="dist"
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.mh_id").alias("id_a"),
+            F.col("datasetB.mh_id").alias("id_b"),
+            F.round("dist", 4).alias("dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+# nibble values with bit j (of 4, MSB-first) set -- precomputed so the SQL
+# needs only IN-lists, portable across Spark SQL and DuckDB.
+_NIBBLE_BIT_SETS = [
+    tuple(v for v in range(16) if (v >> (3 - j)) & 1) for j in range(4)
+]
+
+
+def simhash_sql(dialect: str, source: str = "documents") -> str:
+    """64-bit SimHash as one SQL string, generated for ``dialect`` in
+    {'spark', 'duckdb'}.
+
+    Per document: distinct tokens -> md5 -> 64 bit-contribution sums
+    (+1/-1) -> sign per bit -> 64-char bitstring. The two dialects differ
+    only in tokenize/explode/position spellings; everything else (md5,
+    substr, CASE, SUM, concat) is common SQL, which is what makes the
+    DuckDB oracle possible.
+    """
+    if dialect == "spark":
+        explode = (
+            "SELECT doc_id, explode(array_distinct(split(lower(text), ' '))) AS tok"
+            f" FROM {source}"
+        )
+        pos = "instr"
+    elif dialect == "duckdb":
+        explode = (
+            "SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok"
+            f" FROM {source}"
+        )
+        pos = "strpos"
+    else:  # pragma: no cover
+        raise ValueError(dialect)
+
+    sums = []
+    bits = []
+    for b in range(64):
+        hexpos = b // 4 + 1  # 1-based hex char of the md5 digest
+        inlist = ", ".join(str(v) for v in _NIBBLE_BIT_SETS[b % 4])
+        nib = f"({pos}('{_HEX}', substr(md5(tok), {hexpos}, 1)) - 1)"
+        sums.append(
+            f"SUM(CASE WHEN {nib} IN ({inlist}) THEN 1 ELSE -1 END) AS s{b}"
+        )
+        bits.append(f"CASE WHEN s{b} >= 0 THEN '1' ELSE '0' END")
+    concat_bits = "concat(" + ", ".join(bits) + ")"
+    return (
+        f"SELECT doc_id, {concat_bits} AS simhash FROM ("
+        f"SELECT doc_id, {', '.join(sums)} FROM ({explode}) GROUP BY doc_id"
+        f") ORDER BY doc_id"
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """DataFrame wrapper: registers ``df`` and runs the Spark-dialect SQL."""
+    spark = df.sparkSession
+    view = "__simhash_input"
+    df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).createOrReplaceTempView(view)
+    return spark.sql(simhash_sql("spark", source=view))
+
+
+def simhash_hamming_pairs(
+    sim_df: DataFrame, max_hamming: int = 3, band_bits: int = 16
+) -> DataFrame:
+    """Near-dup candidates from 64-bit simhash bitstrings.
+
+    Banding: with 4 bands of 16 bits, any pair within Hamming distance 3
+    shares at least one whole band (pigeonhole), so candidates come from 4
+    equi-joins on band substrings -- never a cross join. Output:
+    (id_a, id_b, hamming) with hamming <= max_hamming.
+    """
+    n_bands = 64 // band_bits
+    banded = sim_df.select(
+        F.col("doc_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{i}:"),
+                        F.substring("simhash", i * band_bits + 1, band_bits),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "band"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "band"
+    )
+    # hamming distance between equal-length bitstrings, JVM-side
+    ham = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("sh_a"), ""),
+                F.split(F.col("sh_b"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda x: x,
+        )
+    )
+    return (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def deterministic_md5_int(s: str) -> int:
+    """Driver-side helper: stable 64-bit int from a string (test support)."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big", signed=False)

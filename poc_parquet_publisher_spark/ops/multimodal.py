@@ -1,0 +1,123 @@
+"""Multimodal columns: image/audio/video as opaque BinaryType + typed
+metadata.
+
+The container has no image/audio codecs, so the decode kernels are STUBS
+(deterministic fakes / NotImplementedError) -- but the Spark-side plumbing
+is real and tested: schema contracts, Arrow-batched mapInPandas UDF
+signatures, partition sizing for fat binary rows.
+
+Scale notes:
+- binary payloads ride in the same parquet row as their metadata; column
+  pruning means metadata-only queries never read the blobs.
+- decode fans out via mapInPandas (Arrow batches), so bytes cross the
+  JVM->Python boundary in columnar chunks, not row-at-a-time pickles.
+- fat rows need smaller input splits: set
+  spark.sql.files.maxPartitionBytes so a partition of blobs fits executor
+  memory (e.g. 64 MB splits for ~5 MB payloads).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, byte_len long, sha256 string, "
+    "feature array<float>"
+)
+
+
+def attach_binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata over an opaque binary column -- pure JVM expressions."""
+    return df.withColumn(
+        "byte_len", F.octet_length(payload_col).cast("long")
+    ).withColumn("sha256", F.sha2(F.col(payload_col), 256))
+
+
+def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake 'decoder': derives a feature vector from the
+    payload digest. Stands in for image-decode/resize/frame-sample until a
+    codec library is available."""
+    digest = hashlib.sha256(payload).digest()
+    return [digest[i] / 255.0 for i in range(dim)]
+
+
+def decode_features(
+    df: DataFrame, dim: int = 8, real_codecs: bool = False
+) -> DataFrame:
+    """Arrow-batched decode/feature-extract over binary payloads.
+
+    With ``real_codecs=True`` this would dispatch to PIL/librosa/pyav --
+    none of which exist in this container, so it raises NotImplementedError
+    (the deterministic fake keeps the distributed plumbing testable).
+    """
+    if real_codecs:
+        raise NotImplementedError(
+            "image/audio codecs are not available in this environment; "
+            "plug PIL/librosa/pyav into _fake_decode_features's slot"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "byte_len": pdf["payload"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "sha256": pdf["payload"].map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    "feature": pdf["payload"].map(
+                        lambda b: _fake_decode_features(b or b"", dim)
+                    ),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def synthetic_media(spark, n: int = 64, payload_bytes: int = 256) -> DataFrame:
+    """Deterministic fake media table matching MEDIA_SCHEMA (test fixture:
+    payload = repeated md5 stream seeded by media_id)."""
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        seed = hashlib.md5(f"media:{i}".encode()).digest()
+        payload = (seed * (payload_bytes // 16 + 1))[:payload_bytes]
+        kind = kinds[i % 3]
+        meta = {
+            "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+            "width": 64 if kind != "audio" else None,
+            "height": 64 if kind != "audio" else None,
+            "duration_ms": 1000 * (i + 1) if kind != "image" else None,
+        }
+        rows.append((i, kind, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

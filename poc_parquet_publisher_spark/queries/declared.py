@@ -1,0 +1,702 @@
+"""DECLARED QUERY SET Q01-Q28 (SURVEY.md section 2.2) - reference parity.
+
+The reference's own SQL surface is three strings (count(*), SELECT *,
+LIMIT/OFFSET -- /root/reference/cmd/duckdb-record-processor/handler.go:65,
+worker.go:14) issued against an embedded full-SQL engine; this module
+declares the concrete query inventory that defines correctness for the
+Spark rebuild, each paired with its DuckDB oracle.
+
+Spark-first notes (scale posture, verified with .explain on sf0.01):
+- filters/projections are plain DataFrame ops -> Catalyst pushes them into
+  the parquet scan (PushedFilters / ReadSchema);
+- joins are declared logically; small dims get an explicit broadcast hint,
+  everything else is left to Catalyst + AQE (sort-merge / shuffled-hash /
+  skew-join re-plan at runtime);
+- every floating SUM is computed in DECIMAL so the result is independent of
+  partition/merge order (a double-sum would drift at 100 TB row counts),
+  then cast to DOUBLE and ROUND(4) on both engines;
+- every LIMIT/OFFSET sits under a total ORDER BY: Spark has no stable
+  implicit row order across partitions (unlike the reference's single-file
+  DuckDB scans, SURVEY.md section 4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(col: Column | str) -> Column:
+    """Exact-arithmetic operand for order-independent float aggregation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,4)")
+
+
+def _dsum(col: Column | str, alias: str) -> Column:
+    """ROUND(CAST(SUM(decimal) AS DOUBLE), 4) -- deterministic cross-engine."""
+    return F.round(F.sum(_dec(col)).cast("double"), 4).alias(alias)
+
+
+# DuckDB-side fragment mirroring _dsum
+def _osum(expr: str, alias: str) -> str:
+    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE), 4) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# Scans, filters, pagination (reference: worker.go:14, handler.go:65)
+# ---------------------------------------------------------------------------
+
+
+@register("q01_count", "SELECT count(*) AS n FROM lineitem",
+          doc="S11: the first SQL the reference runs (handler.go:65)")
+def q01_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q02_scan_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       FROM lineitem
+       ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       LIMIT 100""",
+    doc="S1/S12: SELECT-* scan narrowed to a pruned projection. ORDER BY "
+        "covers every output column: (l_orderkey, l_linenumber) is NOT "
+        "unique at sf>=0.01, so a partial order would make the LIMIT cut "
+        "nondeterministic across engines",
+)
+def q02_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .limit(100)
+    )
+
+
+@register(
+    "q03_pagination",
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+       ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 500""",
+    doc="S13: LIMIT/OFFSET (worker.go:14) under a total order -- Spark has "
+        "no stable implicit order, so pagination requires ORDER BY",
+)
+def q03_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+        .offset(500)
+        .limit(100)
+    )
+
+
+@register(
+    "q04_filter",
+    """SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice_r
+       FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 1000
+       ORDER BY o_orderkey""",
+)
+def q04_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000))
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice_r"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q05_filter_in_between",
+    """SELECT c_custkey FROM customer
+       WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+         AND c_acctbal BETWEEN 0 AND 5000
+       ORDER BY c_custkey""",
+)
+def q05_filter_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(
+            F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+            & F.col("c_acctbal").between(0, 5000)
+        )
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q06_filter_like",
+    """SELECT p_partkey, p_name FROM part
+       WHERE p_name LIKE '%widget%' ORDER BY p_partkey""",
+)
+def q06_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (reference: S11 count(*) generalized)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q07_group_agg",
+    f"""SELECT l_returnflag, l_linestatus,
+               {_osum('l_quantity', 'sum_qty')},
+               {_osum('l_extendedprice', 'sum_base_price')},
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               count(*) AS cnt
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""",
+    doc="TPC-H Q1 shape; partial+final hash aggregation is automatic",
+)
+def q07_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate")
+            <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q08_distinct_agg",
+    "SELECT count(DISTINCT o_custkey) AS n FROM orders",
+)
+def q08_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n")
+    )
+
+
+@register(
+    "q09_having",
+    """SELECT o_custkey, count(*) AS cnt FROM orders
+       GROUP BY o_custkey HAVING count(*) >= 3 ORDER BY o_custkey""",
+)
+def q09_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 3)
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "q10_rollup",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders
+       GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+)
+def q10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q11_join_inner",
+    """SELECT o.o_orderkey, c.c_name FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey""",
+)
+def q11_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q12_join_multiway",
+    """SELECT n.n_name,
+              ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                             (CAST(1 AS DECIMAL(18,4)) -
+                              CAST(l.l_discount AS DECIMAL(18,4))))
+                    AS DOUBLE), 4) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name ORDER BY n.n_name""",
+    doc="TPC-H Q5 shape. Dim tables (region/nation/supplier) are broadcast "
+        "-- at 100 TB the fact-side shuffle is the cost; broadcasting every "
+        "dim removes 3 of 5 shuffles. The revenue product is computed in "
+        "DECIMAL so the grouped sum is merge-order independent.",
+)
+def q12_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,4)") - _dec("l_discount")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue).cast("double"), 4).alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q13_join_left",
+    """SELECT c.c_custkey, count(o.o_orderkey) AS cnt FROM customer c
+       LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       GROUP BY c.c_custkey ORDER BY c.c_custkey""",
+)
+def q13_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("cnt"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q14_join_semi",
+    """SELECT c_custkey FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 5000)
+       ORDER BY c_custkey""",
+    doc="EXISTS decorrelates to a left-semi join",
+)
+def q14_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 5000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q15_join_anti",
+    """SELECT c_custkey FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey)
+       ORDER BY c_custkey""",
+)
+def q15_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q16_join_broadcast",
+    """SELECT n.n_name, r.r_name FROM nation n
+       JOIN region r ON n.n_regionkey = r.r_regionkey ORDER BY n.n_name""",
+    doc="explicit broadcast hint: region is always tiny, shuffle-free join",
+)
+def q16_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_name", "r_name")
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q17_window_rank",
+    """SELECT o_custkey, o_orderkey, rn FROM (
+         SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS rn
+         FROM orders)
+       WHERE rn <= 2 ORDER BY o_custkey, rn""",
+    doc="top-N per group; o_orderkey tiebreak makes ranking total",
+)
+def q17_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "q18_window_running_sum",
+    """SELECT l_orderkey, l_linenumber,
+              ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                    OVER (PARTITION BY l_orderkey
+                          ORDER BY l_linenumber, l_quantity
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE), 4) AS running
+       FROM lineitem ORDER BY l_orderkey, l_linenumber, running LIMIT 500""",
+    doc="(l_orderkey, l_linenumber) duplicates at sf>=0.01: the window "
+        "order adds l_quantity so tied rows accumulate identically in both "
+        "engines, and the outer ORDER BY includes running so the LIMIT cut "
+        "is total",
+)
+def q18_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sum(_dec("l_quantity")).over(w).cast("double"), 4).alias(
+                "running"
+            ),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "running")
+        .limit(500)
+    )
+
+
+@register(
+    "q19_window_lag",
+    """SELECT o_custkey, o_orderkey,
+              lag(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev
+       FROM orders ORDER BY o_custkey, o_orderkey""",
+)
+def q19_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_orderkey").over(w).alias("prev"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k, set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q20_topk",
+    """SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice_r FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    doc="physical plan is TakeOrderedAndProject: per-partition heap + merge, "
+        "no global sort -- the pattern that survives 100 TB",
+)
+def q20_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice_r")
+        )
+    )
+
+
+@register(
+    "q21_intersect",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+       ORDER BY o_custkey""",
+)
+def q21_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op).orderBy("o_custkey")
+
+
+@register(
+    "q21_union_all",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       UNION ALL
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+       ORDER BY o_custkey""",
+)
+def q21_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.unionAll(op).orderBy("o_custkey")
+
+
+@register(
+    "q21_except",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       EXCEPT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+       ORDER BY o_custkey""",
+)
+def q21_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    # subtract == SQL EXCEPT (distinct semantics), unlike exceptAll
+    return f.subtract(op).orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (reference generator helpers S18-S25 exercised relationally)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q22_string_funcs",
+    """SELECT c_custkey, lower(c_name) AS lname, upper(c_mktsegment) AS useg,
+              CAST(length(c_name) AS BIGINT) AS name_len,
+              substr(c_name, 1, 8) AS name_pref,
+              concat(c_name, '#', c_mktsegment) AS name_tag
+       FROM customer ORDER BY c_custkey""",
+    doc="S20: lower/concat are the reference's email synthesis ops",
+)
+def q22_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.lower("c_name").alias("lname"),
+            F.upper("c_mktsegment").alias("useg"),
+            F.length("c_name").cast("long").alias("name_len"),
+            F.substring("c_name", 1, 8).alias("name_pref"),
+            F.concat(
+                F.col("c_name"), F.lit("#"), F.col("c_mktsegment")
+            ).alias("name_tag"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q23_date_funcs",
+    """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y,
+              CAST(month(o_orderdate) AS INT) AS m,
+              CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+       FROM orders ORDER BY o_orderkey LIMIT 200""",
+    doc="S22/S24 date handling; DATE cast bridges Spark ts vs DuckDB date",
+)
+def q23_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("m"),
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("month_start"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
+@register(
+    "q24_math_funcs",
+    """SELECT l_orderkey, l_linenumber,
+              CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,4)) *
+                         (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) *
+                         (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(5,4))),
+                         4) AS DOUBLE) AS charge,
+              CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+              ABS(l_discount - 0.05) < 0.03 AS near_disc
+       FROM lineitem
+       ORDER BY l_orderkey, l_linenumber, charge, qty_floor, near_disc
+       LIMIT 500""",
+    doc="charge computed in DECIMAL: ROUND on a raw double is engine-"
+        "dependent (Spark rounds the shortest decimal repr, DuckDB the "
+        "binary expansion -- 86684.105 vs 86684.1049), decimal arithmetic "
+        "has one well-defined answer. ORDER BY covers all output columns "
+        "(composite lineitem key duplicates at sf>=0.01)",
+)
+def q24_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    one = F.lit(1).cast("decimal(5,4)")
+    charge = F.round(
+        F.col("l_extendedprice").cast("decimal(12,4)")
+        * (one - F.col("l_discount").cast("decimal(5,4)"))
+        * (one + F.col("l_tax").cast("decimal(5,4)")),
+        4,
+    ).cast("double")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            charge.alias("charge"),
+            F.floor("l_quantity").cast("long").alias("qty_floor"),
+            (F.abs(F.col("l_discount") - 0.05) < 0.03).alias("near_disc"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "charge", "qty_floor", "near_disc")
+        .limit(500)
+    )
+
+
+@register(
+    "q25_array_funcs",
+    """SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+              list_contains(string_split(text, ' '), 'spark') AS has_spark,
+              array_to_string((string_split(text, ' '))[1:5], ' ') AS head5
+       FROM documents ORDER BY doc_id""",
+    doc="S25 / record.go:29,33 array surface; oracle uses the DuckDB list "
+        "dialect (len/list_contains/array_to_string)",
+)
+def q25_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_toks"),
+            F.array_contains(toks, "spark").alias("has_spark"),
+            F.array_join(F.slice(toks, 1, 5), " ").alias("head5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q25_events_in",
+    """SELECT event_type, count(*) AS cnt FROM events
+       WHERE event_type IN ('click', 'view')
+       GROUP BY event_type ORDER BY event_type""",
+)
+def q25_events_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q26_json_extract",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+       FROM events ORDER BY event_id LIMIT 500""",
+    doc="S14: JSON on the wire (handler.go:54); Spark get_json_object "
+        "<-> DuckDB json_extract_string",
+)
+def q26_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+@register(
+    "q27_window_hourly",
+    f"""SELECT date_trunc('hour', ts) AS w, event_type, count(*) AS cnt,
+               {_osum('value', 'sum_value')}
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    doc="tumbling-window batch analog of the SQS consumer "
+        "(sqs-record-consumer/main.go:29); streaming variant in streaming/",
+)
+def q27_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts"))
+            .cast("timestamp_ntz")
+            .alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), _dsum("value", "sum_value"))
+        .orderBy("w", "event_type")
+    )
+
+
+@register(
+    "q28_json_roundtrip",
+    """SELECT l_orderkey, l_linenumber,
+              to_json(struct_pack(l_orderkey := l_orderkey,
+                                  l_quantity := l_quantity)) AS js
+       FROM lineitem ORDER BY l_orderkey, l_linenumber, js LIMIT 100""",
+    doc="S14 record->JSON (handler.go:52-62); to_json output verified "
+        "byte-identical across Spark/DuckDB for long+double fields",
+)
+def q28_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.to_json(F.struct("l_orderkey", "l_quantity")).alias("js"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "js")
+        .limit(100)
+    )

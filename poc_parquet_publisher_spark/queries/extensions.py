@@ -1,0 +1,287 @@
+"""LLM-data-pipeline extension queries (SURVEY.md section 2.4, BASELINE.json
+north star): dedup, similarity search, text analysis, multimodal metadata.
+
+Where the computation is SQL-expressible, each entry carries a DuckDB
+oracle (dialect-mapped: split<->string_split, size<->len, instr<->strpos,
+sha2<->sha256, regexp_replace needs the 'g' flag in DuckDB). Approximate
+operators (MinHash LSH, hyperplane ANN, simhash banding) are rows-only for
+the driver; their quality is validated against exact baselines in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..ops import dedup, similarity, text
+from . import register
+
+_STOP_EN = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS["en"])
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x01_dedup_exact",
+    """SELECT md5(lower(text)) AS h, MIN(doc_id) AS keep_id,
+              count(*) AS dup_cnt
+       FROM documents GROUP BY md5(lower(text)) ORDER BY h""",
+    doc="exact dedup = one hash-groupBy (map-side partial agg); md5 keys "
+        "cannot skew",
+)
+def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text").orderBy("h")
+
+
+@register(
+    "x02_dedup_fingerprint",
+    """SELECT md5(array_to_string(list_sort(list_distinct(
+                string_split(lower(text), ' '))), ' ')) AS fingerprint,
+              MIN(doc_id) AS keep_id, count(*) AS dup_cnt
+       FROM documents
+       GROUP BY 1 ORDER BY fingerprint""",
+    doc="key-collision fingerprint (sorted distinct token bag) catches "
+        "token reorderings exact dedup misses",
+)
+def x02_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.fingerprint_dedup(docs, "doc_id", "text").orderBy("fingerprint")
+
+
+@register(
+    "x03_dedup_ngram_jaccard",
+    """WITH t AS (
+         SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, len(string_split(lower(text), ' ')) - 1),
+                  i -> array_to_string(
+                         (string_split(lower(text), ' '))[i:i+2], ' ')
+                )) AS sh
+         FROM documents
+         WHERE len(string_split(lower(text), ' ')) >= 3
+       ), e AS (
+         SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM t
+       ), p AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+         FROM e a JOIN e b USING (shingle)
+         WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4
+       )
+       SELECT id_a, id_b,
+              ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 4) AS jaccard
+       FROM p
+       WHERE ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 4) >= 0.5
+       ORDER BY id_a, id_b""",
+    doc="near-dup via 3-gram shingle blocking: candidates come from a "
+        "shingle equi-join, never an O(n^2) cross join; hot-shingle cap "
+        "guards quadratic blocks at scale (no-op on this corpus)",
+)
+def x03_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "x04_dedup_minhash",
+    None,  # approximate: validated against exact Jaccard in tests
+    doc="MinHash+LSH banded near-dup join (pyspark.ml), the sub-quadratic "
+        "scale path; rows-only driver check",
+)
+def x04_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hash_tables=8,
+        jaccard_distance_threshold=0.5,
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "x05_dedup_simhash",
+    dedup.simhash_sql("duckdb", source="documents"),
+    doc="64-bit SimHash as a pure expression pipeline (explode -> 64 "
+        "conditional sums -> sign bits); oracle is the same SQL generated "
+        "in the DuckDB dialect",
+)
+def x05_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text")
+
+
+@register(
+    "x06_simhash_neardup",
+    None,  # banding-based candidate set; exactness checked in tests
+    doc="simhash near-dup pairs via 16-bit banding (pigeonhole: hamming<=3 "
+        "pairs share a band) -- equi-join, no cross join",
+)
+def x06_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sim = dedup.simhash(docs, "doc_id", "text")
+    return dedup.simhash_hamming_pairs(sim, max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_BRUTE_TOPK_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS raw_sim
+  FROM (SELECT * FROM n WHERE vec_id < 20) q
+  JOIN n c ON q.vec_id != c.vec_id
+), r AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY raw_sim DESC, neighbor_id)
+              AS BIGINT) AS rnk,
+         ROUND(raw_sim, 4) AS sim
+  FROM s
+)
+SELECT query_id, neighbor_id, rnk, sim FROM r
+WHERE rnk <= 3 ORDER BY query_id, rnk
+"""
+
+
+@register(
+    "x07_sim_bruteforce_topk",
+    _BRUTE_TOPK_ORACLE,
+    doc="exact cosine top-3 for 20 query vectors: query side broadcast, "
+        "corpus streams through one narrow pass (zip_with/aggregate, "
+        "JVM codegen -- no Python in the hot path)",
+)
+def x07_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return (
+        similarity.brute_force_topk(emb, q, "vec_id", "embedding", k=3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register(
+    "x08_sim_ann_lsh",
+    None,  # approximate; recall vs brute force asserted in tests
+    doc="random-hyperplane LSH ANN: deterministic md5-derived hyperplanes, "
+        "banded signature equi-join for candidates -- the 100 TB path "
+        "(corpus hash-partitioned by bucket, never cross-joined)",
+)
+def x08_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return (
+        similarity.lsh_topk(
+            emb, q, "vec_id", "embedding", dim=64, k=3, n_planes=16, n_bands=4
+        )
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+_NEARDUP_ORACLE_TMPL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= {thr}
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "x09_embedding_neardup",
+    _NEARDUP_ORACLE_TMPL.format(thr=0.4),
+    doc="embedding-cosine near-dup pairs; correctness tier is the exact "
+        "pair scan, scale tier routes through x08's LSH buckets. The "
+        "fixture embeddings are near-random (max pairwise cosine ~0.51), "
+        "so the threshold sits at 0.4 to exercise non-empty output",
+)
+def x09_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x10_text_tokens",
+    f"""SELECT doc_id,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(lower(text),
+                    '{text.TOKEN_REGEX}')) AS BIGINT) AS n_re_tokens,
+               CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM documents ORDER BY doc_id""",
+    doc="token counting: whitespace + BPE-ish regex, expression-only",
+)
+def x10_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "x11_text_quality",
+    f"""SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_m,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks,
+               ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len(string_split(lower(text), ' ')), 4) AS avg_tok_len,
+               ROUND(CAST(len(list_filter(string_split(lower(text), ' '),
+                         t -> t IN ({_STOP_EN}))) AS DOUBLE)
+                     / len(string_split(lower(text), ' ')), 4) AS stop_ratio,
+               ROUND(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                          AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE), 4) AS alpha_ratio
+        FROM documents ORDER BY doc_id""",
+    doc="quality scoring: length/stopword/alpha ratios (DuckDB "
+        "regexp_replace needs the 'g' flag to match Spark's replace-all)",
+)
+def x11_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_scores(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "x12_text_langid",
+    text.lang_id_oracle_sql("documents", "doc_id"),
+    doc="stopword-vote language ID; tie-break ladder reproduced verbatim "
+        "in the generated oracle SQL",
+)
+def x12_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "x13_multimodal_meta",
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+              sha256(text) AS sha_hex
+       FROM documents ORDER BY doc_id""",
+    doc="typed metadata over opaque payloads (byte length + content hash); "
+        "the binary decode path itself is ops/multimodal.py (mapInPandas), "
+        "exercised in tests -- no codec libs in this container",
+)
+def x13_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("byte_len"),
+        F.sha2(F.col("text"), 256).alias("sha_hex"),
+    ).orderBy("doc_id")

@@ -1,0 +1,83 @@
+"""SparkSession bootstrap.
+
+Replaces the reference's per-Lambda engine boot:
+- DuckDB in-process open + S3 config (cmd/duckdb-record-processor/main.go:36,
+  duckdb.go:18-39) -> one SparkSession with s3a conf.
+- parquet-go reader setup (cmd/parquetgo-record-processor/handler.go:161)
+  -> Spark's vectorized parquet datasource.
+
+Scale posture: every conf below is chosen for correctness first, then for a
+multi-executor cluster -- AQE handles runtime re-planning (partition
+coalescing, skew joins), shuffle partitions default to the local core count
+but should be ~2-3x total cores on a real cluster, and Arrow is enabled so
+any Pandas-UDF fallback path moves data in columnar batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# The driver fixtures store events.ts as Parquet TIMESTAMP(NANOS), which the
+# stock reader rejects ([PARQUET_TYPE_ILLEGAL]). nanosAsLong loads such
+# columns as raw nanosecond longs; catalog.load_table converts them to
+# TIMESTAMP_NTZ (micros) to match DuckDB's naive-timestamp read.
+_BASE_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Engine-written parquet stays at micros so our own output round-trips
+    # through any reader (incl. the reference's DuckDB) without the nanos trap.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    "spark.ui.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    """CPU budget: SPARK_GRAFT_CPUS env (driver contract) or host cores."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def build_session(
+    app_name: str = "poc-parquet-publisher-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    s3_endpoint: str | None = None,
+    s3_access_key: str | None = None,
+    s3_secret_key: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine session.
+
+    ``s3_endpoint`` mirrors the reference's S3_ENDPOINT_OVERRIDE env +
+    functional option (cmd/duckdb-record-processor/s3_options.go:10-16,
+    duckdb.go:23-30): with it set, ``s3a://`` URIs resolve against e.g.
+    LocalStack with path-style access. Unlike the reference we never stage
+    S3 objects to local disk -- the parquet datasource reads s3a directly,
+    so predicate pushdown and split planning happen against the object
+    store (essential at 100 TB: staging a copy per worker is a non-starter).
+    """
+    cores = default_parallelism()
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cores}]")
+    conf = dict(_BASE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cores)
+    endpoint = s3_endpoint or os.environ.get("S3_ENDPOINT_OVERRIDE")
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+        conf["spark.hadoop.fs.s3a.path.style.access"] = "true"
+    if s3_access_key:
+        conf["spark.hadoop.fs.s3a.access.key"] = s3_access_key
+    if s3_secret_key:
+        conf["spark.hadoop.fs.s3a.secret.key"] = s3_secret_key
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,34 @@
+"""t2 correctness gate, locally: every registry query with an oracle must
+hash-match DuckDB on the fixture tables (driver runs the same comparison
+at sf0.01; tests default to sf0.001 for speed, override with
+ORACLE_SF_DIR=/root/testdata/sf0.01).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from poc_parquet_publisher_spark.queries import REGISTRY, all_queries
+from tests.conftest import SF_CORRECTNESS
+from tests.oracle_harness import compare
+
+_ensure = all_queries()  # trigger registration
+ORACLE_NAMES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+ROWS_ONLY_NAMES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_match(name, spark, duck):
+    spec = REGISTRY[name]
+    df = spec.spark(spark, SF_CORRECTNESS)
+    result = compare(df, duck, spec.oracle)
+    assert result["match"], f"{name}: {result}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_runs(name, spark):
+    spec = REGISTRY[name]
+    df = spec.spark(spark, SF_CORRECTNESS)
+    rows = df.collect()
+    assert df.schema is not None
+    assert rows is not None
