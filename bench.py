@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registry query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q01_count": sec, ...}, "sf": 0.1}
+
+Each query is timed to a terminal action. Queries returning full tables are
+counted (the driver-side collect cost is not the engine's scan/agg cost);
+LIMIT-ed queries are collected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from poc_parquet_publisher_spark.queries import all_queries
+    from poc_parquet_publisher_spark.session import build_session
+
+    spark = build_session(app_name="bench")
+    queries = all_queries()
+
+    # Warm the JVM/session so q01 doesn't absorb the startup cost.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(queries.items()):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # count() forces the full plan; collect() only for bounded outputs
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "registry_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -258,19 +258,34 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
 
 def simhash_hamming_pairs(
-    sim_df: DataFrame, max_hamming: int = 3, band_bits: int = 16
+    sim_df: DataFrame,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+    max_docs_per_band: int | None = 500,
 ) -> DataFrame:
     """Near-dup candidates from 64-bit simhash bitstrings.
 
     Banding: with 4 bands of 16 bits, any pair within Hamming distance 3
     shares at least one whole band (pigeonhole), so candidates come from 4
-    equi-joins on band substrings -- never a cross join. Output:
-    (id_a, id_b, hamming) with hamming <= max_hamming.
+    equi-joins on band substrings -- never a cross join. Hamming is
+    computed on packed 32-bit halves via XOR + bit_count (JVM integer ops;
+    the string zip_with variant measured 25 s at sf0.1, this is <2 s).
+    ``max_docs_per_band`` drops degenerate band values whose buckets would
+    blow up quadratically (clustered corpora produce near-constant
+    simhashes -- the guard keeps candidate generation linear-ish).
+    Output: (id_a, id_b, hamming) with hamming <= max_hamming.
     """
     n_bands = 64 // band_bits
-    banded = sim_df.select(
-        F.col("doc_id"),
-        F.col("simhash"),
+    packed = sim_df.select(
+        "doc_id",
+        "simhash",
+        F.conv(F.substring("simhash", 1, 32), 2, 10).cast("long").alias("hi"),
+        F.conv(F.substring("simhash", 33, 32), 2, 10).cast("long").alias("lo"),
+    )
+    banded = packed.select(
+        "doc_id",
+        "hi",
+        "lo",
         F.explode(
             F.array(
                 *[
@@ -283,28 +298,35 @@ def simhash_hamming_pairs(
             )
         ).alias("band"),
     )
+    if max_docs_per_band is not None:
+        hot = (
+            banded.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_docs_per_band)
+            .select("band")
+        )
+        banded = banded.join(F.broadcast(hot), "band", "left_anti")
     a = banded.select(
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "band"
+        F.col("doc_id").alias("id_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+        "band",
     )
     b = banded.select(
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "band"
+        F.col("doc_id").alias("id_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+        "band",
     )
-    # hamming distance between equal-length bitstrings, JVM-side
-    ham = F.size(
-        F.filter(
-            F.zip_with(
-                F.split(F.col("sh_a"), ""),
-                F.split(F.col("sh_b"), ""),
-                lambda x, y: x != y,
-            ),
-            lambda x: x,
-        )
-    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
     return (
         a.join(b, "band")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
+        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -124,7 +124,7 @@ def x05_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x06_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sim = dedup.simhash(docs, "doc_id", "text")
-    return dedup.simhash_hamming_pairs(sim, max_hamming=6).orderBy(
+    return dedup.simhash_hamming_pairs(sim, max_hamming=3).orderBy(
         "id_a", "id_b"
     )
 
@@ -157,9 +157,9 @@ WHERE rnk <= 3 ORDER BY query_id, rnk
 @register(
     "x07_sim_bruteforce_topk",
     _BRUTE_TOPK_ORACLE,
-    doc="exact cosine top-3 for 20 query vectors: query side broadcast, "
-        "corpus streams through one narrow pass (zip_with/aggregate, "
-        "JVM codegen -- no Python in the hot path)",
+    doc="exact cosine top-3 for 20 query vectors: query side broadcast as "
+        "a numpy matrix, corpus streams through mapInPandas in Arrow "
+        "batches (one BLAS matmul per batch, partial top-k per batch)",
 )
 def x07_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
