@@ -1,0 +1,170 @@
+"""Row -> JSON -> queue publishing (the reference's SQS leg).
+
+Reference behavior being rebuilt (cmd/parquetgo-record-processor/):
+- per-row ``json.Marshal`` with struct-tag keys (handler.go:52-62)
+  -> ``to_json(struct(*cols))``, JVM-side, whole-stage codegen.
+- fixed 10-message batches, the AWS SendMessageBatch hard limit
+  (handler.go:23-26,199-205) -> ``itertools`` chunking inside
+  ``foreachPartition``.
+- concurrent batch sends via errgroup, one goroutine per batch
+  (handler.go:194-216) -> a bounded thread pool per partition; across
+  partitions Spark's task parallelism already fans out.
+- fail-fast on the first failed entry (handler.go:89-97, 219-229) ->
+  raising inside the partition function fails the task and aborts the
+  job. Delivery is therefore at-least-once under task retry -- the same
+  contract as SQS itself.
+
+The queue client is pluggable: anything with a boto3-shaped
+``send_message_batch(QueueUrl=..., Entries=[...]) -> {"Failed": [...]}``.
+``DirectoryQueue`` is the hermetic test double (a filesystem spool that
+works across Python worker processes); real SQS comes from boto3 when
+available. The client is constructed INSIDE each partition (via a
+picklable zero-arg factory) -- network clients never ride the closure.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import uuid
+from collections.abc import Callable, Iterable, Iterator
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# AWS SendMessageBatch hard limit (handler.go:23-26).
+SQS_BATCH_SIZE = 10
+
+
+def serialize_json(df: DataFrame) -> DataFrame:
+    """Each row -> one JSON document string, keys = column names.
+
+    Mirrors json.Marshal per record (handler.go:54); nested structs and
+    arrays serialize recursively, matching the struct-tag JSON shape of
+    internal/models/record.go.
+    """
+    return df.select(F.to_json(F.struct(*df.columns)).alias("body"))
+
+
+class DirectoryQueue:
+    """Filesystem-spool queue double.
+
+    One ``send_message_batch`` call writes one JSON-lines file (atomic
+    rename, unique name per process), so concurrent writers from many
+    Spark python workers never interleave. The spool directory is the
+    "queue"; each file is one delivered batch event.
+    """
+
+    def __init__(self, spool_dir: str):
+        self.spool_dir = spool_dir
+        os.makedirs(spool_dir, exist_ok=True)
+
+    def send_message_batch(
+        self, QueueUrl: str = "", Entries: list[dict[str, Any]] | None = None
+    ) -> dict[str, Any]:
+        entries = Entries or []
+        name = f"{os.getpid()}-{uuid.uuid4().hex}"
+        tmp = os.path.join(self.spool_dir, f".{name}.tmp")
+        final = os.path.join(self.spool_dir, f"{name}.batch.jsonl")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for e in entries:
+                f.write(json.dumps(e) + "\n")
+        os.rename(tmp, final)
+        return {"Successful": [{"Id": e["Id"]} for e in entries], "Failed": []}
+
+
+def sqs_client_factory(region: str | None = None, endpoint: str | None = None):
+    """Real-SQS factory (boto3 is optional in this environment)."""
+
+    def make():
+        try:
+            import boto3
+        except ImportError as exc:  # pragma: no cover - no boto3 here
+            raise NotImplementedError(
+                "boto3 is not installed; use DirectoryQueue for local runs"
+            ) from exc
+        return boto3.client("sqs", region_name=region, endpoint_url=endpoint)
+
+    return make
+
+
+def _chunks(it: Iterable, size: int) -> Iterator[list]:
+    it = iter(it)
+    while chunk := list(itertools.islice(it, size)):
+        yield chunk
+
+
+def publish(
+    df: DataFrame,
+    client_factory: Callable[[], Any],
+    queue_url: str = "",
+    batch_size: int = SQS_BATCH_SIZE,
+    max_concurrency: int = 8,
+) -> int:
+    """Publish every row of ``df`` as a JSON message; returns rows published.
+
+    Runs as one narrow pass: serialize (JVM) -> foreachPartition, each
+    partition chunking into ``batch_size`` entries and sending chunks on a
+    bounded thread pool (the errgroup analog -- queue I/O is
+    latency-bound, so overlapping sends inside a partition matters as
+    much as partition fan-out). Any Failed entry raises, failing the
+    task: fail-fast, at-least-once.
+
+    The returned count is a driver-side accumulator total -- a cheap,
+    scan-free analog of the reference's publishedRows log
+    (handler.go:231-239).
+    """
+    serialized = serialize_json(df)
+    acc = df.sparkSession.sparkContext.accumulator(0)
+
+    def send_partition(rows: Iterator) -> None:
+        client = client_factory()
+        base = uuid.uuid4().hex[:8]
+
+        def send(indexed_chunk: tuple[int, list[str]]) -> int:
+            idx, chunk = indexed_chunk
+            entries = [
+                {"Id": f"{base}-{idx * batch_size + j}", "MessageBody": body}
+                for j, body in enumerate(chunk)
+            ]
+            result = client.send_message_batch(
+                QueueUrl=queue_url, Entries=entries
+            )
+            failed = result.get("Failed") or []
+            if failed:
+                raise RuntimeError(
+                    f"failed to send {len(failed)} messages in batch {idx}"
+                )
+            return len(entries)
+
+        bodies = (row.body for row in rows)
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            for n in pool.map(send, enumerate(_chunks(bodies, batch_size))):
+                acc.add(n)
+
+    serialized.foreachPartition(send_partition)
+    return acc.value
+
+
+def run_pipeline(
+    spark,
+    request: dict,
+    client_factory: Callable[[], Any],
+    queue_url: str = "",
+    batch_size: int = SQS_BATCH_SIZE,
+) -> dict:
+    """Full request -> publish -> response envelope (handler.go:104-251).
+
+    Response carries the processed paths plus the published-row count the
+    reference only logged.
+    """
+    from .ingest import read_request
+
+    df = read_request(spark, request)
+    published = publish(
+        df, client_factory, queue_url=queue_url, batch_size=batch_size
+    )
+    return {"paths": list(request.get("paths", [])), "published": published}
