@@ -45,6 +45,47 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # Pipeline throughput (BASELINE.md "read -> to_json -> sink"): full
+    # publish path against a success-returning client, so the number is
+    # engine cost (scan + serialize + chunk), not fake-queue filesystem IO.
+    import tempfile
+
+    from poc_parquet_publisher_spark.catalog import table_path
+    from poc_parquet_publisher_spark.pipeline import publish
+
+    class _NullQueue:
+        def send_message_batch(self, QueueUrl="", Entries=None):
+            return {"Failed": []}
+
+    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    n_rows = orders.count()
+    t0 = time.perf_counter()
+    publish(orders, _NullQueue)
+    dt = time.perf_counter() - t0
+    timings["pipeline_publish"] = round(dt, 3)
+    pipeline_rows_s = round(n_rows / dt)
+    print(
+        f"# pipeline_publish: {dt:.3f}s ({pipeline_rows_s} rows/s)",
+        file=sys.stderr,
+    )
+
+    # Generator throughput (BASELINE.md "rows/s to Parquet").
+    from poc_parquet_publisher_spark.generate import generate_records
+
+    gen_n = 100_000
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.perf_counter()
+        generate_records(spark, gen_n).write.mode("overwrite").parquet(
+            f"{tmp}/gen.parquet"
+        )
+        dt = time.perf_counter() - t0
+    timings["generator_write"] = round(dt, 3)
+    generator_rows_s = round(gen_n / dt)
+    print(
+        f"# generator_write: {dt:.3f}s ({generator_rows_s} rows/s)",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
