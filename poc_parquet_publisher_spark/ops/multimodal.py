@@ -104,6 +104,83 @@ def decode_features(
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id long, kind string, width int, height int, payload binary"
+)
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_sha string"
+
+
+def resize_images(
+    df: DataFrame, width: int = 32, height: int = 32, real_codecs: bool = False
+) -> DataFrame:
+    """Resize stub over image payloads (same mapInPandas plumbing the real
+    kernel would use; PIL slot marked by ``real_codecs``).
+
+    The fake "resize" emits a deterministic byte stream of exactly
+    width*height bytes derived from the payload digest, so output size
+    contracts (the thing partition sizing depends on) are honest.
+    """
+    if real_codecs:
+        raise NotImplementedError(
+            "no image codec in this environment; plug PIL.Image.resize here"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in it:
+            imgs = pdf[pdf["kind"] == "image"]
+            digests = imgs["payload"].map(
+                lambda b: hashlib.sha256(b or b"").digest()
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": imgs["media_id"],
+                    "kind": imgs["kind"],
+                    "width": width,
+                    "height": height,
+                    "payload": digests.map(
+                        lambda d: (d * (target // len(d) + 1))[:target]
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, real_codecs: bool = False
+) -> DataFrame:
+    """Frame-sampling stub over video payloads: one output row per sampled
+    frame (media_id, frame_idx, frame_sha), frame count driven by the
+    TYPED METADATA (meta.duration_ms), so the plan never decodes payloads
+    it won't sample. The pyav decode slot is ``real_codecs``."""
+    if real_codecs:
+        raise NotImplementedError(
+            "no video codec in this environment; plug pyav frame seek here"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vids = pdf[pdf["kind"] == "video"]
+            out_id, out_idx, out_sha = [], [], []
+            for _, row in vids.iterrows():
+                duration = (row["meta"] or {}).get("duration_ms") or 0
+                payload = row["payload"] or b""
+                for fi in range(max(1, int(duration // every_ms))):
+                    out_id.append(row["media_id"])
+                    out_idx.append(fi)
+                    out_sha.append(
+                        hashlib.sha256(
+                            payload + fi.to_bytes(4, "big")
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": out_id, "frame_idx": out_idx, "frame_sha": out_sha}
+            )
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64, payload_bytes: int = 256) -> DataFrame:
     """Deterministic fake media table matching MEDIA_SCHEMA (test fixture:
     payload = repeated md5 stream seeded by media_id)."""

@@ -119,12 +119,15 @@ def lang_id_oracle_sql(source: str = "documents", id_col: str = "doc_id") -> str
 def rolling_fingerprint(
     df: DataFrame, id_col: str, text_col: str, window: int = 8
 ) -> DataFrame:
-    """Per-document rolling-hash fingerprint set (winnowing-style).
+    """Per-document rolling-hash fingerprint (winnowing-style).
 
     md5 each ``window``-token shingle, keep the per-document minimum hash
     as the document fingerprint (a 1-sample winnow). Expression-only.
+    Tokens are bound as an attribute before the transform so split() runs
+    once per row, not once per shingle position (the HOF-lambda CSE trap;
+    see ops/dedup.py shingles()).
     """
-    toks = _toks(text_col)
+    toks = F.col("__toks")
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))),
         lambda i: F.md5(
@@ -133,7 +136,29 @@ def rolling_fingerprint(
             )
         ),
     )
-    return df.select(
-        F.col(id_col),
-        F.array_min(sh).alias("min_shingle_hash"),
+    return (
+        df.select(F.col(id_col), _toks(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.array_min(sh).alias("min_shingle_hash"),
+        )
+    )
+
+
+def rolling_fingerprint_oracle_sql(
+    source: str = "documents", id_col: str = "doc_id", window: int = 8
+) -> str:
+    """DuckDB SQL mirroring ``rolling_fingerprint``.
+
+    Spark's concat_ws skips the nulls element_at yields past the array
+    end; DuckDB's slice truncates at the list end -- identical shingle
+    text for documents shorter than the window either way.
+    """
+    return (
+        f"WITH t AS (SELECT {id_col}, string_split(lower(text), ' ') AS toks"
+        f" FROM {source}) "
+        f"SELECT {id_col}, list_min(list_transform("
+        f"range(1, greatest(len(toks) - {window} + 1, 1) + 1), "
+        f"i -> md5(array_to_string(toks[i:i+{window - 1}], ' ')))) "
+        f"AS min_shingle_hash FROM t ORDER BY {id_col}"
     )

@@ -190,6 +190,26 @@ def x08_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x15_sim_ann_ivf",
+    None,  # approximate candidate set; recall vs brute force in tests
+    doc="IVF-flat ANN: k-means coarse quantizer, queries probe n_probe "
+        "nearest centroids, candidates from an equi-join on centroid id "
+        "(corpus hash-partitioned by cluster; ~n_probe/n_centroids of it "
+        "scanned per query), exact cosine scoring",
+)
+def x15_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return (
+        similarity.ivf_topk(
+            emb, q, "vec_id", "embedding", k=3, n_centroids=16, n_probe=4
+        )
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
 _NEARDUP_ORACLE_TMPL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
@@ -267,6 +287,22 @@ def x11_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x12_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.lang_id(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "x14_text_rolling_fingerprint",
+    text.rolling_fingerprint_oracle_sql("documents", "doc_id", window=8),
+    doc="winnowing-style rolling fingerprint: min md5 over 8-token "
+        "shingles, expression-only (narrow, codegen); oracle generated "
+        "in the DuckDB dialect from the same spec",
+)
+def x14_text_rolling_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.rolling_fingerprint(docs, "doc_id", "text", window=8).orderBy(
+        "doc_id"
+    )
 
 
 @register(

@@ -100,6 +100,28 @@ def test_lsh_topk_recall_vs_brute_force(emb):
     assert recall >= 0.4
 
 
+def test_ivf_topk_recall_vs_brute_force(emb):
+    q = emb.filter(F.col("vec_id") < 20)
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(
+            emb, q, "vec_id", "embedding", k=3
+        ).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            emb, q, "vec_id", "embedding",
+            k=3, n_centroids=16, n_probe=4,
+        ).collect()
+    }
+    assert len(ivf) == 60  # probed clusters always yield k candidates here
+    recall = len(bf & ivf) / len(bf)
+    # measured 0.55 probing 4/16 clusters of near-random vectors; bound
+    # leaves margin for k-means init sensitivity to partitioning
+    assert recall >= 0.35
+
+
 def test_lsh_scored_sims_are_exact(emb):
     """LSH approximates the CANDIDATE SET, never the similarity: any
     (query, neighbor) it returns must carry the exact cosine."""
