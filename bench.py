@@ -60,7 +60,7 @@ def main() -> None:
     orders = spark.read.parquet(table_path(sf_dir, "orders"))
     n_rows = orders.count()
     t0 = time.perf_counter()
-    publish(orders, _NullQueue)
+    assert publish(orders, _NullQueue).published == n_rows
     dt = time.perf_counter() - t0
     timings["pipeline_publish"] = round(dt, 3)
     pipeline_rows_s = round(n_rows / dt)

@@ -9,14 +9,18 @@ batch-count consumer analog (cmd/sqs-record-consumer/main.go:27-32).
 from .consumer import consume_batch_counts
 from .ingest import read_request, resolve_paths
 from .publish import (
+    DEFAULT_MAX_ATTEMPTS,
     DirectoryQueue,
+    PublishResult,
     publish,
     run_pipeline,
     serialize_json,
 )
 
 __all__ = [
+    "DEFAULT_MAX_ATTEMPTS",
     "DirectoryQueue",
+    "PublishResult",
     "consume_batch_counts",
     "publish",
     "read_request",

@@ -27,9 +27,11 @@ from __future__ import annotations
 import itertools
 import json
 import os
+import time
 import uuid
 from collections.abc import Callable, Iterable, Iterator
 from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -37,6 +39,15 @@ from pyspark.sql import functions as F
 
 # AWS SendMessageBatch hard limit (handler.go:23-26).
 SQS_BATCH_SIZE = 10
+
+# Redrive threshold: template.yaml:10-12 (maxReceiveCount: 5).
+DEFAULT_MAX_ATTEMPTS = 5
+
+
+@dataclass(frozen=True)
+class PublishResult:
+    published: int
+    dead_lettered: int
 
 
 def serialize_json(df: DataFrame) -> DataFrame:
@@ -103,50 +114,74 @@ def publish(
     queue_url: str = "",
     batch_size: int = SQS_BATCH_SIZE,
     max_concurrency: int = 8,
-) -> int:
-    """Publish every row of ``df`` as a JSON message; returns rows published.
+    max_attempts: int = 1,
+    dlq_client_factory: Callable[[], Any] | None = None,
+    dlq_url: str = "",
+    retry_backoff_s: float = 0.05,
+) -> PublishResult:
+    """Publish every row of ``df`` as a JSON message.
 
     Runs as one narrow pass: serialize (JVM) -> foreachPartition, each
     partition chunking into ``batch_size`` entries and sending chunks on a
     bounded thread pool (the errgroup analog -- queue I/O is
     latency-bound, so overlapping sends inside a partition matters as
-    much as partition fan-out). Any Failed entry raises, failing the
-    task: fail-fast, at-least-once.
+    much as partition fan-out).
 
-    The returned count is a driver-side accumulator total -- a cheap,
-    scan-free analog of the reference's publishedRows log
-    (handler.go:231-239).
+    Failure policy mirrors the reference's queue redrive
+    (template.yaml:6-16): a batch with Failed entries retries up to
+    ``max_attempts`` times (pass DEFAULT_MAX_ATTEMPTS for the reference's
+    maxReceiveCount=5); a batch that exhausts retries goes to the
+    dead-letter client when one is configured, otherwise raises -- failing
+    the Spark task, fail-fast like handler.go:219-229. Delivery is
+    at-least-once under retry, the same contract as SQS itself.
+
+    Counts are driver-side accumulator totals -- a scan-free analog of the
+    reference's publishedRows log (handler.go:231-239).
     """
     serialized = serialize_json(df)
     acc = df.sparkSession.sparkContext.accumulator(0)
+    dead = df.sparkSession.sparkContext.accumulator(0)
 
     def send_partition(rows: Iterator) -> None:
         client = client_factory()
+        dlq = dlq_client_factory() if dlq_client_factory else None
         base = uuid.uuid4().hex[:8]
 
-        def send(indexed_chunk: tuple[int, list[str]]) -> int:
+        def send(indexed_chunk: tuple[int, list[str]]) -> tuple[int, int]:
             idx, chunk = indexed_chunk
             entries = [
                 {"Id": f"{base}-{idx * batch_size + j}", "MessageBody": body}
                 for j, body in enumerate(chunk)
             ]
-            result = client.send_message_batch(
-                QueueUrl=queue_url, Entries=entries
-            )
-            failed = result.get("Failed") or []
-            if failed:
-                raise RuntimeError(
-                    f"failed to send {len(failed)} messages in batch {idx}"
+            n_failed = 0
+            for attempt in range(max_attempts):
+                result = client.send_message_batch(
+                    QueueUrl=queue_url, Entries=entries
                 )
-            return len(entries)
+                failed = result.get("Failed") or []
+                n_failed = len(failed)
+                if not failed:
+                    return len(entries), 0
+                if attempt + 1 < max_attempts:
+                    time.sleep(retry_backoff_s * (attempt + 1))
+            if dlq is not None:
+                dlq.send_message_batch(QueueUrl=dlq_url, Entries=entries)
+                return 0, len(entries)
+            raise RuntimeError(
+                f"failed to send {n_failed} messages in batch {idx} "
+                f"after {max_attempts} attempts"
+            )
 
         bodies = (row.body for row in rows)
         with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
-            for n in pool.map(send, enumerate(_chunks(bodies, batch_size))):
-                acc.add(n)
+            for ok, dl in pool.map(
+                send, enumerate(_chunks(bodies, batch_size))
+            ):
+                acc.add(ok)
+                dead.add(dl)
 
     serialized.foreachPartition(send_partition)
-    return acc.value
+    return PublishResult(published=acc.value, dead_lettered=dead.value)
 
 
 def run_pipeline(
@@ -164,7 +199,10 @@ def run_pipeline(
     from .ingest import read_request
 
     df = read_request(spark, request)
-    published = publish(
+    result = publish(
         df, client_factory, queue_url=queue_url, batch_size=batch_size
     )
-    return {"paths": list(request.get("paths", [])), "published": published}
+    return {
+        "paths": list(request.get("paths", [])),
+        "published": result.published,
+    }

@@ -55,15 +55,16 @@ def stream_publish(
     stream = reader.parquet(source_dir)
 
     def handle(batch_df, batch_id: int) -> None:
-        n = publish(
+        result = publish(
             batch_df, client_factory, queue_url=queue_url,
             batch_size=batch_size,
         )
         logger.info(
-            "published micro-batch", extra={"batch_id": batch_id, "rows": n}
+            "published micro-batch",
+            extra={"batch_id": batch_id, "rows": result.published},
         )
         if on_batch is not None:
-            on_batch(batch_id, n)
+            on_batch(batch_id, result.published)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

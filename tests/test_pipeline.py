@@ -43,10 +43,9 @@ def test_publish_roundtrip(spark, tmp_path):
     orders = spark.read.parquet(table_path(SF, "orders")).limit(137)
     total = orders.count()
 
-    published = publish(
-        orders, lambda: DirectoryQueue(spool), batch_size=10
-    )
-    assert published == total
+    result = publish(orders, lambda: DirectoryQueue(spool), batch_size=10)
+    assert result.published == total
+    assert result.dead_lettered == 0
 
     counts = consume_batch_counts(spool)
     assert sum(counts) == total
@@ -70,6 +69,64 @@ def test_publish_fail_fast(spark, tmp_path):
     region = spark.read.parquet(table_path(SF, "region"))
     with pytest.raises(Exception, match="failed to send"):
         publish(region, FailingQueue, batch_size=2)
+
+
+def test_publish_retry_then_succeed(spark, tmp_path):
+    """A transiently failing queue succeeds within the redrive budget."""
+    spool = str(tmp_path / "spool")
+    marker = str(tmp_path / "attempts")
+
+    class FlakyQueue:
+        """Fails each batch's first 2 attempts, then delivers."""
+
+        def __init__(self):
+            self.inner = DirectoryQueue(spool)
+
+        def send_message_batch(self, QueueUrl="", Entries=None):
+            import os as _os
+
+            path = f"{marker}-{Entries[0]['Id']}"  # one counter per batch
+            n = 0
+            if _os.path.exists(path):
+                with open(path) as f:
+                    n = int(f.read())
+            with open(path, "w") as f:
+                f.write(str(n + 1))
+            if n < 2:
+                return {"Failed": [{"Id": e["Id"]} for e in Entries]}
+            return self.inner.send_message_batch(QueueUrl, Entries)
+
+    region = spark.read.parquet(table_path(SF, "region"))
+    result = publish(
+        region, FlakyQueue, batch_size=2, max_attempts=5,
+        retry_backoff_s=0.001,
+    )
+    assert result.published == 5
+    assert result.dead_lettered == 0
+    assert sum(consume_batch_counts(spool)) == 5
+
+
+def test_publish_dead_letters_after_exhausted_retries(spark, tmp_path):
+    """template.yaml:10-12 analog: after max_attempts the batch goes to
+    the DLQ instead of failing the job."""
+    dlq_spool = str(tmp_path / "dlq")
+
+    class AlwaysFailing:
+        def send_message_batch(self, QueueUrl="", Entries=None):
+            return {"Failed": [{"Id": e["Id"]} for e in (Entries or [])]}
+
+    region = spark.read.parquet(table_path(SF, "region"))
+    result = publish(
+        region,
+        AlwaysFailing,
+        batch_size=2,
+        max_attempts=3,
+        dlq_client_factory=lambda: DirectoryQueue(dlq_spool),
+        retry_backoff_s=0.001,
+    )
+    assert result.published == 0
+    assert result.dead_lettered == 5
+    assert sum(consume_batch_counts(dlq_spool)) == 5
 
 
 def test_run_pipeline_envelope(spark, tmp_path):
