@@ -1,0 +1,83 @@
+"""Scale utilities: skew salting and bucketed (co-located) joins.
+
+Neither exists in the reference -- its only parallelism tool is the
+row-range shard planner (cmd/duckdb-record-processor/handler.go:75-95).
+These are the two knobs a 1000-executor run needs that AQE alone does not
+fully cover:
+
+- **Salting**: AQE's skew-join handling splits oversized SORT-MERGE
+  partitions, but a pathologically hot key inside one partition (the
+  null-key or celebrity-user case) still lands on one task. Salting
+  splits the hot key across ``n_salts`` tasks deterministically.
+- **Bucketing**: pre-shuffling both fact tables into the same bucket
+  layout makes every subsequent equi-join on the bucket key shuffle-free
+  -- the amortize-one-shuffle-across-many-joins pattern for tables joined
+  daily at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+    seed: int = 7,
+) -> DataFrame:
+    """Equi-join with the big side's hot keys spread over ``n_salts`` tasks.
+
+    The big side gets a uniform salt in [0, n_salts); the small side is
+    replicated once per salt (an ``explode(sequence(...))`` -- cheap when
+    the small side is dimension-sized). The join key becomes (on, salt),
+    so one hot key hash-partitions into n_salts shuffle partitions
+    instead of one. Result is row-identical to ``big.join(small, on,
+    how)`` for inner/left joins (each big row matches exactly its own
+    salt's replica).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salting preserves semantics for inner/left joins only"
+        )
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed) * n_salts).cast("int")
+    )
+    salted_small = small.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),
+    )
+    out = salted_big.join(salted_small, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` bucketed (and sorted) by the join key.
+
+    Two tables written with the SAME (bucket_col domain, n_buckets) join
+    with zero Exchange: each task merge-joins bucket i of both sides.
+    Bucketed layout only survives through the catalog (saveAsTable), not
+    bare write.parquet -- parquet files alone carry no bucket metadata.
+    """
+    writer = df.write.bucketBy(n_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.mode(mode).format("parquet").saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed catalog tables (shuffle-free by layout)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

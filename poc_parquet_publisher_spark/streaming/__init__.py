@@ -2,10 +2,12 @@
 (SURVEY.md section 2.3).
 """
 
+from .dedup import dedup_stream
 from .publisher import stream_publish
 from .windows import streaming_hourly_counts, windowed_event_counts
 
 __all__ = [
+    "dedup_stream",
     "stream_publish",
     "streaming_hourly_counts",
     "windowed_event_counts",

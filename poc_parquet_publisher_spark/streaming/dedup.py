@@ -1,0 +1,43 @@
+"""Streaming deduplication: exact dedup over a continuous stream.
+
+The batch tier (ops/dedup.py exact_dedup) dedups a corpus at rest; a
+100 TB/day ingest pipeline needs the same guarantee on the stream. Spark
+native: ``dropDuplicatesWithinWatermark`` keys state by content hash and
+EXPIRES it past the watermark -- the property that keeps state bounded
+forever, where plain dropDuplicates on a stream grows state per distinct
+key without limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def dedup_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    hash_text_col: str | None = None,
+) -> DataFrame:
+    """Drop duplicate rows within the watermark horizon.
+
+    ``key_cols`` identify a duplicate (e.g. event_id, or the md5 of a
+    document body -- pass ``hash_text_col`` to add a ``content_hash`` key
+    computed JVM-side). Duplicates separated by more than the watermark
+    are NOT suppressed -- bounded state is exactly that trade, matching
+    SQS's own at-least-once redelivery window.
+    """
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    keys = list(key_cols)
+    if hash_text_col is not None:
+        df = df.withColumn(
+            "content_hash", F.md5(F.lower(F.col(hash_text_col)))
+        )
+        keys.append("content_hash")
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

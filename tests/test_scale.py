@@ -1,0 +1,93 @@
+"""Scale-utility tests: salting preserves join semantics while spreading
+hot keys; bucketing eliminates the join-time shuffle entirely.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from poc_parquet_publisher_spark import scale
+from poc_parquet_publisher_spark.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def skewed(spark):
+    """A deliberately skewed fact table: 90% of rows share one key."""
+    big = spark.range(20_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    return big, small
+
+
+def _counts(df):
+    return {
+        (r.k, r.v, r.w)
+        for r in df.select("k", "v", "w").collect()
+    }
+
+
+def test_salted_join_matches_plain_join(skewed):
+    big, small = skewed
+    plain = _counts(big.join(small, "k", "inner"))
+    salted = _counts(scale.salted_join(big, small, "k", n_salts=8))
+    assert salted == plain
+    assert len(plain) == 20_000  # every big row matched exactly once
+
+
+def test_salted_left_join_matches(spark, skewed):
+    big, small = skewed
+    tiny = small.filter(F.col("k") < 10)  # force unmatched big rows
+    plain = {
+        (r.k, r.v, r.w) for r in big.join(tiny, "k", "left").collect()
+    }
+    salted = {
+        (r.k, r.v, r.w)
+        for r in scale.salted_join(big, tiny, "k", n_salts=8, how="left").collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_spreads_hot_key(skewed):
+    big, small = skewed
+    out = scale.salted_join(big, small, "k", n_salts=8)
+    # the physical join key is (k, __salt): the hot key k=7 hashes into
+    # up to 8 distinct shuffle partitions instead of 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+    scale.write_bucketed(orders, "orders_b", "o_custkey", n_buckets=8)
+    scale.write_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "customer_b",
+        "o_custkey",
+        n_buckets=8,
+    )
+    try:
+        joined = scale.bucketed_join(spark, "orders_b", "customer_b", "o_custkey")
+        # forbid broadcast so the test exercises the merge path
+        merge = spark.table("orders_b").hint("merge").join(
+            spark.table("customer_b"), "o_custkey"
+        )
+        plan = merge._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # and the answer matches the unbucketed join
+        expected = orders.join(
+            customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")

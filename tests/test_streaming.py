@@ -12,6 +12,7 @@ from poc_parquet_publisher_spark.pipeline import (
     consume_batch_counts,
 )
 from poc_parquet_publisher_spark.streaming import (
+    dedup_stream,
     stream_publish,
     streaming_hourly_counts,
     windowed_event_counts,
@@ -57,6 +58,40 @@ def test_stream_publish_counts(spark, events_dir, tmp_path):
     counts = consume_batch_counts(spool)
     assert sum(counts) == total
     assert max(counts) <= 10
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, events_dir, tmp_path):
+    """The same events delivered twice (two micro-batches) come out once:
+    state keyed on event_id survives across micro-batches and expires
+    past the watermark."""
+    _, batch_df = events_dir
+    src = str(tmp_path / "dup_src")
+    ckpt = str(tmp_path / "ckpt")
+    sample = batch_df.limit(200).cache()
+    n = sample.count()
+    # two identical files => the duplicate arrives in a later micro-batch
+    sample.coalesce(1).write.mode("overwrite").parquet(src)
+    sample.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = dedup_stream(stream, ["event_id"], ts_col="ts", watermark="2 hours")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_t")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.table("dedup_t")
+    assert out.count() == n
+    assert out.select("event_id").distinct().count() == n
 
 
 def test_streaming_windows_match_batch(spark, events_dir, tmp_path):
