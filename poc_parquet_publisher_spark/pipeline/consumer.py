@@ -14,6 +14,10 @@ import json
 import logging
 import os
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
 logger = logging.getLogger(__name__)
 
 
@@ -26,6 +30,23 @@ def consume_batch_counts(spool_dir: str) -> list[int]:
         logger.info("processing records", extra={"records": n})
         counts.append(n)
     return counts
+
+
+def messages_as_dataframe(
+    spark: SparkSession, spool_dir: str, schema: StructType
+) -> DataFrame:
+    """Published messages back as a typed DataFrame (the consumer's
+    downstream view: queue -> table).
+
+    The spool is JSON-lines of SendMessageBatch entries; bodies parse
+    with the SOURCE schema, closing the round-trip the reference only
+    counts (rows -> to_json -> queue -> from_json -> rows). All JVM-side:
+    json datasource + from_json, no driver-side parsing.
+    """
+    env = spark.read.json(os.path.join(spool_dir, "*.batch.jsonl"))
+    return env.select(
+        F.from_json(F.col("MessageBody"), schema).alias("m")
+    ).select("m.*")
 
 
 def read_messages(spool_dir: str) -> list[dict]:

@@ -306,6 +306,41 @@ def x14_text_rolling_fingerprint(
 
 
 @register(
+    "x16_sketch_distinct",
+    None,  # HLL++ sketch is engine-specific; error bound gated in tests
+    doc="approximate distinct counts (HyperLogLog++, rsd=0.02): the "
+        "constant-memory path for cardinality at 100 TB where exact "
+        "count(DISTINCT) would shuffle every key",
+)
+def x16_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+        F.approx_count_distinct("o_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+@register(
+    "x17_sketch_quantiles",
+    None,  # sketch-based quantiles differ per engine; tolerance in tests
+    doc="approximate quantiles (Greenwald-Khanna, accuracy 1e4) over "
+        "order totals: single-pass, mergeable per partition -- the "
+        "bounded-memory alternative to a full sort",
+)
+def x17_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.percentile_approx(
+            "o_totalprice", [0.5, 0.9, 0.99], 10000
+        ).alias("pcts")
+    ).select(
+        F.round(F.element_at("pcts", 1), 4).alias("p50"),
+        F.round(F.element_at("pcts", 2), 4).alias("p90"),
+        F.round(F.element_at("pcts", 3), 4).alias("p99"),
+    )
+
+
+@register(
     "x13_multimodal_meta",
     """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
               sha256(text) AS sha_hex

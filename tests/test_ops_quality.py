@@ -122,6 +122,36 @@ def test_ivf_topk_recall_vs_brute_force(emb):
     assert recall >= 0.35
 
 
+def test_sketch_distinct_within_error_bound(spark):
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x16_sketch_distinct,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    exact_custs = orders.select("o_custkey").distinct().count()
+    exact_orders = orders.select("o_orderkey").distinct().count()
+    row = x16_sketch_distinct(spark, SF).first()
+    # rsd=0.02; allow 3 sigma
+    assert abs(row.approx_custs - exact_custs) <= max(3, 0.06 * exact_custs)
+    assert abs(row.approx_orders - exact_orders) <= max(3, 0.06 * exact_orders)
+
+
+def test_sketch_quantiles_within_rank_error(spark):
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x17_sketch_quantiles,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    vals = sorted(r.o_totalprice for r in orders.select("o_totalprice").collect())
+    n = len(vals)
+    row = x17_sketch_quantiles(spark, SF).first()
+    for got, q in ((row.p50, 0.5), (row.p90, 0.9), (row.p99, 0.99)):
+        # GK sketch guarantees rank error <= n/accuracy; use a loose 1%
+        lo = vals[max(0, int((q - 0.01) * n) - 1)]
+        hi = vals[min(n - 1, int((q + 0.01) * n))]
+        assert lo <= got <= hi, (q, got, lo, hi)
+
+
 def test_lsh_scored_sims_are_exact(emb):
     """LSH approximates the CANDIDATE SET, never the similarity: any
     (query, neighbor) it returns must carry the exact cosine."""

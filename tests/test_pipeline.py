@@ -137,6 +137,23 @@ def test_run_pipeline_envelope(spark, tmp_path):
     assert sum(consume_batch_counts(spool)) == 5
 
 
+def test_queue_roundtrip_as_dataframe(spark, tmp_path):
+    """rows -> to_json -> queue -> from_json -> rows: full fidelity."""
+    from poc_parquet_publisher_spark.pipeline.consumer import (
+        messages_as_dataframe,
+    )
+
+    spool = str(tmp_path / "spool")
+    orders = spark.read.parquet(table_path(SF, "orders")).limit(50)
+    publish(orders, lambda: DirectoryQueue(spool))
+
+    back = messages_as_dataframe(spark, spool, orders.schema)
+    assert back.schema.simpleString() == orders.schema.simpleString()
+    src = {tuple(r) for r in orders.collect()}
+    out = {tuple(r) for r in back.collect()}
+    assert out == src
+
+
 def test_serialize_json_nested(spark):
     df = spark.createDataFrame(
         [(1, {"city": "Denver"}, ["a", "b"])], "id int, address struct<city:string>, tags array<string>"
