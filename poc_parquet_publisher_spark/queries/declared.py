@@ -700,3 +700,101 @@ def q28_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_orderkey", "l_linenumber", "js")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Family-coverage variants: SURVEY section 2.2 claims rollup "also covers
+# cube / grouping sets" and Q17 "also rank / dense_rank" -- these make the
+# claims hash-verified instead of implied.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10b_cube",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders
+       GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+)
+def q10b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "q10c_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+                cnt""",
+)
+def q10c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+            "cnt",
+        )
+    )
+
+
+@register(
+    "q17b_rank_dense_ntile",
+    """SELECT o_custkey, o_orderkey,
+              CAST(rank() OVER w AS BIGINT) AS rnk,
+              CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       ORDER BY o_custkey, o_orderkey""",
+    doc="rank/dense_rank/ntile over one window spec; the o_orderkey "
+        "tiebreak makes every ranking total, so ntile bucket boundaries "
+        "agree across engines",
+)
+def q17b_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "q19b_lead",
+    """SELECT o_custkey, o_orderkey,
+              lead(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+                  AS nxt2
+       FROM orders ORDER BY o_custkey, o_orderkey""",
+)
+def q19b_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.lead("o_orderkey", 2).over(w).alias("nxt2"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
