@@ -798,3 +798,57 @@ def q19b_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "q29_stats_aggs",
+    """SELECT o_orderstatus,
+              ROUND(CAST(stddev_samp(o_totalprice) AS DOUBLE), 4) AS sd,
+              ROUND(CAST(var_samp(o_totalprice) AS DOUBLE), 2) AS var,
+              ROUND(CAST(corr(o_totalprice, o_custkey) AS DOUBLE), 4)
+                  AS price_cust_corr,
+              ROUND(CAST(covar_samp(o_totalprice, o_custkey) AS DOUBLE), 2)
+                  AS price_cust_cov
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    doc="statistical aggregates (Welford-style single-pass, mergeable per "
+        "partition in both engines); variance/covariance rounded at 2 "
+        "decimals -- their magnitude amplifies ulp-level differences in "
+        "the merge order",
+)
+def q29_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+            F.round(F.var_samp("o_totalprice"), 2).alias("var"),
+            F.round(F.corr("o_totalprice", "o_custkey"), 4).alias(
+                "price_cust_corr"
+            ),
+            F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias(
+                "price_cust_cov"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q30_exact_percentiles",
+    """SELECT ROUND(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4)
+                  AS p50,
+              ROUND(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4)
+                  AS p90,
+              ROUND(CAST(quantile_cont(o_totalprice, 0.99) AS DOUBLE), 4)
+                  AS p99
+       FROM orders""",
+    doc="exact interpolated percentiles: Spark percentile() == DuckDB "
+        "quantile_cont() (both linear interpolation on the sorted "
+        "multiset); contrast with x17's sketch tier",
+)
+def q30_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").select(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )

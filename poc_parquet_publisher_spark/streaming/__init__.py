@@ -4,10 +4,12 @@
 
 from .dedup import dedup_stream
 from .publisher import stream_publish
+from .stateful import running_event_totals
 from .windows import streaming_hourly_counts, windowed_event_counts
 
 __all__ = [
     "dedup_stream",
+    "running_event_totals",
     "stream_publish",
     "streaming_hourly_counts",
     "windowed_event_counts",

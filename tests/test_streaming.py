@@ -5,6 +5,7 @@ through the foreachBatch publisher, and windowed totals == the batch answer.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from poc_parquet_publisher_spark.catalog import load_table
 from poc_parquet_publisher_spark.pipeline import (
@@ -13,6 +14,7 @@ from poc_parquet_publisher_spark.pipeline import (
 )
 from poc_parquet_publisher_spark.streaming import (
     dedup_stream,
+    running_event_totals,
     stream_publish,
     streaming_hourly_counts,
     windowed_event_counts,
@@ -92,6 +94,46 @@ def test_stream_dedup_drops_cross_batch_duplicates(spark, events_dir, tmp_path):
     out = spark.table("dedup_t")
     assert out.count() == n
     assert out.select("event_id").distinct().count() == n
+
+
+def test_stateful_running_totals(spark, events_dir, tmp_path):
+    """applyInPandasWithState: per-key state survives across micro-batches
+    (final running_total == batch-mode count per key)."""
+    src, batch_df = events_dir
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(src)
+    )
+    q = (
+        running_event_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals_t")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.table("totals_t")
+    # per key: totals are monotone, max(total) == batch-mode count,
+    # and the per-batch increments sum to that same count
+    expected = {
+        r.event_type: r.n
+        for r in batch_df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = out.collect()
+    assert {r.event_type for r in rows} == set(expected)
+    for key, n in expected.items():
+        mine = [r for r in rows if r.event_type == key]
+        assert max(r.running_total for r in mine) == n
+        assert sum(r.batch_rows for r in mine) == n
+        assert len(mine) >= 2  # state really crossed micro-batches
 
 
 def test_streaming_windows_match_batch(spark, events_dir, tmp_path):
