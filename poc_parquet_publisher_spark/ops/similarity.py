@@ -45,10 +45,16 @@ def _normalized_matrix(
     in executor memory)."""
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy(dtype=np.int64)
+    if len(ids) == 0:
+        return ids, np.zeros((0, 0), dtype=np.float64)
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
     return ids, mat / norms
+
+
+def _empty_result(df: DataFrame, schema: str) -> DataFrame:
+    return df.sparkSession.createDataFrame([], schema)
 
 
 def brute_force_topk(
@@ -66,11 +72,17 @@ def brute_force_topk(
     """
     spark = corpus.sparkSession
     q_ids, q_mat = _normalized_matrix(queries, id_col, vec_col)
+    if len(q_ids) == 0:
+        return _empty_result(
+            corpus, "query_id long, neighbor_id long, rank long, sim double"
+        )
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
     def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_q, mat_q = bc.value
         for pdf in it:
+            if len(pdf) == 0:
+                continue
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             c_norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
@@ -132,11 +144,15 @@ def cosine_neardup_pairs(
     """
     spark = df.sparkSession
     ids, mat = _normalized_matrix(df, id_col, vec_col)
+    if len(ids) == 0:
+        return _empty_result(df, "id_a long, id_b long, sim double")
     bc = spark.sparkContext.broadcast((ids, mat))
 
     def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_mat = bc.value
         for pdf in it:
+            if len(pdf) == 0:
+                continue
             b_ids = pdf[id_col].to_numpy(dtype=np.int64)
             b_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             b_norms = np.linalg.norm(b_mat, axis=1, keepdims=True)
@@ -190,6 +206,8 @@ def lsh_signature(
     def sig(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes = bc.value
         for pdf in it:
+            if len(pdf) == 0:
+                continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             bits = (mat @ planes.T) >= 0

@@ -152,6 +152,37 @@ def test_sketch_quantiles_within_rank_error(spark):
         assert lo <= got <= hi, (q, got, lo, hi)
 
 
+def test_edge_cases_empty_and_null_inputs(spark, emb):
+    """Degenerate inputs must produce empty/typed results, not crashes."""
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    null_docs = spark.createDataFrame(
+        [(1, None), (2, "a b c d"), (3, "")], "doc_id long, text string"
+    )
+    assert dedup.exact_dedup(empty_docs, "doc_id", "text").count() == 0
+    assert dedup.ngram_jaccard_pairs(empty_docs, "doc_id", "text").count() == 0
+    assert dedup.ngram_jaccard_pairs(null_docs, "doc_id", "text").count() == 0
+    assert dedup.exact_dedup(null_docs, "doc_id", "text").count() == 3
+
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = similarity.brute_force_topk(
+        emb, empty_vecs, "vec_id", "embedding", k=3
+    )
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "rank", "sim"]
+    assert (
+        similarity.cosine_neardup_pairs(
+            empty_vecs, "vec_id", "embedding", threshold=0.4
+        ).count()
+        == 0
+    )
+    assert (
+        similarity.lsh_topk(
+            emb, empty_vecs, "vec_id", "embedding", dim=64, k=3
+        ).count()
+        == 0
+    )
+
+
 def test_lsh_scored_sims_are_exact(emb):
     """LSH approximates the CANDIDATE SET, never the similarity: any
     (query, neighbor) it returns must carry the exact cosine."""
