@@ -228,6 +228,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse k-means quantizer + probed scan.
 
@@ -251,7 +252,9 @@ def ivf_topk(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("__fv"),
     )
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="__fv")
+    # A coarse quantizer needs rough Voronoi cells, not convergence --
+    # recall comes from n_probe, so cap the fit cost.
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__fv", maxIter=max_iter)
     model = km.fit(feats)
     assigned = model.transform(feats).select(
         F.col(id_col).alias("c_id"), F.col("prediction").alias("centroid")

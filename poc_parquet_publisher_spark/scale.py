@@ -81,3 +81,21 @@ def bucketed_join(
 ) -> DataFrame:
     """Join two same-bucketed catalog tables (shuffle-free by layout)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Write hive-partitioned parquet (one directory level per column).
+
+    At 100 TB the single biggest scan win is never opening the file: a
+    filter on a partition column prunes entire directories at PLANNING
+    time (PartitionFilters in the scan node), before any I/O. Partition
+    on low-cardinality pruning keys (date, source, language); never on
+    high-cardinality keys -- millions of tiny directories kill the
+    listing.
+    """
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)

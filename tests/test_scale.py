@@ -64,6 +64,21 @@ def test_salted_join_spreads_hot_key(skewed):
     assert "__salt" in plan
 
 
+def test_partition_pruning(spark, tmp_path):
+    """A filter on the partition column prunes directories at planning
+    time: PartitionFilters set, and only the matching partition is read."""
+    out = str(tmp_path / "events_by_type")
+    events = load_table(spark, SF, "events")
+    scale.write_partitioned(events, out, ["event_type"])
+
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "event_type" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    expected = events.filter(F.col("event_type") == "click").count()
+    assert df.count() == expected
+
+
 def test_bucketed_join_is_shuffle_free(spark):
     orders = load_table(spark, SF, "orders")
     customer = load_table(spark, SF, "customer")
