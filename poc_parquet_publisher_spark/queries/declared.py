@@ -852,3 +852,109 @@ def q30_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
         F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
     )
+
+
+@register(
+    "q31_conditional_funcs",
+    """SELECT o_orderkey,
+              coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+              CASE WHEN o_totalprice > 5000 THEN 'high'
+                   WHEN o_totalprice > 1000 THEN 'mid'
+                   ELSE 'low' END AS price_band,
+              ROUND(greatest(o_totalprice, 1000.0), 4) AS at_least_1k,
+              ROUND(least(o_totalprice, 9000.0), 4) AS at_most_9k,
+              (o_orderstatus IS DISTINCT FROM 'F') AS not_f
+       FROM orders ORDER BY o_orderkey""",
+    doc="conditional/null-handling scalars: coalesce, nullif, CASE ladder, "
+        "greatest/least, IS DISTINCT FROM -- all codegen, no branches in "
+        "Python",
+)
+def q31_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")
+        ).alias("status_or_open"),
+        F.when(F.col("o_totalprice") > 5000, "high")
+        .when(F.col("o_totalprice") > 1000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.round(F.greatest("o_totalprice", F.lit(1000.0)), 4).alias(
+            "at_least_1k"
+        ),
+        F.round(F.least("o_totalprice", F.lit(9000.0)), 4).alias(
+            "at_most_9k"
+        ),
+        (~F.col("o_orderstatus").eqNullSafe(F.lit("F"))).alias("not_f"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "q32_date_arithmetic",
+    """SELECT o_orderkey,
+              CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+              CAST(o_orderdate AS DATE) - INTERVAL 7 DAY AS week_before,
+              datediff('day', CAST(o_orderdate AS DATE),
+                       DATE '1998-12-31') AS days_to_eoy,
+              CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+       FROM orders ORDER BY o_orderkey LIMIT 300""",
+    doc="date arithmetic: interval add/subtract, datediff, quarter trunc. "
+        "DuckDB's DATE + INTERVAL yields TIMESTAMP, so the Spark side "
+        "matches with a timestamp-typed result (canon compares isoformat)",
+)
+def q32_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).cast("timestamp_ntz").alias("due_date"),
+        F.date_sub(d, 7).cast("timestamp_ntz").alias("week_before"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).cast("long").alias(
+            "days_to_eoy"
+        ),
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias(
+            "quarter_start"
+        ),
+    ).orderBy("o_orderkey").limit(300)
+
+
+@register(
+    "q33_array_hof",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                  FROM documents)
+       SELECT doc_id,
+              CAST(len(list_filter(toks, t -> strlen(t) > 4)) AS BIGINT)
+                  AS n_long,
+              CAST(list_reduce(list_prepend(0,
+                       list_transform(toks, t -> strlen(t))),
+                       (a, b) -> a + b) AS BIGINT) AS total_len,
+              list_sort(toks)[1:3] AS first3_sorted
+       FROM t ORDER BY doc_id""",
+    doc="higher-order functions: filter / transform+aggregate fold / "
+        "array_sort+slice, dialect-mapped to DuckDB list_* (fold init via "
+        "list_prepend since list_reduce has no explicit accumulator)",
+)
+def q33_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    return (
+        docs.select(
+            "doc_id", F.split(F.lower("text"), " ").alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.size(F.filter(toks, lambda t: F.length(t) > 4))
+            .cast("long")
+            .alias("n_long"),
+            F.aggregate(
+                toks,
+                F.lit(0),
+                lambda acc, t: acc + F.length(t),
+            )
+            .cast("long")
+            .alias("total_len"),
+            F.slice(F.array_sort(toks), 1, 3).alias("first3_sorted"),
+        )
+        .orderBy("doc_id")
+    )
