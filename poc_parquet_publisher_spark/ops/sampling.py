@@ -1,0 +1,71 @@
+"""Deterministic content-keyed sampling / dataset splitting.
+
+``df.sample()`` draws from a per-task RNG: resampling on retry, changing
+under repartitioning, and unreproducible across engines. Training
+pipelines need the opposite -- an assignment that is a pure function of
+the KEY, so a document lands in the same split on every run, every
+engine, every scale. Standard trick: hash the key, threshold the hash.
+
+md5 is the hash because both Spark and DuckDB spell it identically and
+its hex output compares lexicographically, so the split is
+oracle-verifiable; the first 4 hex chars give 65536 buckets (fraction
+resolution ~0.000015), plenty for split ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    """First 4 md5 hex chars of 'key:salt' -- uniform over 65536 values."""
+    return F.substring(
+        F.md5(F.concat(key.cast("string"), F.lit(f":{salt}"))), 1, 4
+    )
+
+
+def _threshold_hex(fraction: float) -> str:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(int(round(fraction * 65536)), "04x")
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    test_fraction: float = 0.25,
+    salt: str = "split",
+    out: str = "split",
+) -> DataFrame:
+    """Assign each row to 'test' or 'train' as a pure function of its key.
+
+    Stable under retries, repartitioning, and scale changes; different
+    ``salt`` values give independent splits (e.g. separate dedup and
+    eval holdouts). A narrow projection -- no shuffle, no RNG state.
+    """
+    thr = _threshold_hex(test_fraction)
+    return df.withColumn(
+        out,
+        F.when(_bucket(F.col(key_col), salt) < thr, "test").otherwise(
+            "train"
+        ),
+    )
+
+
+def split_sql(
+    dialect: str,
+    source: str,
+    key_col: str,
+    test_fraction: float = 0.25,
+    salt: str = "split",
+) -> str:
+    """The same assignment as SQL text; 'spark' and 'duckdb' differ only
+    in the substring function name (md5/concat/casts are common)."""
+    substr = {"spark": "substr", "duckdb": "substr"}[dialect]
+    thr = _threshold_hex(test_fraction)
+    return (
+        f"SELECT {key_col}, CASE WHEN {substr}(md5(concat(CAST({key_col} "
+        f"AS VARCHAR), ':{salt}')), 1, 4) < '{thr}' THEN 'test' ELSE "
+        f"'train' END AS split FROM {source} ORDER BY {key_col}"
+    )

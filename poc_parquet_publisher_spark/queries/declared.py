@@ -958,3 +958,50 @@ def q33_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q34_scalar_subquery",
+    """SELECT o_orderkey, ROUND(o_totalprice, 4) AS price_r
+       FROM orders
+       WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+       ORDER BY o_orderkey""",
+    doc="uncorrelated scalar subquery, exercised through the spark.sql "
+        "entry path (parse -> analyze -> optimize -> subquery broadcast); "
+        "every other declared query uses the DataFrame API -- both fronts "
+        "share one Catalyst plan space",
+)
+def q34_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """SELECT o_orderkey, ROUND(o_totalprice, 4) AS price_r
+           FROM orders
+           WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+           ORDER BY o_orderkey"""
+    )
+
+
+@register(
+    "q35_pivot",
+    """SELECT o_orderpriority,
+              count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+              count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+              count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    doc="pivot: Spark's groupBy().pivot() against a portable conditional-"
+        "aggregation oracle (FILTER clauses) -- same result, and the "
+        "physical plan is the same single hash aggregate either way",
+)
+def q35_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("f_cnt"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("o_cnt"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("p_cnt"),
+    ).orderBy("o_orderpriority")

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..ops import dedup, similarity, text
+from ..ops import dedup, sampling, similarity, text
 from . import register
 
 _STOP_EN = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS["en"])
@@ -337,6 +337,22 @@ def x17_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("pcts", 1), 4).alias("p50"),
         F.round(F.element_at("pcts", 2), 4).alias("p90"),
         F.round(F.element_at("pcts", 3), 4).alias("p99"),
+    )
+
+
+@register(
+    "x18_deterministic_split",
+    sampling.split_sql("duckdb", "documents", "doc_id", 0.25),
+    doc="content-keyed train/test assignment: md5-bucket thresholding, a "
+        "pure function of the key -- stable under retries, repartitioning, "
+        "and engines (unlike df.sample), hash-verified row by row",
+)
+def x18_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.deterministic_split(docs, "doc_id", test_fraction=0.25)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
     )
 
 

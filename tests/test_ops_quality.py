@@ -183,6 +183,34 @@ def test_edge_cases_empty_and_null_inputs(spark, emb):
     )
 
 
+def test_deterministic_split_properties(spark, docs):
+    from poc_parquet_publisher_spark.ops import sampling
+
+    split = sampling.deterministic_split(docs, "doc_id", 0.25)
+    counts = {r.split: r.n for r in split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    # binomial(500, 0.25) within 5 sigma
+    assert abs(counts.get("test", 0) - 0.25 * total) < 5 * (0.25 * 0.75 * total) ** 0.5
+    # pure function of key: re-running yields the identical assignment
+    a = {(r.doc_id, r.split) for r in split.select("doc_id", "split").collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in sampling.deterministic_split(docs, "doc_id", 0.25)
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+    # a different salt gives a different (independent) assignment
+    c = {
+        (r.doc_id, r.split)
+        for r in sampling.deterministic_split(docs, "doc_id", 0.25, salt="v2")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert c != a
+
+
 def test_lsh_scored_sims_are_exact(emb):
     """LSH approximates the CANDIDATE SET, never the similarity: any
     (query, neighbor) it returns must carry the exact cosine."""
