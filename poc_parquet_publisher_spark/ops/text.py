@@ -162,3 +162,125 @@ def rolling_fingerprint_oracle_sql(
         f"i -> md5(array_to_string(toks[i:i+{window - 1}], ' ')))) "
         f"AS min_shingle_hash FROM t ORDER BY {id_col}"
     )
+
+
+# Scrub patterns: applied in order. Spark regexp_replace is replace-all;
+# DuckDB needs the explicit 'g' flag (the dialect map's only difference).
+SCRUB_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Replace URLs / emails / phone-shaped spans with typed placeholders.
+
+    The standard pre-training privacy pass; chained regexp_replace stays
+    in codegen (one pass per pattern over the row's text, no Python).
+    Returns (id, scrubbed, n_redactions)."""
+    scrubbed = F.col(text_col)
+    for pat, repl in SCRUB_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    n_redactions = (
+        F.size(F.split(scrubbed, "<URL>|<EMAIL>|<PHONE>")) - 1
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed"),
+        n_redactions.alias("n_redactions"),
+    )
+
+
+def scrub_oracle_sql(source: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB SQL mirroring ``scrub`` (regexp_replace with the 'g' flag)."""
+    expr = "text"
+    for pat, repl in SCRUB_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{repl}', 'g')"
+    return (
+        f"SELECT {id_col}, {expr} AS scrubbed, "
+        f"CAST(len(string_split_regex({expr}, '<URL>|<EMAIL>|<PHONE>')) - 1 "
+        f"AS BIGINT) AS n_redactions "
+        f"FROM {source} ORDER BY {id_col}"
+    )
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    top_terms_per_doc: int = 5,
+) -> DataFrame:
+    """Top TF-IDF terms per document: (doc, term, tf, df_cnt, tfidf).
+
+    Shape at scale: explode to (doc, term, tf) -- one groupBy; document
+    frequency -- a second groupBy over distinct (doc, term), re-using the
+    same shuffle key (term); idf joins back on term (hash join on the
+    aggregated, already-small term table). No collect, no pivot: the
+    widest intermediate is one row per distinct (doc, term).
+
+    tfidf = tf * ln(N / df), rounded to 4 decimals; ties broken by term
+    so the per-doc top-k is total-ordered.
+    """
+    from pyspark.sql.window import Window
+
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_toks(text_col)).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_cnt"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df_cnt") >= min_df)
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_cnt")), 4
+        ),
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_terms_per_doc)
+        .select("doc", "term", "tf", "df_cnt", "tfidf", "rnk")
+    )
+
+
+def tf_idf_oracle_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    top_terms_per_doc: int = 5,
+) -> str:
+    """DuckDB SQL mirroring ``tf_idf`` (N inlined as a scalar subquery)."""
+    return f"""
+WITH terms AS (
+  SELECT {id_col} AS doc,
+         unnest(string_split(lower(text), ' ')) AS term
+  FROM {source}
+), tf AS (
+  SELECT doc, term, count(*) AS tf FROM terms WHERE term != ''
+  GROUP BY doc, term
+), dfreq AS (
+  SELECT term, count(*) AS df_cnt FROM tf GROUP BY term
+  HAVING count(*) >= {min_df}
+), scored AS (
+  SELECT tf.doc, tf.term, tf.tf, dfreq.df_cnt,
+         ROUND(tf.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM {source})
+                          / dfreq.df_cnt), 4) AS tfidf
+  FROM tf JOIN dfreq USING (term)
+), ranked AS (
+  SELECT doc, term, tf, df_cnt, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc
+                                 ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT doc, term, tf, df_cnt, tfidf FROM ranked
+WHERE rnk <= {top_terms_per_doc}
+ORDER BY doc, rnk
+"""

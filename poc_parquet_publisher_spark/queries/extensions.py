@@ -341,6 +341,36 @@ def x17_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x19_tfidf",
+    text.tf_idf_oracle_sql("documents", "doc_id", min_df=2,
+                           top_terms_per_doc=5),
+    doc="top-5 TF-IDF terms per document: two groupBys sharing the term "
+        "shuffle key + a hash join back on the small aggregated term "
+        "table; widest intermediate is one row per distinct (doc, term)",
+)
+def x19_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.tf_idf(docs, "doc_id", "text", min_df=2, top_terms_per_doc=5)
+        .select("doc", "term", "tf", "df_cnt", "tfidf")
+        .orderBy("doc", "rnk")
+        .drop("rnk")
+    )
+
+
+@register(
+    "x20_text_scrub",
+    text.scrub_oracle_sql("documents", "doc_id"),
+    doc="PII/URL scrubbing: chained regexp_replace to typed placeholders "
+        "(<URL>/<EMAIL>/<PHONE>), codegen-only; DuckDB oracle needs the "
+        "'g' flag for replace-all parity",
+)
+def x20_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.scrub(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
     "x18_deterministic_split",
     sampling.split_sql("duckdb", "documents", "doc_id", 0.25),
     doc="content-keyed train/test assignment: md5-bucket thresholding, a "
