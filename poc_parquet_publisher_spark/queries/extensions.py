@@ -402,3 +402,94 @@ def x13_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text").cast("long").alias("byte_len"),
         F.sha2(F.col("text"), 256).alias("sha_hex"),
     ).orderBy("doc_id")
+
+
+@register(
+    "x21_sessionize",
+    """WITH ordered AS (
+         SELECT user_id, event_id, ts,
+                lag(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_ts
+         FROM events
+       ), flagged AS (
+         SELECT user_id, event_id, ts,
+                CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_session
+         FROM ordered
+       ), sessions AS (
+         SELECT user_id, event_id, ts,
+                CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS session_id
+         FROM flagged
+       )
+       SELECT user_id, session_id, count(*) AS n_events,
+              min(ts) AS session_start, max(ts) AS session_end
+       FROM sessions GROUP BY user_id, session_id
+       ORDER BY user_id, session_id""",
+    doc="gap-based sessionization (30 min idle closes a session): lag to "
+        "detect gaps, running sum of gap flags as the session id, then a "
+        "per-session rollup -- the batch analog of a session window, one "
+        "shuffle on user_id reused by both window and groupBy",
+)
+def x21_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # NTZ won't cast to long directly; timestamp->long = epoch seconds
+    # (value-preserving under the pinned UTC session zone)
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(run).cast("long")
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "x22_histogram",
+    """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+              count(*) AS n,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+                  AS sum_value
+       FROM events GROUP BY bucket ORDER BY bucket""",
+    doc="fixed-width histogram via floor-division bucketing (portable; "
+        "DuckDB has no width_bucket): one hash aggregate, the constant-"
+        "memory distribution profile",
+)
+def x22_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.floor(F.col("value") / 10.0).cast("long").alias("bucket"),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )
