@@ -13,4 +13,6 @@ Every operator here is designed for the 100 TB regime first:
 - multimodal: binary payloads ride as opaque BinaryType columns with typed
   metadata; decode runs in Arrow-batched mapInPandas so bytes never take
   the row-at-a-time pickle path.
+- sampling: dataset splits are a pure hash of the key -- reproducible
+  across runs, engines, and scales, unlike RNG-based df.sample.
 """
