@@ -1,0 +1,82 @@
+"""End-to-end corpus curation: the composed pre-training data pipeline.
+
+One call chains the individual operators this package provides --
+scrub -> quality gate -> language gate -> exact dedup -> near-dup
+removal -> split assignment -- in the order a production pipeline runs
+them (cheap narrow filters first so every later shuffle sees fewer
+rows; the near-dup join, the only expensive stage, runs last on the
+already-shrunk corpus).
+
+Everything stays a DataFrame plan end to end: one action materializes
+the curated corpus, and Catalyst fuses the narrow stages into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup, sampling, text
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 1_000_000,
+    min_alpha_ratio: float = 0.05,
+    languages: tuple[str, ...] = ("en",),
+    near_dup_jaccard: float = 0.8,
+    test_fraction: float = 0.05,
+) -> DataFrame:
+    """Returns (id, scrubbed text, pred_lang, split) for surviving docs.
+
+    Survivorship rules: PII/URL spans scrubbed; token count within
+    [min_tokens, max_tokens] and alpha ratio >= threshold; predicted
+    language in ``languages``; exactly-duplicate texts keep the smallest
+    id; of each near-duplicate pair (shingle Jaccard >= threshold) the
+    larger id drops (greedy, deterministic). Split assignment is a pure
+    hash of the id, so reruns and rescales never reshuffle the holdout.
+    """
+    scrubbed = text.scrub(docs, id_col, text_col).withColumnRenamed(
+        "scrubbed", text_col
+    )
+
+    quality = text.quality_scores(scrubbed, id_col, text_col).select(
+        id_col, "n_toks", "alpha_ratio"
+    )
+    lang = text.lang_id(scrubbed, id_col, text_col).select(
+        id_col, "pred_lang"
+    )
+    kept = (
+        scrubbed.join(quality, id_col)
+        .join(lang, id_col)
+        .filter(
+            (F.col("n_toks") >= min_tokens)
+            & (F.col("n_toks") <= max_tokens)
+            & (F.col("alpha_ratio") >= min_alpha_ratio)
+            & F.col("pred_lang").isin(*languages)
+        )
+        .select(id_col, text_col, "pred_lang")
+    )
+
+    # exact dedup: smallest id per identical text survives
+    survivors = dedup.exact_dedup(kept, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    kept = kept.join(survivors, id_col, "left_semi")
+
+    # near-dup removal: drop the larger id of each qualifying pair
+    drop = (
+        dedup.ngram_jaccard_pairs(
+            kept, id_col, text_col, k=3, threshold=near_dup_jaccard
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    kept = kept.join(drop, id_col, "left_anti")
+
+    return sampling.deterministic_split(
+        kept, id_col, test_fraction=test_fraction
+    )

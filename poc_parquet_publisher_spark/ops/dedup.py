@@ -369,14 +369,16 @@ def simhash_hamming_pairs(
         F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
         + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
     ).cast("int")
+    # hamming filter BEFORE the pair dedup: XOR+bit_count is map-side
+    # (no shuffle), so rejecting far pairs first means the distinct
+    # shuffle carries only qualifying pairs, not every band collision
     return (
         a.join(b, "band")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

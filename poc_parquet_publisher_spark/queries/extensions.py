@@ -405,6 +405,22 @@ def x13_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x23_curate_pipeline",
+    None,  # composed pipeline; per-stage oracles cover each operator,
+    # invariants (no dups survive, splits stable) gated in tests
+    doc="end-to-end corpus curation: scrub -> quality/language gates -> "
+        "exact dedup -> near-dup removal -> deterministic split, narrow "
+        "filters first so the only expensive stage (the shingle join) "
+        "sees the already-shrunk corpus",
+)
+def x23_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate.curate(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
     "x21_sessionize",
     """WITH ordered AS (
          SELECT user_id, event_id, ts,

@@ -211,6 +211,40 @@ def test_deterministic_split_properties(spark, docs):
     assert c != a
 
 
+def test_curate_pipeline_invariants(spark, docs):
+    from poc_parquet_publisher_spark.ops import curate, dedup
+
+    out = curate.curate(
+        docs, "doc_id", "text", languages=("en", "es", "fr", "de")
+    ).cache()
+    n_in, n_out = docs.count(), out.count()
+    assert 0 < n_out <= n_in
+    assert set(out.columns) == {"doc_id", "text", "pred_lang", "split"}
+    # no exact duplicates survive
+    assert (
+        out.select(F.md5(F.lower("text"))).distinct().count() == n_out
+    )
+    # no near-dup pair at the threshold survives
+    assert (
+        dedup.ngram_jaccard_pairs(
+            out, "doc_id", "text", k=3, threshold=0.8
+        ).count()
+        == 0
+    )
+    # split column is only train/test and reruns identically
+    assert {r.split for r in out.select("split").distinct().collect()} <= {
+        "train",
+        "test",
+    }
+    again = curate.curate(
+        docs, "doc_id", "text", languages=("en", "es", "fr", "de")
+    )
+    assert {tuple(r) for r in again.collect()} == {
+        tuple(r) for r in out.collect()
+    }
+    out.unpersist()
+
+
 def test_lsh_scored_sims_are_exact(emb):
     """LSH approximates the CANDIDATE SET, never the similarity: any
     (query, neighbor) it returns must carry the exact cosine."""
