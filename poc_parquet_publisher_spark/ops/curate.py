@@ -43,19 +43,20 @@ def curate(
         "scrubbed", text_col
     )
 
-    quality = text.quality_scores(scrubbed, id_col, text_col).select(
-        id_col, "n_toks", "alpha_ratio"
+    # quality + language gates are row-local expressions: compute them
+    # INLINE in one projection (no id-joins -- a join per gate would put
+    # two full shuffles in front of a narrow filter)
+    n_toks = F.size(F.split(F.lower(F.col(text_col)), " ")).cast("long")
+    alpha = F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", "")
     )
-    lang = text.lang_id(scrubbed, id_col, text_col).select(
-        id_col, "pred_lang"
-    )
+    alpha_ratio = alpha.cast("double") / F.length(text_col).cast("double")
     kept = (
-        scrubbed.join(quality, id_col)
-        .join(lang, id_col)
+        scrubbed.withColumn("pred_lang", text.lang_pred_column(text_col))
         .filter(
-            (F.col("n_toks") >= min_tokens)
-            & (F.col("n_toks") <= max_tokens)
-            & (F.col("alpha_ratio") >= min_alpha_ratio)
+            (n_toks >= min_tokens)
+            & (n_toks <= max_tokens)
+            & (alpha_ratio >= min_alpha_ratio)
             & F.col("pred_lang").isin(*languages)
         )
         .select(id_col, text_col, "pred_lang")

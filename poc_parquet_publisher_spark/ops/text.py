@@ -64,6 +64,27 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def lang_pred_column(text_col: str | Column) -> Column:
+    """The lang_id CASE ladder as a single inline column (no intermediate
+    score columns, no join) -- for single-pass pipelines like curate()."""
+    toks = _toks(text_col)
+    scores = {
+        lang: _count_in(toks, words)
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    langs = list(LANG_STOPWORDS)
+    pred = F.lit(langs[-1])
+    for i in range(len(langs) - 1, -1, -1):
+        cond = None
+        for j in range(i + 1, len(langs)):
+            c = scores[langs[i]] >= scores[langs[j]]
+            cond = c if cond is None else (cond & c)
+        if cond is None:
+            continue
+        pred = F.when(cond, F.lit(langs[i])).otherwise(pred)
+    return pred
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-vote language ID: per-language hit counts + argmax.
 
