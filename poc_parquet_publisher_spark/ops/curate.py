@@ -35,8 +35,9 @@ def curate(
     Survivorship rules: PII/URL spans scrubbed; token count within
     [min_tokens, max_tokens] and alpha ratio >= threshold; predicted
     language in ``languages``; exactly-duplicate texts keep the smallest
-    id; of each near-duplicate pair (shingle Jaccard >= threshold) the
-    larger id drops (greedy, deterministic). Split assignment is a pure
+    id; each near-duplicate cluster (connected component of shingle-
+    Jaccard >= threshold pairs) keeps only its smallest id. Split
+    assignment is a pure
     hash of the id, so reruns and rescales never reshuffle the holdout.
     """
     scrubbed = text.scrub(docs, id_col, text_col).withColumnRenamed(
@@ -68,13 +69,17 @@ def curate(
     )
     kept = kept.join(survivors, id_col, "left_semi")
 
-    # near-dup removal: drop the larger id of each qualifying pair
+    # near-dup removal, transitively: connected components over the
+    # qualifying pairs, keep only each cluster's minimum id. (Greedy
+    # per-pair dropping is wrong under chains: dropping b of (a,b) and
+    # (b,c) leaves both a and c alive even though a~b~c.)
+    pairs = dedup.ngram_jaccard_pairs(
+        kept, id_col, text_col, k=3, threshold=near_dup_jaccard
+    )
     drop = (
-        dedup.ngram_jaccard_pairs(
-            kept, id_col, text_col, k=3, threshold=near_dup_jaccard
-        )
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
+        dedup.duplicate_clusters(pairs)
+        .filter(F.col("node") != F.col("rep"))
+        .select(F.col("node").alias(id_col))
     )
     kept = kept.join(drop, id_col, "left_anti")
 

@@ -382,6 +382,65 @@ def simhash_hamming_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive duplicate clusters from near-dup pairs: (node, rep).
+
+    ``rep`` is the minimum id in the node's connected component, so
+    keeping rows where node == rep deduplicates transitively -- the
+    semantics greedy per-pair dropping gets wrong (dropping b of (a,b)
+    and (b,c) leaves a and c both alive even though a~b~c).
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; converges in O(cluster
+    diameter) rounds (near-dup clusters are shallow -- star-like around
+    a template -- so this is 2-4 rounds in practice; the O(log n)
+    large-star/small-star variant only pays off on deep chain graphs).
+    Per round: one equi-join on the label table + one min-groupBy, both
+    shuffling only the EDGE set -- no row of the corpus itself moves.
+    localCheckpoint truncates the per-iteration lineage so plans don't
+    grow with the round count; convergence is a limit(1) existence
+    probe, not a full count.
+
+    Returns one row per node that appears in any pair.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("rep")
+    )
+    for _ in range(max_iter):
+        neighbor = edges.join(
+            labels, edges["v"] == labels["node"]
+        ).select(F.col("u").alias("node"), "rep")
+        new_labels = (
+            labels.union(neighbor)
+            .groupBy("node")
+            .agg(F.min("rep").alias("rep"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("rep", "old_rep"), "node"
+            )
+            .filter(F.col("rep") != F.col("old_rep"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def deterministic_md5_int(s: str) -> int:
     """Driver-side helper: stable 64-bit int from a string (test support)."""
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big", signed=False)

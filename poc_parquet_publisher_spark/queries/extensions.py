@@ -53,6 +53,59 @@ def x02_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fingerprint_dedup(docs, "doc_id", "text").orderBy("fingerprint")
 
 
+# x03's pair derivation, shared verbatim by the x24 cluster oracle.
+_X03_PAIRS_CTE = """t AS (
+         SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, len(string_split(lower(text), ' ')) - 1),
+                  i -> array_to_string(
+                         (string_split(lower(text), ' '))[i:i+2], ' ')
+                )) AS sh
+         FROM documents
+         WHERE len(string_split(lower(text), ' ')) >= 3
+       ), e AS (
+         SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM t
+       ), p AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+         FROM e a JOIN e b USING (shingle)
+         WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4
+       ), pairs AS (
+         SELECT id_a, id_b
+         FROM p
+         WHERE ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 4) >= 0.5
+       )"""
+
+
+@register(
+    "x24_dedup_clusters",
+    f"""WITH RECURSIVE {_X03_PAIRS_CTE},
+       edges AS (
+         SELECT id_a AS u, id_b AS v FROM pairs
+         UNION
+         SELECT id_b, id_a FROM pairs
+       ),
+       walk (node, lbl) AS (
+         SELECT u, u FROM edges
+         UNION
+         SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.node = e.v
+       )
+       SELECT node, MIN(lbl) AS rep FROM walk GROUP BY node
+       ORDER BY node""",
+    doc="transitive duplicate clusters over x03's near-dup pairs: "
+        "min-label propagation (O(diameter) rounds, each one edge-sized "
+        "join + min-groupBy; corpus rows never move); keep node == rep "
+        "to dedup transitively. Oracle: recursive CTE min reachable id",
+)
+def x24_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5
+    )
+    return dedup.duplicate_clusters(pairs).orderBy("node")
+
+
 @register(
     "x03_dedup_ngram_jaccard",
     """WITH t AS (

@@ -265,3 +265,34 @@ def test_lsh_scored_sims_are_exact(emb):
     for pair, sim in lsh.items():
         if pair in bf:
             assert sim == pytest.approx(bf[pair], abs=1e-4)
+
+
+def test_duplicate_clusters_transitive_closure(spark):
+    """Chain a-b-c collapses to one cluster even though (a,c) is not a
+    pair; (d,e) stays its own cluster; f never appears (no edges)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        (r.node, r.rep)
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_duplicate_clusters_fixture_invariants(docs):
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5
+    ).cache()
+    labels = dedup.duplicate_clusters(pairs)
+    rep = {r.node: r.rep for r in labels.collect()}
+    edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+    pairs.unpersist()
+    nodes = {n for e in edges for n in e}
+    assert set(rep) == nodes
+    # both endpoints of every pair land in the same cluster
+    assert all(rep[a] == rep[b] for a, b in edges)
+    # the representative is a member of its own cluster and its minimum
+    for node, r in rep.items():
+        assert rep[r] == r
+        assert r <= node
