@@ -408,9 +408,25 @@ def duplicate_clusters(
 
     Returns one row per node that appears in any pair.
     """
+    # symmetrize via explode, not union-of-two-selects: a union evaluates
+    # the (possibly expensive) pairs DAG once per branch before the
+    # checkpoint materializes it. (On an idle local cluster the union's
+    # two branches run concurrently and edge out explode on wall-clock,
+    # but at scale doubling the shingle-shuffle work is the wrong trade.)
     edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("u"), F.col(id_a).alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
         .distinct()
         .localCheckpoint()
     )

@@ -53,6 +53,61 @@ def deterministic_split(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "stratified",
+) -> DataFrame:
+    """Keep each row with its stratum's rate, deterministically by key.
+
+    The data-mixing primitive: upsample/downsample sources or languages
+    to target rates (e.g. {'en': 0.1, 'fr': 1.0}) while staying a pure
+    function of (key, salt) -- reruns, retries, and rescales keep
+    exactly the same rows. Strata not listed keep ``default_fraction``.
+    A narrow filter: the per-stratum threshold folds into one CASE
+    expression, no join, no shuffle, no RNG state.
+    """
+    bucket = _bucket(F.col(key_col), salt)
+    thr = None
+    for stratum, frac in sorted(fractions.items()):
+        t = F.lit(_threshold_hex(frac))
+        thr = (
+            F.when(F.col(strata_col) == stratum, t)
+            if thr is None
+            else thr.when(F.col(strata_col) == stratum, t)
+        )
+    thr = (
+        F.lit(_threshold_hex(default_fraction))
+        if thr is None
+        else thr.otherwise(F.lit(_threshold_hex(default_fraction)))
+    )
+    return df.filter(bucket < thr)
+
+
+def stratified_sample_sql(
+    dialect: str,
+    source: str,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "stratified",
+) -> str:
+    """The same per-stratum thresholding as SQL text (common dialect)."""
+    whens = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN '{_threshold_hex(f)}'"
+        for s, f in sorted(fractions.items())
+    )
+    case = f"CASE {whens} ELSE '{_threshold_hex(default_fraction)}' END"
+    return (
+        f"SELECT * FROM {source} WHERE substr(md5(concat(CAST({key_col} "
+        f"AS VARCHAR), ':{salt}')), 1, 4) < {case}"
+    )
+
+
 def split_sql(
     dialect: str,
     source: str,

@@ -439,6 +439,32 @@ def x18_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_FRACTIONS = {"es": 0.75, "zh": 0.25}
+
+
+@register(
+    "x25_stratified_sample",
+    sampling.stratified_sample_sql(
+        "duckdb", "documents", "doc_id", "lang", _MIX_FRACTIONS,
+        default_fraction=0.5,
+    ).replace("SELECT *", "SELECT doc_id, lang, source")
+    + " ORDER BY doc_id",
+    doc="per-stratum deterministic sampling (data mixing): each language "
+        "keeps its target rate via key-hash thresholding -- a pure "
+        "narrow filter (per-stratum threshold folds into one CASE), "
+        "stable under retries/rescale, no RNG state, no shuffle",
+)
+def x25_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.stratified_sample(
+            docs, "doc_id", "lang", _MIX_FRACTIONS, default_fraction=0.5
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "x13_multimodal_meta",
     """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,

@@ -296,3 +296,28 @@ def test_duplicate_clusters_fixture_invariants(docs):
     for node, r in rep.items():
         assert rep[r] == r
         assert r <= node
+
+
+def test_stratified_sample_rates_and_stability(docs):
+    from poc_parquet_publisher_spark.ops import sampling
+
+    fractions = {"es": 0.75, "zh": 0.25}
+    out = sampling.stratified_sample(
+        docs, "doc_id", "lang", fractions, default_fraction=0.5
+    ).cache()
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    kept = {r.lang: r.n for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for lang, total in totals.items():
+        target = fractions.get(lang, 0.5)
+        assert abs(kept.get(lang, 0) / total - target) < 0.15
+    # assignment is a pure key function: repartitioning changes nothing
+    again = sampling.stratified_sample(
+        docs.repartition(7), "doc_id", "lang", fractions,
+        default_fraction=0.5,
+    )
+    assert {r.doc_id for r in again.select("doc_id").collect()} == {
+        r.doc_id for r in out.select("doc_id").collect()
+    }
+    out.unpersist()

@@ -85,3 +85,17 @@ def test_hot_path_stays_in_codegen(spark):
 @pytest.mark.parametrize("qfn", [q02_scan_project, q04_filter, q20_topk])
 def test_no_cartesian_anywhere(spark, qfn):
     assert "CartesianProduct" not in plan_of(qfn(spark, SF))
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    """x25 is a pure narrow filter: the per-stratum CASE folds into the
+    scan's filter stage -- no Exchange anywhere in the plan."""
+    from poc_parquet_publisher_spark.catalog import load_table
+    from poc_parquet_publisher_spark.ops import sampling
+
+    docs = load_table(spark, SF, "documents")
+    out = sampling.stratified_sample(
+        docs, "doc_id", "lang", {"es": 0.75, "zh": 0.25},
+        default_fraction=0.5,
+    )
+    assert "Exchange" not in plan_of(out)
