@@ -61,6 +61,13 @@ def curate(
             & F.col("pred_lang").isin(*languages)
         )
         .select(id_col, text_col, "pred_lang")
+        # the gated corpus feeds three consumers (pair generation, the
+        # exact-dedup probe, the final anti-join); materialize it once
+        # instead of re-running scrub+gates per consumer. At cluster
+        # scale this is the standard persist-the-reused-intermediate
+        # call: the gated corpus is already the post-filter survivor
+        # set, far smaller than the input scan.
+        .localCheckpoint()
     )
 
     # exact dedup: smallest id per identical text survives
