@@ -227,6 +227,59 @@ def scrub_oracle_sql(source: str = "documents", id_col: str = "doc_id") -> str:
     )
 
 
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_docs: int = 3,
+) -> DataFrame:
+    """k-gram shingles shared by >= min_docs documents: the corpus
+    boilerplate profile (headers, footers, templates) that curation
+    pipelines strip before training.
+
+    Reuses the dedup shingle machinery (per-document DISTINCT shingles,
+    so count(*) per shingle == document frequency without a distinct
+    aggregate); one hash-groupBy on the shingle, partial+final, same
+    cost shape as exact dedup. Returns (shingle, n_docs) with a total
+    order (n_docs DESC, shingle).
+    """
+    from . import dedup
+
+    sh = dedup.shingles(df, id_col, text_col, k)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), "shingle")
+    )
+
+
+def boilerplate_ngrams_oracle_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_docs: int = 3,
+) -> str:
+    """DuckDB SQL mirroring ``boilerplate_ngrams`` (same shingle spec as
+    the x03 jaccard oracle)."""
+    return f"""
+WITH t AS (
+  SELECT {id_col},
+         list_distinct(list_transform(
+           range(1, len(string_split(lower(text), ' ')) - {k - 2}),
+           i -> array_to_string(
+                  (string_split(lower(text), ' '))[i:i+{k - 1}], ' ')
+         )) AS sh
+  FROM {source}
+  WHERE len(string_split(lower(text), ' ')) >= {k}
+), e AS (SELECT {id_col}, unnest(sh) AS shingle FROM t)
+SELECT shingle, count(*) AS n_docs FROM e
+GROUP BY shingle HAVING count(*) >= {min_docs}
+ORDER BY n_docs DESC, shingle
+"""
+
+
 def tf_idf(
     df: DataFrame,
     id_col: str,

@@ -439,6 +439,20 @@ def x18_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x26_boilerplate_ngrams",
+    text.boilerplate_ngrams_oracle_sql("documents", "doc_id", k=3,
+                                       min_docs=3),
+    doc="boilerplate profile: 3-gram shingles shared by >= 3 documents "
+        "(headers/templates curation strips). Per-doc distinct shingles "
+        "make count(*) the document frequency -- one partial+final "
+        "hash-groupBy, no distinct aggregate",
+)
+def x26_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.boilerplate_ngrams(docs, "doc_id", "text", k=3, min_docs=3)
+
+
 _MIX_FRACTIONS = {"es": 0.75, "zh": 0.25}
 
 
