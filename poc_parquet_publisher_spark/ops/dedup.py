@@ -403,8 +403,10 @@ def duplicate_clusters(
     Per round: one equi-join on the label table + one min-groupBy, both
     shuffling only the EDGE set -- no row of the corpus itself moves.
     localCheckpoint truncates the per-iteration lineage so plans don't
-    grow with the round count; convergence is a limit(1) existence
-    probe, not a full count.
+    grow with the round count. Convergence: labels only ever decrease,
+    so the label table is a fixed point iff sum(rep) is unchanged -- a
+    scalar aggregate over the just-checkpointed table (partial+final,
+    no shuffle join). DECIMAL(38,0) keeps the sum exact at any scale.
 
     Returns one row per node that appears in any pair.
     """
@@ -433,6 +435,19 @@ def duplicate_clusters(
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("rep")
     )
+
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(
+        labels.schema["rep"].dataType, NumericType
+    )
+
+    def _label_sum(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("rep").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = None
     for _ in range(max_iter):
         neighbor = edges.join(
             labels, edges["v"] == labels["node"]
@@ -443,17 +458,26 @@ def duplicate_clusters(
             .agg(F.min("rep").alias("rep"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("rep", "old_rep"), "node"
+        if numeric_ids:
+            cur_sum = _label_sum(new_labels)
+            labels = new_labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            # non-numeric ids have no exact monotone scalar: fall back
+            # to an any-change existence probe (one join, limit 1)
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("rep", "old_rep"), "node"
+                )
+                .filter(F.col("rep") != F.col("old_rep"))
+                .limit(1)
+                .count()
             )
-            .filter(F.col("rep") != F.col("old_rep"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+            labels = new_labels
+            if changed == 0:
+                break
     return labels
 
 

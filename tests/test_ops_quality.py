@@ -321,3 +321,18 @@ def test_stratified_sample_rates_and_stability(docs):
         r.doc_id for r in out.select("doc_id").collect()
     }
     out.unpersist()
+
+
+def test_duplicate_clusters_string_ids(spark):
+    """Non-numeric ids exercise the join-probe convergence path; reps
+    are still the lexicographic component minimum."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["id_a", "id_b"]
+    )
+    got = {
+        (r.node, r.rep)
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")
+    }
