@@ -440,6 +440,59 @@ def x18_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x27_streaming_window",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+              count(*) AS n_events,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 4)
+                  AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    doc="Q27's STREAMING variant run to completion: file readStream -> "
+        "watermarked tumbling window -> complete-mode memory sink "
+        "(availableNow drain). Hash-matched against the same batch SQL "
+        "-- stream == batch is the exactly-once/window-correctness "
+        "contract. Events re-materialize as micros parquet first (the "
+        "nanos physical type can't stream through a fixed schema)",
+)
+def x27_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.windows import streaming_hourly_counts
+
+    batch = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="x27_stream_")
+    sink = f"x27_sink_{uuid.uuid4().hex[:8]}"
+    try:
+        src = os.path.join(tmp, "events")
+        batch.repartition(4).write.mode("overwrite").parquet(src)
+        rebatch = spark.read.parquet(src)
+        q = streaming_hourly_counts(
+            spark,
+            src,
+            rebatch.schema,
+            os.path.join(tmp, "ckpt"),
+            sink_table=sink,
+        )
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(sink)
+        .select(
+            F.col("window_start").cast("timestamp_ntz").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
     "x26_boilerplate_ngrams",
     text.boilerplate_ngrams_oracle_sql("documents", "doc_id", k=3,
                                        min_docs=3),
