@@ -336,3 +336,10 @@ def test_duplicate_clusters_string_ids(spark):
     assert got == {
         ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")
     }
+
+
+def test_duplicate_clusters_empty_pairs(spark):
+    """A corpus with no qualifying pairs yields an empty label table
+    (and the convergence probe terminates on the first round)."""
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert dedup.duplicate_clusters(pairs).count() == 0
