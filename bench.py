@@ -69,6 +69,55 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Streaming publish throughput (streaming/publisher.py): file
+    # readStream -> foreachBatch -> the same batch publisher, drained
+    # with availableNow. Timed against the null client so the number is
+    # engine cost (stream planning + scan + serialize + chunk).
+    from poc_parquet_publisher_spark.streaming.publisher import stream_publish
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/orders_stream"
+        orders.repartition(8).write.mode("overwrite").parquet(src)
+        stream_src = spark.read.parquet(src)
+        t0 = time.perf_counter()
+        q = stream_publish(
+            spark,
+            src,
+            stream_src.schema,
+            _NullQueue,
+            checkpoint_dir=f"{tmp}/ckpt",
+        )
+        q.awaitTermination(600)
+        dt = time.perf_counter() - t0
+    timings["stream_publish"] = round(dt, 3)
+    print(
+        f"# stream_publish: {dt:.3f}s ({round(n_rows / dt)} rows/s)",
+        file=sys.stderr,
+    )
+
+    # Multimodal kernels (ops/multimodal.py): Arrow-batched decode /
+    # resize / frame-sample over binary payloads (deterministic fake
+    # codecs; the plumbing cost -- binary transfer + mapInPandas -- is
+    # what's being measured).
+    from poc_parquet_publisher_spark.ops import multimodal
+
+    media_n = 10_000
+    media = multimodal.synthetic_media(
+        spark, n=media_n, payload_bytes=1024
+    ).localCheckpoint()
+    t0 = time.perf_counter()
+    n_feat = multimodal.decode_features(media, dim=8).count()
+    n_resized = multimodal.resize_images(media).count()
+    n_frames = multimodal.sample_frames(media, every_ms=1000).count()
+    dt = time.perf_counter() - t0
+    assert n_feat == media_n and n_resized > 0 and n_frames > 0
+    timings["multimodal_kernels"] = round(dt, 3)
+    print(
+        f"# multimodal_kernels: {dt:.3f}s "
+        f"({round(media_n / dt)} media rows/s through 3 kernels)",
+        file=sys.stderr,
+    )
+
     # Generator throughput (BASELINE.md "rows/s to Parquet").
     from poc_parquet_publisher_spark.generate import generate_records
 

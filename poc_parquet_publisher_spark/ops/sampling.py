@@ -28,7 +28,14 @@ def _bucket(key: Column, salt: str) -> Column:
 def _threshold_hex(fraction: float) -> str:
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    return format(int(round(fraction * 65536)), "04x")
+    n = int(round(fraction * 65536))
+    if n >= 65536:
+        # fraction == 1.0 would format as the 5-char '10000', which sorts
+        # BELOW every bucket starting with a hex digit > '0' and silently
+        # keeps ~6% of rows. 'zzzz' sorts above every 4-char hex bucket in
+        # both engines, so 'bucket < threshold' keeps all rows.
+        return "zzzz"
+    return format(n, "04x")
 
 
 def deterministic_split(

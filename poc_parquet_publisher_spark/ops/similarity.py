@@ -11,10 +11,14 @@ Two tiers, per SURVEY.md section 2.4:
   top-k keeps the final merge tiny (the TakeOrderedAndProject pattern).
   The broadcast side must fit in executor memory -- the same contract as
   any broadcast join; beyond that, use the LSH tier.
-- ``lsh_topk`` (random hyperplane LSH): the 100 TB path. Signatures are a
-  narrow numpy map over the corpus; candidate generation is an equi-join
-  on (band, signature) buckets, so the corpus is hash-partitioned by
-  bucket instead of cross-joined. Recall is tuned by (n_planes, n_bands).
+- ``lsh_topk`` / ``ivf_topk`` / ``lsh_neardup_pairs``: the 100 TB path.
+  Signatures / centroid assignments are a narrow numpy map over the
+  corpus; candidate generation is an equi-join on (band, signature) or
+  centroid buckets, so the corpus is hash-partitioned by bucket instead
+  of cross-joined; SCORING attaches corpus vectors to the candidate
+  pairs with another equi-join -- the corpus is never collected to the
+  driver, only the (small-by-contract) query matrix rides a broadcast.
+  Recall is tuned by (n_planes, n_bands) / (n_centroids, n_probe).
 
 Why Pandas UDFs here and nowhere else: Spark has no built-in dense dot
 product; a zip_with/aggregate fold is JVM codegen but allocates a 64-elem
@@ -55,6 +59,74 @@ def _normalized_matrix(
 
 def _empty_result(df: DataFrame, schema: str) -> DataFrame:
     return df.sparkSession.createDataFrame([], schema)
+
+
+def _score_candidates_against_queries(
+    cand: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+) -> DataFrame:
+    """Exact-cosine score candidate ``(q_id, c_id)`` pairs.
+
+    Scale shape: corpus vectors are attached to the candidates with an
+    equi-join on ``c_id`` (distributed; AQE broadcasts whichever side is
+    small at runtime) -- the corpus is NEVER collected to the driver.
+    Only the query matrix, the small side by the same contract as any
+    broadcast join, is broadcast. Every ``q_id`` must come from the
+    ``queries`` frame that produced ``(q_ids, q_mat)`` -- candidate
+    generators guarantee this by construction, so no corpus-membership
+    assumption is made about queries.
+    """
+    spark = corpus.sparkSession
+    q_index = {int(i): r for r, i in enumerate(q_ids)}
+    bc = spark.sparkContext.broadcast((q_index, q_mat))
+    with_vec = cand.join(
+        corpus.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("__vec")
+        ),
+        "c_id",
+    )
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qidx, qm = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            qi = pdf["q_id"].map(qidx).to_numpy(dtype=np.int64)
+            c_mat = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            sims = np.einsum("ij,ij->i", qm[qi], c_mat / norms)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["q_id"],
+                    "neighbor_id": pdf["c_id"],
+                    "sim_raw": sims,
+                }
+            )
+
+    return with_vec.select("q_id", "c_id", "__vec").mapInPandas(
+        score, schema="query_id long, neighbor_id long, sim_raw double"
+    )
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("sim_raw", 4).alias("sim"),
+        )
+    )
 
 
 def brute_force_topk(
@@ -139,8 +211,8 @@ def cosine_neardup_pairs(
     Exact tier: the corpus snapshot is broadcast once and every Arrow
     batch scores against it with one matmul (block-nested-loop). The
     threshold filter applies inside the batch, so only qualifying pairs
-    ever leave Python. Scale tier: route candidates through lsh_topk
-    buckets and score only within-bucket pairs.
+    ever leave Python. Scale tier: ``lsh_neardup_pairs`` (banded
+    candidates, no broadcast of the corpus, sub-quadratic).
     """
     spark = df.sparkSession
     ids, mat = _normalized_matrix(df, id_col, vec_col)
@@ -266,6 +338,10 @@ def ivf_topk(
     centers = centers / c_norms
 
     q_ids, q_mat = _normalized_matrix(queries, id_col, vec_col)
+    if len(q_ids) == 0:
+        return _empty_result(
+            corpus, "query_id long, neighbor_id long, rank long, sim double"
+        )
     # per-query probe list: n_probe nearest centroids by cosine
     probe_idx = np.argsort(-(q_mat @ centers.T), axis=1)[:, :n_probe]
     probes = spark.createDataFrame(
@@ -285,41 +361,10 @@ def ivf_topk(
         .distinct()
     )
 
-    ids, mat = _normalized_matrix(corpus, id_col, vec_col)
-    index = {int(i): r for r, i in enumerate(ids)}
-    q_index = {int(i): r for r, i in enumerate(q_ids)}
-    bc = spark.sparkContext.broadcast((index, mat, q_index, q_mat))
-
-    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        idx, m, qidx, qm = bc.value
-        for pdf in it:
-            qi = pdf["q_id"].map(qidx).to_numpy(dtype=np.int64)
-            ci = pdf["c_id"].map(idx).to_numpy(dtype=np.int64)
-            sims = np.einsum("ij,ij->i", qm[qi], m[ci])
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["q_id"],
-                    "neighbor_id": pdf["c_id"],
-                    "sim_raw": sims,
-                }
-            )
-
-    scored = cand.mapInPandas(
-        score, schema="query_id long, neighbor_id long, sim_raw double"
+    scored = _score_candidates_against_queries(
+        cand, corpus, id_col, vec_col, q_ids, q_mat
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim_raw").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            F.round("sim_raw", 4).alias("sim"),
-        )
-    )
+    return _ranked_topk(scored, k)
 
 
 def lsh_topk(
@@ -337,10 +382,10 @@ def lsh_topk(
 
     Candidate generation is an equi-join on (band_idx : band_bits) -- the
     corpus is hash-partitioned by bucket, never cross-joined. Scoring
-    looks candidate vectors up in a broadcast id->row index (exact cosine,
-    numpy). Raising n_bands raises recall; n_planes shrinks buckets.
+    attaches candidate vectors with an equi-join back to the corpus and
+    broadcasts only the query matrix (exact cosine, numpy per Arrow
+    batch). Raising n_bands raises recall; n_planes shrinks buckets.
     """
-    spark = corpus.sparkSession
     band_w = n_planes // n_bands
 
     def banded(df: DataFrame, out_id: str) -> DataFrame:
@@ -368,37 +413,86 @@ def lsh_topk(
         .distinct()
     )
 
-    ids, mat = _normalized_matrix(corpus, id_col, vec_col)
-    index = {int(i): r for r, i in enumerate(ids)}
-    bc = spark.sparkContext.broadcast((index, mat))
+    q_ids, q_mat = _normalized_matrix(queries, id_col, vec_col)
+    if len(q_ids) == 0:
+        return _empty_result(
+            corpus, "query_id long, neighbor_id long, rank long, sim double"
+        )
+    scored = _score_candidates_against_queries(
+        cand, corpus, id_col, vec_col, q_ids, q_mat
+    )
+    return _ranked_topk(scored, k)
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale-tier near-dup pairs: (id_a < id_b, round(cosine,4) >= thr).
+
+    Fully distributed, sub-quadratic analog of ``cosine_neardup_pairs``
+    (which stays the exact/oracle tier): candidate pairs come from a
+    banded-signature SELF-join (pairs agreeing on >= 1 of n_bands bands),
+    vectors are attached with two equi-joins back to the corpus, and the
+    exact cosine + threshold filter runs per Arrow batch. Nothing is
+    collected to the driver and no all-pairs product is ever formed.
+    Recall is the LSH band guarantee: a pair at cosine c survives with
+    p = 1-(1-p_band)^n_bands where p_band = (1 - acos(c)/pi)^band_width;
+    raise n_bands (or lower n_planes) to push recall up.
+    """
+    band_w = n_planes // n_bands
+    sig = lsh_signature(df, id_col, vec_col, dim, n_planes, seed)
+    bands = [
+        F.concat(
+            F.lit(f"{i}:"), F.substring("sig", i * band_w + 1, band_w)
+        )
+        for i in range(n_bands)
+    ]
+    banded = sig.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*bands)).alias("band")
+    )
+    cand = (
+        banded.withColumnRenamed("id", "id_a")
+        .join(banded.withColumnRenamed("id", "id_b"), "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    pairs = cand.join(
+        vecs.select(
+            F.col("__vid").alias("id_a"), F.col("__v").alias("__vec_a")
+        ),
+        "id_a",
+    ).join(
+        vecs.select(
+            F.col("__vid").alias("id_b"), F.col("__v").alias("__vec_b")
+        ),
+        "id_b",
+    )
 
     def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        idx, m = bc.value
         for pdf in it:
-            qi = pdf["q_id"].map(idx).to_numpy(dtype=np.int64)
-            ci = pdf["c_id"].map(idx).to_numpy(dtype=np.int64)
-            sims = np.einsum("ij,ij->i", m[qi], m[ci])
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["q_id"],
-                    "neighbor_id": pdf["c_id"],
-                    "sim_raw": sims,
-                }
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["__vec_a"].to_numpy()).astype(np.float64)
+            b = np.stack(pdf["__vec_b"].to_numpy()).astype(np.float64)
+            na = np.linalg.norm(a, axis=1)
+            na[na == 0.0] = 1.0
+            nb = np.linalg.norm(b, axis=1)
+            nb[nb == 0.0] = 1.0
+            sims = np.round(np.einsum("ij,ij->i", a, b) / (na * nb), 4)
+            out = pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "sim": sims}
             )
+            yield out[out["sim"] >= threshold]
 
-    scored = cand.mapInPandas(
-        score, schema="query_id long, neighbor_id long, sim_raw double"
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim_raw").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            F.round("sim_raw", 4).alias("sim"),
-        )
+    return pairs.select("id_a", "id_b", "__vec_a", "__vec_b").mapInPandas(
+        score, schema="id_a long, id_b long, sim double"
     )

@@ -300,7 +300,10 @@ def tf_idf(
     """
     from pyspark.sql.window import Window
 
-    n_docs = df.count()
+    # N rides along as a broadcast 1-row aggregate (the scalar-subquery
+    # shape) instead of a driver-side df.count() -- keeps the whole
+    # build a single Spark job.
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
     terms = df.select(
         F.col(id_col).alias("doc"),
         F.explode(_toks(text_col)).alias("term"),
@@ -309,11 +312,16 @@ def tf_idf(
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_cnt"))
     if min_df > 1:
         dfreq = dfreq.filter(F.col("df_cnt") >= min_df)
-    scored = tf.join(dfreq, "term").withColumn(
-        "tfidf",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_cnt")), 4
-        ),
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("__n_docs") / F.col("df_cnt")), 4
+            ),
+        )
+        .drop("__n_docs")
     )
     w = Window.partitionBy("doc").orderBy(
         F.col("tfidf").desc(), F.col("term")

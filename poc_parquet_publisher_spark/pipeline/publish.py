@@ -30,7 +30,7 @@ import os
 import time
 import uuid
 from collections.abc import Callable, Iterable, Iterator
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from dataclasses import dataclass
 from typing import Any
 
@@ -173,12 +173,32 @@ def publish(
             )
 
         bodies = (row.body for row in rows)
-        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
-            for ok, dl in pool.map(
-                send, enumerate(_chunks(bodies, batch_size))
-            ):
+        # Windowed submit, NOT pool.map: map drains the whole chunk
+        # iterator eagerly, buffering every serialized body of the
+        # partition in memory before the first send returns. Capping
+        # in-flight futures keeps the partition a true stream -- memory
+        # is O(max_in_flight * batch_size) bodies regardless of
+        # partition size.
+        max_in_flight = max_concurrency * 2
+
+        def drain(done) -> None:
+            for fut in done:
+                ok, dl = fut.result()  # re-raises -> fail-fast task abort
                 acc.add(ok)
                 dead.add(dl)
+
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            in_flight: set = set()
+            for item in enumerate(_chunks(bodies, batch_size)):
+                if len(in_flight) >= max_in_flight:
+                    done, in_flight = wait(
+                        in_flight, return_when=FIRST_COMPLETED
+                    )
+                    drain(done)
+                in_flight.add(pool.submit(send, item))
+            if in_flight:
+                done, _ = wait(in_flight)
+                drain(done)
 
     serialized.foreachPartition(send_partition)
     return PublishResult(published=acc.value, dead_lettered=dead.value)

@@ -929,11 +929,13 @@ def q32_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
               CAST(list_reduce(list_prepend(0,
                        list_transform(toks, t -> strlen(t))),
                        (a, b) -> a + b) AS BIGINT) AS total_len,
-              list_sort(toks)[1:3] AS first3_sorted
+              array_to_string(list_sort(toks)[1:3], ' ') AS first3_sorted
        FROM t ORDER BY doc_id""",
     doc="higher-order functions: filter / transform+aggregate fold / "
         "array_sort+slice, dialect-mapped to DuckDB list_* (fold init via "
-        "list_prepend since list_reduce has no explicit accumulator)",
+        "list_prepend since list_reduce has no explicit accumulator). "
+        "first3_sorted is string-serialized on both engines: the driver's "
+        "pandas canonicalizer cannot sort/hash raw array cells",
 )
 def q33_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -954,7 +956,9 @@ def q33_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("total_len"),
-            F.slice(F.array_sort(toks), 1, 3).alias("first3_sorted"),
+            F.array_join(F.slice(F.array_sort(toks), 1, 3), " ").alias(
+                "first3_sorted"
+            ),
         )
         .orderBy("doc_id")
     )

@@ -15,6 +15,7 @@ any Pandas-UDF fallback path moves data in columnar batches.
 
 from __future__ import annotations
 
+import atexit
 import os
 
 from pyspark.sql import SparkSession
@@ -35,6 +36,30 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.ui.enabled": "false",
 }
+
+
+_shutdown_registered = False
+
+
+def _stop_active_session() -> None:
+    """Graceful-shutdown analog of the reference's SIGTERM hook
+    (cmd/duckdb-record-processor/main.go:51-55 registers db.Close via
+    lambda.WithEnableSIGTERM): stop whatever session is active at
+    interpreter exit so the JVM tears down cleanly instead of being
+    killed mid-flush."""
+    session = SparkSession.getActiveSession()
+    if session is not None:
+        try:
+            session.stop()
+        except Exception:
+            pass  # already stopped / JVM gone -- exit must not raise
+
+
+def _register_shutdown_hook() -> None:
+    global _shutdown_registered
+    if not _shutdown_registered:
+        atexit.register(_stop_active_session)
+        _shutdown_registered = True
 
 
 def default_parallelism() -> int:
@@ -80,4 +105,5 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _register_shutdown_hook()
     return spark

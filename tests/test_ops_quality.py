@@ -122,6 +122,66 @@ def test_ivf_topk_recall_vs_brute_force(emb):
     assert recall >= 0.35
 
 
+def test_lsh_neardup_recall_and_exactness_vs_exact_scan(emb):
+    """x28 (banded candidates -> exact scoring) vs x09 (exact all-pairs):
+    every pair x28 emits must carry the exact cosine (so it is a strict
+    subset of the exact result), and recall must clear the LSH band
+    bound for this fixture."""
+    exact = {
+        (r.id_a, r.id_b): r.sim
+        for r in similarity.cosine_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.sim
+        for r in similarity.lsh_neardup_pairs(
+            emb, "vec_id", "embedding",
+            dim=64, threshold=0.4, n_planes=16, n_bands=8,
+        ).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs at 0.4"
+    # precision 1.0: scoring is exact, so no false positives possible
+    for pair, sim in approx.items():
+        assert pair in exact
+        assert sim == pytest.approx(exact[pair], abs=1e-4)
+    recall = len(set(approx) & set(exact)) / len(exact)
+    # band_width=2 at cosine>=0.4 gives pair-survival p>=0.98; measured
+    # 1.0 deterministic on the fixture -- leave margin for none
+    assert recall >= 0.9
+
+
+def test_ann_scoring_never_collects_corpus(monkeypatch, emb):
+    """The 100 TB contract for lsh_topk / ivf_topk / lsh_neardup_pairs:
+    the only driver materialization allowed is the QUERY matrix.
+    _normalized_matrix is the sole toPandas gateway in similarity.py, so
+    intercept it and assert it never receives a corpus-sized frame."""
+    q = emb.filter(F.col("vec_id") < 20)
+    n_queries = 20
+    seen: list[int] = []
+    real = similarity._normalized_matrix
+
+    def spy(df, id_col, vec_col):
+        ids, mat = real(df, id_col, vec_col)
+        seen.append(len(ids))
+        return ids, mat
+
+    monkeypatch.setattr(similarity, "_normalized_matrix", spy)
+    similarity.lsh_topk(
+        emb, q, "vec_id", "embedding", dim=64, k=3, n_planes=16, n_bands=4
+    ).collect()
+    similarity.ivf_topk(
+        emb, q, "vec_id", "embedding", k=3, n_centroids=16, n_probe=4
+    ).collect()
+    similarity.lsh_neardup_pairs(
+        emb, "vec_id", "embedding", dim=64, threshold=0.4
+    ).collect()
+    assert seen, "spy should have observed the query-side materialization"
+    assert max(seen) <= n_queries, (
+        f"corpus-sized collect detected: {seen}"
+    )
+
+
 def test_sketch_distinct_within_error_bound(spark):
     from poc_parquet_publisher_spark.queries.extensions import (
         x16_sketch_distinct,
@@ -209,6 +269,40 @@ def test_deterministic_split_properties(spark, docs):
         .collect()
     }
     assert c != a
+
+
+def test_sampling_fraction_one_keeps_all_rows(spark, docs):
+    """fraction=1.0 must keep/assign EVERY row: the naive 5-char hex
+    threshold '10000' sorts below most 4-char buckets and silently kept
+    ~6% -- regression gate for the sentinel fix, on both the DataFrame
+    and generated-SQL paths."""
+    from poc_parquet_publisher_spark.ops import sampling
+
+    n = docs.count()
+    split = sampling.deterministic_split(docs, "doc_id", test_fraction=1.0)
+    assert split.filter(F.col("split") == "test").count() == n
+
+    kept = sampling.stratified_sample(
+        docs, "doc_id", "lang", {"es": 1.0}, default_fraction=1.0
+    )
+    assert kept.count() == n
+
+    # generated SQL agrees (DuckDB compares strings the same way)
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{SF}/documents.parquet')"
+        )
+        sql = sampling.stratified_sample_sql(
+            "duckdb", "documents", "doc_id", "lang", {"es": 1.0},
+            default_fraction=1.0,
+        )
+        assert con.execute(sql).df().shape[0] == n
+    finally:
+        con.close()
 
 
 def test_curate_pipeline_invariants(spark, docs):
