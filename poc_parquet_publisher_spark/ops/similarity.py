@@ -291,6 +291,59 @@ def lsh_signature(
     )
 
 
+def _fit_centroids_on_sample(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    seed: int,
+    max_iter: int,
+    max_train: int = 4096,
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on a bounded, key-hashed sample.
+
+    The FAISS posture: a coarse quantizer is TRAINED on a sample (here
+    the ``max_train`` smallest md5(id) rows -- a TakeOrdered, one pass,
+    no full shuffle, stable under retries/partitioning) and only
+    ASSIGNMENT touches the full corpus. Replaces a pyspark.ml fit whose
+    ``max_iter`` passes over all rows are pure overhead for rough
+    Voronoi cells -- recall comes from n_probe, not fit quality.
+    """
+    sample = (
+        corpus.select(
+            F.md5(F.col(id_col).cast("string")).alias("__r"), vec_col
+        )
+        .orderBy("__r")
+        .limit(max_train)
+        .collect()
+    )
+    mat = np.stack([np.asarray(r[vec_col]) for r in sample]).astype(
+        np.float64
+    )
+    # deterministic init: evenly spaced rows of the (hash-shuffled) sample
+    init_idx = np.linspace(0, len(mat) - 1, n_centroids).astype(np.int64)
+    centers = mat[init_idx].copy()
+    for _ in range(max_iter):
+        d2 = (
+            (mat**2).sum(axis=1, keepdims=True)
+            - 2.0 * (mat @ centers.T)
+            + (centers**2).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        new = np.stack(
+            [
+                mat[assign == c].mean(axis=0)
+                if (assign == c).any()
+                else centers[c]
+                for c in range(n_centroids)
+            ]
+        )
+        if np.allclose(new, centers):
+            break
+        centers = new
+    return centers
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -304,38 +357,45 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse k-means quantizer + probed scan.
 
-    The scale shape: corpus vectors are assigned to their nearest centroid
-    ONCE (a narrow pyspark.ml KMeans transform -- at 100 TB this
-    assignment is written alongside the embeddings and reused), each query
-    probes only its ``n_probe`` nearest centroids, and candidates come
-    from an equi-join on centroid id -- the corpus is hash-partitioned by
-    cluster, scanning ~n_probe/n_centroids of it per query instead of all
-    of it. Scoring is exact cosine (same broadcast-matrix mapInPandas as
-    lsh_topk), so like LSH this approximates the CANDIDATE SET only.
+    The scale shape: the quantizer trains on a bounded sample
+    (``_fit_centroids_on_sample``), corpus vectors are assigned to their
+    nearest centroid in ONE narrow mapInPandas pass with the tiny
+    centroid matrix broadcast (at 100 TB this assignment is written
+    alongside the embeddings and reused), each query probes only its
+    ``n_probe`` nearest centroids, and candidates come from an equi-join
+    on centroid id -- the corpus is hash-partitioned by cluster,
+    scanning ~n_probe/n_centroids of it per query instead of all of it.
+    Scoring is the same candidate->vector equi-join as lsh_topk, so like
+    LSH this approximates the CANDIDATE SET only.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     spark = corpus.sparkSession
-    feats = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        array_to_vector(
-            F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        ).alias("__fv"),
+    raw_centers = _fit_centroids_on_sample(
+        corpus, id_col, vec_col, n_centroids, seed, max_iter
     )
-    # A coarse quantizer needs rough Voronoi cells, not convergence --
-    # recall comes from n_probe, so cap the fit cost.
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="__fv", maxIter=max_iter)
-    model = km.fit(feats)
-    assigned = model.transform(feats).select(
-        F.col(id_col).alias("c_id"), F.col("prediction").alias("centroid")
+    bc_centers = spark.sparkContext.broadcast(raw_centers)
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc_centers.value
+        c_sq = (c**2).sum(axis=1)[None, :]
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (m**2).sum(axis=1, keepdims=True) - 2.0 * (m @ c.T) + c_sq
+            yield pd.DataFrame(
+                {
+                    "c_id": pdf[id_col],
+                    "centroid": d2.argmin(axis=1).astype(np.int32),
+                }
+            )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign, schema="c_id long, centroid int"
     )
 
-    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
-    c_norms = np.linalg.norm(centers, axis=1, keepdims=True)
+    c_norms = np.linalg.norm(raw_centers, axis=1, keepdims=True)
     c_norms[c_norms == 0.0] = 1.0
-    centers = centers / c_norms
+    centers = raw_centers / c_norms
 
     q_ids, q_mat = _normalized_matrix(queries, id_col, vec_col)
     if len(q_ids) == 0:

@@ -87,6 +87,31 @@ def test_no_cartesian_anywhere(spark, qfn):
     assert "CartesianProduct" not in plan_of(qfn(spark, SF))
 
 
+def test_ann_scoring_plans_are_join_based(spark):
+    """The LSH/IVF scale contract in the PLAN: candidate scoring is an
+    equi-join back to the corpus (SortMergeJoin/BroadcastHashJoin/
+    ShuffledHashJoin on ids), never a cartesian product, and the
+    near-dup self-join goes through the band equi-key."""
+    from poc_parquet_publisher_spark.catalog import load_table
+    from poc_parquet_publisher_spark.ops import similarity
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    for df in (
+        similarity.lsh_topk(
+            emb, q, "vec_id", "embedding", dim=64, k=3,
+            n_planes=16, n_bands=4,
+        ),
+        similarity.lsh_neardup_pairs(
+            emb, "vec_id", "embedding", dim=64, threshold=0.4
+        ),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "Join" in plan
+
+
 def test_stratified_sample_is_shuffle_free(spark):
     """x25 is a pure narrow filter: the per-stratum CASE folds into the
     scan's filter stage -- no Exchange anywhere in the plan."""
