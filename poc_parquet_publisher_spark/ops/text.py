@@ -280,6 +280,99 @@ ORDER BY n_docs DESC, shingle
 """
 
 
+def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document repetition features (the Gopher-style repetition
+    gates): duplicate-token ratio and most-frequent-bigram mass.
+
+    - ``dup_token_ratio`` = 1 - distinct_tokens / tokens: pure narrow
+      expression, runs at scan speed.
+    - ``top_bigram_ratio`` = count of the modal bigram / total bigrams:
+      needs a per-(doc, bigram) count, so bigrams explode then two
+      hash-groupBys reusing the doc_id shuffle key, and the tiny
+      per-doc aggregate joins back to the narrow base. Nothing here is
+      ever corpus-quadratic; the widest intermediate is one row per
+      (doc, distinct bigram).
+
+    Documents with fewer than 2 tokens have no bigrams; their
+    ``top_bigram_ratio`` is defined as 0.0. Doubles rounded to 4.
+    """
+    toks_expr = _toks(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks_expr).cast("long").alias("__n_toks"),
+        F.size(F.array_distinct(toks_expr)).cast("long").alias("__n_distinct"),
+    )
+    # bind tokens as an attribute so split() runs once per row, not once
+    # per bigram position (the HOF-lambda CSE trap; see rolling_fingerprint)
+    toks = F.col("__toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    grams = (
+        df.select(F.col(id_col), toks_expr.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select(F.col(id_col), F.explode(bigrams).alias("gram"))
+    )
+    per_doc = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("__c").alias("__max_c"),
+            F.sum("__c").alias("__tot"),
+        )
+    )
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.round(
+            F.lit(1.0)
+            - F.col("__n_distinct").cast("double") / F.col("__n_toks"),
+            4,
+        ).alias("dup_token_ratio"),
+        F.round(
+            F.coalesce(
+                F.col("__max_c").cast("double") / F.col("__tot"), F.lit(0.0)
+            ),
+            4,
+        ).alias("top_bigram_ratio"),
+    )
+
+
+def repetition_scores_oracle_sql(
+    source: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """DuckDB SQL mirroring ``repetition_scores`` (same tokenization as
+    the x02/x03 oracles; 1-based inclusive list slices)."""
+    return f"""
+WITH t AS (
+  SELECT {id_col}, string_split(lower(text), ' ') AS toks FROM {source}
+), base AS (
+  SELECT {id_col}, len(toks) AS n_toks,
+         len(list_distinct(toks)) AS n_distinct
+  FROM t
+), g AS (
+  SELECT {id_col},
+         unnest(list_transform(range(1, len(toks)),
+                i -> array_to_string(toks[i:i+1], ' '))) AS gram
+  FROM t WHERE len(toks) >= 2
+), gc AS (
+  SELECT {id_col}, gram, count(*) AS c FROM g GROUP BY 1, 2
+), agg AS (
+  SELECT {id_col}, max(c) AS max_c, sum(c) AS tot FROM gc GROUP BY 1
+)
+SELECT b.{id_col},
+       ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_toks, 4)
+           AS dup_token_ratio,
+       ROUND(COALESCE(CAST(max_c AS DOUBLE) / tot, 0.0), 4)
+           AS top_bigram_ratio
+FROM base b LEFT JOIN agg USING ({id_col})
+ORDER BY b.{id_col}
+"""
+
+
 def tf_idf(
     df: DataFrame,
     id_col: str,

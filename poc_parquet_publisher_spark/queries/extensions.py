@@ -539,6 +539,137 @@ def x22_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x29_asof_join",
+    """SELECT p.event_id AS purchase_id, p.user_id,
+              p.ts AS purchase_ts,
+              c.click_id, c.click_ts, c.click_value
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       LEFT JOIN LATERAL (
+         SELECT event_id AS click_id, ts AS click_ts,
+                ROUND(value, 4) AS click_value
+         FROM events c
+         WHERE c.user_id = p.user_id AND c.event_type = 'click'
+           AND (c.ts < p.ts
+                OR (c.ts = p.ts AND c.event_id < p.event_id))
+         ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+       ) c ON TRUE
+       ORDER BY purchase_id""",
+    doc="as-of join: each purchase picks the user's most recent strictly-"
+        "prior click. Spark side is the union+window form (ONE user_id "
+        "shuffle, O(1) running state -- ops/temporal.py asof_join); the "
+        "oracle is an independent LATERAL argmax formulation, so the "
+        "hash match checks semantics, not a shared plan",
+)
+def x29_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import temporal
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    joined = temporal.asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_values={
+            "event_id": "click_id",
+            "ts": "click_ts",
+            "value": "click_value",
+        },
+        left_order="purchase_id",
+        right_order="event_id",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        F.round("click_value", 4).alias("click_value"),
+    ).orderBy("purchase_id")
+
+
+@register(
+    "x30_range_join",
+    """WITH e AS (SELECT event_id AS error_id, ts AS error_ts
+                  FROM events WHERE event_type = 'error'),
+            c AS (SELECT event_id, ts, value
+                  FROM events WHERE event_type = 'click')
+       SELECT e.error_id,
+              count(c.event_id) AS n_clicks,
+              ROUND(CAST(COALESCE(
+                    SUM(CAST(c.value AS DECIMAL(18,4))), 0) AS DOUBLE), 4)
+                  AS sum_click_value
+       FROM e LEFT JOIN c
+         ON c.ts >= e.error_ts - INTERVAL 5 MINUTE
+        AND c.ts <= e.error_ts + INTERVAL 5 MINUTE
+       GROUP BY e.error_id
+       ORDER BY e.error_id""",
+    doc="tolerance range join: clicks within +/-5 minutes of each error "
+        "event (any user). Spark side blocks on tolerance-width time "
+        "buckets -- the smaller (error) side probes its 3 covering "
+        "buckets, the join is a bucket equi-join + exact residual "
+        "filter (ops/temporal.py range_join_pairs), never a nested "
+        "loop; the oracle states the raw inequality predicate",
+)
+def x30_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import temporal
+
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("error_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    pairs = temporal.range_join_pairs(
+        errors, clicks, "error_ts", "click_ts", tolerance_seconds=300
+    )
+    per_error = pairs.groupBy("error_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(
+            F.sum(F.col("click_value").cast("decimal(18,4)")).cast("double"),
+            4,
+        ).alias("sum_click_value"),
+    )
+    return (
+        errors.select("error_id")
+        .join(per_error, "error_id", "left")
+        .select(
+            "error_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("sum_click_value", F.lit(0.0)).alias(
+                "sum_click_value"
+            ),
+        )
+        .orderBy("error_id")
+    )
+
+
+@register(
+    "x31_repetition_scores",
+    text.repetition_scores_oracle_sql("documents", "doc_id"),
+    doc="within-document repetition (Gopher-style gates): duplicate-"
+        "token ratio (narrow, scan-speed) + modal-bigram mass (explode "
+        "-> two hash-groupBys on the doc key -> join back to the narrow "
+        "base; widest intermediate is one row per distinct (doc, "
+        "bigram), never corpus-quadratic)",
+)
+def x31_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_scores(docs, "doc_id", "text").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Rows-only approximate operators (oracle=None). Registered LAST so the
 # driver's fixed-size correctness window is filled entirely by

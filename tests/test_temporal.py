@@ -1,0 +1,155 @@
+"""Unit + plan tests for ops/temporal.py (as-of join, band range join).
+
+Oracle hash-parity for the registered x29/x30 entries lives in
+test_queries_oracle.py; here we pin the operator semantics on
+constructed frames (ties, no-match rows, bucket-boundary candidates)
+and the physical plans (no nested-loop/cartesian anywhere).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from poc_parquet_publisher_spark.ops import temporal
+from tests.test_plans import plan_of
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 09:00:00"), 1, 10.0),
+            ("A", _ts("2024-01-01 09:00:05"), 2, 11.0),
+            ("A", _ts("2024-01-01 09:01:00"), 3, 12.0),
+            ("B", _ts("2024-01-01 09:00:30"), 4, 99.0),
+        ],
+        "sym string, qts timestamp, qid long, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 09:00:05"), 10),  # tie ts vs quote 2
+            ("A", _ts("2024-01-01 09:00:59"), 11),
+            ("B", _ts("2024-01-01 09:00:00"), 12),  # before any B quote
+            ("C", _ts("2024-01-01 09:00:00"), 13),  # key with no quotes
+        ],
+        "sym string, tts timestamp, tid long",
+    )
+    return quotes, trades
+
+
+def test_asof_backward_strict_and_unmatched(spark):
+    quotes, trades = _frames(spark)
+    out = {
+        r["tid"]: (r["qid"], r["px"])
+        for r in temporal.asof_join(
+            trades,
+            quotes,
+            on="sym",
+            left_ts="tts",
+            right_ts="qts",
+            right_values={"qid": "qid", "px": "px"},
+            left_order="tid",
+            right_order="qid",
+        ).collect()
+    }
+    # tie at 09:00:05: quote qid=2 has (ts equal, qid 2 < tid 10) => matched
+    assert out[10] == (2, 11.0)
+    # 09:00:59 sees the 09:00:05 quote, not the 09:01:00 one
+    assert out[11] == (2, 11.0)
+    # B trade precedes every B quote -> NULLs, row still present
+    assert out[12] == (None, None)
+    # key with no right rows at all -> NULLs
+    assert out[13] == (None, None)
+
+
+def test_asof_plan_is_window_not_join(spark):
+    quotes, trades = _frames(spark)
+    plan = plan_of(
+        temporal.asof_join(
+            trades,
+            quotes,
+            on="sym",
+            left_ts="tts",
+            right_ts="qts",
+            right_values={"px": "px"},
+            left_order="tid",
+            right_order="qid",
+        )
+    )
+    # the whole operator is union + ONE keyed window: any Join node here
+    # means the nested-loop formulation snuck back in
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_pairs_bounds_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:10:00"))], "lid long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (20, _ts("2024-01-01 00:05:00")),  # exactly -tolerance: in
+            (21, _ts("2024-01-01 00:04:59")),  # just outside: out
+            (22, _ts("2024-01-01 00:15:00")),  # exactly +tolerance: in
+            (23, _ts("2024-01-01 00:15:01")),  # just outside: out
+            (24, _ts("2024-01-01 00:10:00")),  # same instant: in
+        ],
+        "rid long, rts timestamp",
+    )
+    got = sorted(
+        r["rid"]
+        for r in temporal.range_join_pairs(
+            left, right, "lts", "rts", tolerance_seconds=300
+        ).collect()
+    )
+    assert got == [20, 22, 24]
+
+
+def test_range_join_pair_uniqueness_across_buckets(spark):
+    # rows landing in different buckets than their partner must appear
+    # exactly once (the 3-bucket probe must not duplicate pairs)
+    left = spark.createDataFrame(
+        [(i, _ts("2024-01-01 00:00:00") + datetime.timedelta(seconds=37 * i))
+         for i in range(40)],
+        "lid long, lts timestamp",
+    )
+    right = left.select(
+        F.col("lid").alias("rid"), F.col("lts").alias("rts")
+    )
+    pairs = temporal.range_join_pairs(
+        left, right, "lts", "rts", tolerance_seconds=60
+    )
+    assert pairs.count() == pairs.distinct().count()
+    # spot-check the count against the exact predicate on a plain join
+    exact = (
+        left.crossJoin(right)
+        .filter(
+            F.abs(
+                F.col("lts").cast("timestamp").cast("long")
+                - F.col("rts").cast("timestamp").cast("long")
+            )
+            <= 60
+        )
+        .count()
+    )
+    assert pairs.count() == exact
+
+
+def test_range_join_plan_is_equi_join(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:10:00"))], "lid long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(2, _ts("2024-01-01 00:11:00"))], "rid long, rts timestamp"
+    )
+    plan = plan_of(
+        temporal.range_join_pairs(left, right, "lts", "rts", 300)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
