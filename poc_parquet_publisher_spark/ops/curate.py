@@ -70,7 +70,12 @@ def curate(
         .localCheckpoint()
     )
 
-    # exact dedup: smallest id per identical text survives
+    # exact dedup: smallest id per identical text survives. Measured
+    # alternative (min(id) over a text-hash window, one shuffle instead
+    # of agg+semi-join): identical wall at sf0.1 -- the pipeline cost is
+    # stage count, not this join -- and strictly worse under skew: a
+    # heavily-duplicated text serializes into one window partition,
+    # while the agg's map-side combine + AQE skew-join absorb it.
     survivors = dedup.exact_dedup(kept, id_col, text_col).select(
         F.col("keep_id").alias(id_col)
     )

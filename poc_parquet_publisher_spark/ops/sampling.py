@@ -94,6 +94,104 @@ def stratified_sample(
     return df.filter(bucket < thr)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    salt: str = "budget",
+) -> DataFrame:
+    """Keep rows per stratum until a TOKEN budget is met (not a row
+    fraction): the data-mixing primitive when mixture targets are token
+    counts -- "200B tokens of code, 50B of forums" -- as they are in
+    every real pretraining recipe.
+
+    Rows within a stratum are consumed in md5(key:salt) order (a
+    deterministic shuffle, so the kept prefix is an unbiased sample,
+    stable under retries/rescale), accumulating ``token_col`` with a
+    running-sum window; a row survives while the INCLUSIVE cumulative
+    sum is within the stratum's budget. One shuffle on the stratum key.
+    A stratum with more budget than tokens keeps everything -- budgets
+    are caps, not quotas.
+
+    Skew note: one window partition per stratum serializes each
+    stratum into one task. Strata are languages/sources (tens, not
+    millions), so the fix at 100 TB is the stratified-RATE sampler
+    first (narrow, no shuffle) to get within ~2x of target, then this
+    exact capper on the survivors.
+    """
+    from pyspark.sql.window import Window
+
+    bucket = _bucket(F.col(key_col), salt)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(bucket, F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cap = None
+    for stratum, b in sorted(budgets.items()):
+        t = F.lit(int(b))
+        cap = (
+            F.when(F.col(strata_col) == stratum, t)
+            if cap is None
+            else cap.when(F.col(strata_col) == stratum, t)
+        )
+    cap = (
+        F.lit(int(default_budget))
+        if cap is None
+        else cap.otherwise(F.lit(int(default_budget)))
+    )
+    return (
+        df.withColumn(
+            "cum_tokens",
+            F.sum(F.col(token_col).cast("long")).over(w).cast("long"),
+        )
+        .filter(F.col("cum_tokens") <= cap)
+    )
+
+
+def token_budget_sample_sql(
+    source: str,
+    key_col: str,
+    strata_col: str,
+    token_expr: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    salt: str = "budget",
+) -> str:
+    """The same token-budget capping as portable SQL (DuckDB oracle).
+
+    ``token_expr`` is the SQL expression for the per-row token count in
+    the oracle dialect (e.g. ``len(string_split(lower(text), ' '))``).
+    """
+    whens = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {int(b)}"
+        for s, b in sorted(budgets.items())
+    )
+    case = f"CASE {whens} ELSE {int(default_budget)} END"
+    return f"""
+WITH t AS (
+  SELECT {key_col}, {strata_col},
+         CAST({token_expr} AS BIGINT) AS n_toks,
+         substr(md5(concat(CAST({key_col} AS VARCHAR), ':{salt}')), 1, 4)
+             AS b
+  FROM {source}
+), c AS (
+  SELECT {key_col}, {strata_col}, n_toks,
+         CAST(SUM(n_toks) OVER (PARTITION BY {strata_col}
+                                ORDER BY b, {key_col}
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_tokens
+  FROM t
+)
+SELECT {key_col}, {strata_col}, n_toks, cum_tokens FROM c
+WHERE cum_tokens <= {case}
+ORDER BY {key_col}
+"""
+
+
 def stratified_sample_sql(
     dialect: str,
     source: str,

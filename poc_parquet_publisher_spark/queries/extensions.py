@@ -670,6 +670,44 @@ def x31_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_scores(docs, "doc_id", "text").orderBy("doc_id")
 
 
+_TOKEN_BUDGETS = {"es": 5000, "zh": 2000}
+
+
+@register(
+    "x33_token_budget_sample",
+    sampling.token_budget_sample_sql(
+        "documents",
+        "doc_id",
+        "lang",
+        "len(string_split(lower(text), ' '))",
+        _TOKEN_BUDGETS,
+        default_budget=1000,
+    ),
+    doc="token-budget data mixing: each language keeps rows in "
+        "deterministic md5(key) order until its TOKEN cap (not row "
+        "fraction) is hit -- the mixture primitive when recipe targets "
+        "are token counts. One shuffle on the stratum key; running-sum "
+        "window, inclusive cap",
+)
+def x33_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower(F.col("text")), " "))
+        .cast("long")
+        .alias("n_toks"),
+    )
+    return (
+        sampling.token_budget_sample(
+            with_toks, "doc_id", "lang", "n_toks", _TOKEN_BUDGETS,
+            default_budget=1000,
+        )
+        .select("doc_id", "lang", "n_toks", "cum_tokens")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rows-only approximate operators (oracle=None). Registered LAST so the
 # driver's fixed-size correctness window is filled entirely by
@@ -798,6 +836,32 @@ def x17_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("pcts", 2), 4).alias("p90"),
         F.round(F.element_at("pcts", 3), 4).alias("p99"),
     )
+
+
+@register(
+    "x32_pack_sequences",
+    None,  # greedy bin packing is not SQL-expressible; invariants
+    # (every doc assigned once, budget respected, determinism under
+    # repartitioning) gated in tests/test_packing.py
+    doc="sequence packing for training batches: docs hash into packing "
+        "buckets (one shuffle), a first-fit-decreasing packer runs per "
+        "bucket in applyInPandas (only (id, n_tokens) crosses the "
+        "Python boundary), sequence ids are (bucket << 32) | local -- "
+        "globally unique with zero coordination",
+)
+def x32_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), " "))
+        .cast("long")
+        .alias("n_toks"),
+    )
+    return packing.pack_sequences(
+        with_toks, "doc_id", "n_toks", budget=512, n_buckets=16
+    ).orderBy("doc_id")
 
 
 @register(

@@ -83,19 +83,8 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on, how)
 
 
-def write_partitioned(
-    df: DataFrame,
-    path: str,
-    partition_cols: list[str],
-    mode: str = "overwrite",
-) -> None:
-    """Write hive-partitioned parquet (one directory level per column).
-
-    At 100 TB the single biggest scan win is never opening the file: a
-    filter on a partition column prunes entire directories at PLANNING
-    time (PartitionFilters in the scan node), before any I/O. Partition
-    on low-cardinality pruning keys (date, source, language); never on
-    high-cardinality keys -- millions of tiny directories kill the
-    listing.
-    """
-    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+# Hive-partitioned writes + small-file compaction live in
+# pipeline/layout.py (write_partitioned bounds file counts via a
+# partition-key repartition and sorts within tasks for row-group
+# stats); re-exported here for the original call sites.
+from .pipeline.layout import write_partitioned  # noqa: E402, F401

@@ -1,0 +1,102 @@
+"""Layout management tests (pipeline/layout.py): hive partitioning must
+actually prune at planning time, partitioned writes must bound file
+counts, and compaction must shrink file counts without losing rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from poc_parquet_publisher_spark.catalog import load_table
+from poc_parquet_publisher_spark.pipeline import layout
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from tests.test_plans import plan_of
+
+
+@pytest.fixture()
+def events_dated(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    return ev.withColumn("event_date", F.to_date("ts"))
+
+
+def test_write_partitioned_prunes_and_bounds_files(
+    spark, events_dated, tmp_path
+):
+    out = str(tmp_path / "events_by_date")
+    layout.write_partitioned(
+        events_dated,
+        out,
+        partition_cols=["event_date"],
+        sort_cols=["user_id"],
+    )
+    n_parts = len(
+        [d for d in os.listdir(out) if d.startswith("event_date=")]
+    )
+    assert n_parts >= 2  # fixture spans ~30 days
+    # one shuffle on the partition key => bounded files per directory,
+    # not (tasks x partitions)
+    assert len(layout.data_files(out)) <= n_parts * 2
+
+    back = spark.read.parquet(out)
+    assert back.count() == events_dated.count()
+
+    one_day = events_dated.select(F.min("event_date")).first()[0]
+    pruned = back.filter(F.col("event_date") == F.lit(one_day))
+    plan = plan_of(pruned)
+    # the date predicate must be a PARTITION filter (planning-time prune
+    # of whole directories), not a data filter evaluated per row
+    assert "PartitionFilters: [" in plan
+    assert "event_date" in plan.split("PartitionFilters:")[1].split("]")[0]
+    assert pruned.count() == events_dated.filter(
+        F.col("event_date") == F.lit(one_day)
+    ).count()
+
+
+def test_compact_unpartitioned_shrinks_file_count(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "fragmented")
+    ev.repartition(32).write.parquet(path)
+    before = len(layout.data_files(path))
+    assert before >= 32
+    n = ev.count()
+
+    stats = layout.compact(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_before"] == before
+    assert stats["files_after"] < before
+    assert stats["files_after"] <= 2
+    assert spark.read.parquet(path).count() == n
+    # staging/backup directories must not survive
+    parent = os.path.dirname(path)
+    assert [d for d in os.listdir(parent) if "_compact" in d] == []
+
+
+def test_compact_partitioned_keeps_layout(spark, events_dated, tmp_path):
+    path = str(tmp_path / "by_date_fragmented")
+    # simulate incremental ingestion debris: many tasks per directory
+    events_dated.repartition(16).write.partitionBy("event_date").parquet(
+        path
+    )
+    n = events_dated.count()
+    before = len(layout.data_files(path))
+
+    stats = layout.compact(
+        spark,
+        path,
+        target_file_bytes=1 << 30,
+        partition_cols=["event_date"],
+        sort_cols=["user_id"],
+    )
+    assert stats["files_after"] < before
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert any(
+        d.startswith("event_date=") for d in os.listdir(path)
+    )  # hive layout preserved
+    # partition pruning still works after compaction
+    one_day = events_dated.select(F.min("event_date")).first()[0]
+    plan = plan_of(back.filter(F.col("event_date") == F.lit(one_day)))
+    assert "PartitionFilters: [" in plan
