@@ -153,32 +153,47 @@ def sample_frames(
     """Frame-sampling stub over video payloads: one output row per sampled
     frame (media_id, frame_idx, frame_sha), frame count driven by the
     TYPED METADATA (meta.duration_ms), so the plan never decodes payloads
-    it won't sample. The pyav decode slot is ``real_codecs``."""
+    it won't sample. The pyav decode slot is ``real_codecs``.
+
+    The stub kernel (frame_sha = sha256(payload || frame_idx_be32)) is pure
+    JVM: explode(sequence(0, n_frames-1)) fans out frame rows and
+    sha2(concat(...)) hashes them inside whole-stage codegen -- no Python,
+    no shuffle. A real pyav kernel would swap in a mapInPandas stage here;
+    the metadata-driven fan-out (never decoding frames it won't sample)
+    stays the same.
+    """
     if real_codecs:
         raise NotImplementedError(
             "no video codec in this environment; plug pyav frame seek here"
         )
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            vids = pdf[pdf["kind"] == "video"]
-            out_id, out_idx, out_sha = [], [], []
-            for _, row in vids.iterrows():
-                duration = (row["meta"] or {}).get("duration_ms") or 0
-                payload = row["payload"] or b""
-                for fi in range(max(1, int(duration // every_ms))):
-                    out_id.append(row["media_id"])
-                    out_idx.append(fi)
-                    out_sha.append(
-                        hashlib.sha256(
-                            payload + fi.to_bytes(4, "big")
-                        ).hexdigest()
-                    )
-            yield pd.DataFrame(
-                {"media_id": out_id, "frame_idx": out_idx, "frame_sha": out_sha}
-            )
-
-    return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+    n_frames = F.greatest(
+        F.lit(1).cast("long"),
+        (F.coalesce(F.col("meta.duration_ms"), F.lit(0)) / every_ms).cast(
+            "long"
+        ),
+    )
+    # frame_idx big-endian 4-byte suffix, JVM-side: hex -> lpad 8 -> binary
+    idx_be32 = F.to_binary(
+        F.lpad(F.hex(F.col("frame_idx")), 8, "0"), F.lit("hex")
+    )
+    return (
+        df.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.coalesce(F.col("payload"), F.lit(b"")).alias("_payload"),
+            F.explode(
+                F.sequence(F.lit(0), (n_frames - 1).cast("int"))
+            ).alias("frame_idx"),
+        )
+        .select(
+            "media_id",
+            "frame_idx",
+            F.sha2(F.concat(F.col("_payload"), idx_be32), 256).alias(
+                "frame_sha"
+            ),
+        )
+    )
 
 
 def synthetic_media(spark, n: int = 64, payload_bytes: int = 256) -> DataFrame:

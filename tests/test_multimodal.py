@@ -60,6 +60,21 @@ def test_frame_sampling_uses_metadata(media):
         assert sorted(idxs) == list(range(expected))
 
 
+def test_frame_sha_matches_reference_kernel(media):
+    """The JVM-side stub kernel must equal the documented definition:
+    sha256(payload || frame_idx encoded big-endian int32)."""
+    import hashlib
+
+    payloads = {r.media_id: r.payload for r in media.collect()}
+    rows = mm.sample_frames(media, every_ms=1000).collect()
+    assert rows
+    for r in rows[:50]:
+        want = hashlib.sha256(
+            (payloads[r.media_id] or b"") + r.frame_idx.to_bytes(4, "big")
+        ).hexdigest()
+        assert r.frame_sha == want
+
+
 def test_real_codec_slots_are_marked(media):
     with pytest.raises(NotImplementedError):
         mm.decode_features(media, real_codecs=True)
