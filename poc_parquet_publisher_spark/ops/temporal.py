@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -37,6 +38,7 @@ def asof_join(
     right_values: dict[str, str],
     left_order: str,
     right_order: str,
+    split_interval_seconds: float | None = None,
 ) -> DataFrame:
     """Attach to each left row the most recent right row of the same key.
 
@@ -49,15 +51,28 @@ def asof_join(
     otherwise. Unmatched left rows keep NULLs (left-join semantics).
 
     ``right_values`` maps right-side columns to their output aliases;
-    aliases must not collide with left's columns.
+    aliases must not collide with left's columns. ALL value columns are
+    taken from the SAME matched right row: the window fills one struct
+    of every right value (``last(struct(...), ignorenulls=True)``), so a
+    NULL in one right column is never back-filled from an older row.
 
     Scale shape: one hash partition by ``on``; within each key the
     window keeps O(1) running state (``last`` over an ever-growing
     frame is incremental, not re-scanned). A monster key serializes
-    into one task -- pre-split such keys by coarse time range and
-    stitch the boundary, same playbook as any skewed window.
+    into one task -- pass ``split_interval_seconds`` to pre-split every
+    key by coarse time range and stitch the boundaries: the window then
+    partitions by (key, time-chunk) so a hot key parallelizes across
+    its chunks, and a small per-(key, chunk) carry-in table (last right
+    row of every earlier chunk, broadcast-joined back) restores
+    cross-chunk matches exactly.
     """
     out_aliases = list(right_values.values())
+    rv_type = T.StructType(
+        [
+            T.StructField(alias, right.schema[rc].dataType, True)
+            for rc, alias in right_values.items()
+        ]
+    )
 
     def _null_like(df: DataFrame, name: str) -> Column:
         return F.lit(None).cast(df.schema[name].dataType)
@@ -69,10 +84,7 @@ def asof_join(
         F.col(left_order).alias("__ord"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left_payload],
-        *[
-            _null_like(right, rc).alias(alias)
-            for rc, alias in right_values.items()
-        ],
+        F.lit(None).cast(rv_type).alias("__rv"),
     )
     r_side = right.select(
         F.col(on),
@@ -80,23 +92,94 @@ def asof_join(
         F.col(right_order).alias("__ord"),
         F.lit(0).alias("__side"),
         *[_null_like(left, c).alias(c) for c in left_payload],
-        *[F.col(rc).alias(alias) for rc, alias in right_values.items()],
+        F.struct(
+            *[F.col(rc).alias(alias) for rc, alias in right_values.items()]
+        ).alias("__rv"),
     )
-    w = (
-        Window.partitionBy(on)
+    unioned = l_side.unionByName(r_side)
+
+    if split_interval_seconds is None:
+        w = (
+            Window.partitionBy(on)
+            .orderBy("__ats", "__ord", "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = unioned.select(
+            F.col(on),
+            F.col("__side"),
+            *[F.col(c) for c in left_payload],
+            F.last("__rv", ignorenulls=True).over(w).alias("__rv"),
+        )
+    else:
+        filled = _asof_fill_split(
+            unioned, on, left_payload, split_interval_seconds
+        )
+
+    return filled.filter(F.col("__side") == 1).select(
+        F.col(on),
+        *[F.col(c) for c in left_payload],
+        *[F.col(f"__rv.{alias}").alias(alias) for alias in out_aliases],
+    )
+
+
+def _asof_fill_split(
+    unioned: DataFrame,
+    on: str,
+    left_payload: list[str],
+    split_interval_seconds: float,
+) -> DataFrame:
+    """Skew-hardened fill: window per (key, time-chunk) + carry-stitch.
+
+    Chunks partition time, so every row of an earlier chunk strictly
+    precedes every row of a later one; the within-chunk window is
+    exact locally, and the carry-in (last right struct of any earlier
+    chunk, computed over the tiny (key, chunk) summary table and
+    broadcast back) is exact for rows with no in-chunk predecessor.
+    """
+    ats_type = unioned.schema["__ats"].dataType
+    if isinstance(ats_type, (T.TimestampType, T.TimestampNTZType)):
+        epoch = F.unix_micros(F.col("__ats").cast("timestamp"))
+        width = int(round(split_interval_seconds * 1_000_000))
+    else:  # numeric ordering column: interval is in the column's units
+        epoch = F.col("__ats").cast("double")
+        width = split_interval_seconds
+    chunked = unioned.withColumn("__chunk", F.floor(epoch / width))
+
+    w_local = (
+        Window.partitionBy(on, "__chunk")
         .orderBy("__ats", "__ord", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = l_side.unionByName(r_side).select(
+    local = chunked.select(
         F.col(on),
+        F.col("__chunk"),
         F.col("__side"),
         *[F.col(c) for c in left_payload],
-        *[
-            F.last(alias, ignorenulls=True).over(w).alias(alias)
-            for alias in out_aliases
-        ],
+        F.last("__rv", ignorenulls=True).over(w_local).alias("__rv"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+
+    # (key, chunk) -> last right struct of THAT chunk; chunks with no
+    # right rows keep a NULL summary so the carry window skips them.
+    summaries = chunked.groupBy(on, "__chunk").agg(
+        F.max_by(
+            "__rv", F.when(F.col("__side") == 0, F.struct("__ats", "__ord"))
+        ).alias("__rv_last")
+    )
+    w_carry = (
+        Window.partitionBy(on)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summaries.select(
+        F.col(on),
+        F.col("__chunk"),
+        F.last("__rv_last", ignorenulls=True).over(w_carry).alias("__carry"),
+    )
+    return (
+        local.join(F.broadcast(carry), [on, "__chunk"], "left")
+        .withColumn("__rv", F.coalesce("__rv", "__carry"))
+        .drop("__chunk", "__carry")
+    )
 
 
 def _epoch_us(ts_col: str) -> Column:

@@ -67,6 +67,66 @@ def test_asof_backward_strict_and_unmatched(spark):
     assert out[13] == (None, None)
 
 
+def test_asof_values_come_from_one_right_row(spark):
+    """A NULL in one right column must NOT be back-filled from an older
+    right row: all right values are taken from the same matched row."""
+    right = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 09:00:00"), 1, 10.0, 100.0),
+            ("A", _ts("2024-01-01 09:00:10"), 2, None, 200.0),
+        ],
+        "sym string, qts timestamp, qid long, px double, sz double",
+    )
+    left = spark.createDataFrame(
+        [("A", _ts("2024-01-01 09:00:20"), 50)],
+        "sym string, tts timestamp, tid long",
+    )
+    row = temporal.asof_join(
+        left,
+        right,
+        on="sym",
+        left_ts="tts",
+        right_ts="qts",
+        right_values={"qid": "qid", "px": "px", "sz": "sz"},
+        left_order="tid",
+        right_order="qid",
+    ).collect()[0]
+    # matched right row is qid=2 (px NULL, sz 200): px must stay NULL,
+    # not be mixed in from the older qid=1 row
+    assert (row["qid"], row["px"], row["sz"]) == (2, None, 200.0)
+
+
+def test_asof_split_matches_default_under_skew(spark):
+    """split_interval_seconds parallelizes a monster key across time
+    chunks; output must be identical to the single-window path."""
+    base = _ts("2024-01-01 00:00:00")
+    # one key holds 90% of the rows
+    left_rows = [
+        ("HOT" if i % 10 else f"C{i}", base + datetime.timedelta(seconds=7 * i), i)
+        for i in range(1000)
+    ]
+    right_rows = [
+        ("HOT" if i % 10 else f"C{i}", base + datetime.timedelta(seconds=11 * i), i,
+         float(i) if i % 3 else None)
+        for i in range(1000)
+    ]
+    left = spark.createDataFrame(left_rows, "sym string, tts timestamp, tid long")
+    right = spark.createDataFrame(right_rows, "sym string, qts timestamp, qid long, px double")
+    kwargs = dict(
+        on="sym", left_ts="tts", right_ts="qts",
+        right_values={"qid": "qid", "px": "px"},
+        left_order="tid", right_order="qid",
+    )
+    default = sorted(map(tuple, temporal.asof_join(left, right, **kwargs).collect()))
+    split = sorted(map(tuple, temporal.asof_join(
+        left, right, split_interval_seconds=600, **kwargs
+    ).collect()))
+    assert split == default
+    # hot-key window now partitions by (key, chunk): > 1 chunk for HOT
+    span = 7 * 1000  # seconds covered by left
+    assert span / 600 > 2
+
+
 def test_asof_plan_is_window_not_join(spark):
     quotes, trades = _frames(spark)
     plan = plan_of(
