@@ -88,7 +88,10 @@ def pack_sequences(
                         break
             if placed is None:
                 placed = len(remaining)
-                remaining.append(max(budget - n, 0))
+                # oversize docs leave NEGATIVE capacity: the bin is
+                # closed to everything, including zero-token docs, so
+                # over-budget sequences stay singletons
+                remaining.append(budget - n)
             else:
                 remaining[placed] -= n
             seqs.append((b << 32) | placed)
