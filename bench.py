@@ -36,6 +36,20 @@ def main() -> None:
     # Warm the JVM/session so q01 doesn't absorb the startup cost.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Warm the Python worker pool the same way: spawn all workers and
+    # pre-import the Arrow-UDF dependencies, so the FIRST pandas-UDF
+    # query isn't charged ~30 process spawns + numpy/pandas imports
+    # (measured ~4 s at local[32] -- that cost is process startup, not
+    # engine cost, exactly like the JVM warmup above).
+    def _warm_workers(it):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from it
+
+    spark.range(256, numPartitions=int(spark.sparkContext.defaultParallelism)) \
+        .mapInPandas(_warm_workers, "id long").count()
+
     timings: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
         t0 = time.perf_counter()

@@ -124,6 +124,11 @@ def token_budget_sample(
     """
     from pyspark.sql.window import Window
 
+    if "cum_tokens" in df.columns:
+        raise ValueError(
+            "token_budget_sample emits a 'cum_tokens' output column; "
+            "rename the input column of that name first"
+        )
     bucket = _bucket(F.col(key_col), salt)
     w = (
         Window.partitionBy(strata_col)

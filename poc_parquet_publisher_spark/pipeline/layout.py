@@ -27,10 +27,35 @@ Row-group sizing (the reference's flush interval) maps to
 from __future__ import annotations
 
 import math
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _fs_for(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FileSystem API, so
+    every layout operation works on any supported scheme (file:, hdfs:,
+    s3a:) -- never os.walk/os.rename, which silently scope the 100 TB
+    claims to a local disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """Recursive (path, bytes) of parquet data files under a tree."""
+    fs, jpath = _fs_for(spark, path)
+    if not fs.exists(jpath):
+        return []
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            out.append((status.getPath().toString(), status.getLen()))
+    return out
 
 
 def write_partitioned(
@@ -64,16 +89,13 @@ def write_partitioned(
     writer.parquet(path)
 
 
-def data_files(path: str) -> list[str]:
-    """All parquet data files under a (possibly partitioned) tree."""
-    found: list[str] = []
-    for root, _dirs, files in os.walk(path):
-        found.extend(
-            os.path.join(root, f)
-            for f in files
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
-        )
-    return found
+def data_files(path: str, spark: SparkSession | None = None) -> list[str]:
+    """All parquet data files under a (possibly partitioned) tree, listed
+    through the Hadoop FileSystem of the path's scheme."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("data_files needs an active SparkSession")
+    return [p for p, _sz in _list_data_files(spark, path)]
 
 
 def compact(
@@ -85,47 +107,77 @@ def compact(
 ) -> dict:
     """Rewrite a parquet tree into ~``target_file_bytes`` files.
 
-    Reads the tree, computes the output task count from the observed
-    on-disk bytes (so compression ratio is measured, not guessed --
-    the same bytes-per-row sampling trick the generator uses for the
-    reference's 1 GB stop condition), and rewrites. Partitioned trees
-    keep their partitioning; the write goes to a staging directory
-    first and swaps in atomically-ish (rename) so a crashed compaction
-    never leaves the table half-rewritten.
+    Reads the tree, measures on-disk bytes and row count (so the
+    compression ratio is observed, not guessed -- the same
+    bytes-per-row trick the generator uses for the reference's 1 GB
+    stop condition: cmd/create-test-data/main.go:57-91), and rewrites:
+
+    - unpartitioned: ``repartition(ceil(bytes / target))``;
+    - partitioned: one shuffle on the partition key keeps the hive
+      layout, and ``maxRecordsPerFile`` (derived from observed
+      bytes/row) bounds file size WITHIN each directory too.
+
+    All listing/rename/delete goes through the Hadoop FileSystem API,
+    so the same code compacts file:, hdfs:, or s3a: trees. The rewrite
+    lands in a staging directory and swaps in via two renames --
+    atomic-enough on HDFS/local (directory rename), but object stores
+    implement rename as copy+delete and concurrent readers can see the
+    table vanish for the duration of the swap: pause readers or
+    compact into a new table path there. Stale ``._compact_tmp`` /
+    ``._compact_old`` debris from a crashed run is cleared first, so
+    compaction is re-runnable.
 
     Returns {files_before, files_after, bytes}.
     """
-    files = data_files(path)
+    files = _list_data_files(spark, path)
     if not files:
         raise ValueError(f"no parquet data files under {path}")
-    total_bytes = sum(os.path.getsize(f) for f in files)
+    total_bytes = sum(sz for _p, sz in files)
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
     df = spark.read.parquet(path)
 
+    fs, _ = _fs_for(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
     staging = path.rstrip("/") + "._compact_tmp"
+    backup = path.rstrip("/") + "._compact_old"
+    for stale in (staging, backup):
+        if fs.exists(jpath(stale)):
+            fs.delete(jpath(stale), True)
+
+    n_rows = df.count()
+    bytes_per_row = max(1.0, total_bytes / max(1, n_rows))
+    max_records = max(1, int(target_file_bytes / bytes_per_row))
+
     if partition_cols:
-        # keep the hive layout; bound files per directory via coalesced
-        # shuffle on the partition key
+        # keep the hive layout; one shuffle on the partition key bounds
+        # files per directory, maxRecordsPerFile bounds their size
         out = df.repartition(*[F.col(c) for c in partition_cols])
         if sort_cols:
             out = out.sortWithinPartitions(*partition_cols, *sort_cols)
-        out.write.mode("overwrite").partitionBy(*partition_cols).parquet(
-            staging
+        (
+            out.write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records)
+            .partitionBy(*partition_cols)
+            .parquet(staging)
         )
     else:
         out = df.repartition(n_out)
         if sort_cols:
             out = out.sortWithinPartitions(*sort_cols)
-        out.write.mode("overwrite").parquet(staging)
+        (
+            out.write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records)
+            .parquet(staging)
+        )
 
-    import shutil
-
-    backup = path.rstrip("/") + "._compact_old"
-    os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup)
+    if not fs.rename(jpath(path), jpath(backup)):
+        raise IOError(f"compact: failed to move {path} aside")
+    if not fs.rename(jpath(staging), jpath(path)):
+        fs.rename(jpath(backup), jpath(path))  # roll back
+        raise IOError(f"compact: failed to swap staging into {path}")
+    fs.delete(jpath(backup), True)
     return {
         "files_before": len(files),
-        "files_after": len(data_files(path)),
+        "files_after": len(_list_data_files(spark, path)),
         "bytes": total_bytes,
     }

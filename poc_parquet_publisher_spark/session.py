@@ -67,6 +67,44 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def assemble_conf(
+    shuffle_partitions: int | None = None,
+    s3_endpoint: str | None = None,
+    s3_access_key: str | None = None,
+    s3_secret_key: str | None = None,
+    s3_region: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The session conf as a pure dict (testable without a live JVM --
+    getOrCreate silently ignores confs once a session exists, so the
+    s3a contract is pinned here, not on a running session).
+
+    The fs.s3a.* block is the analog of the reference's DuckDB S3 boot
+    (cmd/duckdb-record-processor/duckdb.go:18-39: s3_endpoint,
+    s3_access_key_id, s3_secret_access_key, s3_region for the local/
+    LocalStack environment)."""
+    conf = dict(_BASE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions or default_parallelism()
+    )
+    endpoint = s3_endpoint or os.environ.get("S3_ENDPOINT_OVERRIDE")
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+        conf["spark.hadoop.fs.s3a.path.style.access"] = "true"
+        # plain-http endpoints (LocalStack) cannot speak TLS
+        if endpoint.startswith("http://"):
+            conf["spark.hadoop.fs.s3a.connection.ssl.enabled"] = "false"
+    if s3_access_key:
+        conf["spark.hadoop.fs.s3a.access.key"] = s3_access_key
+    if s3_secret_key:
+        conf["spark.hadoop.fs.s3a.secret.key"] = s3_secret_key
+    if s3_region:
+        conf["spark.hadoop.fs.s3a.endpoint.region"] = s3_region
+    if extra_conf:
+        conf.update(extra_conf)
+    return conf
+
+
 def build_session(
     app_name: str = "poc-parquet-publisher-spark",
     master: str | None = None,
@@ -74,6 +112,7 @@ def build_session(
     s3_endpoint: str | None = None,
     s3_access_key: str | None = None,
     s3_secret_key: str | None = None,
+    s3_region: str | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) the engine session.
@@ -89,18 +128,14 @@ def build_session(
     cores = default_parallelism()
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{cores}]")
-    conf = dict(_BASE_CONF)
-    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cores)
-    endpoint = s3_endpoint or os.environ.get("S3_ENDPOINT_OVERRIDE")
-    if endpoint:
-        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
-        conf["spark.hadoop.fs.s3a.path.style.access"] = "true"
-    if s3_access_key:
-        conf["spark.hadoop.fs.s3a.access.key"] = s3_access_key
-    if s3_secret_key:
-        conf["spark.hadoop.fs.s3a.secret.key"] = s3_secret_key
-    if extra_conf:
-        conf.update(extra_conf)
+    conf = assemble_conf(
+        shuffle_partitions=shuffle_partitions,
+        s3_endpoint=s3_endpoint,
+        s3_access_key=s3_access_key,
+        s3_secret_key=s3_secret_key,
+        s3_region=s3_region,
+        extra_conf=extra_conf,
+    )
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

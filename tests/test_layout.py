@@ -100,3 +100,40 @@ def test_compact_partitioned_keeps_layout(spark, events_dated, tmp_path):
     one_day = events_dated.select(F.min("event_date")).first()[0]
     plan = plan_of(back.filter(F.col("event_date") == F.lit(one_day)))
     assert "PartitionFilters: [" in plan
+
+
+def test_compact_is_rerunnable_after_crash_debris(spark, tmp_path):
+    """Stale staging/backup dirs from a crashed compaction must not make
+    the next run fail -- they are cleared up front (Hadoop FS delete)."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "t")
+    ev.repartition(8).write.parquet(path)
+    os.makedirs(path + "._compact_old")
+    os.makedirs(path + "._compact_tmp")
+    layout.compact(spark, path, target_file_bytes=1 << 30)
+    assert spark.read.parquet(path).count() == ev.count()
+    parent = os.path.dirname(path)
+    assert [d for d in os.listdir(parent) if "_compact" in d] == []
+
+
+def test_compact_partitioned_honors_target_file_bytes(
+    spark, events_dated, tmp_path
+):
+    """The partitioned branch must bound file size too (observed
+    bytes/row -> maxRecordsPerFile), not emit one file per directory
+    regardless of target_file_bytes."""
+    path = str(tmp_path / "by_date")
+    events_dated.write.partitionBy("event_date").parquet(path)
+    total = sum(sz for _p, sz in layout._list_data_files(spark, path))
+    n_dirs = len(
+        [d for d in os.listdir(path) if d.startswith("event_date=")]
+    )
+    stats = layout.compact(
+        spark,
+        path,
+        target_file_bytes=max(1, total // (n_dirs * 2)),
+        partition_cols=["event_date"],
+    )
+    # a target well below the per-directory volume must split files
+    assert stats["files_after"] > n_dirs
+    assert spark.read.parquet(path).count() == events_dated.count()
