@@ -185,6 +185,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_scores(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination scores: for each document, the fraction of
+    its distinct k-gram shingles that also occur anywhere in ``benchmark``
+    (the eval/test set). Decontamination = drop rows above a threshold
+    before training.
+
+    Output: (doc, n_sh, n_overlap, contamination) for every document with
+    >= k tokens; contamination = round(n_overlap / n_sh, 4).
+
+    Scale shape: the benchmark side is small by contract (eval sets are
+    MBs against a 100 TB corpus), so its distinct shingle set rides a
+    broadcast hash join -- the corpus side is one shingle explode + one
+    groupBy(doc), never shuffled on the shingle, and the benchmark is
+    never collected to the driver.
+    """
+    doc_sh = shingles(df, id_col, text_col, k)
+    bench_sh = (
+        shingles(benchmark, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    overlap = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    per_doc = doc_sh.select("doc", "n_sh").distinct()
+    return (
+        per_doc.join(overlap, "doc", "left")
+        .withColumn(
+            "n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_overlap") / F.col("n_sh"), 4),
+        )
+        .select("doc", "n_sh", "n_overlap", "contamination")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

@@ -157,6 +157,74 @@ def token_budget_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "weighted",
+) -> DataFrame:
+    """Deterministic weighted priority sample: keep the ``n`` rows with
+    the smallest ``u / w`` where ``u`` is a 32-bit uniform derived from
+    md5(key:salt) and ``w`` the row weight -- higher-weight rows draw
+    smaller keys and win proportionally more often (the priority-sample
+    analog of the exponential-sort trick, with a DIVISION-ONLY key:
+    unlike ln/pow, IEEE division is exactly rounded, so Spark and a SQL
+    oracle compute bit-identical priorities from identical inputs).
+
+    Scale shape: a narrow projection plus one TakeOrdered (top-n by
+    priority) -- no full sort, no shuffle of the corpus, no RNG state;
+    the sample is a pure function of (key, weight, salt) so retries,
+    repartitioning, and engine swaps reproduce it exactly. Rows with
+    non-positive weight are excluded (they'd divide to +-inf).
+    """
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col(key_col).cast("string"), F.lit(f":{salt}"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    pri = u / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("priority", F.round(pri, 4))
+        .orderBy(pri, F.col(key_col))
+        .limit(n)
+    )
+
+
+def weighted_sample_sql(
+    source: str,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "weighted",
+    extra_cols: str = "",
+) -> str:
+    """The same priority sample as DuckDB SQL (hex->int spelled
+    ``CAST(concat('0x', ...) AS BIGINT)``; Spark's spelling is
+    ``conv(..., 16, 10)`` -- both yield the same integer, and the
+    division-only key keeps the float priorities bit-identical)."""
+    u = (
+        f"CAST(CAST(concat('0x', substr(md5(concat(CAST({key_col} AS "
+        f"VARCHAR), ':{salt}')), 1, 8)) AS BIGINT) AS DOUBLE)"
+    )
+    return f"""
+WITH t AS (
+  SELECT {key_col}, {weight_col},{extra_cols}
+         {u} / CAST({weight_col} AS DOUBLE) AS pri
+  FROM {source} WHERE {weight_col} > 0
+)
+SELECT {key_col}, {weight_col},{extra_cols} ROUND(pri, 4) AS priority
+FROM t ORDER BY pri, {key_col} LIMIT {n}
+"""
+
+
 def token_budget_sample_sql(
     source: str,
     key_col: str,

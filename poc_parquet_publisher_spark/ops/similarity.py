@@ -556,3 +556,79 @@ def lsh_neardup_pairs(
     return pairs.select("id_a", "id_b", "__vec_a", "__vec_b").mapInPandas(
         score, schema="id_a long, id_b long, sim double"
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster embeddings with a coarse k-means quantizer, then WITHIN each
+    cluster drop every row whose cosine similarity to a lower-id row of
+    the same cluster reaches ``threshold``. Trades recall (cross-cluster
+    duplicates survive) for a corpus that is never compared all-pairs --
+    exactly the published recipe for web-scale embedding dedup.
+
+    Output: (id, centroid, keep) for every corpus row; survivors have
+    ``keep = true``. Deterministic: the quantizer trains on a bounded
+    key-hashed sample, ties in centroid assignment break to the lowest
+    centroid index, similarities are rounded to 4 decimals before the
+    threshold test, and the keep rule orders by id.
+
+    Scale shape: assignment is ONE narrow mapInPandas pass with the tiny
+    centroid matrix broadcast (vectors ride through the same pass, so no
+    second join); the only shuffle is groupBy(centroid), and the in-
+    cluster work is a |c| x |c| matmul -- the SemDeDup contract is that
+    cluster sizes are bounded (scale n_centroids with the corpus; a
+    pathologically hot cluster is the AQE-skew / re-cluster case, same
+    as any blocked near-dup pass).
+    """
+    spark = corpus.sparkSession
+    raw_centers = _fit_centroids_on_sample(
+        corpus, id_col, vec_col, n_centroids, seed, max_iter
+    )
+    bc_centers = spark.sparkContext.broadcast(raw_centers)
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc_centers.value
+        c_sq = (c**2).sum(axis=1)[None, :]
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (m**2).sum(axis=1, keepdims=True) - 2.0 * (m @ c.T) + c_sq
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "centroid": d2.argmin(axis=1).astype(np.int32),
+                    "vec": pdf[vec_col],
+                }
+            )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign, schema="id long, centroid int, vec array<float>"
+    )
+
+    def dedup_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        sims = np.round((mat / norms) @ (mat / norms).T, 4)
+        dup = (np.tril(sims >= threshold, k=-1)).any(axis=1)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "centroid": pdf["centroid"],
+                "keep": ~dup,
+            }
+        )
+
+    return assigned.groupBy("centroid").applyInPandas(
+        dedup_group, schema="id long, centroid int, keep boolean"
+    )

@@ -459,3 +459,153 @@ SELECT doc, term, tf, df_cnt, tfidf FROM ranked
 WHERE rnk <= {top_terms_per_doc}
 ORDER BY doc, rnk
 """
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean unigram log10-probability under the corpus's own
+    unigram model -- the classic cheap fluency/quality proxy (a document
+    full of corpus-rare junk tokens scores low, a document of common
+    well-distributed tokens scores high; the statistical-LM ancestor of
+    perplexity filtering).
+
+    Output: (doc, n_toks, mean_logp) with
+    mean_logp = round(sum_t c_t * log10(freq_t / total) / n_toks, 4).
+
+    Scale shape: token frequencies are one groupBy over the exploded
+    corpus (map-side partial agg); the corpus total rides along as a
+    broadcast 1-row aggregate; per-doc scoring joins (doc, term, c_dt)
+    against the aggregated (already small) term table -- the same
+    two-groupBys-plus-term-join shape as tf_idf, no collect, no window.
+
+    Cross-engine determinism: each term's log10 is computed once from
+    identical doubles, rounded to 6 decimals, and accumulated in DECIMAL
+    (order-independent exact sums), so partition order never changes the
+    hash; only then is the mean cast to DOUBLE and rounded to 4.
+    """
+    terms = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_toks(text_col)).alias("term"),
+    ).filter(F.col("term") != "")
+    doc_tf = terms.groupBy("doc", "term").agg(
+        F.count(F.lit(1)).alias("c_dt")
+    )
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c_t"))
+    total = terms.agg(F.count(F.lit(1)).cast("double").alias("__total"))
+    logp = (
+        F.round(F.log10(F.col("c_t") / F.col("__total")), 6)
+        .cast("decimal(18,6)")
+        .alias("logp")
+    )
+    term_logp = freq.crossJoin(F.broadcast(total)).select("term", logp)
+    return (
+        doc_tf.join(term_logp, "term")
+        .groupBy("doc")
+        .agg(
+            F.sum("c_dt").cast("long").alias("n_toks"),
+            F.sum(
+                F.col("c_dt").cast("decimal(18,0)") * F.col("logp")
+            ).alias("__sum_logp"),
+        )
+        .withColumn(
+            "mean_logp",
+            F.round(
+                F.col("__sum_logp").cast("double") / F.col("n_toks"), 4
+            ),
+        )
+        .select("doc", "n_toks", "mean_logp")
+    )
+
+
+def unigram_logprob_oracle_sql(
+    source: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """DuckDB SQL mirroring ``unigram_logprob`` (total inlined as a
+    scalar subquery; the same round-then-DECIMAL accumulation)."""
+    return f"""
+WITH terms AS (
+  SELECT {id_col} AS doc,
+         unnest(string_split(lower(text), ' ')) AS term
+  FROM {source}
+), t AS (
+  SELECT doc, term FROM terms WHERE term != ''
+), doc_tf AS (
+  SELECT doc, term, count(*) AS c_dt FROM t GROUP BY doc, term
+), freq AS (
+  SELECT term, count(*) AS c_t FROM t GROUP BY term
+), term_logp AS (
+  SELECT term,
+         CAST(ROUND(log10(c_t / (SELECT CAST(count(*) AS DOUBLE) FROM t)),
+                    6) AS DECIMAL(18,6)) AS logp
+  FROM freq
+)
+SELECT doc, CAST(SUM(c_dt) AS BIGINT) AS n_toks,
+       ROUND(CAST(SUM(CAST(c_dt AS DECIMAL(18,0)) * logp) AS DOUBLE)
+             / CAST(SUM(c_dt) AS BIGINT), 4) AS mean_logp
+FROM doc_tf JOIN term_logp USING (term)
+GROUP BY doc
+ORDER BY doc
+"""
+
+
+def source_mix_stats(
+    df: DataFrame, strata_col: str, text_col: str
+) -> DataFrame:
+    """Mixture report per stratum (source/language/domain): document and
+    token counts, token share, and the uniform-target reweight factor
+    (target_share / actual_share) a mixer would apply to rebalance the
+    corpus -- the bookkeeping half of data mixing (the enforcement half
+    is stratified_sample / token_budget_sample).
+
+    Output: (stratum, n_docs, n_tokens, token_share, reweight).
+
+    Scale shape: one hash-groupBy over the corpus (map-side partial
+    agg); the grand totals ride a broadcast 1-row aggregate -- no
+    window, no second shuffle.
+    """
+    n_toks = F.size(_toks(text_col)).cast("long")
+    per = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_toks).cast("long").alias("n_tokens"),
+    )
+    totals = per.agg(
+        F.sum("n_tokens").cast("double").alias("__total_tokens"),
+        F.count(F.lit(1)).cast("double").alias("__n_strata"),
+    )
+    share = F.col("n_tokens") / F.col("__total_tokens")
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "stratum",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 4).alias("token_share"),
+            F.round((1.0 / F.col("__n_strata")) / share, 4).alias(
+                "reweight"
+            ),
+        )
+    )
+
+
+def source_mix_stats_oracle_sql(
+    source: str = "documents",
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL mirroring ``source_mix_stats``."""
+    return f"""
+WITH per AS (
+  SELECT {strata_col} AS stratum, count(*) AS n_docs,
+         CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+             AS n_tokens
+  FROM {source} GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total_tokens,
+         CAST(count(*) AS DOUBLE) AS n_strata
+  FROM per
+)
+SELECT stratum, n_docs, n_tokens,
+       ROUND(n_tokens / total_tokens, 4) AS token_share,
+       ROUND((1.0 / n_strata) / (n_tokens / total_tokens), 4) AS reweight
+FROM per, tot
+ORDER BY stratum
+"""

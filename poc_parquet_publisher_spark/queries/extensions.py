@@ -878,3 +878,118 @@ def x23_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return curate.curate(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: contamination, semantic dedup, weighted sampling,
+# unigram-LM quality, mixture reporting
+# ---------------------------------------------------------------------------
+
+# x34's oracle mirrors x03's k=3 shingle CTE; the benchmark is the
+# deterministic doc_id % 25 == 0 slice (a stand-in eval set -- ~4% of
+# docs, small enough that the Spark side broadcasts it by contract).
+_X34_CONTAMINATION_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(string_split(lower(text), ' ')) - 1),
+           i -> array_to_string(
+                  (string_split(lower(text), ' '))[i:i+2], ' ')
+         )) AS sh
+  FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 3
+), e AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM t
+), bench AS (
+  SELECT DISTINCT shingle FROM e WHERE doc_id % 25 = 0
+), ov AS (
+  SELECT e.doc_id, count(*) AS n_overlap
+  FROM e JOIN bench USING (shingle) GROUP BY e.doc_id
+), per AS (
+  SELECT DISTINCT doc_id, n_sh FROM e
+)
+SELECT per.doc_id AS doc, per.n_sh,
+       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       ROUND(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / per.n_sh, 4)
+           AS contamination
+FROM per LEFT JOIN ov USING (doc_id)
+ORDER BY doc
+"""
+
+
+@register(
+    "x34_contamination",
+    _X34_CONTAMINATION_ORACLE,
+    doc="benchmark-contamination scores: fraction of each doc's distinct "
+        "3-gram shingles that occur in the eval set (doc_id % 25 == 0 "
+        "slice). Benchmark shingles ride a broadcast join; the corpus "
+        "side is one explode + one groupBy(doc) -- decontamination is "
+        "a threshold filter on the score",
+)
+def x34_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    return dedup.contamination_scores(
+        docs, bench, "doc_id", "text", k=3
+    ).orderBy("doc")
+
+
+@register(
+    "x35_semantic_dedup",
+    None,  # k-means clustering is not SQL-expressible; precision /
+    # co-clustered-recall / determinism gated in tests/test_ops_quality.py
+    doc="SemDeDup-style semantic dedup: coarse k-means clusters (trained "
+        "on a bounded sample), within-cluster cosine >= threshold drops "
+        "the higher id. Never all-pairs; cross-cluster dups are the "
+        "documented recall trade (Abbas et al. 2023)",
+)
+def x35_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.4, n_centroids=8
+    ).orderBy("id")
+
+
+@register(
+    "x36_weighted_sample",
+    "SELECT * FROM ("
+    + sampling.weighted_sample_sql("documents", "doc_id", "n_chars", n=100)
+    + ") ORDER BY doc_id",
+    doc="deterministic weighted priority sample: 100 docs by priority "
+        "u/w (u = md5-derived 32-bit uniform, w = n_chars) -- "
+        "division-only keys are IEEE-exact cross-engine, one "
+        "TakeOrdered, no shuffle, stable under retries",
+)
+def x36_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.weighted_sample(docs, "doc_id", "n_chars", n=100)
+        .select("doc_id", "n_chars", "priority")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x37_unigram_logprob",
+    text.unigram_logprob_oracle_sql("documents", "doc_id"),
+    doc="per-doc mean unigram log10-prob under the corpus's own unigram "
+        "LM (cheap fluency proxy, ancestor of perplexity filtering): "
+        "two groupBys + a join on the aggregated term table, DECIMAL-"
+        "accumulated so shuffle order never changes the hash",
+)
+def x37_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.unigram_logprob(docs, "doc_id", "text").orderBy("doc")
+
+
+@register(
+    "x38_source_mix",
+    text.source_mix_stats_oracle_sql("documents", "source"),
+    doc="mixture report per source: doc/token counts, token share, and "
+        "the uniform-target reweight factor -- the bookkeeping half of "
+        "data mixing (enforcement = stratified/token-budget samplers); "
+        "one hash-groupBy + broadcast totals",
+)
+def x38_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.source_mix_stats(docs, "source", "text").orderBy("stratum")

@@ -437,3 +437,67 @@ def test_duplicate_clusters_empty_pairs(spark):
     (and the convergence probe terminates on the first round)."""
     pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
     assert dedup.duplicate_clusters(pairs).count() == 0
+
+
+def test_semantic_dedup_precision_and_coverage(emb):
+    """x35 gates: (a) every row appears exactly once; (b) precision 1.0 --
+    a dropped row really has a lower-id co-clustered row at >= threshold
+    (verified against numpy exact cosines); (c) co-clustered recall 1.0 --
+    any same-cluster pair at >= threshold drops the higher id; (d) the
+    assignment is stable under repartitioning."""
+    thr = 0.4
+    res = similarity.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=thr, n_centroids=4
+    )
+    rows = res.collect()
+    n = emb.count()
+    assert len(rows) == n and len({r.id for r in rows}) == n
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    sim = {
+        (int(a), int(b)): round(float(mat[i] @ mat[j]), 4)
+        for i, a in enumerate(ids)
+        for j, b in enumerate(ids)
+        if a < b
+    }
+
+    cluster = {r.id: r.centroid for r in rows}
+    dropped = {r.id for r in rows if not r.keep}
+    assert dropped, "fixture should contain semantic near-dups at 0.4"
+    by_id = sorted(r.id for r in rows)
+    for d in dropped:
+        assert any(
+            cluster[o] == cluster[d] and sim[(o, d)] >= thr
+            for o in by_id
+            if o < d
+        ), f"row {d} dropped without a qualifying lower-id neighbor"
+    for (a, b), s in sim.items():
+        if s >= thr and cluster[a] == cluster[b]:
+            assert b in dropped, f"co-clustered dup ({a},{b}) kept {b}"
+
+    again = similarity.semantic_dedup(
+        emb.repartition(7), "vec_id", "embedding",
+        threshold=thr, n_centroids=4,
+    ).collect()
+    assert {(r.id, r.centroid, r.keep) for r in again} == {
+        (r.id, r.centroid, r.keep) for r in rows
+    }
+
+
+def test_weighted_sample_is_weight_biased(docs):
+    """x36 gate: the priority sample is deterministic and actually biased
+    by weight -- the sampled mean weight exceeds the corpus mean."""
+    from poc_parquet_publisher_spark.ops import sampling
+
+    s1 = sampling.weighted_sample(docs, "doc_id", "n_chars", n=50).collect()
+    s2 = sampling.weighted_sample(
+        docs.repartition(5), "doc_id", "n_chars", n=50
+    ).collect()
+    assert [r.doc_id for r in s1] == [r.doc_id for r in s2]
+    assert len(s1) == 50
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(r.n_chars for r in s1) / len(s1)
+    assert sample_mean > corpus_mean
