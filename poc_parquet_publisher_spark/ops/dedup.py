@@ -84,18 +84,14 @@ def _rebalanced(df: DataFrame) -> DataFrame:
     return df
 
 
-def shingles(
+def shingle_arrays(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
-    """Distinct k-token shingles per document -> (id, shingle), plus the
-    per-document shingle count as ``n_sh`` (needed for Jaccard).
-
-    The token array is bound as a real attribute in its own projection
-    BEFORE the higher-order transform: expressions inside a lambda are
-    re-evaluated per element and never subexpression-eliminated, so an
-    inlined split() would re-tokenize the document once per shingle
-    position (measured 8 s -> 0.3 s at sf0.1 for 260k shingles).
-    """
+    """Per-document distinct k-token shingle ARRAYS -> (doc, sh); docs
+    shorter than ``k`` tokens are dropped. The array form feeds both the
+    exploded postings (``shingles``) and the minhash signatures
+    (``minhash_banded_pairs``), which fold over the array without
+    exploding it."""
     toks_df = _rebalanced(df).select(
         F.col(id_col).alias("doc"), _tokens(text_col).alias("toks")
     )
@@ -108,19 +104,30 @@ def shingles(
             ),
         )
     )
+    return toks_df.filter(F.size(toks) >= k).select("doc", sh.alias("sh"))
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Distinct k-token shingles per document -> (id, shingle), plus the
+    per-document shingle count as ``n_sh`` (needed for Jaccard).
+
+    The token array is bound as a real attribute in its own projection
+    BEFORE the higher-order transform: expressions inside a lambda are
+    re-evaluated per element and never subexpression-eliminated, so an
+    inlined split() would re-tokenize the document once per shingle
+    position (measured 8 s -> 0.3 s at sf0.1 for 260k shingles).
+    """
     # explode_outer, NOT explode: for inner generates the optimizer infers
     # a size(sh) > 0 filter and pushes it below the repartition, inlining
     # the whole shingle expression into a pre-shuffle filter that runs on
     # the raw (possibly single-partition) input. The size(toks) >= k guard
     # already makes the array non-empty, so outer == inner here.
-    return (
-        toks_df.filter(F.size(toks) >= k)
-        .select("doc", sh.alias("sh"))
-        .select(
-            "doc",
-            F.size("sh").alias("n_sh"),
-            F.explode_outer("sh").alias("shingle"),
-        )
+    return shingle_arrays(df, id_col, text_col, k).select(
+        "doc",
+        F.size("sh").alias("n_sh"),
+        F.explode_outer("sh").alias("shingle"),
     )
 
 
@@ -530,3 +537,121 @@ def duplicate_clusters(
 def deterministic_md5_int(s: str) -> int:
     """Driver-side helper: stable 64-bit int from a string (test support)."""
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big", signed=False)
+
+
+def minhash_banded_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    max_docs_per_band: int | None = 1000,
+) -> DataFrame:
+    """Deterministic MinHash-LSH candidate pairs, oracle-verifiable.
+
+    Unlike ``minhash_lsh_pairs`` (pyspark.ml, engine-private hash
+    seeds, rows-only checkable), every hash here is md5-derived, so a
+    SQL oracle reproduces the EXACT pair set: 8 minhash components come
+    from 2 md5 evaluations per shingle (each 32-hex digest yields four
+    independent 8-hex slices -- 4x fewer hashes than one md5 per
+    component), components pair into 4 bands of width 2, and candidates
+    are documents sharing at least one band.
+
+    Output: (id_a, id_b, n_shared_bands) with id_a < id_b. Banding
+    math: P(pair surfaces) = 1 - (1 - j^2)^4 for true Jaccard j --
+    ~0.93 at j=0.7, ~0.31 at j=0.3 -- the classic LSH S-curve; feed the
+    survivors to an exact Jaccard pass for a verified threshold.
+
+    Scale shape: signatures are a narrow fold over the per-doc shingle
+    array (no explode of the corpus, no Python); the only shuffle is
+    groupBy(band_id, band_key), pairs expand inside each bucket with
+    the same sorted-array HOF as ``ngram_jaccard_pairs``, and
+    ``max_docs_per_band`` caps degenerate bands.
+    """
+    arrs = shingle_arrays(df, id_col, text_col, k)
+    sh = F.col("sh")
+
+    # a closure factory, not default-arg binding: pyspark reads the
+    # lambda's parameter count to pick the HOF arity, so extra bound
+    # params would be mistaken for (element, index, ...) arguments
+    def _sliced_hash(salt: int, off: int):
+        return lambda s: F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), s)), off, 8
+        )
+
+    sigs = [
+        F.array_min(F.transform(sh, _sliced_hash(salt, off)))
+        for salt in (0, 1)
+        for off in (1, 9, 17, 25)
+    ]
+    bands = F.array(
+        *[F.concat(sigs[2 * b], sigs[2 * b + 1]) for b in range(4)]
+    )
+    banded = arrs.select(
+        "doc", F.posexplode(bands).alias("band_id", "band_key")
+    )
+    buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.collect_list("doc").alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    if max_docs_per_band is not None:
+        buckets = buckets.filter(F.size("ds") <= max_docs_per_band)
+    ds = F.array_sort(F.col("ds"))
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ds,
+                    lambda x, i: F.transform(
+                        F.slice(ds, i + F.lit(2), F.size(ds)),
+                        lambda y: F.struct(
+                            x.alias("id_a"), y.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_bands")
+    )
+
+
+def minhash_banded_pairs_oracle_sql(
+    source: str = "documents", id_col: str = "doc_id", k: int = 3
+) -> str:
+    """DuckDB SQL mirroring ``minhash_banded_pairs`` exactly (same md5
+    slices, same bands). ``k`` is fixed at 3 in the CTE below."""
+    sig_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> substr(md5('{salt}:' || s), "
+        f"{off}, 8))) AS s{4 * salt + i}"
+        for salt in (0, 1)
+        for i, off in enumerate((1, 9, 17, 25))
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc, {b} AS band_id, s{2 * b} || s{2 * b + 1} AS band_key "
+        "FROM sg"
+        for b in range(4)
+    )
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc,
+         list_distinct(list_transform(
+           range(1, len(string_split(lower(text), ' ')) - 1),
+           i -> array_to_string(
+                  (string_split(lower(text), ' '))[i:i+2], ' ')
+         )) AS sh
+  FROM {source}
+  WHERE len(string_split(lower(text), ' ')) >= 3
+), sg AS (
+  SELECT doc, {sig_cols} FROM t
+), b AS (
+  {band_rows}
+)
+SELECT a.doc AS id_a, b2.doc AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM b a JOIN b b2 USING (band_id, band_key)
+WHERE a.doc < b2.doc
+GROUP BY 1, 2
+ORDER BY id_a, id_b
+"""

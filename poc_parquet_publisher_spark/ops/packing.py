@@ -152,3 +152,90 @@ def chunk_oversize(
             )
         ).alias("chunk_idx", "n_tokens"),
     ).filter(F.col("n_tokens") > 0)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks -- the
+    context-window preprocessing step (RAG indexing, long-doc training):
+    chunk i covers tokens [i*stride, i*stride + chunk_tokens); the final
+    window is shorter when the doc runs out; a doc shorter than one
+    chunk yields exactly one chunk.
+
+    Output: (id, chunk_idx, n_chunk_toks, chunk_text), one row per
+    chunk. Pure integer arithmetic over the token array -- a narrow
+    explode (sequence + slice + array_join), no shuffle, no Python, and
+    bit-identical across engines (no floats anywhere).
+    """
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks_df = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.col(text_col)), " ").alias("__toks"),
+    )
+    toks = F.col("__toks")
+    n = F.size(toks).cast("long")
+    # 1 + ceil((n - chunk) / stride) starts, minimum 1
+    n_starts = F.lit(1) + F.greatest(
+        F.lit(0).cast("long"),
+        F.ceil((n - chunk_tokens) / F.lit(stride).cast("double")).cast(
+            "long"
+        ),
+    )
+    chunk = F.slice(
+        toks, F.col("chunk_idx") * stride + 1, chunk_tokens
+    )
+    return (
+        toks_df.select(
+            F.col(id_col),
+            toks,
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), n_starts - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            F.size(chunk).cast("long").alias("n_chunk_toks"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .filter(F.col("n_chunk_toks") > 0)
+    )
+
+
+def chunk_documents_oracle_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> str:
+    """DuckDB SQL mirroring ``chunk_documents`` (1-based inclusive list
+    slicing; integer-only arithmetic keeps both engines bit-identical)."""
+    return f"""
+WITH t AS (
+  SELECT {id_col}, string_split(lower(text), ' ') AS toks,
+         len(string_split(lower(text), ' ')) AS n
+  FROM {source}
+), s AS (
+  SELECT {id_col}, toks,
+         unnest(range(0, 1 + greatest(0,
+             CAST(ceil(CAST(n - {chunk_tokens} AS DOUBLE)
+                       / {stride}) AS BIGINT)))) AS chunk_idx
+  FROM t
+), c AS (
+  SELECT {id_col}, chunk_idx,
+         toks[chunk_idx * {stride} + 1 :
+              chunk_idx * {stride} + {chunk_tokens}] AS chunk
+  FROM s
+)
+SELECT {id_col}, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_toks,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM c WHERE len(chunk) > 0
+ORDER BY {id_col}, chunk_idx
+"""

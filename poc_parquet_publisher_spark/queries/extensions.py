@@ -993,3 +993,57 @@ def x37_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x38_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.source_mix_stats(docs, "source", "text").orderBy("stratum")
+
+
+@register(
+    "x39_chunk_documents",
+    __import__(
+        "poc_parquet_publisher_spark.ops.packing", fromlist=["packing"]
+    ).chunk_documents_oracle_sql("documents", "doc_id", 64, 48),
+    doc="overlapping token-window chunking (RAG / long-doc context "
+        "prep): chunk i = tokens [i*48, i*48+64); narrow explode of "
+        "integer-arithmetic windows, no shuffle, no Python, "
+        "bit-identical cross-engine",
+)
+def x39_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, stride=48
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "x40_minhash_deterministic",
+    dedup.minhash_banded_pairs_oracle_sql("documents", "doc_id"),
+    doc="deterministic MinHash-LSH: 8 md5-sliced minhash components "
+        "(2 digests/shingle), 4 bands of 2, candidates = docs sharing "
+        "a band -- unlike pyspark.ml's x04 the hashes are "
+        "engine-independent, so the full pair set is oracle-verified, "
+        "not just rows-counted. Signatures fold over the shingle array "
+        "(no corpus explode); one groupBy(band) shuffle",
+)
+def x40_minhash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_banded_pairs(docs, "doc_id", "text", k=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "x41_heavy_hitters",
+    """WITH c AS (
+         SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1
+       ), t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c)
+       SELECT key, cnt, ROUND(cnt / total, 4) AS share
+       FROM c, t ORDER BY cnt DESC, key LIMIT 20""",
+    doc="skew diagnostic: exact top-20 heaviest join keys with counts "
+        "and share -- decides salted_join / AQE skew handling. One "
+        "hash-groupBy + TakeOrdered, never a full sort",
+)
+def x41_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import scale
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return scale.heavy_hitters(li, "l_suppkey", n=20)

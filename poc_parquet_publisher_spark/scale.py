@@ -83,6 +83,37 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on, how)
 
 
+def heavy_hitters(
+    df, col: str, n: int = 20
+):
+    """Exact top-n heaviest keys of a column with counts and frequency
+    share -- the skew diagnostic that decides whether a join needs
+    ``salted_join`` or AQE skew handling (a key holding >> 1/tasks of
+    the rows serializes its partition).
+
+    Output: (key, cnt, share) ordered heaviest-first. One hash-groupBy
+    (map-side combine shrinks it to one row per distinct key per
+    partition) + a TakeOrdered of n rows + a broadcast 1-row total --
+    never a full sort, safe at any cardinality.
+    """
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(F.col(col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").cast("double").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total"), 4).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(n)
+    )
+
+
 # Hive-partitioned writes + small-file compaction live in
 # pipeline/layout.py (write_partitioned bounds file counts via a
 # partition-key repartition and sorts within tasks for row-group
