@@ -181,3 +181,41 @@ def compact(
         "files_after": len(_list_data_files(spark, path)),
         "bytes": total_bytes,
     }
+
+
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int | None = None,
+    compression: str | None = None,
+) -> int:
+    """Export a corpus as JSON-Lines shards -- the interchange format
+    every tokenizer/training loader ingests. One row per line via
+    ``to_json(struct(*))`` (the same serialization the publish leg uses,
+    pipeline/publish.py serialize_json), written with Spark's text sink
+    so shard count == task count and ``maxRecordsPerFile`` bounds shard
+    size -- the 100 TB posture: no driver-side iteration, no collect,
+    shards land in parallel on any Hadoop scheme (file:, hdfs:, s3a:).
+
+    Returns the number of shard files written. ``compression`` accepts
+    the text-sink codecs ('gzip', 'snappy', ...) for wire-friendly
+    shards.
+    """
+    writer = (
+        df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+        .write.mode("overwrite")
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(path)
+    spark = df.sparkSession
+    fs, jpath = _fs_for(spark, path)
+    n = 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith(("_", ".")):
+            n += 1
+    return n
