@@ -1,0 +1,70 @@
+"""Column profiling: the data-quality summary pass (the Deequ/ANALYZE
+analog) a pipeline runs before trusting a new drop of data.
+
+One full scan produces every metric: all per-column aggregates sit in a
+single ``agg`` row (Spark computes them in one partial+final hash
+aggregate pass over the table), which is then unpivoted to one row per
+column -- the scan cost is paid once no matter how many columns are
+profiled. count(DISTINCT) across several columns in one pass uses
+Spark's expand-based multi-distinct; at 100 TB swap it for
+``approx_count_distinct`` (x16's HLL++ path) if exact cardinality isn't
+worth the expanded shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column stats for numeric columns: (col, n_rows, n_nonnull,
+    n_distinct, min_v, max_v, avg_v), one row per profiled column.
+
+    Doubles are rounded to 4; the mean accumulates in DECIMAL so
+    partition order cannot change the result (the determinism contract
+    every hashed entry follows).
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.round(F.min(c).cast("double"), 4).alias(f"__min_{c}"),
+            F.round(F.max(c).cast("double"), 4).alias(f"__max_{c}"),
+            F.round(
+                (
+                    F.sum(F.col(c).cast("decimal(30,8)")).cast("double")
+                    / F.count(c)
+                ),
+                4,
+            ).alias(f"__avg_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __min_{c}, __max_{c}, __avg_{c}"
+        for c in cols
+    )
+    return one.selectExpr(
+        "__n AS n_rows",
+        f"stack({len(cols)}, {stack}) AS "
+        "(col, n_nonnull, n_distinct, min_v, max_v, avg_v)",
+    ).select("col", "n_rows", "n_nonnull", "n_distinct", "min_v", "max_v", "avg_v")
+
+
+def profile_numeric_oracle_sql(source: str, cols: list[str]) -> str:
+    """DuckDB SQL mirroring ``profile_numeric`` (UNION ALL per column;
+    same DECIMAL-accumulated mean)."""
+    parts = [
+        f"""SELECT '{c}' AS col,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count({c}) AS BIGINT) AS n_nonnull,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               ROUND(CAST(MIN({c}) AS DOUBLE), 4) AS min_v,
+               ROUND(CAST(MAX({c}) AS DOUBLE), 4) AS max_v,
+               ROUND(CAST(SUM(CAST({c} AS DECIMAL(30,8))) AS DOUBLE)
+                     / count({c}), 4) AS avg_v
+        FROM {source}"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY col"

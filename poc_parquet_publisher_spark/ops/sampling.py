@@ -302,3 +302,71 @@ def split_sql(
         f"AS VARCHAR), ':{salt}')), 1, 4) < '{thr}' THEN 'test' ELSE "
         f"'train' END AS split FROM {source} ORDER BY {key_col}"
     )
+
+
+def shard_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: every row gets
+    (shard, pos) where ``shard`` is an md5 bucket of the key and ``pos``
+    the row's rank within its shard by a SECOND independent md5 -- the
+    "shuffle the corpus before sharding" step every pre-training run
+    performs, as a pure function of (key, salt): retries, rescale, and
+    engine swaps reproduce the exact same global order
+    (shard * huge + pos), with no RNG state anywhere.
+
+    Scale shape: shard assignment is narrow; ranking is one shuffle on
+    the shard key with ``n_shards`` window partitions running in
+    parallel -- no single global sort, no driver involvement. Shards
+    are md5-uniform so the windows are balanced by construction.
+    """
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col(key_col).cast("string"), F.lit(f":{salt}"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    ).cast("int")
+    order_key = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit(f":{salt}:ord"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy(order_key, F.col(key_col))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
+
+
+def shard_shuffle_sql(
+    source: str,
+    key_col: str,
+    n_shards: int,
+    salt: str = "shuffle",
+) -> str:
+    """The same shard shuffle as DuckDB SQL."""
+    return f"""
+WITH t AS (
+  SELECT {key_col},
+         CAST(CAST(concat('0x', substr(md5(concat(CAST({key_col} AS
+              VARCHAR), ':{salt}')), 1, 8)) AS BIGINT) % {n_shards}
+              AS INT) AS shard,
+         md5(concat(CAST({key_col} AS VARCHAR), ':{salt}:ord')) AS ord
+  FROM {source}
+)
+SELECT {key_col}, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY ord, {key_col}) AS BIGINT) AS pos
+FROM t ORDER BY {key_col}
+"""

@@ -67,7 +67,9 @@ def all_oracles() -> dict[str, str]:
 #   rounds 1-2: x01 x02 x24 x03 x05 x07 x09 x10 (driver-green in
 #               CORRECTNESS_r01/r02)
 #   round 3:    the list below
-#   next rounds: continue through x22 x25 x26 x27 x29 x30 x31 x33
+#   next rounds: continue through x22 x25 x26 x27 x29 x30 x31 x33, then
+#   the round-3 oracle-backed additions x34 x36 x37 x38 x39 x40 x41 x42
+#   x43 (rows-only x35 stays out of the hashed window by design)
 _WINDOW_FIRST: list[str] = [
     "x11_text_quality",
     "x12_text_langid",

@@ -1047,3 +1047,41 @@ def x41_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return scale.heavy_hitters(li, "l_suppkey", n=20)
+
+
+@register(
+    "x42_shard_shuffle",
+    sampling.shard_shuffle_sql("documents", "doc_id", n_shards=8),
+    doc="deterministic pre-training shard shuffle: (shard, pos) from "
+        "two independent md5 draws -- a reproducible global order with "
+        "no RNG state; one shuffle on the shard key, windows run per "
+        "shard in parallel (never a single global sort)",
+)
+def x42_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.shard_shuffle(docs, "doc_id", n_shards=8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x43_profile_numeric",
+    __import__(
+        "poc_parquet_publisher_spark.ops.profile", fromlist=["profile"]
+    ).profile_numeric_oracle_sql(
+        "orders", ["o_custkey", "o_orderkey", "o_totalprice"]
+    ),
+    doc="column profiling (the ANALYZE/Deequ pass): nulls, exact "
+        "distinct, min/max/mean per numeric column, all from ONE scan "
+        "(single agg row unpivoted via stack); mean is DECIMAL-"
+        "accumulated. At 100 TB swap exact distinct for x16's HLL++",
+)
+def x43_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile.profile_numeric(
+        orders, ["o_custkey", "o_orderkey", "o_totalprice"]
+    ).orderBy("col")

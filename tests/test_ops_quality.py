@@ -530,3 +530,21 @@ def test_minhash_deterministic_candidates_cover_high_jaccard(docs):
         ).collect()
     }
     assert cand == again
+
+
+def test_duplicate_clusters_distributed_matches_unionfind(docs):
+    """The small-graph union-find fast path and the distributed
+    min-label rounds must produce identical (node, rep) sets."""
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5
+    )
+    fast = {
+        (r.node, r.rep) for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    dist = {
+        (r.node, r.rep)
+        for r in dedup.duplicate_clusters(
+            pairs, small_graph_edges=None
+        ).collect()
+    }
+    assert fast == dist and fast
