@@ -98,3 +98,106 @@ def curate(
     return sampling.deterministic_split(
         kept, id_col, test_fraction=test_fraction
     )
+
+
+def curate_oracle_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 1_000_000,
+    min_alpha_ratio: float = 0.05,
+    languages: tuple[str, ...] = ("en",),
+    near_dup_jaccard: float = 0.8,
+    test_fraction: float = 0.05,
+) -> str:
+    """One DuckDB query reproducing ``curate`` end to end, composed from
+    the SAME stage oracles that are individually hash-verified (x20
+    scrub, x12 lang-id ladder, x01 exact dedup, x03 pair CTE, x24
+    recursive-CTE components, x18 split threshold) -- so the COMPOSED
+    pipeline, not just its stages, is driver-hash-checkable.
+    """
+    # scrub chain (x20's oracle expression)
+    expr = "text"
+    for pat, repl in text.SCRUB_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{repl}', 'g')"
+
+    # lang-id CASE ladder (x12's oracle, over the scrubbed text)
+    langs = list(text.LANG_STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        inlist = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang])
+        score_cols.append(
+            "CAST(len(list_filter(string_split(lower(text), ' '), "
+            f"t -> t IN ({inlist}))) AS BIGINT) AS score_{lang}"
+        )
+    whens = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}" for other in langs[i + 1 :]
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    lang_case = f"CASE {' '.join(whens)} ELSE '{langs[-1]}' END"
+    lang_list = ", ".join(f"'{lang}'" for lang in languages)
+
+    thr_hex = sampling._threshold_hex(test_fraction)
+
+    return f"""
+WITH RECURSIVE scrubbed AS (
+  SELECT {id_col}, {expr} AS text FROM {source}
+), langed AS (
+  SELECT {id_col}, text, {lang_case} AS pred_lang
+  FROM (SELECT {id_col}, text, {', '.join(score_cols)} FROM scrubbed)
+), gated AS (
+  SELECT {id_col}, text, pred_lang FROM langed
+  WHERE len(string_split(lower(text), ' ')) BETWEEN {min_tokens}
+        AND {max_tokens}
+    AND CAST(strlen(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+             AS DOUBLE) / strlen(text) >= {min_alpha_ratio}
+    AND pred_lang IN ({lang_list})
+), surv AS (
+  SELECT MIN({id_col}) AS {id_col} FROM gated GROUP BY md5(lower(text))
+), ded AS (
+  SELECT g.* FROM gated g JOIN surv USING ({id_col})
+), sh_t AS (
+  SELECT {id_col} AS doc_id,
+         list_distinct(list_transform(
+           range(1, len(string_split(lower(text), ' ')) - 1),
+           i -> array_to_string(
+                  (string_split(lower(text), ' '))[i:i+2], ' ')
+         )) AS sh
+  FROM ded
+  WHERE len(string_split(lower(text), ' ')) >= 3
+), e AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh_t
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+  FROM e a JOIN e b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+), pairs AS (
+  SELECT id_a, id_b FROM p
+  WHERE ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 4)
+        >= {near_dup_jaccard}
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), walk (node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e2.u, w.lbl FROM edges e2 JOIN walk w ON w.node = e2.v
+), reps AS (
+  SELECT node, MIN(lbl) AS rep FROM walk GROUP BY node
+), drops AS (
+  SELECT node AS {id_col} FROM reps WHERE node != rep
+)
+SELECT d.{id_col}, d.text, d.pred_lang,
+       CASE WHEN substr(md5(concat(CAST(d.{id_col} AS VARCHAR),
+                 ':split')), 1, 4) < '{thr_hex}'
+            THEN 'test' ELSE 'train' END AS split
+FROM ded d
+WHERE d.{id_col} NOT IN (SELECT {id_col} FROM drops)
+ORDER BY d.{id_col}
+"""

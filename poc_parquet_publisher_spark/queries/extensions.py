@@ -866,12 +866,17 @@ def x32_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x23_curate_pipeline",
-    None,  # composed pipeline; per-stage oracles cover each operator,
-    # invariants (no dups survive, splits stable) gated in tests
+    __import__(
+        "poc_parquet_publisher_spark.ops.curate", fromlist=["curate"]
+    ).curate_oracle_sql("documents", "doc_id"),
     doc="end-to-end corpus curation: scrub -> quality/language gates -> "
         "exact dedup -> near-dup removal -> deterministic split, narrow "
         "filters first so the only expensive stage (the shingle join) "
-        "sees the already-shrunk corpus",
+        "sees the already-shrunk corpus. Oracle: ONE DuckDB query "
+        "composing the already-verified stage oracles (x20 scrub, x12 "
+        "lang ladder, x01 dedup, x03 pairs, x24 recursive CC, x18 "
+        "split) -- the composition itself is hash-checked, plus "
+        "invariants in tests",
 )
 def x23_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops import curate
