@@ -708,3 +708,42 @@ WHERE a.doc < b2.doc
 GROUP BY 1, 2
 ORDER BY id_a, id_b
 """
+
+
+def simhash_pairs_oracle_sql(
+    source: str = "documents",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> str:
+    """DuckDB SQL mirroring ``simhash_hamming_pairs`` over
+    ``simhash_sql``'s output -- the banded candidates AND the Hamming
+    filter are plain SQL (band substrings self-joined, Hamming counted
+    per bit position), so x06's full pair set is oracle-verifiable (the
+    hot-band cap is assumed un-hit, as with the x03/x40 caps)."""
+    n_bands = 64 // band_bits
+    inner = simhash_sql("duckdb", source=source)
+    inner = inner.rsplit("ORDER BY doc_id", 1)[0]
+    bands = ", ".join(
+        f"'{i}:' || substr(simhash, {i * band_bits + 1}, {band_bits})"
+        for i in range(n_bands)
+    )
+    ham = (
+        "CAST(len(list_filter(range(1, 65), "
+        "i -> substr(sa, i, 1) != substr(sb, i, 1))) AS INT)"
+    )
+    return f"""
+WITH sim AS ({inner}),
+band AS (
+  SELECT doc_id, simhash, unnest([{bands}]) AS band FROM sim
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM band a JOIN band b USING (band)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, {ham} AS hamming
+FROM cand
+WHERE {ham} <= {max_hamming}
+ORDER BY id_a, id_b
+"""

@@ -732,9 +732,12 @@ def x04_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x06_simhash_neardup",
-    None,  # banding-based candidate set; exactness checked in tests
+    dedup.simhash_pairs_oracle_sql("documents", max_hamming=3),
     doc="simhash near-dup pairs via 16-bit banding (pigeonhole: hamming<=3 "
-        "pairs share a band) -- equi-join, no cross join",
+        "pairs share a band) -- equi-join, no cross join. Oracle: the "
+        "x05 simhash SQL + band self-join + per-bit Hamming, all plain "
+        "SQL, so the full pair set is hash-verified (plus the exactness "
+        "tests)",
 )
 def x06_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
