@@ -124,3 +124,63 @@ def test_stratified_sample_is_shuffle_free(spark):
         default_fraction=0.5,
     )
     assert "Exchange" not in plan_of(out)
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """x34: the benchmark shingle set must ride a broadcast hash join --
+    a shuffle join keyed on the shingle would move the whole corpus's
+    postings for a KB-sized eval set."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_publisher_spark.catalog import load_table
+    from poc_parquet_publisher_spark.ops import dedup
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    plan = plan_of(
+        dedup.contamination_scores(docs, bench, "doc_id", "text", k=3)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_banded_no_cartesian_single_band_shuffle(spark):
+    """x40: candidates come from the banded groupBy, never a cross join;
+    signatures are a narrow fold (no per-component shuffle)."""
+    from poc_parquet_publisher_spark.catalog import load_table
+    from poc_parquet_publisher_spark.ops import dedup
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(dedup.minhash_banded_pairs(docs, "doc_id", "text"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shard_shuffle_no_global_sort(spark):
+    """x42's operator itself must not plan a global Sort: the ranking is
+    per-shard windows (local sort after one hash partitioning)."""
+    from poc_parquet_publisher_spark.catalog import load_table
+    from poc_parquet_publisher_spark.ops import sampling
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(sampling.shard_shuffle(docs, "doc_id", n_shards=8))
+    # rangepartitioning = a global sort's shuffle; the only exchange
+    # allowed here is hash partitioning on the shard key
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(shard" in plan
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    """x35: assignment is a narrow mapInPandas; the only shuffle is the
+    centroid groupBy -- no pairwise join of the corpus ever appears."""
+    from poc_parquet_publisher_spark.catalog import load_table
+    from poc_parquet_publisher_spark.ops import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = plan_of(
+        similarity.semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.4, n_centroids=4
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
