@@ -1,0 +1,46 @@
+"""Cross-batch incremental dedup (ops/incremental.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from poc_parquet_publisher_spark.ops.incremental import incremental_dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    idx = str(tmp_path / "seen_index")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    b1 = docs.filter(F.col("doc_id") < 300)
+    b2 = docs.filter(F.col("doc_id") >= 200)  # overlaps b1 on [200, 300)
+
+    s1 = incremental_dedup(b1, idx).collect()
+    # batch 1: exactly the within-batch exact-dedup survivors
+    expected1 = {
+        r.keep_id
+        for r in b1.groupBy(F.md5(F.lower("text")))
+        .agg(F.min("doc_id").alias("keep_id"))
+        .collect()
+    }
+    assert {r.doc_id for r in s1} == expected1
+
+    s2 = {r.doc_id for r in incremental_dedup(b2, idx).collect()}
+    # no batch-2 survivor may share a text with any batch-1 survivor
+    seen_texts = {r.text.lower() for r in s1}
+    surv2_texts = {
+        r.text.lower() for r in b2.filter(F.col("doc_id").isin(s2)).collect()
+    }
+    assert not (seen_texts & surv2_texts)
+    # re-running batch 2 yields nothing new (all hashes now indexed)
+    s3 = incremental_dedup(b2, idx).collect()
+    assert s3 == []
+
+
+def test_incremental_dedup_without_index_update(spark, tmp_path):
+    idx = str(tmp_path / "ro_index")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    a = {r.doc_id for r in incremental_dedup(docs, idx, update_index=False).collect()}
+    # nothing persisted: the same batch survives again in full
+    b = {r.doc_id for r in incremental_dedup(docs, idx, update_index=False).collect()}
+    assert a == b and a
