@@ -213,3 +213,28 @@ def synthetic_media(spark, n: int = 64, payload_bytes: int = 256) -> DataFrame:
         }
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def dedup_frames(frames: DataFrame) -> DataFrame:
+    """Exact frame-level dedup across videos by content hash -- the
+    multimodal analog of ``dedup.exact_dedup`` (near-identical intro
+    sequences, re-uploads, and padding frames collapse to one row per
+    distinct frame). One hash-groupBy over ``sample_frames`` output;
+    the 256-bit key cannot skew.
+
+    Returns (frame_sha, keep_media_id, keep_frame_idx, dup_cnt); the
+    survivor is the (media_id, frame_idx)-smallest occurrence.
+    """
+    return (
+        frames.groupBy("frame_sha")
+        .agg(
+            F.min(F.struct("media_id", "frame_idx")).alias("keep"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+        .select(
+            "frame_sha",
+            F.col("keep.media_id").alias("keep_media_id"),
+            F.col("keep.frame_idx").alias("keep_frame_idx"),
+            "dup_cnt",
+        )
+    )

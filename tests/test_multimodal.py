@@ -94,3 +94,25 @@ def test_metadata_query_prunes_payload(spark, media, tmp_path):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "payload" not in read_schema
     assert df.count() == 30
+
+
+def test_dedup_frames_collapses_identical_payload_frames(spark):
+    """Two videos sharing a payload produce identical frame hashes; frame
+    dedup must collapse each frame to the lower (media_id, frame_idx)."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_publisher_spark.ops import multimodal
+
+    media = multimodal.synthetic_media(spark, n=9, payload_bytes=128)
+    clones = media.filter(F.col("kind") == "video").withColumn(
+        "media_id", F.col("media_id") + 100
+    )
+    frames = multimodal.sample_frames(media.union(clones), every_ms=500)
+    deduped = multimodal.dedup_frames(frames)
+    rows = deduped.collect()
+    n_frames = frames.count()
+    assert sum(r.dup_cnt for r in rows) == n_frames
+    dups = [r for r in rows if r.dup_cnt > 1]
+    assert dups, "cloned videos must produce duplicate frames"
+    for r in dups:
+        assert r.keep_media_id < 100  # original wins over the clone
