@@ -548,3 +548,56 @@ def test_duplicate_clusters_distributed_matches_unionfind(docs):
         ).collect()
     }
     assert fast == dist and fast
+
+
+def test_round3_ops_edge_cases(spark, docs, emb):
+    """Degenerate inputs for the round-3 operators: empty benchmark,
+    short/empty docs, n larger than the corpus, all-null profile
+    column -- none may throw or mis-count."""
+    from poc_parquet_publisher_spark.ops import packing, profile, sampling, text
+
+    empty_docs = docs.filter(F.lit(False))
+
+    # contamination vs an EMPTY benchmark: all scores 0, all docs present
+    scores = dedup.contamination_scores(
+        docs, empty_docs, "doc_id", "text", k=3
+    ).collect()
+    n_eligible = docs.filter(
+        F.size(F.split(F.lower("text"), " ")) >= 3
+    ).count()
+    assert len(scores) == n_eligible
+    assert all(r.n_overlap == 0 and r.contamination == 0.0 for r in scores)
+
+    # chunking: a doc shorter than one chunk yields exactly one chunk
+    one = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    chunks = packing.chunk_documents(one, "doc_id", "text", 64, 48).collect()
+    assert len(chunks) == 1 and chunks[0].n_chunk_toks == 3
+
+    # weighted sample with n > corpus: everything kept once
+    n_docs = docs.count()
+    s = sampling.weighted_sample(docs, "doc_id", "n_chars", n=10 * n_docs)
+    assert s.count() == docs.filter(F.col("n_chars") > 0).count()
+
+    # shard shuffle: positions are a permutation within each shard
+    sh = sampling.shard_shuffle(docs, "doc_id", n_shards=4).collect()
+    by_shard: dict = {}
+    for r in sh:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    # profiling an all-null column: n_nonnull 0, stats null, no throw
+    nulls = docs.withColumn("allnull", F.lit(None).cast("double"))
+    prof = {
+        r.col: r
+        for r in profile.profile_numeric(nulls, ["allnull", "n_chars"]).collect()
+    }
+    assert prof["allnull"].n_nonnull == 0
+    assert prof["allnull"].avg_v is None
+    assert prof["n_chars"].n_nonnull == n_docs
+
+    # unigram logprob on empty corpus: empty result, no division error
+    assert text.unigram_logprob(empty_docs, "doc_id", "text").count() == 0
+
+    # deterministic minhash on empty corpus: no pairs
+    assert dedup.minhash_banded_pairs(empty_docs, "doc_id", "text").count() == 0
