@@ -41,3 +41,42 @@ def dedup_stream(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def stream_incremental_dedup(
+    spark,
+    source_dir: str,
+    schema,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous ingest with UNBOUNDED dedup lookback: each micro-batch
+    anti-joins the persistent hash index (ops/incremental.py) and
+    appends its survivors to ``out_dir`` -- the complement of
+    ``dedup_stream``: that one bounds state to the watermark horizon
+    (cheap, in-memory), this one trades a per-batch index join for
+    exactly-once-per-content across the entire ingest history, state
+    living as a narrow parquet table instead of executor memory.
+
+    File-drop source, availableNow drain: call again whenever new files
+    land. Returns the StreamingQuery.
+    """
+    from ..ops.incremental import incremental_dedup
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        fresh = incremental_dedup(
+            batch_df, index_path, id_col=id_col, text_col=text_col
+        )
+        fresh.write.mode("append").parquet(out_dir)
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

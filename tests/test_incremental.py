@@ -44,3 +44,48 @@ def test_incremental_dedup_without_index_update(spark, tmp_path):
     # nothing persisted: the same batch survives again in full
     b = {r.doc_id for r in incremental_dedup(docs, idx, update_index=False).collect()}
     assert a == b and a
+
+
+def test_stream_incremental_dedup_two_drops(spark, tmp_path):
+    """Two file drops with overlapping content: the second drain must
+    emit only never-seen texts (unbounded lookback via the index)."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_publisher_spark.streaming.dedup import (
+        stream_incremental_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "drops")
+    out = str(tmp_path / "curated")
+    idx = str(tmp_path / "seen")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs.filter(F.col("doc_id") < 200).write.mode("append").parquet(src)
+    q = stream_incremental_dedup(
+        spark, src, docs.schema, idx, out, ckpt
+    )
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+
+    # drop 2 overlaps drop 1 on [100, 200)
+    docs.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 300)
+    ).write.mode("append").parquet(src)
+    q2 = stream_incremental_dedup(
+        spark, src, docs.schema, idx, out, ckpt
+    )
+    q2.awaitTermination(300)
+
+    curated = spark.read.parquet(out)
+    texts = [r[0] for r in curated.select(F.lower("text")).collect()]
+    assert len(texts) == len(set(texts)), "a text was emitted twice"
+    # every distinct text of the union made it out exactly once
+    expected = (
+        docs.filter(F.col("doc_id") < 300)
+        .select(F.lower("text"))
+        .distinct()
+        .count()
+    )
+    assert len(texts) == expected
