@@ -747,3 +747,61 @@ FROM cand
 WHERE {ham} <= {max_hamming}
 ORDER BY id_a, id_b
 """
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_docs_per_shingle: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by shingle CONTAINMENT: inter / min(|A|,|B|).
+
+    The asymmetric complement of ``ngram_jaccard_pairs``: a short doc
+    quoted wholesale inside a long one scores near 1.0 here but low on
+    Jaccard (the union is dominated by the long doc) -- the standard
+    second pass in web dedup for quote/include/boilerplate containment.
+    Identical plan shape to the Jaccard pass (same shingle blocking, same
+    in-bucket pair expansion, same hot-shingle cap); only the final
+    ratio differs. Output: (id_a, id_b, containment), id_a < id_b,
+    rounded to 4, >= threshold.
+    """
+    sh = shingles(df, id_col, text_col, k)
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc", "n_sh")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    if max_docs_per_shingle is not None:
+        buckets = buckets.filter(F.size("ds") <= max_docs_per_shingle)
+    ds = F.array_sort(F.col("ds"))
+    pair = lambda x, y: F.struct(  # noqa: E731
+        x["doc"].alias("id_a"),
+        x["n_sh"].alias("n_a"),
+        y["doc"].alias("id_b"),
+        y["n_sh"].alias("n_b"),
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ds,
+                    lambda x, i: F.transform(
+                        F.slice(ds, i + F.lit(2), F.size(ds)),
+                        lambda y: pair(x, y),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    inter = pairs.groupBy("id_a", "id_b", "n_a", "n_b").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
+    cont = F.col("inter") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        inter.withColumn("containment", F.round(cont, 4))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

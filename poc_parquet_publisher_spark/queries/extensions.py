@@ -1093,3 +1093,41 @@ def x43_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.profile_numeric(
         orders, ["o_custkey", "o_orderkey", "o_totalprice"]
     ).orderBy("col")
+
+
+@register(
+    "x44_containment_pairs",
+    """WITH t AS (
+         SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, len(string_split(lower(text), ' ')) - 1),
+                  i -> array_to_string(
+                         (string_split(lower(text), ' '))[i:i+2], ' ')
+                )) AS sh
+         FROM documents
+         WHERE len(string_split(lower(text), ' ')) >= 3
+       ), e AS (
+         SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM t
+       ), p AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+         FROM e a JOIN e b USING (shingle)
+         WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4
+       )
+       SELECT id_a, id_b,
+              ROUND(CAST(inter AS DOUBLE) / least(n_a, n_b), 4)
+                  AS containment
+       FROM p
+       WHERE ROUND(CAST(inter AS DOUBLE) / least(n_a, n_b), 4) >= 0.8
+       ORDER BY id_a, id_b""",
+    doc="shingle containment pairs (inter / min set size): the "
+        "asymmetric pass that catches a short doc quoted inside a long "
+        "one, which symmetric Jaccard under-scores; identical blocked "
+        "plan shape to x03",
+)
+def x44_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.8
+    ).orderBy("id_a", "id_b")
