@@ -69,7 +69,10 @@ def all_oracles() -> dict[str, str]:
 #   round 3:    the list below
 #   next rounds: continue through x22 x25 x26 x27 x29 x30 x31 x33, then
 #   the round-3 oracle-backed additions x34 x36 x37 x38 x39 x40 x41 x42
-#   x43 (rows-only x35 stays out of the hashed window by design)
+#   x43 x44 (rows-only x35 stays out of the hashed window by design).
+#   With the declared set at 44 (q36/q37 added round 3), only the first
+#   50 - len(declared) rotated names land in-window; the tail shifts to
+#   later rounds automatically.
 _WINDOW_FIRST: list[str] = [
     "x11_text_quality",
     "x12_text_langid",

@@ -1009,3 +1009,50 @@ def q35_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).alias("o_cnt"),
         F.coalesce(F.col("P"), F.lit(0)).alias("p_cnt"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "q36_correlated_subquery",
+    """SELECT c_custkey,
+              (SELECT ROUND(MAX(o_totalprice), 4) FROM orders o
+               WHERE o.o_custkey = c.c_custkey) AS max_order
+       FROM customer c ORDER BY c_custkey""",
+    doc="correlated scalar subquery: Catalyst decorrelates it into a "
+        "left outer join against a pre-aggregated (already small) "
+        "per-customer MAX -- never a per-row re-execution of the inner "
+        "query, the property that keeps correlation viable at scale",
+)
+def q36_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """SELECT c_custkey,
+                  (SELECT ROUND(MAX(o_totalprice), 4) FROM orders o
+                   WHERE o.o_custkey = c.c_custkey) AS max_order
+           FROM customer c ORDER BY c_custkey"""
+    )
+
+
+@register(
+    "q37_range_frame_window",
+    """SELECT o_custkey, o_orderkey,
+              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 30 DAY PRECEDING
+                        AND CURRENT ROW) AS DOUBLE), 4) AS sum_30d
+       FROM orders ORDER BY o_custkey, o_orderkey""",
+    doc="time-RANGE window frame (trailing 30-day sum per customer): the "
+        "value-based frame q18's ROWS frame cannot express -- peers are "
+        "chosen by o_orderdate distance, not row position. One shuffle "
+        "on the partition key, same as any window",
+)
+def q37_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """SELECT o_custkey, o_orderkey,
+                  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER (
+                      PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 30 DAY PRECEDING
+                            AND CURRENT ROW) AS DOUBLE), 4) AS sum_30d
+           FROM orders ORDER BY o_custkey, o_orderkey"""
+    )

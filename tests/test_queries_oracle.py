@@ -36,14 +36,16 @@ def test_rows_only_runs(name, spark):
 
 def test_driver_window_rotation():
     """The external driver hashes only the first 50 registry entries:
-    that window must hold the 42 declared queries + the 8 rotated
-    oracle-backed extensions -- never a rows-only entry."""
+    that window must hold the full declared set plus as many rotated
+    oracle-backed extensions as fit -- never a rows-only entry."""
     from poc_parquet_publisher_spark.queries import _WINDOW_FIRST
 
     names = list(all_queries())
+    declared = [n for n in names if not n.startswith("x")]
     window = names[:50]
-    assert [n for n in window if not n.startswith("x")] == names[:42]
-    assert window[42:] == _WINDOW_FIRST
+    assert [n for n in window if not n.startswith("x")] == declared
+    n_slots = 50 - len(declared)
+    assert window[len(declared):] == _WINDOW_FIRST[:n_slots]
     assert all(REGISTRY[n].oracle is not None for n in window)
     # rows-only entries all trail every oracle-backed one
     kinds = [REGISTRY[n].oracle is None for n in names]
