@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -805,3 +805,120 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Exact duplicate-SPAN detection (substring-dedup signal).
+
+    Marks every token position covered by a k-token window whose exact
+    text occurs >= 2 times anywhere in the corpus (within-doc repeats
+    count) -- the per-document fraction of duplicated span mass, the
+    signal behind exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", which removes 50-token
+    substrings occurring twice; k is configurable).
+
+    Output: (doc_id, n_tokens, dup_tokens, dup_frac), one row per input
+    document (short docs with < k tokens report 0 / 0.0).
+
+    Scale shape: POSITIONAL windows (not distinct shingles) are exploded
+    once (linear, factor ~n_tokens), counted with ONE window over the
+    md5 of the window text (same cost as a hash-groupBy on the shingle
+    key -- partial-agg does not apply to windows but groups are tiny),
+    surviving spans explode to their k positions (factor k, linear), and
+    coverage is one countDistinct per doc. No pairwise anything: cost is
+    O(total_tokens * k), the same family as the shingle-blocked passes.
+    The reference has no dedup surface at all (SURVEY.md section 2.4).
+    """
+    toks_df = _rebalanced(df).select(
+        F.col(id_col).alias("doc"), _tokens(text_col).alias("toks")
+    )
+    base = toks_df.select("doc", F.size("toks").alias("n_tokens"))
+    toks = F.col("toks")
+    wins = (
+        toks_df.filter(F.size(toks) >= k)
+        .select(
+            "doc",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ",
+                            *[F.element_at(toks, i + j + 1) for j in range(k)],
+                        )
+                    ),
+                )
+            ).alias("start", "h"),
+        )
+    )
+    dup = wins.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("cnt") >= 2)
+    covered = (
+        dup.select(
+            "doc",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (k - 1))
+            ).alias("pos"),
+        )
+        .groupBy("doc")
+        .agg(F.count_distinct("pos").alias("dup_tokens"))
+    )
+    frac = F.col("dup_tokens") / F.col("n_tokens")
+    return (
+        base.join(covered, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+            F.round(
+                F.coalesce(frac, F.lit(0.0)).cast("double"), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def duplicate_spans_oracle_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> str:
+    """DuckDB SQL mirroring ``duplicate_spans`` (1-based positions; only
+    counts are exposed, so the index base is irrelevant)."""
+    return f"""
+WITH t AS (
+  SELECT {id_col}, string_split(lower({text_col}), ' ') AS toks
+  FROM {source}
+), base AS (
+  SELECT {id_col}, len(toks) AS n_tokens FROM t
+), w AS (
+  SELECT {id_col}, unnest(range(1, len(toks) - {k} + 2)) AS start, toks
+  FROM t WHERE len(toks) >= {k}
+), w2 AS (
+  SELECT {id_col}, start,
+         array_to_string(toks[start:start + {k} - 1], ' ') AS win
+  FROM w
+), d AS (
+  SELECT {id_col}, start FROM (
+    SELECT {id_col}, start, count(*) OVER (PARTITION BY win) AS cnt
+    FROM w2
+  ) WHERE cnt >= 2
+), p AS (
+  SELECT DISTINCT {id_col}, pos FROM (
+    SELECT {id_col}, unnest(range(start, start + {k})) AS pos FROM d
+  )
+), c AS (
+  SELECT {id_col}, count(*) AS dup_tokens FROM p GROUP BY 1
+)
+SELECT base.{id_col}, base.n_tokens,
+       CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       ROUND(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / base.n_tokens, 4)
+           AS dup_frac
+FROM base LEFT JOIN c USING ({id_col})
+ORDER BY base.{id_col}
+"""

@@ -370,3 +370,85 @@ SELECT {key_col}, shard,
                                ORDER BY ord, {key_col}) AS BIGINT) AS pos
 FROM t ORDER BY {key_col}
 """
+
+
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str,
+    text_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled mixture schedule at T=2 (alpha = 1/2): per
+    stratum, the resampled token share w_i = sqrt(n_i) / sum_j sqrt(n_j)
+    and the sampling factor w_i / s_i a mixer applies -- the standard
+    upweight-the-tail schedule for multilingual / multi-source training
+    (p_i proportional to s_i^alpha). alpha = 1/2 specifically because
+    IEEE sqrt is correctly rounded in every engine while pow() is not,
+    keeping this entry oracle-hash-exact; other alphas swap in pow at
+    the cost of the hashed tier. sqrt values are floor-scaled to
+    integers (x ``scale``) before summing so the denominator is an
+    exact integer sum, order-independent under Spark's nondeterministic
+    shuffle order.
+
+    Output: (stratum, n_tokens, token_share, temp_share, sample_factor).
+
+    Scale shape: one hash-groupBy over the corpus; the denominators ride
+    a broadcast 1-row aggregate -- same plan family as x38's mixture
+    report (ops/text.py source_mix_stats).
+    """
+    n_toks = F.size(F.split(F.lower(F.col(text_col)), " ")).cast("long")
+    per = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.sum(n_toks).cast("long").alias("n_tokens"),
+    )
+    q = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * scale).cast(
+        "long"
+    )
+    per = per.withColumn("q", q)
+    totals = per.agg(
+        F.sum("n_tokens").cast("double").alias("__total_tokens"),
+        F.sum("q").cast("double").alias("__total_q"),
+    )
+    share = F.col("n_tokens") / F.col("__total_tokens")
+    temp_share = F.col("q") / F.col("__total_q")
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "stratum",
+            "n_tokens",
+            F.round(share, 4).alias("token_share"),
+            F.round(temp_share, 4).alias("temp_share"),
+            F.round(temp_share / share, 4).alias("sample_factor"),
+        )
+    )
+
+
+def temperature_mixture_sql(
+    source: str = "documents",
+    strata_col: str = "source",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB SQL mirroring ``temperature_mixture``."""
+    return f"""
+WITH per AS (
+  SELECT {strata_col} AS stratum,
+         CAST(SUM(len(string_split(lower({text_col}), ' '))) AS BIGINT)
+             AS n_tokens
+  FROM {source} GROUP BY 1
+), q AS (
+  SELECT stratum, n_tokens,
+         CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * {scale}) AS BIGINT)
+             AS q
+  FROM per
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total_tokens,
+         CAST(SUM(q) AS DOUBLE) AS total_q
+  FROM q
+)
+SELECT stratum, n_tokens,
+       ROUND(n_tokens / total_tokens, 4) AS token_share,
+       ROUND(q / total_q, 4) AS temp_share,
+       ROUND((q / total_q) / (n_tokens / total_tokens), 4)
+           AS sample_factor
+FROM q, tot ORDER BY stratum
+"""

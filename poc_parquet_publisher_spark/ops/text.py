@@ -5,7 +5,7 @@ whole-stage-codegen) -- at 100 TB these run at parquet-scan speed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword-vote heuristic.
@@ -608,4 +608,79 @@ SELECT stratum, n_docs, n_tokens,
        ROUND((1.0 / n_strata) / (n_tokens / total_tokens), 4) AS reweight
 FROM per, tot
 ORDER BY stratum
+"""
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str, top_n: int = 100
+) -> DataFrame:
+    """Vocabulary coverage curve: the ``top_n`` most frequent tokens with
+    rank and CUMULATIVE corpus-coverage fraction -- the first artifact of
+    tokenizer/vocab construction (how much of the token stream the next
+    vocab slot buys) and the sanity check behind "top 100 tokens cover
+    X% of the corpus" claims.
+
+    Output: (rank, term, cnt, cum_coverage), rank 1..top_n by
+    (cnt DESC, term) -- the total tiebreak keeps it deterministic.
+
+    Scale shape: one explode + hash-groupBy(term) with map-side partial
+    aggregation, the grand total as a broadcast 1-row aggregate, and
+    TakeOrderedAndProject for the top-N -- the only window runs over the
+    ALREADY-LIMITED top_n rows (driver-scale), never the full vocab.
+    Counts stay BIGINT so the running sum is exact; the single division
+    at the end is IEEE-deterministic.
+    """
+    counts = (
+        df.select(F.explode(_toks(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("double").alias("__total")
+    )
+    top = counts.orderBy(F.desc("cnt"), "term").limit(top_n)
+    w = Window.orderBy(F.desc("cnt"), "term").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(
+            Window.orderBy(F.desc("cnt"), "term")
+        ))
+        .withColumn("cum", F.sum("cnt").over(w).cast("long"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "rank",
+            "term",
+            "cnt",
+            F.round(F.col("cum") / F.col("__total"), 4).alias(
+                "cum_coverage"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+def vocab_coverage_sql(
+    source: str = "documents", text_col: str = "text", top_n: int = 100
+) -> str:
+    """DuckDB SQL mirroring ``vocab_coverage``."""
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split(lower({text_col}), ' ')) AS term
+  FROM {source}
+), c AS (
+  SELECT term, count(*) AS cnt FROM tok GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c
+), top AS (
+  SELECT term, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INT)
+             AS rank
+  FROM c ORDER BY cnt DESC, term LIMIT {top_n}
+)
+SELECT rank, term, cnt,
+       ROUND(CAST(SUM(cnt) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS DOUBLE) / total, 4)
+           AS cum_coverage
+FROM top, tot ORDER BY rank
 """

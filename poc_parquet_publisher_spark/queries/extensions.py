@@ -1131,3 +1131,48 @@ def x44_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(
         docs, "doc_id", "text", k=3, threshold=0.8
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "x45_duplicate_spans",
+    dedup.duplicate_spans_oracle_sql("documents", "doc_id", "text", k=5),
+    doc="exact duplicate-span detection (Lee et al. 2022 substring-dedup "
+        "signal): per-doc fraction of token positions covered by a "
+        "5-token window occurring >= 2 times corpus-wide; positional "
+        "windows exploded once, counted via one window over md5(win), "
+        "positions exploded x k -- O(total_tokens * k), never pairwise",
+)
+def x45_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, "doc_id", "text", k=5).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "x46_temperature_mixture",
+    sampling.temperature_mixture_sql("documents", "source", "text"),
+    doc="temperature-scaled mixture schedule at T=2 (w_i ~ sqrt(share)): "
+        "the multilingual/multi-source upweight-the-tail sampling plan; "
+        "alpha=1/2 keeps it oracle-hash-exact (IEEE sqrt is correctly "
+        "rounded, pow is not); sqrt floor-scaled to ints before summing "
+        "so the denominator is order-independent",
+)
+def x46_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.temperature_mixture(docs, "source", "text").orderBy(
+        "stratum"
+    )
+
+
+@register(
+    "x47_vocab_coverage",
+    text.vocab_coverage_sql("documents", "text", top_n=100),
+    doc="vocabulary coverage curve: top-100 tokens with cumulative "
+        "corpus-coverage fraction (tokenizer/vocab construction); "
+        "explode + hash-groupBy + TakeOrdered; the only window runs "
+        "over the already-limited 100 rows",
+)
+def x47_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocab_coverage(docs, "text", top_n=100)
