@@ -184,3 +184,55 @@ def test_semantic_dedup_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_spans_no_cartesian_linear_explodes(spark):
+    """x45: positional windows + position coverage are Generate
+    (explode) nodes, the duplicate filter is one window over the md5
+    key, and the doc join is an equi-join -- nothing pairwise."""
+    from poc_parquet_publisher_spark.catalog import load_table
+    from poc_parquet_publisher_spark.ops import dedup
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(dedup.duplicate_spans(docs, "doc_id", "text", k=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the linear explodes
+    assert "Window" in plan  # the md5(win) duplicate counter
+
+
+def test_vocab_coverage_window_after_limit(spark):
+    """x47: the cumulative-coverage window must run over the ALREADY
+    LIMITED top-N rows (driver-scale), never the full vocabulary: the
+    plan's Window sits above a GlobalLimit/TakeOrdered."""
+    from poc_parquet_publisher_spark.catalog import load_table
+    from poc_parquet_publisher_spark.ops import text
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(text.vocab_coverage(docs, "text", top_n=100))
+    assert "CartesianProduct" not in plan
+    # limit happens below the window: TakeOrderedAndProject (or a
+    # GlobalLimit) must appear, and the broadcast total is a
+    # BroadcastExchange, not a second scan shuffle
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+    assert "Window" in plan
+    assert plan.index("Window") < plan.index(
+        "TakeOrderedAndProject" if "TakeOrderedAndProject" in plan
+        else "GlobalLimit"
+    )
+
+
+def test_temperature_mixture_single_groupby_broadcast_totals(spark):
+    """x46: one hash aggregate over the corpus; denominators ride a
+    broadcast 1-row aggregate (BroadcastExchange), no window and no
+    second corpus shuffle."""
+    from poc_parquet_publisher_spark.catalog import load_table
+    from poc_parquet_publisher_spark.ops import sampling
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(
+        sampling.temperature_mixture(docs, "source", "text")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
