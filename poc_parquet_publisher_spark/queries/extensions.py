@@ -1176,3 +1176,44 @@ def x46_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x47_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.vocab_coverage(docs, "text", top_n=100)
+
+
+@register(
+    "x48_session_window",
+    """WITH ordered AS (
+         SELECT user_id, event_id, ts,
+                lag(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_ts
+         FROM events
+       ), flagged AS (
+         SELECT user_id, event_id, ts,
+                CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_session
+         FROM ordered
+       ), sessions AS (
+         SELECT user_id, ts,
+                SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                    AS session_id
+         FROM flagged
+       )
+       SELECT user_id, MIN(ts) AS session_start,
+              MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+              count(*) AS n_events
+       FROM sessions GROUP BY user_id, session_id
+       ORDER BY user_id, session_start""",
+    doc="native dynamic session windows (F.session_window, gap 30 min): "
+        "the operator x21's lag/gap method emulates relationally; "
+        "streaming-capable with watermark-evicted state. Oracle is the "
+        "relational mirror -- note the >= split: a gap exactly equal to "
+        "the gap duration starts a NEW session (window ends exclusive)",
+)
+def x48_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import session_event_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return session_event_counts(
+        events, key_col="user_id", ts_col="ts", gap="30 minutes"
+    ).orderBy("user_id", "session_start")

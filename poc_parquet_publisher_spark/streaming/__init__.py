@@ -5,12 +5,19 @@
 from .dedup import dedup_stream
 from .publisher import stream_publish
 from .stateful import running_event_totals
-from .windows import streaming_hourly_counts, windowed_event_counts
+from .windows import (
+    session_event_counts,
+    streaming_hourly_counts,
+    streaming_session_counts,
+    windowed_event_counts,
+)
 
 __all__ = [
     "dedup_stream",
     "running_event_totals",
+    "session_event_counts",
     "stream_publish",
     "streaming_hourly_counts",
+    "streaming_session_counts",
     "windowed_event_counts",
 ]

@@ -90,3 +90,78 @@ def streaming_hourly_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_event_counts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-key SESSION windows via Spark's native ``session_window``:
+    events merge while consecutive gaps stay UNDER ``gap``; the window
+    closes ``gap`` after its last event. The dynamic-window operator the
+    x21 lag/gap method emulates relationally -- here state merging is
+    native (and streaming-capable: with the watermark, closed sessions
+    are finalized and state is evicted, keeping memory flat on an
+    unbounded stream).
+
+    Output: (key, session_start, session_end, n_events) where
+    session_end = last event + gap (the operator's window end).
+
+    Works identically on batch and streaming input (withWatermark is a
+    batch no-op), so tests assert stream == batch on one code path.
+    Session-window semantics note for the oracle: a gap EXACTLY equal to
+    ``gap`` starts a new session (window ends are exclusive), so the
+    relational mirror must split on ``>=``, not ``>``.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_session_counts(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    sink_table: str = "session_counts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """File stream -> native session windows -> in-memory sink.
+
+    Complete output mode for the same reason as the tumbling drain:
+    the final table must not depend on how files were micro-batched,
+    and append mode would hold back sessions the watermark has not
+    closed at end-of-stream.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    agg = session_event_counts(
+        stream, key_col=key_col, gap=gap, watermark=watermark
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

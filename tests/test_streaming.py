@@ -155,3 +155,33 @@ def test_streaming_windows_match_batch(spark, events_dir, tmp_path):
     }
     assert stream_rows == batch_rows
     assert len(batch_rows) > 0
+
+
+def test_streaming_sessions_match_batch(spark, events_dir, tmp_path):
+    """Native session windows (x48) through the streaming engine: the
+    drained session table must equal the batch answer regardless of how
+    files were micro-batched -- the merge-across-micro-batches case is
+    exactly what distinguishes session state from tumbling windows."""
+    from poc_parquet_publisher_spark.streaming import (
+        session_event_counts,
+        streaming_session_counts,
+    )
+
+    src, batch_df = events_dir
+    ckpt = str(tmp_path / "ckpt-sessions")
+
+    q = streaming_session_counts(
+        spark, src, batch_df.schema, ckpt, sink_table="sessions_t"
+    )
+    q.awaitTermination(120)
+
+    stream_rows = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in spark.table("sessions_t").collect()
+    }
+    batch_rows = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in session_event_counts(batch_df).collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(batch_rows) > 0
