@@ -601,3 +601,78 @@ def test_round3_ops_edge_cases(spark, docs, emb):
 
     # deterministic minhash on empty corpus: no pairs
     assert dedup.minhash_banded_pairs(empty_docs, "doc_id", "text").count() == 0
+
+
+def test_new_ops_edge_cases(spark, docs):
+    """Degenerate inputs for x45-x48: short docs below the window size,
+    within-doc repeats, single-stratum mixtures, top_n beyond the vocab,
+    empty session input."""
+    from poc_parquet_publisher_spark.ops import sampling, text
+    from poc_parquet_publisher_spark.streaming.windows import (
+        session_event_counts,
+    )
+
+    # duplicate_spans: doc shorter than k reports 0/0.0; a doc that is
+    # one 5-gram repeated twice WITHIN itself is fully covered (within-
+    # doc repeats count toward the >=2 threshold)
+    tiny = spark.createDataFrame(
+        [
+            (1, "a b"),
+            (2, "p q r s t p q r s t"),
+            (3, "u v w x y z distinct tokens only here"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r.doc_id: r for r in dedup.duplicate_spans(
+            tiny, "doc_id", "text", k=5
+        ).collect()
+    }
+    assert spans[1].dup_tokens == 0 and spans[1].dup_frac == 0.0
+    assert spans[2].dup_tokens == 10 and spans[2].dup_frac == 1.0
+    assert spans[3].dup_tokens == 0
+
+    # determinism under repartitioning (shuffle-order independence)
+    a = sorted(
+        map(tuple, dedup.duplicate_spans(docs, "doc_id", "text").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            dedup.duplicate_spans(
+                docs.repartition(7), "doc_id", "text"
+            ).collect(),
+        )
+    )
+    assert a == b
+
+    # temperature mixture with ONE stratum: shares and factor all 1.0
+    one_src = docs.withColumn("source", F.lit("only"))
+    m = sampling.temperature_mixture(one_src, "source", "text").collect()
+    assert len(m) == 1
+    assert m[0].token_share == 1.0 and m[0].temp_share == 1.0
+    assert m[0].sample_factor == 1.0
+
+    # temperature mixture upweights the tail: smallest stratum has the
+    # largest sample_factor, and factors straddle 1
+    mix = sampling.temperature_mixture(docs, "source", "text").collect()
+    if len(mix) >= 2:
+        by_tokens = sorted(mix, key=lambda r: r.n_tokens)
+        assert by_tokens[0].sample_factor >= by_tokens[-1].sample_factor
+        assert by_tokens[0].sample_factor >= 1.0
+        assert by_tokens[-1].sample_factor <= 1.0
+
+    # vocab coverage: top_n beyond the vocab returns the whole vocab,
+    # cumulative coverage reaches exactly 1.0, ranks are 1..n
+    vc = text.vocab_coverage(docs, "text", top_n=10**6).collect()
+    assert [r.rank for r in vc] == list(range(1, len(vc) + 1))
+    assert abs(vc[-1].cum_coverage - 1.0) < 1e-9
+    assert all(
+        vc[i].cnt >= vc[i + 1].cnt for i in range(len(vc) - 1)
+    )
+
+    # session windows on an empty frame: empty result, no throw
+    empty_ev = spark.createDataFrame(
+        [], "user_id long, event_id long, ts timestamp"
+    )
+    assert session_event_counts(empty_ev).count() == 0
