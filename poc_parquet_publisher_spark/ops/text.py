@@ -684,3 +684,63 @@ SELECT rank, term, cnt,
            AS cum_coverage
 FROM top, tot ORDER BY rank
 """
+
+
+def pii_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII counts by type -- the AUDIT half of the privacy
+    pass (``scrub`` is the enforcement half): how much URL/email/phone
+    mass each document carries, before anything is redacted.
+
+    Counts mirror scrub's replacement order exactly (URLs counted on the
+    raw text, emails on URL-masked text, phones on email-masked text),
+    so ``n_pii`` per document EQUALS scrub's ``n_redactions`` -- the
+    reconciliation invariant tests assert. Pure regexp_count chain,
+    codegen, scan-speed.
+
+    Output: (id, n_url, n_email, n_phone, n_pii).
+    """
+    url_pat, email_pat, phone_pat = (p for p, _ in SCRUB_PATTERNS)
+    raw = F.col(text_col)
+    masked_url = F.regexp_replace(raw, url_pat, "<URL>")
+    masked_email = F.regexp_replace(masked_url, email_pat, "<EMAIL>")
+    n_url = F.regexp_count(raw, F.lit(url_pat)).cast("long")
+    n_email = F.regexp_count(masked_url, F.lit(email_pat)).cast("long")
+    n_phone = F.regexp_count(masked_email, F.lit(phone_pat)).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_url.alias("n_url"),
+        n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
+        (n_url + n_email + n_phone).alias("n_pii"),
+    )
+
+
+def pii_stats_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB SQL mirroring ``pii_stats`` (regexp_extract_all lengths)."""
+    url_pat, email_pat, phone_pat = (
+        p.replace("'", "''") for p, _ in SCRUB_PATTERNS
+    )
+    masked_url = (
+        f"regexp_replace({text_col}, '{url_pat}', '<URL>', 'g')"
+    )
+    masked_email = (
+        f"regexp_replace({masked_url}, '{email_pat}', '<EMAIL>', 'g')"
+    )
+    return f"""
+SELECT {id_col},
+       CAST(len(regexp_extract_all({text_col}, '{url_pat}')) AS BIGINT)
+           AS n_url,
+       CAST(len(regexp_extract_all({masked_url}, '{email_pat}'))
+           AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all({masked_email}, '{phone_pat}'))
+           AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all({text_col}, '{url_pat}'))
+            + len(regexp_extract_all({masked_url}, '{email_pat}'))
+            + len(regexp_extract_all({masked_email}, '{phone_pat}'))
+           AS BIGINT) AS n_pii
+FROM {source} ORDER BY {id_col}
+"""

@@ -1217,3 +1217,16 @@ def x48_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_event_counts(
         events, key_col="user_id", ts_col="ts", gap="30 minutes"
     ).orderBy("user_id", "session_start")
+
+
+@register(
+    "x49_pii_stats",
+    text.pii_stats_sql("documents", "doc_id", "text"),
+    doc="per-doc PII counts by type (the audit half of the privacy "
+        "pass; x20 scrub is the enforcement half): counts mirror the "
+        "scrub's progressive masking order so n_pii == n_redactions "
+        "exactly; pure regexp_count chain, codegen, scan-speed",
+)
+def x49_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pii_stats(docs, "doc_id", "text").orderBy("doc_id")

@@ -676,3 +676,38 @@ def test_new_ops_edge_cases(spark, docs):
         [], "user_id long, event_id long, ts timestamp"
     )
     assert session_event_counts(empty_ev).count() == 0
+
+
+def test_pii_stats_reconciles_with_scrub(spark):
+    """x49's audit counts must equal x20 scrub's n_redactions per doc
+    (the counts mirror the scrub's progressive masking order). The
+    fixture corpus is PII-free word soup, so the semantics live on
+    synthetic rows: overlaps (email inside URL), repeats, parens/space
+    phone shapes, and a clean row."""
+    from poc_parquet_publisher_spark.ops import text as T
+
+    syn = spark.createDataFrame(
+        [
+            (1, "contact me at bob@example.com or https://x.io/a?b=1 now"),
+            (2, "call +1-303-555-0100 or (720) 555 0199 then "
+                "+1-303-555-0100 again"),
+            (3, "no pii here at all"),
+            (4, "mailto bob@ex.co https://a.b/c bob2@ex.co +12025550123"),
+            (5, "url with email inside https://ex.com/u?mail=bob@ex.co x"),
+        ],
+        "doc_id long, text string",
+    )
+    pii = {
+        r.doc_id: (r.n_url, r.n_email, r.n_phone, r.n_pii)
+        for r in T.pii_stats(syn, "doc_id", "text").collect()
+    }
+    red = {
+        r.doc_id: r.n_redactions
+        for r in T.scrub(syn, "doc_id", "text").collect()
+    }
+    for d, (_, _, _, n_pii) in pii.items():
+        assert n_pii == red[d], (d, pii[d], red[d])
+    assert pii[1] == (1, 1, 0, 2)
+    assert pii[3] == (0, 0, 0, 0)
+    # the URL swallows the embedded email: counted once, as a URL
+    assert pii[5] == (1, 0, 0, 1)
