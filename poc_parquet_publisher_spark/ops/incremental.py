@@ -66,3 +66,41 @@ def incremental_dedup(
             index_path
         )
     return fresh.drop("__h")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Corpus snapshot diff: classify every document id across two
+    dataset versions as added / removed / changed / unchanged by
+    content hash -- the audit step of dataset versioning (what changed
+    between crawl N and crawl N+1, what incremental_dedup must
+    reprocess, what a training run's data card should report).
+
+    Output: (id, status), one row per id present in either snapshot.
+
+    Scale shape: each side reduces to a narrow (id, md5) projection at
+    scan time, then ONE full-outer equi-join on the id -- shuffle on
+    the join key only, content never moves twice. At 100 TB both sides
+    prune to two columns (ReadSchema) and the join is sort-merge on
+    id; no collect, no window.
+    """
+    oh = old.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("old_h")
+    )
+    nh = new.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("new_h")
+    )
+    joined = oh.join(nh, "id", "full_outer")
+    status = (
+        F.when(F.col("old_h").isNull(), F.lit("added"))
+        .when(F.col("new_h").isNull(), F.lit("removed"))
+        .when(F.col("old_h") == F.col("new_h"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.col("id").alias(id_col), status.alias("status")
+    )

@@ -1230,3 +1230,49 @@ def x48_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x49_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.pii_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "x50_snapshot_diff",
+    """WITH old AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % 10 != 3
+       ), new AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+                    AS text
+         FROM documents WHERE doc_id % 10 != 6
+       ), oh AS (SELECT doc_id, md5(text) AS old_h FROM old),
+       nh AS (SELECT doc_id, md5(text) AS new_h FROM new)
+       SELECT COALESCE(oh.doc_id, nh.doc_id) AS doc_id,
+              CASE WHEN old_h IS NULL THEN 'added'
+                   WHEN new_h IS NULL THEN 'removed'
+                   WHEN old_h = new_h THEN 'unchanged'
+                   ELSE 'changed' END AS status
+       FROM oh FULL OUTER JOIN nh USING (doc_id)
+       ORDER BY doc_id""",
+    doc="corpus snapshot diff (dataset-versioning audit): added/removed/"
+        "changed/unchanged by content hash across two corpus versions "
+        "derived deterministically from the fixture (doc_id%10=3 "
+        "missing from old, doc_id%10=6 dropped from new, doc_id%7=0 "
+        "edited); one full-outer equi-join of two narrow (id, md5) "
+        "projections -- content never shuffles",
+)
+def x50_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 3).select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 10 != 6)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return incremental.snapshot_diff(old, new, "doc_id", "text").orderBy(
+        "doc_id"
+    )
