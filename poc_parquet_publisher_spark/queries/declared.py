@@ -1056,3 +1056,59 @@ def q37_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND CURRENT ROW) AS DOUBLE), 4) AS sum_30d
            FROM orders ORDER BY o_custkey, o_orderkey"""
     )
+
+
+_Q38_SQL = """SELECT o_custkey, o_orderkey,
+       ROUND(percent_rank() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey), 4) AS pct_rank,
+       ROUND(cume_dist() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey), 4) AS cdist
+FROM orders ORDER BY o_custkey, o_orderkey"""
+
+
+@register(
+    "q38_percent_rank_cume_dist",
+    _Q38_SQL,
+    doc="relative-position window functions (percent_rank, cume_dist) "
+        "completing the ranking family q17/q17b opened; integer-ratio "
+        "results are IEEE-exact cross-engine, the o_orderkey tiebreak "
+        "makes ranks total. Single-row partitions: percent_rank 0.0 in "
+        "both dialects",
+)
+def q38_percent_rank_cume_dist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q38_SQL)
+
+
+_Q39_SQL = """SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS first_ok,
+       last_value(o_orderkey) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS last_ok,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_ok
+FROM orders ORDER BY o_custkey, o_orderkey"""
+
+
+@register(
+    "q39_first_last_nth_value",
+    _Q39_SQL,
+    doc="value-navigation window functions (first_value, last_value, "
+        "nth_value) over an explicit full frame -- last_value under the "
+        "DEFAULT frame is the current row in both dialects, the classic "
+        "trap; the full frame plus unique o_orderkey tiebreak makes all "
+        "three deterministic (nth 2 is NULL for 1-order customers)",
+)
+def q39_first_last_nth_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q39_SQL)
