@@ -744,3 +744,77 @@ SELECT {id_col},
            AS BIGINT) AS n_pii
 FROM {source} ORDER BY {id_col}
 """
+
+
+def oov_ratio(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 100
+) -> DataFrame:
+    """Per-document out-of-vocabulary ratio against the corpus's own
+    top-``top_n`` vocabulary -- the quality signal behind OOV filtering
+    (documents full of tokens a tokenizer's vocab won't cover are noise,
+    boilerplate, or the wrong language). The measurement side of the
+    x47 coverage curve.
+
+    Output: (id, n_tokens, n_oov, oov_ratio).
+
+    Scale shape: the vocab is a TakeOrdered top-N (tiny, broadcast); the
+    corpus explodes once and LEFT-joins the broadcast vocab (no shuffle
+    of the token stream beyond the doc-key groupBy). Counts stay
+    BIGINT; the single division is IEEE-deterministic.
+    """
+    counts = (
+        df.select(F.explode(_toks(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = (
+        counts.orderBy(F.desc("cnt"), "term")
+        .limit(top_n)
+        .select("term", F.lit(True).alias("__in_vocab"))
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(_toks(text_col)).alias("term")
+    )
+    flagged = toks.join(F.broadcast(vocab), "term", "left")
+    per = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(
+            F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_oov"),
+    )
+    return per.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "n_oov",
+        F.round(
+            F.col("n_oov") / F.col("n_tokens"), 4
+        ).alias("oov_ratio"),
+    )
+
+
+def oov_ratio_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 100,
+) -> str:
+    """DuckDB SQL mirroring ``oov_ratio``."""
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, unnest(string_split(lower({text_col}), ' ')) AS term
+  FROM {source}
+), c AS (
+  SELECT term, count(*) AS cnt FROM tok GROUP BY 1
+), vocab AS (
+  SELECT term FROM c ORDER BY cnt DESC, term LIMIT {top_n}
+), per AS (
+  SELECT t.{id_col}, count(*) AS n_tokens,
+         CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov
+  FROM tok t LEFT JOIN vocab v USING (term)
+  GROUP BY 1
+)
+SELECT {id_col}, n_tokens, n_oov,
+       ROUND(CAST(n_oov AS DOUBLE) / n_tokens, 4) AS oov_ratio
+FROM per ORDER BY {id_col}
+"""

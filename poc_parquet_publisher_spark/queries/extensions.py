@@ -1276,3 +1276,18 @@ def x50_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.snapshot_diff(old, new, "doc_id", "text").orderBy(
         "doc_id"
     )
+
+
+@register(
+    "x51_oov_ratio",
+    text.oov_ratio_sql("documents", "doc_id", "text", top_n=100),
+    doc="per-doc out-of-vocabulary ratio vs the corpus's own top-100 "
+        "vocab (OOV filtering; the measurement side of x47's coverage "
+        "curve): vocab is a TakeOrdered broadcast, the token stream "
+        "explodes once and never shuffles beyond the doc-key groupBy",
+)
+def x51_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.oov_ratio(docs, "doc_id", "text", top_n=100).orderBy(
+        "doc_id"
+    )
