@@ -236,3 +236,34 @@ def test_temperature_mixture_single_groupby_broadcast_totals(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
     assert "Window" not in plan
+
+
+def test_snapshot_diff_narrow_equijoin(spark):
+    """x50: both snapshots reduce to (id, md5) before the single
+    full-outer equi-join -- document text must not appear in the join's
+    output columns, and the join is never a nested loop."""
+    from poc_parquet_publisher_spark.catalog import load_table
+    from poc_parquet_publisher_spark.ops import incremental
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    plan = plan_of(
+        incremental.snapshot_diff(old, docs, "doc_id", "text")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan
+
+
+def test_oov_ratio_vocab_is_broadcast(spark):
+    """x51: the top-N vocab joins the exploded token stream as a
+    BROADCAST hash join -- the token stream itself must not shuffle for
+    the membership probe."""
+    from poc_parquet_publisher_spark.catalog import load_table
+    from poc_parquet_publisher_spark.ops import text
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(text.oov_ratio(docs, "doc_id", "text", top_n=50))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
