@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -823,11 +823,15 @@ def duplicate_spans(
     document (short docs with < k tokens report 0 / 0.0).
 
     Scale shape: POSITIONAL windows (not distinct shingles) are exploded
-    once (linear, factor ~n_tokens), counted with ONE window over the
-    md5 of the window text (same cost as a hash-groupBy on the shingle
-    key -- partial-agg does not apply to windows but groups are tiny),
-    surviving spans explode to their k positions (factor k, linear), and
-    coverage is one countDistinct per doc. No pairwise anything: cost is
+    once (linear, factor ~n_tokens); duplicate detection is a hash-
+    groupBy on the md5 of the window text followed by a LEFT SEMI join
+    of the window stream against the >=2 hashes -- deliberately NOT an
+    analytic count() OVER (PARTITION BY h): a window function cannot
+    partial-aggregate and pins every instance of a hot stop-phrase
+    5-gram into one shuffle partition, while the groupBy combines
+    map-side and the semi-join's skew is AQE-splittable. Surviving
+    spans explode to their k positions (factor k, linear), and coverage
+    is one countDistinct per doc. No pairwise anything: cost is
     O(total_tokens * k), the same family as the shingle-blocked passes.
     The reference has no dedup surface at all (SURVEY.md section 2.4).
     """
@@ -853,9 +857,13 @@ def duplicate_spans(
             ).alias("start", "h"),
         )
     )
-    dup = wins.withColumn(
-        "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
-    ).filter(F.col("cnt") >= 2)
+    dup_hashes = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("h")
+    )
+    dup = wins.join(dup_hashes, "h", "left_semi")
     covered = (
         dup.select(
             "doc",

@@ -1139,8 +1139,10 @@ def x44_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="exact duplicate-span detection (Lee et al. 2022 substring-dedup "
         "signal): per-doc fraction of token positions covered by a "
         "5-token window occurring >= 2 times corpus-wide; positional "
-        "windows exploded once, counted via one window over md5(win), "
-        "positions exploded x k -- O(total_tokens * k), never pairwise",
+        "windows exploded once, duplicate hashes via hash-groupBy + "
+        "LeftSemi probe (hot-key-safe: partial agg + AQE-splittable, "
+        "unlike an analytic window), positions exploded x k -- "
+        "O(total_tokens * k), never pairwise",
 )
 def x45_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

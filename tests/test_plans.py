@@ -188,8 +188,10 @@ def test_semantic_dedup_no_cartesian(spark):
 
 def test_duplicate_spans_no_cartesian_linear_explodes(spark):
     """x45: positional windows + position coverage are Generate
-    (explode) nodes, the duplicate filter is one window over the md5
-    key, and the doc join is an equi-join -- nothing pairwise."""
+    (explode) nodes; the duplicate filter must be a partial-aggregating
+    hash-groupBy + LeftSemi equi-join on the md5 key, NEVER an analytic
+    window (a window pins every instance of a hot stop-phrase 5-gram
+    into one shuffle partition and cannot partial-aggregate)."""
     from poc_parquet_publisher_spark.catalog import load_table
     from poc_parquet_publisher_spark.ops import dedup
 
@@ -198,7 +200,9 @@ def test_duplicate_spans_no_cartesian_linear_explodes(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate" in plan  # the linear explodes
-    assert "Window" in plan  # the md5(win) duplicate counter
+    assert "Window" not in plan  # hot-key-safe groupBy, not a window
+    assert "LeftSemi" in plan  # the >=2-hash membership probe
+    assert "HashAggregate" in plan
 
 
 def test_vocab_coverage_window_after_limit(spark):
