@@ -818,3 +818,109 @@ SELECT {id_col}, n_tokens, n_oov,
        ROUND(CAST(n_oov AS DOUBLE) / n_tokens, 4) AS oov_ratio
 FROM per ORDER BY {id_col}
 """
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean bigram conditional log10-probability under the
+    corpus's own bigram model: mean over a doc's positional bigrams of
+    log10 P(w2 | w1), P MLE-estimated from corpus bigram counts with the
+    context count derived from the bigram table itself (sum_z c(w1,z),
+    so the conditional normalizes exactly). One order up from x37's
+    unigram proxy: junk token SEQUENCES score low even when each token
+    is individually common -- the next rung toward perplexity filtering.
+
+    Output: (doc, n_bigrams, mean_logp), docs with >= 2 tokens.
+
+    Scale shape: positional bigrams explode once; corpus model is two
+    hash-groupBys (bigram, then context w1) plus one w1 equi-join --
+    all partial-aggregating; per-doc scoring joins (doc, bigram, c_db)
+    against the aggregated bigram table. No window, no collect.
+
+    Cross-engine determinism: x37's recipe -- each bigram's log10 is
+    computed once from identical doubles, rounded to 6 decimals, cast
+    to DECIMAL, accumulated exactly; the mean is the only double op.
+    """
+    t = df.select(
+        F.col(id_col).alias("doc"), _toks(text_col).alias("__toks")
+    ).filter(F.size("__toks") >= 2)
+    toks = F.col("__toks")
+    bg = t.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        ).alias("bg"),
+    )
+    doc_bf = bg.groupBy("doc", "bg").agg(F.count(F.lit(1)).alias("c_db"))
+    big = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_12"))
+    big = big.withColumn("w1", F.split(F.col("bg"), " ")[0])
+    ctx = big.groupBy("w1").agg(F.sum("c_12").alias("c_1"))
+    logp = (
+        F.round(F.log10(F.col("c_12") / F.col("c_1")), 6)
+        .cast("decimal(18,6)")
+        .alias("logp")
+    )
+    bg_logp = big.join(ctx, "w1").select("bg", logp)
+    return (
+        doc_bf.join(bg_logp, "bg")
+        .groupBy("doc")
+        .agg(
+            F.sum("c_db").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.col("c_db").cast("decimal(18,0)") * F.col("logp")
+            ).alias("__sum_logp"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_bigrams",
+            F.round(
+                F.col("__sum_logp").cast("double") / F.col("n_bigrams"), 4
+            ).alias("mean_logp"),
+        )
+    )
+
+
+def bigram_logprob_oracle_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB SQL mirroring ``bigram_logprob``."""
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc, string_split(lower({text_col}), ' ') AS toks
+  FROM {source}
+  WHERE len(string_split(lower({text_col}), ' ')) >= 2
+), bg AS (
+  SELECT doc,
+         unnest(list_transform(
+           range(1, len(toks)),
+           i -> array_to_string(toks[i:i+1], ' ')
+         )) AS bg
+  FROM t
+), doc_bf AS (
+  SELECT doc, bg, count(*) AS c_db FROM bg GROUP BY doc, bg
+), big AS (
+  SELECT bg, count(*) AS c_12,
+         string_split(bg, ' ')[1] AS w1
+  FROM bg GROUP BY bg
+), ctx AS (
+  SELECT w1, SUM(c_12) AS c_1 FROM big GROUP BY w1
+), bg_logp AS (
+  SELECT bg,
+         CAST(ROUND(log10(CAST(c_12 AS DOUBLE) / c_1), 6)
+              AS DECIMAL(18,6)) AS logp
+  FROM big JOIN ctx USING (w1)
+)
+SELECT doc AS {id_col}, CAST(SUM(c_db) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(c_db AS DECIMAL(18,0)) * logp) AS DOUBLE)
+             / CAST(SUM(c_db) AS BIGINT), 4) AS mean_logp
+FROM doc_bf JOIN bg_logp USING (bg)
+GROUP BY doc ORDER BY doc
+"""

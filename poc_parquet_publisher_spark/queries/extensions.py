@@ -1293,3 +1293,17 @@ def x51_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.oov_ratio(docs, "doc_id", "text", top_n=100).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "x52_bigram_logprob",
+    text.bigram_logprob_oracle_sql("documents", "doc_id", "text"),
+    doc="per-doc mean bigram conditional log10-prob under the corpus's "
+        "own bigram model (one order above x37's unigram proxy: junk "
+        "SEQUENCES of individually-common tokens score low); context "
+        "counts derived from the bigram table so the conditional "
+        "normalizes exactly; x37's round-then-DECIMAL determinism",
+)
+def x52_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_logprob(docs, "doc_id", "text").orderBy("doc_id")
