@@ -16,6 +16,7 @@ Reference behavior being rebuilt:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import ensure_session_confs
 
@@ -40,3 +41,58 @@ def read_request(spark: SparkSession, request: dict) -> DataFrame:
     ensure_session_confs(spark)
     uris = resolve_paths(request.get("bucket"), list(request.get("paths", [])))
     return spark.read.parquet(*uris)
+
+
+def json_quarantine(
+    df: DataFrame,
+    id_col: str,
+    json_col: str,
+    required_path: str = "$.k",
+) -> DataFrame:
+    """Ingest-robustness gate for serialized-JSON columns: classify each
+    row as ``ok`` (the required JSON path extracts) or ``quarantined``
+    (malformed payload or missing key), so bad records route to a
+    quarantine sink instead of poisoning the pipeline. The reference
+    trusts its wire JSON blindly (records are marshaled and published
+    with no validation, cmd/parquetgo-record-processor/handler.go:52-76);
+    a 100 TB ingest cannot.
+
+    Output: (id, status, k) -- the extracted value rides along NULL for
+    quarantined rows, so the caller can split with one filter each way.
+
+    Scale shape: pure row-local expressions (get_json_object returns
+    NULL on malformed JSON rather than erroring), codegen, scan-speed.
+    Oracle note: DuckDB's json_extract ERRORS on malformed JSON, so the
+    mirror guards with json_valid first -- the NULL-on-bad semantics
+    Spark gives for free.
+    """
+    k = F.get_json_object(F.col(json_col), required_path)
+    status = F.when(k.isNotNull(), F.lit("ok")).otherwise(
+        F.lit("quarantined")
+    )
+    return df.select(
+        F.col(id_col),
+        status.alias("status"),
+        k.alias("k"),
+    )
+
+
+def json_quarantine_sql(
+    source: str = "events",
+    id_col: str = "event_id",
+    json_col: str = "props",
+    required_path: str = "$.k",
+) -> str:
+    """DuckDB SQL mirroring ``json_quarantine``."""
+    guarded = (
+        f"CASE WHEN {json_col} IS NOT NULL AND json_valid({json_col}) "
+        f"THEN json_extract_string({json_col}, '{required_path}') "
+        f"ELSE NULL END"
+    )
+    return f"""
+SELECT {id_col},
+       CASE WHEN {guarded} IS NOT NULL THEN 'ok'
+            ELSE 'quarantined' END AS status,
+       {guarded} AS k
+FROM {source} ORDER BY {id_col}
+"""

@@ -1307,3 +1307,43 @@ def x51_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x52_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.bigram_logprob(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "x53_json_quarantine",
+    """WITH src AS (
+         SELECT event_id,
+                CASE WHEN event_id % 13 = 0 THEN '{bad json'
+                     WHEN event_id % 17 = 0 THEN '{}'
+                     ELSE props END AS props
+         FROM events
+       )
+       SELECT event_id,
+              CASE WHEN (CASE WHEN props IS NOT NULL AND json_valid(props)
+                              THEN json_extract_string(props, '$.k')
+                              ELSE NULL END) IS NOT NULL
+                   THEN 'ok' ELSE 'quarantined' END AS status,
+              CASE WHEN props IS NOT NULL AND json_valid(props)
+                   THEN json_extract_string(props, '$.k')
+                   ELSE NULL END AS k
+       FROM src ORDER BY event_id""",
+    doc="ingest quarantine for serialized-JSON columns: rows whose "
+        "required JSON path fails to extract (malformed payload or "
+        "missing key) are flagged instead of poisoning the pipeline -- "
+        "the validation the reference's blind-marshal wire path lacks; "
+        "corruption injected deterministically (event_id%13 malformed, "
+        "%17 key-missing); row-local expressions, scan-speed. DuckDB "
+        "json_extract errors on bad JSON so the oracle guards with "
+        "json_valid -- Spark's get_json_object is NULL-on-bad for free",
+)
+def x53_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.ingest import json_quarantine
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 13 == 0, F.lit("{bad json"))
+        .when(F.col("event_id") % 17 == 0, F.lit("{}"))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    return json_quarantine(ev, "event_id", "props").orderBy("event_id")
