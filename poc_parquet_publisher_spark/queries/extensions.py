@@ -1347,3 +1347,39 @@ def x53_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("props"),
     )
     return json_quarantine(ev, "event_id", "props").orderBy("event_id")
+
+
+@register(
+    "x54_salted_join_agg",
+    """SELECT l.l_suppkey, s.s_name,
+              ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,8))
+                    * (1 - CAST(l.l_discount AS DECIMAL(30,8))))
+                    AS DOUBLE), 4) AS revenue
+       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       GROUP BY l.l_suppkey, s.s_name
+       ORDER BY l.l_suppkey""",
+    doc="skew-salted join under the hash gate: per-supplier revenue via "
+        "scale.salted_join (big side salted into 16 sub-keys, dim side "
+        "replicated per salt) must be row-identical to the plain join "
+        "the oracle runs -- the salting is pure partitioning, zero "
+        "semantics; DECIMAL-accumulated revenue",
+)
+def x54_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import scale
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    j = scale.salted_join(li, sup, "l_suppkey", n_salts=16)
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(30,8)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(30,8)"))
+    )
+    return (
+        j.groupBy("l_suppkey", "s_name")
+        .agg(F.round(rev.cast("double"), 4).alias("revenue"))
+        .orderBy("l_suppkey")
+    )

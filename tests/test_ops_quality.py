@@ -711,3 +711,41 @@ def test_pii_stats_reconciles_with_scrub(spark):
     assert pii[3] == (0, 0, 0, 0)
     # the URL swallows the embedded email: counted once, as a URL
     assert pii[5] == (1, 0, 0, 1)
+
+
+def test_bigram_and_quarantine_edge_cases(spark):
+    """x52: one-token docs have no bigrams and drop out; a two-doc
+    corpus where every bigram is unique scores log10 of its context
+    share. x53: null and empty-string payloads quarantine."""
+    from poc_parquet_publisher_spark.ops import text as T
+    from poc_parquet_publisher_spark.pipeline.ingest import json_quarantine
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "a b"), (3, "a b a b")],
+        "doc_id long, text string",
+    )
+    lp = {r.doc_id: r for r in T.bigram_logprob(docs, "doc_id", "text").collect()}
+    assert 1 not in lp  # no bigrams
+    # corpus bigrams: doc2 {a b}, doc3 {a b, b a, a b}; c(a b)=3, c(b a)=1
+    # ctx a: 3, ctx b: 1 -> P(b|a)=1.0, P(a|b)=1.0: all logp 0
+    assert lp[2].n_bigrams == 1 and lp[2].mean_logp == 0.0
+    assert lp[3].n_bigrams == 3 and lp[3].mean_logp == 0.0
+
+    ev = spark.createDataFrame(
+        [
+            (1, '{"k": 5}'),
+            (2, None),
+            (3, ""),
+            (4, '{"other": 1}'),
+            (5, "not json at all"),
+        ],
+        "event_id long, props string",
+    )
+    q = {r.event_id: r.status for r in json_quarantine(ev, "event_id", "props").collect()}
+    assert q == {
+        1: "ok",
+        2: "quarantined",
+        3: "quarantined",
+        4: "quarantined",
+        5: "quarantined",
+    }
