@@ -68,3 +68,45 @@ def profile_numeric_oracle_sql(source: str, cols: list[str]) -> str:
         for c in cols
     ]
     return " UNION ALL ".join(parts) + " ORDER BY col"
+
+
+def referential_integrity(
+    edges: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit (the Deequ-style DQ pass): for each
+    (name, child, child_key, parent, parent_key) edge, count child rows
+    whose key has no parent -- the orphan rate a 100 TB ingest monitors
+    before joins silently drop rows.
+
+    Output: (edge, n_child, n_orphans, orphan_rate), one row per edge.
+
+    Scale shape: each edge is one LEFT ANTI equi-join (broadcast when
+    the parent is dimension-sized, else shuffled + AQE) feeding a 1-row
+    count; the per-edge rows union into a driver-sized result. Null
+    child keys count as orphans (they cannot match any parent).
+    """
+    parts = []
+    for name, child, ck, parent, pk in edges:
+        keys = child.select(F.col(ck).alias("__k"))
+        pkeys = parent.select(F.col(pk).alias("__k"))
+        orphans = keys.join(pkeys, "__k", "left_anti")
+        parts.append(
+            keys.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_orphans")
+                )
+            )
+            .select(
+                F.lit(name).alias("edge"),
+                "n_child",
+                "n_orphans",
+                F.round(
+                    F.col("n_orphans") / F.col("n_child"), 4
+                ).alias("orphan_rate"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

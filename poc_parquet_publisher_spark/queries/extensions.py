@@ -1383,3 +1383,58 @@ def x54_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(rev.cast("double"), 4).alias("revenue"))
         .orderBy("l_suppkey")
     )
+
+
+@register(
+    "x55_referential_integrity",
+    """WITH e1 AS (
+         SELECT 'orders->customer' AS edge,
+                CAST(count(*) AS BIGINT) AS n_child,
+                CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_orphans
+         FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+       ), e2 AS (
+         SELECT 'lineitem->orders' AS edge,
+                CAST(count(*) AS BIGINT) AS n_child,
+                CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_orphans
+         FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+       ), e3 AS (
+         SELECT 'lineitem->supplier' AS edge,
+                CAST(count(*) AS BIGINT) AS n_child,
+                CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_orphans
+         FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       ), u AS (
+         SELECT * FROM e1 UNION ALL SELECT * FROM e2
+         UNION ALL SELECT * FROM e3
+       )
+       SELECT edge, n_child, n_orphans,
+              ROUND(CAST(n_orphans AS DOUBLE) / n_child, 4) AS orphan_rate
+       FROM u ORDER BY edge""",
+    doc="referential-integrity audit (Deequ-style DQ): orphan counts and "
+        "rates for three FK edges of the fixture schema; each edge is "
+        "one LEFT ANTI equi-join (broadcast for dim parents) feeding a "
+        "1-row count -- the check a 100 TB ingest runs before joins "
+        "silently drop rows",
+)
+def x55_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return profile.referential_integrity(
+        [
+            ("orders->customer", orders, "o_custkey", customer, "c_custkey"),
+            ("lineitem->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+            (
+                "lineitem->supplier",
+                lineitem,
+                "l_suppkey",
+                supplier,
+                "s_suppkey",
+            ),
+        ]
+    ).orderBy("edge")

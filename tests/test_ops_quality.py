@@ -749,3 +749,23 @@ def test_bigram_and_quarantine_edge_cases(spark):
         4: "quarantined",
         5: "quarantined",
     }
+
+
+def test_referential_integrity_counts_orphans(spark):
+    """x55 on data that actually HAS orphans (the fixture FKs are
+    clean): null child keys and missing parents both count."""
+    from poc_parquet_publisher_spark.ops import profile
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    out = profile.referential_integrity(
+        [("child->parent", child, "fk", parent, "pk")]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.edge, r.n_child, r.n_orphans, r.orphan_rate) == (
+        "child->parent", 4, 2, 0.5,
+    )
