@@ -769,3 +769,59 @@ def test_referential_integrity_counts_orphans(spark):
     assert (r.edge, r.n_child, r.n_orphans, r.orphan_rate) == (
         "child->parent", 4, 2, 0.5,
     )
+
+
+def test_duplicate_spans_matches_python_reference(spark):
+    """Property-based differential test for x45: on random small corpora
+    over a 3-word vocabulary (high collision pressure), the distributed
+    result must equal a direct Python computation of the same semantics
+    (k-window counts corpus-wide incl. within-doc repeats, >=2 means
+    duplicated, positions covered by any duplicated window)."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    K = 3
+    word = st.sampled_from(["aa", "bb", "cc"])
+    doc = st.lists(word, min_size=0, max_size=12)
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    def reference(texts):
+        wins: Counter = Counter()
+        toks_by_doc = {}
+        for d, toks in enumerate(texts):
+            toks_by_doc[d] = toks
+            for i in range(len(toks) - K + 1):
+                wins[" ".join(toks[i : i + K])] += 1
+        out = {}
+        for d, toks in toks_by_doc.items():
+            covered: set = set()
+            for i in range(len(toks) - K + 1):
+                if wins[" ".join(toks[i : i + K])] >= 2:
+                    covered.update(range(i, i + K))
+            n = len(toks)
+            out[d] = (n, len(covered))
+        return out
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(corpus)
+    def run(texts):
+        rows = [(d, " ".join(toks)) for d, toks in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.dup_tokens)
+            for r in dedup.duplicate_spans(
+                df, "doc_id", "text", k=K
+            ).collect()
+        }
+        # Spark's split("") on an empty string yields [''] (1 token);
+        # mirror that for zero-word docs
+        want = reference([t if t else [""] for t in texts])
+        assert got == want, (texts, got, want)
+
+    run()
