@@ -110,3 +110,69 @@ def referential_integrity(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def decile_report(
+    df: DataFrame, value_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Distribution report: bucket rows by the EXACT interpolated
+    quantile thresholds of ``value_col`` (deciles by default) and report
+    per-bucket counts and value ranges -- the calibration table behind
+    "filter the bottom quality decile" decisions.
+
+    Output: (bucket, n_docs, lo, hi), bucket = 1 + number of thresholds
+    strictly below the value (1..n_buckets).
+
+    Scale shape: thresholds are ONE exact-percentile aggregate (a sort-
+    based agg; at 100 TB swap in percentile_approx -- x17's GK sketch --
+    at the cost of the hashed tier) broadcast as a 1-row array; bucket
+    assignment is a narrow fold over that array; the report is one hash
+    aggregate. Spark's exact interpolated `percentile` matches DuckDB's
+    quantile_cont bit-for-bit (the q30 precedent), so thresholds -- and
+    therefore bucket boundaries -- are hash-stable cross-engine.
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    thr = df.agg(
+        F.percentile(F.col(value_col), F.array(*[F.lit(p) for p in probs]))
+        .alias("__thr")
+    )
+    v = F.col(value_col).cast("double")
+    bucket = (
+        F.aggregate(
+            F.col("__thr"),
+            F.lit(1),
+            lambda acc, t: acc + F.when(v > t, 1).otherwise(0),
+        )
+    ).alias("bucket")
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .select(bucket, F.col(value_col).alias("__v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("__v").alias("lo"),
+            F.max("__v").alias("hi"),
+        )
+    )
+
+
+def decile_report_oracle_sql(
+    source: str = "documents",
+    value_col: str = "n_chars",
+    n_buckets: int = 10,
+) -> str:
+    """DuckDB SQL mirroring ``decile_report`` (quantile_cont array)."""
+    probs = ", ".join(
+        str(i / n_buckets) for i in range(1, n_buckets)
+    )
+    return f"""
+WITH thr AS (
+  SELECT quantile_cont({value_col}, [{probs}]) AS t FROM {source}
+)
+SELECT 1 + len(list_filter(t, x -> CAST({value_col} AS DOUBLE) > x))
+           AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       MIN({value_col}) AS lo, MAX({value_col}) AS hi
+FROM {source}, thr
+GROUP BY 1 ORDER BY bucket
+"""

@@ -1438,3 +1438,23 @@ def x55_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     ).orderBy("edge")
+
+
+@register(
+    "x56_decile_report",
+    __import__(
+        "poc_parquet_publisher_spark.ops.profile", fromlist=["profile"]
+    ).decile_report_oracle_sql("documents", "n_chars"),
+    doc="distribution calibration report: bucket docs by the EXACT "
+        "interpolated decile thresholds of n_chars (Spark percentile == "
+        "DuckDB quantile_cont bit-for-bit, the q30 precedent), report "
+        "per-bucket counts and ranges -- the table behind 'drop the "
+        "bottom quality decile'; thresholds ride a broadcast 1-row "
+        "array, assignment is a narrow fold, report is one hash agg. "
+        "At 100 TB swap percentile_approx (x17) for the exact agg",
+)
+def x56_decile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile.decile_report(docs, "n_chars").orderBy("bucket")
