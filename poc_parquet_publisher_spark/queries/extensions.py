@@ -1458,3 +1458,39 @@ def x56_decile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return profile.decile_report(docs, "n_chars").orderBy("bucket")
+
+
+@register(
+    "x57_topk_per_source",
+    """WITH ranked AS (
+         SELECT source, doc_id, n_chars,
+                CAST(row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id)
+                     AS BIGINT) AS rnk
+         FROM documents
+       )
+       SELECT source, doc_id, n_chars, rnk
+       FROM ranked WHERE rnk <= 3
+       ORDER BY source, rnk""",
+    doc="take-best-N-per-domain curation selection: top-3 docs per "
+        "source by length with a total tiebreak; ONE shuffle on the "
+        "stratum key, per-key windows run in parallel (never a global "
+        "sort), the rnk<=3 filter prunes window output early",
+)
+def x57_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("source", "rnk")
+    )

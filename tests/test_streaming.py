@@ -185,3 +185,50 @@ def test_streaming_sessions_match_batch(spark, events_dir, tmp_path):
     }
     assert stream_rows == batch_rows
     assert len(batch_rows) > 0
+
+
+def test_streaming_quarantine_routes_both_ways(spark, events_dir, tmp_path):
+    """x53's ingest gate on the streaming path: each micro-batch splits
+    into ok/quarantined sinks via one foreachBatch, and the routed
+    totals reconcile with the batch classification."""
+    from poc_parquet_publisher_spark.pipeline.ingest import json_quarantine
+
+    src, batch_df = events_dir
+    ckpt = str(tmp_path / "ckpt-quarantine")
+    counts = {"ok": 0, "quarantined": 0}
+
+    def corrupt(df):
+        return df.select(
+            "event_id",
+            F.when(F.col("event_id") % 13 == 0, F.lit("{bad json"))
+            .when(F.col("event_id") % 17 == 0, F.lit("{}"))
+            .otherwise(F.col("props"))
+            .alias("props"),
+        )
+
+    def route(batch, _id):
+        gated = json_quarantine(corrupt(batch), "event_id", "props")
+        for status in counts:
+            counts[status] += gated.filter(
+                F.col("status") == status
+            ).count()
+
+    q = (
+        spark.readStream.schema(batch_df.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(route)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    expected = {
+        r.status: r.n
+        for r in json_quarantine(corrupt(batch_df), "event_id", "props")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == expected
+    assert counts["quarantined"] > 0 and counts["ok"] > 0
