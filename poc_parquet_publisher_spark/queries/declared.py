@@ -1112,3 +1112,28 @@ def q39_first_last_nth_value(
 ) -> DataFrame:
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_Q39_SQL)
+
+
+_Q40_SQL = """SELECT c.c_custkey, o.o_orderkey AS top_orderkey,
+       ROUND(o.o_totalprice, 4) AS top_totalprice
+FROM customer c LEFT JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+) o ON true
+ORDER BY c.c_custkey"""
+
+
+@register(
+    "q40_lateral_join",
+    _Q40_SQL,
+    doc="LEFT JOIN LATERAL (correlated top-1 subquery per outer row): "
+        "Catalyst decorrelates the LIMIT-ed lateral into a ranked "
+        "window + outer join rather than re-running the subquery per "
+        "row; customers with no orders keep a NULL top order. Same SQL "
+        "text runs on both engines",
+)
+def q40_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q40_SQL)

@@ -1494,3 +1494,44 @@ def x57_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("source", "rnk")
     )
+
+
+@register(
+    "x58_sliding_window",
+    """WITH t AS (
+         SELECT event_type,
+                make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800
+                                    AS BIGINT) * 1000000) AS s1
+         FROM events
+       ), e AS (
+         SELECT event_type,
+                unnest([s1 - INTERVAL 30 MINUTE, s1]) AS window_start
+         FROM t
+       )
+       SELECT window_start, event_type,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+    doc="sliding (hopping) windows -- 1-hour windows every 30 minutes, "
+        "the overlap tumbling x27 cannot express: Spark's native "
+        "window(ts, dur, slide) assigns each event to dur/slide "
+        "windows; the oracle is the relational mirror (each event "
+        "unnests to its two epoch-aligned window starts). Streaming-"
+        "capable with the same watermark semantics as x27",
+)
+def x58_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start", "event_type")
+    )
