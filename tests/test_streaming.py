@@ -232,3 +232,50 @@ def test_streaming_quarantine_routes_both_ways(spark, events_dir, tmp_path):
     }
     assert counts == expected
     assert counts["quarantined"] > 0 and counts["ok"] > 0
+
+
+def test_streaming_sliding_windows_match_batch(spark, events_dir, tmp_path):
+    """x58's sliding (hopping) windows through the streaming engine:
+    the drained table equals the batch answer -- each event counted in
+    BOTH of its overlapping windows regardless of micro-batching."""
+    src, batch_df = events_dir
+    ckpt = str(tmp_path / "ckpt-sliding")
+
+    def sliding(df):
+        return (
+            df.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
+            .groupBy(
+                F.window("ts", "1 hour", "30 minutes").alias("w"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+
+    q = (
+        sliding(spark.readStream.schema(batch_df.schema).parquet(src))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sliding_t")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    stream_rows = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.table("sliding_t").collect()
+    }
+    batch_rows = {
+        (r.window_start, r.event_type): r.n_events
+        for r in sliding(batch_df).collect()
+    }
+    assert stream_rows == batch_rows
+    # overlap sanity: total window-memberships == 2x event count
+    assert sum(batch_rows.values()) == 2 * batch_df.count()
