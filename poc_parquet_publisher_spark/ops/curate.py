@@ -201,3 +201,109 @@ FROM ded d
 WHERE d.{id_col} NOT IN (SELECT {id_col} FROM drops)
 ORDER BY d.{id_col}
 """
+
+
+def curation_funnel(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    min_alpha_ratio: float = 0.5,
+    languages: tuple[str, ...] = ("en", "es"),
+) -> DataFrame:
+    """Curation funnel: documents surviving each successive gate
+    (input -> length -> +alpha -> +language -> +exact-dedup) -- the
+    observability table every curation run publishes (where did the
+    corpus shrink, which gate is too aggressive).
+
+    Output: (stage, gate, n_surviving), stages 0..4 in pipeline order.
+
+    Scale shape: gate booleans are row-local expressions folded into ONE
+    aggregate pass over the corpus (conjunction sums + one conditional
+    count-distinct for the dedup stage); the 5-row funnel falls out of a
+    stack() unpivot of that single row. No joins, one scan.
+    """
+    n_toks = F.size(F.split(F.lower(F.col(text_col)), " ")).cast("long")
+    alpha = F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", "")
+    )
+    alpha_ratio = alpha.cast("double") / F.length(text_col).cast("double")
+    g1 = n_toks >= min_tokens
+    g2 = g1 & (alpha_ratio >= min_alpha_ratio)
+    g3 = g2 & text.lang_pred_column(text_col).isin(*languages)
+    h = F.md5(F.lower(F.col(text_col)))
+    agg = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("s0"),
+        F.sum(g1.cast("long")).cast("long").alias("s1"),
+        F.sum(g2.cast("long")).cast("long").alias("s2"),
+        F.sum(g3.cast("long")).cast("long").alias("s3"),
+        F.count_distinct(F.when(g3, h)).cast("long").alias("s4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, 0, 'input', s0, 1, 'min_tokens', s1, "
+            "2, 'alpha_ratio', s2, 3, 'language', s3, "
+            "4, 'exact_dedup', s4) AS (stage, gate, n_surviving)"
+        )
+    ).select(
+        F.col("stage").cast("int").alias("stage"),
+        "gate",
+        "n_surviving",
+    )
+
+
+def curation_funnel_oracle_sql(
+    source: str = "documents",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    min_alpha_ratio: float = 0.5,
+    languages: tuple[str, ...] = ("en", "es"),
+) -> str:
+    """DuckDB SQL mirroring ``curation_funnel``."""
+    langs = list(text.LANG_STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        inlist = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang])
+        score_cols.append(
+            "CAST(len(list_filter(string_split(lower(text), ' '), "
+            f"t -> t IN ({inlist}))) AS BIGINT) AS score_{lang}"
+        )
+    whens = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}" for other in langs[i + 1 :]
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    lang_case = f"CASE {' '.join(whens)} ELSE '{langs[-1]}' END"
+    lang_list = ", ".join(f"'{lang}'" for lang in languages)
+    return f"""
+WITH scored AS (
+  SELECT {text_col} AS text, {', '.join(score_cols)} FROM {source}
+), flags AS (
+  SELECT text,
+         (len(string_split(lower(text), ' ')) >= {min_tokens}) AS g1,
+         (len(string_split(lower(text), ' ')) >= {min_tokens}
+          AND CAST(strlen(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                   AS DOUBLE) / strlen(text) >= {min_alpha_ratio}) AS g2,
+         (len(string_split(lower(text), ' ')) >= {min_tokens}
+          AND CAST(strlen(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                   AS DOUBLE) / strlen(text) >= {min_alpha_ratio}
+          AND {lang_case} IN ({lang_list})) AS g3
+  FROM scored
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS s0,
+         CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         CAST(count(DISTINCT CASE WHEN g3 THEN md5(lower(text)) END)
+              AS BIGINT) AS s4
+  FROM flags
+)
+SELECT * FROM (
+  SELECT 0 AS stage, 'input' AS gate, s0 AS n_surviving FROM agg
+  UNION ALL SELECT 1, 'min_tokens', s1 FROM agg
+  UNION ALL SELECT 2, 'alpha_ratio', s2 FROM agg
+  UNION ALL SELECT 3, 'language', s3 FROM agg
+  UNION ALL SELECT 4, 'exact_dedup', s4 FROM agg
+) ORDER BY stage
+"""

@@ -930,3 +930,32 @@ SELECT base.{id_col}, base.n_tokens,
 FROM base LEFT JOIN c USING ({id_col})
 ORDER BY base.{id_col}
 """
+
+
+def dup_rate_by_group(
+    df: DataFrame, group_col: str, id_col: str, text_col: str
+) -> DataFrame:
+    """Duplication rate per group (source/domain/crawl): docs, distinct
+    content hashes, and the dup rate 1 - distinct/docs -- the triage
+    table that says WHICH feed is flooding the corpus with duplicates
+    (and therefore where to point the heavier near-dup passes).
+
+    Scale shape: one groupBy(group) with an exact count-distinct on the
+    content hash (two-phase partial agg); no joins, one scan.
+    """
+    h = F.md5(F.lower(F.col(text_col)))
+    return (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct(h).cast("long").alias("n_distinct"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_distinct",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_docs"), 4
+            ).alias("dup_rate"),
+        )
+    )

@@ -1535,3 +1535,41 @@ def x58_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "x59_curation_funnel",
+    __import__(
+        "poc_parquet_publisher_spark.ops.curate", fromlist=["curate"]
+    ).curation_funnel_oracle_sql("documents"),
+    doc="curation funnel: docs surviving each successive gate (input -> "
+        "length -> +alpha -> +language -> +exact-dedup) -- the "
+        "observability table behind x23's pipeline; gate booleans fold "
+        "into ONE aggregate pass (conjunction sums + one conditional "
+        "count-distinct), the 5-row funnel is a stack() unpivot",
+)
+def x59_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate.curation_funnel(docs).orderBy("stage")
+
+
+@register(
+    "x60_dup_rate_by_source",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT md5(lower(text))) AS BIGINT)
+                  AS n_distinct,
+              ROUND(1.0 - CAST(count(DISTINCT md5(lower(text)))
+                    AS DOUBLE) / count(*), 4) AS dup_rate
+       FROM documents GROUP BY source ORDER BY source""",
+    doc="duplication-rate triage per source: which feed floods the "
+        "corpus with duplicates (and where to point the heavier "
+        "near-dup passes); one groupBy with exact count-distinct on "
+        "the content hash, two-phase partial agg, no joins",
+)
+def x60_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dup_rate_by_group(
+        docs, "source", "doc_id", "text"
+    ).orderBy("source")
