@@ -70,7 +70,7 @@ def all_oracles() -> dict[str, str]:
 #   next rounds: continue through x22 x25 x26 x27 x29 x30 x31 x33, then
 #   the round-3 oracle-backed additions x34 x36 x37 x38 x39 x40 x41 x42
 #   x43 x44 (rows-only x35 stays out of the hashed window by design).
-#   With the declared set at 44 (q36/q37 added round 3), only the first
+#   With the declared set at 48 (q36-q41 added round 3), only the first
 #   50 - len(declared) rotated names land in-window; the tail shifts to
 #   later rounds automatically.
 _WINDOW_FIRST: list[str] = [
