@@ -825,3 +825,123 @@ def test_duplicate_spans_matches_python_reference(spark):
         assert got == want, (texts, got, want)
 
     run()
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    """Differential test for x52 on random corpora over a tiny
+    vocabulary: distributed mean conditional log-probs must equal a
+    direct Python computation (context counts from the bigram table,
+    log10 rounded to 6 then exactly accumulated, mean rounded to 4)."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from poc_parquet_publisher_spark.ops import text as T
+
+    word = st.sampled_from(["x", "y", "z"])
+    doc = st.lists(word, min_size=0, max_size=8)
+    corpus = st.lists(doc, min_size=1, max_size=5)
+
+    def reference(texts):
+        bigrams = Counter()
+        per_doc: dict = {}
+        for d, toks in enumerate(texts):
+            bgs = [
+                f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+            ]
+            if bgs:
+                per_doc[d] = bgs
+                bigrams.update(bgs)
+        ctx = Counter()
+        for bg, c in bigrams.items():
+            ctx[bg.split(" ")[0]] += c
+        out = {}
+        for d, bgs in per_doc.items():
+            tot = Decimal(0)
+            for bg in bgs:
+                p = bigrams[bg] / ctx[bg.split(" ")[0]]
+                tot += Decimal(str(round(math.log10(p), 6)))
+            n = len(bgs)
+            out[d] = (n, round(float(tot) / n, 4))
+        return out
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(corpus)
+    def run(texts):
+        rows = [(d, " ".join(toks)) for d, toks in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_bigrams, r.mean_logp)
+            for r in T.bigram_logprob(df, "doc_id", "text").collect()
+        }
+        want = reference(texts)
+        assert got == want, (texts, got, want)
+
+    run()
+
+
+def test_temperature_mixture_matches_python_reference(spark):
+    """Differential test for x46: shares and sample factors must equal
+    the direct computation with floor-scaled integer sqrt sums."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from poc_parquet_publisher_spark.ops import sampling
+
+    strata = st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=1, max_value=40),
+        min_size=1,
+        max_size=4,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(strata)
+    def run(spec):
+        # spec: stratum -> doc count; each doc has 3 tokens
+        rows = []
+        i = 0
+        for s, n in spec.items():
+            for _ in range(n):
+                rows.append((i, s, "t1 t2 t3"))
+                i += 1
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        got = {
+            r.stratum: (r.n_tokens, r.token_share, r.temp_share,
+                        r.sample_factor)
+            for r in sampling.temperature_mixture(
+                df, "source", "text"
+            ).collect()
+        }
+        n_tok = {s: 3 * n for s, n in spec.items()}
+        total = sum(n_tok.values())
+        q = {s: math.floor(math.sqrt(float(v)) * 10**6)
+             for s, v in n_tok.items()}
+        qt = sum(q.values())
+        want = {
+            s: (
+                v,
+                round(v / total, 4),
+                round(q[s] / qt, 4),
+                round((q[s] / qt) / (v / total), 4),
+            )
+            for s, v in n_tok.items()
+        }
+        assert got == want, (spec, got, want)
+
+    run()
