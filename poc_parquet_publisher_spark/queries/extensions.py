@@ -1573,3 +1573,87 @@ def x60_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_rate_by_group(
         docs, "source", "doc_id", "text"
     ).orderBy("source")
+
+
+@register(
+    "x61_hourly_dup_rate",
+    """WITH h AS (
+         SELECT date_trunc('hour', ts) AS hour,
+                md5(concat(CAST(user_id AS VARCHAR), '|', event_type,
+                           '|', props)) AS payload_h
+         FROM events
+       )
+       SELECT hour, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(count(DISTINCT payload_h) AS BIGINT) AS n_distinct,
+              ROUND(1.0 - CAST(count(DISTINCT payload_h) AS DOUBLE)
+                    / count(*), 4) AS dup_rate
+       FROM h GROUP BY hour ORDER BY hour""",
+    doc="dedup rate over TIME (the crawler-health signal x60 gives per "
+        "source): per-hour event payload duplication via one groupBy "
+        "with exact count-distinct on the payload hash -- a sudden "
+        "dup-rate spike in one window is a stuck feed, invisible in "
+        "whole-corpus rates",
+)
+def x61_hourly_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    payload_h = F.md5(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("|"),
+            F.col("event_type"),
+            F.lit("|"),
+            F.col("props"),
+        )
+    )
+    return (
+        ev.select(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            payload_h.alias("payload_h"),
+        )
+        .groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("payload_h").cast("long").alias("n_distinct"),
+        )
+        .select(
+            "hour",
+            "n_events",
+            "n_distinct",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_events"), 4
+            ).alias("dup_rate"),
+        )
+        .orderBy("hour")
+    )
+
+
+@register(
+    "x62_hourly_value_percentiles",
+    """SELECT date_trunc('hour', ts) AS hour,
+              CAST(count(*) AS BIGINT) AS n_events,
+              ROUND(quantile_cont(value, 0.5), 4) AS p50,
+              ROUND(quantile_cont(value, 0.95), 4) AS p95
+       FROM events GROUP BY 1 ORDER BY hour""",
+    doc="grouped exact percentiles over time (p50/p95 of event value "
+        "per hour -- the latency-style SLO readout): one groupBy with "
+        "a sort-based percentile agg per group; Spark percentile == "
+        "DuckDB quantile_cont (q30/x56 precedent). At 100 TB swap "
+        "percentile_approx per group (x17's GK sketch)",
+)
+def x62_hourly_value_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.percentile(F.col("value"), F.lit(0.5)), 4).alias(
+                "p50"
+            ),
+            F.round(F.percentile(F.col("value"), F.lit(0.95)), 4).alias(
+                "p95"
+            ),
+        )
+        .orderBy("hour")
+    )
