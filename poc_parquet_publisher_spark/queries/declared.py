@@ -1163,3 +1163,45 @@ def q41_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+def _q42_sql(dialect: str) -> str:
+    """Recursive-CTE date-series gap fill (q42), per dialect: Spark 4
+    recursive CTEs (spark.sql.cteRecursionLevelLimit defaults to 100,
+    so the series is capped at 60 days) vs DuckDB; the only dialect
+    differences are date arithmetic (date_add/datediff vs +/-)."""
+    mind = "(SELECT MIN(CAST(o_orderdate AS DATE)) FROM orders)"
+    maxd = "(SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)"
+    if dialect == "spark":
+        span = f"datediff({maxd}, {mind})"
+        day = f"date_add({mind}, i)"
+    else:
+        span = f"({maxd} - {mind})"
+        day = f"({mind} + i)"
+    return f"""
+WITH RECURSIVE n(i) AS (
+  SELECT 0 UNION ALL SELECT i + 1 FROM n WHERE i < LEAST({span}, 59)
+), days AS (
+  SELECT {day} AS day FROM n
+), cnt AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS c
+  FROM orders GROUP BY 1
+)
+SELECT days.day, CAST(COALESCE(c, 0) AS BIGINT) AS n_orders
+FROM days LEFT JOIN cnt USING (day)
+ORDER BY days.day
+"""
+
+
+@register(
+    "q42_recursive_series",
+    _q42_sql("duckdb"),
+    doc="recursive CTE (Spark 4.x): 60-day contiguous date series from "
+        "the order-date span, left-joined to per-day counts -- the "
+        "gap-filling report shape (days with zero orders appear as 0, "
+        "which a plain GROUP BY cannot produce); capped below Spark's "
+        "default cteRecursionLevelLimit of 100",
+)
+def q42_recursive_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_q42_sql("spark"))
