@@ -271,3 +271,39 @@ def test_oov_ratio_vocab_is_broadcast(spark):
     plan = plan_of(text.oov_ratio(docs, "doc_id", "text", top_n=50))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_single_pass_no_joins(spark):
+    """x59: the whole funnel folds into one aggregate pass over one
+    scan -- no joins anywhere in the plan."""
+    from poc_parquet_publisher_spark.catalog import load_table
+    from poc_parquet_publisher_spark.ops import curate
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(curate.curation_funnel(docs))
+    assert "Join" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    # exactly one parquet scan feeds the funnel
+    assert plan.count("Scan parquet") == 1
+
+
+def test_hourly_rollups_single_aggregate(spark):
+    """x60/x61/x62: each triage/observability table is one grouped
+    aggregate over one scan -- no joins, no windows."""
+    from poc_parquet_publisher_spark.catalog import load_table
+    from poc_parquet_publisher_spark.ops import dedup
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x61_hourly_dup_rate,
+        x62_hourly_value_percentiles,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    for df in (
+        dedup.dup_rate_by_group(docs, "source", "doc_id", "text"),
+        x61_hourly_dup_rate(spark, SF),
+        x62_hourly_value_percentiles(spark, SF),
+    ):
+        plan = plan_of(df)
+        assert "Join" not in plan
+        assert "Window" not in plan
+        assert plan.count("Scan parquet") == 1
