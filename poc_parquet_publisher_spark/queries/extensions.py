@@ -1657,3 +1657,58 @@ def x62_hourly_value_percentiles(
         )
         .orderBy("hour")
     )
+
+
+@register(
+    "x63_embedding_norm_audit",
+    """WITH n AS (
+         SELECT vec_id,
+                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))) AS nrm,
+                len(embedding) AS dim
+       FROM embeddings
+       )
+       SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+              CAST(count(DISTINCT dim) AS BIGINT) AS n_dims,
+              CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_zero,
+              CAST(SUM(CASE WHEN isnan(nrm) THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_nan,
+              ROUND(quantile_cont(nrm, 0.5), 4) AS p50_norm,
+              ROUND(MIN(nrm), 4) AS min_norm,
+              ROUND(MAX(nrm), 4) AS max_norm
+       FROM n""",
+    doc="embedding-table DQ audit before any ANN/dedup pass: vector "
+        "count, dimension cardinality (a ragged table breaks every "
+        "matmul), zero-norm and NaN counts (broken encoder rows crash "
+        "cosine), norm range and median; one narrow fold per row (the "
+        "dot product via F.aggregate, no Python) + one global aggregate",
+)
+def x63_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    n = emb.select(
+        nrm.alias("nrm"), F.size("embedding").alias("dim")
+    )
+    return n.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.count_distinct("dim").cast("long").alias("n_dims"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)).cast("long").alias(
+            "n_zero"
+        ),
+        F.sum(F.when(F.isnan("nrm"), 1).otherwise(0)).cast("long").alias(
+            "n_nan"
+        ),
+        F.round(F.percentile(F.col("nrm"), F.lit(0.5)), 4).alias(
+            "p50_norm"
+        ),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+    )
