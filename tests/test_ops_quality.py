@@ -945,3 +945,63 @@ def test_temperature_mixture_matches_python_reference(spark):
         assert got == want, (spec, got, want)
 
     run()
+
+
+def test_vocab_and_oov_match_python_reference(spark):
+    """Differential test for x47/x51: coverage curve and OOV ratios on
+    random corpora must equal direct Python computations (same
+    (cnt DESC, term) vocab order, same top-N truncation)."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from poc_parquet_publisher_spark.ops import text as T
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+    doc = st.lists(word, min_size=1, max_size=10)
+    corpus = st.lists(doc, min_size=1, max_size=5)
+    TOP = 3
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(corpus)
+    def run(texts):
+        rows = [(d, " ".join(toks)) for d, toks in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        counts = Counter(t for toks in texts for t in toks)
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        total = sum(counts.values())
+        want_curve = []
+        cum = 0
+        for i, (term, cnt) in enumerate(ranked[:TOP], start=1):
+            cum += cnt
+            want_curve.append((i, term, cnt, round(cum / total, 4)))
+        got_curve = [
+            (r.rank, r.term, r.cnt, r.cum_coverage)
+            for r in T.vocab_coverage(df, "text", top_n=TOP).collect()
+        ]
+        assert got_curve == want_curve, (texts, got_curve, want_curve)
+
+        vocab = {t for t, _ in ranked[:TOP]}
+        want_oov = {
+            d: (
+                len(toks),
+                sum(1 for t in toks if t not in vocab),
+                round(
+                    sum(1 for t in toks if t not in vocab) / len(toks), 4
+                ),
+            )
+            for d, toks in enumerate(texts)
+        }
+        got_oov = {
+            r.doc_id: (r.n_tokens, r.n_oov, r.oov_ratio)
+            for r in T.oov_ratio(df, "doc_id", "text", top_n=TOP).collect()
+        }
+        assert got_oov == want_oov, (texts, got_oov, want_oov)
+
+    run()
