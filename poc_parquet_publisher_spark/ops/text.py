@@ -924,3 +924,72 @@ SELECT doc AS {id_col}, CAST(SUM(c_db) AS BIGINT) AS n_bigrams,
 FROM doc_bf JOIN bg_logp USING (bg)
 GROUP BY doc ORDER BY doc
 """
+
+
+def dataset_card(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row dataset-card summary: the corpus-level numbers a data
+    card / datasheet reports (doc and token counts, language and source
+    cardinality, exact duplicate rate, mean doc length) -- the roll-up
+    of the per-axis tables (x38/x60) into the headline row.
+
+    Scale shape: ONE aggregate pass over one scan; count-distincts are
+    two-phase partial aggs; no joins.
+    """
+    n_toks = F.size(_toks(text_col)).cast("long")
+    h = F.md5(F.lower(F.col(text_col)))
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(n_toks).cast("long").alias("n_tokens"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.count_distinct(h).cast("long").alias("n_distinct_texts"),
+        F.round(
+            F.lit(1.0) - F.count_distinct(h) / F.count(F.lit(1)), 4
+        ).alias("dup_rate"),
+        F.round(
+            F.sum(n_toks) / F.count(F.lit(1)), 4
+        ).alias("mean_tokens_per_doc"),
+    )
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str, text_col: str, level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes): the
+    classic repetitive-junk detector -- templated or looping text
+    compresses far below prose, catching degenerate documents that
+    token-level gates miss. No SQL-engine equivalent exists, so this is
+    a rows-only operator; its behavior is gated in tests (ratio for
+    repeated text << ratio for high-entropy text, determinism).
+
+    Scale shape: an Arrow-batched pandas UDF (zlib in C, one call per
+    row inside the batch loop -- no per-row Python dispatch overhead at
+    the Spark layer); narrow, no shuffle.
+    """
+    import zlib
+
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio(texts):
+        def one(t):
+            if t is None or len(t) == 0:
+                return None
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, level)) / len(raw), 4)
+
+        return texts.map(one)
+
+    # explicit signature (not type hints): the module's `from __future__
+    # import annotations` stringifies hints, which pandas_udf cannot
+    # resolve against function-local imports
+    _ratio.__annotations__ = {
+        "texts": pandas.Series, "return": pandas.Series
+    }
+    ratio = pandas_udf(_ratio, "double")
+
+    return df.select(
+        F.col(id_col),
+        F.octet_length(text_col).cast("long").alias("n_bytes"),
+        ratio(F.col(text_col)).alias("zlib_ratio"),
+    )

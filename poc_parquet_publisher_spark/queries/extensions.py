@@ -1712,3 +1712,43 @@ def x63_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nrm"), 4).alias("min_norm"),
         F.round(F.max("nrm"), 4).alias("max_norm"),
     )
+
+
+@register(
+    "x64_dataset_card",
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+                  AS n_tokens,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+              CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              CAST(count(DISTINCT md5(lower(text))) AS BIGINT)
+                  AS n_distinct_texts,
+              ROUND(1.0 - CAST(count(DISTINCT md5(lower(text)))
+                    AS DOUBLE) / count(*), 4) AS dup_rate,
+              ROUND(CAST(SUM(len(string_split(lower(text), ' ')))
+                    AS DOUBLE) / count(*), 4) AS mean_tokens_per_doc
+       FROM documents""",
+    doc="dataset-card headline row (datasheet summary): doc/token "
+        "counts, language and source cardinality, exact dup rate, mean "
+        "doc length -- ONE aggregate pass, two-phase count-distincts, "
+        "no joins",
+)
+def x64_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.dataset_card(docs, "text")
+
+
+@register(
+    "x65_compression_ratio",
+    None,  # zlib has no SQL-engine equivalent; rows-only, gated in tests
+    doc="per-doc zlib compression ratio (compressed/raw): the classic "
+        "repetitive-junk detector token gates miss; Arrow-batched "
+        "pandas UDF (zlib in C), narrow, no shuffle; quality-gated in "
+        "tests/test_ops_quality.py (repeated text compresses far below "
+        "high-entropy text, deterministic across partitionings)",
+)
+def x65_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.compression_ratio(docs, "doc_id", "text").orderBy(
+        "doc_id"
+    )

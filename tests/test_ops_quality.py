@@ -1005,3 +1005,41 @@ def test_vocab_and_oov_match_python_reference(spark):
         assert got_oov == want_oov, (texts, got_oov, want_oov)
 
     run()
+
+
+def test_compression_ratio_quality_gate(spark):
+    """x65: repeated text must compress far below high-entropy text;
+    empty/null -> NULL; identical results under repartitioning."""
+    import hashlib
+
+    from poc_parquet_publisher_spark.ops import text as T
+
+    junk = "spam ham " * 200
+    prose_words = [
+        hashlib.sha256(str(i).encode()).hexdigest()[:8] for i in range(400)
+    ]
+    prose = " ".join(prose_words)
+    df = spark.createDataFrame(
+        [(1, junk), (2, prose), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in T.compression_ratio(
+            df, "doc_id", "text"
+        ).collect()
+    }
+    assert out[1].zlib_ratio < 0.05  # repetition collapses
+    assert out[2].zlib_ratio > 0.5  # hex soup stays mostly incompressible
+    assert out[1].zlib_ratio < out[2].zlib_ratio / 5
+    assert out[3].zlib_ratio is None and out[4].zlib_ratio is None
+
+    a = sorted(map(tuple, T.compression_ratio(df, "doc_id", "text").collect()))
+    b = sorted(
+        map(
+            tuple,
+            T.compression_ratio(
+                df.repartition(5), "doc_id", "text"
+            ).collect(),
+        )
+    )
+    assert a == b
