@@ -632,3 +632,65 @@ def semantic_dedup(
     return assigned.groupBy("centroid").applyInPandas(
         dedup_group, schema="id long, centroid int, keep boolean"
     )
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mean-pool vectors per group: the chunk->document pooling step of
+    every embedding pipeline (per-chunk encoder outputs averaged into
+    one document vector before indexing/dedup).
+
+    Output: (group, n_vecs, pooled) where pooled[i] is the mean of
+    component i across the group's vectors, DECIMAL-accumulated per
+    component so the sum is independent of Spark's partition order,
+    then rounded to 6 decimals.
+
+    Scale shape: posexplode (linear, factor dim) -> ONE hash-groupBy on
+    (group, pos) with partial aggregation -> regroup to arrays via
+    sorted collect. Two shuffles total; component rows are (group, pos,
+    decimal) -- narrow. The alternative (collect_list of whole vectors,
+    fold in Python) ships full vectors through one unsplittable group.
+    """
+    # round components to 7 decimals BEFORE the decimal cast: a direct
+    # float->decimal cast is engine-specific in the last digit, while
+    # round(double, 7) of a float32-derived double is identical in both
+    # (the x37/x52 recipe)
+    exploded = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double"), 7).cast(
+                    "decimal(28,7)"
+                ),
+            )
+        ).alias("pos", "val"),
+    )
+    # the SUM stays exact DECIMAL; the division happens in DOUBLE
+    # (decimal-division result scales are engine-specific and truncate
+    # differently, double division is correctly rounded in both)
+    per_comp = exploded.groupBy("grp", "pos").agg(
+        F.round(
+            F.sum("val").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_val"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_comp.groupBy("grp")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mean_val"))
+            ).alias("__pm"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_vecs",
+            F.transform(F.col("__pm"), lambda s: s["mean_val"]).alias(
+                "pooled"
+            ),
+        )
+    )

@@ -1752,3 +1752,40 @@ def x65_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.compression_ratio(docs, "doc_id", "text").orderBy(
         "doc_id"
     )
+
+
+@register(
+    "x66_embedding_pooling",
+    """WITH raw AS (
+         SELECT vec_id % 50 AS grp,
+                unnest(range(1, len(embedding) + 1)) AS pos,
+                unnest(CAST(embedding AS DOUBLE[])) AS dval
+         FROM embeddings
+       ), e AS (
+         SELECT grp, pos,
+                CAST(ROUND(dval, 7) AS DECIMAL(28,7)) AS val
+         FROM raw
+       ), per AS (
+         SELECT grp, pos,
+                ROUND(CAST(SUM(val) AS DOUBLE) / count(*), 6)
+                    AS mean_val,
+                count(*) AS n
+         FROM e GROUP BY grp, pos
+       )
+       SELECT grp AS vec_group, CAST(MAX(n) AS BIGINT) AS n_vecs,
+              list(mean_val ORDER BY pos) AS pooled
+       FROM per GROUP BY grp ORDER BY vec_group""",
+    doc="chunk->document mean pooling of embeddings (grouped by "
+        "vec_id%50 as the chunk->doc relation): posexplode -> one "
+        "(group,pos) hash-groupBy with DECIMAL-accumulated component "
+        "sums (partition-order independent) -> sorted regroup to "
+        "arrays; component rows stay narrow, full vectors never "
+        "transit one unsplittable group",
+)
+def x66_embedding_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 50).alias("vec_group"), "embedding"
+    )
+    return similarity.mean_pool_embeddings(
+        emb, "vec_group", "embedding"
+    ).orderBy("vec_group")
