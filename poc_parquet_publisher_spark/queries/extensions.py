@@ -1789,3 +1789,102 @@ def x66_embedding_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mean_pool_embeddings(
         emb, "vec_group", "embedding"
     ).orderBy("vec_group")
+
+
+@register(
+    "x67_inverted_index",
+    """WITH tok AS (
+         SELECT DISTINCT doc_id,
+                unnest(string_split(lower(text), ' ')) AS term
+         FROM documents
+       ), idx AS (
+         SELECT term, CAST(count(*) AS BIGINT) AS df,
+                list_sort(list(doc_id)) AS postings
+         FROM tok GROUP BY term
+       )
+       SELECT term, df, postings[1:100] AS first_postings
+       FROM idx ORDER BY df DESC, term LIMIT 200""",
+    doc="inverted-index build (search/contamination-lookup side "
+        "structure): per-term document frequency + sorted posting "
+        "lists, capped at the first 100 ids per term and top-200 terms "
+        "(stop-term postings are unbounded at corpus scale -- cap or "
+        "shard them); per-doc DISTINCT terms first so df == document "
+        "frequency; one explode + one groupBy(term)",
+)
+def x67_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), " "))
+        ).alias("term"),
+    )
+    idx = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.array_sort(F.collect_list("doc_id")).alias("postings"),
+    )
+    return (
+        idx.select(
+            "term",
+            "df",
+            F.slice(F.col("postings"), 1, 100).alias("first_postings"),
+        )
+        .orderBy(F.desc("df"), "term")
+        .limit(200)
+    )
+
+
+@register(
+    "x68_dupgraph_degree",
+    """WITH t AS (
+         SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, len(string_split(lower(text), ' ')) - 1),
+                  i -> array_to_string(
+                         (string_split(lower(text), ' '))[i:i+2], ' ')
+                )) AS sh
+         FROM documents
+         WHERE len(string_split(lower(text), ' ')) >= 3
+       ), e AS (
+         SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM t
+       ), p AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+         FROM e a JOIN e b USING (shingle)
+         WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4
+       ), pairs AS (
+         SELECT id_a, id_b FROM p
+         WHERE ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 4)
+               >= 0.5
+       ), deg AS (
+         SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+           SELECT id_a AS node FROM pairs
+           UNION ALL SELECT id_b FROM pairs
+         ) GROUP BY node
+       )
+       SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM deg GROUP BY degree ORDER BY degree""",
+    doc="near-dup graph degree distribution (the hub-document "
+        "diagnostic: a high-degree node is a template spamming the "
+        "pair stage, the thing hot-shingle caps and containment "
+        "passes exist for); x03's blocked pair derivation + two "
+        "hash-groupBys over the edge list -- pairs-sized, never "
+        "corpus-sized",
+)
+def x68_dupgraph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5
+    )
+    deg = (
+        pairs.select(F.col("id_a").alias("node"))
+        .unionAll(pairs.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("degree")
+    )
