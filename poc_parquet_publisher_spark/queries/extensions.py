@@ -1888,3 +1888,112 @@ def x68_dupgraph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .orderBy("degree")
     )
+
+
+@register(
+    "x69_lang_margin",
+    """WITH scored AS (
+         SELECT doc_id,
+                list_sort([
+                  CAST(len(list_filter(string_split(lower(text), ' '),
+                       t -> t IN ('the','a','of','and','to','in','is')))
+                       AS BIGINT),
+                  CAST(len(list_filter(string_split(lower(text), ' '),
+                       t -> t IN ('el','la','de','que','y','en','un')))
+                       AS BIGINT),
+                  CAST(len(list_filter(string_split(lower(text), ' '),
+                       t -> t IN ('le','les','des','et','une','pour',
+                                  'dans'))) AS BIGINT),
+                  CAST(len(list_filter(string_split(lower(text), ' '),
+                       t -> t IN ('der','die','das','und','ist','von',
+                                  'nicht'))) AS BIGINT)
+                ]) AS s
+         FROM documents
+       )
+       SELECT doc_id, s[-1] AS top_score,
+              (s[-1] - s[-2]) AS margin,
+              (s[-1] - s[-2]) >= 2 AS confident
+       FROM scored ORDER BY doc_id""",
+    doc="language-ID confidence margin (top stopword vote minus "
+        "runner-up): the routing gate that sends low-margin docs to a "
+        "heavier language model instead of trusting the cheap vote; "
+        "pure expression pipeline over x12's scores, scan-speed",
+)
+def x69_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+        for words in text.LANG_STOPWORDS.values()
+    ]
+    s = F.array_sort(F.array(*scores))
+    top = F.element_at(s, -1)
+    margin = top - F.element_at(s, -2)
+    return docs.select(
+        "doc_id",
+        top.alias("top_score"),
+        margin.alias("margin"),
+        (margin >= 2).alias("confident"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "x70_cross_source_dups",
+    """WITH t AS (
+         SELECT doc_id, source,
+                list_distinct(list_transform(
+                  range(1, len(string_split(lower(text), ' ')) - 1),
+                  i -> array_to_string(
+                         (string_split(lower(text), ' '))[i:i+2], ' ')
+                )) AS sh
+         FROM documents
+         WHERE len(string_split(lower(text), ' ')) >= 3
+       ), e AS (
+         SELECT doc_id, source, len(sh) AS n_sh, unnest(sh) AS shingle
+         FROM t
+       ), p AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.source AS src_a, b.source AS src_b,
+                a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+         FROM e a JOIN e b USING (shingle)
+         WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4, 5, 6
+       )
+       SELECT id_a, id_b, src_a, src_b,
+              ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 4)
+                  AS jaccard
+       FROM p
+       WHERE src_a != src_b
+         AND ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 4) >= 0.5
+       ORDER BY id_a, id_b""",
+    doc="CROSS-SOURCE near-duplicates (syndication/mirror detection -- "
+        "the same article arriving via two feeds, which per-source "
+        "dedup never sees): x03's blocked pair derivation carrying the "
+        "source label, filtered to src_a != src_b; same shingle-block "
+        "scale shape",
+)
+def x70_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("source").alias("src_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("source").alias("src_b"),
+            ),
+            "id_b",
+        )
+        .filter(F.col("src_a") != F.col("src_b"))
+        .select("id_a", "id_b", "src_a", "src_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
