@@ -1997,3 +1997,68 @@ def x70_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "src_a", "src_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "x71_recency_weights",
+    """WITH mx AS (
+         SELECT MAX(CAST(ts AS DATE)) AS max_d FROM events
+       ), w AS (
+         SELECT event_type,
+                CAST(2 AS BIGINT) ** (30 - LEAST(
+                  (max_d - CAST(ts AS DATE)) // 7, 30)) AS w_scaled
+         FROM events, mx
+       )
+       SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(SUM(w_scaled) AS BIGINT) AS w_sum_scaled,
+              ROUND(CAST(SUM(w_scaled) AS DOUBLE) /
+                    (SELECT CAST(SUM(w_scaled) AS DOUBLE) FROM w), 4)
+                  AS weight_share
+       FROM w GROUP BY event_type ORDER BY event_type""",
+    doc="recency-decayed sampling weights (freshness-weighted mixture): "
+        "per-event weight halves every 7 days, computed as EXACT scaled "
+        "integers 2^(30-age_weeks) so sums are integer-exact and "
+        "engine-identical (pow/exp on doubles is not correctly rounded "
+        "cross-engine -- same trick as x46's sqrt scaling); one "
+        "groupBy, totals via broadcast aggregate",
+)
+def x71_recency_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("max_d"))
+    # pyspark's F.shiftleft only takes a literal bit count; the SQL
+    # function accepts a column
+    w = (
+        ev.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "age_weeks",
+            F.floor(
+                F.datediff(F.col("max_d"), F.col("ts").cast("date")) / 7
+            ),
+        )
+        .select(
+            "event_type",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                "CAST(30 - LEAST(age_weeks, 30) AS INT))"
+            ).alias("w_scaled"),
+        )
+    )
+    tot = w.agg(F.sum("w_scaled").cast("double").alias("__t"))
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("w_scaled").cast("long").alias("w_sum_scaled"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_events",
+            "w_sum_scaled",
+            F.round(F.col("w_sum_scaled") / F.col("__t"), 4).alias(
+                "weight_share"
+            ),
+        )
+        .orderBy("event_type")
+    )
