@@ -1043,3 +1043,31 @@ def test_compression_ratio_quality_gate(spark):
         )
     )
     assert a == b
+
+
+def test_snapshot_diff_edge_cases(spark):
+    """x50 semantics on constructed snapshots: disjoint ids, same id
+    with changed text, identical rows, and case-SENSITIVE hashing (the
+    diff must not normalize -- a case change IS a change)."""
+    from poc_parquet_publisher_spark.ops import incremental
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "BETA"), (3, "gamma"), (4, "delta")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.status
+        for r in incremental.snapshot_diff(
+            old, new, "doc_id", "text"
+        ).collect()
+    }
+    assert out == {
+        1: "removed",
+        2: "changed",  # case change is a change
+        3: "unchanged",
+        4: "added",
+    }
