@@ -2062,3 +2062,89 @@ def x71_recency_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "x72_session_funnel",
+    """WITH ordered AS (
+         SELECT user_id, event_id, event_type, ts,
+                lag(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_ts
+         FROM events
+       ), flagged AS (
+         SELECT user_id, event_id, event_type, ts,
+                CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_session
+         FROM ordered
+       ), sessions AS (
+         SELECT user_id, event_type,
+                SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                    AS session_id
+         FROM flagged
+       ), per AS (
+         SELECT user_id, session_id,
+                MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS has_view,
+                MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS has_click,
+                MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS has_purchase
+         FROM sessions GROUP BY user_id, session_id
+       )
+       SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+              CAST(SUM(has_view) AS BIGINT) AS with_view,
+              CAST(SUM(CASE WHEN has_view = 1 AND has_click = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS view_click,
+              CAST(SUM(CASE WHEN has_view = 1 AND has_click = 1
+                            AND has_purchase = 1
+                       THEN 1 ELSE 0 END) AS BIGINT)
+                  AS view_click_purchase
+       FROM per""",
+    doc="session conversion funnel (view -> click -> purchase "
+        "CONTAINMENT within x21's gap-based sessions): per-session "
+        "boolean rollup (MAX of CASE) then one funnel aggregate -- the "
+        "product-analytics shape; one user_id shuffle shared by the "
+        "session window and the rollup",
+)
+def x72_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(run)
+    )
+    has = lambda t: F.max(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    )
+    per = sessions.groupBy("user_id", "session_id").agg(
+        has("view").alias("has_view"),
+        has("click").alias("has_click"),
+        has("purchase").alias("has_purchase"),
+    )
+    both = (F.col("has_view") == 1) & (F.col("has_click") == 1)
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("has_view").cast("long").alias("with_view"),
+        F.sum(F.when(both, 1).otherwise(0)).cast("long").alias(
+            "view_click"
+        ),
+        F.sum(
+            F.when(both & (F.col("has_purchase") == 1), 1).otherwise(0)
+        ).cast("long").alias("view_click_purchase"),
+    )
