@@ -2148,3 +2148,47 @@ def x72_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(both & (F.col("has_purchase") == 1), 1).otherwise(0)
         ).cast("long").alias("view_click_purchase"),
     )
+
+
+@register(
+    "x73_retention_cohorts",
+    """WITH first_seen AS (
+         SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d
+         FROM events GROUP BY user_id
+       ), j AS (
+         SELECT e.user_id,
+                f.first_d,
+                (CAST(e.ts AS DATE) - f.first_d) // 7 AS weeks_since
+         FROM events e JOIN first_seen f USING (user_id)
+       )
+       SELECT first_d AS cohort_start, weeks_since,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+       FROM j
+       GROUP BY first_d, weeks_since
+       ORDER BY cohort_start, weeks_since
+       LIMIT 500""",
+    doc="retention cohorts (the product-analytics activity matrix): "
+        "each user's cohort is their first active day; activity buckets "
+        "by whole weeks since; count-distinct users per (cohort, week). "
+        "One groupBy(user) for first-seen + one user equi-join + one "
+        "grouped count-distinct -- all partial-aggregating shuffles on "
+        "user/cohort keys",
+)
+def x73_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_d")
+    )
+    j = ev.join(first_seen, "user_id").select(
+        "user_id",
+        F.col("first_d").alias("cohort_start"),
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.col("first_d")) / 7
+        ).alias("weeks_since"),
+    )
+    return (
+        j.groupBy("cohort_start", "weeks_since")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+        .orderBy("cohort_start", "weeks_since")
+        .limit(500)
+    )
