@@ -2192,3 +2192,50 @@ def x73_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cohort_start", "weeks_since")
         .limit(500)
     )
+
+
+@register(
+    "x74_rolling_active_users",
+    """WITH ud AS (
+         SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+       ), win AS (
+         SELECT user_id, unnest(range(0, 7)) AS k, d FROM ud
+       ), cover AS (
+         SELECT user_id, d + CAST(k AS INTEGER) AS day FROM win
+       ), bounds AS (
+         SELECT MIN(CAST(ts AS DATE)) AS min_d, MAX(CAST(ts AS DATE))
+                    AS max_d
+         FROM events
+       )
+       SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+       FROM cover, bounds
+       WHERE day BETWEEN min_d AND max_d
+       GROUP BY day ORDER BY day LIMIT 400""",
+    doc="trailing-7-day active users per day (the WAU half of DAU/WAU "
+        "stickiness): each distinct (user, day) explodes to the 7 days "
+        "it keeps the user active (factor 7, linear), then one grouped "
+        "count-distinct -- the standard exact formulation; at 100 TB "
+        "swap the count-distinct for merged HLL sketches (x16) per day",
+)
+def x74_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    cover = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("k")).alias("day"))
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("min_d"),
+        F.max(F.col("ts").cast("date")).alias("max_d"),
+    )
+    return (
+        cover.crossJoin(F.broadcast(bounds))
+        .filter(F.col("day").between(F.col("min_d"), F.col("max_d")))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+        .orderBy("day")
+        .limit(400)
+    )
