@@ -2239,3 +2239,19 @@ def x74_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .limit(400)
     )
+
+
+@register(
+    "x75_lsh_verified_pairs",
+    dedup.lsh_verified_pairs_oracle_sql("documents", "doc_id", 0.5),
+    doc="the complete LSH-then-verify pipeline in one entry: x40's "
+        "deterministic banded candidates rescored with EXACT per-pair "
+        "Jaccard via shingle-array intersection (two id equi-joins, no "
+        "posting explode) -- banding false positives die at the verify "
+        "step, false negatives bounded by the S-curve",
+)
+def x75_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.lsh_verified_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5
+    ).orderBy("id_a", "id_b")

@@ -1071,3 +1071,24 @@ def test_snapshot_diff_edge_cases(spark):
         3: "unchanged",
         4: "added",
     }
+
+
+def test_lsh_verified_pairs_recall_vs_exact(docs):
+    """x75: the verified output must be a SUBSET of the exact blocked
+    Jaccard pass (verify kills banding false positives exactly), with
+    recall on this fixture's high-overlap pairs at 1.0 (every true
+    pair >= 0.5 surfaces through at least one band here)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    verified = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_verified_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    assert verified <= exact
+    assert verified == exact  # full recall on this fixture
