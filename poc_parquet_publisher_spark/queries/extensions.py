@@ -2255,3 +2255,55 @@ def x75_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_verified_pairs(
         docs, "doc_id", "text", k=3, threshold=0.5
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "x76_copurchase_pairs",
+    """WITH items AS (
+         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       ), p AS (
+         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                count(*) AS n_orders
+         FROM items a JOIN items b USING (l_orderkey)
+         WHERE a.l_partkey < b.l_partkey
+         GROUP BY 1, 2
+       )
+       SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders
+       FROM p
+       ORDER BY n_orders DESC, part_a, part_b
+       LIMIT 50""",
+    doc="market-basket co-occurrence (parts co-ordered in the same "
+        "order): pairs expand INSIDE each order's item list with the "
+        "same sorted-array HOF as the shingle buckets (one groupBy on "
+        "the order key, ~4 items/order so in-bucket expansion is tiny), "
+        "then a pair-count groupBy + TakeOrdered top-50 -- never a "
+        "corpus-level self-join",
+)
+def x76_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    buckets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    ps = F.col("parts")
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ps,
+                    lambda x, i: F.transform(
+                        F.slice(ps, i + F.lit(2), F.size(ps)),
+                        lambda y: F.struct(
+                            x.alias("part_a"), y.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(50)
+    )
