@@ -2307,3 +2307,57 @@ def x76_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(50)
     )
+
+
+@register(
+    "x77_hourly_anomalies",
+    """WITH c AS (
+         SELECT date_trunc('hour', ts) AS hour,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1
+       ), m AS (
+         SELECT CAST(SUM(n) AS BIGINT) AS s1,
+                CAST(SUM(n * n) AS BIGINT) AS s2,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM c
+       )
+       SELECT hour, n,
+              ROUND((n - CAST(s1 AS DOUBLE) / cnt) /
+                    sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / cnt)
+                         / (cnt - 1)), 4) AS z,
+              ABS((n - CAST(s1 AS DOUBLE) / cnt) /
+                  sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / cnt)
+                       / (cnt - 1))) > 3 AS anomaly
+       FROM c, m ORDER BY hour""",
+    doc="hourly volume anomaly flags (crawler/feed spike detection): "
+        "z-score of per-hour event counts against the series' own "
+        "moments; mean/variance from EXACT integer sums (SUM(n), "
+        "SUM(n*n) as BIGINT) so only division/sqrt touch doubles -- "
+        "both correctly rounded, engine-identical; per-hour counts are "
+        "one grouped agg, moments a broadcast 1-row aggregate",
+)
+def x77_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m = c.agg(
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    mean = F.col("s1").cast("double") / F.col("cnt")
+    var = (
+        F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("cnt")
+    ) / (F.col("cnt") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        c.crossJoin(F.broadcast(m))
+        .select(
+            "hour",
+            "n",
+            F.round(z, 4).alias("z"),
+            (F.abs(z) > 3).alias("anomaly"),
+        )
+        .orderBy("hour")
+    )
