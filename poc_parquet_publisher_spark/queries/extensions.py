@@ -2361,3 +2361,105 @@ def x77_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@register(
+    "x78_revenue_share_in_region",
+    """WITH rev AS (
+         SELECT r.r_name AS region, n.n_name AS nation,
+                CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,8)))
+                     AS DECIMAL(38,8)) AS rev
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY 1, 2
+       )
+       SELECT region, nation,
+              ROUND(CAST(rev AS DOUBLE), 4) AS revenue,
+              ROUND(CAST(rev AS DOUBLE) /
+                    CAST(SUM(rev) OVER (PARTITION BY region)
+                         AS DOUBLE), 4) AS share_in_region
+       FROM rev ORDER BY region, nation""",
+    doc="percent-of-total within group (the ratio_to_report shape): "
+        "nation revenue share within its region -- aggregate first, "
+        "then a window over the ALREADY-AGGREGATED rows (nation-"
+        "cardinality, not order-cardinality); DECIMAL-accumulated "
+        "revenue, window SUM over exact decimals",
+)
+def x78_revenue_share_in_region(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        )
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+            .cast("decimal(38,8)")
+            .alias("rev")
+        )
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        F.round(F.col("rev").cast("double"), 4).alias("revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w).cast("double"),
+            4,
+        ).alias("share_in_region"),
+    ).orderBy("region", "nation")
+
+
+@register(
+    "x79_first_digit_audit",
+    """WITH d AS (
+         SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                       AS VARCHAR), 1, 1) AS first_digit
+         FROM orders WHERE o_totalprice >= 1
+       )
+       SELECT first_digit, CAST(count(*) AS BIGINT) AS n,
+              ROUND(CAST(count(*) AS DOUBLE) /
+                    (SELECT count(*) FROM d), 4) AS share
+       FROM d GROUP BY first_digit ORDER BY first_digit""",
+    doc="first-significant-digit distribution of order totals (the "
+        "Benford-style forensic audit for generated/fabricated "
+        "numerics): FLOOR before the BIGINT cast because Spark "
+        "truncates and DuckDB rounds on double->int casts; one grouped "
+        "count + broadcast total",
+)
+def x79_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    fd = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"),
+            1,
+            1,
+        ).alias("first_digit")
+    )
+    tot = fd.agg(F.count(F.lit(1)).cast("double").alias("__t"))
+    return (
+        fd.groupBy("first_digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "first_digit",
+            "n",
+            F.round(F.col("n") / F.col("__t"), 4).alias("share"),
+        )
+        .orderBy("first_digit")
+    )
