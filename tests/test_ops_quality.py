@@ -1092,3 +1092,68 @@ def test_lsh_verified_pairs_recall_vs_exact(docs):
     }
     assert verified <= exact
     assert verified == exact  # full recall on this fixture
+
+
+def test_copurchase_pairs_match_python_reference(spark):
+    """Differential test for x76's in-bucket pair expansion: random
+    small baskets must produce exactly the itertools.combinations
+    counts (duplicates within a basket collapse first)."""
+    from collections import Counter
+    from itertools import combinations
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    basket = st.lists(
+        st.integers(min_value=1, max_value=6), min_size=0, max_size=5
+    )
+    orders = st.lists(basket, min_size=1, max_size=6)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(orders)
+    def run(baskets):
+        rows = [
+            (o, p) for o, parts in enumerate(baskets) for p in parts
+        ]
+        if not rows:
+            return
+        df = spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long"
+        )
+        items = df.distinct()
+        buckets = items.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("parts")
+        )
+        ps = F.col("parts")
+        pairs = buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ps,
+                        lambda x, i: F.transform(
+                            F.slice(ps, i + F.lit(2), F.size(ps)),
+                            lambda y: F.struct(
+                                x.alias("a"), y.alias("b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select("p.*")
+        got = Counter(
+            (r.a, r.b)
+            for r in pairs.collect()
+        )
+        want = Counter()
+        for parts in baskets:
+            for a, b in combinations(sorted(set(parts)), 2):
+                want[(a, b)] += 1
+        assert got == want, (baskets, got, want)
+
+    run()
