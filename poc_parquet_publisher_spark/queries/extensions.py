@@ -2463,3 +2463,81 @@ def x79_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+@register(
+    "x80_top_event_per_user",
+    """WITH c AS (
+         SELECT user_id, event_type, count(*) AS cnt
+         FROM events GROUP BY 1, 2
+       ), r AS (
+         SELECT user_id, event_type, cnt,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY cnt DESC, event_type) AS rn
+         FROM c
+       )
+       SELECT user_id, event_type AS top_event,
+              CAST(cnt AS BIGINT) AS cnt
+       FROM r WHERE rn = 1 ORDER BY user_id""",
+    doc="grouped argmax / per-key mode (each user's most frequent event "
+        "type): aggregate first, then a row_number window over the "
+        "ALREADY-AGGREGATED (user, type) rows with a total tiebreak -- "
+        "deterministic where a bare mode()/max_by() is tie-ambiguous "
+        "across engines; the window partition is user-cardinality",
+)
+def x80_top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("cnt"), "event_type"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("top_event"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "x81_weekly_growth",
+    """WITH w AS (
+         SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1
+       )
+       SELECT week, n,
+              lag(n) OVER (ORDER BY week) AS prev_n,
+              ROUND(CAST(n AS DOUBLE) / lag(n) OVER (ORDER BY week) - 1,
+                    4) AS wow_growth
+       FROM w ORDER BY week""",
+    doc="week-over-week growth (lag over the AGGREGATED weekly series): "
+        "the trend readout; the global window runs over week-"
+        "cardinality rows (driver-scale after aggregation), never the "
+        "raw events; first week's growth is NULL by construction",
+)
+def x81_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("week")
+    prev = F.lag("n").over(w)
+    return wk.select(
+        "week",
+        "n",
+        prev.alias("prev_n"),
+        F.round(F.col("n").cast("double") / prev - 1, 4).alias(
+            "wow_growth"
+        ),
+    ).orderBy("week")
