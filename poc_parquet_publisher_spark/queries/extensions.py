@@ -2541,3 +2541,45 @@ def x81_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wow_growth"
         ),
     ).orderBy("week")
+
+
+@register(
+    "x82_lead_time_histogram",
+    """WITH lt AS (
+         SELECT (CAST(l.l_shipdate AS DATE) -
+                 CAST(o.o_orderdate AS DATE)) AS lead_days
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       )
+       SELECT CAST(FLOOR(lead_days / 7) AS BIGINT) AS week_bucket,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(MIN(lead_days) AS BIGINT) AS min_days,
+              CAST(MAX(lead_days) AS BIGINT) AS max_days
+       FROM lt GROUP BY 1 ORDER BY week_bucket""",
+    doc="order->ship lead-time distribution in week buckets (the "
+        "fulfillment-latency readout): one fact-dim equi-join on the "
+        "order key + integer date arithmetic + one hash aggregate; "
+        "DuckDB DATE subtraction yields integer days, Spark uses "
+        "datediff -- same integers",
+)
+def x82_lead_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lt = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("lead_days")
+    )
+    return (
+        lt.groupBy(
+            F.floor(F.col("lead_days") / 7).cast("long").alias(
+                "week_bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("lead_days").cast("long").alias("min_days"),
+            F.max("lead_days").cast("long").alias("max_days"),
+        )
+        .orderBy("week_bucket")
+    )
