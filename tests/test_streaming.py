@@ -279,3 +279,76 @@ def test_streaming_sliding_windows_match_batch(spark, events_dir, tmp_path):
     assert stream_rows == batch_rows
     # overlap sanity: total window-memberships == 2x event count
     assert sum(batch_rows.values()) == 2 * batch_df.count()
+
+
+def test_stateful_sessionize_matches_batch(spark, events_dir, tmp_path):
+    """Hand-rolled keyed-state sessionization (applyInPandasWithState +
+    event-time timeout) against the batch lag-method sessions: every
+    emitted session must exactly match a batch session, and every
+    session CLOSED IN-STREAM (all but each user's last -- an availableNow
+    drain may stop before final timeouts fire) must be emitted."""
+    from pyspark.sql.window import Window
+
+    from poc_parquet_publisher_spark.streaming import sessionize_stateful
+
+    src, batch_df = events_dir
+    ckpt = str(tmp_path / "ckpt-stateful-sessions")
+
+    out = sessionize_stateful(
+        spark.readStream.schema(batch_df.schema).parquet(src)
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stateful_sessions_t")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in spark.table("stateful_sessions_t").collect()
+    }
+
+    # batch reference: x21's lag method (gap STRICTLY > 30 min)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
+    sessions = (
+        batch_df.select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias(
+                "ns"
+            ),
+        )
+        .withColumn("session_id", F.sum("ns").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    rows = sessions.collect()
+    batch = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in rows
+    }
+    last_per_user = {}
+    for r in rows:
+        cur = last_per_user.get(r.user_id)
+        if cur is None or r.session_start > cur:
+            last_per_user[r.user_id] = r.session_start
+
+    # every emitted session is a real batch session, field-exact
+    for k, v in emitted.items():
+        assert batch.get(k) == v, (k, v, batch.get(k))
+    # every in-stream-closed session was emitted
+    for k in batch:
+        if k[1] != last_per_user[k[0]]:
+            assert k in emitted, k
+    assert len(emitted) > 0
