@@ -2583,3 +2583,86 @@ def x82_lead_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_bucket")
     )
+
+
+@register(
+    "x83_dimension_coverage",
+    """WITH e1 AS (
+         SELECT 'part<-lineitem' AS edge,
+                CAST(count(*) AS BIGINT) AS n_parent,
+                CAST(SUM(CASE WHEN l.l_partkey IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_unreferenced
+         FROM part p LEFT JOIN (SELECT DISTINCT l_partkey FROM lineitem) l
+           ON p.p_partkey = l.l_partkey
+       ), e2 AS (
+         SELECT 'supplier<-lineitem' AS edge,
+                CAST(count(*) AS BIGINT) AS n_parent,
+                CAST(SUM(CASE WHEN l.l_suppkey IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_unreferenced
+         FROM supplier s
+         LEFT JOIN (SELECT DISTINCT l_suppkey FROM lineitem) l
+           ON s.s_suppkey = l.l_suppkey
+       ), e3 AS (
+         SELECT 'customer<-orders' AS edge,
+                CAST(count(*) AS BIGINT) AS n_parent,
+                CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_unreferenced
+         FROM customer c
+         LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+           ON c.c_custkey = o.o_custkey
+       ), u AS (
+         SELECT * FROM e1 UNION ALL SELECT * FROM e2
+         UNION ALL SELECT * FROM e3
+       )
+       SELECT edge, n_parent, n_unreferenced,
+              ROUND(CAST(n_unreferenced AS DOUBLE) / n_parent, 4)
+                  AS unreferenced_rate
+       FROM u ORDER BY edge""",
+    doc="dimension coverage -- the REVERSE of x55's orphan audit: "
+        "parents no fact row references (unsold parts, unused "
+        "suppliers, customers with no orders); each edge is one LEFT "
+        "join against the distinct child keys (child side pre-distinct "
+        "so the join is key-sized)",
+)
+def x83_dimension_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def edge(name, parent, pk, child_keys, ck):
+        j = parent.select(F.col(pk).alias("__p")).join(
+            child_keys.select(F.col(ck).alias("__p"), F.lit(1).alias("__hit")),
+            "__p",
+            "left",
+        )
+        return j.agg(
+            F.lit(name).alias("edge"),
+            F.count(F.lit(1)).cast("long").alias("n_parent"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unreferenced"),
+        )
+
+    parts = edge(
+        "part<-lineitem", part, "p_partkey",
+        li.select("l_partkey").distinct(), "l_partkey",
+    )
+    sups = edge(
+        "supplier<-lineitem", supplier, "s_suppkey",
+        li.select("l_suppkey").distinct(), "l_suppkey",
+    )
+    custs = edge(
+        "customer<-orders", customer, "c_custkey",
+        orders.select("o_custkey").distinct(), "o_custkey",
+    )
+    u = parts.unionByName(sups).unionByName(custs)
+    return u.select(
+        "edge",
+        "n_parent",
+        "n_unreferenced",
+        F.round(
+            F.col("n_unreferenced") / F.col("n_parent"), 4
+        ).alias("unreferenced_rate"),
+    ).orderBy("edge")
