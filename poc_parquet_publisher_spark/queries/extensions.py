@@ -2666,3 +2666,33 @@ def x83_dimension_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_unreferenced") / F.col("n_parent"), 4
         ).alias("unreferenced_rate"),
     ).orderBy("edge")
+
+
+@register(
+    "x84_ltv_deciles",
+    __import__(
+        "poc_parquet_publisher_spark.ops.profile", fromlist=["profile"]
+    ).decile_report_oracle_sql(
+        "(SELECT o_custkey, ROUND(CAST(SUM(CAST(o_totalprice AS "
+        "DECIMAL(30,8))) AS DOUBLE), 4) AS ltv FROM orders "
+        "GROUP BY o_custkey) AS t",
+        "ltv",
+    ),
+    doc="customer-lifetime-value deciles: x56's decile operator REUSED "
+        "on a derived aggregate (per-customer DECIMAL-summed spend) -- "
+        "operators compose over any DataFrame, not just base tables; "
+        "the aggregate runs once, thresholds broadcast",
+)
+def x84_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    ltv = orders.groupBy("o_custkey").agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast(
+                "double"
+            ),
+            4,
+        ).alias("ltv")
+    )
+    return profile.decile_report(ltv, "ltv").orderBy("bucket")
