@@ -176,3 +176,35 @@ SELECT 1 + len(list_filter(t, x -> CAST({value_col} AS DOUBLE) > x))
 FROM {source}, thr
 GROUP BY 1 ORDER BY bucket
 """
+
+
+def iqr_udaf():
+    """Grouped-aggregate pandas UDAF: interquartile range of a double
+    column per group -- the UDAF surface (Series -> scalar inside
+    groupBy().agg()), completing the custom-function inventory next to
+    scalar pandas UDFs (compression_ratio), mapInPandas (brute-force
+    top-k), applyInPandas (packing) and applyInPandasWithState
+    (stateful sessions).
+
+    numpy's linear-interpolation percentile is the same formula as
+    Spark `percentile` / DuckDB `quantile_cont` (the q30 precedent), so
+    the result is oracle-hash-exact. Rounding happens OUTSIDE the UDAF:
+    Python's round() is banker's rounding while both engines round half
+    away from zero.
+
+    Scale note: a grouped-agg pandas UDF materializes each group as one
+    pandas Series (no partial aggregation) -- right for group counts
+    << row counts (per-type, per-source); for exact percentiles over
+    huge groups use the built-in sort-based `percentile`, or x17's GK
+    sketch.
+    """
+    import numpy as np
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    def _iqr(v):
+        a = v.to_numpy(dtype="float64")
+        return float(np.percentile(a, 75) - np.percentile(a, 25))
+
+    _iqr.__annotations__ = {"v": pandas.Series, "return": float}
+    return pandas_udf(_iqr, "double")

@@ -2696,3 +2696,29 @@ def x84_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ltv")
     )
     return profile.decile_report(ltv, "ltv").orderBy("bucket")
+
+
+@register(
+    "x85_grouped_iqr_udaf",
+    """SELECT event_type,
+              ROUND(quantile_cont(value, 0.75)
+                    - quantile_cont(value, 0.25), 4) AS iqr
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    doc="grouped-aggregate pandas UDAF (Series -> scalar in "
+        "groupBy().agg()): per-type interquartile range of event "
+        "value; numpy's linear-interpolation percentile is the same "
+        "formula as quantile_cont so the UDAF is oracle-hash-exact; "
+        "rounding outside the UDAF (python round is banker's). "
+        "Completes the custom-function surface: scalar pandas UDF, "
+        "mapInPandas, applyInPandas, applyInPandasWithState, UDAF",
+)
+def x85_grouped_iqr_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import profile
+
+    ev = load_table(spark, sf_dir, "events")
+    iqr = profile.iqr_udaf()
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(iqr("value"), 4).alias("iqr"))
+        .orderBy("event_type")
+    )
