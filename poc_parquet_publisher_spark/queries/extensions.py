@@ -2722,3 +2722,62 @@ def x85_grouped_iqr_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(iqr("value"), 4).alias("iqr"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "x86_vocab_growth",
+    """WITH first_seen AS (
+         SELECT term, MIN(doc_id) AS first_doc FROM (
+           SELECT doc_id,
+                  unnest(list_distinct(string_split(lower(text), ' ')))
+                      AS term
+           FROM documents
+         ) GROUP BY term
+       ), per_doc AS (
+         SELECT d.doc_id,
+                len(list_distinct(string_split(lower(d.text), ' ')))
+                    AS n_terms,
+                COALESCE(f.n_new, 0) AS n_new
+         FROM documents d LEFT JOIN (
+           SELECT first_doc AS doc_id, count(*) AS n_new
+           FROM first_seen GROUP BY 1
+         ) f USING (doc_id)
+       )
+       SELECT doc_id,
+              CAST(SUM(n_new) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+       FROM per_doc ORDER BY doc_id""",
+    doc="vocabulary growth curve (Heaps' law; tokenizer-budget "
+        "planning): each term attributes to the doc where it FIRST "
+        "appears (one term groupBy + min), per-doc new-term counts "
+        "running-sum into the curve. The running sum is a window over "
+        "doc-cardinality rows -- at 100 TB make it a two-pass "
+        "partition prefix-sum (per-partition totals broadcast as "
+        "offsets) instead of one global window",
+)
+def x86_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), " "))
+        ).alias("term"),
+    )
+    first_seen = terms.groupBy("term").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    n_new = first_seen.groupBy(
+        F.col("first_doc").alias("doc_id")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    per_doc = docs.select("doc_id").join(n_new, "doc_id", "left").select(
+        "doc_id", F.coalesce("n_new", F.lit(0)).alias("n_new")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_doc.select(
+        "doc_id",
+        F.sum("n_new").over(w).cast("long").alias("vocab_size"),
+    ).orderBy("doc_id")
