@@ -2781,3 +2781,35 @@ def x86_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.sum("n_new").over(w).cast("long").alias("vocab_size"),
     ).orderBy("doc_id")
+
+
+@register(
+    "x87_frequency_spectrum",
+    """WITH c AS (
+         SELECT term, count(*) AS freq FROM (
+           SELECT unnest(string_split(lower(text), ' ')) AS term
+           FROM documents
+         ) GROUP BY term
+       )
+       SELECT freq, CAST(count(*) AS BIGINT) AS n_terms
+       FROM c GROUP BY freq ORDER BY freq""",
+    doc="term frequency-of-frequencies spectrum (the Good-Turing "
+        "smoothing input / Zipf diagnostic: how many terms occur "
+        "exactly k times -- the N_1/N ratio estimates unseen-mass): "
+        "two chained hash-groupBys, both partial-aggregating; the "
+        "second groups freq values so its cardinality is tiny",
+)
+def x87_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        c.groupBy("freq")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_terms"))
+        .orderBy("freq")
+    )
