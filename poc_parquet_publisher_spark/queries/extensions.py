@@ -2813,3 +2813,76 @@ def x87_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_terms"))
         .orderBy("freq")
     )
+
+
+@register(
+    "x88_bigram_entropy",
+    """WITH bg AS (
+         SELECT unnest(list_transform(
+                  range(1, len(toks)),
+                  i -> array_to_string(toks[i:i+1], ' ')
+                )) AS bg
+         FROM (
+           SELECT string_split(lower(text), ' ') AS toks
+           FROM documents
+           WHERE len(string_split(lower(text), ' ')) >= 2
+         )
+       ), big AS (
+         SELECT bg, count(*) AS c12,
+                string_split(bg, ' ')[1] AS w1
+         FROM bg GROUP BY bg
+       ), ctx AS (
+         SELECT w1, SUM(c12) AS c1 FROM big GROUP BY w1
+       ), terms AS (
+         SELECT CAST(c12 AS DECIMAL(18,0)) *
+                CAST(ROUND(log2(CAST(c12 AS DOUBLE) / c1), 6)
+                     AS DECIMAL(18,6)) AS contrib,
+                c12
+         FROM big JOIN ctx USING (w1)
+       )
+       SELECT CAST(SUM(c12) AS BIGINT) AS n_bigrams,
+              ROUND(-CAST(SUM(contrib) AS DOUBLE) /
+                    CAST(SUM(c12) AS BIGINT), 4) AS entropy_bits
+       FROM terms""",
+    doc="corpus bigram conditional entropy in bits/token (the "
+        "predictability summary behind perplexity: 2^H is the corpus "
+        "perplexity under its own bigram model; repetitive/templated "
+        "corpora score low): x52's model CTEs rolled into ONE corpus "
+        "row with the round-log-then-DECIMAL accumulation",
+)
+def x88_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.split(F.lower(F.col("text")), " ").alias("__toks")
+    ).filter(F.size("__toks") >= 2)
+    toks = F.col("__toks")
+    bg = t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        ).alias("bg")
+    )
+    big = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    big = big.withColumn("w1", F.split(F.col("bg"), " ")[0])
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    contrib = (
+        F.col("c12").cast("decimal(18,0)")
+        * F.round(F.log2(F.col("c12") / F.col("c1")), 6).cast(
+            "decimal(18,6)"
+        )
+    ).alias("contrib")
+    terms = big.join(ctx, "w1").select(contrib, "c12")
+    return terms.agg(
+        F.sum("c12").cast("long").alias("n_bigrams"),
+        F.round(
+            -F.sum("contrib").cast("double")
+            / F.sum("c12").cast("long"),
+            4,
+        ).alias("entropy_bits"),
+    )
