@@ -993,3 +993,49 @@ def compression_ratio(
         F.octet_length(text_col).cast("long").alias("n_bytes"),
         ratio(F.col(text_col)).alias("zlib_ratio"),
     )
+
+
+# Normalization steps, applied in order (the canonical pre-hash cleanup:
+# identical VISIBLE text must hash identically before any dedup pass).
+NORMALIZE_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[\t\r\n]+", " "),      # control whitespace -> space
+    (r" {2,}", " "),           # collapse runs of spaces
+    (r"^ +| +$", ""),          # trim
+)
+
+
+def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace/control-character normalization -- the cleanup pass
+    that MUST precede content-hash dedup (x01): tab-vs-space and
+    double-space variants of identical visible text otherwise hash as
+    distinct documents and silently survive dedup.
+
+    Output: (id, normalized, changed) -- chained regexp_replace,
+    codegen, scan-speed; ``changed`` flags rows the pass altered.
+    """
+    norm = F.col(text_col)
+    for pat, repl in NORMALIZE_PATTERNS:
+        norm = F.regexp_replace(norm, pat, repl)
+    return df.select(
+        F.col(id_col),
+        norm.alias("normalized"),
+        (norm != F.col(text_col)).alias("changed"),
+    )
+
+
+def normalize_text_sql(
+    source: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB SQL mirroring ``normalize_text`` ('g' flag; DuckDB's RE2
+    anchors ^/$ behave the same on single-line strings)."""
+    expr = text_col
+    for pat, repl in NORMALIZE_PATTERNS:
+        # DuckDB single-quoted strings are escape-free: the backslash
+        # sequences reach RE2 verbatim, exactly like Spark's Java regex
+        sql_pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{repl}', 'g')"
+    return (
+        f"SELECT {id_col}, {expr} AS normalized, "
+        f"({expr} != {text_col}) AS changed "
+        f"FROM {source} ORDER BY {id_col}"
+    )

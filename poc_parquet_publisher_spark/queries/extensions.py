@@ -2886,3 +2886,36 @@ def x88_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("entropy_bits"),
     )
+
+
+@register(
+    "x89_normalize_text",
+    text.normalize_text_sql(
+        """(SELECT doc_id,
+              CASE WHEN doc_id % 5 = 0
+                   THEN '  ' || replace(text, ' ', '   ') || chr(9)
+                   ELSE text END AS text
+            FROM documents) AS src"""
+    ),
+    doc="whitespace/control-char normalization -- the cleanup that MUST "
+        "precede content-hash dedup (tab/double-space variants of "
+        "identical visible text otherwise survive x01 as distinct): "
+        "chained regexp_replace, codegen; dirt injected "
+        "deterministically (doc_id%5: leading spaces, tripled "
+        "separators, trailing tab) since the fixture is clean",
+)
+def x89_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("  "),
+                F.regexp_replace(F.col("text"), " ", "   "),
+                F.lit("\t"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.normalize_text(docs, "doc_id", "text").orderBy("doc_id")

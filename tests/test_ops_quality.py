@@ -1157,3 +1157,31 @@ def test_copurchase_pairs_match_python_reference(spark):
         assert got == want, (baskets, got, want)
 
     run()
+
+
+def test_normalize_text_recovers_original(spark, docs):
+    """x89 invariant: whitespace dirt (leading spaces, tripled
+    separators, trailing tab) normalizes back to the ORIGINAL text
+    byte-for-byte, so content-hash dedup sees one document."""
+    from poc_parquet_publisher_spark.ops import text as T
+
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("  "),
+            F.regexp_replace(F.col("text"), " ", "   "),
+            F.lit("\t"),
+        ).alias("text"),
+    )
+    norm = T.normalize_text(dirty, "doc_id", "text").select(
+        "doc_id", F.col("normalized")
+    )
+    orig = docs.select("doc_id", F.col("text").alias("expected"))
+    joined = norm.join(orig, "doc_id")
+    assert (
+        joined.filter(F.col("normalized") != F.col("expected")).count()
+        == 0
+    )
+    assert T.normalize_text(dirty, "doc_id", "text").filter(
+        ~F.col("changed")
+    ).count() == 0
