@@ -16,6 +16,21 @@ from pyspark.sql import functions as F
 from poc_parquet_publisher_spark.catalog import load_table
 from poc_parquet_publisher_spark.ops import dedup, similarity
 
+
+def _round_hu(x: float, n: int) -> float:
+    """Round half AWAY from zero, matching Spark's F.round and DuckDB's
+    ROUND -- Python's built-in round() is banker's and disagrees on
+    exact dyadic ties (e.g. 17/32 = 0.53125 -> 0.5313 in both engines,
+    0.5312 from Python)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1).scaleb(-n), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -865,7 +880,7 @@ def test_bigram_logprob_matches_python_reference(spark):
                 p = bigrams[bg] / ctx[bg.split(" ")[0]]
                 tot += Decimal(str(round(math.log10(p), 6)))
             n = len(bgs)
-            out[d] = (n, round(float(tot) / n, 4))
+            out[d] = (n, _round_hu(float(tot) / n, 4))
         return out
 
     @settings(
@@ -936,9 +951,9 @@ def test_temperature_mixture_matches_python_reference(spark):
         want = {
             s: (
                 v,
-                round(v / total, 4),
-                round(q[s] / qt, 4),
-                round((q[s] / qt) / (v / total), 4),
+                _round_hu(v / total, 4),
+                _round_hu(q[s] / qt, 4),
+                _round_hu((q[s] / qt) / (v / total), 4),
             )
             for s, v in n_tok.items()
         }
@@ -980,7 +995,7 @@ def test_vocab_and_oov_match_python_reference(spark):
         cum = 0
         for i, (term, cnt) in enumerate(ranked[:TOP], start=1):
             cum += cnt
-            want_curve.append((i, term, cnt, round(cum / total, 4)))
+            want_curve.append((i, term, cnt, _round_hu(cum / total, 4)))
         got_curve = [
             (r.rank, r.term, r.cnt, r.cum_coverage)
             for r in T.vocab_coverage(df, "text", top_n=TOP).collect()
@@ -992,7 +1007,7 @@ def test_vocab_and_oov_match_python_reference(spark):
             d: (
                 len(toks),
                 sum(1 for t in toks if t not in vocab),
-                round(
+                _round_hu(
                     sum(1 for t in toks if t not in vocab) / len(toks), 4
                 ),
             )
