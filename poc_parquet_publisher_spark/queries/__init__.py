@@ -66,15 +66,16 @@ def all_oracles() -> dict[str, str]:
 # entry into the hashed window.
 #   rounds 1-2: x01 x02 x24 x03 x05 x07 x09 x10 (driver-green in
 #               CORRECTNESS_r01/r02)
-#   round 3:    the list below
-#   next rounds: continue through x22 x25 x26 x27 x29 x30 x31 x33, then
-#   the round-3 oracle-backed additions x34 x36 x37 x38 x39 x40 x41 x42
-#   x43 x44 (rows-only x35 stays out of the hashed window by design).
-#   With the declared set at 48 (q36-q41 added round 3), only the first
-#   50 - len(declared) rotated names land in-window; the tail shifts to
-#   later rounds automatically.
+#   round 3:    x11 (driver-green in CORRECTNESS_r03)
+#   round 4:    x12 (head of the list below)
+#   next rounds: continue down the list, then x22 x25 x26 x27 x29 x30
+#   x31 x33, then later oracle-backed additions (rows-only entries stay
+#   out of the hashed window by design).
+#   With the declared set at 49 (q38-q42 added round 3), only ONE
+#   rotated name lands in the driver's 50-entry hashed window per
+#   round; each round, move the newly driver-checked head to the
+#   retired list above and promote the next entry.
 _WINDOW_FIRST: list[str] = [
-    "x11_text_quality",
     "x12_text_langid",
     "x13_multimodal_meta",
     "x14_text_rolling_fingerprint",
@@ -82,6 +83,7 @@ _WINDOW_FIRST: list[str] = [
     "x19_tfidf",
     "x20_text_scrub",
     "x21_sessionize",
+    "x22_histogram",
 ]
 
 

@@ -1142,21 +1142,30 @@ def q40_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q41_array_agg",
     """SELECT o_custkey,
-              list_sort(list(o_orderkey)) AS orderkeys,
+              array_to_string(list_sort(list(o_orderkey)), ',')
+                  AS orderkeys,
               CAST(len(list(o_orderkey)) AS BIGINT) AS n_orders
        FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     doc="aggregate-to-array (collect_list/list): per-customer order-key "
         "arrays, sorted post-aggregation so the nondeterministic "
         "collection order cancels out -- the portable way to hash-match "
         "an array aggregate across engines. Dialect map: collect_list "
-        "<-> list, array_sort <-> list_sort, size <-> len",
+        "<-> list, array_sort <-> list_sort, size <-> len. The array is "
+        "string-serialized on both engines (q33 precedent): the driver's "
+        "pandas canonicalizer cannot sort/hash raw array cells",
 )
 def q41_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_custkey")
         .agg(
-            F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("o_orderkey")),
+                    lambda k: k.cast("string"),
+                ),
+                ",",
+            ).alias("orderkeys"),
             F.size(F.collect_list("o_orderkey")).cast("long").alias(
                 "n_orders"
             ),

@@ -1773,21 +1773,37 @@ def x65_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM e GROUP BY grp, pos
        )
        SELECT grp AS vec_group, CAST(MAX(n) AS BIGINT) AS n_vecs,
-              list(mean_val ORDER BY pos) AS pooled
+              array_to_string(list_transform(
+                  list(mean_val ORDER BY pos),
+                  v -> CAST(CAST(v AS DECIMAL(18,6)) AS VARCHAR)
+              ), ',') AS pooled
        FROM per GROUP BY grp ORDER BY vec_group""",
     doc="chunk->document mean pooling of embeddings (grouped by "
         "vec_id%50 as the chunk->doc relation): posexplode -> one "
         "(group,pos) hash-groupBy with DECIMAL-accumulated component "
         "sums (partition-order independent) -> sorted regroup to "
         "arrays; component rows stay narrow, full vectors never "
-        "transit one unsplittable group",
+        "transit one unsplittable group. The pooled vector is "
+        "string-serialized via DECIMAL(18,6) on both engines (q33 "
+        "precedent) so the entry is driver-window safe",
 )
 def x66_embedding_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         (F.col("vec_id") % 50).alias("vec_group"), "embedding"
     )
-    return similarity.mean_pool_embeddings(
+    pooled = similarity.mean_pool_embeddings(
         emb, "vec_group", "embedding"
+    )
+    return pooled.select(
+        "vec_group",
+        "n_vecs",
+        F.array_join(
+            F.transform(
+                F.col("pooled"),
+                lambda v: v.cast("decimal(18,6)").cast("string"),
+            ),
+            ",",
+        ).alias("pooled"),
     ).orderBy("vec_group")
 
 
@@ -1802,14 +1818,17 @@ def x66_embedding_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 list_sort(list(doc_id)) AS postings
          FROM tok GROUP BY term
        )
-       SELECT term, df, postings[1:100] AS first_postings
+       SELECT term, df,
+              array_to_string(postings[1:100], ',') AS first_postings
        FROM idx ORDER BY df DESC, term LIMIT 200""",
     doc="inverted-index build (search/contamination-lookup side "
         "structure): per-term document frequency + sorted posting "
         "lists, capped at the first 100 ids per term and top-200 terms "
         "(stop-term postings are unbounded at corpus scale -- cap or "
         "shard them); per-doc DISTINCT terms first so df == document "
-        "frequency; one explode + one groupBy(term)",
+        "frequency; one explode + one groupBy(term). Postings are "
+        "string-serialized on both engines (q33 precedent) so the "
+        "entry is driver-window safe",
 )
 def x67_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1827,7 +1846,13 @@ def x67_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.select(
             "term",
             "df",
-            F.slice(F.col("postings"), 1, 100).alias("first_postings"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("postings"), 1, 100),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("first_postings"),
         )
         .orderBy(F.desc("df"), "term")
         .limit(200)
