@@ -2775,13 +2775,14 @@ def x85_grouped_iqr_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="vocabulary growth curve (Heaps' law; tokenizer-budget "
         "planning): each term attributes to the doc where it FIRST "
         "appears (one term groupBy + min), per-doc new-term counts "
-        "running-sum into the curve. The running sum is a window over "
-        "doc-cardinality rows -- at 100 TB make it a two-pass "
-        "partition prefix-sum (per-partition totals broadcast as "
-        "offsets) instead of one global window",
+        "running-sum into the curve. The running sum is scale.prefix_sum "
+        "-- the two-pass partition prefix-sum (range partition -> "
+        "per-partition totals broadcast as exclusive offsets -> "
+        "shuffle-free local cumsum), NEVER a global single-partition "
+        "window (plan-gated in tests/test_plans.py)",
 )
 def x86_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from .. import scale
 
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(
@@ -2799,13 +2800,11 @@ def x86_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = docs.select("doc_id").join(n_new, "doc_id", "left").select(
         "doc_id", F.coalesce("n_new", F.lit(0)).alias("n_new")
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    return (
+        scale.prefix_sum(per_doc, "doc_id", "n_new", "vocab_size")
+        .select("doc_id", F.col("vocab_size").cast("long"))
+        .orderBy("doc_id")
     )
-    return per_doc.select(
-        "doc_id",
-        F.sum("n_new").over(w).cast("long").alias("vocab_size"),
-    ).orderBy("doc_id")
 
 
 @register(

@@ -114,6 +114,84 @@ def heavy_hitters(
     )
 
 
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed running sum of ``value_col`` ORDER BY ``order_col``:
+    the two-pass partition prefix-sum that replaces a global
+    ``Window.orderBy(...)`` -- which Spark plans as ``Exchange
+    SinglePartition`` + one task scanning EVERY row, the classic
+    scale-killer on an unbounded key.
+
+    Two passes over a pinned range partitioning:
+
+    1. ``repartitionByRange(order_col)`` + ``sortWithinPartitions``
+       gives a TOTAL order split across tasks (every key in partition
+       i precedes every key in partition i+1), then ``localCheckpoint``
+       pins the partition assignment so both passes see identical
+       splits (range sampling is not re-run).
+    2. Pass 1: per-partition totals -- one tiny job collecting
+       ``num_partitions`` rows to the driver (bounded by cluster
+       parallelism, never by data size), folded into EXCLUSIVE
+       cumulative offsets.
+    3. Pass 2: each task adds its broadcast offset to a
+       partition-LOCAL cumulative sum via ``mapInPandas`` -- ZERO
+       additional shuffle (the data is already range-partitioned and
+       sorted; a ``Window.partitionBy(pid)`` would re-shuffle), and
+       the cumsum is one vectorized Arrow-batch call.
+
+    Nulls in ``value_col`` contribute 0 and the running total starts
+    at 0, so an all-null prefix yields 0 where SQL's ``SUM() OVER``
+    yields NULL -- i.e. this computes ``COALESCE(SUM(v) OVER (...),
+    0)``. The sum is computed in int64 -- callers needing float prefix
+    sums should scale to integers first (the x37/x46 DECIMAL recipe).
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas ships pandas frames)
+
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    part = (
+        df.repartitionByRange(n, order_col)
+        .sortWithinPartitions(order_col)
+        .localCheckpoint()
+    )
+    totals = {
+        r["pid"]: r["t"] or 0
+        for r in part.groupBy(
+            F.spark_partition_id().alias("pid")
+        ).agg(F.sum(value_col).alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+
+    out_fields = part.schema.fields
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in out_fields]
+        + [f"{out_col} bigint"]
+    )
+
+    def cumsum_with_offset(batches):
+        from pyspark import TaskContext
+
+        running = offsets.get(TaskContext.get().partitionId(), 0)
+        for pdf in batches:
+            vals = pdf[value_col].fillna(0).astype("int64").cumsum()
+            pdf[out_col] = vals + running
+            if len(pdf):
+                running = int(pdf[out_col].iloc[-1])
+            yield pdf
+
+    return part.mapInPandas(cumsum_with_offset, schema=schema)
+
+
 # Hive-partitioned writes + small-file compaction live in
 # pipeline/layout.py (write_partitioned bounds file counts via a
 # partition-key repartition and sorts within tasks for row-group

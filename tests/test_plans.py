@@ -307,3 +307,20 @@ def test_hourly_rollups_single_aggregate(spark):
         assert "Join" not in plan
         assert "Window" not in plan
         assert plan.count("Scan parquet") == 1
+
+
+def test_x86_prefix_sum_no_global_window(spark):
+    """x86: the vocabulary running sum is the two-pass partition
+    prefix-sum (scale.prefix_sum), never a global Window -- a
+    ``Window.orderBy`` over doc-cardinality rows plans as ``Exchange
+    SinglePartition`` and serializes the whole curve through one task
+    at 100x scale. The gate: no Window node at all, no SinglePartition
+    exchange, and the local pass is an Arrow-batched MapInPandas."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x86_vocab_growth,
+    )
+
+    plan = plan_of(x86_vocab_growth(spark, SF))
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "MapInPandas" in plan

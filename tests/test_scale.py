@@ -106,3 +106,55 @@ def test_bucketed_join_is_shuffle_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_prefix_sum_matches_global_window(spark):
+    """prefix_sum == COALESCE(SUM(v) OVER (ORDER BY k ROWS UNBOUNDED
+    PRECEDING), 0) on every row, including null values (contribute 0;
+    an all-null prefix is 0, not NULL), regardless of the input's
+    partitioning."""
+    from pyspark.sql.window import Window
+
+    df = spark.range(5_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 97 == 0, F.lit(None))
+        .otherwise((F.col("id") * 7) % 13)
+        .alias("v"),
+    )
+    w = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expected = {
+        (r.k, r.s)
+        for r in df.select(
+            "k",
+            F.coalesce(F.sum("v").over(w), F.lit(0))
+            .cast("long")
+            .alias("s"),
+        ).collect()
+    }
+    for reshaped in (df, df.repartition(7), df.coalesce(1)):
+        got = {
+            (r.k, r.s)
+            for r in scale.prefix_sum(reshaped, "k", "v", "s")
+            .select("k", F.col("s").cast("long"))
+            .collect()
+        }
+        assert got == expected
+
+
+def test_prefix_sum_few_partitions_and_empty(spark):
+    """Degenerate shapes: fewer rows than partitions, and an empty
+    frame, both come back exact."""
+    tiny = spark.range(3).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    got = {
+        (r.k, r.s)
+        for r in scale.prefix_sum(
+            tiny, "k", "v", "s", num_partitions=16
+        ).collect()
+    }
+    assert got == {(0, 1), (1, 2), (2, 3)}
+    empty = tiny.where(F.lit(False))
+    assert scale.prefix_sum(empty, "k", "v", "s").count() == 0
