@@ -176,17 +176,24 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "registry_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    result = {
+        "metric": "registry_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # The driver captures only the tail of stdout, which can truncate
+    # the per-query map (BENCH_r03.json lost every q-entry); persist the
+    # FULL map next to the repo so round-over-round comparison always
+    # has all entries from the same run the driver saw.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    with open(local_path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -102,6 +102,7 @@ def token_budget_sample(
     budgets: dict[str, int],
     default_budget: int = 0,
     salt: str = "budget",
+    presample_rate: float | dict[str, float] | None = None,
 ) -> DataFrame:
     """Keep rows per stratum until a TOKEN budget is met (not a row
     fraction): the data-mixing primitive when mixture targets are token
@@ -118,9 +119,19 @@ def token_budget_sample(
 
     Skew note: one window partition per stratum serializes each
     stratum into one task. Strata are languages/sources (tens, not
-    millions), so the fix at 100 TB is the stratified-RATE sampler
-    first (narrow, no shuffle) to get within ~2x of target, then this
-    exact capper on the survivors.
+    millions), so the fix for a monster stratum at 100 TB is
+    ``presample_rate``: a narrow shuffle-FREE rate filter applied
+    BEFORE the window, per stratum (a float applies to all strata; a
+    dict maps stratum -> rate, unlisted strata keep everything).
+    Because the presample keeps exactly the rows whose bucket falls
+    below the rate threshold -- i.e. the PREFIX of the same
+    md5(key:salt) consumption order the window uses -- the capped
+    output is IDENTICAL to the exact version whenever the stratum's
+    budget fills within the presampled prefix. Pick a rate with ~2x
+    margin (rate >= 2 * budget / stratum_token_total); an undershot
+    rate keeps every survivor (fewer tokens than budget) and never
+    biases the sample. Verified in tests/test_ops_quality.py with a
+    90%-of-rows monster stratum.
     """
     from pyspark.sql.window import Window
 
@@ -130,6 +141,24 @@ def token_budget_sample(
             "rename the input column of that name first"
         )
     bucket = _bucket(F.col(key_col), salt)
+    if presample_rate is not None:
+        rates = (
+            presample_rate
+            if isinstance(presample_rate, dict)
+            else {s: float(presample_rate) for s in budgets}
+        )
+        # same bucket, same salt: the filter keeps the consumption-order
+        # prefix, so the window sees rate*|stratum| rows, not |stratum|
+        thr = None
+        for stratum, rate in sorted(rates.items()):
+            t = F.lit(_threshold_hex(rate))
+            thr = (
+                F.when(F.col(strata_col) == stratum, t)
+                if thr is None
+                else thr.when(F.col(strata_col) == stratum, t)
+            )
+        if thr is not None:
+            df = df.filter(bucket < thr.otherwise(F.lit(_threshold_hex(1.0))))
     w = (
         Window.partitionBy(strata_col)
         .orderBy(bucket, F.col(key_col))

@@ -1200,3 +1200,61 @@ def test_normalize_text_recovers_original(spark, docs):
     assert T.normalize_text(dirty, "doc_id", "text").filter(
         ~F.col("changed")
     ).count() == 0
+
+
+def test_token_budget_presample_matches_exact_under_skew(spark):
+    """presample_rate is the monster-stratum mitigation: a shuffle-free
+    rate filter keeping the PREFIX of the same md5(key:salt)
+    consumption order the window uses, so when the budget fills inside
+    the prefix the capped output is row-identical to the exact version
+    -- here with 90% of rows in one stratum. An undershot rate keeps
+    every survivor without ever exceeding the budget."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_publisher_spark.ops import sampling
+
+    df = spark.range(20_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+        F.when(F.col("id") % 10 < 9, "big")
+        .otherwise("small")
+        .alias("src"),
+        F.lit(10).alias("n_tok"),
+    )
+    budgets = {"big": 2_000, "small": 1_500}  # 200 / 150 rows kept
+
+    def rows(res):
+        return {(r.k, r.src, r.cum_tokens) for r in res.collect()}
+
+    exact = rows(
+        sampling.token_budget_sample(df, "k", "src", "n_tok", budgets)
+    )
+    # 'big' needs 200 of its 18000 rows; rate 0.05 leaves ~900 -- ample
+    fast = rows(
+        sampling.token_budget_sample(
+            df, "k", "src", "n_tok", budgets,
+            presample_rate={"big": 0.05},
+        )
+    )
+    assert fast == exact
+    # scalar rate applies to every stratum: must clear 'small' too
+    # (1500/20000 tokens -> rate 0.15 leaves ~300 rows = ~3000 tokens)
+    scalar = rows(
+        sampling.token_budget_sample(
+            df, "k", "src", "n_tok", budgets, presample_rate=0.15
+        )
+    )
+    assert scalar == exact
+
+    # undershot rate: 'big' keeps every survivor (< budget tokens),
+    # never a biased superset; survivors are a subset of the exact keep
+    under = rows(
+        sampling.token_budget_sample(
+            df, "k", "src", "n_tok", budgets,
+            presample_rate={"big": 0.001},
+        )
+    )
+    assert under < exact
+    big_tokens = sum(
+        10 for k, s, _ in under if s == "big"
+    )
+    assert 0 < big_tokens < budgets["big"]
