@@ -1004,9 +1004,17 @@ def lsh_verified_pairs_oracle_sql(
     source: str = "documents",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    text_col: str = "text",
 ) -> str:
     """DuckDB SQL mirroring ``lsh_verified_pairs`` (x40's banding CTEs
-    plus a list_intersect verify join; k fixed at 3)."""
+    plus a list_intersect verify join; k fixed at 3).
+
+    The candidate CTE carries NO hot-band cap, while the Spark side
+    applies ``minhash_banded_pairs``' default ``max_docs_per_band=1000``
+    -- the two agree only while no band bucket exceeds the cap, which
+    holds on every fixture (max observed bucket is far below 1000). A
+    fixture with a degenerate band would need the cap mirrored here.
+    """
     sig_cols = ", ".join(
         f"list_min(list_transform(sh, s -> substr(md5('{salt}:' || s), "
         f"{off}, 8))) AS s{4 * salt + i}"
@@ -1022,12 +1030,12 @@ def lsh_verified_pairs_oracle_sql(
 WITH t AS (
   SELECT {id_col} AS doc,
          list_distinct(list_transform(
-           range(1, len(string_split(lower(text), ' ')) - 1),
+           range(1, len(string_split(lower({text_col}), ' ')) - 1),
            i -> array_to_string(
-                  (string_split(lower(text), ' '))[i:i+2], ' ')
+                  (string_split(lower({text_col}), ' '))[i:i+2], ' ')
          )) AS sh
   FROM {source}
-  WHERE len(string_split(lower(text), ' ')) >= 3
+  WHERE len(string_split(lower({text_col}), ' ')) >= 3
 ), sg AS (
   SELECT doc, {sig_cols} FROM t
 ), b AS (

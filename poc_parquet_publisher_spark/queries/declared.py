@@ -1213,7 +1213,7 @@ ORDER BY days.day
 @register(
     "q42_recursive_series",
     _q42_sql("duckdb"),
-    doc="recursive CTE (Spark 4.x): 60-day contiguous date series from "
+    doc="recursive CTE (Spark 4.x): 30-day contiguous date series from "
         "the order-date span, left-joined to per-day counts -- the "
         "gap-filling report shape (days with zero orders appear as 0, "
         "which a plain GROUP BY cannot produce); capped below Spark's "

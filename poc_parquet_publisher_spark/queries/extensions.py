@@ -1597,8 +1597,10 @@ def x60_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x61_hourly_dup_rate",
     """WITH h AS (
          SELECT date_trunc('hour', ts) AS hour,
-                md5(concat(CAST(user_id AS VARCHAR), '|', event_type,
-                           '|', props)) AS payload_h
+                md5(concat(
+                  COALESCE(CAST(user_id AS VARCHAR), '<null>'), '|',
+                  COALESCE(event_type, '<null>'), '|',
+                  COALESCE(props, '<null>'))) AS payload_h
          FROM events
        )
        SELECT hour, CAST(count(*) AS BIGINT) AS n_events,
@@ -1610,17 +1612,24 @@ def x60_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source): per-hour event payload duplication via one groupBy "
         "with exact count-distinct on the payload hash -- a sudden "
         "dup-rate spike in one window is a stuck feed, invisible in "
-        "whole-corpus rates",
+        "whole-corpus rates. Payload fields are null-coalesced to a "
+        "sentinel on BOTH engines before hashing: Spark's concat is "
+        "NULL-on-any-NULL while DuckDB's skips NULLs, so un-guarded "
+        "nulls would silently diverge the distinct counts",
 )
 def x61_hourly_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+
+    def _nn(c):
+        return F.coalesce(c.cast("string"), F.lit("<null>"))
+
     payload_h = F.md5(
         F.concat(
-            F.col("user_id").cast("string"),
+            _nn(F.col("user_id")),
             F.lit("|"),
-            F.col("event_type"),
+            _nn(F.col("event_type")),
             F.lit("|"),
-            F.col("props"),
+            _nn(F.col("props")),
         )
     )
     return (

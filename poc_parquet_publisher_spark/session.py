@@ -34,6 +34,10 @@ _BASE_CONF: dict[str, str] = {
     # Engine-written parquet stays at micros so our own output round-trips
     # through any reader (incl. the reference's DuckDB) without the nanos trap.
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # q42's recursive-CTE date series iterates 30 times; pin the limit so a
+    # future Spark default change (currently 100) can't break the series or
+    # silently allow runaway recursion.
+    "spark.sql.cteRecursionLevelLimit": "100",
     "spark.ui.enabled": "false",
 }
 

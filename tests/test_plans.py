@@ -324,3 +324,26 @@ def test_x86_prefix_sum_no_global_window(spark):
     assert "Window" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "MapInPandas" in plan
+
+
+def test_dq_rollup_dim_joins_broadcast(spark):
+    """x55/x82/x83: every fact-dim equi-join in the DQ/rollup audits
+    rides a BroadcastHashJoin (the dim/parent/key side is small by
+    contract -- dims, distinct key sets, or date pairs), so a future
+    AQE or autoBroadcastJoinThreshold change can't silently flip them
+    to sort-merge and shuffle the fact table."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x55_referential_integrity,
+        x82_lead_time_histogram,
+        x83_dimension_coverage,
+    )
+
+    for qfn in (
+        x55_referential_integrity,
+        x82_lead_time_histogram,
+        x83_dimension_coverage,
+    ):
+        plan = plan_of(qfn(spark, SF))
+        assert "BroadcastHashJoin" in plan, qfn.__name__
+        assert "SortMergeJoin" not in plan, qfn.__name__
+        assert "CartesianProduct" not in plan, qfn.__name__

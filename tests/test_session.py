@@ -36,6 +36,9 @@ def test_s3a_conf_contract():
     # engine invariants ride along regardless of the s3 leg
     assert conf["spark.sql.adaptive.enabled"] == "true"
     assert conf["spark.sql.session.timeZone"] == "UTC"
+    # q42's 30-step recursive CTE depends on this staying >= 30; pinned
+    # so a Spark default change can't break the series
+    assert conf["spark.sql.cteRecursionLevelLimit"] == "100"
 
 
 def test_s3a_conf_absent_without_endpoint(monkeypatch):
