@@ -333,6 +333,70 @@ def split_sql(
     )
 
 
+def per_group_cap(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    n: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen deterministically: the
+    anti-domination guard every curation run applies per domain/source
+    ("no single crawl host contributes more than N documents").
+    Survivors are the first ``n`` rows of the group in md5(key:salt)
+    order -- an unbiased within-group sample that is a pure function of
+    (key, salt), so retries, repartitioning, and engine swaps keep
+    exactly the same rows; different salts give independent draws.
+
+    Output: the input columns plus ``cap_rank`` (1-based position in
+    the group's md5 order, <= n).
+
+    Scale shape: one shuffle on the group key; row_number windows run
+    per group in PARALLEL (group count is domain-cardinality -- there
+    is no global sort and no SinglePartition exchange). A group hot
+    enough to bottleneck its one window task (a monster domain) should
+    be pre-thinned with ``stratified_sample``/``presample_rate`` --
+    same md5-prefix trick ``token_budget_sample`` documents.
+    """
+    from pyspark.sql.window import Window
+
+    if "cap_rank" in df.columns:
+        raise ValueError(
+            "per_group_cap emits a 'cap_rank' output column; rename "
+            "the input column of that name first"
+        )
+    order_key = F.md5(
+        F.concat(F.col(key_col).cast("string"), F.lit(f":{salt}"))
+    )
+    w = Window.partitionBy(group_col).orderBy(order_key, F.col(key_col))
+    return (
+        df.withColumn("cap_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("cap_rank") <= n)
+    )
+
+
+def per_group_cap_sql(
+    source: str,
+    key_col: str,
+    group_col: str,
+    n: int,
+    salt: str = "cap",
+) -> str:
+    """The same per-group cap as DuckDB SQL (shard_shuffle's pattern)."""
+    return f"""
+WITH t AS (
+  SELECT *,
+         CAST(row_number() OVER (
+           PARTITION BY {group_col}
+           ORDER BY md5(concat(CAST({key_col} AS VARCHAR), ':{salt}')),
+                    {key_col}
+         ) AS BIGINT) AS cap_rank
+  FROM {source}
+)
+SELECT * FROM t WHERE cap_rank <= {n}
+"""
+
+
 def shard_shuffle(
     df: DataFrame,
     key_col: str,

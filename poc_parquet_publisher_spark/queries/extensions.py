@@ -2965,3 +2965,91 @@ def x89_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return text.normalize_text(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "x90_global_rank",
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars,
+              CAST(row_number() OVER (
+                ORDER BY strlen(text) DESC, doc_id) AS BIGINT) AS rank
+       FROM documents ORDER BY rank""",
+    doc="global document ranking (longest-first with unique tiebreak) "
+        "WITHOUT a global sort: scale.global_row_number -- per-range-"
+        "partition row counts fold into broadcast offsets and each task "
+        "numbers its own rows (prefix_sum of 1) -- where the naive "
+        "ROW_NUMBER() OVER (ORDER BY ...) plans an Exchange "
+        "SinglePartition and funnels the corpus through one task; "
+        "plan-gated alongside x86",
+)
+def x90_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import scale
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    return (
+        scale.global_row_number(
+            docs,
+            [F.col("n_chars").desc(), F.col("doc_id")],
+            out_col="rank",
+        )
+        .select("doc_id", "n_chars", F.col("rank").cast("long"))
+        .orderBy("rank")
+    )
+
+
+@register(
+    "x91_per_source_cap",
+    sampling.per_group_cap_sql(
+        "(SELECT doc_id, source FROM documents) AS t",
+        "doc_id",
+        "source",
+        5,
+    )
+    + " ORDER BY source, cap_rank, doc_id",
+    doc="anti-domination cap: at most 5 docs per source, chosen in "
+        "md5(doc_id:salt) order (deterministic unbiased within-group "
+        "sample -- the guard that stops one crawl host flooding the "
+        "mixture); one group-key shuffle, per-source row_number windows "
+        "run in parallel, no global sort (sampling.per_group_cap)",
+)
+def x91_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    return sampling.per_group_cap(docs, "doc_id", "source", 5).orderBy(
+        "source", "cap_rank", "doc_id"
+    )
+
+
+@register(
+    "x92_source_calibrated_rank",
+    """SELECT doc_id, source,
+              ROUND(percent_rank() OVER (
+                PARTITION BY source
+                ORDER BY strlen(text), doc_id), 4) AS pr
+       FROM documents ORDER BY doc_id""",
+    doc="per-source score calibration: percent_rank of a quality proxy "
+        "(doc length) WITHIN each source -- 'drop the bottom decile per "
+        "domain' needs per-domain ranks because raw score distributions "
+        "differ wildly across sources; unique doc_id tiebreak makes the "
+        "rank (and hash) deterministic; one source-key shuffle, windows "
+        "parallel per source, never a global sort",
+)
+def x92_source_calibrated_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.length("text"), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.round(F.percent_rank().over(w), 4).alias("pr"),
+        )
+        .orderBy("doc_id")
+    )

@@ -116,7 +116,7 @@ def heavy_hitters(
 
 def prefix_sum(
     df: DataFrame,
-    order_col: str,
+    order_col,
     value_col: str,
     out_col: str = "running_sum",
     num_partitions: int | None = None,
@@ -149,16 +149,23 @@ def prefix_sum(
     yields NULL -- i.e. this computes ``COALESCE(SUM(v) OVER (...),
     0)``. The sum is computed in int64 -- callers needing float prefix
     sums should scale to integers first (the x37/x46 DECIMAL recipe).
+
+    ``order_col`` may be a column name, a sort expression (e.g.
+    ``F.col("score").desc()``), or a list of either -- whatever total
+    order the running sum should follow; make it a TOTAL order (add a
+    unique tiebreak column) or the within-tie order is partition-
+    dependent.
     """
     import pandas as pd  # noqa: F401  (mapInPandas ships pandas frames)
 
     spark = df.sparkSession
+    order = order_col if isinstance(order_col, list) else [order_col]
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     part = (
-        df.repartitionByRange(n, order_col)
-        .sortWithinPartitions(order_col)
+        df.repartitionByRange(n, *order)
+        .sortWithinPartitions(*order)
         .localCheckpoint()
     )
     totals = {
@@ -190,6 +197,37 @@ def prefix_sum(
             yield pdf
 
     return part.mapInPandas(cumsum_with_offset, schema=schema)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_col,
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based ``ROW_NUMBER() OVER (ORDER BY ...)`` without a
+    global sort: ``Window.orderBy`` ranking plans as ``Exchange
+    SinglePartition`` and funnels EVERY row through one task -- the
+    most common accidental scale-killer in ranking/report queries.
+    This is ``prefix_sum`` of the constant 1 over the same pinned
+    range partitioning: per-partition row counts collect to the driver
+    (partition-count rows), fold into exclusive offsets, and each task
+    numbers its own rows locally. Same contract: ``order_col`` must be
+    a TOTAL order (add a unique tiebreak) for a deterministic result.
+    """
+    tmp = "__grn_one"
+    if tmp in df.columns or out_col in df.columns:
+        raise ValueError(
+            f"global_row_number writes columns '{tmp}'/'{out_col}'; "
+            "rename conflicting input columns first"
+        )
+    return prefix_sum(
+        df.withColumn(tmp, F.lit(1)),
+        order_col,
+        tmp,
+        out_col,
+        num_partitions,
+    ).drop(tmp)
 
 
 # Hive-partitioned writes + small-file compaction live in

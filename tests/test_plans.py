@@ -347,3 +347,18 @@ def test_dq_rollup_dim_joins_broadcast(spark):
         assert "BroadcastHashJoin" in plan, qfn.__name__
         assert "SortMergeJoin" not in plan, qfn.__name__
         assert "CartesianProduct" not in plan, qfn.__name__
+
+
+def test_x90_global_rank_no_global_sort(spark):
+    """x90: global ranking must come from the two-pass row-number
+    (range partition + broadcast offsets), never ROW_NUMBER() OVER a
+    SinglePartition exchange. (The final output orderBy is a range
+    exchange -- allowed; the gate is on Window/SinglePartition.)"""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x90_global_rank,
+    )
+
+    plan = plan_of(x90_global_rank(spark, SF))
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "MapInPandas" in plan

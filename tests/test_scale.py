@@ -158,3 +158,30 @@ def test_prefix_sum_few_partitions_and_empty(spark):
     assert got == {(0, 1), (1, 2), (2, 3)}
     empty = tiny.where(F.lit(False))
     assert scale.prefix_sum(empty, "k", "v", "s").count() == 0
+
+
+def test_global_row_number_matches_window(spark):
+    """global_row_number == ROW_NUMBER() OVER (ORDER BY ...) for a
+    multi-column descending order with a unique tiebreak, under any
+    input partitioning."""
+    from pyspark.sql.window import Window
+
+    df = spark.range(4_000).select(
+        F.col("id").alias("k"), ((F.col("id") * 13) % 50).alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("k"))
+    expected = {
+        (r.k, r.rn)
+        for r in df.select(
+            "k", F.row_number().over(w).cast("long").alias("rn")
+        ).collect()
+    }
+    order = [F.col("score").desc(), F.col("k")]
+    for reshaped in (df, df.repartition(5)):
+        got = {
+            (r.k, r.rn)
+            for r in scale.global_row_number(reshaped, order).select(
+                "k", F.col("rn").cast("long")
+            ).collect()
+        }
+        assert got == expected
