@@ -694,3 +694,77 @@ def mean_pool_embeddings(
             ),
         )
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization -- the 4x memory/IO
+    reduction every large-scale ANN index applies before storing or
+    shipping vectors (float32 -> int8 with one scale per vector).
+
+    code_i = floor(v_i / (maxabs/127) + 0.5), so codes span [-127, 127]
+    and dequantization is code * scale with max error scale/2. Every
+    arithmetic step (abs, max, divide, floor) is an IEEE-exact or
+    correctly-rounded double op, so a SQL oracle reproduces the codes
+    BIT-IDENTICALLY -- no round() anywhere (Spark HALF_UP vs engine
+    HALF_EVEN never triggers). The scale is emitted floor-scaled to an
+    exact integer (scale_e7 = floor(scale * 1e7), x46's trick) and the
+    codes string-serialized (q33/q41 precedent), so the entry is
+    driver-window safe.
+
+    Zero vectors (maxabs == 0) are EXCLUDED -- they have no scale and
+    x63's norm audit exists to catch them upstream.
+
+    Scale shape: a narrow per-row expression pipeline (transform /
+    array_max HOFs, all JVM) -- no shuffle, no Python, scan speed.
+    """
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    with_max = df.select(
+        F.col(id_col), e.alias("__e")
+    ).withColumn(
+        "__maxabs",
+        F.array_max(F.transform(F.col("__e"), lambda x: F.abs(x))),
+    ).filter(F.col("__maxabs") > 0)
+    scale = F.col("__maxabs") / F.lit(127.0)
+    return with_max.select(
+        id_col,
+        F.floor(scale * F.lit(10_000_000.0)).cast("long").alias(
+            "scale_e7"
+        ),
+        F.array_join(
+            F.transform(
+                F.col("__e"),
+                lambda x: F.floor(x / scale + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("codes"),
+    )
+
+
+def quantize_embeddings_int8_oracle_sql(
+    source: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB SQL mirroring ``quantize_embeddings_int8`` exactly (same
+    floor-based formula -- see the no-round() note there)."""
+    return f"""
+WITH v AS (
+  SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS e FROM {source}
+), m AS (
+  SELECT {id_col}, e,
+         list_max(list_transform(e, x -> abs(x))) AS maxabs
+  FROM v
+)
+SELECT {id_col},
+       CAST(FLOOR(maxabs / 127 * 10000000) AS BIGINT) AS scale_e7,
+       array_to_string(list_transform(e, x ->
+         CAST(CAST(FLOOR(x / (maxabs / 127) + 0.5) AS BIGINT)
+              AS VARCHAR)), ',') AS codes
+FROM m WHERE maxabs > 0 ORDER BY {id_col}
+"""

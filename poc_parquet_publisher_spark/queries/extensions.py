@@ -3053,3 +3053,82 @@ def x92_source_calibrated_rank(
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "x93_stream_enrichment",
+    """SELECT date_trunc('hour', e.ts) AS window_start,
+              COALESCE(c.c_mktsegment, 'unknown') AS segment,
+              CAST(count(*) AS BIGINT) AS n_events,
+              ROUND(CAST(SUM(CAST(e.value AS DECIMAL(30,8))) AS DOUBLE), 4)
+                  AS sum_value
+       FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY 1, 2 ORDER BY 1, 2""",
+    doc="STREAM-STATIC enrichment join run to completion: events file-"
+        "stream LEFT-joins a broadcast customer dim (no join state -- "
+        "each micro-batch probes the broadcast table) then tumbles into "
+        "per-(hour, market-segment) counts; hash-matched against the "
+        "plain batch SQL join, so stream == batch is the verified "
+        "contract (the x27 drain recipe: complete mode + availableNow)",
+)
+def x93_stream_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.windows import streaming_segment_counts
+
+    batch = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="x93_stream_")
+    sink = f"x93_sink_{uuid.uuid4().hex[:8]}"
+    try:
+        src = os.path.join(tmp, "events")
+        batch.repartition(4).write.mode("overwrite").parquet(src)
+        rebatch = spark.read.parquet(src)
+        q = streaming_segment_counts(
+            spark,
+            src,
+            rebatch.schema,
+            customer,
+            os.path.join(tmp, "ckpt"),
+            sink_table=sink,
+        )
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(sink)
+        .select(
+            F.col("window_start").cast("timestamp_ntz").alias(
+                "window_start"
+            ),
+            "segment",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "segment")
+    )
+
+
+@register(
+    "x94_embedding_quantization",
+    similarity.quantize_embeddings_int8_oracle_sql(
+        "embeddings", "vec_id", "embedding"
+    ),
+    doc="per-vector symmetric int8 quantization (the 4x memory/IO "
+        "shrink before storing/shipping an ANN index): floor-based "
+        "code formula and floor-scaled integer scale make every step "
+        "IEEE-exact cross-engine (no round() -- HALF_UP vs HALF_EVEN "
+        "never triggers); narrow HOF pipeline, no shuffle, scan speed; "
+        "dequantization error bound gated in tests "
+        "(similarity.quantize_embeddings_int8)",
+)
+def x94_embedding_quantization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings_int8(
+        emb, "vec_id", "embedding"
+    ).orderBy("vec_id")

@@ -165,3 +165,92 @@ def streaming_session_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enriched_segment_counts(
+    events: DataFrame,
+    customer: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAM-STATIC enrichment join + windowed rollup: events (stream
+    or batch) LEFT-join a broadcast customer dimension on user_id, then
+    tumble into per-(window, market-segment) counts -- the standard
+    "enrich the firehose against a slowly-changing dim" shape.
+
+    Stream-static joins need no watermark on the static side and keep
+    NO join state: each micro-batch probes the broadcast dim and moves
+    on, so a 100 TB/day stream joins a dim table at scan speed. LEFT
+    join so events with no dim row survive (segment NULL -> 'unknown'),
+    exactly what a late-arriving dim row must not silently drop.
+
+    Works identically on batch input (withWatermark + broadcast are
+    batch no-ops/hints), so the oracle's plain SQL join hash-matches
+    the drained stream -- stream == batch is the correctness contract.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(events.schema[ts_col].dataType, TimestampNTZType):
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .join(F.broadcast(dim), "user_id", "left")
+        .groupBy(
+            F.window(ts_col, window_duration).alias("w"),
+            F.coalesce(F.col("segment"), F.lit("unknown")).alias(
+                "segment"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # DECIMAL accumulation (x27 contract): distinct aggregates
+            # are unsupported on streams, and double sums are partial-
+            # aggregation-order dependent
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,8)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_segment_counts(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    customer: DataFrame,
+    checkpoint_dir: str,
+    sink_table: str = "segment_counts",
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """File stream -> broadcast dim join -> windowed counts -> memory
+    sink (complete mode + availableNow drain, the x27 contract)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    agg = enriched_segment_counts(
+        stream,
+        customer,
+        window_duration=window_duration,
+        watermark=watermark,
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1258,3 +1258,28 @@ def test_token_budget_presample_matches_exact_under_skew(spark):
         10 for k, s, _ in under if s == "big"
     )
     assert 0 < big_tokens < budgets["big"]
+
+
+def test_int8_quantization_error_bound(emb):
+    """Dequantized vectors (code * scale) reconstruct every component
+    within scale/2 (the symmetric-quantization bound) and codes stay in
+    [-127, 127]."""
+    from poc_parquet_publisher_spark.ops import similarity
+
+    q = similarity.quantize_embeddings_int8(emb, "vec_id", "embedding")
+    orig = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    n_checked = 0
+    for r in q.collect():
+        v = orig[r.vec_id]
+        scale = r.scale_e7 / 1e7  # floor-scaled, so <= true scale
+        true_scale = max(abs(x) for x in v) / 127.0
+        codes = [int(c) for c in r.codes.split(",")]
+        assert len(codes) == len(v)
+        assert all(-127 <= c <= 127 for c in codes)
+        for c, x in zip(codes, v):
+            assert abs(c * true_scale - x) <= true_scale / 2 + 1e-12
+        n_checked += 1
+    assert n_checked == len(orig)  # fixture has no zero vectors
