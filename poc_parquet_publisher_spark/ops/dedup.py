@@ -153,6 +153,32 @@ def ngram_jaccard_pairs(
     hot-shingle aggregation pass; here the cap is a free size(ds) filter
     on the already-grouped row (12.5 s -> ~4 s at sf0.1).
     """
+    inter = shingle_pair_counts(
+        df, id_col, text_col, k, max_docs_per_shingle
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def shingle_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    max_docs_per_shingle: int | None = 1000,
+) -> DataFrame:
+    """The UNSCORED shingle-blocked pair stage every set-overlap
+    near-dup measure shares: (id_a, id_b, n_a, n_b, inter) for every
+    doc pair sharing >= 1 k-shingle, id_a < id_b. ``ngram_jaccard_pairs``
+    divides by the union, ``containment_pairs`` by the min -- the
+    expensive part (shingles -> postings groupBy -> in-bucket HOF pair
+    expansion -> pair-count groupBy) is identical, so callers running
+    several measures derive this once (the registry caches and
+    localCheckpoints it per (table, k))."""
     sh = shingles(df, id_col, text_col, k)
     buckets = (
         sh.groupBy("shingle")
@@ -181,14 +207,8 @@ def ngram_jaccard_pairs(
             )
         ).alias("p")
     ).select("p.*")
-    inter = pairs.groupBy("id_a", "id_b", "n_a", "n_b").agg(
+    return pairs.groupBy("id_a", "id_b", "n_a", "n_b").agg(
         F.count(F.lit(1)).alias("inter")
-    )
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    return (
-        inter.withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -763,45 +783,44 @@ def containment_pairs(
     quoted wholesale inside a long one scores near 1.0 here but low on
     Jaccard (the union is dominated by the long doc) -- the standard
     second pass in web dedup for quote/include/boilerplate containment.
-    Identical plan shape to the Jaccard pass (same shingle blocking, same
-    in-bucket pair expansion, same hot-shingle cap); only the final
-    ratio differs. Output: (id_a, id_b, containment), id_a < id_b,
-    rounded to 4, >= threshold.
+    Identical plan shape to the Jaccard pass (the shared
+    ``shingle_pair_counts`` stage); only the final ratio differs.
+    Output: (id_a, id_b, containment), id_a < id_b, rounded to 4,
+    >= threshold.
     """
-    sh = shingles(df, id_col, text_col, k)
-    buckets = (
-        sh.groupBy("shingle")
-        .agg(F.collect_list(F.struct("doc", "n_sh")).alias("ds"))
-        .filter(F.size("ds") >= 2)
-    )
-    if max_docs_per_shingle is not None:
-        buckets = buckets.filter(F.size("ds") <= max_docs_per_shingle)
-    ds = F.array_sort(F.col("ds"))
-    pair = lambda x, y: F.struct(  # noqa: E731
-        x["doc"].alias("id_a"),
-        x["n_sh"].alias("n_a"),
-        y["doc"].alias("id_b"),
-        y["n_sh"].alias("n_b"),
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    ds,
-                    lambda x, i: F.transform(
-                        F.slice(ds, i + F.lit(2), F.size(ds)),
-                        lambda y: pair(x, y),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.*")
-    inter = pairs.groupBy("id_a", "id_b", "n_a", "n_b").agg(
-        F.count(F.lit(1)).alias("inter")
+    inter = shingle_pair_counts(
+        df, id_col, text_col, k, max_docs_per_shingle
     )
     cont = F.col("inter") / F.least(F.col("n_a"), F.col("n_b"))
     return (
         inter.withColumn("containment", F.round(cont, 4))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
+def score_pair_counts_jaccard(
+    counts: DataFrame, threshold: float
+) -> DataFrame:
+    """Jaccard scoring over a pre-derived ``shingle_pair_counts`` frame
+    (pairs-sized, trivial) -- the reuse hook for callers holding a
+    cached/checkpointed counts frame."""
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        counts.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def score_pair_counts_containment(
+    counts: DataFrame, threshold: float
+) -> DataFrame:
+    """Containment scoring over a pre-derived ``shingle_pair_counts``
+    frame (see ``score_pair_counts_jaccard``)."""
+    cont = F.col("inter") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        counts.withColumn("containment", F.round(cont, 4))
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )

@@ -53,28 +53,38 @@ def x02_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fingerprint_dedup(docs, "doc_id", "text").orderBy("fingerprint")
 
 
-# x03's Spark-side pair derivation, shared by x03/x24/x68/x70. Each
-# registry entry stays standalone (any one derives the pairs on first
-# use), but when several run in one session -- the bench and the
-# driver's correctness sweep both do -- the shingle self-join runs ONCE
-# and the consumers read the lazily-localCheckpoint'ed edge list (pairs
-# are near-dup-count-sized, tiny next to the corpus). Keyed by
-# applicationId so a restarted session never sees a stale RDD handle.
+# x03's UNSCORED shingle-blocked pair-count stage, shared by
+# x03/x24/x44/x68/x70 (Jaccard and containment both score from it --
+# pairs-sized arithmetic, trivial). Each registry entry stays
+# standalone (any one derives the counts on first use), but when
+# several run in one session -- the bench and the driver's correctness
+# sweep both do -- the shingle self-join runs ONCE and the consumers
+# read the lazily-localCheckpoint'ed counts (near-dup-count-sized,
+# tiny next to the corpus). Keyed by applicationId so a restarted
+# session never sees a stale RDD handle.
 _PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _shared_pair_counts(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    counts = _PAIRS_CACHE.get(key)
+    if counts is None:
+        docs = load_table(spark, sf_dir, "documents")
+        counts = dedup.shingle_pair_counts(
+            docs, "doc_id", "text", k=k
+        ).localCheckpoint(eager=False)
+        _PAIRS_CACHE[key] = counts
+    return counts
 
 
 def _shared_jaccard_pairs(
     spark: SparkSession, sf_dir: str, k: int = 3, threshold: float = 0.5
 ) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, k, threshold)
-    pairs = _PAIRS_CACHE.get(key)
-    if pairs is None:
-        docs = load_table(spark, sf_dir, "documents")
-        pairs = dedup.ngram_jaccard_pairs(
-            docs, "doc_id", "text", k=k, threshold=threshold
-        ).localCheckpoint(eager=False)
-        _PAIRS_CACHE[key] = pairs
-    return pairs
+    return dedup.score_pair_counts_jaccard(
+        _shared_pair_counts(spark, sf_dir, k), threshold
+    )
 
 
 # x03's pair derivation, shared verbatim by the x24 cluster oracle.
@@ -1141,13 +1151,12 @@ def x43_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
        ORDER BY id_a, id_b""",
     doc="shingle containment pairs (inter / min set size): the "
         "asymmetric pass that catches a short doc quoted inside a long "
-        "one, which symmetric Jaccard under-scores; identical blocked "
-        "plan shape to x03",
+        "one, which symmetric Jaccard under-scores; scores the SAME "
+        "shared pair-count stage as x03 (derived once per session)",
 )
 def x44_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.containment_pairs(
-        docs, "doc_id", "text", k=3, threshold=0.8
+    return dedup.score_pair_counts_containment(
+        _shared_pair_counts(spark, sf_dir), threshold=0.8
     ).orderBy("id_a", "id_b")
 
 
