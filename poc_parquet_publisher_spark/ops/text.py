@@ -1039,3 +1039,141 @@ def normalize_text_sql(
         f"({expr} != {text_col}) AS changed "
         f"FROM {source} ORDER BY {id_col}"
     )
+
+
+def line_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    line_tokens: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """C4-style LINE deduplication stats: mark every line occurring in
+    >= ``min_docs`` DISTINCT documents as boilerplate (the "remove any
+    line appearing three or more times" rule that strips headers,
+    cookie banners, and navigation chrome exact doc-level dedup never
+    sees), and report per document how much survives.
+
+    Lines here are fixed ``line_tokens``-token windows (the corpus
+    fixture is single-line, so structural lines are derived
+    deterministically from token positions -- on real data pass the
+    text pre-split on '\\n' through the same counting).
+
+    Output: (id, n_lines, n_dropped, kept_hash) where kept_hash is the
+    md5 of the surviving lines joined in order ('' when everything was
+    dropped) -- the content key a downstream exact-dedup pass would
+    consume.
+
+    Scale shape: lines explode once (linear, ~n_tokens/line_tokens per
+    doc); document frequency is ONE hash-groupBy on the line text with
+    an exact distinct count (partial-aggregating); the boilerplate
+    verdict comes back via an equi-join of the line stream to the
+    frequent-line keys (df >= min_docs is a tiny fraction of distinct
+    lines -- at 100 TB broadcast it); per-doc recomposition is one
+    groupBy(doc) with a sorted collect of (pos, line) structs. Never
+    pairwise, no window over the corpus.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n_lines = F.ceil(F.size("__toks") / F.lit(line_tokens)).cast("int")
+    lines = (
+        df.select(F.col(id_col).alias("doc"), toks.alias("__toks"))
+        .select(
+            "doc",
+            "__toks",
+            F.posexplode(
+                F.sequence(F.lit(0), n_lines - 1)
+            ).alias("pos", "__i"),
+        )
+        .select(
+            "doc",
+            "pos",
+            F.array_join(
+                F.slice(
+                    F.col("__toks"),
+                    F.col("__i") * line_tokens + 1,
+                    line_tokens,
+                ),
+                " ",
+            ).alias("line"),
+        )
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("line")
+    )
+    marked = lines.join(
+        boiler.withColumn("__b", F.lit(True)), "line", "left"
+    ).select(
+        "doc",
+        "pos",
+        "line",
+        F.coalesce(F.col("__b"), F.lit(False)).alias("is_boiler"),
+    )
+    return (
+        marked.groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("pos", "is_boiler", "line")
+                                )
+                            ),
+                            lambda s: ~s["is_boiler"],
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_hash"),
+        )
+    )
+
+
+def line_dedup_stats_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 8,
+    min_docs: int = 3,
+) -> str:
+    """DuckDB SQL mirroring ``line_dedup_stats`` (same fixed-window
+    lines, same >= min_docs distinct-doc rule, same kept-text md5)."""
+    lt = line_tokens
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc, string_split(lower({text_col}), ' ') AS toks
+  FROM {source}
+), i AS (
+  SELECT doc, toks,
+         unnest(range(0, CAST(ceil(len(toks) / {lt}.0) AS BIGINT)))
+             AS pos
+  FROM t
+), l AS (
+  SELECT doc, pos,
+         array_to_string(toks[(pos * {lt} + 1):(pos * {lt} + {lt})],
+                         ' ') AS line
+  FROM i
+), b AS (
+  SELECT line FROM l GROUP BY line
+  HAVING count(DISTINCT doc) >= {min_docs}
+), m AS (
+  SELECT l.doc, l.pos, l.line, (b.line IS NOT NULL) AS is_boiler
+  FROM l LEFT JOIN b ON l.line = b.line
+)
+SELECT doc AS {id_col},
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+       md5(COALESCE(string_agg(CASE WHEN NOT is_boiler THEN line END,
+                               ' ' ORDER BY pos), '')) AS kept_hash
+FROM m GROUP BY doc ORDER BY {id_col}
+"""

@@ -3141,3 +3141,74 @@ def x94_embedding_quantization(
     return similarity.quantize_embeddings_int8(
         emb, "vec_id", "embedding"
     ).orderBy("vec_id")
+
+
+@register(
+    "x95_line_dedup",
+    text.line_dedup_stats_sql("documents", "doc_id", "text", 8, 3),
+    doc="C4-style line deduplication stats: fixed 8-token lines "
+        "occurring in >= 3 DISTINCT docs are boilerplate (the rule "
+        "that strips headers/banners doc-level dedup never sees); "
+        "per-doc survival counts + md5 of the kept text in order. One "
+        "line explode, one distinct-count groupBy, one equi-join back "
+        "(frequent lines are broadcast-sized at scale), one per-doc "
+        "regroup -- never pairwise (text.line_dedup_stats)",
+)
+def x95_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.line_dedup_stats(
+        docs, "doc_id", "text", line_tokens=8, min_docs=3
+    ).orderBy("doc_id")
+
+
+@register(
+    "x96_event_transitions",
+    """WITH o AS (
+         SELECT user_id, event_type, ts, event_id FROM events
+       ), s AS (
+         SELECT user_id, event_type,
+                lead(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                ) AS next_type
+         FROM o
+       ), p AS (
+         SELECT event_type, next_type, count(*) AS n
+         FROM s WHERE next_type IS NOT NULL
+         GROUP BY 1, 2
+       ), tot AS (
+         SELECT event_type, SUM(n) AS t FROM p GROUP BY 1
+       )
+       SELECT p.event_type, p.next_type, CAST(p.n AS BIGINT) AS n,
+              ROUND(CAST(p.n AS DOUBLE) / tot.t, 4) AS p_next
+       FROM p JOIN tot USING (event_type)
+       ORDER BY p.event_type, p.next_type""",
+    doc="behavioral transition matrix (the event-sequence 'bigram "
+        "model': P(next event type | current) per user journey) -- the "
+        "session-flow diagnostic behind funnel design; one user-key "
+        "shuffle for the lead() window (parallel per user, event_id "
+        "tiebreak for same-ts determinism), then two tiny groupBys "
+        "over type-pair cardinality",
+)
+def x96_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    p = s.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = p.groupBy("event_type").agg(F.sum("n").alias("t"))
+    return (
+        p.join(tot, "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("t"), 4).alias("p_next"),
+        )
+        .orderBy("event_type", "next_type")
+    )
