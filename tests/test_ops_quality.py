@@ -1283,3 +1283,49 @@ def test_int8_quantization_error_bound(emb):
             assert abs(c * true_scale - x) <= true_scale / 2 + 1e-12
         n_checked += 1
     assert n_checked == len(orig)  # fixture has no zero vectors
+
+
+def test_round4_ops_edge_cases(spark):
+    """Edge shapes for the round-4 ops: zero vectors are excluded from
+    quantization; short/empty docs produce sane line-dedup stats; a doc
+    made ENTIRELY of boilerplate hashes to md5('')."""
+    import hashlib
+
+    from poc_parquet_publisher_spark.ops import similarity, text
+
+    # quantization: the zero vector has no scale and must be excluded
+    emb = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = similarity.quantize_embeddings_int8(emb, "vec_id", "embedding")
+    rows = {r.vec_id: r for r in q.collect()}
+    assert set(rows) == {1}
+    assert rows[1].codes == "64,-127,32"  # 0.5/(1/127)=63.5 -> 64
+
+    # line dedup: 3 docs share one 8-token boilerplate line (min_docs=3);
+    # doc 4 is shorter than a line; doc 5 is ONLY the boilerplate line
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " u1 u2 u3 u4 u5 u6 u7 u8"),
+            (2, boiler + " v1 v2 v3 v4 v5 v6 v7 v8"),
+            (3, boiler + " w1 w2 w3"),
+            (4, "tiny doc"),
+            (5, boiler),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in text.line_dedup_stats(
+            docs, "doc_id", "text", line_tokens=8, min_docs=3
+        ).collect()
+    }
+    assert {d: (r.n_lines, r.n_dropped) for d, r in out.items()} == {
+        1: (2, 1), 2: (2, 1), 3: (2, 1), 4: (1, 0), 5: (1, 1),
+    }
+    # all-boilerplate doc keeps nothing: kept_hash is md5('')
+    assert out[5].kept_hash == hashlib.md5(b"").hexdigest()
+    # the short doc survives untouched: kept text is its own line
+    assert out[4].kept_hash == hashlib.md5(b"tiny doc").hexdigest()
