@@ -1177,3 +1177,301 @@ SELECT doc AS {id_col},
                                ' ' ORDER BY pos), '')) AS kept_hash
 FROM m GROUP BY doc ORDER BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Blocklist filtering (C4-style bad-word document gate)
+# ---------------------------------------------------------------------------
+
+# Deterministic stand-in for a real bad-words list (the C4 rule drops any
+# document containing a blocked term). Swap for the production list; the
+# operator shape is identical.
+BLOCKLIST_TERMS: tuple[str, ...] = ("slow", "dup", "big")
+
+
+def blocklist_stats(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    terms: tuple[str, ...] = BLOCKLIST_TERMS,
+) -> DataFrame:
+    """Per-source blocklist filtering stats (the C4 bad-words gate).
+
+    For each source: documents scanned, documents containing >= 1 blocked
+    term (these would be DROPPED), drop rate, and total term hits. The
+    term list rides inline in the expression (a real list would be a
+    broadcast join against exploded tokens -- same one-scan shape). Pure
+    narrow expressions + one small groupBy: parquet-scan speed at 100 TB.
+    """
+    toks = _toks(text_col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*terms))).cast("long")
+    per_doc = df.select(F.col(source_col).alias("source"), hits.alias("n_hits"))
+    n_docs = F.count(F.lit(1)).cast("long")
+    n_flagged = F.sum((F.col("n_hits") > 0).cast("long")).cast("long")
+    return per_doc.groupBy("source").agg(
+        n_docs.alias("n_docs"),
+        n_flagged.alias("n_flagged"),
+        F.sum("n_hits").cast("long").alias("total_hits"),
+        F.round(
+            F.sum((F.col("n_hits") > 0).cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("flag_rate"),
+    )
+
+
+def blocklist_stats_sql(
+    source: str = "documents",
+    source_col: str = "source",
+    text_col: str = "text",
+    terms: tuple[str, ...] = BLOCKLIST_TERMS,
+) -> str:
+    """DuckDB SQL mirroring ``blocklist_stats``."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH d AS (
+  SELECT {source_col} AS source,
+         len(list_filter(string_split(lower({text_col}), ' '),
+                         t -> t IN ({inlist}))) AS n_hits
+  FROM {source}
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged,
+       CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+       ROUND(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) /
+             CAST(count(*) AS DOUBLE), 4) AS flag_rate
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair counting (the first tokenizer-training iteration)
+# ---------------------------------------------------------------------------
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str, top_k: int = 50
+) -> DataFrame:
+    """Corpus-frequency-weighted adjacent character-pair counts -- the
+    first merge-selection step of BPE tokenizer training (the most
+    frequent pair becomes the first merge rule).
+
+    Two-level aggregation keeps it linear: token counts collapse the
+    corpus to vocab cardinality FIRST (one hash-groupBy over the token
+    explode), then pairs expand inside each distinct word (word-length
+    factor over vocab rows, trivial) weighted by the word's corpus count.
+    At 100 TB the pair table is alphabet^2-sized -- nothing here scales
+    with corpus size except the first partial-aggregating groupBy.
+    """
+    words = (
+        df.select(F.explode(_toks(text_col)).alias("w"))
+        .filter((F.length("w") >= 2) & F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(top_k)
+    )
+
+
+def bpe_pair_counts_sql(
+    source: str = "documents", text_col: str = "text", top_k: int = 50
+) -> str:
+    """DuckDB SQL mirroring ``bpe_pair_counts``."""
+    return f"""
+WITH w AS (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(string_split(lower({text_col}), ' ')) AS w
+    FROM {source}
+  ) WHERE len(w) >= 2 AND regexp_full_match(w, '[a-z]+')
+  GROUP BY w
+), p AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+                i -> substr(w, CAST(i AS INT), 2))) AS pair,
+         cnt
+  FROM w
+)
+SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT {top_k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Charset / encoding audit (mojibake + control-char detector)
+# ---------------------------------------------------------------------------
+
+_NON_ASCII_RE = "[^\\x00-\\x7f]"
+_CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+_REPLACEMENT_RE = "\\x{fffd}"  # U+FFFD: the decode-failure marker
+
+
+def charset_audit(
+    df: DataFrame, source_col: str, text_col: str
+) -> DataFrame:
+    """Per-source encoding-health audit: non-ASCII character counts,
+    C0 control characters (broken extraction), U+FFFD replacement
+    characters (upstream decode failures -- the mojibake signal), and
+    whitespace ratio. A spike in any column isolates a broken feed
+    before its documents poison tokenizer training.
+
+    Pure regexp_count chain (codegen, scan-speed) + one small groupBy;
+    the fixture corpus is clean ASCII so the synthetic-dirt test in
+    tests/test_ops_quality.py exercises the nonzero paths.
+    """
+    t = F.col(text_col)
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.regexp_count(t, F.lit(_NON_ASCII_RE)).cast("long").alias("non_ascii"),
+        F.regexp_count(t, F.lit(_CONTROL_RE)).cast("long").alias("control"),
+        F.regexp_count(t, F.lit(_REPLACEMENT_RE))
+        .cast("long")
+        .alias("replacement"),
+        F.regexp_count(t, F.lit("\\s")).cast("long").alias("ws"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("non_ascii").cast("long").alias("n_non_ascii"),
+        F.sum("control").cast("long").alias("n_control"),
+        F.sum("replacement").cast("long").alias("n_replacement"),
+        F.round(F.sum("ws") / F.sum("n_chars").cast("double"), 4).alias(
+            "ws_ratio"
+        ),
+    )
+
+
+def charset_audit_sql(
+    source: str = "documents",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB SQL mirroring ``charset_audit`` (RE2 accepts the same
+    \\x / \\x{{}} escapes as the Java patterns)."""
+    return f"""
+WITH d AS (
+  SELECT {source_col} AS source,
+         len({text_col}) AS n_chars,
+         len(regexp_extract_all({text_col}, '[^\\x00-\\x7f]')) AS non_ascii,
+         len(regexp_extract_all({text_col},
+             '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS control,
+         len(regexp_extract_all({text_col}, '\\x{{fffd}}')) AS replacement,
+         len(regexp_extract_all({text_col}, '\\s')) AS ws
+  FROM {source}
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(non_ascii) AS BIGINT) AS n_non_ascii,
+       CAST(SUM(control) AS BIGINT) AS n_control,
+       CAST(SUM(replacement) AS BIGINT) AS n_replacement,
+       ROUND(SUM(ws) / CAST(SUM(n_chars) AS DOUBLE), 4) AS ws_ratio
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope (log-log least squares over the top-k frequency curve)
+# ---------------------------------------------------------------------------
+
+
+def zipf_fit(df: DataFrame, text_col: str, top_k: int = 100) -> DataFrame:
+    """Least-squares slope of ln(freq) vs ln(rank) over the top-k terms
+    -- the Zipf diagnostic (natural corpora fit slope ~= -1; synthetic
+    or templated corpora flatten toward 0, single-domain crawls steepen).
+
+    Scale shape: one partial-aggregating token groupBy collapses the
+    corpus to vocab cardinality, TakeOrdered picks top-k, and the window
+    + regression run over exactly k rows. Determinism: ln() is rounded
+    to 6 decimals THEN accumulated in DECIMAL (x88's round-log trick,
+    because transcendental libm results are not cross-engine exact);
+    the closed-form slope divides two exact decimal sums in DOUBLE.
+    """
+    terms = (
+        df.select(F.explode(_toks(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("cnt"), "term")  # over <= top_k rows only
+    ranked = terms.withColumn("rank", F.row_number().over(w))
+    xy = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    return sums.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(intercept, 4).alias("zipf_intercept"),
+    )
+
+
+def zipf_fit_sql(
+    source: str = "documents", text_col: str = "text", top_k: int = 100
+) -> str:
+    """DuckDB SQL mirroring ``zipf_fit`` (same round-log-then-DECIMAL
+    accumulation, same closed-form division order)."""
+    return f"""
+WITH terms AS (
+  SELECT term, count(*) AS cnt FROM (
+    SELECT unnest(string_split(lower({text_col}), ' ')) AS term
+    FROM {source}
+  ) GROUP BY term ORDER BY cnt DESC, term LIMIT {top_k}
+), ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank
+  FROM terms
+), xy AS (
+  SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+         CAST(ROUND(ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+  FROM ranked
+), sums AS (
+  SELECT CAST(count(*) AS DECIMAL(18,0)) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+             CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope,
+       ROUND((CAST(sy AS DOUBLE) -
+              (CAST(n * sxy - sx * sy AS DOUBLE) /
+               CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
+             CAST(n AS DOUBLE), 4) AS zipf_intercept
+FROM sums
+"""

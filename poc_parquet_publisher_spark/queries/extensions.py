@@ -3212,3 +3212,66 @@ def x96_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "next_type")
     )
+
+
+@register(
+    "x97_blocklist_filter",
+    text.blocklist_stats_sql("documents", "source", "text"),
+    doc="C4-style bad-words document gate, reported per source: docs "
+        "containing >= 1 blocked term would be dropped; drop rate + "
+        "total hits isolate which feed carries the junk. Inline term "
+        "list (a production list rides a broadcast join against the "
+        "same token stream); narrow expressions + one small groupBy, "
+        "parquet-scan speed (text.blocklist_stats)",
+)
+def x97_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.blocklist_stats(docs, "source", "text").orderBy("source")
+
+
+@register(
+    "x98_bpe_pair_counts",
+    text.bpe_pair_counts_sql("documents", "text", 50),
+    doc="BPE tokenizer training, iteration one: corpus-frequency-"
+        "weighted adjacent character-pair counts (the argmax pair "
+        "becomes the first merge rule). Token counts collapse the "
+        "corpus to vocab cardinality FIRST, pairs expand inside each "
+        "distinct word weighted by its count -- the pair table is "
+        "alphabet^2-sized, only the first groupBy touches corpus scale "
+        "(text.bpe_pair_counts)",
+)
+def x98_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_pair_counts(docs, "text", top_k=50)
+
+
+@register(
+    "x99_charset_audit",
+    text.charset_audit_sql("documents", "source", "text"),
+    doc="per-source encoding-health audit: non-ASCII / C0-control / "
+        "U+FFFD-replacement character counts and whitespace ratio -- "
+        "the mojibake detector that catches a broken decoder feed "
+        "before it poisons tokenizer training. regexp_count chain "
+        "(codegen, scan-speed) + one small groupBy; fixture is clean "
+        "ASCII so synthetic dirt exercises the nonzero paths in tests "
+        "(text.charset_audit)",
+)
+def x99_charset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.charset_audit(docs, "source", "text").orderBy("source")
+
+
+@register(
+    "x100_zipf_fit",
+    text.zipf_fit_sql("documents", "text", 100),
+    doc="Zipf log-log least-squares fit over the top-100 term "
+        "frequency curve (natural corpora: slope ~= -1; templated or "
+        "synthetic corpora flatten) -- the one-row corpus-health "
+        "summary of x47's coverage curve. One partial-aggregating "
+        "token groupBy + TakeOrdered(100); window and regression run "
+        "over exactly 100 rows; x88's round-log-then-DECIMAL "
+        "determinism (text.zipf_fit)",
+)
+def x100_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.zipf_fit(docs, "text", top_k=100)

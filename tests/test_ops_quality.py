@@ -1329,3 +1329,83 @@ def test_round4_ops_edge_cases(spark):
     assert out[5].kept_hash == hashlib.md5(b"").hexdigest()
     # the short doc survives untouched: kept text is its own line
     assert out[4].kept_hash == hashlib.md5(b"tiny doc").hexdigest()
+
+
+def test_charset_audit_counts_synthetic_dirt(spark):
+    """The fixture corpus is clean ASCII, so the nonzero columns are
+    exercised here on planted dirt: one doc with non-ASCII text, one
+    with a C0 control char, one with U+FFFD, one clean."""
+    from poc_parquet_publisher_spark.ops import text as T
+
+    rows = [
+        ("s1", "café naïve"),          # 3 non-ascii chars
+        ("s1", "broken\x07bell"),                # 1 control char
+        ("s2", "decode � failure �"),  # 2 replacement chars
+        ("s2", "clean ascii text"),
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = {
+        r["source"]: r
+        for r in T.charset_audit(df, "source", "text").collect()
+    }
+    assert out["s1"]["n_non_ascii"] == 2  # é, ï
+    assert out["s1"]["n_control"] == 1
+    assert out["s1"]["n_replacement"] == 0
+    assert out["s2"]["n_non_ascii"] == 2  # U+FFFD is also non-ascii
+    assert out["s2"]["n_replacement"] == 2
+    assert out["s2"]["n_control"] == 0
+    assert out["s2"]["n_docs"] == 2
+
+
+def test_blocklist_stats_flags_exact_tokens_only(spark):
+    """Token-level matching: 'slow' flags, 'slowly' must not (the
+    C4 rule is whole-word); rate math checked exactly."""
+    from poc_parquet_publisher_spark.ops import text as T
+
+    rows = [
+        ("a", "this is slow code"),
+        ("a", "moving slowly along"),
+        ("a", "all clean here"),
+        ("b", "big dup big dup"),
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = {
+        r["source"]: r
+        for r in T.blocklist_stats(df, "source", "text").collect()
+    }
+    assert out["a"]["n_flagged"] == 1 and out["a"]["total_hits"] == 1
+    assert out["a"]["flag_rate"] == pytest.approx(1 / 3, abs=1e-4)
+    assert out["b"]["n_flagged"] == 1 and out["b"]["total_hits"] == 4
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    """A corpus built with freq(term_r) = round(1000 / r) must fit
+    slope ~= -1; a uniform corpus must fit slope ~= 0."""
+    from poc_parquet_publisher_spark.ops import text as T
+
+    power = []
+    for r in range(1, 51):
+        power.extend([f"t{r:03d}"] * round(1000 / r))
+    df = spark.createDataFrame([(" ".join(power),)], ["text"])
+    slope = T.zipf_fit(df, "text", top_k=50).collect()[0]["zipf_slope"]
+    assert -1.1 < slope < -0.9
+
+    uniform = (" ".join(f"u{r:03d}" for r in range(1, 51)) + " ") * 10
+    df2 = spark.createDataFrame([(uniform,)], ["text"])
+    slope2 = T.zipf_fit(df2, "text", top_k=50).collect()[0]["zipf_slope"]
+    assert abs(slope2) < 0.01
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    """'ab' appearing in a 3x-repeated word outweighs a pair from a
+    once-seen word; punctuation-bearing and 1-char tokens drop."""
+    from poc_parquet_publisher_spark.ops import text as T
+
+    df = spark.createDataFrame(
+        [("abc abc abc xyz a b.c",)], ["text"]
+    )
+    rows = T.bpe_pair_counts(df, "text", top_k=10).collect()
+    counts = {r["pair"]: r["n"] for r in rows}
+    assert counts["ab"] == 3 and counts["bc"] == 3
+    assert counts["xy"] == 1 and counts["yz"] == 1
+    assert "b." not in counts and ".c" not in counts
