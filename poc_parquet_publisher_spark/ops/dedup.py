@@ -1078,3 +1078,99 @@ SELECT id_a, id_b, n_shared_bands, jaccard
 FROM scored WHERE jaccard >= {threshold}
 ORDER BY id_a, id_b
 """
+
+
+def source_shingle_overlap(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Source-level shingle-set Jaccard matrix: for every pair of
+    sources, the overlap of their DISTINCT k-token shingle sets. Two
+    near-identical sources are a mirror/syndication feed to collapse
+    before mixing weights are set -- the corpus-level complement of
+    x70's per-document cross-source pairs.
+
+    Output: (src_a, src_b, n_a, n_b, inter, jaccard) with src_a < src_b.
+
+    Scale shape: shingle_arrays keyed by SOURCE (distinct within each
+    row), one distinct on (source, shingle), then an equi-join on
+    shingle whose fanout is bounded by source cardinality (tens), never
+    corpus size -- pair rows are source-pair-sized after the partial
+    aggregation. No all-pairs anything.
+    """
+    sa = shingle_arrays(df, source_col, text_col, k)
+    ss = sa.select(
+        F.col("doc").alias("src"), F.explode("sh").alias("shingle")
+    ).distinct()
+    per = ss.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ss.alias("a")
+    b = ss.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(
+            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    pa = per.select(F.col("src").alias("src_a"), F.col("n_sh").alias("n_a"))
+    pb = per.select(F.col("src").alias("src_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(pa), "src_a")
+        .join(F.broadcast(pb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("inter").cast("long").alias("inter"),
+            F.round(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def source_shingle_overlap_sql(
+    source: str = "documents",
+    source_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+) -> str:
+    """DuckDB SQL mirroring ``source_shingle_overlap`` (x03's shingle
+    formula keyed by source)."""
+    toks = f"string_split(lower({text_col}), ' ')"
+    return f"""
+WITH t AS (
+  SELECT {source_col} AS src,
+         list_transform(
+           range(1, len({toks}) - {k - 2}),
+           i -> array_to_string(({toks})[i:i+{k - 1}], ' ')
+         ) AS sh
+  FROM {source}
+  WHERE len({toks}) >= {k}
+), ss AS (
+  SELECT DISTINCT src, unnest(sh) AS shingle FROM t
+), per AS (
+  SELECT src, count(*) AS n_sh FROM ss GROUP BY src
+), inter AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*) AS inter
+  FROM ss a JOIN ss b USING (shingle)
+  WHERE a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+       CAST(pa.n_sh AS BIGINT) AS n_a,
+       CAST(pb.n_sh AS BIGINT) AS n_b,
+       CAST(inter AS BIGINT) AS inter,
+       ROUND(CAST(inter AS DOUBLE) / (pa.n_sh + pb.n_sh - inter), 4)
+           AS jaccard
+FROM inter
+JOIN per pa ON pa.src = src_a
+JOIN per pb ON pb.src = src_b
+ORDER BY src_a, src_b
+"""

@@ -768,3 +768,102 @@ SELECT {id_col},
               AS VARCHAR)), ',') AS codes
 FROM m WHERE maxabs > 0 ORDER BY {id_col}
 """
+
+
+def label_centroid_coherence(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding coherence audit: cosine of every vector to
+    its label's mean centroid, reported as (n_vecs, mean_cos, min_cos)
+    per label. Low mean = an incoherent class (mislabeled feed); a low
+    min pinpoints outlier rows worth manual review -- the embedding-space
+    side of x55's referential DQ.
+
+    Scale shape: centroids come from mean_pool_embeddings (posexplode +
+    one (label,pos) partial-aggregating groupBy -- label cardinality is
+    tiny so the centroid table broadcasts), then one broadcast join back
+    and a row-local zip_with/aggregate dot-product fold (x63's recipe,
+    no Python). Determinism: centroid components are round-6 doubles
+    (x66), cosines round to 6 then accumulate in DECIMAL, division in
+    DOUBLE (x37's recipe).
+    """
+    cent = mean_pool_embeddings(df, label_col, vec_col).select(
+        F.col(label_col), F.col("pooled")
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    c = F.col("pooled")
+    dot = F.aggregate(
+        F.zip_with(v, c, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nc = F.sqrt(
+        F.aggregate(
+            F.zip_with(c, c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    den = nv * nc
+    cos = F.when(den != 0, dot / den)
+    scored = df.join(F.broadcast(cent), label_col).select(
+        F.col(label_col),
+        F.round(cos, 6).cast("decimal(18,6)").alias("cos6"),
+    )
+    return scored.groupBy(label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(
+            F.sum("cos6").cast("double") / F.count("cos6"), 4
+        ).alias("mean_cos"),
+        F.round(F.min("cos6").cast("double"), 4).alias("min_cos"),
+    )
+
+
+def label_centroid_coherence_sql(
+    source: str = "embeddings",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB SQL mirroring ``label_centroid_coherence`` (x66's pooling
+    CTEs + x63's list_dot_product, same round-6-then-DECIMAL cosine)."""
+    return f"""
+WITH raw AS (
+  SELECT {label_col} AS lbl,
+         unnest(range(1, len({vec_col}) + 1)) AS pos,
+         unnest(CAST({vec_col} AS DOUBLE[])) AS dval
+  FROM {source}
+), e AS (
+  SELECT lbl, pos, CAST(ROUND(dval, 7) AS DECIMAL(28,7)) AS val
+  FROM raw
+), per AS (
+  SELECT lbl, pos,
+         ROUND(CAST(SUM(val) AS DOUBLE) / count(*), 6) AS mean_val
+  FROM e GROUP BY lbl, pos
+), cent AS (
+  SELECT lbl, list(mean_val ORDER BY pos) AS pooled
+  FROM per GROUP BY lbl
+), scored AS (
+  SELECT s.{label_col} AS {label_col},
+         CAST(ROUND(
+           list_dot_product(CAST(s.{vec_col} AS DOUBLE[]), cent.pooled) /
+           NULLIF(sqrt(list_dot_product(CAST(s.{vec_col} AS DOUBLE[]),
+                                        CAST(s.{vec_col} AS DOUBLE[]))) *
+                  sqrt(list_dot_product(cent.pooled, cent.pooled)), 0),
+           6) AS DECIMAL(18,6)) AS cos6
+  FROM {source} s JOIN cent ON s.{label_col} = cent.lbl
+)
+SELECT {label_col},
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(cos6) AS DOUBLE) / count(cos6), 4) AS mean_cos,
+       ROUND(CAST(MIN(cos6) AS DOUBLE), 4) AS min_cos
+FROM scored GROUP BY {label_col} ORDER BY {label_col}
+"""

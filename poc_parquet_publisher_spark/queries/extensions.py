@@ -3275,3 +3275,42 @@ def x99_charset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x100_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.zipf_fit(docs, "text", top_k=100)
+
+
+@register(
+    "x101_label_coherence",
+    similarity.label_centroid_coherence_sql(
+        "embeddings", "label", "embedding"
+    ),
+    doc="per-label embedding coherence audit: cosine of every vector "
+        "to its label's mean centroid (mean + min per label) -- low "
+        "mean = incoherent class, low min = outlier rows; the "
+        "embedding-space complement of x55's relational DQ. Centroids "
+        "via x66's pooling (label cardinality broadcasts), one "
+        "broadcast join back, row-local zip_with dot-product fold "
+        "(x63), round-6-then-DECIMAL cosine accumulation "
+        "(similarity.label_centroid_coherence)",
+)
+def x101_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_centroid_coherence(
+        emb, "label", "embedding"
+    ).orderBy("label")
+
+
+@register(
+    "x102_source_overlap",
+    dedup.source_shingle_overlap_sql("documents", "source", "text", 3),
+    doc="source-level shingle-set Jaccard matrix (mirror/syndication "
+        "feed detection BEFORE mixing weights are set -- the corpus "
+        "complement of x70's per-doc cross-source pairs): distinct "
+        "(source, shingle) postings, shingle equi-join with fanout "
+        "bounded by source cardinality (tens), partial-aggregated to "
+        "source-pair rows; per-source set sizes broadcast back "
+        "(dedup.source_shingle_overlap)",
+)
+def x102_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.source_shingle_overlap(docs, "source", "text", 3).orderBy(
+        "src_a", "src_b"
+    )
