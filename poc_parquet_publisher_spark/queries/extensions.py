@@ -3314,3 +3314,51 @@ def x102_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.source_shingle_overlap(docs, "source", "text", 3).orderBy(
         "src_a", "src_b"
     )
+
+
+@register(
+    "x103_stream_attribution",
+    """SELECT c.event_id AS click_id, v.event_id AS view_id,
+              CAST(c.user_id AS BIGINT) AS user_id,
+              CAST(date_diff('second', v.ts, c.ts) AS BIGINT) AS gap_sec
+       FROM events c JOIN events v ON c.user_id = v.user_id
+       WHERE c.event_type = 'click' AND v.event_type = 'view'
+         AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 24 HOUR
+       ORDER BY click_id, view_id""",
+    doc="STREAM-STREAM interval join run to completion: one events "
+        "file-stream forked into view/click branches (streaming "
+        "self-join), each click attributed to same-user views within "
+        "a trailing 24 h window; state held on BOTH sides and evicted "
+        "past watermark + window (flat memory on a continuous stream "
+        "-- without the interval bound the view side buffers forever); "
+        "inner joins emit on match so append mode drains completely; "
+        "hash-matched against the plain interval-join SQL, stream == "
+        "batch is the verified contract "
+        "(streaming/windows.py view_click_attribution)",
+)
+def x103_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.windows import streaming_attribution
+
+    batch = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="x103_stream_")
+    sink = f"x103_sink_{uuid.uuid4().hex[:8]}"
+    try:
+        src = os.path.join(tmp, "events")
+        batch.repartition(4).write.mode("overwrite").parquet(src)
+        rebatch = spark.read.parquet(src)
+        q = streaming_attribution(
+            spark,
+            src,
+            rebatch.schema,
+            os.path.join(tmp, "ckpt"),
+            sink_table=sink,
+        )
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(sink).orderBy("click_id", "view_id")

@@ -254,3 +254,97 @@ def streaming_segment_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def view_click_attribution(
+    views: DataFrame,
+    clicks: DataFrame,
+    attribution_window: str = "24 hours",
+    watermark: str = "48 hours",
+) -> DataFrame:
+    """STREAM-STREAM interval join: attribute each click to every view
+    by the same user within the trailing attribution window -- the
+    ad-attribution / funnel-stitching shape that needs state on BOTH
+    sides (a view must wait for clicks that haven't arrived; a click
+    must probe views already seen).
+
+    Inner stream-stream joins emit a pair the moment both sides have
+    arrived; the watermarks plus the time-interval bound let Spark
+    EVICT join state older than (watermark + window), which is what
+    keeps a continuous stream's state flat -- without the interval
+    condition the view side would buffer forever. Works identically on
+    batch inputs (withWatermark is a batch no-op), so the oracle's
+    plain interval-join SQL hash-matches the drained stream.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    def _ts(df: DataFrame) -> DataFrame:
+        if isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
+
+    v = (
+        _ts(views)
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    c = (
+        _ts(clicks)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (
+            F.col("v_ts")
+            >= F.col("c_ts") - F.expr(f"INTERVAL {attribution_window}")
+        )
+    )
+    return c.join(v, cond).select(
+        "click_id",
+        "view_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        (
+            F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")
+        ).cast("long").alias("gap_sec"),
+    )
+
+
+def streaming_attribution(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    sink_table: str = "attribution_pairs",
+    attribution_window: str = "24 hours",
+    watermark: str = "48 hours",
+) -> StreamingQuery:
+    """One events file-stream forked into view/click branches (two
+    filtered views of the SAME readStream -- a streaming self-join),
+    interval-joined, appended to a memory sink, drained with
+    availableNow (the x27 contract; append mode because inner
+    stream-stream joins emit matches immediately)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    pairs = view_click_attribution(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "click"),
+        attribution_window=attribution_window,
+        watermark=watermark,
+    )
+    return (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -352,3 +352,40 @@ def test_stateful_sessionize_matches_batch(spark, events_dir, tmp_path):
         if k[1] != last_per_user[k[0]]:
             assert k in emitted, k
     assert len(emitted) > 0
+
+
+def test_streaming_attribution_matches_batch(spark, events_dir, tmp_path):
+    """STREAM-STREAM interval join (x103): the drained pair set must
+    equal the batch interval join exactly -- both sides of the join
+    hold state across micro-batches (a view in batch 1 matching a
+    click in batch 3 is the case that distinguishes this from a
+    stream-static join)."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_publisher_spark.streaming.windows import (
+        streaming_attribution,
+        view_click_attribution,
+    )
+
+    src, batch_df = events_dir
+    ckpt = str(tmp_path / "ckpt-attr")
+
+    q = streaming_attribution(
+        spark, src, batch_df.schema, ckpt, sink_table="attr_t"
+    )
+    q.awaitTermination(120)
+
+    stream_rows = {
+        (r.click_id, r.view_id): (r.user_id, r.gap_sec)
+        for r in spark.table("attr_t").collect()
+    }
+    batch_pairs = view_click_attribution(
+        batch_df.filter(F.col("event_type") == "view"),
+        batch_df.filter(F.col("event_type") == "click"),
+    )
+    batch_rows = {
+        (r.click_id, r.view_id): (r.user_id, r.gap_sec)
+        for r in batch_pairs.collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(batch_rows) > 0
