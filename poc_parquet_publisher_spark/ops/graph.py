@@ -1,0 +1,149 @@
+"""Iterative graph algorithms as fixed-depth DataFrame plans.
+
+The reference has no graph surface; this is the extension leg that
+generalizes ``dedup.duplicate_clusters`` (min-label propagation) to
+weighted propagation: PageRank with a FIXED iteration count, each
+iteration one edge-sized join + one partial-aggregating groupBy --
+the shape GraphX/Pregel lowers to, but expressed declaratively so
+Catalyst/AQE plan every round (and an oracle can replay it as chained
+CTEs).
+
+Determinism contract: per-edge contributions are round(·,12) doubles
+cast to DECIMAL(28,12) before the neighbor SUM (partition-order
+independent -- the x88 round-then-DECIMAL recipe), the damping update
+runs in DOUBLE (division and multiply are correctly rounded IEEE ops),
+and each iteration's rank is re-rounded to 12 decimals so both engines
+enter the next round with bit-identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetric_copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct symmetric co-purchase edges (u, v): parts appearing in
+    the same order, both directions. Pairs expand inside each order's
+    sorted item array (x76's HOF shape, ~|order|^2 with tiny orders --
+    never a corpus self-join), distinct-ed, then mirrored."""
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    buckets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    ps = F.col("parts")
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ps,
+                        lambda x, i: F.transform(
+                            F.slice(ps, i + F.lit(2), F.size(ps)),
+                            lambda y: F.struct(
+                                x.alias("u"), y.alias("v")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+    )
+    return pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """PageRank over a symmetric edge list, fixed ``iterations`` power
+    steps. Output: (node, rank) for every node, rank rounded to 12.
+
+    Scale shape: NOTHING collects to the driver -- the node count rides
+    a broadcast 1-row aggregate; each iteration is one edge-sized
+    equi-join (rank table joined to edges on the source key) + one
+    hash-groupBy on the destination key with partial aggregation. State
+    between rounds is the node-sized rank table. Degree is constant so
+    it stays a column of the rank table (no per-round recompute). With
+    a symmetric graph every node has degree >= 1, so there is no
+    dangling-mass term.
+    """
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ncnt = deg.agg(F.count(F.lit(1)).alias("n"))
+    nodes = deg.crossJoin(F.broadcast(ncnt))
+    base = 1.0 - damping
+    rank = nodes.withColumn("r", F.lit(1.0) / F.col("n"))
+    for _ in range(iterations):
+        contrib = edges.join(
+            rank.select("u", "deg", "r"), "u"
+        ).select(
+            F.col("v").alias("u"),
+            F.round(F.col("r") / F.col("deg"), 12)
+            .cast("decimal(28,12)")
+            .alias("c"),
+        )
+        sums = contrib.groupBy("u").agg(F.sum("c").alias("s"))
+        rank = (
+            nodes.join(sums, "u", "left")
+            .select(
+                "u",
+                "deg",
+                "n",
+                F.round(
+                    F.lit(base) / F.col("n")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                    12,
+                ).alias("r"),
+            )
+        )
+    return rank.select(F.col("u").alias("node"), F.col("r").alias("rank"))
+
+
+def pagerank_copurchase_sql(
+    iterations: int = 3, damping: float = 0.85, top_k: int = 20
+) -> str:
+    """DuckDB SQL replaying ``pagerank(symmetric_copurchase_edges(...))``
+    as chained CTEs -- one pair of CTEs per iteration, same round-12 /
+    DECIMAL(28,12) accumulation, same double update arithmetic."""
+    base = 1.0 - damping
+    ctes = [
+        "items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """p AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+)""",
+        "edges AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p)",
+        "deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u)",
+        "nn AS (SELECT count(*) AS n FROM deg)",
+        "r0 AS (SELECT u, deg, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)"
+        " AS r FROM deg)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""c{i + 1} AS (
+  SELECT e.v AS u,
+         SUM(CAST(ROUND(r.r / r.deg, 12) AS DECIMAL(28,12))) AS s
+  FROM edges e JOIN r{i} r ON e.u = r.u GROUP BY e.v
+)"""
+        )
+        ctes.append(
+            f"""r{i + 1} AS (
+  SELECT d.u, d.deg,
+         ROUND(CAST({base!r} AS DOUBLE) / (SELECT n FROM nn) +
+               CAST({damping!r} AS DOUBLE) *
+               COALESCE(CAST(c{i + 1}.s AS DOUBLE),
+                        CAST(0.0 AS DOUBLE)), 12) AS r
+  FROM deg d LEFT JOIN c{i + 1} ON d.u = c{i + 1}.u
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(u AS BIGINT) AS node, ROUND(r, 8) AS rank
+FROM r{iterations}
+ORDER BY r DESC, u LIMIT {top_k}"""
+    )

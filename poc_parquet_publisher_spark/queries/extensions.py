@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..ops import dedup, sampling, similarity, text
+from ..ops import dedup, graph, sampling, similarity, text
 from . import register
 
 _STOP_EN = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS["en"])
@@ -3362,3 +3362,30 @@ def x103_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(sink).orderBy("click_id", "view_id")
+
+
+@register(
+    "x104_pagerank",
+    graph.pagerank_copurchase_sql(iterations=3, damping=0.85, top_k=20),
+    doc="fixed-depth PageRank (3 power iterations, d=0.85) over the "
+        "symmetric co-purchase part graph -- the iterative-algorithm "
+        "shape (GraphX/Pregel) as a declarative plan: per iteration ONE "
+        "edge-sized equi-join + one partial-aggregating groupBy(dst); "
+        "node count rides a broadcast 1-row aggregate, nothing "
+        "collects. Determinism: round-12 contributions DECIMAL-summed, "
+        "damping update in DOUBLE, rank re-rounded per round so both "
+        "engines enter each iteration bit-identical; oracle replays "
+        "the loop as chained CTEs (ops/graph.py pagerank)",
+)
+def x104_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.symmetric_copurchase_edges(li)
+    pr = graph.pagerank(edges, iterations=3, damping=0.85)
+    return (
+        pr.select(
+            F.col("node").cast("long").alias("node"),
+            F.round(F.col("rank"), 8).alias("rank"),
+        )
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )

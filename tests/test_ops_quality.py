@@ -1409,3 +1409,32 @@ def test_bpe_pair_counts_weighted_by_word_frequency(spark):
     assert counts["ab"] == 3 and counts["bc"] == 3
     assert counts["xy"] == 1 and counts["yz"] == 1
     assert "b." not in counts and ".c" not in counts
+
+
+def test_pagerank_small_graph_hand_check(spark):
+    """Path graph 1-2-3: symmetric PageRank must rank the middle node
+    highest, ends equal by symmetry; total mass stays ~1."""
+    from poc_parquet_publisher_spark.ops import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], ["u", "v"]
+    )
+    r = {row["node"]: row["rank"] for row in G.pagerank(edges, 3).collect()}
+    assert r[2] > r[1] and r[1] == r[3]
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_mass_conserved_on_fixture(spark):
+    """On the real co-purchase graph the rank vector must stay a
+    probability distribution (no dangling nodes in a symmetric graph),
+    and every rank must exceed the teleport floor (1-d)/n."""
+    from poc_parquet_publisher_spark.catalog import load_table
+    from poc_parquet_publisher_spark.ops import graph as G
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    edges = G.symmetric_copurchase_edges(li)
+    rows = G.pagerank(edges, 3).collect()
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-6
+    floor = 0.15 / len(rows)
+    assert all(r["rank"] >= floor - 1e-12 for r in rows)
