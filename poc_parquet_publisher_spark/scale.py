@@ -235,3 +235,42 @@ def global_row_number(
 # partition-key repartition and sorts within tasks for row-group
 # stats); re-exported here for the original call sites.
 from .pipeline.layout import write_partitioned  # noqa: E402, F401
+
+
+def zorder_key(cols: list[str], bits: int = 8) -> F.Column:
+    """Morton (Z-order) interleaved key over non-negative integer
+    columns, each truncated to ``bits`` bits -- the multi-dimensional
+    clustering key behind Delta/Iceberg OPTIMIZE ZORDER BY.
+
+    Sorting (repartitionByRange + sortWithinPartitions) on this key
+    gives every output file a TIGHT min/max envelope on EVERY input
+    column simultaneously, so parquet row-group stats prune scans that
+    filter on any subset of the dimensions -- a single-column sort only
+    prunes its leading column. Pure bitwise expression (shift/and/or),
+    JVM-side, codegen; callers bucket raw values first (modulo or
+    quantile rank) so inputs fit ``bits``.
+    """
+    n = len(cols)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), b).bitwiseAND(
+                F.lit(1)
+            )
+            key = key.bitwiseOR(
+                F.shiftleft(bit, b * n + j)
+            )
+    return key
+
+
+def zorder_key_sql(cols: list[str], bits: int = 8) -> str:
+    """The same Morton key as a SQL expression (DuckDB / ANSI bitwise
+    operators) for oracle mirroring."""
+    n = len(cols)
+    parts = []
+    for b in range(bits):
+        for j, c in enumerate(cols):
+            parts.append(
+                f"((({c} >> {b}) & 1) << {b * n + j})"
+            )
+    return "(" + " | ".join(parts) + ")"

@@ -153,3 +153,58 @@ def test_export_jsonl_roundtrip_and_shard_bound(spark, tmp_path):
     orig = {r.o_orderkey: r.o_orderstatus for r in orders.collect()}
     got = {int(r.o_orderkey): r.o_orderstatus for r in back.collect()}
     assert got == orig
+
+
+def test_zorder_layout_tightens_file_envelopes(spark, tmp_path):
+    """The Z-order claim, measured: range-sorting files by the Morton
+    key bounds the per-file min/max envelope on BOTH dimensions, while
+    a single-column sort leaves the non-leading dimension's envelope at
+    ~full width (so parquet stats can never prune filters on it)."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_publisher_spark.scale import zorder_key
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select(
+            (F.col("l_orderkey") % 256).alias("px"),
+            (F.col("l_partkey") % 256).alias("sx"),
+        )
+        .withColumn("zkey", zorder_key(["px", "sx"], 8))
+    )
+    n_files = 16
+
+    lex = str(tmp_path / "lex")
+    li.repartitionByRange(n_files, "px", "sx").write.mode(
+        "overwrite"
+    ).parquet(lex)
+    zord = str(tmp_path / "zorder")
+    li.repartitionByRange(n_files, "zkey").write.mode(
+        "overwrite"
+    ).parquet(zord)
+
+    def worst_mean_span(path: str) -> float:
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("px") - F.min("px")).alias("px_span"),
+                (F.max("sx") - F.min("sx")).alias("sx_span"),
+            )
+            .agg(
+                F.avg("px_span").alias("mpx"), F.avg("sx_span").alias("msx")
+            )
+            .first()
+        )
+        return max(per_file["mpx"], per_file["msx"])
+
+    lex_worst = worst_mean_span(lex)
+    z_worst = worst_mean_span(zord)
+    # lexicographic: sx envelope near full width per file (unprunable;
+    # ~199 of 255 on this fixture). z-order: 16 files over the 16-bit
+    # Morton space give each file a ~2^12 key range = one-to-two
+    # 64x64 tiles, so BOTH envelopes stay <= ~128 (measured ~113) --
+    # the bound a single-column sort cannot give the trailing column.
+    assert lex_worst > 150
+    assert z_worst <= 130
+    assert z_worst < 0.7 * lex_worst
