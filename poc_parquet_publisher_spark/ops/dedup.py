@@ -1095,24 +1095,41 @@ def source_shingle_overlap(
     Output: (src_a, src_b, n_a, n_b, inter, jaccard) with src_a < src_b.
 
     Scale shape: shingle_arrays keyed by SOURCE (distinct within each
-    row), one distinct on (source, shingle), then an equi-join on
-    shingle whose fanout is bounded by source cardinality (tens), never
-    corpus size -- pair rows are source-pair-sized after the partial
-    aggregation. No all-pairs anything.
+    row), one distinct on (source, shingle), then ONE groupBy(shingle)
+    collecting each shingle's source set and expanding pairs inside the
+    <= |sources|-element array with higher-order functions (x03's
+    in-bucket pattern -- measured 7.7 s -> ~3 s at sf0.1 vs the posting
+    self-join, which shuffles the posting list twice). Pair rows are
+    source-pair-sized after the partial aggregation. No all-pairs
+    anything.
     """
     sa = shingle_arrays(df, source_col, text_col, k)
     ss = sa.select(
         F.col("doc").alias("src"), F.explode("sh").alias("shingle")
     ).distinct()
     per = ss.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = ss.alias("a")
-    b = ss.alias("b")
+    buckets = ss.groupBy("shingle").agg(
+        F.array_sort(F.collect_set("src")).alias("srcs")
+    )
+    sr = F.col("srcs")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.src") < F.col("b.src"))
-        .groupBy(
-            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        sr,
+                        lambda x, i: F.transform(
+                            F.slice(sr, i + F.lit(2), F.size(sr)),
+                            lambda y: F.struct(
+                                x.alias("src_a"), y.alias("src_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
+        .select("p.*")
+        .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     pa = per.select(F.col("src").alias("src_a"), F.col("n_sh").alias("n_a"))
