@@ -1475,3 +1475,148 @@ SELECT CAST(n AS BIGINT) AS n_terms,
              CAST(n AS DOUBLE), 4) AS zipf_intercept
 FROM sums
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (the classic lexical ranker, corpus-side)
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS: tuple[str, ...] = ("spark", "join", "stream")
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    top_k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 top-k documents for a fixed query (k1=1.2, b=0.75) --
+    the lexical retrieval baseline every RAG pipeline starts from, and
+    the hard-negative miner for embedding training.
+
+    Scale shape: token explode filtered to the query's terms BEFORE the
+    (doc, term) groupBy (postings only for query terms, never the full
+    vocab), document-frequency and corpus stats ride broadcast 1-row /
+    term-cardinality aggregates, one partial-aggregating per-doc sum,
+    TakeOrdered top-k. Determinism: idf ln() rounds to 6 then every
+    per-term contribution rounds to 8 and accumulates in DECIMAL
+    (x88's recipe); tf/length arithmetic is correctly-rounded double
+    ops mirrored operation-for-operation in the oracle.
+    """
+    toks = _toks(text_col)
+    lens = df.select(
+        F.col(id_col).alias("doc"), F.size(toks).cast("long").alias("len_d")
+    )
+    corpus = lens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum("len_d").cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc"), F.explode(toks).alias("term")
+        )
+        .filter(F.col("term").isin(*terms))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_cnt"))
+    idf = (
+        dfreq.crossJoin(F.broadcast(corpus))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df_cnt") + F.lit(0.5))
+                    / (F.col("df_cnt") + F.lit(0.5))
+                ),
+                6,
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .join(lens, "doc")
+        .select(
+            "doc",
+            F.round(
+                F.col("idf")
+                * (
+                    (F.col("tf").cast("double") * F.lit(2.2))
+                    / (
+                        F.col("tf").cast("double")
+                        + F.lit(1.2)
+                        * (
+                            F.lit(0.25)
+                            + F.lit(0.75)
+                            * (F.col("len_d") / F.col("avgdl"))
+                        )
+                    )
+                ),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc")
+        .agg(F.round(F.sum("c").cast("double"), 4).alias("bm25"))
+        .select(F.col("doc").alias(id_col), "bm25")
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(top_k)
+    )
+
+
+def bm25_topk_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    top_k: int = 20,
+) -> str:
+    """DuckDB SQL mirroring ``bm25_topk`` operation-for-operation."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH lens AS (
+  SELECT {id_col} AS doc,
+         len(string_split(lower({text_col}), ' ')) AS len_d
+  FROM {source}
+), corpus AS (
+  SELECT count(*) AS n_docs,
+         CAST(SUM(len_d) AS DOUBLE) / count(*) AS avgdl
+  FROM lens
+), tf AS (
+  SELECT doc, term, count(*) AS tf FROM (
+    SELECT {id_col} AS doc,
+           unnest(string_split(lower({text_col}), ' ')) AS term
+    FROM {source}
+  ) WHERE term IN ({inlist})
+  GROUP BY doc, term
+), dfreq AS (
+  SELECT term, count(*) AS df_cnt FROM tf GROUP BY term
+), idf AS (
+  SELECT term,
+         ROUND(ln(CAST(1.0 AS DOUBLE) +
+                  (n_docs - df_cnt + CAST(0.5 AS DOUBLE)) /
+                  (df_cnt + CAST(0.5 AS DOUBLE))), 6) AS idf,
+         avgdl
+  FROM dfreq, corpus
+), contrib AS (
+  SELECT tf.doc,
+         CAST(ROUND(idf.idf *
+                ((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+                 (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                  (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+                   (lens.len_d / idf.avgdl)))), 8)
+              AS DECIMAL(18,8)) AS c
+  FROM tf JOIN idf USING (term) JOIN lens ON lens.doc = tf.doc
+)
+SELECT doc AS {id_col}, ROUND(CAST(SUM(c) AS DOUBLE), 4) AS bm25
+FROM contrib GROUP BY doc
+ORDER BY bm25 DESC, {id_col} LIMIT {top_k}
+"""

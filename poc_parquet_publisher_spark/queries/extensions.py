@@ -3441,3 +3441,110 @@ def x105_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zkey")
         .limit(100)
     )
+
+
+@register(
+    "x106_bm25_topk",
+    text.bm25_topk_sql("documents", "doc_id", "text"),
+    doc="Okapi BM25 top-20 for a fixed lexical query (k1=1.2, b=0.75) "
+        "-- the retrieval baseline every RAG pipeline starts from and "
+        "the hard-negative miner for embedding training. Postings "
+        "materialize only for the QUERY's terms (filter before the "
+        "(doc,term) groupBy -- never the full vocab); df/idf and "
+        "corpus stats ride broadcast aggregates; idf ln rounds to 6, "
+        "per-term contributions round to 8 and accumulate in DECIMAL "
+        "(text.bm25_topk)",
+)
+def x106_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, "doc_id", "text", top_k=20)
+
+
+@register(
+    "x107_event_trigrams",
+    """WITH s AS (
+         SELECT user_id, event_type,
+                lead(event_type) OVER w AS t2,
+                lead(event_type, 2) OVER w AS t3
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       )
+       SELECT event_type AS t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+       FROM s WHERE t3 IS NOT NULL
+       GROUP BY 1, 2, 3
+       ORDER BY n DESC, t1, t2, t3 LIMIT 25""",
+    doc="top-25 three-step user journeys (the path-mining extension of "
+        "x96's transition bigrams: funnel hypotheses come from frequent "
+        "trigrams, not single transitions); one user-key shuffle "
+        "shared by BOTH lead() windows (parallel per user, event_id "
+        "tiebreak), then a type-trigram-cardinality groupBy + "
+        "TakeOrdered",
+)
+def x107_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type").over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        s.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(25)
+    )
+
+
+@register(
+    "x108_key_skew_gini",
+    """WITH f AS (
+         SELECT l_partkey AS k, count(*) AS f FROM lineitem GROUP BY 1
+       ), r AS (
+         SELECT k, f,
+                row_number() OVER (ORDER BY f, k) AS rn
+         FROM f
+       )
+       SELECT CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(SUM(f) AS BIGINT) AS n_rows,
+              CAST(MAX(f) AS BIGINT) AS max_f,
+              ROUND((CAST(2.0 AS DOUBLE) * SUM(rn * f)) /
+                    (CAST(count(*) AS BIGINT) * SUM(f)) -
+                    (CAST(count(*) + 1 AS DOUBLE) / count(*)), 6)
+                  AS gini
+       FROM r""",
+    doc="Gini coefficient of the join-key frequency distribution -- "
+        "the ONE-NUMBER skew diagnostic behind the salt/AQE decision "
+        "(x41's top-20 shows the head; Gini summarizes the whole "
+        "curve: 0 = uniform keys, ->1 = one hot key). The global rank "
+        "the formula needs comes from scale.global_row_number (x90's "
+        "two-pass prefix-sum over the aggregated KEY-cardinality "
+        "table) -- the oracle's window is the semantic mirror, the "
+        "rebuild's plan has no Exchange SinglePartition; rank*freq "
+        "products sum as exact BIGINTs, only the final two divisions "
+        "touch doubles",
+)
+def x108_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import scale
+
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    ranked = scale.global_row_number(freq, [F.col("f"), F.col("k")], "rn")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("f").cast("long").alias("n_rows"),
+        F.max("f").cast("long").alias("max_f"),
+        F.round(
+            (F.lit(2.0) * F.sum(F.col("rn") * F.col("f")))
+            / (F.count(F.lit(1)).cast("long") * F.sum("f"))
+            - (
+                (F.count(F.lit(1)) + F.lit(1)).cast("double")
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("gini"),
+    )
