@@ -1620,3 +1620,146 @@ SELECT doc AS {id_col}, ROUND(CAST(SUM(c) AS DOUBLE), 4) AS bm25
 FROM contrib GROUP BY doc
 ORDER BY bm25 DESC, {id_col} LIMIT {top_k}
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (fixed-depth tokenizer training, the iterative leg)
+# ---------------------------------------------------------------------------
+
+
+def bpe_learn_merges(
+    df: DataFrame, text_col: str, iterations: int = 3
+) -> DataFrame:
+    """Learn the first ``iterations`` BPE merge rules -- x98 run to its
+    logical conclusion: each round counts corpus-frequency-weighted
+    adjacent symbol pairs, picks the argmax (ties lexicographic), and
+    REWRITES every word with the merge applied before the next round.
+    The same fixed-depth iterative-plan shape as x104's PageRank, on
+    text.
+
+    Output: (it, pair, merged, n) -- one row per learned merge.
+
+    Symbol encoding makes the rewrite safe as a plain string replace:
+    every symbol is wrapped in angle brackets ('<a> <b> <c>'), so the
+    pattern '<a> <b>' can never match INSIDE a multi-char symbol, and
+    left-to-right non-overlapping replace() (identical semantics in
+    Spark and DuckDB) is exactly BPE's greedy leftmost merge order --
+    '<a> <a> <a>' under merge <a>+<a> becomes '<aa> <a>', not
+    '<a> <aa>'.
+
+    Scale shape: ONE corpus-scale groupBy collapses text to (word,
+    cnt) vocab rows up front; every iteration after that is
+    vocab-sized -- pair explode (word-length factor), pair-count
+    groupBy, a 1-row TakeOrdered argmax broadcast back, one narrow
+    replace projection. Nothing returns to corpus scale, nothing
+    collects to the driver.
+    """
+    words = (
+        df.select(F.explode(_toks(text_col)).alias("w"))
+        .filter((F.length("w") >= 2) & F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seqd = words.select(
+        "cnt",
+        F.trim(
+            F.regexp_replace(F.col("w"), "(.)", "<$1> ")
+        ).alias("seq"),
+    ).localCheckpoint(eager=False)
+
+    merges = []
+    cur = seqd
+    for it in range(1, iterations + 1):
+        toks = F.split(F.col("seq"), " ")
+        pairs = cur.select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + 1),
+                    ),
+                )
+            ).alias("pair"),
+        ).filter(F.size(toks) >= 2)
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .select(
+                F.lit(it).cast("long").alias("it"),
+                "pair",
+                F.replace(
+                    F.col("pair"), F.lit("> <"), F.lit("")
+                ).alias("merged"),
+                "n",
+            )
+        )
+        merges.append(best)
+        cur = cur.crossJoin(F.broadcast(best.select("pair", "merged"))).select(
+            "cnt",
+            F.replace(F.col("seq"), F.col("pair"), F.col("merged")).alias(
+                "seq"
+            ),
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def bpe_learn_merges_sql(
+    source: str = "documents", text_col: str = "text", iterations: int = 3
+) -> str:
+    """DuckDB SQL replaying ``bpe_learn_merges`` as chained CTEs (same
+    wrapped-symbol encoding, same replace semantics, same tiebreak)."""
+    ctes = [
+        f"""w0 AS (
+  SELECT cnt,
+         trim(regexp_replace(w, '(.)', '<\\1> ', 'g')) AS seq
+  FROM (
+    SELECT w, count(*) AS cnt FROM (
+      SELECT unnest(string_split(lower({text_col}), ' ')) AS w
+      FROM {source}
+    ) WHERE len(w) >= 2 AND regexp_full_match(w, '[a-z]+')
+    GROUP BY w
+  )
+)"""
+    ]
+    for it in range(1, iterations + 1):
+        prev = f"w{it - 1}"
+        ctes.append(
+            f"""m{it} AS (
+  SELECT CAST({it} AS BIGINT) AS it, pair,
+         replace(pair, '> <', '') AS merged,
+         CAST(SUM(cnt) AS BIGINT) AS n
+  FROM (
+    SELECT cnt,
+           unnest(list_transform(
+             range(1, len(string_split(seq, ' '))),
+             i -> array_to_string(
+                    (string_split(seq, ' '))[i:i+1], ' ')
+           )) AS pair
+    FROM {prev}
+    WHERE len(string_split(seq, ' ')) >= 2
+  )
+  GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+)"""
+        )
+        if it < iterations:
+            ctes.append(
+                f"""w{it} AS (
+  SELECT cnt,
+         replace(seq, (SELECT pair FROM m{it}),
+                 (SELECT merged FROM m{it})) AS seq
+  FROM {prev}
+)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT it, pair, merged, n FROM m{i}"
+        for i in range(1, iterations + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union + "\nORDER BY it"

@@ -3548,3 +3548,22 @@ def x108_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "x109_bpe_learn",
+    text.bpe_learn_merges_sql("documents", "text", 3),
+    doc="BPE tokenizer training, iterations 1-3 (x98 run to its "
+        "logical conclusion): per round, argmax adjacent-symbol pair "
+        "(lexicographic tiebreak) then every word REWRITTEN with the "
+        "merge before the next count -- the x104 fixed-depth iterative "
+        "shape, on text. Angle-bracket symbol wrapping makes the "
+        "rewrite a plain left-to-right replace() that cannot match "
+        "inside a symbol and reproduces BPE's greedy leftmost order "
+        "identically in both engines. One corpus-scale groupBy up "
+        "front; every iteration is vocab-sized; argmax rides a 1-row "
+        "broadcast (text.bpe_learn_merges)",
+)
+def x109_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_learn_merges(docs, "text", iterations=3).orderBy("it")

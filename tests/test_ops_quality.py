@@ -1438,3 +1438,18 @@ def test_pagerank_mass_conserved_on_fixture(spark):
     assert abs(total - 1.0) < 1e-6
     floor = 0.15 / len(rows)
     assert all(r["rank"] >= floor - 1e-12 for r in rows)
+
+
+def test_bpe_learn_rewrites_between_iterations(spark):
+    """Corpus 'aaab'x3: merge 1 must be <a>+<a> applied greedily
+    leftmost ('a a a b' -> 'aa a b', NOT 'a aa b'); merge 2 must see
+    the REWRITTEN words (tie between '<aa> <a>' and '<a> <b>' breaks
+    lexicographic to '<a> <b>'); merge 3 then only exists because both
+    prior rewrites happened ('<aa> <ab>')."""
+    from poc_parquet_publisher_spark.ops import text as T
+
+    df = spark.createDataFrame([("aaab aaab aaab",)], ["text"])
+    rows = {r["it"]: r for r in T.bpe_learn_merges(df, "text", 3).collect()}
+    assert rows[1]["pair"] == "<a> <a>" and rows[1]["n"] == 6
+    assert rows[2]["pair"] == "<a> <b>" and rows[2]["n"] == 3
+    assert rows[3]["pair"] == "<aa> <ab>" and rows[3]["n"] == 3
