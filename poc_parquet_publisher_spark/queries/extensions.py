@@ -3567,3 +3567,131 @@ def x108_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x109_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.bpe_learn_merges(docs, "text", iterations=3).orderBy("it")
+
+
+@register(
+    "x110_conversion_latency",
+    """WITH v AS (
+         SELECT user_id, MIN(ts) AS v_ts FROM events
+         WHERE event_type = 'view' GROUP BY 1
+       ), p AS (
+         SELECT e.user_id,
+                CAST(date_diff('second', v.v_ts, MIN(e.ts)) AS BIGINT)
+                    AS gap_sec
+         FROM events e JOIN v USING (user_id)
+         WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+         GROUP BY e.user_id, v.v_ts
+       )
+       SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewers,
+              CAST(count(*) AS BIGINT) AS n_converted,
+              ROUND(count(*) /
+                    CAST((SELECT count(*) FROM v) AS DOUBLE), 4)
+                  AS conversion_rate,
+              ROUND(quantile_cont(gap_sec, 0.5), 4) AS p50_gap_sec,
+              ROUND(quantile_cont(gap_sec, 0.9), 4) AS p90_gap_sec
+       FROM p""",
+    doc="view->purchase conversion latency: per user, first view to "
+        "first subsequent purchase; conversion rate + exact p50/p90 of "
+        "the gap (quantile_cont == Spark percentile bit-for-bit, the "
+        "q30 precedent). Two user-key groupBys sharing one shuffle "
+        "key + one equi-join -- the product-funnel KPI row; at 100 TB "
+        "swap percentile_approx (x17)",
+)
+def x110_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id", "v_ts")
+        .agg(
+            (
+                F.unix_timestamp(F.min("ts").cast("timestamp"))
+                - F.unix_timestamp(F.col("v_ts").cast("timestamp"))
+            )
+            .cast("long")
+            .alias("gap_sec")
+        )
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("long").alias("n_viewers"))
+    return p.crossJoin(F.broadcast(nv)).agg(
+        F.max("n_viewers").alias("n_viewers"),
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(
+            F.count(F.lit(1)) / F.max("n_viewers").cast("double"), 4
+        ).alias("conversion_rate"),
+        F.round(F.percentile(F.col("gap_sec"), F.lit(0.5)), 4).alias(
+            "p50_gap_sec"
+        ),
+        F.round(F.percentile(F.col("gap_sec"), F.lit(0.9)), 4).alias(
+            "p90_gap_sec"
+        ),
+    )
+
+
+@register(
+    "x111_centroid_confusion",
+    """WITH raw AS (
+         SELECT label AS lbl,
+                unnest(range(1, len(embedding) + 1)) AS pos,
+                unnest(CAST(embedding AS DOUBLE[])) AS dval
+         FROM embeddings
+       ), e AS (
+         SELECT lbl, pos, CAST(ROUND(dval, 7) AS DECIMAL(28,7)) AS val
+         FROM raw
+       ), per AS (
+         SELECT lbl, pos,
+                ROUND(CAST(SUM(val) AS DOUBLE) / count(*), 6) AS mean_val
+         FROM e GROUP BY lbl, pos
+       ), cent AS (
+         SELECT lbl, list(mean_val ORDER BY pos) AS c
+         FROM per GROUP BY lbl
+       )
+       SELECT a.lbl AS label_a, b.lbl AS label_b,
+              ROUND(list_dot_product(a.c, b.c) /
+                    NULLIF(sqrt(list_dot_product(a.c, a.c)) *
+                           sqrt(list_dot_product(b.c, b.c)), 0), 4)
+                  AS cos
+       FROM cent a JOIN cent b ON a.lbl < b.lbl
+       ORDER BY label_a, label_b""",
+    doc="label-centroid confusion matrix: pairwise cosine between the "
+        "per-label mean embeddings (x101's centroids) -- which classes "
+        "COLLIDE in embedding space, the class-level complement of "
+        "x101's within-class coherence. Pooling is x66's recipe; the "
+        "pair join runs over label-cardinality rows (tens), trivially "
+        "broadcast; cosine is the x63 row-local fold",
+)
+def x111_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = similarity.mean_pool_embeddings(emb, "label", "embedding").select(
+        F.col("label").alias("lbl"), F.col("pooled").alias("c")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a = cent.select(F.col("lbl").alias("label_a"), F.col("c").alias("ca"))
+    b = cent.select(F.col("lbl").alias("label_b"), F.col("c").alias("cb"))
+    den = F.sqrt(dot(F.col("ca"), F.col("ca"))) * F.sqrt(
+        dot(F.col("cb"), F.col("cb"))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.when(den != 0, dot(F.col("ca"), F.col("cb")) / den), 4
+            ).alias("cos"),
+        )
+        .orderBy("label_a", "label_b")
+    )
