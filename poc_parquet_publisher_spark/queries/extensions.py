@@ -3695,3 +3695,44 @@ def x111_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+@register(
+    "x112_wau_sketch",
+    None,  # approximate (Datasketches HLL) -- rows-only; error gated
+           # vs the exact x74 in tests/test_ops_quality.py
+    doc="x74's promised 100 TB formulation, delivered: trailing-7-day "
+        "actives via MERGEABLE per-day HLL sketches -- one sketch per "
+        "(user-day grain) day, each day's sketch exploded to the 7 "
+        "cover days it serves, then hll_union_agg + estimate. The "
+        "shuffle carries DAY-cardinality sketch rows (constant size "
+        "each), not user-day rows; the exact x74 shuffles the full "
+        "user-day cross product into a grouped count-distinct. "
+        "Relative error <= ~2% at lgConfigK=12, gated in tests",
+)
+def x112_wau_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_day = (
+        ev.select("user_id", F.col("ts").cast("date").alias("d"))
+        .groupBy("d")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    cover = per_day.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"), "d", "sk"
+    ).select(F.date_add(F.col("d"), F.col("k")).alias("day"), "sk")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("min_d"),
+        F.max(F.col("ts").cast("date")).alias("max_d"),
+    )
+    return (
+        cover.crossJoin(F.broadcast(bounds))
+        .filter(F.col("day").between(F.col("min_d"), F.col("max_d")))
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long")
+            .alias("wau_est")
+        )
+        .orderBy("day")
+        .limit(400)
+    )

@@ -1453,3 +1453,24 @@ def test_bpe_learn_rewrites_between_iterations(spark):
     assert rows[1]["pair"] == "<a> <a>" and rows[1]["n"] == 6
     assert rows[2]["pair"] == "<a> <b>" and rows[2]["n"] == 3
     assert rows[3]["pair"] == "<aa> <ab>" and rows[3]["n"] == 3
+
+
+def test_wau_sketch_tracks_exact_rolling_actives(spark):
+    """x112 (mergeable per-day HLL union) vs x74 (exact grouped
+    count-distinct): same day set, every day's estimate within the
+    sketch's error envelope (lgConfigK=12 -> ~1.6% rsd; allow 5%)."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x74_rolling_active_users,
+        x112_wau_sketch,
+    )
+
+    exact = {
+        r["day"]: r["wau"] for r in x74_rolling_active_users(spark, SF).collect()
+    }
+    est = {r["day"]: r["wau_est"] for r in x112_wau_sketch(spark, SF).collect()}
+    assert set(exact) == set(est)
+    assert exact, "fixture should produce rolling-active days"
+    for day, wau in exact.items():
+        assert abs(est[day] - wau) <= max(2, 0.05 * wau), (
+            day, wau, est[day]
+        )
