@@ -3736,3 +3736,90 @@ def x112_wau_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .limit(400)
     )
+
+
+@register(
+    "x113_scd2_intervals",
+    """WITH o AS (
+         SELECT user_id, event_type, ts, event_id,
+                lag(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                ) AS prev_state
+         FROM events
+       ), changes AS (
+         SELECT user_id, event_type AS state, ts, event_id
+         FROM o
+         WHERE prev_state IS NULL OR prev_state <> event_type
+       )
+       SELECT user_id, state, ts AS valid_from,
+              lead(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+              ) AS valid_to
+       FROM changes
+       ORDER BY user_id, valid_from, state""",
+    doc="SCD2 dimension build from an event stream: collapse "
+        "consecutive same-state events per user, emit "
+        "(state, valid_from, valid_to) validity intervals with the "
+        "open current interval as NULL valid_to -- the "
+        "slowly-changing-dimension snapshot every warehouse join "
+        "needs. Both windows (change detect + interval close) share "
+        "ONE user-key shuffle, event_id tiebreak for same-ts "
+        "determinism",
+)
+def x113_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_state"),
+        )
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("state"))
+        )
+    )
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).orderBy("user_id", "valid_from", "state")
+
+
+@register(
+    "x114_jsonl_roundtrip_dedup",
+    """SELECT md5(lower(text)) AS h, MIN(doc_id) AS keep_id,
+              count(*) AS dup_cnt
+       FROM documents GROUP BY md5(lower(text)) ORDER BY h""",
+    doc="format-abstraction contract: export the corpus as JSON-Lines "
+        "shards (pipeline/layout.py export_jsonl, the tokenizer/"
+        "training interchange leg), read the shards back with the "
+        "ORIGINAL schema, and run x01's exact dedup on the round-"
+        "tripped corpus -- hash-matching x01's parquet-sourced oracle "
+        "proves the export leg is byte-lossless THROUGH the "
+        "correctness gate, not just a row-count test. Shards write/"
+        "read in parallel (text sink, no collect)",
+)
+def x114_jsonl_roundtrip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..pipeline.layout import export_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="x114_jsonl_")
+    try:
+        export_jsonl(docs, tmp, max_records_per_file=5000)
+        back = spark.read.schema(docs.schema).json(tmp)
+        out = dedup.exact_dedup(back, "doc_id", "text").orderBy("h")
+        # materialize before the temp dir disappears
+        out = out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
