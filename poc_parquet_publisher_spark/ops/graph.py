@@ -53,12 +53,19 @@ def symmetric_copurchase_edges(lineitem: DataFrame) -> DataFrame:
         )
         .select("p.*")
         .distinct()
+        # materialize the HALF-size asymmetric pair set once; the
+        # symmetric view below is two scans of this cache, so nothing
+        # downstream (degree, iteration joins) re-derives the graph
+        .localCheckpoint(eager=False)
     )
     return pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
 def pagerank(
-    edges: DataFrame, iterations: int = 3, damping: float = 0.85
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    materialize: bool = True,
 ) -> DataFrame:
     """PageRank over a symmetric edge list, fixed ``iterations`` power
     steps. Output: (node, rank) for every node, rank rounded to 12.
@@ -75,8 +82,11 @@ def pagerank(
     # Materialize the edge list ONCE: it feeds every iteration's join,
     # and without a checkpoint each round re-derives it from source
     # (measured 12.6 s -> ~5 s at sf0.1). In production the edge list
-    # is a table; localCheckpoint is the in-session equivalent.
-    edges = edges.localCheckpoint(eager=False)
+    # is a table; localCheckpoint is the in-session equivalent. Pass
+    # materialize=False when the input is already cached/checkpointed
+    # (symmetric_copurchase_edges checkpoints its half-size pair set).
+    if materialize:
+        edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     ncnt = deg.agg(F.count(F.lit(1)).alias("n"))
     nodes = deg.crossJoin(F.broadcast(ncnt))

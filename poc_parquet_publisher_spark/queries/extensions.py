@@ -3381,7 +3381,9 @@ def x103_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x104_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     edges = graph.symmetric_copurchase_edges(li)
-    pr = graph.pagerank(edges, iterations=3, damping=0.85)
+    pr = graph.pagerank(
+        edges, iterations=3, damping=0.85, materialize=False
+    )
     return (
         pr.select(
             F.col("node").cast("long").alias("node"),
