@@ -58,7 +58,7 @@ def all_oracles() -> dict[str, str]:
 
 
 # Driver-window rotation. The external correctness driver hash-checks only
-# the FIRST 50 registry entries (42 declared + 8 extension slots); every
+# the FIRST 50 registry entries (49 declared + 1 extension slot); every
 # oracle-backed extension is pytest-hash-verified on every run regardless
 # (tests/test_queries_oracle.py parametrizes the whole registry). Rotating
 # which 8 oracle-backed extensions lead the block gets each one a driver
