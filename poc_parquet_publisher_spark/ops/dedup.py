@@ -1106,10 +1106,19 @@ def source_shingle_overlap(
     sa = shingle_arrays(df, source_col, text_col, k)
     ss = sa.select(
         F.col("doc").alias("src"), F.explode("sh").alias("shingle")
-    ).distinct()
-    per = ss.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    # ONE shuffle total: collect_set dedupes (source, shingle) inside
+    # the groupBy(shingle) -- a separate .distinct() first would add a
+    # second full exchange of the exploded postings (measured 6.6 s ->
+    # ~4 s at sf0.1). Per-source set sizes then come from the tiny
+    # bucket table (|shingles| rows), not another corpus pass.
     buckets = ss.groupBy("shingle").agg(
         F.array_sort(F.collect_set("src")).alias("srcs")
+    ).localCheckpoint(eager=False)
+    per = (
+        buckets.select(F.explode("srcs").alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
     )
     sr = F.col("srcs")
     inter = (
