@@ -3825,3 +3825,185 @@ def x114_jsonl_roundtrip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@register(
+    "x115_cluster_survivorship",
+    f"""WITH RECURSIVE {_X03_PAIRS_CTE},
+       edges AS (
+         SELECT id_a AS u, id_b AS v FROM pairs
+         UNION
+         SELECT id_b, id_a FROM pairs
+       ),
+       walk (node, lbl) AS (
+         SELECT u, u FROM edges
+         UNION
+         SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.node = e.v
+       ),
+       comp AS (
+         SELECT node, MIN(lbl) AS rep FROM walk GROUP BY node
+       ),
+       scored AS (
+         SELECT c.rep, c.node, len(d.text) AS n_chars,
+                row_number() OVER (
+                  PARTITION BY c.rep
+                  ORDER BY len(d.text) DESC, c.node
+                ) AS rnk
+         FROM comp c JOIN documents d ON d.doc_id = c.node
+       )
+       SELECT rep,
+              CAST(MAX(CASE WHEN rnk = 1 THEN node END) AS BIGINT)
+                  AS kept_id,
+              CAST(MAX(CASE WHEN rnk = 1 THEN n_chars END) AS BIGINT)
+                  AS kept_chars,
+              CAST(count(*) AS BIGINT) AS n_members
+       FROM scored GROUP BY rep
+       ORDER BY rep""",
+    doc="dedup survivorship POLICY: within each near-dup cluster "
+        "(x24's components over x03's pairs) keep the highest-quality "
+        "member (longest text, id tiebreak) instead of x24's min-id "
+        "default -- the canonical-document selection step real "
+        "curation runs, and a three-operator composition (blocked "
+        "pairs -> components -> per-cluster argmax) in one entry; the "
+        "argmax window runs per cluster (parallel), never global",
+)
+def x115_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _shared_jaccard_pairs(spark, sf_dir)
+    comp = dedup.duplicate_clusters(pairs)
+    scored = comp.join(
+        docs.select(
+            F.col("doc_id").alias("node"),
+            F.length("text").cast("long").alias("n_chars"),
+        ),
+        "node",
+    )
+    w = Window.partitionBy("rep").orderBy(F.desc("n_chars"), "node")
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.groupBy("rep")
+        .agg(
+            F.max(F.when(F.col("rnk") == 1, F.col("node")))
+            .cast("long")
+            .alias("kept_id"),
+            F.max(F.when(F.col("rnk") == 1, F.col("n_chars")))
+            .cast("long")
+            .alias("kept_chars"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .orderBy("rep")
+    )
+
+
+@register(
+    "x116_winsorized_stats",
+    """WITH b AS (
+         SELECT o_orderpriority,
+                quantile_cont(o_totalprice, 0.05) AS p05,
+                quantile_cont(o_totalprice, 0.95) AS p95
+         FROM orders GROUP BY 1
+       ), c AS (
+         SELECT o.o_orderpriority,
+                CAST(ROUND(
+                  CASE WHEN o.o_totalprice < b.p05 THEN b.p05
+                       WHEN o.o_totalprice > b.p95 THEN b.p95
+                       ELSE o.o_totalprice END, 4)
+                  AS DECIMAL(30,4)) AS w
+         FROM orders o JOIN b USING (o_orderpriority)
+       )
+       SELECT o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n,
+              ROUND(CAST(SUM(w) AS DOUBLE) / count(*), 4)
+                  AS winsorized_mean
+       FROM c GROUP BY 1 ORDER BY 1""",
+    doc="winsorized (outlier-clipped) mean of order totals per "
+        "priority: values clipped to the group's exact [p05, p95] "
+        "before averaging -- the robust-statistics pass that stops a "
+        "fat-tailed feed from dragging calibration metrics (x56's "
+        "decile machinery applied as a CLIP, not a bucket). Exact "
+        "percentiles via the q30 equivalence; thresholds are a tiny "
+        "per-group broadcast; clipped values round-then-DECIMAL "
+        "accumulate; at 100 TB swap percentile_approx (x17)",
+)
+def x116_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.groupBy("o_orderpriority").agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.05)).alias("p05"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.95)).alias("p95"),
+    )
+    w = (
+        F.when(F.col("o_totalprice") < F.col("p05"), F.col("p05"))
+        .when(F.col("o_totalprice") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("o_totalprice"))
+    )
+    c = orders.join(F.broadcast(b), "o_orderpriority").select(
+        "o_orderpriority",
+        F.round(w, 4).cast("decimal(30,4)").alias("w"),
+    )
+    return (
+        c.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum("w").cast("double") / F.count(F.lit(1)), 4
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "x117_user_entropy",
+    """WITH ut AS (
+         SELECT user_id, event_type, count(*) AS c
+         FROM events GROUP BY 1, 2
+       ), tot AS (
+         SELECT user_id, SUM(c) AS t, count(*) AS n_types FROM ut
+         GROUP BY 1
+       ), terms AS (
+         SELECT ut.user_id, tot.t, tot.n_types,
+                CAST(ut.c AS DECIMAL(18,0)) *
+                CAST(ROUND(log2(CAST(ut.c AS DOUBLE) / tot.t), 6)
+                     AS DECIMAL(18,6)) AS contrib
+         FROM ut JOIN tot USING (user_id)
+       )
+       SELECT user_id, CAST(MAX(t) AS BIGINT) AS n_events,
+              CAST(MAX(n_types) AS BIGINT) AS n_types,
+              ROUND(-CAST(SUM(contrib) AS DOUBLE) / MAX(t), 4)
+                  AS entropy_bits
+       FROM terms GROUP BY user_id
+       ORDER BY user_id""",
+    doc="per-user behavioral entropy (bits over the event-type "
+        "distribution): the engagement-diversity score separating "
+        "single-action bots (0 bits) from organic users -- x88's "
+        "corpus entropy recipe applied per key; two user-key groupBys "
+        "sharing one shuffle, round-log-then-DECIMAL accumulation",
+)
+def x117_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = ut.groupBy("user_id").agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("n_types")
+    )
+    contrib = (
+        F.col("c").cast("decimal(18,0)")
+        * F.round(F.log2(F.col("c") / F.col("t")), 6).cast("decimal(18,6)")
+    ).alias("contrib")
+    terms = ut.join(tot, "user_id").select(
+        "user_id", "t", "n_types", contrib
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.max("t").cast("long").alias("n_events"),
+            F.max("n_types").cast("long").alias("n_types"),
+            F.round(
+                -F.sum("contrib").cast("double") / F.max("t"), 4
+            ).alias("entropy_bits"),
+        )
+        .orderBy("user_id")
+    )
