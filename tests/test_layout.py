@@ -208,3 +208,25 @@ def test_zorder_layout_tightens_file_envelopes(spark, tmp_path):
     assert lex_worst > 150
     assert z_worst <= 130
     assert z_worst < 0.7 * lex_worst
+
+
+def test_zorder_key_is_a_bijection(spark):
+    """The Morton interleave must be a bijection over the full 8-bit x
+    8-bit domain (65536 inputs -> 65536 distinct keys covering exactly
+    [0, 65535]) -- a collision or gap would break range-partition
+    balance guarantees."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_publisher_spark.scale import zorder_key
+
+    dom = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+    )
+    keys = dom.select(zorder_key(["x", "y"], 8).alias("z"))
+    row = keys.agg(
+        F.count_distinct("z").alias("n"),
+        F.min("z").alias("lo"),
+        F.max("z").alias("hi"),
+    ).first()
+    assert row["n"] == 65536 and row["lo"] == 0 and row["hi"] == 65535
