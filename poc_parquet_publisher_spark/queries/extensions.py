@@ -4007,3 +4007,117 @@ def x117_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "x118_salted_distinct",
+    """SELECT event_type,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events GROUP BY 1 ORDER BY 1""",
+    doc="skew-immune exact count-distinct: decomposed as groupBy("
+        "type, user) -> groupBy(type), so the first shuffle hashes on "
+        "the COMPOSITE key (a hot event type spreads across every "
+        "partition) and the second counts already-distinct rows with "
+        "map-side combine. The naive count_distinct shuffles raw rows "
+        "by type alone -- one reducer per hot type at 100 TB. Same "
+        "answer, different physical posture; the x54 salting principle "
+        "applied to aggregation",
+)
+def x118_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.groupBy("event_type", "user_id").agg(F.lit(1).alias("__1"))
+    return (
+        pairs.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "x119_quality_ensemble",
+    """WITH m AS (
+         SELECT doc_id,
+                CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                    AS n_toks,
+                ROUND(len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                      / CAST(len(text) AS DOUBLE), 4) AS alpha_ratio,
+                ROUND(len(list_filter(string_split(lower(text), ' '),
+                          t -> t IN ('the','a','of','and','to','in','is')))
+                      / CAST(len(string_split(lower(text), ' '))
+                             AS DOUBLE), 4) AS stop_ratio
+         FROM documents
+       ), th AS (
+         SELECT quantile_cont(n_toks, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+                    AS t_tok,
+                quantile_cont(alpha_ratio,
+                    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS t_alpha,
+                quantile_cont(stop_ratio,
+                    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS t_stop
+         FROM m
+       )
+       SELECT doc_id,
+              CAST(1 + len(list_filter(t_tok, t -> n_toks >= t))
+                   AS BIGINT) AS d_tok,
+              CAST(1 + len(list_filter(t_alpha, t -> alpha_ratio >= t))
+                   AS BIGINT) AS d_alpha,
+              CAST(1 + len(list_filter(t_stop, t -> stop_ratio >= t))
+                   AS BIGINT) AS d_stop,
+              ROUND(((1 + len(list_filter(t_tok, t -> n_toks >= t))) +
+                     (1 + len(list_filter(t_alpha, t -> alpha_ratio >= t))) +
+                     (1 + len(list_filter(t_stop, t -> stop_ratio >= t)))) /
+                    CAST(3 AS DOUBLE), 4) AS ensemble
+       FROM m, th ORDER BY doc_id""",
+    doc="FineWeb-style quality ENSEMBLE: three per-doc signals (token "
+        "count, alpha ratio, stopword ratio) each rank-normalized to "
+        "its corpus decile via exact interpolated thresholds (x56's "
+        "machinery per metric), averaged into one calibrated score -- "
+        "rank normalization is what lets incommensurable signals "
+        "blend. Thresholds ride ONE broadcast row (three 9-element "
+        "arrays); decile assignment is a row-local array fold; no "
+        "global window anywhere; at 100 TB swap percentile_approx",
+)
+def x119_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin(*text.LANG_STOPWORDS["en"]))
+    )
+    m = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.round(
+            F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+            / F.length("text").cast("double"),
+            4,
+        ).alias("alpha_ratio"),
+        F.round(stop / F.size(toks).cast("double"), 4).alias("stop_ratio"),
+    )
+    qs = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    th = m.agg(
+        F.percentile(F.col("n_toks"), qs).alias("t_tok"),
+        F.percentile(F.col("alpha_ratio"), qs).alias("t_alpha"),
+        F.percentile(F.col("stop_ratio"), qs).alias("t_stop"),
+    )
+
+    def decile(v, tcol):
+        return (
+            F.lit(1)
+            + F.size(F.filter(tcol, lambda t: F.col(v) >= t))
+        ).cast("long")
+
+    d_tok = decile("n_toks", F.col("t_tok"))
+    d_alpha = decile("alpha_ratio", F.col("t_alpha"))
+    d_stop = decile("stop_ratio", F.col("t_stop"))
+    return (
+        m.crossJoin(F.broadcast(th))
+        .select(
+            "doc_id",
+            d_tok.alias("d_tok"),
+            d_alpha.alias("d_alpha"),
+            d_stop.alias("d_stop"),
+            F.round(
+                (d_tok + d_alpha + d_stop) / F.lit(3).cast("double"), 4
+            ).alias("ensemble"),
+        )
+        .orderBy("doc_id")
+    )
