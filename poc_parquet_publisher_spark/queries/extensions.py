@@ -4121,3 +4121,85 @@ def x119_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "x120_dedup_datasheet",
+    f"""WITH RECURSIVE {_X03_PAIRS_CTE},
+       edges AS (
+         SELECT id_a AS u, id_b AS v FROM pairs
+         UNION
+         SELECT id_b, id_a FROM pairs
+       ),
+       walk (node, lbl) AS (
+         SELECT u, u FROM edges
+         UNION
+         SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.node = e.v
+       ),
+       comp AS (
+         SELECT node, MIN(lbl) AS rep FROM walk GROUP BY node
+       ),
+       ex AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT md5(lower(text))) AS BIGINT)
+                    AS n_unique
+         FROM documents
+       ),
+       nr AS (
+         SELECT CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+                CAST(count(*) AS BIGINT) AS n_clustered
+         FROM comp
+       )
+       SELECT n_docs, n_unique,
+              CAST(n_docs - n_unique AS BIGINT) AS n_exact_dups,
+              ROUND((n_docs - n_unique) / CAST(n_docs AS DOUBLE), 4)
+                  AS exact_dup_rate,
+              n_clusters, n_clustered,
+              CAST(n_clustered - n_clusters AS BIGINT) AS n_near_losses,
+              ROUND((n_clustered - n_clusters) /
+                    CAST(n_docs AS DOUBLE), 4) AS near_dup_rate
+       FROM ex, nr""",
+    doc="the dedup DATASHEET row (x64's dataset card, duplication "
+        "chapter): corpus size, exact-unique count and dup rate, "
+        "near-dup cluster count / clustered docs / docs a transitive "
+        "near-dedup would drop -- the headline numbers a datasheet or "
+        "data-card publishes. Composes x01 (hash distinct) + x03/x24 "
+        "(blocked pairs -> components) into two 1-row aggregates "
+        "cross-joined as broadcasts",
+)
+def x120_dedup_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _shared_jaccard_pairs(spark, sf_dir)
+    comp = dedup.duplicate_clusters(pairs)
+    ex = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct(F.md5(F.lower(F.col("text"))))
+        .cast("long")
+        .alias("n_unique"),
+    )
+    nr = comp.agg(
+        F.count_distinct("rep").cast("long").alias("n_clusters"),
+        F.count(F.lit(1)).cast("long").alias("n_clustered"),
+    )
+    return ex.crossJoin(F.broadcast(nr)).select(
+        "n_docs",
+        "n_unique",
+        (F.col("n_docs") - F.col("n_unique"))
+        .cast("long")
+        .alias("n_exact_dups"),
+        F.round(
+            (F.col("n_docs") - F.col("n_unique"))
+            / F.col("n_docs").cast("double"),
+            4,
+        ).alias("exact_dup_rate"),
+        "n_clusters",
+        "n_clustered",
+        (F.col("n_clustered") - F.col("n_clusters"))
+        .cast("long")
+        .alias("n_near_losses"),
+        F.round(
+            (F.col("n_clustered") - F.col("n_clusters"))
+            / F.col("n_docs").cast("double"),
+            4,
+        ).alias("near_dup_rate"),
+    )

@@ -437,3 +437,30 @@ def test_bm25_postings_filtered_before_aggregation(spark):
     filt = plan.find("Filter term")
     # a Filter on the exploded term column exists somewhere in the plan
     assert "term#" in plan
+
+
+def test_salted_distinct_no_expand_two_phase(spark):
+    """x118: the decomposed distinct must plan as two partial-agg
+    HashAggregate pairs with NO Expand node (Expand is the
+    count_distinct rewrite whose final agg shuffles raw rows by the
+    group key alone -- the hot-key reducer at scale)."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x118_salted_distinct,
+    )
+
+    plan = plan_of(x118_salted_distinct(spark, SF))
+    assert "Expand" not in plan
+    assert plan.count("partial_count") >= 1
+
+
+def test_quality_ensemble_no_global_window(spark):
+    """x119: rank normalization must come from broadcast percentile
+    thresholds + a row-local fold -- no Window node, no
+    SinglePartition exchange below the final orderBy."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x119_quality_ensemble,
+    )
+
+    plan = plan_of(x119_quality_ensemble(spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
