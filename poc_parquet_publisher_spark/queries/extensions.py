@@ -4203,3 +4203,133 @@ def x120_dedup_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("near_dup_rate"),
     )
+
+
+@register(
+    "x121_contrastive_pairs",
+    """WITH t AS (
+         SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, len(string_split(lower(text), ' ')) - 1),
+                  i -> array_to_string(
+                         (string_split(lower(text), ' '))[i:i+2], ' ')
+                )) AS sh
+         FROM documents
+         WHERE len(string_split(lower(text), ' ')) >= 3
+       ), e AS (
+         SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM t
+       ), p AS (
+         SELECT a.doc_id AS anchor, b.doc_id AS other,
+                a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+         FROM e a JOIN e b USING (shingle)
+         WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4
+       ), j AS (
+         SELECT anchor, other,
+                ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 4)
+                    AS jaccard
+         FROM p
+       ), pos AS (
+         SELECT anchor, other, jaccard, 'positive' AS label
+         FROM j WHERE jaccard >= 0.5
+       ), neg AS (
+         SELECT anchor, other, jaccard, 'hard_negative' AS label
+         FROM (
+           SELECT anchor, other, jaccard,
+                  row_number() OVER (
+                    PARTITION BY anchor
+                    ORDER BY jaccard DESC, other
+                  ) AS rnk
+           FROM j WHERE jaccard >= 0.01 AND jaccard < 0.3
+         ) WHERE rnk <= 2
+       )
+       SELECT anchor, other, jaccard, label FROM pos
+       UNION ALL
+       SELECT anchor, other, jaccard, label FROM neg
+       ORDER BY anchor, other, label""",
+    doc="contrastive training-pair mining for embedding models, riding "
+        "the SAME blocked pair stage as x03: positives = near-dup "
+        "pairs (jaccard >= 0.5), hard negatives = pairs that SHARE a "
+        "shingle block but score 0.01-0.3 (lexically adjacent, "
+        "semantically distinct -- the negatives random sampling never "
+        "finds), capped at top-2 per anchor by a per-anchor window "
+        "(parallel per key). One derivation serves dedup AND training-"
+        "data mining; oracle mirrors x03's CTE (hot-shingle cap un-hit "
+        "on the fixture, the x40 assumption)",
+)
+def x121_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    counts = _shared_pair_counts(spark, sf_dir)
+    j = counts.select(
+        F.col("id_a").alias("anchor"),
+        F.col("id_b").alias("other"),
+        F.round(
+            F.col("inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+            4,
+        ).alias("jaccard"),
+    )
+    pos = j.filter(F.col("jaccard") >= 0.5).withColumn(
+        "label", F.lit("positive")
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("jaccard"), "other")
+    neg = (
+        j.filter((F.col("jaccard") >= 0.01) & (F.col("jaccard") < 0.3))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .drop("rnk")
+        .withColumn("label", F.lit("hard_negative"))
+    )
+    return pos.unionAll(neg).orderBy("anchor", "other", "label")
+
+
+@register(
+    "x122_padding_waste",
+    """WITH d AS (
+         SELECT len(string_split(lower(text), ' ')) AS n_toks
+         FROM documents
+       ), b AS (
+         SELECT n_toks,
+                CAST(FLOOR(n_toks / 32) * 32 AS BIGINT) AS bucket
+         FROM d
+       )
+       SELECT bucket,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_toks) AS BIGINT) AS real_tokens,
+              CAST(count(*) * MAX(n_toks) AS BIGINT) AS padded_tokens,
+              ROUND(1.0 - SUM(n_toks) /
+                    CAST(count(*) * MAX(n_toks) AS DOUBLE), 4)
+                  AS waste_rate
+       FROM b GROUP BY bucket ORDER BY bucket""",
+    doc="inference/training batching efficiency report: docs bucketed "
+        "by length/32, per-bucket real vs padded token counts and the "
+        "padding-waste rate if each bucket batches together (pad to "
+        "the bucket max) -- the measurement that justifies x32's "
+        "packing over naive length-sorted batching; one narrow "
+        "projection + one hash aggregate, scan speed",
+)
+def x122_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.lower(F.col("text")), " "))
+    b = docs.select(
+        n.alias("n_toks"),
+        (F.floor(n / 32) * 32).cast("long").alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("real_tokens"),
+            (F.count(F.lit(1)) * F.max("n_toks"))
+            .cast("long")
+            .alias("padded_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.sum("n_toks")
+                / (F.count(F.lit(1)) * F.max("n_toks")).cast("double"),
+                4,
+            ).alias("waste_rate"),
+        )
+        .orderBy("bucket")
+    )
