@@ -4333,3 +4333,141 @@ def x122_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "x123_fuzzy_match",
+    """WITH c AS (
+         SELECT c_custkey, c_name,
+                substr(c_name, 1, len(c_name) - 2) AS blk
+         FROM customer
+       ), p AS (
+         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                levenshtein(a.c_name, b.c_name) AS dist
+         FROM c a JOIN c b USING (blk)
+         WHERE a.c_custkey < b.c_custkey
+       )
+       SELECT CAST(dist AS BIGINT) AS dist,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(MIN(id_a) AS BIGINT) AS example_a,
+              CAST(MIN(id_b) AS BIGINT) AS example_b
+       FROM p WHERE dist <= 2
+       GROUP BY dist ORDER BY dist""",
+    doc="blocked fuzzy entity resolution: candidate pairs share a "
+        "prefix BLOCK (name minus its last 2 chars -- the standard "
+        "blocking-key trade: recall limited to in-block variants, "
+        "never an all-pairs O(n^2) edit-distance), then exact "
+        "levenshtein verifies within the block; per-distance pair "
+        "counts + deterministic examples. levenshtein() is "
+        "cross-engine identical on ASCII; the ER shape behind "
+        "user/merchant/address matching at 100 TB (block -> verify, "
+        "exactly the LSH-then-verify pattern of x75, on strings)",
+)
+def x123_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    c = cust.select(
+        "c_custkey",
+        "c_name",
+        F.expr("substr(c_name, 1, length(c_name) - 2)").alias("blk"),
+    )
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        "blk",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        "blk",
+    )
+    p = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+    return (
+        p.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("id_a").cast("long").alias("example_a"),
+            F.min("id_b").cast("long").alias("example_b"),
+        )
+        .select(F.col("dist").cast("long").alias("dist"), "n_pairs",
+                "example_a", "example_b")
+        .orderBy("dist")
+    )
+
+
+@register(
+    "x124_mad_outliers",
+    """WITH med AS (
+         SELECT o_orderpriority,
+                quantile_cont(o_totalprice, 0.5) AS med
+         FROM orders GROUP BY 1
+       ), dev AS (
+         SELECT o.o_orderpriority, med.med,
+                ABS(o.o_totalprice - med.med) AS ad
+         FROM orders o JOIN med USING (o_orderpriority)
+       ), mad AS (
+         SELECT o_orderpriority, MAX(med) AS med,
+                quantile_cont(ad, 0.5) AS mad
+         FROM dev GROUP BY 1
+       )
+       SELECT d.o_orderpriority,
+              ROUND(mad.med, 4) AS median_price,
+              ROUND(mad.mad, 4) AS mad,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN d.ad > CAST(4.4478 AS DOUBLE) * mad.mad
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       FROM dev d JOIN mad USING (o_orderpriority)
+       GROUP BY 1, 2, 3 ORDER BY 1""",
+    doc="robust outlier detection via median absolute deviation: per "
+        "priority, median price, MAD, and rows beyond the 3-sigma-"
+        "equivalent (3 * 1.4826 * MAD) robust fence -- unlike "
+        "mean/stddev fences, one fat-tailed feed cannot drag the "
+        "threshold (the robust complement of x77's z-scores). Two "
+        "grouped exact medians (q30 equivalence) + broadcast "
+        "thresholds; at 100 TB swap percentile_approx",
+)
+def x124_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("med")
+    )
+    dev = orders.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.max("med").alias("med"),
+        F.percentile(F.col("ad"), F.lit(0.5)).alias("mad"),
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "o_orderpriority")
+        .groupBy(
+            "o_orderpriority",
+            F.round(F.col("med"), 4).alias("median_price"),
+            F.round(F.col("mad"), 4).alias("mad"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                (
+                    # 3 * 1.4826 pre-folded to ONE literal: computing it
+                    # as int*double on one engine and DECIMAL-exact on the
+                    # other can differ by 1 ulp at the fence
+                    F.col("ad") > F.lit(4.4478) * F.col("mad")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("o_orderpriority")
+    )
