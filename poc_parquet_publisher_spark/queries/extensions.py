@@ -4475,3 +4475,138 @@ def x124_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "x125_ab_lift",
+    """WITH arm AS (
+         SELECT user_id,
+                CASE WHEN CAST(('0x' || substr(md5(
+                         'ab1:' || CAST(user_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 2 = 0
+                     THEN 'A' ELSE 'B' END AS arm
+         FROM (SELECT DISTINCT user_id FROM events)
+       ), m AS (
+         SELECT a.arm,
+                count(DISTINCT e.user_id) AS n_users,
+                count(DISTINCT CASE WHEN e.event_type = 'purchase'
+                                    THEN e.user_id END) AS n_converted
+         FROM events e JOIN arm a USING (user_id)
+         GROUP BY a.arm
+       )
+       SELECT arm, CAST(n_users AS BIGINT) AS n_users,
+              CAST(n_converted AS BIGINT) AS n_converted,
+              ROUND(n_converted / CAST(n_users AS DOUBLE), 4) AS cvr,
+              ROUND(n_converted / CAST(n_users AS DOUBLE) -
+                    (SELECT SUM(n_converted) / CAST(SUM(n_users) AS DOUBLE)
+                     FROM m), 4) AS lift_vs_pooled
+       FROM m ORDER BY arm""",
+    doc="deterministic A/B experiment readout: users hash into arms "
+        "via the x18 md5-bucket split (pure function of user_id + "
+        "experiment salt -- reruns and backfills never reassign), "
+        "per-arm conversion rate and lift vs the pooled rate. One "
+        "distinct-user pass + one grouped count-distinct; the arm "
+        "table is user-cardinality and joins on the user key",
+)
+def x125_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    arm = users.select(
+        "user_id",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+    )
+    m = (
+        ev.join(arm, "user_id")
+        .groupBy("arm")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count_distinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id"))
+            ).alias("n_converted"),
+        )
+    )
+    pooled = m.agg(
+        (
+            F.sum("n_converted") / F.sum("n_users").cast("double")
+        ).alias("pooled_cvr")
+    )
+    return (
+        m.crossJoin(F.broadcast(pooled))
+        .select(
+            "arm",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_converted").cast("long").alias("n_converted"),
+            F.round(
+                F.col("n_converted") / F.col("n_users").cast("double"), 4
+            ).alias("cvr"),
+            F.round(
+                F.col("n_converted") / F.col("n_users").cast("double")
+                - F.col("pooled_cvr"),
+                4,
+            ).alias("lift_vs_pooled"),
+        )
+        .orderBy("arm")
+    )
+
+
+@register(
+    "x126_freshness",
+    """WITH mx AS (SELECT MAX(ts) AS corpus_max FROM events)
+       SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n_events,
+              MAX(ts) AS last_seen,
+              -- floor-of-epoch on each side THEN floor-divide, matching
+              -- Spark's unix_timestamp arithmetic; date_diff('minute')
+              -- would count boundary CROSSINGS (off by one around :00)
+              CAST(FLOOR((FLOOR(date_part('epoch',
+                                (SELECT corpus_max FROM mx))) -
+                          FLOOR(date_part('epoch', MAX(ts)))) / 60.0)
+                   AS BIGINT) AS lag_minutes
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    doc="feed-freshness SLA report: per event type, last event seen "
+        "and its lag behind the corpus max -- the stuck-feed monitor "
+        "(a type whose lag grows is a dead producer). Lag is measured "
+        "against the corpus max, NOT wall clock, so the report is "
+        "deterministic and backfill-safe; one grouped MAX + a "
+        "broadcast 1-row reference",
+)
+def x126_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("corpus_max"))
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("ts").alias("last_seen"),
+    )
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            "n_events",
+            "last_seen",
+            (
+                (
+                    F.unix_timestamp(F.col("corpus_max").cast("timestamp"))
+                    - F.unix_timestamp(F.col("last_seen").cast("timestamp"))
+                )
+                / 60
+            )
+            .cast("long")
+            .alias("lag_minutes"),
+        )
+        .orderBy("event_type")
+    )
