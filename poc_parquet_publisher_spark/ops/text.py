@@ -1671,7 +1671,10 @@ def bpe_learn_merges(
     cur = seqd
     for it in range(1, iterations + 1):
         toks = F.split(F.col("seq"), " ")
-        pairs = cur.select(
+        # Single-symbol rows must be dropped BEFORE the explode: sequence(1, 0)
+        # yields [1, 0], so the lambda would index element_at(toks, 0). Filtering
+        # on `cur` keeps that guarantee independent of predicate pushdown.
+        pairs = cur.filter(F.size(toks) >= 2).select(
             "cnt",
             F.explode(
                 F.transform(
@@ -1683,7 +1686,7 @@ def bpe_learn_merges(
                     ),
                 )
             ).alias("pair"),
-        ).filter(F.size(toks) >= 2)
+        )
         best = (
             pairs.groupBy("pair")
             .agg(F.sum("cnt").cast("long").alias("n"))

@@ -3359,7 +3359,12 @@ def x103_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(tmp, "ckpt"),
             sink_table=sink,
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "x103 stream drain did not finish within 300 s; "
+                "refusing to return a partially-filled sink"
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(sink).orderBy("click_id", "view_id")
@@ -3621,18 +3626,24 @@ def x110_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nv = v.agg(F.count(F.lit(1)).cast("long").alias("n_viewers"))
-    return p.crossJoin(F.broadcast(nv)).agg(
-        F.max("n_viewers").alias("n_viewers"),
+    # Aggregate p FIRST (a global agg over an empty input still yields one
+    # row, matching the oracle's aggregate-over-FROM-p), THEN attach the
+    # 1-row viewer count -- a crossJoin before the agg would return zero
+    # rows on the no-purchases input while the oracle's scalar subquery
+    # still reports the true viewer count with n_converted = 0.
+    pa = p.agg(
         F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.percentile(F.col("gap_sec"), F.lit(0.5)).alias("_p50"),
+        F.percentile(F.col("gap_sec"), F.lit(0.9)).alias("_p90"),
+    )
+    return pa.crossJoin(F.broadcast(nv)).select(
+        F.col("n_viewers"),
+        F.col("n_converted"),
         F.round(
-            F.count(F.lit(1)) / F.max("n_viewers").cast("double"), 4
+            F.col("n_converted") / F.col("n_viewers").cast("double"), 4
         ).alias("conversion_rate"),
-        F.round(F.percentile(F.col("gap_sec"), F.lit(0.5)), 4).alias(
-            "p50_gap_sec"
-        ),
-        F.round(F.percentile(F.col("gap_sec"), F.lit(0.9)), 4).alias(
-            "p90_gap_sec"
-        ),
+        F.round(F.col("_p50"), 4).alias("p50_gap_sec"),
+        F.round(F.col("_p90"), 4).alias("p90_gap_sec"),
     )
 
 

@@ -11,10 +11,18 @@ memory flat).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
+
+# Serializes the set/start/restore dance below: the shuffle-partition conf
+# is session-global, so two threads starting streams (or one starting a
+# stream while another plans a batch query) could otherwise observe the
+# temporary value or race the restore.
+_START_LOCK = threading.Lock()
 
 
 def _start_with_state_partitions(
@@ -29,12 +37,13 @@ def _start_with_state_partitions(
     START only, so it is set around .start() and restored after."""
     if state_partitions is None:
         return writer.start()
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        return writer.start()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    with _START_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            return writer.start()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def windowed_event_counts(
