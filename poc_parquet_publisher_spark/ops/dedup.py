@@ -1107,22 +1107,37 @@ def source_shingle_overlap(
     ss = sa.select(
         F.col("doc").alias("src"), F.explode("sh").alias("shingle")
     )
-    # ONE shuffle total: collect_set dedupes (source, shingle) inside
-    # the groupBy(shingle) -- a separate .distinct() first would add a
-    # second full exchange of the exploded postings (measured 6.6 s ->
-    # ~4 s at sf0.1). Per-source set sizes then come from the tiny
-    # bucket table (|shingles| rows), not another corpus pass.
+    # ONE corpus shuffle total: collect_set dedupes (source, shingle)
+    # inside the groupBy(shingle) -- a separate .distinct() first would
+    # add a second full exchange of the exploded postings (measured
+    # 6.6 s -> ~4 s at sf0.1). The bucket table is then immediately
+    # collapsed to ONE ROW PER DISTINCT SOURCE-SET with a count: every
+    # downstream quantity (per-source totals, pairwise intersections)
+    # is a weighted fold over source-sets, so nothing shingle-sized is
+    # ever checkpointed or reused -- the shared table is bounded by the
+    # number of distinct source subsets (tiny), not |shingles|. The
+    # srcs-keyed exchange partial-aggregates map-side (each task emits
+    # <= |distinct subsets| rows), so it transits ~nothing at any scale;
+    # singleton shingles (the vast majority in natural text -- the
+    # round-4 checkpoint-bloat finding) collapse into |sources| rows.
     buckets = ss.groupBy("shingle").agg(
         F.array_sort(F.collect_set("src")).alias("srcs")
-    ).localCheckpoint(eager=False)
+    )
+    sets = (
+        buckets.groupBy("srcs")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     per = (
-        buckets.select(F.explode("srcs").alias("src"))
+        sets.select(F.explode("srcs").alias("src"), "n")
         .groupBy("src")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .agg(F.sum("n").alias("n_sh"))
     )
     sr = F.col("srcs")
     inter = (
-        buckets.select(
+        sets.filter(F.size(sr) >= 2)
+        .select(
+            "n",
             F.explode(
                 F.flatten(
                     F.transform(
@@ -1135,11 +1150,11 @@ def source_shingle_overlap(
                         ),
                     )
                 )
-            ).alias("p")
+            ).alias("p"),
         )
-        .select("p.*")
+        .select("p.*", "n")
         .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(F.sum("n").alias("inter"))
     )
     pa = per.select(F.col("src").alias("src_a"), F.col("n_sh").alias("n_a"))
     pb = per.select(F.col("src").alias("src_b"), F.col("n_sh").alias("n_b"))

@@ -4379,8 +4379,13 @@ def x123_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the dim parquet is a single file = one input split; the in-block
     # pair expansion multiplies rows ~100x, so spread the probe side
     # BEFORE the broadcast join or every levenshtein runs in one task
-    # (measured 4.1 s -> ~0.6 s at sf0.1)
-    c = cust.repartition(32).select(
+    # (measured 4.1 s -> ~0.6 s at sf0.1). Width follows the session's
+    # shuffle-partition conf, not a literal, so it scales with the
+    # cluster (the prefix_sum precedent, scale.py).
+    n_spread = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    c = cust.repartition(n_spread).select(
         "c_custkey",
         "c_name",
         F.expr("substr(c_name, 1, length(c_name) - 2)").alias("blk"),

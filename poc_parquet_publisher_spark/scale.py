@@ -28,24 +28,41 @@ def salted_join(
     n_salts: int = 16,
     how: str = "inner",
     seed: int = 7,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Equi-join with the big side's hot keys spread over ``n_salts`` tasks.
 
-    The big side gets a uniform salt in [0, n_salts); the small side is
+    The big side gets a salt in [0, n_salts); the small side is
     replicated once per salt (an ``explode(sequence(...))`` -- cheap when
     the small side is dimension-sized). The join key becomes (on, salt),
     so one hot key hash-partitions into n_salts shuffle partitions
     instead of one. Result is row-identical to ``big.join(small, on,
     how)`` for inner/left joins (each big row matches exactly its own
     salt's replica).
+
+    Salt assignment: by default ``rand(seed)``, which spreads a hot key
+    uniformly but is partition-order-dependent (intermediate stats are
+    not reproducible across repartitions). Pass ``salt_col`` -- a
+    ROW-UNIQUE (or near-unique) column of ``big`` -- to derive the salt
+    as ``pmod(hash(salt_col, seed), n_salts)`` instead: fully
+    deterministic under any repartitioning, same spread. Do NOT pass the
+    join key itself: hashing ``on`` maps each key to ONE salt, which
+    un-spreads the hot key and defeats the salting.
     """
     if how not in ("inner", "left"):
         raise ValueError(
             "salting preserves semantics for inner/left joins only"
         )
-    salted_big = big.withColumn(
-        "__salt", (F.rand(seed) * n_salts).cast("int")
-    )
+    if salt_col is not None:
+        if salt_col == on:
+            raise ValueError(
+                "salt_col must not be the join key: hash(on) sends every "
+                "row of a hot key to the same salt, defeating the spread"
+            )
+        salt_expr = F.pmod(F.hash(F.col(salt_col), F.lit(seed)), F.lit(n_salts))
+    else:
+        salt_expr = (F.rand(seed) * n_salts).cast("int")
+    salted_big = big.withColumn("__salt", salt_expr)
     salted_small = small.withColumn(
         "__salt",
         F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),

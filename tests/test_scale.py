@@ -55,6 +55,34 @@ def test_salted_left_join_matches(spark, skewed):
     assert salted == plain
 
 
+def test_salted_join_deterministic_salt(skewed):
+    """salt_col=: row-identical to the plain join AND the salt assignment
+    is reproducible under repartitioning (hash-of-row-unique-column,
+    not rand(), which is partition-order-dependent)."""
+    big, small = skewed
+    plain = _counts(big.join(small, "k", "inner"))
+    det = scale.salted_join(big, small, "k", n_salts=8, salt_col="v")
+    assert _counts(det) == plain
+
+    def salt_map(b):
+        sb = b.withColumn(
+            "__salt", F.pmod(F.hash(F.col("v"), F.lit(7)), F.lit(8))
+        )
+        return {(r.v, r["__salt"]) for r in sb.select("v", "__salt").collect()}
+
+    assert salt_map(big) == salt_map(big.repartition(13))
+    # the hot key k=7 still spreads across many salts
+    hot = (
+        big.filter(F.col("k") == 7)
+        .select(F.pmod(F.hash(F.col("v"), F.lit(7)), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert hot == 8
+    with pytest.raises(ValueError):
+        scale.salted_join(big, small, "k", salt_col="k")
+
+
 def test_salted_join_spreads_hot_key(skewed):
     big, small = skewed
     out = scale.salted_join(big, small, "k", n_salts=8)
