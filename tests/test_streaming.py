@@ -389,3 +389,88 @@ def test_streaming_attribution_matches_batch(spark, events_dir, tmp_path):
     }
     assert stream_rows == batch_rows
     assert len(batch_rows) > 0
+
+
+def test_checkpoint_recovery_no_dupes_no_loss(spark, events_dir, tmp_path):
+    """Exactly-once at micro-batch granularity across a mid-stream crash
+    (round-4 verdict task #4): kill the publish leg AFTER batch 0
+    commits but BEFORE batch 1 sends anything, restart from the SAME
+    checkpoint dir, and the spool must end up holding every source row
+    exactly once -- batch 0 is not replayed (checkpoint commit), batch 1
+    onward is not lost (checkpoint resume). Reference analog: the SQS
+    redrive/DLQ recovery contract (template.yaml:6-16)."""
+    import json as _json
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src, batch_df = events_dir
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    armed = str(tmp_path / "armed.marker")
+    total = batch_df.count()
+
+    class FailOnceQueue(DirectoryQueue):
+        """Raises on every send while the armed marker exists: batch 1's
+        workers all check the marker before their FIRST send, so the
+        failed micro-batch publishes NOTHING (deterministic -- no
+        partial batch to deduplicate on restart)."""
+
+        def send_message_batch(self, QueueUrl="", Entries=None):
+            import os as _os
+
+            if _os.path.exists(armed):
+                raise RuntimeError("injected crash: queue down")
+            return super().send_message_batch(QueueUrl, Entries)
+
+    def arm_after_first_commit(batch_id: int, rows: int) -> None:
+        # runs driver-side after batch 0's publish, before its commit;
+        # the injected failure only fires from batch 1's sends
+        if batch_id == 0:
+            open(armed, "w").close()
+
+    q = stream_publish(
+        spark,
+        src,
+        batch_df.schema,
+        lambda: FailOnceQueue(spool),
+        checkpoint_dir=ckpt,
+        max_files_per_trigger=1,
+        on_batch=arm_after_first_commit,
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+        raise AssertionError("query should have crashed on batch 1")
+
+    published_before = consume_batch_counts(spool)
+    assert 0 < sum(published_before) < total  # batch 0 out, rest pending
+
+    # recovery: same checkpoint, healthy queue
+    import os
+
+    os.remove(armed)
+    q2 = stream_publish(
+        spark,
+        src,
+        batch_df.schema,
+        lambda: DirectoryQueue(spool),
+        checkpoint_dir=ckpt,
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(120)
+    assert not q2.isActive
+
+    counts = consume_batch_counts(spool)
+    assert sum(counts) == total  # no loss, and batch 0 NOT replayed
+    assert max(counts) <= 10
+
+    # row-level: every event_id exactly once across the whole spool
+    ids: list[int] = []
+    import glob as _glob
+
+    for path in sorted(_glob.glob(os.path.join(spool, "*.batch.jsonl"))):
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                body = _json.loads(_json.loads(line)["MessageBody"])
+                ids.append(body["event_id"])
+    assert len(ids) == total
+    assert len(set(ids)) == total
