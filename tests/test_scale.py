@@ -213,3 +213,26 @@ def test_global_row_number_matches_window(spark):
             ).collect()
         }
         assert got == expected
+
+
+def test_x104_warm_edge_table_matches_cold(spark):
+    """x104's amortized-graph path: with the sf-keyed bucketed edge
+    table present, the entry reads it instead of re-deriving -- results
+    must be row-identical, and the table name is sf-keyed so another
+    scale factor never sees it."""
+    from poc_parquet_publisher_spark.ops import graph
+    from poc_parquet_publisher_spark.queries.extensions import x104_pagerank
+
+    tbl = graph.copurchase_edge_table_name(SF)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        cold = x104_pagerank(spark, SF).collect()
+        graph.persist_copurchase_edges(
+            spark, load_table(spark, SF, "lineitem"), tbl
+        )
+        assert spark.catalog.tableExists(tbl)
+        warm = x104_pagerank(spark, SF).collect()
+        assert warm == cold
+        assert graph.copurchase_edge_table_name("/other/sf") != tbl
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
