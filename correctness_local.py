@@ -138,8 +138,12 @@ def main() -> None:
         "elapsed_sec": round(time.time() - t0, 1),
     }
     out["_summary"] = summary
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "CORRECTNESS_LOCAL.json"
+    path = os.environ.get(
+        "CORRECTNESS_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "CORRECTNESS_LOCAL.json",
+        ),
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

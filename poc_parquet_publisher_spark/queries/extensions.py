@@ -4635,3 +4635,383 @@ def x126_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "x127_repetition_ratio",
+    """WITH d AS (
+         SELECT source,
+                list_transform(
+                  range(1, len(toks) - 1),
+                  i -> array_to_string((toks)[i:i+2], ' ')
+                ) AS tri
+         FROM (SELECT source, string_split(lower(text), ' ') AS toks
+               FROM documents)
+         WHERE len(toks) >= 3
+       ), r AS (
+         SELECT source,
+                ROUND(1 - len(list_distinct(tri))
+                          / CAST(len(tri) AS DOUBLE), 4) AS ratio
+         FROM d
+       )
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              ROUND(CAST(SUM(CAST(ratio AS DECIMAL(18,4))) AS DOUBLE)
+                    / count(*), 4) AS mean_ratio,
+              ROUND(MAX(ratio), 4) AS max_ratio,
+              CAST(SUM(CASE WHEN ratio > 0.2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_repetitive
+       FROM r GROUP BY source ORDER BY source""",
+    doc="within-document repetition (the Gopher/MassiveText quality "
+        "signal): per doc, the fraction of positional trigrams that "
+        "are duplicates of an earlier one -- boilerplate and "
+        "keyword-stuffed pages score high and get filtered before "
+        "training. Trigram sets stay INSIDE each row (x03's HOF "
+        "shingle shape, never exploded); the only shuffle is the "
+        "per-source rollup. Per-doc ratios round-4 then DECIMAL-sum "
+        "(x37's mean recipe); docs under 3 tokens are filtered before "
+        "the transform so sequence() never runs descending",
+)
+def x127_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", F.split(F.lower(F.col("text")), " ").alias("__toks")
+    ).filter(F.size("__toks") >= 3)
+    toks = F.col("__toks")
+    tri = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    r = d.select(
+        "source",
+        F.round(
+            F.lit(1)
+            - F.size(F.array_distinct(tri))
+            / F.size(tri).cast("double"),
+            4,
+        ).alias("ratio"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("ratio").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_ratio"),
+            F.round(F.max("ratio"), 4).alias("max_ratio"),
+            F.sum((F.col("ratio") > 0.2).cast("long"))
+            .cast("long")
+            .alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "x128_source_mix_kl",
+    """WITH s AS (SELECT source, count(*) AS n FROM documents
+                  GROUP BY source),
+         t AS (SELECT SUM(n) AS total, count(*) AS k FROM s)
+       SELECT source, CAST(n AS BIGINT) AS n_docs,
+              ROUND(n / CAST(total AS DOUBLE), 6) AS p,
+              ROUND((n / CAST(total AS DOUBLE))
+                    * ln((n * k) / CAST(total AS DOUBLE)), 6) AS kl_term,
+              ROUND(POWER(n - total / CAST(k AS DOUBLE), 2)
+                    / (total / CAST(k AS DOUBLE)), 4) AS chi2_term
+       FROM s, t ORDER BY source""",
+    doc="training-mix drift vs the uniform target: per-source share p, "
+        "its KL-divergence term p*ln(p/q) against q=1/k, and the "
+        "chi-square term -- the mixture monitor that catches one "
+        "source silently flooding the corpus before a training run "
+        "locks in the wrong distribution. One source-keyed groupBy + "
+        "a broadcast 1-row (total, k) aggregate; every term is a "
+        "row-local double op on exact integer counts",
+)
+def x128_source_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    t = s.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("k")
+    )
+    tot = F.col("total").cast("double")
+    exp = F.col("total") / F.col("k").cast("double")
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            F.round(F.col("n") / tot, 6).alias("p"),
+            F.round(
+                (F.col("n") / tot)
+                * F.log((F.col("n") * F.col("k")) / tot),
+                6,
+            ).alias("kl_term"),
+            F.round(F.pow(F.col("n") - exp, 2) / exp, 4).alias(
+                "chi2_term"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "x129_token_fertility",
+    """SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+                  AS n_words,
+              CAST(SUM(len(regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+                  AS n_subwords,
+              ROUND(SUM(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+                    / CAST(SUM(len(string_split(lower(text), ' ')))
+                           AS DOUBLE), 4) AS fertility
+       FROM documents GROUP BY lang ORDER BY lang""",
+    doc="tokenizer fertility by language: subword-proxy tokens (the "
+        "x14-style BPE-ish regex: letter runs, digit runs, isolated "
+        "punctuation) per whitespace word -- the metric that exposes "
+        "how much more context budget a language burns per word, the "
+        "standard multi-lingual tokenizer-audit number. Pure "
+        "expression work folded into one lang-keyed groupBy; counts "
+        "are exact longs, the ratio is the only double",
+)
+def x129_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    n_words = F.size(F.split(low, " "))
+    n_sub = F.size(
+        F.regexp_extract_all(low, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))
+    )
+    return (
+        docs.select("lang", n_words.alias("w"), n_sub.alias("s"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("n_words"),
+            F.sum("s").cast("long").alias("n_subwords"),
+            F.round(
+                F.sum("s") / F.sum("w").cast("double"), 4
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "x130_embedding_outliers",
+    """WITH n AS (
+         SELECT label,
+                ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))),
+                      7) AS nrm
+         FROM embeddings
+       ), m AS (
+         SELECT label,
+                count(*) AS n_vecs,
+                ROUND(CAST(SUM(CAST(nrm AS DECIMAL(28,7))) AS DOUBLE)
+                      / count(*), 6) AS mean_norm
+         FROM n GROUP BY label
+       )
+       SELECT n.label, CAST(m.n_vecs AS BIGINT) AS n_vecs,
+              m.mean_norm,
+              CAST(SUM(CASE WHEN ABS(n.nrm - m.mean_norm)
+                                 > 0.1 * m.mean_norm
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       FROM n JOIN m USING (label)
+       GROUP BY n.label, m.n_vecs, m.mean_norm
+       ORDER BY n.label""",
+    doc="embedding-norm outlier audit: per label, vectors whose L2 "
+        "norm sits >10% off the label mean -- broken encoders, "
+        "zero-padded rows, and mis-normalized batches all show up as "
+        "norm outliers before they poison ANN recall. Norm is the "
+        "x63 row-local zip_with/aggregate fold (identical "
+        "left-to-right order to DuckDB's list_dot_product), round-7 "
+        "then DECIMAL-meaned (x111's recipe); the label-mean table "
+        "broadcasts back for the row-local fence test",
+)
+def x130_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(v, v, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        7,
+    )
+    n = emb.select("label", nrm.alias("nrm"))
+    m = n.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(
+            F.sum(F.col("nrm").cast("decimal(28,7)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_norm"),
+    )
+    return (
+        n.join(F.broadcast(m), "label")
+        .groupBy("label", "n_vecs", "mean_norm")
+        .agg(
+            F.sum(
+                (
+                    F.abs(F.col("nrm") - F.col("mean_norm"))
+                    > 0.1 * F.col("mean_norm")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "x131_retention_cohorts",
+    """WITH w AS (
+         SELECT user_id,
+                CAST(FLOOR((FLOOR(date_part('epoch', ts)) - 1704067200)
+                           / 604800.0) AS BIGINT) AS wk
+         FROM events
+       ), c AS (
+         SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY user_id
+       ), a AS (
+         SELECT DISTINCT user_id, wk FROM w
+       )
+       SELECT c.cohort AS cohort_week,
+              CAST(a.wk - c.cohort AS BIGINT) AS week_offset,
+              CAST(count(*) AS BIGINT) AS n_users
+       FROM a JOIN c USING (user_id)
+       GROUP BY 1, 2 ORDER BY 1, 2""",
+    doc="weekly retention cohort matrix: users grouped by first-seen "
+        "week (vs the 2024-01-01 epoch anchor), counted per week "
+        "offset they return in -- the activation/retention triangle "
+        "every growth dashboard starts from. Cohort assignment, "
+        "active-week distinct, and the join all share the user key, "
+        "so AQE can plan one user-hash exchange reused across stages; "
+        "the final matrix groupBy is cohort-cardinality. Week index "
+        "is floor-of-epoch arithmetic (x126's recipe), deterministic "
+        "and timezone-free",
+)
+def x131_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.floor(
+        (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.lit(1704067200)
+        )
+        / F.lit(604800.0)
+    ).cast("long")
+    w = ev.select("user_id", wk.alias("wk"))
+    c = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    a = w.distinct()
+    return (
+        a.join(c, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_week"),
+            (F.col("wk") - F.col("cohort")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "x132_idf_drift",
+    """WITH d AS (
+         SELECT CASE WHEN CAST(('0x' || substr(md5(
+                          'idf:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 2 = 0
+                     THEN 'A' ELSE 'B' END AS half,
+                list_distinct(string_split(lower(text), ' ')) AS terms
+         FROM documents
+       ), n AS (
+         SELECT SUM(CASE WHEN half = 'A' THEN 1 ELSE 0 END) AS n_a,
+                SUM(CASE WHEN half = 'B' THEN 1 ELSE 0 END) AS n_b
+         FROM d
+       ), t AS (
+         SELECT term,
+                SUM(CASE WHEN half = 'A' THEN 1 ELSE 0 END) AS df_a,
+                SUM(CASE WHEN half = 'B' THEN 1 ELSE 0 END) AS df_b
+         FROM (SELECT half, unnest(terms) AS term FROM d)
+         GROUP BY term
+       )
+       SELECT term, CAST(df_a AS BIGINT) AS df_a,
+              CAST(df_b AS BIGINT) AS df_b,
+              ROUND(ABS(ln((n_a + 1) / CAST(df_a + 1 AS DOUBLE))
+                        - ln((n_b + 1) / CAST(df_b + 1 AS DOUBLE))),
+                    6) AS drift
+       FROM t, n
+       ORDER BY drift DESC, term LIMIT 50""",
+    doc="train/validation vocabulary drift: documents hash-split into "
+        "deterministic halves (the x18 md5 split -- reruns never "
+        "reassign), per-term smoothed IDF computed in each, top 50 "
+        "terms by |IDF_A - IDF_B| -- the distribution-shift probe "
+        "that catches a temporally- or source-biased split before "
+        "eval numbers lie. Distinct terms stay in-row until ONE "
+        "explode->groupBy(term) with both halves' document "
+        "frequencies as conditional sums (no per-half passes); the "
+        "half sizes ride a broadcast 1-row aggregate; top-k plans as "
+        "TakeOrderedAndProject, never a global sort",
+)
+def x132_idf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    half = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("idf:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    d = docs.select(
+        half.alias("half"),
+        F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("terms"),
+    )
+    n = d.groupBy().agg(
+        F.sum((F.col("half") == "A").cast("long")).alias("n_a"),
+        F.sum((F.col("half") == "B").cast("long")).alias("n_b"),
+    )
+    t = (
+        d.select("half", F.explode("terms").alias("term"))
+        .groupBy("term")
+        .agg(
+            F.sum((F.col("half") == "A").cast("long")).alias("df_a"),
+            F.sum((F.col("half") == "B").cast("long")).alias("df_b"),
+        )
+    )
+    idf = lambda nn, df: F.log(
+        (nn + F.lit(1)) / (df + F.lit(1)).cast("double")
+    )
+    return (
+        t.crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            F.col("df_a").cast("long").alias("df_a"),
+            F.col("df_b").cast("long").alias("df_b"),
+            F.round(
+                F.abs(
+                    idf(F.col("n_a"), F.col("df_a"))
+                    - idf(F.col("n_b"), F.col("df_b"))
+                ),
+                6,
+            ).alias("drift"),
+        )
+        .orderBy(F.desc("drift"), "term")
+        .limit(50)
+    )
