@@ -5015,3 +5015,274 @@ def x132_idf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("drift"), "term")
         .limit(50)
     )
+
+
+@register(
+    "x133_prefix_dup",
+    """WITH f AS (
+         SELECT doc_id, source,
+                md5(array_to_string(
+                    (string_split(lower(text), ' '))[1:8], ' ')) AS fp
+         FROM documents
+       )
+       SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              CAST(MIN(doc_id) AS BIGINT) AS exemplar_doc
+       FROM f GROUP BY fp HAVING count(*) > 1
+       ORDER BY n_docs DESC, fp""",
+    doc="templated-document detection: docs fingerprinted by their "
+        "first 8 tokens (md5), groups >1 reported with source spread "
+        "and a deterministic exemplar -- boilerplate mirrors and "
+        "form-letter spam share prefixes long before full-text "
+        "near-dup fires, and the prefix hash is ONE narrow groupBy "
+        "(no shingles, no pairs) so it runs as a cheap first-pass "
+        "filter at any scale. md5 is bit-identical cross-engine; "
+        "short docs truncate the slice identically on both",
+)
+def x133_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower(F.col("text")), " "), 1, 8)
+        )
+    )
+    return (
+        docs.select("doc_id", "source", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("exemplar_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "fp")
+    )
+
+
+@register(
+    "x134_rfm_segments",
+    """WITH mx AS (SELECT MAX(o_orderdate) AS dmax FROM orders),
+       cust AS (
+         SELECT o_custkey,
+                CAST(FLOOR((FLOOR(date_part('epoch',
+                                  (SELECT dmax FROM mx))) -
+                            FLOOR(date_part('epoch', MAX(o_orderdate))))
+                           / 86400.0) AS BIGINT) AS recency_days,
+                CAST(count(*) AS BIGINT) AS frequency,
+                CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+                                AS DOUBLE), 2) AS DOUBLE) AS monetary
+         FROM orders GROUP BY o_custkey
+       ), th AS (
+         SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS t_r,
+                quantile_cont(frequency,    [0.25, 0.5, 0.75]) AS t_f,
+                quantile_cont(monetary,     [0.25, 0.5, 0.75]) AS t_m
+         FROM cust
+       )
+       SELECT CAST(4 - len(list_filter(t_r, t -> recency_days >= t))
+                   AS BIGINT) AS r_score,
+              CAST(1 + len(list_filter(t_f, t -> frequency >= t))
+                   AS BIGINT) AS f_score,
+              CAST(1 + len(list_filter(t_m, t -> monetary >= t))
+                   AS BIGINT) AS m_score,
+              CAST(count(*) AS BIGINT) AS n_customers,
+              -- total, not average: the DECIMAL sum is exact and its
+              -- double cast correctly rounded; a sum/count division
+              -- can land on a .xx5 tie and round differently per engine
+              ROUND(CAST(SUM(CAST(monetary AS DECIMAL(30,2)))
+                         AS DOUBLE), 2) AS total_monetary
+       FROM cust, th
+       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    doc="RFM customer segmentation: per-customer recency (days behind "
+        "the corpus max order date -- deterministic, never wall "
+        "clock), frequency, and DECIMAL-exact monetary, each scored "
+        "1-4 against broadcast quartile thresholds (x119's "
+        "rank-against-quantile-array pattern; recency scores "
+        "INVERTED so fresher = higher), segments counted. One "
+        "customer-keyed groupBy + a 1-row threshold broadcast + a "
+        "segment-cardinality rollup; quantile_cont == percentile "
+        "bit-for-bit (q30)",
+)
+def x134_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("dmax"))
+    cust = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.floor(
+                (
+                    F.unix_timestamp(F.max("dmax").cast("timestamp"))
+                    - F.unix_timestamp(
+                        F.max("o_orderdate").cast("timestamp")
+                    )
+                )
+                / F.lit(86400.0)
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("monetary"),
+        )
+    )
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    th = cust.agg(
+        F.percentile(F.col("recency_days"), qs).alias("t_r"),
+        F.percentile(F.col("frequency"), qs).alias("t_f"),
+        F.percentile(F.col("monetary"), qs).alias("t_m"),
+    )
+    rank = lambda v, t: F.size(
+        F.filter(t, lambda x: v >= x)
+    )
+    return (
+        cust.crossJoin(F.broadcast(th))
+        .select(
+            (F.lit(4) - rank(F.col("recency_days"), F.col("t_r")))
+            .cast("long")
+            .alias("r_score"),
+            (F.lit(1) + rank(F.col("frequency"), F.col("t_f")))
+            .cast("long")
+            .alias("f_score"),
+            (F.lit(1) + rank(F.col("monetary"), F.col("t_m")))
+            .cast("long")
+            .alias("m_score"),
+            "monetary",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(
+                F.sum(F.col("monetary").cast("decimal(30,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "x135_load_profile",
+    """WITH e AS (
+         SELECT CAST((FLOOR(FLOOR(date_part('epoch', ts)) / 86400) + 4)
+                     % 7 AS BIGINT) AS dow,
+                CAST(FLOOR((FLOOR(date_part('epoch', ts)) % 86400)
+                           / 3600) AS BIGINT) AS hour
+         FROM events
+       ), t AS (SELECT count(*) AS total FROM e)
+       SELECT dow, hour, CAST(count(*) AS BIGINT) AS n_events,
+              ROUND(count(*) / CAST(total AS DOUBLE), 6) AS share
+       FROM e, t GROUP BY dow, hour, total ORDER BY dow, hour""",
+    doc="traffic load profile: events bucketed into day-of-week x "
+        "hour-of-day cells with share-of-total -- the capacity-"
+        "planning heatmap. Day-of-week comes from pure epoch "
+        "arithmetic ((days + 4) % 7, 0=Sunday, anchored on 1970-01-01 "
+        "= Thursday) instead of engine dayofweek() functions, whose "
+        "0- vs 1-based conventions differ; one 168-cell groupBy with "
+        "a broadcast total",
+)
+def x135_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    e = ev.select(
+        ((F.floor(epoch / 86400) + 4) % 7).cast("long").alias("dow"),
+        F.floor((epoch % 86400) / 3600).cast("long").alias("hour"),
+    )
+    t = e.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        e.groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            F.round(
+                F.col("n_events") / F.col("total").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+@register(
+    "x136_token_entropy",
+    """WITH tc AS (
+         SELECT source, tok, count(*) AS c
+         FROM (SELECT source,
+                      unnest(string_split(lower(text), ' ')) AS tok
+               FROM documents)
+         GROUP BY source, tok
+       ), tot AS (
+         SELECT source, SUM(c) AS total, count(*) AS n_distinct
+         FROM tc GROUP BY source
+       )
+       SELECT tc.source,
+              CAST(tot.total AS BIGINT) AS n_tokens,
+              CAST(tot.n_distinct AS BIGINT) AS n_distinct,
+              ROUND(CAST(SUM(CAST(ROUND(
+                       -(tc.c / CAST(tot.total AS DOUBLE))
+                        * ln(tc.c / CAST(tot.total AS DOUBLE)), 8)
+                     AS DECIMAL(28,8))) AS DOUBLE), 4) AS entropy,
+              ROUND(CAST(SUM(CAST(ROUND(
+                       -(tc.c / CAST(tot.total AS DOUBLE))
+                        * ln(tc.c / CAST(tot.total AS DOUBLE)), 8)
+                     AS DECIMAL(28,8))) AS DOUBLE)
+                    / NULLIF(ln(CAST(tot.n_distinct AS DOUBLE)), 0), 4)
+                  AS norm_entropy
+       FROM tc JOIN tot USING (source)
+       GROUP BY tc.source, tot.total, tot.n_distinct
+       ORDER BY tc.source""",
+    doc="per-source token Shannon entropy (+ normalized by "
+        "ln(vocab)): low-entropy sources are templated/spun content, "
+        "high-entropy ones are noise -- the corpus-diversity dial "
+        "used when setting mixture weights. Two partial-aggregating "
+        "groupBys (source x token, then source) with the "
+        "source-cardinality totals broadcast back; per-token terms "
+        "are round-8 then DECIMAL-summed so the reduction order "
+        "cannot move the 4th decimal (the x88 recipe)",
+)
+def x136_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tc.groupBy("source").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    p = F.col("c") / F.col("total").cast("double")
+    term = F.round(-p * F.log(p), 8).cast("decimal(28,8)")
+    return (
+        tc.join(F.broadcast(tot), "source")
+        .groupBy(
+            "source",
+            F.col("total").cast("long").alias("n_tokens"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+        )
+        .agg(F.sum(term).alias("__h"))
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct",
+            F.round(F.col("__h").cast("double"), 4).alias("entropy"),
+            F.round(
+                F.col("__h").cast("double")
+                / F.nullif(
+                    F.log(F.col("n_distinct").cast("double")), F.lit(0.0)
+                ),
+                4,
+            ).alias("norm_entropy"),
+        )
+        .orderBy("source")
+    )
