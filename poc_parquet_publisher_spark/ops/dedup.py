@@ -734,12 +734,16 @@ def simhash_pairs_oracle_sql(
     source: str = "documents",
     max_hamming: int = 3,
     band_bits: int = 16,
+    max_docs_per_band: int | None = 500,
 ) -> str:
     """DuckDB SQL mirroring ``simhash_hamming_pairs`` over
     ``simhash_sql``'s output -- the banded candidates AND the Hamming
     filter are plain SQL (band substrings self-joined, Hamming counted
-    per bit position), so x06's full pair set is oracle-verifiable (the
-    hot-band cap is assumed un-hit, as with the x03/x40 caps)."""
+    per bit position), so x06's full pair set is oracle-verifiable.
+    The hot-band cap IS mirrored (same default as the Spark side):
+    round 4's "assumed un-hit" shortcut broke at sf0.1, where natural
+    band values exceed 500 docs and the engines diverged by 16k pairs.
+    """
     n_bands = 64 // band_bits
     inner = simhash_sql("duckdb", source=source)
     inner = inner.rsplit("ORDER BY doc_id", 1)[0]
@@ -751,15 +755,26 @@ def simhash_pairs_oracle_sql(
         "CAST(len(list_filter(range(1, 65), "
         "i -> substr(sa, i, 1) != substr(sb, i, 1))) AS INT)"
     )
+    cap = (
+        f"""
+bandf AS (
+  SELECT * FROM band WHERE band NOT IN (
+    SELECT band FROM band GROUP BY band
+    HAVING count(*) > {max_docs_per_band}
+  )
+),"""
+        if max_docs_per_band is not None
+        else "\nbandf AS (SELECT * FROM band),"
+    )
     return f"""
 WITH sim AS ({inner}),
 band AS (
   SELECT doc_id, simhash, unnest([{bands}]) AS band FROM sim
-),
+),{cap}
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          a.simhash AS sa, b.simhash AS sb
-  FROM band a JOIN band b USING (band)
+  FROM bandf a JOIN bandf b USING (band)
   WHERE a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, {ham} AS hamming

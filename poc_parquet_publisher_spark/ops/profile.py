@@ -132,9 +132,17 @@ def decile_report(
     therefore bucket boundaries -- are hash-stable cross-engine.
     """
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    # round-6 thresholds before the bucket comparison: the engines'
+    # quantile interpolation formulas can differ by 1 ulp, flipping
+    # v > t exactly where a data value IS the threshold (the x119
+    # sf0.1 finding)
     thr = df.agg(
-        F.percentile(F.col(value_col), F.array(*[F.lit(p) for p in probs]))
-        .alias("__thr")
+        F.transform(
+            F.percentile(
+                F.col(value_col), F.array(*[F.lit(p) for p in probs])
+            ),
+            lambda t: F.round(t, 6),
+        ).alias("__thr")
     )
     v = F.col(value_col).cast("double")
     bucket = (
@@ -167,7 +175,8 @@ def decile_report_oracle_sql(
     )
     return f"""
 WITH thr AS (
-  SELECT quantile_cont({value_col}, [{probs}]) AS t FROM {source}
+  SELECT list_transform(quantile_cont({value_col}, [{probs}]),
+                        x -> ROUND(x, 6)) AS t FROM {source}
 )
 SELECT 1 + len(list_filter(t, x -> CAST({value_col} AS DOUBLE) > x))
            AS bucket,

@@ -3920,9 +3920,11 @@ def x115_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x116_winsorized_stats",
     """WITH b AS (
+         -- round-6 thresholds before the clip comparison (the x119
+         -- 1-ulp interpolation hazard)
          SELECT o_orderpriority,
-                quantile_cont(o_totalprice, 0.05) AS p05,
-                quantile_cont(o_totalprice, 0.95) AS p95
+                ROUND(quantile_cont(o_totalprice, 0.05), 6) AS p05,
+                ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95
          FROM orders GROUP BY 1
        ), c AS (
          SELECT o.o_orderpriority,
@@ -3950,8 +3952,12 @@ def x115_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x116_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     b = orders.groupBy("o_orderpriority").agg(
-        F.percentile(F.col("o_totalprice"), F.lit(0.05)).alias("p05"),
-        F.percentile(F.col("o_totalprice"), F.lit(0.95)).alias("p95"),
+        F.round(
+            F.percentile(F.col("o_totalprice"), F.lit(0.05)), 6
+        ).alias("p05"),
+        F.round(
+            F.percentile(F.col("o_totalprice"), F.lit(0.95)), 6
+        ).alias("p95"),
     )
     w = (
         F.when(F.col("o_totalprice") < F.col("p05"), F.col("p05"))
@@ -4067,12 +4073,22 @@ def x118_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                              AS DOUBLE), 4) AS stop_ratio
          FROM documents
        ), th AS (
-         SELECT quantile_cont(n_toks, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
-                    AS t_tok,
-                quantile_cont(alpha_ratio,
-                    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS t_alpha,
-                quantile_cont(stop_ratio,
-                    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS t_stop
+         -- thresholds ROUND to 6 before any comparison: the two
+         -- engines' interpolation formulas (a+(b-a)*g vs (1-g)a+g*b)
+         -- can differ by 1 ulp, which flips v >= t exactly where a
+         -- round-4 metric value IS the threshold (hit at sf0.1)
+         SELECT list_transform(
+                  quantile_cont(n_toks,
+                    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                  t -> ROUND(t, 6)) AS t_tok,
+                list_transform(
+                  quantile_cont(alpha_ratio,
+                    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                  t -> ROUND(t, 6)) AS t_alpha,
+                list_transform(
+                  quantile_cont(stop_ratio,
+                    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                  t -> ROUND(t, 6)) AS t_stop
          FROM m
        )
        SELECT doc_id,
@@ -4113,10 +4129,13 @@ def x119_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop / F.size(toks).cast("double"), 4).alias("stop_ratio"),
     )
     qs = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    # round-6 thresholds BEFORE comparison (see the oracle comment: the
+    # engines' interpolation differs by 1 ulp, flipping >= at sf0.1)
+    r6 = lambda c: F.transform(c, lambda t: F.round(t, 6))
     th = m.agg(
-        F.percentile(F.col("n_toks"), qs).alias("t_tok"),
-        F.percentile(F.col("alpha_ratio"), qs).alias("t_alpha"),
-        F.percentile(F.col("stop_ratio"), qs).alias("t_stop"),
+        r6(F.percentile(F.col("n_toks"), qs)).alias("t_tok"),
+        r6(F.percentile(F.col("alpha_ratio"), qs)).alias("t_alpha"),
+        r6(F.percentile(F.col("stop_ratio"), qs)).alias("t_stop"),
     )
 
     def decile(v, tcol):
@@ -4435,8 +4454,11 @@ def x123_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x124_mad_outliers",
     """WITH med AS (
+         -- medians ROUND to 6 before any downstream arithmetic or
+         -- comparison (the x119 1-ulp interpolation hazard): ad and
+         -- the fence both inherit med/mad bit-exactly on both engines
          SELECT o_orderpriority,
-                quantile_cont(o_totalprice, 0.5) AS med
+                ROUND(quantile_cont(o_totalprice, 0.5), 6) AS med
          FROM orders GROUP BY 1
        ), dev AS (
          SELECT o.o_orderpriority, med.med,
@@ -4444,7 +4466,7 @@ def x123_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM orders o JOIN med USING (o_orderpriority)
        ), mad AS (
          SELECT o_orderpriority, MAX(med) AS med,
-                quantile_cont(ad, 0.5) AS mad
+                ROUND(quantile_cont(ad, 0.5), 6) AS mad
          FROM dev GROUP BY 1
        )
        SELECT d.o_orderpriority,
@@ -4466,7 +4488,9 @@ def x123_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x124_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     med = orders.groupBy("o_orderpriority").agg(
-        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("med")
+        F.round(
+            F.percentile(F.col("o_totalprice"), F.lit(0.5)), 6
+        ).alias("med")
     )
     dev = orders.join(F.broadcast(med), "o_orderpriority").select(
         "o_orderpriority",
@@ -4475,7 +4499,7 @@ def x124_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = dev.groupBy("o_orderpriority").agg(
         F.max("med").alias("med"),
-        F.percentile(F.col("ad"), F.lit(0.5)).alias("mad"),
+        F.round(F.percentile(F.col("ad"), F.lit(0.5)), 6).alias("mad"),
     )
     return (
         dev.drop("med")
@@ -5073,9 +5097,14 @@ def x133_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 AS DOUBLE), 2) AS DOUBLE) AS monetary
          FROM orders GROUP BY o_custkey
        ), th AS (
-         SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS t_r,
-                quantile_cont(frequency,    [0.25, 0.5, 0.75]) AS t_f,
-                quantile_cont(monetary,     [0.25, 0.5, 0.75]) AS t_m
+         -- round-6 thresholds before comparison (the x119 1-ulp
+         -- interpolation hazard)
+         SELECT list_transform(quantile_cont(recency_days,
+                  [0.25, 0.5, 0.75]), t -> ROUND(t, 6)) AS t_r,
+                list_transform(quantile_cont(frequency,
+                  [0.25, 0.5, 0.75]), t -> ROUND(t, 6)) AS t_f,
+                list_transform(quantile_cont(monetary,
+                  [0.25, 0.5, 0.75]), t -> ROUND(t, 6)) AS t_m
          FROM cust
        )
        SELECT CAST(4 - len(list_filter(t_r, t -> recency_days >= t))
@@ -5130,10 +5159,11 @@ def x134_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    r6 = lambda c: F.transform(c, lambda t: F.round(t, 6))
     th = cust.agg(
-        F.percentile(F.col("recency_days"), qs).alias("t_r"),
-        F.percentile(F.col("frequency"), qs).alias("t_f"),
-        F.percentile(F.col("monetary"), qs).alias("t_m"),
+        r6(F.percentile(F.col("recency_days"), qs)).alias("t_r"),
+        r6(F.percentile(F.col("frequency"), qs)).alias("t_f"),
+        r6(F.percentile(F.col("monetary"), qs)).alias("t_m"),
     )
     rank = lambda v, t: F.size(
         F.filter(t, lambda x: v >= x)
