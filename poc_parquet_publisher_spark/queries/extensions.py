@@ -5316,3 +5316,363 @@ def x136_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "x137_join_cardinality",
+    """WITH oc AS (
+         SELECT 'orders->customer' AS edge,
+                (SELECT count(*) FROM orders) AS n_left,
+                (SELECT count(*) FROM customer) AS n_right,
+                count(*) AS n_shared_keys,
+                SUM(cl * cr) AS join_rows
+         FROM (SELECT o_custkey AS k, count(*) AS cl FROM orders
+               GROUP BY 1) l
+         JOIN (SELECT c_custkey AS k, count(*) AS cr FROM customer
+               GROUP BY 1) r USING (k)
+       ), lo AS (
+         SELECT 'lineitem->orders' AS edge,
+                (SELECT count(*) FROM lineitem) AS n_left,
+                (SELECT count(*) FROM orders) AS n_right,
+                count(*) AS n_shared_keys,
+                SUM(cl * cr) AS join_rows
+         FROM (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem
+               GROUP BY 1) l
+         JOIN (SELECT o_orderkey AS k, count(*) AS cr FROM orders
+               GROUP BY 1) r USING (k)
+       ), ls AS (
+         SELECT 'lineitem->supplier' AS edge,
+                (SELECT count(*) FROM lineitem) AS n_left,
+                (SELECT count(*) FROM supplier) AS n_right,
+                count(*) AS n_shared_keys,
+                SUM(cl * cr) AS join_rows
+         FROM (SELECT l_suppkey AS k, count(*) AS cl FROM lineitem
+               GROUP BY 1) l
+         JOIN (SELECT s_suppkey AS k, count(*) AS cr FROM supplier
+               GROUP BY 1) r USING (k)
+       ), u AS (
+         SELECT * FROM oc UNION ALL SELECT * FROM lo
+         UNION ALL SELECT * FROM ls
+       )
+       SELECT edge, CAST(n_left AS BIGINT) AS n_left,
+              CAST(n_right AS BIGINT) AS n_right,
+              CAST(n_shared_keys AS BIGINT) AS n_shared_keys,
+              CAST(join_rows AS BIGINT) AS join_rows,
+              ROUND(join_rows / CAST(n_left AS DOUBLE), 4)
+                  AS amplification
+       FROM u ORDER BY edge""",
+    doc="join-cardinality estimation from per-key histograms: for each "
+        "FK edge, the exact inner-join output size computed as "
+        "sum(c_left * c_right) over shared keys WITHOUT executing the "
+        "join -- the perfect-histogram version of what a CBO estimates "
+        "before picking join order, and the pre-flight check that "
+        "catches a fan-out join (amplification >> 1) before it OOMs a "
+        "100 TB pipeline. Per edge: two partial-aggregating key "
+        "groupBys + a key-cardinality join, never the row-level join "
+        "itself",
+)
+def x137_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
+    def edge(name, left, lk, right, rk):
+        l = left.groupBy(F.col(lk).alias("k")).agg(
+            F.count(F.lit(1)).alias("cl")
+        )
+        r = right.groupBy(F.col(rk).alias("k")).agg(
+            F.count(F.lit(1)).alias("cr")
+        )
+        nl = left.agg(F.count(F.lit(1)).alias("n_left"))
+        nr = right.agg(F.count(F.lit(1)).alias("n_right"))
+        return (
+            l.join(r, "k")
+            .agg(
+                F.count(F.lit(1)).alias("n_shared_keys"),
+                F.sum(F.col("cl") * F.col("cr")).alias("join_rows"),
+            )
+            .crossJoin(F.broadcast(nl))
+            .crossJoin(F.broadcast(nr))
+            .select(
+                F.lit(name).alias("edge"),
+                F.col("n_left").cast("long").alias("n_left"),
+                F.col("n_right").cast("long").alias("n_right"),
+                F.col("n_shared_keys").cast("long").alias("n_shared_keys"),
+                F.col("join_rows").cast("long").alias("join_rows"),
+                F.round(
+                    F.col("join_rows") / F.col("n_left").cast("double"), 4
+                ).alias("amplification"),
+            )
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    parts = [
+        edge("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+        edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+        edge("lineitem->supplier", li, "l_suppkey", sup, "s_suppkey"),
+    ]
+    return functools.reduce(lambda a, b: a.unionAll(b), parts).orderBy(
+        "edge"
+    )
+
+
+@register(
+    "x138_jaccard_curve",
+    """WITH t AS (
+         SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, len(string_split(lower(text), ' ')) - 1),
+                  i -> array_to_string(
+                         (string_split(lower(text), ' '))[i:i+2], ' ')
+                )) AS sh
+         FROM documents
+         WHERE len(string_split(lower(text), ' ')) >= 3
+       ), e AS (
+         SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM t
+       ), p AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+         FROM e a JOIN e b USING (shingle)
+         WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4
+       ), j AS (
+         SELECT LEAST(CAST(FLOOR(
+                  ROUND(CAST(inter AS DOUBLE)
+                        / (n_a + n_b - inter), 4) * 10) AS BIGINT), 9)
+                    AS band
+         FROM p
+       ), b AS (
+         SELECT band, count(*) AS n_pairs FROM j GROUP BY band
+       )
+       SELECT ROUND(band / 10.0, 1) AS band_lo,
+              CAST(n_pairs AS BIGINT) AS n_pairs,
+              CAST(SUM(n_pairs) OVER (ORDER BY band DESC
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS n_pairs_at_or_above
+       FROM b ORDER BY band_lo""",
+    doc="dedup-threshold calibration curve: ALL shingle-sharing pairs "
+        "(x03's blocked pair stage, unthresholded) banded by Jaccard "
+        "decile, with the cumulative pairs-at-or-above count -- the "
+        "table you read before choosing a near-dup cutoff (how many "
+        "pairs does 0.5 vs 0.7 actually merge?). Reuses the shared "
+        "localCheckpoint'ed pair counts; banding is row-local; the "
+        "cumulative window runs over <= 10 band rows, not data",
+)
+def x138_jaccard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    counts = _shared_pair_counts(spark, sf_dir, k=3)
+    jac = F.round(
+        F.col("inter")
+        / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        4,
+    )
+    j = counts.select(
+        F.least(F.floor(jac * 10).cast("long"), F.lit(9).cast("long")).alias(
+            "band"
+        )
+    )
+    b = j.groupBy("band").agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        b.select(
+            F.round(F.col("band") / 10.0, 1).alias("band_lo"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.sum("n_pairs").over(w).cast("long").alias(
+                "n_pairs_at_or_above"
+            ),
+        )
+        .orderBy("band_lo")
+    )
+
+
+@register(
+    "x139_session_length_dist",
+    """WITH ordered AS (
+         SELECT user_id, event_id, ts,
+                lag(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_ts
+         FROM events
+       ), flagged AS (
+         SELECT user_id, event_id, ts,
+                CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_session
+         FROM ordered
+       ), sessions AS (
+         SELECT user_id,
+                CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS session_id
+         FROM flagged
+       ), sz AS (
+         SELECT user_id, session_id, count(*) AS n_events
+         FROM sessions GROUP BY 1, 2
+       ), lab AS (
+         SELECT CASE WHEN n_events = 1 THEN '1 (bounce)'
+                     WHEN n_events = 2 THEN '2'
+                     WHEN n_events <= 5 THEN '3-5'
+                     WHEN n_events <= 10 THEN '6-10'
+                     ELSE '11+' END AS bucket
+         FROM sz
+       ), tot AS (SELECT count(*) AS t FROM lab)
+       SELECT bucket, CAST(count(*) AS BIGINT) AS n_sessions,
+              ROUND(count(*) / CAST(t AS DOUBLE), 4) AS share
+       FROM lab, tot GROUP BY bucket, t ORDER BY bucket""",
+    doc="session-length distribution with the bounce bucket: x21's "
+        "gap-sessionization rolled into banded session sizes + share "
+        "-- the engagement-shape report (a bounce-heavy feed is bot "
+        "traffic or broken deep links). Same single user-key shuffle "
+        "as x21 (window + rollup co-partitioned), then a 5-row banded "
+        "aggregate with a broadcast total",
+)
+def x139_session_length_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    sz = (
+        flagged.select(
+            "user_id", F.sum("new_session").over(run).alias("session_id")
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    lab = sz.select(
+        F.when(F.col("n_events") == 1, "1 (bounce)")
+        .when(F.col("n_events") == 2, "2")
+        .when(F.col("n_events") <= 5, "3-5")
+        .when(F.col("n_events") <= 10, "6-10")
+        .otherwise("11+")
+        .alias("bucket")
+    )
+    tot = lab.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        lab.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_sessions",
+            F.round(
+                F.col("n_sessions") / F.col("t").cast("double"), 4
+            ).alias("share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _x140_oracle() -> str:
+    """Chained-CTE replay of 3 Markov power iterations (the x104
+    pagerank oracle pattern, on the behavioral transition matrix)."""
+    head = """WITH s AS (
+         SELECT user_id, event_type,
+                lead(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                ) AS next_type
+         FROM events
+       ), pm AS (
+         SELECT event_type AS src, next_type AS dst, count(*) AS n
+         FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+       ), tt AS (SELECT src, SUM(n) AS t FROM pm GROUP BY 1),
+       P AS (
+         SELECT pm.src, pm.dst, pm.n / CAST(tt.t AS DOUBLE) AS pp
+         FROM pm JOIN tt USING (src)
+       ), st AS (SELECT DISTINCT event_type AS et FROM events),
+       kk AS (SELECT count(*) AS k FROM st),
+       v0 AS (SELECT et, CAST(1.0 AS DOUBLE) / k AS v FROM st, kk)"""
+    steps = []
+    for i in range(1, 4):
+        steps.append(f"""
+       i{i} AS (
+         SELECT P.dst AS et,
+                ROUND(CAST(SUM(CAST(ROUND(v{i-1}.v * P.pp, 12)
+                                    AS DECIMAL(28,12))) AS DOUBLE), 12)
+                    AS v
+         FROM v{i-1} JOIN P ON v{i-1}.et = P.src GROUP BY P.dst
+       ), v{i} AS (
+         SELECT st.et, COALESCE(i{i}.v, CAST(0.0 AS DOUBLE)) AS v
+         FROM st LEFT JOIN i{i} ON st.et = i{i}.et
+       )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + """
+       SELECT et AS event_type, ROUND(v, 6) AS stationary
+       FROM v3 ORDER BY et"""
+    )
+
+
+@register(
+    "x140_markov_stationary",
+    _x140_oracle(),
+    doc="stationary distribution of the behavioral Markov chain: "
+        "x96's transition matrix power-iterated 3 rounds from uniform "
+        "-- where user journeys CONCENTRATE in the long run (states "
+        "with no outgoing edges leak mass by design; fixed depth "
+        "bounds lineage). The x104 iterative recipe on a "
+        "type-cardinality matrix: contributions round-12 then "
+        "DECIMAL-summed, state re-rounded per round so both engines "
+        "enter each iteration bit-identical; one user-key window "
+        "derives the matrix, every iteration is type-cardinality "
+        "(broadcast) work",
+)
+def x140_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    pm = s.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tt = pm.groupBy("src").agg(F.sum("n").alias("t"))
+    P = (
+        pm.join(tt, "src")
+        .select("src", "dst", (F.col("n") / F.col("t").cast("double")).alias("pp"))
+        .localCheckpoint(eager=False)
+    )
+    st = ev.select(F.col("event_type").alias("et")).distinct()
+    kk = st.agg(F.count(F.lit(1)).alias("k"))
+    v = st.crossJoin(F.broadcast(kk)).select(
+        "et", (F.lit(1.0) / F.col("k")).alias("v")
+    )
+    for _ in range(3):
+        contrib = (
+            v.join(F.broadcast(P), v["et"] == P["src"])
+            .select(
+                F.col("dst").alias("et2"),
+                F.round(F.col("v") * F.col("pp"), 12)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+            .groupBy("et2")
+            .agg(F.round(F.sum("c").cast("double"), 12).alias("nv"))
+        )
+        v = (
+            st.join(contrib, st["et"] == contrib["et2"], "left")
+            .select("et", F.coalesce(F.col("nv"), F.lit(0.0)).alias("v"))
+        )
+    return v.select(
+        F.col("et").alias("event_type"),
+        F.round(F.col("v"), 6).alias("stationary"),
+    ).orderBy("event_type")
