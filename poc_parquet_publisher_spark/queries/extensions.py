@@ -5676,3 +5676,155 @@ def x140_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("et").alias("event_type"),
         F.round(F.col("v"), 6).alias("stationary"),
     ).orderBy("event_type")
+
+
+@register(
+    "x141_event_pivot",
+    """SELECT CAST(FLOOR(FLOOR(date_part('epoch', ts)) / 86400)
+                   AS BIGINT) AS day,
+              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS click,
+              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS error,
+              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END) AS BIGINT) AS purchase,
+              CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS signup,
+              CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS view
+       FROM events GROUP BY 1 ORDER BY day""",
+    doc="daily x event-type PIVOT (long->wide): the wide daily-ops "
+        "matrix every monitoring dashboard consumes. Spark's "
+        "df.pivot() with an EXPLICIT value list -- omitting the list "
+        "makes pivot run a blocking distinct-collect planning pass "
+        "AND produce schema drift when a type is absent some day; the "
+        "oracle is the equivalent conditional-sum formulation, which "
+        "is also exactly what Catalyst lowers pivot to (one "
+        "partial-aggregating groupBy, no extra shuffle vs the long "
+        "form). Day index is epoch arithmetic (x135)",
+)
+def x141_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(
+        F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400
+    ).cast("long")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.select(day.alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+    )
+    # pivot yields NULL for absent (day, type) cells; the wide report
+    # wants 0 (matching the oracle's conditional sums)
+    return out.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+    ).orderBy("day")
+
+
+@register(
+    "x142_cube_sales",
+    """SELECT o_orderstatus, o_orderpriority,
+              CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+              CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+                         AS DOUBLE), 2) AS revenue
+       FROM orders
+       GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""",
+    doc="CUBE over (status, priority) with GROUPING() markers: all four "
+        "marginal combinations in one pass -- completes the "
+        "grouping-sets surface next to q10's ROLLUP (CUBE adds the "
+        "per-priority-across-status marginal ROLLUP lacks). Catalyst "
+        "lowers CUBE to one Expand + one hash aggregate: each input "
+        "row fans to 4 grouping sets map-side, partial aggregation "
+        "still applies -- no extra shuffle over the plain groupBy; "
+        "DECIMAL-exact revenue; GROUPING() bits disambiguate real "
+        "NULLs from subtotal rows",
+)
+def x142_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            # grouping() is only resolvable INSIDE the cube aggregate
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "revenue",
+        )
+        .orderBy(
+            "g_status", "g_priority", "o_orderstatus", "o_orderpriority"
+        )
+    )
+
+
+@register(
+    "x143_stream_dedup_counts",
+    """SELECT event_type,
+              CAST(count(DISTINCT event_id) AS BIGINT) AS n_events
+       FROM events GROUP BY 1 ORDER BY 1""",
+    doc="streaming exact dedup, driver-hashable: the events table "
+        "materialized TWICE into a file-stream source (every row a "
+        "duplicate), drained through "
+        "dropDuplicatesWithinWatermark(event_id) in one availableNow "
+        "micro-batch, then rolled up per type -- hash-equal to the "
+        "batch count-distinct oracle, proving the streaming dedup leg "
+        "end-to-end through the correctness gate (streaming/dedup.py; "
+        "single-batch drain keeps every duplicate inside the "
+        "watermark horizon, the bounded-state trade documented "
+        "there). State is keyed by event_id and expires with the "
+        "watermark at scale",
+)
+def x143_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.dedup import dedup_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="x143_stream_")
+    sink = f"x143_sink_{uuid.uuid4().hex[:8]}"
+    try:
+        src = os.path.join(tmp, "events_dup")
+        base = ev.repartition(4)
+        base.write.mode("overwrite").parquet(src)
+        # second copy = every event_id duplicated across files
+        base.write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        deduped = dedup_stream(stream, ["event_id"], ts_col="ts")
+        agg = deduped.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events")
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("x143 stream drain did not finish in 300 s")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(sink).orderBy("event_type")
