@@ -37,11 +37,15 @@ N_EVENTS = 60_000
 N_LINEITEM = 60_000
 N_DOCS = 20_000
 
-# x110 attaches a 1-row global viewer-count aggregate to a 1-row global
-# purchase aggregate: that crossJoin correctly plans as a
-# BroadcastNestedLoopJoin of two single-row inputs -- scalar glue, not a
-# data-sized nested loop. Everything else must stay equi-join.
-ALLOW_SCALAR_BNLJ = {"x110_conversion_latency"}
+# These entries attach a broadcast 1-row aggregate (a global total /
+# state count) via crossJoin: that correctly plans as a
+# BroadcastNestedLoopJoin against a SINGLE-row side -- scalar glue, not
+# a data-sized nested loop. Everything else must stay equi-join.
+ALLOW_SCALAR_BNLJ = {
+    "x110_conversion_latency",
+    "x139_session_length_dist",
+    "x140_markov_stationary",
+}
 
 SKEW_ENTRIES = [
     "x21_sessionize",
@@ -54,6 +58,9 @@ SKEW_ENTRIES = [
     "x110_conversion_latency",
     "x113_scd2_intervals",
     "x118_salted_distinct",
+    "x131_retention_cohorts",
+    "x139_session_length_dist",
+    "x140_markov_stationary",
 ]
 
 
