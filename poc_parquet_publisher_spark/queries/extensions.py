@@ -5828,3 +5828,169 @@ def x143_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(sink).orderBy("event_type")
+
+
+@register(
+    "x144_bloom_prefilter",
+    """WITH dim AS (
+         SELECT DISTINCT s_suppkey AS k FROM supplier
+         WHERE s_nationkey < 5
+       ), bits AS (
+         SELECT DISTINCT b FROM (
+           SELECT CAST(('0x' || substr(md5('b1:' || CAST(k AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 4096 AS b FROM dim
+           UNION ALL
+           SELECT CAST(('0x' || substr(md5('b2:' || CAST(k AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 4096 AS b FROM dim
+         )
+       ), ba AS (SELECT list(b ORDER BY b) AS arr FROM bits),
+       probe AS (
+         SELECT l_suppkey,
+                CAST(('0x' || substr(md5('b1:' ||
+                      CAST(l_suppkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 4096 AS b1,
+                CAST(('0x' || substr(md5('b2:' ||
+                      CAST(l_suppkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 4096 AS b2
+         FROM lineitem
+       ), f AS (
+         SELECT p.l_suppkey,
+                (list_contains(ba.arr, p.b1) AND
+                 list_contains(ba.arr, p.b2)) AS bloom_pass,
+                EXISTS (SELECT 1 FROM dim WHERE dim.k = p.l_suppkey)
+                    AS true_match
+         FROM probe p, ba
+       )
+       SELECT CAST(count(*) AS BIGINT) AS n_probe,
+              CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_pass,
+              CAST(SUM(CASE WHEN true_match THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_true,
+              CAST(SUM(CASE WHEN bloom_pass AND NOT true_match
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_false_pos,
+              CAST(SUM(CASE WHEN NOT bloom_pass AND true_match
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_false_neg
+       FROM f""",
+    doc="runtime-filter (bloom) join pruning, simulated "
+        "deterministically: the selective dim side's keys set 2 "
+        "md5-derived bits in a 4096-bit filter; the fact side tests "
+        "membership ROW-LOCALLY against the broadcast bit array and "
+        "only survivors would reach the join shuffle -- the mechanism "
+        "behind spark.sql.optimizer.runtimeFilter.* that turns a "
+        "selective dim filter into fact-scan pruning at 100 TB. "
+        "Report proves the contract: n_false_neg must be 0 (blooms "
+        "never drop true matches), n_false_pos is the wasted-shuffle "
+        "overhead. md5 bit positions are bit-identical cross-engine",
+)
+def x144_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        sup.filter(F.col("s_nationkey") < 5)
+        .select(F.col("s_suppkey").alias("k"))
+        .distinct()
+    )
+
+    def pos(salt, col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4096
+        )
+
+    bits = (
+        dim.select(pos("b1:", F.col("k")).alias("b"))
+        .unionAll(dim.select(pos("b2:", F.col("k")).alias("b")))
+        .distinct()
+    )
+    ba = bits.agg(F.array_sort(F.collect_list("b")).alias("arr"))
+    probe = li.select(
+        "l_suppkey",
+        pos("b1:", F.col("l_suppkey")).alias("b1"),
+        pos("b2:", F.col("l_suppkey")).alias("b2"),
+    )
+    truth = dim.select(F.col("k").alias("l_suppkey")).withColumn(
+        "__t", F.lit(True)
+    )
+    f = (
+        probe.crossJoin(F.broadcast(ba))
+        .join(F.broadcast(truth), "l_suppkey", "left")
+        .select(
+            (
+                F.array_contains(F.col("arr"), F.col("b1"))
+                & F.array_contains(F.col("arr"), F.col("b2"))
+            ).alias("bloom_pass"),
+            F.coalesce(F.col("__t"), F.lit(False)).alias("true_match"),
+        )
+    )
+    return f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum(F.col("bloom_pass").cast("long")).cast("long").alias("n_pass"),
+        F.sum(F.col("true_match").cast("long")).cast("long").alias("n_true"),
+        F.sum((F.col("bloom_pass") & ~F.col("true_match")).cast("long"))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum((~F.col("bloom_pass") & F.col("true_match")).cast("long"))
+        .cast("long")
+        .alias("n_false_neg"),
+    )
+
+
+@register(
+    "x145_decay_engagement",
+    """WITH mx AS (SELECT MAX(ts) AS tmax FROM events),
+       s AS (
+         SELECT user_id,
+                CAST(ROUND(
+                  value * exp(-0.1 *
+                    ((FLOOR(date_part('epoch', (SELECT tmax FROM mx))) -
+                      FLOOR(date_part('epoch', ts))) / 86400.0)), 6)
+                  AS DECIMAL(28,6)) AS w
+         FROM events
+       ), agg AS (
+         -- round the exact DECIMAL sum FIRST, cast after: rounding the
+         -- double cast instead lands on representation ties (x.xxxx5
+         -- has no exact double) that the engines break differently
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(ROUND(SUM(w), 4) AS DOUBLE) AS score
+         FROM s GROUP BY user_id
+       )
+       SELECT user_id, n_events, score FROM agg
+       ORDER BY score DESC, user_id LIMIT 100""",
+    doc="exponential time-decay engagement score: per user, "
+        "sum(value * exp(-0.1 * age_days)) against the corpus max "
+        "timestamp (deterministic, backfill-safe -- x126's anchor) -- "
+        "the recency-weighted ranking signal feeding retention "
+        "targeting and sample weighting (x38's weighted sampler "
+        "upstream). Per-event terms are row-local exp() on identical "
+        "doubles, round-6 then DECIMAL-summed (x88 recipe); one "
+        "user-key groupBy; top-100 plans as TakeOrderedAndProject",
+)
+def x145_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    age_days = (
+        F.unix_timestamp(F.col("tmax").cast("timestamp"))
+        - F.unix_timestamp(F.col("ts").cast("timestamp"))
+    ) / F.lit(86400.0)
+    w = F.round(F.col("value") * F.exp(F.lit(-0.1) * age_days), 6).cast(
+        "decimal(28,6)"
+    )
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select("user_id", w.alias("w"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("w"), 4).cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), "user_id")
+        .limit(100)
+    )
