@@ -200,3 +200,89 @@ SELECT CAST(u AS BIGINT) AS node, ROUND(r, 8) AS rank
 FROM r{iterations}
 ORDER BY r DESC, u LIMIT {top_k}"""
     )
+
+
+def bfs_levels(edges: DataFrame, hops: int = 3) -> DataFrame:
+    """Breadth-first reachability from the minimum node id, fixed
+    ``hops`` rounds. Output: one row per level 0..hops with the count
+    of nodes FIRST reached at that distance (empty levels report 0).
+
+    The other canonical Pregel workload next to ``pagerank``: per hop
+    ONE edge-sized equi-join (frontier ⋈ edges) + distinct + anti-join
+    against the visited set. The seed is a broadcast 1-row aggregate;
+    the visited set is node-cardinality and localCheckpoint'ed per hop
+    so lineage stays flat; corpus-sized data never collects. Level
+    counts are 1-row aggregates unioned -- the result is (hops+1) rows
+    regardless of graph size. Reference analog: none (extension
+    surface; graph reachability over the co-purchase graph)."""
+    seed = edges.agg(F.min("u").alias("node"))
+    visited = seed.localCheckpoint(eager=False)
+    frontiers = [visited]
+    for _ in range(hops):
+        prev = frontiers[-1]
+        # shuffle_hash, NOT broadcast: frontier and visited sets are
+        # node-sized -- a broadcast that fits the seed hop OOMs the
+        # moment the frontier saturates (pagerank's refusal, same
+        # reason; measured: the unhinted plan dies at sf0.1 local[8])
+        nxt = (
+            edges.join(
+                prev.withColumnRenamed("node", "u").hint("shuffle_hash"),
+                "u",
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.hint("shuffle_hash"), "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        frontiers.append(nxt)
+        visited = visited.union(nxt).localCheckpoint(eager=False)
+    levels = None
+    for h, f in enumerate(frontiers):
+        row = f.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes")
+        ).select(
+            F.lit(h).cast("long").alias("dist"), "n_nodes"
+        )
+        levels = row if levels is None else levels.union(row)
+    return levels
+
+
+def bfs_copurchase_sql(hops: int = 3) -> str:
+    """DuckDB SQL replaying ``bfs_levels(symmetric_copurchase_edges(...))``
+    as chained CTEs: one frontier CTE per hop, NOT-IN against every
+    prior level (the visited set), counts unioned per level."""
+    ctes = [
+        "items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """p AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+)""",
+        "edges AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p)",
+        "f0 AS (SELECT MIN(u) AS node FROM edges)",
+    ]
+    for h in range(1, hops + 1):
+        not_in = " AND ".join(
+            f"e.v NOT IN (SELECT node FROM f{i})" for i in range(h)
+        )
+        ctes.append(
+            f"""f{h} AS (
+  SELECT DISTINCT e.v AS node
+  FROM edges e JOIN f{h - 1} ON e.u = f{h - 1}.node
+  WHERE {not_in}
+)"""
+        )
+    counts = "\n  UNION ALL ".join(
+        f"SELECT {h} AS dist, count(*) AS n FROM f{h}"
+        for h in range(hops + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+lv AS (
+  {counts}
+)
+SELECT CAST(dist AS BIGINT) AS dist, CAST(n AS BIGINT) AS n_nodes
+FROM lv ORDER BY dist"""
+    )

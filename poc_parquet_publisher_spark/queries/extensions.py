@@ -402,7 +402,12 @@ def x27_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(tmp, "ckpt"),
             sink_table=sink,
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream drain did not finish within 300 s; "
+                "refusing to return a partially-filled sink"
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return (
@@ -3105,7 +3110,12 @@ def x93_stream_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(tmp, "ckpt"),
             sink_table=sink,
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream drain did not finish within 300 s; "
+                "refusing to return a partially-filled sink"
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return (
@@ -5993,4 +6003,612 @@ def x145_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score"), "user_id")
         .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: split leakage, statistical audits, gaps-and-islands,
+# BFS reachability, RANGE-frame rolling windows, weighted top-k sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x146_split_leakage",
+    f"""WITH {_X03_PAIRS_CTE},
+       sp AS (
+         SELECT id_a, id_b,
+                CASE WHEN substr(md5(concat(CAST(id_a AS VARCHAR),
+                       ':split')), 1, 4) < '{sampling._threshold_hex(0.25)}'
+                     THEN 'test' ELSE 'train' END AS sa,
+                CASE WHEN substr(md5(concat(CAST(id_b AS VARCHAR),
+                       ':split')), 1, 4) < '{sampling._threshold_hex(0.25)}'
+                     THEN 'test' ELSE 'train' END AS sb
+         FROM pairs
+       ), cls AS (
+         SELECT CASE WHEN sa = sb THEN concat(sa, '-', sa)
+                     ELSE 'cross' END AS pair_class, id_a, id_b
+         FROM sp
+       ), np AS (
+         SELECT pair_class, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM cls GROUP BY 1
+       ), docs AS (
+         SELECT pair_class, id_a AS d FROM cls
+         UNION ALL SELECT pair_class, id_b FROM cls
+       ), nd AS (
+         SELECT pair_class, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+         FROM docs GROUP BY 1
+       )
+       SELECT pair_class, n_pairs, n_docs
+       FROM np JOIN nd USING (pair_class) ORDER BY pair_class""",
+    doc="train/test split LEAKAGE audit: near-dup pairs (x03's shared "
+        "shingle-blocked Jaccard stage, threshold 0.5) classified by "
+        "which side of x18's deterministic hash split each member lands "
+        "on -- a 'cross' pair is an eval document whose near-duplicate "
+        "is in train, the contamination mode x34 cannot see because "
+        "both sides live in the SAME corpus. Split assignment is a "
+        "row-local md5 expression (pure function of doc_id, no join "
+        "back to the corpus); the expensive pair stage is shared with "
+        "x03/x24/x44/x68/x70 via the session cache, so the audit rides "
+        "an already-derived pairs table at near-zero marginal cost; "
+        "class rollups are 3-row aggregates",
+)
+def x146_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _shared_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    sp = sampling.deterministic_split(pairs, "id_a", 0.25, out="sa")
+    sp = sampling.deterministic_split(sp, "id_b", 0.25, out="sb")
+    cls = sp.withColumn(
+        "pair_class",
+        F.when(
+            F.col("sa") == F.col("sb"), F.concat_ws("-", "sa", "sa")
+        ).otherwise(F.lit("cross")),
+    )
+    np = cls.groupBy("pair_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    docs = cls.select("pair_class", F.col("id_a").alias("d")).union(
+        cls.select("pair_class", F.col("id_b").alias("d"))
+    )
+    nd = docs.groupBy("pair_class").agg(
+        F.countDistinct("d").cast("long").alias("n_docs")
+    )
+    return np.join(nd, "pair_class").orderBy("pair_class")
+
+
+@register(
+    "x147_corr_matrix",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+              ROUND(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+              ROUND(corr(l_quantity, l_tax), 6) AS corr_qty_tax,
+              ROUND(corr(l_extendedprice, l_discount), 6) AS corr_price_disc,
+              ROUND(corr(l_extendedprice, l_tax), 6) AS corr_price_tax,
+              ROUND(corr(l_discount, l_tax), 6) AS corr_disc_tax
+       FROM lineitem""",
+    doc="pairwise Pearson correlation of the four lineitem measures in "
+        "ONE aggregate pass: corr is algebraic (co-moments merge "
+        "associatively), so all six pairs compute map-side partials in "
+        "a single scan with one 1-row reduce -- the feature-redundancy "
+        "screen a training pipeline runs before fitting anything, and "
+        "at 100 TB it costs exactly one read of the two columns per "
+        "pair (column pruning keeps the scan at 4 columns). Round-6 "
+        "absorbs partial-merge-order jitter in the co-moment low bits",
+)
+def x147_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice", "corr_qty_price"),
+        ("l_quantity", "l_discount", "corr_qty_disc"),
+        ("l_quantity", "l_tax", "corr_qty_tax"),
+        ("l_extendedprice", "l_discount", "corr_price_disc"),
+        ("l_extendedprice", "l_tax", "corr_price_tax"),
+        ("l_discount", "l_tax", "corr_disc_tax"),
+    ]
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[F.round(F.corr(a, b), 6).alias(n) for a, b, n in pairs],
+    )
+
+
+@register(
+    "x148_chi2_independence",
+    """WITH cells AS (
+         SELECT o_orderpriority AS pr, o_orderstatus AS st,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM orders GROUP BY 1, 2
+       ), rt AS (SELECT pr, SUM(cnt) AS rt FROM cells GROUP BY pr),
+       ct AS (SELECT st, SUM(cnt) AS ct FROM cells GROUP BY st),
+       nn AS (SELECT SUM(cnt) AS n,
+                     count(DISTINCT pr) AS npr,
+                     count(DISTINCT st) AS nst
+              FROM cells),
+       j AS (
+         SELECT c.cnt,
+                CAST(r.rt AS DOUBLE) * CAST(t.ct AS DOUBLE) /
+                    CAST(nn.n AS DOUBLE) AS exp
+         FROM cells c
+         JOIN rt r ON c.pr = r.pr
+         JOIN ct t ON c.st = t.st
+         CROSS JOIN nn
+       )
+       SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n,
+              CAST((SELECT (npr - 1) * (nst - 1) FROM nn) AS BIGINT)
+                  AS dof,
+              CAST(count(*) AS BIGINT) AS n_cells,
+              ROUND(CAST(SUM(CAST(ROUND(
+                    (cnt - exp) * (cnt - exp) / exp, 6)
+                  AS DECIMAL(28,6))) AS DOUBLE), 4) AS chi2
+       FROM j""",
+    doc="chi-square independence test of order priority x status from "
+        "one contingency pass: a single groupBy(priority, status) "
+        "reduces the corpus to category-cardinality cells; marginals, "
+        "expected counts, and the statistic are all arithmetic over "
+        "that tiny table (broadcast joins, 1-row total). Per-cell "
+        "contributions are identical doubles cross-engine (exact int "
+        "counts through correctly-rounded * and /), round-6 "
+        "DECIMAL-summed so the 15-cell reduction order cannot move "
+        "the result (x88 recipe) -- the drift/independence screen for "
+        "categorical metadata at corpus scale",
+)
+def x148_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cells = cells.localCheckpoint(eager=False)  # category-cardinality
+    rt = cells.groupBy("pr").agg(F.sum("cnt").alias("rt"))
+    ct = cells.groupBy("st").agg(F.sum("cnt").alias("ct"))
+    nn = cells.agg(
+        F.sum("cnt").alias("n"),
+        F.countDistinct("pr").alias("npr"),
+        F.countDistinct("st").alias("nst"),
+    )
+    exp = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    contrib = F.round(
+        (F.col("cnt") - F.col("exp"))
+        * (F.col("cnt") - F.col("exp"))
+        / F.col("exp"),
+        6,
+    ).cast("decimal(28,6)")
+    j = (
+        cells.join(F.broadcast(rt), "pr")
+        .join(F.broadcast(ct), "st")
+        .crossJoin(F.broadcast(nn))
+        .withColumn("exp", exp)
+    )
+    return j.agg(
+        F.first("n").cast("long").alias("n"),
+        ((F.first("npr") - 1) * (F.first("nst") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.sum(contrib).cast("double"), 4).alias("chi2"),
+    )
+
+
+@register(
+    "x149_interval_islands",
+    """WITH iv AS (
+         SELECT l.l_suppkey AS sk, l.l_orderkey AS ok,
+                l.l_linenumber AS ln,
+                least(CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) AS s,
+                greatest(CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS e
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       ), m AS (
+         SELECT sk, ok, ln, s, e,
+                MAX(e) OVER (PARTITION BY sk ORDER BY s, e, ok, ln
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+         FROM iv
+       ), isl AS (
+         SELECT sk, s, e,
+                SUM(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY sk ORDER BY s, e, ok, ln
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS island
+         FROM m
+       ), g AS (
+         SELECT sk, island, MIN(s) AS is_, MAX(e) AS ie_,
+                count(*) AS n_iv
+         FROM isl GROUP BY 1, 2
+       )
+       SELECT CAST(sk AS BIGINT) AS suppkey,
+              CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+              CAST(count(*) AS BIGINT) AS n_islands,
+              CAST(SUM(date_diff('day', is_, ie_) + 1) AS BIGINT)
+                  AS covered_days
+       FROM g GROUP BY sk ORDER BY suppkey LIMIT 200""",
+    doc="gaps-and-islands: per supplier, order-to-ship activity "
+        "intervals merged into maximal overlapping runs (break when an "
+        "interval starts after the running MAX(end) of everything "
+        "before it), reporting islands and total covered days -- the "
+        "busy-period/utilization shape behind SLA and capacity audits, "
+        "and the interval-union primitive x113's SCD2 intervals don't "
+        "cover. One shuffle on the entity key; cumulative-max and "
+        "island-id windows run per supplier IN PARALLEL (no global "
+        "sort, no SinglePartition); the window order key includes "
+        "(orderkey, linenumber) so tie order -- and with it the "
+        "running max -- is bit-identical cross-engine. Intervals are "
+        "least/greatest-normalized: ~47%% of synthetic shipdates "
+        "precede their order date",
+)
+def x149_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("sk"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_shipdate").cast("date").alias("sd"),
+        "l_orderkey",
+    )
+    iv = li.join(orders, li.ok == orders.o_orderkey).select(
+        "sk",
+        "ok",
+        "ln",
+        F.least("od", "sd").alias("s"),
+        F.greatest("od", "sd").alias("e"),
+    )
+    order_keys = [F.col(c) for c in ("s", "e", "ok", "ln")]
+    wprev = (
+        Window.partitionBy("sk")
+        .orderBy(*order_keys)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcum = (
+        Window.partitionBy("sk")
+        .orderBy(*order_keys)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = iv.withColumn("pe", F.max("e").over(wprev))
+    isl = m.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("pe").isNull() | (F.col("s") > F.col("pe")), 1
+            ).otherwise(0)
+        ).over(wcum),
+    )
+    g = isl.groupBy("sk", "island").agg(
+        F.min("s").alias("is_"),
+        F.max("e").alias("ie_"),
+        F.count(F.lit(1)).alias("n_iv"),
+    )
+    return (
+        g.groupBy("sk")
+        .agg(
+            F.sum("n_iv").cast("long").alias("n_intervals"),
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.sum(F.datediff("ie_", "is_") + 1)
+            .cast("long")
+            .alias("covered_days"),
+        )
+        .select(
+            F.col("sk").cast("long").alias("suppkey"),
+            "n_intervals",
+            "n_islands",
+            "covered_days",
+        )
+        .orderBy("suppkey")
+        .limit(200)
+    )
+
+
+@register(
+    "x150_bfs_reach",
+    graph.bfs_copurchase_sql(3),
+    doc="3-hop breadth-first reachability from the minimum-id node of "
+        "the co-purchase graph: per-level first-reached node counts -- "
+        "the other canonical Pregel workload next to x104's PageRank "
+        "(reachability/components flavor instead of value "
+        "propagation). Per hop ONE edge-sized equi-join + distinct + "
+        "anti-join vs the visited set; the frontier is never "
+        "collected; level counts are 1-row aggregates unioned, so the "
+        "result is 4 rows at any graph size. Reuses x104's amortized "
+        "bucketed edge table when the bench has persisted it. Oracle "
+        "replays the loop as chained NOT-IN CTEs (ops/graph.py "
+        "bfs_copurchase_sql)",
+)
+def x150_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl = graph.copurchase_edge_table_name(sf_dir)
+    if spark.catalog.tableExists(tbl):
+        edges = spark.table(tbl)
+    else:
+        li = load_table(spark, sf_dir, "lineitem")
+        edges = graph.symmetric_copurchase_edges(li)
+    return graph.bfs_levels(edges, hops=3)
+
+
+@register(
+    "x151_rolling_revenue",
+    """WITH d AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev
+         FROM orders GROUP BY 1
+       )
+       SELECT day, n_orders,
+              ROUND(CAST(rev AS DOUBLE), 2) AS rev,
+              ROUND(CAST(SUM(rev) OVER (
+                  ORDER BY date_diff('day', DATE '1992-01-01', day)
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS DOUBLE), 2) AS rev_7d,
+              CAST(count(*) OVER (
+                  ORDER BY date_diff('day', DATE '1992-01-01', day)
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_days_7d
+       FROM d ORDER BY day""",
+    doc="7-day trailing revenue via a RANGE-frame window on an integer "
+        "day index -- RANGE (value-based, gap-aware: a missing calendar "
+        "day shrinks the window) vs the ROWS frames used everywhere "
+        "else; completes the window-frame surface next to x81's lag "
+        "and x74's rolling distinct. The corpus-sized pass is the "
+        "day groupBy (map-side partial agg); the global-ordered window "
+        "then runs over CALENDAR-cardinality rows (~2.4k days at "
+        "sf0.1, ~36k for a century) -- a deliberate, documented "
+        "SinglePartition over bounded data, the same contract as "
+        "x81/x77. DECIMAL-exact daily sums; doubles only at the "
+        "rounded edge",
+)
+def x151_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias(
+                "drev"
+            ),
+        )
+        .withColumn(
+            "dayi", F.datediff("day", F.lit("1992-01-01").cast("date"))
+        )
+    )
+    w = Window.orderBy("dayi").rangeBetween(-6, 0)
+    return (
+        d.select(
+            "day",
+            "n_orders",
+            F.round(F.col("drev").cast("double"), 2).alias("rev"),
+            F.round(F.sum("drev").over(w).cast("double"), 2).alias(
+                "rev_7d"
+            ),
+            F.count(F.lit(1)).over(w).cast("long").alias("n_days_7d"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "x152_weighted_topk_sample",
+    """WITH h AS (
+         SELECT doc_id, n_chars,
+                CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR),
+                      ':es')), 1, 8)) AS BIGINT) AS v
+         FROM documents WHERE n_chars >= 1
+       )
+       SELECT doc_id, n_chars,
+              ROUND(-ln((v + 1) / 4294967297.0) /
+                    CAST(n_chars AS DOUBLE), 12) AS es_key
+       FROM h ORDER BY es_key, doc_id LIMIT 100""",
+    doc="weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+        "exponential keys): es_key = -ln(u)/w with u hash-derived from "
+        "md5(doc_id), w = n_chars; the k smallest keys are an exact "
+        "weight-proportional-without-replacement draw. Distinct from "
+        "x36's Bernoulli thresholding (with-replacement semantics, "
+        "approximate total) -- this yields an EXACT sample size, the "
+        "contract batch construction needs. Key assignment is a "
+        "row-local expression (no RNG state, stable under retry/"
+        "rescale); selection plans as TakeOrderedAndProject (per-"
+        "partition top-k, k-sized merge -- no global sort shuffle). "
+        "u=(v+1)/2^32+1 lands in (0,1] so ln is total; round-12 keys "
+        "+ doc_id tiebreak absorb last-ulp ln() divergence",
+)
+def x152_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") >= 1
+    )
+    v = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":es"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (v + F.lit(1)) / F.lit(4294967297.0)
+    key = F.round(-F.log(u) / F.col("n_chars").cast("double"), 12)
+    return (
+        docs.select("doc_id", "n_chars", key.alias("es_key"))
+        .orderBy("es_key", "doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "x153_quantile_normalize",
+    """WITH r AS (
+         SELECT o_orderkey, o_totalprice,
+                CAST(row_number() OVER (
+                  ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn
+         FROM orders
+       ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+       SELECT o_orderkey,
+              ROUND(o_totalprice, 2) AS o_totalprice,
+              rn,
+              ROUND(CAST(rn AS DOUBLE) / (SELECT n FROM nn), 6) AS pct,
+              CAST(least(CAST(floor(ROUND(CAST(rn AS DOUBLE) /
+                    (SELECT n FROM nn), 6) * 10) AS BIGINT), 9)
+                AS BIGINT) AS decile
+       FROM r WHERE rn % 97 = 0 ORDER BY rn""",
+    doc="quantile normalization: map every order price to its exact "
+        "global percentile (and decile bucket) WITHOUT a global sort -- "
+        "the rank comes from scale.global_row_number (per-range-"
+        "partition counts fold into broadcast offsets; no Exchange "
+        "SinglePartition), where the textbook PERCENT_RANK()/NTILE() "
+        "window funnels the corpus through one task. The percentile "
+        "map feeds rank-based feature scaling and equal-frequency "
+        "binning at 100 TB; (price, orderkey) is a total order so "
+        "ties are bit-identical cross-engine. Output is the "
+        "deterministic rn%97 systematic sample of the full mapping "
+        "(covers the whole range, keeps the artifact bounded); "
+        "plan-gated alongside x90 (no SinglePartition rank)",
+)
+def x153_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import scale
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    n1 = orders.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r = scale.global_row_number(
+        orders,
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        out_col="rn",
+    )
+    pct = F.round(F.col("rn").cast("double") / F.col("n"), 6)
+    return (
+        r.filter(F.col("rn") % 97 == 0)
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("rn").cast("long").alias("rn"),
+            pct.alias("pct"),
+            F.least(F.floor(pct * 10).cast("long"), F.lit(9).cast("long"))
+            .cast("long")
+            .alias("decile"),
+        )
+        .orderBy("rn")
+    )
+
+
+@register(
+    "x154_mutual_info",
+    """WITH cells AS (
+         SELECT o_orderpriority AS pr, o_orderstatus AS st,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM orders GROUP BY 1, 2
+       ), rt AS (SELECT pr, SUM(cnt) AS rt FROM cells GROUP BY pr),
+       ct AS (SELECT st, SUM(cnt) AS ct FROM cells GROUP BY st),
+       nn AS (SELECT SUM(cnt) AS n FROM cells),
+       mi AS (
+         SELECT ROUND(CAST(SUM(CAST(ROUND(
+                  (CAST(c.cnt AS DOUBLE) / CAST(nn.n AS DOUBLE)) *
+                  ln((CAST(c.cnt AS DOUBLE) / CAST(nn.n AS DOUBLE)) /
+                     ((CAST(r.rt AS DOUBLE) / CAST(nn.n AS DOUBLE)) *
+                      (CAST(t.ct AS DOUBLE) / CAST(nn.n AS DOUBLE)))), 6)
+                AS DECIMAL(28,6))) AS DOUBLE), 4) AS mi
+         FROM cells c
+         JOIN rt r ON c.pr = r.pr
+         JOIN ct t ON c.st = t.st
+         CROSS JOIN nn
+       ), hp AS (
+         SELECT ROUND(CAST(SUM(CAST(ROUND(
+                  -(CAST(rt AS DOUBLE) / CAST(nn.n AS DOUBLE)) *
+                  ln(CAST(rt AS DOUBLE) / CAST(nn.n AS DOUBLE)), 6)
+                AS DECIMAL(28,6))) AS DOUBLE), 4) AS h_priority
+         FROM rt CROSS JOIN nn
+       ), hs AS (
+         SELECT ROUND(CAST(SUM(CAST(ROUND(
+                  -(CAST(ct AS DOUBLE) / CAST(nn.n AS DOUBLE)) *
+                  ln(CAST(ct AS DOUBLE) / CAST(nn.n AS DOUBLE)), 6)
+                AS DECIMAL(28,6))) AS DOUBLE), 4) AS h_status
+         FROM ct CROSS JOIN nn
+       )
+       SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n,
+              mi.mi, hp.h_priority, hs.h_status,
+              ROUND(mi.mi / sqrt(hp.h_priority * hs.h_status), 4) AS nmi
+       FROM mi, hp, hs""",
+    doc="mutual information between order priority and status (plus "
+        "marginal entropies and sqrt-normalized NMI): the feature-"
+        "dependence screen that catches NONLINEAR association x147's "
+        "Pearson corr misses and x148's chi2 only thresholds. Same "
+        "contingency shape as x148: ONE groupBy reduces the corpus to "
+        "category-cardinality cells; every term is arithmetic over that "
+        "tiny table (broadcast joins, 1-row total); ln() over identical "
+        "doubles, each term round-6 DECIMAL-summed (x88 recipe), so "
+        "cell order cannot move the result",
+)
+def x154_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("pr"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    rt = cells.groupBy("pr").agg(F.sum("cnt").alias("rt"))
+    ct = cells.groupBy("st").agg(F.sum("cnt").alias("ct"))
+    nn = cells.agg(F.sum("cnt").alias("n"))
+
+    def _p(col):
+        return F.col(col).cast("double") / F.col("n").cast("double")
+
+    mi_term = F.round(
+        _p("cnt") * F.log(_p("cnt") / (_p("rt") * _p("ct"))), 6
+    ).cast("decimal(28,6)")
+    mi = (
+        cells.join(F.broadcast(rt), "pr")
+        .join(F.broadcast(ct), "st")
+        .crossJoin(F.broadcast(nn))
+        .agg(F.round(F.sum(mi_term).cast("double"), 4).alias("mi"))
+    )
+    hp = (
+        rt.crossJoin(F.broadcast(nn))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(-_p("rt") * F.log(_p("rt")), 6).cast(
+                        "decimal(28,6)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("h_priority")
+        )
+    )
+    hs = (
+        ct.crossJoin(F.broadcast(nn))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(-_p("ct") * F.log(_p("ct")), 6).cast(
+                        "decimal(28,6)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("h_status")
+        )
+    )
+    nsel = nn.select(F.col("n").cast("long").alias("n"))
+    return (
+        nsel.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hp))
+        .crossJoin(F.broadcast(hs))
+        .select(
+            "n",
+            "mi",
+            "h_priority",
+            "h_status",
+            F.round(
+                F.col("mi")
+                / F.sqrt(F.col("h_priority") * F.col("h_status")),
+                4,
+            ).alias("nmi"),
+        )
     )

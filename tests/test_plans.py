@@ -464,3 +464,66 @@ def test_quality_ensemble_no_global_window(spark):
     plan = plan_of(x119_quality_ensemble(spark, SF))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+# -- registry-wide cartesian gate -------------------------------------------
+
+from poc_parquet_publisher_spark.queries import REGISTRY, all_queries
+
+_ensure_reg = all_queries()
+# Streaming entries EXECUTE their drain while the DataFrame is built (the
+# returned frame is the drained sink) -- planning them here would re-run
+# multi-second streams the streaming tests already gate; their batch-side
+# shapes are asserted by their own stream==batch tests.
+_STREAMING = {
+    "x27_streaming_window",
+    "x48_session_window",
+    "x58_sliding_window",
+    "x93_stream_enrichment",
+    "x103_stream_attribution",
+    "x143_stream_dedup_counts",
+}
+_PLAN_NAMES = sorted(n for n in REGISTRY if n not in _STREAMING)
+
+
+@pytest.mark.parametrize("name", _PLAN_NAMES)
+def test_registry_no_cartesian(spark, name):
+    """EVERY registry entry plans without a CartesianProduct. 1-row
+    broadcast crossJoins legitimately plan as BroadcastNestedLoopJoin
+    (bounded by contract), so only the unbounded-blowup operator is
+    banned repo-wide."""
+    plan = plan_of(REGISTRY[name].spark(spark, SF))
+    assert "CartesianProduct" not in plan, name
+
+
+def test_x153_quantile_normalize_no_global_sort(spark):
+    """x153: the percentile rank must come from the two-pass prefix-sum
+    row-number, never a SinglePartition window (x90's gate; the final
+    output orderBy range exchange is allowed)."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x153_quantile_normalize,
+    )
+
+    plan = plan_of(x153_quantile_normalize(spark, SF))
+    assert "Window" not in plan
+    assert "MapInPandas" in plan
+    # the one allowed SinglePartition is the global count(*)'s FINAL
+    # aggregate (partition-count partial rows cross it, never data):
+    # every SinglePartition exchange must feed a HashAggregate
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            nxt = lines[i + 1] if i + 1 < len(lines) else ""
+            assert "HashAggregate" in nxt, f"unbounded funnel: {line}\n{nxt}"
+
+
+def test_x150_bfs_frontier_joins_not_cartesian(spark):
+    """x150: every hop is an equi-join against the edge list plus an
+    anti-join against the visited set -- no cartesian; level counts are
+    1-row aggregates."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x150_bfs_reach,
+    )
+
+    plan = plan_of(x150_bfs_reach(spark, SF))
+    assert "CartesianProduct" not in plan
