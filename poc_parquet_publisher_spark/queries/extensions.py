@@ -6612,3 +6612,118 @@ def x154_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+@register(
+    "x155_date_spine_fill",
+    """WITH d AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev
+         FROM orders GROUP BY 1
+       ), mn AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+       spine AS (
+         SELECT CAST(unnest(generate_series(lo, hi,
+                  INTERVAL 1 DAY)) AS DATE) AS day
+         FROM mn
+       )
+       SELECT s.day,
+              COALESCE(d.n_orders, 0) AS n_orders,
+              ROUND(CAST(COALESCE(d.rev, 0) AS DOUBLE), 2) AS rev,
+              CAST(CASE WHEN d.day IS NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS is_gap
+       FROM spine s LEFT JOIN d ON s.day = d.day ORDER BY s.day""",
+    doc="calendar gap-filling: a generated date spine (sequence from "
+        "the corpus min to max day, exploded from a 1-row aggregate) "
+        "LEFT-joins the daily revenue rollup, zero-filling missing "
+        "days and flagging them -- the time-series regularization step "
+        "x151's gap-AWARE window deliberately skips, and the "
+        "prerequisite for any fixed-length model input. The corpus-"
+        "sized pass is the day groupBy; spine generation and the fill "
+        "join are calendar-cardinality (the spine explode never "
+        "touches data). DECIMAL-exact daily sums",
+)
+def x155_date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev"),
+    )
+    spine = (
+        d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    return (
+        spine.join(d.withColumnRenamed("day", "dday"),
+                   spine.day == F.col("dday"), "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias(
+                "n_orders"
+            ),
+            F.round(
+                F.coalesce(
+                    F.col("rev"), F.lit(0).cast("decimal(30,2)")
+                ).cast("double"),
+                2,
+            ).alias("rev"),
+            F.when(F.col("dday").isNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_gap"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "x156_partition_manifest",
+    """SELECT CAST(ts AS DATE) AS event_date,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(MIN(event_id) AS BIGINT) AS min_id,
+              CAST(MAX(event_id) AS BIGINT) AS max_id,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events GROUP BY 1 ORDER BY event_date""",
+    doc="data-layout round-trip through the correctness gate (x114's "
+        "contract, for the hive-partitioned leg): events are written "
+        "as a date-partitioned parquet tree (pipeline/layout.py "
+        "write_partitioned -- one shuffle on the partition key bounds "
+        "the file count; sortWithinPartitions gives tight row-group "
+        "stats), read back through partition discovery, and rolled up "
+        "BY THE PARTITION COLUMN; hash-matching the direct per-day SQL "
+        "proves the layout write/read leg is lossless and the "
+        "partition column round-trips with DATE type intact. At 100 TB "
+        "this manifest (rows + key ranges per partition) is what "
+        "drives partition pruning and incremental-load bookkeeping",
+)
+def x156_partition_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..pipeline.layout import write_partitioned
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    tmp = tempfile.mkdtemp(prefix="x156_layout_")
+    try:
+        write_partitioned(
+            ev, tmp, ["event_date"], sort_cols=["event_id"]
+        )
+        back = spark.read.parquet(tmp)
+        out = (
+            back.groupBy("event_date")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min("event_id").cast("long").alias("min_id"),
+                F.max("event_id").cast("long").alias("max_id"),
+                F.countDistinct("user_id").cast("long").alias("n_users"),
+            )
+            .orderBy("event_date")
+            .localCheckpoint()  # materialize before the tree disappears
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

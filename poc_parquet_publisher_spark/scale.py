@@ -86,6 +86,21 @@ def write_bucketed(
     Bucketed layout only survives through the catalog (saveAsTable), not
     bare write.parquet -- parquet files alone carry no bucket metadata.
     """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # A managed-table LOCATION can outlive the (in-memory) catalog
+        # entry across sessions; saveAsTable then fails with
+        # LOCATION_ALREADY_EXISTS even though the table is "new" to
+        # this catalog. Drop both the entry and any stale directory.
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        loc = f"{warehouse.rstrip('/')}/{table.lower()}"
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(loc)
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
     writer = df.write.bucketBy(n_buckets, bucket_col)
     if sort:
         writer = writer.sortBy(bucket_col)
