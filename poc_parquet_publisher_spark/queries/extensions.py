@@ -6727,3 +6727,205 @@ def x156_partition_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@register(
+    "x157_user_history",
+    """WITH e AS (
+         SELECT user_id, ts, event_id, event_type FROM events
+       ), s AS (
+         SELECT user_id,
+                CAST(count(*) AS BIGINT) AS n_events,
+                string_agg(event_type, '>' ORDER BY ts, event_id)
+                    AS history
+         FROM e GROUP BY user_id
+       )
+       SELECT user_id, n_events,
+              CASE WHEN length(history) > 200
+                   THEN substr(history, 1, 200) ELSE history
+              END AS history_prefix,
+              md5(history) AS history_hash
+       FROM s ORDER BY user_id""",
+    doc="per-user event-history serialization: each user's full event "
+        "sequence in (ts, event_id) order collapsed to one delimited "
+        "string -- the session/history flattening step that turns an "
+        "event log into sequence-model training rows (next-event "
+        "prediction, behavioral embeddings). Declarative secondary "
+        "sort: ONE shuffle on user_id, the order imposed by "
+        "array_sort over (ts, event_id, type) structs INSIDE the "
+        "aggregate -- no repartitionAndSortWithinPartitions RDD "
+        "detour, no per-group Python. The unique event_id tiebreak "
+        "makes the serialization bit-identical cross-engine; the "
+        "md5 proves full-sequence equality while the stored prefix "
+        "stays bounded",
+)
+def x157_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hist = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", "event_type")
+                )
+            ),
+            lambda s: s["event_type"],
+        ),
+        ">",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            hist.alias("history"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.when(
+                F.length("history") > 200,
+                F.substring("history", 1, 200),
+            )
+            .otherwise(F.col("history"))
+            .alias("history_prefix"),
+            F.md5("history").alias("history_hash"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "x158_order_reconciliation",
+    """WITH li AS (
+         SELECT l_orderkey,
+                CAST(count(*) AS BIGINT) AS n_lines,
+                SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                    AS DECIMAL(28,4))) AS li_total
+         FROM lineitem GROUP BY 1
+       ), j AS (
+         SELECT o.o_orderkey,
+                CAST(o.o_totalprice AS DECIMAL(28,4)) AS o_total,
+                li.n_lines, li.li_total
+         FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+       ), c AS (
+         SELECT CASE
+                  WHEN n_lines IS NULL THEN 'no_lineitems'
+                  WHEN li_total = o_total THEN 'exact'
+                  WHEN abs(CAST(li_total - o_total AS DOUBLE)) /
+                       CAST(o_total AS DOUBLE) <= 0.01
+                    THEN 'within_1pct'
+                  ELSE 'mismatch'
+                END AS bucket,
+                o_total, li_total
+         FROM j
+       )
+       SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+              ROUND(CAST(SUM(o_total) AS DOUBLE), 2) AS header_total,
+              ROUND(CAST(SUM(COALESCE(li_total, 0)) AS DOUBLE), 2)
+                  AS detail_total
+       FROM c GROUP BY bucket ORDER BY bucket""",
+    doc="cross-table reconciliation (the financial-close DQ audit): "
+        "order-header totals vs the SUM of their line items, bucketed "
+        "exact / within-1%% / mismatch / no-lineitems, with DECIMAL-"
+        "exact totals per bucket. The canonical fact-vs-rollup "
+        "consistency check a warehouse runs after every load. One "
+        "orderkey groupBy + one co-partitionable orderkey equi-join "
+        "(both sides shuffle on the same key -- bucketed tables would "
+        "make it exchange-free); per-row arithmetic is round-4 "
+        "DECIMAL (x45's recipe), relative-diff comparison in double "
+        "on identical inputs",
+)
+def x158_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount")),
+                    4,
+                ).cast("decimal(28,4)")
+            ).alias("li_total"),
+        )
+    )
+    j = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(28,4)").alias("o_total"),
+    ).join(li, orders.o_orderkey == li.l_orderkey, "left")
+    bucket = (
+        F.when(F.col("n_lines").isNull(), "no_lineitems")
+        .when(F.col("li_total") == F.col("o_total"), "exact")
+        .when(
+            F.abs(
+                (F.col("li_total") - F.col("o_total")).cast("double")
+            )
+            / F.col("o_total").cast("double")
+            <= 0.01,
+            "within_1pct",
+        )
+        .otherwise("mismatch")
+    )
+    return (
+        j.select(bucket.alias("bucket"), "o_total", "li_total")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_total").cast("double"), 2).alias(
+                "header_total"
+            ),
+            F.round(
+                F.sum(
+                    F.coalesce(
+                        F.col("li_total"),
+                        F.lit(0).cast("decimal(28,4)"),
+                    )
+                ).cast("double"),
+                2,
+            ).alias("detail_total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "x159_histogram_2d",
+    """SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bin,
+              CAST(floor(l_discount / 0.02) AS BIGINT) AS disc_bin,
+              CAST(count(*) AS BIGINT) AS n,
+              ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2)))
+                    AS DOUBLE), 2) AS revenue
+       FROM lineitem
+       GROUP BY 1, 2 ORDER BY qty_bin, disc_bin""",
+    doc="2-D equi-width histogram (quantity x discount heatmap with a "
+        "revenue measure): the joint-distribution readout behind drift "
+        "monitors and pricing heatmaps, and the binned pre-aggregation "
+        "that lets a dashboard query bins instead of rows. ONE "
+        "partial-aggregating groupBy on row-local bin expressions -- "
+        "bin-cardinality output regardless of corpus size; bin edges "
+        "are exact (divide by 10 / 0.02 on identical doubles, floor is "
+        "total) so assignment is bit-identical cross-engine",
+)
+def x159_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / 10)
+            .cast("long")
+            .alias("qty_bin"),
+            F.floor(F.col("l_discount") / 0.02)
+            .cast("long")
+            .alias("disc_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(30,2)")
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("qty_bin", "disc_bin")
+    )
