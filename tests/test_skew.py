@@ -61,6 +61,12 @@ SKEW_ENTRIES = [
     "x131_retention_cohorts",
     "x139_session_length_dist",
     "x140_markov_stationary",
+    # round-5 additions: the hot supplier serializes x149's one window
+    # partition (per-key parallelism contract), the hot user funnels
+    # ~20% of events through x157's one collect_list task -- both must
+    # still answer correctly and inside the straggler gate
+    "x149_interval_islands",
+    "x157_user_history",
 ]
 
 
@@ -118,6 +124,24 @@ def _gen(dir_path: str, skewed: bool) -> None:
                      AS l_shipdate
           FROM range({N_LINEITEM}) t(i)
         ) TO '{dir_path}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+          SELECT CAST(1 + i AS BIGINT) AS o_orderkey,
+                 CAST(1 + hash(i * 89) % 3000 AS BIGINT) AS o_custkey,
+                 CASE hash(i * 97) % 3 WHEN 0 THEN 'F' WHEN 1 THEN 'O'
+                      ELSE 'P' END AS o_orderstatus,
+                 ROUND(CAST(hash(i * 101) % 50000000 AS BIGINT) / 100.0
+                       + 1.0, 2) AS o_totalprice,
+                 TIMESTAMP '2024-01-01 00:00:00'
+                   + to_seconds(CAST(hash(i * 83) % 31536000 AS BIGINT))
+                     AS o_orderdate,
+                 CASE hash(i * 103) % 5 WHEN 0 THEN '1-URGENT'
+                      WHEN 1 THEN '2-HIGH' WHEN 2 THEN '3-MEDIUM'
+                      WHEN 3 THEN '4-NOT SPECIFIED' ELSE '5-LOW' END
+                     AS o_orderpriority
+          FROM range({N_LINEITEM} // 4 + 1) t(i)
+        ) TO '{dir_path}/orders.parquet' (FORMAT PARQUET)
     """)
     if skewed:
         src = ("CASE WHEN (hash(i * 73) % 10) < 7 THEN 'web' "
