@@ -6929,3 +6929,100 @@ def x159_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qty_bin", "disc_bin")
     )
+
+
+@register(
+    "x160_csv_roundtrip_dedup",
+    """SELECT md5(lower(text)) AS h, MIN(doc_id) AS keep_id,
+              count(*) AS dup_cnt
+       FROM documents GROUP BY md5(lower(text)) ORDER BY h""",
+    doc="format-abstraction contract for the CSV leg (x114's JSONL "
+        "twin): export the corpus as headered CSV shards (Spark csv "
+        "sink -- quoting/escaping is where CSV round-trips silently "
+        "corrupt text columns), read them back with the ORIGINAL "
+        "schema, and run x01's exact dedup on the round-tripped "
+        "corpus; hash-matching the parquet-sourced oracle proves the "
+        "quote/escape cycle is byte-lossless THROUGH the correctness "
+        "gate. Shards write/read in parallel (csv sink, no collect)",
+)
+def x160_csv_roundtrip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="x160_csv_")
+    try:
+        (
+            docs.write.mode("overwrite")
+            .option("header", True)
+            .option("quoteAll", True)
+            .csv(tmp)
+        )
+        back = (
+            spark.read.schema(docs.schema)
+            .option("header", True)
+            .csv(tmp)
+        )
+        out = dedup.exact_dedup(back, "doc_id", "text").orderBy("h")
+        out = out.localCheckpoint()  # materialize before tmp vanishes
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
+    "x161_interevent_gaps",
+    """WITH g AS (
+         -- integer MICROsecond difference, floored to whole seconds:
+         -- truncating each endpoint to seconds first (unix_timestamp
+         -- semantics) bins sub-second-straddling gaps differently
+         SELECT event_type,
+                CAST(FLOOR((epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id))
+                      / 1000000.0) AS BIGINT) AS gap_s
+         FROM events
+       ), b AS (
+         SELECT event_type,
+                CAST(length(bin(CAST(gap_s + 1 AS BIGINT))) - 1
+                  AS BIGINT) AS gap_bin
+         FROM g WHERE gap_s IS NOT NULL
+       )
+       SELECT event_type, gap_bin, CAST(count(*) AS BIGINT) AS n
+       FROM b GROUP BY 1, 2 ORDER BY event_type, gap_bin""",
+    doc="inter-event gap distribution (burstiness profile): per user, "
+        "the seconds between consecutive events (lag over the user "
+        "timeline), log2-bucketed per event type -- the signal behind "
+        "bot detection, session-gap calibration (x21's 30-min cutoff "
+        "is READ OFF this histogram), and arrival-process modeling. "
+        "One user-key shuffle; lag windows run per user in parallel; "
+        "output is type x bucket cardinality. Integer epoch seconds "
+        "make the bins exact; (ts, event_id) tiebreak pins duplicate "
+        "timestamps cross-engine",
+)
+def x161_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = F.floor(
+        (us - F.lag(us).over(w)) / F.lit(1000000.0)
+    ).cast("long")
+    return (
+        ev.select("event_type", gap.alias("gap_s"))
+        .filter(F.col("gap_s").isNotNull())
+        .select(
+            "event_type",
+            # floor(log2(n)) as an exact INTEGER op: binary-digit
+            # count minus 1 -- ln(x)/ln(2) floors wrong by 1 ulp at
+            # power-of-2 boundaries depending on the engine's libm
+            (
+                F.length(F.bin((F.col("gap_s") + 1).cast("long"))) - 1
+            )
+            .cast("long")
+            .alias("gap_bin"),
+        )
+        .groupBy("event_type", "gap_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("event_type", "gap_bin")
+    )
