@@ -5824,14 +5824,19 @@ def x143_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = deduped.groupBy("event_type").agg(
             F.count(F.lit(1)).cast("long").alias("n_events")
         )
-        q = (
+        from ..streaming.windows import _start_with_state_partitions
+
+        writer = (
             agg.writeStream.outputMode("complete")
             .format("memory")
             .queryName(sink)
             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
             .trigger(availableNow=True)
-            .start()
         )
+        # 8 state stores, not the session's 32: the dedup + agg state is
+        # tiny next to per-store open/commit overhead per micro-batch
+        # (x103's measured 14.5 s -> 3.9 s recipe)
+        q = _start_with_state_partitions(spark, writer, 8)
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("x143 stream drain did not finish in 300 s")
