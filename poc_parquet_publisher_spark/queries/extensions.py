@@ -7031,3 +7031,153 @@ def x161_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("event_type", "gap_bin")
     )
+
+
+@register(
+    "x162_cumulative_reach",
+    """WITH f AS (
+         SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+         FROM events GROUP BY user_id
+       ), d AS (
+         SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new_users
+         FROM f GROUP BY first_day
+       )
+       SELECT day, n_new_users,
+              CAST(SUM(n_new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+       FROM d ORDER BY day""",
+    doc="cumulative user reach (growth curve): first-seen day per user "
+        "(one user-key groupBy), daily new-user counts, running total "
+        "-- the acquisition metric next to x74's WINDOWED active users "
+        "(reach never resets; WAU does). Two partial-aggregating "
+        "groupBys reduce the corpus to day-cardinality before the "
+        "running sum, which is a documented bounded SinglePartition "
+        "over calendar-sized rows (x81/x151's contract); exact "
+        "integers end to end",
+)
+def x162_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    d = f.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d.select(
+            "day",
+            "n_new_users",
+            F.sum("n_new_users").over(w).cast("long").alias("cum_users"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "x163_feature_hashing",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+         FROM documents
+       ), h AS (
+         SELECT doc_id,
+                CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) % 64
+                    AS idx
+         FROM tok WHERE length(t) > 0
+       ), c AS (
+         SELECT doc_id, idx, CAST(count(*) AS BIGINT) AS cnt
+         FROM h GROUP BY 1, 2
+       )
+       SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS nnz,
+              CAST(SUM(cnt) AS BIGINT) AS l1,
+              md5(string_agg(idx || ':' || cnt, ',' ORDER BY idx))
+                  AS feat_hash
+       FROM c GROUP BY doc_id ORDER BY doc_id""",
+    doc="hashing-trick featurization (the fixed-width sparse vector "
+        "every linear/DNN text baseline trains on): tokens hash into "
+        "64 buckets via md5 (cross-engine -- Spark's hash() is Murmur3 "
+        "and DuckDB's is not, so md5 is the portable bucket map), "
+        "per-doc bucket counts serialize to a canonical 'idx:cnt' "
+        "string whose md5 proves the full vector equal while the "
+        "output row stays 4 columns. Two partial-aggregating groupBys "
+        "(doc x bucket, then doc); no vocabulary build, no broadcast "
+        "-- the property that makes feature hashing work at 100 TB",
+)
+def x163_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("t"),
+    ).filter(F.length("t") > 0)
+    idx = F.pmod(
+        F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("long"),
+        F.lit(64),
+    )
+    c = tok.select("doc_id", idx.alias("idx")).groupBy(
+        "doc_id", "idx"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    feat = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "cnt"))),
+                lambda s: F.concat_ws(":", s["idx"], s["cnt"]),
+            ),
+            ",",
+        )
+    )
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nnz"),
+            F.sum("cnt").cast("long").alias("l1"),
+            feat.alias("feat_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x164_split_balance",
+    f"""WITH s AS (
+         SELECT doc_id, lang, n_chars,
+                CASE WHEN substr(md5(concat(CAST(doc_id AS VARCHAR),
+                       ':split')), 1, 4) < '{sampling._threshold_hex(0.25)}'
+                     THEN 'test' ELSE 'train' END AS split
+         FROM documents
+       )
+       SELECT split, lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE)
+                    / count(*), 2) AS avg_chars
+       FROM s GROUP BY 1, 2 ORDER BY split, lang""",
+    doc="split balance audit (the A/A test run before trusting any "
+        "eval number): per split x language, document counts and mean "
+        "length -- a hash split that skews on a covariate invalidates "
+        "the holdout, and this is how it is caught. Split assignment "
+        "is x18's row-local md5 expression; ONE partial-aggregating "
+        "groupBy; the mean divides a DECIMAL-exact sum by an exact "
+        "count in double (identical inputs -> identical rounding)",
+)
+def x164_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = sampling.deterministic_split(docs, "doc_id", 0.25, out="split")
+    return (
+        s.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(28,0)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                2,
+            ).alias("avg_chars"),
+        )
+        .orderBy("split", "lang")
+    )
