@@ -7181,3 +7181,249 @@ def x164_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "x165_audience_overlap",
+    """WITH u AS (
+         SELECT user_id, list_sort(list_distinct(list(event_type)))
+                    AS types
+         FROM events GROUP BY user_id
+       ), pairs AS (
+         SELECT a.x AS type_a, b.x AS type_b, count(*) AS both_users
+         FROM u,
+              unnest(types) a(x),
+              unnest(types) b(x)
+         WHERE a.x < b.x
+         GROUP BY 1, 2
+       ), per AS (
+         SELECT x AS t, count(*) AS n_users
+         FROM u, unnest(types) t(x) GROUP BY 1
+       )
+       SELECT p.type_a, p.type_b,
+              CAST(p.both_users AS BIGINT) AS both_users,
+              CAST(pa.n_users AS BIGINT) AS n_a,
+              CAST(pb.n_users AS BIGINT) AS n_b,
+              ROUND(CAST(p.both_users AS DOUBLE) /
+                    (pa.n_users + pb.n_users - p.both_users), 4)
+                  AS jaccard
+       FROM pairs p
+       JOIN per pa ON pa.t = p.type_a
+       JOIN per pb ON pb.t = p.type_b
+       ORDER BY type_a, type_b""",
+    doc="audience-overlap matrix: for every event-type pair, how many "
+        "users do both, plus per-type reach and audience Jaccard -- "
+        "the segment-overlap readout behind campaign dedup and "
+        "cross-feature cannibalization checks. x102's in-bucket "
+        "pattern one level up: ONE user-key groupBy collapses each "
+        "user to a distinct type set, pairs expand INSIDE the "
+        "(type-cardinality) array, and every downstream row is "
+        "type-pair-sized -- the user cross product never exists. "
+        "Per-type reach folds from the same sets; broadcast joins "
+        "stitch the tiny tables",
+)
+def x165_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    ts = F.col("types")
+    pairs = (
+        u.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ts,
+                        lambda x, i: F.transform(
+                            F.slice(ts, i + F.lit(2), F.size(ts)),
+                            lambda y: F.struct(
+                                x.alias("type_a"), y.alias("type_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("both_users"))
+    )
+    per = (
+        u.select(F.explode("types").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    pa = per.select(
+        F.col("t").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    pb = per.select(
+        F.col("t").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "both_users",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("both_users").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("both_users")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "x166_time_to_convert",
+    """WITH f AS (
+         SELECT user_id,
+                MIN(ts) AS first_ts,
+                MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                    AS first_purchase
+         FROM events GROUP BY user_id
+       ), b AS (
+         SELECT CASE WHEN first_purchase IS NULL THEN -1
+                     ELSE CAST(FLOOR((epoch_us(first_purchase) -
+                                      epoch_us(first_ts)) /
+                                     86400000000.0) AS BIGINT)
+                END AS days_bin
+         FROM f
+       ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f)
+       SELECT days_bin,
+              CAST(count(*) AS BIGINT) AS n_users,
+              ROUND(CAST(count(*) AS DOUBLE) / (SELECT n FROM nn), 4)
+                  AS share
+       FROM b GROUP BY days_bin ORDER BY days_bin""",
+    doc="time-to-convert survival table WITH censoring: per user, whole "
+        "days from first-ever event to first purchase, binned; users "
+        "who never purchase land in the -1 censored bucket instead of "
+        "silently dropping out -- the censoring semantics x110's "
+        "converters-only latency percentiles cannot express, and what "
+        "makes the shares a valid survival readout. ONE user-key "
+        "groupBy computes both anchors via a conditional MIN in the "
+        "same pass (no self-join of the events table); day arithmetic "
+        "in exact integer microseconds (x161's recipe); output is "
+        "bin-cardinality",
+)
+def x166_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    days = F.floor(
+        (us("first_purchase") - us("first_ts")) / F.lit(86400000000.0)
+    ).cast("long")
+    b = f.select(
+        F.when(F.col("first_purchase").isNull(), F.lit(-1).cast("long"))
+        .otherwise(days)
+        .alias("days_bin")
+    )
+    nn = f.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        b.groupBy("days_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "days_bin",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("n"), 4
+            ).alias("share"),
+        )
+        .orderBy("days_bin")
+    )
+
+
+@register(
+    "x167_stream_latest_state",
+    """WITH r AS (
+         SELECT user_id, event_type, value,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events
+       )
+       SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n_users,
+              ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(28,2)))
+                    AS DOUBLE), 2) AS sum_latest_value
+       FROM r WHERE rn = 1
+       GROUP BY event_type ORDER BY event_type""",
+    doc="streaming materialized latest-state view (incremental SCD1 "
+        "maintenance): the events file-stream aggregates max_by(latest "
+        "row, (ts, event_id)) PER USER in complete mode -- each "
+        "micro-batch upserts the keyed state declaratively, no "
+        "foreachBatch merge code -- then the drained state rolls up "
+        "per latest event type; hash-matched against the batch "
+        "argmax-per-user oracle, so stream==batch through the "
+        "correctness gate. State is user-cardinality by design (the "
+        "materialized-view trade; x143's dedup state is watermark-"
+        "bounded instead); state stores sized to state (x103's "
+        "recipe). The (ts, event_id) ordering struct makes the argmax "
+        "total, so duplicate timestamps pick the same row cross-engine",
+)
+def x167_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.windows import _start_with_state_partitions
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="x167_stream_")
+    sink = f"x167_sink_{uuid.uuid4().hex[:8]}"
+    try:
+        src = os.path.join(tmp, "events")
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        if "ts" in [f.name for f in schema.fields]:
+            stream = stream.withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            )
+        latest = stream.groupBy("user_id").agg(
+            F.max_by(
+                F.struct("event_type", "value"),
+                F.struct("ts", "event_id"),
+            ).alias("latest")
+        )
+        writer = (
+            latest.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+        )
+        q = _start_with_state_partitions(spark, writer, 8)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("x167 stream drain did not finish in 300 s")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(sink)
+        .select(
+            F.col("latest.event_type").alias("event_type"),
+            F.col("latest.value").alias("value"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(
+                F.sum(
+                    F.round(F.col("value"), 2).cast("decimal(28,2)")
+                ).cast("double"),
+                2,
+            ).alias("sum_latest_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -482,6 +482,7 @@ _STREAMING = {
     "x93_stream_enrichment",
     "x103_stream_attribution",
     "x143_stream_dedup_counts",
+    "x167_stream_latest_state",
 }
 _PLAN_NAMES = sorted(n for n in REGISTRY if n not in _STREAMING)
 
