@@ -238,3 +238,51 @@ def dedup_frames(frames: DataFrame) -> DataFrame:
             "dup_cnt",
         )
     )
+
+
+FINGERPRINT_SCHEMA = (
+    "media_id long, kind string, byte_len long, sha_hex string, "
+    "feat string"
+)
+
+
+def fingerprint_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched fingerprint pass over binary payloads: byte length,
+    sha256 of the payload's lowercase hex, and the first 8 digest bytes
+    as a canonical 'b0,...,b7' feature string.
+
+    The ORACLE-PORTABLE twin of ``decode_features``: hashing the hex
+    TEXT (not the raw bytes) lets a SQL engine without blob digests
+    reproduce every output value, so the full JVM->Arrow->Python binary
+    transfer is verifiable through the correctness gate -- if even one
+    payload byte were corrupted, reordered, or truncated in transit,
+    the hex differs and the digest cascades. A production decoder would
+    hash raw bytes (``decode_features``); the plumbing under test is
+    identical.
+    """
+    import hashlib as _hl
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def fp(b: bytes) -> str:
+                return _hl.sha256((b or b"").hex().encode()).hexdigest()
+
+            sha = pdf["payload"].map(fp)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "byte_len": pdf["payload"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "sha_hex": sha,
+                    "feat": sha.map(
+                        lambda h: ",".join(
+                            str(int(h[i : i + 2], 16))
+                            for i in range(0, 16, 2)
+                        )
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FINGERPRINT_SCHEMA)

@@ -7427,3 +7427,64 @@ def x167_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "x168_multimodal_fingerprint",
+    """WITH m AS (
+         SELECT doc_id AS media_id,
+                CASE doc_id % 3 WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                md5(text) || md5(text || '#2') || md5(text || '#3')
+                    AS hex
+         FROM documents WHERE doc_id % 20 = 0
+       ), f AS (
+         SELECT media_id, kind,
+                CAST(length(hex) / 2 AS BIGINT) AS byte_len,
+                sha256(hex) AS sha_hex
+         FROM m
+       )
+       SELECT media_id, kind, byte_len, sha_hex,
+              CAST(('0x' || substr(sha_hex, 1, 2)) AS BIGINT) || ',' ||
+              CAST(('0x' || substr(sha_hex, 3, 2)) AS BIGINT) || ',' ||
+              CAST(('0x' || substr(sha_hex, 5, 2)) AS BIGINT) || ',' ||
+              CAST(('0x' || substr(sha_hex, 7, 2)) AS BIGINT) || ',' ||
+              CAST(('0x' || substr(sha_hex, 9, 2)) AS BIGINT) || ',' ||
+              CAST(('0x' || substr(sha_hex, 11, 2)) AS BIGINT) || ',' ||
+              CAST(('0x' || substr(sha_hex, 13, 2)) AS BIGINT) || ',' ||
+              CAST(('0x' || substr(sha_hex, 15, 2)) AS BIGINT) AS feat
+       FROM f ORDER BY media_id""",
+    doc="the multimodal decode PLUMBING through the correctness gate: "
+        "deterministic 48-byte binary payloads (unhex of chained md5s) "
+        "attach to a 5% document slice, cross the JVM->Arrow->Python "
+        "boundary in columnar batches, and a mapInPandas kernel "
+        "fingerprints the received BYTES (ops/multimodal.py "
+        "fingerprint_media) -- length, digest, and an 8-byte feature "
+        "row. The oracle reconstructs every value from the hex the "
+        "payload was built from, so one corrupted, reordered, or "
+        "truncated byte in the binary transfer cascades into a hash "
+        "mismatch. This is x13's metadata surface plus the actual "
+        "binary data path; the codec slots stay gated "
+        "(multimodal.py real_codecs) until libraries exist",
+)
+def x168_multimodal_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.unhex(
+            F.concat(
+                F.md5("text"),
+                F.md5(F.concat(F.col("text"), F.lit("#2"))),
+                F.md5(F.concat(F.col("text"), F.lit("#3"))),
+            )
+        ).alias("payload"),
+    )
+    return multimodal.fingerprint_media(media).orderBy("media_id")
