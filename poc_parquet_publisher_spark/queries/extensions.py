@@ -7488,3 +7488,60 @@ def x168_multimodal_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("payload"),
     )
     return multimodal.fingerprint_media(media).orderBy("media_id")
+
+
+@register(
+    "x169_scalable_median",
+    """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+       r AS (
+         SELECT l_extendedprice,
+                CAST(row_number() OVER (
+                  ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                  AS BIGINT) AS rn
+         FROM lineitem
+       )
+       SELECT (SELECT n FROM nn) AS n,
+              ROUND(AVG(l_extendedprice), 2) AS median_price
+       FROM r
+       WHERE rn IN (SELECT (n + 1) // 2 FROM nn)
+          OR rn IN (SELECT n // 2 + 1 FROM nn)""",
+    doc="EXACT global median without materializing the column in one "
+        "task: q30's percentile()/quantile_cont aggregate buffers every "
+        "value in the final aggregate -- the hidden scale-killer in "
+        "'exact percentile' at 100 TB. Here the two-pass prefix-sum "
+        "rank (scale.global_row_number: range partition + broadcast "
+        "offsets, no Exchange SinglePartition, no Window) finds the "
+        "middle row(s) by POSITION and averages them -- two corpus "
+        "passes, constant memory per task, same answer. The "
+        "(price, orderkey, linenumber) total order pins rank ties; "
+        "averaging the two middles matches quantile_cont(0.5) "
+        "interpolation exactly for both parities",
+)
+def x169_scalable_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import scale
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    nn = li.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r = scale.global_row_number(
+        li,
+        [
+            F.col("l_extendedprice"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ],
+        out_col="rn",
+    )
+    # integer division semantics: (n+1)//2 and n//2+1 via floor
+    mid = (
+        r.crossJoin(F.broadcast(nn))
+        .filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("n") / 2) + 1)
+        )
+    )
+    return mid.groupBy().agg(
+        F.first("n").alias("n"),
+        F.round(F.avg("l_extendedprice"), 2).alias("median_price"),
+    )
