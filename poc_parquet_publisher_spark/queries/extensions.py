@@ -7545,3 +7545,1046 @@ def x169_scalable_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("n").alias("n"),
         F.round(F.avg("l_extendedprice"), 2).alias("median_price"),
     )
+
+
+@register(
+    "x170_top_paths",
+    """WITH p AS (
+         SELECT user_id,
+                string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+         FROM events GROUP BY user_id
+       )
+       SELECT path,
+              CAST(len(string_split(path, '>')) AS BIGINT) AS n_steps,
+              CAST(count(*) AS BIGINT) AS n_users
+       FROM p GROUP BY path
+       ORDER BY n_users DESC, path LIMIT 20""",
+    doc="top-20 full user-journey paths (the sequence-mining rollup "
+        "behind funnel design): one user-key groupBy collapses each "
+        "user's events into an ordered type string -- array_sort over "
+        "(ts, event_id, type) structs pins tie order exactly as the "
+        "oracle's ORDER BY ts, event_id -- then a path-key groupBy "
+        "counts travelers and TakeOrderedAndProject keeps the head. "
+        "Per-user state is event-cardinality-per-user (the x157 "
+        "contract), never corpus-sized; both groupBys partial-agg "
+        "map-side. x96/x107 see windows of the journey; this is the "
+        "whole journey as the key",
+)
+def x170_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    paths = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            "path",
+            F.size(F.split(F.col("path"), ">")).cast("long").alias("n_steps"),
+            "n_users",
+        )
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "x171_weighted_median",
+    """WITH g AS (
+         SELECT l_returnflag, l_extendedprice,
+                SUM(CAST(l_quantity AS DECIMAL(30,6))) AS w
+         FROM lineitem GROUP BY 1, 2
+       ), c AS (
+         SELECT l_returnflag, l_extendedprice, w,
+                SUM(w) OVER (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice) AS cw
+         FROM g
+       ), t AS (
+         SELECT l_returnflag, SUM(w) AS tw FROM g GROUP BY 1
+       )
+       SELECT c.l_returnflag,
+              ROUND(MIN(c.l_extendedprice), 2) AS wmedian,
+              ROUND(CAST(MAX(t.tw) AS DOUBLE), 2) AS total_qty
+       FROM c JOIN t USING (l_returnflag)
+       WHERE 2 * cw >= tw
+       GROUP BY 1 ORDER BY 1""",
+    doc="exact QUANTITY-WEIGHTED median price per return flag (lower "
+        "weighted median: smallest price whose cumulative weight "
+        "reaches half the total). The cumulative window NEVER sees "
+        "corpus rows: a (flag, price) groupBy first compresses to "
+        "distinct-price cardinality with DECIMAL-exact weight sums "
+        "(the aggregate-first window contract, x62/x86), so the "
+        "3-partition window rides a value-domain-sized table. "
+        "Half-total comparison is 2*cw >= tw in DECIMAL -- no "
+        "division, no float threshold, partition-order independent",
+)
+def x171_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    g = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("w")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    c = g.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("w").over(w).alias("cw"),
+    )
+    t = g.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
+    j = c.join(F.broadcast(t), "l_returnflag").filter(
+        F.lit(2) * F.col("cw") >= F.col("tw")
+    )
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("wmedian"),
+            F.round(F.max("tw").cast("double"), 2).alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "x172_k_anonymity",
+    """WITH q AS (
+         SELECT c_nationkey, c_mktsegment,
+                CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket
+         FROM customer
+       ), g AS (
+         SELECT CAST(count(*) AS BIGINT) AS k
+         FROM q GROUP BY c_nationkey, c_mktsegment, bal_bucket
+       )
+       SELECT k, CAST(count(*) AS BIGINT) AS n_groups,
+              CAST(SUM(k) AS BIGINT) AS n_rows
+       FROM g GROUP BY k ORDER BY k""",
+    doc="k-anonymity audit over the quasi-identifier (nation, segment, "
+        "balance-centile bucket): the k-distribution -- how many QI "
+        "equivalence classes have exactly k members and how many rows "
+        "sit in them -- is the privacy release gate (rows in k=1 "
+        "groups are singled out; k<5 is the conventional red line a "
+        "downstream policy reads off this table). Two partial-"
+        "aggregating groupBys, QI-cardinality intermediate, no joins; "
+        "the bucket floor is IEEE-identical in both engines",
+)
+def x172_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal_bucket"),
+    )
+    g = q.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    return (
+        g.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("k").cast("long").alias("n_rows"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "x173_novel_ngrams",
+    """WITH t AS (
+         SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, len(string_split(lower(text), ' ')) - 1),
+                  i -> array_to_string(
+                         (string_split(lower(text), ' '))[i:i+2], ' ')
+                )) AS sh
+         FROM documents
+         WHERE len(string_split(lower(text), ' ')) >= 3
+       ), e AS (
+         SELECT CAST(floor(doc_id * 10 /
+                  ((SELECT max(doc_id) FROM documents) + 1)) AS BIGINT)
+                  AS batch,
+                unnest(sh) AS shingle
+         FROM t
+       ), b AS (
+         SELECT DISTINCT batch, shingle FROM e
+       ), per_batch AS (
+         SELECT batch, CAST(count(*) AS BIGINT) AS n_tri FROM b GROUP BY 1
+       ), fb AS (
+         SELECT shingle, MIN(batch) AS first_batch FROM b GROUP BY 1
+       ), novel AS (
+         SELECT first_batch AS batch, CAST(count(*) AS BIGINT) AS n_novel
+         FROM fb GROUP BY 1
+       )
+       SELECT p.batch, p.n_tri,
+              CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+              ROUND(CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / p.n_tri, 4)
+                  AS novelty_rate
+       FROM per_batch p LEFT JOIN novel n ON p.batch = n.batch
+       ORDER BY p.batch""",
+    doc="crawl-novelty curve: docs bucket into 10 ingestion batches by "
+        "id range (the broadcast 1-row max sets the range; batch = "
+        "arrival decile), and each batch reports how many of its "
+        "distinct trigrams first appear THERE -- the declining "
+        "novelty_rate is the diminishing-returns signal that tells a "
+        "crawl when more data stops adding information. Shapes: one "
+        "(batch, shingle) distinct, then two shingle-key groupBys "
+        "(min-batch, counts) -- all partial-aggregating, nothing "
+        "corpus-quadratic; reuses x03's tokenizer so the oracle "
+        "shares the proven shingle dialect",
+)
+def x173_novel_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    sh = dedup.shingles(docs, "doc_id", "text", k=3).select("doc", "shingle")
+    b = (
+        sh.crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(F.col("doc") * 10 / (F.col("mx") + 1))
+            .cast("long")
+            .alias("batch"),
+            "shingle",
+        )
+        .distinct()
+    )
+    per_batch = b.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tri")
+    )
+    fb = b.groupBy("shingle").agg(F.min("batch").alias("first_batch"))
+    novel = fb.groupBy(F.col("first_batch").alias("batch")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    return (
+        per_batch.join(novel, "batch", "left")
+        .select(
+            "batch",
+            "n_tri",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long")
+            .alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_tri"),
+                4,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("batch")
+    )
+
+
+@register(
+    "x174_column_profile",
+    """WITH u AS (
+         SELECT 'l_quantity' AS col, l_quantity AS val FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', l_discount FROM lineitem
+         UNION ALL
+         SELECT 'l_tax', l_tax FROM lineitem
+       )
+       SELECT col,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(count(val) AS BIGINT) AS n_nonnull,
+              CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+              MIN(val) AS min_val,
+              MAX(val) AS max_val,
+              ROUND(CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE)
+                    / count(val), 4) AS mean_val
+       FROM u GROUP BY col ORDER BY col""",
+    doc="one-pass multi-column data profile via UNPIVOT (melt): the "
+        "four lineitem measures pivot long through Spark's native "
+        "unpivot (an Expand node -- 4x row fan-out but zero Python, "
+        "zero extra scans; column pruning still reaches the parquet "
+        "reader) into a single partial-aggregating groupBy emitting "
+        "count / null-count / exact distinct / min / max / "
+        "DECIMAL-exact mean per column. The long-format twin of x43's "
+        "per-column wide profile, and the inverse operator of x141's "
+        "pivot",
+)
+def x174_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    u = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "col",
+        "val",
+    )
+    return (
+        u.groupBy("col")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("val").cast("long").alias("n_nonnull"),
+            F.countDistinct("val").cast("long").alias("n_distinct"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            F.round(
+                F.sum(F.col("val").cast("decimal(30,6)")).cast("double")
+                / F.count("val"),
+                4,
+            ).alias("mean_val"),
+        )
+        .orderBy("col")
+    )
+
+
+@register(
+    "x175_rollup_revenue",
+    """SELECT r_name, n_name,
+              CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+              CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+                    AS DOUBLE), 2) AS revenue
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY ROLLUP(r_name, n_name)
+       ORDER BY g_region, g_nation,
+                r_name NULLS FIRST, n_name NULLS FIRST""",
+    doc="hierarchical ROLLUP (nation -> region subtotal -> grand "
+        "total) with GROUPING() level markers -- the drill-down "
+        "report x142's full CUBE overshoots (ROLLUP emits the 3 "
+        "hierarchy levels, not all 4 combinations). The geography dim "
+        "(region x nation x customer) assembles broadcast-side and "
+        "rides a BroadcastHashJoin onto orders (dim is "
+        "customer-cardinality -- broadcastable by the x78 contract); "
+        "the rollup itself is one Expand + partial/final "
+        "HashAggregate pair, so the shuffle carries 3 group rows per "
+        "partition per key, never raw orders",
+)
+def x175_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dim = (
+        customer.join(
+            nation, customer.c_nationkey == nation.n_nationkey
+        )
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name", "n_name")
+    )
+    j = orders.join(
+        F.broadcast(dim), orders.o_custkey == dim.c_custkey
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("long").alias("g_region"),
+            F.grouping("n_name").cast("long").alias("g_nation"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .select(
+            "r_name", "n_name", "g_region", "g_nation", "n_orders",
+            "revenue",
+        )
+        .orderBy(
+            "g_region",
+            "g_nation",
+            F.col("r_name").asc_nulls_first(),
+            F.col("n_name").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "x176_churn_candidates",
+    """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS m FROM orders),
+       pc AS (
+         SELECT o_custkey,
+                max(CAST(o_orderdate AS DATE)) AS last_order,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS spend
+         FROM orders GROUP BY 1
+       )
+       SELECT c_custkey, c_mktsegment, last_order, n_orders,
+              CAST(datediff('day', last_order, (SELECT m FROM mx))
+                   AS BIGINT) AS days_inactive,
+              ROUND(CAST(spend AS DOUBLE), 2) AS lifetime_spend
+       FROM pc JOIN customer ON o_custkey = c_custkey
+       WHERE last_order < (SELECT m FROM mx) - INTERVAL 365 DAY
+       ORDER BY lifetime_spend DESC, c_custkey LIMIT 50""",
+    doc="churned-whale list: highest-lifetime-spend customers whose "
+        "LAST order predates the corpus horizon by a year -- the "
+        "win-back campaign seed. One orders groupBy compresses to "
+        "customer cardinality (count + max-date + DECIMAL spend in "
+        "the same pass), the corpus max-date rides a broadcast 1-row "
+        "aggregate, the segment attach is a broadcast dim join, and "
+        "TakeOrderedAndProject keeps the top 50 under a "
+        "(spend, custkey) total order. Inactivity is date arithmetic "
+        "against the data's own horizon, so the query is "
+        "reproducible -- no wall-clock dependence",
+)
+def x176_churn_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    mx = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("m")
+    )
+    pc = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("spend"),
+    )
+    return (
+        pc.crossJoin(F.broadcast(mx))
+        .filter(F.col("last_order") < F.date_sub(F.col("m"), 365))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            pc.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "last_order",
+            "n_orders",
+            F.datediff(F.col("m"), F.col("last_order"))
+            .cast("long")
+            .alias("days_inactive"),
+            F.round(F.col("spend").cast("double"), 2).alias(
+                "lifetime_spend"
+            ),
+        )
+        .orderBy(F.desc("lifetime_spend"), "c_custkey")
+        .limit(50)
+    )
+
+
+@register(
+    "x177_ohlc_bars",
+    """SELECT date_trunc('hour', ts) AS bar,
+              first(value ORDER BY ts, event_id) AS open,
+              MAX(value) AS high,
+              MIN(value) AS low,
+              last(value ORDER BY ts, event_id) AS close,
+              CAST(count(*) AS BIGINT) AS n_trades,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4)
+                  AS turnover
+       FROM events
+       WHERE event_type = 'purchase' AND value IS NOT NULL
+       GROUP BY 1 ORDER BY 1""",
+    doc="hourly OHLC bars over purchase values -- the time-series "
+        "downsample every market/telemetry dashboard draws. "
+        "Open/close are argmin/argmax by (ts, event_id) via Spark's "
+        "min_by/max_by over a struct ordering key (event_id breaks "
+        "same-microsecond ties, so the bar is deterministic; the "
+        "oracle's ordered-aggregate first()/last() pins the same "
+        "order) -- ONE partial-aggregating groupBy computes all six "
+        "measures, no window, no self-join; the type filter pushes "
+        "to the parquet scan",
+)
+def x177_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    ordk = F.struct("ts", "event_id")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bar"))
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,6)")).cast("double"),
+                4,
+            ).alias("turnover"),
+        )
+        .orderBy("bar")
+    )
+
+
+@register(
+    "x178_token_pmi",
+    """WITH tok AS (
+         SELECT DISTINCT doc_id, t FROM (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+           FROM documents
+         ) WHERE length(t) > 0
+       ), v AS (
+         SELECT t, CAST(count(*) AS BIGINT) AS n_docs
+         FROM tok GROUP BY t ORDER BY n_docs DESC, t LIMIT 100
+       ), kept AS (
+         SELECT tok.doc_id, tok.t FROM tok JOIN v USING (t)
+       ), p AS (
+         SELECT a.t AS tok_a, b.t AS tok_b,
+                CAST(count(*) AS BIGINT) AS n_ab
+         FROM kept a JOIN kept b USING (doc_id)
+         WHERE a.t < b.t GROUP BY 1, 2
+       ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+       SELECT tok_a, tok_b, n_ab,
+              ROUND(ln(CAST(n_ab AS DOUBLE) * (SELECT n FROM nn)
+                       / (va.n_docs * vb.n_docs)), 4) AS pmi
+       FROM p
+       JOIN v va ON p.tok_a = va.t
+       JOIN v vb ON p.tok_b = vb.t
+       ORDER BY n_ab DESC, tok_a, tok_b LIMIT 50""",
+    doc="pointwise mutual information over top-vocab token "
+        "co-occurrence (the collocation signal behind phrase mining "
+        "and tokenizer-merge candidates): doc frequency picks the "
+        "top-100 vocabulary (deterministic (count, token) tie-break), "
+        "docs project onto it through a broadcast semi-join, and "
+        "in-doc pairs expand INSIDE the per-doc sorted token array "
+        "via the x165 HOF pattern -- bounded by C(100,2) per doc, "
+        "never a corpus self-join; PMI arithmetic is exact-integer "
+        "ratios pushed through one ln() at the end",
+)
+def x178_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("t"),
+        )
+        .filter(F.length("t") > 0)
+        .distinct()
+    )
+    v = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "t")
+        .limit(100)
+    )
+    kept = tok.join(F.broadcast(v.select("t")), "t", "leftsemi")
+    u = kept.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("t")).alias("toks")
+    )
+    ts = F.col("toks")
+    pairs = (
+        u.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ts,
+                        lambda x, i: F.transform(
+                            F.slice(ts, i + F.lit(2), F.size(ts)),
+                            lambda y: F.struct(
+                                x.alias("tok_a"), y.alias("tok_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    nn = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    va = v.select(F.col("t").alias("tok_a"), F.col("n_docs").alias("n_a"))
+    vb = v.select(F.col("t").alias("tok_b"), F.col("n_docs").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double") * F.col("n")
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("n_ab"), "tok_a", "tok_b")
+        .limit(50)
+    )
+
+
+@register(
+    "x179_ship_sla",
+    """WITH fs AS (
+         SELECT l_orderkey,
+                min(CAST(l_shipdate AS DATE)) AS first_ship
+         FROM lineitem GROUP BY 1
+       ), j AS (
+         SELECT o_orderpriority,
+                datediff('day', CAST(o_orderdate AS DATE), first_ship)
+                    AS days
+         FROM orders JOIN fs ON o_orderkey = l_orderkey
+       )
+       SELECT o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              ROUND(CAST(SUM(days) AS DOUBLE) / count(*), 4) AS avg_days,
+              ROUND(100.0 * SUM(CASE WHEN days <= 30 THEN 1 ELSE 0 END)
+                    / count(*), 4) AS pct_30,
+              ROUND(100.0 * SUM(CASE WHEN days <= 60 THEN 1 ELSE 0 END)
+                    / count(*), 4) AS pct_60,
+              ROUND(100.0 * SUM(CASE WHEN days > 60 THEN 1 ELSE 0 END)
+                    / count(*), 4) AS pct_late
+       FROM j GROUP BY 1 ORDER BY 1""",
+    doc="order-to-first-shipment SLA per priority class: lineitem "
+        "compresses to order cardinality (min shipdate) BEFORE the "
+        "big-big equi-join with orders -- the aggregate-first side "
+        "halves the shuffle and the join stays a key-partitioned "
+        "SMJ/AQE choice, never a broadcast of a fact table; SLA "
+        "shares are integer CASE sums over exact day arithmetic, "
+        "divided once at the end (orders with no lineitems are "
+        "outside the SLA population by definition -- inner join)",
+)
+def x179_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fs = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship")
+    )
+    j = orders.join(
+        fs, orders.o_orderkey == fs.l_orderkey
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("first_ship"), F.col("o_orderdate").cast("date")
+        ).alias("days"),
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            cnt.cast("long").alias("n_orders"),
+            F.round(F.sum("days").cast("double") / cnt, 4).alias(
+                "avg_days"
+            ),
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("days") <= 30, 1).otherwise(0))
+                / cnt,
+                4,
+            ).alias("pct_30"),
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("days") <= 60, 1).otherwise(0))
+                / cnt,
+                4,
+            ).alias("pct_60"),
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("days") > 60, 1).otherwise(0))
+                / cnt,
+                4,
+            ).alias("pct_late"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "x180_time_weighted_avg",
+    """WITH s AS (
+         SELECT user_id,
+                CAST(round(value * 1e6) AS BIGINT) AS value_u,
+                epoch_us(ts) AS t_us,
+                lead(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS nxt_us
+         FROM events WHERE value IS NOT NULL
+       ), d AS (
+         SELECT user_id, value_u, nxt_us - t_us AS dur_us
+         FROM s WHERE nxt_us IS NOT NULL
+       )
+       SELECT user_id,
+              CAST(count(*) AS BIGINT) AS n_steps,
+              ROUND(SUM(dur_us) / 1e6, 3) AS span_sec,
+              ROUND(CAST(SUM(CAST(value_u AS DECIMAL(19,0))
+                              * CAST(dur_us AS DECIMAL(19,0))) AS DOUBLE)
+                    / (1e6 * SUM(dur_us)), 6) AS twa
+       FROM d GROUP BY 1 ORDER BY user_id""",
+    doc="time-weighted average of each user's value step function "
+        "(the right mean for irregularly-sampled telemetry -- a "
+        "value held for an hour must outweigh one held a second): "
+        "lead() over the user-key window yields each step's exact "
+        "microsecond duration, weights multiply in DECIMAL(38,0) "
+        "integer micro-units (value x 1e6, duration in us -- no "
+        "float accumulation, partition-order independent), one "
+        "double division at the end. Window and groupBy share the "
+        "one user-key shuffle; single-event users have no interval "
+        "and drop out by definition",
+)
+def x180_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; unix_micros needs TIMESTAMP.
+    # The session-tz shift the cast applies is CONSTANT, so it cancels
+    # in the lead() difference -- durations are exact either way.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    s = ev.select(
+        "user_id",
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("value_u"),
+        us.alias("t_us"),
+        F.lead(us).over(w).alias("nxt_us"),
+    )
+    d = s.filter(F.col("nxt_us").isNotNull()).select(
+        "user_id",
+        "value_u",
+        (F.col("nxt_us") - F.col("t_us")).alias("dur_us"),
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_steps"),
+            F.round(F.sum("dur_us") / 1e6, 3).alias("span_sec"),
+            F.round(
+                F.sum(
+                    F.col("value_u").cast("decimal(19,0)")
+                    * F.col("dur_us").cast("decimal(19,0)")
+                ).cast("double")
+                / (F.lit(1e6) * F.sum("dur_us")),
+                6,
+            ).alias("twa"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "x181_part_liveness",
+    """WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem),
+       f AS (
+         SELECT p_brand, p_partkey,
+                CASE WHEN l_partkey IS NOT NULL THEN 1 ELSE 0 END AS hit
+         FROM part LEFT JOIN sold ON p_partkey = l_partkey
+       )
+       SELECT p_brand,
+              CAST(count(*) AS BIGINT) AS n_parts,
+              CAST(SUM(hit) AS BIGINT) AS n_sold,
+              CAST(count(*) - SUM(hit) AS BIGINT) AS n_never_sold,
+              ROUND(100.0 * (count(*) - SUM(hit)) / count(*), 4)
+                  AS pct_never
+       FROM f GROUP BY 1 ORDER BY 1""",
+    doc="catalog-liveness audit per brand: which parts have never "
+        "shipped (the dead-stock / cold-start list every "
+        "recommender and inventory plan needs). Spark side runs the "
+        "REAL set operators -- LEFT SEMI for sold, LEFT ANTI for "
+        "never-sold -- against the distinct-partkey projection of "
+        "lineitem (fact compresses to key cardinality first, so the "
+        "semi/anti probe side is distinct-key-sized); the oracle's "
+        "left-join CASE formulation is the same set algebra. Brand "
+        "rollups are dim-cardinality; counts join broadcast-side",
+)
+def x181_part_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    sold_keys = li.select(F.col("l_partkey")).distinct()
+    n_parts = part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    n_sold = (
+        part.join(sold_keys, part.p_partkey == sold_keys.l_partkey, "leftsemi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sold"))
+    )
+    n_never = (
+        part.join(sold_keys, part.p_partkey == sold_keys.l_partkey, "leftanti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_never_sold"))
+    )
+    return (
+        n_parts.join(F.broadcast(n_sold), "p_brand", "left")
+        .join(F.broadcast(n_never), "p_brand", "left")
+        .select(
+            "p_brand",
+            "n_parts",
+            F.coalesce("n_sold", F.lit(0)).cast("long").alias("n_sold"),
+            F.coalesce("n_never_sold", F.lit(0))
+            .cast("long")
+            .alias("n_never_sold"),
+            F.round(
+                F.lit(100.0)
+                * F.coalesce("n_never_sold", F.lit(0))
+                / F.col("n_parts"),
+                4,
+            ).alias("pct_never"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "x182_cohort_ltv",
+    """WITH c AS (
+         SELECT o_custkey,
+                min(date_trunc('month', CAST(o_orderdate AS DATE)))
+                    AS cohort
+         FROM orders GROUP BY 1
+       ), j AS (
+         SELECT cohort,
+                datediff('month', cohort,
+                         date_trunc('month', CAST(o_orderdate AS DATE)))
+                    AS age,
+                o_totalprice
+         FROM orders JOIN c USING (o_custkey)
+       ), cell AS (
+         SELECT cohort, CAST(age AS BIGINT) AS age,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev
+         FROM j GROUP BY 1, 2
+       )
+       SELECT cohort, age, n_orders,
+              ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+              ROUND(CAST(SUM(rev) OVER (
+                PARTITION BY cohort ORDER BY age) AS DOUBLE), 2)
+                  AS cum_revenue
+       FROM cell ORDER BY cohort, age""",
+    doc="cohort-LTV triangle (acquisition month x months-since): the "
+        "revenue curve per acquisition cohort that x131's retention "
+        "counts can't price. First-order month per customer from one "
+        "orders groupBy (customer-cardinality, broadcastable by the "
+        "x78 dim contract), cohort cells from a second "
+        "partial-aggregating groupBy, and the cumulative-LTV window "
+        "rides the cohort x age CELL table (a few hundred rows at "
+        "any corpus size) -- the aggregate-first window contract; "
+        "revenue is DECIMAL-exact until one final rounding cast",
+)
+def x182_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.min(
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).cast(
+                "date"
+            )
+        ).alias("cohort")
+    )
+    j = orders.join(F.broadcast(c), "o_custkey").select(
+        "cohort",
+        F.months_between(
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).cast(
+                "date"
+            ),
+            F.col("cohort"),
+        )
+        .cast("long")
+        .alias("age"),
+        "o_totalprice",
+    )
+    cell = j.groupBy("cohort", "age").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev"),
+    )
+    w = Window.partitionBy("cohort").orderBy("age")
+    return (
+        cell.select(
+            "cohort",
+            "age",
+            "n_orders",
+            F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+            F.round(F.sum("rev").over(w).cast("double"), 2).alias(
+                "cum_revenue"
+            ),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+@register(
+    "x183_hhi_concentration",
+    """WITH spend AS (
+         SELECT c_mktsegment,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) * 100
+                     AS BIGINT) AS cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment, o_custkey
+       )
+       SELECT c_mktsegment,
+              CAST(count(*) AS BIGINT) AS n_customers,
+              ROUND(CAST(SUM(cents) AS DOUBLE) / 100, 2) AS revenue,
+              ROUND(1e4 * CAST(SUM(CAST(cents AS DECIMAL(19,0))
+                                   * CAST(cents AS DECIMAL(19,0)))
+                               AS DOUBLE)
+                    / (CAST(SUM(cents) AS DOUBLE)
+                       * CAST(SUM(cents) AS DOUBLE)), 4) AS hhi
+       FROM spend GROUP BY 1 ORDER BY 1""",
+    doc="Herfindahl-Hirschman concentration index per market segment "
+        "(0 = atomized, 10000 = one customer owns the segment -- the "
+        "dependency-risk number x108's Gini ranks but doesn't price "
+        "in antitrust units): per-customer spend reduces to exact "
+        "integer cents, squares accumulate in DECIMAL(38,0) (no "
+        "float sum ordering anywhere), and HHI = 1e4 * sum(s^2) / "
+        "total^2 is two double divisions at the very end. Two "
+        "partial-aggregating groupBys; the customer dim joins "
+        "broadcast-side",
+)
+def x183_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+                * 100
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    c = F.col("cents")
+    return (
+        spend.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum(c).cast("double") / 100, 2).alias("revenue"),
+            F.round(
+                F.lit(1e4)
+                * F.sum(
+                    c.cast("decimal(19,0)") * c.cast("decimal(19,0)")
+                ).cast("double")
+                / (F.sum(c).cast("double") * F.sum(c).cast("double")),
+                4,
+            ).alias("hhi"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "x184_grouped_topn_array",
+    """WITH spend AS (
+         SELECT c_nationkey, o_custkey AS ck,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) * 100
+                     AS BIGINT) AS cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2
+       ), r AS (
+         SELECT *, row_number() OVER (
+                  PARTITION BY c_nationkey
+                  ORDER BY cents DESC, ck) AS rk
+         FROM spend
+       )
+       SELECT c_nationkey,
+              string_agg(ck || ':' || cents, '|' ORDER BY rk) AS top3
+       FROM r WHERE rk <= 3 GROUP BY 1 ORDER BY 1""",
+    doc="grouped top-N as a NESTED column: each nation's three "
+        "biggest customers, ordered, serialized 'custkey:cents' (the "
+        "q33/q41 array-hashing precedent -- exact integer cents keep "
+        "the string cross-engine byte-identical). The rank window "
+        "rides the (nation, customer) AGGREGATE (aggregate-first "
+        "contract), rank<=3 filters before the collect, and the "
+        "per-nation array assembles from three rows -- collect_list "
+        "is provably bounded, the general grouped-top-N shape that "
+        "replaces ORDER BY ... LIMIT per group at scale",
+)
+def x184_grouped_topn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", F.col("o_custkey").alias("ck"))
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+                * 100
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("cents"), F.col("ck")
+    )
+    r = spend.select(
+        "c_nationkey",
+        F.concat_ws(":", F.col("ck"), F.col("cents")).alias("s"),
+        F.row_number().over(w).alias("rk"),
+    ).filter(F.col("rk") <= 3)
+    return (
+        r.groupBy("c_nationkey")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "s"))),
+                    lambda x: x["s"],
+                ),
+            ).alias("top3")
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "x185_daily_ledger",
+    """WITH e AS (
+         SELECT CAST(ts AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY 1
+       ), o AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev
+         FROM orders GROUP BY 1
+       )
+       SELECT COALESCE(e.day, o.day) AS day,
+              CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+              CAST(COALESCE(n_users, 0) AS BIGINT) AS n_users,
+              CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+              ROUND(CAST(COALESCE(rev, 0) AS DOUBLE), 2) AS revenue
+       FROM e FULL OUTER JOIN o ON e.day = o.day
+       ORDER BY day""",
+    doc="unified activity ledger across two fact tables on "
+        "non-overlapping calendars: FULL OUTER join of daily event "
+        "rollups and daily order rollups -- the one join type that "
+        "keeps BOTH unmatched sides (a left/right join would silently "
+        "drop one era of the business). Each side aggregates to day "
+        "cardinality FIRST (corpus rows never reach the join), so the "
+        "full-outer runs on two tiny day tables; COALESCE fills the "
+        "holes with explicit zeros, not nulls",
+)
+def x185_daily_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    e = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    o = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev"),
+    )
+    return (
+        e.join(o, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.round(
+                F.coalesce(F.col("rev"), F.lit(0)).cast("double"), 2
+            ).alias("revenue"),
+        )
+        .orderBy("day")
+    )
