@@ -483,6 +483,7 @@ _STREAMING = {
     "x103_stream_attribution",
     "x143_stream_dedup_counts",
     "x167_stream_latest_state",
+    "x233_stream_multibatch",
 }
 _PLAN_NAMES = sorted(n for n in REGISTRY if n not in _STREAMING)
 
@@ -528,3 +529,50 @@ def test_x150_bfs_frontier_joins_not_cartesian(spark):
 
     plan = plan_of(x150_bfs_reach(spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_x217_bucketed_join_stage_has_no_exchange(spark):
+    """x217: after the entry writes both catalog tables bucketed on the
+    join key, the JOIN STAGE itself (bucketed_join on the two tables,
+    before any aggregate) must plan with ZERO Exchange -- the bucket
+    layout replaces the shuffle. The entry's full plan still exchanges
+    for the segment aggregate; the gate isolates the join."""
+    from poc_parquet_publisher_spark import scale
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x217_bucketed_join,
+    )
+
+    # materializes the bucketed tables for this SF as a side effect
+    x217_bucketed_join(spark, SF)
+    import re
+
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", SF).strip("_").lower()
+    j = scale.bucketed_join(
+        spark, f"x217_orders_{tag}", f"x217_customer_{tag}", "o_custkey"
+    )
+    # at toy SF the dim is broadcastable and AQE rightly prefers BHJ
+    # (BroadcastExchange is not a shuffle); the bucket layout means NO
+    # SHUFFLE exchange in the join stage at any size
+    assert "Exchange hashpartitioning" not in plan_of(j)
+    # force the merge path (the 100 TB shape): fully exchange-free
+    merge = (
+        spark.table(f"x217_orders_{tag}")
+        .hint("merge")
+        .join(spark.table(f"x217_customer_{tag}"), "o_custkey")
+    )
+    plan = plan_of(merge)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+
+
+def test_x235_shuffle_hash_hint_is_honored(spark):
+    """x235: the SHUFFLE_HASH hint must actually select a
+    ShuffledHashJoin -- no silent fallback to broadcast or sort-merge
+    (the hint is the entry's entire point)."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x235_join_hints,
+    )
+
+    plan = plan_of(x235_join_hints(spark, SF))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan

@@ -45,6 +45,7 @@ ALLOW_SCALAR_BNLJ = {
     "x110_conversion_latency",
     "x139_session_length_dist",
     "x140_markov_stationary",
+    "x234_seq_predictability",
 }
 
 SKEW_ENTRIES = [
@@ -67,6 +68,19 @@ SKEW_ENTRIES = [
     # still answer correctly and inside the straggler gate
     "x149_interval_islands",
     "x157_user_history",
+    # round-5 batch additions: the hot user owns ~20% of events, so
+    # x170's whole-journey collect_list, x180's step-duration window,
+    # x212's rolling-60s RANGE frame, x234's lag windows, and x240's
+    # debounce lag all funnel through ONE window partition -- per-key
+    # parallelism is the documented contract, but answers and the 3x
+    # straggler bound must hold; x203's ledger meets the hot supplier
+    # only through top-20 filtering (the gate proves the filter holds)
+    "x170_top_paths",
+    "x180_time_weighted_avg",
+    "x203_stock_ledger",
+    "x212_burst_detection",
+    "x234_seq_predictability",
+    "x240_debounce",
 ]
 
 
