@@ -62,6 +62,9 @@ GATES: dict[str, list[str]] = {
     "x112_wau_sketch": [
         "tests/test_ops_quality.py::test_wau_sketch_tracks_exact_rolling_actives",
     ],
+    "x261_hll_native": [
+        "tests/test_ops_quality.py::test_hll_native_within_error",
+    ],
 }
 
 

@@ -12486,3 +12486,988 @@ def x244_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).orderBy("stage")
 
+
+
+# ---------------------------------------------------------------------------
+# Round-5 batch: SCD2 consumption, privacy, sequence RLE, rounding seams,
+# backlog ledger, schema drift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x245_pit_enrichment",
+    """WITH p AS (SELECT DISTINCT user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+       iv AS (SELECT user_id, ts AS start_ts,
+                     LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       AS end_ts,
+                     CAST(LEAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts), 3) AS BIGINT)
+                       AS tier
+              FROM p),
+       c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+       j AS (SELECT c.user_id, COALESCE(iv.tier, 0) AS tier
+             FROM c LEFT JOIN iv
+               ON iv.user_id = c.user_id AND c.ts >= iv.start_ts
+              AND (iv.end_ts IS NULL OR c.ts < iv.end_ts))
+       SELECT tier, CAST(count(*) AS BIGINT) AS n_clicks,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM j GROUP BY tier ORDER BY tier""",
+    doc="point-in-time SCD2 CONSUMPTION -- x113 builds validity "
+        "intervals, x29 as-of joins event-to-event; this is the "
+        "feature-store read path: per-user loyalty-tier intervals "
+        "derive from the purchase history (distinct purchase ts -> "
+        "row_number tier capped at 3, lead() closes each interval), "
+        "then every click is enriched with the tier VALID AT ITS "
+        "TIMESTAMP via a user-keyed equi-join with the range "
+        "predicate as the residual condition -- never a cross "
+        "product, per-user interval lists are purchase-count "
+        "bounded. Clicks before the first purchase left-join to "
+        "tier 0 explicitly (the anti-leak default: no future tier "
+        "bleeds backward). Intervals PARTITION each user's "
+        "timeline, so every click matches at most one row -- the "
+        "join cannot fan out",
+)
+def x245_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    iv = p.select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        F.lead("ts").over(w).alias("end_ts"),
+        F.least(F.row_number().over(w), F.lit(3))
+        .cast("long")
+        .alias("tier"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    j = c.join(
+        iv,
+        (c["user_id"] == iv["user_id"])
+        & (c["ts"] >= iv["start_ts"])
+        & (iv["end_ts"].isNull() | (c["ts"] < iv["end_ts"])),
+        "left",
+    ).select(c["user_id"], F.coalesce(iv["tier"], F.lit(0)).alias("tier"))
+    return (
+        j.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clicks"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("tier")
+    )
+
+
+@register(
+    "x246_l_diversity",
+    """WITH g AS (SELECT lang, n_chars // 100 AS size_bucket,
+                         CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(count(DISTINCT source) AS BIGINT) AS l
+                  FROM documents GROUP BY 1, 2)
+       SELECT l, CAST(count(*) AS BIGINT) AS n_groups,
+              CAST(SUM(n_docs) AS BIGINT) AS n_docs
+       FROM g GROUP BY l ORDER BY l""",
+    doc="l-diversity audit -- the sensitive-attribute complement of "
+        "x172's k-anonymity: within each quasi-identifier group "
+        "(lang x n_chars-century), how many DISTINCT values of the "
+        "sensitive column (source) coexist; groups with l = 1 leak "
+        "the sensitive value by membership alone even when k is "
+        "large. Two partial-agg groupBys (QI cells, then the "
+        "l-histogram over the tiny cell table); count(DISTINCT) "
+        "plans one Expand, no joins, nothing collects",
+)
+def x246_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "lang",
+            F.expr("n_chars DIV 100").alias("size_bucket"),
+            "source",
+        )
+        .groupBy("lang", "size_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("l"),
+        )
+    )
+    return (
+        g.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+        )
+        .orderBy("l")
+    )
+
+
+@register(
+    "x247_event_rle",
+    """WITH o AS (SELECT user_id, event_type,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS rn_all,
+                    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                      ORDER BY ts, event_id) AS rn_t
+                  FROM events),
+       runs AS (SELECT user_id, event_type, rn_all - rn_t AS grp,
+                       CAST(count(*) AS BIGINT) AS run_len
+                FROM o GROUP BY 1, 2, 3)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs,
+              CAST(MAX(run_len) AS BIGINT) AS max_run,
+              CAST(SUM(run_len) AS BIGINT) AS n_events,
+              CAST(SUM(run_len) * 100 // count(*) AS BIGINT)
+                AS avg_len_x100
+       FROM runs GROUP BY event_type ORDER BY event_type""",
+    doc="run-length encoding of per-user event streams -- the "
+        "sequence-compression stat behind repetition audits (a bot "
+        "emits 400-click runs, a human alternates): classic "
+        "gaps-and-islands via the rn_all - rn_per_type difference, "
+        "both row_numbers ride ONE user-key exchange (the user_id "
+        "window plans first, the (user_id, event_type) window's "
+        "clustering is satisfied by the existing partitioning -- "
+        "subset rule, no second shuffle), runs collapse in a "
+        "partial-agg groupBy, mean run length is integer-exact "
+        "(x100 DIV, no float accumulation). (ts, event_id) makes "
+        "the order total so island ids are deterministic",
+)
+def x247_event_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_t = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_all).alias("rn_all"),
+        F.row_number().over(w_t).alias("rn_t"),
+    )
+    runs = (
+        o.select(
+            "user_id",
+            "event_type",
+            (F.col("rn_all") - F.col("rn_t")).alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.max("run_len").cast("long").alias("max_run"),
+            F.sum("run_len").cast("long").alias("n_events"),
+            F.expr("CAST(SUM(run_len) * 100 DIV COUNT(*) AS BIGINT)")
+            .alias("avg_len_x100"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "x248_rounding_semantics",
+    """WITH t AS (SELECT CAST(l_quantity AS BIGINT) AS n,
+                    (CAST(l_quantity AS BIGINT) * 10 + 5) / 10.0 AS tie
+                  FROM lineitem)
+       SELECT n % 2 AS parity, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CAST(round(tie, 0) AS BIGINT)) AS BIGINT)
+                AS sum_half_up,
+              CAST(SUM(CAST(round_even(tie, 0) AS BIGINT)) AS BIGINT)
+                AS sum_half_even
+       FROM t GROUP BY 1 ORDER BY parity""",
+    doc="financial rounding-mode seam, pinned by construction: every "
+        "row is an EXACT .5 tie (10n+5 over 10.0 is the exactly "
+        "representable n + 0.5 for every fixture quantity), so "
+        "HALF_UP (Spark round / DuckDB round, away-from-zero on "
+        "positives) and HALF_EVEN (Spark bround / DuckDB round_even, "
+        "banker's) are forced to disagree on every odd-parity... "
+        "even-parity n -- and the per-parity sums prove exactly "
+        "where: HALF_UP always rounds n+0.5 up, HALF_EVEN only when "
+        "n is odd. The entry documents WHICH native function "
+        "implements which mode in each engine -- the seam that "
+        "silently shifts money in a migrated billing pipeline "
+        "(SURVEY dialect-seams list)",
+)
+def x248_rounding_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_quantity").cast("long").alias("n"),
+        (
+            (F.col("l_quantity").cast("long") * 10 + 5) / F.lit(10.0)
+        ).alias("tie"),
+    )
+    return (
+        t.groupBy((F.col("n") % 2).alias("parity"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("tie"), 0).cast("long"))
+            .cast("long")
+            .alias("sum_half_up"),
+            F.sum(F.bround(F.col("tie"), 0).cast("long"))
+            .cast("long")
+            .alias("sum_half_even"),
+        )
+        .orderBy("parity")
+    )
+
+
+@register(
+    "x249_order_backlog",
+    """WITH cl AS (SELECT l_orderkey, MAX(l_shipdate) AS close_d
+                   FROM lineitem GROUP BY 1),
+       oo AS (SELECT date_trunc('month', o.o_orderdate) AS om,
+                     date_trunc('month', cl.close_d) AS cm
+              FROM orders o
+              LEFT JOIN cl ON o.o_orderkey = cl.l_orderkey),
+       d AS (SELECT om AS m, CAST(count(*) AS BIGINT) AS opened,
+                    CAST(0 AS BIGINT) AS closed
+             FROM oo GROUP BY 1
+             UNION ALL
+             SELECT cm, CAST(0 AS BIGINT), CAST(count(*) AS BIGINT)
+             FROM oo WHERE cm IS NOT NULL GROUP BY 1),
+       cells AS (SELECT m, CAST(SUM(opened) AS BIGINT) AS opened,
+                        CAST(SUM(closed) AS BIGINT) AS closed
+                 FROM d GROUP BY m)
+       SELECT CAST(m AS DATE) AS month, opened, closed,
+              CAST(SUM(opened - closed) OVER (ORDER BY m
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS backlog
+       FROM cells ORDER BY month""",
+    doc="open-order backlog time series -- the operations twin of "
+        "x203's per-part stock ledger, at ORDER grain: each order "
+        "contributes +1 at its order month and -1 at its LAST ship "
+        "month (max l_shipdate per order); the orders-lineitem "
+        "attach is the key-partitioned big-big SMJ (the 100 TB "
+        "shape, x206's contract), everything after reduces to "
+        "month-cardinality cells, so the running backlog window "
+        "rides a bounded value-domain table (x81's contract) -- "
+        "the single-partition sort costs ~nothing at any corpus "
+        "size. Orders that never ship stay open forever via the "
+        "LEFT join (no silent inner-join closure)",
+)
+def x249_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cl = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_d"))
+    oo = o.join(
+        cl, o["o_orderkey"] == cl["l_orderkey"], "left"
+    ).select(
+        F.date_trunc("month", "o_orderdate").alias("om"),
+        F.date_trunc("month", "close_d").alias("cm"),
+    )
+    d = (
+        oo.groupBy(F.col("om").alias("m"))
+        .agg(F.count(F.lit(1)).cast("long").alias("opened"))
+        .withColumn("closed", F.lit(0).cast("long"))
+        .unionByName(
+            oo.filter(F.col("cm").isNotNull())
+            .groupBy(F.col("cm").alias("m"))
+            .agg(F.count(F.lit(1)).cast("long").alias("closed"))
+            .withColumn("opened", F.lit(0).cast("long"))
+        )
+    )
+    cells = d.groupBy("m").agg(
+        F.sum("opened").cast("long").alias("opened"),
+        F.sum("closed").cast("long").alias("closed"),
+    )
+    w = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return cells.select(
+        F.col("m").cast("date").alias("month"),
+        "opened",
+        "closed",
+        F.sum(F.col("opened") - F.col("closed"))
+        .over(w)
+        .cast("long")
+        .alias("backlog"),
+    ).orderBy("month")
+
+
+@register(
+    "x250_schema_drift",
+    """SELECT col, n0, d0, n1, d1,
+              CAST(CASE WHEN ABS(d0 - d1) * 100 > 10 * GREATEST(d0, d1)
+                   THEN 1 ELSE 0 END AS BIGINT) AS drifted
+       FROM (
+         SELECT col,
+                CAST(count(CASE WHEN epoch = 0 THEN 1 END) AS BIGINT)
+                  AS n0,
+                CAST(count(DISTINCT CASE WHEN epoch = 0 THEN val END)
+                  AS BIGINT) AS d0,
+                CAST(count(CASE WHEN epoch = 1 THEN 1 END) AS BIGINT)
+                  AS n1,
+                CAST(count(DISTINCT CASE WHEN epoch = 1 THEN val END)
+                  AS BIGINT) AS d1
+         FROM (
+           SELECT doc_id % 2 AS epoch, 'lang' AS col, lang AS val
+           FROM documents
+           UNION ALL SELECT doc_id % 2, 'source', source FROM documents
+           UNION ALL SELECT doc_id % 2, 'n_chars',
+                            CAST(n_chars AS VARCHAR) FROM documents
+           UNION ALL SELECT doc_id % 2, 'text', text FROM documents)
+         GROUP BY col)
+       ORDER BY col""",
+    doc="cross-epoch schema/content drift detector -- x174 profiles "
+        "ONE corpus column-wise; this compares TWO epochs (doc_id "
+        "parity split standing in for yesterday/today) column by "
+        "column: per-column row and distinct-value counts per epoch "
+        "plus a 10%-relative-gap drift flag, the check that catches "
+        "an upstream feed silently collapsing a column's domain. "
+        "One stack() generator fans each row to 4 (col, val) pairs "
+        "in the scan stage, one groupBy(col) with conditional "
+        "count(DISTINCT)s (one Expand, x250's only multiplier), "
+        "drift arithmetic is integer-exact; the flag computes in an "
+        "outer projection because a sibling aggregate alias is not "
+        "referenceable in either dialect (x209's lateral-alias "
+        "seam)",
+)
+def x250_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select(
+        (F.col("doc_id") % 2).alias("epoch"),
+        F.expr(
+            "stack(4, 'lang', lang, 'source', source, "
+            "'n_chars', CAST(n_chars AS STRING), 'text', text) "
+            "AS (col, val)"
+        ),
+    )
+    agg = u.groupBy("col").agg(
+        F.count(F.when(F.col("epoch") == 0, 1)).cast("long").alias("n0"),
+        F.countDistinct(F.when(F.col("epoch") == 0, F.col("val")))
+        .cast("long")
+        .alias("d0"),
+        F.count(F.when(F.col("epoch") == 1, 1)).cast("long").alias("n1"),
+        F.countDistinct(F.when(F.col("epoch") == 1, F.col("val")))
+        .cast("long")
+        .alias("d1"),
+    )
+    return agg.select(
+        "col",
+        "n0",
+        "d0",
+        "n1",
+        "d1",
+        F.when(
+            F.abs(F.col("d0") - F.col("d1")) * 100
+            > 10 * F.greatest("d0", "d1"),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("drifted"),
+    ).orderBy("col")
+
+
+@register(
+    "x251_cogroup_reconcile",
+    """WITH v AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nv,
+                         MIN(ts) AS first_view
+                  FROM events WHERE event_type = 'view' GROUP BY 1),
+       p AS (SELECT user_id, ts FROM events
+             WHERE event_type = 'purchase'),
+       pu AS (SELECT p.user_id, CAST(count(*) AS BIGINT) AS np,
+                     CAST(SUM(CASE WHEN v.first_view IS NULL
+                              OR p.ts < v.first_view
+                              THEN 1 ELSE 0 END) AS BIGINT) AS blind
+              FROM p LEFT JOIN v ON p.user_id = v.user_id
+              GROUP BY 1),
+       u AS (SELECT COALESCE(pu.user_id, v.user_id) AS user_id,
+                    COALESCE(v.nv, 0) AS nv,
+                    COALESCE(pu.np, 0) AS np,
+                    COALESCE(pu.blind, 0) AS blind
+             FROM pu FULL OUTER JOIN v ON pu.user_id = v.user_id)
+       SELECT blind AS blind_purchases,
+              CAST(count(*) AS BIGINT) AS n_users,
+              CAST(SUM(np) AS BIGINT) AS n_purchases,
+              CAST(SUM(nv) AS BIGINT) AS n_views
+       FROM u GROUP BY 1 ORDER BY blind_purchases""",
+    doc="the COGROUP API surface (groupBy().cogroup().applyInPandas) "
+        "-- two event streams meet per user in ONE Arrow-batched "
+        "Python stage instead of a join: each (views_pdf, "
+        "purchases_pdf) group computes view count, purchase count, "
+        "and BLIND purchases (before the user's first view -- the "
+        "attribution-integrity number), then the user-level rows "
+        "reduce to a blind-count histogram JVM-side. Both sides "
+        "shuffle once on the user key (the same exchange a join "
+        "would pay), per-group state is one user's events, and the "
+        "oracle re-derives the identical numbers relationally "
+        "(LEFT JOIN on first-view ts + FULL OUTER user union) -- "
+        "so the cogroup path is hash-pinned to the join path",
+)
+def x251_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    # The two cogroup sides MUST come from independent scans: deriving
+    # both from one parent DataFrame gives their columns identical
+    # attribute ids, and Spark's self-join dedup silently drops the
+    # right side's non-key columns from the Arrow batches (observed:
+    # right pdf arrives with only ['user_id']). Same family as the
+    # documented self-join ambiguity; a second load_table() creates
+    # fresh ids.
+    ev = load_table(spark, sf_dir, "events")
+    ev2 = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    p = ev2.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+
+    def reconcile(key, vdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        nv = len(vdf)
+        np_ = len(pdf)
+        if np_ == 0:
+            blind = 0
+        elif nv == 0:
+            blind = np_
+        else:
+            blind = int((pdf["ts"] < vdf["ts"].min()).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "nv": [nv],
+                "np": [np_],
+                "blind": [blind],
+            }
+        )
+
+    u = (
+        v.groupBy("user_id")
+        .cogroup(p.groupBy("user_id"))
+        .applyInPandas(
+            reconcile,
+            "user_id bigint, nv bigint, np bigint, blind bigint",
+        )
+    )
+    return (
+        u.groupBy(F.col("blind").alias("blind_purchases"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("np").cast("long").alias("n_purchases"),
+            F.sum("nv").cast("long").alias("n_views"),
+        )
+        .orderBy("blind_purchases")
+    )
+
+
+@register(
+    "x252_arrow_bytes",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+              CAST(SUM(length(text)) AS BIGINT) AS total_chars
+       FROM documents GROUP BY source ORDER BY source""",
+    doc="the mapInArrow API surface -- the zero-copy tier below "
+        "mapInPandas (no pandas conversion at all; pyarrow "
+        "RecordBatches in and out): each batch computes utf8 BYTE "
+        "lengths via pyarrow.compute.binary_length on the "
+        "utf8->binary view plus codepoint counts, emitting narrow "
+        "(source, nbytes, nchars) batches; the JVM aggregates per "
+        "source. Bytes != chars the moment a corpus goes "
+        "multibyte -- the storage-sizing number ingestion needs. "
+        "Oracle pins both sums via DuckDB strlen (bytes) vs length "
+        "(codepoints); only the narrow projection crosses Python, "
+        "Arrow-batched, never row-at-a-time",
+)
+def x252_arrow_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+
+    def measure(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column("text")
+            nbytes = pc.binary_length(text.cast(pa.binary()))
+            nchars = pc.utf8_length(text)
+            yield pa.RecordBatch.from_arrays(
+                [b.column("source"), nbytes.cast(pa.int64()),
+                 nchars.cast(pa.int64())],
+                ["source", "nbytes", "nchars"],
+            )
+
+    m = docs.mapInArrow(
+        measure, "source string, nbytes long, nchars long"
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nbytes").cast("long").alias("total_bytes"),
+            F.sum("nchars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "x253_udtf_shards",
+    """WITH r AS (SELECT source,
+                    ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY doc_id) - 1 AS i
+                  FROM documents)
+       SELECT source, CAST(i // 10 AS BIGINT) AS shard_idx,
+              CAST(count(*) AS BIGINT) AS shard_rows
+       FROM r GROUP BY 1, 2 ORDER BY source, shard_idx""",
+    doc="the Python UDTF surface (Spark 4 @udtf, one-to-many table "
+        "function in SQL FROM position) -- the reference's shard "
+        "planner (S16, handler.go shard clamp) re-expressed as a "
+        "LATERAL-correlated UDTF: per (source, n_docs) row it "
+        "yields one row per 10-doc shard with the tail shard "
+        "clamped; the oracle re-derives the same shards by "
+        "bucketing row_number (DuckDB's generate_series cannot "
+        "take lateral column parameters -- dialect seam). "
+        "Python UDTFs evaluate row-at-a-time, so the contract is "
+        "the input MUST be aggregate-sized (here: one row per "
+        "source, bounded by source cardinality) -- corpus rows "
+        "never meet the UDTF; the corpus-sized work is the one "
+        "partial-agg groupBy that feeds it",
+)
+def x253_udtf_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="shard_idx: bigint, shard_rows: bigint")
+    class ShardPlanner:
+        def eval(self, n_docs: int):
+            size = 10
+            full, rem = divmod(int(n_docs), size)
+            for i in range(full):
+                yield (i, size)
+            if rem:
+                yield (full, rem)
+
+    spark.udtf.register("x253_shard_planner", ShardPlanner)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).createOrReplaceTempView("x253_src_counts")
+    return spark.sql(
+        """SELECT s.source, t.shard_idx, t.shard_rows
+           FROM x253_src_counts s,
+                LATERAL x253_shard_planner(s.n_docs) t
+           ORDER BY s.source, t.shard_idx"""
+    )
+
+
+@register(
+    "x254_percentile_semantics",
+    """WITH t AS (SELECT event_type,
+                    CAST(round(value * 100, 0) AS BIGINT) AS cents
+                  FROM events)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50_disc,
+              CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT)
+                AS p50_cont_x2
+       FROM t GROUP BY event_type ORDER BY event_type""",
+    doc="percentile SEMANTICS seam, pinned: DISC returns an actual "
+        "data value (the lower of the two middle ranks), CONT "
+        "interpolates between them -- on an even-count group they "
+        "disagree by half the middle gap, and a migration that "
+        "swaps one for the other silently shifts every SLA "
+        "threshold. Spark percentile_disc <-> DuckDB quantile_disc, "
+        "Spark percentile_cont <-> quantile_cont; values are "
+        "integer cents so DISC is integer-exact, and CONT at 0.5 "
+        "is reported x2 (the only possible fraction is .5, so "
+        "doubling is exact) -- no float hash risk. One groupBy, "
+        "both percentiles in the same aggregate",
+)
+def x254_percentile_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr(
+                "CAST(percentile_disc(0.5) WITHIN GROUP "
+                "(ORDER BY cents) AS BIGINT)"
+            ).alias("p50_disc"),
+            F.expr(
+                "CAST(percentile_cont(0.5) WITHIN GROUP "
+                "(ORDER BY cents) * 2 AS BIGINT)"
+            ).alias("p50_cont_x2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "x255_explode_outer",
+    """WITH f AS (SELECT doc_id, lang,
+                    list_filter(string_split(lower(text), ' '),
+                                x -> len(x) >= 8) AS longs
+                  FROM documents)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN len(longs) = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_no_long,
+              CAST(SUM(len(longs)) AS BIGINT) AS n_long_tokens
+       FROM f GROUP BY lang ORDER BY lang""",
+    doc="explode vs explode_outer NULL-preservation seam: a plain "
+        "explode DROPS every document whose filtered token array is "
+        "empty -- the silent row loss that understates corpus "
+        "coverage stats; explode_outer keeps them as one NULL-token "
+        "row each. The entry runs the OUTER generator over "
+        "length>=8 tokens (empty for most docs) and counts docs, "
+        "empty docs (NULL rows), and surviving tokens per lang -- "
+        "numbers a dropped row would visibly corrupt (n_docs would "
+        "shrink). The oracle needs no generator at all: the same "
+        "three numbers fold over the array lengths row-locally -- "
+        "mechanism differs, hash must not",
+)
+def x255_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        "lang",
+        F.filter(
+            F.split(F.lower("text"), " "), lambda x: F.length(x) >= 8
+        ).alias("longs"),
+    )
+    e = f.select(
+        "doc_id", "lang", F.explode_outer("longs").alias("tok")
+    )
+    return (
+        e.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.when(F.col("tok").isNull(), 1))
+            .cast("long")
+            .alias("n_docs_no_long"),
+            F.count("tok").cast("long").alias("n_long_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "x256_array_align",
+    """WITH c AS (SELECT user_id, ts,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY ts) AS rn
+                  FROM events WHERE event_type = 'click'),
+       p AS (SELECT user_id, ts,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY ts) AS rn
+             FROM events WHERE event_type = 'purchase'),
+       j AS (SELECT COALESCE(c.rn, p.rn) AS rn,
+                    c.ts AS cts, p.ts AS pts
+             FROM c FULL OUTER JOIN p
+               ON c.user_id = p.user_id AND c.rn = p.rn)
+       SELECT CAST(rn AS BIGINT) AS idx,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(SUM(CASE WHEN cts IS NOT NULL AND pts IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+              CAST(SUM(CASE WHEN pts > cts THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase_after
+       FROM j GROUP BY rn ORDER BY idx""",
+    doc="index-aligned array pairing via arrays_zip + posexplode -- "
+        "each user's k-th click meets their k-th purchase without "
+        "any join: both ordered ts arrays build in ONE user-key "
+        "groupBy (two conditional collect_lists share the "
+        "exchange), arrays_zip NULL-pads the shorter side exactly "
+        "like the oracle's FULL OUTER rank join, and posexplode "
+        "re-derives the rank from the array position. Per-index "
+        "pair counts and the k-th-purchase-after-k-th-click tally "
+        "are the hash surface. Duplicate ts within a user make "
+        "row_number ties arbitrary BUT value-identical, so the "
+        "k-th VALUE is deterministic either way -- the reason this "
+        "hashes without an event_id tiebreak",
+)
+def x256_array_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arr = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("event_type") == "click", F.col("ts"))
+                )
+            ).alias("clicks"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("ts")
+                    )
+                )
+            ).alias("purchases"),
+        )
+    )
+    z = arr.select(
+        F.posexplode(F.arrays_zip("clicks", "purchases")).alias(
+            "pos", "pair"
+        )
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("idx"),
+        F.col("pair.clicks").alias("cts"),
+        F.col("pair.purchases").alias("pts"),
+    )
+    return (
+        z.groupBy("idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count(
+                F.when(
+                    F.col("cts").isNotNull() & F.col("pts").isNotNull(),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("n_both"),
+            F.count(F.when(F.col("pts") > F.col("cts"), 1))
+            .cast("long")
+            .alias("n_purchase_after"),
+        )
+        .orderBy("idx")
+    )
+
+
+@register(
+    "x257_decimal_contract",
+    """WITH t AS (SELECT l_returnflag,
+                    CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                      AS cents,
+                    CAST(round(l_discount * 10000, 0) AS BIGINT) AS bp
+                  FROM lineitem),
+       d AS (SELECT l_returnflag,
+                    CAST(CAST(cents AS DECIMAL(18,2)) / 100
+                      AS DECIMAL(18,2)) AS price,
+                    CAST(CAST(bp AS DECIMAL(10,4)) / 10000
+                      AS DECIMAL(10,4)) AS rate
+             FROM t)
+       SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(price * (1 - rate) AS DECIMAL(28,8)))
+                AS DECIMAL(38,8)) AS net_sum
+       FROM d GROUP BY l_returnflag ORDER BY l_returnflag""",
+    doc="the DECIMAL type-contract seam, pinned end to end: Spark and "
+        "DuckDB assign DIFFERENT precision/scale to decimal division "
+        "and multiplication results (Spark widens scale to >= 6 on "
+        "divide, DuckDB follows its own rule), so any money pipeline "
+        "that lets the engine infer intermediate types diverges "
+        "silently. The entry CASTS every intermediate explicitly -- "
+        "cents -> DECIMAL(18,2) price, basis points -> DECIMAL(10,4) "
+        "rate, product -> DECIMAL(28,8), sum -> DECIMAL(38,8) -- and "
+        "all values are exact at every step (2dp x 4dp = 6dp < 8dp), "
+        "so the hash pins that BOTH engines honor explicit decimal "
+        "casts bit-for-bit; x45/x46's round-then-DECIMAL recipe "
+        "generalized into the full arithmetic chain",
+)
+def x257_decimal_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        F.round(F.col("l_discount") * 10000, 0).cast("long").alias("bp"),
+    )
+    d = t.select(
+        "l_returnflag",
+        (F.col("cents").cast("decimal(18,2)") / 100)
+        .cast("decimal(18,2)")
+        .alias("price"),
+        (F.col("bp").cast("decimal(10,4)") / 10000)
+        .cast("decimal(10,4)")
+        .alias("rate"),
+    )
+    return (
+        d.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                (F.col("price") * (1 - F.col("rate"))).cast(
+                    "decimal(28,8)"
+                )
+            )
+            .cast("decimal(38,8)")
+            .alias("net_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "x258_collation_distinct",
+    """WITH t AS (SELECT source,
+                    CASE WHEN doc_id % 2 = 0 THEN upper(lang)
+                         ELSE lang END AS k
+                  FROM documents)
+       SELECT source,
+              CAST(count(DISTINCT k) AS BIGINT) AS n_case_sensitive,
+              CAST(count(DISTINCT lower(k)) AS BIGINT)
+                AS n_case_insensitive,
+              CAST(SUM(CASE WHEN lower(k) = 'en' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_en_ci
+       FROM t GROUP BY source ORDER BY source""",
+    doc="Spark 4 COLLATION surface: the same distinct/equality "
+        "semantics lower() hand-rolls, declared as a column property "
+        "instead -- count(DISTINCT collate(k, 'UTF8_LCASE')) and a "
+        "collated equality filter against a mixed-case key (doc "
+        "parity upper-cases half the rows). Counts are deterministic "
+        "under collation where the GROUP KEY VALUE would not be "
+        "(which case representative a collated groupBy returns is "
+        "arbitrary -- the reason this entry outputs counts, never "
+        "collated keys). Oracle states the identical semantics via "
+        "lower(); one groupBy, Expand for the two distincts",
+)
+def x258_collation_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, F.upper("lang"))
+        .otherwise(F.col("lang"))
+        .alias("k"),
+    )
+    ci = F.collate(F.col("k"), "UTF8_LCASE")
+    return (
+        t.groupBy("source")
+        .agg(
+            F.countDistinct("k").cast("long").alias("n_case_sensitive"),
+            F.countDistinct(ci).cast("long").alias("n_case_insensitive"),
+            F.sum(
+                F.when(ci == F.lit("en"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_en_ci"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "x259_month_arithmetic",
+    """WITH me AS (SELECT CAST(o_orderdate AS DATE) AS d
+                   FROM orders
+                   WHERE CAST(o_orderdate AS DATE)
+                         = last_day(CAST(o_orderdate AS DATE))),
+       s AS (SELECT d, CAST(d + INTERVAL 1 MONTH AS DATE) AS d1
+             FROM me)
+       SELECT CAST(EXTRACT(year FROM d) AS BIGINT) AS yr,
+              CAST(count(*) AS BIGINT) AS n_month_end,
+              CAST(SUM(CASE WHEN EXTRACT(day FROM d1)
+                            < EXTRACT(day FROM d)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+              CAST(SUM(EXTRACT(day FROM d1)) AS BIGINT) AS day_sig
+       FROM s GROUP BY 1 ORDER BY yr""",
+    doc="calendar month-arithmetic seam, pinned on the clamping edge: "
+        "Jan 31 + 1 month must land on Feb 28/29 in BOTH engines "
+        "(Spark add_months and DuckDB + INTERVAL 1 MONTH both clamp "
+        "to month end -- but a pipeline that emulates month shifts "
+        "with +30 days or date_add does NOT, and every month-end "
+        "row drifts). Month-end orders filter via last_day "
+        "self-equality, the shifted day-of-month sums into an "
+        "integer signature that any clamp divergence flips; "
+        "pure codegen, one groupBy on year",
+)
+def x259_month_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    me = o.select(F.col("o_orderdate").cast("date").alias("d")).filter(
+        F.col("d") == F.last_day("d")
+    )
+    s = me.select("d", F.add_months("d", 1).alias("d1"))
+    return (
+        s.groupBy(F.year("d").cast("long").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_month_end"),
+            F.sum(
+                F.when(F.dayofmonth("d1") < F.dayofmonth("d"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clamped"),
+            F.sum(F.dayofmonth("d1")).cast("long").alias("day_sig"),
+        )
+        .orderBy("yr")
+    )
+
+
+@register(
+    "x260_quantile_array",
+    """WITH t AS (SELECT event_type,
+                    CAST(round(value * 100, 0) AS BIGINT) AS cents
+                  FROM events)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              array_to_string(list_transform(
+                quantile_cont(cents, [0.25, 0.5, 0.75]),
+                x -> CAST(CAST(x * 4 AS BIGINT) AS VARCHAR)), ',')
+                AS quartiles_x4
+       FROM t GROUP BY event_type ORDER BY event_type""",
+    doc="the array-of-fractions percentile surface (ONE aggregate "
+        "returns all three quartiles -- at scale, one sort-based "
+        "aggregation pass instead of three): Spark "
+        "percentile(col, array(...)) <-> DuckDB "
+        "quantile_cont(col, [...]); the list serializes to a string "
+        "in-query on both engines (q33/q41 array-hash precedent) "
+        "and values report x4 so the only possible interpolation "
+        "fractions (.25/.5/.75 between integer cents) become exact "
+        "integers -- no float in the hash. One groupBy, no Expand "
+        "(a single percentile aggregate, not three)",
+)
+def x260_quantile_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.percentile(
+                        F.col("cents"),
+                        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+                    ),
+                    lambda x: (x * 4).cast("long").cast("string"),
+                ),
+            ).alias("quartiles_x4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "x261_hll_native",
+    None,
+    doc="Spark 4's NATIVE DataSketches HLL surface (hll_sketch_agg / "
+        "hll_sketch_estimate / hll_union_agg) -- the engine-built "
+        "mergeable sketch that replaces x16's hand-rolled HLL++ at "
+        "100 TB: per-lang content sketches estimate distinct texts, "
+        "and the union row proves MERGEABILITY (union the per-lang "
+        "sketches, estimate once -- the two-level rollup pattern "
+        "where per-partition sketches fold without re-reading data, "
+        "x112's WAU contract on native machinery). Rows-only by "
+        "design: DuckDB's approx_count_distinct is a different "
+        "sketch with different estimates; the pytest gate bounds "
+        "every estimate within 5% of the exact count "
+        "(tests/test_ops_quality.py::test_hll_native_within_error)",
+)
+def x261_hll_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.groupBy("lang")
+        .agg(F.hll_sketch_agg(F.md5("text"), F.lit(14)).alias("sk"))
+    )
+    by_lang = per.select(
+        F.col("lang").alias("scope"),
+        F.hll_sketch_estimate("sk").cast("long").alias("est_distinct"),
+    )
+    union_row = per.agg(
+        F.hll_union_agg("sk").alias("u")
+    ).select(
+        F.lit("__union__").alias("scope"),
+        F.hll_sketch_estimate("u").cast("long").alias("est_distinct"),
+    )
+    return by_lang.unionByName(union_row).orderBy("scope")

@@ -1474,3 +1474,32 @@ def test_wau_sketch_tracks_exact_rolling_actives(spark):
         assert abs(est[day] - wau) <= max(2, 0.05 * wau), (
             day, wau, est[day]
         )
+
+
+def test_hll_native_within_error(spark):
+    """x261 quality gate: every native-HLL estimate (per-lang and the
+    merged union row) within 5% of the exact distinct count; the union
+    row must also track the GLOBAL exact distinct (mergeability -- a
+    union of per-lang sketches estimates the corpus, not the sum)."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x261_hll_native,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    exact = {
+        r.lang: r.n
+        for r in docs.groupBy("lang")
+        .agg(F.countDistinct(F.md5("text")).alias("n"))
+        .collect()
+    }
+    exact["__union__"] = (
+        docs.select(F.md5("text")).distinct().count()
+    )
+    rows = {r.scope: r.est_distinct for r in x261_hll_native(spark, SF).collect()}
+    assert set(rows) == set(exact)
+    for scope, est in rows.items():
+        assert abs(est - exact[scope]) <= max(2, 0.05 * exact[scope]), (
+            scope,
+            est,
+            exact[scope],
+        )
