@@ -13471,3 +13471,624 @@ def x261_hll_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("u").cast("long").alias("est_distinct"),
     )
     return by_lang.unionByName(union_row).orderBy("scope")
+
+
+@register(
+    "x262_orc_roundtrip",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(bit_xor(CAST(('0x' || substr(
+                md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))
+                AS BIGINT)) AS BIGINT) AS checksum
+       FROM documents GROUP BY source ORDER BY source""",
+    doc="format-abstraction contract for the ORC leg -- the third "
+        "interchange format after JSONL (x114) and CSV (x160), and "
+        "the one with its own writer stack (ORC stripe encoding vs "
+        "parquet pages): export the corpus as ORC shards, read them "
+        "back, and XOR-fold x187's order-independent 60-bit content "
+        "checksum per source; hash-matching the parquet-sourced "
+        "oracle proves the encode/decode cycle byte-lossless through "
+        "the correctness gate. Shards write/read in parallel (orc "
+        "sink, no collect); checksum is partition-order immune by "
+        "XOR algebra, so the round-trip's different file split "
+        "cannot fake a pass or a fail",
+)
+def x262_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="x262_orc_")
+    try:
+        docs.write.mode("overwrite").orc(tmp)
+        back = spark.read.schema(docs.schema).orc(tmp)
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", F.col("doc_id"), F.col("text"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        out = (
+            back.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.bit_xor(h).cast("long").alias("checksum"),
+            )
+            .orderBy("source")
+        )
+        out = out.localCheckpoint()  # materialize before tmp vanishes
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
+    "x263_string_parity",
+    """WITH s AS (SELECT lang,
+                    md5(concat_ws('#',
+                      upper(text),
+                      substr(text, 5, 20),
+                      reverse(substr(text, 1, 16)),
+                      lpad(substr(text, 1, 4), 8, '_'),
+                      translate(substr(text, 1, 32), 'aeiou', 'AEIOU'),
+                      replace(substr(text, 1, 32), ' ', '~'),
+                      trim(substr(text, 1, 12)),
+                      CAST(ascii(text) AS VARCHAR),
+                      CAST(length(text) AS VARCHAR))) AS fp
+                  FROM documents)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(bit_xor(CAST(('0x' || substr(fp, 1, 15)) AS BIGINT))
+                AS BIGINT) AS parity_checksum
+       FROM s GROUP BY lang ORDER BY lang""",
+    doc="string-function PARITY MATRIX: nine core functions (upper, "
+        "substr 1-based, reverse, lpad, translate, replace, trim, "
+        "ascii, length) composed into one md5 fingerprint per row and "
+        "XOR-folded per lang -- a single hash row pins the exact "
+        "byte semantics of the whole battery across engines (any "
+        "off-by-one in substr indexing, pad direction, or translate "
+        "mapping flips the checksum). This is the migration "
+        "smoke-test for expression-level compatibility, the "
+        "expression-layer complement of the x187 content checksum; "
+        "pure codegen, one partial-agg groupBy",
+)
+def x263_string_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    fp = F.md5(
+        F.concat_ws(
+            "#",
+            F.upper(t),
+            F.substring(t, 5, 20),
+            F.reverse(F.substring(t, 1, 16)),
+            F.lpad(F.substring(t, 1, 4), 8, "_"),
+            F.translate(F.substring(t, 1, 32), "aeiou", "AEIOU"),
+            F.replace(F.substring(t, 1, 32), F.lit(" "), F.lit("~")),
+            F.trim(F.substring(t, 1, 12)),
+            F.ascii(t).cast("string"),
+            F.length(t).cast("string"),
+        )
+    )
+    s = docs.select("lang", fp.alias("fp"))
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.bit_xor(
+                F.conv(F.substring("fp", 1, 15), 16, 10).cast("long")
+            )
+            .cast("long")
+            .alias("parity_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "x264_date_parsing",
+    """WITH r AS (SELECT strftime(CAST(o_orderdate AS DATE),
+                                  '%m/%d/%Y') AS us_str
+                  FROM orders),
+       p AS (SELECT CAST(strptime(us_str, '%m/%d/%Y') AS DATE) AS d
+             FROM r)
+       SELECT CAST(EXTRACT(year FROM d) AS BIGINT) AS yr,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(EXTRACT(doy FROM d)) AS BIGINT) AS doy_sum
+       FROM p GROUP BY 1 ORDER BY yr""",
+    doc="date FORMAT-PATTERN dialect seam: the same US-style "
+        "MM/DD/YYYY string renders and parses through Spark's Java "
+        "DateTimeFormatter patterns (date_format / to_date with "
+        "'MM/dd/yyyy') and DuckDB's strftime/strptime ('%m/%d/%Y') "
+        "-- two pattern LANGUAGES, one calendar; the round-trip "
+        "(render -> parse -> day-of-year sum) flips on any "
+        "zero-padding, month/minute confusion ('mm' vs 'MM' is the "
+        "classic), or pivot-year divergence. Numeric patterns only "
+        "-- month NAMES would drag locale into the hash (documented "
+        "exclusion). Pure codegen both sides",
+)
+def x264_date_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    r = o.select(
+        F.date_format(
+            F.col("o_orderdate").cast("date"), "MM/dd/yyyy"
+        ).alias("us_str")
+    )
+    p = r.select(F.to_date("us_str", "MM/dd/yyyy").alias("d"))
+    return (
+        p.groupBy(F.year("d").cast("long").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.dayofyear("d")).cast("long").alias("doy_sum"),
+        )
+        .orderBy("yr")
+    )
+
+
+@register(
+    "x265_centroid_shift",
+    """WITH e AS (
+         SELECT label, vec_id % 2 AS epoch,
+                unnest(range(0, len(embedding))) AS pos,
+                CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6, 0)
+                     AS BIGINT) AS q
+         FROM embeddings),
+       c AS (SELECT label, epoch, pos,
+                    CAST(SUM(q) AS BIGINT) AS s
+             FROM e GROUP BY 1, 2, 3),
+       w AS (SELECT label, pos,
+                    CAST(SUM(CASE WHEN epoch = 0 THEN s END)
+                      AS BIGINT) AS s0,
+                    CAST(SUM(CASE WHEN epoch = 1 THEN s END)
+                      AS BIGINT) AS s1
+             FROM c GROUP BY 1, 2),
+       d AS (SELECT label,
+                    CAST(SUM(s0 * s1) AS BIGINT) AS dot,
+                    CAST(SUM(s0 * s0) AS BIGINT) AS n0,
+                    CAST(SUM(s1 * s1) AS BIGINT) AS n1
+             FROM w GROUP BY 1)
+       SELECT CAST(label AS BIGINT) AS label,
+              CAST(round(CAST(dot AS DOUBLE)
+                   / sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+                   * 1e6, 0) AS BIGINT) AS cos_x1e6
+       FROM d ORDER BY label""",
+    doc="per-label centroid DRIFT between two corpus epochs (vec_id "
+        "parity split): the embedding-space answer to x250's "
+        "columnar drift -- a label whose epoch centroids decohere "
+        "signals distribution shift the scalar profiles miss. "
+        "Everything order-dependent is eliminated: components "
+        "quantize to integer micro-units at the scan, centroid "
+        "sums / dot / norms accumulate as EXACT integers (partial "
+        "agg over (label, epoch, pos) cells, dim x label x 2 "
+        "bounded), and the single double division + sqrt at the end "
+        "is IEEE-identical cross-engine; cosine reports in integer "
+        "micro-units. The unnormalized-sum trick: cosine of sums "
+        "equals cosine of means -- the counts cancel, so per-epoch "
+        "counts never enter the arithmetic",
+)
+def x265_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("epoch"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "label",
+        "epoch",
+        "pos",
+        F.round(F.col("x").cast("double") * 1e6, 0)
+        .cast("long")
+        .alias("q"),
+    )
+    c = e.groupBy("label", "epoch", "pos").agg(
+        F.sum("q").cast("long").alias("s")
+    )
+    w = c.groupBy("label", "pos").agg(
+        F.sum(F.when(F.col("epoch") == 0, F.col("s")))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(F.col("epoch") == 1, F.col("s")))
+        .cast("long")
+        .alias("s1"),
+    )
+    d = w.groupBy("label").agg(
+        F.sum(F.col("s0") * F.col("s1")).cast("long").alias("dot"),
+        F.sum(F.col("s0") * F.col("s0")).cast("long").alias("n0"),
+        F.sum(F.col("s1") * F.col("s1")).cast("long").alias("n1"),
+    )
+    return d.select(
+        F.col("label").cast("long").alias("label"),
+        F.round(
+            F.col("dot").cast("double")
+            / F.sqrt(
+                F.col("n0").cast("double") * F.col("n1").cast("double")
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("cos_x1e6"),
+    ).orderBy("label")
+
+
+@register(
+    "x266_rank_nulls",
+    """WITH t AS (SELECT event_type,
+                    NULLIF(CAST(round(value * 100, 0) AS BIGINT) % 7,
+                           0) AS v
+                  FROM events),
+       r AS (SELECT event_type, v,
+                    rank() OVER (PARTITION BY event_type
+                      ORDER BY v ASC NULLS LAST) AS rk
+             FROM t)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+              CAST(SUM(CASE WHEN v IS NOT NULL THEN rk END)
+                AS BIGINT) AS rank_sum_nonnull,
+              CAST(MAX(rk) AS BIGINT) AS max_rank
+       FROM r GROUP BY event_type ORDER BY event_type""",
+    doc="NULL sort-order seam, pinned: Spark default-sorts NULLS "
+        "FIRST ascending, DuckDB NULLS LAST -- an unannotated ORDER "
+        "BY inside any window gives every null-containing partition "
+        "DIFFERENT rank values on the two engines. The entry ranks "
+        "a deterministically-nulled column (cents % 7, zero -> "
+        "NULL) with EXPLICIT asc_nulls_last on both sides; the "
+        "non-null rank sum and max rank flip if either engine "
+        "defaults differently. Window is event_type-partitioned "
+        "(never global), rank arithmetic integer-exact; ties get "
+        "equal ranks so duplicate values cannot destabilize the "
+        "hash",
+)
+def x266_rank_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.nullif(
+            F.round(F.col("value") * 100, 0).cast("long") % 7, F.lit(0)
+        ).alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("v").asc_nulls_last()
+    )
+    r = t.select("event_type", "v", F.rank().over(w).alias("rk"))
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.sum(F.when(F.col("v").isNotNull(), F.col("rk")))
+            .cast("long")
+            .alias("rank_sum_nonnull"),
+            F.max("rk").cast("long").alias("max_rank"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "x267_higher_moments",
+    """WITH t AS (SELECT event_type,
+                    CAST(round(value * 100, 0) AS BIGINT) AS c
+                  FROM events),
+       m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                    CAST(SUM(CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0))
+                      AS s1,
+                    CAST(SUM(CAST(c AS DECIMAL(19,0))
+                             * CAST(c AS DECIMAL(19,0)))
+                      AS DECIMAL(38,0)) AS s2,
+                    CAST(SUM(CAST(CAST(c AS DECIMAL(19,0))
+                                  * CAST(c AS DECIMAL(19,0))
+                               AS DECIMAL(19,0))
+                             * CAST(c AS DECIMAL(19,0)))
+                      AS DECIMAL(38,0)) AS s3,
+                    CAST(SUM(CAST(CAST(c AS DECIMAL(19,0))
+                                  * CAST(c AS DECIMAL(19,0))
+                               AS DECIMAL(19,0))
+                             * CAST(CAST(c AS DECIMAL(19,0))
+                                    * CAST(c AS DECIMAL(19,0))
+                                 AS DECIMAL(19,0)))
+                      AS DECIMAL(38,0)) AS s4
+             FROM t GROUP BY event_type)
+       SELECT event_type, n,
+              ROUND((CAST(s3 AS DOUBLE) / n
+                     - 3 * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s2 AS DOUBLE) / n)
+                     + 2 * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n))
+                    / ((CAST(s2 AS DOUBLE) / n
+                        - (CAST(s1 AS DOUBLE) / n)
+                            * (CAST(s1 AS DOUBLE) / n))
+                       * sqrt(CAST(s2 AS DOUBLE) / n
+                              - (CAST(s1 AS DOUBLE) / n)
+                                  * (CAST(s1 AS DOUBLE) / n))),
+                    6) AS skew_pop,
+              ROUND((CAST(s4 AS DOUBLE) / n
+                     - 4 * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s3 AS DOUBLE) / n)
+                     + 6 * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s2 AS DOUBLE) / n)
+                     - 3 * ((CAST(s1 AS DOUBLE) / n)
+                            * (CAST(s1 AS DOUBLE) / n))
+                         * ((CAST(s1 AS DOUBLE) / n)
+                            * (CAST(s1 AS DOUBLE) / n)))
+                    / ((CAST(s2 AS DOUBLE) / n
+                        - (CAST(s1 AS DOUBLE) / n)
+                            * (CAST(s1 AS DOUBLE) / n))
+                       * (CAST(s2 AS DOUBLE) / n
+                          - (CAST(s1 AS DOUBLE) / n)
+                              * (CAST(s1 AS DOUBLE) / n)))
+                    - 3, 6) AS kurt_excess_pop
+       FROM m ORDER BY event_type""",
+    doc="skewness/kurtosis the SCALE-SAFE way -- four exact integer "
+        "power sums (DECIMAL(38,0) accumulation, x189's moment "
+        "pattern run to 4th order) assembled into population moments "
+        "by ONE double expression written identically in both "
+        "dialects (no pow() -- engine-divergent per the verify "
+        "gotchas; var^1.5 is var*sqrt(var)). The NATIVE skewness()/"
+        "kurtosis() functions are deliberately absent from the hash: "
+        "Spark returns population g1/excess-g2 while DuckDB returns "
+        "SAMPLE-corrected b1/b2 -- the formula seam this entry "
+        "documents by reconstructing from sums both engines agree "
+        "on. One partial-agg groupBy; cents^4 at 1e16 per row needs "
+        "the decimal sums (a DOUBLE sum drifts by partition order)",
+)
+def x267_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    cd = F.col("c").cast("decimal(19,0)")
+    c2 = (cd * cd).cast("decimal(19,0)")
+    m = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cd).cast("decimal(38,0)").alias("s1"),
+        F.sum(cd * cd).cast("decimal(38,0)").alias("s2"),
+        F.sum(c2 * cd).cast("decimal(38,0)").alias("s3"),
+        F.sum(c2 * c2).cast("decimal(38,0)").alias("s4"),
+    )
+    # identical expression text as the oracle, evaluated by Spark SQL
+    return m.selectExpr(
+        "event_type",
+        "n",
+        """ROUND((CAST(s3 AS DOUBLE) / n
+                  - 3 * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s2 AS DOUBLE) / n)
+                  + 2 * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s1 AS DOUBLE) / n))
+                 / ((CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n))
+                    * sqrt(CAST(s2 AS DOUBLE) / n
+                           - (CAST(s1 AS DOUBLE) / n)
+                               * (CAST(s1 AS DOUBLE) / n))),
+                 6) AS skew_pop""",
+        """ROUND((CAST(s4 AS DOUBLE) / n
+                  - 4 * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s3 AS DOUBLE) / n)
+                  + 6 * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s2 AS DOUBLE) / n)
+                  - 3 * ((CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n))
+                      * ((CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n)))
+                 / ((CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n))
+                    * (CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n)
+                           * (CAST(s1 AS DOUBLE) / n)))
+                 - 3, 6) AS kurt_excess_pop""",
+    ).orderBy("event_type")
+
+
+@register(
+    "x268_id_gaps",
+    """WITH g AS (SELECT o_orderkey AS ok,
+                    lead(o_orderkey) OVER (ORDER BY o_orderkey)
+                      - o_orderkey - 1 AS gap
+                  FROM orders)
+       SELECT CASE WHEN gap = 1 THEN '1_single'
+                   WHEN gap <= 10 THEN '2_small'
+                   ELSE '3_large' END AS gap_class,
+              CAST(count(*) AS BIGINT) AS n_gaps,
+              CAST(SUM(gap) AS BIGINT) AS total_missing,
+              CAST(MAX(gap) AS BIGINT) AS max_gap
+       FROM g WHERE gap > 0 GROUP BY 1 ORDER BY gap_class""",
+    doc="missing-ID-range detection (integer islands -- x149's "
+        "time-interval twin on the KEY domain; TPC-H orderkeys are "
+        "sparse by construction, the perfect fixture): the oracle "
+        "states the naive global lead(), the Spark side computes the "
+        "SAME gaps with NO global sort -- lead() runs inside "
+        "4096-wide key-range buckets (partition-local windows), and "
+        "the cross-bucket seams stitch via one lead() over the "
+        "bucket-cardinality (min, max) table, which also absorbs "
+        "entirely-empty buckets. The two-level decomposition is "
+        "exact: every gap is either interior to a bucket or spans "
+        "bucket boundaries, never both. This is how global "
+        "order-dependent scans survive 100 TB -- x90/x169's "
+        "two-pass philosophy applied to lead()",
+)
+def x268_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        (F.col("o_orderkey") / F.lit(4096)).cast("long").alias("b"),
+    )
+    win = Window.partitionBy("b").orderBy("ok")
+    inner = o.select(
+        (F.lead("ok").over(win) - F.col("ok") - 1).alias("gap")
+    ).filter(F.col("gap") > 0)
+    spans = o.groupBy("b").agg(
+        F.min("ok").alias("mn"), F.max("ok").alias("mx")
+    )
+    bwin = Window.orderBy("b")  # bucket-cardinality table: bounded
+    seams = spans.select(
+        (F.lead("mn").over(bwin) - F.col("mx") - 1).alias("gap")
+    ).filter(F.col("gap") > 0)
+    g = inner.unionByName(seams)
+    return (
+        g.select(
+            F.when(F.col("gap") == 1, "1_single")
+            .when(F.col("gap") <= 10, "2_small")
+            .otherwise("3_large")
+            .alias("gap_class"),
+            "gap",
+        )
+        .groupBy("gap_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("gap").cast("long").alias("total_missing"),
+            F.max("gap").cast("long").alias("max_gap"),
+        )
+        .orderBy("gap_class")
+    )
+
+
+@register(
+    "x269_str_to_map",
+    """WITH s AS (SELECT 'lang=' || lang || ',src=' || source ||
+                         ',len=' || CAST(n_chars AS VARCHAR) AS cfg
+                  FROM documents)
+       SELECT string_split(string_split(cfg, ',')[1], '=')[2] AS lang,
+              string_split(string_split(cfg, ',')[2], '=')[2]
+                AS src,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(string_split(string_split(cfg, ',')[3],
+                            '=')[2] AS BIGINT)) AS BIGINT) AS len_sum
+       FROM s GROUP BY 1, 2 ORDER BY lang, src""",
+    doc="config-string parsing via str_to_map -- the k=v,k=v payload "
+        "format that predates JSON in logs and job confs: the entry "
+        "SYNTHESIZES the config string from typed columns, parses it "
+        "back with str_to_map(cfg, ',', '=') and aggregates on the "
+        "extracted keys, so the parse is pinned against the ground "
+        "truth it was rendered from. DuckDB has no str_to_map; the "
+        "oracle does the same extraction with indexed string_split "
+        "(1-based lists -- dialect seam). Pure codegen, the map "
+        "lives only inside the row",
+)
+def x269_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        F.concat(
+            F.lit("lang="), F.col("lang"),
+            F.lit(",src="), F.col("source"),
+            F.lit(",len="), F.col("n_chars").cast("string"),
+        ).alias("cfg")
+    )
+    m = s.select(
+        F.expr("str_to_map(cfg, ',', '=')").alias("m")
+    ).select(
+        F.col("m")["lang"].alias("lang"),
+        F.col("m")["src"].alias("src"),
+        F.col("m")["len"].cast("long").alias("len"),
+    )
+    return (
+        m.groupBy("lang", "src")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("len").cast("long").alias("len_sum"),
+        )
+        .orderBy("lang", "src")
+    )
+
+
+@register(
+    "x270_from_csv",
+    """WITH s AS (SELECT CAST(l_orderkey AS VARCHAR) || ',' ||
+                         CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+                         || ',' || l_returnflag AS line
+                  FROM lineitem)
+       SELECT string_split(line, ',')[3] AS rf,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(string_split(line, ',')[2] AS BIGINT))
+                AS BIGINT) AS qty_sum
+       FROM s GROUP BY 1 ORDER BY rf""",
+    doc="embedded-CSV column parsing via from_csv -- the schema'd "
+        "single-line parser for CSV payloads INSIDE a column (a "
+        "Kafka value, a log field), distinct from the x160 file "
+        "source: lines synthesize from typed columns, from_csv "
+        "parses them back with a declared schema (typed BIGINT "
+        "extraction, not string surgery), and the per-flag rollup "
+        "hash-pins the parse against the ground truth. Oracle "
+        "splits positionally (DuckDB has no from_csv; 1-based list "
+        "indexing again). Pure codegen; the struct lives only "
+        "inside the row",
+)
+def x270_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.concat_ws(
+            ",",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_quantity").cast("long").cast("string"),
+            F.col("l_returnflag"),
+        ).alias("line")
+    )
+    p = s.select(
+        F.from_csv(
+            "line", "ok BIGINT, qty BIGINT, rf STRING"
+        ).alias("r")
+    ).select(F.col("r.rf").alias("rf"), F.col("r.qty").alias("qty"))
+    return (
+        p.groupBy("rf")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("qty").cast("long").alias("qty_sum"),
+        )
+        .orderBy("rf")
+    )
+
+
+@register(
+    "x271_timezone_buckets",
+    """WITH t AS (SELECT CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC'
+                           AT TIME ZONE 'America/New_York' AS local_ts
+                  FROM events)
+       SELECT CAST(EXTRACT(hour FROM local_ts) AS BIGINT) AS ny_hour,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(count(DISTINCT CAST(local_ts AS DATE)) AS BIGINT)
+                AS n_local_days
+       FROM t GROUP BY 1 ORDER BY ny_hour""",
+    doc="IANA timezone conversion seam (the DST trap every hourly "
+        "rollup migration hits): naive UTC event timestamps render "
+        "as America/New_York wall-clock -- Spark from_utc_timestamp "
+        "<-> DuckDB's AT TIME ZONE 'UTC' AT TIME ZONE chain (ICU) "
+        "-- and aggregate per LOCAL hour-of-day; the fixture's "
+        "multi-month span crosses DST transitions, so any "
+        "fixed-offset shortcut (ts - INTERVAL 5 HOUR) puts a slice "
+        "of events in the wrong local hour and flips both the "
+        "per-hour counts and the distinct local-date count. Both "
+        "engines resolve the SAME IANA database; wall-clock "
+        "conversion is a scan-stage expression, the groupBy is "
+        "24-cell bounded",
+)
+def x271_timezone_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        F.from_utc_timestamp(
+            F.col("ts").cast("timestamp"), "America/New_York"
+        ).alias("local_ts")
+    )
+    return (
+        t.groupBy(F.hour("local_ts").cast("long").alias("ny_hour"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct(F.col("local_ts").cast("date"))
+            .cast("long")
+            .alias("n_local_days"),
+        )
+        .orderBy("ny_hour")
+    )

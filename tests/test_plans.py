@@ -576,3 +576,40 @@ def test_x235_shuffle_hash_hint_is_honored(spark):
     plan = plan_of(x235_join_hints(spark, SF))
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_x268_id_gaps_no_global_window_over_orders(spark):
+    """x268: the corpus-sized lead() must run inside key-range buckets
+    (Window partitioned by b) -- the only SinglePartition window
+    allowed is the one over the bucket-span AGGREGATE (bucket
+    cardinality, bounded), so every 'Window' below a SinglePartition
+    exchange must sit above a HashAggregate, never directly on the
+    orders scan."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x268_id_gaps,
+    )
+
+    plan = plan_of(x268_id_gaps(spark, SF))
+    # the bucket-local window exists and is hash-partitioned
+    assert "Exchange hashpartitioning(b" in plan
+    # the seam window's SinglePartition feed must come from the
+    # partial-aggregated span table: between the scan and the
+    # SinglePartition exchange there must be a partial aggregate
+    head, sep, _ = plan.partition("Exchange SinglePartition")
+    assert sep, "expected the bounded seam window"
+    assert "partial_min" in plan or "partial_max" in plan or (
+        "HashAggregate" in head
+    )
+
+
+def test_x265_centroid_shift_no_cartesian_bounded_cells(spark):
+    """x265: the per-(label, epoch, pos) cell table is the only
+    corpus-sized aggregation; everything after is label x dim bounded.
+    No cartesian/BNLJ anywhere."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x265_centroid_shift,
+    )
+
+    plan = plan_of(x265_centroid_shift(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
