@@ -65,6 +65,9 @@ GATES: dict[str, list[str]] = {
     "x261_hll_native": [
         "tests/test_ops_quality.py::test_hll_native_within_error",
     ],
+    "x272_approx_top_k": [
+        "tests/test_ops_quality.py::test_approx_top_k_matches_exact_heavy_hitters",
+    ],
 }
 
 

@@ -14092,3 +14092,310 @@ def x271_timezone_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ny_hour")
     )
+
+
+@register(
+    "x272_approx_top_k",
+    None,
+    doc="Spark 4's native approx_top_k aggregate -- the bounded-memory "
+        "heavy-hitter that replaces x41's exact two-pass when the key "
+        "domain outgrows memory: one pass, maxItemsTracked-bounded "
+        "state, mergeable across partitions. The entry reports the "
+        "top-10 corpus tokens with their approximate counts; "
+        "rows-only by design (DuckDB has no counterpart sketch), "
+        "quality-gated against the exact x41-style counts: every "
+        "reported count within 2% and >= 8/10 overlap with the exact "
+        "top-10 (tests/test_ops_quality.py::"
+        "test_approx_top_k_matches_exact_heavy_hitters)",
+)
+def x272_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.length("tok") >= 1)
+    return (
+        toks.agg(
+            F.expr("approx_top_k(tok, 10, 10000)").alias("top")
+        )
+        .select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").cast("long").alias("approx_count"),
+        )
+        .orderBy(F.desc("approx_count"), "token")
+    )
+
+
+@register(
+    "x273_url_parse",
+    """WITH u AS (SELECT source || '.example.com' AS host, lang,
+                         doc_id % 7 AS ref
+                  FROM documents)
+       SELECT host, CAST(count(*) AS BIGINT) AS n,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+              CAST(SUM(ref) AS BIGINT) AS ref_sum
+       FROM u GROUP BY host ORDER BY host""",
+    doc="URL decomposition via parse_url -- the web-corpus grouping "
+        "primitive (per-host dedup budgets, crawl politeness, domain "
+        "mixing weights all start here): URLs SYNTHESIZE injectively "
+        "from typed columns, parse_url extracts HOST / the PATH lang "
+        "segment / the ?ref= query parameter, and the per-host "
+        "rollup hash-pins every extraction against the ground truth "
+        "it rendered from (x269/x270's synthesis contract -- DuckDB "
+        "has no parse_url, so the oracle states the truth directly). "
+        "Pure codegen; a malformed-URL NULL would break a group out "
+        "of the hash instantly",
+)
+def x273_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="), (F.col("doc_id") % 7).cast("string"),
+    )
+    u = docs.select(url.alias("url")).select(
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.split(F.parse_url("url", F.lit("PATH")), "/")
+        .getItem(1)
+        .alias("lang"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref"))
+        .cast("long")
+        .alias("ref"),
+    )
+    return (
+        u.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum("ref").cast("long").alias("ref_sum"),
+        )
+        .orderBy("host")
+    )
+
+
+@register(
+    "x274_char_trigrams",
+    """WITH g AS (SELECT lang,
+                    unnest(list_transform(
+                      range(1, len(lower(text)) - 1),
+                      i -> substr(lower(text), CAST(i AS INTEGER), 3)))
+                      AS tri
+                  FROM documents WHERE len(lower(text)) >= 3),
+       c AS (SELECT lang, tri, CAST(count(*) AS BIGINT) AS cnt
+             FROM g GROUP BY 1, 2),
+       r AS (SELECT lang, tri, cnt,
+                    row_number() OVER (PARTITION BY lang
+                      ORDER BY cnt DESC, tri) AS rk
+             FROM c)
+       SELECT lang, CAST(rk AS BIGINT) AS rk, tri, cnt
+       FROM r WHERE rk <= 5 ORDER BY lang, rk""",
+    doc="character trigram profile per language -- the sub-token "
+        "signal real language-ID models use (x12 votes on stopWORDS; "
+        "char n-grams catch languages with no token overlap at all): "
+        "every sliding 3-char window generates via a HOF transform "
+        "over an index sequence (substr with a COLUMN start only "
+        "works inside SQL lambdas -- the F.substring wrapper is "
+        "literal-only, x205's wrapper-vs-SQL seam again), counts "
+        "reduce in one partial-agg groupBy, top-5 rides a window "
+        "over the (lang, trigram) AGGREGATE with a total (cnt, tri) "
+        "order so ties are deterministic",
+)
+def x274_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    # length >= 3 BEFORE the sequence: Spark's sequence(1, n) with
+    # n <= 0 yields a DESCENDING sequence ([1, 0, ...]), not empty --
+    # the round-4 bpe_learn_merges trap; DuckDB's range(1, n) is
+    # upper-exclusive and simply empties. Filter both sides.
+    g = docs.filter(F.length(F.lower("text")) >= 3).select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(lower(text)) - 2), "
+                "i -> substr(lower(text), i, 3))"
+            )
+        ).alias("tri"),
+    )
+    c = g.groupBy("lang", "tri").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "tri")
+    return (
+        c.select(
+            "lang", "tri", "cnt",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+        .select("lang", "rk", "tri", "cnt")
+        .orderBy("lang", "rk")
+    )
+
+
+@register(
+    "x275_xpath_extract",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+       FROM documents GROUP BY lang ORDER BY lang""",
+    doc="XML field extraction via the xpath_* family -- the legacy "
+        "feed format the reference's JSON pipeline never covers: "
+        "row-level XML documents synthesize from typed columns "
+        "(alphanumeric fields only -- embedding free text would "
+        "need entity escaping, documented exclusion), xpath_string "
+        "and xpath_long pull the fields back out through real XPath "
+        "evaluation, and the per-lang rollup hash-pins the "
+        "round-trip against ground truth (the x269/x270/x273 "
+        "synthesis contract). Spark evaluates XPath in codegen "
+        "scope; DuckDB has no XML support at all -- the oracle is "
+        "mechanism-free by necessity",
+)
+def x275_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit("<doc><lang>"), F.col("lang"),
+        F.lit("</lang><n>"), F.col("n_chars").cast("string"),
+        F.lit("</n></doc>"),
+    )
+    x = docs.select(xml.alias("xml")).select(
+        F.expr("xpath_string(xml, '/doc/lang')").alias("lang"),
+        F.expr("xpath_long(xml, '/doc/n')").alias("n_chars"),
+    )
+    return (
+        x.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "x276_bounded_levenshtein",
+    """WITH sh AS (SELECT levenshtein(substr(lower(text), 1, 12),
+                      substr(lower(text),
+                             1 + CAST(doc_id % 3 AS INTEGER) + 1, 12))
+                      AS d
+                   FROM documents),
+       a AS (SELECT doc_id, substr(lower(text), 1, 24) AS p
+             FROM documents),
+       adj AS (SELECT levenshtein(a.p, b.p) AS d
+               FROM a JOIN a b ON b.doc_id = a.doc_id + 1),
+       u AS (SELECT 'shifted_self' AS pair_kind,
+                    CASE WHEN d > 5 THEN -1 ELSE d END AS d FROM sh
+             UNION ALL
+             SELECT 'adjacent_doc',
+                    CASE WHEN d > 5 THEN -1 ELSE d END FROM adj)
+       SELECT pair_kind, CAST(d AS BIGINT) AS dist,
+              CAST(count(*) AS BIGINT) AS n_pairs
+       FROM u GROUP BY 1, 2 ORDER BY pair_kind, dist""",
+    doc="THRESHOLD-bounded edit distance (Spark 4's 3-arg "
+        "levenshtein): the banded O(k*n) computation that makes "
+        "edit-distance dedup affordable -- past the threshold the "
+        "engine stops and returns -1 instead of filling the full "
+        "matrix (x123's blocked ER pays full O(n^2) per candidate "
+        "pair; this is the kernel upgrade). TWO pair populations "
+        "pin BOTH regimes: shifted-self prefixes (a string vs its "
+        "own 1-char shift -- distances land in 0..5, exercising "
+        "the in-band exact path at several distances) and "
+        "adjacent-doc prefixes "
+        "(unrelated text -- lands in the -1 overflow bucket); the "
+        "oracle computes UNBOUNDED levenshtein and clamps, so the "
+        "early-exit band must agree with the exact distance "
+        "everywhere within the threshold, not just on overflow",
+)
+def x276_bounded_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # shift varies 2..4 by doc parity -> distances spread over the
+    # in-band range (2, 4) AND the -1 overflow, so BOTH regimes of the
+    # banded kernel appear in the histogram
+    sh = docs.select(
+        F.expr(
+            "levenshtein(substr(lower(text), 1, 12), "
+            "substr(lower(text), 1 + CAST(doc_id % 3 AS INT) + 1, 12), "
+            "5)"
+        ).alias("d")
+    ).select(F.lit("shifted_self").alias("pair_kind"), "d")
+    a = docs.select(
+        "doc_id", F.substring(F.lower("text"), 1, 24).alias("p")
+    )
+    b = a.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("p").alias("p2")
+    )
+    adj = (
+        a.join(b, "doc_id")
+        .select(F.expr("levenshtein(p, p2, 5)").alias("d"))
+        .select(F.lit("adjacent_doc").alias("pair_kind"), "d")
+    )
+    u = sh.unionByName(adj)
+    return (
+        u.groupBy("pair_kind", F.col("d").cast("long").alias("dist"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("pair_kind", "dist")
+    )
+
+
+@register(
+    "x277_luhn_check",
+    """WITH n AS (SELECT lpad(CAST(o_orderkey * 7919 %
+                           1000000000000000 AS VARCHAR), 16, '0')
+                    AS num,
+                  o_orderpriority AS prio
+                  FROM orders),
+       v AS (SELECT prio,
+                    CASE WHEN list_sum(list_transform(
+                           range(1, 17),
+                           i -> CASE WHEN i % 2 = 1 THEN
+                                  CASE WHEN 2 * CAST(substr(num,
+                                         CAST(i AS INTEGER), 1)
+                                       AS INTEGER) > 9
+                                  THEN 2 * CAST(substr(num,
+                                         CAST(i AS INTEGER), 1)
+                                       AS INTEGER) - 9
+                                  ELSE 2 * CAST(substr(num,
+                                         CAST(i AS INTEGER), 1)
+                                       AS INTEGER) END
+                                ELSE CAST(substr(num,
+                                       CAST(i AS INTEGER), 1)
+                                     AS INTEGER) END))
+                         % 10 = 0
+                    THEN 1 ELSE 0 END AS ok
+             FROM n)
+       SELECT prio, CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(ok) AS BIGINT) AS n_luhn_valid
+       FROM v GROUP BY prio ORDER BY prio""",
+    doc="checksum-validation parity: Spark's native luhn_check "
+        "(card-number validation -- the PII-scrub gate x49 would "
+        "use to confirm a 16-digit hit IS a card before redacting) "
+        "against an oracle that REIMPLEMENTS Luhn from first "
+        "principles (digit doubling from the right via a list "
+        "transform) -- the native function and the textbook "
+        "algorithm must agree on every synthesized 16-digit "
+        "number (injective from orderkey, ~1 in 10 passes). Any "
+        "off-by-one in doubling position parity flips the "
+        "per-priority valid counts",
+)
+def x277_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    n = o.select(
+        F.lpad(
+            ((F.col("o_orderkey") * 7919) % F.lit(1000000000000000))
+            .cast("string"),
+            16,
+            "0",
+        ).alias("num"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    v = n.select(
+        "prio",
+        F.expr("luhn_check(num)").cast("int").alias("ok"),
+    )
+    return (
+        v.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ok").cast("long").alias("n_luhn_valid"),
+        )
+        .orderBy("prio")
+    )

@@ -1503,3 +1503,34 @@ def test_hll_native_within_error(spark):
             est,
             exact[scope],
         )
+
+
+def test_approx_top_k_matches_exact_heavy_hitters(spark):
+    """x272 quality gate: with maxItemsTracked=10000 over a ~10k-token
+    domain the sketch should be near-exact -- every reported count
+    within 2% of the true count, and >= 8 of the true top-10 tokens
+    present in the reported 10."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x272_approx_top_k,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.length("tok") >= 1)
+    exact = {
+        r.tok: r.n
+        for r in toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(10)
+        .collect()
+    }
+    approx = {
+        r.token: r.approx_count
+        for r in x272_approx_top_k(spark, SF).collect()
+    }
+    overlap = set(exact) & set(approx)
+    assert len(overlap) >= 8, (sorted(exact), sorted(approx))
+    for tok in overlap:
+        assert abs(approx[tok] - exact[tok]) <= max(1, 0.02 * exact[tok])
