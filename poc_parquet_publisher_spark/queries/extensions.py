@@ -14399,3 +14399,373 @@ def x277_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+@register(
+    "x278_bitmap_distinct",
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+       FROM orders GROUP BY 1 ORDER BY month""",
+    doc="EXACT distinct counting via roaring-style bitmaps (Spark "
+        "3.5's bitmap_bucket_number / bitmap_bit_position / "
+        "bitmap_construct_agg / bitmap_count) -- the mergeable exact "
+        "alternative to x261's approximate HLL: keys bucket into "
+        "32768-bit bitmap segments, each (month, bucket) cell folds "
+        "its bit positions map-side, and per-month distinct = "
+        "SUM(bitmap_count(segment)) because buckets partition the "
+        "key domain. Two partial-agg groupBys, state bounded by "
+        "occupied buckets (key-density), never by row count -- the "
+        "100 TB exact-distinct shape when HLL error is not "
+        "acceptable. The oracle's plain count(DISTINCT) must agree "
+        "EXACTLY (bitmaps are not approximate)",
+)
+def x278_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    b = (
+        o.select(
+            F.date_trunc("month", "o_orderdate").alias("m"),
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("m", "bkt")
+        .agg(
+            F.expr("bitmap_construct_agg(pos)").alias("bm"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    return (
+        b.groupBy(F.col("m").cast("date").alias("month"))
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum(F.expr("bitmap_count(bm)"))
+            .cast("long")
+            .alias("n_customers"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "x279_array_parity",
+    """WITH a AS (SELECT lang,
+                    (string_split(lower(text), ' '))[1:12] AS ar
+                  FROM documents),
+       f AS (SELECT lang, md5(concat_ws('|',
+                CAST(len(ar) AS VARCHAR),
+                CAST(len(list_distinct(ar)) AS VARCHAR),
+                array_to_string(list_sort(ar), ','),
+                array_to_string(list_reverse_sort(ar), ','),
+                CAST(list_position(ar, 'the') AS VARCHAR),
+                array_to_string(list_filter(ar, x -> x <> 'the'),
+                                ','),
+                ar[3],
+                array_to_string(list_reverse(ar), ','),
+                list_max(ar),
+                list_min(ar))) AS fp
+             FROM a)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(bit_xor(CAST(('0x' || substr(fp, 1, 15)) AS BIGINT))
+                AS BIGINT) AS parity_checksum
+       FROM f GROUP BY lang ORDER BY lang""",
+    doc="ARRAY-function parity matrix (x263's battery for the nested "
+        "domain): ten operations -- size, distinct-size, asc/desc "
+        "sort, 1-based position, remove-by-predicate, element_at, "
+        "reverse, max, min -- compose into one md5 per row and "
+        "XOR-fold per lang. The name map is the payload: "
+        "array_distinct<->list_distinct, sort_array(desc)<->"
+        "list_reverse_sort, array_position<->list_position (both "
+        "1-based, both 0/NULL-on-missing -- pinned by 'the' being "
+        "genuinely absent from some rows), array_remove<->"
+        "list_filter, element_at<->[i]. One flipped sort order or "
+        "off-by-one index anywhere flips the checksum",
+)
+def x279_array_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(
+        "lang",
+        F.slice(F.split(F.lower("text"), " "), 1, 12).alias("ar"),
+    )
+    ar = F.col("ar")
+    fp = F.md5(
+        F.concat_ws(
+            "|",
+            F.size(ar).cast("string"),
+            F.size(F.array_distinct(ar)).cast("string"),
+            F.array_join(F.sort_array(ar), ","),
+            F.array_join(F.sort_array(ar, asc=False), ","),
+            F.array_position(ar, "the").cast("string"),
+            F.array_join(F.array_remove(ar, "the"), ","),
+            F.element_at(ar, 3),
+            F.array_join(F.reverse(ar), ","),
+            F.array_max(ar),
+            F.array_min(ar),
+        )
+    )
+    f = a.select("lang", fp.alias("fp"))
+    return (
+        f.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.bit_xor(
+                F.conv(F.substring("fp", 1, 15), 16, 10).cast("long")
+            )
+            .cast("long")
+            .alias("parity_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "x280_mask_pii",
+    """WITH m AS (SELECT lang,
+                    regexp_replace(regexp_replace(regexp_replace(
+                      substr(text, 1, 40),
+                      '[A-Z]', 'X', 'g'),
+                      '[a-z]', 'x', 'g'),
+                      '[0-9]', 'n', 'g') AS masked
+                  FROM documents)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT masked) AS BIGINT) AS n_shapes,
+              CAST(bit_xor(CAST(('0x' || substr(md5(masked), 1, 15))
+                AS BIGINT)) AS BIGINT) AS mask_checksum
+       FROM m GROUP BY lang ORDER BY lang""",
+    doc="structure-preserving PII masking via Spark 3.5's native "
+        "mask() (upper->X, lower->x, digit->n, punctuation kept) -- "
+        "the redaction that keeps FORMAT signal (a masked card "
+        "still LOOKS like nnnn-nnnn...) so downstream shape "
+        "analytics survive, unlike x20's token replacement; the "
+        "distinct-shape count per lang is exactly the 'format "
+        "fingerprint' cardinality PII classifiers train on. Oracle "
+        "re-derives the identical masking as three global "
+        "regexp_replace passes ('g' flag -- DuckDB replaces FIRST "
+        "match by default, the classic dialect trap, SURVEY seam "
+        "list). XOR checksum pins every masked byte",
+)
+def x280_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "lang",
+        F.expr(
+            "mask(substr(text, 1, 40), 'X', 'x', 'n', NULL)"
+        ).alias("masked"),
+    )
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("masked").cast("long").alias("n_shapes"),
+            F.bit_xor(
+                F.conv(
+                    F.substring(F.md5("masked"), 1, 15), 16, 10
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("mask_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "x281_bool_aggregates",
+    """SELECT source,
+              bool_and(n_chars > 50) AS all_long,
+              bool_or(lang = 'en') AS any_en,
+              CAST(count_if(n_chars % 2 = 0) AS BIGINT) AS n_even
+       FROM documents GROUP BY source ORDER BY source""",
+    doc="boolean aggregate parity: bool_and / bool_or / count_if "
+        "share names AND semantics across both engines (Spark also "
+        "aliases every()/any()/some() -- same functions) -- the "
+        "data-quality assertion layer ('EVERY row in this partition "
+        "passes the gate') as aggregates instead of filters, which "
+        "is how constraint checks fold into a pass the job already "
+        "makes (x222's observe principle, expressible in plain "
+        "GROUP BY). Boolean columns hash directly; one partial-agg "
+        "groupBy",
+)
+def x281_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.bool_and(F.col("n_chars") > 50).alias("all_long"),
+            F.bool_or(F.col("lang") == "en").alias("any_en"),
+            F.count_if(F.col("n_chars") % 2 == 0)
+            .cast("long")
+            .alias("n_even"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "x282_regex_subset",
+    """SELECT lang,
+              CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+')))
+                AS BIGINT) AS n_words,
+              CAST(SUM(len(regexp_extract_all(text, '[0-9]+')))
+                AS BIGINT) AS n_numbers,
+              CAST(SUM(CASE WHEN regexp_matches(text,
+                       '^[A-Z]') THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_capital_start,
+              CAST(SUM(len(regexp_extract_all(text,
+                       '\\b(the|and|of)\\b'))) AS BIGINT)
+                AS n_function_words
+       FROM documents GROUP BY lang ORDER BY lang""",
+    doc="regex DIALECT-SUBSET contract: Spark compiles Java "
+        "java.util.regex, DuckDB compiles RE2 -- lookarounds, "
+        "backreferences and possessive quantifiers exist ONLY on "
+        "the Java side, so any pattern a pipeline must run on both "
+        "engines has to stay inside the common subset. The entry "
+        "pins that subset operationally: explicit char classes, "
+        "quantifiers, anchors, alternation and word boundaries "
+        "count identically per lang across four patterns (note "
+        "[0-9]/[A-Za-z], NOT \\\\d/\\\\w -- shorthand-class unicode "
+        "semantics are the first divergence). The doc is the "
+        "negative space: patterns OUTSIDE this subset are a "
+        "migration bug, not a porting task",
+)
+def x282_regex_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]+"), 0)))
+            .cast("long")
+            .alias("n_words"),
+            F.sum(F.size(F.regexp_extract_all(t, F.lit("[0-9]+"), 0)))
+            .cast("long")
+            .alias("n_numbers"),
+            F.sum(F.when(t.rlike("^[A-Z]"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_capital_start"),
+            F.sum(
+                F.size(
+                    F.regexp_extract_all(
+                        t, F.lit(r"\b(the|and|of)\b"), 0
+                    )
+                )
+            )
+            .cast("long")
+            .alias("n_function_words"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "x283_multi_gap_sessions",
+    """WITH g AS (SELECT user_id,
+                    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id)
+                      AS gap_us
+                  FROM events)
+       SELECT CAST(t.mins AS BIGINT) AS gap_minutes,
+              CAST(SUM(CASE WHEN g.gap_us IS NULL
+                            OR g.gap_us > CAST(t.mins AS BIGINT) * 60 * 1000000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+       FROM g CROSS JOIN (VALUES (5), (30), (120)) AS t(mins)
+       GROUP BY 1 ORDER BY gap_minutes""",
+    doc="session-gap SENSITIVITY CURVE -- x21 sessionizes at one "
+        "threshold; choosing that threshold needs the session count "
+        "at several, and the naive approach re-shuffles the corpus "
+        "per candidate. Here the per-user gap computes ONCE (one "
+        "user-key window shuffle), then each gap row votes "
+        "'session start' against all three thresholds -- the "
+        "3-row VALUES dim crossed in (broadcast, rows x 3 only in "
+        "the aggregate input, never materialized wide). Session "
+        "count = count of starts, so no session-id assignment is "
+        "even needed; integer microsecond gaps (x161's epoch "
+        "contract) keep the threshold comparison exact",
+)
+def x283_multi_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = ev.select(
+        (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    dims = F.broadcast(
+        spark.createDataFrame([(5,), (30,), (120,)], "mins bigint")
+    )
+    j = g.crossJoin(dims)
+    return (
+        j.groupBy(F.col("mins").cast("long").alias("gap_minutes"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("gap_us").isNull()
+                    | (F.col("gap_us") > F.col("mins") * 60 * 1000000),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_sessions")
+        )
+        .orderBy("gap_minutes")
+    )
+
+
+@register(
+    "x284_crosstab",
+    """SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt
+       FROM documents GROUP BY 1, 2 ORDER BY lang, source""",
+    doc="the DataFrameStatFunctions.crosstab API surface: the "
+        "contingency table materializes WIDE (one column per "
+        "distinct source -- fine for bounded domains, a schema "
+        "explosion for unbounded ones, which is the documented "
+        "contract), then unpivots back to tidy (lang, source, cnt) "
+        "rows via stack so the hash is schema-stable regardless of "
+        "column order. Zero-count cells drop on unpivot to match "
+        "the relational GROUP BY the oracle states -- crosstab "
+        "fills absent combinations with 0, GROUP BY omits them; "
+        "the filter IS the semantic reconciliation",
+)
+def x284_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ct = docs.stat.crosstab("lang", "source")
+    src_cols = sorted(c for c in ct.columns if c != "lang_source")
+    stack_expr = "stack({}, {}) AS (source, cnt)".format(
+        len(src_cols),
+        ", ".join(f"'{c}', `{c}`" for c in src_cols),
+    )
+    return (
+        ct.select(
+            F.col("lang_source").alias("lang"), F.expr(stack_expr)
+        )
+        .filter(F.col("cnt") > 0)
+        .select("lang", "source", F.col("cnt").cast("long").alias("cnt"))
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "x285_freq_items",
+    None,
+    doc="the DataFrameStatFunctions.freqItems API surface -- "
+        "single-pass Karp/Misra-Gries frequent-item sketching with "
+        "the textbook guarantee: every value with frequency above "
+        "the support threshold IS in the result (false positives "
+        "allowed, false negatives never). Rows-only by design (the "
+        "false-positive set is implementation-defined); the gate "
+        "asserts the guarantee itself: all truly-frequent langs and "
+        "sources (support 0.1) appear in the returned arrays "
+        "(tests/test_ops_quality.py::"
+        "test_freq_items_never_misses_frequent_values)",
+)
+def x285_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fi = docs.stat.freqItems(["lang", "source"], support=0.1)
+    return fi.select(
+        F.array_join(F.array_sort("lang_freqItems"), ",").alias(
+            "langs"
+        ),
+        F.array_join(F.array_sort("source_freqItems"), ",").alias(
+            "sources"
+        ),
+    )

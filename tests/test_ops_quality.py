@@ -1534,3 +1534,30 @@ def test_approx_top_k_matches_exact_heavy_hitters(spark):
     assert len(overlap) >= 8, (sorted(exact), sorted(approx))
     for tok in overlap:
         assert abs(approx[tok] - exact[tok]) <= max(1, 0.02 * exact[tok])
+
+
+def test_freq_items_never_misses_frequent_values(spark):
+    """x285 quality gate: the freqItems guarantee -- every value whose
+    true frequency exceeds the support threshold MUST appear in the
+    result (false positives allowed, false negatives never)."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x285_freq_items,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    total = docs.count()
+    row = x285_freq_items(spark, SF).first()
+    got = {
+        "lang": set(row.langs.split(",")),
+        "source": set(row.sources.split(",")),
+    }
+    for col in ("lang", "source"):
+        frequent = {
+            r[col]
+            for r in docs.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+            if r.n > 0.1 * total
+        }
+        missing = frequent - got[col]
+        assert not missing, (col, missing, got[col])
