@@ -14769,3 +14769,489 @@ def x285_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sources"
         ),
     )
+
+
+@register(
+    "x286_welch_ttest",
+    """WITH t AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B'
+                         END AS grp,
+                    CAST(round(value * 100, 0) AS BIGINT) AS c
+                  FROM events WHERE event_type = 'purchase'),
+       m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                    CAST(SUM(CAST(c AS DECIMAL(19,0)))
+                      AS DECIMAL(38,0)) AS s1,
+                    CAST(SUM(CAST(c AS DECIMAL(19,0))
+                             * CAST(c AS DECIMAL(19,0)))
+                      AS DECIMAL(38,0)) AS s2
+             FROM t GROUP BY grp),
+       w AS (SELECT
+               MAX(CASE WHEN grp = 'A' THEN n END) AS na,
+               MAX(CASE WHEN grp = 'A' THEN CAST(s1 AS DOUBLE) END)
+                 AS sa1,
+               MAX(CASE WHEN grp = 'A' THEN CAST(s2 AS DOUBLE) END)
+                 AS sa2,
+               MAX(CASE WHEN grp = 'B' THEN n END) AS nb,
+               MAX(CASE WHEN grp = 'B' THEN CAST(s1 AS DOUBLE) END)
+                 AS sb1,
+               MAX(CASE WHEN grp = 'B' THEN CAST(s2 AS DOUBLE) END)
+                 AS sb2
+             FROM m)
+       SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              ROUND((sa1 / na - sb1 / nb)
+                    / sqrt((sa2 / na - (sa1 / na) * (sa1 / na))
+                             / (na - 1)
+                           + (sb2 / nb - (sb1 / nb) * (sb1 / nb))
+                             / (nb - 1)), 6) AS t_stat
+       FROM w""",
+    doc="Welch two-sample t statistic from exact moment sums -- the "
+        "significance number x125's A/B lift is missing (a lift "
+        "without a t is a coin flip with confidence theater): per-arm "
+        "count / sum / sum-of-squares accumulate as exact integers "
+        "(x267's DECIMAL(38,0) contract), the two arms pivot into "
+        "ONE row via conditional MAX (a 2-row aggregate -- no join), "
+        "and the t assembles in a single double expression written "
+        "identically in both dialects. Unequal variances assumed "
+        "(Welch, not pooled Student) -- the version that is valid "
+        "when arms differ in spread, which real experiments do",
+)
+def x286_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.filter(F.col("event_type") == "purchase").select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+            "grp"
+        ),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    cd = F.col("c").cast("decimal(19,0)")
+    m = t.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cd).cast("decimal(38,0)").alias("s1"),
+        F.sum(cd * cd).cast("decimal(38,0)").alias("s2"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("grp") == "A", F.col("n"))).alias("na"),
+        F.max(
+            F.when(F.col("grp") == "A", F.col("s1").cast("double"))
+        ).alias("sa1"),
+        F.max(
+            F.when(F.col("grp") == "A", F.col("s2").cast("double"))
+        ).alias("sa2"),
+        F.max(F.when(F.col("grp") == "B", F.col("n"))).alias("nb"),
+        F.max(
+            F.when(F.col("grp") == "B", F.col("s1").cast("double"))
+        ).alias("sb1"),
+        F.max(
+            F.when(F.col("grp") == "B", F.col("s2").cast("double"))
+        ).alias("sb2"),
+    )
+    return w.selectExpr(
+        "CAST(na AS BIGINT) AS n_a",
+        "CAST(nb AS BIGINT) AS n_b",
+        """ROUND((sa1 / na - sb1 / nb)
+                 / sqrt((sa2 / na - (sa1 / na) * (sa1 / na))
+                          / (na - 1)
+                        + (sb2 / nb - (sb1 / nb) * (sb1 / nb))
+                          / (nb - 1)), 6) AS t_stat""",
+    )
+
+
+@register(
+    "x287_linear_interpolation",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+                      AS BIGINT) AS cents
+                  FROM events WHERE event_type = 'purchase'
+                  GROUP BY 1),
+       nulled AS (SELECT day,
+                    CASE WHEN EXTRACT(day FROM day) % 5 = 0 THEN NULL
+                         ELSE cents END AS v
+                  FROM d),
+       ctx AS (SELECT day, v,
+                 last_value(v IGNORE NULLS) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pv,
+                 first_value(v IGNORE NULLS) OVER (ORDER BY day
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS nv,
+                 last_value(CASE WHEN v IS NOT NULL THEN day END
+                   IGNORE NULLS) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pd,
+                 first_value(CASE WHEN v IS NOT NULL THEN day END
+                   IGNORE NULLS) OVER (ORDER BY day
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS nd
+               FROM nulled),
+       f AS (SELECT day,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN pv IS NULL THEN nv
+                    WHEN nv IS NULL THEN pv
+                    ELSE (pv * CAST(nd - day AS BIGINT)
+                          + nv * CAST(day - pd AS BIGINT))
+                         // CAST(nd - pd AS BIGINT) END AS filled,
+               CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
+             FROM ctx)
+       SELECT CAST(count(*) AS BIGINT) AS n_days,
+              CAST(SUM(was_gap) AS BIGINT) AS n_filled,
+              CAST(SUM(filled) AS BIGINT) AS total_cents
+       FROM f""",
+    doc="LINEAR interpolation gap fill -- the imputation tier above "
+        "x211's LOCF (a silent sensor repeats; a missing REVENUE day "
+        "should split the difference): deterministic nulls (day%5) "
+        "punch holes in the daily series, each hole finds its "
+        "bracketing observations via four IGNORE-NULLS window "
+        "functions over the day-cardinality aggregate (x81's "
+        "bounded contract -- the corpus never meets a window), and "
+        "the interpolated value is INTEGER-EXACT in the WEIGHTED "
+        "form ((pv*(nd-day) + nv*(day-pd)) DIV span) -- the "
+        "numerator stays non-negative, dodging the //-floors vs "
+        "DIV-truncates divergence on negatives (seam). Leading/"
+        "trailing holes degrade to nearest-neighbor explicitly. "
+        "DuckDB date subtraction yields integer days; Spark uses "
+        "datediff -- same number, different spelling (seam)",
+)
+def x287_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    nulled = d.select(
+        "day",
+        F.when(F.dayofmonth("day") % 5 == 0, None)
+        .otherwise(F.col("cents"))
+        .alias("v"),
+    )
+    back = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    fwd = Window.orderBy("day").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    vday = F.when(F.col("v").isNotNull(), F.col("day"))
+    ctx = nulled.select(
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.last(vday, ignorenulls=True).over(back).alias("pd"),
+        F.first(vday, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    filled = F.when(F.col("v").isNotNull(), F.col("v")).when(
+        F.col("pv").isNull(), F.col("nv")
+    ).when(F.col("nv").isNull(), F.col("pv")).otherwise(
+        # weighted form keeps the numerator NON-NEGATIVE so integer
+        # division agrees across engines (DuckDB // floors, Spark DIV
+        # truncates toward zero -- they differ on negatives)
+        F.expr(
+            "(pv * CAST(datediff(nd, day) AS BIGINT) "
+            " + nv * CAST(datediff(day, pd) AS BIGINT)) "
+            "DIV CAST(datediff(nd, pd) AS BIGINT)"
+        )
+    )
+    f = ctx.select(
+        filled.alias("filled"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_gap"),
+    )
+    return f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("was_gap").cast("long").alias("n_filled"),
+        F.sum("filled").cast("long").alias("total_cents"),
+    )
+
+
+@register(
+    "x288_seasonality_index",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+                      AS BIGINT) AS cents
+                  FROM events GROUP BY 1),
+       w AS (SELECT CAST(EXTRACT(isodow FROM day) AS BIGINT) AS dow,
+                    CAST(count(*) AS BIGINT) AS n_days,
+                    CAST(SUM(cents) AS BIGINT) AS cents
+             FROM d GROUP BY 1),
+       t AS (SELECT CAST(SUM(n_days) AS BIGINT) AS tot_days,
+                    CAST(SUM(cents) AS BIGINT) AS tot_cents
+             FROM w)
+       SELECT w.dow, w.n_days, w.cents,
+              CAST(w.cents * t.tot_days * 10000
+                   // (w.n_days * t.tot_cents) AS BIGINT)
+                AS seasonal_idx_x1e4
+       FROM w, t ORDER BY dow""",
+    doc="day-of-week seasonality index -- the multiplicative factor "
+        "capacity planning and anomaly baselines both need (x77 "
+        "flags deviations; this MEASURES the expected weekly shape): "
+        "index = (dow mean / overall mean) as ONE integer expression "
+        "-- cents*tot_days*1e4 DIV (n_days*tot_cents) -- so no "
+        "intermediate float mean ever exists (numerator ~1e14, "
+        "safely in BIGINT). The corpus reduces to day cells, then "
+        "7 dow cells; the 1-row total attaches by broadcast cross "
+        "join. ISO day-of-week on both engines (EXTRACT(isodow) <-> "
+        "dayofweek remapped -- Spark's dayofweek is 1=Sunday, the "
+        "off-by-one every calendar migration hits; documented by "
+        "construction here)",
+)
+def x288_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    # Spark dayofweek(): 1=Sunday..7=Saturday; ISO wants 1=Monday..7=Sunday
+    iso = ((F.dayofweek("day") + 5) % 7 + 1).cast("long")
+    w = d.groupBy(iso.alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    t = w.agg(
+        F.sum("n_days").cast("long").alias("tot_days"),
+        F.sum("cents").cast("long").alias("tot_cents"),
+    )
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            "dow",
+            "n_days",
+            "cents",
+            F.expr(
+                "CAST(cents * tot_days * 10000 "
+                "DIV (n_days * tot_cents) AS BIGINT)"
+            ).alias("seasonal_idx_x1e4"),
+        )
+        .orderBy("dow")
+    )
+
+
+@register(
+    "x289_cusum_changepoint",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                    CAST(count(*) AS BIGINT) AS n
+                  FROM events GROUP BY 1),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                    CAST(SUM(n) AS BIGINT) AS total FROM d),
+       c AS (SELECT day,
+                    CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+                      AS i,
+                    CAST(SUM(n) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                      ROW) AS BIGINT) AS prefix
+             FROM d),
+       s AS (SELECT c.day, c.i,
+                    CAST(t.k * c.prefix - c.i * t.total AS BIGINT)
+                      AS scaled_cusum
+             FROM c, t)
+       SELECT day, i AS day_index, scaled_cusum
+       FROM s
+       ORDER BY abs(scaled_cusum) DESC, day
+       LIMIT 5""",
+    doc="CUSUM changepoint scan with ZERO floats: the classic "
+        "cumulative deviation from the mean, "
+        "CUSUM_k = prefix_k - k*mean, scaled by the day count K "
+        "into K*prefix_k - k*total -- an EXACT integer that ranks "
+        "identically (positive scaling preserves argmax), so the "
+        "level-shift candidate (max |CUSUM|) is bit-deterministic "
+        "cross-engine where the float formulation would hash-drift. "
+        "The running sum rides the day-cardinality aggregate (x81 "
+        "bounded contract), the (K, total) pair broadcasts as one "
+        "row; top-5 by |scaled| with a day tiebreak makes the "
+        "output total-ordered",
+)
+def x289_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = d.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("total"),
+    )
+    w = Window.orderBy("day")
+    c = d.select(
+        "day",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("prefix"),
+    )
+    s = c.crossJoin(F.broadcast(t)).select(
+        "day",
+        F.col("i").alias("day_index"),
+        (F.col("k") * F.col("prefix") - F.col("i") * F.col("total"))
+        .cast("long")
+        .alias("scaled_cusum"),
+    )
+    return s.orderBy(
+        F.abs(F.col("scaled_cusum")).desc(), "day"
+    ).limit(5)
+
+
+@register(
+    "x290_autocorrelation",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+                      AS BIGINT) AS v
+                  FROM events GROUP BY 1),
+       p AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS n,
+                    CAST(SUM(a.v) AS BIGINT) AS sx,
+                    CAST(SUM(b.v) AS BIGINT) AS sy,
+                    CAST(SUM(CAST(a.v AS DECIMAL(19,0))
+                             * CAST(b.v AS DECIMAL(19,0)))
+                      AS DECIMAL(38,0)) AS sxy,
+                    CAST(SUM(CAST(a.v AS DECIMAL(19,0))
+                             * CAST(a.v AS DECIMAL(19,0)))
+                      AS DECIMAL(38,0)) AS sxx,
+                    CAST(SUM(CAST(b.v AS DECIMAL(19,0))
+                             * CAST(b.v AS DECIMAL(19,0)))
+                      AS DECIMAL(38,0)) AS syy
+             FROM d a
+             JOIN (VALUES (1), (7)) AS l(lag) ON TRUE
+             JOIN d b ON b.day = a.day + CAST(l.lag AS INTEGER)
+             GROUP BY 1)
+       SELECT CAST(lag AS BIGINT) AS lag, n,
+              ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE)
+                                * CAST(sy AS DOUBLE))), 6) AS acf
+       FROM p ORDER BY lag""",
+    doc="lag-1 and lag-7 autocorrelation of the daily revenue series "
+        "-- the two numbers that say 'trending' vs 'weekly-seasonal' "
+        "(x288 measures the shape; this measures how much structure "
+        "exists to measure): the lagged pairing is an exact DATE "
+        "equi-join on the day-cardinality table (missing days "
+        "correctly produce NO pair -- a row-lag would silently "
+        "pair across gaps, x207's lesson), Pearson assembles from "
+        "exact integer/decimal moment sums in one double expression "
+        "written identically in both dialects (x189/x267 contract). "
+        "Both lags share one pass via the 2-row VALUES dim",
+)
+def x290_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    lags = F.broadcast(
+        spark.createDataFrame([(1,), (7,)], "lag bigint")
+    )
+    a = d.select(F.col("day").alias("aday"), F.col("v").alias("av"))
+    b = d.select(F.col("day").alias("bday"), F.col("v").alias("bv"))
+    pairs = (
+        a.crossJoin(lags)
+        .join(
+            b,
+            F.col("bday")
+            == F.expr("date_add(aday, CAST(lag AS INT))"),
+        )
+    )
+    ad = F.col("av").cast("decimal(19,0)")
+    bd = F.col("bv").cast("decimal(19,0)")
+    p = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("av").cast("long").alias("sx"),
+        F.sum("bv").cast("long").alias("sy"),
+        F.sum(ad * bd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(ad * ad).cast("decimal(38,0)").alias("sxx"),
+        F.sum(bd * bd).cast("decimal(38,0)").alias("syy"),
+    )
+    return p.selectExpr(
+        "CAST(lag AS BIGINT) AS lag",
+        "n",
+        """ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE)
+                             * CAST(sy AS DOUBLE))), 6) AS acf""",
+    ).orderBy("lag")
+
+
+@register(
+    "x291_runs_test",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                    CAST(count(*) AS BIGINT) AS n
+                  FROM events GROUP BY 1),
+       med AS (SELECT CAST(quantile_disc(n, 0.5) AS BIGINT) AS m
+               FROM d),
+       s AS (SELECT day,
+                    CASE WHEN d.n > med.m THEN 1 ELSE 0 END AS above
+             FROM d, med WHERE d.n <> med.m),
+       r AS (SELECT above,
+                    CASE WHEN lag(above) OVER (ORDER BY day)
+                         IS DISTINCT FROM above
+                    THEN 1 ELSE 0 END AS new_run
+             FROM s)
+       SELECT CAST(SUM(new_run) AS BIGINT) AS n_runs,
+              CAST(SUM(above) AS BIGINT) AS n_above,
+              CAST(SUM(1 - above) AS BIGINT) AS n_below
+       FROM r""",
+    doc="Wald-Wolfowitz runs test inputs -- the randomness check "
+        "behind 'is this daily series actually trending or just "
+        "noisy' (too FEW runs = regime persistence, too MANY = "
+        "oscillation): days classify above/below the DISCRETE "
+        "median (quantile_disc picks an actual value -- x254's "
+        "seam -- so median-equal days drop symmetrically on both "
+        "engines), runs count via the lag-transition flag with "
+        "IS DISTINCT FROM handling the first row's NULL, all over "
+        "the day-cardinality table. The z-statistic is left to the "
+        "consumer: (n_runs, n_above, n_below) is the sufficient "
+        "statistic and keeps the hash float-free",
+)
+def x291_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    med = d.agg(
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n) "
+            "AS BIGINT)"
+        ).alias("m")
+    )
+    s = (
+        d.crossJoin(F.broadcast(med))
+        .filter(F.col("n") != F.col("m"))
+        .select(
+            "day",
+            F.when(F.col("n") > F.col("m"), 1).otherwise(0).alias(
+                "above"
+            ),
+        )
+    )
+    w = Window.orderBy("day")
+    r = s.select(
+        "above",
+        F.when(
+            ~F.lag("above").over(w).eqNullSafe(F.col("above")), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    return r.agg(
+        F.sum("new_run").cast("long").alias("n_runs"),
+        F.sum("above").cast("long").alias("n_above"),
+        F.sum(1 - F.col("above")).cast("long").alias("n_below"),
+    )
