@@ -15255,3 +15255,268 @@ def x291_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("above").cast("long").alias("n_above"),
         F.sum(1 - F.col("above")).cast("long").alias("n_below"),
     )
+
+
+@register(
+    "x292_ewma_halflife",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+                      AS BIGINT) AS v
+                  FROM events GROUP BY 1),
+       r AS (SELECT day, v,
+                    CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+                      AS i
+             FROM d),
+       e AS (SELECT a.day, a.i,
+                    CAST(SUM(b.v * CAST(power(2, 10 - (a.i - b.i))
+                             AS BIGINT)) AS BIGINT) AS num,
+                    CAST(SUM(CAST(power(2, 10 - (a.i - b.i))
+                             AS BIGINT)) AS BIGINT) AS den
+             FROM r a JOIN r b
+               ON b.i BETWEEN a.i - 10 AND a.i
+             GROUP BY 1, 2)
+       SELECT day, CAST(num // den AS BIGINT) AS ewma_cents
+       FROM e ORDER BY day""",
+    doc="half-life EWMA with ZERO floats: weights for a half-life-of-"
+        "one-step decay are powers of two, so the 11-day windowed "
+        "EWMA is an exact integer ratio -- numerator = sum of "
+        "v_i * 2^(10-lag), denominator = sum of the same weights "
+        "(self-normalizing at the series head, where fewer than 11 "
+        "points exist -- the boundary most EWMA implementations get "
+        "silently wrong). The float formulation (pow(alpha, lag)) "
+        "is engine-divergent per the verify gotchas; integer "
+        "power-of-two weights are not. The rank self-join runs on "
+        "the day-cardinality table (x81 bounded contract), 11 rows "
+        "per row, and power(2, k) on INTEGER exponents is exact in "
+        "both engines for k <= 10",
+)
+def x292_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    r = d.select(
+        "day", "v",
+        F.row_number().over(Window.orderBy("day")).cast("long")
+        .alias("i"),
+    )
+    a = r.select(F.col("day"), F.col("i").alias("ai"))
+    b = r.select(F.col("i").alias("bi"), F.col("v").alias("bv"))
+    wgt = F.pow(F.lit(2.0), 10 - (F.col("ai") - F.col("bi"))).cast(
+        "long"
+    )
+    e = (
+        a.join(
+            b,
+            (F.col("bi") >= F.col("ai") - 10)
+            & (F.col("bi") <= F.col("ai")),
+        )
+        .groupBy("day", "ai")
+        .agg(
+            F.sum(F.col("bv") * wgt).cast("long").alias("num"),
+            F.sum(wgt).cast("long").alias("den"),
+        )
+    )
+    return e.select(
+        "day",
+        F.expr("CAST(num DIV den AS BIGINT)").alias("ewma_cents"),
+    ).orderBy("day")
+
+
+@register(
+    "x293_association_rules",
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+                      FROM lineitem),
+       n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nb
+             FROM items),
+       s AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS supp
+             FROM items GROUP BY 1),
+       p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                    CAST(count(*) AS BIGINT) AS supp_ab
+             FROM items a JOIN items b USING (l_orderkey)
+             WHERE a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING count(*) >= 3),
+       l AS (SELECT p.pa, p.pb, p.supp_ab,
+                    CAST(p.supp_ab * n.nb * 10000
+                         // (sa.supp * sb.supp) AS BIGINT)
+                      AS lift_x1e4
+             FROM p, n
+             JOIN s sa ON sa.l_partkey = p.pa
+             JOIN s sb ON sb.l_partkey = p.pb)
+       SELECT pa, pb, supp_ab, lift_x1e4
+       FROM l ORDER BY lift_x1e4 DESC, pa, pb LIMIT 10""",
+    doc="association-rule mining over the co-purchase pairs (x76 "
+        "counts support; this prices it): lift = P(ab)/(P(a)P(b)) "
+        "as ONE integer expression -- supp_ab * n_baskets * 1e4 "
+        "DIV (supp_a * supp_b) -- so no probability ever exists as "
+        "a float; the support>=3 floor prunes the pair table BEFORE "
+        "the single-item supports attach (two broadcast-joinable "
+        "lookups at any scale: the item-support table is "
+        "part-cardinality). Top-10 by (lift, pa, pb) is "
+        "total-ordered. The pair table comes from the basket-key "
+        "equi-join (pairs are basket-local by construction -- the "
+        "join key is the basket id, so cardinality is bounded by "
+        "basket size squared, x76's contract)",
+)
+def x293_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("nb")
+    )
+    s = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("supp")
+    )
+    a = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("pa")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb")
+    )
+    p = (
+        a.join(b, (a["l_orderkey"] == b["ok2"]) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("supp_ab"))
+        .filter(F.col("supp_ab") >= 3)
+    )
+    sa = s.select(F.col("l_partkey").alias("pa"), F.col("supp").alias("supp_a"))
+    sb = s.select(F.col("l_partkey").alias("pb"), F.col("supp").alias("supp_b"))
+    l = (
+        p.crossJoin(F.broadcast(n))
+        .join(F.broadcast(sa), "pa")
+        .join(F.broadcast(sb), "pb")
+        .select(
+            "pa", "pb", "supp_ab",
+            F.expr(
+                "CAST(supp_ab * nb * 10000 "
+                "DIV (supp_a * supp_b) AS BIGINT)"
+            ).alias("lift_x1e4"),
+        )
+    )
+    return l.orderBy(F.desc("lift_x1e4"), "pa", "pb").limit(10)
+
+
+@register(
+    "x294_fifo_matching",
+    """WITH mv AS (SELECT l_partkey AS part,
+                    CASE WHEN l_returnflag = 'R' THEN 'in'
+                         ELSE 'out' END AS dir,
+                    CAST(l_quantity AS BIGINT) AS qty,
+                    l_shipdate, l_orderkey, l_linenumber
+                  FROM lineitem WHERE l_partkey % 50 = 0),
+       c AS (SELECT part, dir, qty,
+                    CAST(SUM(qty) OVER (PARTITION BY part, dir
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                      ROW) AS BIGINT) AS hi
+             FROM mv),
+       iv AS (SELECT part, dir, hi - qty AS lo, hi FROM c),
+       m AS (SELECT i.part,
+                    CAST(SUM(LEAST(i.hi, o.hi)
+                             - GREATEST(i.lo, o.lo)) AS BIGINT)
+                      AS matched_qty
+             FROM iv i JOIN iv o
+               ON o.part = i.part AND i.dir = 'in' AND o.dir = 'out'
+              AND i.lo < o.hi AND o.lo < i.hi
+             GROUP BY 1),
+       tot AS (SELECT part,
+                      CAST(SUM(CASE WHEN dir = 'in' THEN qty END)
+                        AS BIGINT) AS total_in,
+                      CAST(SUM(CASE WHEN dir = 'out' THEN qty END)
+                        AS BIGINT) AS total_out
+               FROM mv GROUP BY 1)
+       SELECT t.part, t.total_in, t.total_out,
+              COALESCE(m.matched_qty, 0) AS matched_qty
+       FROM tot t LEFT JOIN m ON m.part = t.part
+       ORDER BY t.part""",
+    doc="FIFO layer matching -- the inventory/cost-attribution "
+        "algorithm that LOOKS inherently sequential (each issue "
+        "consumes the oldest open receipt) expressed as pure "
+        "relational algebra: per part, receipts and issues each "
+        "become cumulative-quantity INTERVALS ([cum-qty, cum+qty) "
+        "on the shared FIFO number line), and matched quantity is "
+        "the total INTERVAL OVERLAP -- an interval join on the "
+        "cumulative axis (x30's range-join shape on a derived "
+        "domain). Both cumulative windows share one part-key "
+        "shuffle; the overlap join is part-local and "
+        "layer-cardinality bounded. Total ORDER BY (shipdate, "
+        "orderkey, linenumber) makes the FIFO sequence -- and "
+        "therefore every layer boundary -- deterministic; the part "
+        "% 50 sample keeps the oracle's self-join honest at sf0.1",
+)
+def x294_fifo_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    mv = li.filter(F.col("l_partkey") % 50 == 0).select(
+        F.col("l_partkey").alias("part"),
+        F.when(F.col("l_returnflag") == "R", "in")
+        .otherwise("out")
+        .alias("dir"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = (
+        Window.partitionBy("part", "dir")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = mv.select(
+        "part", "dir", "qty",
+        F.sum("qty").over(w).cast("long").alias("hi"),
+    )
+    iv = c.select(
+        "part", "dir", (F.col("hi") - F.col("qty")).alias("lo"), "hi"
+    )
+    i = iv.filter(F.col("dir") == "in").select(
+        "part", F.col("lo").alias("ilo"), F.col("hi").alias("ihi")
+    )
+    o = iv.filter(F.col("dir") == "out").select(
+        F.col("part").alias("part2"),
+        F.col("lo").alias("olo"),
+        F.col("hi").alias("ohi"),
+    )
+    m = (
+        i.join(
+            o,
+            (F.col("part") == F.col("part2"))
+            & (F.col("ilo") < F.col("ohi"))
+            & (F.col("olo") < F.col("ihi")),
+        )
+        .groupBy("part")
+        .agg(
+            F.sum(
+                F.least("ihi", "ohi") - F.greatest("ilo", "olo")
+            )
+            .cast("long")
+            .alias("matched_qty")
+        )
+    )
+    tot = mv.groupBy("part").agg(
+        F.sum(F.when(F.col("dir") == "in", F.col("qty")))
+        .cast("long")
+        .alias("total_in"),
+        F.sum(F.when(F.col("dir") == "out", F.col("qty")))
+        .cast("long")
+        .alias("total_out"),
+    )
+    return (
+        tot.join(m, "part", "left")
+        .select(
+            "part",
+            "total_in",
+            "total_out",
+            F.coalesce("matched_qty", F.lit(0))
+            .cast("long")
+            .alias("matched_qty"),
+        )
+        .orderBy("part")
+    )
