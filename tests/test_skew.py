@@ -38,14 +38,16 @@ N_LINEITEM = 60_000
 N_DOCS = 20_000
 
 # These entries attach a broadcast 1-row aggregate (a global total /
-# state count) via crossJoin: that correctly plans as a
-# BroadcastNestedLoopJoin against a SINGLE-row side -- scalar glue, not
-# a data-sized nested loop. Everything else must stay equi-join.
+# state count) or a FIXED few-row VALUES dim via crossJoin: that
+# correctly plans as a BroadcastNestedLoopJoin against a side of
+# constant, tiny cardinality -- scalar glue, not a data-sized nested
+# loop. Everything else must stay equi-join.
 ALLOW_SCALAR_BNLJ = {
     "x110_conversion_latency",
     "x139_session_length_dist",
     "x140_markov_stationary",
     "x234_seq_predictability",
+    "x283_multi_gap_sessions",  # broadcast 3-row threshold dim
 }
 
 SKEW_ENTRIES = [
@@ -81,6 +83,19 @@ SKEW_ENTRIES = [
     "x212_burst_detection",
     "x234_seq_predictability",
     "x240_debounce",
+    # round-5 final additions: x245's per-user interval build + the
+    # range-residual enrichment join both concentrate on the hot user
+    # (interval list stays purchase-count bounded -- the gate proves
+    # it); x247's two stacked windows funnel ~20% of events through one
+    # partition; x251's cogroup hands the hot user's ENTIRE history to
+    # one Arrow group (the per-group-state contract, stress-tested
+    # here); x266 partitions by event_type, so the 60% 'view' type is
+    # one window partition; x283 shares x247's hot-user window
+    "x245_pit_enrichment",
+    "x247_event_rle",
+    "x251_cogroup_reconcile",
+    "x266_rank_nulls",
+    "x283_multi_gap_sessions",
 ]
 
 
