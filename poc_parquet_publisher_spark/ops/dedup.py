@@ -612,6 +612,33 @@ def deterministic_md5_int(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big", signed=False)
 
 
+def det_band_keys(sh):
+    """Deterministic LSH band keys over a shingle-array column: 8
+    md5-sliced minhash components (2 md5 evaluations per shingle, four
+    8-hex slices each) paired into 4 bands of width 2. Shared by
+    ``minhash_banded_pairs`` (within-corpus pairs) and the persistent
+    cross-batch near-dup index (``ops/incremental.py``) -- both sides
+    of an incremental probe MUST hash identically, so this is the one
+    definition. Returns an ``array<string>`` of 4 band keys."""
+
+    # a closure factory, not default-arg binding: pyspark reads the
+    # lambda's parameter count to pick the HOF arity, so extra bound
+    # params would be mistaken for (element, index, ...) arguments
+    def _sliced_hash(salt: int, off: int):
+        return lambda s: F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), s)), off, 8
+        )
+
+    sigs = [
+        F.array_min(F.transform(sh, _sliced_hash(salt, off)))
+        for salt in (0, 1)
+        for off in (1, 9, 17, 25)
+    ]
+    return F.array(
+        *[F.concat(sigs[2 * b], sigs[2 * b + 1]) for b in range(4)]
+    )
+
+
 def minhash_banded_pairs(
     df: DataFrame,
     id_col: str,
@@ -641,24 +668,7 @@ def minhash_banded_pairs(
     ``max_docs_per_band`` caps degenerate bands.
     """
     arrs = shingle_arrays(df, id_col, text_col, k)
-    sh = F.col("sh")
-
-    # a closure factory, not default-arg binding: pyspark reads the
-    # lambda's parameter count to pick the HOF arity, so extra bound
-    # params would be mistaken for (element, index, ...) arguments
-    def _sliced_hash(salt: int, off: int):
-        return lambda s: F.substring(
-            F.md5(F.concat(F.lit(f"{salt}:"), s)), off, 8
-        )
-
-    sigs = [
-        F.array_min(F.transform(sh, _sliced_hash(salt, off)))
-        for salt in (0, 1)
-        for off in (1, 9, 17, 25)
-    ]
-    bands = F.array(
-        *[F.concat(sigs[2 * b], sigs[2 * b + 1]) for b in range(4)]
-    )
+    bands = det_band_keys(F.col("sh"))
     banded = arrs.select(
         "doc", F.posexplode(bands).alias("band_id", "band_key")
     )

@@ -15520,3 +15520,72 @@ def x294_fifo_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part")
     )
+
+
+def _x295_oracle() -> str:
+    from ..ops.incremental import incremental_neardup_oracle_sql
+
+    return incremental_neardup_oracle_sql()
+
+
+@register(
+    "x295_incremental_neardup",
+    _x295_oracle(),
+    doc="cross-batch incremental NEAR-dup dedup end-to-end (the "
+        "continuous-ingestion capability round-5 flagged missing: the "
+        "persistent index was exact-hash only, so a drop paraphrasing "
+        "yesterday's corpus sailed through). Batch 1 (doc_id % 5 < 3) "
+        "self-dedups via deterministic MinHash band candidates + "
+        "exact-Jaccard verify over HASHED shingle sets; its survivors' "
+        "signatures (4 band keys + 16-hex shingle hashes, "
+        "ops/incremental.py neardup_signatures) ARE the index -- no "
+        "prior text is ever re-read. Batch 2 then probes the index and "
+        "itself; each doc is classified neardup_prior / neardup_batch "
+        "/ fresh (prior wins). Scale: the only corpus-sized shuffle "
+        "per probe is the (band_id, band_key) equi-join; verify joins "
+        "are candidate-sized; hot index bands capped at 1000 docs. "
+        "Persistence leg (parquet append-mode index, idempotent "
+        "re-runs) in incremental_neardup_dedup + "
+        "streaming/dedup.py stream_incremental_neardup, exercised in "
+        "tests/test_incremental.py",
+)
+def x295_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.incremental import neardup_matches, neardup_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.filter(F.col("doc_id") % 5 < 3)
+    b2 = docs.filter(F.col("doc_id") % 5 >= 3)
+    s1 = neardup_signatures(b1)
+    drop1 = (
+        neardup_matches(s1, s1)
+        .filter(F.col("old_id") < F.col("new_id"))
+        .select("new_id")
+        .distinct()
+    )
+    idx = s1.join(drop1, s1["doc"] == drop1["new_id"], "left_anti")
+    s2 = neardup_signatures(b2)
+    within = (
+        neardup_matches(s2, s2)
+        .filter(F.col("old_id") < F.col("new_id"))
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("__w", F.lit(1))
+    )
+    prior = (
+        neardup_matches(s2, idx)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("__p", F.lit(1))
+    )
+    status = (
+        F.when(F.col("__p") == 1, F.lit("neardup_prior"))
+        .when(F.col("__w") == 1, F.lit("neardup_batch"))
+        .otherwise(F.lit("fresh"))
+    )
+    return (
+        b2.select("doc_id")
+        .join(prior, "doc_id", "left")
+        .join(within, "doc_id", "left")
+        .select("doc_id", status.alias("status"))
+        .orderBy("doc_id")
+    )

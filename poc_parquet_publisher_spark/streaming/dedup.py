@@ -80,3 +80,48 @@ def stream_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_incremental_neardup(
+    spark,
+    source_dir: str,
+    schema,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+):
+    """Continuous ingest with UNBOUNDED **near**-dup lookback: each
+    micro-batch probes the persistent MinHash-band index
+    (ops/incremental.py incremental_neardup_dedup) -- band equi-join
+    candidates, exact-Jaccard verify -- and appends its survivors'
+    signatures, so a drop that PARAPHRASES yesterday's corpus is
+    caught, not just byte-identical repeats. The index is hashed
+    shingles + band keys, never text: the per-batch probe shuffles
+    band keys and candidate pairs only.
+
+    File-drop source, availableNow drain: call again whenever new
+    files land. Returns the StreamingQuery.
+    """
+    from ..ops.incremental import incremental_neardup_dedup
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        fresh = incremental_neardup_dedup(
+            batch_df,
+            index_path,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+        )
+        fresh.write.mode("append").parquet(out_dir)
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

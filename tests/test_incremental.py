@@ -46,6 +46,101 @@ def test_incremental_dedup_without_index_update(spark, tmp_path):
     assert a == b and a
 
 
+def test_incremental_neardup_across_batches(spark, tmp_path):
+    """Two overlapping-content batches through the persistent MinHash
+    band index: no surviving doc may be a verified near-dup (k-shingle
+    Jaccard >= threshold, banding-visible) of any other survivor --
+    within a batch or ACROSS batches -- and a re-ingested batch must
+    drop entirely (idempotency)."""
+    from poc_parquet_publisher_spark.ops.dedup import lsh_verified_pairs
+    from poc_parquet_publisher_spark.ops.incremental import (
+        incremental_neardup_dedup,
+    )
+
+    idx = str(tmp_path / "nd_index")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    b1 = docs.filter(F.col("doc_id") % 5 < 3)
+    b2 = docs.filter(F.col("doc_id") % 5 >= 3)
+
+    s1 = incremental_neardup_dedup(b1, idx, threshold=0.7)
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    assert ids1 and len(ids1) < b1.count()  # something was near-dupped
+
+    s2 = incremental_neardup_dedup(b2, idx, threshold=0.7)
+    ids2 = {r.doc_id for r in s2.select("doc_id").collect()}
+    assert ids2
+
+    # banding-visible verified pairs among ALL survivors must be empty:
+    # a within-batch pair would have dropped the larger id, a
+    # cross-batch pair would have dropped the batch-2 doc
+    union = docs.filter(F.col("doc_id").isin(ids1 | ids2))
+    leftover = lsh_verified_pairs(
+        union, "doc_id", "text", threshold=0.7
+    ).count()
+    assert leftover == 0
+
+    # idempotent re-run: every batch-2 doc now matches the index (its
+    # own surviving signature at jaccard 1.0, or whatever dropped it)
+    assert incremental_neardup_dedup(b2, idx).count() == 0
+
+
+def test_neardup_signatures_short_docs_have_no_row(spark):
+    from poc_parquet_publisher_spark.ops.incremental import (
+        neardup_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "three token document here")],
+        "doc_id long, text string",
+    )
+    rows = neardup_signatures(df).collect()
+    assert [r.doc for r in rows] == [2]
+    assert len(rows[0].bands) == 4 and len(rows[0].shh) >= 1
+
+
+def test_stream_incremental_neardup_matches_batch_path(spark, tmp_path):
+    """stream == batch: draining two overlapping file drops through
+    stream_incremental_neardup must emit exactly the ids the batch-path
+    incremental_neardup_dedup keeps for the same two batches."""
+    from poc_parquet_publisher_spark.ops.incremental import (
+        incremental_neardup_dedup,
+    )
+    from poc_parquet_publisher_spark.streaming.dedup import (
+        stream_incremental_neardup,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d1 = docs.filter(F.col("doc_id") < 200)
+    d2 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+
+    # batch path on a fresh index
+    bidx = str(tmp_path / "batch_idx")
+    expected = {
+        r.doc_id
+        for r in incremental_neardup_dedup(d1, bidx).select("doc_id").collect()
+    } | {
+        r.doc_id
+        for r in incremental_neardup_dedup(d2, bidx).select("doc_id").collect()
+    }
+
+    # stream path: one drop per drain
+    src = str(tmp_path / "drops")
+    out = str(tmp_path / "curated")
+    sidx = str(tmp_path / "stream_idx")
+    ckpt = str(tmp_path / "ckpt")
+    d1.write.mode("append").parquet(src)
+    assert stream_incremental_neardup(
+        spark, src, docs.schema, sidx, out, ckpt
+    ).awaitTermination(300)
+    d2.write.mode("append").parquet(src)
+    assert stream_incremental_neardup(
+        spark, src, docs.schema, sidx, out, ckpt
+    ).awaitTermination(300)
+
+    got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert got == expected
+
+
 def test_stream_incremental_dedup_two_drops(spark, tmp_path):
     """Two file drops with overlapping content: the second drain must
     emit only never-seen texts (unbounded lookback via the index)."""
