@@ -205,10 +205,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    # The driver captures only the tail of stdout, which can truncate
-    # the per-query map (BENCH_r03.json lost every q-entry); persist the
-    # FULL map next to the repo so round-over-round comparison always
-    # has all entries from the same run the driver saw.
+    # The driver captures only the TAIL of stdout, so a single giant
+    # JSON line truncates FRONT-first and parses as null every round
+    # (BENCH_r03..r05 all have "parsed": null). Persist the FULL map to
+    # BENCH_LOCAL.json, print it to stdout for humans scrolling up, then
+    # print a COMPACT final line (total + top-20 slowest entries) that
+    # always fits inside the tail window -- that last line is what the
+    # driver records as BENCH_r{N}.json.
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
@@ -216,6 +219,19 @@ def main() -> None:
         json.dump(result, f, indent=1, sort_keys=True)
         f.write("\n")
     print(json.dumps(result))
+    top20 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:20]
+    )
+    compact = {
+        "metric": "registry_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": top20,
+        "sf": sf,
+        "n_entries": len(timings),
+        "full_map": "BENCH_LOCAL.json",
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

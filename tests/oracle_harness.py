@@ -1,7 +1,13 @@
 """Local replica of the driver's correctness gate: run a registry query on
 Spark and its oracle SQL on DuckDB over the same parquet tables, compare
-row count + column names + an order-insensitive value multiset (columns
-sorted by name, mirroring the driver's canonicalization).
+row count + column names + the ORDERED canonical row sequence (columns
+sorted by name, rows in returned order -- the driver hashes rows in
+order, and every registry entry carries a total ORDER BY, so an ordered
+compare is driver parity where the old multiset compare would let an
+ORDER-BY regression pass locally and only fail when the entry rotated
+into the driver window). On an ordered mismatch the result also records
+whether the value MULTISETS agree, so an order-only regression is
+distinguishable from a value divergence in the diff output.
 """
 
 from __future__ import annotations
@@ -47,10 +53,16 @@ def _canon(v):
     return v
 
 
-def _multiset(rows: list[tuple], cols: list[str]):
+def _ordered(rows: list[tuple], cols: list[str]):
+    """Canonical row sequence: columns reordered by sorted name, row
+    order preserved as returned (the driver's ordered hash input)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return [tuple(_canon(r[i]) for i in order) for r in rows]
+
+
+def _multiset(rows: list[tuple], cols: list[str]):
     return sorted(
-        (tuple(_canon(r[i]) for i in order) for r in rows),
+        _ordered(rows, cols),
         key=lambda t: tuple((x is None, str(x)) for x in t),
     )
 
@@ -70,14 +82,22 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, oracle_sql: str) -> dict:
         "cols_match": sorted(spark_cols) == sorted(duck_cols),
     }
     if out["rowcount_match"] and out["cols_match"]:
-        ms_s = _multiset(spark_rows, spark_cols)
-        ms_d = _multiset(duck_rows, duck_cols)
-        out["values_match"] = ms_s == ms_d
+        seq_s = _ordered(spark_rows, spark_cols)
+        seq_d = _ordered(duck_rows, duck_cols)
+        out["values_match"] = seq_s == seq_d
         if not out["values_match"]:
             diff = [
-                (s, d) for s, d in zip(ms_s, ms_d) if s != d
+                (i, s, d)
+                for i, (s, d) in enumerate(zip(seq_s, seq_d))
+                if s != d
             ][:5]
             out["first_diffs"] = diff
+            # distinguish "right rows, wrong order" (an ORDER-BY or
+            # tie-break regression) from a genuine value divergence
+            out["multiset_match"] = (
+                _multiset(spark_rows, spark_cols)
+                == _multiset(duck_rows, duck_cols)
+            )
     else:
         out["values_match"] = False
     out["match"] = (

@@ -602,6 +602,33 @@ def test_x268_id_gaps_no_global_window_over_orders(spark):
     )
 
 
+def test_x292_ewma_windows_ride_day_aggregate(spark):
+    """x292: its partition-less row_number() windows are allowed ONLY
+    because they run over the day-cardinality aggregate (the x81/x151
+    bounded contract) -- this makes that contract checkable: every
+    Exchange SinglePartition in the plan must sit DIRECTLY on a
+    HashAggregate (the day rollup), never on a corpus-sized scan, and
+    the rollup must partial-aggregate before the exchange."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x292_ewma_halflife,
+    )
+
+    plan = plan_of(x292_ewma_halflife(spark, SF))
+    parts = plan.split("Exchange SinglePartition")
+    assert len(parts) > 1, "expected the bounded seam windows"
+    for seg in parts[1:]:
+        # drop the remainder of the exchange's own line, then the
+        # exchange's immediate child must be the day aggregate, so the
+        # single task receives day-cardinality rows, not the corpus
+        first = next(
+            ln for ln in seg.splitlines()[1:] if ln.strip(" :+-|")
+        )
+        assert "HashAggregate" in first, (
+            f"SinglePartition window fed by non-aggregate input: {first}"
+        )
+    assert "partial_sum" in plan or "HashAggregate(keys=[_groupingexpression" in plan
+
+
 def test_x265_centroid_shift_no_cartesian_bounded_cells(spark):
     """x265: the per-(label, epoch, pos) cell table is the only
     corpus-sized aggregation; everything after is label x dim bounded.

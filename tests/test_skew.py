@@ -96,6 +96,15 @@ SKEW_ENTRIES = [
     "x251_cogroup_reconcile",
     "x266_rank_nulls",
     "x283_multi_gap_sessions",
+    # round-6 additions (the two round-5 key-partitioned-window shapes
+    # not yet gated): x268's global lead() runs inside key-range
+    # buckets -- a dense hot bucket must stay inside the straggler
+    # bound and the bounded seam window must stay aggregate-sized;
+    # x294's per-(part, dir) cumulative windows and part-local
+    # interval self-join meet whatever part the skewed lineitem
+    # concentrates -- answers, plan, and the 3x bound must hold
+    "x268_id_gaps",
+    "x294_fifo_matching",
 ]
 
 
