@@ -15589,3 +15589,334 @@ def x295_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", status.alias("status"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "x296_editdist_neardup",
+    """WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+       cand AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.lt AS la, b.lt AS lb
+         FROM t a JOIN t b
+           ON substr(a.lt, 1, 12) = substr(b.lt, 1, 12)
+          AND a.doc_id < b.doc_id
+         WHERE abs(length(a.lt) - length(b.lt)) <= 20
+       )
+       SELECT id_a, id_b,
+              CAST(levenshtein(la, lb) AS BIGINT) AS edit_dist
+       FROM cand WHERE levenshtein(la, lb) <= 40
+       ORDER BY id_a, id_b""",
+    doc="typo-level near-dup pairs by bounded EDIT DISTANCE -- the "
+        "character-edit complement of shingle Jaccard (x03): catches "
+        "single-character corruptions, OCR noise and truncations that "
+        "token-level shingles over- or under-count. Candidates are "
+        "PREFIX-BLOCKED (shared 12-char lowercase prefix) with a "
+        "length-difference guard (|dlen| <= 20 -- a free lower bound "
+        "on edit distance) so levenshtein() -- O(len^2) per pair -- "
+        "runs only inside blocks, never all-pairs. levenshtein is "
+        "engine-identical (classic Wagner-Fischer in both). At 100 TB "
+        "the block key generalizes to (length bucket, prefix) with a "
+        "hot-block cap, the same shape as x40's banding; the join "
+        "shuffles on the block key only",
+)
+def x296_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.lower(F.col("text")).alias("lt")
+    ).withColumn("blk", F.substring("lt", 1, 12))
+    a = t.select(
+        F.col("doc_id").alias("id_a"), F.col("lt").alias("la"), "blk"
+    )
+    b = t.select(
+        F.col("doc_id").alias("id_b"), F.col("lt").alias("lb"), "blk"
+    )
+    cand = a.join(b, "blk").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.length("la") - F.length("lb")) <= 20)
+    )
+    dist = F.levenshtein("la", "lb")
+    return (
+        cand.withColumn("edit_dist", dist.cast("long"))
+        .filter(F.col("edit_dist") <= 40)
+        .select("id_a", "id_b", "edit_dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _x297_oracle() -> str:
+    from ..ops.dedup import lsh_verified_pairs_oracle_sql
+    from ..ops.sampling import split_sql
+
+    pairs = lsh_verified_pairs_oracle_sql(threshold=0.7).rsplit(
+        "ORDER BY id_a, id_b", 1
+    )[0]
+    split = split_sql("duckdb", "documents", "doc_id").rsplit(
+        "ORDER BY doc_id", 1
+    )[0]
+    return f"""
+WITH pairs AS MATERIALIZED ({pairs}),
+sp AS MATERIALIZED ({split})
+SELECT CASE WHEN sa.split = 'train' THEN p.id_a ELSE p.id_b END
+         AS train_doc,
+       CASE WHEN sa.split = 'train' THEN p.id_b ELSE p.id_a END
+         AS test_doc,
+       p.jaccard
+FROM pairs p
+JOIN sp sa ON sa.doc_id = p.id_a
+JOIN sp sb ON sb.doc_id = p.id_b
+WHERE sa.split <> sb.split
+ORDER BY train_doc, test_doc
+"""
+
+
+@register(
+    "x297_split_leakage",
+    _x297_oracle(),
+    doc="train/test SPLIT LEAKAGE audit: near-dup pairs (deterministic "
+        "MinHash banding + exact-Jaccard verify >= 0.7, x40/x75's "
+        "machinery) that STRADDLE x18's content-keyed train/test "
+        "assignment -- each row is an eval document whose training "
+        "twin would inflate the benchmark (the check every held-out "
+        "split needs before a training run; doc-level hashing splits "
+        "the pair across sides precisely because assignment is "
+        "per-doc, which is WHY the audit exists). Output (train_doc, "
+        "test_doc, jaccard). Scale: the pair stage is band-blocked "
+        "(never all-pairs); the split table is a narrow key->side "
+        "projection, two candidate-sized equi-joins attach it",
+)
+def x297_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ops.sampling import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_verified_pairs(
+        docs, "doc_id", "text", threshold=0.7
+    )
+    sp = deterministic_split(docs, "doc_id").select("doc_id", "split")
+    sa = sp.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = sp.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    leaked = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    train_doc = F.when(
+        F.col("split_a") == "train", F.col("id_a")
+    ).otherwise(F.col("id_b"))
+    test_doc = F.when(
+        F.col("split_a") == "train", F.col("id_b")
+    ).otherwise(F.col("id_a"))
+    return leaked.select(
+        train_doc.alias("train_doc"),
+        test_doc.alias("test_doc"),
+        "jaccard",
+    ).orderBy("train_doc", "test_doc")
+
+
+def _x298_oracle() -> str:
+    from ..ops.text import lang_id_oracle_sql
+
+    pred = lang_id_oracle_sql().rsplit("ORDER BY doc_id", 1)[0]
+    return f"""
+WITH pred AS MATERIALIZED ({pred}),
+lab AS (
+  SELECT d.lang AS gold, p.pred_lang AS pred
+  FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+),
+conf AS (SELECT gold, pred, CAST(count(*) AS BIGINT) AS c
+         FROM lab GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN gold = pred THEN c ELSE 0 END)
+                 AS BIGINT) AS agree
+        FROM conf),
+marg AS (
+  SELECT CAST(SUM(ga.na * pb.nb) AS BIGINT) AS chance
+  FROM (SELECT gold AS l, SUM(c) AS na FROM conf GROUP BY 1) ga
+  JOIN (SELECT pred AS l, SUM(c) AS nb FROM conf GROUP BY 1) pb
+    USING (l)
+)
+SELECT t.n, t.agree,
+       ROUND(CAST(t.agree * t.n - m.chance AS DOUBLE)
+             / (t.n * t.n - m.chance), 4) AS kappa
+FROM tot t, marg m
+"""
+
+
+@register(
+    "x298_cohens_kappa",
+    _x298_oracle(),
+    doc="Cohen's kappa between the labeled ``lang`` column and x12's "
+        "stopword-vote language prediction -- chance-corrected "
+        "agreement, THE metric for judging an auto-labeler (or two "
+        "annotators) beyond raw accuracy. Exact-integer core: kappa = "
+        "(agree*n - sum_l gold_l*pred_l) / (n^2 - sum_l gold_l*"
+        "pred_l); both numerator and denominator are exact BIGINTs "
+        "(no probability ever exists as a float), the single division "
+        "happens once in DOUBLE (the engine-safe recipe). Scale: one "
+        "corpus pass builds the k x k confusion table; marginals and "
+        "kappa are k-sized arithmetic -- broadcast-trivial at any "
+        "corpus size",
+)
+def x298_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.select(
+        F.col("lang").alias("gold"),
+        text.lang_pred_column("text").alias("pred"),
+    )
+    conf = lab.groupBy("gold", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = conf.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("gold") == F.col("pred"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    ga = conf.groupBy(F.col("gold").alias("l")).agg(
+        F.sum("c").cast("long").alias("na")
+    )
+    pb = conf.groupBy(F.col("pred").alias("l")).agg(
+        F.sum("c").cast("long").alias("nb")
+    )
+    marg = (
+        ga.join(pb, "l")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("long").alias("chance"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(marg))
+        .select(
+            "n",
+            "agree",
+            F.round(
+                (F.col("agree") * F.col("n") - F.col("chance")).cast(
+                    "double"
+                )
+                / (F.col("n") * F.col("n") - F.col("chance")),
+                4,
+            ).alias("kappa"),
+        )
+    )
+
+
+@register(
+    "x299_applyinarrow_agg",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       FROM documents GROUP BY source ORDER BY source""",
+    doc="groupBy().applyInArrow API parity (completes the "
+        "custom-function matrix alongside pandas UDF / UDAF / "
+        "mapInPandas / mapInArrow / applyInPandas(+State) / cogroup / "
+        "UDTF / Python DataSource): per-source rollup computed "
+        "INSIDE Arrow -- the zero-copy pyarrow.Table path, no pandas "
+        "conversion -- pinned to the identical relational aggregate. "
+        "Scale: same one-shuffle groupBy shape as the native agg; the "
+        "Arrow stage prices ONLY the serialization seam. Real use: "
+        "per-group logic that needs Arrow-native compute kernels "
+        "(or libraries consuming Arrow directly) without a pandas "
+        "detour",
+)
+def x299_applyinarrow_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def per_source(table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "source": [table.column("source")[0].as_py()],
+                "n_docs": pa.array([table.num_rows], pa.int64()),
+                "total_chars": pa.array(
+                    [pc.sum(table.column("n_chars")).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", "n_chars")
+        .groupBy("source")
+        .applyInArrow(
+            per_source,
+            "source string, n_docs long, total_chars long",
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "x300_nullsafe_join",
+    """WITH a AS (SELECT source, NULLIF(lang, 'en') AS lang_n,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+       b AS (SELECT NULLIF(lang, 'en') AS lang_n,
+                  CAST(count(*) AS BIGINT) AS lang_total
+           FROM documents GROUP BY 1)
+       SELECT a.source, a.lang_n, a.n, b.lang_total
+       FROM a JOIN b ON a.lang_n IS NOT DISTINCT FROM b.lang_n
+       ORDER BY a.source, a.lang_n NULLS FIRST""",
+    doc="null-safe equi-join semantics (<=> / IS NOT DISTINCT FROM): "
+        "the NULL bucket -- here 'en' collapsed to NULL, the shape of "
+        "any join on a nullable enrichment key -- must MATCH across "
+        "sides instead of silently dropping, the classic inner-join "
+        "footgun. Dialect seam: Spark eqNullSafe(<=>) keeps the join "
+        "an EQUI-join (hash-partitionable, broadcast-able -- NOT a "
+        "nested loop), DuckDB spells it IS NOT DISTINCT FROM. Both "
+        "sides are aggregate-first (source x lang cardinality), so "
+        "the join is broadcast-trivial at any corpus size",
+)
+def x300_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lang_n = F.nullif(F.col("lang"), F.lit("en"))
+    a = docs.groupBy(
+        "source", lang_n.alias("lang_n")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    b = docs.groupBy(lang_n.alias("lang_nb")).agg(
+        F.count(F.lit(1)).cast("long").alias("lang_total")
+    )
+    return (
+        a.join(b, a["lang_n"].eqNullSafe(b["lang_nb"]))
+        .select("source", "lang_n", "n", "lang_total")
+        .orderBy("source", F.col("lang_n").asc_nulls_first())
+    )
+
+
+@register(
+    "x301_grouping_sets",
+    """SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT)
+              AS gid,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       FROM documents
+       GROUP BY GROUPING SETS ((source, lang), (source), ())
+       ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""",
+    doc="GROUPING SETS with grouping_id() -- the BI rollup surface "
+        "beyond q10's plain ROLLUP: an explicit lattice (source x "
+        "lang detail, per-source subtotal, grand total) in ONE scan "
+        "with partial aggregation per set, and grouping_id "
+        "disambiguating a real NULL group key from a rolled-up one "
+        "(the correctness trap of reading rollup output without it). "
+        "Both engines use the same bitmask convention (left column = "
+        "high bit). Scale: Spark expands the sets BELOW the shuffle "
+        "(Expand then one hash aggregate) -- rows shuffle once, not "
+        "once per set",
+)
+def x301_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupingSets(
+            [["source", "lang"], ["source"], []], "source", "lang"
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy(
+            "gid",
+            F.col("source").asc_nulls_first(),
+            F.col("lang").asc_nulls_first(),
+        )
+    )
