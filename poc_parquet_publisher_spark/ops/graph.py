@@ -202,6 +202,110 @@ ORDER BY r DESC, u LIMIT {top_k}"""
     )
 
 
+def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """Synchronous label-propagation communities (LPA), fixed
+    ``iterations`` rounds: every node starts as its own label; each
+    round a node adopts its neighbors' MOST FREQUENT label, ties broken
+    by the smallest label -- deterministic, so oracle-replayable
+    (classic async LPA is order-dependent; the synchronous fixed-round
+    variant is the one that parallelizes AND determinizes). The
+    community-detection member of the Pregel family next to
+    ``pagerank`` (influence) and ``bfs_levels`` (reachability).
+
+    Output: (node, lab) after the final round.
+
+    Scale shape: per round ONE edge-sized equi-join (edges x labels,
+    shuffle on the node key) + two node-sized aggregations (label
+    counts, then max-count/min-label argmax folded into a single
+    min(struct(-c, lab)) -- no window, no per-node subquery).
+    Node-state stays in shuffled hash joins, never broadcast (x104's
+    refusal, same reason); labels localCheckpoint per round so lineage
+    stays flat."""
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iterations):
+        nb = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("v"), "lab"
+                ).hint("shuffle_hash"),
+                "v",
+            )
+            .groupBy("u", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            nb.groupBy(F.col("u").alias("node"))
+            .agg(
+                F.min(F.struct((-F.col("c")).alias("nc"), F.col("lab")))
+                .getField("lab")
+                .alias("lab")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def lpa_copurchase_sql(
+    iterations: int = 2, part_mod: int = 4
+) -> str:
+    """DuckDB SQL replaying ``label_propagation`` over the
+    ``l_partkey % part_mod = 0`` co-purchase subgraph: per round one
+    neighbor-label count CTE, one per-node max CTE, one argmax CTE
+    (max count, then min label) -- all MATERIALIZED (chained-CTE
+    re-inline defense). Final output: community sizes."""
+    ctes = [
+        f"""items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey % {part_mod} = 0
+)""",
+        """p AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+)""",
+        "edges AS MATERIALIZED (SELECT u, v FROM p "
+        "UNION ALL SELECT v, u FROM p)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lab "
+        "FROM edges)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""n{i + 1} AS MATERIALIZED (
+  SELECT e.u, l.lab, count(*) AS c
+  FROM edges e JOIN l{i} l ON l.node = e.v
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""m{i + 1} AS MATERIALIZED (
+  SELECT u, max(c) AS mc FROM n{i + 1} GROUP BY u
+)"""
+        )
+        ctes.append(
+            f"""l{i + 1} AS MATERIALIZED (
+  SELECT n.u AS node, min(n.lab) AS lab
+  FROM n{i + 1} n JOIN m{i + 1} m ON m.u = n.u AND n.c = m.mc
+  GROUP BY 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(lab AS BIGINT) AS community,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS rep
+FROM l{iterations}
+GROUP BY lab
+ORDER BY n_nodes DESC, community"""
+    )
+
+
 def bfs_levels(edges: DataFrame, hops: int = 3) -> DataFrame:
     """Breadth-first reachability from the minimum node id, fixed
     ``hops`` rounds. Output: one row per level 0..hops with the count

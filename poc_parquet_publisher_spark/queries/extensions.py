@@ -15591,6 +15591,123 @@ def x295_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x302_oracle() -> str:
+    return graph.lpa_copurchase_sql(iterations=2, part_mod=4)
+
+
+@register(
+    "x302_label_propagation",
+    _x302_oracle(),
+    doc="label-propagation communities over the l_partkey % 4 = 0 "
+        "co-purchase subgraph, 2 synchronous rounds -- the "
+        "community-detection member of the Pregel family (x104 "
+        "PageRank = influence, x150 BFS = reachability, x243 k-core = "
+        "density; this one answers 'which parts sell TOGETHER as a "
+        "cluster'). Deterministic by construction: synchronous "
+        "rounds + max-count/min-label tie-break, so the full "
+        "community assignment is oracle-replayable. Per round ONE "
+        "edge-sized equi-join with node-state in shuffled hash joins "
+        "(never broadcast -- x104's refusal), argmax folded into a "
+        "single min(struct(-c, lab)) aggregate: no window, no "
+        "per-node subquery. Output: community sizes",
+)
+def x302_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 4 == 0
+    )
+    edges = graph.symmetric_copurchase_edges(li)
+    labels = graph.label_propagation(edges, iterations=2)
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").cast("long").alias("rep"),
+        )
+        .select(
+            F.col("community").cast("long").alias("community"),
+            "n_nodes",
+            "rep",
+        )
+        .orderBy(F.desc("n_nodes"), "community")
+    )
+
+
+@register(
+    "x303_ab_uplift",
+    """WITH u AS (
+         SELECT user_id,
+                CASE WHEN substr(md5(CAST(user_id AS VARCHAR)
+                       || ':ab'), 1, 4) < '8000'
+                     THEN 'treat' ELSE 'control' END AS arm,
+                MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                    END) AS converted
+         FROM events GROUP BY 1
+       ),
+       a AS (
+         SELECT CAST(SUM(CASE WHEN arm = 'treat' THEN 1 END)
+                  AS BIGINT) AS users_t,
+                CAST(SUM(CASE WHEN arm = 'treat' THEN converted END)
+                  AS BIGINT) AS conv_t,
+                CAST(SUM(CASE WHEN arm = 'control' THEN 1 END)
+                  AS BIGINT) AS users_c,
+                CAST(SUM(CASE WHEN arm = 'control' THEN converted
+                    END) AS BIGINT) AS conv_c
+         FROM u
+       )
+       SELECT users_t, conv_t, users_c, conv_c,
+              ROUND(CAST(conv_t AS DOUBLE) / users_t, 4) AS rate_t,
+              ROUND(CAST(conv_c AS DOUBLE) / users_c, 4) AS rate_c,
+              ROUND(CAST(conv_t AS DOUBLE) / users_t
+                    - CAST(conv_c AS DOUBLE) / users_c, 4) AS uplift
+       FROM a""",
+    doc="deterministic A/B experiment readout: users assigned to arms "
+        "by the SAME content-keyed md5-bucket rule as x18's split "
+        "(stable under retries and scale -- the assignment IS the "
+        "randomization unit, never df.sample), per-arm user-level "
+        "conversion (any purchase event), uplift = rate_t - rate_c. "
+        "Counts stay exact BIGINTs; the two divisions and their "
+        "difference happen once in DOUBLE on identical integers "
+        "(engine-identical), then round. Scale: one user-level "
+        "aggregate (the corpus shuffle), then a 1-row conditional "
+        "rollup -- no joins at all",
+)
+def x303_ab_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+            1,
+            4,
+        )
+        < "8000",
+        F.lit("treat"),
+    ).otherwise(F.lit("control"))
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn("arm", arm)
+    t = F.col("arm") == "treat"
+    c = F.col("arm") == "control"
+    a = u.agg(
+        F.sum(F.when(t, 1)).cast("long").alias("users_t"),
+        F.sum(F.when(t, F.col("converted"))).cast("long").alias("conv_t"),
+        F.sum(F.when(c, 1)).cast("long").alias("users_c"),
+        F.sum(F.when(c, F.col("converted"))).cast("long").alias("conv_c"),
+    )
+    rate_t = F.col("conv_t").cast("double") / F.col("users_t")
+    rate_c = F.col("conv_c").cast("double") / F.col("users_c")
+    return a.select(
+        "users_t",
+        "conv_t",
+        "users_c",
+        "conv_c",
+        F.round(rate_t, 4).alias("rate_t"),
+        F.round(rate_c, 4).alias("rate_c"),
+        F.round(rate_t - rate_c, 4).alias("uplift"),
+    )
+
+
 @register(
     "x296_editdist_neardup",
     """WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),

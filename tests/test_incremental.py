@@ -84,6 +84,39 @@ def test_incremental_neardup_across_batches(spark, tmp_path):
     assert incremental_neardup_dedup(b2, idx).count() == 0
 
 
+def test_neardup_matches_hot_band_cap(spark):
+    """The hot-band cap suppresses candidates from degenerate index
+    buckets but a pair sharing ANY non-hot band still surfaces: 6 docs
+    share every band (identical text -> all 4 buckets hold 6 docs,
+    over a cap of 5, so no candidates); with the cap lifted the same
+    probe yields all 15 pairs at jaccard 1.0."""
+    from poc_parquet_publisher_spark.ops.incremental import (
+        neardup_matches,
+        neardup_signatures,
+    )
+
+    same = "the quick brown fox jumps over the lazy dog tonight"
+    df = spark.createDataFrame(
+        [(i, same) for i in range(6)], "doc_id long, text string"
+    )
+    sigs = neardup_signatures(df).localCheckpoint()
+
+    capped = (
+        neardup_matches(sigs, sigs, threshold=0.9, max_docs_per_band=5)
+        .filter(F.col("old_id") < F.col("new_id"))
+        .count()
+    )
+    assert capped == 0  # every shared band is hot -> suppressed
+
+    uncapped = (
+        neardup_matches(sigs, sigs, threshold=0.9, max_docs_per_band=None)
+        .filter(F.col("old_id") < F.col("new_id"))
+        .collect()
+    )
+    assert len(uncapped) == 15  # all C(6,2) pairs
+    assert all(r.jaccard == 1.0 for r in uncapped)
+
+
 def test_neardup_signatures_short_docs_have_no_row(spark):
     from poc_parquet_publisher_spark.ops.incremental import (
         neardup_signatures,
