@@ -15591,6 +15591,232 @@ def x295_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# x304: RBO(p=1/2, k=10) decomposes per common item: an item entering
+# both rankings at depth g = max(rank_a, rank_b) contributes
+# W(g) = sum_{d=g..10} 2^(10-d) * (2520/d) to the 2^10*2520-scaled
+# score (2520 = lcm(1..10), so every term is an exact integer).
+_RBO_W = {
+    1: 1788440, 2: 498200, 3: 175640, 4: 68120, 5: 27800,
+    6: 11672, 7: 4952, 8: 2072, 9: 812, 10: 252,
+}
+_RBO_DEN = 1024 * 2520
+
+
+@register(
+    "x304_rank_biased_overlap",
+    f"""WITH s AS (
+         SELECT l_suppkey AS item,
+                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+                CAST(count(*) AS BIGINT) AS c
+         FROM lineitem GROUP BY 1
+       ),
+       ra AS (SELECT item, CAST(row_number() OVER (ORDER BY q DESC,
+                item) AS BIGINT) AS ra
+              FROM s ORDER BY q DESC, item LIMIT 10),
+       rb AS (SELECT item, CAST(row_number() OVER (ORDER BY c DESC,
+                item) AS BIGINT) AS rb
+              FROM s ORDER BY c DESC, item LIMIT 10),
+       m AS (SELECT GREATEST(ra.ra, rb.rb) AS g
+             FROM ra JOIN rb USING (item)),
+       w AS (SELECT CAST(COALESCE(SUM(
+                CASE g {' '.join(f'WHEN {g} THEN {w}' for g, w in _RBO_W.items())} END), 0)
+                AS BIGINT) AS rbo_scaled,
+                CAST(count(*) AS BIGINT) AS n_common
+             FROM m)
+       SELECT n_common, rbo_scaled,
+              ROUND(CAST(rbo_scaled AS DOUBLE) / {_RBO_DEN}, 4) AS rbo
+       FROM w""",
+    doc="rank-biased overlap (RBO, Webber et al.) between two top-10 "
+        "supplier rankings -- by total quantity vs by lineitem count: "
+        "the top-weighted list-agreement metric for comparing ranking "
+        "functions (search/reco eval, metric-migration audits), where "
+        "plain set overlap ignores ORDER. p = 1/2 makes every "
+        "geometric weight a power of two and 2520 = lcm(1..10) clears "
+        "the per-depth divisions, so the score is an exact integer "
+        "scaled by 2^10*2520 -- no float accumulates; the one "
+        "division happens last in DOUBLE. Decomposed per common item "
+        "(weight depends only on g = max of its two ranks -- no "
+        "per-depth dim join) and both rank windows ride the "
+        "supplier-cardinality aggregate (x81 bounded contract)",
+)
+def x304_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy(F.col("l_suppkey").alias("item")).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    ra = (
+        s.select(
+            "item",
+            F.row_number()
+            .over(Window.orderBy(F.desc("q"), "item"))
+            .cast("long")
+            .alias("ra"),
+        )
+        .filter(F.col("ra") <= 10)
+    )
+    rb = (
+        s.select(
+            "item",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), "item"))
+            .cast("long")
+            .alias("rb"),
+        )
+        .filter(F.col("rb") <= 10)
+    )
+    g = F.greatest("ra", "rb")
+    w_expr = F.lit(None)
+    for gv, wv in _RBO_W.items():
+        w_expr = F.when(g == gv, F.lit(wv)).otherwise(w_expr)
+    m = ra.join(rb, "item").select(w_expr.alias("w"))
+    out = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("rbo_scaled"),
+    )
+    return out.select(
+        "n_common",
+        "rbo_scaled",
+        F.round(
+            F.col("rbo_scaled").cast("double") / F.lit(_RBO_DEN), 4
+        ).alias("rbo"),
+    )
+
+
+@register(
+    "x305_kaplan_meier",
+    """WITH u AS (
+         SELECT user_id,
+                CAST((epoch_us(max(ts)) - epoch_us(min(ts)))
+                     // 3600000000 AS BIGINT) AS lt,
+                CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+         FROM events GROUP BY 1
+       ),
+       mx AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS max_us
+              FROM events),
+       lab AS (
+         SELECT lt,
+                CASE WHEN mx.max_us - last_us > 86400000000
+                     THEN 1 ELSE 0 END AS observed
+         FROM u, mx
+       ),
+       d AS (
+         SELECT lt, CAST(SUM(observed) AS BIGINT) AS deaths,
+                CAST(count(*) AS BIGINT) AS ending
+         FROM lab GROUP BY lt
+       ),
+       r AS (
+         SELECT lt, deaths,
+                CAST(SUM(ending) OVER (ORDER BY lt DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS at_risk
+         FROM d
+       ),
+       k AS (
+         SELECT lt, deaths, at_risk,
+                SUM(CASE WHEN deaths < at_risk THEN
+                      CAST(ROUND(ln(1.0 - CAST(deaths AS DOUBLE)
+                        / at_risk), 12) AS DECIMAL(28,12))
+                    END)
+                  OVER (ORDER BY lt
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum
+         FROM r WHERE deaths > 0
+       )
+       SELECT lt AS lt_hours, at_risk, deaths,
+              CASE WHEN deaths = at_risk THEN 0.0
+                   ELSE ROUND(exp(CAST(cum AS DOUBLE)), 4)
+              END AS survival
+       FROM k ORDER BY lt_hours""",
+    doc="Kaplan-Meier survival curve of user engagement lifetimes "
+        "(hours between first and last event; a user whose last event "
+        "sits within 24h of the corpus edge is CENSORED -- still "
+        "at-risk, never a death: the estimator exists precisely "
+        "because dropping censored users biases churn down). Exact "
+        "machinery: lifetimes are integer-microsecond differences DIV "
+        "3600e6 (DuckDB's date_diff counts boundary CROSSINGS, not "
+        "elapsed hours -- the dialect trap dodged by epoch "
+        "arithmetic); at-risk counts come from ONE descending "
+        "cumulative window over the lifetime-cardinality table; the "
+        "product folds to a cumulative sum of round(ln(1-d/n),12) in "
+        "DECIMAL(28,12) (x37/x234 recipe) with exp last; a "
+        "deaths==at_risk final step is pinned to 0.0 (ln(0) guard). "
+        "Both windows ride aggregate-cardinality tables (x81 "
+        "contract)",
+)
+def x305_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # timestampdiff on the NTZ column is pure wall-clock arithmetic --
+    # the same naive difference DuckDB's epoch_us subtraction computes;
+    # a cast to TIMESTAMP would route through the session zone (and its
+    # DST holes) for no benefit since only DIFFERENCES are emitted
+    u = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.min("ts").alias("first_ts"),
+    ).select(
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND, first_ts, last_ts) "
+            "DIV 3600000000 AS BIGINT)"
+        ).alias("lt"),
+        "last_ts",
+    )
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    lab = u.crossJoin(F.broadcast(mx)).select(
+        "lt",
+        F.when(
+            F.expr("timestampdiff(MICROSECOND, last_ts, max_ts)")
+            > F.lit(86400000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("observed"),
+    )
+    d = lab.groupBy("lt").agg(
+        F.sum("observed").cast("long").alias("deaths"),
+        F.count(F.lit(1)).cast("long").alias("ending"),
+    )
+    w_risk = Window.orderBy(F.desc("lt")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = d.select(
+        "lt",
+        "deaths",
+        F.sum("ending").over(w_risk).cast("long").alias("at_risk"),
+    )
+    term = F.when(
+        F.col("deaths") < F.col("at_risk"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("deaths").cast("double") / F.col("at_risk")
+            ),
+            12,
+        ).cast("decimal(28,12)"),
+    )
+    w_cum = Window.orderBy("lt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    k = r.filter(F.col("deaths") > 0).select(
+        "lt",
+        "deaths",
+        "at_risk",
+        F.sum(term).over(w_cum).alias("cum"),
+    )
+    survival = F.when(
+        F.col("deaths") == F.col("at_risk"), F.lit(0.0)
+    ).otherwise(F.round(F.exp(F.col("cum").cast("double")), 4))
+    return k.select(
+        F.col("lt").alias("lt_hours"),
+        "at_risk",
+        "deaths",
+        survival.alias("survival"),
+    ).orderBy("lt_hours")
+
+
 def _x302_oracle() -> str:
     return graph.lpa_copurchase_sql(iterations=2, part_mod=4)
 
