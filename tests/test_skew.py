@@ -105,6 +105,16 @@ SKEW_ENTRIES = [
     # concentrates -- answers, plan, and the 3x bound must hold
     "x268_id_gaps",
     "x294_fifo_matching",
+    # round-6 near-dup additions: the skewed documents table funnels
+    # ~70% of docs through one source and shares a 50-word vocab, so
+    # shingle bands get HOT -- x295's index probe must hold behind its
+    # hot-band cap (cap applied to the index side, pairs re-surface
+    # through non-hot bands), x296's 12-char prefix blocks meet the
+    # dense shared-vocab prefixes, x297 rides the shared banded pair
+    # stage; answers, plan, and the 3x straggler bound must hold
+    "x295_incremental_neardup",
+    "x296_editdist_neardup",
+    "x297_split_leakage",
 ]
 
 
