@@ -15591,6 +15591,275 @@ def x295_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x306_deletion_audit",
+    """WITH flagged AS (SELECT c_custkey FROM customer
+                        WHERE c_custkey % 97 = 0),
+       c AS (SELECT 'customer' AS tbl,
+                    CAST(count(*) AS BIGINT) AS residual_rows
+             FROM customer WHERE c_custkey % 97 = 0),
+       o AS (SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT)
+             FROM orders WHERE o_custkey IN
+               (SELECT c_custkey FROM flagged)),
+       l AS (SELECT 'lineitem' AS tbl, CAST(count(*) AS BIGINT)
+             FROM lineitem li JOIN orders od
+               ON od.o_orderkey = li.l_orderkey
+             WHERE od.o_custkey IN (SELECT c_custkey FROM flagged))
+       SELECT * FROM c UNION ALL SELECT * FROM o
+       UNION ALL SELECT * FROM l
+       ORDER BY tbl""",
+    doc="right-to-be-forgotten CASCADE audit: given a deletion set "
+        "(custkey % 97 = 0 stands in for the request list), count "
+        "every row still REFERENCING a flagged subject per table -- "
+        "directly (customer), through the FK (orders), and "
+        "transitively through two hops (lineitem via its order) -- "
+        "the residual report a GDPR/CCPA purge must drive to zero, "
+        "and the missing piece next to x172/x246/x280's "
+        "anonymization entries (deleting the customer row while "
+        "order history remains IS the compliance failure). Scale: "
+        "the request list is a broadcast-small semi-join side at "
+        "every hop; lineitem joins orders on its natural key, "
+        "flags never fan out",
+)
+def x306_deletion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    flagged = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        "c_custkey"
+    )
+    c = flagged.agg(F.count(F.lit(1)).cast("long").alias("residual_rows")).select(
+        F.lit("customer").alias("tbl"), "residual_rows"
+    )
+    fo = orders.join(
+        F.broadcast(flagged),
+        orders["o_custkey"] == flagged["c_custkey"],
+        "left_semi",
+    )
+    o = fo.agg(F.count(F.lit(1)).cast("long").alias("residual_rows")).select(
+        F.lit("orders").alias("tbl"), "residual_rows"
+    )
+    fl = li.join(
+        fo.select("o_orderkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
+    l = fl.agg(F.count(F.lit(1)).cast("long").alias("residual_rows")).select(
+        F.lit("lineitem").alias("tbl"), "residual_rows"
+    )
+    return c.union(o).union(l).orderBy("tbl")
+
+
+def _x307_oracle() -> str:
+    return f"""WITH RECURSIVE {_X03_PAIRS_CTE},
+       edges AS (
+         SELECT id_a AS u, id_b AS v FROM pairs
+         UNION
+         SELECT id_b, id_a FROM pairs
+       ),
+       walk (node, lbl) AS (
+         SELECT u, u FROM edges
+         UNION
+         SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.node = e.v
+       ),
+       comp AS (SELECT node, MIN(lbl) AS rep FROM walk GROUP BY node),
+       scored AS (
+         SELECT c.rep, c.node, d.n_chars
+         FROM comp c JOIN documents d ON d.doc_id = c.node
+       ),
+       agg AS (
+         SELECT rep, CAST(count(*) AS BIGINT) AS n_members,
+                CAST(MIN(node) AS BIGINT) AS min_id,
+                MAX(n_chars) AS mx
+         FROM scored GROUP BY rep
+       )
+       SELECT a.rep AS cluster, a.n_members, a.min_id,
+              CAST(MIN(s.node) AS BIGINT) AS keep_id,
+              CAST(a.mx AS BIGINT) AS keep_chars
+       FROM agg a JOIN scored s ON s.rep = a.rep AND s.n_chars = a.mx
+       GROUP BY a.rep, a.n_members, a.min_id, a.mx
+       ORDER BY cluster"""
+
+
+@register(
+    "x307_cluster_representative",
+    _x307_oracle(),
+    doc="QUALITY-AWARE canonical-doc selection per duplicate cluster: "
+        "x24 labels transitive near-dup clusters but keeps the MIN-ID "
+        "doc -- production pipelines keep the LONGEST member (the "
+        "least-truncated crawl of the page); this entry picks "
+        "argmax(n_chars) with a min-id tie-break per cluster, the "
+        "keep-list a transitive dedup actually ships. Spark folds the "
+        "argmax into one min(struct(-n_chars, node)) aggregate over "
+        "the cluster labels (x302's shape -- no window, no per-group "
+        "subquery); DuckDB mirrors with arg_min over the same "
+        "composite key. Cluster labels come from the shared x03 pair "
+        "stage + min-label propagation, so the whole chain reuses "
+        "verified machinery",
+)
+def x307_cluster_representative(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = _shared_jaccard_pairs(spark, sf_dir)
+    comp = dedup.duplicate_clusters(pairs)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"), "n_chars"
+    )
+    scored = comp.join(docs, "node")
+    return (
+        scored.groupBy(F.col("rep").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("node").cast("long").alias("min_id"),
+            F.min(
+                F.struct(
+                    (-F.col("n_chars")).alias("nc"), F.col("node")
+                )
+            )
+            .getField("node")
+            .cast("long")
+            .alias("keep_id"),
+            F.max("n_chars").cast("long").alias("keep_chars"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "x308_mad_outliers",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+                      AS BIGINT) AS v
+                  FROM events GROUP BY 1),
+       med AS (SELECT CAST(quantile_disc(v, 0.5) AS BIGINT) AS m
+               FROM d),
+       dev AS (SELECT d.day, d.v, abs(d.v - med.m) AS ad
+               FROM d, med),
+       mad AS (SELECT CAST(quantile_disc(ad, 0.5) AS BIGINT) AS mad
+               FROM dev)
+       SELECT med.m AS median_cents, mad.mad AS mad_cents,
+              CAST(med.m - 3 * mad.mad AS BIGINT) AS lo_fence,
+              CAST(med.m + 3 * mad.mad AS BIGINT) AS hi_fence,
+              CAST(count(*) AS BIGINT) AS n_days,
+              CAST(SUM(CASE WHEN dev.v < med.m - 3 * mad.mad
+                         OR dev.v > med.m + 3 * mad.mad
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       FROM dev, med, mad
+       GROUP BY med.m, mad.mad""",
+    doc="robust outlier fence via MEDIAN ABSOLUTE DEVIATION: a "
+        "mean/stddev fence (z-score) is dragged by the very outliers "
+        "it hunts -- median +/- 3*MAD has a 50% breakdown point, the "
+        "robust-statistics standard for revenue anomaly days. "
+        "Everything is exact integers: daily cents, DISC medians "
+        "(actual data values -- x254's pinned seam, so both engines "
+        "pick the identical cents), absolute deviations, and the "
+        "fences; NO float ever exists. Both medians ride the "
+        "day-cardinality aggregate (x81 bounded contract); the "
+        "1-row med/mad attach as broadcast scalars",
+)
+def x308_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    med = d.agg(
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) "
+            "AS BIGINT)"
+        ).alias("m")
+    )
+    dev = d.crossJoin(F.broadcast(med)).select(
+        "day", "v", "m", F.abs(F.col("v") - F.col("m")).alias("ad")
+    )
+    mad = dev.agg(
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ad) "
+            "AS BIGINT)"
+        ).alias("mad")
+    )
+    out = dev.crossJoin(F.broadcast(mad))
+    lo = F.col("m") - 3 * F.col("mad")
+    hi = F.col("m") + 3 * F.col("mad")
+    return out.groupBy("m", "mad").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(
+            F.when((F.col("v") < lo) | (F.col("v") > hi), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    ).select(
+        F.col("m").alias("median_cents"),
+        F.col("mad").alias("mad_cents"),
+        lo.cast("long").alias("lo_fence"),
+        hi.cast("long").alias("hi_fence"),
+        "n_days",
+        "n_outliers",
+    )
+
+
+@register(
+    "x309_theil_sen",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+                      AS BIGINT) AS v
+                  FROM events GROUP BY 1),
+       p AS (SELECT ROUND(CAST(b.v - a.v AS DOUBLE)
+                          / date_diff('day', a.day, b.day), 4)
+                 AS slope
+             FROM d a JOIN d b ON a.day < b.day)
+       SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+              ROUND(CAST(quantile_disc(slope, 0.5) AS DOUBLE), 4)
+                AS slope_cents_per_day
+       FROM p""",
+    doc="Theil-Sen trend estimator -- the MEDIAN of all pairwise "
+        "day-to-day slopes: a single anomalous day wrecks an OLS "
+        "slope, but Theil-Sen tolerates ~29% corruption (the robust "
+        "complement to x290's Pearson ACF and x308's MAD fence). "
+        "Slopes divide exact integer cents by exact integer day gaps "
+        "(DATE-typed date_diff counts whole days -- no "
+        "boundary-crossing trap) once in DOUBLE, round to 4; the "
+        "median is DISC (an actual slope value -- x254's seam, "
+        "identical pick both engines). The pair stage is the "
+        "day-cardinality table self-joined -- bounded quadratic in "
+        "DAYS (365^2 at any corpus size), never in rows (x81 "
+        "contract squared)",
+)
+def x309_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    a = d.select(F.col("day").alias("da"), F.col("v").alias("va"))
+    b = d.select(F.col("day").alias("db"), F.col("v").alias("vb"))
+    # day-cardinality inequality join: broadcast one side so the range
+    # condition plans as a bounded BNLJ, never a CartesianProduct
+    p = a.join(F.broadcast(b), F.col("da") < F.col("db")).select(
+        F.round(
+            (F.col("vb") - F.col("va")).cast("double")
+            / F.datediff("db", "da"),
+            4,
+        ).alias("slope")
+    )
+    return p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.expr(
+                "CAST(percentile_disc(0.5) WITHIN GROUP "
+                "(ORDER BY slope) AS DOUBLE)"
+            ),
+            4,
+        ).alias("slope_cents_per_day"),
+    )
+
+
 # x304: RBO(p=1/2, k=10) decomposes per common item: an item entering
 # both rankings at depth g = max(rank_a, rank_b) contributes
 # W(g) = sum_{d=g..10} 2^(10-d) * (2520/d) to the 2^10*2520-scaled
