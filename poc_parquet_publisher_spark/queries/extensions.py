@@ -15592,6 +15592,252 @@ def x295_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x310_cdc_merge",
+    """WITH snap AS (
+         SELECT c_custkey AS k,
+                CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+         FROM customer
+       ),
+       cdc AS (
+         SELECT k, 'U' AS op, cents + 10000 AS new_cents
+         FROM snap WHERE k % 7 = 0
+         UNION ALL
+         SELECT k, 'D', NULL FROM snap
+         WHERE k % 7 <> 0 AND k % 11 = 0
+         UNION ALL
+         SELECT k + 1000000, 'I', cents FROM snap WHERE k % 13 = 0
+       ),
+       merged AS (
+         SELECT COALESCE(s.k, c.k) AS k,
+                c.op,
+                CASE WHEN c.op = 'U' THEN c.new_cents
+                     WHEN c.op = 'I' THEN c.new_cents
+                     ELSE s.cents END AS cents
+         FROM snap s FULL OUTER JOIN cdc c ON c.k = s.k
+         WHERE c.op IS NULL OR c.op <> 'D'
+       )
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM snap) AS n_before,
+              CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated,
+              CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_inserted,
+              (SELECT CAST(count(*) AS BIGINT) FROM cdc
+               WHERE op = 'D') AS n_deleted,
+              CAST(count(*) AS BIGINT) AS n_after,
+              CAST(SUM(cents) AS BIGINT) AS total_cents_after
+       FROM merged""",
+    doc="CDC MERGE apply (upsert/delete) as pure DataFrame algebra -- "
+        "the MERGE INTO shape without a table format: a deterministic "
+        "change feed (updates +100.00 for custkey%7, deletes for %11, "
+        "inserts as key+1e6 clones for %13) applies onto the customer "
+        "snapshot via ONE key-partitioned FULL OUTER join + CASE -- "
+        "matched-update, matched-delete and not-matched-insert in a "
+        "single pass, the exact semantics Delta/Iceberg MERGE "
+        "compiles to. Balances stay exact integer cents; the output "
+        "reconciles op counts against n_before/n_after (the "
+        "audit every CDC pipeline ships). Scale: both sides shuffle "
+        "once on the merge key; at 100 TB this is the same "
+        "sort-merge FULL OUTER any snapshot+feed reconciliation "
+        "pays, with no driver-side state",
+)
+def x310_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    snap = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    upd = snap.filter(F.col("k") % 7 == 0).select(
+        "k", F.lit("U").alias("op"), (F.col("cents") + 10000).alias("new_cents")
+    )
+    dele = snap.filter((F.col("k") % 7 != 0) & (F.col("k") % 11 == 0)).select(
+        "k", F.lit("D").alias("op"), F.lit(None).cast("long").alias("new_cents")
+    )
+    ins = snap.filter(F.col("k") % 13 == 0).select(
+        (F.col("k") + 1000000).alias("k"),
+        F.lit("I").alias("op"),
+        F.col("cents").alias("new_cents"),
+    )
+    cdc = upd.union(dele).union(ins)
+    s = snap.withColumnRenamed("k", "sk")
+    merged = (
+        s.join(cdc, s["sk"] == cdc["k"], "full_outer")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce("sk", "k").alias("mk"),
+            "op",
+            F.when(F.col("op").isin("U", "I"), F.col("new_cents"))
+            .otherwise(F.col("cents"))
+            .alias("mcents"),
+        )
+    )
+    n_before = snap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    n_deleted = cdc.filter(F.col("op") == "D").agg(
+        F.count(F.lit(1)).cast("long").alias("n_deleted")
+    )
+    body = merged.agg(
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0))
+        .cast("long")
+        .alias("n_updated"),
+        F.sum(F.when(F.col("op") == "I", 1).otherwise(0))
+        .cast("long")
+        .alias("n_inserted"),
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.sum("mcents").cast("long").alias("total_cents_after"),
+    )
+    return (
+        body.crossJoin(F.broadcast(n_before))
+        .crossJoin(F.broadcast(n_deleted))
+        .select(
+            "n_before",
+            "n_updated",
+            "n_inserted",
+            "n_deleted",
+            "n_after",
+            "total_cents_after",
+        )
+    )
+
+
+@register(
+    "x311_fold_balance",
+    """WITH f AS (
+         SELECT CASE
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':fold'),
+                       1, 4) < '3333' THEN 0
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':fold'),
+                       1, 4) < '6666' THEN 1
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':fold'),
+                       1, 4) < '9999' THEN 2
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':fold'),
+                       1, 4) < 'cccc' THEN 3
+                  ELSE 4 END AS fold,
+                lang
+         FROM documents
+       ),
+       c AS (SELECT fold, lang, CAST(count(*) AS BIGINT) AS n_docs
+             FROM f GROUP BY 1, 2),
+       t AS (SELECT fold, CAST(SUM(n_docs) AS BIGINT) AS fold_total
+             FROM c GROUP BY 1)
+       SELECT c.fold, c.lang, c.n_docs, t.fold_total,
+              CAST(c.n_docs * 10000 // t.fold_total AS BIGINT)
+                AS lang_share_x1e4
+       FROM c JOIN t USING (fold)
+       ORDER BY c.fold, c.lang""",
+    doc="k-fold STRATIFICATION audit: x18 splits once, cross-"
+        "validation needs k folds AND proof they are balanced -- "
+        "each doc lands in one of 5 folds by md5-threshold buckets "
+        "(x18's content-keyed rule generalized: equal 16-bit hex "
+        "ranges, stable under retries/repartitioning), then per-fold "
+        "language shares surface any stratification skew BEFORE a "
+        "model trains on it (a fold missing a language is an eval "
+        "lie). Shares are exact: n*1e4 DIV fold_total on positive "
+        "BIGINTs. Scale: one narrow projection + two tiny "
+        "aggregations; the fold x lang table is k*|langs| rows "
+        "regardless of corpus size",
+)
+def x311_fold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":fold"))),
+        1,
+        4,
+    )
+    fold = (
+        F.when(h < "3333", 0)
+        .when(h < "6666", 1)
+        .when(h < "9999", 2)
+        .when(h < "cccc", 3)
+        .otherwise(4)
+    )
+    c = docs.select(fold.alias("fold"), "lang").groupBy(
+        "fold", "lang"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    t = c.groupBy("fold").agg(
+        F.sum("n_docs").cast("long").alias("fold_total")
+    )
+    return (
+        c.join(t, "fold")
+        .select(
+            "fold",
+            "lang",
+            "n_docs",
+            "fold_total",
+            F.expr(
+                "CAST(n_docs * 10000 DIV fold_total AS BIGINT)"
+            ).alias("lang_share_x1e4"),
+        )
+        .orderBy("fold", "lang")
+    )
+
+
+@register(
+    "x312_feature_hashing",
+    """WITH tok AS (
+         SELECT DISTINCT t AS token
+         FROM documents, unnest(string_split(lower(text), ' ')) u(t)
+         WHERE t <> ''
+       ),
+       b AS (
+         SELECT token,
+                (strpos('0123456789abcdef',
+                        substr(md5(token), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                          substr(md5(token), 2, 1)) - 1) AS bucket
+         FROM tok
+       ),
+       load AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n
+                FROM b GROUP BY 1)
+       SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS buckets_used,
+              CAST(MAX(n) AS BIGINT) AS max_bucket_load,
+              CAST((SUM(n) - count(*)) * 10000 // SUM(n) AS BIGINT)
+                AS collision_rate_x1e4
+       FROM load""",
+    doc="hashing-trick collision audit for a 256-bucket feature "
+        "space: every distinct token maps to a bucket via its first "
+        "two md5 hex chars decoded with strpos math (hex->int "
+        "WITHOUT a conv() builtin -- DuckDB has none, so the "
+        "position arithmetic IS the portable decode; the instr/"
+        "strpos name seam is the documented dialect map). Reports "
+        "vocabulary size, buckets hit, max bucket load and the "
+        "collision rate -- the number that decides whether 2^k "
+        "buckets suffice before a hashed-features model silently "
+        "aliases its vocabulary. Exact integers throughout. Scale: "
+        "one token explode (the corpus pass any vocab build pays), "
+        "distinct, then 256-row arithmetic",
+)
+def x312_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    # expr(): F.instr takes only a string-literal needle, and here the
+    # needle is constant but the HAYSTACK position of a per-row char is
+    # wanted -- instr(haystack_lit, char_col) needs the SQL form
+    bucket = F.expr(
+        "(instr('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substr(md5(token), 2, 1)) - 1)"
+    )
+    load = tok.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return load.agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("buckets_used"),
+        F.max("n").cast("long").alias("max_bucket_load"),
+        F.expr(
+            "CAST((SUM(n) - count(*)) * 10000 DIV SUM(n) AS BIGINT)"
+        ).alias("collision_rate_x1e4"),
+    )
+
+
+@register(
     "x306_deletion_audit",
     """WITH flagged AS (SELECT c_custkey FROM customer
                         WHERE c_custkey % 97 = 0),
