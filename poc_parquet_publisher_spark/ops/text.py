@@ -29,6 +29,18 @@ def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
 
 
+def stop_ratio_column(text_col: str | Column) -> Column:
+    """English-stopword share of whitespace tokens as a round(4) double --
+    the single-column form of ``quality_scores``'s stop_ratio, for
+    entries that consume the score inline (x315 calibration)."""
+    toks = _toks(text_col)
+    return F.round(
+        _count_in(toks, LANG_STOPWORDS["en"]).cast("double")
+        / F.size(toks).cast("long"),
+        4,
+    )
+
+
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counts per document."""
     toks = _toks(text_col)

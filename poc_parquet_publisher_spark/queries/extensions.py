@@ -16778,3 +16778,627 @@ def x301_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang").asc_nulls_first(),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval serving & evaluation (round 6 tail: hybrid fusion, diversified
+# re-rank, ranking metrics, calibration, sharding)
+# ---------------------------------------------------------------------------
+
+
+def _x313_oracle() -> str:
+    bm = text.bm25_topk_sql("documents", "doc_id", "text", top_k=20)
+    return f"""
+WITH bm AS MATERIALIZED ({bm}),
+lexr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+           AS r_lex
+  FROM bm
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+s AS (
+  SELECT c.vec_id AS doc_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS raw
+  FROM (SELECT * FROM n WHERE vec_id = 0) q
+  JOIN n c ON c.vec_id != 0
+),
+semr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY raw DESC, doc_id) AS BIGINT)
+           AS r_sem
+  FROM s
+  QUALIFY r_sem <= 20
+),
+fused AS (
+  SELECT doc_id, r_lex, r_sem,
+         COALESCE(CAST(ROUND(1.0 / (60.0 + r_lex), 8) AS DECIMAL(12,8)),
+                  CAST(0 AS DECIMAL(12,8)))
+         + COALESCE(CAST(ROUND(1.0 / (60.0 + r_sem), 8) AS DECIMAL(12,8)),
+                    CAST(0 AS DECIMAL(12,8))) AS rrf_dec
+  FROM lexr FULL JOIN semr USING (doc_id)
+)
+SELECT doc_id, r_lex, r_sem,
+       ROUND(CAST(rrf_dec AS DOUBLE), 8) AS rrf
+FROM fused ORDER BY rrf DESC, doc_id
+"""
+
+
+@register(
+    "x313_rrf_fusion",
+    _x313_oracle(),
+    doc="reciprocal-rank fusion of the two retrieval legs every hybrid "
+        "search serves: x106's BM25 top-20 (lexical) and x07's exact "
+        "cosine top-20 for query vector 0 (semantic), fused as "
+        "sum(1/(60+rank)) with a doc absent from a leg contributing 0 "
+        "-- RRF needs no score normalization across legs, which is why "
+        "it is the default hybrid combiner in Elasticsearch/OpenSearch/"
+        "Vespa. Determinism: each leg ranks on its own proven recipe, "
+        "the two RRF terms round to 8 and add in DECIMAL (exact, "
+        "order-free). Scale: both legs are top-k frames (k=20), so the "
+        "rank windows and the FULL OUTER join run on k-sized inputs -- "
+        "the corpus-scale work is inside the legs, which carry their "
+        "own 100 TB contracts (postings-filtered BM25, broadcast-query "
+        "matmul ANN)",
+)
+def x313_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = text.bm25_topk(docs, "doc_id", "text", top_k=20)
+    w = Window.orderBy(F.desc("bm25"), "doc_id")  # 20-row frame
+    lexr = lex.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("r_lex")
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    semr = similarity.brute_force_topk(
+        emb, q, "vec_id", "embedding", k=20
+    ).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_sem")
+    )
+    zero = F.lit(0).cast("decimal(12,8)")
+    term = lambda c: F.coalesce(  # noqa: E731
+        F.round(F.lit(1.0) / (F.lit(60.0) + F.col(c)), 8).cast(
+            "decimal(12,8)"
+        ),
+        zero,
+    )
+    return (
+        lexr.join(semr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_sem",
+            F.round(
+                (term("r_lex") + term("r_sem")).cast("double"), 8
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+    )
+
+
+_X317_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS raw
+  FROM (SELECT * FROM n WHERE vec_id < 20) q
+  JOIN n c ON q.vec_id != c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY raw DESC, neighbor_id)
+              AS BIGINT) AS rnk
+  FROM s
+  QUALIFY rnk <= 10
+),
+lab AS (SELECT vec_id, label FROM embeddings),
+rel AS (
+  SELECT r.query_id, r.rnk,
+         CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+  FROM ranked r
+  JOIN lab ql ON ql.vec_id = r.query_id
+  JOIN lab nl ON nl.vec_id = r.neighbor_id
+),
+perq AS (
+  SELECT query_id,
+         CAST(SUM(rel) AS BIGINT) AS n_hit,
+         MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+         SUM(CAST(ROUND(rel * 1.0 / log2(rnk + 1), 8)
+                  AS DECIMAL(14,8))) AS dcg_dec
+  FROM rel GROUP BY query_id
+),
+csz AS (SELECT label, CAST(count(*) AS BIGINT) AS cnt
+        FROM embeddings GROUP BY label),
+nq AS (
+  SELECT q.vec_id AS query_id, c.cnt - 1 AS n_rel
+  FROM (SELECT vec_id, label FROM embeddings WHERE vec_id < 20) q
+  JOIN csz c USING (label)
+),
+ideal AS (
+  SELECT query_id,
+         SUM(CAST(ROUND(1.0 / log2(j + 1), 8) AS DECIMAL(14,8)))
+           AS idcg_dec
+  FROM (
+    SELECT query_id,
+           unnest(generate_series(
+             1, CAST(LEAST(n_rel, 10) AS BIGINT))) AS j
+    FROM nq
+  )
+  GROUP BY query_id
+)
+SELECT nq.query_id, nq.n_rel,
+       ROUND(COALESCE(p.n_hit, 0) / 10.0, 4) AS p_at_10,
+       ROUND(COALESCE(1.0 / p.first_rel, 0.0), 6) AS mrr,
+       ROUND(CAST(COALESCE(p.dcg_dec, 0) AS DOUBLE)
+             / CAST(i.idcg_dec AS DOUBLE), 6) AS ndcg_10
+FROM nq
+LEFT JOIN perq p USING (query_id)
+JOIN ideal i USING (query_id)
+ORDER BY query_id
+"""
+
+
+@register(
+    "x317_retrieval_metrics",
+    _X317_ORACLE,
+    doc="ranking-quality metrics for the ANN surface -- P@10, MRR, "
+        "nDCG@10 per query (vec_id < 20, relevant = same label as the "
+        "query, x07's exact top-k as the ranked list): the eval "
+        "harness that turns 'we have an ANN index' into 'retrieval is "
+        "good enough to mine hard negatives from'. Determinism: ranks "
+        "come from x07's proven raw-sim ordering; each 1/log2(rank+1) "
+        "discount rounds to 8 and accumulates in DECIMAL; nDCG divides "
+        "two such sums once in DOUBLE; ideal DCG truncates at "
+        "min(n_rel, 10) via an in-engine series on BOTH sides. Scale: "
+        "metrics are arithmetic over the k-sized ranked lists (one "
+        "groupBy on query_id); corpus label sizes are a "
+        "label-cardinality aggregate riding a broadcast join",
+)
+def x317_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    ranked = similarity.brute_force_topk(
+        emb, q, "vec_id", "embedding", k=10
+    )
+    lab = emb.select("vec_id", "label")
+    rel = (
+        ranked.join(
+            lab.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("q_label"),
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            F.col("rank").alias("rnk"),
+            F.when(F.col("q_label") == F.col("n_label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    perq = rel.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_hit"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+        F.sum(
+            F.round(
+                F.col("rel") * F.lit(1.0) / F.log2(F.col("rnk") + 1), 8
+            ).cast("decimal(14,8)")
+        ).alias("dcg_dec"),
+    )
+    csz = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    nq = (
+        emb.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), "label")
+        .join(F.broadcast(csz), "label")
+        .select("query_id", (F.col("cnt") - 1).alias("n_rel"))
+    )
+    ideal = (
+        nq.select(
+            "query_id",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(10)))
+            ).alias("j"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.round(F.lit(1.0) / F.log2(F.col("j") + 1), 8).cast(
+                    "decimal(14,8)"
+                )
+            ).alias("idcg_dec")
+        )
+    )
+    return (
+        nq.join(perq, "query_id", "left")
+        .join(ideal, "query_id")
+        .select(
+            "query_id",
+            "n_rel",
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(10.0), 4)
+            .alias("p_at_10"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("dcg_dec"), F.lit(0).cast("decimal(14,8)"))
+                .cast("double")
+                / F.col("idcg_dec").cast("double"),
+                6,
+            ).alias("ndcg_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _x314_oracle() -> str:
+    # Candidate stage: exact cosine top-20 for query vector 0 (x07's
+    # proven raw-sim ranking), relevance and pairwise sims scaled to
+    # exact 1e4 integers so every greedy argmax compares BIGINTs.
+    head = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+s AS (
+  SELECT c.vec_id AS doc, c.v AS cv, c.nrm AS cnrm,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS raw
+  FROM (SELECT * FROM n WHERE vec_id = 0) q
+  JOIN n c ON c.vec_id != 0
+),
+cand AS MATERIALIZED (
+  SELECT doc, cv, cnrm,
+         CAST(FLOOR(ROUND(raw, 4) * 10000 + 0.5) AS BIGINT) AS rel_s
+  FROM s
+  QUALIFY CAST(row_number() OVER (ORDER BY raw DESC, doc) AS BIGINT) <= 20
+),
+pairs AS MATERIALIZED (
+  SELECT a.doc AS pa, b.doc AS pb,
+         CAST(FLOOR(ROUND(list_dot_product(a.cv, b.cv)
+                          / (a.cnrm * b.cnrm), 4) * 10000 + 0.5)
+              AS BIGINT) AS sim_s
+  FROM cand a JOIN cand b ON a.doc != b.doc
+),
+s1 AS MATERIALIZED (
+  SELECT doc, rel_s, CAST(0 AS BIGINT) AS maxsim_s, rel_s AS mmr_s
+  FROM cand ORDER BY rel_s DESC, doc LIMIT 1
+)"""
+    steps = []
+    prev_sets = ["s1"]
+    for i in range(2, 6):
+        sel_union = " UNION ALL ".join(
+            f"SELECT doc FROM {s}" for s in prev_sets
+        )
+        steps.append(f""",
+r{i} AS (
+  SELECT c.doc, c.rel_s,
+         (SELECT MAX(p.sim_s) FROM pairs p
+          WHERE p.pa = c.doc AND p.pb IN ({sel_union})) AS maxsim_s
+  FROM cand c WHERE c.doc NOT IN ({sel_union})
+),
+s{i} AS MATERIALIZED (
+  SELECT doc, rel_s, maxsim_s, rel_s - maxsim_s AS mmr_s
+  FROM r{i} ORDER BY mmr_s DESC, doc LIMIT 1
+)""")
+        prev_sets.append(f"s{i}")
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS pick_order, doc, rel_s, maxsim_s, mmr_s FROM s{i}"
+        for i in range(1, 6)
+    )
+    return f"""{head}{''.join(steps)}
+SELECT CAST(pick_order AS BIGINT) AS pick_order, doc AS doc_id,
+       ROUND(rel_s / 10000.0, 4) AS rel,
+       ROUND(maxsim_s / 10000.0, 4) AS max_sim_sel,
+       ROUND((rel_s - maxsim_s) / 20000.0, 8) AS mmr
+FROM ({finals}) ORDER BY pick_order
+"""
+
+
+@register(
+    "x314_mmr_rerank",
+    _x314_oracle(),
+    doc="maximal-marginal-relevance diversified re-rank (lambda=0.5, 5 "
+        "picks from the exact cosine top-20 of query vector 0): the "
+        "post-retrieval step that stops a RAG context window filling "
+        "with five near-copies of the same passage. Greedy argmax "
+        "unrolled to fixed depth (x104's fixed-iteration pattern): "
+        "pick 1 maximizes relevance, each later pick maximizes "
+        "rel - max_sim_to_selected over the remainder. Determinism: "
+        "relevance and pairwise sims round to 4 then scale to exact "
+        "1e4 BIGINTs, so every argmax and the published mmr score are "
+        "integer comparisons (mmr = (rel_s - maxsim_s)/20000, one "
+        "power-of-2x10^4 division in DOUBLE). Scale: the candidate "
+        "frame is k-sized by construction -- every iteration joins "
+        "20-row frames; corpus-scale work lives in the candidate "
+        "generator, which carries the ANN tier's contracts",
+)
+def x314_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    topk = similarity.brute_force_topk(emb, q, "vec_id", "embedding", k=20)
+    scale_s = lambda c: F.floor(c * 10000 + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    cand = topk.select(
+        F.col("neighbor_id").alias("doc"), scale_s(F.col("sim")).alias("rel_s")
+    ).localCheckpoint()
+    cand_emb = emb.join(
+        cand.select(F.col("doc").alias("vec_id")), "vec_id"
+    ).select("vec_id", "embedding")
+    half = similarity.cosine_neardup_pairs(
+        cand_emb, "vec_id", "embedding", threshold=-1.0
+    ).select("id_a", "id_b", scale_s(F.col("sim")).alias("sim_s"))
+    sym = half.union(
+        half.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "sim_s",
+        )
+    ).localCheckpoint()
+    first = (
+        cand.orderBy(F.desc("rel_s"), "doc")
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("pick_order"),
+            "doc",
+            "rel_s",
+            F.lit(0).cast("long").alias("maxsim_s"),
+        )
+    )
+    picks = [first]
+    for i in range(2, 6):
+        selected = picks[0].select("doc")
+        for p in picks[1:]:
+            selected = selected.union(p.select("doc"))
+        remaining = cand.join(selected, "doc", "left_anti")
+        ms = (
+            sym.join(
+                selected.select(F.col("doc").alias("id_b")), "id_b"
+            )
+            .groupBy(F.col("id_a").alias("doc"))
+            .agg(F.max("sim_s").alias("maxsim_s"))
+        )
+        pick = (
+            remaining.join(ms, "doc")
+            .orderBy(F.desc(F.col("rel_s") - F.col("maxsim_s")), "doc")
+            .limit(1)
+            .select(
+                F.lit(i).cast("long").alias("pick_order"),
+                "doc",
+                "rel_s",
+                "maxsim_s",
+            )
+        )
+        picks.append(pick)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.union(p)
+    return out.select(
+        "pick_order",
+        F.col("doc").alias("doc_id"),
+        F.round(F.col("rel_s") / 10000.0, 4).alias("rel"),
+        F.round(F.col("maxsim_s") / 10000.0, 4).alias("max_sim_sel"),
+        F.round((F.col("rel_s") - F.col("maxsim_s")) / 20000.0, 8).alias(
+            "mmr"
+        ),
+    ).orderBy("pick_order")
+
+
+_X315_ORACLE = """
+WITH scored AS (
+  SELECT CAST(FLOOR(ROUND(CAST(len(list_filter(
+                string_split(lower(text), ' '),
+                t -> t IN (%s))) AS DOUBLE)
+              / len(string_split(lower(text), ' ')), 4)
+              * 10000 + 0.5) AS BIGINT) AS p_s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+bins AS (
+  SELECT LEAST(p_s // 1000, 9) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(p_s) AS BIGINT) AS sum_p_s
+  FROM scored GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM bins),
+gaps AS (
+  SELECT bin, n, n_pos,
+         ROUND(sum_p_s / (n * 10000.0), 6) AS mean_score,
+         ROUND(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos,
+         ROUND(ABS(ROUND(sum_p_s / (n * 10000.0), 6)
+                   - ROUND(CAST(n_pos AS DOUBLE) / n, 6)), 6) AS abs_gap
+  FROM bins
+),
+ece AS (
+  SELECT ROUND(CAST(SUM(CAST(ROUND(g.n * g.abs_gap / t.n_total, 8)
+                             AS DECIMAL(14,8))) AS DOUBLE), 8) AS ece
+  FROM gaps g, tot t
+)
+SELECT g.bin, g.n, g.n_pos, g.mean_score, g.frac_pos, g.abs_gap, e.ece
+FROM gaps g, ece e ORDER BY g.bin
+""" % _STOP_EN
+
+
+@register(
+    "x315_calibration_ece",
+    _X315_ORACLE,
+    doc="reliability diagram + expected calibration error for a "
+        "deterministic scorer: treat the English-stopword ratio as a "
+        "'probability of English' and audit it against the lang label "
+        "-- per-decile-bin mean score vs empirical positive rate, ECE "
+        "= sum n_b/N * |gap_b|. The check any learned quality/language "
+        "filter needs before its threshold means anything (a "
+        "miscalibrated filter silently shifts the corpus mix). "
+        "Determinism: scores round to 4 and scale to exact 1e4 "
+        "BIGINTs, bin = integer division; per-bin means divide exact "
+        "integer sums once in DOUBLE and round 6; per-bin ECE terms "
+        "round 8 and sum in DECIMAL. Scale: one corpus pass into a "
+        "10-row bin aggregate; everything downstream is bin-sized "
+        "arithmetic with 1-row broadcasts",
+)
+def x315_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    p_s = F.floor(
+        text.stop_ratio_column("text") * 10000 + F.lit(0.5)
+    ).cast("long")
+    scored = docs.select(
+        p_s.alias("p_s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    bins = scored.groupBy(
+        F.least(F.col("p_s") / F.lit(1000), F.lit(9))
+        .cast("long")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("p_s").cast("long").alias("sum_p_s"),
+    )
+    mean_score = F.round(F.col("sum_p_s") / (F.col("n") * 10000.0), 6)
+    frac_pos = F.round(F.col("n_pos").cast("double") / F.col("n"), 6)
+    gaps = bins.select(
+        "bin",
+        "n",
+        "n_pos",
+        mean_score.alias("mean_score"),
+        frac_pos.alias("frac_pos"),
+        F.round(F.abs(mean_score - frac_pos), 6).alias("abs_gap"),
+    )
+    tot = gaps.agg(F.sum("n").cast("long").alias("n_total"))
+    ece = (
+        gaps.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("n") * F.col("abs_gap") / F.col("n_total"), 8
+                    ).cast("decimal(14,8)")
+                ).cast("double"),
+                8,
+            ).alias("ece")
+        )
+    )
+    return (
+        gaps.crossJoin(F.broadcast(ece))
+        .select(
+            "bin", "n", "n_pos", "mean_score", "frac_pos", "abs_gap", "ece"
+        )
+        .orderBy("bin")
+    )
+
+
+_X316_ORACLE = """
+WITH w8 AS (
+  SELECT doc_id, s, md5(doc_id || ':' || s) AS w
+  FROM documents, (SELECT unnest(generate_series(0, 7)) AS s)
+),
+a8 AS (
+  SELECT doc_id, s AS shard8 FROM w8
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY w DESC, s DESC) = 1
+),
+w9 AS (
+  SELECT doc_id, s, md5(doc_id || ':' || s) AS w
+  FROM documents, (SELECT unnest(generate_series(0, 8)) AS s)
+),
+a9 AS (
+  SELECT doc_id, s AS shard9 FROM w9
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY w DESC, s DESC) = 1
+),
+j AS (
+  SELECT a8.shard8, a9.shard9,
+         CASE WHEN a8.shard8 != a9.shard9 THEN 1 ELSE 0 END AS moved
+  FROM a8 JOIN a9 USING (doc_id)
+),
+per AS (
+  SELECT CAST(shard8 AS BIGINT) AS shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(moved) AS BIGINT) AS n_moved_out
+  FROM j GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+         CAST(SUM(n_moved_out) AS BIGINT) AS n_moved
+  FROM per
+)
+SELECT p.shard, p.n_docs, p.n_moved_out,
+       ROUND(CAST(t.n_moved AS DOUBLE) / t.n_total, 4) AS moved_frac
+FROM per p, tot t ORDER BY p.shard
+"""
+
+
+@register(
+    "x316_rendezvous_sharding",
+    _X316_ORACLE,
+    doc="rendezvous (highest-random-weight) sharding audit: each doc "
+        "goes to argmax_s md5(doc_id:s) over 8 shards, then again over "
+        "9, reporting per-shard balance and the fraction of docs that "
+        "MOVE when a shard is added -- HRW's guarantee is ~1/(n+1) "
+        "moves (vs ~1/2 for mod-N), the number that decides whether "
+        "resharding a 100 TB corpus store is an overnight shuffle of "
+        "one-ninth of the data or of half of it. Determinism: weights "
+        "are md5 hex strings (lexicographic argmax, ties impossible in "
+        "practice and broken by shard id); assignment is a row-local "
+        "expression -- Spark folds the 8/9-slot struct array through "
+        "array_max, no explode, no shuffle except the shard-cardinality "
+        "rollup. Scale: one corpus pass, 9-row output",
+)
+def x316_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def shard(n: int):
+        slots = [
+            F.struct(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("doc_id").cast("string"), F.lit(str(s))
+                    )
+                ).alias("w"),
+                F.lit(s).alias("s"),
+            )
+            for s in range(n)
+        ]
+        return F.array_max(F.array(*slots))["s"]
+
+    j = docs.select(
+        shard(8).alias("shard8"), shard(9).alias("shard9")
+    ).select(
+        "shard8",
+        F.when(F.col("shard8") != F.col("shard9"), 1)
+        .otherwise(0)
+        .alias("moved"),
+    )
+    per = j.groupBy(F.col("shard8").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("moved").cast("long").alias("n_moved_out"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("n_total"),
+        F.sum("n_moved_out").cast("long").alias("n_moved"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "n_moved_out",
+            F.round(
+                F.col("n_moved").cast("double") / F.col("n_total"), 4
+            ).alias("moved_frac"),
+        )
+        .orderBy("shard")
+    )
