@@ -17402,3 +17402,682 @@ def x316_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+_X318_ORACLE = """
+WITH base AS (
+  SELECT l_linestatus AS stratum,
+         CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')
+              THEN 'hi' ELSE 'lo' END AS mode,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+strata AS (
+  SELECT stratum,
+         CAST(SUM(CASE WHEN mode = 'hi' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(SUM(CASE WHEN mode = 'hi' THEN late ELSE 0 END) AS BIGINT)
+           AS late_a,
+         CAST(SUM(CASE WHEN mode = 'lo' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b,
+         CAST(SUM(CASE WHEN mode = 'lo' THEN late ELSE 0 END) AS BIGINT)
+           AS late_b
+  FROM base GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS n_a,
+         CAST(SUM(late_a) AS BIGINT) AS late_a,
+         CAST(SUM(n_b) AS BIGINT) AS n_b,
+         CAST(SUM(late_b) AS BIGINT) AS late_b,
+         CAST(SUM(n_a + n_b) AS BIGINT) AS n_all
+  FROM strata
+),
+std AS (
+  SELECT
+    ROUND(CAST(SUM(CAST(ROUND((CAST(s.late_a AS DOUBLE) / s.n_a)
+                * (CAST(s.n_a + s.n_b AS DOUBLE) / t.n_all), 8)
+                AS DECIMAL(14,8))) AS DOUBLE), 6) AS std_rate_a,
+    ROUND(CAST(SUM(CAST(ROUND((CAST(s.late_b AS DOUBLE) / s.n_b)
+                * (CAST(s.n_a + s.n_b AS DOUBLE) / t.n_all), 8)
+                AS DECIMAL(14,8))) AS DOUBLE), 6) AS std_rate_b
+  FROM strata s, tot t
+)
+SELECT stratum, n_a, late_a, n_b, late_b,
+       ROUND(CAST(late_a AS DOUBLE) / n_a, 6) AS rate_a,
+       ROUND(CAST(late_b AS DOUBLE) / n_b, 6) AS rate_b,
+       CAST(NULL AS DOUBLE) AS std_rate_a,
+       CAST(NULL AS DOUBLE) AS std_rate_b
+FROM strata
+UNION ALL
+SELECT 'ALL', t.n_a, t.late_a, t.n_b, t.late_b,
+       ROUND(CAST(t.late_a AS DOUBLE) / t.n_a, 6),
+       ROUND(CAST(t.late_b AS DOUBLE) / t.n_b, 6),
+       s.std_rate_a, s.std_rate_b
+FROM tot t, std s
+ORDER BY stratum
+"""
+
+
+@register(
+    "x318_simpson_audit",
+    _X318_ORACLE,
+    doc="Simpson's-paradox audit for an aggregation: return rates for "
+        "high- vs low-priority orders overall AND stratified by line "
+        "status (open lines barely return, so the crude comparison "
+        "mostly measures each group's open/filled mix), plus "
+        "direct-standardized rates (each mode's stratum rates weighted "
+        "by the POOLED stratum mix) on the ALL row -- when the crude "
+        "gap and the standardized gap disagree in sign, the rollup is "
+        "lying about the comparison (the composition-confounding trap "
+        "every BI aggregate over heterogeneous strata can hit). "
+        "Determinism: rates divide exact BIGINT counts once in DOUBLE "
+        "round 6; standardized terms round 8 and sum in DECIMAL. "
+        "Scale: one fact-fact equi-join + a stratum-cardinality "
+        "aggregate; everything after is 5-row arithmetic",
+)
+def x318_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    base = li.join(
+        orders.select("o_orderkey", "o_orderpriority"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.col("l_linestatus").alias("stratum"),
+        F.when(
+            F.substring("o_orderpriority", 1, 1).isin("1", "2"), "hi"
+        )
+        .otherwise("lo")
+        .alias("mode"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("late"),
+    )
+    is_a = F.col("mode") == "hi"
+    strata = base.groupBy("stratum").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(is_a, F.col("late")).otherwise(0))
+        .cast("long")
+        .alias("late_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(~is_a, F.col("late")).otherwise(0))
+        .cast("long")
+        .alias("late_b"),
+    )
+    tot = strata.agg(
+        F.sum("n_a").cast("long").alias("n_a"),
+        F.sum("late_a").cast("long").alias("late_a"),
+        F.sum("n_b").cast("long").alias("n_b"),
+        F.sum("late_b").cast("long").alias("late_b"),
+        F.sum(F.col("n_a") + F.col("n_b")).cast("long").alias("n_all"),
+    )
+    term = lambda late, n: F.round(  # noqa: E731
+        (F.col(late).cast("double") / F.col(n))
+        * ((F.col("n_a") + F.col("n_b")).cast("double") / F.col("n_all")),
+        8,
+    ).cast("decimal(14,8)")
+    std = (
+        strata.crossJoin(F.broadcast(tot.select("n_all")))
+        .agg(
+            F.round(F.sum(term("late_a", "n_a")).cast("double"), 6).alias(
+                "std_rate_a"
+            ),
+            F.round(F.sum(term("late_b", "n_b")).cast("double"), 6).alias(
+                "std_rate_b"
+            ),
+        )
+    )
+    rate = lambda late, n: F.round(  # noqa: E731
+        F.col(late).cast("double") / F.col(n), 6
+    )
+    strata_rows = strata.select(
+        "stratum",
+        "n_a",
+        "late_a",
+        "n_b",
+        "late_b",
+        rate("late_a", "n_a").alias("rate_a"),
+        rate("late_b", "n_b").alias("rate_b"),
+        F.lit(None).cast("double").alias("std_rate_a"),
+        F.lit(None).cast("double").alias("std_rate_b"),
+    )
+    all_row = tot.crossJoin(F.broadcast(std)).select(
+        F.lit("ALL").alias("stratum"),
+        "n_a",
+        "late_a",
+        "n_b",
+        "late_b",
+        rate("late_a", "n_a").alias("rate_a"),
+        rate("late_b", "n_b").alias("rate_b"),
+        "std_rate_a",
+        "std_rate_b",
+    )
+    return strata_rows.union(all_row).orderBy("stratum")
+
+
+_X319_ORACLE = """
+WITH lab AS (
+  SELECT LEAST(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+               // 5000000, 9) AS bin,
+         CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')
+              THEN 1 ELSE 0 END AS pos
+  FROM orders
+),
+bins AS (
+  SELECT bin, CAST(SUM(pos) AS BIGINT) AS pos_b,
+         CAST(SUM(1 - pos) AS BIGINT) AS neg_b
+  FROM lab GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(pos_b) AS BIGINT) AS pos_tot,
+         CAST(SUM(neg_b) AS BIGINT) AS neg_tot
+  FROM bins
+),
+woe AS (
+  SELECT b.bin, b.pos_b, b.neg_b,
+         CASE WHEN b.pos_b > 0 AND b.neg_b > 0
+              THEN ROUND(ln(CAST(b.pos_b * t.neg_tot AS DOUBLE)
+                            / (b.neg_b * t.pos_tot)), 6)
+         END AS woe,
+         CASE WHEN b.pos_b > 0 AND b.neg_b > 0
+              THEN ROUND(ROUND(CAST(b.pos_b AS DOUBLE) / t.pos_tot
+                               - CAST(b.neg_b AS DOUBLE) / t.neg_tot, 8)
+                         * ROUND(ln(CAST(b.pos_b * t.neg_tot AS DOUBLE)
+                                    / (b.neg_b * t.pos_tot)), 6), 8)
+         END AS iv_term
+  FROM bins b, tot t
+),
+iv AS (
+  SELECT ROUND(CAST(SUM(CAST(COALESCE(iv_term, 0) AS DECIMAL(14,8)))
+                    AS DOUBLE), 6) AS iv
+  FROM woe
+)
+SELECT w.bin, w.pos_b, w.neg_b, w.woe, i.iv
+FROM woe w, iv i ORDER BY w.bin
+"""
+
+
+@register(
+    "x319_woe_iv",
+    _X319_ORACLE,
+    doc="weight-of-evidence / information-value screen (the "
+        "credit-scoring feature audit): order value binned to $50k "
+        "buckets vs the high-priority label, WOE_b = "
+        "ln((pos_b/pos_tot)/(neg_b/neg_tot)) per bin and IV = "
+        "sum((pos_share - neg_share) * WOE) -- the one-number answer "
+        "to 'does this feature separate the classes, and monotonically "
+        "where?' before a model trains on it. Determinism: the WOE "
+        "argument is a ratio of exact BIGINT cross-products divided "
+        "once in DOUBLE (no per-class float shares), ln rounds 6 "
+        "(x106's precedent), share gaps round 8, IV terms round 8 and "
+        "sum in DECIMAL; empty-class bins yield NULL WOE and "
+        "contribute 0. Scale: one corpus pass into a 10-row bin "
+        "aggregate, 1-row totals broadcast",
+)
+def x319_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (
+        F.col("o_totalprice").cast("decimal(30,2)") * 100
+    ).cast("long")
+    lab = orders.select(
+        F.least(
+            F.floor(cents / F.lit(5000000)).cast("long"), F.lit(9).cast("long")
+        ).alias("bin"),
+        F.when(
+            F.substring("o_orderpriority", 1, 1).isin("1", "2"), 1
+        )
+        .otherwise(0)
+        .alias("pos"),
+    )
+    bins = lab.groupBy("bin").agg(
+        F.sum("pos").cast("long").alias("pos_b"),
+        F.sum(1 - F.col("pos")).cast("long").alias("neg_b"),
+    )
+    tot = bins.agg(
+        F.sum("pos_b").cast("long").alias("pos_tot"),
+        F.sum("neg_b").cast("long").alias("neg_tot"),
+    )
+    ok = (F.col("pos_b") > 0) & (F.col("neg_b") > 0)
+    woe_val = F.round(
+        F.log(
+            (F.col("pos_b") * F.col("neg_tot")).cast("double")
+            / (F.col("neg_b") * F.col("pos_tot"))
+        ),
+        6,
+    )
+    gap = F.round(
+        F.col("pos_b").cast("double") / F.col("pos_tot")
+        - F.col("neg_b").cast("double") / F.col("neg_tot"),
+        8,
+    )
+    woe = bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "pos_b",
+        "neg_b",
+        F.when(ok, woe_val).alias("woe"),
+        F.when(ok, F.round(gap * woe_val, 8)).alias("iv_term"),
+    )
+    iv = woe.agg(
+        F.round(
+            F.sum(
+                F.coalesce(F.col("iv_term"), F.lit(0)).cast("decimal(14,8)")
+            ).cast("double"),
+            6,
+        ).alias("iv")
+    )
+    return (
+        woe.crossJoin(F.broadcast(iv))
+        .select("bin", "pos_b", "neg_b", "woe", "iv")
+        .orderBy("bin")
+    )
+
+
+_X320_ORACLE = """
+WITH per AS (
+  SELECT n_name,
+         CAST(count(*) AS BIGINT) AS n_i,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS s_i
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+         CAST(SUM(s_i) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS g
+  FROM per
+),
+loo AS (
+  SELECT p.n_name, p.n_i,
+         ROUND(CAST(t.s - p.s_i AS DOUBLE) / (t.n - p.n_i), 6)
+           AS theta_loo_c
+  FROM per p, tot t
+),
+bar AS (
+  SELECT CAST(SUM(CAST(theta_loo_c AS DECIMAL(20,6))) AS DOUBLE)
+         / (SELECT g FROM tot) AS theta_bar
+  FROM loo
+),
+var_j AS (
+  SELECT ROUND(sqrt(
+           CAST(SUM(CAST(ROUND((l.theta_loo_c - b.theta_bar)
+                               * (l.theta_loo_c - b.theta_bar), 6)
+                         AS DECIMAL(38,6))) AS DOUBLE)
+           * (t.g - 1) / t.g), 4) AS se_jack_c
+  FROM loo l, bar b, tot t
+  GROUP BY t.g
+)
+SELECT l.n_name, l.n_i,
+       ROUND(l.theta_loo_c / 100, 4) AS theta_loo,
+       ROUND(CAST(t.s AS DOUBLE) / t.n / 100, 4) AS theta_hat,
+       ROUND(v.se_jack_c / 100, 4) AS se_jack
+FROM loo l, tot t, var_j v
+ORDER BY l.n_name
+"""
+
+
+@register(
+    "x320_jackknife_se",
+    _X320_ORACLE,
+    doc="delete-one-GROUP jackknife standard error for the mean order "
+        "value (groups = customer nations): each leave-nation-out "
+        "replicate is (S - s_i)/(n - n_i) over exact integer cents, "
+        "se = sqrt((g-1)/g * sum((theta_i - theta_bar)^2)) -- the "
+        "resampling-free uncertainty estimate that prices how much one "
+        "country drives the corpus statistic (clustered data makes "
+        "the iid bootstrap lie; group jackknife respects the cluster "
+        "structure). Determinism: replicates divide exact BIGINTs "
+        "once in DOUBLE round 6, their mean is a DECIMAL sum over "
+        "round-6 values, squared deviations round 6 and sum in "
+        "DECIMAL, one sqrt (IEEE correctly rounded) at the end. "
+        "Scale: one fact aggregate to nation cardinality (25 rows); "
+        "every replicate is totals-minus-group arithmetic -- no "
+        "second corpus pass, no resampling",
+)
+def x320_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = (
+        F.col("o_totalprice").cast("decimal(30,2)") * 100
+    ).cast("long")
+    per = (
+        orders.select("o_custkey", cents.alias("cents"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_i"),
+            F.sum("cents").cast("long").alias("s_i"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("s_i").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("g"),
+    )
+    loo = per.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "n_i",
+        F.round(
+            (F.col("s") - F.col("s_i")).cast("double")
+            / (F.col("n") - F.col("n_i")),
+            6,
+        ).alias("theta_loo_c"),
+        "n",
+        "s",
+        "g",
+    )
+    bar = loo.agg(
+        (
+            F.sum(F.col("theta_loo_c").cast("decimal(20,6)")).cast("double")
+            / F.first("g")
+        ).alias("theta_bar")
+    )
+    dev = F.col("theta_loo_c") - F.col("theta_bar")
+    var_j = (
+        loo.crossJoin(F.broadcast(bar))
+        .groupBy("g")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.round(dev * dev, 6).cast("decimal(38,6)")
+                    ).cast("double")
+                    * (F.col("g") - 1)
+                    / F.col("g")
+                ),
+                4,
+            ).alias("se_jack_c")
+        )
+        .select("se_jack_c")
+    )
+    return (
+        loo.crossJoin(F.broadcast(var_j))
+        .select(
+            "n_name",
+            "n_i",
+            F.round(F.col("theta_loo_c") / 100, 4).alias("theta_loo"),
+            F.round(
+                F.col("s").cast("double") / F.col("n") / 100, 4
+            ).alias("theta_hat"),
+            F.round(F.col("se_jack_c") / 100, 4).alias("se_jack"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_X321_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 4)
+                   < '8000'
+              THEN 'treat' ELSE 'control' END AS arm
+  FROM events GROUP BY 1
+),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users
+  FROM u GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_users) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN arm = 'treat' THEN n_users END) AS BIGINT)
+           AS n_t,
+         CAST(SUM(CASE WHEN arm = 'control' THEN n_users END) AS BIGINT)
+           AS n_c
+  FROM arms
+)
+SELECT a.arm, a.n_users,
+       ROUND(CAST(a.n_users AS DOUBLE) / t.n, 6) AS share,
+       ROUND(CAST((t.n_t - t.n_c) * (t.n_t - t.n_c) AS DOUBLE) / t.n, 6)
+         AS chi2,
+       CAST((t.n_t - t.n_c) * (t.n_t - t.n_c) AS DOUBLE) / t.n > 3.841
+         AS srm_flag
+FROM arms a, tot t ORDER BY a.arm
+"""
+
+
+@register(
+    "x321_srm_guardrail",
+    _X321_ORACLE,
+    doc="sample-ratio-mismatch guardrail for the A/B assignment x303 "
+        "reads out: user counts per md5-bucket arm vs the designed "
+        "50/50, chi-square reduced to its exact-integer form "
+        "(n_t - n_c)^2 / n with the 3.841 (df=1, p=0.05) flag -- the "
+        "first check any experiment readout must pass, because a "
+        "mismatched ratio means assignment is broken and every "
+        "downstream metric is biased. Determinism: counts are exact "
+        "BIGINTs, the squared difference is exact, ONE double "
+        "division; the flag compares that double to a constant. "
+        "Scale: one user-level distinct aggregate (the corpus "
+        "shuffle), then 2-row arithmetic",
+)
+def x321_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+            1,
+            4,
+        )
+        < "8000",
+        "treat",
+    ).otherwise("control")
+    arms = (
+        events.select("user_id")
+        .distinct()
+        .select(arm.alias("arm"))
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    tot = arms.agg(
+        F.sum("n_users").cast("long").alias("n"),
+        F.sum(F.when(F.col("arm") == "treat", F.col("n_users")))
+        .cast("long")
+        .alias("n_t"),
+        F.sum(F.when(F.col("arm") == "control", F.col("n_users")))
+        .cast("long")
+        .alias("n_c"),
+    )
+    d2 = (F.col("n_t") - F.col("n_c")) * (F.col("n_t") - F.col("n_c"))
+    return (
+        arms.crossJoin(F.broadcast(tot))
+        .select(
+            "arm",
+            "n_users",
+            F.round(F.col("n_users").cast("double") / F.col("n"), 6).alias(
+                "share"
+            ),
+            F.round(d2.cast("double") / F.col("n"), 6).alias("chi2"),
+            (d2.cast("double") / F.col("n") > 3.841).alias("srm_flag"),
+        )
+        .orderBy("arm")
+    )
+
+
+_X322_ORACLE = """
+WITH k_exact AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text))
+),
+k_fp AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents
+  GROUP BY md5(array_to_string(list_sort(list_distinct(
+             string_split(lower(text), ' '))), ' '))
+),
+k_norm AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+),
+pair_ab AS (
+  SELECT 'exact' AS method_a, 'fingerprint' AS method_b,
+         (SELECT CAST(count(*) AS BIGINT) FROM k_exact) AS n_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM k_fp) AS n_b,
+         (SELECT CAST(count(*) AS BIGINT) FROM k_exact
+          JOIN k_fp USING (doc_id)) AS n_both
+),
+pair_ac AS (
+  SELECT 'exact', 'normalized',
+         (SELECT CAST(count(*) AS BIGINT) FROM k_exact),
+         (SELECT CAST(count(*) AS BIGINT) FROM k_norm),
+         (SELECT CAST(count(*) AS BIGINT) FROM k_exact
+          JOIN k_norm USING (doc_id))
+),
+pair_bc AS (
+  SELECT 'fingerprint', 'normalized',
+         (SELECT CAST(count(*) AS BIGINT) FROM k_fp),
+         (SELECT CAST(count(*) AS BIGINT) FROM k_norm),
+         (SELECT CAST(count(*) AS BIGINT) FROM k_fp
+          JOIN k_norm USING (doc_id))
+),
+pairs AS (
+  SELECT * FROM pair_ab UNION ALL
+  SELECT * FROM pair_ac UNION ALL
+  SELECT * FROM pair_bc
+)
+SELECT method_a, method_b, n_a, n_b, n_both,
+       ROUND(CAST(n_both AS DOUBLE) / (n_a + n_b - n_both), 6)
+         AS survivor_jaccard
+FROM pairs ORDER BY method_a, method_b
+"""
+
+
+@register(
+    "x322_dedup_method_agreement",
+    _X322_ORACLE,
+    doc="dedup-tier agreement audit: survivor sets from three exact "
+        "tiers (x01 lowercase-hash, x02 sorted-token fingerprint, and "
+        "a punctuation/whitespace-normalized hash) compared pairwise "
+        "by survivor-set Jaccard -- the table that tells you how much "
+        "each normalization step actually buys BEFORE you pay for the "
+        "near-dup tiers (methods agreeing at 0.99 are redundant; at "
+        "0.7 the cheaper one is leaking duplicates). Determinism: "
+        "survivor sets are MIN(doc_id) per hash group (exact), "
+        "intersections are equi-joins on those ids, one double "
+        "division per pair. Scale: three hash-groupBys over the "
+        "corpus + three id-projected equi-joins; md5 keys cannot skew",
+)
+def x322_dedup_method_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    k_exact = dedup.exact_dedup(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    k_fp = dedup.fingerprint_dedup(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    k_norm = docs.groupBy(
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.lower(F.col("text")), "[^a-z0-9]+", " "
+                )
+            )
+        ).alias("h")
+    ).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    sets = {"exact": k_exact, "fingerprint": k_fp, "normalized": k_norm}
+
+    def pair_row(na: str, nb: str) -> DataFrame:
+        a, b = sets[na], sets[nb]
+        counts = (
+            a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+            .crossJoin(
+                b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+            )
+            .crossJoin(
+                a.join(b, "doc_id").agg(
+                    F.count(F.lit(1)).cast("long").alias("n_both")
+                )
+            )
+        )
+        return counts.select(
+            F.lit(na).alias("method_a"),
+            F.lit(nb).alias("method_b"),
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("survivor_jaccard"),
+        )
+
+    out = (
+        pair_row("exact", "fingerprint")
+        .union(pair_row("exact", "normalized"))
+        .union(pair_row("fingerprint", "normalized"))
+    )
+    return out.orderBy("method_a", "method_b")
+
+
+_X323_ORACLE = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN regexp_matches(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')
+           THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM documents GROUP BY 1
+)
+SELECT source, n, k,
+       ROUND(CAST(k AS DOUBLE) / n, 6) AS p_hat,
+       ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
+              - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                            * (1 - CAST(k AS DOUBLE) / n) / n
+                            + 0.9604 / (n * CAST(n AS DOUBLE))))
+             / (1 + 3.8416 / n), 6) AS wilson_lo,
+       ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
+              + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                            * (1 - CAST(k AS DOUBLE) / n) / n
+                            + 0.9604 / (n * CAST(n AS DOUBLE))))
+             / (1 + 3.8416 / n), 6) AS wilson_hi
+FROM per ORDER BY source
+"""
+
+
+@register(
+    "x323_wilson_interval",
+    _X323_ORACLE,
+    doc="Wilson 95% score interval for the per-source email-PII rate "
+        "(x20's email pattern as the detector): the interval that "
+        "stays honest at small n and extreme p where the Wald "
+        "interval collapses -- the difference between 'source X leaks "
+        "more PII' and 'source X has fewer documents'. Determinism: "
+        "p_hat divides exact BIGINTs once in DOUBLE; the z=1.96 "
+        "constants enter as exact literals (1.9208 = z^2/2, 3.8416 = "
+        "z^2, 0.9604 = z^2/4); one IEEE-correctly-rounded sqrt; the "
+        "whole chain is identical double ops on identical inputs, "
+        "rounded 6 at the end. Scale: one corpus pass with a "
+        "row-local regexp into a source-cardinality aggregate",
+)
+def x323_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    email_pat = text.SCRUB_PATTERNS[1][0]
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("text").rlike(email_pat), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    n = F.col("n")
+    half = F.lit(1.96) * F.sqrt(
+        p * (1 - p) / n + F.lit(0.9604) / (n * n.cast("double"))
+    )
+    denom = 1 + F.lit(3.8416) / n
+    center = p + F.lit(1.9208) / n
+    return per.select(
+        "source",
+        "n",
+        "k",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("source")
