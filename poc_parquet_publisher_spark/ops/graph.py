@@ -159,9 +159,10 @@ def pagerank_copurchase_sql(
 ) -> str:
     """DuckDB SQL replaying ``pagerank(symmetric_copurchase_edges(...))``
     as chained CTEs -- one pair of CTEs per iteration, same round-12 /
-    DECIMAL(28,12) accumulation, same double update arithmetic."""
-    base = 1.0 - damping
-    ctes = [
+    DECIMAL(28,12) accumulation, same double update arithmetic.
+    Delegates to :func:`pagerank_sql_over_edges` with the co-purchase
+    edge derivation."""
+    edge_ctes = [
         "items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
         """p AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -169,6 +170,31 @@ def pagerank_copurchase_sql(
   WHERE a.l_partkey < b.l_partkey
 )""",
         "edges AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p)",
+    ]
+    return pagerank_sql_over_edges(
+        edge_ctes,
+        iterations=iterations,
+        damping=damping,
+        top_k=top_k,
+        node_select="CAST(u AS BIGINT) AS node",
+    )
+
+
+def pagerank_sql_over_edges(
+    edge_ctes: list[str],
+    iterations: int = 3,
+    damping: float = 0.85,
+    top_k: int = 20,
+    node_select: str = "u AS node",
+) -> str:
+    """DuckDB SQL replaying ``pagerank`` over caller-supplied CTEs that
+    must end by defining ``edges(u, v)`` (symmetric) -- the same
+    round-12 / DECIMAL(28,12) iteration chain as
+    ``pagerank_copurchase_sql``, parameterized so non-copurchase graphs
+    (x324's word co-occurrence TextRank) replay through one proven
+    template."""
+    base = 1.0 - damping
+    ctes = list(edge_ctes) + [
         "deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u)",
         "nn AS (SELECT count(*) AS n FROM deg)",
         "r0 AS (SELECT u, deg, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)"
@@ -196,7 +222,7 @@ def pagerank_copurchase_sql(
         "WITH "
         + ",\n".join(ctes)
         + f"""
-SELECT CAST(u AS BIGINT) AS node, ROUND(r, 8) AS rank
+SELECT {node_select}, ROUND(r, 8) AS rank
 FROM r{iterations}
 ORDER BY r DESC, u LIMIT {top_k}"""
     )

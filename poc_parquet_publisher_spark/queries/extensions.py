@@ -18081,3 +18081,270 @@ def x323_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     ).orderBy("source")
+
+
+def _x324_oracle() -> str:
+    edge_ctes = [
+        """ft AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '),
+                     t -> regexp_matches(t, '^[a-z]{4,}$')) AS ft
+  FROM documents
+)""",
+        """adj AS (
+  SELECT (p).a AS a, (p).b AS b FROM (
+    SELECT unnest(list_transform(range(1, len(ft)),
+                  i -> struct_pack(a := ft[i], b := ft[i + 1]))) AS p
+    FROM ft
+  )
+)""",
+        """pr AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM adj WHERE a != b
+)""",
+        "edges AS (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr)",
+    ]
+    return graph.pagerank_sql_over_edges(
+        edge_ctes, iterations=3, top_k=20, node_select="u AS token"
+    )
+
+
+@register(
+    "x324_textrank_keywords",
+    _x324_oracle(),
+    doc="TextRank keyword extraction: PageRank over the corpus word "
+        "co-occurrence graph (adjacent content words -- lowercase "
+        "alpha, length >= 4 -- in each document's filtered token "
+        "sequence; distinct symmetric edges), top-20 tokens by rank. "
+        "The unsupervised keyword/keyphrase miner (Mihalcea & Tarau "
+        "2004) every corpus-tagging pipeline starts from. Reuses "
+        "x104's pagerank operator verbatim -- same fixed-depth "
+        "iterations, shuffle_hash refusal of node-state broadcast, "
+        "round-12 DECIMAL contributions -- on a vocabulary-sized "
+        "graph; the oracle replays through the same proven CTE chain "
+        "template (graph.pagerank_sql_over_edges). Scale: edge "
+        "derivation is one explode + distinct (vocab^2-bounded, "
+        "corpus-independent after dedup); iterations touch only the "
+        "edge/node tables",
+)
+def x324_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ft = F.filter(
+        F.split(F.lower(F.col("text")), " "),
+        lambda t: t.rlike("^[a-z]{4,}$"),
+    )
+    with_ft = docs.select(ft.alias("ft"))
+    adj = with_ft.select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("ft"), 1, F.size("ft") - 1),
+                lambda x, i: F.struct(
+                    x.alias("a"),
+                    F.element_at(F.col("ft"), i + F.lit(2)).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pairs = (
+        adj.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    pr = graph.pagerank(edges, iterations=3, damping=0.85)
+    return (
+        pr.select(
+            F.col("node").alias("token"), F.round("rank", 8).alias("rank")
+        )
+        .orderBy(F.desc("rank"), "token")
+        .limit(20)
+    )
+
+
+_X325_ORACLE = """
+WITH per AS (
+  SELECT o_orderpriority AS stratum,
+         CAST(count(*) AS BIGINT) AS n_pop,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS s,
+         SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                       AS BIGINT) AS DECIMAL(19,0))
+             * CAST(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                         AS BIGINT) AS DECIMAL(19,0))) AS ss
+  FROM orders GROUP BY 1
+),
+sd AS (
+  SELECT stratum, n_pop, s,
+         ROUND(sqrt(CAST(n_pop * ss - CAST(s AS DECIMAL(38,0))
+                         * CAST(s AS DECIMAL(38,0)) AS DOUBLE)
+                    / (CAST(n_pop AS DOUBLE) * (n_pop - 1))), 6)
+           AS sd_c
+  FROM per
+),
+w AS (
+  SELECT stratum, n_pop, s, sd_c,
+         CAST(ROUND(n_pop * sd_c, 6) AS DECIMAL(28,6)) AS w_dec
+  FROM sd
+),
+tot AS (SELECT SUM(w_dec) AS w_tot FROM w)
+SELECT w.stratum, w.n_pop,
+       ROUND(CAST(w.s AS DOUBLE) / w.n_pop / 100, 4) AS mean_value,
+       ROUND(w.sd_c / 100, 4) AS sd_value,
+       ROUND(CAST(w.w_dec AS DOUBLE) / CAST(t.w_tot AS DOUBLE), 6)
+         AS alloc_share,
+       CAST(FLOOR(10000 * CAST(w.w_dec AS DOUBLE)
+                  / CAST(t.w_tot AS DOUBLE) + 0.5) AS BIGINT)
+         AS n_alloc
+FROM w, tot t ORDER BY w.stratum
+"""
+
+
+@register(
+    "x325_neyman_allocation",
+    _X325_ORACLE,
+    doc="Neyman optimal allocation of a 10k-row sample budget across "
+        "order-priority strata: n_h proportional to N_h * S_h -- the "
+        "sampling-theory answer to 'where do my sample rows buy the "
+        "most variance reduction' (uniform or proportional allocation "
+        "wastes budget on homogeneous strata; x232's HT estimator "
+        "then inflates whatever this allocates). Determinism: "
+        "stratum variance numerator N*SS - S^2 is exact "
+        "DECIMAL(38,0) integer arithmetic over cents, ONE double "
+        "division + IEEE sqrt round 6; N_h*S_h weights round 6 into "
+        "DECIMAL before the 5-row sum so the share denominator is "
+        "order-free; allocations floor(x + 0.5) identically. Scale: "
+        "one corpus aggregate to stratum cardinality (5 rows), "
+        "everything after is broadcast-trivial",
+)
+def x325_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (
+        F.col("o_totalprice").cast("decimal(30,2)") * 100
+    ).cast("long")
+    per = orders.select(
+        F.col("o_orderpriority").alias("stratum"), cents.alias("c")
+    ).groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(
+            F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)")
+        ).alias("ss"),
+    )
+    sd_c = F.round(
+        F.sqrt(
+            (
+                F.col("n_pop") * F.col("ss")
+                - F.col("s").cast("decimal(38,0)")
+                * F.col("s").cast("decimal(38,0)")
+            ).cast("double")
+            / (F.col("n_pop").cast("double") * (F.col("n_pop") - 1))
+        ),
+        6,
+    )
+    w = per.select(
+        "stratum",
+        "n_pop",
+        "s",
+        sd_c.alias("sd_c"),
+        F.round(F.col("n_pop") * sd_c, 6)
+        .cast("decimal(28,6)")
+        .alias("w_dec"),
+    )
+    tot = w.agg(F.sum("w_dec").alias("w_tot"))
+    share = F.col("w_dec").cast("double") / F.col("w_tot").cast("double")
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_pop",
+            F.round(F.col("s").cast("double") / F.col("n_pop") / 100, 4)
+            .alias("mean_value"),
+            F.round(F.col("sd_c") / 100, 4).alias("sd_value"),
+            F.round(share, 6).alias("alloc_share"),
+            F.floor(10000 * share + F.lit(0.5))
+            .cast("long")
+            .alias("n_alloc"),
+        )
+        .orderBy("stratum")
+    )
+
+
+_X326_ORACLE = """
+WITH tf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS f FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+  ) GROUP BY term
+),
+spec AS (
+  SELECT CAST(SUM(f) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS d_vocab,
+         CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM tf
+)
+SELECT n_tokens, d_vocab, f1, f2,
+       ROUND(d_vocab + CAST(f1 * (f1 - 1) AS DOUBLE) / (2 * (f2 + 1)), 4)
+         AS chao1,
+       ROUND(CAST(f1 AS DOUBLE) / n_tokens, 6) AS p_unseen,
+       ROUND(1 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS coverage
+FROM spec
+"""
+
+
+@register(
+    "x326_vocab_estimators",
+    _X326_ORACLE,
+    doc="unseen-vocabulary estimators from the frequency spectrum x87 "
+        "surfaces: bias-corrected Chao1 richness D + f1(f1-1)/(2(f2+1)) "
+        "('how many distinct tokens exist in the population this "
+        "corpus samples'), Good-Turing unseen mass f1/N and its "
+        "complement coverage -- the numbers that decide whether "
+        "crawling more of a source will still grow the tokenizer's "
+        "vocabulary or just re-sample it. Determinism: all inputs are "
+        "exact BIGINTs off two chained hash-groupBys; each estimator "
+        "is one double expression over them. Scale: token groupBy "
+        "(map-side partial agg) + a 1-row spectrum rollup -- same "
+        "profile as x87",
+)
+def x326_vocab_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    spec = tf.agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("d_vocab"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    return spec.select(
+        "n_tokens",
+        "d_vocab",
+        "f1",
+        "f2",
+        F.round(
+            F.col("d_vocab")
+            + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+            / (2 * (F.col("f2") + 1)),
+            4,
+        ).alias("chao1"),
+        F.round(F.col("f1").cast("double") / F.col("n_tokens"), 6).alias(
+            "p_unseen"
+        ),
+        F.round(
+            1 - F.col("f1").cast("double") / F.col("n_tokens"), 6
+        ).alias("coverage"),
+    )
