@@ -18348,3 +18348,564 @@ def x326_vocab_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.col("f1").cast("double") / F.col("n_tokens"), 6
         ).alias("coverage"),
     )
+
+
+_X327_ORACLE = """
+WITH flagged AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR(value / 25) AS BIGINT), 19) AS bin,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_e
+  FROM events
+),
+cnt AS (
+  SELECT event_type, bin,
+         CAST(SUM(is_e) AS BIGINT) AS c_e,
+         CAST(SUM(1 - is_e) AS BIGINT) AS c_a
+  FROM flagged GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type,
+         CAST(SUM(c_e) AS BIGINT) AS n_e,
+         CAST(SUM(c_a) AS BIGINT) AS n_a
+  FROM cnt GROUP BY 1
+),
+spine AS (
+  SELECT t.event_type, b.bin, t.n_e, t.n_a
+  FROM tot t CROSS JOIN (SELECT unnest(range(0, 20)) AS bin) b
+),
+terms AS (
+  SELECT s.event_type, s.n_e, s.n_a,
+         (COALESCE(c.c_a, 0) + 1) / CAST(s.n_a + 20 AS DOUBLE) AS pa,
+         (COALESCE(c.c_e, 0) + 1) / CAST(s.n_e + 20 AS DOUBLE) AS pe
+  FROM spine s LEFT JOIN cnt c
+    ON s.event_type = c.event_type AND s.bin = c.bin
+)
+SELECT event_type, n_e AS n_expected, n_a AS n_actual,
+       ROUND(CAST(SUM(CAST(ROUND((pa - pe) * ln(pa / pe), 12)
+                           AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+FROM terms GROUP BY 1, 2, 3 ORDER BY event_type
+"""
+
+
+@register(
+    "x327_psi_drift",
+    _X327_ORACLE,
+    doc="population stability index per event type between the first "
+        "and second half of the month (split at 2024-01-16): "
+        "PSI = sum (p_actual - p_expected) * ln(p_actual/p_expected) "
+        "over 20 fixed-width value bins -- THE feature-drift guardrail "
+        "model-monitoring stacks alert on (complements x128's KL: PSI "
+        "is symmetric-ish and bin-based, the industry-dashboard "
+        "number). Determinism: Laplace-smoothed (c+1)/(n+20) "
+        "proportions from exact BIGINT counts are bit-identical "
+        "double divisions; each bin term rounds 12 into "
+        "DECIMAL(28,12) before the order-free per-type sum; full "
+        "0..19 bin spine so zero bins contribute their smoothed term "
+        "in both engines. Scale: one (type,bin,side) aggregate -- "
+        "map-side partial -- then 100-row arithmetic",
+)
+def x327_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    flagged = events.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / 25).cast("long"), F.lit(19)
+        ).alias("bin"),
+        F.when(
+            F.col("ts") < F.expr("TIMESTAMP_NTZ '2024-01-16 00:00:00'"), 1
+        )
+        .otherwise(0)
+        .alias("is_e"),
+    )
+    cnt = flagged.groupBy("event_type", "bin").agg(
+        F.sum("is_e").cast("long").alias("c_e"),
+        F.sum(1 - F.col("is_e")).cast("long").alias("c_a"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("c_e").cast("long").alias("n_e"),
+        F.sum("c_a").cast("long").alias("n_a"),
+    )
+    spine = tot.select(
+        "event_type",
+        "n_e",
+        "n_a",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(19))).alias(
+            "bin"
+        ),
+    )
+    terms = spine.join(F.broadcast(cnt), ["event_type", "bin"], "left")
+    pa = (F.coalesce(F.col("c_a"), F.lit(0)) + 1) / (
+        F.col("n_a") + 20
+    ).cast("double")
+    pe = (F.coalesce(F.col("c_e"), F.lit(0)) + 1) / (
+        F.col("n_e") + 20
+    ).cast("double")
+    return (
+        terms.select(
+            "event_type",
+            "n_e",
+            "n_a",
+            F.round((pa - pe) * F.log(pa / pe), 12)
+            .cast("decimal(28,12)")
+            .alias("term"),
+        )
+        .groupBy("event_type", "n_e", "n_a")
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("psi"))
+        .select(
+            "event_type",
+            F.col("n_e").alias("n_expected"),
+            F.col("n_a").alias("n_actual"),
+            "psi",
+        )
+        .orderBy("event_type")
+    )
+
+
+_X328_POISSON_CASE = """CASE
+  WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+  WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+  WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5
+  WHEN u < 4294609777 THEN 6 WHEN u < 4294923276 THEN 7
+  ELSE 8 END"""
+
+_X328_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS c
+  FROM orders
+),
+expanded AS (
+  SELECT b.k, b.c, r.r,
+         CAST(concat('0x', substr(md5(concat(CAST(b.k AS VARCHAR), ':boot:',
+              CAST(r.r AS VARCHAR))), 1, 8)) AS BIGINT) AS u
+  FROM base b CROSS JOIN (SELECT unnest(range(0, 32)) AS r) r
+),
+weighted AS (
+  SELECT r, {_X328_POISSON_CASE} AS w, c FROM expanded
+),
+reps AS (
+  SELECT r,
+         CAST(ROUND(SUM(w * c) / CAST(SUM(w) AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS m
+  FROM weighted GROUP BY r
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_reps,
+         SUM(m) AS sum_m,
+         SUM(CAST(m AS DECIMAL(28,6)) * CAST(m AS DECIMAL(28,6)))
+           AS sum_m2
+  FROM reps
+),
+full_mean AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         SUM(c) / CAST(count(*) AS DOUBLE) AS fm
+  FROM base
+)
+SELECT f.n_rows, s.n_reps,
+       ROUND(f.fm / 100, 4) AS full_mean,
+       ROUND(CAST(s.sum_m AS DOUBLE) / s.n_reps / 100, 4) AS boot_mean,
+       ROUND(sqrt((CAST(s.sum_m2 AS DOUBLE)
+                   - CAST(s.sum_m AS DOUBLE) * CAST(s.sum_m AS DOUBLE)
+                     / s.n_reps) / (s.n_reps - 1)) / 100, 4) AS boot_se,
+       ROUND((CAST(s.sum_m AS DOUBLE) / s.n_reps
+              - 1.96 * sqrt((CAST(s.sum_m2 AS DOUBLE)
+                   - CAST(s.sum_m AS DOUBLE) * CAST(s.sum_m AS DOUBLE)
+                     / s.n_reps) / (s.n_reps - 1))) / 100, 4) AS ci_lo,
+       ROUND((CAST(s.sum_m AS DOUBLE) / s.n_reps
+              + 1.96 * sqrt((CAST(s.sum_m2 AS DOUBLE)
+                   - CAST(s.sum_m AS DOUBLE) * CAST(s.sum_m AS DOUBLE)
+                     / s.n_reps) / (s.n_reps - 1))) / 100, 4) AS ci_hi
+FROM stats s CROSS JOIN full_mean f
+"""
+
+
+@register(
+    "x328_poisson_bootstrap",
+    _X328_ORACLE,
+    doc="Poisson bootstrap CI for mean order value, 32 replicates: "
+        "each row gets replicate weight ~ Poisson(1) via inverse-CDF "
+        "on a 32-bit md5(key:boot:r) uniform -- the bootstrap that "
+        "works at 100 TB because it streams (no resampling index, no "
+        "RNG state: weights are a pure row-local function of the key, "
+        "so retries and engine swaps reproduce them bit-exactly). "
+        "Determinism: the inverse-CDF thresholds are exact integer "
+        "literals against the exact 32-bit hash; replicate sums "
+        "SUM(w*cents) are BIGINT; each replicate mean rounds 6 into "
+        "DECIMAL(18,6) so the cross-replicate moments are order-free; "
+        "variance assembled from the exact moments in one IEEE "
+        "expression. Scale: one explode x32 (map-side) into a "
+        "32-group aggregate -- partial agg absorbs it; the final "
+        "stage is 32-row arithmetic",
+)
+def x328_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("long")
+        .alias("c"),
+    )
+    expanded = base.select(
+        "k",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("r"),
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("k").cast("string"),
+                        F.lit(":boot:"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    w = (
+        F.when(F.col("u") < 1580030168, 0)
+        .when(F.col("u") < 3160060337, 1)
+        .when(F.col("u") < 3950075421, 2)
+        .when(F.col("u") < 4213413783, 3)
+        .when(F.col("u") < 4279248373, 4)
+        .when(F.col("u") < 4292415291, 5)
+        .when(F.col("u") < 4294609777, 6)
+        .when(F.col("u") < 4294923276, 7)
+        .otherwise(8)
+    )
+    reps = (
+        expanded.select("r", w.alias("w"), "c")
+        .groupBy("r")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("c"))
+                / F.sum("w").cast("double"),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("m")
+        )
+    )
+    stats = reps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+        F.sum("m").alias("sum_m"),
+        F.sum(F.col("m") * F.col("m")).alias("sum_m2"),
+    )
+    full = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.sum("c") / F.count(F.lit(1)).cast("double")).alias("fm"),
+    )
+    var = (
+        F.col("sum_m2").cast("double")
+        - F.col("sum_m").cast("double")
+        * F.col("sum_m").cast("double")
+        / F.col("n_reps")
+    ) / (F.col("n_reps") - 1)
+    bm = F.col("sum_m").cast("double") / F.col("n_reps")
+    return stats.crossJoin(F.broadcast(full)).select(
+        "n_rows",
+        "n_reps",
+        F.round(F.col("fm") / 100, 4).alias("full_mean"),
+        F.round(bm / 100, 4).alias("boot_mean"),
+        F.round(F.sqrt(var) / 100, 4).alias("boot_se"),
+        F.round((bm - 1.96 * F.sqrt(var)) / 100, 4).alias("ci_lo"),
+        F.round((bm + 1.96 * F.sqrt(var)) / 100, 4).alias("ci_hi"),
+    )
+
+
+def _x329_oracle(iterations: int = 3) -> str:
+    ctes = [
+        """ob AS MATERIALIZED (
+  SELECT l.l_orderkey AS ok, p.p_brand AS b,
+         CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(30,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+)""",
+        """pr AS MATERIALIZED (
+  SELECT a.b AS i, bb.b AS j,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a.c >= bb.c THEN 1 ELSE 0 END) AS BIGINT)
+           AS wi
+  FROM ob a JOIN ob bb ON a.ok = bb.ok AND a.b < bb.b
+  GROUP BY 1, 2
+)""",
+        """sm AS MATERIALIZED (
+  SELECT i, j, n, wi AS w FROM pr
+  UNION ALL SELECT j AS i, i AS j, n, n - wi AS w FROM pr
+)""",
+        """wt AS MATERIALIZED (
+  SELECT i AS b, CAST(SUM(w) AS BIGINT) AS wins,
+         CAST(SUM(n) AS BIGINT) AS n_matches
+  FROM sm GROUP BY 1
+)""",
+        "s0 AS MATERIALIZED (SELECT b, CAST(0.04 AS DOUBLE) AS s FROM wt)",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""d{t} AS MATERIALIZED (
+  SELECT sm.i AS b,
+         SUM(CAST(ROUND(sm.n / (si.s + sj.s), 12) AS DECIMAL(28,12)))
+           AS den
+  FROM sm JOIN s{t - 1} si ON sm.i = si.b
+          JOIN s{t - 1} sj ON sm.j = sj.b
+  GROUP BY sm.i
+)"""
+        )
+        ctes.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT w.b, ROUND(w.wins / CAST(d.den AS DOUBLE), 12) AS sr
+  FROM wt w JOIN d{t} d ON w.b = d.b
+)"""
+        )
+        ctes.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT b, ROUND(sr / CAST((SELECT SUM(CAST(sr AS DECIMAL(28,12)))
+                             FROM r{t}) AS DOUBLE), 12) AS s
+  FROM r{t}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT w.b AS brand, w.n_matches, w.wins, ROUND(s.s, 8) AS strength
+FROM wt w JOIN s{iterations} s ON w.b = s.b
+ORDER BY s.s DESC, w.b"""
+    )
+
+
+@register(
+    "x329_bradley_terry",
+    _x329_oracle(),
+    doc="Bradley-Terry preference strengths over part brands, 3 MM "
+        "iterations: within each order, every brand pair is a 'match' "
+        "won by the higher order-local spend (ties to the "
+        "lexicographically smaller brand); s_i <- W_i / sum_j "
+        "n_ij/(s_i+s_j), renormalized to sum 1 -- the pairwise-"
+        "preference -> scalar-strength model RLHF reward ranking and "
+        "LLM-judge leaderboards run on (Elo's batch cousin). "
+        "Determinism: match counts/wins exact BIGINT off cents; each "
+        "MM term rounds 12 into DECIMAL(28,12) before order-free "
+        "sums; the normalizer sums round-12 DECIMALs. Scale: the "
+        "per-order pair join is bounded by brands-per-order (~4 -> 6 "
+        "pairs) and aggregates straight to a brand^2-sized matrix "
+        "(<=600 rows); iterations touch only the matrix -- same "
+        "fixed-depth shape as x104; matrix localCheckpointed so "
+        "iterations never replay the corpus join",
+)
+def x329_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cents = (
+        F.col("l_extendedprice").cast("decimal(30,2)") * 100
+    ).cast("long")
+    ob = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("p_brand").alias("b"),
+            cents.alias("cc"),
+        )
+        .groupBy("ok", "b")
+        .agg(F.sum("cc").cast("long").alias("c"))
+    )
+    a = ob.alias("a")
+    bb = ob.alias("bb")
+    pr = (
+        a.join(
+            bb,
+            (F.col("a.ok") == F.col("bb.ok"))
+            & (F.col("a.b") < F.col("bb.b")),
+        )
+        .select(
+            F.col("a.b").alias("i"),
+            F.col("bb.b").alias("j"),
+            F.when(F.col("a.c") >= F.col("bb.c"), 1)
+            .otherwise(0)
+            .alias("win_i"),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("win_i").cast("long").alias("wi"),
+        )
+    )
+    sm = pr.select("i", "j", "n", F.col("wi").alias("w")).union(
+        pr.select(
+            F.col("j").alias("i"),
+            F.col("i").alias("j"),
+            "n",
+            (F.col("n") - F.col("wi")).alias("w"),
+        )
+    )
+    # Matrix is brand^2-bounded (<=600 rows); checkpoint so the three
+    # MM iterations never replay the corpus-sized pair derivation.
+    sm = sm.localCheckpoint()
+    wt = sm.groupBy(F.col("i").alias("b")).agg(
+        F.sum("w").cast("long").alias("wins"),
+        F.sum("n").cast("long").alias("n_matches"),
+    ).localCheckpoint()
+    s = wt.select("b", F.lit(0.04).cast("double").alias("s"))
+    for _ in range(3):
+        si = s.select(F.col("b").alias("i"), F.col("s").alias("s_i"))
+        sj = s.select(F.col("b").alias("j"), F.col("s").alias("s_j"))
+        den = (
+            sm.join(si, "i")
+            .join(sj, "j")
+            .select(
+                F.col("i").alias("b"),
+                F.round(
+                    F.col("n") / (F.col("s_i") + F.col("s_j")), 12
+                )
+                .cast("decimal(28,12)")
+                .alias("term"),
+            )
+            .groupBy("b")
+            .agg(F.sum("term").alias("den"))
+        )
+        raw = wt.join(den, "b").select(
+            "b",
+            F.round(
+                F.col("wins") / F.col("den").cast("double"), 12
+            ).alias("sr"),
+        )
+        tot = raw.agg(
+            F.sum(F.col("sr").cast("decimal(28,12)")).alias("tot")
+        )
+        s = raw.crossJoin(F.broadcast(tot)).select(
+            "b",
+            F.round(
+                F.col("sr") / F.col("tot").cast("double"), 12
+            ).alias("s"),
+        )
+    return (
+        wt.join(s, "b")
+        .select(
+            F.col("b").alias("brand"),
+            "n_matches",
+            "wins",
+            F.round("s", 8).alias("strength"),
+        )
+        .orderBy(F.desc("strength"), "brand")
+    )
+
+
+_X330_ORACLE = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > t1.t1 AND e.ts <= t1.t1 + INTERVAL 72 HOUR
+  GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > t2.t2 AND e.ts <= t2.t2 + INTERVAL 72 HOUR
+  GROUP BY 1
+),
+lvl AS (
+  SELECT u.user_id,
+         CASE WHEN t3.user_id IS NOT NULL THEN 3
+              WHEN t2.user_id IS NOT NULL THEN 2
+              WHEN t1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS level
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN t1 ON u.user_id = t1.user_id
+  LEFT JOIN t2 ON u.user_id = t2.user_id
+  LEFT JOIN t3 ON u.user_id = t3.user_id
+),
+agg AS (SELECT level, CAST(count(*) AS BIGINT) AS n_users FROM lvl GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n_total FROM agg)
+SELECT a.level, a.n_users,
+       ROUND(a.n_users / CAST(t.n_total AS DOUBLE), 4) AS share
+FROM agg a CROSS JOIN tot t ORDER BY a.level
+"""
+
+
+@register(
+    "x330_window_funnel",
+    _X330_ORACLE,
+    doc="strict-order window funnel (the ClickHouse windowFunnel "
+        "semantic): per user, max depth along view -> click -> "
+        "purchase where each step strictly follows and lands within "
+        "72 h of the previous step's FIRST qualifying event; output "
+        "the user count and share per reached level. Unlike x72's "
+        "session funnel (set-containment within a session) this "
+        "prices ordered step-chaining with per-step deadlines -- the "
+        "conversion metric growth teams actually track. Scale: three "
+        "user-key min-aggregates chained by user-key joins -- every "
+        "stage shuffles on the SAME key so the exchanges reuse one "
+        "partitioning; no windows, no corpus self-join fan-out "
+        "(each stage's input is filtered to one event type first)",
+)
+def x330_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    t1 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 72 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 72 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lvl = (
+        events.select("user_id")
+        .distinct()
+        .join(t1, "user_id", "left")
+        .join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("level")
+        )
+    )
+    agg = lvl.groupBy("level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    tot = agg.agg(F.sum("n_users").cast("long").alias("n_total"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "level",
+            "n_users",
+            F.round(
+                F.col("n_users") / F.col("n_total").cast("double"), 4
+            ).alias("share"),
+        )
+        .orderBy("level")
+    )
