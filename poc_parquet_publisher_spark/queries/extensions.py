@@ -18909,3 +18909,545 @@ def x330_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+_X331_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+         substr(text, 1, 16) AS blk
+  FROM documents
+),
+f AS (SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS true_pairs
+      FROM (SELECT count(*) AS n FROM d GROUP BY fp)),
+b AS (SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS cand_pairs
+      FROM (SELECT count(*) AS n FROM d GROUP BY blk)),
+fb AS (SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS captured_pairs
+       FROM (SELECT count(*) AS n FROM d GROUP BY fp, blk)),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d)
+SELECT nn.n_docs, f.true_pairs, b.cand_pairs, fb.captured_pairs,
+       CASE WHEN f.true_pairs = 0 THEN 1.0
+            ELSE ROUND(fb.captured_pairs
+                       / CAST(f.true_pairs AS DOUBLE), 4) END
+         AS pair_completeness,
+       ROUND(1 - b.cand_pairs
+             / (nn.n_docs * (nn.n_docs - 1) / CAST(2 AS DOUBLE)), 6)
+         AS reduction_ratio
+FROM nn CROSS JOIN f CROSS JOIN b CROSS JOIN fb
+"""
+
+
+@register(
+    "x331_blocking_audit",
+    _X331_ORACLE,
+    doc="entity-resolution blocking quality audit: reduction ratio "
+        "(candidate pairs avoided vs the full n^2) and pair "
+        "completeness (true normalized-duplicate pairs whose members "
+        "share a raw 16-char-prefix block) -- the two numbers that "
+        "decide whether a blocking key is safe BEFORE paying for the "
+        "pairwise stage. The trick that scales: every pair count is "
+        "sum-of-C(group,2) COMBINATORICS on group sizes (three "
+        "hash-groupBys), no pair is ever materialized -- auditing a "
+        "100 TB blocking scheme costs one aggregate pass. Truth tier "
+        "is x02's punctuation-normalized fingerprint; this fixture's "
+        "dups never differ inside the first 16 raw chars, so "
+        "completeness reads 1.0 (and is division-guarded where true "
+        "pairs = 0)",
+)
+def x331_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    d = docs.select(
+        fp.alias("fp"), F.substring("text", 1, 16).alias("blk")
+    )
+    pair_sum = lambda cnt: F.sum(
+        (F.col(cnt) * (F.col(cnt) - 1) / 2).cast("long")
+    ).cast("long")
+    f = (
+        d.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+        .agg(pair_sum("n").alias("true_pairs"))
+    )
+    b = (
+        d.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
+        .agg(pair_sum("n").alias("cand_pairs"))
+    )
+    fb = (
+        d.groupBy("fp", "blk").agg(F.count(F.lit(1)).alias("n"))
+        .agg(pair_sum("n").alias("captured_pairs"))
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        nn.crossJoin(F.broadcast(f))
+        .crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(fb))
+        .select(
+            "n_docs",
+            "true_pairs",
+            "cand_pairs",
+            "captured_pairs",
+            F.when(F.col("true_pairs") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.col("captured_pairs")
+                    / F.col("true_pairs").cast("double"),
+                    4,
+                )
+            )
+            .alias("pair_completeness"),
+            F.round(
+                1
+                - F.col("cand_pairs")
+                / (
+                    F.col("n_docs")
+                    * (F.col("n_docs") - 1)
+                    / F.lit(2).cast("double")
+                ),
+                6,
+            ).alias("reduction_ratio"),
+        )
+    )
+
+
+_X332_ORACLE = """
+WITH toks AS (
+  SELECT list_filter(string_split(lower(text), ' '),
+                     t -> regexp_matches(t, '^[a-z]+$')) AS ts
+  FROM documents
+),
+bg AS (
+  SELECT (p).a AS a, (p).b AS b FROM (
+    SELECT unnest(list_transform(range(1, len(ts)),
+                  i -> struct_pack(a := ts[i], b := ts[i + 1]))) AS p
+    FROM toks
+  )
+),
+cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+        FROM bg GROUP BY 1, 2),
+ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY 1),
+cb AS (SELECT b, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM cab GROUP BY 1),
+nn AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM cab),
+k AS (
+  SELECT cab.a, cab.b, cab.c_ab, ca.c_a, cb.c_b, nn.n,
+         cab.c_ab AS k11, ca.c_a - cab.c_ab AS k12,
+         cb.c_b - cab.c_ab AS k21,
+         nn.n - ca.c_a - cb.c_b + cab.c_ab AS k22
+  FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN nn
+  WHERE cab.c_ab >= 5
+),
+g AS (
+  SELECT a, b, c_ab, c_a, c_b,
+         ROUND(2 * (
+           (CASE WHEN k11 > 0 THEN k11 * ln(CAST(k11 AS DOUBLE) * n
+                / (CAST(c_a AS DOUBLE) * c_b)) ELSE 0 END)
+         + (CASE WHEN k12 > 0 THEN k12 * ln(CAST(k12 AS DOUBLE) * n
+                / (CAST(c_a AS DOUBLE) * (n - c_b))) ELSE 0 END)
+         + (CASE WHEN k21 > 0 THEN k21 * ln(CAST(k21 AS DOUBLE) * n
+                / (CAST(n - c_a AS DOUBLE) * c_b)) ELSE 0 END)
+         + (CASE WHEN k22 > 0 THEN k22 * ln(CAST(k22 AS DOUBLE) * n
+                / (CAST(n - c_a AS DOUBLE) * (n - c_b))) ELSE 0 END)
+         ), 4) AS g2
+  FROM k
+)
+SELECT a AS tok_a, b AS tok_b, c_ab, c_a, c_b, g2
+FROM g ORDER BY g2 DESC, tok_a, tok_b LIMIT 20
+"""
+
+
+@register(
+    "x332_loglik_collocations",
+    _X332_ORACLE,
+    doc="Dunning log-likelihood-ratio (G^2) collocations over adjacent "
+        "token bigrams, top-20: the 2x2 contingency statistic that "
+        "beats raw PMI (x178) on sparse counts -- the standard "
+        "phrase-mining / tokenizer-merge ranking signal. All four "
+        "contingency cells derive from exact BIGINT bigram counts and "
+        "margins (margins are sums OVER the bigram table, one shuffle "
+        "reused); G^2 is one fixed-shape IEEE expression per row "
+        "(zero-cells contribute 0 by guard), rounded 4 before the "
+        "ORDER BY so ranking never rides a ulp. Scale: one bigram "
+        "groupBy (map-side partial) + two margin aggregates of "
+        "vocab^2-bounded size; no joins touch the corpus twice",
+)
+def x332_loglik_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.filter(
+        F.split(F.lower("text"), " "), lambda t: t.rlike("^[a-z]+$")
+    )
+    bg = (
+        docs.select(ts.alias("ts"))
+        .select(
+            F.explode(
+                F.transform(
+                    F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                    lambda x, i: F.struct(
+                        x.alias("a"),
+                        F.element_at(F.col("ts"), i + F.lit(2)).alias(
+                            "b"
+                        ),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    cab = bg.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    ca = cab.groupBy("a").agg(F.sum("c_ab").cast("long").alias("c_a"))
+    cb = cab.groupBy("b").agg(F.sum("c_ab").cast("long").alias("c_b"))
+    nn = cab.agg(F.sum("c_ab").cast("long").alias("n"))
+    k = (
+        cab.filter(F.col("c_ab") >= 5)
+        .join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(nn))
+        .withColumn("k11", F.col("c_ab"))
+        .withColumn("k12", F.col("c_a") - F.col("c_ab"))
+        .withColumn("k21", F.col("c_b") - F.col("c_ab"))
+        .withColumn(
+            "k22", F.col("n") - F.col("c_a") - F.col("c_b") + F.col("c_ab")
+        )
+    )
+
+    def term(kc, row_d, col_d):
+        return F.when(
+            F.col(kc) > 0,
+            F.col(kc)
+            * F.log(
+                F.col(kc).cast("double")
+                * F.col("n")
+                / (row_d.cast("double") * col_d)
+            ),
+        ).otherwise(F.lit(0.0))
+
+    g2 = F.round(
+        2
+        * (
+            term("k11", F.col("c_a"), F.col("c_b"))
+            + term("k12", F.col("c_a"), F.col("n") - F.col("c_b"))
+            + term("k21", F.col("n") - F.col("c_a"), F.col("c_b"))
+            + term("k22", F.col("n") - F.col("c_a"), F.col("n") - F.col("c_b"))
+        ),
+        4,
+    )
+    return (
+        k.select(
+            F.col("a").alias("tok_a"),
+            F.col("b").alias("tok_b"),
+            "c_ab",
+            "c_a",
+            "c_b",
+            g2.alias("g2"),
+        )
+        .orderBy(F.desc("g2"), "tok_a", "tok_b")
+        .limit(20)
+    )
+
+
+_X333_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (SELECT vec_id, label, v,
+             sqrt(list_dot_product(v, v)) AS nrm FROM e),
+s AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+  FROM (SELECT * FROM n WHERE label < 5) a
+  JOIN (SELECT * FROM n WHERE label >= 5) b ON true
+),
+r AS (
+  SELECT a_id, b_id, sim,
+         row_number() OVER (PARTITION BY a_id
+                            ORDER BY sim DESC, b_id) AS rn_a,
+         row_number() OVER (PARTITION BY b_id
+                            ORDER BY sim DESC, a_id) AS rn_b
+  FROM s
+),
+m4a AS (
+  SELECT a_id, CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / 4
+           AS m4a
+  FROM r WHERE rn_a <= 4 GROUP BY 1
+),
+m4b AS (
+  SELECT b_id, CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / 4
+           AS m4b
+  FROM r WHERE rn_b <= 4 GROUP BY 1
+),
+mut AS (
+  SELECT ta.a_id, ta.b_id, ta.sim
+  FROM (SELECT a_id, b_id, sim FROM r WHERE rn_a = 1) ta
+  JOIN (SELECT a_id, b_id FROM r WHERE rn_b = 1) tb
+    ON ta.a_id = tb.a_id AND ta.b_id = tb.b_id
+)
+SELECT mut.a_id, mut.b_id, mut.sim,
+       ROUND(2 * mut.sim - m4a.m4a - m4b.m4b, 6) AS csls
+FROM mut JOIN m4a ON mut.a_id = m4a.a_id
+         JOIN m4b ON mut.b_id = m4b.b_id
+ORDER BY mut.a_id
+"""
+
+
+@register(
+    "x333_mnn_alignment",
+    _X333_ORACLE,
+    doc="mutual-nearest-neighbor alignment with CSLS margin scoring "
+        "between the two embedding halves (label < 5 vs >= 5): a pair "
+        "survives only if each side is the other's cosine top-1, "
+        "scored 2*cos - mean(top-4 of a) - mean(top-4 of b) -- the "
+        "bitext-mining / cross-lingual-alignment recipe (Artetxe & "
+        "Schwenk) that kills hubness-driven false matches. "
+        "Determinism: cosines ROUND 6 BEFORE ranking (id tie-breaks), "
+        "so rank never rides a ulp; top-4 means sum round-6 DECIMALs. "
+        "Correctness tier is the exact product with the query side "
+        "broadcast (x07's contract); the 100 TB tier blocks both "
+        "sides by IVF centroid (x15) and runs the same MNN inside "
+        "blocks. Spark-side dot is a sequential zip_with/aggregate "
+        "fold -- JVM codegen, no Python",
+)
+def x333_mnn_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    n = emb.select(
+        "vec_id", "label", v.alias("v")
+    ).withColumn("nrm", nrm)
+    a = n.filter(F.col("label") < 5).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.filter(F.col("label") >= 5).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    s = b.crossJoin(F.broadcast(a)).select(
+        "a_id",
+        "b_id",
+        F.round(dot / (F.col("na") * F.col("nb")), 6).alias("sim"),
+    )
+    wa = Window.partitionBy("a_id").orderBy(F.desc("sim"), "b_id")
+    wb = Window.partitionBy("b_id").orderBy(F.desc("sim"), "a_id")
+    r = s.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_b", F.row_number().over(wb)
+    )
+    m4a = (
+        r.filter(F.col("rn_a") <= 4)
+        .groupBy("a_id")
+        .agg(
+            (
+                F.sum(F.col("sim").cast("decimal(18,6)")).cast("double")
+                / 4
+            ).alias("m4a")
+        )
+    )
+    m4b = (
+        r.filter(F.col("rn_b") <= 4)
+        .groupBy("b_id")
+        .agg(
+            (
+                F.sum(F.col("sim").cast("decimal(18,6)")).cast("double")
+                / 4
+            ).alias("m4b")
+        )
+    )
+    ta = r.filter(F.col("rn_a") == 1).select("a_id", "b_id", "sim")
+    tb = r.filter(F.col("rn_b") == 1).select("a_id", "b_id")
+    mut = ta.join(tb, ["a_id", "b_id"])
+    return (
+        mut.join(m4a, "a_id")
+        .join(m4b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "sim",
+            F.round(
+                2 * F.col("sim") - F.col("m4a") - F.col("m4b"), 6
+            ).alias("csls"),
+        )
+        .orderBy("a_id")
+    )
+
+
+_X334_ORACLE = """
+WITH ft AS (
+  SELECT user_id, event_type, min(ts) AS t
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_both,
+       CAST(SUM(CASE WHEN a.t < b.t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_a_first,
+       ROUND(SUM(CASE WHEN a.t < b.t THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS support_a_first
+FROM ft a JOIN ft b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY type_a, type_b
+"""
+
+
+@register(
+    "x334_precedence_matrix",
+    _X334_ORACLE,
+    doc="temporal precedence matrix over event types: for every type "
+        "pair, among users who emit BOTH, how often does the "
+        "first-ever a precede the first-ever b -- the "
+        "sequential-pattern support that seeds funnel hypotheses "
+        "(x330 then prices a specific chain) and orders curriculum "
+        "stages. Unlike x96's adjacent transitions this measures "
+        "global first-occurrence order, any gap. Scale: one "
+        "(user,type) min-aggregate, then a self-join bounded by "
+        "types-per-user (<=5 rows/user -> <=10 pairs), aggregated to "
+        "a types^2 matrix; exact integer counts, one rounded "
+        "division",
+)
+def x334_precedence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ft = events.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("t")
+    )
+    a = ft.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("t").alias("ta"),
+    )
+    b = ft.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("t").alias("tb"),
+    )
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_both"),
+            F.sum(
+                F.when(F.col("ta") < F.col("tb"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_a_first"),
+            F.round(
+                F.sum(
+                    F.when(F.col("ta") < F.col("tb"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("support_a_first"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_X335_STEM_CASE_DUCK = """CASE
+  WHEN regexp_matches({t}, 'sses$') THEN substr({t}, 1, length({t}) - 2)
+  WHEN regexp_matches({t}, '[a-z]ies$') THEN substr({t}, 1, length({t}) - 2)
+  WHEN regexp_matches({t}, '[a-z]{{3,}}[^s]s$')
+    THEN substr({t}, 1, length({t}) - 1)
+  ELSE {t} END"""
+
+_X335_SUFFIX_CASE_DUCK = """CASE
+  WHEN regexp_matches({t}, '[a-z]{{3,}}ing$')
+    THEN substr({t}, 1, length({t}) - 3)
+  WHEN regexp_matches({t}, '[a-z]{{3,}}ed$')
+    THEN substr({t}, 1, length({t}) - 2)
+  ELSE {t} END"""
+
+_X335_ORACLE = f"""
+WITH tok AS (
+  SELECT t FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+  ) WHERE regexp_matches(t, '^[a-z]+$')
+),
+s1 AS (SELECT t, {_X335_STEM_CASE_DUCK.format(t='t')} AS p FROM tok),
+s2 AS (SELECT t, {_X335_SUFFIX_CASE_DUCK.format(t='p')} AS stem FROM s1)
+SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT t) AS BIGINT) AS vocab_raw,
+       CAST(count(DISTINCT stem) AS BIGINT) AS vocab_stem,
+       CAST(SUM(CASE WHEN stem != t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       ROUND(1 - count(DISTINCT stem)
+             / CAST(count(DISTINCT t) AS DOUBLE), 4) AS vocab_reduction
+FROM s2
+"""
+
+
+@register(
+    "x335_stem_profile",
+    _X335_ORACLE,
+    doc="suffix-strip stemming profile (Porter step-1 subset: sses->ss, "
+        "ies->i, plural -s, -ing, -ed with length guards): how much "
+        "vocabulary a cheap rule-based normalizer collapses before "
+        "building indexes, dedup fingerprints, or tokenizer vocab -- "
+        "the normalization-vs-recall dial x322 then compares tiers "
+        "on. Both engines apply the SAME first-match-wins CASE "
+        "ladder (pure substring arithmetic, no stemmer library); "
+        "counts are exact. Scale: token explode into two hash "
+        "count-distincts -- one pass, map-side partials",
+)
+def x335_stem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("t")
+    ).filter(F.col("t").rlike("^[a-z]+$"))
+    t = F.col("t")
+    p = (
+        F.when(t.rlike("sses$"), F.expr("substring(t, 1, length(t) - 2)"))
+        .when(t.rlike("[a-z]ies$"), F.expr("substring(t, 1, length(t) - 2)"))
+        .when(
+            t.rlike("[a-z]{3,}[^s]s$"),
+            F.expr("substring(t, 1, length(t) - 1)"),
+        )
+        .otherwise(t)
+    )
+    s1 = tok.select("t", p.alias("p"))
+    pc = F.col("p")
+    stem = (
+        F.when(
+            pc.rlike("[a-z]{3,}ing$"),
+            F.expr("substring(p, 1, length(p) - 3)"),
+        )
+        .when(
+            pc.rlike("[a-z]{3,}ed$"),
+            F.expr("substring(p, 1, length(p) - 2)"),
+        )
+        .otherwise(pc)
+    )
+    s2 = s1.select("t", stem.alias("stem"))
+    return s2.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("t").cast("long").alias("vocab_raw"),
+        F.countDistinct("stem").cast("long").alias("vocab_stem"),
+        F.sum(F.when(F.col("stem") != F.col("t"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_changed"),
+        F.round(
+            1
+            - F.countDistinct("stem")
+            / F.countDistinct("t").cast("double"),
+            4,
+        ).alias("vocab_reduction"),
+    )
