@@ -19451,3 +19451,413 @@ def x335_stem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("vocab_reduction"),
     )
+
+
+_X336_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+         substr(text, 1, 16) AS f_prefix,
+         CAST(n_chars // 100 AS BIGINT) AS f_lenbkt,
+         lang AS f_lang
+  FROM documents
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+mm AS (SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS m
+       FROM (SELECT count(*) AS n FROM d GROUP BY fp)),
+fields AS (
+  SELECT 'prefix16' AS field,
+         (SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT)
+          FROM (SELECT count(*) AS n FROM d GROUP BY f_prefix)) AS agree,
+         (SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT)
+          FROM (SELECT count(*) AS n FROM d GROUP BY fp, f_prefix))
+           AS agree_match
+  UNION ALL
+  SELECT 'len_bucket',
+         (SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT)
+          FROM (SELECT count(*) AS n FROM d GROUP BY f_lenbkt)),
+         (SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT)
+          FROM (SELECT count(*) AS n FROM d GROUP BY fp, f_lenbkt))
+  UNION ALL
+  SELECT 'lang',
+         (SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT)
+          FROM (SELECT count(*) AS n FROM d GROUP BY f_lang)),
+         (SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT)
+          FROM (SELECT count(*) AS n FROM d GROUP BY fp, f_lang))
+)
+SELECT f.field, f.agree, f.agree_match, mm.m AS match_pairs,
+       ROUND((f.agree_match + 1)
+             / CAST(mm.m + 2 AS DOUBLE), 6) AS m_prob,
+       ROUND((f.agree - f.agree_match + 1)
+             / CAST(nn.n * (nn.n - 1) / 2 - mm.m + 2 AS DOUBLE), 6)
+         AS u_prob,
+       ROUND(ln(((f.agree_match + 1) / CAST(mm.m + 2 AS DOUBLE))
+                / ((f.agree - f.agree_match + 1)
+                   / CAST(nn.n * (nn.n - 1) / 2 - mm.m + 2
+                          AS DOUBLE))), 6) AS agree_weight
+FROM fields f CROSS JOIN nn CROSS JOIN mm
+ORDER BY f.field
+"""
+
+
+@register(
+    "x336_fellegi_sunter",
+    _X336_ORACLE,
+    doc="Fellegi-Sunter record-linkage weights for three comparison "
+        "fields (raw 16-char prefix, n_chars//100 length bucket, "
+        "lang): m = P(field agrees | match), u = P(agrees | "
+        "non-match), agreement weight ln(m/u) -- the classical "
+        "probabilistic-linkage scoring x331's blocking feeds into. "
+        "Match truth is x02's normalized fingerprint. The scale "
+        "trick is x331's: every pair probability comes from "
+        "sum-of-C(group,2) combinatorics on group sizes (two "
+        "hash-groupBys per field), NO pair materialization -- exact "
+        "m/u over a 100 TB corpus in one aggregate pass per field; "
+        "Laplace (+1/+2) smoothing keeps ln defined and "
+        "deterministic everywhere",
+)
+def x336_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    d = docs.select(
+        fp.alias("fp"),
+        F.substring("text", 1, 16).alias("f_prefix"),
+        F.floor(F.col("n_chars") / 100).cast("long").alias("f_lenbkt"),
+        F.col("lang").alias("f_lang"),
+    ).localCheckpoint()
+    pair_sum = lambda: F.sum(
+        (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    ).cast("long")
+    nn = d.count()
+    mm = (
+        d.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+        .agg(pair_sum().alias("m"))
+    )
+
+    def field_row(name, col):
+        agree = (
+            d.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+            .agg(pair_sum().alias("agree"))
+        )
+        am = (
+            d.groupBy("fp", col).agg(F.count(F.lit(1)).alias("n"))
+            .agg(pair_sum().alias("agree_match"))
+        )
+        return agree.crossJoin(F.broadcast(am)).select(
+            F.lit(name).alias("field"), "agree", "agree_match"
+        )
+
+    fields = (
+        field_row("prefix16", "f_prefix")
+        .union(field_row("len_bucket", "f_lenbkt"))
+        .union(field_row("lang", "f_lang"))
+    )
+    total_pairs = nn * (nn - 1) // 2
+    joined = fields.crossJoin(F.broadcast(mm))
+    m_prob = (F.col("agree_match") + 1) / (F.col("m") + 2).cast("double")
+    u_prob = (F.col("agree") - F.col("agree_match") + 1) / (
+        F.lit(total_pairs) - F.col("m") + 2
+    ).cast("double")
+    return joined.select(
+        "field",
+        "agree",
+        "agree_match",
+        F.col("m").alias("match_pairs"),
+        F.round(m_prob, 6).alias("m_prob"),
+        F.round(u_prob, 6).alias("u_prob"),
+        F.round(F.log(m_prob / u_prob), 6).alias("agree_weight"),
+    ).orderBy("field")
+
+
+_X337_ORACLE = """
+WITH toks AS (
+  SELECT list_filter(string_split(lower(text), ' '),
+                     t -> length(t) > 0) AS ts
+  FROM documents
+),
+grams AS (
+  SELECT 1 AS n, unnest(ts) AS g FROM toks
+  UNION ALL
+  SELECT 2, unnest(list_transform(range(1, len(ts)),
+              i -> ts[i] || ' ' || ts[i + 1])) FROM toks
+  UNION ALL
+  SELECT 3, unnest(list_transform(range(1, len(ts) - 1),
+              i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]))
+  FROM toks
+)
+SELECT n, CAST(count(*) AS BIGINT) AS total_ngrams,
+       CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+       ROUND(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6)
+         AS distinct_ratio
+FROM grams GROUP BY n ORDER BY n
+"""
+
+
+@register(
+    "x337_distinct_ngrams",
+    _X337_ORACLE,
+    doc="distinct-1/2/3 corpus diversity (Li et al.'s distinct-n): "
+        "unique n-grams over total n-grams per n -- the standard "
+        "degeneracy/mode-collapse readout for generated corpora, and "
+        "the complement of x127's within-doc repetition ratio. One "
+        "explode per n (in-array window expansion, no joins) into "
+        "hash count-distincts with map-side partials; exact BIGINT "
+        "counts, one rounded division per row",
+)
+def x337_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.filter(
+        F.split(F.lower("text"), " "), lambda t: F.length(t) > 0
+    )
+    base = docs.select(ts.alias("ts"))
+
+    def grams(n):
+        if n == 1:
+            g = F.explode(F.col("ts"))
+        else:
+            g = F.explode(
+                F.transform(
+                    F.slice(F.col("ts"), 1, F.size("ts") - (n - 1)),
+                    lambda x, i: F.concat_ws(
+                        " ",
+                        *[
+                            x
+                            if j == 0
+                            else F.element_at(
+                                F.col("ts"), i + F.lit(j + 1)
+                            )
+                            for j in range(n)
+                        ],
+                    ),
+                )
+            )
+        return base.select(F.lit(n).alias("n"), g.alias("g"))
+
+    allg = grams(1).union(grams(2)).union(grams(3))
+    return (
+        allg.groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+            F.countDistinct("g").cast("long").alias("distinct_ngrams"),
+            F.round(
+                F.countDistinct("g") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("distinct_ratio"),
+        )
+        .orderBy("n")
+    )
+
+
+_X338_ORACLE = """
+WITH o AS (
+  SELECT c.c_nationkey AS cat,
+         CAST(CAST(o.o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+g AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS sum_g,
+         CAST(count(*) AS BIGINT) AS n_g
+  FROM o
+),
+c AS (
+  SELECT cat, CAST(SUM(cents) AS BIGINT) AS sum_c,
+         CAST(count(*) AS BIGINT) AS n_c
+  FROM o GROUP BY cat
+)
+SELECT c.cat AS nationkey, c.n_c AS n_orders,
+       ROUND(c.sum_c / CAST(c.n_c AS DOUBLE) / 100, 4) AS raw_mean,
+       ROUND((c.sum_c + 20 * (g.sum_g / CAST(g.n_g AS DOUBLE)))
+             / (c.n_c + 20) / 100, 4) AS encoded_mean,
+       ROUND(c.n_c / CAST(c.n_c + 20 AS DOUBLE), 6) AS shrink_weight
+FROM c CROSS JOIN g ORDER BY c.cat
+"""
+
+
+@register(
+    "x338_target_encoding",
+    _X338_ORACLE,
+    doc="smoothed (James-Stein-style) target encoding of customer "
+        "nation against mean order value, smoothing m=20: enc = "
+        "(sum_c + m*global_mean) / (n_c + m) -- the leakage-resistant "
+        "categorical encoder every tabular-ML pipeline ships, with "
+        "the shrinkage weight n/(n+m) made explicit so rare "
+        "categories visibly pull to the prior. Exact cents BIGINTs "
+        "everywhere; the only doubles are two final divisions in a "
+        "fixed expression. Scale: one broadcast-dim join + one "
+        "category aggregate + a 1-row global, all map-side "
+        "partial-agg friendly",
+)
+def x338_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    o = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_nationkey").alias("cat"),
+        (F.col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    g = o.agg(
+        F.sum("cents").cast("long").alias("sum_g"),
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+    )
+    c = o.groupBy("cat").agg(
+        F.sum("cents").cast("long").alias("sum_c"),
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+    )
+    gm = F.col("sum_g") / F.col("n_g").cast("double")
+    return (
+        c.crossJoin(F.broadcast(g))
+        .select(
+            F.col("cat").alias("nationkey"),
+            F.col("n_c").alias("n_orders"),
+            F.round(
+                F.col("sum_c") / F.col("n_c").cast("double") / 100, 4
+            ).alias("raw_mean"),
+            F.round(
+                (F.col("sum_c") + 20 * gm)
+                / (F.col("n_c") + 20)
+                / 100,
+                4,
+            ).alias("encoded_mean"),
+            F.round(
+                F.col("n_c") / (F.col("n_c") + 20).cast("double"), 6
+            ).alias("shrink_weight"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_X339_ORACLE = """
+WITH scored AS (
+  SELECT CAST(FLOOR(ROUND(CAST(len(list_filter(
+                string_split(lower(text), ' '),
+                t -> t IN (%s))) AS DOUBLE)
+              / len(string_split(lower(text), ' ')), 4)
+              * 10000 + 0.5) AS BIGINT) AS p_s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM((p_s - pos * 10000) * (p_s - pos * 10000)) AS BIGINT)
+           AS sq
+  FROM scored
+),
+bins AS (
+  SELECT LEAST(p_s // 1000, 9) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS np,
+         CAST(SUM(p_s) AS BIGINT) AS sp
+  FROM scored GROUP BY 1
+),
+parts AS (
+  SELECT SUM(CAST(ROUND(b.n * (sp / (b.n * 10000.0)
+                               - CAST(np AS DOUBLE) / b.n)
+                        * (sp / (b.n * 10000.0)
+                           - CAST(np AS DOUBLE) / b.n)
+                        / t.n_total, 12) AS DECIMAL(28,12))) AS rel,
+         SUM(CAST(ROUND(b.n * (CAST(np AS DOUBLE) / b.n
+                               - CAST(t.n_pos AS DOUBLE) / t.n_total)
+                        * (CAST(np AS DOUBLE) / b.n
+                           - CAST(t.n_pos AS DOUBLE) / t.n_total)
+                        / t.n_total, 12) AS DECIMAL(28,12))) AS res
+  FROM bins b CROSS JOIN tot t
+)
+SELECT t.n_total,
+       ROUND(t.sq / (t.n_total * 100000000.0), 6) AS brier,
+       ROUND(CAST(p.rel AS DOUBLE), 6) AS reliability,
+       ROUND(CAST(p.res AS DOUBLE), 6) AS resolution,
+       ROUND((CAST(t.n_pos AS DOUBLE) / t.n_total)
+             * (1 - CAST(t.n_pos AS DOUBLE) / t.n_total), 6)
+         AS uncertainty
+FROM tot t CROSS JOIN parts p
+""" % _STOP_EN
+
+
+@register(
+    "x339_brier_decomposition",
+    _X339_ORACLE,
+    doc="Brier score + Murphy decomposition (reliability - resolution "
+        "+ uncertainty) for x315's stopword-ratio scorer against the "
+        "lang label: the proper-scoring-rule companion to ECE -- "
+        "reliability isolates miscalibration, resolution rewards "
+        "discrimination, uncertainty is the label base rate's floor "
+        "(binned decomposition; the within-bin variance term is "
+        "deliberately not added back, so brier != rel - res + unc by "
+        "exactly that variance). Determinism: scores are exact 1e4 "
+        "BIGINTs (x315's contract), the exact Brier numerator is an "
+        "integer sum of squares, per-bin terms round 12 into "
+        "DECIMAL(28,12) before the 10-row sums. Scale: one corpus "
+        "pass -> 10-bin aggregate + 1-row totals",
+)
+def x339_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    p_s = F.floor(
+        text.stop_ratio_column("text") * 10000 + F.lit(0.5)
+    ).cast("long")
+    scored = docs.select(
+        p_s.alias("p_s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(
+            (F.col("p_s") - F.col("pos") * 10000)
+            * (F.col("p_s") - F.col("pos") * 10000)
+        )
+        .cast("long")
+        .alias("sq"),
+    )
+    bins = scored.groupBy(
+        F.least(F.col("p_s") / F.lit(1000), F.lit(9))
+        .cast("long")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("np"),
+        F.sum("p_s").cast("long").alias("sp"),
+    )
+    j = bins.crossJoin(F.broadcast(tot))
+    pbar = F.col("sp") / (F.col("n") * F.lit(10000.0))
+    obar_b = F.col("np").cast("double") / F.col("n")
+    obar = F.col("n_pos").cast("double") / F.col("n_total")
+    parts = j.agg(
+        F.sum(
+            F.round(
+                F.col("n") * (pbar - obar_b) * (pbar - obar_b)
+                / F.col("n_total"),
+                12,
+            ).cast("decimal(28,12)")
+        ).alias("rel"),
+        F.sum(
+            F.round(
+                F.col("n") * (obar_b - obar) * (obar_b - obar)
+                / F.col("n_total"),
+                12,
+            ).cast("decimal(28,12)")
+        ).alias("res"),
+    )
+    return tot.crossJoin(F.broadcast(parts)).select(
+        "n_total",
+        F.round(F.col("sq") / (F.col("n_total") * F.lit(1e8)), 6).alias(
+            "brier"
+        ),
+        F.round(F.col("rel").cast("double"), 6).alias("reliability"),
+        F.round(F.col("res").cast("double"), 6).alias("resolution"),
+        F.round(obar * (1 - obar), 6).alias("uncertainty"),
+    )
