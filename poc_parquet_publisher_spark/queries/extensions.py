@@ -19861,3 +19861,392 @@ def x339_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("res").cast("double"), 6).alias("resolution"),
         F.round(obar * (1 - obar), 6).alias("uncertainty"),
     )
+
+
+_X340_ORACLE = """
+WITH flagged AS (
+  SELECT value,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_e
+  FROM events
+),
+per AS (
+  SELECT value, CAST(SUM(is_e) AS BIGINT) AS ce,
+         CAST(SUM(1 - is_e) AS BIGINT) AS ca
+  FROM flagged GROUP BY value
+),
+tot AS (SELECT CAST(SUM(ce) AS BIGINT) AS ne,
+               CAST(SUM(ca) AS BIGINT) AS na FROM per),
+cum AS (
+  SELECT value,
+         SUM(ce) OVER (ORDER BY value) AS cume,
+         SUM(ca) OVER (ORDER BY value) AS cuma,
+         LEAD(value) OVER (ORDER BY value) AS nxt
+  FROM per
+)
+SELECT t.ne AS n_expected, t.na AS n_actual,
+       CAST((SELECT count(*) FROM per) AS BIGINT) AS n_distinct_values,
+       ROUND(CAST(SUM(CAST(ROUND(ABS(cume / CAST(t.ne AS DOUBLE)
+                                     - cuma / CAST(t.na AS DOUBLE))
+                                 * (nxt - value), 12)
+                           AS DECIMAL(28,12))) AS DOUBLE), 6) AS w1
+FROM cum CROSS JOIN tot t
+WHERE nxt IS NOT NULL
+GROUP BY t.ne, t.na
+"""
+
+
+@register(
+    "x340_wasserstein_drift",
+    _X340_ORACLE,
+    doc="Wasserstein-1 (earth-mover) distance between the event-value "
+        "distributions of the two month halves: integral |CDF_e - "
+        "CDF_a| dv computed EXACTLY as sum over distinct values of "
+        "|cume/ne - cuma/na| * gap-to-next -- the metric-space drift "
+        "number that complements x327's binned PSI (W1 sees HOW FAR "
+        "mass moved, not just that bins changed; no binning choice, "
+        "no smoothing constant). Determinism: cumulative counts are "
+        "exact BIGINT window sums; per-gap terms round 12 into "
+        "DECIMAL(28,12) before the order-free sum. Scale: one "
+        "corpus aggregate to the DISTINCT-VALUE table (bounded by "
+        "the 2-dp value domain, <=56001 rows, corpus-independent); "
+        "the ordered window rides that aggregate under the "
+        "x81/x292 bounded contract, plan-gated in test_plans.py",
+)
+def x340_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    per = (
+        events.select(
+            "value",
+            F.when(
+                F.col("ts")
+                < F.expr("TIMESTAMP_NTZ '2024-01-16 00:00:00'"),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_e"),
+        )
+        .groupBy("value")
+        .agg(
+            F.sum("is_e").cast("long").alias("ce"),
+            F.sum(1 - F.col("is_e")).cast("long").alias("ca"),
+        )
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "value",
+        F.sum("ce").over(w).alias("cume"),
+        F.sum("ca").over(w).alias("cuma"),
+        F.lead("value").over(Window.orderBy("value")).alias("nxt"),
+    )
+    tot = per.agg(
+        F.sum("ce").cast("long").alias("ne"),
+        F.sum("ca").cast("long").alias("na"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_values"),
+    )
+    term = F.round(
+        F.abs(
+            F.col("cume") / F.col("ne").cast("double")
+            - F.col("cuma") / F.col("na").cast("double")
+        )
+        * (F.col("nxt") - F.col("value")),
+        12,
+    ).cast("decimal(28,12)")
+    return (
+        cum.filter(F.col("nxt").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .groupBy("ne", "na", "n_distinct_values")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("w1"))
+        .select(
+            F.col("ne").alias("n_expected"),
+            F.col("na").alias("n_actual"),
+            "n_distinct_values",
+            "w1",
+        )
+    )
+
+
+_X341_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 10),
+d AS (
+  SELECT e.vec_id, c.cid,
+         ROUND(list_dot_product(e.v, e.v)
+               - 2 * list_dot_product(e.v, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM e CROSS JOIN c
+),
+md AS (SELECT vec_id, min(d2) AS mind FROM d GROUP BY 1),
+asg AS (
+  SELECT d.vec_id, min(d.cid) AS cid
+  FROM d JOIN md ON d.vec_id = md.vec_id AND d.d2 = md.mind
+  GROUP BY 1
+),
+comp AS (
+  SELECT a.cid, (p).d AS dim,
+         CAST(ROUND((p).x, 6) AS DECIMAL(18,6)) AS x
+  FROM asg a JOIN e ON a.vec_id = e.vec_id,
+       LATERAL (SELECT unnest(list_transform(range(1, len(e.v) + 1),
+                    i -> struct_pack(d := i, x := e.v[i]))) AS p)
+),
+m AS (
+  SELECT cid, dim,
+         ROUND(CAST(SUM(x) AS DOUBLE) / count(*), 6) AS md_new
+  FROM comp GROUP BY 1, 2
+),
+oldc AS (
+  SELECT cid, (p).d AS dim, (p).x AS md_old
+  FROM c, LATERAL (SELECT unnest(list_transform(range(1, len(cv) + 1),
+                       i -> struct_pack(d := i, x := cv[i]))) AS p)
+),
+agg AS (
+  SELECT m.cid,
+         SUM(CAST(ROUND(m.md_new * m.md_new, 12) AS DECIMAL(28,12)))
+           AS nrm2,
+         SUM(CAST(ROUND((m.md_new - o.md_old) * (m.md_new - o.md_old),
+                        12) AS DECIMAL(28,12))) AS shift2
+  FROM m JOIN oldc o ON m.cid = o.cid AND m.dim = o.dim
+  GROUP BY 1
+),
+sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned
+       FROM asg GROUP BY 1)
+SELECT s.cid, s.n_assigned,
+       ROUND(sqrt(CAST(a.nrm2 AS DOUBLE)), 6) AS new_norm,
+       ROUND(sqrt(CAST(a.shift2 AS DOUBLE)), 6) AS shift
+FROM sz s JOIN agg a ON s.cid = a.cid ORDER BY s.cid
+"""
+
+
+@register(
+    "x341_kmeans_step",
+    _X341_ORACLE,
+    doc="one deterministic Lloyd iteration of k-means (k=10, seeds = "
+        "vectors 0..9): squared-distance assignment with round-6 "
+        "distances and min-cid tie-break, then per-dimension centroid "
+        "means -- reporting cluster sizes, new-centroid norms and "
+        "seed->centroid shift. The iterative-ML-on-Spark pattern "
+        "made engine-exact: distances via the |v|^2 - 2v.c + |c|^2 "
+        "identity (same fold both engines), components round 6 into "
+        "DECIMAL before per-dim means so the mean is order-free, "
+        "norm/shift terms round 12 before dim sums. Scale: centroids "
+        "broadcast (k rows); assignment is one map-side pass; the "
+        "centroid update is a (k x dim)-bounded aggregate off a "
+        "posexplode -- the same shuffle a real multi-iteration "
+        "kmeans pays per step, with convergence read from 'shift'",
+)
+def x341_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+    )
+    c = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    d = e.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "cid",
+        "v",
+        F.round(
+            dot(F.col("v"), F.col("v"))
+            - 2 * dot(F.col("v"), F.col("cv"))
+            + dot(F.col("cv"), F.col("cv")),
+            6,
+        ).alias("d2"),
+    )
+    asg = d.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "cid")).getField("cid").alias("cid")
+    )
+    comp = (
+        asg.join(e, "vec_id")
+        .select("cid", F.posexplode("v").alias("dim0", "x"))
+        .select(
+            "cid",
+            (F.col("dim0") + 1).alias("dim"),
+            F.round("x", 6).cast("decimal(18,6)").alias("x"),
+        )
+    )
+    m = comp.groupBy("cid", "dim").agg(
+        F.round(
+            F.sum("x").cast("double") / F.count(F.lit(1)), 6
+        ).alias("md_new")
+    )
+    oldc = c.select(
+        "cid", F.posexplode("cv").alias("dim0", "md_old")
+    ).select("cid", (F.col("dim0") + 1).alias("dim"), "md_old")
+    agg = (
+        m.join(oldc, ["cid", "dim"])
+        .groupBy("cid")
+        .agg(
+            F.sum(
+                F.round(F.col("md_new") * F.col("md_new"), 12).cast(
+                    "decimal(28,12)"
+                )
+            ).alias("nrm2"),
+            F.sum(
+                F.round(
+                    (F.col("md_new") - F.col("md_old"))
+                    * (F.col("md_new") - F.col("md_old")),
+                    12,
+                ).cast("decimal(28,12)")
+            ).alias("shift2"),
+        )
+    )
+    sz = asg.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned")
+    )
+    return (
+        sz.join(agg, "cid")
+        .select(
+            "cid",
+            "n_assigned",
+            F.round(F.sqrt(F.col("nrm2").cast("double")), 6).alias(
+                "new_norm"
+            ),
+            F.round(F.sqrt(F.col("shift2").cast("double")), 6).alias(
+                "shift"
+            ),
+        )
+        .orderBy("cid")
+    )
+
+
+_X342_ORACLE = """
+WITH tok AS (
+  SELECT source, t FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS t
+    FROM documents
+    WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+  ) WHERE length(t) > 0
+),
+cnt AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2
+),
+ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+vv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM cnt),
+spine AS (
+  SELECT s.source, w.t, s.n, vv.v,
+         COALESCE(c.c, 0) + 1 AS num
+  FROM ns s
+  CROSS JOIN (SELECT DISTINCT t FROM cnt) w
+  CROSS JOIN vv
+  LEFT JOIN cnt c ON c.source = s.source AND c.t = w.t
+),
+ce AS (
+  SELECT p.source AS s1, q.source AS s2,
+         ROUND(CAST(SUM(CAST(ROUND(
+             -(p.num / CAST(p.n + p.v AS DOUBLE))
+             * ln(q.num / CAST(q.n + q.v AS DOUBLE)), 12)
+           AS DECIMAL(28,12))) AS DOUBLE), 6) AS cross_entropy
+  FROM spine p JOIN spine q ON p.t = q.t
+  GROUP BY 1, 2
+)
+SELECT a.s1, a.s2, a.cross_entropy,
+       ROUND(a.cross_entropy - b.cross_entropy, 6) AS kl
+FROM ce a JOIN ce b ON a.s1 = b.s1 AND b.s2 = a.s1
+ORDER BY a.s1, a.s2
+"""
+
+
+@register(
+    "x342_lm_divergence",
+    _X342_ORACLE,
+    doc="unigram-LM cross-entropy and KL divergence matrix between "
+        "five sources (Laplace-smoothed over the shared vocabulary): "
+        "H(s1, s2) = -sum p(t|s1) ln p(t|s2), KL = H(s1,s2) - "
+        "H(s1,s1) -- the source-similarity numbers that drive "
+        "mixture design (x38/x46) and flag near-duplicate crawls at "
+        "the DISTRIBUTION level where doc-level dedup (x01-x06) sees "
+        "nothing. Determinism: smoothed probabilities are exact "
+        "(c+1)/(n+V) integer ratios evaluated once in double; each "
+        "vocab term rounds 12 into DECIMAL(28,12) before per-pair "
+        "sums. Scale: token counts are one hash-groupBy; the spine "
+        "is vocab x 5 sources and the pair join is vocab-keyed "
+        "(sources^2 fan-out per token, never corpus-sized)",
+)
+def x342_lm_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = ["src0", "src1", "src2", "src3", "src4"]
+    tok = (
+        docs.filter(F.col("source").isin(srcs))
+        .select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("t")
+        )
+        .filter(F.length("t") > 0)
+    )
+    cnt = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ns = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    vv = cnt.agg(F.countDistinct("t").cast("long").alias("v"))
+    vocab = cnt.select("t").distinct()
+    spine = (
+        ns.crossJoin(vocab)
+        .crossJoin(F.broadcast(vv))
+        .join(cnt, ["source", "t"], "left")
+        .select(
+            "source",
+            "t",
+            "n",
+            "v",
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).alias("num"),
+        )
+    )
+    p = spine.select(
+        F.col("source").alias("s1"),
+        "t",
+        (F.col("num") / (F.col("n") + F.col("v")).cast("double")).alias(
+            "p1"
+        ),
+    )
+    q = spine.select(
+        F.col("source").alias("s2"),
+        "t",
+        (F.col("num") / (F.col("n") + F.col("v")).cast("double")).alias(
+            "p2"
+        ),
+    )
+    ce = (
+        p.join(q, "t")
+        .select(
+            "s1",
+            "s2",
+            F.round(-F.col("p1") * F.log("p2"), 12)
+            .cast("decimal(28,12)")
+            .alias("term"),
+        )
+        .groupBy("s1", "s2")
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("cross_entropy"))
+    )
+    self_ce = ce.filter(F.col("s1") == F.col("s2")).select(
+        F.col("s1").alias("s1x"),
+        F.col("cross_entropy").alias("h_self"),
+    )
+    return (
+        ce.join(self_ce, ce.s1 == self_ce.s1x)
+        .select(
+            "s1",
+            "s2",
+            "cross_entropy",
+            F.round(F.col("cross_entropy") - F.col("h_self"), 6).alias(
+                "kl"
+            ),
+        )
+        .orderBy("s1", "s2")
+    )

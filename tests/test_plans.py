@@ -640,3 +640,26 @@ def test_x265_centroid_shift_no_cartesian_bounded_cells(spark):
     plan = plan_of(x265_centroid_shift(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_x340_w1_windows_ride_value_aggregate(spark):
+    """x340: its ordered cumulative-CDF windows are allowed ONLY
+    because they run over the distinct-value aggregate (bounded by
+    the 2-dp value domain, corpus-independent -- the x81/x292
+    contract): every Exchange SinglePartition must sit DIRECTLY on a
+    HashAggregate, never on a corpus-sized scan."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x340_wasserstein_drift,
+    )
+
+    plan = plan_of(x340_wasserstein_drift(spark, SF))
+    parts = plan.split("Exchange SinglePartition")
+    assert len(parts) > 1, "expected the bounded seam windows"
+    for seg in parts[1:]:
+        first = next(
+            ln for ln in seg.splitlines()[1:] if ln.strip(" :+-|")
+        )
+        assert "HashAggregate" in first, (
+            f"SinglePartition window fed by non-aggregate input: {first}"
+        )
+    assert "CartesianProduct" not in plan
