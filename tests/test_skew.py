@@ -48,6 +48,7 @@ ALLOW_SCALAR_BNLJ = {
     "x140_markov_stationary",
     "x234_seq_predictability",
     "x283_multi_gap_sessions",  # broadcast 3-row threshold dim
+    "x330_window_funnel",  # broadcast 1-row level-total
 }
 
 SKEW_ENTRIES = [
@@ -115,6 +116,14 @@ SKEW_ENTRIES = [
     "x295_incremental_neardup",
     "x296_editdist_neardup",
     "x297_split_leakage",
+    # round-6 batch-2 additions: x330's three chained min-aggregates
+    # and joins all key on the hot user (20% of events -> one hash
+    # partition per stage, but each stage's input is type-filtered and
+    # partially aggregated); x334's per-user type self-join meets the
+    # hot user with a <=4-types-per-user fan-out bound -- answers,
+    # plan, and the 3x straggler bound must hold for both
+    "x330_window_funnel",
+    "x334_precedence_matrix",
 ]
 
 
