@@ -20250,3 +20250,565 @@ def x342_lm_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s1", "s2")
     )
+
+
+_X343_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1
+),
+tr AS (
+  SELECT d, cents,
+         CASE WHEN count(*) OVER w = 7
+              THEN ROUND(SUM(cents) OVER w / 7.0 / 100, 4)
+              ELSE NULL END AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+resid AS (
+  SELECT d, cents, trend,
+         CAST(isodow(d) AS BIGINT) AS dow,
+         ROUND(cents / 100.0 - trend, 4) AS detrended
+  FROM tr
+),
+seas AS (
+  SELECT dow,
+         ROUND(CAST(SUM(CAST(ROUND(detrended, 4) AS DECIMAL(18,4)))
+                    AS DOUBLE) / count(*), 4) AS seasonal
+  FROM resid WHERE detrended IS NOT NULL GROUP BY 1
+)
+SELECT r.d AS day, ROUND(r.cents / 100.0, 2) AS revenue, r.dow,
+       r.trend, s.seasonal,
+       ROUND(r.cents / 100.0 - r.trend - s.seasonal, 4) AS residual
+FROM resid r JOIN seas s ON r.dow = s.dow
+WHERE r.trend IS NOT NULL
+ORDER BY r.d
+"""
+
+
+@register(
+    "x343_seasonal_decomposition",
+    _X343_ORACLE,
+    doc="additive seasonal decomposition of daily event revenue "
+        "(classical decompose-lite): trend = 7-day centered moving "
+        "average (full windows only), seasonal = per-ISO-weekday mean "
+        "of the detrended series, residual = value - trend - "
+        "seasonal -- x288's seasonality index extended to the full "
+        "trend/seasonal/residual split anomaly pipelines subtract "
+        "before alerting (x77/x289 fire on residuals, not raw). "
+        "Determinism: daily cents are exact BIGINTs, the MA divides "
+        "an exact 7-day sum once, detrended values round 4 into "
+        "DECIMAL(18,4) before the per-dow mean. Scale: one corpus "
+        "pass to the day-cardinality aggregate; all windows ride it "
+        "under the x81/x292 bounded contract",
+)
+def x343_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.col("ts").cast("date").alias("d"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "cents",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.round(F.sum("cents").over(w) / 7.0 / 100, 4),
+        ).alias("trend"),
+    )
+    resid = tr.select(
+        "d",
+        "cents",
+        "trend",
+        F.dayofweek("d").alias("dow_us"),
+        F.round(F.col("cents") / 100.0 - F.col("trend"), 4).alias(
+            "detrended"
+        ),
+    ).withColumn(
+        # ISO weekday (Mon=1..Sun=7) from Spark's US dayofweek (Sun=1)
+        "dow",
+        F.when(F.col("dow_us") == 1, 7).otherwise(
+            F.col("dow_us") - 1
+        ).cast("long"),
+    )
+    seas = (
+        resid.filter(F.col("detrended").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round("detrended", 4).cast("decimal(18,4)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("seasonal")
+        )
+    )
+    return (
+        resid.join(F.broadcast(seas), "dow")
+        .filter(F.col("trend").isNotNull())
+        .select(
+            F.col("d").alias("day"),
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            "dow",
+            "trend",
+            "seasonal",
+            F.round(
+                F.col("cents") / 100.0 - F.col("trend") - F.col("seasonal"),
+                4,
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+_X344_ORACLE = """
+WITH pos AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+np AS (SELECT CAST(max(p_partkey) AS BIGINT) AS n_parts FROM part),
+users AS (SELECT DISTINCT u FROM pos),
+cand AS (
+  SELECT users.u, k.k,
+         1 + CAST(concat('0x', substr(md5(concat(CAST(users.u AS VARCHAR),
+               ':neg:', CAST(k.k AS VARCHAR))), 1, 8)) AS BIGINT)
+             % np.n_parts AS p
+  FROM users CROSS JOIN (SELECT unnest(range(0, 3)) AS k) k
+  CROSS JOIN np
+),
+hit AS (
+  SELECT c.u, c.k, c.p,
+         CASE WHEN pos.u IS NULL THEN 0 ELSE 1 END AS is_pos
+  FROM cand c LEFT JOIN pos ON c.u = pos.u AND c.p = pos.p
+)
+SELECT CAST((SELECT count(*) FROM users) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(is_pos) AS BIGINT) AS n_collisions,
+       ROUND(SUM(is_pos) / CAST(count(*) AS DOUBLE), 6)
+         AS collision_rate,
+       CAST(SUM(1 - is_pos) AS BIGINT) AS n_negatives
+FROM hit
+"""
+
+
+@register(
+    "x344_negative_sampling",
+    _X344_ORACLE,
+    doc="deterministic uniform negative sampling for recommender / "
+        "contrastive training: 3 candidate parts per purchasing "
+        "customer drawn by md5(user:neg:k) modulo the part-id domain, "
+        "anti-checked against the positive set -- reporting candidate "
+        "count, positive-collision count/rate (the quantity that "
+        "decides between reject-resample and loss masking), and the "
+        "surviving negatives. No RNG state: candidates are a pure "
+        "row-local hash function, so every retry/engine reproduces "
+        "the same sample (x328's streaming-bootstrap property). "
+        "Scale: candidate generation is map-side off the distinct-"
+        "user table; the collision check is one (user, part) "
+        "equi-join against the positives -- never a domain spine",
+)
+def x344_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    pos = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    np_ = part.agg(F.max("p_partkey").cast("long").alias("n_parts"))
+    users = pos.select("u").distinct()
+    cand = (
+        users.select(
+            "u", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k")
+        )
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "u",
+            "k",
+            (
+                1
+                + F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("u").cast("string"),
+                                F.lit(":neg:"),
+                                F.col("k").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n_parts")
+            ).alias("p"),
+        )
+    )
+    hit = cand.join(
+        pos.withColumn("is_pos", F.lit(1)), ["u", "p"], "left"
+    ).select("u", "k", F.coalesce("is_pos", F.lit(0)).alias("is_pos"))
+    nu = users.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    return hit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum("is_pos").cast("long").alias("n_collisions"),
+        F.round(
+            F.sum("is_pos") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("collision_rate"),
+        F.sum(1 - F.col("is_pos")).cast("long").alias("n_negatives"),
+    ).crossJoin(F.broadcast(nu)).select(
+        "n_users",
+        "n_candidates",
+        "n_collisions",
+        "collision_rate",
+        "n_negatives",
+    )
+
+
+def _x345_oracle(iterations: int = 2, top_k: int = 20) -> str:
+    ctes = [
+        """ed AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)""",
+        "h0 AS MATERIALIZED (SELECT u, CAST(1.0 AS DOUBLE) AS h "
+        "FROM (SELECT DISTINCT u FROM ed))",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""ar{t} AS MATERIALIZED (
+  SELECT ed.p, SUM(CAST(ROUND(h.h, 12) AS DECIMAL(28,12))) AS s
+  FROM ed JOIN h{t - 1} h ON ed.u = h.u GROUP BY ed.p
+)"""
+        )
+        ctes.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT p, ROUND(CAST(s AS DOUBLE) /
+           CAST((SELECT SUM(s) FROM ar{t}) AS DOUBLE), 12) AS a
+  FROM ar{t}
+)"""
+        )
+        ctes.append(
+            f"""hr{t} AS MATERIALIZED (
+  SELECT ed.u, SUM(CAST(ROUND(a.a, 12) AS DECIMAL(28,12))) AS s
+  FROM ed JOIN a{t} a ON ed.p = a.p GROUP BY ed.u
+)"""
+        )
+        ctes.append(
+            f"""h{t} AS MATERIALIZED (
+  SELECT u, ROUND(CAST(s AS DOUBLE) /
+           CAST((SELECT SUM(s) FROM hr{t}) AS DOUBLE), 12) AS h
+  FROM hr{t}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(p AS BIGINT) AS part_id, ROUND(a, 8) AS authority
+FROM a{iterations}
+ORDER BY a DESC, p LIMIT {top_k}"""
+    )
+
+
+@register(
+    "x345_hits_authorities",
+    _x345_oracle(),
+    doc="HITS hubs-and-authorities over the customer-part purchase "
+        "bipartite graph, 2 mutual-reinforcement iterations "
+        "(Kleinberg; L1-normalized for cross-engine exactness instead "
+        "of the classical L2 -- same ranking, documented): authority "
+        "of a part = sum of its buyers' hub scores, hub of a customer "
+        "= sum of bought parts' authorities -- the 'respected items "
+        "vs discerning buyers' dual that PageRank (x104) collapses. "
+        "Determinism: contributions round 12 into DECIMAL(28,12) "
+        "before edge-sums; normalizers are DECIMAL sums divided once "
+        "in double. Scale: the edge list is the only corpus-sized "
+        "table (one distinct); each iteration is two edge-keyed "
+        "equi-join aggregates -- node-sized state, x104's fixed-depth "
+        "shape on a bipartite graph",
+)
+def x345_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ed = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    h = ed.select("u").distinct().select(
+        "u", F.lit(1.0).cast("double").alias("h")
+    )
+    a = None
+    for _ in range(2):
+        ar = (
+            ed.join(h, "u")
+            .select(
+                "p",
+                F.round("h", 12).cast("decimal(28,12)").alias("c"),
+            )
+            .groupBy("p")
+            .agg(F.sum("c").alias("s"))
+        )
+        atot = ar.agg(F.sum("s").alias("t"))
+        a = ar.crossJoin(F.broadcast(atot)).select(
+            "p",
+            F.round(
+                F.col("s").cast("double") / F.col("t").cast("double"),
+                12,
+            ).alias("a"),
+        )
+        hr = (
+            ed.join(a, "p")
+            .select(
+                "u",
+                F.round("a", 12).cast("decimal(28,12)").alias("c"),
+            )
+            .groupBy("u")
+            .agg(F.sum("c").alias("s"))
+        )
+        htot = hr.agg(F.sum("s").alias("t"))
+        h = hr.crossJoin(F.broadcast(htot)).select(
+            "u",
+            F.round(
+                F.col("s").cast("double") / F.col("t").cast("double"),
+                12,
+            ).alias("h"),
+        )
+    return (
+        a.select(
+            F.col("p").cast("long").alias("part_id"),
+            F.round("a", 8).alias("authority"),
+        )
+        .orderBy(F.desc("authority"), "part_id")
+        .limit(20)
+    )
+
+
+_X346_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+              ':shuffle')), 1, 8)) AS BIGINT) % 32 AS shard,
+         substr(md5(concat(CAST(doc_id AS VARCHAR), ':shuffle')), 9, 8)
+           AS ord
+  FROM documents
+),
+seq AS (
+  SELECT source, shard,
+         LAG(source) OVER (PARTITION BY shard ORDER BY ord, doc_id)
+           AS prev_source
+  FROM d
+),
+obs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_adjacent,
+         CAST(SUM(CASE WHEN source = prev_source THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_same
+  FROM seq WHERE prev_source IS NOT NULL
+),
+mix AS (
+  SELECT SUM(CAST(ROUND((cnt / CAST(tot AS DOUBLE))
+                        * (cnt / CAST(tot AS DOUBLE)), 12)
+                  AS DECIMAL(28,12))) AS expected
+  FROM (SELECT count(*) AS cnt, SUM(count(*)) OVER () AS tot
+        FROM d GROUP BY source)
+)
+SELECT o.n_adjacent, o.n_same,
+       ROUND(o.n_same / CAST(o.n_adjacent AS DOUBLE), 6) AS same_frac,
+       ROUND(CAST(m.expected AS DOUBLE), 6) AS expected_frac,
+       ROUND((o.n_same / CAST(o.n_adjacent AS DOUBLE))
+             / CAST(m.expected AS DOUBLE), 4) AS clumping_ratio
+FROM obs o CROSS JOIN mix m
+"""
+
+
+@register(
+    "x346_shuffle_mixing",
+    _X346_ORACLE,
+    doc="shuffle-quality audit for training-batch mixing: after "
+        "x42's deterministic md5 shard shuffle, the fraction of "
+        "adjacent same-source pairs within each shard vs the "
+        "perfectly-mixed expectation sum(p_s^2) -- clumping_ratio "
+        "~1.0 means the shuffle actually decorrelated sources "
+        "(poorly mixed batches are a real LLM-training regression: "
+        "consecutive same-crawl documents gradient-correlate). "
+        "Adjacency comes from lag() windows PARTITIONED BY SHARD -- "
+        "per-shard parallelism, shard count scales with the cluster, "
+        "never a global order. Exact integer pair counts; expected "
+        "fraction from round-12 DECIMAL share squares",
+)
+def x346_shuffle_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle")))
+    d = docs.select(
+        "doc_id",
+        "source",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 32).alias(
+            "shard"
+        ),
+        F.substring(h, 9, 8).alias("ord"),
+    )
+    w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+    seq = d.select(
+        "source", F.lag("source").over(w).alias("prev_source")
+    )
+    obs = seq.filter(F.col("prev_source").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_adjacent"),
+        F.sum(
+            F.when(F.col("source") == F.col("prev_source"), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_same"),
+    )
+    shares = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = shares.agg(F.sum("cnt").alias("tot"))
+    mix = (
+        shares.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("cnt") / F.col("tot").cast("double"))
+                * (F.col("cnt") / F.col("tot").cast("double")),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("sq")
+        )
+        .agg(F.sum("sq").alias("expected"))
+    )
+    return obs.crossJoin(F.broadcast(mix)).select(
+        "n_adjacent",
+        "n_same",
+        F.round(
+            F.col("n_same") / F.col("n_adjacent").cast("double"), 6
+        ).alias("same_frac"),
+        F.round(F.col("expected").cast("double"), 6).alias(
+            "expected_frac"
+        ),
+        F.round(
+            (F.col("n_same") / F.col("n_adjacent").cast("double"))
+            / F.col("expected").cast("double"),
+            4,
+        ).alias("clumping_ratio"),
+    )
+
+
+_X347_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN substr(md5(concat(CAST(event_id AS VARCHAR),
+              ':tsplit')), 1, 4) < '4000' THEN 1 ELSE 0 END AS is_test
+  FROM events
+),
+test_start AS (
+  SELECT user_id, min(ts) AS t0
+  FROM flagged WHERE is_test = 1 GROUP BY 1
+),
+train AS (
+  SELECT f.user_id,
+         CAST(count(*) AS BIGINT) AS n_train,
+         CAST(SUM(CASE WHEN f.ts > t.t0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after
+  FROM flagged f JOIN test_start t ON f.user_id = t.user_id
+  WHERE f.is_test = 0
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN n_after > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_users_leaking,
+       CAST(SUM(n_train) AS BIGINT) AS n_train_events,
+       CAST(SUM(n_after) AS BIGINT) AS n_train_after_test,
+       ROUND(SUM(n_after) / CAST(SUM(n_train) AS DOUBLE), 6)
+         AS leak_fraction
+FROM train
+"""
+
+
+@register(
+    "x347_time_leakage",
+    _X347_ORACLE,
+    doc="temporal-leakage audit of a hash-random train/test split "
+        "(x18's md5 split at 25%): per user, how much TRAINING data "
+        "postdates the user's first test event -- the leakage a "
+        "random split silently injects into any time-causal task "
+        "(churn, next-event, conversion), which a time-based split "
+        "eliminates by construction. Complements x146/x297 "
+        "(feature/near-dup leakage) with the time axis. Exact "
+        "integer counts off one user-key min-aggregate + one "
+        "user-key join (same partitioning reused); the md5 "
+        "threshold is x18's proven hex-prefix recipe",
+)
+def x347_time_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"), F.lit(":tsplit")
+                    )
+                ),
+                1,
+                4,
+            )
+            < "4000",
+            1,
+        )
+        .otherwise(0)
+        .alias("is_test"),
+    )
+    test_start = (
+        flagged.filter(F.col("is_test") == 1)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    train = (
+        flagged.filter(F.col("is_test") == 0)
+        .join(test_start, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+            F.sum(F.when(F.col("ts") > F.col("t0"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_after"),
+        )
+    )
+    return train.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("n_after") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_users_leaking"),
+        F.sum("n_train").cast("long").alias("n_train_events"),
+        F.sum("n_after").cast("long").alias("n_train_after_test"),
+        F.round(
+            F.sum("n_after") / F.sum("n_train").cast("double"), 6
+        ).alias("leak_fraction"),
+    )

@@ -124,6 +124,8 @@ SKEW_ENTRIES = [
     # plan, and the 3x straggler bound must hold for both
     "x330_window_funnel",
     "x334_precedence_matrix",
+    # x347's test-start min-agg and train join both key on the hot user
+    "x347_time_leakage",
 ]
 
 
