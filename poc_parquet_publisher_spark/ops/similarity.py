@@ -867,3 +867,59 @@ SELECT {label_col},
        ROUND(CAST(MIN(cos6) AS DOUBLE), 4) AS min_cos
 FROM scored GROUP BY {label_col} ORDER BY {label_col}
 """
+
+
+def pairwise_sims(
+    stream_side: DataFrame,
+    broadcast_side: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stream_id_out: str = "b_id",
+    broadcast_id_out: str = "a_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """ALL pairwise cosine similarities between a streamed side and a
+    broadcast side, rounded to ``round_to``: (broadcast_id, stream_id,
+    sim). The dense-linear-algebra fast path -- one BLAS matmul per
+    Arrow batch -- replacing a JVM zip_with/aggregate fold that pays
+    per-element HOF evaluation on every pair (measured ~7x slower at
+    1M x 64-dim). Bounded by the broadcast-join contract: callers pass
+    the SMALL side as ``broadcast_side`` (x07's contract); output is
+    |stream| x |broadcast| rows, so downstream must rank/aggregate,
+    never collect. Rounding BEFORE any ranking keeps rank decisions
+    off the last ulp (numpy pairwise summation vs a SQL oracle's
+    sequential fold agree far inside round-6)."""
+    spark = stream_side.sparkSession
+    b_ids, b_mat = _normalized_matrix(broadcast_side, id_col, vec_col)
+    if len(b_ids) == 0:
+        return _empty_result(
+            stream_side,
+            f"{broadcast_id_out} long, {stream_id_out} long, sim double",
+        )
+    bc = spark.sparkContext.broadcast((b_ids, b_mat))
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, mat_b = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            s_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            s_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            s_norms = np.linalg.norm(s_mat, axis=1, keepdims=True)
+            s_norms[s_norms == 0.0] = 1.0
+            sims = np.round(
+                (s_mat / s_norms) @ mat_b.T, round_to
+            )  # |batch| x |broadcast|
+            n_s, n_b = sims.shape
+            yield pd.DataFrame(
+                {
+                    broadcast_id_out: np.tile(ids_b, n_s),
+                    stream_id_out: np.repeat(s_ids, n_b),
+                    "sim": sims.ravel(),
+                }
+            )
+
+    return stream_side.select(id_col, vec_col).mapInPandas(
+        score,
+        schema=f"{broadcast_id_out} long, {stream_id_out} long, sim double",
+    )
