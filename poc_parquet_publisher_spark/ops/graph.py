@@ -416,3 +416,106 @@ lv AS (
 SELECT CAST(dist AS BIGINT) AS dist, CAST(n AS BIGINT) AS n_nodes
 FROM lv ORDER BY dist"""
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    materialize: bool = True,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart to a SEED
+    distribution) over a symmetric edge list: ``seeds`` is (u, w) with
+    weights summing to 1; non-seed nodes get 0 teleport mass, so rank
+    concentrates around the seed neighborhood -- the query-expansion /
+    related-items primitive vanilla :func:`pagerank` cannot express.
+    Same scale shape as pagerank: node-sized state, one edge-keyed
+    shuffle_hash join + destination groupBy per iteration, round-12
+    DECIMAL contributions."""
+    if materialize:
+        edges = edges.localCheckpoint(eager=False)
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    base = 1.0 - damping
+    nodes = deg.join(seeds.select("u", "w"), "u", "left").select(
+        "u", "deg", F.coalesce(F.col("w"), F.lit(0.0)).alias("w")
+    )
+    rank = nodes.withColumn("r", F.col("w"))
+    for _ in range(iterations):
+        contrib = edges.join(
+            rank.select("u", "deg", "r").hint("shuffle_hash"), "u"
+        ).select(
+            F.col("v").alias("u"),
+            F.round(F.col("r") / F.col("deg"), 12)
+            .cast("decimal(28,12)")
+            .alias("c"),
+        )
+        sums = contrib.groupBy("u").agg(F.sum("c").alias("s"))
+        rank = (
+            nodes.join(sums.hint("shuffle_hash"), "u", "left")
+            .select(
+                "u",
+                "deg",
+                "w",
+                F.round(
+                    F.lit(base) * F.col("w")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                    12,
+                ).alias("r"),
+            )
+        )
+    return rank.select(F.col("u").alias("node"), F.col("r").alias("rank"))
+
+
+def ppr_sql_over_edges(
+    edge_ctes: list[str],
+    seed_cte: str,
+    iterations: int = 3,
+    damping: float = 0.85,
+    top_k: int = 20,
+    node_select: str = "u AS node",
+) -> str:
+    """DuckDB SQL replaying :func:`personalized_pagerank`: callers
+    supply CTEs ending in ``edges(u, v)`` (symmetric) plus ``seed_cte``
+    defining ``seeds(u, w)`` (weights summing to 1). Same round-12 /
+    DECIMAL(28,12) chain as ``pagerank_sql_over_edges`` with the
+    teleport mass redirected to the seed vector."""
+    base = 1.0 - damping
+    ctes = list(edge_ctes) + [
+        "deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u)",
+        seed_cte,
+        """nw AS (
+  SELECT deg.u, deg.deg, COALESCE(s.w, CAST(0.0 AS DOUBLE)) AS w
+  FROM deg LEFT JOIN seeds s ON deg.u = s.u
+)""",
+        "r0 AS (SELECT u, deg, w, w AS r FROM nw)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""c{i + 1} AS (
+  SELECT e.v AS u,
+         SUM(CAST(ROUND(r.r / r.deg, 12) AS DECIMAL(28,12))) AS s
+  FROM edges e JOIN r{i} r ON e.u = r.u GROUP BY e.v
+)"""
+        )
+        ctes.append(
+            f"""r{i + 1} AS (
+  SELECT n.u, n.deg, n.w,
+         ROUND(CAST({base!r} AS DOUBLE) * n.w +
+               CAST({damping!r} AS DOUBLE) *
+               COALESCE(CAST(c{i + 1}.s AS DOUBLE),
+                        CAST(0.0 AS DOUBLE)), 12) AS r
+  FROM nw n LEFT JOIN c{i + 1} ON n.u = c{i + 1}.u
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT {node_select},
+       CASE WHEN w > 0 THEN 1 ELSE 0 END AS is_seed,
+       ROUND(r, 8) AS rank
+FROM r{iterations}
+ORDER BY r DESC, u LIMIT {top_k}"""
+    )

@@ -18083,6 +18083,38 @@ def x323_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def _word_cooccurrence_edges(docs: DataFrame) -> DataFrame:
+    """Distinct symmetric adjacency edges between content words
+    (lowercase alpha, length >= 4) -- the TextRank graph shared by
+    x324 (global PageRank) and x352 (seeded personalized PageRank)."""
+    ft = F.filter(
+        F.split(F.lower(F.col("text")), " "),
+        lambda t: t.rlike("^[a-z]{4,}$"),
+    )
+    with_ft = docs.select(ft.alias("ft"))
+    adj = with_ft.select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("ft"), 1, F.size("ft") - 1),
+                lambda x, i: F.struct(
+                    x.alias("a"),
+                    F.element_at(F.col("ft"), i + F.lit(2)).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pairs = (
+        adj.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    return pairs.union(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
 def _x324_oracle() -> str:
     edge_ctes = [
         """ft AS (
@@ -18129,32 +18161,7 @@ def _x324_oracle() -> str:
 )
 def x324_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ft = F.filter(
-        F.split(F.lower(F.col("text")), " "),
-        lambda t: t.rlike("^[a-z]{4,}$"),
-    )
-    with_ft = docs.select(ft.alias("ft"))
-    adj = with_ft.select(
-        F.explode(
-            F.transform(
-                F.slice(F.col("ft"), 1, F.size("ft") - 1),
-                lambda x, i: F.struct(
-                    x.alias("a"),
-                    F.element_at(F.col("ft"), i + F.lit(2)).alias("b"),
-                ),
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
-    pairs = (
-        adj.filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-        )
-        .distinct()
-    )
-    edges = pairs.union(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    edges = _word_cooccurrence_edges(docs)
     pr = graph.pagerank(edges, iterations=3, damping=0.85)
     return (
         pr.select(
@@ -20786,4 +20793,544 @@ def x347_time_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("n_after") / F.sum("n_train").cast("double"), 6
         ).alias("leak_fraction"),
+    )
+
+
+_X348_ORACLE = """
+WITH d AS (
+  SELECT LEAST(CAST(n_chars // 200 AS BIGINT), 9) AS bkt,
+         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+              ':sir')), 1, 8)) AS BIGINT) AS u
+  FROM documents
+),
+cnt AS (SELECT bkt, CAST(count(*) AS BIGINT) AS n_b FROM d GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n FROM cnt),
+w AS (
+  SELECT c.bkt, c.n_b, t.n,
+         0.1 * t.n / c.n_b AS wt
+  FROM cnt c CROSS JOIN tot t
+),
+mx AS (SELECT max(wt) AS mw FROM w),
+thr AS (
+  SELECT w.bkt, w.n_b, w.n,
+         CAST(FLOOR((w.wt / mx.mw) * 4294967296) AS BIGINT) AS cut
+  FROM w CROSS JOIN mx
+),
+acc AS (
+  SELECT d.bkt, CAST(SUM(CASE WHEN d.u < thr.cut THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_after
+  FROM d JOIN thr ON d.bkt = thr.bkt GROUP BY 1
+),
+at AS (SELECT CAST(SUM(n_after) AS BIGINT) AS na FROM acc)
+SELECT t.bkt AS len_bucket, t.n_b AS n_before,
+       ROUND(t.n_b / CAST(t.n AS DOUBLE), 6) AS share_before,
+       a.n_after,
+       ROUND(a.n_after / CAST(att.na AS DOUBLE), 6) AS share_after,
+       ROUND(a.n_after / CAST(t.n_b AS DOUBLE), 6) AS accept_rate
+FROM thr t JOIN acc a ON t.bkt = a.bkt CROSS JOIN at att
+ORDER BY t.bkt
+"""
+
+
+@register(
+    "x348_importance_resampling",
+    _X348_ORACLE,
+    doc="deterministic sampling-importance-resampling toward a UNIFORM "
+        "length-bucket target: per-bucket weight w = target/actual, "
+        "acceptance w/max(w) (the heaviest bucket keeps everything), "
+        "accept iff the 32-bit md5(doc:sir) uniform clears "
+        "floor(a*2^32) -- the distribution-matching resample curation "
+        "pipelines use to fix length (or language/source) imbalance "
+        "without up-weighting losses. Determinism: thresholds are "
+        "exact BIGINTs from ratios of exact counts (the only doubles "
+        "are w/max(w), identical both engines); accept decisions are "
+        "integer comparisons. Scale: two corpus passes (count, "
+        "accept-count) with a 10-row broadcast between -- no "
+        "shuffle of the corpus itself",
+)
+def x348_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.least(F.floor(F.col("n_chars") / 200), F.lit(9))
+        .cast("long")
+        .alias("bkt"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":sir"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("u"),
+    )
+    cnt = d.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    tot = cnt.agg(F.sum("n_b").cast("long").alias("n"))
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "bkt", "n_b", "n", (0.1 * F.col("n") / F.col("n_b")).alias("wt")
+    )
+    mx = w.agg(F.max("wt").alias("mw"))
+    thr = w.crossJoin(F.broadcast(mx)).select(
+        "bkt",
+        "n_b",
+        "n",
+        F.floor((F.col("wt") / F.col("mw")) * F.lit(4294967296))
+        .cast("long")
+        .alias("cut"),
+    )
+    acc = (
+        d.join(F.broadcast(thr.select("bkt", "cut")), "bkt")
+        .groupBy("bkt")
+        .agg(
+            F.sum(F.when(F.col("u") < F.col("cut"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_after")
+        )
+    )
+    at = acc.agg(F.sum("n_after").cast("long").alias("na"))
+    return (
+        thr.join(acc, "bkt")
+        .crossJoin(F.broadcast(at))
+        .select(
+            F.col("bkt").alias("len_bucket"),
+            F.col("n_b").alias("n_before"),
+            F.round(F.col("n_b") / F.col("n").cast("double"), 6).alias(
+                "share_before"
+            ),
+            "n_after",
+            F.round(
+                F.col("n_after") / F.col("na").cast("double"), 6
+            ).alias("share_after"),
+            F.round(
+                F.col("n_after") / F.col("n_b").cast("double"), 6
+            ).alias("accept_rate"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+_X349_ORACLE = """
+WITH scored AS (
+  SELECT CAST(FLOOR(ROUND(CAST(len(list_filter(
+                string_split(lower(text), ' '),
+                t -> t IN (%s))) AS DOUBLE)
+              / len(string_split(lower(text), ' ')), 4)
+              * 10000 + 0.5) AS BIGINT) AS p_s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+per AS (
+  SELECT p_s, CAST(count(*) AS BIGINT) AS n_s,
+         CAST(SUM(pos) AS BIGINT) AS pos_s
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT p_s, n_s, pos_s,
+         SUM(n_s) OVER (ORDER BY p_s) - n_s AS cum_before
+  FROM per
+),
+agg AS (
+  SELECT CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+         CAST(SUM(n_s - pos_s) AS BIGINT) AS n_neg,
+         CAST(SUM(pos_s * (2 * cum_before + n_s + 1)) AS BIGINT) AS r2
+  FROM cum
+)
+SELECT n_pos, n_neg,
+       ROUND((r2 - n_pos * (n_pos + 1))
+             / (2.0 * n_pos * n_neg), 6) AS auc,
+       ROUND((r2 - n_pos * (n_pos + 1))
+             / (1.0 * n_pos * n_neg) - 1, 6) AS gini
+FROM agg
+""" % _STOP_EN
+
+
+@register(
+    "x349_auc_mann_whitney",
+    _X349_ORACLE,
+    doc="exact ROC AUC for x315's stopword-ratio scorer against the "
+        "lang label via the Mann-Whitney rank-sum identity with "
+        "MIDRANKS for ties (AUC = (R+ - n+(n+1)/2) / (n+ n-)) -- the "
+        "threshold-free discrimination number completing the "
+        "classifier-audit suite (x315 calibration, x339 Brier, x317 "
+        "retrieval). Tie handling is exact: 2*midrank = 2*cum_before "
+        "+ n_s + 1 keeps EVERYTHING integer until one final division "
+        "(no float rank averaging). Scale: one corpus pass to the "
+        "score-domain aggregate (<=10001 rows, bounded); the "
+        "cumulative window rides it under the x340 plan-gated "
+        "contract",
+)
+def x349_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    p_s = F.floor(
+        text.stop_ratio_column("text") * 10000 + F.lit(0.5)
+    ).cast("long")
+    scored = docs.select(
+        p_s.alias("p_s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    per = scored.groupBy("p_s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("pos").cast("long").alias("pos_s"),
+    )
+    w = Window.orderBy("p_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "p_s",
+        "n_s",
+        "pos_s",
+        (F.sum("n_s").over(w) - F.col("n_s")).alias("cum_before"),
+    )
+    agg = cum.agg(
+        F.sum("pos_s").cast("long").alias("n_pos"),
+        F.sum(F.col("n_s") - F.col("pos_s")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos_s")
+            * (2 * F.col("cum_before") + F.col("n_s") + 1)
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+        F.round(
+            (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (1.0 * F.col("n_pos") * F.col("n_neg"))
+            - 1,
+            6,
+        ).alias("gini"),
+    )
+
+
+_X350_ORACLE = """
+WITH scored AS (
+  SELECT CAST(FLOOR(ROUND(CAST(len(list_filter(
+                string_split(lower(text), ' '),
+                t -> t IN (%s))) AS DOUBLE)
+              / len(string_split(lower(text), ' ')), 4)
+              * 10000 + 0.5) AS BIGINT) AS p_s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+per AS (
+  SELECT p_s, CAST(count(*) AS BIGINT) AS n_s,
+         CAST(SUM(pos) AS BIGINT) AS pos_s
+  FROM scored GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+         CAST(SUM(n_s - pos_s) AS BIGINT) AS n_neg
+  FROM per
+),
+cum AS (
+  SELECT p_s,
+         CAST(SUM(pos_s) OVER (ORDER BY p_s DESC) AS BIGINT) AS tp,
+         CAST(SUM(n_s) OVER (ORDER BY p_s DESC) AS BIGINT) AS pred_pos
+  FROM per
+),
+m AS (
+  SELECT c.p_s AS threshold, c.tp, c.pred_pos - c.tp AS fp,
+         t.n_pos, t.n_neg,
+         ROUND(c.tp / CAST(c.pred_pos AS DOUBLE), 6) AS precision_,
+         ROUND(c.tp / CAST(t.n_pos AS DOUBLE), 6) AS recall_,
+         ROUND(2.0 * c.tp / (c.pred_pos + t.n_pos), 8) AS f1,
+         ROUND(c.tp / CAST(t.n_pos AS DOUBLE)
+               - (c.pred_pos - c.tp) / CAST(t.n_neg AS DOUBLE), 8)
+           AS youden
+  FROM cum c CROSS JOIN tot t
+),
+bf AS (
+  SELECT 'best_f1' AS metric, threshold, tp, fp, precision_, recall_,
+         f1, youden
+  FROM m QUALIFY row_number() OVER (ORDER BY f1 DESC, threshold) = 1
+),
+bj AS (
+  SELECT 'best_youden' AS metric, threshold, tp, fp, precision_,
+         recall_, f1, youden
+  FROM m QUALIFY row_number() OVER (ORDER BY youden DESC, threshold) = 1
+)
+SELECT * FROM bf UNION ALL SELECT * FROM bj ORDER BY metric
+""" % _STOP_EN
+
+
+@register(
+    "x350_threshold_sweep",
+    _X350_ORACLE,
+    doc="full operating-point sweep for x315's scorer: every distinct "
+        "score is a candidate threshold (predict positive iff score "
+        ">= t); suffix-cumulative TP/FP from ONE score-domain "
+        "aggregate give precision/recall/F1 (exact 2TP/(P+n_pos) "
+        "form) and Youden J at every point; report the best-F1 and "
+        "best-Youden operating points (deterministic low-threshold "
+        "tie-break on round-8 scores) -- how a quality filter's "
+        "cutoff should actually be chosen, completing x315/x339/"
+        "x349. Scale: the sweep costs ONE pass + windows over the "
+        "<=10001-row bounded score aggregate -- no per-threshold "
+        "re-scan, no model in the loop",
+)
+def x350_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    p_s = F.floor(
+        text.stop_ratio_column("text") * 10000 + F.lit(0.5)
+    ).cast("long")
+    scored = docs.select(
+        p_s.alias("p_s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    per = scored.groupBy("p_s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("pos").cast("long").alias("pos_s"),
+    )
+    tot = per.agg(
+        F.sum("pos_s").cast("long").alias("n_pos"),
+        F.sum(F.col("n_s") - F.col("pos_s")).cast("long").alias("n_neg"),
+    )
+    wd = Window.orderBy(F.desc("p_s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "p_s",
+        F.sum("pos_s").over(wd).cast("long").alias("tp"),
+        F.sum("n_s").over(wd).cast("long").alias("pred_pos"),
+    )
+    m = cum.crossJoin(F.broadcast(tot)).select(
+        F.col("p_s").alias("threshold"),
+        "tp",
+        (F.col("pred_pos") - F.col("tp")).alias("fp"),
+        F.round(F.col("tp") / F.col("pred_pos").cast("double"), 6).alias(
+            "precision_"
+        ),
+        F.round(F.col("tp") / F.col("n_pos").cast("double"), 6).alias(
+            "recall_"
+        ),
+        F.round(
+            2.0 * F.col("tp") / (F.col("pred_pos") + F.col("n_pos")), 8
+        ).alias("f1"),
+        F.round(
+            F.col("tp") / F.col("n_pos").cast("double")
+            - (F.col("pred_pos") - F.col("tp"))
+            / F.col("n_neg").cast("double"),
+            8,
+        ).alias("youden"),
+    )
+    wf = Window.orderBy(F.desc("f1"), "threshold")
+    wy = Window.orderBy(F.desc("youden"), "threshold")
+    bf = (
+        m.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .select(F.lit("best_f1").alias("metric"), "*")
+    )
+    bj = (
+        m.withColumn("rn", F.row_number().over(wy))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .select(F.lit("best_youden").alias("metric"), "*")
+    )
+    return bf.union(bj).orderBy("metric")
+
+
+_X351_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0
+),
+items AS (SELECT DISTINCT l_orderkey, l_partkey FROM li),
+p AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+),
+edges AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+br AS (SELECT p_partkey, p_brand FROM part),
+lab AS (
+  SELECT e.u, e.v, bu.p_brand AS cu, bv.p_brand AS cv
+  FROM edges e
+  JOIN br bu ON e.u = bu.p_partkey
+  JOIN br bv ON e.v = bv.p_partkey
+),
+m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM lab),
+perc AS (
+  SELECT cu AS community,
+         CAST(SUM(CASE WHEN cu = cv THEN 1 ELSE 0 END) AS BIGINT)
+           AS a_in,
+         CAST(count(*) AS BIGINT) AS d_c
+  FROM lab GROUP BY 1
+),
+terms AS (
+  SELECT p.community, p.a_in, p.d_c, t.m2,
+         ROUND(p.a_in / CAST(t.m2 AS DOUBLE)
+               - (p.d_c / CAST(t.m2 AS DOUBLE))
+                 * (p.d_c / CAST(t.m2 AS DOUBLE)), 12) AS contrib
+  FROM perc p CROSS JOIN m2 t
+),
+q AS (
+  SELECT ROUND(CAST(SUM(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE), 6)
+    AS q_total
+  FROM terms
+)
+SELECT t.community, t.a_in / 2 AS within_edges, t.d_c AS degree_sum,
+       ROUND(t.contrib, 8) AS contribution, q.q_total
+FROM terms t CROSS JOIN q
+ORDER BY t.community
+"""
+
+
+@register(
+    "x351_brand_modularity",
+    _X351_ORACLE,
+    doc="Newman modularity of the BRAND partition over the co-purchase "
+        "subgraph (x302's partkey%4 slice): Q = sum_c [A_c/2m - "
+        "(d_c/2m)^2] with communities = p_brand -- attribute "
+        "assortativity: does brand structure the purchase graph, and "
+        "which brand contributes what (the quality readout for any "
+        "community assignment; here scoring a KNOWN attribute "
+        "partition, the same formula scores x302's learned labels). "
+        "Determinism: within-edge and degree counts are exact BIGINTs "
+        "off the symmetric edge list; per-community terms round 12 "
+        "into DECIMAL before the order-free Q sum. Scale: edge "
+        "derivation is the bounded per-order HOF expansion; labeling "
+        "is two broadcast-dim joins; everything after is "
+        "community-cardinality arithmetic",
+)
+def x351_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 4 == 0
+    )
+    part = load_table(spark, sf_dir, "part")
+    edges = graph.symmetric_copurchase_edges(li)
+    br = part.select("p_partkey", "p_brand")
+    lab = (
+        edges.join(
+            F.broadcast(br.withColumnRenamed("p_brand", "cu")),
+            edges.u == F.col("p_partkey"),
+        )
+        .drop("p_partkey")
+        .join(
+            F.broadcast(br.withColumnRenamed("p_brand", "cv")),
+            F.col("v") == F.col("p_partkey"),
+        )
+        .select("cu", "cv")
+    )
+    m2 = lab.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    perc = lab.groupBy(F.col("cu").alias("community")).agg(
+        F.sum(F.when(F.col("cu") == F.col("cv"), 1).otherwise(0))
+        .cast("long")
+        .alias("a_in"),
+        F.count(F.lit(1)).cast("long").alias("d_c"),
+    )
+    terms = perc.crossJoin(F.broadcast(m2)).select(
+        "community",
+        "a_in",
+        "d_c",
+        F.round(
+            F.col("a_in") / F.col("m2").cast("double")
+            - (F.col("d_c") / F.col("m2").cast("double"))
+            * (F.col("d_c") / F.col("m2").cast("double")),
+            12,
+        ).alias("contrib"),
+    )
+    q = terms.agg(
+        F.round(
+            F.sum(F.col("contrib").cast("decimal(28,12)")).cast("double"),
+            6,
+        ).alias("q_total")
+    )
+    return (
+        terms.crossJoin(F.broadcast(q))
+        .select(
+            "community",
+            (F.col("a_in") / 2).cast("long").alias("within_edges"),
+            F.col("d_c").alias("degree_sum"),
+            F.round("contrib", 8).alias("contribution"),
+            "q_total",
+        )
+        .orderBy("community")
+    )
+
+
+def _x352_oracle() -> str:
+    edge_ctes = [
+        """ft AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '),
+                     t -> regexp_matches(t, '^[a-z]{4,}$')) AS ft
+  FROM documents
+)""",
+        """adj AS (
+  SELECT (p).a AS a, (p).b AS b FROM (
+    SELECT unnest(list_transform(range(1, len(ft)),
+                  i -> struct_pack(a := ft[i], b := ft[i + 1]))) AS p
+    FROM ft
+  )
+)""",
+        """pr AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM adj WHERE a != b
+)""",
+        "edges AS (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr)",
+    ]
+    seed_cte = (
+        "seeds AS (SELECT u, CAST(0.2 AS DOUBLE) AS w FROM "
+        "(SELECT u, count(*) AS dg FROM edges GROUP BY u "
+        "ORDER BY dg DESC, u LIMIT 5))"
+    )
+    return graph.ppr_sql_over_edges(
+        edge_ctes, seed_cte, iterations=3, top_k=20,
+        node_select="u AS token",
+    )
+
+
+@register(
+    "x352_ppr_related_terms",
+    _x352_oracle(),
+    doc="personalized PageRank on x324's word co-occurrence graph, "
+        "teleporting to the 5 highest-degree tokens (weight 0.2 "
+        "each): rank mass concentrates in the seeds' neighborhood, "
+        "surfacing RELATED terms -- the random-walk-with-restart "
+        "query-expansion primitive (vs x324's global importance). "
+        "Exercises graph.personalized_pagerank: same node-sized "
+        "state, shuffle_hash iteration joins, round-12 DECIMAL "
+        "contributions as x104, with the teleport vector replacing "
+        "the uniform 1/n term; the oracle replays through "
+        "ppr_sql_over_edges, the seeded sibling of the proven "
+        "pagerank CTE template. Seeds chosen deterministically "
+        "(degree desc, token asc)",
+)
+def x352_ppr_related_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _word_cooccurrence_edges(docs).localCheckpoint(eager=False)
+    seeds = (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .orderBy(F.desc("dg"), "u")
+        .limit(5)
+        .select("u", F.lit(0.2).cast("double").alias("w"))
+    )
+    pr = graph.personalized_pagerank(
+        edges, seeds, iterations=3, damping=0.85, materialize=False
+    )
+    return (
+        pr.join(seeds.select("u", F.lit(1).alias("s")),
+                pr.node == F.col("u"), "left")
+        .select(
+            F.col("node").alias("token"),
+            F.coalesce(F.col("s"), F.lit(0)).cast("int").alias("is_seed"),
+            F.round("rank", 8).alias("rank"),
+        )
+        .orderBy(F.desc("rank"), "token")
+        .limit(20)
     )
