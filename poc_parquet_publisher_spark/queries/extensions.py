@@ -21334,3 +21334,320 @@ def x352_ppr_related_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "token")
         .limit(20)
     )
+
+
+_X353_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS pts
+  FROM events
+),
+f AS (
+  SELECT user_id, ts,
+         CASE WHEN pts IS NULL
+                OR epoch_us(ts) - epoch_us(pts) >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@register(
+    "x353_native_session_window",
+    _X353_ORACLE,
+    doc="Spark's native batch session_window(ts, '30 minutes') "
+        "grouping, hash-pinned to the classic lag-gap sessionization "
+        "(x21's shape: break when the gap >= 30 min, end = last event "
+        "+ gap; session_window's [start, end) half-open boundary is "
+        "exactly the >= break) -- the API-parity entry proving the "
+        "built-in dynamic-gap operator computes the SAME sessions as "
+        "the portable SQL formulation, batch side of the x48 "
+        "streaming session window. One user-key shuffle either way; "
+        "per-user window parallelism is the documented contract",
+)
+def x353_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_X354_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS prev_max
+  FROM events
+),
+lateness AS (
+  SELECT CASE WHEN prev_max IS NULL THEN NULL
+              ELSE epoch_us(prev_max) - epoch_us(ts) END AS late_us
+  FROM seq
+),
+d AS (SELECT unnest([60, 300, 3600]) AS delay_seconds)
+SELECT d.delay_seconds,
+       CAST(count(l.late_us) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN l.late_us > CAST(d.delay_seconds AS BIGINT)
+                          * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       ROUND(SUM(CASE WHEN l.late_us > CAST(d.delay_seconds AS BIGINT)
+                           * 1000000 THEN 1 ELSE 0 END)
+             / CAST(count(l.late_us) AS DOUBLE), 6) AS late_share
+FROM d CROSS JOIN lateness l
+WHERE l.late_us IS NOT NULL
+GROUP BY d.delay_seconds ORDER BY d.delay_seconds
+"""
+
+
+@register(
+    "x354_watermark_lateness",
+    _X354_ORACLE,
+    doc="watermark-delay planning audit: per user, an event is LATE "
+        "for delay D if it arrives (event_id order) more than D "
+        "behind the user's running max event-time -- the share of "
+        "data a streaming watermark of 1m/5m/1h would actually drop "
+        "(x27/x48's withWatermark configs chosen from measurement "
+        "instead of folklore). Per-USER running max windows (per-key "
+        "parallel, never a global order); lateness compared in exact "
+        "epoch-microsecond arithmetic (the x305 dodge around "
+        "boundary-counting date_diff); the 3-delay spine is a "
+        "broadcast VALUES dim. Exact integer counts, one rounded "
+        "division per row",
+)
+def x354_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    seq = events.select(
+        "ts", F.max("ts").over(w).alias("prev_max")
+    ).filter(F.col("prev_max").isNotNull())
+    late_us = F.expr("timestampdiff(MICROSECOND, ts, prev_max)")
+    lateness = seq.select(late_us.alias("late_us"))
+    d = spark.createDataFrame(
+        [(60,), (300,), (3600,)], "delay_seconds int"
+    )
+    return (
+        lateness.crossJoin(F.broadcast(d))
+        .groupBy("delay_seconds")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("late_us")
+                    > F.col("delay_seconds").cast("long") * 1000000,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_late"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("late_us")
+                        > F.col("delay_seconds").cast("long") * 1000000,
+                        1,
+                    ).otherwise(0)
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("late_share"),
+        )
+        .select(
+            F.col("delay_seconds").cast("int").alias("delay_seconds"),
+            "n_events",
+            "n_late",
+            "late_share",
+        )
+        .orderBy("delay_seconds")
+    )
+
+
+_X355_ORACLE = """
+WITH o AS (
+  SELECT o.o_orderkey AS k, c.c_nationkey AS nat,
+         CAST(CAST(o.o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+           AS cents,
+         CASE WHEN substr(md5(concat(CAST(o.o_orderkey AS VARCHAR),
+              ':conf')), 1, 4) < '8000' THEN 1 ELSE 0 END AS is_cal
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+g AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS sum_g,
+         CAST(count(*) AS BIGINT) AS n_g
+  FROM o WHERE is_cal = 1
+),
+enc AS (
+  SELECT nat,
+         (SUM(cents) + 20 * (g.sum_g / CAST(g.n_g AS DOUBLE)))
+           / (count(*) + 20) AS enc100
+  FROM o CROSS JOIN g WHERE is_cal = 1 GROUP BY nat, g.sum_g, g.n_g
+),
+resid AS (
+  SELECT o.k,
+         CAST(ROUND(ABS(o.cents - e.enc100), 4) AS DECIMAL(18,4)) AS r
+  FROM o JOIN enc e ON o.nat = e.nat WHERE o.is_cal = 1
+),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM resid),
+kq AS (
+  SELECT LEAST(CAST(CEIL(0.9 * (n_cal + 1)) AS BIGINT), n_cal) AS kk,
+         n_cal
+  FROM nc
+),
+qhat AS (
+  SELECT r.r AS q, kq.kk, kq.n_cal
+  FROM (SELECT r, row_number() OVER (ORDER BY r, k) AS rn FROM resid) r
+  JOIN kq ON r.rn = kq.kk
+),
+test AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN CAST(ROUND(ABS(o.cents - e.enc100), 4)
+                             AS DECIMAL(18,4)) <= q.q
+                       THEN 1 ELSE 0 END) AS BIGINT) AS covered
+  FROM o JOIN enc e ON o.nat = e.nat CROSS JOIN qhat q
+  WHERE o.is_cal = 0
+)
+SELECT q.n_cal, t.n_test, q.kk AS k_order_stat,
+       ROUND(CAST(q.q AS DOUBLE) / 100, 4) AS qhat_dollars,
+       ROUND(t.covered / CAST(t.n_test AS DOUBLE), 6) AS coverage,
+       0.9 AS target
+FROM qhat q CROSS JOIN test t
+"""
+
+
+@register(
+    "x355_conformal_interval",
+    _X355_ORACLE,
+    doc="split-conformal prediction interval around x338's "
+        "nation-encoded order-value predictor: calibration = md5 50% "
+        "split, qhat = the ceil(0.9*(n+1))-th smallest absolute "
+        "residual (EXACT order statistic), guarantee checked as "
+        "empirical coverage on the held-out half -- the "
+        "distribution-free uncertainty wrapper that turns ANY point "
+        "predictor into a calibrated interval (finite-sample "
+        "coverage >= 0.9 by exchangeability, no model assumptions). "
+        "Determinism: residuals round 4 into DECIMAL(18,4) so "
+        "ordering and the <= qhat comparison are exact; the k-th "
+        "statistic comes from scale.global_row_number (x169's "
+        "two-pass rank, plan-safe at corpus scale -- never a "
+        "SinglePartition sort); encoder sums are exact cents",
+)
+def x355_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import scale
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    o = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("c_nationkey").alias("nat"),
+        (F.col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"), F.lit(":conf")
+                    )
+                ),
+                1,
+                4,
+            )
+            < "8000",
+            1,
+        )
+        .otherwise(0)
+        .alias("is_cal"),
+    )
+    cal = o.filter(F.col("is_cal") == 1)
+    g = cal.agg(
+        F.sum("cents").cast("long").alias("sum_g"),
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+    )
+    enc = (
+        cal.groupBy("nat")
+        .agg(
+            F.sum("cents").cast("long").alias("sum_c"),
+            F.count(F.lit(1)).cast("long").alias("n_c"),
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            "nat",
+            (
+                (
+                    F.col("sum_c")
+                    + 20 * (F.col("sum_g") / F.col("n_g").cast("double"))
+                )
+                / (F.col("n_c") + 20)
+            ).alias("enc100"),
+        )
+    )
+    rexpr = F.round(F.abs(F.col("cents") - F.col("enc100")), 4).cast(
+        "decimal(18,4)"
+    )
+    resid = cal.join(F.broadcast(enc), "nat").select(
+        "k", rexpr.alias("r")
+    )
+    nc = resid.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    kq = nc.select(
+        F.least(
+            F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long"),
+            F.col("n_cal"),
+        ).alias("kk"),
+        "n_cal",
+    )
+    ranked = scale.global_row_number(
+        resid, [F.col("r"), F.col("k")], out_col="rn"
+    )
+    qhat = ranked.crossJoin(F.broadcast(kq)).filter(
+        F.col("rn") == F.col("kk")
+    ).select(F.col("r").alias("q"), "kk", "n_cal")
+    test = (
+        o.filter(F.col("is_cal") == 0)
+        .join(F.broadcast(enc), "nat")
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(rexpr <= F.col("q"), 1).otherwise(0))
+            .cast("long")
+            .alias("covered"),
+        )
+    )
+    return qhat.crossJoin(F.broadcast(test)).select(
+        "n_cal",
+        "n_test",
+        F.col("kk").alias("k_order_stat"),
+        F.round(F.col("q").cast("double") / 100, 4).alias("qhat_dollars"),
+        F.round(
+            F.col("covered") / F.col("n_test").cast("double"), 6
+        ).alias("coverage"),
+        F.lit(0.9).alias("target"),
+    )

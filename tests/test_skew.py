@@ -49,6 +49,7 @@ ALLOW_SCALAR_BNLJ = {
     "x234_seq_predictability",
     "x283_multi_gap_sessions",  # broadcast 3-row threshold dim
     "x330_window_funnel",  # broadcast 1-row level-total
+    "x354_watermark_lateness",  # broadcast 3-row delay dim
 }
 
 SKEW_ENTRIES = [
@@ -126,6 +127,11 @@ SKEW_ENTRIES = [
     "x334_precedence_matrix",
     # x347's test-start min-agg and train join both key on the hot user
     "x347_time_leakage",
+    # x353's session_window grouping and x354's running-max window both
+    # funnel the hot user's ~20% of events through one partition --
+    # the per-key-parallelism contract under the 3x straggler bound
+    "x353_native_session_window",
+    "x354_watermark_lateness",
 ]
 
 
