@@ -21651,3 +21651,406 @@ def x355_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("coverage"),
         F.lit(0.9).alias("target"),
     )
+
+
+_X356_ORACLE = """
+WITH scored AS (
+  SELECT CAST(FLOOR(ROUND(CAST(len(list_filter(
+                string_split(lower(text), ' '),
+                t -> t IN (%s))) AS DOUBLE)
+              / len(string_split(lower(text), ' ')), 4)
+              * 100 + 0.5) AS BIGINT) AS bin,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+per AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+         CAST(SUM(pos) AS BIGINT) AS pos_b
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT bin, n_b, pos_b,
+         CAST(SUM(n_b) OVER (ORDER BY bin) AS BIGINT) AS cn,
+         CAST(SUM(pos_b) OVER (ORDER BY bin) AS BIGINT) AS cp
+  FROM per
+),
+pairs AS (
+  SELECT j.bin AS bj, k.bin AS bk,
+         (k.cp - j.cp + j.pos_b)
+           / CAST(k.cn - j.cn + j.n_b AS DOUBLE) AS a
+  FROM cum j JOIN cum k ON j.bin <= k.bin
+),
+sm AS (
+  SELECT bj, bk,
+         MIN(a) OVER (PARTITION BY bj ORDER BY bk DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS m
+  FROM pairs
+),
+iso AS (SELECT bk AS bin, MAX(m) AS iso_raw FROM sm GROUP BY 1)
+SELECT p.bin, p.n_b AS n, p.pos_b AS pos,
+       ROUND(p.pos_b / CAST(p.n_b AS DOUBLE), 6) AS raw_rate,
+       ROUND(i.iso_raw, 6) AS iso_rate
+FROM per p JOIN iso i USING (bin)
+ORDER BY p.bin
+""" % _STOP_EN
+
+
+@register(
+    "x356_isotonic_calibration",
+    _X356_ORACLE,
+    doc="isotonic (PAV) recalibration of x315's stopword-ratio scorer "
+        "against the lang label via the closed-form MINIMAX identity "
+        "iso(i) = max_{j<=i} min_{k>=i} weighted-mean(y_j..y_k) -- "
+        "the monotone fit PAV's sequential pooling converges to, "
+        "restated as pure relational algebra (interval means from "
+        "inclusive prefix sums, one suffix-min window per start bin, "
+        "one max-groupBy): the standard score->probability mapping "
+        "that FIXES the miscalibration x315 measures. Determinism: "
+        "interval means are single IEEE divisions of exact BIGINT "
+        "prefix-sum differences (engine-identical doubles), min/max "
+        "compare those; rates round 6 only at output. Scale: one "
+        "corpus pass to the <=101-row calibration-bin aggregate; the "
+        "O(bins^2) pair frame (~5k rows) and its windows are "
+        "aggregate-sized -- the corpus is never touched again, and "
+        "the j<=k expansion is a broadcast nested-loop over the tiny "
+        "frame, never a corpus join",
+)
+def x356_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.floor(
+        text.stop_ratio_column("text") * 100 + F.lit(0.5)
+    ).cast("long")
+    scored = docs.select(
+        b.alias("bin"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    per = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("pos").cast("long").alias("pos_b"),
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "bin",
+        "n_b",
+        "pos_b",
+        F.sum("n_b").over(w).cast("long").alias("cn"),
+        F.sum("pos_b").over(w).cast("long").alias("cp"),
+    )
+    j = cum.select(
+        F.col("bin").alias("bj"),
+        F.col("n_b").alias("nj"),
+        F.col("pos_b").alias("pj"),
+        F.col("cn").alias("cnj"),
+        F.col("cp").alias("cpj"),
+    )
+    k = cum.select(
+        F.col("bin").alias("bk"),
+        F.col("cn").alias("cnk"),
+        F.col("cp").alias("cpk"),
+    )
+    pairs = j.join(F.broadcast(k), F.col("bj") <= F.col("bk")).select(
+        "bj",
+        "bk",
+        (
+            (F.col("cpk") - F.col("cpj") + F.col("pj"))
+            / (F.col("cnk") - F.col("cnj") + F.col("nj")).cast("double")
+        ).alias("a"),
+    )
+    wsm = Window.partitionBy("bj").orderBy(F.desc("bk")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sm = pairs.select("bj", "bk", F.min("a").over(wsm).alias("m"))
+    iso = sm.groupBy(F.col("bk").alias("bin")).agg(
+        F.max("m").alias("iso_raw")
+    )
+    return (
+        per.join(iso, "bin")
+        .select(
+            "bin",
+            F.col("n_b").alias("n"),
+            F.col("pos_b").alias("pos"),
+            F.round(
+                F.col("pos_b") / F.col("n_b").cast("double"), 6
+            ).alias("raw_rate"),
+            F.round("iso_raw", 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "x357_kendall_tau",
+    """WITH pn AS (
+         SELECT n.n_name AS nation,
+                CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents,
+                CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1
+       ),
+       p AS (
+         SELECT CASE WHEN (a.rev_cents - b.rev_cents)
+                          * (a.n_orders - b.n_orders) > 0
+                     THEN 1 ELSE 0 END AS conc,
+                CASE WHEN (a.rev_cents - b.rev_cents)
+                          * (a.n_orders - b.n_orders) < 0
+                     THEN 1 ELSE 0 END AS disc,
+                CASE WHEN a.rev_cents = b.rev_cents THEN 1 ELSE 0
+                  END AS tx,
+                CASE WHEN a.n_orders = b.n_orders THEN 1 ELSE 0
+                  END AS ty
+         FROM pn a JOIN pn b ON a.nation < b.nation
+       ),
+       s AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(SUM(conc) AS BIGINT) AS concordant,
+                CAST(SUM(disc) AS BIGINT) AS discordant,
+                CAST(SUM(tx) AS BIGINT) AS ties_x,
+                CAST(SUM(ty) AS BIGINT) AS ties_y
+         FROM p
+       )
+       SELECT n_pairs, concordant, discordant, ties_x, ties_y,
+              ROUND((concordant - discordant)
+                    / sqrt((n_pairs - ties_x)
+                           * CAST(n_pairs - ties_y AS DOUBLE)),
+                    6) AS tau_b
+       FROM s""",
+    doc="Kendall tau-b rank correlation between two KPI orderings of "
+        "the nations (total revenue vs order count) with exact tie "
+        "corrections -- the ordinal-association member of the "
+        "correlation suite (x147 Pearson measures linearity, x154 MI "
+        "measures dependence, tau measures ORDERING agreement: do "
+        "the two league tables actually rank markets the same way). "
+        "Concordant/discordant/tie pair counts are exact BIGINTs off "
+        "exact integer cents; the single sqrt+division happens once "
+        "on identical integers. Scale: the corpus collapses to the "
+        "nation-cardinality aggregate FIRST (one shuffle, broadcast "
+        "dims); the O(n^2) pair scan is 300 rows of arithmetic over "
+        "the 25-row frame -- rank-correlating any two metrics never "
+        "touches the fact table twice",
+)
+def x357_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    pn = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    a = pn.select(
+        F.col("nation").alias("na"),
+        F.col("rev_cents").alias("ra"),
+        F.col("n_orders").alias("oa"),
+    )
+    bq = pn.select(
+        F.col("nation").alias("nb"),
+        F.col("rev_cents").alias("rb"),
+        F.col("n_orders").alias("ob"),
+    )
+    p = a.join(F.broadcast(bq), F.col("na") < F.col("nb")).select(
+        F.when(
+            (F.col("ra") - F.col("rb")) * (F.col("oa") - F.col("ob"))
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("conc"),
+        F.when(
+            (F.col("ra") - F.col("rb")) * (F.col("oa") - F.col("ob"))
+            < 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("disc"),
+        F.when(F.col("ra") == F.col("rb"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("oa") == F.col("ob"), 1).otherwise(0).alias("ty"),
+    )
+    s = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("conc").cast("long").alias("concordant"),
+        F.sum("disc").cast("long").alias("discordant"),
+        F.sum("tx").cast("long").alias("ties_x"),
+        F.sum("ty").cast("long").alias("ties_y"),
+    )
+    return s.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        F.round(
+            (F.col("concordant") - F.col("discordant"))
+            / F.sqrt(
+                (F.col("n_pairs") - F.col("ties_x"))
+                * (F.col("n_pairs") - F.col("ties_y")).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+_X358_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
+                          1, 4) < '8000'
+              THEN 'treat' ELSE 'control' END AS arm,
+         COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN CAST(round(value * 100) AS BIGINT) END),
+                  0) AS x,
+         COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                      THEN CAST(round(value * 100) AS BIGINT) END),
+                  0) AS y
+  FROM events GROUP BY 1
+),
+pool AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+           AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+           AS sxy,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+           AS syy
+  FROM u
+),
+th AS (
+  SELECT n,
+         CAST(sx AS DOUBLE) / n AS xbar_pool,
+         ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sy AS DOUBLE))
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * CAST(sx AS DOUBLE)), 8) AS theta,
+         ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sy AS DOUBLE))
+               * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * CAST(sy AS DOUBLE))
+               / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sx AS DOUBLE))
+                  * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                     * CAST(sy AS DOUBLE))), 6) AS var_reduction
+  FROM pool
+),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS users,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ax,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ay
+  FROM u GROUP BY 1
+)
+SELECT a.arm, a.users,
+       ROUND(CAST(a.ay AS DOUBLE) / a.users / 100, 4) AS mean_y,
+       ROUND((CAST(a.ay AS DOUBLE) / a.users
+              - t.theta * (CAST(a.ax AS DOUBLE) / a.users
+                           - t.xbar_pool)) / 100, 4) AS adj_mean_y,
+       t.theta, t.var_reduction
+FROM arms a CROSS JOIN th t
+ORDER BY a.arm
+"""
+
+
+@register(
+    "x358_cuped_adjustment",
+    _X358_ORACLE,
+    doc="CUPED variance-reduced readout for x303's md5-bucket "
+        "experiment: per-user PRE-period spend (days 1-15) is the "
+        "covariate, experiment-period spend (days 16-30) the metric; "
+        "theta = cov(X,Y)/var(X) from POOLED exact-integer moments, "
+        "adjusted arm mean = ybar_a - theta*(xbar_a - xbar_pool), "
+        "plus the achieved variance-reduction rho^2 -- the standard "
+        "pre-experiment-data trick that shrinks experiment "
+        "confidence intervals ~(1-rho^2)x at zero cost (Deng et al. "
+        "2013 pattern, public). Determinism: all six moments "
+        "accumulate as exact DECIMAL(38,0) integer cents (partition-"
+        "order free), theta rounds 8 BEFORE use so both engines "
+        "adjust with the identical scalar. Scale: one user-level "
+        "aggregate over the corpus (same shuffle x303 already pays), "
+        "then 1-row + arm-cardinality arithmetic -- the covariate "
+        "costs NOTHING extra at 100 TB because it rides the same "
+        "groupBy",
+)
+def x358_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    pre = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+            1,
+            4,
+        )
+        < "8000",
+        F.lit("treat"),
+    ).otherwise(F.lit("control"))
+    u = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(pre, cents)), F.lit(0))
+        .cast("long")
+        .alias("x"),
+        F.coalesce(F.sum(F.when(~pre, cents)), F.lit(0))
+        .cast("long")
+        .alias("y"),
+    ).withColumn("arm", arm)
+    d38 = "decimal(38,0)"
+    pool = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast(d38).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast(d38).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).cast(d38).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).cast(d38).alias("syy"),
+    )
+    nD = F.col("n")
+    sxD = F.col("sx").cast("double")
+    syD = F.col("sy").cast("double")
+    cov = nD * F.col("sxy").cast("double") - sxD * syD
+    varx = nD * F.col("sxx").cast("double") - sxD * sxD
+    vary = nD * F.col("syy").cast("double") - syD * syD
+    th = pool.select(
+        "n",
+        (sxD / nD).alias("xbar_pool"),
+        F.round(cov / varx, 8).alias("theta"),
+        F.round(cov * cov / (varx * vary), 6).alias("var_reduction"),
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("users"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("ax"),
+        F.sum(F.col("y").cast(d38)).cast(d38).alias("ay"),
+    )
+    ybar = F.col("ay").cast("double") / F.col("users")
+    xbar = F.col("ax").cast("double") / F.col("users")
+    return (
+        arms.crossJoin(F.broadcast(th))
+        .select(
+            "arm",
+            "users",
+            F.round(ybar / 100, 4).alias("mean_y"),
+            F.round(
+                (ybar - F.col("theta") * (xbar - F.col("xbar_pool")))
+                / 100,
+                4,
+            ).alias("adj_mean_y"),
+            "theta",
+            "var_reduction",
+        )
+        .orderBy("arm")
+    )

@@ -1561,3 +1561,126 @@ def test_freq_items_never_misses_frequent_values(spark):
         }
         missing = frequent - got[col]
         assert not missing, (col, missing, got[col])
+
+
+def test_isotonic_matches_sequential_pav(spark):
+    """x356's minimax-formula isotonic fit must equal the classic
+    sequential pool-adjacent-violators algorithm run on the same
+    per-bin (count, positives) aggregate."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x356_isotonic_calibration,
+    )
+
+    rows = x356_isotonic_calibration(spark, SF).collect()
+    assert len(rows) >= 3
+    # sequential PAV on (n, pos) in bin order
+    blocks = [
+        [r["bin"], float(r["pos"]), float(r["n"])] for r in rows
+    ]  # [id, pos_sum, n_sum]
+    stack: list[list[float]] = []
+    for blk in blocks:
+        stack.append(list(blk))
+        while (
+            len(stack) >= 2
+            and stack[-2][1] / stack[-2][2] >= stack[-1][1] / stack[-1][2]
+        ):
+            b = stack.pop()
+            stack[-1][1] += b[1]
+            stack[-1][2] += b[2]
+    # expand pooled blocks back to per-bin fitted values: walk the
+    # original bins, consuming each pooled block's total weight
+    fitted: dict[int, float] = {}
+    si = 0
+    acc_n = 0.0
+    for bid, ps, ns in blocks:
+        fitted[bid] = stack[si][1] / stack[si][2]
+        acc_n += ns
+        if acc_n >= stack[si][2] - 1e-9:
+            acc_n = 0.0
+            si += 1
+    for r in rows:
+        assert abs(r["iso_rate"] - _round_hu(fitted[r["bin"]], 6)) <= 1e-9, (
+            r,
+            fitted[r["bin"]],
+        )
+    # monotone non-decreasing in bin
+    iso = [r["iso_rate"] for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(iso, iso[1:]))
+
+
+def test_kendall_tau_matches_naive_pair_count(spark):
+    """x357's tau-b must equal a naive O(n^2) Python pair count over
+    the same nation aggregate."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x357_kendall_tau,
+    )
+    import itertools
+
+    row = x357_kendall_tau(spark, SF).collect()[0]
+    orders = load_table(spark, SF, "orders")
+    cust = load_table(spark, SF, "customer")
+    nat = load_table(spark, SF, "nation")
+    pn = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .alias("rev"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    )
+    conc = disc = tx = ty = 0
+    for a, b in itertools.combinations(sorted(pn, key=lambda r: r["n_name"]), 2):
+        s = (a["rev"] - b["rev"]) * (a["cnt"] - b["cnt"])
+        conc += s > 0
+        disc += s < 0
+        tx += a["rev"] == b["rev"]
+        ty += a["cnt"] == b["cnt"]
+    n0 = len(pn) * (len(pn) - 1) // 2
+    assert row["n_pairs"] == n0
+    assert row["concordant"] == conc and row["discordant"] == disc
+    assert row["ties_x"] == tx and row["ties_y"] == ty
+    import math
+
+    tau = (conc - disc) / math.sqrt((n0 - tx) * (n0 - ty))
+    assert abs(row["tau_b"] - _round_hu(tau, 6)) <= 1e-9
+
+
+def test_cuped_reduces_variance_and_preserves_pool_mean(spark):
+    """CUPED invariants on the fixture: rho^2 in [0, 1]; the
+    user-weighted average of adjusted arm means equals the pooled
+    mean outcome (the adjustment is mean-preserving); theta matches a
+    numpy recomputation from the per-user frame."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x358_cuped_adjustment,
+    )
+
+    rows = {r["arm"]: r for r in x358_cuped_adjustment(spark, SF).collect()}
+    assert set(rows) == {"control", "treat"}
+    vr = rows["treat"]["var_reduction"]
+    assert 0.0 <= vr <= 1.0
+    ev = load_table(spark, SF, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    pre = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.when(pre, cents)), F.lit(0)).alias("x"),
+            F.coalesce(F.sum(F.when(~pre, cents)), F.lit(0)).alias("y"),
+        )
+        .collect()
+    )
+    x = np.array([r["x"] for r in u], dtype=np.float64)
+    y = np.array([r["y"] for r in u], dtype=np.float64)
+    n = len(x)
+    cov = n * (x * y).sum() - x.sum() * y.sum()
+    varx = n * (x * x).sum() - x.sum() ** 2
+    theta = cov / varx
+    assert abs(rows["treat"]["theta"] - _round_hu(theta, 8)) <= 1e-6
+    # mean preservation: sum_a users_a * adj_mean_a == sum_a users_a * mean_a
+    tot_users = sum(r["users"] for r in rows.values())
+    raw = sum(r["users"] * r["mean_y"] for r in rows.values()) / tot_users
+    adj = sum(r["users"] * r["adj_mean_y"] for r in rows.values()) / tot_users
+    assert abs(raw - adj) <= 2e-4  # rounding of the 4-decimal means
