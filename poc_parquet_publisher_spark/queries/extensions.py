@@ -22054,3 +22054,378 @@ def x358_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# Support>=2 co-purchase edge list (x210's graph: parts co-ordered at
+# least twice, oriented u < v), shared by x359/x360/x361 -- derived once
+# per session+fixture and lazily localCheckpoint'ed (edge-sized, tiny
+# next to lineitem), same contract as _shared_pair_counts.
+_SUPPORT2_CACHE: dict[tuple, DataFrame] = {}
+
+_SUPPORT2_CTE = """items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pr AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), e AS (SELECT u, v FROM pr),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM sym GROUP BY 1)"""
+
+
+def _support2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    e = _SUPPORT2_CACHE.get(key)
+    if e is None:
+        li = load_table(spark, sf_dir, "lineitem")
+        buckets = (
+            li.select("l_orderkey", "l_partkey")
+            .groupBy("l_orderkey")
+            .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        )
+        ps = F.col("parts")
+        e = (
+            buckets.select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            ps,
+                            lambda x, i: F.transform(
+                                F.slice(ps, i + F.lit(2), F.size(ps)),
+                                lambda y: F.struct(
+                                    x.alias("u"), y.alias("v")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            .select("p.*")
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 2)
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        _SUPPORT2_CACHE[key] = e
+    return e
+
+
+def _sym_deg(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    sym = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    return sym, deg
+
+
+_X359_ORACLE = (
+    "WITH "
+    + _SUPPORT2_CTE
+    + """,
+cand AS (
+  SELECT node, deg FROM deg ORDER BY deg DESC, node LIMIT 30
+),
+adj AS (
+  SELECT c.node AS cnode, s.v AS z
+  FROM cand c JOIN sym s ON c.node = s.u
+),
+cp AS (
+  SELECT a.cnode AS u, b.cnode AS v, a.z
+  FROM adj a JOIN adj b ON a.z = b.z AND a.cnode < b.cnode
+),
+ne AS (
+  SELECT cp.u, cp.v, cp.z FROM cp
+  LEFT JOIN e ON cp.u = e.u AND cp.v = e.v
+  WHERE e.u IS NULL
+),
+sc AS (
+  SELECT ne.u, ne.v,
+         CAST(count(*) AS BIGINT) AS common_neighbors,
+         CAST(SUM(CAST(ROUND(1.0 / ln(d.deg), 8)
+                       AS DECIMAL(28,8))) AS DECIMAL(28,8)) AS aa
+  FROM ne JOIN deg d ON ne.z = d.node
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT sc.u, sc.v, sc.common_neighbors,
+         ROUND(CAST(sc.aa AS DOUBLE), 6) AS aa_score,
+         ROUND(sc.common_neighbors
+               / CAST(du.deg + dv.deg - sc.common_neighbors
+                      AS DOUBLE), 6) AS jaccard
+  FROM sc
+  JOIN deg du ON sc.u = du.node
+  JOIN deg dv ON sc.v = dv.node
+)
+SELECT u, v, common_neighbors, aa_score, jaccard
+FROM j ORDER BY aa_score DESC, u, v LIMIT 20"""
+)
+
+
+@register(
+    "x359_adamic_adar",
+    _X359_ORACLE,
+    doc="Adamic-Adar link prediction over the support>=2 co-purchase "
+        "graph (x210's edge set): for NON-adjacent pairs among the "
+        "top-30-degree parts, score = sum_z 1/ln(deg z) over common "
+        "neighbors z (rare shared neighbors count more) plus raw "
+        "common-neighbor count and neighborhood Jaccard -- 'parts "
+        "that SHOULD sell together but don't yet', the "
+        "recommendation/assortment-gap primitive on top of the graph "
+        "x104/x210/x302 analyze. Determinism: per-neighbor terms "
+        "round 8 into DECIMAL before the order-free sum (ln is the "
+        "only transcendental, applied to exact integer degrees); "
+        "candidate set and top-20 under total ORDER BY. Scale: the "
+        "candidate restriction bounds the quadratic leg to 30 "
+        "adjacency lists (broadcast-size); common neighbors come "
+        "from one equi-join on the shared neighbor id, existing "
+        "edges anti-join out -- the corpus-sized work is exactly "
+        "x210's edge derivation, shared and checkpointed once per "
+        "session",
+)
+def x359_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _support2_edges(spark, sf_dir)
+    sym, deg = _sym_deg(e)
+    cand = deg.orderBy(F.desc("deg"), "node").limit(30)
+    adj = sym.join(
+        F.broadcast(cand.select(F.col("node").alias("cnode"))),
+        sym.u == F.col("cnode"),
+    ).select("cnode", F.col("v").alias("z"))
+    a = adj.select(F.col("cnode").alias("cu"), "z")
+    b = adj.select(F.col("cnode").alias("cv"), F.col("z").alias("zb"))
+    cp = a.join(
+        b, (F.col("z") == F.col("zb")) & (F.col("cu") < F.col("cv"))
+    ).select(F.col("cu").alias("u"), F.col("cv").alias("v"), "z")
+    ne = cp.join(e, ["u", "v"], "left_anti")
+    sc = (
+        ne.join(
+            deg.select(F.col("node").alias("z"), F.col("deg").alias("dz")),
+            "z",
+        )
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(
+                F.round(F.lit(1.0) / F.log(F.col("dz")), 8).cast(
+                    "decimal(28,8)"
+                )
+            )
+            .cast("decimal(28,8)")
+            .alias("aa"),
+        )
+    )
+    # degree lookups only for the 30 candidate nodes (broadcast-size by
+    # construction), never the full node-sized degree table
+    degc = cand.select("node", "deg")
+    j = (
+        sc.join(
+            F.broadcast(
+                degc.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                degc.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+            ),
+            "v",
+        )
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            F.round(F.col("aa").cast("double"), 6).alias("aa_score"),
+            F.round(
+                F.col("common_neighbors")
+                / (
+                    F.col("du") + F.col("dv") - F.col("common_neighbors")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return j.orderBy(F.desc("aa_score"), "u", "v").limit(20)
+
+
+_X360_ORACLE = (
+    "WITH "
+    + _SUPPORT2_CTE
+    + """,
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tn AS (
+  SELECT x AS node, CAST(count(*) AS BIGINT) AS tri_cnt
+  FROM (SELECT a AS x FROM tri UNION ALL SELECT b AS x FROM tri
+        UNION ALL SELECT c AS x FROM tri) q
+  GROUP BY 1
+),
+top AS (
+  SELECT d.node, d.deg, COALESCE(t.tri_cnt, 0) AS triangles
+  FROM deg d LEFT JOIN tn t ON d.node = t.node
+  ORDER BY d.deg DESC, d.node LIMIT 20
+)
+SELECT node, deg AS degree, triangles,
+       ROUND(CASE WHEN deg >= 2
+                  THEN 2.0 * triangles / (deg * (deg - 1.0))
+                  ELSE 0.0 END, 6) AS lcc
+FROM top ORDER BY degree DESC, node"""
+)
+
+
+@register(
+    "x360_clustering_coefficient",
+    _X360_ORACLE,
+    doc="local clustering coefficient for the top-20-degree parts of "
+        "the support>=2 co-purchase graph: lcc = 2*triangles / "
+        "(deg*(deg-1)) -- how CLIQUE-LIKE each hub's neighborhood is "
+        "(x210 counts the corpus' triangles; this distributes them "
+        "to nodes and normalizes by possible wedges, separating "
+        "bridge hubs from community hubs). Exact BIGINT triangle "
+        "counts via x210's id-orientation (each triangle credited "
+        "once to each corner from the oriented list), one double "
+        "division per node at the end. Scale: rides the shared "
+        "checkpointed edge list; the triangle join is two edge-sized "
+        "equi-joins; per-node counts one groupBy over 3x the "
+        "triangle count -- never a neighborhood cross product",
+)
+def x360_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _support2_edges(spark, sf_dir)
+    sym, deg = _sym_deg(e)
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e.join(e2, e.v == e2.b2)
+        .join(e3, (e.u == e3.a3) & (e2.c2 == e3.c3))
+        .select(
+            F.col("u").alias("a"),
+            F.col("v").alias("b"),
+            F.col("c2").alias("c"),
+        )
+    )
+    tn = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri_cnt"))
+    )
+    top = (
+        deg.join(tn, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("tri_cnt"), F.lit(0))
+            .cast("long")
+            .alias("triangles"),
+        )
+        .orderBy(F.desc("deg"), "node")
+        .limit(20)
+    )
+    return top.select(
+        "node",
+        F.col("deg").alias("degree"),
+        "triangles",
+        F.round(
+            F.when(
+                F.col("deg") >= 2,
+                2.0
+                * F.col("triangles")
+                / (F.col("deg") * (F.col("deg") - F.lit(1.0))),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("lcc"),
+    ).orderBy(F.desc("degree"), "node")
+
+
+_X361_ORACLE = (
+    "WITH "
+    + _SUPPORT2_CTE
+    + """,
+de AS (
+  SELECT du.deg AS ju, dv.deg AS kv
+  FROM sym s
+  JOIN deg du ON s.u = du.node
+  JOIN deg dv ON s.v = dv.node
+),
+mo AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(SUM(CAST(ju AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CAST(ju * ju AS DECIMAL(38,0))) AS DECIMAL(38,0))
+           AS s2,
+         CAST(SUM(CAST(ju * kv AS DECIMAL(38,0))) AS DECIMAL(38,0))
+           AS s11
+  FROM de
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT nn.n_nodes, CAST(mo.m / 2 AS BIGINT) AS n_edges,
+       ROUND((mo.m * CAST(s11 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (mo.m * CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 6)
+         AS assortativity
+FROM mo CROSS JOIN nn"""
+)
+
+
+@register(
+    "x361_degree_assortativity",
+    _X361_ORACLE,
+    doc="degree assortativity of the support>=2 co-purchase graph: "
+        "Pearson correlation of endpoint degrees over the DIRECTED "
+        "edge list (Newman's r; symmetric list makes source/target "
+        "moments equal, so r = (M*S_jk - S_j^2)/(M*S_jj - S_j^2)) -- "
+        "one number for 'do hubs link to hubs or to leaves', the "
+        "structural complement of x351's attribute modularity and "
+        "x108's key-skew Gini. All moments accumulate as exact "
+        "DECIMAL(38,0) integer products; ONE double division at the "
+        "end. Scale: two edge-sized equi-joins to attach endpoint "
+        "degrees, then a 1-row aggregate -- node state never "
+        "broadcasts, nothing quadratic",
+)
+def x361_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _support2_edges(spark, sf_dir)
+    sym, deg = _sym_deg(e)
+    de = (
+        sym.join(
+            deg.select(F.col("node").alias("u"), F.col("deg").alias("ju")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("deg").alias("kv")),
+            "v",
+        )
+        .select("ju", "kv")
+    )
+    d38 = "decimal(38,0)"
+    mo = de.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("ju").cast(d38)).cast(d38).alias("s1"),
+        F.sum((F.col("ju") * F.col("ju")).cast(d38)).cast(d38).alias("s2"),
+        F.sum((F.col("ju") * F.col("kv")).cast(d38)).cast(d38).alias("s11"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    s1d = F.col("s1").cast("double")
+    return (
+        mo.crossJoin(F.broadcast(nn))
+        .select(
+            "n_nodes",
+            (F.col("m") / 2).cast("long").alias("n_edges"),
+            F.round(
+                (F.col("m") * F.col("s11").cast("double") - s1d * s1d)
+                / (F.col("m") * F.col("s2").cast("double") - s1d * s1d),
+                6,
+            ).alias("assortativity"),
+        )
+    )
