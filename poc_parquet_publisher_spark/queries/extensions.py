@@ -22429,3 +22429,302 @@ def x361_degree_assortativity(
             ).alias("assortativity"),
         )
     )
+
+
+_X362_ORACLE = """
+WITH src AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS s
+  FROM src
+),
+caps AS (
+  SELECT source, n_tokens, 4 * n_tokens AS cap,
+         CAST(row_number() OVER (ORDER BY 4 * n_tokens, source)
+              AS BIGINT) AS r,
+         CAST(SUM(4 * n_tokens) OVER (ORDER BY 4 * n_tokens, source)
+              AS BIGINT) AS p
+  FROM src
+),
+bound AS (
+  SELECT c.r, 2 * t.total - (c.p - c.cap) AS num, t.s - c.r + 1
+           AS denom
+  FROM caps c CROSS JOIN tot t
+  WHERE c.cap * (t.s - c.r + 1) > 2 * t.total - (c.p - c.cap)
+  ORDER BY c.r LIMIT 1
+),
+alloc AS (
+  SELECT c.source, c.n_tokens, c.cap,
+         CASE WHEN b.r IS NULL OR c.r < b.r THEN CAST(c.cap AS DOUBLE)
+              ELSE b.num / CAST(b.denom AS DOUBLE) END AS a,
+         CASE WHEN b.r IS NULL OR c.r < b.r THEN 1 ELSE 0
+           END AS capped
+  FROM caps c LEFT JOIN bound b ON 1 = 1
+)
+SELECT source, n_tokens, cap AS cap_tokens,
+       ROUND(a, 2) AS alloc_tokens,
+       ROUND(a / n_tokens, 4) AS epochs,
+       capped
+FROM alloc ORDER BY source
+"""
+
+
+@register(
+    "x362_unimax_allocation",
+    _X362_ORACLE,
+    doc="UniMax training-mixture allocation (Chung et al. 2023 "
+        "pattern, public): distribute a token budget B = 2x the "
+        "corpus across sources as uniformly as possible subject to a "
+        "4-epoch repetition cap per source -- small sources cap out, "
+        "the rest split the remainder evenly (water-filling), the "
+        "principled alternative to ad-hoc mixture weights that "
+        "over-repeats rare sources (x128 measures mix drift; this "
+        "PRESCRIBES the mix). The waterline solves in CLOSED FORM: "
+        "sort by capacity, one prefix sum, the boundary is the first "
+        "rank where cap*(remaining) > budget-consumed -- an exact "
+        "INTEGER inequality, no float comparisons, no iteration; "
+        "tau emerges as an exact rational num/denom divided once in "
+        "DOUBLE. Scale: one corpus pass to the source-cardinality "
+        "aggregate; windows and the boundary probe run on <=10 rows",
+)
+def x362_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    tot = src.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("s"),
+    )
+    wr = Window.orderBy(F.col("cap"), F.col("source"))
+    caps = src.withColumn("cap", 4 * F.col("n_tokens")).select(
+        "source",
+        "n_tokens",
+        "cap",
+        F.row_number().over(wr).cast("long").alias("r"),
+        F.sum("cap")
+        .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("p"),
+    )
+    bound = (
+        caps.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("cap") * (F.col("s") - F.col("r") + 1)
+            > 2 * F.col("total") - (F.col("p") - F.col("cap"))
+        )
+        .select(
+            F.col("r").alias("br"),
+            (2 * F.col("total") - (F.col("p") - F.col("cap"))).alias("num"),
+            (F.col("s") - F.col("r") + 1).alias("denom"),
+        )
+        .orderBy("br")
+        .limit(1)
+    )
+    alloc = caps.join(F.broadcast(bound), F.lit(True), "left").select(
+        "source",
+        "n_tokens",
+        "cap",
+        F.when(
+            F.col("br").isNull() | (F.col("r") < F.col("br")),
+            F.col("cap").cast("double"),
+        )
+        .otherwise(F.col("num") / F.col("denom").cast("double"))
+        .alias("a"),
+        F.when(
+            F.col("br").isNull() | (F.col("r") < F.col("br")), 1
+        )
+        .otherwise(0)
+        .alias("capped"),
+    )
+    return alloc.select(
+        "source",
+        "n_tokens",
+        F.col("cap").alias("cap_tokens"),
+        F.round("a", 2).alias("alloc_tokens"),
+        F.round(F.col("a") / F.col("n_tokens"), 4).alias("epochs"),
+        "capped",
+    ).orderBy("source")
+
+
+_X363_ORACLE = """
+WITH ov AS (
+  SELECT CAST(FLOOR(o.o_totalprice / 100) AS BIGINT) AS v,
+         c.c_mktsegment AS g
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+pv AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_v
+  FROM ov GROUP BY 1
+),
+cumv AS (
+  SELECT v, n_v,
+         CAST(SUM(n_v) OVER (ORDER BY v) - n_v AS BIGINT) AS cb
+  FROM pv
+),
+pvg AS (
+  SELECT v, g, CAST(count(*) AS BIGINT) AS n_vg
+  FROM ov GROUP BY 1, 2
+),
+rg AS (
+  SELECT p.g,
+         CAST(SUM(p.n_vg) AS BIGINT) AS n_g,
+         CAST(SUM(p.n_vg * (2 * c.cb + c.n_v + 1)) AS BIGINT) AS r2g
+  FROM pvg p JOIN cumv c USING (v)
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_v) AS BIGINT) AS n,
+         CAST(SUM(n_v * n_v * n_v - n_v) AS BIGINT) AS ties
+  FROM pv
+),
+hterm AS (
+  SELECT g, n_g, r2g, t.n, t.ties,
+         CAST(ROUND((r2g / 2.0) * (r2g / 2.0) / n_g, 6)
+              AS DECIMAL(38,6)) AS rterm
+  FROM rg CROSS JOIN tot t
+),
+h AS (
+  SELECT MAX(n) AS n, MAX(ties) AS ties,
+         CAST(count(*) AS BIGINT) AS k,
+         ROUND(12.0 / (MAX(n) * (MAX(n) + 1.0))
+               * CAST(SUM(rterm) AS DOUBLE)
+               - 3.0 * (MAX(n) + 1), 6) AS h_raw
+  FROM hterm
+)
+SELECT ht.g AS segment, ht.n_g,
+       ROUND(ht.r2g / 2.0 / ht.n_g, 4) AS mean_rank,
+       h.h_raw,
+       ROUND(h.h_raw / (1.0 - h.ties
+                        / (CAST(h.n AS DOUBLE) * h.n * h.n - h.n)),
+             6) AS h_tie_corrected,
+       h.k - 1 AS df
+FROM hterm ht CROSS JOIN h
+ORDER BY ht.g
+"""
+
+
+@register(
+    "x363_kruskal_wallis",
+    _X363_ORACLE,
+    doc="Kruskal-Wallis H across the 5 market segments on $100-binned "
+        "order totals: the nonparametric k-group location test "
+        "completing the inference suite (x286 Welch t is 2-group "
+        "parametric, x349 Mann-Whitney is 2-group ranks; this is "
+        "k-group ranks) -- 'do segments differ in order-value "
+        "DISTRIBUTION' without normality assumptions. Binning makes "
+        "the value domain bounded AND is stated as part of the test "
+        "(ranks of binned values, deterministic); midranks stay "
+        "exact integers via x349's 2*midrank = 2*cum_before + n_v + "
+        "1 identity, per-group rank sums are exact BIGINTs, the "
+        "R_g^2/n_g terms round 6 into DECIMAL before the order-free "
+        "sum, tie correction sum(t^3-t) exact. Scale: two "
+        "corpus-pass groupBys (value domain, value x group); the "
+        "cumulative window rides the <=5000-row bin aggregate (x340 "
+        "contract); everything after is group-cardinality arithmetic",
+)
+def x363_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ov = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.floor(F.col("o_totalprice") / 100).cast("long").alias("v"),
+        F.col("c_mktsegment").alias("g"),
+    )
+    pv = ov.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("n_v"))
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cumv = pv.select(
+        "v",
+        "n_v",
+        (F.sum("n_v").over(w) - F.col("n_v")).cast("long").alias("cb"),
+    )
+    pvg = ov.groupBy("v", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vg")
+    )
+    rg = (
+        pvg.join(cumv, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("n_vg").cast("long").alias("n_g"),
+            F.sum(
+                F.col("n_vg") * (2 * F.col("cb") + F.col("n_v") + 1)
+            )
+            .cast("long")
+            .alias("r2g"),
+        )
+    )
+    tot = pv.agg(
+        F.sum("n_v").cast("long").alias("n"),
+        F.sum(
+            F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v")
+        )
+        .cast("long")
+        .alias("ties"),
+    )
+    hterm = rg.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "n_g",
+        "r2g",
+        "n",
+        "ties",
+        F.round(
+            (F.col("r2g") / 2.0) * (F.col("r2g") / 2.0) / F.col("n_g"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("rterm"),
+    )
+    h = hterm.agg(
+        F.max("n").alias("n"),
+        F.max("ties").alias("ties"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.round(
+            F.lit(12.0)
+            / (F.max("n") * (F.max("n") + F.lit(1.0)))
+            * F.sum("rterm").cast("double")
+            - 3.0 * (F.max("n") + 1),
+            6,
+        ).alias("h_raw"),
+    )
+    return (
+        hterm.select("g", "n_g", "r2g")
+        .crossJoin(F.broadcast(h))
+        .select(
+            F.col("g").alias("segment"),
+            "n_g",
+            F.round(F.col("r2g") / 2.0 / F.col("n_g"), 4).alias(
+                "mean_rank"
+            ),
+            "h_raw",
+            F.round(
+                F.col("h_raw")
+                / (
+                    F.lit(1.0)
+                    - F.col("ties")
+                    / (
+                        F.col("n").cast("double")
+                        * F.col("n")
+                        * F.col("n")
+                        - F.col("n")
+                    )
+                ),
+                6,
+            ).alias("h_tie_corrected"),
+            (F.col("k") - 1).alias("df"),
+        )
+        .orderBy("segment")
+    )

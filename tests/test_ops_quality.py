@@ -1684,3 +1684,77 @@ def test_cuped_reduces_variance_and_preserves_pool_mean(spark):
     raw = sum(r["users"] * r["mean_y"] for r in rows.values()) / tot_users
     adj = sum(r["users"] * r["adj_mean_y"] for r in rows.values()) / tot_users
     assert abs(raw - adj) <= 2e-4  # rounding of the 4-decimal means
+
+
+def test_unimax_waterfilling_invariants(spark):
+    """x362: capped sources get exactly their 4-epoch cap, uncapped
+    sources share one waterline tau >= every capped cap, the total
+    allocation hits the 2x-corpus budget, and no source exceeds 4
+    epochs."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x362_unimax_allocation,
+    )
+
+    rows = x362_unimax_allocation(spark, SF).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    budget = 2 * total
+    capped = [r for r in rows if r["capped"] == 1]
+    free = [r for r in rows if r["capped"] == 0]
+    for r in capped:
+        assert r["alloc_tokens"] == float(r["cap_tokens"])
+        assert abs(r["epochs"] - 4.0) <= 1e-9
+    if free:
+        taus = {r["alloc_tokens"] for r in free}
+        assert len(taus) == 1
+        tau = taus.pop()
+        assert all(r["cap_tokens"] <= tau + 0.01 for r in capped)
+        got = sum(r["alloc_tokens"] for r in rows)
+        assert abs(got - budget) <= 0.01 * len(rows)
+    for r in rows:
+        assert r["epochs"] <= 4.0 + 1e-9
+
+
+def test_kruskal_wallis_matches_numpy_midranks(spark):
+    """x363's H must match a numpy recomputation with scipy-style
+    midranks and tie correction on the same binned values."""
+    from collections import Counter, defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x363_kruskal_wallis,
+    )
+
+    rows = x363_kruskal_wallis(spark, SF).collect()
+    orders = load_table(spark, SF, "orders")
+    cust = load_table(spark, SF, "customer")
+    ov = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.floor(F.col("o_totalprice") / 100).cast("long").alias("v"),
+            F.col("c_mktsegment").alias("g"),
+        )
+        .collect()
+    )
+    vals = sorted({r["v"] for r in ov})
+    cnt = Counter(r["v"] for r in ov)
+    midrank = {}
+    before = 0
+    for v in vals:
+        midrank[v] = before + (cnt[v] + 1) / 2.0
+        before += cnt[v]
+    n = len(ov)
+    by_g = defaultdict(list)
+    for r in ov:
+        by_g[r["g"]].append(midrank[r["v"]])
+    h = 12.0 / (n * (n + 1)) * sum(
+        sum(rs) ** 2 / len(rs) for rs in by_g.values()
+    ) - 3 * (n + 1)
+    ties = sum(c**3 - c for c in cnt.values())
+    h_corr = h / (1 - ties / (n**3 - n))
+    got = rows[0]
+    assert abs(got["h_raw"] - h) <= 1e-3
+    assert abs(got["h_tie_corrected"] - h_corr) <= 1e-3
+    for r in rows:
+        assert abs(
+            r["mean_rank"]
+            - sum(by_g[r["segment"]]) / len(by_g[r["segment"]])
+        ) <= 1e-3
