@@ -22728,3 +22728,362 @@ def x363_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+def _x364_oracle() -> str:
+    head = """WITH ex AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(unnest(range(0, len(embedding))) AS BIGINT) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+              AS BIGINT) AS q
+  FROM embeddings
+),
+sm AS MATERIALIZED (
+  SELECT i, CAST(SUM(CAST(q AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS s
+  FROM ex GROUP BY 1
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+pp AS MATERIALIZED (
+  SELECT a.i AS ii, b.i AS jj,
+         CAST(SUM(CAST(a.q AS DECIMAL(19,0))
+                  * CAST(b.q AS DECIMAL(19,0))) AS DECIMAL(19,0))
+           AS sqq
+  FROM ex a JOIN ex b USING (vec_id)
+  GROUP BY 1, 2
+),
+m AS MATERIALIZED (
+  SELECT p.ii, p.jj,
+         ROUND(CAST(CAST(t.n AS DECIMAL(19,0)) * p.sqq
+                    - si.s * sj.s AS DOUBLE)
+               / (t.n * (t.n - 1.0) * 1e12), 12) AS c
+  FROM pp p
+  JOIN sm si ON p.ii = si.i
+  JOIN sm sj ON p.jj = sj.i
+  CROSS JOIN nt t
+),
+v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS w FROM sm)"""
+    steps = []
+    prev = "v0"
+    for it in (1, 2, 3):
+        steps.append(f"""u{it} AS MATERIALIZED (
+  SELECT m.ii AS i,
+         CAST(SUM(CAST(ROUND(m.c * v.w, 12) AS DECIMAL(28,12)))
+              AS DOUBLE) AS vu
+  FROM m JOIN {prev} v ON m.jj = v.i
+  GROUP BY 1
+),
+n{it} AS (
+  SELECT sqrt(CAST(SUM(CAST(ROUND(vu * vu, 12) AS DECIMAL(28,12)))
+              AS DOUBLE)) AS nrm
+  FROM u{it}
+),
+v{it} AS MATERIALIZED (
+  SELECT i, ROUND(vu / nrm, 12) AS w FROM u{it} CROSS JOIN n{it}
+)""")
+        prev = f"v{it}"
+    tail = """tr AS (
+  SELECT CAST(SUM(CAST(ROUND(c, 12) AS DECIMAL(28,12))) AS DOUBLE)
+    AS trace
+  FROM m WHERE ii = jj
+)
+SELECT v3.i AS dim, ROUND(v3.w, 6) AS loading,
+       ROUND(n3.nrm, 6) AS top_eigenvalue,
+       ROUND(n3.nrm / tr.trace, 6) AS explained_share
+FROM v3 CROSS JOIN n3 CROSS JOIN tr
+ORDER BY dim"""
+    return head + ",\n" + ",\n".join(steps) + ",\n" + tail
+
+
+@register(
+    "x364_pca_power_iteration",
+    _x364_oracle(),
+    doc="FIXED-DEPTH (3-step) power-iteration sketch of the dominant "
+        "principal direction of the embedding covariance -- the "
+        "anisotropy audit of the embedding space: the Rayleigh "
+        "readout (final iterate norm) is a LOWER bound on the top "
+        "eigenvalue that converges at rate (l2/l1)^k, so "
+        "explained_share near 1/d (as on this near-isotropic "
+        "fixture, l2/l1=0.93 -- pytest-checked against numpy's full "
+        "eigendecomposition) IS the diagnostic conclusion: no "
+        "dominant direction, embedding dimensions carry balanced "
+        "variance; on an anisotropic space (duplicated dims, "
+        "collapsed encoder) the share spikes and the loadings name "
+        "the direction. Depth is a parameter, fixed for oracle "
+        "replay (x104's fixed-depth recipe): covariance "
+        "entries from ONE corpus pass (per-doc coordinate pairs "
+        "equi-joined on vec_id, micro-unit integer products "
+        "DECIMAL-summed, scatter-matrix identity n*Sqq - Si*Sj kept "
+        "exact to the single double division), then each iteration "
+        "is a 4096x64 join + groupBy with round-12 DECIMAL "
+        "contribution sums and an L2 renormalization -- x104's "
+        "fixed-depth iterative recipe applied to a MATRIX instead "
+        "of a graph. Top eigenvalue = final iterate norm (Rayleigh "
+        "on the unit previous iterate), share = lambda/trace(C). "
+        "Scale: corpus work is the coordinate explode (n*d rows) "
+        "and the per-doc outer products (n*d^2 rows, one shuffle to "
+        "d^2 cells); iterations touch only d^2-sized state -- "
+        "independent of corpus size",
+)
+def x364_pca_power_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 1e6).cast("long"),
+            )
+        ).alias("i", "q"),
+    ).localCheckpoint(eager=False)
+    d19 = "decimal(19,0)"
+    sm = ex.groupBy("i").agg(
+        F.sum(F.col("q").cast(d19)).cast(d19).alias("s")
+    )
+    nt = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = ex.select("vec_id", F.col("i").alias("ii"), F.col("q").alias("qa"))
+    b = ex.select("vec_id", F.col("i").alias("jj"), F.col("q").alias("qb"))
+    pp = (
+        a.join(b, "vec_id")
+        .groupBy("ii", "jj")
+        .agg(
+            F.sum(F.col("qa").cast(d19) * F.col("qb").cast(d19))
+            .cast(d19)
+            .alias("sqq")
+        )
+    )
+    m = (
+        pp.join(
+            F.broadcast(
+                sm.select(F.col("i").alias("ii"), F.col("s").alias("si"))
+            ),
+            "ii",
+        )
+        .join(
+            F.broadcast(
+                sm.select(F.col("i").alias("jj"), F.col("s").alias("sj"))
+            ),
+            "jj",
+        )
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "ii",
+            "jj",
+            F.round(
+                (
+                    F.col("n").cast(d19) * F.col("sqq")
+                    - F.col("si") * F.col("sj")
+                ).cast("double")
+                / (F.col("n") * (F.col("n") - F.lit(1.0)) * F.lit(1e12)),
+                12,
+            ).alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = sm.select("i", F.lit(0.125).cast("double").alias("w"))
+    nrm = None
+    for _ in range(3):
+        u = (
+            m.join(F.broadcast(v), m.jj == v.i)
+            .groupBy(F.col("ii").alias("i"))
+            .agg(
+                F.sum(
+                    F.round(F.col("c") * F.col("w"), 12).cast(
+                        "decimal(28,12)"
+                    )
+                )
+                .cast("double")
+                .alias("vu")
+            )
+        )
+        nrm = u.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("vu") * F.col("vu"), 12).cast(
+                        "decimal(28,12)"
+                    )
+                ).cast("double")
+            ).alias("nrm")
+        )
+        v = u.crossJoin(F.broadcast(nrm)).select(
+            "i", F.round(F.col("vu") / F.col("nrm"), 12).alias("w")
+        )
+    tr = m.filter(F.col("ii") == F.col("jj")).agg(
+        F.sum(F.round("c", 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("trace")
+    )
+    return (
+        v.crossJoin(F.broadcast(nrm))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("i").alias("dim"),
+            F.round("w", 6).alias("loading"),
+            F.round("nrm", 6).alias("top_eigenvalue"),
+            F.round(F.col("nrm") / F.col("trace"), 6).alias(
+                "explained_share"
+            ),
+        )
+        .orderBy("dim")
+    )
+
+
+_X365_ORACLE = """
+WITH scored AS (
+  SELECT source,
+         CAST(FLOOR(ROUND(CAST(len(list_filter(
+                string_split(lower(text), ' '),
+                t -> t IN (%s))) AS DOUBLE)
+              / len(string_split(lower(text), ' ')), 4)
+              * 10000 + 0.5) AS BIGINT) AS p_s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+per AS (
+  SELECT p_s, CAST(count(*) AS BIGINT) AS n_s,
+         CAST(SUM(pos) AS BIGINT) AS pos_s
+  FROM scored GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(pos_s) AS BIGINT) AS n_pos FROM per
+),
+cum AS (
+  SELECT p_s,
+         CAST(SUM(pos_s) OVER (ORDER BY p_s DESC) AS BIGINT) AS tp,
+         CAST(SUM(n_s) OVER (ORDER BY p_s DESC) AS BIGINT) AS pred_pos
+  FROM per
+),
+thr AS (
+  SELECT c.p_s AS t
+  FROM cum c CROSS JOIN tot
+  QUALIFY row_number() OVER (
+    ORDER BY ROUND(2.0 * c.tp / (c.pred_pos + tot.n_pos), 8) DESC,
+             c.p_s) = 1
+),
+grp AS (
+  SELECT s.source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN s.p_s >= t.t THEN 1 ELSE 0 END)
+           AS BIGINT) AS sel,
+         CAST(SUM(s.pos) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN s.p_s >= t.t THEN s.pos ELSE 0 END)
+           AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN s.p_s >= t.t AND s.pos = 0 THEN 1
+                  ELSE 0 END) AS BIGINT) AS fp
+  FROM scored s CROSS JOIN thr t
+  GROUP BY 1
+),
+mx AS (
+  SELECT MAX(ROUND(sel / CAST(n AS DOUBLE), 6)) AS max_rate FROM grp
+)
+SELECT g.source, g.n, g.sel,
+       ROUND(g.sel / CAST(g.n AS DOUBLE), 6) AS selection_rate,
+       ROUND(ROUND(g.sel / CAST(g.n AS DOUBLE), 6) / m.max_rate, 6)
+         AS disparate_impact,
+       ROUND(g.tp / CAST(g.n_pos AS DOUBLE), 6) AS tpr,
+       ROUND(g.fp / CAST(g.n - g.n_pos AS DOUBLE), 6) AS fpr
+FROM grp g CROSS JOIN mx m
+ORDER BY g.source
+""" % (_STOP_EN,)
+
+
+@register(
+    "x365_fairness_audit",
+    _X365_ORACLE,
+    doc="group-fairness audit of x315's scorer at x350's best-F1 "
+        "operating point: per SOURCE, selection rate (demographic "
+        "parity), disparate-impact ratio vs the most-selected group "
+        "(the four-fifths-rule number), TPR and FPR (equalized "
+        "odds) -- the bias readout every production quality filter "
+        "needs BEFORE it gates a corpus (a filter whose selection "
+        "rate collapses for one source silently rewrites the "
+        "training mix x128/x362 manage). The threshold derives "
+        "in-query from the same suffix-cumulative sweep as x350 "
+        "(deterministic tie-break), so the audit is self-contained. "
+        "Exact BIGINT confusion counts per group; divisions at "
+        "output only. Scale: one corpus pass to the score-domain "
+        "aggregate for the threshold + one pass to the "
+        "source-cardinality confusion aggregate; the threshold "
+        "rides a broadcast 1-row frame",
+)
+def x365_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    p_s = F.floor(
+        text.stop_ratio_column("text") * 10000 + F.lit(0.5)
+    ).cast("long")
+    scored = docs.select(
+        "source",
+        p_s.alias("p_s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    ).localCheckpoint(eager=False)
+    per = scored.groupBy("p_s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("pos").cast("long").alias("pos_s"),
+    )
+    tot = per.agg(F.sum("pos_s").cast("long").alias("n_pos"))
+    wd = Window.orderBy(F.desc("p_s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "p_s",
+        F.sum("pos_s").over(wd).cast("long").alias("tp"),
+        F.sum("n_s").over(wd).cast("long").alias("pred_pos"),
+    )
+    wf = Window.orderBy(
+        F.desc(
+            F.round(
+                2.0 * F.col("tp") / (F.col("pred_pos") + F.col("n_pos")),
+                8,
+            )
+        ),
+        "p_s",
+    )
+    thr = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .select(F.col("p_s").alias("t"))
+    )
+    sel = F.when(F.col("p_s") >= F.col("t"), 1).otherwise(0)
+    grp = (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(sel).cast("long").alias("sel"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum(F.when(F.col("p_s") >= F.col("t"), F.col("pos")).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("p_s") >= F.col("t")) & (F.col("pos") == 0), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    rate = F.round(F.col("sel") / F.col("n").cast("double"), 6)
+    mx = grp.agg(F.max(rate).alias("max_rate"))
+    return (
+        grp.crossJoin(F.broadcast(mx))
+        .select(
+            "source",
+            "n",
+            "sel",
+            rate.alias("selection_rate"),
+            F.round(rate / F.col("max_rate"), 6).alias("disparate_impact"),
+            F.round(F.col("tp") / F.col("n_pos").cast("double"), 6).alias(
+                "tpr"
+            ),
+            F.round(
+                F.col("fp") / (F.col("n") - F.col("n_pos")).cast("double"),
+                6,
+            ).alias("fpr"),
+        )
+        .orderBy("source")
+    )

@@ -1758,3 +1758,78 @@ def test_kruskal_wallis_matches_numpy_midranks(spark):
             r["mean_rank"]
             - sum(by_g[r["segment"]]) / len(by_g[r["segment"]])
         ) <= 1e-3
+
+
+def test_pca_power_iteration_exact_replay_and_spectral_bounds(spark):
+    """x364: the engine's 3-step power iteration must replay EXACTLY
+    in numpy (same covariance, same per-step round-12), and its
+    Rayleigh readout must obey the spectral bounds: mean eigenvalue
+    (uniform-start floor) <= lambda_hat <= top eigenvalue. On this
+    near-isotropic fixture explained_share ~ 1/64 is the correct
+    diagnostic output, NOT a converged top component -- that is the
+    documented contract."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x364_pca_power_iteration,
+    )
+
+    rows = x364_pca_power_iteration(spark, SF).collect()
+    v = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"])])
+    lam = rows[0]["top_eigenvalue"]
+    share = rows[0]["explained_share"]
+    emb = load_table(spark, SF, "embeddings").collect()
+    q = np.floor(
+        np.array([r["embedding"] for r in emb], dtype=np.float64) * 1e6
+    )
+    n = q.shape[0]
+    scat = (n * (q.T @ q) - np.outer(q.sum(0), q.sum(0))) / (
+        n * (n - 1.0) * 1e12
+    )
+    c = np.round(scat, 12)
+    vv = np.full(64, 0.125)
+    nrm = None
+    for _ in range(3):
+        u = np.round(c * vv[None, :], 12).sum(axis=1)
+        nrm = np.sqrt(np.round(u * u, 12).sum())
+        vv = np.round(u / nrm, 12)
+    assert np.max(np.abs(v - np.round(vv, 6))) <= 2e-6, "3-step replay"
+    assert abs(lam - round(float(nrm), 6)) <= 1e-5
+    w = np.linalg.eigvalsh(scat)
+    assert w.mean() - 1e-9 <= lam <= w[-1] + 1e-9, (w.mean(), lam, w[-1])
+    assert abs(share - lam / scat.trace()) <= 1e-3
+    assert abs(float(np.linalg.norm(v)) - 1.0) <= 1e-4
+
+
+def test_fairness_audit_threshold_and_invariants(spark):
+    """x365: the in-query threshold equals x350's best-F1 threshold;
+    disparate impact is <= 1 with the most-selected group at exactly
+    1; confusion rates are consistent (tpr*n_pos <= sel)."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x350_threshold_sweep,
+        x365_fairness_audit,
+    )
+
+    sweep = {
+        r["metric"]: r for r in x350_threshold_sweep(spark, SF).collect()
+    }
+    rows = x365_fairness_audit(spark, SF).collect()
+    assert rows
+    dis = [r["disparate_impact"] for r in rows]
+    assert max(dis) == 1.0
+    assert all(0.0 <= d <= 1.0 for d in dis)
+    best_t = sweep["best_f1"]["threshold"]
+    # recompute one group's selection count at that threshold
+    docs = load_table(spark, SF, "documents")
+    from poc_parquet_publisher_spark.ops import text as _text
+
+    g0 = rows[0]
+    sel = (
+        docs.filter(F.col("source") == g0["source"])
+        .filter(
+            F.floor(_text.stop_ratio_column("text") * 10000 + F.lit(0.5))
+            >= best_t
+        )
+        .count()
+    )
+    assert sel == g0["sel"]
+    for r in rows:
+        assert 0.0 <= r["tpr"] <= 1.0 and 0.0 <= r["fpr"] <= 1.0
