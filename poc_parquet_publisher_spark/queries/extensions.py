@@ -23087,3 +23087,405 @@ def x365_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_X366_ORACLE = """
+WITH p AS (
+  SELECT event_id AS pid, user_id, CAST(epoch_us(ts) AS BIGINT) AS pus
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT event_id AS tid, user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS tus
+  FROM events WHERE event_type IN ('view', 'click')
+),
+tc AS (
+  SELECT p.pid, t.tid, t.event_type, t.tus
+  FROM p JOIN t ON p.user_id = t.user_id
+   AND t.tus <= p.pus AND t.tus > p.pus - 86400000000
+),
+k AS (
+  SELECT pid, CAST(count(*) AS BIGINT) AS k FROM tc GROUP BY 1
+),
+fl AS (
+  SELECT pid,
+         MIN(ROW(tus, tid)) AS first_t,
+         MAX(ROW(tus, tid)) AS last_t
+  FROM tc GROUP BY 1
+),
+credit AS (
+  SELECT 'linear' AS model, tc.event_type,
+         CAST(ROUND(1.0 / k.k, 8) AS DECIMAL(28,8)) AS c
+  FROM tc JOIN k USING (pid)
+  UNION ALL
+  SELECT 'first_touch', tc.event_type, CAST(1 AS DECIMAL(28,8))
+  FROM tc JOIN fl USING (pid)
+  WHERE ROW(tc.tus, tc.tid) = fl.first_t
+  UNION ALL
+  SELECT 'last_touch', tc.event_type, CAST(1 AS DECIMAL(28,8))
+  FROM tc JOIN fl USING (pid)
+  WHERE ROW(tc.tus, tc.tid) = fl.last_t
+)
+SELECT model, event_type AS touch_type,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       ROUND(CAST(SUM(c) AS DOUBLE), 4) AS credit
+FROM credit GROUP BY 1, 2 ORDER BY model, touch_type
+"""
+
+
+@register(
+    "x366_multitouch_attribution",
+    _X366_ORACLE,
+    doc="batch multi-touch conversion attribution: every purchase "
+        "credits its same-user view/click touches from the trailing "
+        "24 h under three industry models side by side -- linear "
+        "(1/k to each touch), first-touch, last-touch -- rolled up "
+        "by touch type: the marketing-analytics readout x103's "
+        "stream join feeds (x103 proves the STREAM leg of "
+        "view->purchase matching; this is the batch CREDIT "
+        "assignment over all touch types and models at once). "
+        "Determinism: linear credits round 8 into DECIMAL before "
+        "the order-free sum; first/last picked by (ts, event_id) "
+        "struct min/max so timestamp ties break on the id. Scale: "
+        "ONE user-key interval join (touches partition by user, "
+        "intervals bound state -- x103's shape), per-purchase k and "
+        "first/last from one groupBy over the match table; no "
+        "window over the corpus",
+)
+def x366_multitouch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("timestampdiff(MICROSECOND, timestamp '1970-01-01', ts)")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        us.alias("pus"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("t_user"),
+        "event_type",
+        us.alias("tus"),
+    )
+    tc = p.join(
+        t,
+        (p.user_id == t.t_user)
+        & (F.col("tus") <= F.col("pus"))
+        & (F.col("tus") > F.col("pus") - F.lit(86400000000)),
+    ).select("pid", "tid", "event_type", "tus").localCheckpoint(
+        eager=False
+    )
+    k = tc.groupBy("pid").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    fl = tc.groupBy("pid").agg(
+        F.min(F.struct("tus", "tid")).alias("first_t"),
+        F.max(F.struct("tus", "tid")).alias("last_t"),
+    )
+    lin = tc.join(k, "pid").select(
+        F.lit("linear").alias("model"),
+        "event_type",
+        F.round(F.lit(1.0) / F.col("k"), 8)
+        .cast("decimal(28,8)")
+        .alias("c"),
+    )
+    ft = tc.join(fl, "pid").filter(
+        F.struct("tus", "tid") == F.col("first_t")
+    ).select(
+        F.lit("first_touch").alias("model"),
+        "event_type",
+        F.lit(1).cast("decimal(28,8)").alias("c"),
+    )
+    lt = tc.join(fl, "pid").filter(
+        F.struct("tus", "tid") == F.col("last_t")
+    ).select(
+        F.lit("last_touch").alias("model"),
+        "event_type",
+        F.lit(1).cast("decimal(28,8)").alias("c"),
+    )
+    return (
+        lin.union(ft)
+        .union(lt)
+        .groupBy("model", F.col("event_type").alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.round(F.sum("c").cast("double"), 4).alias("credit"),
+        )
+        .orderBy("model", "touch_type")
+    )
+
+
+_X367_ORACLE = """
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+         CAST(SUM(CASE WHEN o_orderdate IS NULL
+                    OR o_orderdate < TIMESTAMP '1990-01-01'
+                    OR o_orderdate >= TIMESTAMP '2006-01-01'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_date,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                    OR o_orderstatus IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS v_nullkey,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+           AS v_unique
+  FROM orders
+),
+ref AS (
+  SELECT CAST(count(*) AS BIGINT) AS v_ref
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+),
+rules AS (
+  SELECT 'custkey_not_null' AS rule, n, v_nullkey AS violations
+    FROM base
+  UNION ALL
+  SELECT 'custkey_refs_customer', b.n, r.v_ref FROM base b, ref r
+  UNION ALL
+  SELECT 'orderdate_in_range', n, v_date FROM base
+  UNION ALL
+  SELECT 'orderkey_unique', n, v_unique FROM base
+  UNION ALL
+  SELECT 'status_accepted_values', n, v_status FROM base
+  UNION ALL
+  SELECT 'totalprice_positive', n, v_price FROM base
+)
+SELECT rule, n AS n_checked, violations,
+       CASE WHEN violations = 0 THEN 1 ELSE 0 END AS pass
+FROM rules ORDER BY rule
+"""
+
+
+@register(
+    "x367_expectation_suite",
+    _X367_ORACLE,
+    doc="data-contract expectation suite over the orders feed (the "
+        "Great-Expectations/dbt-test primitive as ONE query): range "
+        "(totalprice > 0), domain (orderdate in the business "
+        "window), accepted-values (status in O/F/P), not-null key, "
+        "key UNIQUENESS (count minus distinct), and REFERENTIAL "
+        "integrity to customer (anti-join count) -- each a named "
+        "rule row with checked/violation counts and a pass flag, "
+        "the machine-readable gate an ingestion pipeline evaluates "
+        "before publishing a partition (the reference publishes "
+        "blind; x54's quality rules score DOCUMENTS, this contracts "
+        "the FEED). Scale: five of six rules fold into ONE "
+        "conditional-aggregate corpus pass (x237's FILTER shape); "
+        "uniqueness adds a distinct-count to the same pass; only "
+        "referential integrity pays a join, and it is the "
+        "key-distribution-friendly LEFT anti pattern",
+)
+def x367_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    base = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull()
+                | (F.col("o_totalprice") <= 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_price"),
+        F.sum(
+            F.when(
+                F.col("o_orderdate").isNull()
+                | (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("2006-01-01").cast("timestamp")
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_date"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin("O", "F", "P")
+                | F.col("o_orderstatus").isNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_status"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("v_nullkey"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("v_unique"),
+    )
+    ref = (
+        orders.join(
+            cust.select("c_custkey"),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("v_ref"))
+    )
+    b = base.crossJoin(F.broadcast(ref))
+
+    def rule(name: str, col: str) -> DataFrame:
+        return b.select(
+            F.lit(name).alias("rule"),
+            F.col("n").alias("n_checked"),
+            F.col(col).alias("violations"),
+        )
+
+    rules = (
+        rule("custkey_not_null", "v_nullkey")
+        .union(rule("custkey_refs_customer", "v_ref"))
+        .union(rule("orderdate_in_range", "v_date"))
+        .union(rule("orderkey_unique", "v_unique"))
+        .union(rule("status_accepted_values", "v_status"))
+        .union(rule("totalprice_positive", "v_price"))
+    )
+    return rules.select(
+        "rule",
+        "n_checked",
+        "violations",
+        F.when(F.col("violations") == 0, 1).otherwise(0).alias("pass"),
+    ).orderBy("rule")
+
+
+_X368_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST((epoch_us(max(ts)) - epoch_us(min(ts)))
+              // 3600000000 AS BIGINT) AS lt,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+  FROM events GROUP BY 1
+),
+mx AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS max_us FROM events),
+lab AS (
+  SELECT lt,
+         CASE WHEN mx.max_us - last_us > 86400000000
+              THEN 1 ELSE 0 END AS observed
+  FROM u, mx
+),
+d AS (
+  SELECT lt, CAST(SUM(observed) AS BIGINT) AS deaths,
+         CAST(count(*) AS BIGINT) AS ending
+  FROM lab GROUP BY lt
+),
+r AS (
+  SELECT lt, deaths,
+         CAST(SUM(ending) OVER (ORDER BY lt DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS at_risk
+  FROM d
+),
+na AS (
+  SELECT lt, deaths, at_risk,
+         SUM(CAST(ROUND(CAST(deaths AS DOUBLE) / at_risk, 12)
+             AS DECIMAL(28,12)))
+           OVER (ORDER BY lt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS h,
+         SUM(CAST(ROUND(CAST(deaths AS DOUBLE)
+                        / (CAST(at_risk AS DOUBLE) * at_risk), 12)
+             AS DECIMAL(28,12)))
+           OVER (ORDER BY lt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS hv
+  FROM r WHERE deaths > 0
+)
+SELECT lt AS lt_hours, at_risk, deaths,
+       ROUND(CAST(h AS DOUBLE), 6) AS cum_hazard,
+       ROUND(CAST(hv AS DOUBLE), 8) AS hazard_var,
+       ROUND(exp(-CAST(h AS DOUBLE)), 4) AS survival_fh
+FROM na ORDER BY lt_hours
+"""
+
+
+@register(
+    "x368_nelson_aalen",
+    _X368_ORACLE,
+    doc="Nelson-Aalen cumulative hazard over x305's censored "
+        "engagement lifetimes: H(t) = sum d_i/n_i with the Poisson "
+        "variance sum d_i/n_i^2 and the Fleming-Harrington survival "
+        "exp(-H) -- the hazard-scale twin of Kaplan-Meier (KM "
+        "multiplies survival factors, NA sums hazard increments; FH "
+        "is the small-sample-stabler curve, and H(t) itself is the "
+        "input to hazard-ratio eyeballing). Same censoring rule, "
+        "exact integer-microsecond lifetimes, same descending "
+        "at-risk window; per-step d/n terms round 12 into "
+        "DECIMAL(28,12) cumulative sums (x305's recipe), exp last. "
+        "Scale: one user groupBy + windows over the "
+        "lifetime-cardinality aggregate (x81 contract)",
+)
+def x368_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.min("ts").alias("first_ts"),
+    ).select(
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND, first_ts, last_ts) "
+            "DIV 3600000000 AS BIGINT)"
+        ).alias("lt"),
+        "last_ts",
+    )
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    lab = u.crossJoin(F.broadcast(mx)).select(
+        "lt",
+        F.when(
+            F.expr("timestampdiff(MICROSECOND, last_ts, max_ts)")
+            > F.lit(86400000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("observed"),
+    )
+    d = lab.groupBy("lt").agg(
+        F.sum("observed").cast("long").alias("deaths"),
+        F.count(F.lit(1)).cast("long").alias("ending"),
+    )
+    wdesc = Window.orderBy(F.desc("lt")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = d.select(
+        "lt",
+        "deaths",
+        F.sum("ending").over(wdesc).cast("long").alias("at_risk"),
+    )
+    wasc = Window.orderBy("lt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    na = r.filter(F.col("deaths") > 0).select(
+        "lt",
+        "deaths",
+        "at_risk",
+        F.sum(
+            F.round(
+                F.col("deaths").cast("double") / F.col("at_risk"), 12
+            ).cast("decimal(28,12)")
+        )
+        .over(wasc)
+        .alias("h"),
+        F.sum(
+            F.round(
+                F.col("deaths").cast("double")
+                / (F.col("at_risk").cast("double") * F.col("at_risk")),
+                12,
+            ).cast("decimal(28,12)")
+        )
+        .over(wasc)
+        .alias("hv"),
+    )
+    return na.select(
+        F.col("lt").alias("lt_hours"),
+        "at_risk",
+        "deaths",
+        F.round(F.col("h").cast("double"), 6).alias("cum_hazard"),
+        F.round(F.col("hv").cast("double"), 8).alias("hazard_var"),
+        F.round(F.exp(-F.col("h").cast("double")), 4).alias(
+            "survival_fh"
+        ),
+    ).orderBy("lt_hours")

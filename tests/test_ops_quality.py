@@ -1833,3 +1833,73 @@ def test_fairness_audit_threshold_and_invariants(spark):
     assert sel == g0["sel"]
     for r in rows:
         assert 0.0 <= r["tpr"] <= 1.0 and 0.0 <= r["fpr"] <= 1.0
+
+
+def test_attribution_credit_conservation(spark):
+    """x366: under every model the total assigned credit equals the
+    number of purchases with at least one trailing-24h touch (linear
+    up to per-purchase rounding); first/last assign exactly one
+    touch per covered purchase."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x366_multitouch_attribution,
+    )
+
+    rows = x366_multitouch_attribution(spark, SF).collect()
+    by_model = defaultdict(lambda: {"credit": 0.0, "touches": 0})
+    for r in rows:
+        by_model[r["model"]]["credit"] += r["credit"]
+        by_model[r["model"]]["touches"] += r["n_touches"]
+    covered = by_model["first_touch"]["touches"]
+    assert covered > 0
+    assert by_model["last_touch"]["touches"] == covered
+    assert by_model["first_touch"]["credit"] == float(covered)
+    assert by_model["last_touch"]["credit"] == float(covered)
+    # linear credit sums to covered purchases modulo round-8 per touch
+    assert abs(by_model["linear"]["credit"] - covered) <= 1e-3
+
+
+def test_expectation_suite_all_pass_and_ref_recount(spark):
+    """x367: the generated feed satisfies the contract (all rules
+    pass); the referential-integrity count matches an independent
+    anti-join recount."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x367_expectation_suite,
+    )
+
+    rows = {r["rule"]: r for r in x367_expectation_suite(spark, SF).collect()}
+    assert len(rows) == 6
+    n_orders = load_table(spark, SF, "orders").count()
+    for r in rows.values():
+        assert r["n_checked"] == n_orders
+        assert r["pass"] == 1 and r["violations"] == 0, r
+    orders = load_table(spark, SF, "orders")
+    cust = load_table(spark, SF, "customer")
+    v_ref = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_anti"
+    ).count()
+    assert rows["custkey_refs_customer"]["violations"] == v_ref
+
+
+def test_nelson_aalen_consistent_with_kaplan_meier(spark):
+    """x368: H(t) and its variance are nondecreasing; the
+    Fleming-Harrington survival exp(-H) dominates the KM product
+    estimator at every step (a known identity: 1-x <= exp(-x))."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x305_kaplan_meier,
+        x368_nelson_aalen,
+    )
+
+    na = x368_nelson_aalen(spark, SF).collect()
+    km = {r["lt_hours"]: r["survival"] for r in x305_kaplan_meier(spark, SF).collect()}
+    hs = [r["cum_hazard"] for r in na]
+    vs = [r["hazard_var"] for r in na]
+    assert all(a <= b + 1e-12 for a, b in zip(hs, hs[1:]))
+    assert all(a <= b + 1e-12 for a, b in zip(vs, vs[1:]))
+    for r in na:
+        assert r["lt_hours"] in km
+        assert r["survival_fh"] >= km[r["lt_hours"]] - 1e-4, (
+            r,
+            km[r["lt_hours"]],
+        )
