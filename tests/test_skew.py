@@ -132,6 +132,12 @@ SKEW_ENTRIES = [
     # the per-key-parallelism contract under the 3x straggler bound
     "x353_native_session_window",
     "x354_watermark_lateness",
+    # round-6 batch-5 addition: x366's purchase->touch interval join
+    # keys on user, so the hot user's purchases meet the hot user's
+    # views/clicks -- the trailing-24h interval bounds the per-purchase
+    # fan-out (state never goes quadratic in the hot key's row count);
+    # answers, plan, and the 3x straggler bound must hold
+    "x366_multitouch_attribution",
 ]
 
 
