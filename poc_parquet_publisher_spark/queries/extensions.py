@@ -23489,3 +23489,486 @@ def x368_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival_fh"
         ),
     ).orderBy("lt_hours")
+
+
+def _x369_oracle() -> str:
+    head = """WITH cells AS MATERIALIZED (
+  SELECT n.n_name AS r, c.c_mktsegment AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+dims AS (
+  SELECT CAST((SELECT count(DISTINCT r) FROM cells) AS BIGINT) AS nr,
+         CAST((SELECT count(DISTINCT s) FROM cells) AS BIGINT) AS ns,
+         CAST((SELECT SUM(n) FROM cells) AS BIGINT) AS tot
+),
+w0 AS (SELECT r, s, n, CAST(1.0 AS DOUBLE) AS w FROM cells)"""
+    steps = []
+    prev = "w0"
+    for it in (1, 2):
+        steps.append(f"""rm{it} AS MATERIALIZED (
+  SELECT r,
+         CAST(SUM(CAST(ROUND(n * w, 12) AS DECIMAL(28,12)))
+              AS DOUBLE) AS rowsum
+  FROM {prev} GROUP BY 1
+),
+wr{it} AS MATERIALIZED (
+  SELECT p.r, p.s, p.n,
+         ROUND(p.w * (d.tot / CAST(d.nr AS DOUBLE)) / m.rowsum, 12)
+           AS w
+  FROM {prev} p JOIN rm{it} m USING (r) CROSS JOIN dims d
+),
+cm{it} AS MATERIALIZED (
+  SELECT s,
+         CAST(SUM(CAST(ROUND(n * w, 12) AS DECIMAL(28,12)))
+              AS DOUBLE) AS colsum
+  FROM wr{it} GROUP BY 1
+),
+w{it} AS MATERIALIZED (
+  SELECT p.r, p.s, p.n,
+         ROUND(p.w * (d.tot / CAST(d.ns AS DOUBLE)) / m.colsum, 12)
+           AS w
+  FROM wr{it} p JOIN cm{it} m USING (s) CROSS JOIN dims d
+)""")
+        prev = f"w{it}"
+    tail = """err AS (
+  SELECT CAST(MAX(ABS(rowdev)) AS DOUBLE) AS max_row_dev FROM (
+    SELECT r,
+           CAST(SUM(CAST(ROUND(n * w, 12) AS DECIMAL(28,12)))
+                AS DOUBLE)
+           / MAX(d.tot / CAST(d.nr AS DOUBLE)) - 1.0 AS rowdev
+    FROM w2 CROSS JOIN dims d GROUP BY r
+  ) q
+)
+SELECT w2.r AS nation, w2.s AS segment, w2.n,
+       ROUND(w2.w, 6) AS weight,
+       ROUND(CAST(ROUND(w2.n * w2.w, 12) AS DOUBLE), 4)
+         AS weighted_n,
+       ROUND(e.max_row_dev, 6) AS max_row_dev
+FROM w2 CROSS JOIN err e
+ORDER BY nation, segment"""
+    return head + ",\n" + ",\n".join(steps) + ",\n" + tail
+
+
+@register(
+    "x369_ipf_raking",
+    _x369_oracle(),
+    doc="iterative proportional fitting (raking) of the nation x "
+        "segment customer contingency toward UNIFORM row and column "
+        "margins, 2 fixed rounds -- the survey-weighting / "
+        "dataset-reweighting primitive (make a skewed corpus match "
+        "target marginals by CELL WEIGHTS instead of resampling; "
+        "x348 resamples rows, this reweights strata -- the two "
+        "standard distribution-matching levers). Each round is one "
+        "margin groupBy + one rescale join per axis over the "
+        "cell-cardinality table (x104's fixed-depth recipe on a "
+        "CONTINGENCY table); weighted masses round 12 into DECIMAL "
+        "before every margin sum, weights re-round 12 per rescale "
+        "so both engines iterate on identical state; the residual "
+        "row-margin deviation after the final COLUMN fit is "
+        "reported (the convergence diagnostic). Scale: the corpus "
+        "collapses to nation x segment cells in ONE pass; "
+        "everything after is 125-row arithmetic",
+)
+def x369_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    cells = (
+        cust.join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            cust.c_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("r"), F.col("c_mktsegment").alias("s"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    dims = cells.agg(
+        F.countDistinct("r").cast("long").alias("nr"),
+        F.countDistinct("s").cast("long").alias("ns"),
+        F.sum("n").cast("long").alias("tot"),
+    )
+    w = cells.withColumn("w", F.lit(1.0).cast("double"))
+    mass = lambda: F.sum(
+        F.round(F.col("n") * F.col("w"), 12).cast("decimal(28,12)")
+    ).cast("double")
+    for _ in range(2):
+        rm = w.groupBy("r").agg(mass().alias("rowsum"))
+        w = (
+            w.join(F.broadcast(rm), "r")
+            .crossJoin(F.broadcast(dims))
+            .select(
+                "r",
+                "s",
+                "n",
+                F.round(
+                    F.col("w")
+                    * (F.col("tot") / F.col("nr").cast("double"))
+                    / F.col("rowsum"),
+                    12,
+                ).alias("w"),
+            )
+        )
+        cm = w.groupBy("s").agg(mass().alias("colsum"))
+        w = (
+            w.join(F.broadcast(cm), "s")
+            .crossJoin(F.broadcast(dims))
+            .select(
+                "r",
+                "s",
+                "n",
+                F.round(
+                    F.col("w")
+                    * (F.col("tot") / F.col("ns").cast("double"))
+                    / F.col("colsum"),
+                    12,
+                ).alias("w"),
+            )
+        )
+    err = (
+        w.crossJoin(F.broadcast(dims))
+        .groupBy("r")
+        .agg(
+            (
+                mass()
+                / F.max(F.col("tot") / F.col("nr").cast("double"))
+                - F.lit(1.0)
+            ).alias("rowdev")
+        )
+        .agg(F.max(F.abs(F.col("rowdev"))).alias("max_row_dev"))
+    )
+    return (
+        w.crossJoin(F.broadcast(err))
+        .select(
+            F.col("r").alias("nation"),
+            F.col("s").alias("segment"),
+            "n",
+            F.round("w", 6).alias("weight"),
+            F.round(
+                F.round(F.col("n") * F.col("w"), 12).cast("double"), 4
+            ).alias("weighted_n"),
+            F.round("max_row_dev", 6).alias("max_row_dev"),
+        )
+        .orderBy("nation", "segment")
+    )
+
+
+_X370_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST((epoch_us(max(ts)) - epoch_us(min(ts)))
+              // 3600000000 AS BIGINT) AS lt,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
+                          1, 4) < '8000'
+              THEN 1 ELSE 0 END AS g
+  FROM events GROUP BY 1
+),
+mx AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS max_us FROM events),
+lab AS (
+  SELECT lt, g,
+         CASE WHEN mx.max_us - last_us > 86400000000
+              THEN 1 ELSE 0 END AS observed
+  FROM u, mx
+),
+d AS (
+  SELECT lt, g, CAST(SUM(observed) AS BIGINT) AS deaths,
+         CAST(count(*) AS BIGINT) AS ending
+  FROM lab GROUP BY 1, 2
+),
+lts AS (SELECT DISTINCT lt FROM d),
+grid AS (
+  SELECT lts.lt, gg.g
+  FROM lts CROSS JOIN (SELECT 0 AS g UNION ALL SELECT 1) gg
+),
+f AS (
+  SELECT grid.lt, grid.g,
+         COALESCE(d.deaths, 0) AS deaths,
+         COALESCE(d.ending, 0) AS ending
+  FROM grid LEFT JOIN d USING (lt, g)
+),
+r AS (
+  SELECT lt, g, deaths,
+         CAST(SUM(ending) OVER (PARTITION BY g ORDER BY lt DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS at_risk
+  FROM f
+),
+t AS (
+  SELECT lt,
+         CAST(SUM(deaths) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN g = 1 THEN deaths ELSE 0 END)
+           AS BIGINT) AS d1,
+         CAST(SUM(at_risk) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN g = 1 THEN at_risk ELSE 0 END)
+           AS BIGINT) AS n1
+  FROM r GROUP BY 1
+),
+agg AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(d - d1) AS BIGINT) AS o0,
+         CAST(SUM(CAST(ROUND(d * (n1 / CAST(n AS DOUBLE)), 12)
+                  AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS e1,
+         CAST(SUM(CASE WHEN n > 1 THEN
+                  CAST(ROUND(d * (n1 / CAST(n AS DOUBLE))
+                             * (1.0 - n1 / CAST(n AS DOUBLE))
+                             * (n - d) / (n - 1.0), 12)
+                  AS DECIMAL(28,12)) END) AS DECIMAL(28,12)) AS v
+  FROM t WHERE d > 0
+)
+SELECT o1, o0,
+       ROUND(CAST(e1 AS DOUBLE), 4) AS e1,
+       ROUND(CAST(o1 + o0 - e1 AS DOUBLE), 4) AS e0,
+       ROUND((o1 - CAST(e1 AS DOUBLE)) * (o1 - CAST(e1 AS DOUBLE))
+             / CAST(v AS DOUBLE), 4) AS chi2,
+       1 AS df
+FROM agg
+"""
+
+
+@register(
+    "x370_logrank_test",
+    _X370_ORACLE,
+    doc="log-rank test comparing engagement-lifetime survival between "
+        "x303's treatment arms (same censoring rule as x305/x368): "
+        "at every pooled event time, observed group-1 deaths vs the "
+        "hypergeometric expectation d*n1/n and variance "
+        "d*(n1/n)(1-n1/n)(n-d)/(n-1); chi2 = (O1-E1)^2/V with df=1 "
+        "-- THE standard two-curve comparison (KM draws the curves, "
+        "this tests them; completes the survival suite and welds it "
+        "to the experiment suite: 'did treatment change churn "
+        "TIMING', which mean-based uplift x303 can't see). Exact "
+        "machinery: per-group at-risk from one PARTITIONed "
+        "descending window over the (lifetime x group) grid "
+        "(zero-filled so cumulative counts stay aligned), O/E/V "
+        "terms round 12 into DECIMAL sums, two divisions at output. "
+        "Scale: one user groupBy; windows and the grid ride the "
+        "lifetime-cardinality aggregate (x81 contract)",
+)
+def x370_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    g = F.when(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+            1,
+            4,
+        )
+        < "8000",
+        1,
+    ).otherwise(0)
+    u = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.min("ts").alias("first_ts"),
+    ).select(
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND, first_ts, last_ts) "
+            "DIV 3600000000 AS BIGINT)"
+        ).alias("lt"),
+        "last_ts",
+        g.alias("g"),
+    )
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    lab = u.crossJoin(F.broadcast(mx)).select(
+        "lt",
+        "g",
+        F.when(
+            F.expr("timestampdiff(MICROSECOND, last_ts, max_ts)")
+            > F.lit(86400000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("observed"),
+    )
+    d = lab.groupBy("lt", "g").agg(
+        F.sum("observed").cast("long").alias("deaths"),
+        F.count(F.lit(1)).cast("long").alias("ending"),
+    )
+    lts = d.select("lt").distinct()
+    gg = lts.sparkSession.range(0, 2).select(
+        F.col("id").cast("int").alias("g")
+    )
+    grid = lts.crossJoin(F.broadcast(gg))
+    f = grid.join(d, ["lt", "g"], "left").select(
+        "lt",
+        "g",
+        F.coalesce(F.col("deaths"), F.lit(0)).cast("long").alias("deaths"),
+        F.coalesce(F.col("ending"), F.lit(0)).cast("long").alias("ending"),
+    )
+    wdesc = (
+        Window.partitionBy("g")
+        .orderBy(F.desc("lt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = f.select(
+        "lt",
+        "g",
+        "deaths",
+        F.sum("ending").over(wdesc).cast("long").alias("at_risk"),
+    )
+    t = r.groupBy("lt").agg(
+        F.sum("deaths").cast("long").alias("d"),
+        F.sum(F.when(F.col("g") == 1, F.col("deaths")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum("at_risk").cast("long").alias("n"),
+        F.sum(F.when(F.col("g") == 1, F.col("at_risk")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    frac = F.col("n1") / F.col("n").cast("double")
+    agg = t.filter(F.col("d") > 0).agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(F.col("d") - F.col("d1")).cast("long").alias("o0"),
+        F.sum(
+            F.round(F.col("d") * frac, 12).cast("decimal(28,12)")
+        )
+        .cast("decimal(28,12)")
+        .alias("e1"),
+        F.sum(
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    F.col("d")
+                    * frac
+                    * (F.lit(1.0) - frac)
+                    * (F.col("n") - F.col("d"))
+                    / (F.col("n") - F.lit(1.0)),
+                    12,
+                ).cast("decimal(28,12)"),
+            )
+        )
+        .cast("decimal(28,12)")
+        .alias("v"),
+    )
+    e1d = F.col("e1").cast("double")
+    return agg.select(
+        "o1",
+        "o0",
+        F.round(e1d, 4).alias("e1"),
+        F.round((F.col("o1") + F.col("o0")).cast("double") - e1d, 4).alias(
+            "e0"
+        ),
+        F.round(
+            (F.col("o1") - e1d)
+            * (F.col("o1") - e1d)
+            / F.col("v").cast("double"),
+            4,
+        ).alias("chi2"),
+        F.lit(1).alias("df"),
+    )
+
+
+_X371_ORACLE = """
+WITH scored AS (
+  SELECT CAST(FLOOR(ROUND(CAST(len(list_filter(
+                string_split(lower(text), ' '),
+                t -> t IN (%s))) AS DOUBLE)
+              / len(string_split(lower(text), ' ')), 4)
+              * 10000 + 0.5) AS BIGINT) AS p_s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+per AS (
+  SELECT p_s, CAST(count(*) AS BIGINT) AS n_s,
+         CAST(SUM(pos) AS BIGINT) AS pos_s
+  FROM scored GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+         CAST(SUM(n_s - pos_s) AS BIGINT) AS n_neg
+  FROM per
+),
+cum AS (
+  SELECT p_s, pos_s,
+         CAST(SUM(pos_s) OVER (ORDER BY p_s DESC) AS BIGINT) AS tp,
+         CAST(SUM(n_s) OVER (ORDER BY p_s DESC) AS BIGINT) AS pred
+  FROM per
+),
+ap AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           (c.pos_s / CAST(t.n_pos AS DOUBLE))
+           * (c.tp / CAST(c.pred AS DOUBLE)), 10)
+           AS DECIMAL(28,10))) AS DECIMAL(28,10)) AS ap
+  FROM cum c CROSS JOIN tot t WHERE c.pos_s > 0
+)
+SELECT t.n_pos, t.n_neg,
+       ROUND(CAST(a.ap AS DOUBLE), 6) AS average_precision,
+       ROUND(t.n_pos / CAST(t.n_pos + t.n_neg AS DOUBLE), 6)
+         AS prevalence
+FROM ap a CROSS JOIN tot t
+""" % _STOP_EN
+
+
+@register(
+    "x371_average_precision",
+    _X371_ORACLE,
+    doc="average precision (area under the precision-recall curve, "
+        "step form: AP = sum_k dR_k * P_k, sklearn's "
+        "interpolation-free definition) for x315's scorer -- the "
+        "imbalance-honest companion to x349's ROC AUC (ROC flatters "
+        "a scorer when negatives dominate; AP compares against the "
+        "prevalence baseline -- the random scorer's expectation, "
+        "reported alongside; an anti-correlated scorer lands BELOW "
+        "it, as this fixture's does). Rides the SAME "
+        "suffix-cumulative score-domain machinery as x350: each "
+        "distinct score contributes recall-gain x precision as an "
+        "exact-integer ratio product, rounded 10 into DECIMAL "
+        "before the order-free sum. Scale: one corpus pass to the "
+        "<=10001-row score aggregate, one window, one 1-row "
+        "aggregate",
+)
+def x371_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    p_s = F.floor(
+        text.stop_ratio_column("text") * 10000 + F.lit(0.5)
+    ).cast("long")
+    scored = docs.select(
+        p_s.alias("p_s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    per = scored.groupBy("p_s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("pos").cast("long").alias("pos_s"),
+    )
+    tot = per.agg(
+        F.sum("pos_s").cast("long").alias("n_pos"),
+        F.sum(F.col("n_s") - F.col("pos_s")).cast("long").alias("n_neg"),
+    )
+    wd = Window.orderBy(F.desc("p_s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "p_s",
+        "pos_s",
+        F.sum("pos_s").over(wd).cast("long").alias("tp"),
+        F.sum("n_s").over(wd).cast("long").alias("pred"),
+    )
+    ap = (
+        cum.filter(F.col("pos_s") > 0)
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("pos_s") / F.col("n_pos").cast("double"))
+                    * (F.col("tp") / F.col("pred").cast("double")),
+                    10,
+                ).cast("decimal(28,10)")
+            )
+            .cast("decimal(28,10)")
+            .alias("ap")
+        )
+    )
+    return ap.crossJoin(F.broadcast(tot)).select(
+        "n_pos",
+        "n_neg",
+        F.round(F.col("ap").cast("double"), 6).alias("average_precision"),
+        F.round(
+            F.col("n_pos")
+            / (F.col("n_pos") + F.col("n_neg")).cast("double"),
+            6,
+        ).alias("prevalence"),
+    )

@@ -1903,3 +1903,138 @@ def test_nelson_aalen_consistent_with_kaplan_meier(spark):
             r,
             km[r["lt_hours"]],
         )
+
+
+def test_ipf_raking_margin_convergence(spark):
+    """x369: after 2 rounds the COLUMN margins are exactly uniform
+    (the column fit ran last), row margins are within the reported
+    residual, and total weighted mass is preserved."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x369_ipf_raking,
+    )
+
+    rows = x369_ipf_raking(spark, SF).collect()
+    tot = sum(r["n"] for r in rows)
+    segs = defaultdict(float)
+    nats = defaultdict(float)
+    for r in rows:
+        segs[r["segment"]] += r["weighted_n"]
+        nats[r["nation"]] += r["weighted_n"]
+    col_target = tot / len(segs)
+    for s, m in segs.items():
+        assert abs(m - col_target) <= 0.05, (s, m, col_target)
+    row_target = tot / len(nats)
+    max_dev = rows[0]["max_row_dev"]
+    for nval, m in nats.items():
+        assert abs(m / row_target - 1.0) <= max_dev + 1e-4
+    assert abs(sum(r["weighted_n"] for r in rows) - tot) <= 0.5
+
+
+def test_logrank_matches_python_replay(spark):
+    """x370: O/E/V must match a pure-Python replay of the risk-set
+    walk on the same (lifetime, group, observed) frame."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x370_logrank_test,
+    )
+
+    got = x370_logrank_test(spark, SF).collect()[0]
+    ev = load_table(spark, SF, "events")
+    g = F.when(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+            1,
+            4,
+        )
+        < "8000",
+        1,
+    ).otherwise(0)
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"), F.min("ts").alias("first_ts"))
+        .select(
+            F.expr(
+                "CAST(timestampdiff(MICROSECOND, first_ts, last_ts) "
+                "DIV 3600000000 AS BIGINT)"
+            ).alias("lt"),
+            "last_ts",
+            g.alias("g"),
+        )
+    )
+    mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    rows = u.select(
+        "lt",
+        "g",
+        F.when(
+            F.expr(
+                f"timestampdiff(MICROSECOND, last_ts, timestamp '{mx}')"
+            )
+            > F.lit(86400000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("obs"),
+    ).collect()
+    deaths = defaultdict(lambda: [0, 0])
+    ending = defaultdict(lambda: [0, 0])
+    for r in rows:
+        ending[r["lt"]][r["g"]] += 1
+        deaths[r["lt"]][r["g"]] += r["obs"]
+    lts = sorted(ending)
+    at_risk = [0, 0]
+    o1 = e1 = v = 0.0
+    for lt in reversed(lts):
+        at_risk[0] += ending[lt][0]
+        at_risk[1] += ending[lt][1]
+        d = sum(deaths[lt])
+        if d == 0:
+            continue
+        n = sum(at_risk)
+        n1 = at_risk[1]
+        o1 += deaths[lt][1]
+        e1 += round(d * n1 / n, 12)
+        if n > 1:
+            v += round(
+                d * (n1 / n) * (1 - n1 / n) * (n - d) / (n - 1.0), 12
+            )
+    assert got["o1"] == int(o1)
+    assert abs(got["e1"] - round(e1, 4)) <= 1e-8
+    chi2 = (o1 - e1) ** 2 / v
+    assert abs(got["chi2"] - round(chi2, 4)) <= 1e-6
+
+
+def test_average_precision_bounds_and_sklearn_form(spark):
+    """x371: AP is within [0, 1] (prevalence is the random-scorer
+    BASELINE, not a floor -- an anti-correlated scorer scores below
+    it, as this fixture's does); equals the step-form recomputation
+    from the collected score aggregate."""
+    from collections import Counter
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x371_average_precision,
+    )
+    from poc_parquet_publisher_spark.ops import text as _text
+
+    got = x371_average_precision(spark, SF).collect()[0]
+    assert 0.0 <= got["average_precision"] <= 1.0
+    docs = load_table(spark, SF, "documents")
+    rows = docs.select(
+        F.floor(_text.stop_ratio_column("text") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    ).collect()
+    per_n = Counter(r["s"] for r in rows)
+    per_p = Counter(r["s"] for r in rows if r["pos"])
+    n_pos = sum(per_p.values())
+    tp = pred = 0
+    ap = 0.0
+    for s in sorted(per_n, reverse=True):
+        tp += per_p.get(s, 0)
+        pred += per_n[s]
+        if per_p.get(s, 0) > 0:
+            ap += round((per_p[s] / n_pos) * (tp / pred), 10)
+    assert abs(got["average_precision"] - round(ap, 6)) <= 1e-9
