@@ -23972,3 +23972,252 @@ def x371_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("prevalence"),
     )
+
+
+_X372_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         CASE WHEN label < 5 THEN 'a' ELSE 'b' END AS grp
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 10),
+d AS (
+  SELECT e.vec_id, e.grp, c.cid,
+         ROUND(list_dot_product(e.v, e.v)
+               - 2 * list_dot_product(e.v, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM e CROSS JOIN c
+),
+md AS (SELECT vec_id, min(d2) AS mind FROM d GROUP BY 1),
+asg AS (
+  SELECT d.vec_id, min(d.grp) AS grp, min(d.cid) AS cid
+  FROM d JOIN md ON d.vec_id = md.vec_id AND d.d2 = md.mind
+  GROUP BY 1
+),
+h AS (
+  SELECT cid,
+         CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b
+  FROM asg GROUP BY 1
+),
+tt AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+         CAST(SUM(n_b) AS BIGINT) AS tb
+  FROM h
+),
+terms AS (
+  SELECT h.cid, h.n_a, h.n_b,
+         h.n_a / CAST(t.ta AS DOUBLE) AS p,
+         h.n_b / CAST(t.tb AS DOUBLE) AS q
+  FROM h CROSS JOIN tt t
+),
+js AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           CASE WHEN p > 0
+                THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
+           + CASE WHEN q > 0
+                  THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END,
+           12) AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS js
+  FROM terms
+)
+SELECT t.cid, t.n_a, t.n_b,
+       ROUND(t.p, 6) AS share_a, ROUND(t.q, 6) AS share_b,
+       ROUND(CAST(j.js AS DOUBLE), 6) AS js_divergence
+FROM terms t CROSS JOIN js j
+ORDER BY t.cid
+"""
+
+
+@register(
+    "x372_embedding_js_divergence",
+    _X372_ORACLE,
+    doc="Jensen-Shannon divergence between two corpus halves (label "
+        "< 5 vs >= 5) IN EMBEDDING SPACE: both groups' vectors "
+        "assign to x341's deterministic seed centroids (same "
+        "round-6 distance + min-cid tie-break), and JS compares the "
+        "two cluster-occupancy histograms -- the semantic "
+        "drift/domain-shift number x250's schema drift and x128's "
+        "source-mix KL cannot see (two sources can have identical "
+        "metadata yet live in different embedding regions; this is "
+        "the MAUVE-style discretize-then-diverge recipe in exact "
+        "arithmetic). Per-cell ln terms round 12 into the order-"
+        "free DECIMAL sum; zero cells contribute 0 by the 0*ln0 "
+        "convention; JS is symmetric and bounded by ln 2 -- both "
+        "ends pytest-pinned. Scale: centroids broadcast, assignment "
+        "map-side, histograms are k-cell aggregates",
+)
+def x372_embedding_js_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+        F.when(F.col("label") < 5, "a").otherwise("b").alias("grp"),
+    )
+    c = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    d = e.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "grp",
+        "cid",
+        F.round(
+            dot(F.col("v"), F.col("v"))
+            - 2 * dot(F.col("v"), F.col("cv"))
+            + dot(F.col("cv"), F.col("cv")),
+            6,
+        ).alias("d2"),
+    )
+    asg = d.groupBy("vec_id").agg(
+        F.min("grp").alias("grp"),
+        F.min(F.struct("d2", "cid")).getField("cid").alias("cid"),
+    )
+    h = asg.groupBy("cid").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    tt = h.agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+    )
+    terms = h.crossJoin(F.broadcast(tt)).select(
+        "cid",
+        "n_a",
+        "n_b",
+        (F.col("n_a") / F.col("ta").cast("double")).alias("p"),
+        (F.col("n_b") / F.col("tb").cast("double")).alias("q"),
+    )
+    mmid = (F.col("p") + F.col("q")) / 2
+    term = F.when(
+        F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / mmid)
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("q") > 0, 0.5 * F.col("q") * F.log(F.col("q") / mmid)
+    ).otherwise(F.lit(0.0))
+    js = terms.agg(
+        F.sum(F.round(term, 12).cast("decimal(28,12)"))
+        .cast("decimal(28,12)")
+        .alias("js")
+    )
+    return (
+        terms.crossJoin(F.broadcast(js))
+        .select(
+            "cid",
+            "n_a",
+            "n_b",
+            F.round("p", 6).alias("share_a"),
+            F.round("q", 6).alias("share_b"),
+            F.round(F.col("js").cast("double"), 6).alias("js_divergence"),
+        )
+        .orderBy("cid")
+    )
+
+
+_X373_ORACLE = """
+WITH k AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           AS BIGINT) AS nv,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                  END) AS BIGINT) AS np
+  FROM events GROUP BY 1
+),
+act AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(SUM(nv * np) AS BIGINT) AS predicted_pairs
+  FROM k WHERE nv > 0 AND np > 0
+),
+samp AS (
+  SELECT CAST(count(*) AS BIGINT) AS sampled_keys,
+         CAST(COALESCE(SUM(nv * np), 0) * 64 AS BIGINT)
+           AS sample_estimate
+  FROM k
+  WHERE nv > 0 AND np > 0
+    AND substr(md5(CAST(user_id AS VARCHAR) || ':cbo'), 1, 2) < '04'
+)
+SELECT a.n_keys, a.predicted_pairs, s.sampled_keys,
+       s.sample_estimate,
+       ROUND(ABS(s.sample_estimate - a.predicted_pairs)
+             / CAST(a.predicted_pairs AS DOUBLE), 4) AS rel_error
+FROM act a CROSS JOIN samp s
+"""
+
+
+@register(
+    "x373_join_size_estimation",
+    _X373_ORACLE,
+    doc="join-cardinality estimation audit -- the cost-based-"
+        "optimizer primitive made measurable: the view x purchase "
+        "self-join's output size computed EXACTLY from one key-"
+        "histogram pass (sum over users of views*purchases -- the "
+        "join never materializes: at 100 TB you size the shuffle "
+        "BEFORE paying it), beside the 1/64 key-sample estimate "
+        "(md5 bucket, the deterministic stand-in for CBO's sampled "
+        "statistics) with its realized relative error -- the number "
+        "that tells you how much to trust sampled stats on a skewed "
+        "key distribution (x108's Gini says skew exists; this "
+        "prices what skew does to estimation). All exact BIGINTs; "
+        "one corpus groupBy, two 1-row aggregates. The pytest gate "
+        "materializes the join at sf0.001 and confirms the "
+        "histogram identity",
+)
+def x373_join_size_estimation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("nv"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+    ).filter((F.col("nv") > 0) & (F.col("np") > 0))
+    act = k.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("nv") * F.col("np"))
+        .cast("long")
+        .alias("predicted_pairs"),
+    )
+    samp = k.filter(
+        F.substring(
+            F.md5(
+                F.concat(F.col("user_id").cast("string"), F.lit(":cbo"))
+            ),
+            1,
+            2,
+        )
+        < "04"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("sampled_keys"),
+        (F.coalesce(F.sum(F.col("nv") * F.col("np")), F.lit(0)) * 64)
+        .cast("long")
+        .alias("sample_estimate"),
+    )
+    return act.crossJoin(F.broadcast(samp)).select(
+        "n_keys",
+        "predicted_pairs",
+        "sampled_keys",
+        "sample_estimate",
+        F.round(
+            F.abs(F.col("sample_estimate") - F.col("predicted_pairs"))
+            / F.col("predicted_pairs").cast("double"),
+            4,
+        ).alias("rel_error"),
+    )

@@ -2038,3 +2038,41 @@ def test_average_precision_bounds_and_sklearn_form(spark):
         if per_p.get(s, 0) > 0:
             ap += round((per_p[s] / n_pos) * (tp / pred), 10)
     assert abs(got["average_precision"] - round(ap, 6)) <= 1e-9
+
+
+def test_embedding_js_bounded_and_symmetric_convention(spark):
+    """x372: JS in [0, ln 2]; shares sum to 1 per group; histograms
+    cover all assigned vectors."""
+    import math
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x372_embedding_js_divergence,
+    )
+
+    rows = x372_embedding_js_divergence(spark, SF).collect()
+    js = rows[0]["js_divergence"]
+    assert 0.0 <= js <= math.log(2) + 1e-12
+    assert abs(sum(r["share_a"] for r in rows) - 1.0) <= 1e-4
+    assert abs(sum(r["share_b"] for r in rows) - 1.0) <= 1e-4
+    n_total = load_table(spark, SF, "embeddings").count()
+    assert sum(r["n_a"] + r["n_b"] for r in rows) == n_total
+
+
+def test_join_size_histogram_identity(spark):
+    """x373: the histogram dot product equals the MATERIALIZED
+    view x purchase join size."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x373_join_size_estimation,
+    )
+
+    got = x373_join_size_estimation(spark, SF).collect()[0]
+    ev = load_table(spark, SF, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u")
+    )
+    actual = v.join(p, "u").count()
+    assert got["predicted_pairs"] == actual
+    assert got["sample_estimate"] % 64 == 0
