@@ -24221,3 +24221,182 @@ def x373_join_size_estimation(
             4,
         ).alias("rel_error"),
     )
+
+
+_X374_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source, lower(text) AS lt,
+         CAST(length(lower(text)) AS BIGINT) AS len
+  FROM documents
+),
+g AS (
+  SELECT doc_id, (p).pos AS pos, (p).g AS gram
+  FROM t, LATERAL (
+    SELECT unnest(list_transform(range(1, len - 28),
+             i -> struct_pack(pos := i, g := substr(lt, i, 30)))) AS p
+  )
+  WHERE len >= 30
+),
+rep AS (
+  SELECT gram FROM g GROUP BY 1
+  HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN rep USING (gram)
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + 29) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, isl_id,
+         MIN(pos) AS s, MAX(pos) + 29 AS e
+  FROM grp GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT t.doc_id, t.source, t.len,
+         CAST(COALESCE(SUM(sp.e - sp.s + 1), 0) AS BIGINT) AS dup_chars
+  FROM t LEFT JOIN spans sp ON t.doc_id = sp.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN dup_chars > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_dup,
+       CAST(SUM(dup_chars) AS BIGINT) AS total_dup_chars,
+       ROUND(CAST(SUM(CAST(ROUND(dup_chars / CAST(len AS DOUBLE), 6)
+                  AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+         AS mean_dup_fraction
+FROM per_doc GROUP BY 1 ORDER BY source
+"""
+
+
+@register(
+    "x374_substring_dedup_spans",
+    _X374_ORACLE,
+    doc="exact-substring duplication audit (the Lee et al. 2022 "
+        "'Deduplicating Training Data' METHOD family, public): "
+        "character 30-grams repeated across >= 2 DISTINCT documents "
+        "mark duplicated spans; per doc, overlapping hits merge "
+        "into maximal islands (x149's interval-island recipe, "
+        "per-doc windows) and the duplicated-character fraction "
+        "rolls up per source -- catches the copied PARAGRAPH inside "
+        "otherwise-distinct documents that whole-doc hashing (x01) "
+        "and shingle Jaccard (x03) both miss, which is exactly the "
+        "memorization-risk span a substring dedup pass would CUT. "
+        "Determinism: island merging is exact integer position "
+        "arithmetic; per-doc fractions round 6 into DECIMAL before "
+        "the source mean. Scale: the gram explode is corpus-chars-"
+        "sized (the price every suffix-array method pays once), the "
+        "repeated-gram filter is one groupBy with an early "
+        "HAVING, hits re-join on the gram equi-key, and islands "
+        "need only per-doc windows -- per-key parallel, no "
+        "corpus-wide sort. Short docs (< 30 chars) are span-free by "
+        "construction (the sequence guard x274 documents)",
+)
+def x374_substring_dedup_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.lower(F.col("text")).alias("lt"),
+        F.length(F.lower(F.col("text"))).cast("long").alias("len"),
+    ).localCheckpoint(eager=False)
+    lt = F.col("lt")
+    g = (
+        t.filter(F.col("len") >= 30)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("len") - 29),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        lt.substr(i, F.lit(30)).alias("g"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.pos").alias("pos"), F.col("p.g").alias("gram"))
+    )
+    rep = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = g.join(rep, "gram").select("doc_id", "pos")
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = hits.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + 29).over(wprev), F.lit(-1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = isl.select(
+        "doc_id",
+        "pos",
+        F.sum("new_island").over(wrun).alias("isl_id"),
+    )
+    spans = grp.groupBy("doc_id", "isl_id").agg(
+        F.min("pos").alias("s"), (F.max("pos") + 29).alias("e")
+    )
+    per_doc = (
+        t.join(spans, "doc_id", "left")
+        .groupBy("doc_id", "source", "len")
+        .agg(
+            F.coalesce(F.sum(F.col("e") - F.col("s") + 1), F.lit(0))
+            .cast("long")
+            .alias("dup_chars")
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("dup_chars") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_with_dup"),
+            F.sum("dup_chars").cast("long").alias("total_dup_chars"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("dup_chars") / F.col("len").cast("double"),
+                        6,
+                    ).cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_dup_fraction"),
+        )
+        .orderBy("source")
+    )

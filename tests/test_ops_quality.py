@@ -2076,3 +2076,56 @@ def test_join_size_histogram_identity(spark):
     actual = v.join(p, "u").count()
     assert got["predicted_pairs"] == actual
     assert got["sample_estimate"] % 64 == 0
+
+
+def test_substring_dedup_python_replay(spark):
+    """x374: full pure-Python replay of the 30-gram cross-doc span
+    audit at sf0.001 -- per-source doc counts, dup totals and mean
+    fractions must match exactly."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x374_substring_dedup_spans,
+    )
+
+    rows = {r["source"]: r for r in x374_substring_dedup_spans(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    K = 30
+    gram_docs = defaultdict(set)
+    texts = {}
+    for r in docs:
+        lt = r["text"].lower()
+        texts[r["doc_id"]] = (lt, r["source"])
+        for i in range(len(lt) - K + 1):
+            gram_docs[lt[i : i + K]].add(r["doc_id"])
+    agg = defaultdict(lambda: [0, 0, 0, 0.0])  # n, with_dup, chars, fracsum
+    for did, (lt, src) in texts.items():
+        hits = [
+            i
+            for i in range(len(lt) - K + 1)
+            if len(gram_docs[lt[i : i + K]]) >= 2
+        ]
+        dup = 0
+        end = -1
+        start = None
+        for i in hits:
+            if i > end:
+                if start is not None:
+                    dup += end - start + 1
+                start = i
+            end = max(end, i + K - 1)
+        if start is not None:
+            dup += end - start + 1
+        a = agg[src]
+        a[0] += 1
+        a[1] += dup > 0
+        a[2] += dup
+        a[3] += round(dup / len(lt), 6)
+    for src, (n, wd, chars, fr) in agg.items():
+        r = rows[src]
+        assert r["n_docs"] == n
+        assert r["docs_with_dup"] == wd, (src, r["docs_with_dup"], wd)
+        assert r["total_dup_chars"] == chars
+        assert abs(r["mean_dup_fraction"] - round(fr / n, 4)) <= 1e-9
