@@ -138,6 +138,12 @@ SKEW_ENTRIES = [
     # fan-out (state never goes quadratic in the hot key's row count);
     # answers, plan, and the 3x straggler bound must hold
     "x366_multitouch_attribution",
+    # x374's 30-gram explode meets the skewed docs' shared 50-word
+    # vocab: repeated grams become the COMMON case (dense hit lists,
+    # long islands) instead of the rare one -- the audit must stay
+    # corpus-positions-bounded (never pairwise in repeated-gram
+    # count) and inside the straggler bound
+    "x374_substring_dedup_spans",
 ]
 
 
