@@ -2129,3 +2129,66 @@ def test_substring_dedup_python_replay(spark):
         assert r["docs_with_dup"] == wd, (src, r["docs_with_dup"], wd)
         assert r["total_dup_chars"] == chars
         assert abs(r["mean_dup_fraction"] - round(fr / n, 4)) <= 1e-9
+
+
+def test_prefix_filter_complete_vs_brute_force(spark):
+    """x376: the prefix-filtered pair set must EQUAL the brute-force
+    all-pairs shingle-Jaccard >= 0.6 set (prefix-filter lemma:
+    blocking on the (s - ceil(0.6 s) + 1) rarest shingles loses no
+    qualifying pair)."""
+    import itertools
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x376_prefix_filter_simjoin,
+    )
+    from poc_parquet_publisher_spark.ops import dedup
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in x376_prefix_filter_simjoin(spark, SF).collect()
+    }
+    docs = load_table(spark, SF, "documents")
+    sets = {
+        r["doc"]: frozenset(r["sh"])
+        for r in dedup.shingle_arrays(docs, "doc_id", "text", k=3).collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            continue
+        j = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if j >= 0.6:
+            want[(a, b)] = round(j, 6)
+    assert got == want
+    assert len(want) > 0, "fixture must contain at least one qualifying pair"
+
+
+def test_count_min_never_underestimates(spark):
+    """x375: CMS one-sided error -- estimate >= exact for every
+    reported user; the top-1 user's estimate matches a direct cell
+    recount."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x375_count_min_sketch,
+    )
+
+    rows = x375_count_min_sketch(spark, SF).collect()
+    # sf0.001 has fewer than 20 distinct users; the LIMIT caps, not pads
+    assert 10 <= len(rows) <= 20
+    for r in rows:
+        assert r["overestimate"] >= 0
+        assert r["estimate"] == r["exact_count"] + r["overestimate"]
+    # direct recount of one hash row for the top user
+    import hashlib
+
+    top = rows[0]
+    ev = load_table(spark, SF, "events").select("user_id").collect()
+
+    def cell(u, j):
+        return int(
+            hashlib.md5(f"{u}:cm{j}".encode()).hexdigest()[29:32], 16
+        ) % 1024
+
+    c0 = cell(top["user_id"], 0)
+    cnt0 = sum(1 for r in ev if cell(r["user_id"], 0) == c0)
+    assert top["estimate"] <= cnt0
