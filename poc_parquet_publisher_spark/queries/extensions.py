@@ -24739,3 +24739,126 @@ def x376_prefix_filter_simjoin(
         )
         .orderBy("id_a", "id_b")
     )
+
+
+_X377_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, source, lang, unnest(string_split(lower(text), ' '))
+           AS w
+  FROM documents
+),
+lm AS (
+  SELECT w,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cnt_t,
+         CAST(count(*) AS BIGINT) AS cnt_s
+  FROM tok GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(cnt_t) AS BIGINT) AS n_t,
+         CAST(SUM(cnt_s) AS BIGINT) AS n_s,
+         CAST(count(*) AS BIGINT) AS v
+  FROM lm
+),
+ds AS (
+  SELECT t.doc_id, t.source,
+         CAST(SUM(CAST(ROUND(ln(
+           ((l.cnt_t + 1) * (o.n_s + o.v))
+           / CAST((l.cnt_s + 1) * (o.n_t + o.v) AS DOUBLE)), 8)
+           AS DECIMAL(28,8))) AS DECIMAL(28,8)) AS score
+  FROM tok t JOIN lm l USING (w) CROSS JOIN tot o
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(score) AS DOUBLE) / count(*), 4) AS mean_score,
+       CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_positive,
+       ROUND(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS positive_share
+FROM ds GROUP BY 1 ORDER BY source
+"""
+
+
+@register(
+    "x377_dsir_importance",
+    _X377_ORACLE,
+    doc="DSIR-style importance scores (Xie et al. 2023 pattern, "
+        "public): per-doc sum of unigram log-ratios ln(p_target/"
+        "p_source) between the TARGET distribution (en docs, the "
+        "quality exemplar) and the full-corpus source distribution, "
+        "Laplace-smoothed over the shared vocab -- the "
+        "importance-resampling SCORE that decides which raw docs "
+        "look like the target domain (x348 resamples by length, "
+        "x342 compares sources pairwise; this scores every DOC for "
+        "selection), rolled up per source as mean score + "
+        "positive-importance share: which sources DSIR would "
+        "upweight. Determinism: each token's log-ratio is ONE ln of "
+        "an exact-integer ratio ((c_t+1)(N_s+V))/((c_s+1)(N_t+V)) "
+        "rounded 8 into DECIMAL before the per-doc sum -- "
+        "engine-identical, partition-order free. Scale: one token "
+        "explode, the LM is a token-keyed aggregate joined back on "
+        "the token equi-key (x342's shape), doc scores partial-"
+        "aggregate into the source rollup",
+)
+def x377_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    ).localCheckpoint(eager=False)
+    lm = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_t"),
+        F.count(F.lit(1)).cast("long").alias("cnt_s"),
+    )
+    tot = lm.agg(
+        F.sum("cnt_t").cast("long").alias("n_t"),
+        F.sum("cnt_s").cast("long").alias("n_s"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    ds = (
+        tok.join(lm, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(
+                F.round(
+                    F.log(
+                        (
+                            (F.col("cnt_t") + 1)
+                            * (F.col("n_s") + F.col("v"))
+                        )
+                        / (
+                            (F.col("cnt_s") + 1)
+                            * (F.col("n_t") + F.col("v"))
+                        ).cast("double")
+                    ),
+                    8,
+                ).cast("decimal(28,8)")
+            )
+            .cast("decimal(28,8)")
+            .alias("score")
+        )
+    )
+    return (
+        ds.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("score").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_score"),
+            F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_positive"),
+            F.round(
+                F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("positive_share"),
+        )
+        .orderBy("source")
+    )

@@ -2192,3 +2192,52 @@ def test_count_min_never_underestimates(spark):
     c0 = cell(top["user_id"], 0)
     cnt0 = sum(1 for r in ev if cell(r["user_id"], 0) == c0)
     assert top["estimate"] <= cnt0
+
+
+def test_dsir_discriminates_target_language(spark):
+    """x377: the importance score must discriminate -- per-doc mean
+    over en (target) docs exceeds the non-en mean (on average the
+    target scores itself higher: E_t[ln(p_t/p_s)] approximates
+    KL(t||s) >= 0 while non-target docs pick up the negative
+    ratios)."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x377_dsir_importance,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    )
+    lm = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cs"),
+    )
+    t = lm.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("cs").alias("ns"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    per = (
+        tok.join(lm, "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.log(
+                    ((F.col("ct") + 1) * (t["ns"] + t["v"]))
+                    / ((F.col("cs") + 1) * (t["nt"] + t["v"])).cast(
+                        "double"
+                    )
+                )
+            ).alias("score")
+        )
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("score").alias("m"))
+        .collect()
+    )
+    means = {r[0]: r["m"] for r in per}
+    assert means[True] > means[False], means
+    # and the registry rollup runs green
+    rows = x377_dsir_importance(spark, SF).collect()
+    assert rows and all(r["n_docs"] > 0 for r in rows)
