@@ -24640,12 +24640,15 @@ def x376_prefix_filter_simjoin(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    dt = dedup.shingle_arrays(docs, "doc_id", "text", k=3).select(
-        F.col("doc").alias("doc_id"), F.col("sh").alias("toks")
+    # checkpoint the shingle ARRAYS once: sizes, postings, df, the
+    # rarity sort and both verify sides all derive from this -- without
+    # it the shingle expression re-evaluates per consumer
+    dt = (
+        dedup.shingle_arrays(docs, "doc_id", "text", k=3)
+        .select(F.col("doc").alias("doc_id"), F.col("sh").alias("toks"))
+        .localCheckpoint(eager=False)
     )
-    sz = dt.select(
-        "doc_id", F.size("toks").cast("long").alias("s")
-    ).localCheckpoint(eager=False)
+    sz = dt.select("doc_id", F.size("toks").cast("long").alias("s"))
     # the shingle postings feed the df groupBy, the per-doc rarity
     # sort AND both sides of the overlap-count verify: checkpoint once
     tk = dt.select(
