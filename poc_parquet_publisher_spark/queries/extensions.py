@@ -24865,3 +24865,476 @@ def x377_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_X378_ORACLE = """
+WITH t AS (
+  SELECT p.p_brand AS brand,
+         CASE WHEN l.l_returnflag = 'R' THEN 'R' ELSE 'K' END AS grp,
+         CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+m AS (
+  SELECT brand, grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+           AS DECIMAL(38,0)) AS s2
+  FROM t GROUP BY 1, 2
+),
+w AS (
+  SELECT brand,
+         MAX(CASE WHEN grp = 'R' THEN n END) AS na,
+         MAX(CASE WHEN grp = 'R' THEN CAST(s1 AS DOUBLE) END) AS sa1,
+         MAX(CASE WHEN grp = 'R' THEN CAST(s2 AS DOUBLE) END) AS sa2,
+         MAX(CASE WHEN grp = 'K' THEN n END) AS nb,
+         MAX(CASE WHEN grp = 'K' THEN CAST(s1 AS DOUBLE) END) AS sb1,
+         MAX(CASE WHEN grp = 'K' THEN CAST(s2 AS DOUBLE) END) AS sb2
+  FROM m GROUP BY brand
+),
+z AS (
+  SELECT brand,
+         ROUND((sa1 / na - sb1 / nb)
+               / sqrt((sa2 / na - (sa1 / na) * (sa1 / na)) / (na - 1)
+                      + (sb2 / nb - (sb1 / nb) * (sb1 / nb))
+                        / (nb - 1)), 4) AS z_stat
+  FROM w WHERE na > 1 AND nb > 1
+),
+p AS (
+  SELECT brand, z_stat,
+         CAST(ROUND(2.0 / (1.0 + exp(1.702 * abs(z_stat))), 8)
+           AS DECIMAL(18,8)) AS p_val
+  FROM z
+),
+r AS (
+  SELECT brand, z_stat, p_val,
+         CAST(row_number() OVER (ORDER BY p_val, brand) AS BIGINT)
+           AS rnk,
+         CAST(count(*) OVER () AS BIGINT) AS m_tests
+  FROM p
+),
+cut AS (
+  SELECT COALESCE(MAX(CASE WHEN CAST(p_val AS DOUBLE)
+                              <= 0.10 * rnk / m_tests
+                       THEN rnk END), 0) AS k_star
+  FROM r
+)
+SELECT r.brand, r.z_stat, CAST(r.p_val AS DOUBLE) AS p_val, r.rnk,
+       ROUND(0.10 * r.rnk / r.m_tests, 8) AS bh_threshold,
+       CASE WHEN r.rnk <= c.k_star THEN 1 ELSE 0 END AS rejected
+FROM r CROSS JOIN cut c
+ORDER BY r.rnk
+"""
+
+
+@register(
+    "x378_benjamini_hochberg",
+    _X378_ORACLE,
+    doc="Benjamini-Hochberg FDR step-up over the per-brand Welch z "
+        "family -- the multiple-testing correction the per-test "
+        "entries (x286 Welch, x148 chi2, x363 Kruskal-Wallis) all "
+        "stop short of: 25 simultaneous brand-level tests of "
+        "returned-vs-kept price at alpha=0.10 would expect ~2.5 "
+        "false positives under naive thresholding; BH finds the "
+        "largest rank k with p_(k) <= k/m*alpha and rejects ranks "
+        "<= k (step-UP: rejected tests can individually sit above "
+        "their own threshold). p from the logistic approximation of "
+        "the normal CDF 2/(1+exp(1.702|z|)) on the ROUNDED z -- one "
+        "transcendental per 25-row aggregate, x377's round-8-"
+        "then-DECIMAL precedent, so rank ties are impossible and "
+        "the step-up cut is engine-exact. Scale: the test family is "
+        "a brand-cardinality aggregate of exact integer moment sums "
+        "(x286's DECIMAL(38,0) contract); every window runs over "
+        "those 25 rows -- the corpus pays one join + one groupBy",
+)
+def x378_benjamini_hochberg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    t = li.join(
+        F.broadcast(pt.select("p_partkey", "p_brand")),
+        li["l_partkey"] == pt["p_partkey"],
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.when(F.col("l_returnflag") == "R", "R")
+        .otherwise("K")
+        .alias("grp"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("c"),
+    )
+    cd = F.col("c").cast("decimal(19,0)")
+    m = t.groupBy("brand", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cd).cast("decimal(38,0)").alias("s1"),
+        F.sum(cd * cd).cast("decimal(38,0)").alias("s2"),
+    )
+    w = m.groupBy("brand").agg(
+        F.max(F.when(F.col("grp") == "R", F.col("n"))).alias("na"),
+        F.max(
+            F.when(F.col("grp") == "R", F.col("s1").cast("double"))
+        ).alias("sa1"),
+        F.max(
+            F.when(F.col("grp") == "R", F.col("s2").cast("double"))
+        ).alias("sa2"),
+        F.max(F.when(F.col("grp") == "K", F.col("n"))).alias("nb"),
+        F.max(
+            F.when(F.col("grp") == "K", F.col("s1").cast("double"))
+        ).alias("sb1"),
+        F.max(
+            F.when(F.col("grp") == "K", F.col("s2").cast("double"))
+        ).alias("sb2"),
+    )
+    z = w.filter((F.col("na") > 1) & (F.col("nb") > 1)).selectExpr(
+        "brand",
+        """ROUND((sa1 / na - sb1 / nb)
+                 / sqrt((sa2 / na - (sa1 / na) * (sa1 / na)) / (na - 1)
+                        + (sb2 / nb - (sb1 / nb) * (sb1 / nb))
+                          / (nb - 1)), 4) AS z_stat""",
+    )
+    p = z.withColumn(
+        "p_val",
+        F.round(
+            F.lit(2.0) / (F.lit(1.0) + F.exp(1.702 * F.abs("z_stat"))),
+            8,
+        ).cast("decimal(18,8)"),
+    )
+    # rank window over the 25-row brand aggregate -- bounded contract
+    r = p.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy("p_val", "brand"))
+        .cast("long"),
+    ).withColumn(
+        "m_tests",
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long"),
+    )
+    cut = r.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_val").cast("double")
+                    <= 0.10 * F.col("rnk") / F.col("m_tests"),
+                    F.col("rnk"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("k_star")
+    )
+    return (
+        r.crossJoin(F.broadcast(cut))
+        .select(
+            "brand",
+            "z_stat",
+            F.col("p_val").cast("double").alias("p_val"),
+            "rnk",
+            F.round(0.10 * F.col("rnk") / F.col("m_tests"), 8).alias(
+                "bh_threshold"
+            ),
+            F.when(F.col("rnk") <= F.col("k_star"), 1)
+            .otherwise(0)
+            .alias("rejected"),
+        )
+        .orderBy("rnk")
+    )
+
+
+_X379_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+topw AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS cnt FROM tok GROUP BY 1
+  ) ORDER BY cnt DESC, w LIMIT 30
+),
+srcs AS (SELECT DISTINCT source FROM tok),
+tots AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS tot FROM tok GROUP BY 1
+),
+cnts AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok WHERE w IN (SELECT w FROM topw) GROUP BY 1, 2
+),
+freq AS (
+  SELECT s.source, t.w,
+         CAST(ROUND(COALESCE(c.cnt, 0) * 1000000.0 / o.tot, 8)
+           AS DECIMAL(20,8)) AS f
+  FROM srcs s CROSS JOIN topw t
+  JOIN tots o ON o.source = s.source
+  LEFT JOIN cnts c ON c.source = s.source AND c.w = t.w
+),
+stats AS (
+  SELECT w,
+         CAST(SUM(f) AS DECIMAL(28,8)) AS sf,
+         CAST(SUM(CAST(f AS DECIMAL(28,8)) * CAST(f AS DECIMAL(28,8)))
+           AS DECIMAL(38,8)) AS sf2,
+         CAST(count(*) AS BIGINT) AS ns
+  FROM freq GROUP BY 1
+),
+zs AS (
+  SELECT q.source, q.w,
+         CAST(ROUND((CAST(q.f AS DOUBLE) - CAST(s.sf AS DOUBLE) / s.ns)
+               / sqrt(CAST(s.sf2 AS DOUBLE) / s.ns
+                      - (CAST(s.sf AS DOUBLE) / s.ns)
+                        * (CAST(s.sf AS DOUBLE) / s.ns)), 6)
+           AS DECIMAL(18,6)) AS z
+  FROM freq q JOIN stats s ON q.w = s.w
+  WHERE CAST(s.sf2 AS DOUBLE) / s.ns
+        - (CAST(s.sf AS DOUBLE) / s.ns) * (CAST(s.sf AS DOUBLE) / s.ns)
+        > 0
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       ROUND(CAST(SUM(CAST(abs(a.z - b.z) AS DECIMAL(18,6)))
+                    AS DOUBLE) / count(*), 4) AS delta
+FROM zs a JOIN zs b ON a.w = b.w AND a.source < b.source
+GROUP BY 1, 2 ORDER BY source_a, source_b
+"""
+
+
+@register(
+    "x379_burrows_delta",
+    _X379_ORACLE,
+    doc="Burrows' Delta stylometric distance between sources (the "
+        "standard authorship-attribution measure, public since "
+        "Burrows 2002): the 30 highest-frequency corpus words play "
+        "the function-word role, per-source rates normalize to "
+        "occurrences-per-million, each word z-scores across the 20 "
+        "sources (population std), and Delta(a,b) = mean |z_a - z_b| "
+        "over the word panel -- near-0 pairs share register/style "
+        "(dedup-adjacent signal on template corpora), large pairs "
+        "diverge. Missing words materialize as explicit rate-0 rows "
+        "via the sources x top-words frame (a LEFT JOIN on the "
+        "counts -- absence is data, not a dropped row); zero-"
+        "variance words drop from the panel on BOTH sides (a z "
+        "would divide by 0 -- NULL in Spark, inf in DuckDB: the "
+        "guard is the determinism fix, not cosmetics). Determinism: "
+        "rates round-8 into DECIMAL, moment sums accumulate in "
+        "DECIMAL (exact), the one sqrt runs per 30-row word panel, "
+        "z rounds 6 into DECIMAL before the pairwise |diff| sum. "
+        "Scale: one token explode feeds a vocab groupBy; top-30 is "
+        "a TakeOrdered (no global sort); everything after is "
+        "30 x 20 = 600 aggregate rows -- the pair join is "
+        "aggregate x aggregate, never corpus-sized",
+)
+def x379_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    ).localCheckpoint(eager=False)
+    topw = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(30)
+        .select("w")
+    )
+    srcs = tok.select("source").distinct()
+    tots = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("tot")
+    )
+    cnts = (
+        tok.join(F.broadcast(topw), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    freq = (
+        srcs.crossJoin(F.broadcast(topw))
+        .join(tots, "source")
+        .join(cnts, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.round(
+                F.coalesce(F.col("cnt"), F.lit(0))
+                * 1000000.0
+                / F.col("tot"),
+                8,
+            )
+            .cast("decimal(20,8)")
+            .alias("f"),
+        )
+    )
+    fd = F.col("f").cast("decimal(28,8)")
+    stats = freq.groupBy("w").agg(
+        F.sum("f").cast("decimal(28,8)").alias("sf"),
+        F.sum(fd * fd).cast("decimal(38,8)").alias("sf2"),
+        F.count(F.lit(1)).cast("long").alias("ns"),
+    )
+    var = (
+        F.col("sf2").cast("double") / F.col("ns")
+        - (F.col("sf").cast("double") / F.col("ns"))
+        * (F.col("sf").cast("double") / F.col("ns"))
+    )
+    zs = (
+        freq.join(stats.filter(var > 0), "w")
+        .selectExpr(
+            "source",
+            "w",
+            """CAST(ROUND((CAST(f AS DOUBLE) - CAST(sf AS DOUBLE) / ns)
+                    / sqrt(CAST(sf2 AS DOUBLE) / ns
+                           - (CAST(sf AS DOUBLE) / ns)
+                             * (CAST(sf AS DOUBLE) / ns)), 6)
+               AS DECIMAL(18,6)) AS z""",
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = zs.select(
+        F.col("source").alias("source_a"), "w", F.col("z").alias("za")
+    )
+    b = zs.select(
+        F.col("source").alias("source_b"),
+        F.col("w").alias("w2"),
+        F.col("z").alias("zb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("w") == F.col("w2"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(F.col("za") - F.col("zb")).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("delta")
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_X380_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+           string_split(lower(text), ' '))), ' ')) AS c,
+         md5(lower(text)) AS t
+  FROM documents
+),
+cell AS (
+  SELECT c, t, CAST(count(*) AS BIGINT) AS n_ct
+  FROM d GROUP BY 1, 2
+),
+cs AS (SELECT c, CAST(count(*) AS BIGINT) AS n_c FROM d GROUP BY 1),
+ts AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t FROM d GROUP BY 1),
+acc AS (
+  SELECT CAST(SUM(CAST(ROUND(e.n_ct * e.n_ct
+                             / CAST(c.n_c AS DOUBLE), 8)
+                    AS DECIMAL(28,8))) AS DECIMAL(28,8)) AS sp,
+         CAST(SUM(CAST(ROUND(e.n_ct * e.n_ct
+                             / CAST(t.n_t AS DOUBLE), 8)
+                    AS DECIMAL(28,8))) AS DECIMAL(28,8)) AS sr,
+         CAST(SUM(e.n_ct) AS BIGINT) AS n
+  FROM cell e JOIN cs c ON e.c = c.c JOIN ts t ON e.t = t.t
+)
+SELECT n AS n_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM cs) AS n_pred_clusters,
+       (SELECT CAST(count(*) AS BIGINT) FROM ts) AS n_true_clusters,
+       ROUND(CAST(sp AS DOUBLE) / n, 6) AS bcubed_precision,
+       ROUND(CAST(sr AS DOUBLE) / n, 6) AS bcubed_recall,
+       ROUND(2 * (CAST(sp AS DOUBLE) / n) * (CAST(sr AS DOUBLE) / n)
+             / (CAST(sp AS DOUBLE) / n + CAST(sr AS DOUBLE) / n), 6)
+         AS bcubed_f1
+FROM acc
+"""
+
+
+@register(
+    "x380_bcubed_clusters",
+    _X380_ORACLE,
+    doc="B-cubed extrinsic clustering evaluation (Bagga & Baldwin "
+        "1998; the metric of record for dedup-cluster quality, "
+        "Amigo et al. 2009): PREDICTED clusters = x02's sorted-"
+        "distinct-token-bag fingerprint, TRUTH = x01's exact lowered"
+        "-text hash; per-item precision n_ct/|c| and recall n_ct/"
+        "|t| averaged over items collapse to the contingency-cell "
+        "identity sum n_ct^2/|c| (resp /|t|) / N -- so the whole "
+        "metric is three groupBys and two key joins, NO per-item "
+        "iteration. x322 measures pairwise method agreement; this "
+        "scores a clustering against truth with the metric that "
+        "(unlike pair-F1) does not let one giant cluster dominate. "
+        "Determinism: cell terms round-8 into DECIMAL before the "
+        "sum (partition-order free), counts exact. Scale: clusters "
+        "are md5-keyed groupBys (cannot skew); the cell join is "
+        "key-partitioned aggregate x aggregate",
+)
+def x380_bcubed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(
+                        F.split(F.lower(F.col("text")), " ")
+                    )
+                ),
+                " ",
+            )
+        ).alias("c"),
+        F.md5(F.lower(F.col("text"))).alias("t"),
+    ).localCheckpoint(eager=False)
+    cell = d.groupBy("c", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ct")
+    )
+    cs = d.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("n_c"))
+    ts = d.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    acc = (
+        cell.join(cs, "c")
+        .join(ts, "t")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("n_ct")
+                    * F.col("n_ct")
+                    / F.col("n_c").cast("double"),
+                    8,
+                ).cast("decimal(28,8)")
+            )
+            .cast("decimal(28,8)")
+            .alias("sp"),
+            F.sum(
+                F.round(
+                    F.col("n_ct")
+                    * F.col("n_ct")
+                    / F.col("n_t").cast("double"),
+                    8,
+                ).cast("decimal(28,8)")
+            )
+            .cast("decimal(28,8)")
+            .alias("sr"),
+            F.sum("n_ct").cast("long").alias("n"),
+        )
+    )
+    npred = cs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred_clusters")
+    )
+    ntrue = ts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_clusters")
+    )
+    pcol = F.col("sp").cast("double") / F.col("n")
+    rcol = F.col("sr").cast("double") / F.col("n")
+    return (
+        acc.crossJoin(F.broadcast(npred))
+        .crossJoin(F.broadcast(ntrue))
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_pred_clusters",
+            "n_true_clusters",
+            F.round(pcol, 6).alias("bcubed_precision"),
+            F.round(rcol, 6).alias("bcubed_recall"),
+            F.round(2 * pcol * rcol / (pcol + rcol), 6).alias(
+                "bcubed_f1"
+            ),
+        )
+    )

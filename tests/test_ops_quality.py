@@ -2241,3 +2241,98 @@ def test_dsir_discriminates_target_language(spark):
     # and the registry rollup runs green
     rows = x377_dsir_importance(spark, SF).collect()
     assert rows and all(r["n_docs"] > 0 for r in rows)
+
+
+def test_bh_stepup_matches_python_replay(spark):
+    """x378: the Benjamini-Hochberg cut must be the STEP-UP rule --
+    reject ranks <= k* where k* = max{k : p_(k) <= alpha*k/m} -- not
+    the naive per-test threshold. Replay the cut in Python from the
+    emitted p-values and require the rejected flags to match row for
+    row; also pin the ranking to p-then-brand order."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x378_benjamini_hochberg,
+    )
+
+    rows = x378_benjamini_hochberg(spark, SF).collect()
+    assert rows, "no brand tests emitted"
+    m = len(rows)
+    assert all(r["rnk"] == i + 1 for i, r in enumerate(rows))
+    order = sorted(rows, key=lambda r: (r["p_val"], r["brand"]))
+    assert [r["brand"] for r in order] == [r["brand"] for r in rows]
+    k_star = max(
+        (r["rnk"] for r in rows if r["p_val"] <= 0.10 * r["rnk"] / m),
+        default=0,
+    )
+    for r in rows:
+        assert r["rejected"] == (1 if r["rnk"] <= k_star else 0), r
+        assert abs(r["bh_threshold"] - _round_hu(0.10 * r["rnk"] / m, 8)) < 1e-12
+
+
+def test_burrows_delta_is_a_metric(spark):
+    """x379: Delta = mean |z_a - z_b| over a shared word panel is the
+    L1 distance / panel size, hence a true metric on the per-source
+    z-vectors: non-negative, and the triangle inequality must hold
+    for every ordered triple of sources (1140 triples from 20
+    sources). A panel-handling bug (e.g. dropping zero-variance words
+    on only one side) breaks the shared-coordinate assumption and
+    shows up here as a triangle violation."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x379_burrows_delta,
+    )
+
+    rows = x379_burrows_delta(spark, SF).collect()
+    srcs = sorted({r["source_a"] for r in rows} | {r["source_b"] for r in rows})
+    n = len(srcs)
+    assert len(rows) == n * (n - 1) // 2, (len(rows), n)
+    d = {}
+    for r in rows:
+        assert r["delta"] >= 0, r
+        d[(r["source_a"], r["source_b"])] = r["delta"]
+        d[(r["source_b"], r["source_a"])] = r["delta"]
+    tol = 2e-4  # per-pair round-4 on delta
+    for a in srcs:
+        for b in srcs:
+            for c in srcs:
+                if len({a, b, c}) == 3:
+                    assert d[(a, b)] <= d[(a, c)] + d[(c, b)] + tol, (a, b, c)
+
+
+def test_bcubed_matches_per_item_replay(spark):
+    """x380: the contingency-cell identity sum(n_ct^2/|c|)/N must equal
+    the DEFINITION -- average over items of per-item precision
+    |c(i) ∩ t(i)|/|c(i)| (and recall with |t(i)|). Replay per-item at
+    sf0.001 in Python over the exact same cluster keys."""
+    from collections import Counter
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x380_bcubed_clusters,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    items = (
+        docs.select(
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.array_distinct(F.split(F.lower(F.col("text")), " "))
+                    ),
+                    " ",
+                )
+            ).alias("c"),
+            F.md5(F.lower(F.col("text"))).alias("t"),
+        )
+        .collect()
+    )
+    nc = Counter(r["c"] for r in items)
+    nt = Counter(r["t"] for r in items)
+    nct = Counter((r["c"], r["t"]) for r in items)
+    prec = sum(nct[(r["c"], r["t"])] / nc[r["c"]] for r in items) / len(items)
+    rec = sum(nct[(r["c"], r["t"])] / nt[r["t"]] for r in items) / len(items)
+    out = x380_bcubed_clusters(spark, SF).collect()[0]
+    assert out["n_docs"] == len(items)
+    assert out["n_pred_clusters"] == len(nc)
+    assert out["n_true_clusters"] == len(nt)
+    assert abs(out["bcubed_precision"] - prec) < 1e-5, (out, prec)
+    assert abs(out["bcubed_recall"] - rec) < 1e-5, (out, rec)
+    f1 = 2 * prec * rec / (prec + rec)
+    assert abs(out["bcubed_f1"] - f1) < 1e-5
