@@ -25338,3 +25338,228 @@ def x380_bcubed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_X381_ORACLE = """
+WITH d AS (
+  SELECT source,
+         len(string_split(lower(text), ' ')) AS nw,
+         length(replace(text, ' ', '')) AS lc,
+         len(list_filter(list_distinct(string_split(lower(text), ' ')),
+             t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+           AS nstop,
+         len(list_distinct(string_split(lower(text), ' '))) AS nd,
+         list_max(list_transform(
+           list_distinct(string_split(lower(text), ' ')),
+           t -> len(list_filter(string_split(lower(text), ' '),
+                                x -> x = t)))) AS topc
+  FROM documents
+),
+r AS (
+  SELECT source,
+         CASE WHEN nw BETWEEN 30 AND 90 THEN 1 ELSE 0 END AS ok_wc,
+         CASE WHEN lc >= 4 * nw AND lc <= 5 * nw THEN 1 ELSE 0 END
+           AS ok_mwl,
+         CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS ok_stop,
+         CASE WHEN 5 * nd > 3 * nw THEN 1 ELSE 0 END AS ok_dup,
+         CASE WHEN 8 * topc <= nw THEN 1 ELSE 0 END AS ok_top
+  FROM d
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(1 - ok_wc) AS BIGINT) AS fail_word_count,
+       CAST(SUM(1 - ok_mwl) AS BIGINT) AS fail_mean_word_len,
+       CAST(SUM(1 - ok_stop) AS BIGINT) AS fail_stopwords,
+       CAST(SUM(1 - ok_dup) AS BIGINT) AS fail_dup_tokens,
+       CAST(SUM(1 - ok_top) AS BIGINT) AS fail_top_token,
+       CAST(SUM(ok_wc * ok_mwl * ok_stop * ok_dup * ok_top) AS BIGINT)
+         AS pass_all,
+       ROUND(SUM(ok_wc * ok_mwl * ok_stop * ok_dup * ok_top)
+             / CAST(count(*) AS DOUBLE), 4) AS pass_rate
+FROM r GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "x381_gopher_rules",
+    _X381_ORACLE,
+    doc="Gopher-style rule-based quality funnel (Rae et al. 2021 "
+        "family, thresholds fit to this corpus so every rule "
+        "discriminates): word count in [30,90], mean word length in "
+        "[4,5], >=2 distinct English stopwords, duplicate-token "
+        "fraction < 0.4, top-unigram share <= 1/8 -- reported per "
+        "source as PER-RULE fail counts plus the conjunction "
+        "survivor count (x11 scores docs, x119 ensembles scores; "
+        "this is the named REJECTION-BREAKDOWN gate a curation run "
+        "reads to see WHY docs died). Every rule is an integer "
+        "cross-multiplication (4*nw <= chars <= 5*nw, 5*distinct > "
+        "3*nw, 8*topcnt <= nw) -- no float boundary can disagree "
+        "between engines; the top-unigram count is a distinct x "
+        "occurrences HOF fold, O(nw * distinct) per doc, row-local. "
+        "Scale: one expression-only pass, one source groupBy; no "
+        "joins, no windows, map-side partials",
+)
+def x381_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    dtoks = F.array_distinct(toks)
+    stop = list(text.LANG_STOPWORDS["en"])
+    d = docs.select(
+        "source",
+        F.size(toks).alias("nw"),
+        F.length(F.regexp_replace(F.col("text"), " ", "")).alias("lc"),
+        F.size(F.filter(dtoks, lambda t: t.isin(*stop))).alias("nstop"),
+        F.size(dtoks).alias("nd"),
+        F.array_max(
+            F.transform(
+                dtoks,
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        ).alias("topc"),
+    )
+    r = d.select(
+        "source",
+        F.when(F.col("nw").between(30, 90), 1).otherwise(0).alias("ok_wc"),
+        F.when(
+            (F.col("lc") >= 4 * F.col("nw"))
+            & (F.col("lc") <= 5 * F.col("nw")),
+            1,
+        )
+        .otherwise(0)
+        .alias("ok_mwl"),
+        F.when(F.col("nstop") >= 2, 1).otherwise(0).alias("ok_stop"),
+        F.when(5 * F.col("nd") > 3 * F.col("nw"), 1)
+        .otherwise(0)
+        .alias("ok_dup"),
+        F.when(8 * F.col("topc") <= F.col("nw"), 1)
+        .otherwise(0)
+        .alias("ok_top"),
+    )
+    allok = (
+        F.col("ok_wc")
+        * F.col("ok_mwl")
+        * F.col("ok_stop")
+        * F.col("ok_dup")
+        * F.col("ok_top")
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(1 - F.col("ok_wc")).cast("long").alias("fail_word_count"),
+            F.sum(1 - F.col("ok_mwl"))
+            .cast("long")
+            .alias("fail_mean_word_len"),
+            F.sum(1 - F.col("ok_stop")).cast("long").alias("fail_stopwords"),
+            F.sum(1 - F.col("ok_dup")).cast("long").alias("fail_dup_tokens"),
+            F.sum(1 - F.col("ok_top")).cast("long").alias("fail_top_token"),
+            F.sum(allok).cast("long").alias("pass_all"),
+            F.round(
+                F.sum(allok) / F.count(F.lit(1)).cast("double"), 4
+            ).alias("pass_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_X382_ORACLE = """
+WITH j AS (
+  SELECT p.p_brand AS brand, l.l_quantity AS q, l.l_extendedprice AS pr
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+rk AS (
+  SELECT brand,
+         2 * rank() OVER (PARTITION BY brand ORDER BY q)
+           + count(*) OVER (PARTITION BY brand, q) - 1 AS dq,
+         2 * rank() OVER (PARTITION BY brand ORDER BY pr)
+           + count(*) OVER (PARTITION BY brand, pr) - 1 AS dp
+  FROM j
+),
+m AS (
+  SELECT brand, CAST(count(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(dq AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(dp AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(dq AS HUGEINT) * dq) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(dp AS HUGEINT) * dp) AS HUGEINT) AS syy,
+         CAST(SUM(CAST(dq AS HUGEINT) * dp) AS HUGEINT) AS sxy
+  FROM rk GROUP BY brand
+)
+SELECT brand, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+         AS rho
+FROM m ORDER BY brand
+"""
+
+
+@register(
+    "x382_spearman_rho",
+    _X382_ORACLE,
+    doc="Spearman rank correlation with EXACT midranks, per brand, "
+        "between line quantity and extended price -- the monotone-"
+        "association companion to x357's Kendall tau-b (tau counts "
+        "concordant pairs; rho is Pearson on ranks, far cheaper: two "
+        "windows vs a pair join) and to x147's Pearson (which a "
+        "single outlier can saturate). Midranks handle the massive "
+        "quantity ties exactly via the doubled-rank identity 2*mid "
+        "= 2*rank + tiecount - 1 (integers, no .5 floats); all five "
+        "moment sums accumulate in DECIMAL(38,0)/HUGEINT (exact), "
+        "the single division+sqrt runs per 25-row brand aggregate "
+        "in DOUBLE on identical integers -- engine-exact. Scale: "
+        "two rank windows sharing the brand partition key (one "
+        "shuffle), then a brand groupBy; no pair materialization",
+)
+def x382_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(pt.select("p_partkey", "p_brand")),
+        li["l_partkey"] == pt["p_partkey"],
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_quantity").alias("q"),
+        F.col("l_extendedprice").alias("pr"),
+    )
+    rk = j.select(
+        "brand",
+        (
+            2 * F.rank().over(Window.partitionBy("brand").orderBy("q"))
+            + F.count(F.lit(1)).over(Window.partitionBy("brand", "q"))
+            - 1
+        )
+        .cast("long")
+        .alias("dq"),
+        (
+            2 * F.rank().over(Window.partitionBy("brand").orderBy("pr"))
+            + F.count(F.lit(1)).over(Window.partitionBy("brand", "pr"))
+            - 1
+        )
+        .cast("long")
+        .alias("dp"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = rk.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("dq"))).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec(F.col("dp"))).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec(F.col("dq") * F.col("dq")))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(dec(F.col("dp") * F.col("dp")))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(dec(F.col("dq") * F.col("dp")))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    return m.selectExpr(
+        "brand",
+        "CAST(n AS BIGINT) AS n",
+        """ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           AS rho""",
+    ).orderBy("brand")

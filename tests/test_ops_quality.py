@@ -2336,3 +2336,101 @@ def test_bcubed_matches_per_item_replay(spark):
     assert abs(out["bcubed_recall"] - rec) < 1e-5, (out, rec)
     f1 = 2 * prec * rec / (prec + rec)
     assert abs(out["bcubed_f1"] - f1) < 1e-5
+
+
+def test_gopher_rules_match_python_replay_and_discriminate(spark):
+    """x381: replay all five rules per-doc in pure Python and require
+    the per-source funnel to match exactly; also require every rule to
+    REJECT at least one doc corpus-wide (a rule that never fires is a
+    thresholding bug, not a gate)."""
+    from collections import Counter, defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x381_gopher_rules,
+    )
+
+    docs = load_table(spark, SF, "documents").select("source", "text")
+    agg = defaultdict(lambda: Counter())
+    stop = {"the", "a", "of", "and", "to", "in", "is"}
+    for r in docs.collect():
+        toks = r["text"].lower().split(" ")
+        nw = len(toks)
+        lc = len(r["text"].replace(" ", ""))
+        dset = set(toks)
+        topc = max(toks.count(t) for t in dset)
+        ok = {
+            "fail_word_count": 30 <= nw <= 90,
+            "fail_mean_word_len": 4 * nw <= lc <= 5 * nw,
+            "fail_stopwords": len(dset & stop) >= 2,
+            "fail_dup_tokens": 5 * len(dset) > 3 * nw,
+            "fail_top_token": 8 * topc <= nw,
+        }
+        c = agg[r["source"]]
+        c["n_docs"] += 1
+        for k, v in ok.items():
+            c[k] += 0 if v else 1
+        c["pass_all"] += 1 if all(ok.values()) else 0
+    out = x381_gopher_rules(spark, SF).collect()
+    assert len(out) == len(agg)
+    tot = Counter()
+    for row in out:
+        exp = agg[row["source"]]
+        for k in ("n_docs", "fail_word_count", "fail_mean_word_len",
+                  "fail_stopwords", "fail_dup_tokens", "fail_top_token",
+                  "pass_all"):
+            assert row[k] == exp[k], (row["source"], k, row[k], exp[k])
+            tot[k] += row[k]
+        assert abs(row["pass_rate"] - _round_hu(exp["pass_all"] / exp["n_docs"], 4)) < 1e-12
+    for k in ("fail_word_count", "fail_mean_word_len", "fail_stopwords",
+              "fail_dup_tokens", "fail_top_token"):
+        assert tot[k] > 0, f"rule {k} never fires on the corpus"
+    assert 0 < tot["pass_all"] < tot["n_docs"]
+
+
+def test_spearman_matches_numpy_midrank_replay(spark):
+    """x382: per-brand rho must equal Pearson correlation of midranks
+    computed independently in numpy (scipy-free midrank construction:
+    average position over each tie group)."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x382_spearman_rho,
+    )
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pt = load_table(spark, SF, "part").select("p_partkey", "p_brand")
+    rows = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .select("p_brand", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    byb = defaultdict(list)
+    for r in rows:
+        byb[r["p_brand"]].append((r["l_quantity"], r["l_extendedprice"]))
+
+    def midranks(vals):
+        order = np.argsort(np.asarray(vals), kind="stable")
+        ranks = np.empty(len(vals))
+        sv = np.asarray(vals)[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0  # 1-based midrank
+            i = j
+        return ranks
+
+    out = {r["brand"]: (r["n"], r["rho"]) for r in
+           x382_spearman_rho(spark, SF).collect()}
+    assert len(out) == len(byb)
+    for brand, pairs in byb.items():
+        q = [p[0] for p in pairs]
+        p_ = [p[1] for p in pairs]
+        rq, rp = midranks(q), midranks(p_)
+        exp = float(np.corrcoef(rq, rp)[0, 1])
+        n, rho = out[brand]
+        assert n == len(pairs)
+        assert abs(rho - exp) < 5e-6, (brand, rho, exp)
