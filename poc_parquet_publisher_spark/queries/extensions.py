@@ -25563,3 +25563,264 @@ def x382_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
            AS rho""",
     ).orderBy("brand")
+
+
+_X383_ORACLE = """
+WITH t AS (
+  SELECT string_split(lower(text), ' ') AS toks FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 2
+),
+bg AS (
+  SELECT unnest(list_transform(
+           range(1, len(toks)),
+           i -> array_to_string(toks[i:i+1], ' '))) AS g
+  FROM t
+),
+big AS (
+  SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+         CAST(count(*) AS BIGINT) AS c12
+  FROM bg GROUP BY 1, 2
+),
+ctx AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1f
+  FROM big GROUP BY w1
+),
+bwd AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM big GROUP BY w2
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS ntypes FROM big)
+SELECT b.w1, b.w2, b.c12,
+       ROUND(CAST(b.c12 AS DOUBLE) / c.c1, 8) AS p_mle,
+       ROUND(CAST(GREATEST(4 * b.c12 - 3, 0) * n.ntypes
+                  + 3 * c.n1f * d.n1b AS DOUBLE)
+             / (4.0 * c.c1 * n.ntypes), 8) AS p_kn
+FROM big b JOIN ctx c ON b.w1 = c.w1
+JOIN bwd d ON b.w2 = d.w2 CROSS JOIN nt n
+ORDER BY b.c12 DESC, b.w1, b.w2 LIMIT 20
+"""
+
+
+@register(
+    "x383_kneser_ney",
+    _X383_ORACLE,
+    doc="interpolated Kneser-Ney bigram probabilities (Kneser & Ney "
+        "1995, the smoothing KenLM popularized for corpus LM "
+        "scoring), discount D=3/4, for the 20 highest-count bigrams "
+        "beside their MLE: P_KN = max(c12-D,0)/c1 + D*N1+(w1.)/c1 * "
+        "N1+(.w2)/Ntypes -- the CONTINUATION-count correction x52's "
+        "MLE model lacks ('san francisco' gives 'francisco' high "
+        "MLE unigram mass but low continuation mass). The whole "
+        "probability evaluates as ONE integer rational: (max(4*c12-3"
+        ",0)*Nt + 3*N1f*N1b) / (4*c1*Nt) -- D=3/4 clears the only "
+        "fraction, so both engines divide identical int64s (no "
+        "float accumulation anywhere); pytest proves the model "
+        "normalizes: sum over the full vocab of P_KN(.|w1) = 1 "
+        "exactly (seen mass + continuation mass). Scale: counts are "
+        "three reuses of one bigram-type aggregate (type-, not "
+        "instance-cardinality); joins are aggregate x aggregate on "
+        "w1/w2 keys; Ntypes broadcasts",
+)
+def x383_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    # one bigram string per position; slice-zip (HOF-CSE-safe)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    bg = (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("g"))
+    )
+    big = (
+        bg.select(
+            F.split(F.col("g"), " ").getItem(0).alias("w1"),
+            F.split(F.col("g"), " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    ctx = big.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),
+    )
+    bwd = big.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1b")
+    )
+    nt = big.agg(F.count(F.lit(1)).cast("long").alias("ntypes"))
+    return (
+        big.join(ctx, "w1")
+        .join(bwd, "w2")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(F.col("c12").cast("double") / F.col("c1"), 8).alias(
+                "p_mle"
+            ),
+            F.round(
+                (
+                    F.greatest(4 * F.col("c12") - 3, F.lit(0)).cast("long")
+                    * F.col("ntypes")
+                    + 3 * F.col("n1f") * F.col("n1b")
+                ).cast("double")
+                / (4.0 * F.col("c1") * F.col("ntypes")),
+                8,
+            ).alias("p_kn"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+_X384_ORACLE = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                       WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM d a JOIN d b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1
+),
+n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM d GROUP BY 1
+),
+ties AS (
+  SELECT event_type,
+         CAST(COALESCE(SUM(tg * (tg - 1) * (2 * tg + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (
+    SELECT event_type, v, CAST(count(*) AS BIGINT) AS tg
+    FROM d GROUP BY 1, 2 HAVING count(*) > 1
+  ) GROUP BY 1
+)
+SELECT n.event_type, n.n_days, s.s_stat,
+       n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+         - COALESCE(t.tie_term, 0) AS var18,
+       ROUND(CASE
+         WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+           / sqrt((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                   - COALESCE(t.tie_term, 0)) / 18.0)
+         WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+           / sqrt((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                   - COALESCE(t.tie_term, 0)) / 18.0)
+         ELSE 0.0 END, 6) AS z_mk
+FROM n JOIN s ON n.event_type = s.event_type
+LEFT JOIN ties t ON n.event_type = t.event_type
+ORDER BY n.event_type
+"""
+
+
+@register(
+    "x384_mann_kendall",
+    _X384_ORACLE,
+    doc="Mann-Kendall trend test per event type over the daily "
+        "revenue series: S = sum of sign(v_j - v_i) over all day "
+        "pairs i<j, tie-corrected variance 18V = n(n-1)(2n+5) - "
+        "sum t(t-1)(2t+5), continuity-corrected z -- the "
+        "DISTRIBUTION-FREE monotone-trend test beside x198's "
+        "parametric least-squares fit and x309's Theil-Sen slope "
+        "estimate (MK answers 'is there a trend', Theil-Sen 'how "
+        "steep'); a single outlier day moves S by at most n-1. "
+        "Determinism: daily values are exact cent sums (round-then-"
+        "BIGINT), S/var18 pure integers, the one sqrt+division runs "
+        "per 5-row type aggregate. Scale: the pair join is "
+        "aggregate x aggregate (day-cardinality, C(30,2) pairs per "
+        "type -- bounded by the day domain, never by events); the "
+        "corpus pays one groupBy",
+)
+def x384_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = d.select(
+        "event_type", F.col("day").alias("di"), F.col("v").alias("vi")
+    )
+    b = d.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("dj"),
+        F.col("v").alias("vj"),
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("di") < F.col("dj")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("vj") > F.col("vi"), 1)
+                .when(F.col("vj") < F.col("vi"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    ties = (
+        d.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("tg"))
+        .filter(F.col("tg") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tg") * (F.col("tg") - 1) * (2 * F.col("tg") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    var18 = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.coalesce(F.col("tie_term"), F.lit(0))
+    ).cast("long")
+    return (
+        n.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            var18.alias("var18"),
+            F.round(
+                F.when(
+                    F.col("s_stat") > 0,
+                    (F.col("s_stat") - 1) / F.sqrt(var18 / F.lit(18.0)),
+                )
+                .when(
+                    F.col("s_stat") < 0,
+                    (F.col("s_stat") + 1) / F.sqrt(var18 / F.lit(18.0)),
+                )
+                .otherwise(0.0),
+                6,
+            ).alias("z_mk"),
+        )
+        .orderBy("event_type")
+    )

@@ -2434,3 +2434,99 @@ def test_spearman_matches_numpy_midrank_replay(spark):
         n, rho = out[brand]
         assert n == len(pairs)
         assert abs(rho - exp) < 5e-6, (brand, rho, exp)
+
+
+def test_kneser_ney_normalizes_and_matches_replay(spark):
+    """x383: (a) the emitted top-20 P_KN values must match an exact-
+    Fraction Python replay of the integer rational (no float in the
+    model); (b) the interpolated model must NORMALIZE: for the three
+    highest-count contexts w1, sum over the ENTIRE second-position
+    vocab of P_KN(w2|w1) -- seen bigrams via the full formula, unseen
+    via the continuation term alone -- equals exactly 1."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x383_kneser_ney,
+    )
+
+    docs = load_table(spark, SF, "documents").select("text").collect()
+    c12 = Counter()
+    for r in docs:
+        toks = r["text"].lower().split(" ")
+        for i in range(len(toks) - 1):
+            c12[(toks[i], toks[i + 1])] += 1
+    c1 = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    nt = len(c12)
+
+    def pkn(w1, w2):
+        c = c12.get((w1, w2), 0)
+        return Fraction(
+            max(4 * c - 3, 0) * nt + 3 * n1f[w1] * n1b[w2],
+            4 * c1[w1] * nt,
+        )
+
+    out = x383_kneser_ney(spark, SF).collect()
+    assert len(out) == 20
+    exp_top = sorted(c12.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["w1"], r["w2"]) for r in out] == [k for k, _ in exp_top]
+    for r in out:
+        f = pkn(r["w1"], r["w2"])
+        assert r["c12"] == c12[(r["w1"], r["w2"])]
+        assert abs(r["p_kn"] - _round_hu(f.numerator / f.denominator, 8)) < 1e-12
+        assert abs(r["p_mle"] - _round_hu(c12[(r["w1"], r["w2"])] / c1[r["w1"]], 8)) < 1e-12
+    vocab2 = set(n1b)
+    for w1, _ in sorted(c1.items(), key=lambda kv: (-kv[1], kv[0]))[:3]:
+        total = sum(pkn(w1, w2) for w2 in vocab2)
+        assert total == 1, (w1, total)
+
+
+def test_mann_kendall_matches_python_replay(spark):
+    """x384: replay S, the tie-corrected variance, and the continuity-
+    corrected z in pure Python from the exact daily cent sums."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x384_mann_kendall,
+    )
+
+    ev = load_table(spark, SF, "events")
+    rows = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in rows:
+        series[r["event_type"]].append((r["day"], r["v"]))
+    out = {r["event_type"]: r for r in x384_mann_kendall(spark, SF).collect()}
+    assert set(out) == set(series)
+    for et, pts in series.items():
+        pts.sort()
+        vs = [v for _, v in pts]
+        n = len(vs)
+        s = sum(
+            (vs[j] > vs[i]) - (vs[j] < vs[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie: dict = {}
+        for v in vs:
+            tie[v] = tie.get(v, 0) + 1
+        tt = sum(t * (t - 1) * (2 * t + 5) for t in tie.values() if t > 1)
+        var18 = n * (n - 1) * (2 * n + 5) - tt
+        if s > 0:
+            z = (s - 1) / (var18 / 18.0) ** 0.5
+        elif s < 0:
+            z = (s + 1) / (var18 / 18.0) ** 0.5
+        else:
+            z = 0.0
+        r = out[et]
+        assert r["n_days"] == n and r["s_stat"] == s and r["var18"] == var18
+        assert abs(r["z_mk"] - _round_hu(z, 6)) < 1e-12, (et, r["z_mk"], z)
