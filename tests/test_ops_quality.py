@@ -2530,3 +2530,85 @@ def test_mann_kendall_matches_python_replay(spark):
         r = out[et]
         assert r["n_days"] == n and r["s_stat"] == s and r["var18"] == var18
         assert abs(r["z_mk"] - _round_hu(z, 6)) < 1e-12, (et, r["z_mk"], z)
+
+
+def test_cmh_matches_python_replay(spark):
+    """x385: replay the Mantel-Haenszel pooled odds ratio and the
+    continuity-corrected CMH chi-square in pure Python from the exact
+    per-region 2x2 cells the query itself emits."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x385_cmh_odds_ratio,
+    )
+
+    rows = x385_cmh_odds_ratio(spark, SF).collect()
+    assert len(rows) == 5
+    sn = sd = sa = se = sv = 0.0
+    for r in rows:
+        a, b, c, d = r["a"], r["b"], r["c"], r["d"]
+        n = a + b + c + d
+        sn += _round_hu(a * d / n, 10)
+        sd += _round_hu(b * c / n, 10)
+        sa += a
+        se += _round_hu((a + b) * (a + c) / n, 10)
+        sv += _round_hu(
+            (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1.0)), 10
+        )
+        assert abs(r["or_stratum"] - _round_hu(a * d / (b * c), 4)) < 1e-12
+    or_mh = _round_hu(sn / sd, 4)
+    chi2 = _round_hu((abs(sa - se) - 0.5) ** 2 / sv, 4)
+    for r in rows:
+        assert abs(r["or_mh"] - or_mh) < 1e-9, (r["or_mh"], or_mh)
+        assert abs(r["cmh_chi2"] - chi2) < 1e-3, (r["cmh_chi2"], chi2)
+
+
+def test_qini_matches_python_replay(spark):
+    """x386: replay the decile assignment (exact ntile semantics over
+    the total order score DESC, user_id), the cumulative Qini curve,
+    and the random-targeting diagonal in pure Python."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x386_qini_curve,
+    )
+    import hashlib
+
+    ev = load_table(spark, SF, "events")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .alias("score"),
+        )
+        .collect()
+    )
+    recs = sorted(users, key=lambda r: (-r["score"], r["user_id"]))
+    n = len(recs)
+    qsz, rem = divmod(n, 10)
+    cum, out_exp = [0, 0, 0, 0], {}
+    i = 0
+    for t in range(1, 11):
+        size = qsz + 1 if t <= rem else qsz
+        nt = nc = ct = cc = 0
+        for rec in recs[i:i + size]:
+            treat = hashlib.md5(
+                f"{rec['user_id']}:ab".encode()
+            ).hexdigest()[:4] < "8000"
+            if treat:
+                nt += 1
+                ct += rec["conv"]
+            else:
+                nc += 1
+                cc += rec["conv"]
+        i += size
+        cum = [cum[0] + nt, cum[1] + nc, cum[2] + ct, cum[3] + cc]
+        qini = cum[2] - (0.0 if cum[1] == 0 else cum[3] * cum[0] / cum[1])
+        out_exp[t] = (nt, nc, ct, cc, qini, list(cum))
+    q_final = out_exp[10][4]
+    got = x386_qini_curve(spark, SF).collect()
+    assert len(got) == 10
+    for r in got:
+        nt, nc, ct, cc, qini, _ = out_exp[r["decile"]]
+        assert (r["n_t"], r["n_c"], r["conv_t"], r["conv_c"]) == (nt, nc, ct, cc), r
+        assert abs(r["qini_k"] - _round_hu(qini, 6)) < 1e-9
+        assert abs(r["diag_k"] - _round_hu(q_final * r["decile"] / 10.0, 6)) < 1e-9

@@ -663,3 +663,25 @@ def test_x340_w1_windows_ride_value_aggregate(spark):
             f"SinglePartition window fed by non-aggregate input: {first}"
         )
     assert "CartesianProduct" not in plan
+
+
+def test_qini_decile_no_single_partition_over_users(spark):
+    """x386: the decile assignment must come from the two-pass
+    distributed row number -- no ntile/Window over the user-cardinality
+    table, no Exchange SinglePartition below the decile aggregate. The
+    only allowed SinglePartition sits above a partial aggregation (the
+    10-row decile rollup and 1-row totals)."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x386_qini_curve,
+    )
+
+    plan = plan_of(x386_qini_curve(spark, SF))
+    assert "ntile" not in plan.lower()
+    # the row number comes from the mapInPandas two-pass prefix sum
+    assert "MapInPandas" in plan
+    # any Window node must ride the 10-row decile aggregate, never the
+    # user-cardinality table (its sort key would be score/user_id)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            assert "decile" in line, f"window over non-aggregate: {line}"
+        assert not ("Window" in line and "score" in line), line
