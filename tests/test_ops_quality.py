@@ -2612,3 +2612,117 @@ def test_qini_matches_python_replay(spark):
         assert (r["n_t"], r["n_c"], r["conv_t"], r["conv_c"]) == (nt, nc, ct, cc), r
         assert abs(r["qini_k"] - _round_hu(qini, 6)) < 1e-9
         assert abs(r["diag_k"] - _round_hu(q_final * r["decile"] / 10.0, 6)) < 1e-9
+
+
+def test_cronbach_alpha_matches_python_replay(spark):
+    """x387: replay alpha from per-doc indicator vectors in pure
+    Python (population variances; binary identity var = (n*s-s^2)/n^2)
+    and pin every emitted column."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x387_cronbach_alpha,
+    )
+
+    docs = load_table(spark, SF, "documents").select("text").collect()
+    stop = {"the", "a", "of", "and", "to", "in", "is"}
+    vecs = []
+    for r in docs:
+        toks = r["text"].lower().split(" ")
+        nw, lc, dset = len(toks), len(r["text"].replace(" ", "")), set(toks)
+        topc = max(toks.count(t) for t in dset)
+        vecs.append((
+            1 if 30 <= nw <= 90 else 0,
+            1 if 4 * nw <= lc <= 5 * nw else 0,
+            1 if len(dset & stop) >= 2 else 0,
+            1 if 5 * len(dset) > 3 * nw else 0,
+            1 if 8 * topc <= nw else 0,
+        ))
+    n = len(vecs)
+    s = [sum(v[i] for v in vecs) for i in range(5)]
+    sx = sum(sum(v) for v in vecs)
+    sx2 = sum(sum(v) ** 2 for v in vecs)
+    ivars = [(n * si - si * si) / (n * n) for si in s]
+    tvar = (n * sx2 - sx * sx) / (n * n)
+    alpha = (5 / 4) * (1 - sum(n * si - si * si for si in s)
+                       / (n * sx2 - sx * sx))
+    names = ["word_count", "mean_word_len", "stopwords", "dup_tokens",
+             "top_token"]
+    order = {"word_count": 0, "mean_word_len": 1, "stopwords": 2,
+             "dup_tokens": 3, "top_token": 4}
+    out = x387_cronbach_alpha(spark, SF).collect()
+    assert sorted(r["item"] for r in out) == sorted(names)
+    for r in out:
+        i = order[r["item"]]
+        assert r["item_sum"] == s[i]
+        assert abs(r["item_var"] - _round_hu(ivars[i], 8)) < 1e-12
+        assert abs(r["total_var"] - _round_hu(tvar, 8)) < 1e-12
+        assert abs(r["cronbach_alpha"] - _round_hu(alpha, 6)) < 1e-12
+    # a reliability coefficient must land in a sane range on real data
+    assert -1.0 <= out[0]["cronbach_alpha"] <= 1.0
+
+
+def test_unpivot_roundtrips_to_wide(spark):
+    """x388: melting the wide brand-metric table then pivoting back
+    must reproduce the wide table exactly (unpivot is reshape sugar,
+    not an aggregation)."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x388_unpivot_melt,
+    )
+
+    rows = x388_unpivot_melt(spark, SF).collect()
+    assert len(rows) % 3 == 0
+    wide = {}
+    for r in rows:
+        wide.setdefault(r["brand"], {})[r["metric"]] = r["val"]
+    for brand, m in wide.items():
+        assert set(m) == {"sum_qty", "sum_price_c", "sum_disc_c"}, brand
+        assert all(isinstance(v, int) for v in m.values())
+    # cross-check one metric against an independent aggregate
+    li = load_table(spark, SF, "lineitem")
+    pt = load_table(spark, SF, "part").select("p_partkey", "p_brand")
+    chk = {
+        r["p_brand"]: r["sq"]
+        for r in li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+        .collect()
+    }
+    for brand, m in wide.items():
+        assert m["sum_qty"] == chk[brand]
+
+
+def test_silhouette_matches_numpy_replay(spark):
+    """x389: replay the simplified silhouette with numpy following the
+    exact rounding pipeline (round-6 squared distances, min-cid ties,
+    round-8 per-point s), and require every mean in [-1, 1]."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x389_silhouette,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    rows = emb.collect()
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+         for r in rows}
+    cents = {i: V[i] for i in range(10) if i in V}
+    acc = defaultdict(list)
+    for vid, v in V.items():
+        d2 = {
+            cid: _round_hu(
+                float(v @ v) - 2 * float(v @ cv) + float(cv @ cv), 6
+            )
+            for cid, cv in cents.items()
+        }
+        a2 = min(d2.values())
+        own = min(cid for cid, x in d2.items() if x == a2)
+        b2 = min(x for cid, x in d2.items() if cid != own)
+        ra, rb = a2 ** 0.5, b2 ** 0.5
+        sil = 0.0 if max(ra, rb) == 0 else (rb - ra) / max(ra, rb)
+        acc[own].append(_round_hu(sil, 8))
+    out = x389_silhouette(spark, SF).collect()
+    assert {r["cid"] for r in out} == set(acc)
+    for r in out:
+        exp = _round_hu(sum(acc[r["cid"]]) / len(acc[r["cid"]]), 6)
+        assert r["n_points"] == len(acc[r["cid"]])
+        assert abs(r["mean_silhouette"] - exp) < 1e-9, (r, exp)
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
