@@ -2726,3 +2726,171 @@ def test_silhouette_matches_numpy_replay(spark):
         assert r["n_points"] == len(acc[r["cid"]])
         assert abs(r["mean_silhouette"] - exp) < 1e-9, (r, exp)
         assert -1.0 <= r["mean_silhouette"] <= 1.0
+
+
+def _rule_indicators(spark):
+    """Shared pure-Python replay of x381's five rule indicators."""
+    docs = load_table(spark, SF, "documents").select("text").collect()
+    stop = {"the", "a", "of", "and", "to", "in", "is"}
+    vecs = []
+    for r in docs:
+        toks = r["text"].lower().split(" ")
+        nw, lc, dset = len(toks), len(r["text"].replace(" ", "")), set(toks)
+        topc = max(toks.count(t) for t in dset)
+        vecs.append((
+            1 if 30 <= nw <= 90 else 0,
+            1 if 4 * nw <= lc <= 5 * nw else 0,
+            1 if len(dset & stop) >= 2 else 0,
+            1 if 5 * len(dset) > 3 * nw else 0,
+            1 if 8 * topc <= nw else 0,
+        ))
+    return vecs
+
+
+def test_mcnemar_matches_python_replay(spark):
+    """x390: cells and the continuity-corrected statistic replay from
+    the paired per-doc indicators (rules 1 and 3)."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x390_mcnemar_test,
+    )
+
+    vecs = _rule_indicators(spark)
+    b = sum(1 for v in vecs if v[0] == 1 and v[2] == 0)
+    c = sum(1 for v in vecs if v[0] == 0 and v[2] == 1)
+    r = x390_mcnemar_test(spark, SF).collect()[0]
+    assert r["n"] == len(vecs)
+    assert (r["b_cell"], r["c_cell"]) == (b, c)
+    assert r["both_pass"] == sum(1 for v in vecs if v[0] and v[2])
+    exp = 0.0 if b + c == 0 else (abs(b - c) - 1) ** 2 / (b + c)
+    assert abs(r["mcnemar_chi2"] - _round_hu(exp, 6)) < 1e-12
+    assert b + c > 0, "no discordant pairs -- rule pair uninformative"
+
+
+def test_fleiss_kappa_matches_python_replay(spark):
+    """x391: P_bar, P_e and kappa replay from per-doc vote counts; the
+    identity P_i = (X(X-1)+(5-X)(4-X))/20 is checked against the
+    definitional sum over categories."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x391_fleiss_kappa,
+    )
+
+    vecs = _rule_indicators(spark)
+    n, k = len(vecs), 5
+    xs = [sum(v) for v in vecs]
+    for x in xs[:50]:  # identity check per doc
+        by_cat = x * (x - 1) + (k - x) * (k - 1 - x)
+        assert by_cat == sum(c * (c - 1) for c in (x, k - x))
+    p_bar = sum(x * (x - 1) + (k - x) * (k - 1 - x) for x in xs) / (
+        n * k * (k - 1)
+    )
+    p_pass = sum(xs) / (n * k)
+    p_e = p_pass**2 + (1 - p_pass) ** 2
+    kappa = (p_bar - p_e) / (1 - p_e)
+    r = x391_fleiss_kappa(spark, SF).collect()[0]
+    assert r["n"] == n and r["sx"] == sum(xs)
+    assert abs(r["p_bar"] - _round_hu(p_bar, 6)) < 1e-12
+    assert abs(r["p_e"] - _round_hu(p_e, 6)) < 1e-12
+    assert abs(r["fleiss_kappa"] - _round_hu(kappa, 6)) < 1e-9
+
+
+def test_levene_and_anova_match_python_replay(spark):
+    """x392/x393: Levene's W and the one-way F replay in pure Python
+    from the exact cent values; cross-check eta^2 in [0,1] and the
+    mean columns."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x392_levene_test,
+        x393_anova_oneway,
+    )
+
+    ev = load_table(spark, SF, "events")
+    rows = ev.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("x")
+    ).collect()
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["event_type"]].append(r["x"])
+    # ANOVA
+    nn = sum(len(v) for v in groups.values())
+    k = len(groups)
+    gt = sum(sum(v) for v in groups.values())
+    qq = sum(x * x for v in groups.values() for x in v)
+    st2n = sum(_round_hu(sum(v) ** 2 / len(v), 6) for v in groups.values())
+    ssb = st2n - gt * gt / nn
+    ssw = qq - st2n
+    f_exp = (ssb / (k - 1)) / (ssw / (nn - k))
+    eta = ssb / (qq - gt * gt / nn)
+    out_a = x393_anova_oneway(spark, SF).collect()
+    for r in out_a:
+        v = groups[r["event_type"]]
+        assert r["n"] == len(v)
+        assert abs(r["mean_value"] - _round_hu(sum(v) / len(v) / 100.0, 6)) < 1e-9
+        assert abs(r["anova_f"] - _round_hu(f_exp, 6)) < 1e-6
+        assert abs(r["eta_squared"] - _round_hu(eta, 6)) < 1e-9
+        assert 0.0 <= r["eta_squared"] <= 1.0
+    # Levene (mean-centered) via the integer identity u = |n*x - s|
+    zsum, ssw_i = {}, {}
+    for et, v in groups.items():
+        ng, s = len(v), sum(v)
+        us = [abs(ng * x - s) for x in v]
+        zsum[et] = _round_hu(sum(us) / ng, 10)
+        ssw_i[et] = _round_hu(
+            sum(u * u for u in us) / ng**2 - (sum(us) / ng) ** 2 / ng, 8
+        )
+    zt = sum(zsum.values())
+    sswt = sum(ssw_i.values())
+    zbar = zt / nn
+    ssb_l = sum(
+        _round_hu(len(groups[et]) * (zsum[et] / len(groups[et]) - zbar) ** 2, 8)
+        for et in groups
+    )
+    w_exp = (nn - k) / (k - 1) * ssb_l / sswt
+    out_l = x392_levene_test(spark, SF).collect()
+    for r in out_l:
+        et = r["event_type"]
+        assert r["n"] == len(groups[et])
+        assert abs(
+            r["mean_abs_dev"]
+            - _round_hu(zsum[et] / len(groups[et]) / 100.0, 6)
+        ) < 1e-9
+        assert abs(r["levene_w"] - _round_hu(w_exp, 6)) < 1e-6
+
+
+def test_partial_correlation_matches_numpy(spark):
+    """x394: r_xy.z replays against numpy Pearson correlations on the
+    exact cent values per flag; identity-check the partial formula by
+    regressing out z explicitly (residual correlation)."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x394_partial_correlation,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    rows = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("z"),
+    ).collect()
+    g = defaultdict(list)
+    for r in rows:
+        g[r["flag"]].append((r["x"], r["y"], r["z"]))
+    out = {r["flag"]: r for r in x394_partial_correlation(spark, SF).collect()}
+    assert set(out) == set(g)
+    for flag, pts in g.items():
+        a = np.array(pts, dtype=np.float64)
+        rxy = np.corrcoef(a[:, 0], a[:, 1])[0, 1]
+        rxz = np.corrcoef(a[:, 0], a[:, 2])[0, 1]
+        ryz = np.corrcoef(a[:, 1], a[:, 2])[0, 1]
+        part = (rxy - rxz * ryz) / np.sqrt((1 - rxz**2) * (1 - ryz**2))
+        # independent residual-correlation identity
+        rx = a[:, 0] - np.polyval(np.polyfit(a[:, 2], a[:, 0], 1), a[:, 2])
+        ry = a[:, 1] - np.polyval(np.polyfit(a[:, 2], a[:, 1], 1), a[:, 2])
+        assert abs(np.corrcoef(rx, ry)[0, 1] - part) < 1e-9
+        r = out[flag]
+        assert r["n"] == len(pts)
+        for col, exp in (("r_xy", rxy), ("r_xz", rxz), ("r_yz", ryz),
+                         ("r_xy_given_z", part)):
+            assert abs(r[col] - exp) < 5e-6, (flag, col, r[col], exp)
