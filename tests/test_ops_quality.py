@@ -2894,3 +2894,61 @@ def test_partial_correlation_matches_numpy(spark):
         for col, exp in (("r_xy", rxy), ("r_xz", rxz), ("r_yz", ryz),
                          ("r_xy_given_z", part)):
             assert abs(r[col] - exp) < 5e-6, (flag, col, r[col], exp)
+
+
+def test_kn_heldout_perplexity_matches_python_replay(spark):
+    """x395: full pure-Python replay -- train KN counts on doc_id%10<8,
+    score held-out bigrams with the same integer rational + Laplace
+    continuation backoff and the round-8 type-level ln pipeline."""
+    import math
+    from collections import Counter, defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x395_kn_heldout_perplexity,
+    )
+
+    rows = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    c12 = Counter()
+    ho = defaultdict(Counter)
+    for r in rows:
+        toks = r["text"].lower().split(" ")
+        if len(toks) < 2:
+            continue
+        grams = list(zip(toks, toks[1:]))
+        if r["doc_id"] % 10 < 8:
+            c12.update(grams)
+        else:
+            ho[r["source"]].update(grams)
+    c1, n1f, n1b = Counter(), Counter(), Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    nt, v2 = len(c12), len(n1b) + 1
+    out = {r["source"]: r
+           for r in x395_kn_heldout_perplexity(spark, SF).collect()}
+    assert set(out) == set(ho)
+    for src, grams in ho.items():
+        tot = sum(grams.values())
+        oov = sum(c for (w1, _), c in grams.items() if w1 not in c1)
+        slp = 0.0
+        for (w1, w2), c in grams.items():
+            if w1 not in c1:
+                p = (n1b.get(w2, 0) + 1) / (nt + v2)
+            else:
+                p = (
+                    max(4 * c12.get((w1, w2), 0) - 3, 0) * (nt + v2)
+                    + 3 * n1f[w1] * (n1b.get(w2, 0) + 1)
+                ) / (4.0 * c1[w1] * (nt + v2))
+            assert p > 0
+            slp += c * _round_hu(math.log(p), 8)
+        ppl = math.exp(-slp / tot)
+        r = out[src]
+        assert r["n_bigrams"] == tot
+        assert abs(r["oov_context_rate"] - _round_hu(oov / tot, 6)) < 1e-12
+        assert abs(r["kn_perplexity"] - _round_hu(ppl, 4)) < 1e-6, (
+            src, r["kn_perplexity"], ppl
+        )
+        assert r["kn_perplexity"] > 1.0
