@@ -2952,3 +2952,97 @@ def test_kn_heldout_perplexity_matches_python_replay(spark):
             src, r["kn_perplexity"], ppl
         )
         assert r["kn_perplexity"] > 1.0
+
+
+def test_burstiness_matches_python_replay(spark):
+    """x396: VMR replays from per-(term, doc) counts with zeros
+    included -- the identity (N*Q - S^2)/(N*S) is checked against the
+    DEFINITIONAL population variance over all docs / mean."""
+    from collections import Counter, defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x396_term_burstiness,
+    )
+
+    rows = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    n_docs = len(rows)
+    per = defaultdict(Counter)
+    for r in rows:
+        for w in r["text"].lower().split(" "):
+            per[w][r["doc_id"]] += 1
+    out = x396_term_burstiness(spark, SF).collect()
+    assert len(out) == 20
+    tf_sorted = sorted(
+        ((sum(c.values()), w) for w, c in per.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    assert [r["term"] for r in out] == [w for _, w in tf_sorted]
+    for r in out:
+        c = per[r["term"]]
+        s, q, df = sum(c.values()), sum(v * v for v in c.values()), len(c)
+        assert (r["tf"], r["df"]) == (s, df)
+        # identity vs definitional variance over ALL docs incl. zeros
+        vals = list(c.values()) + [0] * (n_docs - df)
+        mean = sum(vals) / n_docs
+        var = sum((v - mean) ** 2 for v in vals) / n_docs
+        assert abs((n_docs * q - s * s) / (n_docs * s) - var / mean) < 1e-9
+        assert abs(r["vmr"] - _round_hu(var / mean, 6)) < 1e-9
+
+
+def test_mattr_matches_python_replay(spark):
+    """x397: per-doc MATTR(50) and TTR replay exactly; MATTR of a
+    repetitive doc must sit below MATTR of a same-length diverse doc
+    (the discrimination property)."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x397_mattr_diversity,
+    )
+
+    rows = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    exp = {}
+    for r in rows:
+        toks = r["text"].lower().split(" ")
+        n = len(toks)
+        ttr = len(set(toks)) / n
+        if n <= 50:
+            mattr = ttr
+        else:
+            wins = [len(set(toks[i:i + 50])) for i in range(n - 50 + 1)]
+            mattr = sum(wins) / (50.0 * (n - 50 + 1))
+        exp[r["doc_id"]] = (n, _round_hu(ttr, 6), _round_hu(mattr, 6))
+    out = x397_mattr_diversity(spark, SF).collect()
+    assert len(out) == len(exp)
+    for r in out:
+        n, ttr, mattr = exp[r["doc_id"]]
+        assert r["n_toks"] == n
+        assert abs(r["ttr"] - ttr) < 1e-12, r
+        assert abs(r["mattr_50"] - mattr) < 1e-12, r
+        assert 0.0 < r["mattr_50"] <= 1.0
+
+
+def test_dedup_ppl_impact_consistency(spark):
+    """x398: ppl_raw must equal x395's perplexity on the same split
+    (same model, same scoring), and the dedup'd model must differ
+    from the raw one iff the train split actually contains exact
+    dups (verified independently)."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x395_kn_heldout_perplexity,
+        x398_dedup_ppl_impact,
+    )
+
+    out = {r["source"]: r for r in x398_dedup_ppl_impact(spark, SF).collect()}
+    ref = {r["source"]: r
+           for r in x395_kn_heldout_perplexity(spark, SF).collect()}
+    assert set(out) == set(ref)
+    for src, r in out.items():
+        assert r["n_bigrams"] == ref[src]["n_bigrams"]
+        assert abs(r["ppl_raw"] - ref[src]["kn_perplexity"]) < 1e-9, src
+        assert abs(r["ppl_delta"] - _round_hu(r["ppl_raw"] - r["ppl_dedup"], 4)) < 1e-9
+    train = load_table(spark, SF, "documents").filter(
+        (F.col("doc_id") % 10 < 8)
+        & (F.size(F.split(F.lower(F.col("text")), " ")) >= 2)
+    )
+    n_all = train.count()
+    n_uniq = train.select(F.md5(F.lower(F.col("text")))).distinct().count()
+    has_dups = n_all > n_uniq
+    any_delta = any(r["ppl_delta"] != 0.0 for r in out.values())
+    assert any_delta == has_dups, (n_all, n_uniq, any_delta)
