@@ -3046,3 +3046,76 @@ def test_dedup_ppl_impact_consistency(spark):
     has_dups = n_all > n_uniq
     any_delta = any(r["ppl_delta"] != 0.0 for r in out.values())
     assert any_delta == has_dups, (n_all, n_uniq, any_delta)
+
+
+def test_holm_stepdown_matches_replay_and_nests_in_bh(spark):
+    """x399: replay the step-DOWN walk (reject while p_(k) <=
+    alpha/(m-k+1), stop at first failure) from the emitted p-values;
+    and assert the theory guarantee Holm-rejects ⊆ BH-rejects on the
+    identical test family (FWER control is never more permissive
+    than FDR control at the same alpha)."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x378_benjamini_hochberg,
+        x399_holm_bonferroni,
+    )
+
+    rows = x399_holm_bonferroni(spark, SF).collect()
+    m = len(rows)
+    assert all(r["rnk"] == i + 1 for i, r in enumerate(rows))
+    rejecting = True
+    for r in rows:
+        thr = 0.10 / (m - r["rnk"] + 1)
+        assert abs(r["holm_threshold"] - _round_hu(thr, 8)) < 1e-12
+        if rejecting and r["p_val"] > thr:
+            rejecting = False
+        assert r["rejected"] == (1 if rejecting else 0), r
+    holm_rej = {r["brand"] for r in rows if r["rejected"]}
+    bh = x378_benjamini_hochberg(spark, SF).collect()
+    bh_rej = {r["brand"] for r in bh if r["rejected"]}
+    assert holm_rej <= bh_rej, (holm_rej - bh_rej)
+    # the same z/p values underlie both entries
+    assert {(r["brand"], r["p_val"]) for r in rows} == {
+        (r["brand"], r["p_val"]) for r in bh
+    }
+
+
+def test_cliffs_delta_matches_bruteforce_pairs(spark):
+    """x400: the rank-identity delta must equal the DEFINITIONAL
+    (#(x>y) - #(x<y))/(n1*n2) over all returned x kept pairs,
+    brute-forced in numpy per brand at sf0.001."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x400_cliffs_delta,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    pt = load_table(spark, SF, "part").select("p_partkey", "p_brand")
+    rows = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .select(
+            "p_brand",
+            (F.col("l_returnflag") == "R").alias("is_r"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("c"),
+        )
+        .collect()
+    )
+    g = defaultdict(lambda: ([], []))
+    for r in rows:
+        g[r["p_brand"]][0 if r["is_r"] else 1].append(r["c"])
+    out = {r["brand"]: r for r in x400_cliffs_delta(spark, SF).collect()}
+    for brand, (xs, ys) in g.items():
+        if not xs or not ys:
+            assert brand not in out
+            continue
+        x = np.asarray(xs)[:, None]
+        y = np.asarray(ys)[None, :]
+        gt = int((x > y).sum())
+        lt = int((x < y).sum())
+        delta = (gt - lt) / (len(xs) * len(ys))
+        auc = (gt + 0.5 * ((x == y).sum())) / (len(xs) * len(ys))
+        r = out[brand]
+        assert (r["n1"], r["n2"]) == (len(xs), len(ys))
+        assert abs(r["cliffs_delta"] - _round_hu(delta, 6)) < 1e-9, brand
+        assert abs(r["auc_u"] - _round_hu(auc, 6)) < 1e-9, brand
+        assert -1.0 <= r["cliffs_delta"] <= 1.0
