@@ -3119,3 +3119,107 @@ def test_cliffs_delta_matches_bruteforce_pairs(spark):
         assert abs(r["cliffs_delta"] - _round_hu(delta, 6)) < 1e-9, brand
         assert abs(r["auc_u"] - _round_hu(auc, 6)) < 1e-9, brand
         assert -1.0 <= r["cliffs_delta"] <= 1.0
+
+
+def test_eb_shrinkage_matches_replay_and_contracts(spark):
+    """x401: replay the method-of-moments prior and the per-part
+    shrinkage in Python; and verify the CONTRACT of shrinkage --
+    every part's shrunk rate lies strictly between its raw rate and
+    the prior mean (it is a convex combination of the two)."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x401_eb_shrinkage,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    pt = load_table(spark, SF, "part").select("p_partkey", "p_brand")
+    rows = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .groupBy("l_partkey", "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("r"),
+        )
+        .collect()
+    )
+    p8s = [round(r["r"] * 1e8 / r["n"]) for r in rows]
+    np_, sp, sp2 = len(p8s), sum(p8s), sum(x * x for x in p8s)
+    m = sp / np_ / 1e8
+    v = sp2 / np_ / 1e16 - m * m
+    assert v > 0
+    ab = m * (1 - m) / v - 1
+    a, b = ab * m, ab * (1 - m)
+    agg = defaultdict(lambda: [0, 0.0, 0.0])
+    for row, p8 in zip(rows, p8s):
+        shr = _round_hu((a + row["r"]) / (a + b + row["n"]), 8)
+        # convex-combination contract (tolerate the round-8)
+        lo, hi = sorted((p8 / 1e8, m))
+        assert lo - 1e-7 <= shr <= hi + 1e-7, (row, shr, m)
+        c = agg[row["p_brand"]]
+        c[0] += 1
+        c[1] += p8
+        c[2] += shr
+    out = x401_eb_shrinkage(spark, SF).collect()
+    for r in out:
+        c = agg[r["brand"]]
+        assert r["n_parts"] == c[0]
+        assert abs(r["mean_raw_rate"] - _round_hu(c[1] / c[0] / 1e8, 6)) < 1e-12
+        assert abs(r["mean_shrunk_rate"] - _round_hu(c[2] / c[0], 6)) < 1e-9
+        assert abs(r["prior_a"] - _round_hu(a, 4)) < 1e-12
+        assert abs(r["prior_b"] - _round_hu(b, 4)) < 1e-12
+
+
+def test_transpose_matches_wide_aggregate(spark):
+    """x402: the transposed frame must contain exactly the wide
+    aggregate's cells, flipped; verified against an independent
+    groupBy."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x402_transpose,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    wide = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            .alias("sum_price_c"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .collect()
+    }
+    out = x402_transpose(spark, SF).collect()
+    assert [r["key"] for r in out] == ["n_items", "sum_price_c", "sum_qty"]
+    for r in out:
+        for flag in wide:
+            assert r[flag] == wide[flag][r["key"]], (r["key"], flag)
+
+
+def test_recursive_cte_spine_is_complete(spark):
+    """x403: the recursive spine must enumerate EVERY calendar day in
+    [min, max], mark exactly the days absent from the daily aggregate
+    as gaps, and zero-fill their counts."""
+    import datetime
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x403_recursive_cte,
+    )
+
+    ev = load_table(spark, SF, "events")
+    daily = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out = x403_recursive_cte(spark, SF).collect()
+    d0, d1 = min(daily), max(daily)
+    expected_days = [
+        d0 + datetime.timedelta(days=i) for i in range((d1 - d0).days + 1)
+    ]
+    assert [r["day"] for r in out] == expected_days
+    for r in out:
+        assert r["n_events"] == daily.get(r["day"], 0)
+        assert r["is_gap"] == (0 if r["day"] in daily else 1)
