@@ -117,3 +117,49 @@ def test_degree_assortativity_bounded(spark):
     r = x361_degree_assortativity(spark, SF001).collect()[0]
     assert -1.0 <= r["assortativity"] <= 1.0
     assert r["n_edges"] >= 1 and r["n_nodes"] >= 2
+
+
+def test_katz_matches_adjacency_power_replay(spark):
+    """x404: walk counts must equal successive adjacency-matrix powers
+    applied to the all-ones vector, replayed in pure Python over the
+    same edge set; and the integer 64*w1+8*w2+w3 ordering must match
+    the alpha=1/8 damped sum's ordering on the emitted rows."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.ops import graph as g
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x404_katz_centrality,
+    )
+    from poc_parquet_publisher_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.001"
+    li = load_table(spark, SF, "lineitem").filter(F.col("l_partkey") % 4 == 0)
+    edges = [(r["u"], r["v"]) for r in
+             g.symmetric_copurchase_edges(li).collect()]
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+    w = {n: 1 for n in adj}
+    walks = []
+    for _ in range(3):
+        w = {n: sum(w[v] for v in adj[n]) for n in adj}
+        walks.append(dict(w))
+    out = x404_katz_centrality(spark, SF).collect()
+    assert out, "empty katz output"
+    for r in out:
+        n = r["node"]
+        assert (r["walks1"], r["walks2"], r["walks3"]) == (
+            walks[0][n], walks[1][n], walks[2][n]
+        ), n
+        assert r["katz8"] == 64 * r["walks1"] + 8 * r["walks2"] + r["walks3"]
+    # emitted order == damped-sum order (same ranking, float form)
+    damped = [r["walks1"] / 8 + r["walks2"] / 64 + r["walks3"] / 512
+              for r in out]
+    assert damped == sorted(damped, reverse=True)
+    # top-20 really are the global top-20
+    all_k8 = sorted(
+        (64 * walks[0][n] + 8 * walks[1][n] + walks[2][n] for n in adj),
+        reverse=True,
+    )[:20]
+    assert [r["katz8"] for r in out] == all_k8[:len(out)]
