@@ -3223,3 +3223,34 @@ def test_recursive_cte_spine_is_complete(spark):
     for r in out:
         assert r["n_events"] == daily.get(r["day"], 0)
         assert r["is_gap"] == (0 if r["day"] in daily else 1)
+
+
+def test_logistic_newton_matches_numpy(spark):
+    """x405: the emitted coefficients must equal one Newton step from
+    beta=0 computed with numpy linear algebra: beta = 2 (X'X)^-1
+    X'(2y-1); also verify against the equivalent 4 (X'X)^-1 X'(y-1/2)
+    form and that the step direction increases the log-likelihood."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x405_logistic_newton,
+    )
+
+    ev = load_table(spark, SF, "events")
+    rows = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x2"),
+    ).collect()
+    X = np.array([[r["x1"], r["x2"], 1.0] for r in rows])
+    y = np.array([r["y"] for r in rows], dtype=np.float64)
+    beta = 2.0 * np.linalg.solve(X.T @ X, X.T @ (2 * y - 1))
+    beta2 = 4.0 * np.linalg.solve(X.T @ X, X.T @ (y - 0.5))
+    assert np.allclose(beta, beta2)
+    r = x405_logistic_newton(spark, SF).collect()[0]
+    assert r["n_users"] == len(rows)
+    got = np.array([r["beta_views"], r["beta_clicks"], r["beta_intercept"]])
+    assert np.allclose(got, beta, atol=5e-7), (got, beta)
+    # one Newton step from 0 must improve the log-likelihood
+    def ll(b):
+        z = X @ b
+        return float(np.sum(y * z - np.log1p(np.exp(z))))
+    assert ll(beta) > ll(np.zeros(3))
