@@ -3254,3 +3254,47 @@ def test_logistic_newton_matches_numpy(spark):
         z = X @ b
         return float(np.sum(y * z - np.log1p(np.exp(z))))
     assert ll(beta) > ll(np.zeros(3))
+
+
+def test_embedding_separability_matches_numpy(spark):
+    """x406: within-class dispersion, centroid norms and the Fisher F
+    replay against numpy scatter matrices (trace form) computed on the
+    same scale-4 quantized components; identity check: trace-SSW +
+    trace-SSB == total scatter."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x406_embedding_separability,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("label", "embedding")
+    rows = emb.collect()
+    by = {}
+    for r in rows:
+        v = np.round(np.array(r["embedding"], dtype=np.float64) * 1e4)
+        by.setdefault(r["label"], []).append(v)
+    out = {r["label"]: r for r in
+           x406_embedding_separability(spark, SF).collect()}
+    assert set(out) == set(by)
+    nn = sum(len(v) for v in by.values())
+    k = len(by)
+    mu_all = sum(np.sum(np.stack(v), axis=0) for v in by.values()) / nn
+    ssw = ssb = tot = 0.0
+    for lab, vecs in by.items():
+        A = np.stack(vecs)
+        n = len(vecs)
+        mu = A.mean(axis=0)
+        w = float(((A - mu) ** 2).sum())
+        ssw += w
+        ssb += n * float(((mu - mu_all) ** 2).sum())
+        tot += float(((A - mu_all) ** 2).sum())
+        r = out[lab]
+        assert r["n_vecs"] == n
+        assert abs(r["within_disp"] - _round_hu(w / n / 1e8, 6)) < 2e-6, lab
+        assert abs(
+            r["centroid_norm"] - _round_hu(np.linalg.norm(mu) / 1e4, 6)
+        ) < 2e-6, lab
+    assert abs(ssw + ssb - tot) < 1e-3 * tot  # scatter decomposition
+    f = (ssb / (k - 1)) / (ssw / (nn - k))
+    for r in out.values():
+        assert abs(r["fisher_f"] - _round_hu(f, 4)) < 2e-3, (
+            r["fisher_f"], f
+        )
