@@ -3298,3 +3298,45 @@ def test_embedding_separability_matches_numpy(spark):
         assert abs(r["fisher_f"] - _round_hu(f, 4)) < 2e-3, (
             r["fisher_f"], f
         )
+
+
+def test_greedy_cover_matches_python_replay(spark):
+    """x407: replay the greedy max-cover in pure Python from the
+    (doc, universe-shingle) pairs; marginal gains must be
+    non-increasing (coverage is submodular, greedy takes the max
+    each round)."""
+    from collections import Counter, defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x407_greedy_vocab_cover,
+    )
+
+    rows = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    freq = Counter()
+    doc_sh = {}
+    for r in rows:
+        toks = r["text"].lower().split(" ")
+        sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        doc_sh[r["doc_id"]] = sh
+        for g in (" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)):
+            freq[g] += 1
+    uni = {g for g, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:200]}
+    pairs = {d: s & uni for d, s in doc_sh.items()}
+    covered: set = set()
+    exp = []
+    cum = 0
+    for rnd in range(1, 9):
+        best = max(
+            ((len(s - covered), -d) for d, s in pairs.items()),
+            default=(0, 0),
+        )
+        gain, doc = best[0], -best[1]
+        if gain == 0:
+            break
+        covered |= pairs[doc]
+        cum += gain
+        exp.append((rnd, doc, gain, cum, round(cum / len(uni), 4)))
+    out = [tuple(r) for r in x407_greedy_vocab_cover(spark, SF).collect()]
+    assert out == exp, (out[:3], exp[:3])
+    gains = [g for _, _, g, _, _ in out]
+    assert gains == sorted(gains, reverse=True), gains
