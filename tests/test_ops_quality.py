@@ -3340,3 +3340,61 @@ def test_greedy_cover_matches_python_replay(spark):
     assert out == exp, (out[:3], exp[:3])
     gains = [g for _, _, g, _, _ in out]
     assert gains == sorted(gains, reverse=True), gains
+
+
+def test_lsh_tuning_curve_matches_python_replay(spark):
+    """x408: full md5-level replay of the calibration sweep -- for each
+    doc and prefix fraction, recompute the 4 band keys on both sides
+    from raw md5 digests, the exact Jaccard |pref|/|full|, and the
+    binned empirical/theory rates; the empirical curve must also be
+    monotone non-decreasing across occupied bins (it estimates a
+    monotone function of j)."""
+    import hashlib
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x408_lsh_tuning_curve,
+    )
+
+    rows = load_table(spark, SF, "documents").select("text").collect()
+
+    def bands(grams):
+        sigs = []
+        for salt in (0, 1):
+            digs = [hashlib.md5(f"{salt}:{g}".encode()).hexdigest()
+                    for g in grams]
+            for off in (0, 8, 16, 24):
+                sigs.append(min(d[off:off + 8] for d in digs))
+        return [sigs[2 * b] + sigs[2 * b + 1] for b in range(4)]
+
+    acc = defaultdict(lambda: [0, 0, 0.0])  # bin -> [n, ncol, theory_sum]
+    for r in rows:
+        toks = r["text"].lower().split(" ")
+        n = len(toks)
+        if n < 15:
+            continue
+        grams = [" ".join(toks[i:i + 3]) for i in range(n - 2)]
+        bf = bands(grams)
+        nf = len(set(grams))
+        for q in range(2, 10):
+            npref = (n * q) // 10 - 2
+            if npref < 1:
+                continue
+            pref = grams[:npref]
+            bp = bands(pref)
+            j = len(set(pref)) / nf
+            col = any(a == b for a, b in zip(bf, bp))
+            b = min(int(j * 10), 9)
+            acc[b][0] += 1
+            acc[b][1] += 1 if col else 0
+            acc[b][2] += _round_hu(1 - (1 - j * j) ** 4, 8)
+    out = x408_lsh_tuning_curve(spark, SF).collect()
+    assert {r["bin"] for r in out} == set(acc)
+    for r in out:
+        n, ncol, tsum = acc[r["bin"]]
+        assert r["n_pairs"] == n
+        assert r["n_collided"] == ncol, (r["bin"], r["n_collided"], ncol)
+        assert abs(r["empirical_rate"] - _round_hu(ncol / n, 4)) < 1e-12
+        assert abs(r["theory_rate"] - _round_hu(tsum / n, 4)) < 1e-9
+    rates = [r["empirical_rate"] for r in sorted(out, key=lambda x: x["bin"])]
+    assert all(b >= a - 0.05 for a, b in zip(rates, rates[1:])), rates
