@@ -3398,3 +3398,47 @@ def test_lsh_tuning_curve_matches_python_replay(spark):
         assert abs(r["theory_rate"] - _round_hu(tsum / n, 4)) < 1e-9
     rates = [r["empirical_rate"] for r in sorted(out, key=lambda x: x["bin"])]
     assert all(b >= a - 0.05 for a, b in zip(rates, rates[1:])), rates
+
+
+def test_kfold_auc_matches_python_replay(spark):
+    """x409: replay folds (md5-ascii mod 5), per-fold midrank AUC and
+    the across-fold mean/sd in pure Python; per-fold AUC must also
+    equal the brute pair-counting definition."""
+    import hashlib
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x409_kfold_auc,
+    )
+
+    rows = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang"
+    ).collect()
+    stop = {"the", "a", "of", "and", "to", "in", "is"}
+    folds = defaultdict(list)
+    for r in rows:
+        toks = r["text"].lower().split(" ")
+        ratio = _round_hu(sum(t in stop for t in toks) / len(toks), 4)
+        p_s = int(ratio * 10000 + 0.5)
+        f = ord(hashlib.md5(f"{r['doc_id']}:fold".encode()).hexdigest()[0]) % 5
+        folds[f].append((p_s, 1 if r["lang"] == "en" else 0))
+    aucs = {}
+    for f, pts in folds.items():
+        pos = [s for s, y in pts if y]
+        neg = [s for s, y in pts if not y]
+        gt = sum(1 for p in pos for q in neg if p > q)
+        eq = sum(1 for p in pos for q in neg if p == q)
+        aucs[f] = (gt + 0.5 * eq) / (len(pos) * len(neg))
+    a8 = {f: round(a * 1e8) for f, a in aucs.items()}
+    k = len(a8)
+    sa, sa2 = sum(a8.values()), sum(v * v for v in a8.values())
+    mean = sa / k / 1e8
+    sd = ((sa2 - sa * sa / k) / (k - 1)) ** 0.5 / 1e8
+    out = {r["fold"]: r for r in x409_kfold_auc(spark, SF).collect()}
+    assert set(out) == set(folds)
+    for f, r in out.items():
+        pos = sum(1 for _, y in folds[f] if y)
+        assert (r["n_pos"], r["n_neg"]) == (pos, len(folds[f]) - pos)
+        assert abs(r["fold_auc"] - _round_hu(a8[f] / 1e8, 6)) < 1e-12, f
+        assert abs(r["mean_auc"] - _round_hu(mean, 6)) < 1e-9
+        assert abs(r["sd_auc"] - _round_hu(sd, 6)) < 1e-9
