@@ -3442,3 +3442,43 @@ def test_kfold_auc_matches_python_replay(spark):
         assert abs(r["fold_auc"] - _round_hu(a8[f] / 1e8, 6)) < 1e-12, f
         assert abs(r["mean_auc"] - _round_hu(mean, 6)) < 1e-9
         assert abs(r["sd_auc"] - _round_hu(sd, 6)) < 1e-9
+
+
+def test_qte_matches_python_replay(spark):
+    """x410: per-arm type-1 deciles and their differences replay from
+    the exact per-user dollar values; cross-check the type-1
+    definition against sorted-list indexing."""
+    import hashlib
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x410_quantile_treatment_effect,
+    )
+
+    ev = load_table(spark, SF, "events")
+    rows = ev.groupBy("user_id").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(0.0)
+            ),
+            0,
+        ).cast("long").alias("v")
+    ).collect()
+    arms = defaultdict(list)
+    for r in rows:
+        treat = hashlib.md5(f"{r['user_id']}:ab".encode()).hexdigest()[:4] < "8000"
+        arms["treat" if treat else "control"].append(r["v"])
+    for a in arms:
+        arms[a].sort()
+
+    def q(vals, p):
+        import math
+        return vals[math.ceil(p * len(vals) / 100) - 1]  # type-1
+
+    out = {r["p"]: r for r in
+           x410_quantile_treatment_effect(spark, SF).collect()}
+    assert sorted(out) == list(range(10, 100, 10))
+    for p, r in out.items():
+        vt, vc = q(arms["treat"], p), q(arms["control"], p)
+        assert (r["v_treat"], r["v_control"], r["qte"]) == (vt, vc, vt - vc), p
