@@ -3482,3 +3482,84 @@ def test_qte_matches_python_replay(spark):
     for p, r in out.items():
         vt, vc = q(arms["treat"], p), q(arms["control"], p)
         assert (r["v_treat"], r["v_control"], r["qte"]) == (vt, vc, vt - vc), p
+
+
+def test_watermark_detector_matches_replay_and_null_calibration(spark):
+    """x412: replay per-doc green counts and z-scores in pure Python
+    (md5 level); on unwatermarked text the corpus-wide mean z must be
+    near 0 and flagged fractions small (null calibration)."""
+    import hashlib
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x412_watermark_detect,
+    )
+
+    rows = load_table(spark, SF, "documents").select("source", "text").collect()
+    agg = defaultdict(lambda: [0, 0.0, 0])  # n, zsum, flagged
+    for r in rows:
+        toks = r["text"].lower().split(" ")
+        if len(toks) < 2:
+            continue
+        n = len(toks) - 1
+        g = sum(
+            1
+            for i in range(n)
+            if hashlib.md5(
+                f"{toks[i]}:{toks[i+1]}".encode()
+            ).hexdigest()[0] < "8"
+        )
+        z = _round_hu((2.0 * g - n) / n**0.5, 6)
+        a = agg[r["source"]]
+        a[0] += 1
+        a[1] += z
+        a[2] += 1 if z > 2 else 0
+    out = x412_watermark_detect(spark, SF).collect()
+    assert len(out) == len(agg)
+    tot_z, tot_n = 0.0, 0
+    for r in out:
+        n, zsum, fl = agg[r["source"]]
+        assert r["n_docs"] == n
+        assert abs(r["mean_z"] - _round_hu(zsum / n, 4)) < 1e-9
+        assert abs(r["frac_flagged"] - _round_hu(fl / n, 4)) < 1e-12
+        tot_z += zsum
+        tot_n += n
+    assert abs(tot_z / tot_n) < 0.5, "null text should not look watermarked"
+    assert all(r["frac_flagged"] <= 0.2 for r in out)
+
+
+def test_power_mde_matches_closed_form(spark):
+    """x413: replay the MDE closed form and the required-n formula in
+    Python from the exact counts; the observed x303 uplift must be
+    comparable against mde_abs (sanity: both finite, mde > 0)."""
+    import hashlib
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x413_power_mde,
+    )
+
+    ev = load_table(spark, SF, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 250),
+                1,
+            ).otherwise(0)
+        ).alias("c")
+    ).collect()
+    n_t = sum(
+        1 for r in users
+        if hashlib.md5(f"{r['user_id']}:ab".encode()).hexdigest()[:4] < "8000"
+    )
+    n_c = len(users) - n_t
+    p = sum(r["c"] for r in users) / len(users)
+    zs = 1.959964 + 0.841621
+    mde = zs * (p * (1 - p) * (1 / n_t + 1 / n_c)) ** 0.5
+    req = -(-2 * zs**2 * p * (1 - p) / 0.01**2 // 1)  # ceil
+    r = x413_power_mde(spark, SF).collect()[0]
+    assert (r["n_t"], r["n_c"]) == (n_t, n_c)
+    assert abs(r["pooled_rate"] - _round_hu(p, 6)) < 1e-12
+    assert abs(r["mde_abs"] - _round_hu(mde, 6)) < 1e-9
+    assert abs(r["mde_rel"] - _round_hu(mde / p, 6)) < 1e-9
+    assert r["n_per_arm_for_1pt"] == int(req)
+    assert r["mde_abs"] > 0
