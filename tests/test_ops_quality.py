@@ -3563,3 +3563,71 @@ def test_power_mde_matches_closed_form(spark):
     assert abs(r["mde_rel"] - _round_hu(mde / p, 6)) < 1e-9
     assert r["n_per_arm_for_1pt"] == int(req)
     assert r["mde_abs"] > 0
+
+
+def test_negbin_overdispersion_matches_replay(spark):
+    """x414: moments and the MoM NB parameters replay in Python; the
+    NB fit must reproduce the observed mean/variance exactly (MoM
+    identity: m = r(1-p)/p, v = r(1-p)/p^2)."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x414_negbin_overdispersion,
+    )
+
+    ev = load_table(spark, SF, "events")
+    rows = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    ).collect()
+    g = defaultdict(list)
+    for r in rows:
+        g[r["event_type"]].append(r["c"])
+    out = {r["event_type"]: r
+           for r in x414_negbin_overdispersion(spark, SF).collect()}
+    assert set(out) == set(g)
+    for et, cs in g.items():
+        n = len(cs)
+        m = sum(cs) / n
+        v = sum(c * c for c in cs) / n - m * m
+        r = out[et]
+        assert r["n"] == n
+        assert abs(r["mean_c"] - _round_hu(m, 6)) < 1e-9
+        assert abs(r["var_c"] - _round_hu(v, 6)) < 1e-9
+        assert abs(r["dispersion_index"] - _round_hu(v / m, 6)) < 1e-9
+        if v > m:
+            nb_r, nb_p = m * m / (v - m), m / v
+            assert abs(r["nb_r"] - _round_hu(nb_r, 6)) < 1e-6
+            assert abs(r["nb_p"] - _round_hu(nb_p, 6)) < 1e-9
+            # MoM identity: the fit reproduces the moments
+            assert abs(nb_r * (1 - nb_p) / nb_p - m) < 1e-9
+            assert abs(nb_r * (1 - nb_p) / nb_p**2 - v) < 1e-6
+        else:
+            assert r["nb_r"] is None and r["nb_p"] is None
+
+
+def test_kish_ess_matches_replay_and_bounds(spark):
+    """x415: ESS/deff replay from per-source counts; contracts:
+    ESS <= N always (weighting can only lose information), ESS == N
+    iff weights are constant, and deff * ESS == N."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x415_kish_ess,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    cnt = {r["source"]: r["n"]
+           for r in docs.groupBy("source").agg(
+               F.count(F.lit(1)).alias("n")).collect()}
+    nn, k = sum(cnt.values()), len(cnt)
+    sw = sum(_round_hu(n * (nn / (k * n)), 8) for n in cnt.values())
+    sw2 = sum(_round_hu(n * (nn / (k * n)) ** 2, 8) for n in cnt.values())
+    ess = sw * sw / sw2
+    deff = nn * sw2 / (sw * sw)
+    out = x415_kish_ess(spark, SF).collect()
+    assert len(out) == k
+    for r in out:
+        assert r["n"] == cnt[r["source"]]
+        assert abs(r["weight"] - _round_hu(nn / (k * r["n"]), 6)) < 1e-12
+        assert abs(r["kish_ess"] - _round_hu(ess, 2)) < 1e-9
+        assert abs(r["design_effect"] - _round_hu(deff, 6)) < 1e-9
+    assert ess <= nn + 1e-6
+    assert abs(deff * ess - nn) < 1e-3
