@@ -3631,3 +3631,73 @@ def test_kish_ess_matches_replay_and_bounds(spark):
         assert abs(r["design_effect"] - _round_hu(deff, 6)) < 1e-9
     assert ess <= nn + 1e-6
     assert abs(deff * ess - nn) < 1e-3
+
+
+def test_identifier_params_matches_literal_sql(spark):
+    """x416: the parameterized IDENTIFIER form must produce exactly
+    the literal-SQL result and the same filtered row universe."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x416_identifier_params,
+    )
+
+    ev = load_table(spark, SF, "events")
+    lit = {
+        r["event_type"]: (r["n"], r["rc"])
+        for r in ev.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("rc"),
+        )
+        .collect()
+    }
+    out = x416_identifier_params(spark, SF).collect()
+    assert {r["event_type"] for r in out} == set(lit)
+    for r in out:
+        assert (r["n_events"], r["revenue_c"]) == lit[r["event_type"]]
+
+
+def test_huber_location_matches_python_replay(spark):
+    """x417: replay median/MAD (type-1 on whole dollars) and the one
+    Huber IRLS step in Python; contract: the Huber mean lies between
+    the median and the raw mean (it trades robustness for
+    efficiency), and weights are in (0, 1]."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x417_huber_location,
+    )
+
+    ev = load_table(spark, SF, "events")
+    rows = ev.select(
+        "event_type", F.round("value", 0).cast("long").alias("x")
+    ).collect()
+    g = defaultdict(list)
+    for r in rows:
+        g[r["event_type"]].append(r["x"])
+
+    import math
+    out = {r["event_type"]: r for r in x417_huber_location(spark, SF).collect()}
+    for et, xs in g.items():
+        xs.sort()
+        n = len(xs)
+        med = xs[math.ceil(n / 2) - 1]
+        ds = sorted(abs(x - med) for x in xs)
+        mad = ds[math.ceil(n / 2) - 1]
+        k = 1.345 * 1.4826
+        swx = sw = 0.0
+        for x in xs:
+            d = abs(x - med)
+            w = 1.0 if d <= k * mad else k * mad / d
+            swx += _round_hu(x * w, 8)
+            sw += _round_hu(w, 8)
+        hm = swx / sw
+        r = out[et]
+        assert (r["median_x"], r["mad_x"]) == (med, mad), et
+        assert abs(r["huber_mean"] - _round_hu(hm, 6)) < 1e-9, et
+        assert 0 < r["mean_weight"] <= 1.0
+        raw_mean = sum(xs) / n
+        lo, hi = sorted((med, raw_mean))
+        assert lo - abs(hi - lo) * 0.5 - 1 <= r["huber_mean"] <= hi + 1, (
+            et, r["huber_mean"], med, raw_mean
+        )
