@@ -3701,3 +3701,62 @@ def test_huber_location_matches_python_replay(spark):
         assert lo - abs(hi - lo) * 0.5 - 1 <= r["huber_mean"] <= hi + 1, (
             et, r["huber_mean"], med, raw_mean
         )
+
+
+def test_diff_in_diff_matches_python_replay(spark):
+    """x418: replay the DiD, placebo DiD and per-day gaps in pure
+    Python from exact (arm, day) cent sums; identity check: DiD ==
+    mean(post gaps weighted by...) no -- DiD is the difference of
+    period means, replayed directly; placebo uses only pre data."""
+    import datetime
+    import hashlib
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x418_diff_in_diff,
+    )
+
+    rows = load_table(spark, SF, "events").select(
+        "user_id", "ts", "value"
+    ).collect()
+    agg = defaultdict(lambda: [0, 0])  # (day, arm) -> [n, cents]
+    for r in rows:
+        arm = "t" if hashlib.md5(
+            f"{r['user_id']}:ab".encode()
+        ).hexdigest()[:4] < "8000" else "c"
+        a = agg[(r["ts"].date(), arm)]
+        a[0] += 1
+        a[1] += round(r["value"] * 100)
+
+    def period_mean(arm, lo, hi):
+        n = sum(v[0] for (d, a), v in agg.items() if a == arm and lo <= d < hi)
+        s = sum(v[1] for (d, a), v in agg.items() if a == arm and lo <= d < hi)
+        return s / n
+
+    d0 = datetime.date(2024, 1, 1)
+    cut = datetime.date(2024, 1, 16)
+    pcut = datetime.date(2024, 1, 8)
+    end = datetime.date(2024, 2, 1)
+    did = (
+        (period_mean("t", cut, end) - period_mean("t", d0, cut))
+        - (period_mean("c", cut, end) - period_mean("c", d0, cut))
+    ) / 100
+    placebo = (
+        (period_mean("t", pcut, cut) - period_mean("t", d0, pcut))
+        - (period_mean("c", pcut, cut) - period_mean("c", d0, pcut))
+    ) / 100
+    out = x418_diff_in_diff(spark, SF).collect()
+    assert len(out) == len({d for d, _ in agg})
+    for r in out:
+        n_t, s_t = agg[(r["day"], "t")]
+        n_c, s_c = agg[(r["day"], "c")]
+        mt = _round_hu(s_t / n_t / 100, 6)
+        mc = _round_hu(s_c / n_c / 100, 6)
+        assert abs(r["mean_t"] - mt) < 1e-12 and abs(r["mean_c"] - mc) < 1e-12
+        assert abs(r["gap"] - _round_hu(mt - mc, 6)) < 1e-9
+        assert r["period"] == ("pre" if r["day"] < cut else "post")
+        assert abs(r["did"] - _round_hu(did, 6)) < 1e-6
+        assert abs(r["placebo_did"] - _round_hu(placebo, 6)) < 1e-6
+    # null corpus: no real intervention -> both effects are sampling
+    # noise (sd/sqrt(n) ~ 2.6 per mean here, 4 means combine to ~5)
+    assert abs(out[0]["did"]) < 15.0 and abs(out[0]["placebo_did"]) < 15.0
