@@ -3760,3 +3760,74 @@ def test_diff_in_diff_matches_python_replay(spark):
     # null corpus: no real intervention -> both effects are sampling
     # noise (sd/sqrt(n) ~ 2.6 per mean here, 4 means combine to ~5)
     assert abs(out[0]["did"]) < 15.0 and abs(out[0]["placebo_did"]) < 15.0
+
+
+def test_self_retrieval_eval_matches_python_replay(spark):
+    """x419: full Python replay of the chunking, shingle-BM25 scoring,
+    per-query ranking, and the hit/MRR rollup; the self-retrieval
+    hit@5 must be high (the query text IS inside one chunk -- a low
+    score means the scorer, not the data, is broken)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x419_self_retrieval_eval,
+    )
+
+    rows = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    chunks = {}
+    for r in rows:
+        toks = r["text"].lower().split(" ")
+        for c in range(math.ceil(len(toks) / 25)):
+            seg = toks[25 * c:25 * c + 25]
+            sh = [" ".join(seg[i:i + 3]) for i in range(len(seg) - 2)]
+            if sh:
+                chunks[(r["doc_id"], c)] = sh
+    n_chunks = len(chunks)
+    avglen = sum(len(s) for s in chunks.values()) / n_chunks
+    queries = {}
+    for r in rows:
+        toks = r["text"].lower().split(" ")
+        if len(toks) >= 35 and r["doc_id"] % 11 == 0:
+            seg = toks[29:34]
+            queries[r["doc_id"]] = set(
+                " ".join(seg[i:i + 3]) for i in range(3)
+            )
+    dfc = Counter()
+    for sh in chunks.values():
+        for g in set(sh):
+            dfc[g] += 1
+    per_q = {}
+    for qid, terms in queries.items():
+        scores = defaultdict(float)
+        for key, sh in chunks.items():
+            tfs = Counter(sh)
+            s = 0.0
+            for g in terms:
+                if tfs.get(g):
+                    idf = _round_hu(
+                        math.log(1 + (n_chunks - dfc[g] + 0.5) / (dfc[g] + 0.5)), 6
+                    )
+                    tf = tfs[g]
+                    s += _round_hu(
+                        idf * tf * 2.2
+                        / (tf + 1.2 * (0.25 + 0.75 * len(sh) / avglen)),
+                        8,
+                    )
+            if s > 0:
+                scores[key] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        own = next(
+            (i + 1 for i, (k, _) in enumerate(ranked) if k[0] == qid), None
+        )
+        per_q[qid] = own
+    n_q = len(per_q)
+    hit1 = sum(1 for v in per_q.values() if v == 1) / n_q
+    hit5 = sum(1 for v in per_q.values() if v is not None and v <= 5) / n_q
+    mrr = sum(_round_hu(1.0 / v, 8) if v else 0.0 for v in per_q.values()) / n_q
+    r = x419_self_retrieval_eval(spark, SF).collect()[0]
+    assert r["n_queries"] == n_q
+    assert abs(r["hit_at_1"] - _round_hu(hit1, 6)) < 1e-9
+    assert abs(r["hit_at_5"] - _round_hu(hit5, 6)) < 1e-9
+    assert abs(r["mrr_at_20"] - _round_hu(mrr, 6)) < 1e-9
+    assert r["hit_at_5"] > 0.8, "self-retrieval broken"
