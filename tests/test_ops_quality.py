@@ -3831,3 +3831,55 @@ def test_self_retrieval_eval_matches_python_replay(spark):
     assert abs(r["hit_at_5"] - _round_hu(hit5, 6)) < 1e-9
     assert abs(r["mrr_at_20"] - _round_hu(mrr, 6)) < 1e-9
     assert r["hit_at_5"] > 0.8, "self-retrieval broken"
+
+
+def test_dedup_tier_containment_law(spark):
+    """x420: replay all three pair sets in Python; the mathematical
+    law exact ⊆ band-candidates must hold with a NON-VACUOUS exact
+    set at sf0.001 (the fixture has exact dups), and
+    fp_missing_from_bands must equal the replayed count."""
+    import hashlib
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x420_dedup_tier_containment,
+    )
+    from poc_parquet_publisher_spark.ops import dedup as dd
+
+    base = load_table(spark, SF, "documents").select("doc_id", "text")
+    twins = base.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus_df = base.unionByName(twins)
+    rows = corpus_df.collect()
+    by_exact, by_fp = defaultdict(list), defaultdict(list)
+    for r in rows:
+        t = r["text"].lower()
+        by_exact[hashlib.md5(t.encode()).hexdigest()].append(r["doc_id"])
+        bag = " ".join(sorted(set(t.split(" "))))
+        by_fp[hashlib.md5(bag.encode()).hexdigest()].append(r["doc_id"])
+
+    def pairs(groups):
+        out = set()
+        for ids in groups.values():
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out.add((ids[i], ids[j]))
+        return out
+
+    ex, fp = pairs(by_exact), pairs(by_fp)
+    bands = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_banded_pairs(
+            corpus_df, "doc_id", "text", k=3, max_docs_per_band=None,
+        ).collect()
+    }
+    r = x420_dedup_tier_containment(spark, SF).collect()[0]
+    assert r["n_exact_pairs"] == len(ex)
+    assert r["n_fingerprint_pairs"] == len(fp)
+    assert r["n_band_candidates"] == len(bands)
+    assert len(ex) > 0, "fixture has no exact dups -- law check vacuous"
+    assert ex <= bands, "exact pair escaped the banding -- signature broken"
+    assert r["exact_missing_from_bands"] == 0
+    assert r["fp_missing_from_bands"] == len(fp - bands)
