@@ -3883,3 +3883,56 @@ def test_dedup_tier_containment_law(spark):
     assert ex <= bands, "exact pair escaped the banding -- signature broken"
     assert r["exact_missing_from_bands"] == 0
     assert r["fp_missing_from_bands"] == len(fp - bands)
+
+
+def test_group_sequential_matches_python_replay(spark):
+    """x421: replay each look's cumulative cells and the pooled
+    two-proportion z in Python (degenerate-pool z=0 convention);
+    OBF boundaries must be strictly decreasing across looks."""
+    import datetime
+    import hashlib
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x421_group_sequential,
+    )
+
+    rows = load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_type", "value"
+    ).collect()
+    looks = [
+        (1, datetime.date(2024, 1, 11), 3.471),
+        (2, datetime.date(2024, 1, 21), 2.454),
+        (3, datetime.date(2024, 1, 31), 2.004),
+    ]
+    out = {r["look"]: r for r in x421_group_sequential(spark, SF).collect()}
+    bounds = [r["obf_bound"] for r in sorted(out.values(), key=lambda x: x["look"])]
+    assert bounds == sorted(bounds, reverse=True)
+    for look, cutoff, bound in looks:
+        users = defaultdict(int)
+        seen = set()
+        for r in rows:
+            if r["ts"].date() < cutoff:
+                seen.add(r["user_id"])
+                if r["event_type"] == "purchase" and r["value"] >= 250:
+                    users[r["user_id"]] = 1
+        n_t = x_t = n_c = x_c = 0
+        for u in seen:
+            t = hashlib.md5(f"{u}:ab".encode()).hexdigest()[:4] < "8000"
+            if t:
+                n_t += 1
+                x_t += users[u]
+            else:
+                n_c += 1
+                x_c += users[u]
+        if x_t + x_c in (0, n_t + n_c):
+            z = 0.0
+        else:
+            p = (x_t + x_c) / (n_t + n_c)
+            z = (x_t / n_t - x_c / n_c) / (
+                p * (1 - p) * (1 / n_t + 1 / n_c)
+            ) ** 0.5
+        r = out[look]
+        assert (r["n_t"], r["n_c"]) == (n_t, n_c), look
+        assert abs(r["z_look"] - _round_hu(z, 4)) < 1e-9, look
+        assert r["crossed"] == (1 if abs(z) > bound else 0)
