@@ -163,3 +163,71 @@ def test_katz_matches_adjacency_power_replay(spark):
         reverse=True,
     )[:20]
     assert [r["katz8"] for r in out] == all_k8[:len(out)]
+
+
+def test_hub_removal_robustness_matches_python_replay(spark):
+    """x423: replay both BFS runs in Python from the same edge set;
+    contract: ablated reach <= full reach at cumulative level (hub
+    removal can only disconnect), and reach_lost is their per-level
+    difference."""
+    from collections import defaultdict, deque
+
+    from pyspark.sql import functions as F
+
+    from poc_parquet_publisher_spark.catalog import load_table
+    from poc_parquet_publisher_spark.ops import graph as g
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x423_hub_removal_robustness,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    li = load_table(spark, SF, "lineitem").filter(F.col("l_partkey") % 4 == 0)
+    edges = [(r["u"], r["v"]) for r in
+             g.symmetric_copurchase_edges(li).collect()]
+    deg = defaultdict(int)
+    for u, _ in edges:
+        deg[u] += 1
+    hubs = set(
+        u for u, _ in sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    )
+
+    def bfs_counts(es, hops=3):
+        adj = defaultdict(list)
+        nodes = set()
+        for u, v in es:
+            adj[u].append(v)
+            nodes.add(u)
+        if not nodes:
+            return {i: 0 for i in range(hops + 1)}
+        seed = min(nodes)
+        dist = {seed: 0}
+        q = deque([seed])
+        while q:
+            n = q.popleft()
+            if dist[n] >= hops:
+                continue
+            for m in adj[n]:
+                if m not in dist:
+                    dist[m] = dist[n] + 1
+                    q.append(m)
+        out = {i: 0 for i in range(hops + 1)}
+        for d in dist.values():
+            out[d] += 1
+        return out
+
+    full = bfs_counts(edges)
+    abl = bfs_counts(
+        [(u, v) for u, v in edges if u not in hubs and v not in hubs]
+    )
+    out = {r["level"]: r for r in
+           x423_hub_removal_robustness(spark, SF).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    cum_f = cum_a = 0
+    for lvl in range(4):
+        r = out[lvl]
+        assert r["reached_full"] == full[lvl], lvl
+        assert r["reached_ablated"] == abl[lvl], lvl
+        assert r["reach_lost"] == full[lvl] - abl[lvl]
+        cum_f += full[lvl]
+        cum_a += abl[lvl]
+        assert cum_a <= cum_f
