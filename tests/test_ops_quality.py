@@ -4001,3 +4001,74 @@ def test_hte_pre_segments_matches_python_replay(spark):
         assert abs(r["z_segment"] - _round_hu(z, 4)) < 1e-9, segm
     # pre-only construction: conv events cannot move segments
     assert all(u in pre_n or True for u in conv)
+
+
+def test_platt_scaling_matches_python_replay(spark):
+    """x424: replay the 2x2 Newton step and both ECEs in Python from
+    the score-domain counts; the Newton step from 0 must improve the
+    weighted logistic log-likelihood, and on this corpus the
+    calibrated ECE must beat the raw ECE (the scorer is wildly
+    miscalibrated as a probability -- that is the point)."""
+    import math
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x424_platt_scaling,
+    )
+
+    rows = load_table(spark, SF, "documents").select("text", "lang").collect()
+    stop = {"the", "a", "of", "and", "to", "in", "is"}
+    dom = defaultdict(lambda: [0, 0])
+    for r in rows:
+        toks = r["text"].lower().split(" ")
+        ratio = _round_hu(sum(t in stop for t in toks) / len(toks), 4)
+        s = int(ratio * 10000 + 0.5)
+        d = dom[s]
+        d[0] += 1
+        d[1] += 1 if r["lang"] == "en" else 0
+    nn = sum(n for n, _ in dom.values())
+    sxx = sum(s * s * n for s, (n, _) in dom.items())
+    sx = sum(s * n for s, (n, _) in dom.items())
+    g1 = sum(s * (2 * p - n) for s, (n, p) in dom.items())
+    g2 = sum(2 * p - n for n, p in dom.values())
+    det = nn * sxx - sx * sx
+    a = 2.0 * (nn * g1 - sx * g2) / det
+    b = 2.0 * (sxx * g2 - sx * g1) / det
+
+    def ll(aa, bb):
+        t = 0.0
+        for s, (n, p) in dom.items():
+            z = aa * s + bb
+            t += p * z - n * math.log1p(math.exp(z))
+        return t
+
+    assert ll(a, b) > ll(0.0, 0.0)
+    raw_bins = defaultdict(lambda: [0, 0, 0])
+    for s, (n, p) in dom.items():
+        bin_ = min(s // 1000, 9)
+        rb = raw_bins[bin_]
+        rb[0] += n
+        rb[1] += p
+        rb[2] += s * n
+    gap_raw = sum(
+        _round_hu(abs(ss / n / 10000 - p / n) * n, 8)
+        for n, p, ss in raw_bins.values()
+    )
+    cal_bins = defaultdict(lambda: [0, 0, 0.0])
+    for s, (n, p) in dom.items():
+        pr = _round_hu(1.0 / (1.0 + math.exp(-(a * s + b))), 8)
+        bin_ = min(int(pr * 10), 9)
+        cb = cal_bins[bin_]
+        cb[0] += n
+        cb[1] += p
+        cb[2] += _round_hu(pr * n, 8)
+    gap_cal = sum(
+        _round_hu(abs(ps / n - p / n) * n, 8)
+        for n, p, ps in cal_bins.values()
+    )
+    r = x424_platt_scaling(spark, SF).collect()[0]
+    assert abs(r["platt_a"] - _round_hu(a, 6)) < 1e-9
+    assert abs(r["platt_b"] - _round_hu(b, 6)) < 1e-9
+    assert abs(r["ece_raw"] - _round_hu(gap_raw / nn, 6)) < 1e-9
+    assert abs(r["ece_platt"] - _round_hu(gap_cal / nn, 6)) < 1e-9
+    assert r["improved"] == 1 and r["ece_platt"] < r["ece_raw"]
