@@ -4072,3 +4072,51 @@ def test_platt_scaling_matches_python_replay(spark):
     assert abs(r["ece_raw"] - _round_hu(gap_raw / nn, 6)) < 1e-9
     assert abs(r["ece_platt"] - _round_hu(gap_cal / nn, 6)) < 1e-9
     assert r["improved"] == 1 and r["ece_platt"] < r["ece_raw"]
+
+
+def test_temperature_ess_curve_matches_replay_and_contracts(spark):
+    """x425: replay all four tau points in Python; contracts: tau=1 is
+    the fixed point (ESS == N, deff == 1 exactly), ESS <= N for every
+    tau, and the curve is single-peaked at tau=1 (reweighting AWAY
+    from the natural mix in either direction costs effective size)."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x425_temperature_ess_curve,
+    )
+
+    cnt = {
+        r["source"]: r["n"]
+        for r in load_table(spark, SF, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    nn = sum(cnt.values())
+
+    def stats(tau):
+        def wt(n):
+            if tau == 0.0:
+                return nn / n
+            if tau == 0.5:
+                return (nn / n) ** 0.5
+            if tau == 1.0:
+                return 1.0
+            return n / nn
+        sw = sum(_round_hu(n * wt(n), 8) for n in cnt.values())
+        sw2 = sum(_round_hu(n * wt(n) ** 2, 8) for n in cnt.values())
+        mx = max(_round_hu(n * wt(n), 8) for n in cnt.values())
+        return sw * sw / sw2, nn * sw2 / (sw * sw), mx / sw
+
+    out = {r["tau"]: r for r in
+           x425_temperature_ess_curve(spark, SF).collect()}
+    assert sorted(out) == [0.0, 0.5, 1.0, 2.0]
+    for tau, r in out.items():
+        ess, deff, top = stats(tau)
+        assert abs(r["kish_ess"] - _round_hu(ess, 2)) < 1e-6, tau
+        assert abs(r["design_effect"] - _round_hu(deff, 6)) < 1e-9, tau
+        assert abs(r["top_source_mass"] - _round_hu(top, 6)) < 1e-9, tau
+        assert r["kish_ess"] <= nn + 1e-6
+    assert abs(out[1.0]["kish_ess"] - nn) < 1e-6
+    assert abs(out[1.0]["design_effect"] - 1.0) < 1e-9
+    assert out[0.5]["kish_ess"] >= out[0.0]["kish_ess"] - 1e-6
+    assert out[1.0]["kish_ess"] >= out[0.5]["kish_ess"] - 1e-6
+    assert out[1.0]["kish_ess"] >= out[2.0]["kish_ess"] - 1e-6
