@@ -4120,3 +4120,47 @@ def test_temperature_ess_curve_matches_replay_and_contracts(spark):
     assert out[0.5]["kish_ess"] >= out[0.0]["kish_ess"] - 1e-6
     assert out[1.0]["kish_ess"] >= out[0.5]["kish_ess"] - 1e-6
     assert out[1.0]["kish_ess"] >= out[2.0]["kish_ess"] - 1e-6
+
+
+def test_filter_impact_matches_replay_and_cross_checks_x381(spark):
+    """x426: replay the per-rule what-if in Python; cross-check: each
+    rule's docs_kept must equal n_docs - (that rule's fail count from
+    x381's funnel summed over sources)."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x381_gopher_rules,
+        x426_filter_impact,
+    )
+
+    vecs = _rule_indicators(spark)
+    docs = load_table(spark, SF, "documents").select("text").collect()
+    stats = []
+    for r in docs:
+        toks = r["text"].lower().split(" ")
+        stats.append((len(toks), len(set(toks))))
+    names = ["word_count", "mean_word_len", "stopwords", "dup_tokens",
+             "top_token"]
+    out = {r["rule"]: r for r in x426_filter_impact(spark, SF).collect()}
+    assert set(out) == set(names)
+    total_tokens = sum(nw for nw, _ in stats)
+    for i, rule in enumerate(names):
+        keep = [v[i] for v in vecs]
+        kept = sum(keep)
+        tok_kept = sum(nw for (nw, _), k in zip(stats, keep) if k)
+        ttrs = [_round_hu(nd / nw, 8)
+                for (nw, nd), k in zip(stats, keep) if k]
+        r = out[rule]
+        assert r["docs_kept"] == kept, rule
+        assert abs(r["frac_docs"] - _round_hu(kept / len(vecs), 6)) < 1e-12
+        assert abs(r["frac_tokens"] - _round_hu(tok_kept / total_tokens, 6)) < 1e-12
+        assert abs(r["mean_ttr_survivors"] - _round_hu(sum(ttrs) / len(ttrs), 6)) < 1e-9
+    funnel = x381_gopher_rules(spark, SF).collect()
+    n_docs = sum(r["n_docs"] for r in funnel)
+    fails = {
+        "word_count": sum(r["fail_word_count"] for r in funnel),
+        "mean_word_len": sum(r["fail_mean_word_len"] for r in funnel),
+        "stopwords": sum(r["fail_stopwords"] for r in funnel),
+        "dup_tokens": sum(r["fail_dup_tokens"] for r in funnel),
+        "top_token": sum(r["fail_top_token"] for r in funnel),
+    }
+    for rule in names:
+        assert out[rule]["docs_kept"] == n_docs - fails[rule], rule
