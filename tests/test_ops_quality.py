@@ -4164,3 +4164,51 @@ def test_filter_impact_matches_replay_and_cross_checks_x381(spark):
     }
     for rule in names:
         assert out[rule]["docs_kept"] == n_docs - fails[rule], rule
+
+
+def test_frequent_subsequences_match_bruteforce(spark):
+    """x427: support must equal the BRUTE-FORCE subsequence count --
+    for every user sequence, a pattern a>b>c is contained iff some
+    ordered position triple matches; replayed both via the naive
+    triple scan and the min-mid-max identity (they must agree)."""
+    from collections import Counter
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x427_frequent_subsequences,
+    )
+
+    rows = load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    seqs = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        seqs.setdefault(r["user_id"], []).append(r["event_type"])
+    seqs = {u: s for u, s in seqs.items() if len(s) >= 3}
+    support = Counter()
+    for s in seqs.values():
+        found = set()
+        n = len(s)
+        for i in range(n):           # brute force
+            for j in range(i + 1, n):
+                for k in range(j + 1, n):
+                    found.add(f"{s[i]}>{s[j]}>{s[k]}")
+        # min-mid-max identity must agree
+        types = set(s)
+        ident = set()
+        import collections
+        pos = collections.defaultdict(list)
+        for i, x in enumerate(s):
+            pos[x].append(i)
+        for a in types:
+            for b in types:
+                for c in types:
+                    if any(pos[a][0] < j < pos[c][-1] for j in pos[b]):
+                        ident.add(f"{a}>{b}>{c}")
+        assert ident == found
+        support.update(found)
+    top = sorted(support.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    out = x427_frequent_subsequences(spark, SF).collect()
+    assert [(r["pattern"], r["support"]) for r in out] == top
+    n_seqs = len(seqs)
+    for r in out:
+        assert abs(r["support_frac"] - _round_hu(r["support"] / n_seqs, 6)) < 1e-12
