@@ -4212,3 +4212,40 @@ def test_frequent_subsequences_match_bruteforce(spark):
     n_seqs = len(seqs)
     for r in out:
         assert abs(r["support_frac"] - _round_hu(r["support"] / n_seqs, 6)) < 1e-12
+
+
+def test_capture_recapture_matches_replay(spark):
+    """x428: replay both estimators from the split-half fingerprint
+    sets; estimator sanity: Chapman >= max(nA, nB) (the estimate can
+    never fall below either observed sample's richness... up to the
+    -1 correction) and >= overlap-union lower bound."""
+    import hashlib
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x428_capture_recapture,
+    )
+
+    rows = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    A, B, allf = set(), set(), set()
+    for r in rows:
+        h = hashlib.md5(
+            " ".join(sorted(set(r["text"].lower().split(" ")))).encode()
+        ).hexdigest()
+        allf.add(h)
+        (A if r["doc_id"] % 2 == 0 else B).add(h)
+    n_a, n_b, n_ab = len(A), len(B), len(A & B)
+    lp = n_a * n_b / n_ab if n_ab else None
+    chap = (n_a + 1) * (n_b + 1) / (n_ab + 1) - 1
+    r = x428_capture_recapture(spark, SF).collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_ab"]) == (n_a, n_b, n_ab)
+    assert r["true_distinct"] == len(allf)
+    if lp is None:
+        assert r["lincoln_petersen"] is None
+    else:
+        assert abs(r["lincoln_petersen"] - _round_hu(lp, 2)) < 1e-9
+    assert abs(r["chapman"] - _round_hu(chap, 2)) < 1e-9
+    assert abs(
+        r["chapman_rel_error"]
+        - _round_hu((chap - len(allf)) / len(allf), 6)
+    ) < 1e-9
+    assert chap >= len(A | B) - 1  # estimate at least the seen union
