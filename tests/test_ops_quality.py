@@ -4249,3 +4249,47 @@ def test_capture_recapture_matches_replay(spark):
         - _round_hu((chap - len(allf)) / len(allf), 6)
     ) < 1e-9
     assert chap >= len(A | B) - 1  # estimate at least the seen union
+
+
+def test_cost_optimal_threshold_matches_bruteforce(spark):
+    """x429: for each cost ratio, brute-force every candidate
+    threshold in Python and confirm the argmin (min-threshold ties)
+    and its realized FN/FP; monotonicity: higher FP cost moves the
+    best threshold UP (never down)."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x429_cost_optimal_threshold,
+    )
+
+    rows = load_table(spark, SF, "documents").select("text", "lang").collect()
+    stop = {"the", "a", "of", "and", "to", "in", "is"}
+    dom = defaultdict(lambda: [0, 0])
+    for r in rows:
+        toks = r["text"].lower().split(" ")
+        ratio = _round_hu(sum(t in stop for t in toks) / len(toks), 4)
+        s = int(ratio * 10000 + 0.5)
+        dom[s][0] += 1
+        dom[s][1] += 1 if r["lang"] == "en" else 0
+    np_ = sum(p for _, p in dom.values())
+    out = {r["fp_cost"]: r for r in
+           x429_cost_optimal_threshold(spark, SF).collect()}
+    assert sorted(out) == [0.5, 1.0, 2.0, 5.0]
+    prev_thr = None
+    for c in [0.5, 1.0, 2.0, 5.0]:
+        best = None
+        for thr in sorted(dom):
+            tp = sum(p for s, (_, p) in dom.items() if s >= thr)
+            fp = sum(n - p for s, (n, p) in dom.items() if s >= thr)
+            cost = _round_hu((np_ - tp) + c * fp, 4)
+            if best is None or cost < best[0] or (
+                cost == best[0] and thr < best[1]
+            ):
+                best = (cost, thr, np_ - tp, fp)
+        r = out[c]
+        assert r["best_threshold"] == best[1], c
+        assert abs(r["expected_cost"] - best[0]) < 1e-9
+        assert (r["fn_at_best"], r["fp_at_best"]) == (best[2], best[3])
+        if prev_thr is not None:
+            assert r["best_threshold"] >= prev_thr
+        prev_thr = r["best_threshold"]
