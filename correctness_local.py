@@ -4,7 +4,9 @@
 The external driver hash-checks only the first 50 registry entries per
 round (CORRECTNESS_r{N}.json); this harness runs the SAME comparison --
 Spark result vs DuckDB oracle at sf0.01, row count + sorted column names
-+ order-insensitive value multiset -- over EVERY registry entry and
++ ordered-row value hash (tests/oracle_harness.py:56-106; an unordered
+multiset pass is reported only as a diagnostic label) -- over EVERY
+registry entry and
 writes the result to CORRECTNESS_LOCAL.json in the driver's row format:
 
     {"<name>": {"rows_match": bool, "schema_match": bool,

@@ -21,6 +21,11 @@ TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
 
 def _toks(text_col: str | Column) -> Column:
+    # INVARIANT consumers rely on: F.split on ' ' returns [''] for empty
+    # text, so F.size(_toks(...)) >= 1 always -- ratio denominators
+    # downstream (stop_ratio_column, quality_scores) divide by it with
+    # no zero guard. Any tokenizer change that can yield an empty array
+    # must add F.greatest(size, lit(1)) at those sites.
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.split(F.lower(c), " ")
 

@@ -69,7 +69,8 @@ def all_oracles() -> dict[str, str]:
 #   round 3:    x11 (driver-green in CORRECTNESS_r03)
 #   round 4:    x12 (driver-green in CORRECTNESS_r04)
 #   round 5:    x13 (driver-green in CORRECTNESS_r05)
-#   round 6:    x14 (head of the list below)
+#   round 6:    x14 (driver-green in CORRECTNESS_r06)
+#   round 7:    x18 (head of the list below)
 #   next rounds: continue down the list, then x22 x25 x26 x27 x29 x30
 #   x31 x33, then later oracle-backed additions (rows-only entries stay
 #   out of the hashed window by design).
@@ -78,7 +79,6 @@ def all_oracles() -> dict[str, str]:
 #   round; each round, move the newly driver-checked head to the
 #   retired list above and promote the next entry.
 _WINDOW_FIRST: list[str] = [
-    "x14_text_rolling_fingerprint",
     "x18_deterministic_split",
     "x19_tfidf",
     "x20_text_scrub",

@@ -63,14 +63,28 @@ def stream_incremental_dedup(
 
     File-drop source, availableNow drain: call again whenever new files
     land. Returns the StreamingQuery.
+
+    Crash semantics: survivors are written to ``out_dir`` BEFORE their
+    hashes are appended to the index. A retry after a crash between the
+    two writes re-emits the same survivors (at-least-once duplicates in
+    ``out_dir``, removable downstream by hash); the index-first order
+    would instead re-match the retry against its own just-indexed
+    hashes and emit NOTHING -- silently losing the batch.
     """
     from ..ops.incremental import incremental_dedup
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         fresh = incremental_dedup(
-            batch_df, index_path, id_col=id_col, text_col=text_col
-        )
+            batch_df,
+            index_path,
+            id_col=id_col,
+            text_col=text_col,
+            update_index=False,
+        ).localCheckpoint()  # pin: the plan reads the index we append to
         fresh.write.mode("append").parquet(out_dir)
+        fresh.select(
+            F.md5(F.lower(F.col(text_col))).alias("h")
+        ).write.mode("append").parquet(index_path)
 
     return (
         spark.readStream.schema(schema)
@@ -104,8 +118,19 @@ def stream_incremental_neardup(
 
     File-drop source, availableNow drain: call again whenever new
     files land. Returns the StreamingQuery.
+
+    Crash semantics: survivors are written to ``out_dir`` BEFORE their
+    signatures are appended to the index (same order as
+    ``stream_incremental_dedup``). A retry after a crash between the
+    two writes re-emits the same survivors (at-least-once); appending
+    the index first would make the retry match its own signatures at
+    jaccard 1.0 and emit nothing, silently dropping the batch from the
+    curated output.
     """
-    from ..ops.incremental import incremental_neardup_dedup
+    from ..ops.incremental import (
+        incremental_neardup_dedup,
+        neardup_signatures,
+    )
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         fresh = incremental_neardup_dedup(
@@ -114,8 +139,14 @@ def stream_incremental_neardup(
             id_col=id_col,
             text_col=text_col,
             threshold=threshold,
-        )
+            update_index=False,
+        ).localCheckpoint()  # pin: the plan reads the index we append to
         fresh.write.mode("append").parquet(out_dir)
+        # recomputed from the survivors: deterministic, so identical to
+        # the signatures the in-batch probe used
+        neardup_signatures(fresh, id_col, text_col).write.mode(
+            "append"
+        ).parquet(index_path)
 
     return (
         spark.readStream.schema(schema)

@@ -91,13 +91,17 @@ def has_transform_with_state() -> bool:
     dependency: the API's state-server protocol needs ``google.protobuf``
     on the Python side (absent in this container -- SURVEY.md section
     2.3). ``running_event_totals_tws`` activates the day it appears;
-    until then callers (and the conditional test) skip with a reason."""
+    until then callers (and the conditional test) skip with a reason.
+    Also requires the API itself (pyspark >= 4.0 exposes
+    ``GroupedData.transformWithStateInPandas``) -- protobuf alone on an
+    older pyspark must not pass the probe."""
     try:
         import google.protobuf  # noqa: F401
-
-        return True
     except ImportError:
         return False
+    from pyspark.sql.group import GroupedData
+
+    return hasattr(GroupedData, "transformWithStateInPandas")
 
 
 def running_event_totals_tws(

@@ -174,6 +174,61 @@ def test_stream_incremental_neardup_matches_batch_path(spark, tmp_path):
     assert got == expected
 
 
+def test_stream_neardup_output_failure_leaves_index_unwritten(
+    spark, tmp_path
+):
+    """Output-first ordering (at-least-once): if the micro-batch dies
+    writing survivors to out_dir, its signatures must NOT be in the
+    index -- the retry then reproduces the original survivors instead
+    of matching its own just-indexed rows at jaccard 1.0 and silently
+    emitting nothing (the at-most-once failure mode this guards)."""
+    import os
+
+    import pytest
+
+    from poc_parquet_publisher_spark.ops.incremental import (
+        incremental_neardup_dedup,
+    )
+    from poc_parquet_publisher_spark.streaming.dedup import (
+        stream_incremental_neardup,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    src = str(tmp_path / "drops")
+    out = tmp_path / "curated"
+    idx = str(tmp_path / "nd_idx")
+    docs.write.mode("append").parquet(src)
+
+    # sabotage: out_dir exists as a plain FILE, so the output write fails
+    out.write_text("not a directory")
+    q = stream_incremental_neardup(
+        spark, src, docs.schema, idx, str(out), str(tmp_path / "ckpt1")
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(300)
+    assert not os.path.exists(idx), "index written before output"
+
+    # retry (fresh checkpoint, same index) emits the full survivor set
+    out.unlink()
+    q2 = stream_incremental_neardup(
+        spark, src, docs.schema, idx, str(out), str(tmp_path / "ckpt2")
+    )
+    assert q2.awaitTermination(300)
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(str(out)).select("doc_id").collect()
+    }
+    expected = {
+        r.doc_id
+        for r in incremental_neardup_dedup(docs, str(tmp_path / "bidx"))
+        .select("doc_id")
+        .collect()
+    }
+    assert got == expected and got
+
+
 def test_stream_incremental_dedup_two_drops(spark, tmp_path):
     """Two file drops with overlapping content: the second drain must
     emit only never-seen texts (unbounded lookback via the index)."""

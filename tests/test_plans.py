@@ -680,8 +680,14 @@ def test_qini_decile_no_single_partition_over_users(spark):
     # the row number comes from the mapInPandas two-pass prefix sum
     assert "MapInPandas" in plan
     # any Window node must ride the 10-row decile aggregate, never the
-    # user-cardinality table (its sort key would be score/user_id)
+    # user-cardinality table -- anchor the check to the window spec's
+    # own partition/sort keys (not whole-line substrings, which would
+    # trip on unrelated projections containing both words)
+    import re
+
     for line in plan.splitlines():
-        if "Window" in line and "windowspecdefinition" in line.lower():
-            assert "decile" in line, f"window over non-aggregate: {line}"
-        assert not ("Window" in line and "score" in line), line
+        m = re.search(r"windowspecdefinition\(([^)]*)\)", line, re.I)
+        if m:
+            spec = m.group(1)
+            assert "decile" in spec, f"window over non-aggregate: {line}"
+            assert "score" not in spec, f"window keyed on score: {line}"
