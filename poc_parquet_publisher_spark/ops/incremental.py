@@ -220,6 +220,85 @@ def incremental_neardup_dedup(
     return survivors
 
 
+def _compact_index(
+    spark: SparkSession,
+    index_path: str,
+    dedup_cols: list[str],
+    keep: "F.Column | None" = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Shared index-compaction core: read every generation file, drop
+    duplicate rows (crashed-retry re-appends are byte-identical by
+    determinism, so this cannot change probe answers), optionally keep
+    only rows matching ``keep``, and rewrite as ~target-sized files via
+    the durable staged swap (pipeline/layout.py staged_swap)."""
+    from ..pipeline.layout import _list_data_files, staged_swap
+
+    files = _list_data_files(spark, index_path)
+    if not files:
+        raise ValueError(f"no index data files under {index_path}")
+    total_bytes = sum(sz for _p, sz in files)
+    idx = spark.read.parquet(index_path).dropDuplicates(dedup_cols)
+    if keep is not None:
+        idx = idx.filter(keep)
+    # pin before the swap: the plan reads the very path being rewritten
+    idx = idx.localCheckpoint()
+    n_rows = idx.count()
+    n_out = max(1, min(len(files), -(-total_bytes // target_file_bytes)))
+
+    def _write(staging: str) -> None:
+        idx.repartition(n_out).write.mode("overwrite").parquet(staging)
+
+    staged_swap(spark, index_path, _write)
+    return {
+        "files_before": len(files),
+        "files_after": len(_list_data_files(spark, index_path)),
+        "rows": n_rows,
+    }
+
+
+def compact_neardup_index(
+    spark: SparkSession,
+    index_path: str,
+    expire_before: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact the near-dup signature index: ``incremental_neardup_dedup``
+    appends one parquet generation per batch forever, so at daily-batch
+    cadence the index becomes a small-files problem and every probe
+    re-reads all generations. This rewrites N generations into
+    ~``target_file_bytes`` files, dropping exact-duplicate rows (from
+    crashed-retry re-appends) -- probe results are EXACTLY preserved:
+    the surviving row set keyed by ``doc`` is unchanged, and duplicate
+    rows only ever added redundant candidates.
+
+    ``expire_before`` optionally drops signatures with ``doc`` below the
+    horizon (ingest doc ids are monotone, so this is a time-retention
+    analog). Expiry is a deliberate semantics trade, not an equivalence:
+    a future batch near-duplicating an EXPIRED doc will no longer be
+    caught -- size the horizon to the staleness your corpus tolerates.
+
+    Idempotent: re-running changes nothing (same rows, same file count).
+    Returns {files_before, files_after, rows}.
+    """
+    keep = None if expire_before is None else F.col("doc") >= expire_before
+    return _compact_index(
+        spark, index_path, ["doc"], keep, target_file_bytes
+    )
+
+
+def compact_hash_index(
+    spark: SparkSession,
+    index_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact the exact-dedup hash index (``incremental_dedup``'s
+    ``h``-only table): distinct-on-hash rewrite into ~target-sized
+    files. Anti-join semantics are idempotent under duplicate rows, so
+    dropping them preserves every future probe exactly."""
+    return _compact_index(spark, index_path, ["h"], None, target_file_bytes)
+
+
 def incremental_neardup_oracle_sql(
     source: str = "documents",
     id_col: str = "doc_id",

@@ -58,6 +58,29 @@ def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     return out
 
 
+def staged_swap(spark: SparkSession, path: str, write_to) -> None:
+    """Rewrite ``path`` durably: ``write_to(staging_path)`` produces the
+    new tree in a sibling staging directory, then two renames swap it in
+    (atomic-enough on HDFS/local; object stores copy+delete -- pause
+    readers or rewrite into a new table path there). Stale staging /
+    backup debris from a crashed run is cleared first, so the swap is
+    re-runnable; a failed final rename rolls the original back."""
+    fs, _ = _fs_for(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    staging = path.rstrip("/") + "._compact_tmp"
+    backup = path.rstrip("/") + "._compact_old"
+    for stale in (staging, backup):
+        if fs.exists(jpath(stale)):
+            fs.delete(jpath(stale), True)
+    write_to(staging)
+    if not fs.rename(jpath(path), jpath(backup)):
+        raise IOError(f"staged_swap: failed to move {path} aside")
+    if not fs.rename(jpath(staging), jpath(path)):
+        fs.rename(jpath(backup), jpath(path))  # roll back
+        raise IOError(f"staged_swap: failed to swap staging into {path}")
+    fs.delete(jpath(backup), True)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -136,46 +159,35 @@ def compact(
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
     df = spark.read.parquet(path)
 
-    fs, _ = _fs_for(spark, path)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path
-    staging = path.rstrip("/") + "._compact_tmp"
-    backup = path.rstrip("/") + "._compact_old"
-    for stale in (staging, backup):
-        if fs.exists(jpath(stale)):
-            fs.delete(jpath(stale), True)
-
     n_rows = df.count()
     bytes_per_row = max(1.0, total_bytes / max(1, n_rows))
     max_records = max(1, int(target_file_bytes / bytes_per_row))
 
-    if partition_cols:
-        # keep the hive layout; one shuffle on the partition key bounds
-        # files per directory, maxRecordsPerFile bounds their size
-        out = df.repartition(*[F.col(c) for c in partition_cols])
-        if sort_cols:
-            out = out.sortWithinPartitions(*partition_cols, *sort_cols)
-        (
-            out.write.mode("overwrite")
-            .option("maxRecordsPerFile", max_records)
-            .partitionBy(*partition_cols)
-            .parquet(staging)
-        )
-    else:
-        out = df.repartition(n_out)
-        if sort_cols:
-            out = out.sortWithinPartitions(*sort_cols)
-        (
-            out.write.mode("overwrite")
-            .option("maxRecordsPerFile", max_records)
-            .parquet(staging)
-        )
+    def _write(staging: str) -> None:
+        if partition_cols:
+            # keep the hive layout; one shuffle on the partition key
+            # bounds files per directory, maxRecordsPerFile bounds their
+            # size
+            out = df.repartition(*[F.col(c) for c in partition_cols])
+            if sort_cols:
+                out = out.sortWithinPartitions(*partition_cols, *sort_cols)
+            (
+                out.write.mode("overwrite")
+                .option("maxRecordsPerFile", max_records)
+                .partitionBy(*partition_cols)
+                .parquet(staging)
+            )
+        else:
+            out = df.repartition(n_out)
+            if sort_cols:
+                out = out.sortWithinPartitions(*sort_cols)
+            (
+                out.write.mode("overwrite")
+                .option("maxRecordsPerFile", max_records)
+                .parquet(staging)
+            )
 
-    if not fs.rename(jpath(path), jpath(backup)):
-        raise IOError(f"compact: failed to move {path} aside")
-    if not fs.rename(jpath(staging), jpath(path)):
-        fs.rename(jpath(backup), jpath(path))  # roll back
-        raise IOError(f"compact: failed to swap staging into {path}")
-    fs.delete(jpath(backup), True)
+    staged_swap(spark, path, _write)
     return {
         "files_before": len(files),
         "files_after": len(_list_data_files(spark, path)),

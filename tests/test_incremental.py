@@ -174,6 +174,128 @@ def test_stream_incremental_neardup_matches_batch_path(spark, tmp_path):
     assert got == expected
 
 
+def test_compact_neardup_index_preserves_probe_results(spark, tmp_path):
+    """3-generation index -> compact -> probe results identical, file
+    count reduced, re-compaction a no-op (idempotent)."""
+    import os
+
+    from poc_parquet_publisher_spark.ops.incremental import (
+        compact_neardup_index,
+        incremental_neardup_dedup,
+        neardup_matches,
+        neardup_signatures,
+    )
+
+    idx = str(tmp_path / "nd_index")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for lo, hi in ((0, 150), (150, 300), (300, 450)):
+        incremental_neardup_dedup(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            idx,
+        ).count()
+
+    def parquet_files(p: str) -> int:
+        return sum(
+            f.endswith(".parquet")
+            for _d, _s, fns in os.walk(p)
+            for f in fns
+        )
+
+    probe = neardup_signatures(
+        docs.filter(F.col("doc_id") >= 450)
+    ).localCheckpoint()
+
+    def probe_matches() -> set:
+        return {
+            (r.new_id, r.old_id, r.jaccard)
+            for r in neardup_matches(
+                probe, spark.read.parquet(idx), threshold=0.5
+            ).collect()
+        }
+
+    before_files = parquet_files(idx)
+    before = probe_matches()
+    assert before, "fixture produced no cross-index matches to preserve"
+
+    stats = compact_neardup_index(spark, idx)
+    assert stats["files_before"] == before_files
+    assert stats["files_after"] < before_files
+    assert probe_matches() == before
+
+    # idempotent re-run: same rows, file count stable
+    stats2 = compact_neardup_index(spark, idx)
+    assert stats2["rows"] == stats["rows"]
+    assert stats2["files_after"] == stats["files_after"]
+    assert probe_matches() == before
+
+
+def test_compact_neardup_index_expiry_drops_old_docs(spark, tmp_path):
+    from poc_parquet_publisher_spark.ops.incremental import (
+        compact_neardup_index,
+        incremental_neardup_dedup,
+        neardup_matches,
+        neardup_signatures,
+    )
+
+    idx = str(tmp_path / "nd_index")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    incremental_neardup_dedup(docs.filter(F.col("doc_id") < 400), idx).count()
+
+    probe = neardup_signatures(
+        docs.filter(F.col("doc_id") >= 400)
+    ).localCheckpoint()
+    before = {
+        (r.new_id, r.old_id)
+        for r in neardup_matches(
+            probe, spark.read.parquet(idx), threshold=0.5
+        ).collect()
+    }
+    assert any(old < 200 for _n, old in before)
+
+    compact_neardup_index(spark, idx, expire_before=200)
+    after = {
+        (r.new_id, r.old_id)
+        for r in neardup_matches(
+            probe, spark.read.parquet(idx), threshold=0.5
+        ).collect()
+    }
+    # exactly the matches against surviving (non-expired) docs remain
+    assert after == {(n, o) for n, o in before if o >= 200}
+    assert spark.read.parquet(idx).agg(F.min("doc")).first()[0] >= 200
+
+
+def test_compact_hash_index_preserves_anti_join(spark, tmp_path):
+    from poc_parquet_publisher_spark.ops.incremental import (
+        compact_hash_index,
+        incremental_dedup,
+    )
+
+    idx = str(tmp_path / "seen")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for lo, hi in ((0, 150), (100, 250), (200, 350)):
+        incremental_dedup(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            idx,
+        ).count()
+
+    probe = docs.filter(F.col("doc_id") >= 300)
+    before = {
+        r.doc_id
+        for r in incremental_dedup(
+            probe, idx, update_index=False
+        ).collect()
+    }
+    stats = compact_hash_index(spark, idx)
+    assert stats["files_after"] < stats["files_before"]
+    after = {
+        r.doc_id
+        for r in incremental_dedup(
+            probe, idx, update_index=False
+        ).collect()
+    }
+    assert after == before
+
+
 def test_stream_neardup_output_failure_leaves_index_unwritten(
     spark, tmp_path
 ):
