@@ -9,6 +9,14 @@ JSON line:
 Each query is timed to a terminal action. Queries returning full tables are
 counted (the driver-side collect cost is not the engine's scan/agg cost);
 LIMIT-ed queries are collected.
+
+The full per-entry map is persisted to $BENCH_OUT (default
+BENCH_LOCAL.json). ``python bench.py --medians [N]`` instead runs N
+(default 3) COLD subprocess runs (fresh JVM each -- iterative plans are
+warm-cache sensitive, see .claude/skills/verify) and writes the
+per-entry MEDIAN map to BENCH_MEDIANS.json, so round-over-round diffs
+compare medians instead of single-run noise (sub-2 s entries drift
+1.5-3x run-to-run with byte-identical code).
 """
 
 from __future__ import annotations
@@ -212,7 +220,7 @@ def main() -> None:
     # print a COMPACT final line (total + top-20 slowest entries) that
     # always fits inside the tail window -- that last line is what the
     # driver records as BENCH_r{N}.json.
-    local_path = os.path.join(
+    local_path = os.environ.get("BENCH_OUT") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
     with open(local_path, "w") as f:
@@ -235,5 +243,66 @@ def main() -> None:
     spark.stop()
 
 
+def medians(n_runs: int = 3) -> None:
+    """Run ``n_runs`` cold bench subprocesses and write the per-entry
+    median map to BENCH_MEDIANS.json (same shape as BENCH_LOCAL.json,
+    plus per-entry spread so >1.5x single-run drift is visible as
+    measurement noise instead of needing manual code-diff exoneration).
+    The LAST run's BENCH_LOCAL.json is left in place, so the two
+    committed ledgers come from the same session."""
+    import statistics
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    runs: list[dict] = []
+    with tempfile.TemporaryDirectory() as tmp:
+        for i in range(n_runs):
+            out = (
+                os.path.join(here, "BENCH_LOCAL.json")
+                if i == n_runs - 1
+                else f"{tmp}/run{i}.json"
+            )
+            env = dict(os.environ, BENCH_OUT=out)
+            print(f"# medians: cold run {i + 1}/{n_runs}", file=sys.stderr)
+            subprocess.run(
+                [sys.executable, os.path.join(here, "bench.py")],
+                env=env,
+                check=True,
+                stdout=subprocess.DEVNULL,
+            )
+            with open(out) as f:
+                runs.append(json.load(f))
+    names = sorted(set().union(*(r["queries"] for r in runs)))
+    med = {}
+    spread = {}
+    for name in names:
+        vals = sorted(
+            r["queries"][name] for r in runs if name in r["queries"]
+        )
+        med[name] = round(statistics.median(vals), 3)
+        spread[name] = [vals[0], vals[-1]]
+    result = {
+        "metric": "registry_queries_total_wall_clock_median",
+        "value": round(sum(med.values()), 3),
+        "unit": "sec",
+        "queries": med,
+        "spread_min_max": spread,
+        "runs": n_runs,
+        "sf": runs[-1].get("sf"),
+    }
+    with open(os.path.join(here, "BENCH_MEDIANS.json"), "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(
+        json.dumps(
+            {k: result[k] for k in ("metric", "value", "unit", "runs", "sf")}
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--medians":
+        medians(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
+    else:
+        main()

@@ -1,6 +1,6 @@
 """Quality gates for the approximate operators (the ones the driver can
 only rows-check): each is validated against its exact counterpart, per the
-register() docs in queries/extensions.py.
+register() docs in queries/extensions/ (per-wave modules).
 
 All inputs and hash functions are deterministic (md5-derived hyperplanes,
 fixed fixtures), so these bounds are exact reproducibility checks, not
