@@ -40,6 +40,15 @@ def main() -> None:
 
     spark = build_session(app_name="bench")
     queries = all_queries()
+    # BENCH_ONLY=x430_foo,x431_bar: time just those entries and merge
+    # into the existing ledger (per-entry patch path; the full run
+    # still regenerates everything at the end of a batch).
+    only = [n for n in os.environ.get("BENCH_ONLY", "").split(",") if n]
+    if only:
+        unknown = sorted(set(only) - set(queries))
+        if unknown:
+            sys.exit(f"BENCH_ONLY names not in registry: {unknown}")
+        queries = {n: queries[n] for n in only}
 
     # Warm the JVM/session so q01 doesn't absorb the startup cost.
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -111,6 +120,11 @@ def main() -> None:
         df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    if only:
+        _write_result(timings, sf, merge=True)
+        spark.stop()
+        return
 
     # Pipeline throughput (BASELINE.md "read -> to_json -> sink"): full
     # publish path against a success-returning client, so the number is
@@ -205,14 +219,11 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    total = round(sum(timings.values()), 3)
-    result = {
-        "metric": "registry_queries_total_wall_clock",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }
+    _write_result(timings, sf)
+    spark.stop()
+
+
+def _write_result(timings: dict, sf, merge: bool = False) -> None:
     # The driver captures only the TAIL of stdout, so a single giant
     # JSON line truncates FRONT-first and parses as null every round
     # (BENCH_r03..r05 all have "parsed": null). Persist the FULL map to
@@ -223,6 +234,20 @@ def main() -> None:
     local_path = os.environ.get("BENCH_OUT") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    if merge and os.path.exists(local_path):
+        with open(local_path) as f:
+            prior = json.load(f)
+        merged = dict(prior.get("queries", {}))
+        merged.update(timings)
+        timings = merged
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "registry_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
     with open(local_path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -240,7 +265,6 @@ def main() -> None:
         "full_map": "BENCH_LOCAL.json",
     }
     print(json.dumps(compact))
-    spark.stop()
 
 
 def medians(n_runs: int = 3) -> None:

@@ -20,6 +20,11 @@ complete audit of the registry, not just the hashed window.
 
 Run:  python correctness_local.py            (sf0.01, driver parity)
       ORACLE_SF_DIR=/root/testdata/sf0.1 python correctness_local.py
+      ONLY=x430_foo,x431_bar python correctness_local.py
+          (run just those entries and MERGE their rows into the
+          existing artifact -- the per-entry patch path; the full
+          from-scratch sweep still regenerates everything at the end
+          of a batch)
 """
 
 from __future__ import annotations
@@ -84,12 +89,19 @@ def main() -> None:
     from tests.oracle_harness import compare, duckdb_connection
 
     all_queries()
+    only = [n for n in os.environ.get("ONLY", "").split(",") if n]
+    unknown = sorted(set(only) - set(REGISTRY))
+    if unknown:
+        sys.exit(f"ONLY names not in registry: {unknown}")
     spark = build_session(app_name="correctness_local")
     con = duckdb_connection(sf_dir)
 
     t0 = time.time()
     out: dict[str, dict] = {}
-    for name, spec in REGISTRY.items():
+    todo = (
+        {n: REGISTRY[n] for n in only} if only else REGISTRY
+    )
+    for name, spec in todo.items():
         row: dict = {
             "rows_match": None,
             "schema_match": None,
@@ -121,18 +133,47 @@ def main() -> None:
         status = "ok" if row["err"] is None else "ERR"
         print(f"  {name}: {status}", file=sys.stderr)
 
-    # Run the rows-only quality gates once (deduplicated node list).
-    nodes = sorted({n for ns in GATES.values() for n in ns})
-    gate = subprocess.run(
-        [sys.executable, "-m", "pytest", "-q", *nodes],
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-        capture_output=True,
-        text=True,
+    # Run the rows-only quality gates once (deduplicated node list;
+    # restricted to the ONLY set when patching).
+    nodes = sorted(
+        {
+            n
+            for entry, ns in GATES.items()
+            for n in ns
+            if not only or entry in only
+        }
     )
-    gates_pass = gate.returncode == 0
+    gates_pass = True
+    gate_tail: list[str] = []
+    if nodes:
+        gate = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", *nodes],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+        )
+        gates_pass = gate.returncode == 0
+        gate_tail = (
+            gate.stdout.strip().splitlines()[-1:] if gate.stdout else []
+        )
     for name, ns in GATES.items():
         if name in out and out[name].get("mode") == "rows_only":
             out[name]["gate_pass"] = gates_pass
+
+    path = os.environ.get(
+        "CORRECTNESS_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "CORRECTNESS_LOCAL.json",
+        ),
+    )
+    if only and os.path.exists(path):
+        # merge the patched rows into the existing artifact
+        with open(path) as f:
+            prior = json.load(f)
+        prior.pop("_summary", None)
+        prior.update(out)
+        out = prior
 
     n_ok = sum(1 for r in out.values() if r["err"] is None)
     n_hash = sum(1 for r in out.values() if r["hash_match"])
@@ -145,21 +186,16 @@ def main() -> None:
             1 for r in out.values() if r.get("mode") == "rows_only"
         ),
         "gates_pass": gates_pass,
-        "gate_tail": gate.stdout.strip().splitlines()[-1:] if gate.stdout else [],
+        "gate_tail": gate_tail,
         "elapsed_sec": round(time.time() - t0, 1),
     }
+    if only:
+        summary["patched"] = sorted(only)
     out["_summary"] = summary
-    path = os.environ.get(
-        "CORRECTNESS_OUT",
-        os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "CORRECTNESS_LOCAL.json",
-        ),
-    )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(summary))
-    if n_ok != len(REGISTRY) or not gates_pass:
+    if n_ok != len(out) - 1 or not gates_pass:
         sys.exit(1)
 
 

@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Scale-probe the heaviest registry entries beyond sf0.1 (round-7
+verdict task #6): amplify the sf0.1 bench tables 3x and 10x, time the
+heads at each scale in ONE warmed session, and fit per-entry
+time-vs-scale exponents (t ~ sf^e, least-squares over the three
+points). Results go to SCALE_PROBE.json and the BASELINE.md table.
+
+Amplification (PERF-ONLY data -- never used for correctness; the
+oracle gates all run on the driver-generated /root/testdata sets):
+
+- documents: k disjoint copies; copy j > 0 suffixes every token with
+  "~j", so each copy keeps sf0.1's exact within-copy token/shingle
+  distribution while copies share NO vocabulary -- "10x more distinct
+  docs from the same distribution", the shape a larger crawl has.
+  Cross-copy near-dup pairs are zero by construction, so similarity
+  joins scale with corpus size, not with an artificial 10x-duplicate
+  explosion that replicating texts verbatim would create.
+- lineitem: copy j shifts l_orderkey/l_partkey/l_suppkey by j*2^32 --
+  disjoint co-purchase subgraphs of identical degree distribution
+  (PageRank cost scales in nodes+edges; partition counts hold).
+- events: copy j shifts event_id/user_id by j*2^32 -- per-user series
+  lengths and type mix preserved exactly.
+
+Run: python scripts/scale_probe.py          (~15 min at local[32])
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRATCH = os.path.join(ROOT, ".scaleprobe")
+SHIFT = 2**32
+
+HEADS = [
+    "x407_greedy_vocab_cover",
+    "x102_source_overlap",
+    "x104_pagerank",
+    "x408_lsh_tuning_curve",
+    "x376_prefix_filter_simjoin",
+    "x23_curate_pipeline",
+    "x251_cogroup_reconcile",
+    "x403_recursive_cte",
+]
+
+
+def amplify(spark, copies: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(f"{out_dir}/_DONE"):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    n_docs = docs.count()
+    parts = []
+    for j in range(copies):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(j * SHIFT))
+        if j > 0:
+            # suffix every whitespace token -> disjoint vocabulary per
+            # copy, within-copy distribution untouched
+            c = c.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda t: F.concat(t, F.lit(f"~{j}")),
+                    ),
+                    " ",
+                ),
+            )
+        parts.append(c)
+    amp = parts[0]
+    for p in parts[1:]:
+        amp = amp.unionByName(p)
+    amp.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(j * SHIFT))
+        .withColumn("l_partkey", F.col("l_partkey") + F.lit(j * SHIFT))
+        .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(j * SHIFT))
+        for j in range(copies)
+    ]
+    amp = parts[0]
+    for p in parts[1:]:
+        amp = amp.unionByName(p)
+    amp.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
+    )
+
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    parts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(j * SHIFT))
+        .withColumn("user_id", F.col("user_id") + F.lit(j * SHIFT))
+        for j in range(copies)
+    ]
+    amp = parts[0]
+    for p in parts[1:]:
+        amp = amp.unionByName(p)
+    amp.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/events.parquet"
+    )
+    open(f"{out_dir}/_DONE", "w").write(f"copies={copies} docs={n_docs}\n")
+
+
+def main() -> None:
+    from poc_parquet_publisher_spark.catalog import load_table
+    from poc_parquet_publisher_spark.ops import graph
+    from poc_parquet_publisher_spark.queries import all_queries
+    from poc_parquet_publisher_spark.session import build_session
+
+    # sf1 is 10x the bench scale; the default 1g driver heap OOMs in the
+    # parquet writer during edge derivation (single-JVM local mode, the
+    # host has 128 GiB). On a real cluster this is per-executor memory.
+    spark = build_session(
+        app_name="scale_probe",
+        extra_conf={"spark.driver.memory": "24g"},
+    )
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    scales: list[tuple[float, str]] = [(0.1, BASE)]
+    for sf, copies in ((0.3, 3), (1.0, 10)):
+        d = os.path.join(SCRATCH, f"sf{sf}")
+        print(f"# amplifying {copies}x -> {d}", file=sys.stderr)
+        amplify(spark, copies, d)
+        scales.append((sf, d))
+
+    queries = all_queries()
+    results: dict[str, dict] = {}
+    for sf, sf_dir in scales:
+        # x104's amortized-graph contract: derive the edge table per
+        # scale, timed separately (same split as bench.py)
+        t0 = time.perf_counter()
+        graph.persist_copurchase_edges(
+            spark,
+            load_table(spark, sf_dir, "lineitem"),
+            graph.copurchase_edge_table_name(sf_dir),
+        )
+        dt = time.perf_counter() - t0
+        results.setdefault("x104_edge_derivation", {})[str(sf)] = round(dt, 3)
+        print(f"# sf{sf} x104_edge_derivation {dt:.1f}s", file=sys.stderr)
+        for name in HEADS:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            results.setdefault(name, {})[str(sf)] = round(dt, 3)
+            print(f"# sf{sf} {name} {dt:.1f}s", file=sys.stderr)
+
+    # least-squares slope of log t vs log sf
+    import math
+
+    out = {}
+    for name, times in results.items():
+        pts = sorted((float(s), t) for s, t in times.items())
+        xs = [math.log10(s) for s, _ in pts]
+        ys = [math.log10(max(t, 1e-3)) for _, t in pts]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+        out[name] = {
+            "seconds_by_sf": {str(s): t for s, t in pts},
+            "exponent": round(slope, 2),
+        }
+        print(f"{name}: exponent {slope:.2f}  {out[name]['seconds_by_sf']}")
+
+    with open(os.path.join(ROOT, "SCALE_PROBE.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
