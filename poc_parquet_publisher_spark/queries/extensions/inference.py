@@ -1,0 +1,665 @@
+"""Extension entries x430+: the round-7 inference-depth wave --
+privacy distances, survival summaries, meta-analysis, sequential and
+trend tests, inequality decompositions, lexical richness, and
+embedding-geometry diagnostics a training-data pipeline's measurement
+layer needs beyond the x381-x429 statistics wave.
+
+Engine-exactness recipes follow the proven registry contracts
+(SURVEY.md section 5.3): exact integer/DECIMAL accumulation wherever a
+sum's addition order could drift, divisions in DOUBLE with fixed
+operand order, ROUND before every emitted float, and bounded-domain
+windows only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ...catalog import load_table
+from .. import register
+
+
+_X430_ORACLE = """
+WITH b AS (
+  SELECT lang, source, CAST(n_chars // 200 AS BIGINT) AS bucket
+  FROM documents
+),
+dom AS (SELECT DISTINCT bucket FROM b),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets FROM dom),
+g AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS gn FROM b GROUP BY 1
+),
+gc AS (
+  SELECT bucket,
+         CAST(SUM(gn) OVER (ORDER BY bucket) AS DOUBLE)
+           / (SELECT SUM(gn) FROM g) AS gp
+  FROM g
+),
+cls AS (
+  SELECT lang, source, bucket, CAST(count(*) AS BIGINT) AS cn
+  FROM b GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT k.lang, k.source, k.class_n, d.bucket,
+         COALESCE(c.cn, 0) AS cn
+  FROM (SELECT lang, source, CAST(count(*) AS BIGINT) AS class_n
+        FROM b GROUP BY 1, 2) k
+  CROSS JOIN dom d
+  LEFT JOIN cls c
+    ON c.lang = k.lang AND c.source = k.source AND c.bucket = d.bucket
+),
+cum AS (
+  SELECT lang, source, class_n, bucket,
+         CAST(SUM(cn) OVER (PARTITION BY lang, source
+                            ORDER BY bucket) AS DOUBLE)
+           / class_n AS cp
+  FROM grid
+),
+terms AS (
+  SELECT c.lang, c.source, c.class_n,
+         CAST(ROUND(ABS(c.cp - g.gp), 12) AS DECIMAL(28,12)) AS term
+  FROM cum c JOIN gc g USING (bucket)
+)
+SELECT lang, source, class_n,
+       ROUND(CAST(SUM(term) AS DOUBLE)
+             / ((SELECT n_buckets FROM m) - 1), 6) AS t_closeness
+FROM terms
+GROUP BY 1, 2, 3
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "x430_t_closeness",
+    _X430_ORACLE,
+    doc="t-closeness privacy audit, the missing third leg of the "
+        "anonymity family (x172 k-anonymity counts class sizes, x246 "
+        "l-diversity counts distinct sensitive values; neither "
+        "catches a class whose sensitive DISTRIBUTION is skewed): "
+        "per quasi-identifier class (lang, source), the ordered "
+        "earth-mover's distance between the class's sensitive-"
+        "attribute distribution (n_chars bucketed by 200) and the "
+        "global one -- for ordered attributes EMD is the mean "
+        "absolute CDF gap, |cum_class - cum_global| averaged over "
+        "bucket STEPS (m-1). Exactness: counts are exact BIGINTs, "
+        "CDFs are per-row double divisions, and the per-bucket "
+        "|gap| rounds to 12 into DECIMAL before the class sum so "
+        "Spark's nondeterministic addition order cannot drift the "
+        "hash. Scale: two groupBys on (class, bucket) grain + a "
+        "class x bucket-domain grid (buckets are a bounded value "
+        "domain, classes are the audit's output grain); windows "
+        "ride the bucket domain only",
+)
+def x430_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "lang",
+        "source",
+        (F.col("n_chars") / 200).cast("long").alias("bucket"),
+    )
+    dom = b.select("bucket").distinct()
+    m = dom.agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+    g = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("gn"))
+    n_total = g.agg(F.sum("gn").alias("nn"))
+    w_b = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gc = (
+        g.select("bucket", F.sum("gn").over(w_b).alias("gcum"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "bucket",
+            (F.col("gcum").cast("double") / F.col("nn")).alias("gp"),
+        )
+    )
+    k = b.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("class_n")
+    )
+    cls = b.groupBy("lang", "source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cn")
+    )
+    grid = (
+        k.crossJoin(F.broadcast(dom))
+        .join(cls, ["lang", "source", "bucket"], "left")
+        .select(
+            "lang",
+            "source",
+            "class_n",
+            "bucket",
+            F.coalesce("cn", F.lit(0)).alias("cn"),
+        )
+    )
+    w_c = (
+        Window.partitionBy("lang", "source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "lang",
+        "source",
+        "class_n",
+        "bucket",
+        (F.sum("cn").over(w_c).cast("double") / F.col("class_n")).alias(
+            "cp"
+        ),
+    )
+    terms = cum.join(F.broadcast(gc), "bucket").select(
+        "lang",
+        "source",
+        "class_n",
+        F.round(F.abs(F.col("cp") - F.col("gp")), 12)
+        .cast("decimal(28,12)")
+        .alias("term"),
+    )
+    return (
+        terms.groupBy("lang", "source", "class_n")
+        .agg(F.sum("term").alias("s"))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "lang",
+            "source",
+            "class_n",
+            F.round(
+                F.col("s").cast("double") / (F.col("n_buckets") - 1), 6
+            ).alias("t_closeness"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_X431_ORACLE = """
+WITH u AS (
+  SELECT CAST((epoch_us(max(ts)) - epoch_us(min(ts)))
+              // 3600000000 AS BIGINT) AS lt,
+         max(ts) AS last_ts
+  FROM events GROUP BY user_id
+),
+mx AS (SELECT max(ts) AS max_ts FROM events),
+lab AS (
+  SELECT u.lt,
+         CASE WHEN epoch_us(mx.max_ts) - epoch_us(u.last_ts)
+                   > 86400000000 THEN 1 ELSE 0 END AS observed
+  FROM u CROSS JOIN mx
+),
+d AS (
+  SELECT lt, CAST(SUM(observed) AS BIGINT) AS deaths,
+         CAST(count(*) AS BIGINT) AS ending
+  FROM lab GROUP BY 1
+),
+r AS (
+  SELECT lt, deaths,
+         CAST(SUM(ending) OVER (ORDER BY lt DESC) AS BIGINT) AS at_risk
+  FROM d
+),
+k AS (
+  SELECT lt, deaths, at_risk,
+         CASE WHEN deaths = at_risk THEN 0.0
+              ELSE ROUND(EXP(CAST(SUM(
+                     CAST(ROUND(LN(1.0 - CAST(deaths AS DOUBLE)
+                                      / at_risk), 12)
+                          AS DECIMAL(28,12))
+                   ) OVER (ORDER BY lt) AS DOUBLE)), 4) END AS surv
+  FROM r WHERE deaths > 0
+),
+horizons AS (SELECT * FROM (VALUES (700), (720)) AS h(tau)),
+-- step function: S(t) = surv of the LAST event time <= t; RMST is the
+-- integral of the step function from 0 to tau
+steps AS (
+  SELECT h.tau, k.lt, k.surv,
+         LAG(k.lt, 1, 0) OVER (PARTITION BY h.tau ORDER BY k.lt)
+           AS prev_lt,
+         LAG(k.surv, 1, 1.0) OVER (PARTITION BY h.tau ORDER BY k.lt)
+           AS prev_surv
+  FROM horizons h JOIN k ON k.lt <= h.tau
+),
+segs AS (
+  SELECT tau,
+         CAST(ROUND(prev_surv * (lt - prev_lt), 10)
+              AS DECIMAL(28,10)) AS seg,
+         lt, surv
+  FROM steps
+),
+tail AS (
+  SELECT s.tau,
+         CAST(ROUND(t.surv * (s.tau - t.lt), 10) AS DECIMAL(28,10))
+           AS seg
+  FROM horizons s
+  JOIN (SELECT tau, max(lt) AS mlt FROM steps GROUP BY 1) mm
+    ON mm.tau = s.tau
+  JOIN steps t ON t.tau = s.tau AND t.lt = mm.mlt
+),
+allsegs AS (
+  SELECT tau, seg FROM segs
+  UNION ALL SELECT tau, seg FROM tail
+)
+SELECT tau AS horizon_hours,
+       ROUND(CAST(SUM(seg) AS DOUBLE), 4) AS rmst_hours,
+       CAST(count(*) - 1 AS BIGINT) AS n_steps
+FROM allsegs GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "x431_rmst",
+    _X431_ORACLE,
+    doc="restricted mean survival time: the integral of x305's "
+        "Kaplan-Meier curve up to horizons tau in {700h, 720h} (the corpus spans ~30 days; a week-scale tau would see no deaths) -- the "
+        "ONE-NUMBER survival summary a retention report actually "
+        "ships (mean hours of user lifetime observed within the "
+        "window; x305 gives the whole curve, x368/x370 give hazards "
+        "and comparisons, none integrates). Same lifetime/censoring "
+        "construction as x305 (user lifespan in hours, censored if "
+        "active within 24h of corpus end), same engine-exact "
+        "survival recipe (log-sum in rounded DECIMAL, exp, round 4); "
+        "the integral is a sum of step areas prev_surv*(t_i - "
+        "t_{i-1}) rounded to 10 into DECIMAL -- addition-order "
+        "independent. Scale: one user groupBy, then all windows "
+        "ride the distinct-event-time domain (bounded); horizons "
+        "are a x2 VALUES fan-out",
+)
+def x431_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"), F.min("ts").alias("first_ts")
+    ).select(
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND, first_ts, last_ts) "
+            "DIV 3600000000 AS BIGINT)"
+        ).alias("lt"),
+        "last_ts",
+    )
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    lab = u.crossJoin(F.broadcast(mx)).select(
+        "lt",
+        F.when(
+            F.expr("timestampdiff(MICROSECOND, last_ts, max_ts)")
+            > F.lit(86400000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("observed"),
+    )
+    d = lab.groupBy("lt").agg(
+        F.sum("observed").cast("long").alias("deaths"),
+        F.count(F.lit(1)).cast("long").alias("ending"),
+    )
+    w_risk = Window.orderBy(F.desc("lt")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = d.select(
+        "lt",
+        "deaths",
+        F.sum("ending").over(w_risk).cast("long").alias("at_risk"),
+    )
+    term = F.round(
+        F.log(
+            F.lit(1.0) - F.col("deaths").cast("double") / F.col("at_risk")
+        ),
+        12,
+    ).cast("decimal(28,12)")
+    w_cum = Window.orderBy("lt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    k = r.filter(F.col("deaths") > 0).select(
+        "lt",
+        F.when(F.col("deaths") == F.col("at_risk"), F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.sum(term).over(w_cum).cast("double")), 4)
+        )
+        .alias("surv"),
+    )
+    horizons = spark.createDataFrame([(700,), (720,)], "tau int")
+    w_tau = Window.partitionBy("tau").orderBy("lt")
+    steps = (
+        F.broadcast(horizons)
+        .join(k, k["lt"] <= F.col("tau"))
+        .select(
+            "tau",
+            "lt",
+            "surv",
+            F.lag("lt", 1, 0).over(w_tau).alias("prev_lt"),
+            F.lag("surv", 1, 1.0).over(w_tau).alias("prev_surv"),
+        )
+    )
+    segs = steps.select(
+        "tau",
+        F.round(
+            F.col("prev_surv") * (F.col("lt") - F.col("prev_lt")), 10
+        )
+        .cast("decimal(28,10)")
+        .alias("seg"),
+    )
+    last = steps.groupBy("tau").agg(F.max("lt").alias("mlt"))
+    tail = (
+        last.join(
+            steps.select("tau", "lt", "surv"),
+            (last["tau"] == steps["tau"]) & (steps["lt"] == last["mlt"]),
+        )
+        .select(
+            last["tau"].alias("tau"),
+            F.round(F.col("surv") * (last["tau"] - F.col("lt")), 10)
+            .cast("decimal(28,10)")
+            .alias("seg"),
+        )
+    )
+    return (
+        segs.unionByName(tail)
+        .groupBy("tau")
+        .agg(
+            F.round(F.sum("seg").cast("double"), 4).alias("rmst_hours"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_steps"),
+        )
+        .select(
+            F.col("tau").alias("horizon_hours"), "rmst_hours", "n_steps"
+        )
+        .orderBy("horizon_hours")
+    )
+
+
+_X432_ORACLE = """
+WITH e AS (
+  SELECT event_type AS stratum,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+s AS (
+  SELECT stratum, t,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(vc) AS BIGINT) AS sv,
+         CAST(SUM(vc * vc) AS BIGINT) AS sv2
+  FROM e GROUP BY 1, 2
+),
+p AS (
+  SELECT t1.stratum,
+         t1.n AS n1, t0.n AS n0,
+         CAST(t1.sv AS DOUBLE) / t1.n / 100 AS m1,
+         CAST(t0.sv AS DOUBLE) / t0.n / 100 AS m0,
+         (CAST(t1.sv2 AS DOUBLE) - CAST(t1.sv AS DOUBLE) * t1.sv / t1.n)
+           / (t1.n - 1) / 10000 AS v1,
+         (CAST(t0.sv2 AS DOUBLE) - CAST(t0.sv AS DOUBLE) * t0.sv / t0.n)
+           / (t0.n - 1) / 10000 AS v0
+  FROM (SELECT * FROM s WHERE t = 1) t1
+  JOIN (SELECT * FROM s WHERE t = 0) t0 USING (stratum)
+),
+eff AS (
+  SELECT stratum, n1, n0,
+         ROUND(m1 - m0, 10) AS effect,
+         ROUND(v1 / n1 + v0 / n0, 12) AS var_d
+  FROM p
+),
+wsum AS (
+  SELECT CAST(SUM(CAST(ROUND(1.0 / var_d, 8) AS DECIMAL(28,8)))
+           AS DOUBLE) AS sw,
+         CAST(SUM(CAST(ROUND(effect / var_d, 8) AS DECIMAL(28,8)))
+           AS DOUBLE) AS swd,
+         CAST(count(*) AS BIGINT) AS k
+  FROM eff
+),
+pooled AS (
+  SELECT sw, swd, k, swd / sw AS pooled_effect FROM wsum
+),
+q AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           (e.effect - p.pooled_effect)
+             * (e.effect - p.pooled_effect) / e.var_d, 8)
+           AS DECIMAL(28,8))) AS DOUBLE) AS q_stat
+  FROM eff e CROSS JOIN pooled p
+)
+SELECT e.stratum, e.n1, e.n0,
+       ROUND(e.effect, 6) AS effect,
+       ROUND(SQRT(e.var_d), 6) AS se,
+       ROUND(1.0 / e.var_d / p.sw, 6) AS weight_frac,
+       ROUND(p.pooled_effect, 6) AS pooled_effect,
+       ROUND(SQRT(1.0 / p.sw), 6) AS pooled_se,
+       ROUND(q.q_stat, 6) AS q_stat,
+       ROUND(GREATEST(0.0, (q.q_stat - (p.k - 1)) / q.q_stat), 6)
+         AS i_squared
+FROM eff e CROSS JOIN pooled p CROSS JOIN q
+ORDER BY e.stratum
+"""
+
+
+@register(
+    "x432_meta_fixed_effect",
+    _X432_ORACLE,
+    doc="fixed-effect (inverse-variance) meta-analysis of the "
+        "treatment effect across event-type strata, with Cochran's Q "
+        "and I-squared heterogeneity: x303/x125 estimate ONE lift, "
+        "x318 warns that pooling can invert it (Simpson), x385 pools "
+        "odds ratios for BINARY outcomes -- this is the continuous-"
+        "outcome pooling with the heterogeneity report that says "
+        "whether pooling was legitimate (I2 > 0.75 means the strata "
+        "disagree and the pooled number is fiction). Per stratum: "
+        "effect = mean diff (treated = even user_id), var from exact "
+        "cent-integer sums; weights 1/var; pooled = sum(w*d)/sum(w); "
+        "Q = sum(w*(d-pooled)^2); I2 = max(0,(Q-(k-1))/Q). Weighted "
+        "sums round to 8 into DECIMAL pre-sum (order-independent). "
+        "Scale: one (stratum, arm) groupBy -- everything after is "
+        "stratum-domain algebra",
+)
+def x432_meta_fixed_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("event_type").alias("stratum"),
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    s = e.groupBy("stratum", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vc").cast("long").alias("sv"),
+        F.sum(F.col("vc") * F.col("vc")).cast("long").alias("sv2"),
+    )
+    t1 = s.filter(F.col("t") == 1).select(
+        "stratum",
+        F.col("n").alias("n1"),
+        F.col("sv").alias("sv1"),
+        F.col("sv2").alias("sv21"),
+    )
+    t0 = s.filter(F.col("t") == 0).select(
+        "stratum",
+        F.col("n").alias("n0"),
+        F.col("sv").alias("sv0"),
+        F.col("sv2").alias("sv20"),
+    )
+    p = t1.join(t0, "stratum").select(
+        "stratum",
+        "n1",
+        "n0",
+        (F.col("sv1").cast("double") / F.col("n1") / 100).alias("m1"),
+        (F.col("sv0").cast("double") / F.col("n0") / 100).alias("m0"),
+        (
+            (
+                F.col("sv21").cast("double")
+                - F.col("sv1").cast("double")
+                * F.col("sv1")
+                / F.col("n1")
+            )
+            / (F.col("n1") - 1)
+            / 10000
+        ).alias("v1"),
+        (
+            (
+                F.col("sv20").cast("double")
+                - F.col("sv0").cast("double")
+                * F.col("sv0")
+                / F.col("n0")
+            )
+            / (F.col("n0") - 1)
+            / 10000
+        ).alias("v0"),
+    )
+    eff = p.select(
+        "stratum",
+        "n1",
+        "n0",
+        F.round(F.col("m1") - F.col("m0"), 10).alias("effect"),
+        F.round(
+            F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0"), 12
+        ).alias("var_d"),
+    ).localCheckpoint(eager=False)
+    wsum = eff.agg(
+        F.sum(
+            F.round(F.lit(1.0) / F.col("var_d"), 8).cast(
+                "decimal(28,8)"
+            )
+        )
+        .cast("double")
+        .alias("sw"),
+        F.sum(
+            F.round(F.col("effect") / F.col("var_d"), 8).cast(
+                "decimal(28,8)"
+            )
+        )
+        .cast("double")
+        .alias("swd"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    pooled = wsum.select(
+        "sw", "k", (F.col("swd") / F.col("sw")).alias("pooled_effect")
+    )
+    q = (
+        eff.crossJoin(F.broadcast(pooled))
+        .select(
+            F.round(
+                (F.col("effect") - F.col("pooled_effect"))
+                * (F.col("effect") - F.col("pooled_effect"))
+                / F.col("var_d"),
+                8,
+            )
+            .cast("decimal(28,8)")
+            .alias("qt")
+        )
+        .agg(F.sum("qt").cast("double").alias("q_stat"))
+    )
+    return (
+        eff.crossJoin(F.broadcast(pooled))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "stratum",
+            "n1",
+            "n0",
+            F.round("effect", 6).alias("effect"),
+            F.round(F.sqrt("var_d"), 6).alias("se"),
+            F.round(F.lit(1.0) / F.col("var_d") / F.col("sw"), 6).alias(
+                "weight_frac"
+            ),
+            F.round("pooled_effect", 6).alias("pooled_effect"),
+            F.round(F.sqrt(F.lit(1.0) / F.col("sw")), 6).alias(
+                "pooled_se"
+            ),
+            F.round("q_stat", 6).alias("q_stat"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    (F.col("q_stat") - (F.col("k") - 1))
+                    / F.col("q_stat"),
+                ),
+                6,
+            ).alias("i_squared"),
+        )
+        .orderBy("stratum")
+    )
+
+
+_X433_ORACLE = """
+WITH d AS (
+  SELECT LEAST(CAST(n_chars // 500 AS BIGINT), 3) AS g,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+grp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS r
+  FROM d GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(r) AS BIGINT) AS rr,
+         CAST(SUM(g * r) AS BIGINT) AS sgr,
+         CAST(SUM(g * n) AS BIGINT) AS sgn,
+         CAST(SUM(g * g * n) AS BIGINT) AS sg2n
+  FROM grp
+)
+SELECT nn AS n, rr AS successes,
+       ROUND(
+         (CAST(sgr AS DOUBLE) - CAST(rr AS DOUBLE) * sgn / nn)
+         / SQRT(
+             (CAST(rr AS DOUBLE) / nn) * (1.0 - CAST(rr AS DOUBLE) / nn)
+             * (CAST(sg2n AS DOUBLE) - CAST(sgn AS DOUBLE) * sgn / nn)
+           ),
+         6) AS z_trend,
+       CASE WHEN ABS(
+         (CAST(sgr AS DOUBLE) - CAST(rr AS DOUBLE) * sgn / nn)
+         / SQRT(
+             (CAST(rr AS DOUBLE) / nn) * (1.0 - CAST(rr AS DOUBLE) / nn)
+             * (CAST(sg2n AS DOUBLE) - CAST(sgn AS DOUBLE) * sgn / nn)
+           )) > 1.959963984540054 THEN true ELSE false END
+         AS reject_5pct
+FROM tot
+"""
+
+
+@register(
+    "x433_cochran_armitage",
+    _X433_ORACLE,
+    doc="Cochran-Armitage trend test: is the en-share MONOTONE in "
+        "document length? x148's chi-square only says 'associated', "
+        "burning power on non-ordered alternatives; CA spends all "
+        "its power on the linear-in-dose direction (dose = length "
+        "bucket 0..3 at 500 chars, scores = bucket index), the test "
+        "a curation team reaches for when a quality gate is "
+        "suspected of drifting with length. Z = (sum(g*r) - "
+        "R*sum(g*n)/N) / sqrt(p(1-p)*(sum(g^2 n) - (sum(g n))^2/N)) "
+        "entirely from exact integer moments in ONE groupBy + one "
+        "fixed-order double expression; reject flag at |z| > "
+        "z_{0.975} (p-values need erf, which the engines do not "
+        "share -- the z and the decision are the portable outputs). "
+        "Scale: one pass, 4-row aggregate domain",
+)
+def x433_cochran_armitage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.least((F.col("n_chars") / 500).cast("long"), F.lit(3)).alias(
+            "g"
+        ),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    grp = d.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("r"),
+    )
+    tot = grp.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("r").cast("long").alias("rr"),
+        F.sum(F.col("g") * F.col("r")).cast("long").alias("sgr"),
+        F.sum(F.col("g") * F.col("n")).cast("long").alias("sgn"),
+        F.sum(F.col("g") * F.col("g") * F.col("n"))
+        .cast("long")
+        .alias("sg2n"),
+    )
+    z = (
+        F.col("sgr").cast("double")
+        - F.col("rr").cast("double") * F.col("sgn") / F.col("nn")
+    ) / F.sqrt(
+        (F.col("rr").cast("double") / F.col("nn"))
+        * (F.lit(1.0) - F.col("rr").cast("double") / F.col("nn"))
+        * (
+            F.col("sg2n").cast("double")
+            - F.col("sgn").cast("double") * F.col("sgn") / F.col("nn")
+        )
+    )
+    return tot.select(
+        F.col("nn").alias("n"),
+        F.col("rr").alias("successes"),
+        F.round(z, 6).alias("z_trend"),
+        (F.abs(z) > F.lit(1.959963984540054)).alias("reject_5pct"),
+    )

