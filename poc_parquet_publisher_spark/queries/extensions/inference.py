@@ -1222,3 +1222,454 @@ def x437_yule_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("herdan_c"),
     ).orderBy("lang")
+
+
+_X438_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+s AS (
+  SELECT d.dim, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v[1:d.dim], c.v[1:d.dim])
+               / (sqrt(list_dot_product(q.v[1:d.dim], q.v[1:d.dim]))
+                  * sqrt(list_dot_product(c.v[1:d.dim], c.v[1:d.dim]))),
+               6) AS sim
+  FROM dims d
+  CROSS JOIN (SELECT * FROM e WHERE vec_id < 20) q
+  JOIN e c ON c.vec_id != q.vec_id
+),
+top AS (
+  SELECT dim, query_id, neighbor_id,
+         row_number() OVER (PARTITION BY dim, query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM s
+),
+t10 AS (SELECT * FROM top WHERE rnk <= 10),
+base AS (SELECT query_id, neighbor_id FROM t10 WHERE dim = 64),
+hits AS (
+  SELECT t.dim, t.query_id, CAST(count(*) AS BIGINT) AS h
+  FROM t10 t JOIN base b USING (query_id, neighbor_id)
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.dim, q.query_id
+  FROM dims d CROSS JOIN (SELECT DISTINCT query_id FROM t10) q
+)
+SELECT g.dim,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       ROUND(CAST(SUM(COALESCE(h.h, 0)) AS DOUBLE)
+             / (10.0 * count(*)), 4) AS mean_recall,
+       ROUND(CAST(MIN(COALESCE(h.h, 0)) AS DOUBLE) / 10.0, 4)
+         AS min_recall
+FROM grid g LEFT JOIN hits h ON h.dim = g.dim AND h.query_id = g.query_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "x438_matryoshka_recall",
+    _X438_ORACLE,
+    doc="dimension-truncation recall curve (the Matryoshka/MRL "
+        "deployment question): for prefix dims {8, 16, 32, 64}, the "
+        "exact cosine top-10 of the 20 query vectors under TRUNCATED "
+        "embeddings, scored as recall against the full-dim top-10 -- "
+        "how many index bytes a vector store can drop before ANN "
+        "quality visibly decays, the capacity/recall trade x94's "
+        "scalar quantization prices in BITS and this prices in DIMS. "
+        "The 64-dim row is the self-recall 1.0 sanity anchor (pinned "
+        "in the replay test). Exactness: sims round to 6 (x333's "
+        "BLAS-vs-fold contract) and ranks tie-break on neighbor_id. "
+        "Scale: query side broadcast as a numpy matrix, corpus "
+        "streams through Arrow-batch BLAS (similarity.pairwise_sims) "
+        "once PER DIM tier; ranking windows ride (dim, query) "
+        "partitions -- never the corpus",
+)
+def x438_matryoshka_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ...ops import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    parts = []
+    for d in (8, 16, 32, 64):
+        t = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("v")
+        )
+        q = t.filter(F.col("vec_id") < 20)
+        sims = similarity.pairwise_sims(
+            t,
+            q,
+            id_col="vec_id",
+            vec_col="v",
+            stream_id_out="neighbor_id",
+            broadcast_id_out="query_id",
+            round_to=6,
+        ).filter(F.col("query_id") != F.col("neighbor_id"))
+        parts.append(sims.withColumn("dim", F.lit(d)))
+    allsims = parts[0]
+    for p in parts[1:]:
+        allsims = allsims.unionByName(p)
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.desc("sim"), "neighbor_id"
+    )
+    t10 = (
+        allsims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("dim", "query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    base = t10.filter(F.col("dim") == 64).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        t10.join(base, ["query_id", "neighbor_id"])
+        .groupBy("dim", "query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("h"))
+    )
+    dims_df = spark.createDataFrame([(8,), (16,), (32,), (64,)], "dim int")
+    grid = F.broadcast(dims_df).crossJoin(
+        t10.select("query_id").distinct()
+    )
+    return (
+        grid.join(hits, ["dim", "query_id"], "left")
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.round(
+                F.sum(F.coalesce("h", F.lit(0))).cast("double")
+                / (F.lit(10.0) * F.count(F.lit(1))),
+                4,
+            ).alias("mean_recall"),
+            F.round(
+                F.min(F.coalesce("h", F.lit(0))).cast("double") / 10.0, 4
+            ).alias("min_recall"),
+        )
+        .orderBy("dim")
+    )
+
+
+_X439_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+s AS (
+  SELECT a.vec_id AS pid,
+         ROUND(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+),
+r AS (
+  SELECT pid, sim,
+         row_number() OVER (PARTITION BY pid ORDER BY sim DESC) AS rnk
+  FROM s
+),
+p AS (
+  SELECT pid,
+         MAX(CASE WHEN rnk = 1 THEN sim END) AS c1,
+         MAX(CASE WHEN rnk = 2 THEN sim END) AS c2
+  FROM r GROUP BY 1
+),
+t AS (
+  SELECT pid,
+         CAST(ROUND(0.5 * LN((1.0 - c2) / (1.0 - c1)), 10)
+              AS DECIMAL(28,10)) AS term
+  FROM p WHERE c1 < 1.0
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_points,
+       CAST(count(*) AS BIGINT) AS n_used,
+       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS sum_log_mu,
+       ROUND(count(*) / CAST(SUM(term) AS DOUBLE), 4) AS twonn_dim
+FROM t
+"""
+
+
+@register(
+    "x439_twonn_intrinsic_dim",
+    _X439_ORACLE,
+    doc="TwoNN intrinsic dimensionality of the embedding corpus "
+        "(Facco et al.'s two-nearest-neighbor MLE): d-hat = n / "
+        "sum(ln mu_i) with mu_i = r2/r1, estimated on the angular "
+        "metric of unit-normalized vectors where r^2 = 2(1 - cos) "
+        "makes ln mu = 0.5*ln((1-c2)/(1-c1)) -- only the top-2 "
+        "COSINE neighbors are needed, no distances materialized. "
+        "The number says how many of the 64 ambient dims the data "
+        "actually occupies -- the manifold reality check behind "
+        "x364's PCA spectrum (variance mass) and x438's truncation "
+        "curve (what you lose cutting dims): if d-hat << 64, "
+        "truncation is safe BY GEOMETRY. Deterministic 1-in-5 id "
+        "subsample; exact-duplicate neighbors (c1 = 1) are excluded "
+        "(mu undefined); ln terms round 10 into DECIMAL. Scale: "
+        "sample broadcast as the query matrix, Arrow-batch BLAS "
+        "scoring (x333's path), top-2 via (point)-partitioned "
+        "window over sample-sized rows",
+)
+def x439_twonn_intrinsic_dim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ...ops import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 5 == 0
+    )
+    sims = similarity.pairwise_sims(
+        emb,
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        stream_id_out="other_id",
+        broadcast_id_out="pid",
+        round_to=6,
+    ).filter(F.col("pid") != F.col("other_id"))
+    w = Window.partitionBy("pid").orderBy(F.desc("sim"))
+    p = (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .groupBy("pid")
+        .agg(
+            F.max(F.when(F.col("rnk") == 1, F.col("sim"))).alias("c1"),
+            F.max(F.when(F.col("rnk") == 2, F.col("sim"))).alias("c2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_points = p.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    t = p.filter(F.col("c1") < 1.0).select(
+        F.round(
+            F.lit(0.5)
+            * F.log(
+                (F.lit(1.0) - F.col("c2")) / (F.lit(1.0) - F.col("c1"))
+            ),
+            10,
+        )
+        .cast("decimal(28,10)")
+        .alias("term")
+    )
+    return (
+        t.agg(
+            F.count(F.lit(1)).cast("long").alias("n_used"),
+            F.sum("term").cast("double").alias("s"),
+        )
+        .crossJoin(F.broadcast(n_points))
+        .select(
+            "n_points",
+            "n_used",
+            F.round("s", 6).alias("sum_log_mu"),
+            F.round(F.col("n_used") / F.col("s"), 4).alias("twonn_dim"),
+        )
+    )
+
+
+_X440_ORACLE = """
+WITH tot AS (
+  SELECT CAST(max(doc_id) + 1 AS BIGINT) AS nn FROM documents
+),
+h AS (
+  SELECT CAST(d.doc_id * 10 // t.nn AS BIGINT) AS b,
+         md5(lower(d.text)) AS hh
+  FROM documents d CROSS JOIN tot t
+),
+firstb AS (
+  SELECT hh, CAST(MIN(b) AS BIGINT) AS fb FROM h GROUP BY 1
+),
+newc AS (
+  SELECT fb AS b, CAST(count(*) AS BIGINT) AS new_distinct
+  FROM firstb GROUP BY 1
+),
+docs AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS docs FROM h GROUP BY 1
+),
+cur AS (
+  SELECT d.b, d.docs, COALESCE(n.new_distinct, 0) AS new_distinct
+  FROM docs d LEFT JOIN newc n ON n.b = d.b
+)
+SELECT b AS batch, docs, new_distinct,
+       CAST(SUM(new_distinct) OVER (ORDER BY b) AS BIGINT)
+         AS cum_distinct,
+       ROUND(CAST(new_distinct AS DOUBLE) / docs, 6)
+         AS marginal_new_frac,
+       ROUND(CAST(SUM(new_distinct) OVER (ORDER BY b) AS DOUBLE)
+             / SUM(docs) OVER (ORDER BY b), 6) AS cum_unique_frac
+FROM cur ORDER BY batch
+"""
+
+
+@register(
+    "x440_dedup_saturation",
+    _X440_ORACLE,
+    doc="dedup saturation curve: the corpus replayed as 10 ingest "
+        "batches (doc_id decile buckets -- ids are arrival-ordered), "
+        "per batch the NEVER-SEEN-BEFORE distinct-content count, its "
+        "marginal new fraction, and the cumulative unique fraction "
+        "-- the curve that says when continued crawling of a source "
+        "stops yielding new content (x60 measures dup rate per "
+        "source, x162 cumulative audience; neither gives the "
+        "marginal-yield-over-INGEST-TIME shape capacity planning "
+        "needs, and it is the observable x295's incremental index "
+        "sizes follow in production). Exactness: one md5 "
+        "hash-groupBy to each hash's first batch (exact MIN), then "
+        "10-row batch-domain algebra; cumulative windows ride the "
+        "batch domain. Scale: x01's dedup shape -- a single "
+        "hash-partitioned groupBy, no pairwise anything",
+)
+def x440_dedup_saturation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.agg((F.max("doc_id") + 1).cast("long").alias("nn"))
+    h = docs.crossJoin(F.broadcast(tot)).select(
+        (F.col("doc_id") * 10 / F.col("nn")).cast("long").alias("b"),
+        F.md5(F.lower("text")).alias("hh"),
+    )
+    firstb = h.groupBy("hh").agg(F.min("b").cast("long").alias("fb"))
+    newc = firstb.groupBy(F.col("fb").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_distinct")
+    )
+    d = h.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("docs"))
+    cur = d.join(newc, "b", "left").select(
+        "b",
+        "docs",
+        F.coalesce("new_distinct", F.lit(0)).alias("new_distinct"),
+    )
+    w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return cur.select(
+        F.col("b").alias("batch"),
+        "docs",
+        "new_distinct",
+        F.sum("new_distinct").over(w).cast("long").alias("cum_distinct"),
+        F.round(
+            F.col("new_distinct").cast("double") / F.col("docs"), 6
+        ).alias("marginal_new_frac"),
+        F.round(
+            F.sum("new_distinct").over(w).cast("double")
+            / F.sum("docs").over(w),
+            6,
+        ).alias("cum_unique_frac"),
+    ).orderBy("batch")
+
+
+_X441_ORACLE = """
+WITH v AS (
+  SELECT ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+        + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+        + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+        + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)) AS x,
+         doc_id
+  FROM (SELECT md5(lower(text)) AS h, doc_id FROM documents)
+),
+u AS (
+  SELECT CAST(x AS DOUBLE) / 4294967296.0 AS u,
+         row_number() OVER (ORDER BY CAST(x AS DOUBLE) / 4294967296.0,
+                            doc_id) AS i
+  FROM v
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM u),
+terms AS (
+  SELECT CAST(ROUND((2.0 * u.i - 1) * LN(u.u)
+              + (2.0 * (n.nn - u.i) + 1) * LN(1.0 - u.u), 10)
+         AS DECIMAL(28,10)) AS term,
+         GREATEST(CAST(u.i AS DOUBLE) / n.nn - u.u,
+                  u.u - (CAST(u.i AS DOUBLE) - 1) / n.nn) AS ks_term
+  FROM u CROSS JOIN n
+)
+SELECT n.nn AS n,
+       ROUND(-CAST(n.nn AS DOUBLE)
+             - CAST(SUM(t.term) AS DOUBLE) / n.nn, 4) AS ad_stat,
+       ROUND(MAX(t.ks_term), 6) AS ks_d,
+       ROUND(SQRT(CAST(n.nn AS DOUBLE)) * MAX(t.ks_term), 4)
+         AS ks_scaled,
+       (-CAST(n.nn AS DOUBLE) - CAST(SUM(t.term) AS DOUBLE) / n.nn)
+         > 2.492 AS ad_reject_5pct,
+       SQRT(CAST(n.nn AS DOUBLE)) * MAX(t.ks_term) > 1.358
+         AS ks_reject_5pct
+FROM terms t CROSS JOIN n GROUP BY n.nn
+"""
+
+
+@register(
+    "x441_fingerprint_uniformity",
+    _X441_ORACLE,
+    doc="hash-uniformity audit: Anderson-Darling and Kolmogorov-"
+        "Smirnov one-sample tests that the 32-bit prefix of the "
+        "content md5, scaled to u in [0,1), is uniform -- the "
+        "statistical guarantee every hash-partitioned operation in "
+        "this repo leans on (x01's dedup groupBy, x118's salting, "
+        "x316's rendezvous sharding all assume it; x108 measures "
+        "REALIZED key skew, this tests the hash function itself, "
+        "tail-sensitive where x108's Gini is not -- AD weights the "
+        "tails by 1/(F(1-F))). Global ranks come from scale.py's "
+        "two-pass prefix-sum row-number, NEVER a SinglePartition "
+        "window (x90's gate); the portable hex decode is strpos "
+        "position math on the DuckDB side (x312's recipe) and "
+        "conv() on Spark's. AD terms round 10 into DECIMAL pre-sum; "
+        "KS is a pure max (selection, not accumulation -- no order "
+        "sensitivity). Rejection flags at asymptotic 5% criticals "
+        "(AD 2.492, scaled KS 1.358)",
+)
+def x441_fingerprint_uniformity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ...scale import prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.lower("text")), 1, 8), 16, 10
+            ).cast("long")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+        "doc_id",
+        F.lit(1).alias("one"),
+    )
+    ranked = prefix_sum(
+        base, [F.col("u"), F.col("doc_id")], "one", out_col="i"
+    )
+    n = ranked.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    terms = ranked.crossJoin(F.broadcast(n)).select(
+        F.round(
+            (2.0 * F.col("i") - 1) * F.log("u")
+            + (2.0 * (F.col("nn") - F.col("i")) + 1)
+            * F.log(F.lit(1.0) - F.col("u")),
+            10,
+        )
+        .cast("decimal(28,10)")
+        .alias("term"),
+        F.greatest(
+            F.col("i").cast("double") / F.col("nn") - F.col("u"),
+            F.col("u") - (F.col("i").cast("double") - 1) / F.col("nn"),
+        ).alias("ks_term"),
+        "nn",
+    )
+    ad = -F.col("nn").cast("double") - F.col("s").cast(
+        "double"
+    ) / F.col("nn")
+    ks_scaled = F.sqrt(F.col("nn").cast("double")) * F.col("mx")
+    return (
+        terms.groupBy("nn")
+        .agg(
+            F.sum("term").alias("s"),
+            F.max("ks_term").alias("mx"),
+        )
+        .select(
+            F.col("nn").alias("n"),
+            F.round(ad, 4).alias("ad_stat"),
+            F.round(F.col("mx"), 6).alias("ks_d"),
+            F.round(ks_scaled, 4).alias("ks_scaled"),
+            (ad > 2.492).alias("ad_reject_5pct"),
+            (ks_scaled > 1.358).alias("ks_reject_5pct"),
+        )
+    )

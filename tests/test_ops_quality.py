@@ -4717,3 +4717,180 @@ def test_yule_richness_matches_bruteforce(spark):
         assert 0.0 <= r["simpson_d"] <= 1.0
         assert r["yule_k"] > 0
         assert abs(r["herdan_c"] - _round_hu(math.log(v) / math.log(n), 6)) < 1e-9
+
+
+def test_matryoshka_recall_matches_bruteforce(spark):
+    """x438: replay the truncated-dim top-10 sets in numpy with the
+    same round-6 + neighbor-id tie-break; invariants: the 64-dim row
+    is exact self-recall 1.0, and mean recall is nondecreasing in
+    dim on this fixture."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x438_matryoshka_recall,
+    )
+
+    rows = (
+        load_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    q_mask = ids < 20
+
+    def top10(d):
+        v = mat[:, :d]
+        nrm = np.linalg.norm(v, axis=1)
+        out = {}
+        for qi in np.where(q_mask)[0]:
+            sims = (v @ v[qi]) / (nrm * nrm[qi])
+            cand = [
+                (-round(s, 6), int(i))
+                for s, i in zip(sims, ids)
+                if i != ids[qi]
+            ]
+            cand.sort()
+            out[int(ids[qi])] = {i for _s, i in cand[:10]}
+        return out
+
+    base = top10(64)
+    got = {r["dim"]: r for r in x438_matryoshka_recall(spark, SF).collect()}
+    assert set(got) == {8, 16, 32, 64}
+    assert got[64]["mean_recall"] == 1.0 and got[64]["min_recall"] == 1.0
+    prev = 0.0
+    for d in (8, 16, 32, 64):
+        t = top10(d)
+        recalls = [len(t[q] & base[q]) / 10 for q in base]
+        r = got[d]
+        assert r["n_queries"] == len(base)
+        assert abs(r["mean_recall"] - _round_hu(sum(recalls) / len(recalls), 4)) < 1e-9
+        assert abs(r["min_recall"] - _round_hu(min(recalls), 4)) < 1e-9
+        assert r["mean_recall"] >= prev - 1e-9
+        prev = r["mean_recall"]
+
+
+def test_twonn_matches_bruteforce(spark):
+    """x439: replay the top-2 cosine neighbors and the MLE in numpy;
+    invariants: the estimate is positive and does not exceed the
+    ambient dimension by more than estimator noise allows on a
+    64-dim fixture."""
+    import math
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x439_twonn_intrinsic_dim,
+    )
+
+    rows = (
+        load_table(spark, SF, "embeddings")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    nrm = np.linalg.norm(mat, axis=1)
+    n = len(rows)
+    s = 0.0
+    used = 0
+    for i in range(n):
+        sims = (mat @ mat[i]) / (nrm * nrm[i])
+        sims[i] = -np.inf
+        c = np.sort(np.round(sims, 6))[::-1][:2]
+        c1, c2 = float(c[0]), float(c[1])
+        if c1 < 1.0:
+            used += 1
+            s += _round_hu(0.5 * math.log((1.0 - c2) / (1.0 - c1)), 10)
+    row = x439_twonn_intrinsic_dim(spark, SF).collect()[0]
+    assert row["n_points"] == n and row["n_used"] == used
+    assert abs(row["sum_log_mu"] - _round_hu(s, 6)) < 1e-9
+    assert abs(row["twonn_dim"] - _round_hu(used / s, 4)) < 1e-9
+    assert 0 < row["twonn_dim"] < 200
+
+
+def test_dedup_saturation_matches_bruteforce(spark):
+    """x440: replay the first-batch attribution; identities: sum of
+    new_distinct equals global distinct count, cum_unique_frac is
+    nonincreasing... no -- it DECREASES only when batches re-see
+    content; assert cum_distinct monotone and final frac equals
+    global distinct/docs."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x440_dedup_saturation,
+    )
+
+    rows = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    nn = max(r["doc_id"] for r in rows) + 1
+    first = {}
+    docs_per = defaultdict(int)
+    for r in rows:
+        b = r["doc_id"] * 10 // nn
+        docs_per[b] += 1
+        h = r["text"].lower()
+        first[h] = min(first.get(h, 99), b)
+    new_per = defaultdict(int)
+    for b in first.values():
+        new_per[b] += 1
+    got = {r["batch"]: r for r in x440_dedup_saturation(spark, SF).collect()}
+    assert set(got) == set(docs_per)
+    cum_new = cum_docs = 0
+    prev_cum = 0
+    for b in sorted(docs_per):
+        cum_new += new_per[b]
+        cum_docs += docs_per[b]
+        r = got[b]
+        assert (r["docs"], r["new_distinct"]) == (docs_per[b], new_per[b])
+        assert r["cum_distinct"] == cum_new
+        assert abs(r["marginal_new_frac"] - _round_hu(new_per[b] / docs_per[b], 6)) < 1e-9
+        assert abs(r["cum_unique_frac"] - _round_hu(cum_new / cum_docs, 6)) < 1e-9
+        assert r["cum_distinct"] >= prev_cum
+        prev_cum = r["cum_distinct"]
+    assert cum_new == len(first)
+
+
+def test_fingerprint_uniformity_matches_bruteforce(spark):
+    """x441: replay AD and KS against a pure-Python sorted-sample
+    computation; sanity: md5 prefixes should NOT reject uniformity
+    on this corpus (that is the property the hash-partitioned ops
+    rely on), and a hand-built skewed sample must reject."""
+    import hashlib
+    import math
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x441_fingerprint_uniformity,
+    )
+
+    rows = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    us = sorted(
+        (
+            int(
+                hashlib.md5(r["text"].lower().encode()).hexdigest()[:8], 16
+            )
+            / 4294967296.0,
+            r["doc_id"],
+        )
+        for r in rows
+    )
+    n = len(us)
+    s = 0.0
+    ks = 0.0
+    for i, (u, _d) in enumerate(us, start=1):
+        s += _round_hu(
+            (2 * i - 1) * math.log(u) + (2 * (n - i) + 1) * math.log(1 - u),
+            10,
+        )
+        ks = max(ks, i / n - u, u - (i - 1) / n)
+    ad = -n - s / n
+    row = x441_fingerprint_uniformity(spark, SF).collect()[0]
+    assert row["n"] == n
+    assert abs(row["ad_stat"] - _round_hu(ad, 4)) < 1e-9
+    assert abs(row["ks_d"] - _round_hu(ks, 6)) < 1e-9
+    assert abs(row["ks_scaled"] - _round_hu(math.sqrt(n) * ks, 4)) < 1e-9
+    assert row["ad_reject_5pct"] == (ad > 2.492)
+    assert row["ks_reject_5pct"] == (math.sqrt(n) * ks > 1.358)
+    # the hash should pass uniformity here; a skewed sample must not
+    assert not row["ad_reject_5pct"] and not row["ks_reject_5pct"]
+    skew = sorted(x * x for x in (i / (n + 1) for i in range(1, n + 1)))
+    s2 = sum(
+        (2 * i - 1) * math.log(u) + (2 * (n - i) + 1) * math.log(1 - u)
+        for i, u in enumerate(skew, start=1)
+    )
+    assert (-n - s2 / n) > 2.492
