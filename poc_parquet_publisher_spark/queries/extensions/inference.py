@@ -1673,3 +1673,489 @@ def x441_fingerprint_uniformity(
             (ks_scaled > 1.358).alias("ks_reject_5pct"),
         )
     )
+
+
+from ...ops.text import LANG_STOPWORDS as _LS
+
+_STOP_EN_INF = ", ".join(f"'{w}'" for w in _LS["en"])
+
+_X442_ORACLE = """
+WITH d AS (
+  SELECT doc_id %% 5 AS fold,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(FLOOR(ROUND(CAST(len(list_filter(string_split(lower(text),
+                ' '), t -> t IN (%s))) AS DOUBLE)
+              / len(string_split(lower(text), ' ')), 4) * 10000 + 0.5)
+           AS BIGINT) AS sa,
+         CAST(FLOOR(ROUND(CAST(len(list_distinct(string_split(lower(text),
+                ' '))) AS DOUBLE)
+              / len(string_split(lower(text), ' ')), 4) * 10000 + 0.5)
+           AS BIGINT) AS sb
+  FROM documents
+),
+ranked AS (
+  SELECT fold, scorer, s,
+         CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(2 * (SUM(count(*)) OVER (PARTITION BY fold, scorer
+                                       ORDER BY s) - count(*))
+              + count(*) + 1 AS BIGINT) AS midrank2
+  FROM (
+    SELECT fold, y, 'a' AS scorer, sa AS s FROM d
+    UNION ALL
+    SELECT fold, y, 'b' AS scorer, sb AS s FROM d
+  ) GROUP BY fold, scorer, s
+),
+auc AS (
+  SELECT fold, scorer,
+         CAST(SUM(pos) AS BIGINT) AS n1,
+         CAST(SUM(n - pos) AS BIGINT) AS n0,
+         CAST(SUM(pos * midrank2) AS BIGINT) AS r2
+  FROM ranked GROUP BY 1, 2
+),
+a AS (
+  SELECT fold, scorer,
+         (CAST(r2 AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2)
+           / (CAST(n1 AS DOUBLE) * n0) AS auc
+  FROM auc
+),
+p AS (
+  SELECT aa.fold, aa.auc AS auc_a, bb.auc AS auc_b,
+         ROUND(aa.auc - bb.auc, 10) AS diff
+  FROM (SELECT * FROM a WHERE scorer = 'a') aa
+  JOIN (SELECT * FROM a WHERE scorer = 'b') bb USING (fold)
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(ROUND(diff, 10) AS DECIMAL(28,10))) AS DOUBLE)
+           AS sd1,
+         CAST(SUM(CAST(ROUND(diff * diff, 12) AS DECIMAL(28,12)))
+           AS DOUBLE) AS sd2
+  FROM p
+),
+t AS (
+  SELECT k, sd1 / k AS mean_diff,
+         SQRT((sd2 - sd1 * sd1 / k) / (k - 1)) AS sd
+  FROM m
+)
+SELECT p.fold,
+       ROUND(p.auc_a, 6) AS auc_a,
+       ROUND(p.auc_b, 6) AS auc_b,
+       ROUND(p.diff, 6) AS diff,
+       ROUND(t.mean_diff / (t.sd / SQRT(CAST(t.k AS DOUBLE))), 4)
+         AS t_stat,
+       ABS(t.mean_diff / (t.sd / SQRT(CAST(t.k AS DOUBLE)))) > 2.776445
+         AS reject_5pct
+FROM p CROSS JOIN t ORDER BY p.fold
+""" % _STOP_EN_INF
+
+
+@register(
+    "x442_kfold_paired_ttest",
+    _X442_ORACLE,
+    doc="k-fold paired scorer comparison: per deterministic fold "
+        "(doc_id mod 5), the tie-corrected Mann-Whitney AUC of two "
+        "en-detectors (stop-ratio vs type-token ratio), then the "
+        "paired t over the 5 fold-wise AUC differences (df=4) -- the "
+        "MODEL-COMPARISON inference x409 (one scorer's fold "
+        "stability) and x349 (one global AUC) stop short of: "
+        "'scorer A beats B' needs the fold pairing to cancel "
+        "fold-difficulty variance, the standard Dietterich setup. "
+        "Exactness: AUC from integer midranks x2 (2*cum_below+n+1 "
+        "stays integral through ties), fold diffs round-10 into "
+        "DECIMAL for mean/sd; reject at |t| > t_{0.975,4}. Scale: "
+        "ONE corpus pass to the (fold, scorer, score) domain (the "
+        "scorer axis is a x2 stack), midranks ride bounded "
+        "score-domain windows, t is 5-row algebra",
+)
+def x442_kfold_paired_ttest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ...ops import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    sa = F.floor(
+        text.stop_ratio_column("text") * 10000 + F.lit(0.5)
+    ).cast("long")
+    sb = F.floor(
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks),
+            4,
+        )
+        * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    d = docs.select(
+        (F.col("doc_id") % 5).alias("fold"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        sa.alias("sa"),
+        sb.alias("sb"),
+    )
+    stacked = d.select(
+        "fold", "y", F.lit("a").alias("scorer"), F.col("sa").alias("s")
+    ).unionByName(
+        d.select(
+            "fold",
+            "y",
+            F.lit("b").alias("scorer"),
+            F.col("sb").alias("s"),
+        )
+    )
+    dom = stacked.groupBy("fold", "scorer", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = (
+        Window.partitionBy("fold", "scorer")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = dom.select(
+        "fold",
+        "scorer",
+        "n",
+        "pos",
+        (
+            2 * (F.sum("n").over(w) - F.col("n")) + F.col("n") + 1
+        )
+        .cast("long")
+        .alias("midrank2"),
+    )
+    auc = ranked.groupBy("fold", "scorer").agg(
+        F.sum("pos").cast("long").alias("n1"),
+        F.sum(F.col("n") - F.col("pos")).cast("long").alias("n0"),
+        F.sum(F.col("pos") * F.col("midrank2"))
+        .cast("long")
+        .alias("r2"),
+    )
+    a = auc.select(
+        "fold",
+        "scorer",
+        (
+            (
+                F.col("r2").cast("double") / 2
+                - F.col("n1").cast("double") * (F.col("n1") + 1) / 2
+            )
+            / (F.col("n1").cast("double") * F.col("n0"))
+        ).alias("auc"),
+    )
+    pa = a.filter(F.col("scorer") == "a").select(
+        "fold", F.col("auc").alias("auc_a")
+    )
+    pb = a.filter(F.col("scorer") == "b").select(
+        "fold", F.col("auc").alias("auc_b")
+    )
+    p = pa.join(pb, "fold").select(
+        "fold",
+        "auc_a",
+        "auc_b",
+        F.round(F.col("auc_a") - F.col("auc_b"), 10).alias("diff"),
+    ).localCheckpoint(eager=False)
+    m = p.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.round("diff", 10).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sd1"),
+        F.sum(
+            F.round(F.col("diff") * F.col("diff"), 12).cast(
+                "decimal(28,12)"
+            )
+        )
+        .cast("double")
+        .alias("sd2"),
+    )
+    t = m.select(
+        "k",
+        (F.col("sd1") / F.col("k")).alias("mean_diff"),
+        F.sqrt(
+            (F.col("sd2") - F.col("sd1") * F.col("sd1") / F.col("k"))
+            / (F.col("k") - 1)
+        ).alias("sd"),
+    )
+    tstat = F.col("mean_diff") / (
+        F.col("sd") / F.sqrt(F.col("k").cast("double"))
+    )
+    return (
+        p.crossJoin(F.broadcast(t))
+        .select(
+            "fold",
+            F.round("auc_a", 6).alias("auc_a"),
+            F.round("auc_b", 6).alias("auc_b"),
+            F.round("diff", 6).alias("diff"),
+            F.round(tstat, 4).alias("t_stat"),
+            (F.abs(tstat) > 2.776445).alias("reject_5pct"),
+        )
+        .orderBy("fold")
+    )
+
+
+_X443_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS yc,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(yc) AS BIGINT) AS sy,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(yc * yc) AS BIGINT) AS syy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(yc * x) AS BIGINT) AS sxy
+  FROM u
+),
+s AS (
+  SELECT n,
+         CAST(sy AS DOUBLE) / 100 / n AS my,
+         CAST(sx AS DOUBLE) / n AS mx,
+         (CAST(syy AS DOUBLE) / 10000
+          - CAST(sy AS DOUBLE) / 100 * sy / 100 / n) / (n - 1) AS vy,
+         (CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS vx,
+         (CAST(sxy AS DOUBLE) / 100
+          - CAST(sy AS DOUBLE) / 100 * sx / n) / (n - 1) AS cxy
+  FROM m
+),
+r AS (
+  SELECT n, my / mx AS ratio,
+         SQRT((vy - 2 * (my / mx) * cxy + (my / mx) * (my / mx) * vx)
+              / n) / mx AS se_delta,
+         SQRT(vy / n) / mx AS se_naive
+  FROM s
+)
+SELECT n AS n_users,
+       ROUND(ratio, 6) AS ratio,
+       ROUND(se_delta, 6) AS se_delta,
+       ROUND(se_naive, 6) AS se_naive,
+       ROUND(ratio - 1.959964 * se_delta, 6) AS ci_lo,
+       ROUND(ratio + 1.959964 * se_delta, 6) AS ci_hi
+FROM r
+"""
+
+
+@register(
+    "x443_ratio_delta_ci",
+    _X443_ORACLE,
+    doc="delta-method confidence interval for a RATIO metric "
+        "(purchase cents per click, user as the iid unit): "
+        "var(Y-bar/X-bar) ~= (vy - 2R cxy + R^2 vx) / (n mx^2) -- "
+        "the analytic CI every per-session/per-click KPI needs "
+        "because the naive se (treating the denominator as fixed) "
+        "is also emitted and is visibly WRONG when X and Y "
+        "covary, the exact trap x320's jackknife brute-forces and "
+        "this solves in closed form. All five moments are exact "
+        "integer sums off ONE user groupBy; the delta expression is "
+        "fixed-order double algebra. Scale: one groupBy + 1-row "
+        "algebra -- nothing else",
+)
+def x443_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("yc"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yc").cast("long").alias("sy"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("yc") * F.col("yc")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("yc") * F.col("x")).cast("long").alias("sxy"),
+    )
+    my = F.col("sy").cast("double") / 100 / F.col("n")
+    mx = F.col("sx").cast("double") / F.col("n")
+    vy = (
+        F.col("syy").cast("double") / 10000
+        - F.col("sy").cast("double") / 100 * F.col("sy") / 100 / F.col("n")
+    ) / (F.col("n") - 1)
+    vx = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    ) / (F.col("n") - 1)
+    cxy = (
+        F.col("sxy").cast("double") / 100
+        - F.col("sy").cast("double") / 100 * F.col("sx") / F.col("n")
+    ) / (F.col("n") - 1)
+    s = m.select(
+        "n",
+        my.alias("my"),
+        mx.alias("mx"),
+        vy.alias("vy"),
+        vx.alias("vx"),
+        cxy.alias("cxy"),
+    )
+    ratio = F.col("my") / F.col("mx")
+    se_delta = (
+        F.sqrt(
+            (
+                F.col("vy")
+                - 2 * ratio * F.col("cxy")
+                + ratio * ratio * F.col("vx")
+            )
+            / F.col("n")
+        )
+        / F.col("mx")
+    )
+    se_naive = F.sqrt(F.col("vy") / F.col("n")) / F.col("mx")
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.round(ratio, 6).alias("ratio"),
+        F.round(se_delta, 6).alias("se_delta"),
+        F.round(se_naive, 6).alias("se_naive"),
+        F.round(ratio - 1.959964 * se_delta, 6).alias("ci_lo"),
+        F.round(ratio + 1.959964 * se_delta, 6).alias("ci_hi"),
+    )
+
+
+_X444_ORACLE = """
+WITH e AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+s AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(vc) AS BIGINT) AS sv,
+         CAST(SUM(vc * vc) AS BIGINT) AS sv2
+  FROM e GROUP BY 1
+),
+p AS (
+  SELECT t1.n AS n1, t0.n AS n0,
+         CAST(t1.sv AS DOUBLE) / t1.n / 100 AS m1,
+         CAST(t0.sv AS DOUBLE) / t0.n / 100 AS m0,
+         (CAST(t1.sv2 AS DOUBLE) - CAST(t1.sv AS DOUBLE) * t1.sv / t1.n)
+           / (t1.n - 1) / 10000 AS v1,
+         (CAST(t0.sv2 AS DOUBLE) - CAST(t0.sv AS DOUBLE) * t0.sv / t0.n)
+           / (t0.n - 1) / 10000 AS v0
+  FROM (SELECT * FROM s WHERE t = 1) t1
+  CROSS JOIN (SELECT * FROM s WHERE t = 0) t0
+),
+g AS (
+  SELECT n1, n0, m1, m0,
+         (m1 - m0) / SQRT(((n1 - 1) * v1 + (n0 - 1) * v0)
+                          / (n1 + n0 - 2)) AS d,
+         1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0) AS j
+  FROM p
+)
+SELECT n1, n0,
+       ROUND(m1 - m0, 6) AS mean_diff,
+       ROUND(d, 6) AS cohens_d,
+       ROUND(d * j, 6) AS hedges_g,
+       ROUND(SQRT((CAST(n1 + n0 AS DOUBLE)) / (CAST(n1 AS DOUBLE) * n0)
+                  + (d * j) * (d * j) / (2.0 * (n1 + n0))) * j, 6)
+         AS se_g,
+       ROUND(d * j - 1.959964
+             * SQRT((CAST(n1 + n0 AS DOUBLE)) / (CAST(n1 AS DOUBLE) * n0)
+                    + (d * j) * (d * j) / (2.0 * (n1 + n0))) * j, 6)
+         AS ci_lo,
+       ROUND(d * j + 1.959964
+             * SQRT((CAST(n1 + n0 AS DOUBLE)) / (CAST(n1 AS DOUBLE) * n0)
+                    + (d * j) * (d * j) / (2.0 * (n1 + n0))) * j, 6)
+         AS ci_hi
+FROM g
+"""
+
+
+@register(
+    "x444_hedges_g",
+    _X444_ORACLE,
+    doc="standardized effect size with small-sample correction: "
+        "Cohen's d (pooled-SD mean difference), Hedges' g = J*d with "
+        "J = 1 - 3/(4N-9), its approximate se and 95%% CI -- the "
+        "MAGNITUDE report a significance test omits (x286's Welch t "
+        "says 'nonzero', x400's Cliff's delta ranks without units; g "
+        "is what meta-analyses like x432 consume as input when "
+        "strata report on different scales). Exactness: both arms' "
+        "moments are exact cent-integer sums off one (arm) groupBy; "
+        "d, J, se are one fixed-order double expression each. "
+        "Scale: one pass, 2-row aggregate domain",
+)
+def x444_hedges_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    s = e.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vc").cast("long").alias("sv"),
+        F.sum(F.col("vc") * F.col("vc")).cast("long").alias("sv2"),
+    )
+    t1 = s.filter(F.col("t") == 1).select(
+        F.col("n").alias("n1"),
+        F.col("sv").alias("sv1"),
+        F.col("sv2").alias("sv21"),
+    )
+    t0 = s.filter(F.col("t") == 0).select(
+        F.col("n").alias("n0"),
+        F.col("sv").alias("sv0"),
+        F.col("sv2").alias("sv20"),
+    )
+    m1 = F.col("sv1").cast("double") / F.col("n1") / 100
+    m0 = F.col("sv0").cast("double") / F.col("n0") / 100
+    v1 = (
+        (
+            F.col("sv21").cast("double")
+            - F.col("sv1").cast("double") * F.col("sv1") / F.col("n1")
+        )
+        / (F.col("n1") - 1)
+        / 10000
+    )
+    v0 = (
+        (
+            F.col("sv20").cast("double")
+            - F.col("sv0").cast("double") * F.col("sv0") / F.col("n0")
+        )
+        / (F.col("n0") - 1)
+        / 10000
+    )
+    p = t1.crossJoin(F.broadcast(t0)).select(
+        "n1",
+        "n0",
+        m1.alias("m1"),
+        m0.alias("m0"),
+        v1.alias("v1"),
+        v0.alias("v0"),
+    )
+    d = (F.col("m1") - F.col("m0")) / F.sqrt(
+        ((F.col("n1") - 1) * F.col("v1") + (F.col("n0") - 1) * F.col("v0"))
+        / (F.col("n1") + F.col("n0") - 2)
+    )
+    j = F.lit(1.0) - 3.0 / (4.0 * (F.col("n1") + F.col("n0")) - 9.0)
+    g = d * j
+    se = (
+        F.sqrt(
+            (F.col("n1") + F.col("n0")).cast("double")
+            / (F.col("n1").cast("double") * F.col("n0"))
+            + g * g / (2.0 * (F.col("n1") + F.col("n0")))
+        )
+        * j
+    )
+    return p.select(
+        "n1",
+        "n0",
+        F.round(F.col("m1") - F.col("m0"), 6).alias("mean_diff"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(g, 6).alias("hedges_g"),
+        F.round(se, 6).alias("se_g"),
+        F.round(g - 1.959964 * se, 6).alias("ci_lo"),
+        F.round(g + 1.959964 * se, 6).alias("ci_hi"),
+    )

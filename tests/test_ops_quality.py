@@ -4894,3 +4894,157 @@ def test_fingerprint_uniformity_matches_bruteforce(spark):
         for i, u in enumerate(skew, start=1)
     )
     assert (-n - s2 / n) > 2.492
+
+
+def test_kfold_paired_ttest_matches_bruteforce(spark):
+    """x442: replay fold-wise tie-corrected AUCs and the paired t in
+    pure Python; invariants: AUC in [0,1], the t is identical on
+    every output row, stop-ratio AUC beats TTR AUC on this corpus
+    (the en signal is real)."""
+    import math
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.ops.text import LANG_STOPWORDS
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x442_kfold_paired_ttest,
+    )
+
+    stop = set(LANG_STOPWORDS["en"])
+    rows = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+
+    def auc(pairs):  # [(score, y)]
+        bys = defaultdict(lambda: [0, 0])
+        for s, y in pairs:
+            bys[s][0] += 1
+            bys[s][1] += y
+        cum = 0
+        r2 = 0
+        n1 = sum(v[1] for v in bys.values())
+        n0 = sum(v[0] - v[1] for v in bys.values())
+        for s in sorted(bys):
+            n, pos = bys[s]
+            r2 += pos * (2 * cum + n + 1)
+            cum += n
+        return (r2 / 2 - n1 * (n1 + 1) / 2) / (n1 * n0)
+
+    folds = defaultdict(lambda: ([], []))
+    for r in rows:
+        toks = r["text"].lower().split(" ")
+        sa = int(
+            math.floor(
+                _round_hu(sum(t in stop for t in toks) / len(toks), 4)
+                * 10000
+                + 0.5
+            )
+        )
+        sb = int(
+            math.floor(
+                _round_hu(len(set(toks)) / len(toks), 4) * 10000 + 0.5
+            )
+        )
+        y = int(r["lang"] == "en")
+        f = r["doc_id"] % 5
+        folds[f][0].append((sa, y))
+        folds[f][1].append((sb, y))
+    diffs = {}
+    aucs = {}
+    for f, (pa, pb) in folds.items():
+        aa, ab = auc(pa), auc(pb)
+        aucs[f] = (aa, ab)
+        diffs[f] = _round_hu(aa - ab, 10)
+    k = len(diffs)
+    sd1 = sum(_round_hu(d, 10) for d in diffs.values())
+    sd2 = sum(_round_hu(d * d, 12) for d in diffs.values())
+    mean = sd1 / k
+    sd = math.sqrt((sd2 - sd1 * sd1 / k) / (k - 1))
+    t = mean / (sd / math.sqrt(k))
+    got = {r["fold"]: r for r in x442_kfold_paired_ttest(spark, SF).collect()}
+    assert set(got) == set(folds)
+    for f in folds:
+        r = got[f]
+        assert abs(r["auc_a"] - _round_hu(aucs[f][0], 6)) < 1e-9
+        assert abs(r["auc_b"] - _round_hu(aucs[f][1], 6)) < 1e-9
+        assert 0.0 <= r["auc_a"] <= 1.0 and 0.0 <= r["auc_b"] <= 1.0
+        assert abs(r["t_stat"] - _round_hu(t, 4)) < 1e-9
+        assert r["reject_5pct"] == (abs(t) > 2.776445)
+
+
+def test_ratio_delta_ci_matches_bruteforce(spark):
+    """x443: replay the delta-method se from per-user moments; the
+    naive se must differ from the delta se (the covariance term is
+    real on this data), and the CI must bracket the ratio."""
+    import math
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x443_ratio_delta_ci,
+    )
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_type", "value")
+        .collect()
+    )
+    yc = defaultdict(int)
+    x = defaultdict(int)
+    users = set()
+    for r in ev:
+        users.add(r["user_id"])
+        if r["event_type"] == "purchase":
+            yc[r["user_id"]] += int(_round_hu(r["value"] * 100, 0))
+        elif r["event_type"] == "click":
+            x[r["user_id"]] += 1
+    n = len(users)
+    ys = [yc[u] / 100 for u in users]
+    xs = [x[u] for u in users]
+    my, mx = sum(ys) / n, sum(xs) / n
+    vy = (sum(v * v for v in ys) - sum(ys) ** 2 / n) / (n - 1)
+    vx = (sum(v * v for v in xs) - sum(xs) ** 2 / n) / (n - 1)
+    cxy = (
+        sum(a * b for a, b in zip(ys, xs)) - sum(ys) * sum(xs) / n
+    ) / (n - 1)
+    ratio = my / mx
+    se_d = math.sqrt((vy - 2 * ratio * cxy + ratio * ratio * vx) / n) / mx
+    se_n = math.sqrt(vy / n) / mx
+    r = x443_ratio_delta_ci(spark, SF).collect()[0]
+    assert r["n_users"] == n
+    assert abs(r["ratio"] - _round_hu(ratio, 6)) < 1e-6
+    assert abs(r["se_delta"] - _round_hu(se_d, 6)) < 1e-6
+    assert abs(r["se_naive"] - _round_hu(se_n, 6)) < 1e-6
+    assert r["se_delta"] != r["se_naive"]
+    assert r["ci_lo"] < r["ratio"] < r["ci_hi"]
+
+
+def test_hedges_g_matches_bruteforce(spark):
+    """x444: replay d, J, g, se; invariants: |g| < |d| (the correction
+    shrinks), CI brackets g, sign(g) == sign(mean diff)."""
+    import math
+
+    from poc_parquet_publisher_spark.queries.extensions import x444_hedges_g
+
+    ev = load_table(spark, SF, "events").select("user_id", "value").collect()
+    arm = {1: [], 0: []}
+    for r in ev:
+        arm[int(r["user_id"] % 2 == 0)].append(
+            int(_round_hu(r["value"] * 100, 0))
+        )
+    n1, n0 = len(arm[1]), len(arm[0])
+    m1, m0 = sum(arm[1]) / n1 / 100, sum(arm[0]) / n0 / 100
+    v1 = (sum(v * v for v in arm[1]) - sum(arm[1]) ** 2 / n1) / (n1 - 1) / 10000
+    v0 = (sum(v * v for v in arm[0]) - sum(arm[0]) ** 2 / n0) / (n0 - 1) / 10000
+    d = (m1 - m0) / math.sqrt(((n1 - 1) * v1 + (n0 - 1) * v0) / (n1 + n0 - 2))
+    j = 1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0)
+    g = d * j
+    se = math.sqrt((n1 + n0) / (n1 * n0) + g * g / (2.0 * (n1 + n0))) * j
+    r = x444_hedges_g(spark, SF).collect()[0]
+    assert (r["n1"], r["n0"]) == (n1, n0)
+    assert abs(r["cohens_d"] - _round_hu(d, 6)) < 1e-9
+    assert abs(r["hedges_g"] - _round_hu(g, 6)) < 1e-9
+    assert abs(r["se_g"] - _round_hu(se, 6)) < 1e-9
+    assert abs(r["hedges_g"]) < abs(r["cohens_d"]) or r["cohens_d"] == 0
+    assert r["ci_lo"] < r["hedges_g"] < r["ci_hi"]
+    assert (r["hedges_g"] > 0) == (r["mean_diff"] > 0)
