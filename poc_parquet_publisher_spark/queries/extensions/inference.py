@@ -2159,3 +2159,580 @@ def x444_hedges_g(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(g - 1.959964 * se, 6).alias("ci_lo"),
         F.round(g + 1.959964 * se, 6).alias("ci_hi"),
     )
+
+
+_X445_ORACLE = """
+WITH e AS (
+  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS grp,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events WHERE event_type IN ('click', 'error')
+),
+dom AS (
+  SELECT vc, grp, CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+),
+tot AS (
+  SELECT vc,
+         CAST(SUM(n) AS BIGINT) AS n_all
+  FROM dom GROUP BY 1
+),
+comb AS (
+  SELECT vc,
+         CAST(2 * (SUM(n_all) OVER (ORDER BY vc) - n_all) + n_all + 1
+           AS BIGINT) AS a2  -- 2x combined midrank
+  FROM tot
+),
+within AS (
+  SELECT vc, grp, n,
+         CAST(2 * (SUM(n) OVER (PARTITION BY grp ORDER BY vc) - n)
+              + n + 1 AS BIGINT) AS b2  -- 2x within-group midrank
+  FROM dom
+),
+sizes AS (
+  SELECT grp, CAST(SUM(n) AS BIGINT) AS ng FROM dom GROUP BY 1
+),
+means AS (
+  SELECT w.grp,
+         CAST(SUM(w.n * c.a2) AS BIGINT) AS sa2,
+         max(s.ng) AS ng
+  FROM within w JOIN comb c USING (vc) JOIN sizes s ON s.grp = w.grp
+  GROUP BY 1
+),
+m AS (
+  SELECT grp, ng, CAST(sa2 AS DOUBLE) / (2.0 * ng) AS mbar FROM means
+),
+vparts AS (
+  SELECT w.grp,
+         CAST(SUM(CAST(ROUND(w.n * ((c.a2 - w.b2) / 2.0
+                 - m.mbar + (m.ng + 1) / 2.0)
+               * ((c.a2 - w.b2) / 2.0 - m.mbar + (m.ng + 1) / 2.0),
+               8) AS DECIMAL(28,8))) AS DOUBLE)
+           / (max(m.ng) - 1) AS s2,
+         max(m.ng) AS ng, max(m.mbar) AS mbar
+  FROM within w JOIN comb c USING (vc) JOIN m ON m.grp = w.grp
+  GROUP BY 1
+),
+fin AS (
+  SELECT g1.ng AS n_click, g0.ng AS n_error,
+         (g1.mbar - (g1.ng + 1) / 2.0) / g0.ng AS p_hat,
+         CAST(g1.ng AS DOUBLE) * g0.ng * (g1.mbar - g0.mbar)
+           / ((g1.ng + g0.ng)
+              * SQRT(g1.ng * g1.s2 + g0.ng * g0.s2)) AS w,
+         (g1.ng * g1.s2 + g0.ng * g0.s2)
+           * (g1.ng * g1.s2 + g0.ng * g0.s2)
+           / ((g1.ng * g1.s2) * (g1.ng * g1.s2) / (g1.ng - 1)
+              + (g0.ng * g0.s2) * (g0.ng * g0.s2) / (g0.ng - 1)) AS df
+  FROM (SELECT * FROM vparts WHERE grp = 1) g1
+  CROSS JOIN (SELECT * FROM vparts WHERE grp = 0) g0
+)
+SELECT n_click, n_error,
+       ROUND(p_hat, 6) AS p_hat,
+       ROUND(w, 4) AS w_stat,
+       ROUND(df, 2) AS df,
+       ABS(w) > 1.959964 AS reject_5pct_normal
+FROM fin
+"""
+
+
+@register(
+    "x445_brunner_munzel",
+    _X445_ORACLE,
+    doc="Brunner-Munzel rank test for P(click value > error value) "
+        "!= 1/2 -- the robust two-sample TEST completing the trio: "
+        "x286's Welch assumes normal-ish means, x400's Cliff's delta "
+        "is the effect size with no inference, BM tests the "
+        "stochastic-superiority hypothesis WITHOUT equal-variance or "
+        "shape assumptions (the recommended replacement for "
+        "Mann-Whitney under heteroscedasticity). Everything derives "
+        "from the bounded cent-value domain: combined and "
+        "within-group midranks as x2-scaled INTEGERS (2*cum+n+1) off "
+        "one (value, group) groupBy, variance terms round-8 into "
+        "DECIMAL, Satterthwaite df emitted, reject at the normal "
+        "approximation (|W| > z_{0.975}; exact small-sample BM needs "
+        "a permutation engine). Scale: one pass to the value domain; "
+        "windows ride it; no row-level ranking anywhere",
+)
+def x445_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    e = ev.select(
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+            "grp"
+        ),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    dom = e.groupBy("vc", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=False)
+    tot = dom.groupBy("vc").agg(F.sum("n").cast("long").alias("n_all"))
+    w_all = Window.orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    comb = tot.select(
+        "vc",
+        (
+            2 * (F.sum("n_all").over(w_all) - F.col("n_all"))
+            + F.col("n_all")
+            + 1
+        )
+        .cast("long")
+        .alias("a2"),
+    )
+    w_g = (
+        Window.partitionBy("grp")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = dom.select(
+        "vc",
+        "grp",
+        "n",
+        (2 * (F.sum("n").over(w_g) - F.col("n")) + F.col("n") + 1)
+        .cast("long")
+        .alias("b2"),
+    )
+    sizes = dom.groupBy("grp").agg(F.sum("n").cast("long").alias("ng"))
+    j = within.join(F.broadcast(comb), "vc").join(
+        F.broadcast(sizes), "grp"
+    )
+    means = j.groupBy("grp").agg(
+        (
+            F.sum(F.col("n") * F.col("a2")).cast("double")
+            / (F.lit(2.0) * F.max("ng"))
+        ).alias("mbar"),
+        F.max("ng").alias("ng"),
+    )
+    dev = (F.col("a2") - F.col("b2")) / F.lit(2.0) - F.col("mbar") + (
+        F.col("ng") + 1
+    ) / F.lit(2.0)
+    vparts = (
+        j.join(F.broadcast(means.select("grp", "mbar")), "grp")
+        .select(
+            "grp",
+            "ng",
+            "mbar",
+            F.round(F.col("n") * dev * dev, 8)
+            .cast("decimal(28,8)")
+            .alias("term"),
+        )
+        .groupBy("grp")
+        .agg(
+            (
+                F.sum("term").cast("double") / (F.max("ng") - 1)
+            ).alias("s2"),
+            F.max("ng").alias("ng"),
+            F.max("mbar").alias("mbar"),
+        )
+    )
+    g1 = vparts.filter(F.col("grp") == 1).select(
+        F.col("ng").alias("n1"),
+        F.col("s2").alias("s21"),
+        F.col("mbar").alias("m1"),
+    )
+    g0 = vparts.filter(F.col("grp") == 0).select(
+        F.col("ng").alias("n0"),
+        F.col("s2").alias("s20"),
+        F.col("mbar").alias("m0"),
+    )
+    wstat = (
+        F.col("n1").cast("double")
+        * F.col("n0")
+        * (F.col("m1") - F.col("m0"))
+        / (
+            (F.col("n1") + F.col("n0"))
+            * F.sqrt(
+                F.col("n1") * F.col("s21") + F.col("n0") * F.col("s20")
+            )
+        )
+    )
+    num = F.col("n1") * F.col("s21") + F.col("n0") * F.col("s20")
+    df = (
+        num
+        * num
+        / (
+            (F.col("n1") * F.col("s21"))
+            * (F.col("n1") * F.col("s21"))
+            / (F.col("n1") - 1)
+            + (F.col("n0") * F.col("s20"))
+            * (F.col("n0") * F.col("s20"))
+            / (F.col("n0") - 1)
+        )
+    )
+    return g1.crossJoin(F.broadcast(g0)).select(
+        F.col("n1").alias("n_click"),
+        F.col("n0").alias("n_error"),
+        F.round(
+            (F.col("m1") - (F.col("n1") + 1) / F.lit(2.0)) / F.col("n0"),
+            6,
+        ).alias("p_hat"),
+        F.round(wstat, 4).alias("w_stat"),
+        F.round(df, 2).alias("df"),
+        (F.abs(wstat) > 1.959964).alias("reject_5pct_normal"),
+    )
+
+
+_X446_ORACLE = """
+WITH ev AS (
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+arms AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n, CAST(SUM(vc) AS BIGINT) AS sv
+  FROM ev GROUP BY 1
+),
+g AS (
+  SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM arms) AS n,
+         (SELECT n FROM arms WHERE t = 1) AS n1,
+         (SELECT n FROM arms WHERE t = 0) AS n0,
+         (SELECT CAST(sv AS DOUBLE) / n FROM arms WHERE t = 1) AS mu1,
+         (SELECT CAST(sv AS DOUBLE) / n FROM arms WHERE t = 0) AS mu0
+),
+usr AS (
+  SELECT user_id, max(t) AS t,
+         CAST(count(*) AS BIGINT) AS nc,
+         CAST(SUM(vc) AS BIGINT) AS svc
+  FROM ev GROUP BY 1
+),
+parts AS (
+  SELECT u.t,
+         -- cluster score sum: x-tilde_c * sum of residuals in c,
+         -- x-tilde = t - n1/n
+         (CASE WHEN u.t = 1 THEN 1.0 - CAST(g.n1 AS DOUBLE) / g.n
+               ELSE -CAST(g.n1 AS DOUBLE) / g.n END)
+           * (u.svc - u.nc * (CASE WHEN u.t = 1 THEN g.mu1
+                                   ELSE g.mu0 END)) AS sc
+  FROM usr u CROSS JOIN g
+),
+agg AS (
+  SELECT CAST(SUM(CAST(ROUND(sc * sc, 6) AS DECIMAL(38,6))) AS DOUBLE)
+           AS meat,
+         CAST(count(*) AS BIGINT) AS n_clusters
+  FROM parts
+),
+resid AS (
+  -- event-level residual variance for the NAIVE (iid) se
+  SELECT CAST(SUM(CAST(ROUND(
+           (e.vc - CASE WHEN e.t = 1 THEN g.mu1 ELSE g.mu0 END)
+           * (e.vc - CASE WHEN e.t = 1 THEN g.mu1 ELSE g.mu0 END), 6)
+           AS DECIMAL(38,6))) AS DOUBLE) AS sse
+  FROM ev e CROSS JOIN g
+),
+fin AS (
+  SELECT g.n, g.n1, g.n0, a.n_clusters,
+         (g.mu1 - g.mu0) / 100 AS effect,
+         -- bread: sum x-tilde^2 = n1*n0/n
+         a.meat / ((CAST(g.n1 AS DOUBLE) * g.n0 / g.n)
+                   * (CAST(g.n1 AS DOUBLE) * g.n0 / g.n)) / 10000
+           AS var_cr0,
+         r.sse / (g.n - 2) / (CAST(g.n1 AS DOUBLE) * g.n0 / g.n) / 10000
+           AS var_naive
+  FROM g CROSS JOIN agg a CROSS JOIN resid r
+)
+SELECT n AS n_events, n_clusters,
+       ROUND(effect, 6) AS effect,
+       ROUND(SQRT(var_naive), 6) AS se_naive,
+       ROUND(SQRT(var_cr0), 6) AS se_cr0,
+       ROUND(SQRT(var_cr0 * (CAST(n_clusters AS DOUBLE)
+             / (n_clusters - 1)) * ((CAST(n AS DOUBLE) - 1) / (n - 2))),
+             6) AS se_cr1,
+       ROUND(SQRT(var_cr0) / SQRT(var_naive), 4) AS se_inflation
+FROM fin
+"""
+
+
+@register(
+    "x446_cluster_robust_se",
+    _X446_ORACLE,
+    doc="cluster-robust standard errors for the event-level treatment "
+        "effect with USERS as clusters: treatment is assigned per "
+        "user, so a user's events share shocks and the iid se is "
+        "anticonservative -- the single most common false-positive "
+        "generator in event-grain A/B readouts. Sandwich CR0 from "
+        "per-cluster score sums (x-tilde_c * sum of residuals, "
+        "closed form because the regressor is a two-level dummy: "
+        "bread = n1*n0/n), CR1 small-sample scaling, and the naive "
+        "se beside them so the INFLATION factor is the headline "
+        "column (x443 handles ratio metrics, x320 jackknifes -- "
+        "this is the regression-grain fix). Exactness: arm means "
+        "from exact cent sums; squared score terms round-6 into "
+        "DECIMAL(38,6). Scale: one event pass + one user groupBy + "
+        "1-row algebra",
+)
+def x446_cluster_robust_se(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    ).localCheckpoint(eager=False)
+    arms = ev.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vc").cast("long").alias("sv"),
+    )
+    a1 = arms.filter(F.col("t") == 1).select(
+        F.col("n").alias("n1"),
+        (F.col("sv").cast("double") / F.col("n")).alias("mu1"),
+    )
+    a0 = arms.filter(F.col("t") == 0).select(
+        F.col("n").alias("n0"),
+        (F.col("sv").cast("double") / F.col("n")).alias("mu0"),
+    )
+    g = (
+        a1.crossJoin(F.broadcast(a0))
+        .select(
+            (F.col("n1") + F.col("n0")).alias("n"),
+            "n1",
+            "n0",
+            "mu1",
+            "mu0",
+        )
+    )
+    usr = ev.groupBy("user_id").agg(
+        F.max("t").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("nc"),
+        F.sum("vc").cast("long").alias("svc"),
+    )
+    xt = F.when(
+        F.col("t") == 1,
+        F.lit(1.0) - F.col("n1").cast("double") / F.col("n"),
+    ).otherwise(-F.col("n1").cast("double") / F.col("n"))
+    mu_c = F.when(F.col("t") == 1, F.col("mu1")).otherwise(F.col("mu0"))
+    sc = xt * (F.col("svc") - F.col("nc") * mu_c)
+    agg = (
+        usr.crossJoin(F.broadcast(g))
+        .select(
+            F.round(sc * sc, 6).cast("decimal(38,6)").alias("term")
+        )
+        .agg(
+            F.sum("term").cast("double").alias("meat"),
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        )
+    )
+    mu_e = F.when(F.col("t") == 1, F.col("mu1")).otherwise(F.col("mu0"))
+    resid = (
+        ev.crossJoin(F.broadcast(g))
+        .select(
+            F.round(
+                (F.col("vc") - mu_e) * (F.col("vc") - mu_e), 6
+            )
+            .cast("decimal(38,6)")
+            .alias("term")
+        )
+        .agg(F.sum("term").cast("double").alias("sse"))
+    )
+    bread = F.col("n1").cast("double") * F.col("n0") / F.col("n")
+    var_cr0 = F.col("meat") / (bread * bread) / 10000
+    var_naive = F.col("sse") / (F.col("n") - 2) / bread / 10000
+    cr1 = var_cr0 * (
+        F.col("n_clusters").cast("double") / (F.col("n_clusters") - 1)
+    ) * ((F.col("n").cast("double") - 1) / (F.col("n") - 2))
+    return (
+        g.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(resid))
+        .select(
+            F.col("n").alias("n_events"),
+            "n_clusters",
+            F.round((F.col("mu1") - F.col("mu0")) / 100, 6).alias(
+                "effect"
+            ),
+            F.round(F.sqrt(var_naive), 6).alias("se_naive"),
+            F.round(F.sqrt(var_cr0), 6).alias("se_cr0"),
+            F.round(F.sqrt(cr1), 6).alias("se_cr1"),
+            F.round(F.sqrt(var_cr0) / F.sqrt(var_naive), 4).alias(
+                "se_inflation"
+            ),
+        )
+    )
+
+
+_X447_ORACLE = """
+WITH tot AS (
+  SELECT CAST(max(doc_id) + 1 AS BIGINT) AS nn FROM documents
+),
+tok AS (
+  SELECT CAST(d.doc_id * 10 // t.nn AS BIGINT) AS b,
+         unnest(list_transform(
+           range(1, len(string_split(lower(d.text), ' ')) - 1),
+           i -> array_to_string(
+                  (string_split(lower(d.text), ' '))[i:i+2], ' ')
+         )) AS w
+  FROM documents d CROSS JOIN tot t
+  WHERE len(string_split(lower(d.text), ' ')) >= 3
+),
+firstb AS (
+  SELECT w, CAST(MIN(b) AS BIGINT) AS fb FROM tok GROUP BY 1
+),
+newv AS (
+  SELECT fb AS b, CAST(count(*) AS BIGINT) AS new_types
+  FROM firstb GROUP BY 1
+),
+cnt AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS toks FROM tok GROUP BY 1
+),
+pts AS (
+  SELECT c.b,
+         CAST(SUM(c.toks) OVER (ORDER BY c.b) AS BIGINT) AS n_cum,
+         CAST(SUM(COALESCE(v.new_types, 0)) OVER (ORDER BY c.b)
+           AS BIGINT) AS v_cum
+  FROM cnt c LEFT JOIN newv v ON v.b = c.b
+),
+lg AS (
+  SELECT b, n_cum, v_cum,
+         CAST(ROUND(LN(CAST(n_cum AS DOUBLE)), 12) AS DECIMAL(28,12))
+           AS lx,
+         CAST(ROUND(LN(CAST(v_cum AS DOUBLE)), 12) AS DECIMAL(28,12))
+           AS ly,
+         CAST(ROUND(LN(CAST(n_cum AS DOUBLE))
+                    * LN(CAST(v_cum AS DOUBLE)), 12)
+           AS DECIMAL(28,12)) AS lxy,
+         CAST(ROUND(LN(CAST(n_cum AS DOUBLE))
+                    * LN(CAST(n_cum AS DOUBLE)), 12)
+           AS DECIMAL(28,12)) AS lxx,
+         CAST(ROUND(LN(CAST(v_cum AS DOUBLE))
+                    * LN(CAST(v_cum AS DOUBLE)), 12)
+           AS DECIMAL(28,12)) AS lyy
+  FROM pts
+),
+fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(SUM(lx) AS DOUBLE) AS sx, CAST(SUM(ly) AS DOUBLE) AS sy,
+         CAST(SUM(lxy) AS DOUBLE) AS sxy,
+         CAST(SUM(lxx) AS DOUBLE) AS sxx,
+         CAST(SUM(lyy) AS DOUBLE) AS syy
+  FROM lg
+),
+co AS (
+  SELECT k,
+         (sxy - sx * sy / k) / (sxx - sx * sx / k) AS beta,
+         (sy - (sxy - sx * sy / k) / (sxx - sx * sx / k) * sx) / k
+           AS alpha,
+         (sxy - sx * sy / k) * (sxy - sx * sy / k)
+           / ((sxx - sx * sx / k) * (syy - sy * sy / k)) AS r2
+  FROM fit
+)
+SELECT p.b AS batch, p.n_cum AS n_tokens_cum, p.v_cum AS v_types_cum,
+       ROUND(co.beta, 6) AS heaps_beta,
+       ROUND(EXP(co.alpha), 4) AS heaps_k,
+       ROUND(co.r2, 6) AS r_squared
+FROM pts p CROSS JOIN co ORDER BY p.b
+"""
+
+
+@register(
+    "x447_heaps_law_fit",
+    _X447_ORACLE,
+    doc="Heaps'-law scaling fit on the 3-token SHINGLE vocabulary: "
+        "V(n) ~ K*n^beta by closed-form log-log OLS over the 10 "
+        "cumulative arrival-ordered corpus prefixes (doc_id decile "
+        "batches) -- x86 plots the growth CURVE, x326 estimates the "
+        "asymptote; this fits the SCALING LAW that extrapolates how "
+        "much new content 10x more of the source buys, and because "
+        "distinct shingles ARE what x295's near-dup index stores, "
+        "beta directly forecasts that index's storage growth. "
+        "Shingles, not tokens: the synthetic corpus composes from "
+        "only 31 distinct words (token-level V saturates in batch 0 "
+        "-- measured, beta exactly 0), while the shingle space grows "
+        "combinatorially like real vocabulary. Exactness: type "
+        "counts by exact first-batch attribution (x440's MIN trick), "
+        "log moments round-12 into DECIMAL pre-sum, OLS is "
+        "fixed-order 1-row algebra. Scale: one shingle groupBy "
+        "(map-side partial agg) + 10-point batch-domain algebra",
+)
+def x447_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.agg((F.max("doc_id") + 1).cast("long").alias("nn"))
+    toks = F.split(F.lower("text"), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    tok = (
+        docs.filter(F.size(toks) >= 3)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("doc_id") * 10 / F.col("nn")).cast("long").alias("b"),
+            F.explode(shingles).alias("w"),
+        )
+    )
+    firstb = tok.groupBy("w").agg(F.min("b").cast("long").alias("fb"))
+    newv = firstb.groupBy(F.col("fb").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_types")
+    )
+    cnt = tok.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("toks")
+    )
+    w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pts = (
+        cnt.join(newv, "b", "left")
+        .select(
+            "b",
+            F.sum("toks").over(w).cast("long").alias("n_cum"),
+            F.sum(F.coalesce("new_types", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("v_cum"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lx = F.log(F.col("n_cum").cast("double"))
+    ly = F.log(F.col("v_cum").cast("double"))
+    lg = pts.select(
+        F.round(lx, 12).cast("decimal(28,12)").alias("lx"),
+        F.round(ly, 12).cast("decimal(28,12)").alias("ly"),
+        F.round(lx * ly, 12).cast("decimal(28,12)").alias("lxy"),
+        F.round(lx * lx, 12).cast("decimal(28,12)").alias("lxx"),
+        F.round(ly * ly, 12).cast("decimal(28,12)").alias("lyy"),
+    )
+    fit = lg.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("lx").cast("double").alias("sx"),
+        F.sum("ly").cast("double").alias("sy"),
+        F.sum("lxy").cast("double").alias("sxy"),
+        F.sum("lxx").cast("double").alias("sxx"),
+        F.sum("lyy").cast("double").alias("syy"),
+    )
+    beta = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("k")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("k")
+    )
+    alpha = (F.col("sy") - beta * F.col("sx")) / F.col("k")
+    r2 = (
+        (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("k"))
+        * (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("k"))
+        / (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("k"))
+            * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("k"))
+        )
+    )
+    co = fit.select(
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp(alpha), 4).alias("heaps_k"),
+        F.round(r2, 6).alias("r_squared"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(co))
+        .select(
+            F.col("b").alias("batch"),
+            F.col("n_cum").alias("n_tokens_cum"),
+            F.col("v_cum").alias("v_types_cum"),
+            "heaps_beta",
+            "heaps_k",
+            "r_squared",
+        )
+        .orderBy("batch")
+    )

@@ -5048,3 +5048,173 @@ def test_hedges_g_matches_bruteforce(spark):
     assert abs(r["hedges_g"]) < abs(r["cohens_d"]) or r["cohens_d"] == 0
     assert r["ci_lo"] < r["hedges_g"] < r["ci_hi"]
     assert (r["hedges_g"] > 0) == (r["mean_diff"] > 0)
+
+
+def test_brunner_munzel_matches_scipy_formula(spark):
+    """x445: replay BM via the scipy formulation (midranks computed
+    from raw values); invariants: p_hat in [0,1] and p_hat relates
+    to the W sign (p_hat > 1/2 iff clicks stochastically larger
+    iff W > 0)."""
+    import math
+    from collections import Counter
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x445_brunner_munzel,
+    )
+
+    rows = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type").isin("click", "error"))
+        .select("event_type", "value")
+        .collect()
+    )
+    g = {1: [], 0: []}
+    for r in rows:
+        g[int(r["event_type"] == "click")].append(
+            int(_round_hu(r["value"] * 100, 0))
+        )
+
+    def midranks(vals, pool):
+        cnt = Counter(pool)
+        cum = {}
+        run = 0
+        for v in sorted(cnt):
+            cum[v] = run + (cnt[v] + 1) / 2
+            run += cnt[v]
+        return [cum[v] for v in vals]
+
+    both = g[1] + g[0]
+    rc1 = midranks(g[1], both)
+    rc0 = midranks(g[0], both)
+    rw1 = midranks(g[1], g[1])
+    rw0 = midranks(g[0], g[0])
+    n1, n0 = len(g[1]), len(g[0])
+    m1, m0 = sum(rc1) / n1, sum(rc0) / n0
+    s21 = sum(
+        _round_hu((a - b - m1 + (n1 + 1) / 2) ** 2, 8)
+        for a, b in zip(rc1, rw1)
+    ) / (n1 - 1)
+    s20 = sum(
+        _round_hu((a - b - m0 + (n0 + 1) / 2) ** 2, 8)
+        for a, b in zip(rc0, rw0)
+    ) / (n0 - 1)
+    wstat = n1 * n0 * (m1 - m0) / ((n1 + n0) * math.sqrt(n1 * s21 + n0 * s20))
+    num = n1 * s21 + n0 * s20
+    df = num * num / (
+        (n1 * s21) ** 2 / (n1 - 1) + (n0 * s20) ** 2 / (n0 - 1)
+    )
+    p_hat = (m1 - (n1 + 1) / 2) / n0
+    r = x445_brunner_munzel(spark, SF).collect()[0]
+    assert (r["n_click"], r["n_error"]) == (n1, n0)
+    assert abs(r["p_hat"] - _round_hu(p_hat, 6)) < 1e-9
+    assert abs(r["w_stat"] - _round_hu(wstat, 4)) < 1e-9
+    assert abs(r["df"] - _round_hu(df, 2)) < 1e-9
+    assert 0.0 <= r["p_hat"] <= 1.0
+    assert (r["p_hat"] > 0.5) == (r["w_stat"] > 0)
+
+
+def test_cluster_robust_se_matches_bruteforce(spark):
+    """x446: replay the sandwich from per-user score sums; invariant:
+    with per-user treatment and within-user correlation the CR se
+    must INFLATE over the naive one, and CR1 > CR0."""
+    import math
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x446_cluster_robust_se,
+    )
+
+    rows = (
+        load_table(spark, SF, "events").select("user_id", "value").collect()
+    )
+    ev = [
+        (r["user_id"], int(r["user_id"] % 2 == 0), int(_round_hu(r["value"] * 100, 0)))
+        for r in rows
+    ]
+    n = len(ev)
+    n1 = sum(1 for _u, t, _v in ev if t)
+    n0 = n - n1
+    mu1 = sum(v for _u, t, v in ev if t) / n1
+    mu0 = sum(v for _u, t, v in ev if not t) / n0
+    per_user = defaultdict(lambda: [0, 0, 0])
+    for u, t, v in ev:
+        a = per_user[u]
+        a[0] = t
+        a[1] += 1
+        a[2] += v
+    meat = 0.0
+    for t, nc, sv in per_user.values():
+        xt = (1 - n1 / n) if t else (-n1 / n)
+        mu = mu1 if t else mu0
+        meat += _round_hu((xt * (sv - nc * mu)) ** 2, 6)
+    bread = n1 * n0 / n
+    var_cr0 = meat / bread**2 / 10000
+    sse = sum(
+        _round_hu((v - (mu1 if t else mu0)) ** 2, 6) for _u, t, v in ev
+    )
+    var_naive = sse / (n - 2) / bread / 10000
+    G = len(per_user)
+    var_cr1 = var_cr0 * (G / (G - 1)) * ((n - 1) / (n - 2))
+    r = x446_cluster_robust_se(spark, SF).collect()[0]
+    assert (r["n_events"], r["n_clusters"]) == (n, G)
+    assert abs(r["effect"] - _round_hu((mu1 - mu0) / 100, 6)) < 1e-9
+    assert abs(r["se_naive"] - _round_hu(math.sqrt(var_naive), 6)) < 1e-9
+    assert abs(r["se_cr0"] - _round_hu(math.sqrt(var_cr0), 6)) < 1e-9
+    assert abs(r["se_cr1"] - _round_hu(math.sqrt(var_cr1), 6)) < 1e-9
+    assert r["se_cr1"] > r["se_cr0"]
+
+
+def test_heaps_law_fit_matches_bruteforce(spark):
+    """x447: replay the prefix vocabulary counts and the log-log OLS;
+    invariants: beta in (0, 1) (vocabulary grows sublinearly), R^2
+    near 1 on a power-law-ish corpus, v_cum monotone."""
+    import math
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x447_heaps_law_fit,
+    )
+
+    rows = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    nn = max(r["doc_id"] for r in rows) + 1
+    first = {}
+    toks_per = defaultdict(int)
+    for r in rows:
+        b = r["doc_id"] * 10 // nn
+        toks = r["text"].lower().split(" ")
+        for i in range(len(toks) - 2):
+            w = " ".join(toks[i : i + 3])
+            toks_per[b] += 1
+            if w not in first or first[w] > b:
+                first[w] = b
+    newv = defaultdict(int)
+    for b in first.values():
+        newv[b] += 1
+    pts = []
+    ncum = vcum = 0
+    for b in sorted(toks_per):
+        ncum += toks_per[b]
+        vcum += newv[b]
+        pts.append((b, ncum, vcum))
+    k = len(pts)
+    sx = sum(_round_hu(math.log(p[1]), 12) for p in pts)
+    sy = sum(_round_hu(math.log(p[2]), 12) for p in pts)
+    sxy = sum(_round_hu(math.log(p[1]) * math.log(p[2]), 12) for p in pts)
+    sxx = sum(_round_hu(math.log(p[1]) ** 2, 12) for p in pts)
+    syy = sum(_round_hu(math.log(p[2]) ** 2, 12) for p in pts)
+    beta = (sxy - sx * sy / k) / (sxx - sx * sx / k)
+    alpha = (sy - beta * sx) / k
+    r2 = (sxy - sx * sy / k) ** 2 / ((sxx - sx * sx / k) * (syy - sy * sy / k))
+    got = {r["batch"]: r for r in x447_heaps_law_fit(spark, SF).collect()}
+    assert set(got) == {p[0] for p in pts}
+    prev_v = 0
+    for b, ncum, vcum in pts:
+        r = got[b]
+        assert (r["n_tokens_cum"], r["v_types_cum"]) == (ncum, vcum)
+        assert abs(r["heaps_beta"] - _round_hu(beta, 6)) < 1e-9
+        assert abs(r["heaps_k"] - _round_hu(math.exp(alpha), 4)) < 1e-9
+        assert abs(r["r_squared"] - _round_hu(r2, 6)) < 1e-9
+        assert r["v_types_cum"] >= prev_v
+        prev_v = r["v_types_cum"]
+    assert 0.0 < got[0]["heaps_beta"] < 1.0
+    assert got[0]["r_squared"] > 0.9
