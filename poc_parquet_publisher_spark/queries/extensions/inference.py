@@ -2736,3 +2736,419 @@ def x447_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch")
     )
+
+
+_X448_ORACLE = """
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), t0 AS MATERIALIZED (
+  SELECT e.u AS a, e.v AS b, e2.v AS c
+  FROM e0 e JOIN e0 e2 ON e.v = e2.u JOIN e0 e3
+    ON e.u = e3.u AND e2.v = e3.v
+), s0 AS MATERIALIZED (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS supp FROM (
+    SELECT a AS u, b AS v FROM t0
+    UNION ALL SELECT b AS u, c AS v FROM t0
+    UNION ALL SELECT a AS u, c AS v FROM t0
+  ) GROUP BY 1, 2
+), e1 AS MATERIALIZED (
+  SELECT e.u, e.v FROM e0 e JOIN s0 s ON s.u = e.u AND s.v = e.v
+  WHERE s.supp >= 1
+), t1 AS MATERIALIZED (
+  SELECT e.u AS a, e.v AS b, e2.v AS c
+  FROM e1 e JOIN e1 e2 ON e.v = e2.u JOIN e1 e3
+    ON e.u = e3.u AND e2.v = e3.v
+), s1 AS MATERIALIZED (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS supp FROM (
+    SELECT a AS u, b AS v FROM t1
+    UNION ALL SELECT b AS u, c AS v FROM t1
+    UNION ALL SELECT a AS u, c AS v FROM t1
+  ) GROUP BY 1, 2
+), e2_ AS MATERIALIZED (
+  SELECT e.u, e.v FROM e1 e JOIN s1 s ON s.u = e.u AND s.v = e.v
+  WHERE s.supp >= 1
+), t2 AS MATERIALIZED (
+  SELECT e.u AS a, e.v AS b, e2.v AS c
+  FROM e2_ e JOIN e2_ e2 ON e.v = e2.u JOIN e2_ e3
+    ON e.u = e3.u AND e2.v = e3.v
+), s2 AS MATERIALIZED (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS supp FROM (
+    SELECT a AS u, b AS v FROM t2
+    UNION ALL SELECT b AS u, c AS v FROM t2
+    UNION ALL SELECT a AS u, c AS v FROM t2
+  ) GROUP BY 1, 2
+), e3_ AS MATERIALIZED (
+  SELECT e.u, e.v FROM e2_ e JOIN s2 s ON s.u = e.u AND s.v = e.v
+  WHERE s.supp >= 1
+)
+SELECT * FROM (
+  SELECT 0 AS round,
+         (SELECT CAST(count(*) AS BIGINT) FROM e0) AS edges_in,
+         (SELECT CAST(count(*) AS BIGINT) FROM t0) AS triangles,
+         (SELECT CAST(count(*) AS BIGINT) FROM e1) AS edges_kept
+  UNION ALL
+  SELECT 1,
+         (SELECT CAST(count(*) AS BIGINT) FROM e1),
+         (SELECT CAST(count(*) AS BIGINT) FROM t1),
+         (SELECT CAST(count(*) AS BIGINT) FROM e2_)
+  UNION ALL
+  SELECT 2,
+         (SELECT CAST(count(*) AS BIGINT) FROM e2_),
+         (SELECT CAST(count(*) AS BIGINT) FROM t2),
+         (SELECT CAST(count(*) AS BIGINT) FROM e3_)
+) ORDER BY round
+"""
+
+
+@register(
+    "x448_ktruss",
+    _X448_ORACLE,
+    doc="3-truss peeling on the co-purchase graph (x210's edges: part "
+        "pairs sharing >= 2 orders, u < v): three unrolled rounds of "
+        "'count each edge's triangle support, drop edges outside any "
+        "triangle' -- at this graph's density the peel CONVERGES "
+        "inside the window (round 1 == round 2, the maximal 3-truss; "
+        "a 4-truss threshold empties it, measured) -- the COHESION filter between x210 (counts "
+        "triangles) and x243 (k-core: degree-based, keeps hub-and-"
+        "spoke noise a truss rejects because truss membership needs "
+        "TRIANGLES, the structure dedup-cluster cores and community "
+        "seeds actually live in). Fixed-depth iteration with "
+        "localCheckpoint per round (x104's bounded-lineage "
+        "contract); oracle is chained AS MATERIALIZED CTEs (the "
+        "k-core re-inline defense). Per round: edges in, triangles "
+        "found, edges kept. Scale: triangles from two self-joins of "
+        "the u<v edge list (never node-grouped adjacency blowup); "
+        "support via a x3 UNION of triangle projections + one "
+        "groupBy",
+)
+def x448_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    e = (
+        items.join(b, items["l_orderkey"] == b["k"])
+        .filter(F.col("l_partkey") < F.col("pb"))
+        .groupBy(
+            F.col("l_partkey").alias("u"), F.col("pb").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    rows = []
+    for rnd in range(3):
+        e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
+        e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+        tri = (
+            e.join(e2, e["v"] == e2["b2"])
+            .join(e3, (e["u"] == e3["a3"]) & (e2["c2"] == e3["c3"]))
+            .select(
+                F.col("u").alias("a"),
+                F.col("v").alias("b"),
+                F.col("c2").alias("c"),
+            )
+            .localCheckpoint()
+        )
+        supp = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionAll(
+                tri.select(F.col("b").alias("u"), F.col("c").alias("v"))
+            )
+            .unionAll(
+                tri.select(F.col("a").alias("u"), F.col("c").alias("v"))
+            )
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).cast("long").alias("supp"))
+        )
+        kept = (
+            e.join(supp, ["u", "v"])
+            .filter(F.col("supp") >= 1)
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        rows.append(
+            (
+                rnd,
+                e.count(),
+                tri.count(),
+                kept.count(),
+            )
+        )
+        e = kept
+    return spark.createDataFrame(
+        rows,
+        "round int, edges_in bigint, triangles bigint, edges_kept bigint",
+    ).orderBy("round")
+
+
+_X449_ORACLE = """
+WITH w AS (
+  SELECT source,
+         CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+           AS tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS wt FROM w),
+q AS (
+  SELECT w.source, w.tokens,
+         CAST(10007 * w.tokens // t.wt AS BIGINT) AS base_quota,
+         CAST(10007 * w.tokens - (10007 * w.tokens // t.wt) * t.wt
+           AS BIGINT) AS rem_num,
+         ROUND(10007.0 * w.tokens / t.wt, 6) AS exact_quota
+  FROM w CROSS JOIN tot t
+),
+lo AS (
+  SELECT CAST(10007 - SUM(base_quota) AS BIGINT) AS leftover FROM q
+),
+r AS (
+  SELECT q.*,
+         CAST(row_number() OVER (ORDER BY q.rem_num DESC, q.source)
+           AS BIGINT) AS remainder_rank
+  FROM q
+)
+SELECT r.source, r.tokens, r.exact_quota, r.base_quota,
+       r.remainder_rank,
+       CASE WHEN r.remainder_rank <= l.leftover THEN true
+            ELSE false END AS got_extra,
+       r.base_quota + CASE WHEN r.remainder_rank <= l.leftover
+                           THEN 1 ELSE 0 END AS final_quota
+FROM r CROSS JOIN lo l
+ORDER BY r.source
+"""
+
+
+@register(
+    "x449_hamilton_apportionment",
+    _X449_ORACLE,
+    doc="Hamilton (largest-remainder) apportionment of a 10007-unit "
+        "sampling budget across the 20 sources, proportional to "
+        "token mass: floor quotas, then the leftover units go to the "
+        "largest remainders -- the INTEGER allocation step every "
+        "fractional budget design in the registry stops short of "
+        "(x33 computes per-lang budgets, x362 UniMax caps, x325 "
+        "Neyman allocates variance-optimally -- all emit REALS; a "
+        "sampler needs whole documents, and naive per-source "
+        "rounding mis-totals the budget). FULLY integer-exact: base "
+        "= B*w div W and remainder = B*w - base*W are BIGINT ops, so "
+        "the remainder ranking has no float ties; quota property "
+        "|final - exact| < 1 and sum(final) = B are pinned in the "
+        "replay test. Scale: one source groupBy + 20-row domain "
+        "window",
+)
+def x449_hamilton_apportionment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.lower("text"), " ")))
+        .cast("long")
+        .alias("tokens")
+    )
+    tot = w.agg(F.sum("tokens").cast("long").alias("wt"))
+    B = F.lit(10007)
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        (B * F.col("tokens") / F.col("wt")).cast("long").alias(
+            "base_quota"
+        ),
+        (
+            B * F.col("tokens")
+            - (B * F.col("tokens") / F.col("wt")).cast("long")
+            * F.col("wt")
+        )
+        .cast("long")
+        .alias("rem_num"),
+        F.round(
+            F.lit(10007.0) * F.col("tokens") / F.col("wt"), 6
+        ).alias("exact_quota"),
+    ).localCheckpoint(eager=False)
+    lo = q.agg(
+        (F.lit(10007) - F.sum("base_quota")).cast("long").alias(
+            "leftover"
+        )
+    )
+    wr = Window.orderBy(F.desc("rem_num"), "source")
+    r = q.select(
+        "source",
+        "tokens",
+        "exact_quota",
+        "base_quota",
+        F.row_number().over(wr).cast("long").alias("remainder_rank"),
+        "rem_num",
+    )
+    return (
+        r.crossJoin(F.broadcast(lo))
+        .select(
+            "source",
+            "tokens",
+            "exact_quota",
+            "base_quota",
+            "remainder_rank",
+            (F.col("remainder_rank") <= F.col("leftover")).alias(
+                "got_extra"
+            ),
+            (
+                F.col("base_quota")
+                + F.when(
+                    F.col("remainder_rank") <= F.col("leftover"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("final_quota"),
+        )
+        .orderBy("source")
+    )
+
+
+_X450_ORACLE = """
+WITH e AS (
+  SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+dom AS (
+  SELECT vc, g, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2
+),
+tot AS (SELECT vc, CAST(SUM(n) AS BIGINT) AS n_all FROM dom GROUP BY 1),
+comb AS (
+  SELECT vc,
+         CAST(2 * (SUM(n_all) OVER (ORDER BY vc) - n_all) + n_all + 1
+           AS BIGINT) AS a2
+  FROM tot
+),
+nn AS (SELECT CAST(SUM(n_all) AS BIGINT) AS n FROM tot),
+ties AS (
+  SELECT CAST(SUM(n_all * n_all * n_all - n_all) AS BIGINT) AS t3
+  FROM tot
+),
+m AS (
+  SELECT d.g, CAST(SUM(d.n) AS BIGINT) AS ng,
+         CAST(SUM(d.n * c.a2) AS BIGINT) AS sa2
+  FROM dom d JOIN comb c USING (vc) GROUP BY 1
+),
+mb AS (
+  SELECT g, ng, CAST(sa2 AS DOUBLE) / (2.0 * ng) AS mbar FROM m
+),
+pairs AS (
+  SELECT i.g AS group_a, j.g AS group_b,
+         i.ng AS n_a, j.ng AS n_b,
+         (i.mbar - j.mbar)
+           / SQRT((CAST(n.n AS DOUBLE) * (n.n + 1) / 12.0
+                   - CAST(t.t3 AS DOUBLE) / (12.0 * (n.n - 1)))
+                  * (1.0 / i.ng + 1.0 / j.ng)) AS z
+  FROM mb i JOIN mb j ON i.g < j.g
+  CROSS JOIN nn n CROSS JOIN ties t
+)
+SELECT group_a, group_b, n_a, n_b,
+       ROUND(z, 4) AS z_stat,
+       ABS(z) > 2.807034 AS reject_bonferroni_5pct
+FROM pairs ORDER BY group_a, group_b
+"""
+
+
+@register(
+    "x450_dunn_posthoc",
+    _X450_ORACLE,
+    doc="Dunn's post-hoc test: after x363's Kruskal-Wallis says 'the "
+        "five event types' value distributions are not all equal', "
+        "Dunn says WHICH pairs differ -- pairwise z on mean combined "
+        "midranks with the tie-corrected KW variance (N(N+1)/12 - "
+        "sum(t^3-t)/(12(N-1))), Bonferroni-adjusted for the 10 "
+        "pairs (|z| > z_{1-0.05/20} = 2.807) -- the multiple-"
+        "comparisons discipline x399 applies to p-value LISTS, "
+        "built into the test itself. Midranks are x2-scaled "
+        "integers off the bounded cent-value domain (x445's trick), "
+        "tie correction is an exact BIGINT sum, each z one "
+        "fixed-order double expression. Scale: one pass to the "
+        "(value, group) domain; the pair fan-out is 10 rows",
+)
+def x450_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    dom = e.groupBy("vc", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=False)
+    tot = dom.groupBy("vc").agg(F.sum("n").cast("long").alias("n_all"))
+    w_all = Window.orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    comb = tot.select(
+        "vc",
+        (
+            2 * (F.sum("n_all").over(w_all) - F.col("n_all"))
+            + F.col("n_all")
+            + 1
+        )
+        .cast("long")
+        .alias("a2"),
+    )
+    nn = tot.agg(F.sum("n_all").cast("long").alias("n"))
+    ties = tot.agg(
+        F.sum(
+            F.col("n_all") * F.col("n_all") * F.col("n_all")
+            - F.col("n_all")
+        )
+        .cast("long")
+        .alias("t3")
+    )
+    m = (
+        dom.join(F.broadcast(comb), "vc")
+        .groupBy("g")
+        .agg(
+            F.sum("n").cast("long").alias("ng"),
+            F.sum(F.col("n") * F.col("a2")).cast("long").alias("sa2"),
+        )
+    )
+    mb = m.select(
+        "g",
+        "ng",
+        (F.col("sa2").cast("double") / (F.lit(2.0) * F.col("ng"))).alias(
+            "mbar"
+        ),
+    )
+    mi = mb.select(
+        F.col("g").alias("group_a"),
+        F.col("ng").alias("n_a"),
+        F.col("mbar").alias("mbar_a"),
+    )
+    mj = mb.select(
+        F.col("g").alias("group_b"),
+        F.col("ng").alias("n_b"),
+        F.col("mbar").alias("mbar_b"),
+    )
+    z = (F.col("mbar_a") - F.col("mbar_b")) / F.sqrt(
+        (
+            F.col("n").cast("double") * (F.col("n") + 1) / 12.0
+            - F.col("t3").cast("double") / (12.0 * (F.col("n") - 1))
+        )
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return (
+        mi.join(mj, F.col("group_a") < F.col("group_b"))
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            F.round(z, 4).alias("z_stat"),
+            (F.abs(z) > 2.807034).alias("reject_bonferroni_5pct"),
+        )
+        .orderBy("group_a", "group_b")
+    )

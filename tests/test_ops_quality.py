@@ -5218,3 +5218,147 @@ def test_heaps_law_fit_matches_bruteforce(spark):
         prev_v = r["v_types_cum"]
     assert 0.0 < got[0]["heaps_beta"] < 1.0
     assert got[0]["r_squared"] > 0.9
+
+
+def test_ktruss_matches_bruteforce(spark):
+    """x448: replay the 3-round peel on a networkx-free pure-Python
+    triangle counter; invariants: edges_kept <= edges_in each round,
+    every kept edge sits in >= 1 triangle of its round's graph, and
+    the peel is monotone (edge sets shrink)."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import x448_ktruss
+
+    rows = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    orders = defaultdict(set)
+    for r in rows:
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    pair_n = defaultdict(int)
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_n[(ps[i], ps[j])] += 1
+    edges = {p for p, n in pair_n.items() if n >= 2}
+
+    def peel(e):
+        eset = set(e)
+        adj = defaultdict(set)
+        for u, v in eset:
+            adj[u].add(v)
+        tris = []
+        for u, v in eset:
+            for c in adj[v]:
+                if (u, c) in eset:
+                    tris.append((u, v, c))
+        supp = defaultdict(int)
+        for a, b, c in tris:
+            supp[(a, b)] += 1
+            supp[(b, c)] += 1
+            supp[(a, c)] += 1
+        kept = {p for p in eset if supp[p] >= 1}
+        return len(tris), kept
+
+    got = {r["round"]: r for r in x448_ktruss(spark, SF).collect()}
+    cur = edges
+    for rnd in range(3):
+        tris, kept = peel(cur)
+        r = got[rnd]
+        assert r["edges_in"] == len(cur)
+        assert r["triangles"] == tris
+        assert r["edges_kept"] == len(kept)
+        assert len(kept) <= len(cur)
+        cur = kept
+
+
+def test_hamilton_apportionment_properties(spark):
+    """x449: replay the integer allocation; pinned properties: the
+    final quotas sum EXACTLY to the budget, every source satisfies
+    quota (|final - exact| < 1), and extras go to the largest
+    remainders."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x449_hamilton_apportionment,
+    )
+
+    rows = (
+        load_table(spark, SF, "documents").select("source", "text").collect()
+    )
+    from collections import defaultdict
+
+    w = defaultdict(int)
+    for r in rows:
+        w[r["source"]] += len(r["text"].lower().split(" "))
+    W = sum(w.values())
+    B = 10007
+    base = {s: B * t // W for s, t in w.items()}
+    rem = {s: B * w[s] - base[s] * W for s in w}
+    leftover = B - sum(base.values())
+    order = sorted(w, key=lambda s: (-rem[s], s))
+    extra = set(order[:leftover])
+    got = {
+        r["source"]: r
+        for r in x449_hamilton_apportionment(spark, SF).collect()
+    }
+    assert set(got) == set(w)
+    total = 0
+    for s in w:
+        r = got[s]
+        assert r["tokens"] == w[s]
+        assert r["base_quota"] == base[s]
+        assert r["got_extra"] == (s in extra)
+        assert r["final_quota"] == base[s] + (s in extra)
+        exact = B * w[s] / W
+        assert abs(r["final_quota"] - exact) < 1.0
+        total += r["final_quota"]
+    assert total == B
+
+
+def test_dunn_posthoc_matches_bruteforce(spark):
+    """x450: replay pairwise Dunn z from raw midranks; invariants:
+    z antisymmetry is absorbed by the a<b pairing, and the pair set
+    is all C(5,2)=10 type pairs."""
+    import math
+    from collections import Counter, defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x450_dunn_posthoc,
+    )
+
+    rows = (
+        load_table(spark, SF, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    vals = defaultdict(list)
+    for r in rows:
+        vals[r["event_type"]].append(int(_round_hu(r["value"] * 100, 0)))
+    pool = [v for g in vals.values() for v in g]
+    cnt = Counter(pool)
+    cum = {}
+    run = 0
+    for v in sorted(cnt):
+        cum[v] = run + (cnt[v] + 1) / 2
+        run += cnt[v]
+    n = len(pool)
+    t3 = sum(c**3 - c for c in cnt.values())
+    var_base = n * (n + 1) / 12.0 - t3 / (12.0 * (n - 1))
+    mbar = {g: sum(cum[v] for v in vs) / len(vs) for g, vs in vals.items()}
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in x450_dunn_posthoc(spark, SF).collect()
+    }
+    gs = sorted(vals)
+    expect_pairs = {(a, b) for i, a in enumerate(gs) for b in gs[i + 1:]}
+    assert set(got) == expect_pairs
+    for (a, b), r in got.items():
+        z = (mbar[a] - mbar[b]) / math.sqrt(
+            var_base * (1 / len(vals[a]) + 1 / len(vals[b]))
+        )
+        assert (r["n_a"], r["n_b"]) == (len(vals[a]), len(vals[b]))
+        assert abs(r["z_stat"] - _round_hu(z, 4)) < 1e-9
+        assert r["reject_bonferroni_5pct"] == (abs(z) > 2.807034)
