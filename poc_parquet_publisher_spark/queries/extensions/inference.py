@@ -3152,3 +3152,466 @@ def x450_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_a", "group_b")
     )
+
+
+_X452_ORACLE = """
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, y,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+           AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS k
+  FROM d
+),
+lagd AS (
+  SELECT event_type, day, y, i, k,
+         LAG(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7
+  FROM idx
+),
+terms AS (
+  SELECT event_type,
+         CASE WHEN i > k - 6 THEN 1 ELSE 0 END AS is_test,
+         CASE WHEN y7 IS NOT NULL THEN ABS(y - y7) END AS ae,
+         CASE WHEN y7 IS NOT NULL THEN
+           CAST(ROUND(2.0 * ABS(y - y7) / (ABS(y) + ABS(y7)), 10)
+             AS DECIMAL(28,10)) END AS sm
+  FROM lagd
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN is_test = 0 THEN CASE WHEN ae IS NOT NULL
+                   THEN 1 ELSE 0 END ELSE 0 END) AS BIGINT)
+           AS n_train_naive,
+         CAST(SUM(CASE WHEN is_test = 0 AND ae IS NOT NULL
+                   THEN ae ELSE 0 END) AS BIGINT) AS sae_train,
+         CAST(SUM(CASE WHEN is_test = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_test,
+         CAST(SUM(CASE WHEN is_test = 1 THEN ae ELSE 0 END) AS BIGINT)
+           AS sae_test,
+         CAST(SUM(CASE WHEN is_test = 1 THEN sm END) AS DOUBLE)
+           AS ssm_test
+  FROM terms GROUP BY 1
+)
+SELECT event_type, n_train_naive, n_test,
+       ROUND(CAST(sae_test AS DOUBLE) / n_test, 4) AS mae_test,
+       ROUND((CAST(sae_test AS DOUBLE) / n_test)
+             / (CAST(sae_train AS DOUBLE) / n_train_naive), 6) AS mase,
+       ROUND(ssm_test / n_test, 6) AS smape
+FROM agg ORDER BY event_type
+"""
+
+
+@register(
+    "x452_mase_backtest",
+    _X452_ORACLE,
+    doc="seasonal-naive forecast backtest with MASE: per event type, "
+        "hold out the LAST 6 days, forecast each day as the actual 7 "
+        "days earlier, and score MAE / sMAPE / MASE (test MAE scaled "
+        "by the TRAIN seasonal-naive MAE -- Hyndman's scale-free "
+        "metric, comparable ACROSS series where x207's WMAPE is "
+        "not; MASE > 1 means 'worse than the naive you could have "
+        "shipped', the go/no-go line every forecast deploy needs). "
+        "Exactness: daily counts are exact BIGINTs, absolute errors "
+        "are integer sums, sMAPE terms round-10 into DECIMAL; day "
+        "index via a per-type window over the bounded day domain. "
+        "Scale: one (type, day) groupBy, then day-domain windows",
+)
+def x452_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts").cast("timestamp")))
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    wk = Window.partitionBy("event_type")
+    lagd = d.select(
+        "event_type",
+        "y",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count(F.lit(1)).over(wk).cast("long").alias("k"),
+        F.lag("y", 7).over(w).alias("y7"),
+    )
+    ae = F.when(
+        F.col("y7").isNotNull(), F.abs(F.col("y") - F.col("y7"))
+    )
+    sm = F.when(
+        F.col("y7").isNotNull(),
+        F.round(
+            F.lit(2.0)
+            * F.abs(F.col("y") - F.col("y7"))
+            / (F.abs(F.col("y")) + F.abs(F.col("y7"))),
+            10,
+        ).cast("decimal(28,10)"),
+    )
+    terms = lagd.select(
+        "event_type",
+        F.when(F.col("i") > F.col("k") - 6, 1).otherwise(0).alias(
+            "is_test"
+        ),
+        ae.alias("ae"),
+        sm.alias("sm"),
+    )
+    agg = terms.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                (F.col("is_test") == 0) & F.col("ae").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_train_naive"),
+        F.sum(
+            F.when(
+                (F.col("is_test") == 0) & F.col("ae").isNotNull(),
+                F.col("ae"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("sae_train"),
+        F.sum(F.col("is_test")).cast("long").alias("n_test"),
+        F.sum(
+            F.when(F.col("is_test") == 1, F.col("ae")).otherwise(0)
+        )
+        .cast("long")
+        .alias("sae_test"),
+        F.sum(F.when(F.col("is_test") == 1, F.col("sm")))
+        .cast("double")
+        .alias("ssm_test"),
+    )
+    return agg.select(
+        "event_type",
+        "n_train_naive",
+        "n_test",
+        F.round(
+            F.col("sae_test").cast("double") / F.col("n_test"), 4
+        ).alias("mae_test"),
+        F.round(
+            (F.col("sae_test").cast("double") / F.col("n_test"))
+            / (
+                F.col("sae_train").cast("double")
+                / F.col("n_train_naive")
+            ),
+            6,
+        ).alias("mase"),
+        F.round(F.col("ssm_test") / F.col("n_test"), 6).alias("smape"),
+    ).orderBy("event_type")
+
+
+_X453_ORACLE = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT day, y,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+  FROM d
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM idx
+),
+cum AS (
+  SELECT day, i,
+         CAST(SUM(y) OVER (ORDER BY i) AS BIGINT) AS cs
+  FROM idx
+),
+cand AS (
+  SELECT c.day, c.i AS n_left, t.k - c.i AS n_right,
+         CAST(c.cs AS DOUBLE) / c.i AS mean_l,
+         CAST(t.sy - c.cs AS DOUBLE) / (t.k - c.i) AS mean_r,
+         -- SSB for a 2-segment split
+         c.i * (CAST(c.cs AS DOUBLE) / c.i - CAST(t.sy AS DOUBLE) / t.k)
+             * (CAST(c.cs AS DOUBLE) / c.i - CAST(t.sy AS DOUBLE) / t.k)
+         + (t.k - c.i)
+             * (CAST(t.sy - c.cs AS DOUBLE) / (t.k - c.i)
+                - CAST(t.sy AS DOUBLE) / t.k)
+             * (CAST(t.sy - c.cs AS DOUBLE) / (t.k - c.i)
+                - CAST(t.sy AS DOUBLE) / t.k) AS ssb,
+         CAST(t.syy AS DOUBLE)
+           - CAST(t.sy AS DOUBLE) * t.sy / t.k AS sst,
+         t.k
+  FROM cum c CROSS JOIN tot t
+  WHERE c.i < t.k
+),
+f AS (
+  SELECT day, n_left, n_right, mean_l, mean_r,
+         ROUND(ssb / ((sst - ssb) / (k - 2)), 6) AS f_stat
+  FROM cand
+),
+best AS (SELECT MAX(f_stat) AS mf FROM f)
+SELECT f.day AS split_after_day, f.n_left, f.n_right,
+       ROUND(f.mean_l, 4) AS mean_left,
+       ROUND(f.mean_r, 4) AS mean_right,
+       ROUND(f.f_stat, 4) AS f_stat
+FROM f CROSS JOIN best b
+WHERE f.f_stat = b.mf
+ORDER BY f.day LIMIT 1
+"""
+
+
+@register(
+    "x453_binary_segmentation",
+    _X453_ORACLE,
+    doc="binary-segmentation changepoint LOCALIZATION of the daily "
+        "event-count series: evaluate every candidate split, pick "
+        "the one maximizing the 2-segment F statistic "
+        "(SSB/(SSW/(k-2))), emit the split day with both segment "
+        "means -- x289's CUSUM DETECTS 'something drifted', this "
+        "answers WHEN and BY HOW MUCH, the first recursion of the "
+        "standard binary-segmentation tree and the triage step "
+        "between a drift alarm and a root-cause window. Exactness: "
+        "all moments exact BIGINTs, per-split SSB/F in fixed-order "
+        "doubles rounded to 6 BEFORE the argmax so the tie-broken "
+        "winner (min day) is engine-identical. Scale: one day "
+        "groupBy; every split evaluated from ONE cumulative-sum "
+        "window over the bounded day domain -- O(days), not "
+        "O(days^2)",
+)
+def x453_binary_segmentation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts").cast("timestamp")))
+        .alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = Window.orderBy("day")
+    idx = d.select(
+        "day", "y", F.row_number().over(w).cast("long").alias("i")
+    )
+    tot = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    wc = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = idx.select(
+        "day", "i", F.sum("y").over(wc).cast("long").alias("cs")
+    )
+    mean_l = F.col("cs").cast("double") / F.col("i")
+    mean_r = (F.col("sy") - F.col("cs")).cast("double") / (
+        F.col("k") - F.col("i")
+    )
+    gmean = F.col("sy").cast("double") / F.col("k")
+    ssb = F.col("i") * (mean_l - gmean) * (mean_l - gmean) + (
+        F.col("k") - F.col("i")
+    ) * (mean_r - gmean) * (mean_r - gmean)
+    sst = F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy") / F.col("k")
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("i") < F.col("k"))
+        .select(
+            "day",
+            F.col("i").alias("n_left"),
+            (F.col("k") - F.col("i")).alias("n_right"),
+            mean_l.alias("mean_l"),
+            mean_r.alias("mean_r"),
+            F.round(
+                ssb / ((sst - ssb) / (F.col("k") - 2)), 6
+            ).alias("f_stat"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    best = cand.agg(F.max("f_stat").alias("mf"))
+    return (
+        cand.crossJoin(F.broadcast(best))
+        .filter(F.col("f_stat") == F.col("mf"))
+        .select(
+            F.col("day").alias("split_after_day"),
+            "n_left",
+            "n_right",
+            F.round("mean_l", 4).alias("mean_left"),
+            F.round("mean_r", 4).alias("mean_right"),
+            F.round("f_stat", 4).alias("f_stat"),
+        )
+        .orderBy("split_after_day")
+        .limit(1)
+    )
+
+
+_X454_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           AS BIGINT)
+         + 2 * CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+           END) AS BIGINT)
+         + 4 * CAST(MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+           END) AS BIGINT) AS mask,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS conv
+  FROM events GROUP BY 1
+),
+bym AS (
+  SELECT mask, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS c
+  FROM u GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nu FROM bym),
+subsets AS (SELECT unnest(range(0, 8)) AS s),
+v AS (
+  -- coalition worth: conversions among users whose exposure set is
+  -- contained in S, as a rate over ALL users
+  SELECT s.s,
+         CAST(COALESCE(SUM(CASE WHEN (b.mask & ~CAST(s.s AS BIGINT))
+                = 0 THEN b.c END), 0) AS DOUBLE) / t.nu AS val
+  FROM subsets s CROSS JOIN tot t LEFT JOIN bym b ON TRUE
+  GROUP BY s.s, t.nu
+),
+chan AS (
+  SELECT * FROM (VALUES ('view', 1), ('click', 2), ('signup', 4))
+    AS c(channel, bit)
+),
+phi AS (
+  SELECT c.channel,
+         SUM(CASE
+               -- |S|!(3-|S|-1)!/3! weights for S not containing i:
+               -- |S|=0 -> 2/6, |S|=1 -> 1/6, |S|=2 -> 2/6
+               WHEN (v1.s & c.bit) = 0 THEN
+                 (CASE bit_count(CAST(v1.s AS BIGINT))
+                    WHEN 0 THEN 2.0 WHEN 1 THEN 1.0 ELSE 2.0 END / 6.0)
+                 * (v2.val - v1.val)
+             END) AS shapley
+  FROM chan c
+  JOIN v v1 ON (v1.s & c.bit) = 0
+  JOIN v v2 ON v2.s = v1.s + c.bit
+  GROUP BY 1
+),
+full_v AS (SELECT val FROM v WHERE s = 7),
+base_v AS (SELECT val FROM v WHERE s = 0)
+SELECT p.channel,
+       ROUND(p.shapley, 6) AS shapley_credit,
+       ROUND(p.shapley / NULLIF(f.val - b.val, 0), 6) AS credit_share
+FROM phi p CROSS JOIN full_v f CROSS JOIN base_v b
+ORDER BY p.channel
+"""
+
+
+@register(
+    "x454_shapley_attribution",
+    _X454_ORACLE,
+    doc="exact Shapley-value conversion attribution over the three "
+        "touch channels (view/click/signup): coalition worth v(S) = "
+        "share of users converting whose exposure set fits inside S, "
+        "credit phi_i = sum over S of |S|!(2-|S|)!/3! * (v(S+i) - "
+        "v(S)) -- the GAME-THEORETIC credit x366's linear/first/"
+        "last heuristics approximate, exactly enumerable here "
+        "because 3 channels = 8 coalitions (the reason industry "
+        "Shapley attribution caps channel count). Efficiency axiom "
+        "pinned in the replay test: credits sum to v(full) - "
+        "v(empty), and credit_share normalizes by it. Exactness: "
+        "per-user exposure bitmask + conversion flag off ONE user "
+        "groupBy, worths from exact subset-sum counts over the "
+        "8-row mask domain, Shapley weights as rational literals. "
+        "Scale: one user groupBy; everything after is 8x8 domain "
+        "algebra",
+)
+def x454_shapley_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            )
+            + 2
+            * F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            + 4
+            * F.max(
+                F.when(F.col("event_type") == "signup", 1).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv"),
+    )
+    bym = u.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("c"),
+    ).localCheckpoint(eager=False)
+    tot = bym.agg(F.sum("n").cast("long").alias("nu"))
+    subsets = spark.range(0, 8).select(F.col("id").alias("s"))
+    v = (
+        F.broadcast(subsets)
+        .crossJoin(F.broadcast(tot))
+        .join(
+            bym,
+            (F.col("mask").bitwiseAND(F.bitwise_not(F.col("s").cast("long"))) == 0),
+            "left",
+        )
+        .groupBy("s", "nu")
+        .agg(
+            (
+                F.coalesce(F.sum("c"), F.lit(0)).cast("double")
+                / F.col("nu")
+            ).alias("val")
+        )
+        .select("s", "val")
+        .localCheckpoint(eager=False)
+    )
+    chan = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 4)],
+        "channel string, bit long",
+    )
+    v1 = v.select(F.col("s").alias("s1"), F.col("val").alias("val1"))
+    v2 = v.select(F.col("s").alias("s2"), F.col("val").alias("val2"))
+    weight = (
+        F.when(F.bit_count(F.col("s1")) == 0, F.lit(2.0))
+        .when(F.bit_count(F.col("s1")) == 1, F.lit(1.0))
+        .otherwise(F.lit(2.0))
+        / 6.0
+    )
+    phi = (
+        F.broadcast(chan)
+        .join(v1, F.col("s1").bitwiseAND(F.col("bit")) == 0)
+        .join(v2, F.col("s2") == F.col("s1") + F.col("bit"))
+        .groupBy("channel")
+        .agg(
+            F.sum(weight * (F.col("val2") - F.col("val1"))).alias(
+                "shapley"
+            )
+        )
+    )
+    full_v = v.filter(F.col("s") == 7).select(
+        F.col("val").alias("vf")
+    )
+    base_v = v.filter(F.col("s") == 0).select(
+        F.col("val").alias("vb")
+    )
+    return (
+        phi.crossJoin(F.broadcast(full_v))
+        .crossJoin(F.broadcast(base_v))
+        .select(
+            "channel",
+            F.round("shapley", 6).alias("shapley_credit"),
+            F.round(
+                F.col("shapley")
+                / F.nullif(F.col("vf") - F.col("vb"), F.lit(0.0)),
+                6,
+            ).alias("credit_share"),
+        )
+        .orderBy("channel")
+    )

@@ -5362,3 +5362,141 @@ def test_dunn_posthoc_matches_bruteforce(spark):
         assert (r["n_a"], r["n_b"]) == (len(vals[a]), len(vals[b]))
         assert abs(r["z_stat"] - _round_hu(z, 4)) < 1e-9
         assert r["reject_bonferroni_5pct"] == (abs(z) > 2.807034)
+
+
+def test_mase_backtest_matches_bruteforce(spark):
+    """x452: replay the seasonal-naive backtest; invariants: exactly
+    6 test days per type, MASE positive, and sMAPE in [0, 2]."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x452_mase_backtest,
+    )
+
+    rows = load_table(spark, SF, "events").select("event_type", "ts").collect()
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        daily[r["event_type"]][r["ts"].date()] += 1
+    got = {r["event_type"]: r for r in x452_mase_backtest(spark, SF).collect()}
+    assert set(got) == set(daily)
+    for et, bydays in daily.items():
+        days = sorted(bydays)
+        ys = [bydays[d] for d in days]
+        k = len(ys)
+        ae = [
+            (i, abs(ys[i] - ys[i - 7]))
+            for i in range(7, k)
+        ]
+        train = [(i, a) for i, a in ae if i < k - 6]
+        test = [(i, a) for i, a in ae if i >= k - 6]
+        sm = [
+            _round_hu(
+                2.0 * abs(ys[i] - ys[i - 7]) / (abs(ys[i]) + abs(ys[i - 7])),
+                10,
+            )
+            for i in range(k - 6, k)
+        ]
+        r = got[et]
+        assert r["n_test"] == 6 and len(test) == 6
+        assert r["n_train_naive"] == len(train)
+        mae_test = sum(a for _i, a in test) / 6
+        mae_train = sum(a for _i, a in train) / len(train)
+        assert abs(r["mae_test"] - _round_hu(mae_test, 4)) < 1e-9
+        assert abs(r["mase"] - _round_hu(mae_test / mae_train, 6)) < 1e-9
+        assert abs(r["smape"] - _round_hu(sum(sm) / 6, 6)) < 1e-9
+        assert r["mase"] > 0 and 0 <= r["smape"] <= 2
+
+
+def test_binary_segmentation_matches_bruteforce(spark):
+    """x453: brute-force every split in Python and confirm the argmax
+    (min-day ties) and segment means; invariant: the chosen F is the
+    max over all splits."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x453_binary_segmentation,
+    )
+
+    rows = load_table(spark, SF, "events").select("ts").collect()
+    byday = defaultdict(int)
+    for r in rows:
+        byday[r["ts"].date()] += 1
+    days = sorted(byday)
+    ys = [byday[d] for d in days]
+    k = len(ys)
+    sy, syy = sum(ys), sum(v * v for v in ys)
+    sst = syy - sy * sy / k
+    best = None
+    for i in range(1, k):
+        cs = sum(ys[:i])
+        ml, mr, gm = cs / i, (sy - cs) / (k - i), sy / k
+        ssb = i * (ml - gm) ** 2 + (k - i) * (mr - gm) ** 2
+        f = _round_hu(ssb / ((sst - ssb) / (k - 2)), 6)
+        if best is None or f > best[0]:
+            best = (f, days[i - 1], i, ml, mr)
+    r = x453_binary_segmentation(spark, SF).collect()[0]
+    assert r["split_after_day"] == best[1]
+    assert r["n_left"] == best[2]
+    assert abs(r["mean_left"] - _round_hu(best[3], 4)) < 1e-9
+    assert abs(r["mean_right"] - _round_hu(best[4], 4)) < 1e-9
+    assert abs(r["f_stat"] - _round_hu(best[0], 4)) < 1e-9
+
+
+def test_shapley_attribution_axioms(spark):
+    """x454: replay the exact 3-player Shapley from coalition worths;
+    pinned axioms: EFFICIENCY (credits sum to v(full) - v(empty))
+    and SYMMETRY-free sanity (each credit finite)."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x454_shapley_attribution,
+    )
+
+    rows = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    bit = {"view": 1, "click": 2, "signup": 4}
+    mask = defaultdict(int)
+    conv = defaultdict(int)
+    for r in rows:
+        if r["event_type"] in bit:
+            mask[r["user_id"]] |= bit[r["event_type"]]
+        elif r["event_type"] == "purchase":
+            conv[r["user_id"]] = 1
+        else:
+            mask[r["user_id"]] |= 0
+    users = set(r["user_id"] for r in rows)
+    nu = len(users)
+
+    def v(S):
+        return (
+            sum(conv.get(u, 0) for u in users if mask.get(u, 0) & ~S == 0)
+            / nu
+        )
+
+    import math
+
+    weights = {0: 2 / 6, 1: 1 / 6, 2: 2 / 6}
+    phi = {}
+    for ch, b in bit.items():
+        tot = 0.0
+        for S in range(8):
+            if S & b:
+                continue
+            tot += weights[bin(S).count("1")] * (v(S | b) - v(S))
+        phi[ch] = tot
+    got = {r["channel"]: r for r in x454_shapley_attribution(spark, SF).collect()}
+    assert set(got) == set(bit)
+    span = v(7) - v(0)
+    share_sum = 0.0
+    for ch in bit:
+        r = got[ch]
+        assert abs(r["shapley_credit"] - _round_hu(phi[ch], 6)) < 1e-9
+        assert math.isfinite(r["shapley_credit"])
+        if span:
+            share_sum += r["credit_share"]
+    assert abs(sum(phi.values()) - span) < 1e-12  # efficiency axiom
+    if span:
+        assert abs(share_sum - 1.0) < 1e-4
