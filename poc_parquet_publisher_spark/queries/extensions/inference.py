@@ -3615,3 +3615,612 @@ def x454_shapley_attribution(
         )
         .orderBy("channel")
     )
+
+
+_X451_ORACLE = """
+WITH e AS (
+  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS grp,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events WHERE event_type IN ('click', 'error')
+),
+dom AS (
+  SELECT grp, vc, CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, vc, n,
+         CAST(SUM(n) OVER (PARTITION BY grp ORDER BY vc) AS BIGINT)
+           AS cn,
+         CAST(SUM(n * vc) OVER (PARTITION BY grp ORDER BY vc)
+           AS BIGINT) AS csv,
+         CAST(SUM(n * vc * vc) OVER (PARTITION BY grp ORDER BY vc)
+           AS BIGINT) AS csv2
+  FROM dom
+),
+sz AS (
+  SELECT grp, CAST(SUM(n) AS BIGINT) AS ng,
+         CAST(SUM(n * vc) AS BIGINT) AS sv,
+         CAST(SUM(n * vc * vc) AS BIGINT) AS sv2,
+         CAST(SUM(n) // 5 AS BIGINT) AS g
+  FROM dom GROUP BY 1
+),
+-- lower cut: first value whose cumulative count reaches g
+locut AS (
+  SELECT c.grp,
+         MIN(c.vc) AS vl,
+         arg_min(c.cn - c.n, c.vc) AS below_n,
+         arg_min(c.csv - c.n * c.vc, c.vc) AS below_sv,
+         arg_min(c.csv2 - c.n * c.vc * c.vc, c.vc) AS below_sv2
+  FROM cum c JOIN sz s ON s.grp = c.grp
+  WHERE c.cn >= s.g + 1
+  GROUP BY 1
+),
+-- upper cut: first value (from the top) whose count-from-top reaches g
+hicut AS (
+  SELECT c.grp,
+         MAX(c.vc) AS vu,
+         arg_max(s.ng - c.cn, c.vc) AS above_n,
+         arg_max(s.sv - c.csv, c.vc) AS above_sv,
+         arg_max(s.sv2 - c.csv2, c.vc) AS above_sv2
+  FROM cum c JOIN sz s ON s.grp = c.grp
+  WHERE s.ng - (c.cn - c.n) >= s.g + 1
+  GROUP BY 1
+),
+parts AS (
+  SELECT s.grp, s.ng, s.g, s.ng - 2 * s.g AS h,
+         -- sums of the g smallest / largest (partial value at the cut)
+         lo.below_sv + (s.g - lo.below_n) * lo.vl AS s_low,
+         lo.below_sv2 + (s.g - lo.below_n) * lo.vl * lo.vl AS s_low2,
+         hi.above_sv + (s.g - hi.above_n) * hi.vu AS s_high,
+         hi.above_sv2 + (s.g - hi.above_n) * hi.vu * hi.vu AS s_high2,
+         s.sv, s.sv2, lo.vl, hi.vu
+  FROM sz s JOIN locut lo ON lo.grp = s.grp
+  JOIN hicut hi ON hi.grp = s.grp
+),
+stats AS (
+  SELECT grp, ng, g, h,
+         CAST(sv - s_low - s_high AS DOUBLE) / h / 100 AS tmean,
+         -- winsorized moments: trimmed tails replaced by cut values
+         ((CAST(sv2 - s_low2 - s_high2
+                + g * (vl * vl + vu * vu) AS DOUBLE)
+           - CAST(sv - s_low - s_high + g * (vl + vu) AS DOUBLE)
+             * (sv - s_low - s_high + g * (vl + vu)) / ng)
+          / (ng - 1)) / 10000 AS s2w
+  FROM parts
+),
+fin AS (
+  SELECT g1.ng AS n_click, g0.ng AS n_error,
+         g1.h AS h_click, g0.h AS h_error,
+         g1.tmean AS tmean_click, g0.tmean AS tmean_error,
+         g1.s2w * (g1.ng - 1) / (CAST(g1.h AS DOUBLE) * (g1.h - 1))
+           AS d1,
+         g0.s2w * (g0.ng - 1) / (CAST(g0.h AS DOUBLE) * (g0.h - 1))
+           AS d0
+  FROM (SELECT * FROM stats WHERE grp = 1) g1
+  CROSS JOIN (SELECT * FROM stats WHERE grp = 0) g0
+)
+SELECT n_click, n_error, h_click, h_error,
+       ROUND(tmean_click, 6) AS tmean_click,
+       ROUND(tmean_error, 6) AS tmean_error,
+       ROUND((tmean_click - tmean_error) / SQRT(d1 + d0), 4)
+         AS yuen_t,
+       ROUND((d1 + d0) * (d1 + d0)
+             / (d1 * d1 / (h_click - 1) + d0 * d0 / (h_error - 1)), 2)
+         AS df
+FROM fin
+"""
+
+
+@register(
+    "x451_yuen_trimmed_t",
+    _X451_ORACLE,
+    doc="Yuen's 20%%-trimmed-mean t-test (click vs error values): "
+        "trimmed means compared with WINSORIZED variances, "
+        "Satterthwaite df -- the robust location test x286's Welch "
+        "is not (heavy tails wreck mean tests; x445's BM answers a "
+        "different question, stochastic ordering, while Yuen still "
+        "talks in the metric's units), and the inferential "
+        "completion of x116's winsorized descriptives. The order "
+        "statistics come from CUMULATIVE COUNTS on the bounded cent "
+        "domain -- sums of the g smallest/largest with a partial "
+        "term at the cut value, arg_min/arg_max picking the cut row "
+        "-- so everything through the winsorized second moment is "
+        "INTEGER-exact with zero row-level sorting. Scale: one "
+        "(group, value) groupBy + value-domain windows + 2-row "
+        "algebra",
+)
+def x451_yuen_trimmed_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    e = ev.select(
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+            "grp"
+        ),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    dom = e.groupBy("grp", "vc").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=False)
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dom.select(
+        "grp",
+        "vc",
+        "n",
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum(F.col("n") * F.col("vc")).over(w).cast("long").alias(
+            "csv"
+        ),
+        F.sum(F.col("n") * F.col("vc") * F.col("vc"))
+        .over(w)
+        .cast("long")
+        .alias("csv2"),
+    )
+    sz = dom.groupBy("grp").agg(
+        F.sum("n").cast("long").alias("ng"),
+        F.sum(F.col("n") * F.col("vc")).cast("long").alias("sv"),
+        F.sum(F.col("n") * F.col("vc") * F.col("vc"))
+        .cast("long")
+        .alias("sv2"),
+        (F.sum("n") / 5).cast("long").alias("g"),
+    )
+    cj = cum.join(F.broadcast(sz), "grp")
+    locut = cj.filter(F.col("cn") >= F.col("g") + 1).groupBy("grp").agg(
+        F.min("vc").alias("vl"),
+        F.min_by(F.col("cn") - F.col("n"), F.col("vc")).alias(
+            "below_n"
+        ),
+        F.min_by(
+            F.col("csv") - F.col("n") * F.col("vc"), F.col("vc")
+        ).alias("below_sv"),
+        F.min_by(
+            F.col("csv2") - F.col("n") * F.col("vc") * F.col("vc"),
+            F.col("vc"),
+        ).alias("below_sv2"),
+    )
+    hicut = cj.filter(
+        F.col("ng") - (F.col("cn") - F.col("n")) >= F.col("g") + 1
+    ).groupBy("grp").agg(
+        F.max("vc").alias("vu"),
+        F.max_by(F.col("ng") - F.col("cn"), F.col("vc")).alias(
+            "above_n"
+        ),
+        F.max_by(F.col("sv") - F.col("csv"), F.col("vc")).alias(
+            "above_sv"
+        ),
+        F.max_by(F.col("sv2") - F.col("csv2"), F.col("vc")).alias(
+            "above_sv2"
+        ),
+    )
+    parts = (
+        sz.join(locut, "grp")
+        .join(hicut, "grp")
+        .select(
+            "grp",
+            "ng",
+            "g",
+            (F.col("ng") - 2 * F.col("g")).alias("h"),
+            (
+                F.col("below_sv")
+                + (F.col("g") - F.col("below_n")) * F.col("vl")
+            ).alias("s_low"),
+            (
+                F.col("below_sv2")
+                + (F.col("g") - F.col("below_n"))
+                * F.col("vl")
+                * F.col("vl")
+            ).alias("s_low2"),
+            (
+                F.col("above_sv")
+                + (F.col("g") - F.col("above_n")) * F.col("vu")
+            ).alias("s_high"),
+            (
+                F.col("above_sv2")
+                + (F.col("g") - F.col("above_n"))
+                * F.col("vu")
+                * F.col("vu")
+            ).alias("s_high2"),
+            "sv",
+            "sv2",
+            "vl",
+            "vu",
+        )
+    )
+    wsum = (
+        F.col("sv")
+        - F.col("s_low")
+        - F.col("s_high")
+        + F.col("g") * (F.col("vl") + F.col("vu"))
+    )
+    wsum2 = (
+        F.col("sv2")
+        - F.col("s_low2")
+        - F.col("s_high2")
+        + F.col("g")
+        * (F.col("vl") * F.col("vl") + F.col("vu") * F.col("vu"))
+    )
+    stats = parts.select(
+        "grp",
+        "ng",
+        "h",
+        (
+            (F.col("sv") - F.col("s_low") - F.col("s_high")).cast(
+                "double"
+            )
+            / F.col("h")
+            / 100
+        ).alias("tmean"),
+        (
+            (
+                wsum2.cast("double")
+                - wsum.cast("double") * wsum / F.col("ng")
+            )
+            / (F.col("ng") - 1)
+            / 10000
+        ).alias("s2w"),
+    )
+    g1 = stats.filter(F.col("grp") == 1).select(
+        F.col("ng").alias("n_click"),
+        F.col("h").alias("h_click"),
+        F.col("tmean").alias("tmean_click"),
+        (
+            F.col("s2w")
+            * (F.col("ng") - 1)
+            / (F.col("h").cast("double") * (F.col("h") - 1))
+        ).alias("d1"),
+    )
+    g0 = stats.filter(F.col("grp") == 0).select(
+        F.col("ng").alias("n_error"),
+        F.col("h").alias("h_error"),
+        F.col("tmean").alias("tmean_error"),
+        (
+            F.col("s2w")
+            * (F.col("ng") - 1)
+            / (F.col("h").cast("double") * (F.col("h") - 1))
+        ).alias("d0"),
+    )
+    t = (F.col("tmean_click") - F.col("tmean_error")) / F.sqrt(
+        F.col("d1") + F.col("d0")
+    )
+    df = (
+        (F.col("d1") + F.col("d0"))
+        * (F.col("d1") + F.col("d0"))
+        / (
+            F.col("d1") * F.col("d1") / (F.col("h_click") - 1)
+            + F.col("d0") * F.col("d0") / (F.col("h_error") - 1)
+        )
+    )
+    return g1.crossJoin(F.broadcast(g0)).select(
+        "n_click",
+        "n_error",
+        "h_click",
+        "h_error",
+        F.round("tmean_click", 6).alias("tmean_click"),
+        F.round("tmean_error", 6).alias("tmean_error"),
+        F.round(t, 4).alias("yuen_t"),
+        F.round(df, 2).alias("df"),
+    )
+
+
+_X455_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  ) GROUP BY 1
+),
+mn AS (SELECT CAST(MIN(d) AS BIGINT) AS dmin FROM deg),
+fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         max(m.dmin) AS dmin,
+         CAST(SUM(CAST(ROUND(LN(CAST(d.d AS DOUBLE)
+                / (m.dmin - 0.5)), 12) AS DECIMAL(28,12))) AS DOUBLE)
+           AS slog
+  FROM deg d CROSS JOIN mn m
+)
+SELECT n_nodes, dmin,
+       ROUND(1.0 + n_nodes / slog, 4) AS alpha_mle,
+       ROUND((1.0 + n_nodes / slog - 1.0) / SQRT(CAST(n_nodes
+             AS DOUBLE)), 6) AS alpha_se
+FROM fit
+"""
+
+
+@register(
+    "x455_powerlaw_alpha",
+    _X455_ORACLE,
+    doc="discrete power-law exponent of the co-purchase degree "
+        "distribution by the Clauset-Shalizi-Newman continuous-"
+        "approximation MLE: alpha = 1 + n/sum(ln(d/(dmin-0.5))), se "
+        "= (alpha-1)/sqrt(n) -- x361 says WHO connects to whom "
+        "(assortativity), x100 fits Zipf to token ranks by "
+        "regression; this is the likelihood-grade tail exponent of "
+        "the GRAPH, the number that predicts whether x104's "
+        "PageRank mass and x243's core sizes are hub-dominated "
+        "(alpha < 2.5) or dispersed. Exactness: degrees are exact "
+        "BIGINTs off the u<v edge list, ln terms round-12 into "
+        "DECIMAL pre-sum, the estimator is 1-row algebra. Scale: "
+        "the x210 edge construction + one degree groupBy",
+)
+def x455_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    e = (
+        items.join(b, items["l_orderkey"] == b["k"])
+        .filter(F.col("l_partkey") < F.col("pb"))
+        .groupBy(
+            F.col("l_partkey").alias("u"), F.col("pb").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    mn = deg.agg(F.min("d").cast("long").alias("dmin"))
+    fit = deg.crossJoin(F.broadcast(mn)).select(
+        F.round(
+            F.log(
+                F.col("d").cast("double") / (F.col("dmin") - 0.5)
+            ),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("term"),
+        "dmin",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.max("dmin").alias("dmin"),
+        F.sum("term").cast("double").alias("slog"),
+    )
+    alpha = F.lit(1.0) + F.col("n_nodes") / F.col("slog")
+    return fit.select(
+        "n_nodes",
+        "dmin",
+        F.round(alpha, 4).alias("alpha_mle"),
+        F.round(
+            (alpha - 1.0) / F.sqrt(F.col("n_nodes").cast("double")), 6
+        ).alias("alpha_se"),
+    )
+
+
+_X456_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+th AS (
+  SELECT * FROM (VALUES (15), (30), (60), (120)) AS t(gap_min)
+),
+counts AS (
+  SELECT t.gap_min,
+         CAST(SUM(CASE WHEN g.gap_us IS NULL THEN 1
+                       WHEN g.gap_us > CAST(t.gap_min AS BIGINT) * 60000000 THEN 1
+                       ELSE 0 END) AS BIGINT) AS n_sessions,
+         CAST(SUM(CASE WHEN g.gap_us IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_gaps,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM g CROSS JOIN th t
+  GROUP BY 1
+)
+SELECT gap_min, n_sessions,
+       ROUND(CAST(n_events AS DOUBLE) / n_sessions, 4)
+         AS mean_session_events,
+       ROUND(CAST(n_sessions - (n_events - n_gaps) AS DOUBLE)
+             / n_gaps, 6) AS split_rate
+FROM counts ORDER BY gap_min
+"""
+
+
+@register(
+    "x456_session_gap_sensitivity",
+    _X456_ORACLE,
+    doc="sessionization sensitivity curve: session count, mean "
+        "events/session, and gap-split rate at inactivity thresholds "
+        "{15, 30, 60, 120} minutes -- x21 sessionizes at ONE "
+        "threshold; every analytics team tunes that constant, and "
+        "this is the tuning table (where the curve elbows is where "
+        "the behavioral gap distribution separates within-session "
+        "pauses from returns; x161's gap histogram shows the raw "
+        "distribution, this shows the DECISION's consequence). One "
+        "user-ordered LAG pass computes every gap once; the x4 "
+        "threshold fan-out rides the tiny gap rows, not the corpus; "
+        "sessions = users + gaps-exceeding-threshold (exact integer "
+        "identity, pinned in the replay test). Scale: the canonical "
+        "single user-key shuffle reused by every threshold",
+)
+def x456_session_gap_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        (
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+            - F.lag(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).over(
+                w
+            )
+        ).alias("gap_us")
+    )
+    th = spark.createDataFrame(
+        [(15,), (30,), (60,), (120,)], "gap_min int"
+    )
+    counts = (
+        g.crossJoin(F.broadcast(th))
+        .groupBy("gap_min")
+        .agg(
+            F.sum(
+                F.when(F.col("gap_us").isNull(), 1)
+                .when(
+                    F.col("gap_us")
+                    > F.col("gap_min").cast("long") * 60000000,
+                    1,
+                )
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_sessions"),
+            F.sum(
+                F.when(F.col("gap_us").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_gaps"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    return counts.select(
+        "gap_min",
+        "n_sessions",
+        F.round(
+            F.col("n_events").cast("double") / F.col("n_sessions"), 4
+        ).alias("mean_session_events"),
+        F.round(
+            (
+                F.col("n_sessions")
+                - (F.col("n_events") - F.col("n_gaps"))
+            ).cast("double")
+            / F.col("n_gaps"),
+            6,
+        ).alias("split_rate"),
+    ).orderBy("gap_min")
+
+
+_X457_ORACLE = """
+WITH g AS (
+  SELECT epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+gaps AS (SELECT CAST(gap AS BIGINT) AS gap FROM g WHERE gap IS NOT NULL
+         AND gap > 0),
+dom AS (
+  SELECT gap, CAST(count(*) AS BIGINT) AS n FROM gaps GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(n * gap) AS BIGINT) AS sg
+  FROM dom
+),
+cdf AS (
+  SELECT d.gap, d.n,
+         CAST(SUM(d.n) OVER (ORDER BY d.gap) AS BIGINT) AS cn,
+         t.nn, t.sg
+  FROM dom d CROSS JOIN tot t
+),
+ks AS (
+  SELECT nn,
+         CAST(sg AS DOUBLE) / nn AS mean_gap,
+         MAX(GREATEST(
+           CAST(cn AS DOUBLE) / nn
+             - (1.0 - EXP(-CAST(gap AS DOUBLE) * nn / sg)),
+           (1.0 - EXP(-CAST(gap AS DOUBLE) * nn / sg))
+             - (CAST(cn AS DOUBLE) - n) / nn
+         )) AS d_stat
+  FROM cdf GROUP BY nn, sg
+)
+SELECT nn AS n_gaps,
+       ROUND(mean_gap / 1000000.0, 4) AS mean_gap_sec,
+       ROUND(d_stat, 6) AS ks_d,
+       ROUND(SQRT(CAST(nn AS DOUBLE)) * d_stat, 4) AS ks_scaled,
+       SQRT(CAST(nn AS DOUBLE)) * d_stat > 1.094 AS reject_lilliefors_5pct
+FROM ks
+"""
+
+
+@register(
+    "x457_exponential_gap_test",
+    _X457_ORACLE,
+    doc="Poissonity test of each user's event stream: KS distance "
+        "between the inter-event gap distribution and the "
+        "exponential with the SAME mean (rate fitted from the data "
+        "-- so the Lilliefors-corrected critical value 1.094/sqrt(n) "
+        "applies, not the vanilla KS one; the distinction x224's "
+        "two-sample KS never faces). Rejecting exponentiality means "
+        "the stream is bursty or scheduled, which decides whether "
+        "x77's anomaly thresholds and x414's overdispersion "
+        "corrections are needed at all -- the model-check upstream "
+        "of both. The KS sup runs over the bounded distinct-gap "
+        "domain (both CDF step sides), a pure max -- no "
+        "order-sensitive accumulation; the only float inputs are "
+        "exp() of exact-integer ratios. Scale: one LAG pass + one "
+        "gap groupBy; the sup rides the gap domain",
+)
+def x457_exponential_gap_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        (
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+            - F.lag(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).over(
+                w
+            )
+        ).alias("gap")
+    ).filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
+    dom = g.groupBy("gap").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = dom.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.col("n") * F.col("gap")).cast("long").alias("sg"),
+    )
+    wc = Window.orderBy("gap").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = dom.select(
+        "gap", "n", F.sum("n").over(wc).cast("long").alias("cn")
+    ).crossJoin(F.broadcast(tot))
+    fexp = F.lit(1.0) - F.exp(
+        -F.col("gap").cast("double") * F.col("nn") / F.col("sg")
+    )
+    ks = cdf.groupBy("nn", "sg").agg(
+        F.max(
+            F.greatest(
+                F.col("cn").cast("double") / F.col("nn") - fexp,
+                fexp - (F.col("cn").cast("double") - F.col("n")) / F.col("nn"),
+            )
+        ).alias("d_stat")
+    )
+    return ks.select(
+        F.col("nn").alias("n_gaps"),
+        F.round(
+            F.col("sg").cast("double") / F.col("nn") / 1000000.0, 4
+        ).alias("mean_gap_sec"),
+        F.round("d_stat", 6).alias("ks_d"),
+        F.round(
+            F.sqrt(F.col("nn").cast("double")) * F.col("d_stat"), 4
+        ).alias("ks_scaled"),
+        (
+            F.sqrt(F.col("nn").cast("double")) * F.col("d_stat")
+            > 1.094
+        ).alias("reject_lilliefors_5pct"),
+    )

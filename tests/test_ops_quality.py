@@ -5500,3 +5500,200 @@ def test_shapley_attribution_axioms(spark):
     assert abs(sum(phi.values()) - span) < 1e-12  # efficiency axiom
     if span:
         assert abs(share_sum - 1.0) < 1e-4
+
+
+def test_yuen_trimmed_t_matches_bruteforce(spark):
+    """x451: replay trimmed means / winsorized variances by actually
+    sorting and trimming in Python -- the domain-cumsum order
+    statistics must agree with real order statistics exactly."""
+    import math
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x451_yuen_trimmed_t,
+    )
+
+    rows = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type").isin("click", "error"))
+        .select("event_type", "value")
+        .collect()
+    )
+    g = {1: [], 0: []}
+    for r in rows:
+        g[int(r["event_type"] == "click")].append(
+            int(_round_hu(r["value"] * 100, 0))
+        )
+
+    def stats(vals):
+        vs = sorted(vals)
+        n = len(vs)
+        gg = n // 5
+        h = n - 2 * gg
+        mid = vs[gg : n - gg]
+        tmean = sum(mid) / h / 100
+        wins = [vs[gg]] * gg + mid + [vs[n - gg - 1]] * gg
+        ws, ws2 = sum(wins), sum(v * v for v in wins)
+        s2w = (ws2 - ws * ws / n) / (n - 1) / 10000
+        d = s2w * (n - 1) / (h * (h - 1))
+        return n, h, tmean, d
+
+    n1, h1, m1, d1 = stats(g[1])
+    n0, h0, m0, d0 = stats(g[0])
+    t = (m1 - m0) / math.sqrt(d1 + d0)
+    df = (d1 + d0) ** 2 / (d1 * d1 / (h1 - 1) + d0 * d0 / (h0 - 1))
+    r = x451_yuen_trimmed_t(spark, SF).collect()[0]
+    assert (r["n_click"], r["n_error"]) == (n1, n0)
+    assert (r["h_click"], r["h_error"]) == (h1, h0)
+    assert abs(r["tmean_click"] - _round_hu(m1, 6)) < 1e-9
+    assert abs(r["tmean_error"] - _round_hu(m0, 6)) < 1e-9
+    assert abs(r["yuen_t"] - _round_hu(t, 4)) < 1e-9
+    assert abs(r["df"] - _round_hu(df, 2)) < 1e-9
+
+
+def test_powerlaw_alpha_matches_bruteforce(spark):
+    """x455: replay the CSN MLE from Python-computed degrees;
+    invariants: alpha > 1 (the estimator's range) and se > 0."""
+    import math
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x455_powerlaw_alpha,
+    )
+
+    rows = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    orders = defaultdict(set)
+    for r in rows:
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    pair_n = defaultdict(int)
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_n[(ps[i], ps[j])] += 1
+    deg = defaultdict(int)
+    for (u, v), n in pair_n.items():
+        if n >= 2:
+            deg[u] += 1
+            deg[v] += 1
+    dmin = min(deg.values())
+    nn = len(deg)
+    slog = sum(_round_hu(math.log(d / (dmin - 0.5)), 12) for d in deg.values())
+    alpha = 1.0 + nn / slog
+    r = x455_powerlaw_alpha(spark, SF).collect()[0]
+    assert (r["n_nodes"], r["dmin"]) == (nn, dmin)
+    assert abs(r["alpha_mle"] - _round_hu(alpha, 4)) < 1e-9
+    assert abs(r["alpha_se"] - _round_hu((alpha - 1) / math.sqrt(nn), 6)) < 1e-9
+    assert r["alpha_mle"] > 1.0 and r["alpha_se"] > 0
+
+
+def test_session_gap_sensitivity_matches_bruteforce(spark):
+    """x456: replay per-threshold session counts; pinned identity:
+    sessions(threshold) = users + gaps exceeding it, and the count
+    is NONINCREASING in the threshold."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x456_session_gap_sensitivity,
+    )
+
+    rows = (
+        load_table(spark, SF, "events")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    per = defaultdict(list)
+    for r in rows:
+        per[r["user_id"]].append((r["ts"], r["event_id"]))
+    gaps = []
+    for u, ts in per.items():
+        ts.sort()
+        for i in range(1, len(ts)):
+            gaps.append(
+                (ts[i][0] - ts[i - 1][0]).total_seconds() * 1_000_000
+            )
+    n_events = len(rows)
+    n_users = len(per)
+    got = {
+        r["gap_min"]: r
+        for r in x456_session_gap_sensitivity(spark, SF).collect()
+    }
+    assert set(got) == {15, 30, 60, 120}
+    prev = None
+    for t in (15, 30, 60, 120):
+        exceed = sum(1 for gp in gaps if gp > t * 60_000_000)
+        sessions = n_users + exceed
+        r = got[t]
+        assert r["n_sessions"] == sessions
+        assert abs(
+            r["mean_session_events"] - _round_hu(n_events / sessions, 4)
+        ) < 1e-9
+        assert abs(
+            r["split_rate"] - _round_hu(exceed / len(gaps), 6)
+        ) < 1e-9
+        if prev is not None:
+            assert r["n_sessions"] <= prev
+        prev = r["n_sessions"]
+
+
+def test_exponential_gap_test_matches_bruteforce(spark):
+    """x457: replay the Lilliefors KS sup over the gap CDF steps;
+    sanity: a genuine exponential sample (inverse-CDF of md5
+    uniforms) must NOT reject."""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x457_exponential_gap_test,
+    )
+
+    rows = (
+        load_table(spark, SF, "events")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    per = defaultdict(list)
+    for r in rows:
+        per[r["user_id"]].append((r["ts"], r["event_id"]))
+    gaps = []
+    for u, ts in per.items():
+        ts.sort()
+        for i in range(1, len(ts)):
+            gp = int(
+                round((ts[i][0] - ts[i - 1][0]).total_seconds() * 1_000_000)
+            )
+            if gp > 0:
+                gaps.append(gp)
+    n = len(gaps)
+    mean = sum(gaps) / n
+    cnt = Counter(gaps)
+    cum = 0
+    d = 0.0
+    for v in sorted(cnt):
+        fe = 1.0 - math.exp(-v / mean)
+        d = max(d, (cum + cnt[v]) / n - fe, fe - cum / n)
+        cum += cnt[v]
+    r = x457_exponential_gap_test(spark, SF).collect()[0]
+    assert r["n_gaps"] == n
+    assert abs(r["mean_gap_sec"] - _round_hu(mean / 1e6, 4)) < 1e-9
+    assert abs(r["ks_d"] - _round_hu(d, 6)) < 1e-6
+    assert r["reject_lilliefors_5pct"] == (math.sqrt(n) * d > 1.094)
+    # control: an exact exponential sample passes
+    us = [
+        int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+        for i in range(2000)
+    ]
+    ex = [-math.log(1 - u) for u in us]
+    m2 = sum(ex) / len(ex)
+    ex.sort()
+    d2 = max(
+        max((i + 1) / len(ex) - (1 - math.exp(-v / m2)),
+            (1 - math.exp(-v / m2)) - i / len(ex))
+        for i, v in enumerate(ex)
+    )
+    assert math.sqrt(len(ex)) * d2 <= 1.094
