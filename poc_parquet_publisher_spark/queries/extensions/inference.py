@@ -4224,3 +4224,496 @@ def x457_exponential_gap_test(
             > 1.094
         ).alias("reject_lilliefors_5pct"),
     )
+
+
+_X458_ORACLE = """
+WITH c AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+t AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS nl FROM c GROUP BY 1
+),
+terms AS (
+  SELECT c.lang,
+         CAST(ROUND((CAST(c.n AS DOUBLE) / t.nl)
+                    * LN(CAST(c.n AS DOUBLE) / t.nl), 12)
+           AS DECIMAL(28,12)) AS plogp,
+         CAST(c.n AS BIGINT) AS n, t.nl
+  FROM c JOIN t USING (lang)
+),
+agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS d0,
+         CAST(SUM(plogp) AS DOUBLE) AS sh_neg,
+         CAST(SUM(n * (n - 1)) AS BIGINT) AS scc1,
+         max(nl) AS nl
+  FROM terms GROUP BY 1
+)
+SELECT lang, d0 AS hill_d0,
+       ROUND(EXP(-sh_neg), 4) AS hill_d1,
+       ROUND(1.0 / (CAST(scc1 AS DOUBLE) / (CAST(nl AS DOUBLE)
+             * (nl - 1))), 4) AS hill_d2,
+       ROUND(EXP(-sh_neg) / d0, 6) AS evenness
+FROM agg ORDER BY lang
+"""
+
+
+@register(
+    "x458_hill_diversity",
+    _X458_ORACLE,
+    doc="Hill-number diversity profile of each language's SOURCE mix: "
+        "D0 = richness (sources present), D1 = exp(Shannon) = "
+        "effective source count weighting all sources by share, D2 = "
+        "inverse Simpson = effective count weighting DOMINANT "
+        "sources -- the unified 'effective number' scale ecology "
+        "settled on, where x38 reports raw shares, x117 an entropy "
+        "in nats and x183 an HHI in [0,1]: D1/D2 are in SOURCES, "
+        "directly comparable to D0, and evenness = D1/D0 is the "
+        "mix-balance headline. D2's unbiased form uses n(n-1)/"
+        "(N(N-1)) (exact integers); Shannon terms round-12 into "
+        "DECIMAL. Scale: one (lang, source) groupBy + lang rollup",
+)
+def x458_hill_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.groupBy("lang").agg(F.sum("n").cast("long").alias("nl"))
+    p = F.col("n").cast("double") / F.col("nl")
+    terms = c.join(F.broadcast(t), "lang").select(
+        "lang",
+        F.round(p * F.log(p), 12).cast("decimal(28,12)").alias("plogp"),
+        "n",
+        "nl",
+    )
+    agg = terms.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("d0"),
+        F.sum("plogp").cast("double").alias("sh_neg"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("scc1"),
+        F.max("nl").alias("nl"),
+    )
+    return agg.select(
+        "lang",
+        F.col("d0").alias("hill_d0"),
+        F.round(F.exp(-F.col("sh_neg")), 4).alias("hill_d1"),
+        F.round(
+            F.lit(1.0)
+            / (
+                F.col("scc1").cast("double")
+                / (F.col("nl").cast("double") * (F.col("nl") - 1))
+            ),
+            4,
+        ).alias("hill_d2"),
+        F.round(F.exp(-F.col("sh_neg")) / F.col("d0"), 6).alias(
+            "evenness"
+        ),
+    ).orderBy("lang")
+
+
+_X459_ORACLE = """
+WITH d AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(FLOOR(ROUND(CAST(len(list_filter(string_split(lower(text),
+                ' '), t -> t IN (%s))) AS DOUBLE)
+              / len(string_split(lower(text), ' ')), 4) * 10000 + 0.5)
+           AS BIGINT) AS s
+  FROM documents
+),
+dom AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT)
+    AS pos
+  FROM d GROUP BY 1
+),
+ranked AS (
+  SELECT s, n, pos,
+         CAST(2 * (SUM(n) OVER (ORDER BY s) - n) + n + 1 AS BIGINT)
+           AS midrank2
+  FROM dom
+),
+auc AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n1,
+         CAST(SUM(n - pos) AS BIGINT) AS n0,
+         (CAST(SUM(pos * midrank2) AS DOUBLE) / 2
+          - CAST(SUM(pos) AS DOUBLE) * (SUM(pos) + 1) / 2)
+           / (CAST(SUM(pos) AS DOUBLE) * SUM(n - pos)) AS a
+  FROM ranked
+),
+se AS (
+  SELECT n1, n0, a,
+         SQRT((a * (1 - a)
+               + (n1 - 1) * (a / (2 - a) - a * a)
+               + (n0 - 1) * (2 * a * a / (1 + a) - a * a))
+              / (CAST(n1 AS DOUBLE) * n0)) AS se_hm
+  FROM auc
+)
+SELECT n1 AS n_pos, n0 AS n_neg,
+       ROUND(a, 6) AS auc,
+       ROUND(se_hm, 6) AS se_hanley_mcneil,
+       ROUND(GREATEST(0.0, a - 1.959964 * se_hm), 6) AS ci_lo,
+       ROUND(LEAST(1.0, a + 1.959964 * se_hm), 6) AS ci_hi,
+       a - 1.959964 * se_hm > 0.5 AS better_than_chance_5pct
+FROM se
+""" % _STOP_EN_INF
+
+
+@register(
+    "x459_auc_confidence",
+    _X459_ORACLE,
+    doc="Hanley-McNeil confidence interval for the stop-ratio "
+        "en-detector's AUC: the closed-form se every AUC report "
+        "should carry and x349 (point estimate) / x409 (fold spread) "
+        "do not -- se^2 = (A(1-A) + (n1-1)(Q1-A^2) + "
+        "(n0-1)(Q2-A^2))/(n1*n0) with Q1 = A/(2-A), Q2 = "
+        "2A^2/(1+A), the exponential-model approximation that is "
+        "the field's standard sample-size formula; the "
+        "better-than-chance flag is the CI-versus-0.5 decision. "
+        "Tie-corrected AUC from x2-scaled integer midranks (x442's "
+        "trick); the CI clamps to [0,1]. Scale: one corpus pass to "
+        "the bounded score domain + domain windows",
+)
+def x459_auc_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ...ops import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    s_ = F.floor(
+        text.stop_ratio_column("text") * 10000 + F.lit(0.5)
+    ).cast("long")
+    d = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        s_.alias("s"),
+    )
+    dom = d.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = dom.select(
+        "n",
+        "pos",
+        (2 * (F.sum("n").over(w) - F.col("n")) + F.col("n") + 1)
+        .cast("long")
+        .alias("midrank2"),
+    )
+    auc = ranked.agg(
+        F.sum("pos").cast("long").alias("n1"),
+        F.sum(F.col("n") - F.col("pos")).cast("long").alias("n0"),
+        F.sum(F.col("pos") * F.col("midrank2"))
+        .cast("long")
+        .alias("r2"),
+    ).select(
+        "n1",
+        "n0",
+        (
+            (
+                F.col("r2").cast("double") / 2
+                - F.col("n1").cast("double") * (F.col("n1") + 1) / 2
+            )
+            / (F.col("n1").cast("double") * F.col("n0"))
+        ).alias("a"),
+    )
+    a = F.col("a")
+    se = F.sqrt(
+        (
+            a * (1 - a)
+            + (F.col("n1") - 1) * (a / (2 - a) - a * a)
+            + (F.col("n0") - 1) * (2 * a * a / (1 + a) - a * a)
+        )
+        / (F.col("n1").cast("double") * F.col("n0"))
+    )
+    return auc.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(a, 6).alias("auc"),
+        F.round(se, 6).alias("se_hanley_mcneil"),
+        F.round(F.greatest(F.lit(0.0), a - 1.959964 * se), 6).alias(
+            "ci_lo"
+        ),
+        F.round(F.least(F.lit(1.0), a + 1.959964 * se), 6).alias(
+            "ci_hi"
+        ),
+        (a - 1.959964 * se > 0.5).alias("better_than_chance_5pct"),
+    )
+
+
+_X460_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS t,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS conv
+  FROM events GROUP BY 1
+),
+arms AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT)
+    AS x
+  FROM u GROUP BY 1
+),
+w AS (
+  -- Wilson score bounds per arm (z = 1.959964)
+  SELECT t, n, x,
+         CAST(x AS DOUBLE) / n AS p,
+         (CAST(x AS DOUBLE) / n + 1.959964 * 1.959964 / (2 * n)
+          - 1.959964 * SQRT((CAST(x AS DOUBLE) / n)
+              * (1 - CAST(x AS DOUBLE) / n) / n
+              + 1.959964 * 1.959964 / (4.0 * n * n)))
+           / (1 + 1.959964 * 1.959964 / n) AS lo,
+         (CAST(x AS DOUBLE) / n + 1.959964 * 1.959964 / (2 * n)
+          + 1.959964 * SQRT((CAST(x AS DOUBLE) / n)
+              * (1 - CAST(x AS DOUBLE) / n) / n
+              + 1.959964 * 1.959964 / (4.0 * n * n)))
+           / (1 + 1.959964 * 1.959964 / n) AS hi
+  FROM arms
+),
+fin AS (
+  SELECT w1.n AS n_treat, w1.x AS x_treat, w0.n AS n_ctrl,
+         w0.x AS x_ctrl,
+         w1.p - w0.p AS diff,
+         (w1.p - w0.p)
+           - SQRT((w1.p - w1.lo) * (w1.p - w1.lo)
+                  + (w0.hi - w0.p) * (w0.hi - w0.p)) AS lo,
+         (w1.p - w0.p)
+           + SQRT((w1.hi - w1.p) * (w1.hi - w1.p)
+                  + (w0.p - w0.lo) * (w0.p - w0.lo)) AS hi
+  FROM (SELECT * FROM w WHERE t = 1) w1
+  CROSS JOIN (SELECT * FROM w WHERE t = 0) w0
+)
+SELECT n_treat, x_treat, n_ctrl, x_ctrl,
+       ROUND(diff, 6) AS diff,
+       ROUND(lo, 6) AS ci_lo,
+       ROUND(hi, 6) AS ci_hi,
+       lo > 0 OR hi < 0 AS significant_5pct
+FROM fin
+"""
+
+
+@register(
+    "x460_newcombe_diff_ci",
+    _X460_ORACLE,
+    doc="Newcombe hybrid-score confidence interval for the "
+        "conversion-rate DIFFERENCE between arms: each arm gets its "
+        "Wilson score interval (x323's per-proportion form) and the "
+        "difference CI combines the inner/outer Wilson distances in "
+        "quadrature -- Newcombe's method 10, the recommended "
+        "replacement for the Wald difference CI that collapses to "
+        "zero width at 0%% or 100%% conversion (exactly where "
+        "funnel metrics live; x303's uplift carries a Wald-style "
+        "se). Exactness: per-arm counts exact, the interval is one "
+        "fixed-order double expression per arm + quadrature. "
+        "Scale: one user groupBy, 2-row algebra",
+)
+def x460_newcombe_diff_ci(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("t"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv"),
+    )
+    arms = u.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("x"),
+    )
+    z = F.lit(1.959964)
+    p = F.col("x").cast("double") / F.col("n")
+    half = z * F.sqrt(
+        p * (1 - p) / F.col("n")
+        + z * z / (F.lit(4.0) * F.col("n") * F.col("n"))
+    )
+    center = p + z * z / (2 * F.col("n"))
+    denom = 1 + z * z / F.col("n")
+    w = arms.select(
+        "t",
+        "n",
+        "x",
+        p.alias("p"),
+        ((center - half) / denom).alias("lo"),
+        ((center + half) / denom).alias("hi"),
+    )
+    w1 = w.filter(F.col("t") == 1).select(
+        F.col("n").alias("n_treat"),
+        F.col("x").alias("x_treat"),
+        F.col("p").alias("p1"),
+        F.col("lo").alias("lo1"),
+        F.col("hi").alias("hi1"),
+    )
+    w0 = w.filter(F.col("t") == 0).select(
+        F.col("n").alias("n_ctrl"),
+        F.col("x").alias("x_ctrl"),
+        F.col("p").alias("p0"),
+        F.col("lo").alias("lo0"),
+        F.col("hi").alias("hi0"),
+    )
+    diff = F.col("p1") - F.col("p0")
+    lo = diff - F.sqrt(
+        (F.col("p1") - F.col("lo1")) * (F.col("p1") - F.col("lo1"))
+        + (F.col("hi0") - F.col("p0")) * (F.col("hi0") - F.col("p0"))
+    )
+    hi = diff + F.sqrt(
+        (F.col("hi1") - F.col("p1")) * (F.col("hi1") - F.col("p1"))
+        + (F.col("p0") - F.col("lo0")) * (F.col("p0") - F.col("lo0"))
+    )
+    return w1.crossJoin(F.broadcast(w0)).select(
+        "n_treat",
+        "x_treat",
+        "n_ctrl",
+        "x_ctrl",
+        F.round(diff, 6).alias("diff"),
+        F.round(lo, 6).alias("ci_lo"),
+        F.round(hi, 6).alias("ci_hi"),
+        ((lo > 0) | (hi < 0)).alias("significant_5pct"),
+    )
+
+
+_X461_ORACLE = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT day, x, y,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+  FROM d
+),
+lags AS (SELECT unnest(range(-7, 8)) AS lag),
+pairs AS (
+  -- pair (x at day i, y at day i+lag)
+  SELECT l.lag, a.x, b.y
+  FROM lags l
+  JOIN idx a ON TRUE
+  JOIN idx b ON b.i = a.i + l.lag
+),
+m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS k,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1
+),
+r AS (
+  SELECT lag, k,
+         ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / k)
+           / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / k)
+                  * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy
+                     / k)), 6) AS ccf
+  FROM m
+),
+best AS (
+  SELECT MIN(CAST(1000000 * (1.0 - ABS(ccf)) AS BIGINT) * 100
+             + (lag + 50)) AS enc
+  FROM r
+)
+SELECT r.lag, r.k AS n_pairs, r.ccf,
+       CAST(b.enc % 100 - 50 AS BIGINT) AS best_lag
+FROM r CROSS JOIN best b ORDER BY r.lag
+"""
+
+
+@register(
+    "x461_ccf_lag",
+    _X461_ORACLE,
+    doc="cross-correlation lead-lag finder between the daily click "
+        "and purchase series: Pearson r at every lag in [-7, +7] "
+        "(positive lag = clicks LEAD purchases) with the max-|ccf| "
+        "lag emitted on every row -- x290 autocorrelates ONE series "
+        "with itself, x110 measures per-pair conversion latency "
+        "at event grain; this is the SERIES-level causality-"
+        "direction screen (does marketing activity lead revenue, "
+        "and by how many days?). Exactness: per-lag moments from "
+        "exact BIGINT sums over day-index pairs; the argmax encodes "
+        "(1-|ccf|, lag) into one integer so ties break toward the "
+        "smallest lag identically in both engines. Scale: one day "
+        "groupBy; the lag fan-out joins a 15-row VALUES against the "
+        "bounded day domain",
+)
+def x461_ccf_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts").cast("timestamp")))
+        .alias("day")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    w = Window.orderBy("day")
+    idx = d.select(
+        "x", "y", F.row_number().over(w).cast("long").alias("i")
+    ).localCheckpoint(eager=False)
+    lags = spark.range(-7, 8).select(F.col("id").alias("lag"))
+    a = idx.select(F.col("x"), F.col("i").alias("ia"))
+    b = idx.select(F.col("y"), F.col("i").alias("ib"))
+    pairs = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.col("ib") == F.col("ia") + F.col("lag"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    ccf = F.round(
+        (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("k"))
+        / F.sqrt(
+            (
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx") / F.col("k")
+            )
+            * (
+                F.col("syy").cast("double")
+                - F.col("sy").cast("double") * F.col("sy") / F.col("k")
+            )
+        ),
+        6,
+    )
+    r = m.select("lag", F.col("k").alias("n_pairs"), ccf.alias("ccf")
+                 ).localCheckpoint(eager=False)
+    best = r.agg(
+        F.min(
+            (F.lit(1000000) * (F.lit(1.0) - F.abs(F.col("ccf"))))
+            .cast("long")
+            * 100
+            + (F.col("lag") + 50)
+        ).alias("enc")
+    )
+    return (
+        r.crossJoin(F.broadcast(best))
+        .select(
+            "lag",
+            "n_pairs",
+            "ccf",
+            (F.col("enc") % 100 - 50).cast("long").alias("best_lag"),
+        )
+        .orderBy("lag")
+    )

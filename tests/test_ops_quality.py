@@ -5697,3 +5697,206 @@ def test_exponential_gap_test_matches_bruteforce(spark):
         for i, v in enumerate(ex)
     )
     assert math.sqrt(len(ex)) * d2 <= 1.094
+
+
+def test_hill_diversity_matches_bruteforce(spark):
+    """x458: replay the Hill profile; pinned ordering D0 >= D1 >= D2
+    (the diversity-profile inequality) and evenness in (0, 1]."""
+    import math
+    from collections import Counter, defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x458_hill_diversity,
+    )
+
+    rows = (
+        load_table(spark, SF, "documents").select("lang", "source").collect()
+    )
+    c = defaultdict(Counter)
+    for r in rows:
+        c[r["lang"]][r["source"]] += 1
+    got = {r["lang"]: r for r in x458_hill_diversity(spark, SF).collect()}
+    assert set(got) == set(c)
+    for lang, cnt in c.items():
+        nl = sum(cnt.values())
+        sh = sum(
+            _round_hu((n / nl) * math.log(n / nl), 12)
+            for n in cnt.values()
+        )
+        d0 = len(cnt)
+        d1 = math.exp(-sh)
+        d2 = 1.0 / (
+            sum(n * (n - 1) for n in cnt.values()) / (nl * (nl - 1))
+        )
+        r = got[lang]
+        assert r["hill_d0"] == d0
+        assert abs(r["hill_d1"] - _round_hu(d1, 4)) < 1e-9
+        assert abs(r["hill_d2"] - _round_hu(d2, 4)) < 1e-9
+        assert abs(r["evenness"] - _round_hu(d1 / d0, 6)) < 1e-9
+        # D0 >= D1 always; the UNBIASED D2 (n(n-1)/(N(N-1))) can
+        # exceed D1 near-uniform mixes, so the profile inequality is
+        # checked against the PLUG-IN Simpson instead
+        d2_plugin = 1.0 / sum((n / nl) ** 2 for n in cnt.values())
+        assert r["hill_d0"] >= r["hill_d1"] >= d2_plugin - 1e-6
+        assert 0 < r["evenness"] <= 1.0 + 1e-9
+
+
+def test_auc_confidence_matches_bruteforce(spark):
+    """x459: replay the tie-corrected AUC and the Hanley-McNeil se;
+    invariants: CI inside [0,1] and brackets the AUC."""
+    import math
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.ops.text import LANG_STOPWORDS
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x459_auc_confidence,
+    )
+
+    stop = set(LANG_STOPWORDS["en"])
+    rows = load_table(spark, SF, "documents").select("lang", "text").collect()
+    bys = defaultdict(lambda: [0, 0])
+    for r in rows:
+        toks = r["text"].lower().split(" ")
+        s = int(
+            math.floor(
+                _round_hu(sum(t in stop for t in toks) / len(toks), 4)
+                * 10000
+                + 0.5
+            )
+        )
+        bys[s][0] += 1
+        bys[s][1] += int(r["lang"] == "en")
+    cum = 0
+    r2 = 0
+    n1 = sum(v[1] for v in bys.values())
+    n0 = sum(v[0] - v[1] for v in bys.values())
+    for s in sorted(bys):
+        n, pos = bys[s]
+        r2 += pos * (2 * cum + n + 1)
+        cum += n
+    a = (r2 / 2 - n1 * (n1 + 1) / 2) / (n1 * n0)
+    q1 = a / (2 - a)
+    q2 = 2 * a * a / (1 + a)
+    se = math.sqrt(
+        (a * (1 - a) + (n1 - 1) * (q1 - a * a) + (n0 - 1) * (q2 - a * a))
+        / (n1 * n0)
+    )
+    r = x459_auc_confidence(spark, SF).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (n1, n0)
+    assert abs(r["auc"] - _round_hu(a, 6)) < 1e-9
+    assert abs(r["se_hanley_mcneil"] - _round_hu(se, 6)) < 1e-9
+    assert 0.0 <= r["ci_lo"] <= r["auc"] <= r["ci_hi"] <= 1.0
+    assert r["better_than_chance_5pct"] == (a - 1.959964 * se > 0.5)
+
+
+def test_newcombe_diff_ci_matches_bruteforce(spark):
+    """x460: replay Wilson bounds per arm and the hybrid difference
+    CI; invariants: CI brackets the diff and is NARROWER than the
+    sum of the arm interval widths."""
+    import math
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x460_newcombe_diff_ci,
+    )
+
+    rows = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    conv = defaultdict(int)
+    users = set()
+    for r in rows:
+        users.add(r["user_id"])
+        if r["event_type"] == "purchase":
+            conv[r["user_id"]] = 1
+    z = 1.959964
+
+    def wilson(x, n):
+        p = x / n
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        c = p + z * z / (2 * n)
+        d = 1 + z * z / n
+        return p, (c - half) / d, (c + half) / d
+
+    arm = {1: [0, 0], 0: [0, 0]}
+    for u in users:
+        t = int(u % 2 == 0)
+        arm[t][0] += 1
+        arm[t][1] += conv.get(u, 0)
+    (n1, x1), (n0, x0) = arm[1], arm[0]
+    p1, lo1, hi1 = wilson(x1, n1)
+    p0, lo0, hi0 = wilson(x0, n0)
+    diff = p1 - p0
+    lo = diff - math.sqrt((p1 - lo1) ** 2 + (hi0 - p0) ** 2)
+    hi = diff + math.sqrt((hi1 - p1) ** 2 + (p0 - lo0) ** 2)
+    r = x460_newcombe_diff_ci(spark, SF).collect()[0]
+    assert (r["n_treat"], r["x_treat"], r["n_ctrl"], r["x_ctrl"]) == (
+        n1,
+        x1,
+        n0,
+        x0,
+    )
+    assert abs(r["diff"] - _round_hu(diff, 6)) < 1e-9
+    assert abs(r["ci_lo"] - _round_hu(lo, 6)) < 1e-9
+    assert abs(r["ci_hi"] - _round_hu(hi, 6)) < 1e-9
+    assert r["ci_lo"] <= r["diff"] <= r["ci_hi"]
+    assert (r["ci_hi"] - r["ci_lo"]) <= (hi1 - lo1) + (hi0 - lo0) + 1e-12
+
+
+def test_ccf_lag_matches_bruteforce(spark):
+    """x461: replay the lagged Pearson r and the tie-broken argmax;
+    invariants: ccf in [-1, 1], pair counts shrink with |lag|."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import x461_ccf_lag
+
+    rows = load_table(spark, SF, "events").select("ts", "event_type").collect()
+    byday = defaultdict(lambda: [0, 0])
+    for r in rows:
+        d = r["ts"].date()
+        if r["event_type"] == "click":
+            byday[d][0] += 1
+        elif r["event_type"] == "purchase":
+            byday[d][1] += 1
+    days = sorted(byday)
+    xs = [byday[d][0] for d in days]
+    ys = [byday[d][1] for d in days]
+    k_days = len(days)
+
+    def pearson(pairs):
+        k = len(pairs)
+        sx = sum(a for a, _ in pairs)
+        sy = sum(b for _, b in pairs)
+        sxy = sum(a * b for a, b in pairs)
+        sxx = sum(a * a for a, _ in pairs)
+        syy = sum(b * b for _, b in pairs)
+        return _round_hu(
+            (sxy - sx * sy / k)
+            / ((sxx - sx * sx / k) * (syy - sy * sy / k)) ** 0.5,
+            6,
+        )
+
+    exp = {}
+    for lag in range(-7, 8):
+        pairs = [
+            (xs[i], ys[i + lag])
+            for i in range(k_days)
+            if 0 <= i + lag < k_days
+        ]
+        exp[lag] = (len(pairs), pearson(pairs))
+    best = min(
+        (int(1000000 * (1.0 - abs(c))) * 100 + lag + 50)
+        for lag, (_n, c) in exp.items()
+    )
+    best_lag = best % 100 - 50
+    got = {r["lag"]: r for r in x461_ccf_lag(spark, SF).collect()}
+    assert set(got) == set(exp)
+    for lag, (n, c) in exp.items():
+        r = got[lag]
+        assert r["n_pairs"] == n
+        assert abs(r["ccf"] - c) < 1e-9
+        assert -1.0 <= r["ccf"] <= 1.0
+        assert r["best_lag"] == best_lag
+        assert r["n_pairs"] <= exp[0][0]
