@@ -4717,3 +4717,375 @@ def x461_ccf_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+_X462_ORACLE = """
+WITH lagsv AS (SELECT unnest(range(1, 9)) AS d),
+pairs AS (
+  SELECT doc.lang, l.d,
+         CAST(len(list_filter(
+           range(1, len(string_split(lower(doc.text), ' ')) - l.d + 1),
+           i -> (string_split(lower(doc.text), ' '))[i]
+                = (string_split(lower(doc.text), ' '))[i + l.d]
+         )) AS BIGINT) AS matches,
+         CAST(GREATEST(len(string_split(lower(doc.text), ' ')) - l.d,
+                       0) AS BIGINT) AS n_pairs
+  FROM documents doc CROSS JOIN lagsv l
+),
+agg AS (
+  SELECT lang, d,
+         CAST(SUM(matches) AS BIGINT) AS m,
+         CAST(SUM(n_pairs) AS BIGINT) AS np
+  FROM pairs GROUP BY 1, 2
+),
+base AS (
+  -- unigram collision baseline: Simpson D per lang (x437's moment)
+  SELECT lang,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS scc1,
+         CAST(SUM(c) AS BIGINT) AS n
+  FROM (
+    SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents) GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT a.lang, a.d AS distance, a.np AS n_pairs,
+       ROUND(CAST(a.m AS DOUBLE) / a.np, 6) AS p_match,
+       ROUND((CAST(a.m AS DOUBLE) / a.np)
+             / (CAST(b.scc1 AS DOUBLE)
+                / (CAST(b.n AS DOUBLE) * (b.n - 1))), 4)
+         AS lift_over_unigram
+FROM agg a JOIN base b USING (lang)
+ORDER BY a.lang, a.d
+"""
+
+
+@register(
+    "x462_repetition_decay",
+    _X462_ORACLE,
+    doc="short-range repetition decay profile: per language and "
+        "distance d in 1..8, the probability that tokens i and i+d "
+        "are IDENTICAL, normalized by the unigram collision baseline "
+        "(x437's Simpson D) -- lift >> 1 at small d is the "
+        "stutter/boilerplate signature that survives x31's "
+        "whole-doc repetition ratios (which cannot say AT WHAT "
+        "RANGE text repeats), and the profile's decay rate is the "
+        "'effective context' of the corpus's redundancy. Exactness: "
+        "matches and pair counts are exact BIGINTs from a row-local "
+        "HOF over each doc's token array (the x427 position-array "
+        "lesson: no explode, no self-join -- the x8 distance "
+        "fan-out rides the doc rows); baseline from the x437 "
+        "spectrum moments. Scale: one doc pass + one token groupBy",
+)
+def x462_repetition_decay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lags = spark.range(1, 9).select(F.col("id").cast("int").alias("d"))
+    toks = F.split(F.lower("text"), " ")
+    pairs = docs.crossJoin(F.broadcast(lags)).select(
+        "lang",
+        "d",
+        F.size(
+            F.filter(
+                F.sequence(
+                    F.lit(1), F.size(toks) - F.col("d"), F.lit(1)
+                ),
+                lambda i: F.element_at(toks, i)
+                == F.element_at(toks, i + F.col("d")),
+            )
+        )
+        .cast("long")
+        .alias("matches"),
+        F.greatest(F.size(toks) - F.col("d"), F.lit(0))
+        .cast("long")
+        .alias("n_pairs"),
+    )
+    agg = pairs.groupBy("lang", "d").agg(
+        F.sum("matches").cast("long").alias("m"),
+        F.sum("n_pairs").cast("long").alias("np"),
+    )
+    tok = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    base = (
+        tok.groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1))
+            .cast("long")
+            .alias("scc1"),
+            F.sum("c").cast("long").alias("n"),
+        )
+    )
+    simpson = F.col("scc1").cast("double") / (
+        F.col("n").cast("double") * (F.col("n") - 1)
+    )
+    return (
+        agg.join(F.broadcast(base), "lang")
+        .select(
+            "lang",
+            F.col("d").alias("distance"),
+            F.col("np").alias("n_pairs"),
+            F.round(
+                F.col("m").cast("double") / F.col("np"), 6
+            ).alias("p_match"),
+            F.round(
+                (F.col("m").cast("double") / F.col("np")) / simpson, 4
+            ).alias("lift_over_unigram"),
+        )
+        .orderBy("lang", "distance")
+    )
+
+
+_X463_ORACLE = """
+WITH e AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events
+),
+dom AS (
+  SELECT vc, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM dom),
+-- count from the top: tail order statistics live at high values
+cum AS (
+  SELECT vc, n,
+         CAST(SUM(n) OVER (ORDER BY vc DESC) AS BIGINT) AS cn_top
+  FROM dom
+),
+k AS (SELECT CAST(nn // 10 AS BIGINT) AS kk, nn FROM tot),
+-- the k-th largest value: threshold of the top decile
+thr AS (
+  SELECT MAX(c.vc) AS vk
+  FROM cum c CROSS JOIN k
+  WHERE c.cn_top >= k.kk + 1
+),
+tail AS (
+  SELECT CAST(SUM(CASE WHEN c.vc > t.vk THEN c.n ELSE 0 END)
+           AS BIGINT) AS n_above,
+         CAST(SUM(CASE WHEN c.vc > t.vk THEN
+             CAST(ROUND(c.n * LN(CAST(c.vc AS DOUBLE) / t.vk), 12)
+               AS DECIMAL(28,12)) END) AS DOUBLE) AS slog,
+         max(t.vk) AS vk
+  FROM cum c CROSS JOIN thr t
+)
+SELECT k.nn AS n, k.kk AS k_tail, tail.vk AS threshold_cents,
+       tail.n_above,
+       ROUND(tail.slog / tail.n_above, 6) AS hill_gamma,
+       ROUND(tail.n_above / tail.slog, 4) AS tail_alpha
+FROM tail CROSS JOIN k
+"""
+
+
+@register(
+    "x463_hill_tail_index",
+    _X463_ORACLE,
+    doc="Hill estimator of the value distribution's tail index: "
+        "gamma = mean ln(x/x_k) over the observations ABOVE the "
+        "top-decile threshold x_k (the k-th largest), alpha = "
+        "1/gamma -- the extreme-value-theory answer to 'how heavy "
+        "is the revenue tail' that x116's winsorized spread and "
+        "x201's skyline cannot give: alpha < 2 means infinite "
+        "variance and every mean-based KPI (x125, x303) is "
+        "sample-unstable. The threshold order statistic comes from "
+        "a TOP-down cumulative count over the bounded cent domain "
+        "(x451's trick reversed, zero row sorting); ln terms round "
+        "12 into DECIMAL weighted by exact tie counts. Scale: one "
+        "value groupBy + domain window + 1-row algebra",
+)
+def x463_hill_tail_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    dom = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("vc")
+    ).groupBy("vc").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = dom.agg(F.sum("n").cast("long").alias("nn"))
+    w = Window.orderBy(F.desc("vc")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dom.select(
+        "vc", "n", F.sum("n").over(w).cast("long").alias("cn_top")
+    ).localCheckpoint(eager=False)
+    k = tot.select(
+        (F.col("nn") / 10).cast("long").alias("kk"), "nn"
+    )
+    thr = (
+        cum.crossJoin(F.broadcast(k))
+        .filter(F.col("cn_top") >= F.col("kk") + 1)
+        .agg(F.max("vc").alias("vk"))
+    )
+    tail = (
+        cum.crossJoin(F.broadcast(thr))
+        .agg(
+            F.sum(
+                F.when(F.col("vc") > F.col("vk"), F.col("n")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_above"),
+            F.sum(
+                F.when(
+                    F.col("vc") > F.col("vk"),
+                    F.round(
+                        F.col("n")
+                        * F.log(
+                            F.col("vc").cast("double") / F.col("vk")
+                        ),
+                        12,
+                    ).cast("decimal(28,12)"),
+                )
+            )
+            .cast("double")
+            .alias("slog"),
+            F.max("vk").alias("vk"),
+        )
+    )
+    return tail.crossJoin(F.broadcast(k)).select(
+        F.col("nn").alias("n"),
+        F.col("kk").alias("k_tail"),
+        F.col("vk").alias("threshold_cents"),
+        "n_above",
+        F.round(F.col("slog") / F.col("n_above"), 6).alias(
+            "hill_gamma"
+        ),
+        F.round(F.col("n_above") / F.col("slog"), 4).alias(
+            "tail_alpha"
+        ),
+    )
+
+
+def _x464_oracle() -> str:
+    from ...ops.text import lang_id_oracle_sql
+
+    pred = lang_id_oracle_sql("documents", "doc_id")
+    return f"""
+WITH pred AS ({pred}),
+j AS (
+  SELECT d.lang AS true_lang, p.pred_lang
+  FROM documents d JOIN pred p USING (doc_id)
+),
+t AS (
+  SELECT true_lang, CAST(count(*) AS BIGINT) AS n_true,
+         CAST(SUM(CASE WHEN true_lang = pred_lang THEN 1 ELSE 0 END)
+           AS BIGINT) AS correct
+  FROM j GROUP BY 1
+),
+p AS (
+  SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_pred
+  FROM j GROUP BY 1
+),
+m AS (
+  SELECT t.true_lang, t.n_true, t.correct,
+         COALESCE(p.n_pred, 0) AS n_pred,
+         CASE WHEN COALESCE(p.n_pred, 0) > 0
+              THEN CAST(t.correct AS DOUBLE) / p.n_pred END AS prec,
+         CAST(t.correct AS DOUBLE) / t.n_true AS rec
+  FROM t LEFT JOIN p ON p.pred_lang = t.true_lang
+),
+f AS (
+  SELECT true_lang, n_true, correct, n_pred,
+         prec, rec,
+         CASE WHEN prec IS NOT NULL AND prec + rec > 0
+              THEN 2 * prec * rec / (prec + rec) ELSE 0.0 END AS f1
+  FROM m
+),
+macro AS (
+  SELECT CAST(SUM(CAST(ROUND(f1, 10) AS DECIMAL(28,10))) AS DOUBLE)
+           / count(*) AS macro_f1
+  FROM f
+)
+SELECT f.true_lang, f.n_true, f.n_pred, f.correct,
+       ROUND(f.prec, 6) AS precision_,
+       ROUND(f.rec, 6) AS recall_,
+       ROUND(f.f1, 6) AS f1,
+       ROUND(mac.macro_f1, 6) AS macro_f1
+FROM f CROSS JOIN macro mac
+ORDER BY f.true_lang
+"""
+
+
+@register(
+    "x464_langid_confusion",
+    _x464_oracle(),
+    doc="evaluation of the repo's OWN stopword-vote language "
+        "classifier (x12 runs it; nothing scores it): per true "
+        "language the precision/recall/F1 against the corpus labels "
+        "plus macro-F1 -- the model card x365's fairness audit and "
+        "x119's ensemble assume exists, and the number that says "
+        "whether lang-conditioned curation gates (x381, x33) are "
+        "built on a classifier that actually works per language. "
+        "Oracle reuses ops/text.lang_id_oracle_sql's exact CASE "
+        "ladder (same tie-break order). Exactness: confusion counts "
+        "are exact BIGINTs; F1 terms round-10 into DECIMAL for the "
+        "macro average. Scale: one classify pass + two lang-domain "
+        "groupBys",
+)
+def x464_langid_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ...ops import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text.lang_id(docs, "doc_id", "text").select(
+        "doc_id", "pred_lang"
+    )
+    j = docs.select("doc_id", F.col("lang").alias("true_lang")).join(
+        pred, "doc_id"
+    )
+    t = j.groupBy("true_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum(
+            F.when(F.col("true_lang") == F.col("pred_lang"), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("correct"),
+    )
+    p = j.groupBy(F.col("pred_lang").alias("true_lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred")
+    )
+    m = t.join(p, "true_lang", "left").select(
+        "true_lang",
+        "n_true",
+        "correct",
+        F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+        F.when(
+            F.coalesce("n_pred", F.lit(0)) > 0,
+            F.col("correct").cast("double") / F.col("n_pred"),
+        ).alias("prec"),
+        (F.col("correct").cast("double") / F.col("n_true")).alias(
+            "rec"
+        ),
+    )
+    f1 = F.when(
+        F.col("prec").isNotNull() & (F.col("prec") + F.col("rec") > 0),
+        2 * F.col("prec") * F.col("rec") / (F.col("prec") + F.col("rec")),
+    ).otherwise(F.lit(0.0))
+    f = m.withColumn("f1", f1).localCheckpoint(eager=False)
+    macro = f.agg(
+        (
+            F.sum(F.round("f1", 10).cast("decimal(28,10)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("macro_f1")
+    )
+    return (
+        f.crossJoin(F.broadcast(macro))
+        .select(
+            "true_lang",
+            "n_true",
+            "n_pred",
+            "correct",
+            F.round("prec", 6).alias("precision_"),
+            F.round("rec", 6).alias("recall_"),
+            F.round("f1", 6).alias("f1"),
+            F.round("macro_f1", 6).alias("macro_f1"),
+        )
+        .orderBy("true_lang")
+    )

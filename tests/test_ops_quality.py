@@ -5900,3 +5900,129 @@ def test_ccf_lag_matches_bruteforce(spark):
         assert -1.0 <= r["ccf"] <= 1.0
         assert r["best_lag"] == best_lag
         assert r["n_pairs"] <= exp[0][0]
+
+
+def test_repetition_decay_matches_bruteforce(spark):
+    """x462: replay match probabilities per (lang, distance) in pure
+    Python; invariants: p_match in [0,1], pair counts decrease with
+    distance."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x462_repetition_decay,
+    )
+
+    rows = load_table(spark, SF, "documents").select("lang", "text").collect()
+    m = defaultdict(int)
+    np_ = defaultdict(int)
+    uni = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        toks = r["text"].lower().split(" ")
+        for d in range(1, 9):
+            np_[(r["lang"], d)] += max(len(toks) - d, 0)
+            m[(r["lang"], d)] += sum(
+                1 for i in range(len(toks) - d) if toks[i] == toks[i + d]
+            )
+        for t in toks:
+            uni[r["lang"]][t] += 1
+    got = {
+        (r["lang"], r["distance"]): r
+        for r in x462_repetition_decay(spark, SF).collect()
+    }
+    assert set(got) == set(np_)
+    for (lang, d), r in got.items():
+        assert r["n_pairs"] == np_[(lang, d)]
+        p = m[(lang, d)] / np_[(lang, d)]
+        assert abs(r["p_match"] - _round_hu(p, 6)) < 1e-9
+        n = sum(uni[lang].values())
+        simpson = sum(c * (c - 1) for c in uni[lang].values()) / (
+            n * (n - 1)
+        )
+        assert abs(r["lift_over_unigram"] - _round_hu(p / simpson, 4)) < 1e-9
+        assert 0.0 <= r["p_match"] <= 1.0
+        if d > 1:
+            assert r["n_pairs"] <= got[(lang, d - 1)]["n_pairs"]
+
+
+def test_hill_tail_index_matches_bruteforce(spark):
+    """x463: replay the Hill estimator by actually sorting values;
+    invariants: gamma > 0, the threshold is the (k+1)-th largest."""
+    import math
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x463_hill_tail_index,
+    )
+
+    rows = load_table(spark, SF, "events").select("value").collect()
+    vals = sorted(
+        (int(_round_hu(r["value"] * 100, 0)) for r in rows), reverse=True
+    )
+    n = len(vals)
+    kk = n // 10
+    vk = vals[kk]  # the (k+1)-th largest (0-indexed kk)
+    above = [v for v in vals if v > vk]
+    slog = sum(
+        _round_hu(cnt * math.log(v / vk), 12)
+        for v, cnt in __import__("collections").Counter(above).items()
+    )
+    r = x463_hill_tail_index(spark, SF).collect()[0]
+    assert (r["n"], r["k_tail"]) == (n, kk)
+    assert r["threshold_cents"] == vk
+    assert r["n_above"] == len(above)
+    assert abs(r["hill_gamma"] - _round_hu(slog / len(above), 6)) < 1e-9
+    assert abs(r["tail_alpha"] - _round_hu(len(above) / slog, 4)) < 1e-9
+    assert r["hill_gamma"] > 0
+
+
+def test_langid_confusion_matches_bruteforce(spark):
+    """x464: replay the confusion metrics against ops.text.lang_id's
+    own predictions collected row by row; identities: sum(n_true) =
+    sum(n_pred) = corpus size, macro_f1 = mean of per-lang f1."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.ops import text as text_ops
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x464_langid_confusion,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    preds = {
+        r["doc_id"]: r["pred_lang"]
+        for r in text_ops.lang_id(docs, "doc_id", "text").collect()
+    }
+    truth = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select("doc_id", "lang").collect()
+    }
+    n_true = defaultdict(int)
+    n_pred = defaultdict(int)
+    correct = defaultdict(int)
+    for d, t in truth.items():
+        n_true[t] += 1
+        n_pred[preds[d]] += 1
+        if preds[d] == t:
+            correct[t] += 1
+    got = {
+        r["true_lang"]: r for r in x464_langid_confusion(spark, SF).collect()
+    }
+    assert set(got) == set(n_true)
+    f1s = []
+    for lang in n_true:
+        r = got[lang]
+        assert r["n_true"] == n_true[lang]
+        assert r["n_pred"] == n_pred.get(lang, 0)
+        assert r["correct"] == correct[lang]
+        rec = correct[lang] / n_true[lang]
+        assert abs(r["recall_"] - _round_hu(rec, 6)) < 1e-9
+        if n_pred.get(lang, 0) > 0:
+            prec = correct[lang] / n_pred[lang]
+            assert abs(r["precision_"] - _round_hu(prec, 6)) < 1e-9
+            f1 = 2 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0
+        else:
+            f1 = 0.0
+        f1s.append(_round_hu(f1, 10))
+        assert abs(r["f1"] - _round_hu(f1, 6)) < 1e-9
+    macro = sum(f1s) / len(f1s)
+    for r in got.values():
+        assert abs(r["macro_f1"] - _round_hu(macro, 6)) < 1e-9
+    assert sum(n_true.values()) == sum(n_pred.values()) == len(truth)
