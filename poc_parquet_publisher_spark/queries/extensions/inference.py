@@ -5089,3 +5089,324 @@ def x464_langid_confusion(
         )
         .orderBy("true_lang")
     )
+
+
+_X465_ORACLE = """
+WITH c AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents)
+  GROUP BY 1, 2
+),
+t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nt FROM c GROUP BY 1),
+p AS (
+  SELECT c.source, c.w, CAST(c.n AS DOUBLE) / t.nt AS p
+  FROM c JOIN t USING (source)
+),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.w,
+         a.p AS pa, b.p AS pb
+  FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
+),
+-- one-sided tokens (present in A, absent in B) contribute
+-- 0.5*p*ln2 each: their total equals 0.5*ln2*(1 - shared mass),
+-- recoverable from the SAME equi-join -- no outer join needed
+js AS (
+  SELECT src_a, src_b,
+         CAST(SUM(CAST(ROUND(
+           0.5 * pa * LN(pa / ((pa + pb) / 2))
+           + 0.5 * pb * LN(pb / ((pa + pb) / 2)), 12)
+           AS DECIMAL(28,12))) AS DOUBLE)
+         + 0.5 * LN(2)
+           * (1.0 - CAST(SUM(CAST(ROUND(pa, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE))
+         + 0.5 * LN(2)
+           * (1.0 - CAST(SUM(CAST(ROUND(pb, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE)) AS js
+  FROM pairs GROUP BY 1, 2
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CAST(ROUND(js, 10) AS DECIMAL(28,10))) AS DOUBLE)
+           / count(*) AS mean_js
+  FROM js
+)
+SELECT j.src_a, j.src_b,
+       ROUND(j.js, 6) AS js_divergence,
+       ROUND(SQRT(j.js), 6) AS js_distance,
+       ROUND(m.mean_js, 6) AS corpus_mean_js
+FROM js j CROSS JOIN m
+ORDER BY j.js DESC, j.src_a, j.src_b
+LIMIT 10
+"""
+
+
+@register(
+    "x465_source_js_pairs",
+    _X465_ORACLE,
+    doc="pairwise Jensen-Shannon divergence between source unigram "
+        "distributions, top-10 most-divergent pairs plus the corpus "
+        "mean -- x128 measures each source against the GLOBAL mix "
+        "(which hides two sources that deviate oppositely), x342 "
+        "compares language models across langs; the source-PAIR "
+        "matrix is the dedup/mixing planner's view: maximally "
+        "divergent pairs are where cross-source near-dup rates "
+        "(x70) should be lowest and mixing weights (x46) matter "
+        "most. One-sided tokens (in A, absent from B) each contribute "
+        "0.5*p*ln2, and their TOTAL is 0.5*ln2*(1 - shared mass) -- "
+        "recovered from the same equi-join's p-sums, so no outer "
+        "join and no epsilon hacks; all sums round-12 into DECIMAL. "
+        "Scale: one token groupBy, then the pair join rides the "
+        "(source x vocab) table -- 20 x 31 rows",
+)
+def x465_source_js_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.groupBy("source").agg(F.sum("n").cast("long").alias("nt"))
+    p = c.join(F.broadcast(t), "source").select(
+        "source", "w", (F.col("n").cast("double") / F.col("nt")).alias("p")
+    ).localCheckpoint(eager=False)
+    a = p.select(
+        F.col("source").alias("src_a"),
+        "w",
+        F.col("p").alias("pa"),
+    )
+    b = p.select(
+        F.col("source").alias("src_b"),
+        F.col("w").alias("wb"),
+        F.col("p").alias("pb"),
+    )
+    mix = (F.col("pa") + F.col("pb")) / 2
+    term = F.round(
+        F.lit(0.5) * F.col("pa") * F.log(F.col("pa") / mix)
+        + F.lit(0.5) * F.col("pb") * F.log(F.col("pb") / mix),
+        12,
+    ).cast("decimal(28,12)")
+    ln2 = 0.6931471805599453
+    js = (
+        a.join(
+            b,
+            (F.col("w") == F.col("wb"))
+            & (F.col("src_a") < F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            (
+                F.sum(term).cast("double")
+                + F.lit(0.5)
+                * ln2
+                * (
+                    F.lit(1.0)
+                    - F.sum(
+                        F.round("pa", 12).cast("decimal(28,12)")
+                    ).cast("double")
+                )
+                + F.lit(0.5)
+                * ln2
+                * (
+                    F.lit(1.0)
+                    - F.sum(
+                        F.round("pb", 12).cast("decimal(28,12)")
+                    ).cast("double")
+                )
+            ).alias("js")
+        )
+        .localCheckpoint(eager=False)
+    )
+    m = js.agg(
+        (
+            F.sum(F.round("js", 10).cast("decimal(28,10)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_js")
+    )
+    return (
+        js.crossJoin(F.broadcast(m))
+        .select(
+            "src_a",
+            "src_b",
+            F.round("js", 6).alias("js_divergence"),
+            F.round(F.sqrt("js"), 6).alias("js_distance"),
+            F.round("mean_js", 6).alias("corpus_mean_js"),
+        )
+        .orderBy(F.desc("js_divergence"), "src_a", "src_b")
+        .limit(10)
+    )
+
+
+def _x466_sig_cols_sql() -> str:
+    return ", ".join(
+        f"list_min(list_transform(sh, s -> substr(md5('{salt}:' || s), "
+        f"{off}, 8))) AS s{4 * salt + i}"
+        for salt in (0, 1)
+        for i, off in enumerate((1, 9, 17, 25))
+    )
+
+
+_X466_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, doc_id // 50 AS blk,
+         list_distinct(list_transform(
+           range(1, len(string_split(lower(text), ' ')) - 1),
+           i -> array_to_string(
+                  (string_split(lower(text), ' '))[i:i+2], ' ')
+         )) AS sh
+  FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 3
+),
+g AS (
+  SELECT doc_id, blk, sh, {_x466_sig_cols_sql()} FROM d
+),
+pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb,
+         ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh)
+                  - len(list_intersect(a.sh, b.sh))), 6) AS jac,
+         (CASE WHEN a.s0 = b.s0 THEN 1 ELSE 0 END
+          + CASE WHEN a.s1 = b.s1 THEN 1 ELSE 0 END
+          + CASE WHEN a.s2 = b.s2 THEN 1 ELSE 0 END
+          + CASE WHEN a.s3 = b.s3 THEN 1 ELSE 0 END
+          + CASE WHEN a.s4 = b.s4 THEN 1 ELSE 0 END
+          + CASE WHEN a.s5 = b.s5 THEN 1 ELSE 0 END
+          + CASE WHEN a.s6 = b.s6 THEN 1 ELSE 0 END
+          + CASE WHEN a.s7 = b.s7 THEN 1 ELSE 0 END) / 8.0 AS est
+  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR(jac * 10) AS BIGINT), 9) AS bin,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CAST(ROUND(est, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           / count(*) AS mean_est,
+         CAST(SUM(CAST(ROUND(jac, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           / count(*) AS mean_exact,
+         CAST(SUM(CAST(ROUND(ABS(est - jac), 8) AS DECIMAL(28,8)))
+           AS DOUBLE) / count(*) AS mae
+  FROM pairs GROUP BY 1
+)
+SELECT bin, ROUND(bin / 10.0, 1) AS bin_lo, n_pairs,
+       ROUND(mean_est, 6) AS mean_est,
+       ROUND(mean_exact, 6) AS mean_exact,
+       ROUND(mean_est - mean_exact, 6) AS bias,
+       ROUND(mae, 6) AS mae
+FROM binned ORDER BY bin
+"""
+
+
+@register(
+    "x466_minhash_calibration",
+    _X466_ORACLE,
+    doc="MinHash estimator calibration curve: over block-local doc "
+        "pairs (doc_id//50 blocks -- LINEAR pair count with bounded "
+        "block size, covering the FULL jaccard range where banded "
+        "candidates only sample the top), the 8-component md5 "
+        "minhash match fraction vs exact shingle Jaccard, binned by "
+        "exact-jaccard decile: per bin the estimator's bias and MAE "
+        "-- the report that says how much to trust x40/x408's "
+        "signatures BETWEEN the thresholds (theory: E[est] = J, sd "
+        "= sqrt(J(1-J)/8) ~ 0.17 at J=0.5 -- 8 components are a "
+        "BLOCKING filter, not a measurement, which is exactly why "
+        "x03/x376 verify with exact Jaccard; this entry quantifies "
+        "it on the corpus instead of citing it). Same md5-slice "
+        "signature math as det_band_keys/x295 (the one definition). "
+        "Exactness: per-pair est/jac round before DECIMAL bin "
+        "accumulation. Scale: block-equi self-join, never all-pairs",
+)
+def x466_minhash_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ...ops.dedup import shingle_arrays
+
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = shingle_arrays(docs, "doc_id", "text", 3)
+
+    def _sliced_hash(salt: int, off: int):
+        return lambda s: F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), s)), off, 8
+        )
+
+    sigs = F.array(
+        *[
+            F.array_min(F.transform(F.col("sh"), _sliced_hash(salt, off)))
+            for salt in (0, 1)
+            for off in (1, 9, 17, 25)
+        ]
+    )
+    g = arrs.select(
+        F.col("doc").alias("doc_id"),
+        (F.col("doc") / 50).cast("long").alias("blk"),
+        "sh",
+        sigs.alias("sigs"),
+    ).localCheckpoint(eager=False)
+    b = g.select(
+        F.col("doc_id").alias("idb"),
+        F.col("blk").alias("blkb"),
+        F.col("sh").alias("shb"),
+        F.col("sigs").alias("sigsb"),
+    )
+    inter = F.size(F.array_intersect("sh", "shb"))
+    jac = F.round(
+        inter.cast("double")
+        / (F.size("sh") + F.size("shb") - inter),
+        6,
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    "sigs", "sigsb", lambda x, y: x == y
+                ),
+                lambda m: m,
+            )
+        )
+        / F.lit(8.0)
+    )
+    pairs = g.join(
+        b,
+        (F.col("blk") == F.col("blkb"))
+        & (F.col("doc_id") < F.col("idb")),
+    ).select(jac.alias("jac"), est.alias("est"))
+    binned = pairs.groupBy(
+        F.least(F.floor(F.col("jac") * 10).cast("long"), F.lit(9)).alias(
+            "bin"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (
+            F.sum(F.round("est", 6).cast("decimal(28,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_est"),
+        (
+            F.sum(F.round("jac", 6).cast("decimal(28,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_exact"),
+        (
+            F.sum(
+                F.round(F.abs(F.col("est") - F.col("jac")), 8).cast(
+                    "decimal(28,8)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mae"),
+    )
+    return binned.select(
+        "bin",
+        F.round(F.col("bin") / 10.0, 1).alias("bin_lo"),
+        "n_pairs",
+        F.round("mean_est", 6).alias("mean_est"),
+        F.round("mean_exact", 6).alias("mean_exact"),
+        F.round(F.col("mean_est") - F.col("mean_exact"), 6).alias(
+            "bias"
+        ),
+        F.round("mae", 6).alias("mae"),
+    ).orderBy("bin")

@@ -6026,3 +6026,122 @@ def test_langid_confusion_matches_bruteforce(spark):
     for r in got.values():
         assert abs(r["macro_f1"] - _round_hu(macro, 6)) < 1e-9
     assert sum(n_true.values()) == sum(n_pred.values()) == len(truth)
+
+
+def test_source_js_pairs_matches_bruteforce(spark):
+    """x465: replay the pairwise JS in Python and verify the shared-
+    vocabulary premise (every source emits every token, so the
+    equi-join covers both supports) plus JS bounds [0, ln 2]."""
+    import math
+    from collections import Counter, defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x465_source_js_pairs,
+    )
+
+    rows = load_table(spark, SF, "documents").select("source", "text").collect()
+    c = defaultdict(Counter)
+    for r in rows:
+        c[r["source"]].update(r["text"].lower().split(" "))
+    dists = {
+        s: {w: n / sum(cnt.values()) for w, n in cnt.items()}
+        for s, cnt in c.items()
+    }
+    ln2 = math.log(2)
+
+    def js(a, b):
+        shared = set(dists[a]) & set(dists[b])
+        tot = sum(
+            _round_hu(
+                0.5 * dists[a][w] * math.log(dists[a][w] / ((dists[a][w] + dists[b][w]) / 2))
+                + 0.5 * dists[b][w] * math.log(dists[b][w] / ((dists[a][w] + dists[b][w]) / 2)),
+                12,
+            )
+            for w in shared
+        )
+        # one-sided mass: each absent-on-the-other-side token adds
+        # 0.5*p*ln2 (this is the full JS, not a truncation)
+        tot += 0.5 * ln2 * (1 - sum(_round_hu(dists[a][w], 12) for w in shared))
+        tot += 0.5 * ln2 * (1 - sum(_round_hu(dists[b][w], 12) for w in shared))
+        return tot
+
+    srcs = sorted(dists)
+    alljs = {
+        (a, b): js(a, b)
+        for i, a in enumerate(srcs)
+        for b in srcs[i + 1:]
+    }
+    mean_js = sum(_round_hu(v, 10) for v in alljs.values()) / len(alljs)
+    top = sorted(alljs.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = x465_source_js_pairs(spark, SF).collect()
+    assert len(got) == 10
+    for r, ((a, b), v) in zip(got, top):
+        assert (r["src_a"], r["src_b"]) == (a, b)
+        assert abs(r["js_divergence"] - _round_hu(v, 6)) < 1e-9
+        assert 0.0 <= r["js_divergence"] <= math.log(2) + 1e-9
+        assert abs(r["corpus_mean_js"] - _round_hu(mean_js, 6)) < 1e-9
+
+
+def test_minhash_calibration_matches_bruteforce(spark):
+    """x466: replay the block-pair estimator curve in pure Python
+    (same md5 slice math); invariants: mean_exact is inside its bin,
+    and the estimator's MAE is bounded by the binomial sd envelope
+    (~0.18 at 8 components) plus bin width."""
+    import hashlib
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x466_minhash_calibration,
+    )
+
+    rows = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+
+    def shingles(text):
+        toks = text.lower().split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    def sig(sh):
+        out = []
+        for salt in (0, 1):
+            digs = [
+                hashlib.md5(f"{salt}:{s}".encode()).hexdigest() for s in sh
+            ]
+            for off in (0, 8, 16, 24):
+                out.append(min(d[off : off + 8] for d in digs))
+        return out
+
+    docs = []
+    for r in rows:
+        sh = shingles(r["text"])
+        if sh:
+            docs.append((r["doc_id"], r["doc_id"] // 50, sh, sig(sh)))
+    byblk = defaultdict(list)
+    for d in docs:
+        byblk[d[1]].append(d)
+    bins = defaultdict(lambda: [0, 0.0, 0.0, 0.0])
+    for blk, ds in byblk.items():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                a, b = ds[i], ds[j]
+                inter = len(a[2] & b[2])
+                jac = _round_hu(inter / (len(a[2]) + len(b[2]) - inter), 6)
+                est = sum(x == y for x, y in zip(a[3], b[3])) / 8.0
+                bn = min(int(jac * 10), 9)
+                acc = bins[bn]
+                acc[0] += 1
+                acc[1] += _round_hu(est, 6)
+                acc[2] += _round_hu(jac, 6)
+                acc[3] += _round_hu(abs(est - jac), 8)
+    got = {r["bin"]: r for r in x466_minhash_calibration(spark, SF).collect()}
+    assert set(got) == set(bins)
+    for bn, (n, se, sj, sm) in bins.items():
+        r = got[bn]
+        assert r["n_pairs"] == n
+        assert abs(r["mean_est"] - _round_hu(se / n, 6)) < 1e-9
+        assert abs(r["mean_exact"] - _round_hu(sj / n, 6)) < 1e-9
+        assert abs(r["mae"] - _round_hu(sm / n, 6)) < 1e-9
+        assert bn / 10 - 1e-9 <= r["mean_exact"] <= bn / 10 + 0.1 + 1e-9
+        assert r["mae"] <= 0.18 + 0.1 + 1e-9
