@@ -691,3 +691,59 @@ def test_qini_decile_no_single_partition_over_users(spark):
             spec = m.group(1)
             assert "decile" in spec, f"window over non-aggregate: {line}"
             assert "score" not in spec, f"window keyed on score: {line}"
+
+
+def test_x441_uniformity_ranks_avoid_single_partition_window(spark):
+    """x441: the global AD/KS ranks must come from the two-pass
+    prefix-sum (mapInPandas over a pinned range partitioning), never
+    a SinglePartition window over the corpus -- the x90 gate applied
+    to the round-7 uniformity audit."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x441_fingerprint_uniformity,
+    )
+
+    plan = plan_of(x441_fingerprint_uniformity(spark, SF))
+    assert "MapInPandas" in plan  # the prefix-sum pass
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            raise AssertionError(f"unexpected Window node: {line}")
+
+
+def test_x451_yuen_order_statistics_avoid_row_sort(spark):
+    """x451: trimmed/winsorized moments must derive from the bounded
+    value-domain cumsums -- the plan may sort the (group, value)
+    DOMAIN inside its windows but must never globally sort or
+    single-partition the event rows themselves."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x451_yuen_trimmed_t,
+    )
+
+    plan = plan_of(x451_yuen_trimmed_t(spark, SF))
+    # windows ride partitionBy(grp): no empty-partition (global) spec
+    for line in plan.splitlines():
+        if "windowspecdefinition(vc" in line:
+            raise AssertionError(
+                f"window partitioned on nothing (global sort): {line}"
+            )
+    assert "CartesianProduct" not in plan
+
+
+def test_x466_calibration_pairs_are_block_equi_join(spark):
+    """x466: the pair generation must be an equi-join on the block
+    key (linear pair count), never a nested-loop over all doc
+    pairs."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x466_minhash_calibration,
+    )
+
+    plan = plan_of(x466_minhash_calibration(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the blk equi-key must appear in a hash-join condition
+    assert "blk" in plan
+    joins = [
+        ln
+        for ln in plan.splitlines()
+        if "Join" in ln and "blk" in ln
+    ]
+    assert joins, "no join keyed on blk found"
+    assert all("BroadcastNestedLoop" not in ln for ln in joins)
