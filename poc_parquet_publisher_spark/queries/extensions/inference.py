@@ -5410,3 +5410,372 @@ def x466_minhash_calibration(
         ),
         F.round("mae", 6).alias("mae"),
     ).orderBy("bin")
+
+
+_X467_ORACLE = """
+WITH e AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+s AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(vc) AS BIGINT) AS sv,
+         CAST(SUM(vc * vc) AS BIGINT) AS sv2
+  FROM e GROUP BY 1
+),
+p AS (
+  SELECT t1.n AS n1, t0.n AS n0,
+         CAST(t1.sv AS DOUBLE) / t1.n / 100 AS m1,
+         CAST(t0.sv AS DOUBLE) / t0.n / 100 AS m0,
+         (CAST(t1.sv2 AS DOUBLE) - CAST(t1.sv AS DOUBLE) * t1.sv / t1.n)
+           / (t1.n - 1) / 10000 AS v1,
+         (CAST(t0.sv2 AS DOUBLE) - CAST(t0.sv AS DOUBLE) * t0.sv / t0.n)
+           / (t0.n - 1) / 10000 AS v0
+  FROM (SELECT * FROM s WHERE t = 1) t1
+  CROSS JOIN (SELECT * FROM s WHERE t = 0) t0
+),
+g AS (
+  SELECT n1, n0, m1 - m0 AS d,
+         SQRT(v1 / n1 + v0 / n0) AS se,
+         0.05 * SQRT(((n1 - 1) * v1 + (n0 - 1) * v0)
+                     / (n1 + n0 - 2)) AS margin
+  FROM p
+)
+SELECT n1, n0,
+       ROUND(d, 6) AS diff,
+       ROUND(se, 6) AS se,
+       ROUND(margin, 6) AS margin,
+       ROUND((d + margin) / se, 4) AS t_lower,
+       ROUND((margin - d) / se, 4) AS t_upper,
+       (d + margin) / se > 1.644854 AND (margin - d) / se > 1.644854
+         AS equivalent_5pct
+FROM g
+"""
+
+
+@register(
+    "x467_tost_equivalence",
+    _X467_ORACLE,
+    doc="TOST equivalence test (two one-sided tests) for the arm "
+        "difference in event value: is the treatment PROVABLY within "
+        "+-0.05 pooled-sd of control? -- the deploy-safety question "
+        "every difference test in the registry (x286, x444, x445) "
+        "gets BACKWARD: failing to reject 'no difference' is not "
+        "evidence of equivalence; TOST rejects 'difference exceeds "
+        "the margin' from both sides (t_lower = (d+m)/se and "
+        "t_upper = (m-d)/se both > z_{0.95}), the FDA/regression-"
+        "gate standard. Exactness: the same exact cent-integer "
+        "moments as x444, margin from the pooled sd, fixed-order "
+        "doubles. Scale: one (arm) groupBy, 2-row algebra",
+)
+def x467_tost_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    s = e.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vc").cast("long").alias("sv"),
+        F.sum(F.col("vc") * F.col("vc")).cast("long").alias("sv2"),
+    )
+    t1 = s.filter(F.col("t") == 1).select(
+        F.col("n").alias("n1"),
+        F.col("sv").alias("sv1"),
+        F.col("sv2").alias("sv21"),
+    )
+    t0 = s.filter(F.col("t") == 0).select(
+        F.col("n").alias("n0"),
+        F.col("sv").alias("sv0"),
+        F.col("sv2").alias("sv20"),
+    )
+    m1 = F.col("sv1").cast("double") / F.col("n1") / 100
+    m0 = F.col("sv0").cast("double") / F.col("n0") / 100
+    v1 = (
+        (
+            F.col("sv21").cast("double")
+            - F.col("sv1").cast("double") * F.col("sv1") / F.col("n1")
+        )
+        / (F.col("n1") - 1)
+        / 10000
+    )
+    v0 = (
+        (
+            F.col("sv20").cast("double")
+            - F.col("sv0").cast("double") * F.col("sv0") / F.col("n0")
+        )
+        / (F.col("n0") - 1)
+        / 10000
+    )
+    g = t1.crossJoin(F.broadcast(t0)).select(
+        "n1",
+        "n0",
+        (m1 - m0).alias("d"),
+        F.sqrt(v1 / F.col("n1") + v0 / F.col("n0")).alias("se"),
+        (
+            F.lit(0.05)
+            * F.sqrt(
+                ((F.col("n1") - 1) * v1 + (F.col("n0") - 1) * v0)
+                / (F.col("n1") + F.col("n0") - 2)
+            )
+        ).alias("margin"),
+    )
+    tl = (F.col("d") + F.col("margin")) / F.col("se")
+    tu = (F.col("margin") - F.col("d")) / F.col("se")
+    return g.select(
+        "n1",
+        "n0",
+        F.round("d", 6).alias("diff"),
+        F.round("se", 6).alias("se"),
+        F.round("margin", 6).alias("margin"),
+        F.round(tl, 4).alias("t_lower"),
+        F.round(tu, 4).alias("t_upper"),
+        ((tl > 1.644854) & (tu > 1.644854)).alias("equivalent_5pct"),
+    )
+
+
+_X468_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS truth,
+         -- deterministic md5 'coins': keep-truth with prob 3/4, else
+         -- answer 'yes' with prob 1/2 (classic Warner-style RR)
+         CASE WHEN (strpos('0123456789abcdef',
+                substr(md5('keep:' || CAST(user_id AS VARCHAR)), 1, 1))
+                - 1) < 12 THEN 1 ELSE 0 END AS keep,
+         CASE WHEN (strpos('0123456789abcdef',
+                substr(md5('coin:' || CAST(user_id AS VARCHAR)), 1, 1))
+                - 1) < 8 THEN 1 ELSE 0 END AS coin
+  FROM events GROUP BY 1
+),
+obs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(truth) AS BIGINT) AS n_true,
+         CAST(SUM(CASE WHEN keep = 1 THEN truth ELSE coin END)
+           AS BIGINT) AS n_yes
+  FROM u
+)
+SELECT n, n_true,
+       ROUND(CAST(n_true AS DOUBLE) / n, 6) AS true_rate,
+       n_yes,
+       ROUND(CAST(n_yes AS DOUBLE) / n, 6) AS observed_rate,
+       -- E[obs] = 0.75*p + 0.25*0.5  =>  p-hat = (obs - 0.125)/0.75
+       ROUND((CAST(n_yes AS DOUBLE) / n - 0.125) / 0.75, 6)
+         AS debiased_rate,
+       ROUND(SQRT((CAST(n_yes AS DOUBLE) / n)
+                  * (1 - CAST(n_yes AS DOUBLE) / n) / n) / 0.75, 6)
+         AS debiased_se,
+       ROUND(ABS((CAST(n_yes AS DOUBLE) / n - 0.125) / 0.75
+                 - CAST(n_true AS DOUBLE) / n), 6) AS realized_error
+FROM obs
+"""
+
+
+@register(
+    "x468_randomized_response",
+    _X468_ORACLE,
+    doc="randomized-response (local differential privacy) round trip "
+        "on the purchase flag: each user keeps their true answer "
+        "with probability 3/4 (md5 'keep' coin) else answers a fair "
+        "md5 'coin' -- the Warner mechanism, epsilon = ln(((3/4) + "
+        "(1/4)(1/2)) / ((1/4)(1/2))) = ln 7 -- then the aggregate "
+        "debiases p-hat = (obs - 1/8)/(3/4), with its se and, "
+        "because the truth is in hand, the REALIZED error: the "
+        "mechanism, the estimator, and the report card in one row "
+        "(the x428 pattern applied to privacy). The k-anonymity "
+        "family (x172/x246/x430) protects records at rest; RR is "
+        "the COLLECTION-time leg, and the deterministic md5 coins "
+        "make an inherently randomized mechanism replayable in both "
+        "engines (the repo's determinism contract doing real work). "
+        "Scale: one user groupBy + 1-row algebra",
+)
+def x468_randomized_response(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hexpos = lambda prefix: (  # noqa: E731 -- tiny local expr builder
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                1,
+            ),
+        )
+        - 1
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("truth"),
+    ).select(
+        "truth",
+        F.when(hexpos("keep:") < 12, 1).otherwise(0).alias("keep"),
+        F.when(hexpos("coin:") < 8, 1).otherwise(0).alias("coin"),
+    )
+    obs = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("truth").cast("long").alias("n_true"),
+        F.sum(
+            F.when(F.col("keep") == 1, F.col("truth")).otherwise(
+                F.col("coin")
+            )
+        )
+        .cast("long")
+        .alias("n_yes"),
+    )
+    obs_rate = F.col("n_yes").cast("double") / F.col("n")
+    deb = (obs_rate - 0.125) / 0.75
+    return obs.select(
+        "n",
+        "n_true",
+        F.round(F.col("n_true").cast("double") / F.col("n"), 6).alias(
+            "true_rate"
+        ),
+        "n_yes",
+        F.round(obs_rate, 6).alias("observed_rate"),
+        F.round(deb, 6).alias("debiased_rate"),
+        F.round(
+            F.sqrt(obs_rate * (1 - obs_rate) / F.col("n")) / 0.75, 6
+        ).alias("debiased_se"),
+        F.round(
+            F.abs(deb - F.col("n_true").cast("double") / F.col("n")), 6
+        ).alias("realized_error"),
+    )
+
+
+_X469_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+flat AS (SELECT CAST(gap AS BIGINT) AS gap FROM g WHERE gap IS NOT NULL),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS sg,
+         CAST(SUM(CAST(gap AS DECIMAL(38,0))
+                  * CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS sg2
+  FROM flat
+),
+-- consecutive gap pairs within a user (memory coefficient)
+pairsrc AS (
+  SELECT user_id, gap,
+         LAG(gap) OVER (PARTITION BY user_id ORDER BY rn) AS prev_gap
+  FROM (
+    SELECT g2.user_id, CAST(g2.gap AS BIGINT) AS gap,
+           row_number() OVER (PARTITION BY g2.user_id
+                              ORDER BY g2.ord) AS rn
+    FROM (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap,
+             ts AS ord
+      FROM events
+    ) g2 WHERE g2.gap IS NOT NULL
+  )
+),
+pm AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(prev_gap AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(prev_gap AS DECIMAL(38,0))
+                  * CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(prev_gap AS DECIMAL(38,0))
+                  * CAST(prev_gap AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(gap AS DECIMAL(38,0))
+                  * CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM pairsrc WHERE prev_gap IS NOT NULL
+)
+SELECT m.n AS n_gaps, pm.k AS n_pairs,
+       ROUND((SQRT((m.sg2 - m.sg * m.sg / m.n) / (m.n - 1))
+              - m.sg / m.n)
+             / (SQRT((m.sg2 - m.sg * m.sg / m.n) / (m.n - 1))
+                + m.sg / m.n), 6) AS burstiness_b,
+       ROUND((pm.sxy - pm.sx * pm.sy / pm.k)
+             / SQRT((pm.sxx - pm.sx * pm.sx / pm.k)
+                    * (pm.syy - pm.sy * pm.sy / pm.k)), 6)
+         AS memory_m
+FROM m CROSS JOIN pm
+"""
+
+
+@register(
+    "x469_burstiness_memory",
+    _X469_ORACLE,
+    doc="Goh-Barabasi burstiness/memory plane of the event stream: "
+        "B = (sigma - mu)/(sigma + mu) of inter-event gaps (B = -1 "
+        "periodic, 0 Poisson, -> 1 bursty) and M = Pearson r of "
+        "consecutive same-user gaps -- the TWO-NUMBER summary that "
+        "classifies the process x457's KS only accepts/rejects "
+        "(human activity lives at B > 0, M ~ 0; schedulers at "
+        "B < 0): together they say WHICH non-Poisson world the "
+        "stream is in, deciding between x212's burst windows and "
+        "x288's seasonal model. Exactness: gap moments accumulate "
+        "in DECIMAL(38,0) (microsecond gaps square past int64 -- "
+        "the one place the registry needs 128-bit integer sums), "
+        "pair moments likewise; both statistics are 1-row algebra. "
+        "Scale: two LAG passes over the same user-key shuffle",
+)
+def x469_burstiness_memory(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    g = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (us - F.lag(us).over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("gap")).cast("double").alias("sg"),
+        F.sum(dec("gap") * dec("gap")).cast("double").alias("sg2"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = g.select(
+        "user_id",
+        "gap",
+        F.lag("gap").over(w2).alias("prev_gap"),
+    ).filter(F.col("prev_gap").isNotNull())
+    pm = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(dec("prev_gap")).cast("double").alias("sx"),
+        F.sum(dec("gap")).cast("double").alias("sy"),
+        F.sum(dec("prev_gap") * dec("gap")).cast("double").alias("sxy"),
+        F.sum(dec("prev_gap") * dec("prev_gap"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(dec("gap") * dec("gap")).cast("double").alias("syy"),
+    )
+    sigma = F.sqrt(
+        (F.col("sg2") - F.col("sg") * F.col("sg") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    mu = F.col("sg") / F.col("n")
+    mem = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("k")) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("k"))
+        * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("k"))
+    )
+    return m.crossJoin(F.broadcast(pm)).select(
+        F.col("n").alias("n_gaps"),
+        F.col("k").alias("n_pairs"),
+        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness_b"),
+        F.round(mem, 6).alias("memory_m"),
+    )

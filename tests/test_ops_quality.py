@@ -6145,3 +6145,137 @@ def test_minhash_calibration_matches_bruteforce(spark):
         assert abs(r["mae"] - _round_hu(sm / n, 6)) < 1e-9
         assert bn / 10 - 1e-9 <= r["mean_exact"] <= bn / 10 + 0.1 + 1e-9
         assert r["mae"] <= 0.18 + 0.1 + 1e-9
+
+
+def test_tost_equivalence_matches_bruteforce(spark):
+    """x467: replay TOST from the same moments; consistency: the
+    one-sided t's straddle the plain t, and equivalence requires
+    |diff| < margin (necessary condition)."""
+    import math
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x467_tost_equivalence,
+    )
+
+    ev = load_table(spark, SF, "events").select("user_id", "value").collect()
+    arm = {1: [], 0: []}
+    for r in ev:
+        arm[int(r["user_id"] % 2 == 0)].append(
+            int(_round_hu(r["value"] * 100, 0))
+        )
+    n1, n0 = len(arm[1]), len(arm[0])
+    m1, m0 = sum(arm[1]) / n1 / 100, sum(arm[0]) / n0 / 100
+    v1 = (sum(v * v for v in arm[1]) - sum(arm[1]) ** 2 / n1) / (n1 - 1) / 10000
+    v0 = (sum(v * v for v in arm[0]) - sum(arm[0]) ** 2 / n0) / (n0 - 1) / 10000
+    d = m1 - m0
+    se = math.sqrt(v1 / n1 + v0 / n0)
+    margin = 0.05 * math.sqrt(((n1 - 1) * v1 + (n0 - 1) * v0) / (n1 + n0 - 2))
+    tl, tu = (d + margin) / se, (margin - d) / se
+    r = x467_tost_equivalence(spark, SF).collect()[0]
+    assert (r["n1"], r["n0"]) == (n1, n0)
+    assert abs(r["t_lower"] - _round_hu(tl, 4)) < 1e-9
+    assert abs(r["t_upper"] - _round_hu(tu, 4)) < 1e-9
+    assert r["equivalent_5pct"] == (tl > 1.644854 and tu > 1.644854)
+    if r["equivalent_5pct"]:
+        assert abs(r["diff"]) < r["margin"]
+
+
+def test_randomized_response_matches_bruteforce(spark):
+    """x468: replay the md5 coins and the debiasing; invariants: the
+    debiased estimate lands within 4 se of the in-hand truth, and
+    epsilon = ln 7 for this (3/4, 1/2) mechanism."""
+    import hashlib
+    import math
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x468_randomized_response,
+    )
+
+    rows = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    truth = {}
+    for r in rows:
+        truth.setdefault(r["user_id"], 0)
+        if r["event_type"] == "purchase":
+            truth[r["user_id"]] = 1
+
+    def hexpos(prefix, u):
+        return int(
+            hashlib.md5(f"{prefix}{u}".encode()).hexdigest()[0], 16
+        )
+
+    n = len(truth)
+    n_true = sum(truth.values())
+    n_yes = 0
+    for u, t in truth.items():
+        keep = hexpos("keep:", u) < 12
+        coin = int(hexpos("coin:", u) < 8)
+        n_yes += t if keep else coin
+    obs = n_yes / n
+    deb = (obs - 0.125) / 0.75
+    se = math.sqrt(obs * (1 - obs) / n) / 0.75
+    r = x468_randomized_response(spark, SF).collect()[0]
+    assert (r["n"], r["n_true"], r["n_yes"]) == (n, n_true, n_yes)
+    assert abs(r["debiased_rate"] - _round_hu(deb, 6)) < 1e-9
+    assert abs(r["debiased_se"] - _round_hu(se, 6)) < 1e-9
+    assert abs(r["realized_error"] - _round_hu(abs(deb - n_true / n), 6)) < 1e-9
+    assert abs(deb - n_true / n) < 4 * se
+    # the mechanism's privacy budget (documentation-level pin)
+    p_keep, p_coin = 0.75, 0.5
+    eps = math.log(
+        (p_keep + (1 - p_keep) * p_coin) / ((1 - p_keep) * p_coin)
+    )
+    assert abs(eps - math.log(7)) < 1e-12
+
+
+def test_burstiness_memory_matches_bruteforce(spark):
+    """x469: replay B and M from per-user gap sequences; invariants:
+    B in (-1, 1), M in [-1, 1]."""
+    import math
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x469_burstiness_memory,
+    )
+
+    rows = (
+        load_table(spark, SF, "events")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    per = defaultdict(list)
+    for r in rows:
+        per[r["user_id"]].append((r["ts"], r["event_id"]))
+    gaps = []
+    pairs = []
+    for u, ts in per.items():
+        ts.sort()
+        ug = [
+            int(round((ts[i][0] - ts[i - 1][0]).total_seconds() * 1e6))
+            for i in range(1, len(ts))
+        ]
+        gaps += ug
+        pairs += list(zip(ug, ug[1:]))
+    n = len(gaps)
+    mu = sum(gaps) / n
+    var = (sum(g * g for g in gaps) - sum(gaps) ** 2 / n) / (n - 1)
+    sigma = math.sqrt(var)
+    b = (sigma - mu) / (sigma + mu)
+    k = len(pairs)
+    sx = sum(a for a, _ in pairs)
+    sy = sum(c for _, c in pairs)
+    sxy = sum(a * c for a, c in pairs)
+    sxx = sum(a * a for a, _ in pairs)
+    syy = sum(c * c for _, c in pairs)
+    mm = (sxy - sx * sy / k) / math.sqrt(
+        (sxx - sx * sx / k) * (syy - sy * sy / k)
+    )
+    r = x469_burstiness_memory(spark, SF).collect()[0]
+    assert (r["n_gaps"], r["n_pairs"]) == (n, k)
+    assert abs(r["burstiness_b"] - _round_hu(b, 6)) < 1e-9
+    assert abs(r["memory_m"] - _round_hu(mm, 6)) < 1e-9
+    assert -1.0 < r["burstiness_b"] < 1.0
+    assert -1.0 <= r["memory_m"] <= 1.0
