@@ -5779,3 +5779,259 @@ def x469_burstiness_memory(
         F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness_b"),
         F.round(mem, 6).alias("memory_m"),
     )
+
+
+_X470_ORACLE = """
+WITH h AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(
+           string_split(lower(text), ' '))), ' ')) AS hh, doc_id
+  FROM documents
+),
+grp AS (
+  SELECT hh, list_sort(list(doc_id)) AS ids
+  FROM h GROUP BY 1 HAVING count(*) > 1
+),
+lags AS (
+  SELECT unnest(list_transform(
+           range(2, len(ids) + 1), i -> ids[i] - ids[i - 1]
+         )) AS lag
+  FROM grp
+),
+b AS (
+  SELECT CASE WHEN lag <= 10 THEN 1
+              WHEN lag <= 100 THEN 2
+              WHEN lag <= 1000 THEN 3
+              ELSE 4 END AS bucket,
+         lag
+  FROM lags
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_lags,
+         CAST(SUM(lag) AS BIGINT) AS s_lag
+  FROM b
+)
+SELECT bucket,
+       CASE bucket WHEN 1 THEN '<=10' WHEN 2 THEN '11-100'
+            WHEN 3 THEN '101-1000' ELSE '>1000' END AS lag_range,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(count(*) AS DOUBLE) / max(t.n_lags), 6) AS share,
+       CAST(MIN(lag) AS BIGINT) AS min_lag,
+       CAST(MAX(lag) AS BIGINT) AS max_lag,
+       ROUND(CAST(max(t.s_lag) AS DOUBLE) / max(t.n_lags), 4)
+         AS corpus_mean_lag
+FROM b CROSS JOIN tot t
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register(
+    "x470_duplicate_lag",
+    _X470_ORACLE,
+    doc="duplicate re-occurrence lag distribution: for every shared "
+        "content FINGERPRINT (x02/x428's sorted-distinct-token md5 "
+        "-- byte-exact text dups are absent below sf0.1, the "
+        "fingerprint grain has groups at every SF), the doc_id gaps "
+        "between CONSECUTIVE "
+        "occurrences, bucketed by decade -- the TEMPORAL structure "
+        "of duplication that x01 (who survives), x60 (how much per "
+        "source) and x440 (marginal yield) never expose: near lags "
+        "are crawler re-fetches the ingest buffer could have "
+        "suppressed (x143's watermark window), far lags are mirrors "
+        "that only the persistent index (x295) catches -- the "
+        "histogram is the empirical basis for sizing BOTH horizons. "
+        "Exactness: per-group consecutive diffs from one sorted "
+        "collect_list fold (groups are duplicate-sized, bounded); "
+        "integer lags, exact counts. Scale: one hash-groupBy (x01's "
+        "shape) + a duplicate-rows-only explode",
+)
+def x470_duplicate_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grp = (
+        docs.select(
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.array_distinct(
+                            F.split(F.lower("text"), " ")
+                        )
+                    ),
+                    " ",
+                )
+            ).alias("hh"),
+            "doc_id",
+        )
+        .groupBy("hh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    lags = grp.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size("ids")),
+                lambda i: F.element_at("ids", i)
+                - F.element_at("ids", i - 1),
+            )
+        ).alias("lag")
+    )
+    b = lags.select(
+        F.when(F.col("lag") <= 10, 1)
+        .when(F.col("lag") <= 100, 2)
+        .when(F.col("lag") <= 1000, 3)
+        .otherwise(4)
+        .alias("bucket"),
+        "lag",
+    ).localCheckpoint(eager=False)
+    tot = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lags"),
+        F.sum("lag").cast("long").alias("s_lag"),
+    )
+    label = (
+        F.when(F.col("bucket") == 1, "<=10")
+        .when(F.col("bucket") == 2, "11-100")
+        .when(F.col("bucket") == 3, "101-1000")
+        .otherwise(">1000")
+    )
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.max("n_lags"), 6
+            ).alias("share"),
+            F.min("lag").cast("long").alias("min_lag"),
+            F.max("lag").cast("long").alias("max_lag"),
+            F.round(
+                F.max("s_lag").cast("double") / F.max("n_lags"), 4
+            ).alias("corpus_mean_lag"),
+        )
+        .select(
+            "bucket",
+            label.alias("lag_range"),
+            "n_pairs",
+            "share",
+            "min_lag",
+            "max_lag",
+            "corpus_mean_lag",
+        )
+        .orderBy("bucket")
+    )
+
+
+_X471_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  ) GROUP BY 1
+),
+ks AS (SELECT unnest([1, 2, 4, 8]) AS k),
+club AS (
+  SELECT k.k, CAST(count(*) AS BIGINT) AS n_k
+  FROM ks k JOIN deg d ON d.d > k.k
+  GROUP BY 1
+),
+edges_in AS (
+  SELECT k.k, CAST(count(*) AS BIGINT) AS e_k
+  FROM ks k
+  JOIN e ON TRUE
+  JOIN deg du ON du.node = e.u AND du.d > k.k
+  JOIN deg dv ON dv.node = e.v AND dv.d > k.k
+  GROUP BY 1
+)
+SELECT c.k, c.n_k AS club_nodes,
+       COALESCE(ei.e_k, 0) AS club_edges,
+       ROUND(CAST(2 * COALESCE(ei.e_k, 0) AS DOUBLE)
+             / (CAST(c.n_k AS DOUBLE) * (c.n_k - 1)), 6)
+         AS rich_club_phi
+FROM club c LEFT JOIN edges_in ei ON ei.k = c.k
+WHERE c.n_k >= 2
+ORDER BY c.k
+"""
+
+
+@register(
+    "x471_rich_club",
+    _X471_ORACLE,
+    doc="rich-club coefficient of the co-purchase graph: for degree "
+        "thresholds k in {1, 2, 4, 8}, phi(k) = realized edge "
+        "density among nodes of degree > k -- rising phi(k) means "
+        "hubs preferentially interconnect, the structural fact that "
+        "decides whether x423's hub-removal test is fragile (a "
+        "wired-together elite) or robust, and that x455's tail "
+        "exponent and x361's assortativity each only hint at. "
+        "Exactness: degrees and club edge counts are exact BIGINTs; "
+        "phi is one division. Scale: the x210 edge list + two "
+        "degree-broadcast semijoins per threshold (x4 VALUES "
+        "fan-out); clubs with < 2 nodes are dropped (phi undefined)",
+)
+def x471_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    b = items.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("pb")
+    )
+    e = (
+        items.join(b, items["l_orderkey"] == b["k2"])
+        .filter(F.col("l_partkey") < F.col("pb"))
+        .groupBy(
+            F.col("l_partkey").alias("u"), F.col("pb").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    ks = spark.createDataFrame([(1,), (2,), (4,), (8,)], "k long")
+    club = (
+        F.broadcast(ks)
+        .join(deg, deg["d"] > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("club_nodes"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ej = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    edges_in = (
+        F.broadcast(ks)
+        .join(ej, (ej["du"] > F.col("k")) & (ej["dv"] > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("club_edges"))
+    )
+    return (
+        club.join(edges_in, "k", "left")
+        .filter(F.col("club_nodes") >= 2)
+        .select(
+            "k",
+            "club_nodes",
+            F.coalesce("club_edges", F.lit(0)).alias("club_edges"),
+            F.round(
+                (
+                    2 * F.coalesce("club_edges", F.lit(0)).cast(
+                        "double"
+                    )
+                )
+                / (
+                    F.col("club_nodes").cast("double")
+                    * (F.col("club_nodes") - 1)
+                ),
+                6,
+            ).alias("rich_club_phi"),
+        )
+        .orderBy("k")
+    )

@@ -6279,3 +6279,95 @@ def test_burstiness_memory_matches_bruteforce(spark):
     assert abs(r["memory_m"] - _round_hu(mm, 6)) < 1e-9
     assert -1.0 < r["burstiness_b"] < 1.0
     assert -1.0 <= r["memory_m"] <= 1.0
+
+
+def test_duplicate_lag_matches_bruteforce(spark):
+    """x470: replay the consecutive-occurrence lags; identities:
+    total pairs = (group size - 1) summed over duplicate groups,
+    shares sum to 1."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x470_duplicate_lag,
+    )
+
+    rows = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    groups = defaultdict(list)
+    for r in rows:
+        fp = " ".join(sorted(set(r["text"].lower().split(" "))))
+        groups[fp].append(r["doc_id"])
+    lags = []
+    expected_pairs = 0
+    for ids in groups.values():
+        if len(ids) > 1:
+            ids.sort()
+            expected_pairs += len(ids) - 1
+            lags += [b - a for a, b in zip(ids, ids[1:])]
+
+    def bucket(lag):
+        return 1 if lag <= 10 else 2 if lag <= 100 else 3 if lag <= 1000 else 4
+
+    from collections import Counter
+
+    cnt = Counter(bucket(lg) for lg in lags)
+    got = {r["bucket"]: r for r in x470_duplicate_lag(spark, SF).collect()}
+    assert set(got) == set(cnt)
+    assert sum(r["n_pairs"] for r in got.values()) == expected_pairs
+    share_sum = 0.0
+    for bk, n in cnt.items():
+        r = got[bk]
+        assert r["n_pairs"] == n
+        blags = [lg for lg in lags if bucket(lg) == bk]
+        assert (r["min_lag"], r["max_lag"]) == (min(blags), max(blags))
+        assert abs(r["share"] - _round_hu(n / len(lags), 6)) < 1e-9
+        assert abs(
+            r["corpus_mean_lag"] - _round_hu(sum(lags) / len(lags), 4)
+        ) < 1e-9
+        share_sum += r["share"]
+    assert abs(share_sum - 1.0) < 1e-4
+
+
+def test_rich_club_matches_bruteforce(spark):
+    """x471: replay phi(k) from Python degrees; invariants: phi in
+    [0, 1], club sizes shrink with k."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import x471_rich_club
+
+    rows = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    orders = defaultdict(set)
+    for r in rows:
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    pair_n = defaultdict(int)
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_n[(ps[i], ps[j])] += 1
+    edges = [p for p, n in pair_n.items() if n >= 2]
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    got = {r["k"]: r for r in x471_rich_club(spark, SF).collect()}
+    prev_nodes = None
+    for k in (1, 2, 4, 8):
+        club = {n for n, d in deg.items() if d > k}
+        if len(club) < 2:
+            assert k not in got
+            continue
+        inside = sum(1 for u, v in edges if u in club and v in club)
+        phi = 2 * inside / (len(club) * (len(club) - 1))
+        r = got[k]
+        assert r["club_nodes"] == len(club)
+        assert r["club_edges"] == inside
+        assert abs(r["rich_club_phi"] - _round_hu(phi, 6)) < 1e-9
+        assert 0.0 <= r["rich_club_phi"] <= 1.0
+        if prev_nodes is not None:
+            assert r["club_nodes"] <= prev_nodes
+        prev_nodes = r["club_nodes"]
