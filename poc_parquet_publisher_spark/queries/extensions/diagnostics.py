@@ -363,3 +363,291 @@ def x473_krippendorff_alpha(
             ).alias("krippendorff_alpha"),
         )
     )
+
+
+_X474_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks
+  FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 3
+),
+tri AS (
+  SELECT doc_id, CAST(len(toks) - 2 AS BIGINT) AS tt,
+         unnest(list_transform(
+           range(1, len(toks) - 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS tri
+  FROM t
+),
+f AS (
+  SELECT doc_id, tt, tri, CAST(count(*) AS BIGINT) AS f
+  FROM tri GROUP BY 1, 2, 3
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.tt AS t_a, b.tt AS t_b,
+         CAST(SUM(LEAST(a.f, b.f)) AS BIGINT) AS inter_min
+  FROM f a
+  JOIN f b ON a.tri = b.tri AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, t_a, t_b, inter_min,
+       ROUND(CAST(inter_min AS DOUBLE)
+             / (t_a + t_b - inter_min), 6) AS wjaccard
+FROM p
+WHERE ROUND(CAST(inter_min AS DOUBLE)
+            / (t_a + t_b - inter_min), 6) >= 0.3
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "x474_weighted_jaccard",
+    _X474_ORACLE,
+    doc="frequency-WEIGHTED Jaccard near-dup pairs over trigram "
+        "MULTISETS: J_w = sum min(f_a, f_b) / sum max(f_a, f_b) on "
+        "per-document trigram frequencies -- the repetition-aware "
+        "grain x03's distinct-set Jaccard collapses (a page that "
+        "repeats one boilerplate block 50 times and a page with one "
+        "copy have identical shingle SETS but very different "
+        "multisets), catching template-stamped near-dups the set "
+        "tier under-scores. Exactness: frequencies and sum-min are "
+        "exact integers; sum-max never materializes -- the identity "
+        "sum max = T_a + T_b - sum min reduces it to per-doc trigram "
+        "totals; one rounded division. Scale: the x03/x376 postings "
+        "shape -- trigram-keyed equi-join of (doc, trigram, freq) "
+        "postings, never per-pair array intersection; the hot-"
+        "shingle postings cap in ops.dedup.ngram_jaccard_pairs is "
+        "the documented 100 TB containment for degenerate shingles",
+)
+def x474_weighted_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ...ops.dedup import _rebalanced
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Token array bound in its own projection, trigram ARRAY bound in
+    # the next, explode_outer last (the ops.dedup.shingles recipe):
+    # an inlined split() re-tokenizes the document once per trigram
+    # position (measured 8.9 s -> 0.6 s at sf0.1 for 260k trigrams).
+    t = _rebalanced(docs).select(
+        F.col("doc_id").alias("doc"),
+        F.split(F.lower("text"), " ").alias("toks"),
+    ).filter(F.size("toks") >= 3)
+    toks = F.col("toks")
+    tri_arr = t.select(
+        "doc",
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ).alias("tris"),
+    )
+    tri = tri_arr.select(
+        "doc",
+        F.size("tris").cast("long").alias("tt"),
+        F.explode_outer("tris").alias("tri"),
+    )
+    f = tri.groupBy("doc", "tt", "tri").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    # One wide shuffle (the ops.dedup.shingle_pair_counts shape): the
+    # trigram's postings collect into a bucket, pairs expand in-bucket
+    # with HOFs -- a postings self-equi-join would shuffle the posting
+    # list twice (measured 18 s -> in-bucket ~5 s at sf0.1).
+    buckets = (
+        f.groupBy("tri")
+        .agg(F.collect_list(F.struct("doc", "tt", "f")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    ds = F.array_sort(F.col("ds"))  # first struct field = doc id
+    pair = lambda x, y: F.struct(  # noqa: E731
+        x["doc"].alias("doc_a"),
+        x["tt"].alias("t_a"),
+        y["doc"].alias("doc_b"),
+        y["tt"].alias("t_b"),
+        F.least(x["f"], y["f"]).alias("m"),
+    )
+    p = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ds,
+                        lambda x, i: F.transform(
+                            F.slice(ds, i + F.lit(2), F.size(ds)),
+                            lambda y: pair(x, y),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .groupBy("doc_a", "doc_b", "t_a", "t_b")
+        .agg(F.sum("m").cast("long").alias("inter_min"))
+    )
+    wj = F.round(
+        F.col("inter_min").cast("double")
+        / (F.col("t_a") + F.col("t_b") - F.col("inter_min")),
+        6,
+    )
+    return (
+        p.select(
+            "doc_a", "doc_b", "t_a", "t_b", "inter_min",
+            wj.alias("wjaccard"),
+        )
+        .filter(F.col("wjaccard") >= 0.3)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_X475_ORACLE = """
+WITH s AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS k,
+         max(value) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prior_max
+  FROM events
+),
+rec AS (
+  SELECT k,
+         CASE WHEN prior_max IS NULL OR value > prior_max
+              THEN 1 ELSE 0 END AS is_rec
+  FROM s
+),
+nu AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+mk AS (
+  SELECT t.k, CAST(count(*) AS BIGINT) AS m
+  FROM nu, UNNEST(range(1, n + 1)) AS t(k)
+  GROUP BY 1
+),
+ok AS (SELECT k, CAST(SUM(is_rec) AS BIGINT) AS obs FROM rec GROUP BY 1),
+g AS (
+  SELECT mk.k,
+         CASE WHEN mk.k = 1 THEN 1
+              WHEN mk.k <= 3 THEN 2
+              WHEN mk.k <= 7 THEN 3
+              WHEN mk.k <= 15 THEN 4
+              ELSE 5 END AS bucket,
+         COALESCE(ok.obs, 0) AS obs,
+         (mk.m * 1000000000) // mk.k AS eq
+  FROM mk LEFT JOIN ok ON ok.k = mk.k
+)
+SELECT bucket,
+       CASE bucket WHEN 1 THEN 'k=1' WHEN 2 THEN 'k=2-3'
+            WHEN 3 THEN 'k=4-7' WHEN 4 THEN 'k=8-15'
+            ELSE 'k>=16' END AS k_range,
+       CAST(SUM(obs) AS BIGINT) AS observed_records,
+       ROUND(CAST(SUM(eq) AS DOUBLE) / 1000000000.0, 4)
+         AS expected_records,
+       ROUND(CAST(SUM(obs) AS DOUBLE)
+             / (CAST(SUM(eq) AS DOUBLE) / 1000000000.0), 4)
+         AS obs_over_exp
+FROM g GROUP BY 1, 2 ORDER BY bucket
+"""
+
+
+@register(
+    "x475_record_statistics",
+    _X475_ORACLE,
+    doc="record-statistics exchangeability audit: an event value is "
+        "a RECORD if it strictly exceeds every earlier value of the "
+        "same user (ts, event_id order); under exchangeability the "
+        "k-th observation is a record with probability exactly 1/k "
+        "regardless of the value distribution -- a distribution-FREE "
+        "stationarity test (observed/expected per position bucket "
+        "far from 1 means trending or regime-shifted streams) "
+        "complementing x291's runs test (signs of deltas) and "
+        "x384's Mann-Kendall (pairwise concordance, O(n^2) per "
+        "series) at O(n) per series. Exactness: records are integer "
+        "counts from one bounded user-key window; the expected count "
+        "sum_k m_k/k quantizes per-k by INTEGER floor-division "
+        "(m_k*1e9 div k) so the bucket sums are exact DECIMAL "
+        "integers -- no float accumulation across the k domain; two "
+        "final rounded divisions. Scale: one user-key shuffle "
+        "reused by both windows, k-domain bounded by max per-user "
+        "history; the m_k grid is a per-user bounded explode",
+)
+def x475_record_statistics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = events.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("k"),
+        F.max("value")
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prior_max"),
+    )
+    rec = s.select(
+        "k",
+        F.when(
+            F.col("prior_max").isNull()
+            | (F.col("value") > F.col("prior_max")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_rec"),
+    )
+    nu = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    mk = (
+        nu.select(
+            F.explode(F.sequence(F.lit(1), F.col("n"))).alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    ok = rec.groupBy("k").agg(
+        F.sum("is_rec").cast("long").alias("obs")
+    )
+    g = mk.join(ok, "k", "left").select(
+        F.when(F.col("k") == 1, F.lit(1))
+        .when(F.col("k") <= 3, F.lit(2))
+        .when(F.col("k") <= 7, F.lit(3))
+        .when(F.col("k") <= 15, F.lit(4))
+        .otherwise(F.lit(5))
+        .alias("bucket"),
+        F.coalesce(F.col("obs"), F.lit(0)).alias("obs"),
+        F.expr("(m * 1000000000) div k").alias("eq"),
+    )
+    label = (
+        F.when(F.col("bucket") == 1, "k=1")
+        .when(F.col("bucket") == 2, "k=2-3")
+        .when(F.col("bucket") == 3, "k=4-7")
+        .when(F.col("bucket") == 4, "k=8-15")
+        .otherwise("k>=16")
+    )
+    exp_d = F.sum("eq").cast("double") / F.lit(1000000000.0)
+    return (
+        g.groupBy("bucket")
+        .agg(
+            F.sum("obs").cast("long").alias("observed_records"),
+            F.round(exp_d, 4).alias("expected_records"),
+            F.round(
+                F.sum("obs").cast("double") / exp_d, 4
+            ).alias("obs_over_exp"),
+        )
+        .select(
+            "bucket",
+            label.alias("k_range"),
+            "observed_records",
+            "expected_records",
+            "obs_over_exp",
+        )
+        .orderBy("bucket")
+    )
