@@ -308,11 +308,17 @@ def test_skew_hash_plan_and_time(name, spark, skew_dirs, skew_duck):
     df_uni.collect()
     t_uni = time.time() - t0
 
+    # Time the Spark side SYMMETRICALLY with the uniform twin (a bare
+    # collect); the DuckDB oracle compare runs untimed afterwards --
+    # counting oracle+hash time only on the skew side made the 3x gate
+    # flake under full-suite load (x366: 16 s "skew" of which ~13 s was
+    # the comparison harness, passes in isolation).
     t0 = time.time()
     df = spec.spark(spark, skew)
-    result = compare(df, skew_duck, spec.oracle)
+    df.collect()
     t_skew = time.time() - t0
 
+    result = compare(spec.spark(spark, skew), skew_duck, spec.oracle)
     assert result["match"], f"{name} diverges from oracle under skew: {result}"
 
     plan = df._jdf.queryExecution().executedPlan().toString()
