@@ -651,3 +651,473 @@ def x475_record_statistics(
         )
         .orderBy("bucket")
     )
+
+
+_X476_ORACLE = """
+WITH uq AS (
+  SELECT user_id, event_type,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT))
+              AS HUGEINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+       FROM events),
+full_u AS (
+  SELECT user_id FROM uq GROUP BY 1
+  HAVING count(*) = (SELECT k FROM kk)
+),
+m AS (
+  SELECT uq.user_id, uq.event_type, CAST(uq.s AS DOUBLE) / uq.n AS mv
+  FROM uq JOIN full_u USING (user_id)
+),
+r AS (
+  SELECT user_id, event_type,
+         CAST(2 * rank() OVER (PARTITION BY user_id ORDER BY mv)
+              + count(*) OVER (PARTITION BY user_id, mv) - 1
+              AS BIGINT) AS r2
+  FROM m
+),
+gstats AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n,
+         CAST(SUM(r2 * r2) AS HUGEINT) AS a2
+  FROM r
+),
+tj AS (
+  SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2j FROM r GROUP BY 1
+),
+num AS (
+  SELECT CAST(SUM((r2j - g.n * (k.k + 1)) * (r2j - g.n * (k.k + 1)))
+              AS HUGEINT) AS sq
+  FROM tj, gstats g, kk k
+)
+SELECT g.n AS n_blocks, k.k AS k_treatments,
+       ROUND((k.k - 1) * CAST(num.sq AS DOUBLE)
+             / CAST(g.a2 - g.n * k.k * (k.k + 1) * (k.k + 1)
+                    AS DOUBLE), 6) AS friedman_q,
+       ROUND((k.k - 1) * CAST(num.sq AS DOUBLE)
+             / CAST(g.a2 - g.n * k.k * (k.k + 1) * (k.k + 1)
+                    AS DOUBLE)
+             / (g.n * (k.k - 1)), 6) AS kendalls_w
+FROM gstats g, kk k, num
+"""
+
+
+@register(
+    "x476_friedman_test",
+    _X476_ORACLE,
+    doc="Friedman rank test (tie-corrected) with Kendall's W across "
+        "event types as TREATMENTS and users as BLOCKS (per-cell "
+        "observation = the user's mean event value for that type; "
+        "blocks missing a treatment are dropped) -- the within-block "
+        "k-treatment nonparametric test x363's Kruskal-Wallis (no "
+        "blocking) and x442's paired t (2 treatments, parametric) "
+        "cannot provide, plus W = Q/(n(k-1)) as the [0,1] "
+        "concordance effect size. Exactness: cell means come from "
+        "1e-6-floored integer value sums (ratio compare via IEEE-"
+        "identical doubles); DOUBLED mid-ranks 2r+cnt-1 make every "
+        "tie-averaged rank an exact integer, so R2_j, A2 = 4A and "
+        "C2 = 4C are exact and Q = (k-1)*Sum(R2_j - n(k+1))^2 / "
+        "(A2 - C2) is ONE double division. Scale: one (user, type) "
+        "hash aggregate, ranks on a user-key window (k-bounded "
+        "partitions), k-row treatment table ends the plan",
+)
+def x476_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    vq = F.floor(F.col("value") * F.lit(1000000.0)).cast("long")
+    uq = ev.groupBy("user_id", "event_type").agg(
+        F.sum(vq).cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    kk = ev.agg(F.countDistinct("event_type").cast("long").alias("k"))
+    full_u = (
+        uq.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .crossJoin(F.broadcast(kk))
+        .filter(F.col("c") == F.col("k"))
+        .select("user_id")
+    )
+    m = uq.join(full_u, "user_id").select(
+        "user_id",
+        "event_type",
+        (F.col("s").cast("double") / F.col("n")).alias("mv"),
+    )
+    r = m.select(
+        "user_id",
+        "event_type",
+        (
+            F.lit(2)
+            * F.rank().over(
+                Window.partitionBy("user_id").orderBy("mv")
+            )
+            + F.count(F.lit(1)).over(
+                Window.partitionBy("user_id", "mv")
+            )
+            - F.lit(1)
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    glob = r.agg(
+        F.countDistinct("user_id").cast("long").alias("n"),
+        F.sum(F.col("r2") * F.col("r2"))
+        .cast("decimal(38,0)")
+        .alias("a2"),
+    )
+    tj = r.groupBy("event_type").agg(
+        F.sum("r2").cast("long").alias("r2j")
+    )
+    dev = F.col("r2j") - F.col("n") * (F.col("k") + 1)
+    num = (
+        tj.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(kk))
+        .agg(F.sum(dev * dev).cast("decimal(38,0)").alias("sq"))
+    )
+    den = (
+        F.col("a2")
+        - F.col("n") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1)
+    ).cast("double")
+    q_stat = (F.col("k") - 1) * F.col("sq").cast("double") / den
+    return (
+        glob.crossJoin(F.broadcast(kk))
+        .crossJoin(F.broadcast(num))
+        .select(
+            F.col("n").alias("n_blocks"),
+            F.col("k").alias("k_treatments"),
+            F.round(q_stat, 6).alias("friedman_q"),
+            F.round(
+                q_stat / (F.col("n") * (F.col("k") - 1)), 6
+            ).alias("kendalls_w"),
+        )
+    )
+
+
+_X477_ORACLE = """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS grp,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) >= 14
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+         END AS conv
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(SUM(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT)
+           AS conv_a,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b,
+         CAST(SUM(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT)
+           AS conv_b
+  FROM u
+),
+p AS (
+  SELECT n_a, n_b, conv_a, conv_b,
+         1 + conv_a AS aa, 1 + n_a - conv_a AS ba,
+         1 + conv_b AS ab2, 1 + n_b - conv_b AS bb
+  FROM c
+),
+c0 AS (
+  SELECT CAST(SUM(CAST(floor(
+           (ln(CAST(ba + t.t AS DOUBLE))
+            - ln(CAST(aa + ba + t.t AS DOUBLE)))
+           * 1000000000000.0) AS BIGINT)) AS BIGINT) AS c0q
+  FROM p, UNNEST(range(0, bb)) AS t(t)
+),
+pre AS (
+  SELECT t.t + 1 AS i,
+         SUM(CAST(floor(
+           (ln(CAST(aa + t.t AS DOUBLE))
+            + ln(CAST(bb + t.t AS DOUBLE))
+            - ln(CAST(aa + ba + bb + t.t AS DOUBLE))
+            - ln(CAST(1 + t.t AS DOUBLE)))
+           * 1000000000000.0) AS BIGINT))
+           OVER (ORDER BY t.t) AS pq
+  FROM p, UNNEST(range(0, ab2 - 1)) AS t(t)
+),
+allpre AS (
+  SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS pq
+  UNION ALL
+  SELECT i, CAST(pq AS BIGINT) FROM pre
+),
+terms AS (
+  SELECT CAST(SUM(CAST(floor(
+           exp(CAST(c0.c0q + a.pq AS DOUBLE) / 1000000000000.0)
+           * 1000000000000.0) AS BIGINT)) AS HUGEINT) AS sq
+  FROM allpre a, c0
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       ROUND(CAST(aa AS DOUBLE) / (aa + ba), 6) AS posterior_mean_a,
+       ROUND(CAST(ab2 AS DOUBLE) / (ab2 + bb), 6) AS posterior_mean_b,
+       ROUND(CAST(terms.sq AS DOUBLE) / 1000000000000.0, 6)
+         AS p_b_gt_a
+FROM p, terms
+"""
+
+
+@register(
+    "x477_bayesian_ab",
+    _X477_ORACLE,
+    doc="EXACT Bayesian A/B: posterior probability of superiority "
+        "P(p_B > p_A) under Beta(1,1) priors on per-user conversion "
+        "(grp = user_id % 2, converted = >= 14 purchase events) via the "
+        "closed-form Beta-Binomial sum -- the decision-ready "
+        "posterior x125's frequentist lift and x434's mSPRT never "
+        "emit, with NO lgamma dependency: term(0) collapses to "
+        "sum ln((bA+t)/(aA+bA+t)) over the bB domain (an order-free "
+        "integer sum after 1e-12 flooring) and successive terms "
+        "follow the ratio recurrence term(i+1)/term(i) = "
+        "(aA+i)(bB+i)/((aA+bA+bB+i)(1+i)), so log-terms are ONE "
+        "integer prefix sum over the i <= aB domain -- the giant "
+        "log-factorial table a naive lnB(x,y) evaluation needs "
+        "never exists. Exactness: every log quantizes by 1e12 "
+        "multiply-then-floor before summing (integer window sum is "
+        "addition-order-proof, unlike float cumsums under DuckDB's "
+        "segment-tree windows); exp of identical doubles and a "
+        "final floored-term integer sum make P engine-identical to "
+        "1e-12. Scale: two hash aggregates over users, then all "
+        "domains are bounded by the smaller arm's success count",
+)
+def x477_bayesian_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("conv")
+    )
+    c = u.select(
+        (F.col("user_id") % 2).alias("grp"), "conv"
+    ).agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("grp") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("grp") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    p = c.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        (F.lit(1) + F.col("conv_a")).alias("aa"),
+        (F.lit(1) + F.col("n_a") - F.col("conv_a")).alias("ba"),
+        (F.lit(1) + F.col("conv_b")).alias("ab2"),
+        (F.lit(1) + F.col("n_b") - F.col("conv_b")).alias("bb"),
+    ).localCheckpoint(eager=False)
+    q12 = F.lit(1000000000000.0)
+    lnd = lambda col: F.log(col.cast("double"))  # noqa: E731
+    t = F.col("t")
+    c0 = p.select(
+        F.explode(
+            F.sequence(F.lit(0), F.col("bb") - 1)
+        ).alias("t"),
+        "aa",
+        "ba",
+    ).agg(
+        F.sum(
+            F.floor(
+                (lnd(F.col("ba") + t) - lnd(F.col("aa") + F.col("ba") + t))
+                * q12
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("c0q")
+    )
+    rdom = p.filter(F.col("ab2") >= 2).select(
+        F.explode(
+            F.sequence(F.lit(0), F.col("ab2") - 2)
+        ).alias("t"),
+        "aa",
+        "ba",
+        "bb",
+    )
+    rq = F.floor(
+        (
+            lnd(F.col("aa") + t)
+            + lnd(F.col("bb") + t)
+            - lnd(F.col("aa") + F.col("ba") + F.col("bb") + t)
+            - lnd(F.lit(1) + t)
+        )
+        * q12
+    ).cast("long")
+    # Integer prefix sum over the bounded i <= aB domain: long-typed
+    # window sum is exact under ANY evaluation order (DuckDB's
+    # segment-tree window would reorder a float cumsum).
+    pre = rdom.select(
+        (t + 1).alias("i"),
+        F.sum(rq)
+        .over(
+            Window.orderBy("t").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("pq"),
+    )
+    allpre = pre.unionByName(
+        p.select(F.lit(0).cast("long").alias("i"),
+                 F.lit(0).cast("long").alias("pq"))
+    )
+    terms = allpre.crossJoin(F.broadcast(c0)).agg(
+        F.sum(
+            F.floor(
+                F.exp((F.col("c0q") + F.col("pq")).cast("double") / q12)
+                * q12
+            ).cast("long")
+        )
+        .cast("decimal(38,0)")
+        .alias("sq")
+    )
+    return p.crossJoin(F.broadcast(terms)).select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(
+            F.col("aa").cast("double") / (F.col("aa") + F.col("ba")), 6
+        ).alias("posterior_mean_a"),
+        F.round(
+            F.col("ab2").cast("double") / (F.col("ab2") + F.col("bb")),
+            6,
+        ).alias("posterior_mean_b"),
+        F.round(F.col("sq").cast("double") / q12, 6).alias("p_b_gt_a"),
+    )
+
+
+_X478_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS raw_sim
+  FROM n q JOIN n c ON q.vec_id != c.vec_id
+),
+r AS (
+  SELECT neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_sim DESC, neighbor_id) AS rnk
+  FROM s
+),
+ind AS (
+  SELECT e.vec_id, CAST(COALESCE(t.cnt, 0) AS BIGINT) AS d
+  FROM e LEFT JOIN (
+    SELECT neighbor_id, count(*) AS cnt FROM r WHERE rnk <= 10
+    GROUP BY 1
+  ) t ON t.neighbor_id = e.vec_id
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(d) AS HUGEINT) AS s1,
+         CAST(SUM(d * d) AS HUGEINT) AS s2,
+         CAST(SUM(d * d * d) AS HUGEINT) AS s3,
+         CAST(MAX(d) AS BIGINT) AS mx,
+         CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_anti
+  FROM ind
+)
+SELECT n AS n_vectors, CAST(10 AS BIGINT) AS k,
+       n_anti AS n_antihubs, mx AS max_k_occurrence,
+       ROUND(CAST(s1 AS DOUBLE) / n, 4) AS mean_k_occurrence,
+       ROUND(
+         (CAST(s3 AS DOUBLE) / n
+          - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+          + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                * (CAST(s1 AS DOUBLE) / n))
+         / ((CAST(s2 AS DOUBLE) / n
+             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+            * sqrt(CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s1 AS DOUBLE) / n))), 4)
+         AS skew_k_occurrence
+FROM mom
+"""
+
+
+@register(
+    "x478_hubness_audit",
+    _X478_ORACLE,
+    doc="hubness audit of the embedding space: the k-occurrence "
+        "distribution N_10(x) = how often x appears in other points' "
+        "exact cosine top-10 -- right-skewed N_k is the "
+        "high-dimensionality pathology that silently degrades every "
+        "ANN tier (hubs dominate result lists, antihubs become "
+        "unreachable), making this the health check to run BEFORE "
+        "trusting x08/x15/x317's retrieval: skewness of N_k, hub "
+        "max, and antihub count (N_k = 0). Ranks ride x07's proven "
+        "raw-sim ordering (brute_force_topk: queries broadcast as a "
+        "numpy matrix, one BLAS matmul per Arrow batch, partial "
+        "top-k per batch so the shuffle is O(k n_batches n)); "
+        "in-degrees and their three moments are exact integers, "
+        "skewness is double arithmetic with sqrt (never pow) at the "
+        "end. Scale: the exact tier is the bounded-corpus contract "
+        "(x07); at 100 TB the same audit runs over x08's banded "
+        "LSH candidates instead of brute force",
+)
+def x478_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ...ops import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = similarity.brute_force_topk(
+        emb, emb, "vec_id", "embedding", k=10
+    )
+    ind = (
+        emb.select("vec_id")
+        .join(
+            topk.groupBy("neighbor_id").agg(
+                F.count(F.lit(1)).cast("long").alias("cnt")
+            ),
+            F.col("vec_id") == F.col("neighbor_id"),
+            "left",
+        )
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).alias("d"))
+    )
+    mom = ind.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("d") * F.col("d"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.sum(F.col("d") * F.col("d") * F.col("d"))
+        .cast("decimal(38,0)")
+        .alias("s3"),
+        F.max("d").cast("long").alias("mx"),
+        F.sum(F.when(F.col("d") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("anti"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n")
+    m3 = F.col("s3").cast("double") / F.col("n")
+    var = m2 - mu * mu
+    return mom.select(
+        F.col("n").alias("n_vectors"),
+        F.lit(10).cast("long").alias("k"),
+        F.col("anti").alias("n_antihubs"),
+        F.col("mx").alias("max_k_occurrence"),
+        F.round(mu, 4).alias("mean_k_occurrence"),
+        F.round(
+            (m3 - F.lit(3.0) * mu * m2 + F.lit(2.0) * mu * mu * mu)
+            / (var * F.sqrt(var)),
+            4,
+        ).alias("skew_k_occurrence"),
+    )
