@@ -1121,3 +1121,398 @@ def x478_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("skew_k_occurrence"),
     )
+
+
+_X479_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                             * 10000.0) AS BIGINT)) AS HUGEINT) AS y
+  FROM lineitem GROUP BY 1
+),
+xy AS (
+  SELECT CAST(floor(o.o_totalprice * 10000.0) AS HUGEINT) AS x, li.y
+  FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         CAST(SUM(y * y) AS HUGEINT) AS syy,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy
+  FROM xy
+)
+SELECT n AS n_orders,
+       ROUND(CAST(sx AS DOUBLE) / n / 10000.0, 4) AS mean_header,
+       ROUND(CAST(sy AS DOUBLE) / n / 10000.0, 4) AS mean_items,
+       ROUND((CAST(sxy AS DOUBLE) / n
+              - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+             / (sqrt(CAST(sxx AS DOUBLE) / n
+                     - (CAST(sx AS DOUBLE) / n)
+                       * (CAST(sx AS DOUBLE) / n))
+                * sqrt(CAST(syy AS DOUBLE) / n
+                       - (CAST(sy AS DOUBLE) / n)
+                         * (CAST(sy AS DOUBLE) / n))), 6)
+         AS pearson_r,
+       ROUND(2.0 * (CAST(sxy AS DOUBLE) / n
+                    - (CAST(sx AS DOUBLE) / n)
+                      * (CAST(sy AS DOUBLE) / n))
+             / ((CAST(sxx AS DOUBLE) / n
+                 - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                + (CAST(syy AS DOUBLE) / n
+                   - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                + ((CAST(sx AS DOUBLE) / n - CAST(sy AS DOUBLE) / n)
+                   * (CAST(sx AS DOUBLE) / n - CAST(sy AS DOUBLE) / n))),
+             6) AS lins_ccc
+FROM mom
+"""
+
+
+@register(
+    "x479_lins_ccc",
+    _X479_ORACLE,
+    doc="Lin's concordance correlation coefficient between the order "
+        "HEADER total and the recomputed ITEM-LEVEL total "
+        "(sum extendedprice*(1-discount)) -- the agreement effect "
+        "size for the reconciliation x158 enumerates row-by-row: "
+        "Pearson r rewards linear association even under systematic "
+        "bias, CCC = 2*s_xy / (s_x^2 + s_y^2 + (mu_x - mu_y)^2) "
+        "additionally penalizes location/scale shift, so "
+        "CCC << r isolates a SYSTEMATIC ledger discrepancy from "
+        "random noise. Exactness: both measurements floor-quantize "
+        "at 1e-4 dollars, all five moment sums are exact HUGEINT/"
+        "DECIMAL integers, the two coefficients are fixed-order "
+        "double arithmetic with explicit sqrt. Scale: one "
+        "orderkey-grain aggregate and an orderkey equi-join, then "
+        "a single five-accumulator reduction",
+)
+def x479_lins_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    yq = F.floor(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * F.lit(10000.0)
+    ).cast("long")
+    liagg = li.groupBy("l_orderkey").agg(
+        F.sum(yq).cast("decimal(38,0)").alias("y")
+    )
+    xy = orders.join(
+        liagg, orders["o_orderkey"] == liagg["l_orderkey"]
+    ).select(
+        F.floor(F.col("o_totalprice") * F.lit(10000.0))
+        .cast("decimal(38,0)")
+        .alias("x"),
+        "y",
+    )
+    mom = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("y") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(F.col("x") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    mx = F.col("sx").cast("double") / n
+    my = F.col("sy").cast("double") / n
+    vx = F.col("sxx").cast("double") / n - mx * mx
+    vy = F.col("syy").cast("double") / n - my * my
+    cxy = F.col("sxy").cast("double") / n - mx * my
+    return mom.select(
+        n.alias("n_orders"),
+        F.round(F.col("sx").cast("double") / n / F.lit(10000.0), 4)
+        .alias("mean_header"),
+        F.round(F.col("sy").cast("double") / n / F.lit(10000.0), 4)
+        .alias("mean_items"),
+        F.round(cxy / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("pearson_r"),
+        F.round(
+            F.lit(2.0) * cxy / (vx + vy + (mx - my) * (mx - my)), 6
+        ).alias("lins_ccc"),
+    )
+
+
+_X480_ORACLE = """
+WITH o AS (
+  SELECT o_orderpriority AS pr, o_orderstatus AS st,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+rt AS (SELECT pr, CAST(SUM(cnt) AS BIGINT) AS r FROM o GROUP BY 1),
+ct AS (SELECT st, CAST(SUM(cnt) AS BIGINT) AS c FROM o GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST((SELECT count(*) FROM rt) AS BIGINT) AS nr,
+         CAST((SELECT count(*) FROM ct) AS BIGINT) AS nc
+  FROM o
+),
+grid AS (
+  SELECT rt.pr, ct.st, rt.r, ct.c, COALESCE(o.cnt, 0) AS cnt
+  FROM rt CROSS JOIN ct
+  LEFT JOIN o ON o.pr = rt.pr AND o.st = ct.st
+),
+cells AS (
+  SELECT CAST(SUM(CAST(floor(
+           ((cnt - CAST(r * c AS DOUBLE) / t.n)
+            * (cnt - CAST(r * c AS DOUBLE) / t.n)
+            / (CAST(r * c AS DOUBLE) / t.n)) * 1000000000.0)
+           AS BIGINT)) AS HUGEINT) AS chi2q
+  FROM grid, tot t
+),
+s AS (
+  SELECT t.n, t.nr, t.nc,
+         CAST(cells.chi2q AS DOUBLE) / 1000000000.0 AS chi2
+  FROM tot t, cells
+)
+SELECT n, nr AS n_rows_dim, nc AS n_cols_dim,
+       ROUND(chi2, 4) AS chi2,
+       ROUND(sqrt(chi2 / n
+                  / CAST(LEAST(nr - 1, nc - 1) AS DOUBLE)), 6)
+         AS cramers_v,
+       ROUND(sqrt(
+         GREATEST(0.0, chi2 / n
+                  - CAST((nr - 1) * (nc - 1) AS DOUBLE) / (n - 1))
+         / CAST(LEAST(
+             CAST(nr AS DOUBLE)
+               - CAST((nr - 1) * (nr - 1) AS DOUBLE) / (n - 1),
+             CAST(nc AS DOUBLE)
+               - CAST((nc - 1) * (nc - 1) AS DOUBLE) / (n - 1))
+           - 1.0 AS DOUBLE)), 6) AS cramers_v_corrected
+FROM s
+"""
+
+
+@register(
+    "x480_cramers_v",
+    _X480_ORACLE,
+    doc="Cramer's V with the Bergsma bias correction for the order "
+        "priority x status association -- the [0,1] EFFECT SIZE "
+        "x148's chi-square test omits (chi2 grows with n, so at "
+        "corpus scale every association is 'significant'; V says "
+        "whether it is LARGE, and plain V is upward-biased on "
+        "sparse tables, which the (r-1)(c-1)/(n-1) correction "
+        "removes). Exactness: the full r x c grid (zero cells "
+        "included via a cross-join spine), per-cell chi-square "
+        "contributions floor-quantized at 1e-9 so the cell sum is "
+        "an exact integer regardless of aggregation order; V and "
+        "the corrected V are fixed-order double arithmetic with "
+        "explicit sqrt/least/greatest. Scale: one contingency "
+        "groupBy reduces the corpus to category-cardinality cells; "
+        "everything after is broadcast-sized",
+)
+def x480_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.groupBy(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    rt = o.groupBy("pr").agg(F.sum("cnt").cast("long").alias("r"))
+    ct = o.groupBy("st").agg(F.sum("cnt").cast("long").alias("c"))
+    tot = o.agg(
+        F.sum("cnt").cast("long").alias("n")
+    ).crossJoin(
+        F.broadcast(rt.agg(F.count(F.lit(1)).cast("long").alias("nr")))
+    ).crossJoin(
+        F.broadcast(ct.agg(F.count(F.lit(1)).cast("long").alias("nc")))
+    )
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(o, ["pr", "st"], "left")
+        .select(
+            "r", "c", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+        )
+    )
+    e = (F.col("r") * F.col("c")).cast("double") / F.col("n")
+    contrib = (F.col("cnt") - e) * (F.col("cnt") - e) / e
+    cells = grid.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.floor(contrib * F.lit(1000000000.0)).cast("long")
+        )
+        .cast("decimal(38,0)")
+        .alias("chi2q")
+    )
+    chi2 = F.col("chi2q").cast("double") / F.lit(1000000000.0)
+    nd = F.col("n").cast("double")
+    phi2c = F.greatest(
+        F.lit(0.0),
+        chi2 / F.col("n")
+        - ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("double")
+          / (F.col("n") - 1),
+    )
+    rc_ = (
+        F.col("nr").cast("double")
+        - ((F.col("nr") - 1) * (F.col("nr") - 1)).cast("double")
+          / (F.col("n") - 1)
+    )
+    cc_ = (
+        F.col("nc").cast("double")
+        - ((F.col("nc") - 1) * (F.col("nc") - 1)).cast("double")
+          / (F.col("n") - 1)
+    )
+    return tot.crossJoin(F.broadcast(cells)).select(
+        "n",
+        F.col("nr").alias("n_rows_dim"),
+        F.col("nc").alias("n_cols_dim"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / F.col("n")
+                / F.least(F.col("nr") - 1, F.col("nc") - 1).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.round(
+            F.sqrt(phi2c / (F.least(rc_, cc_) - F.lit(1.0))), 6
+        ).alias("cramers_v_corrected"),
+    )
+
+
+_X481_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         len(string_split(lower(text), ' ')) AS nw,
+         length(replace(text, ' ', '')) AS lc,
+         len(list_filter(list_distinct(string_split(lower(text), ' ')),
+             t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+           AS nstop,
+         len(list_distinct(string_split(lower(text), ' '))) AS nd,
+         list_max(list_transform(
+           list_distinct(string_split(lower(text), ' ')),
+           t -> len(list_filter(string_split(lower(text), ' '),
+                                x -> x = t)))) AS topc
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN nw BETWEEN 30 AND 90 THEN 1 ELSE 0 END AS j1,
+         CASE WHEN lc >= 4 * nw AND lc <= 5 * nw THEN 1 ELSE 0 END
+           AS j2,
+         CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS j3,
+         CASE WHEN 5 * nd > 3 * nw THEN 1 ELSE 0 END AS j4,
+         CASE WHEN 8 * topc <= nw THEN 1 ELSE 0 END AS j5
+  FROM d
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS blocks,
+         CAST(SUM(j1) AS BIGINT) AS c1, CAST(SUM(j2) AS BIGINT) AS c2,
+         CAST(SUM(j3) AS BIGINT) AS c3, CAST(SUM(j4) AS BIGINT) AS c4,
+         CAST(SUM(j5) AS BIGINT) AS c5,
+         CAST(SUM(j1 + j2 + j3 + j4 + j5) AS BIGINT) AS bign,
+         CAST(SUM((j1 + j2 + j3 + j4 + j5)
+                  * (j1 + j2 + j3 + j4 + j5)) AS HUGEINT) AS sr2
+  FROM r
+)
+SELECT blocks AS n_blocks, CAST(5 AS BIGINT) AS k_rules,
+       bign AS total_passes,
+       ROUND(4.0 * CAST(
+           (5 * c1 - bign) * (5 * c1 - bign)
+           + (5 * c2 - bign) * (5 * c2 - bign)
+           + (5 * c3 - bign) * (5 * c3 - bign)
+           + (5 * c4 - bign) * (5 * c4 - bign)
+           + (5 * c5 - bign) * (5 * c5 - bign) AS DOUBLE)
+         / CAST(5 * (5 * bign - sr2) AS DOUBLE), 6) AS cochrans_q
+FROM s
+"""
+
+
+@register(
+    "x481_cochrans_q",
+    _X481_ORACLE,
+    doc="Cochran's Q test across x381's five Gopher rules as k=5 "
+        "binary TREATMENTS over documents as blocks: do the rules "
+        "have the same marginal pass rate, i.e. is the funnel's "
+        "rejection load balanced or is one rule doing all the work? "
+        "-- the hypothesis-test complement to x391 (Fleiss asks 'do "
+        "raters agree per doc', Q asks 'do their MARGINS differ') "
+        "and the k-treatment generalization of x390's McNemar. "
+        "Exactness: with the k^2-scaled identity Q = (k-1) * "
+        "Sum_j(k*C_j - N)^2 / (k*(k*N - Sum_i R_i^2)) every term is "
+        "an exact integer from one pass (per-rule pass counts, "
+        "per-doc pass counts, their squares); ONE double division. "
+        "Scale: expression-only rule evaluation, a single "
+        "8-accumulator reduction, no joins, no windows",
+)
+def x481_cochrans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    dtoks = F.array_distinct(toks)
+    stop = ["the", "a", "of", "and", "to", "in", "is"]
+    d = docs.select(
+        F.size(toks).alias("nw"),
+        F.length(F.regexp_replace(F.col("text"), " ", "")).alias("lc"),
+        F.size(F.filter(dtoks, lambda t: t.isin(*stop))).alias(
+            "nstop"
+        ),
+        F.size(dtoks).alias("nd"),
+        F.array_max(
+            F.transform(
+                dtoks,
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        ).alias("topc"),
+    )
+    r = d.select(
+        F.when(F.col("nw").between(30, 90), 1).otherwise(0).alias("j1"),
+        F.when(
+            (F.col("lc") >= 4 * F.col("nw"))
+            & (F.col("lc") <= 5 * F.col("nw")),
+            1,
+        )
+        .otherwise(0)
+        .alias("j2"),
+        F.when(F.col("nstop") >= 2, 1).otherwise(0).alias("j3"),
+        F.when(5 * F.col("nd") > 3 * F.col("nw"), 1)
+        .otherwise(0)
+        .alias("j4"),
+        F.when(8 * F.col("topc") <= F.col("nw"), 1)
+        .otherwise(0)
+        .alias("j5"),
+    )
+    ri = (
+        F.col("j1") + F.col("j2") + F.col("j3") + F.col("j4")
+        + F.col("j5")
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("blocks"),
+        F.sum("j1").cast("long").alias("c1"),
+        F.sum("j2").cast("long").alias("c2"),
+        F.sum("j3").cast("long").alias("c3"),
+        F.sum("j4").cast("long").alias("c4"),
+        F.sum("j5").cast("long").alias("c5"),
+        F.sum(ri).cast("long").alias("bign"),
+        F.sum(ri * ri).cast("decimal(38,0)").alias("sr2"),
+    )
+    devsq = sum(
+        (
+            (F.lit(5) * F.col(f"c{j}") - F.col("bign"))
+            * (F.lit(5) * F.col(f"c{j}") - F.col("bign"))
+        )
+        for j in range(1, 6)
+    )
+    return s.select(
+        F.col("blocks").alias("n_blocks"),
+        F.lit(5).cast("long").alias("k_rules"),
+        F.col("bign").alias("total_passes"),
+        F.round(
+            F.lit(4.0)
+            * devsq.cast("double")
+            / (
+                F.lit(5)
+                * (
+                    F.lit(5) * F.col("bign")
+                    - F.col("sr2").cast("long")
+                )
+            ).cast("double"),
+            6,
+        ).alias("cochrans_q"),
+    )
