@@ -1516,3 +1516,228 @@ def x481_cochrans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cochrans_q"),
     )
+
+
+_X482_ORACLE = """
+WITH nat AS (
+  SELECT 'arrival' AS layout, l_orderkey // 256 AS g1,
+         CAST(0 AS BIGINT) AS g2,
+         min(CAST(l_shipdate AS DATE)) AS mn,
+         max(CAST(l_shipdate AS DATE)) AS mx
+  FROM lineitem GROUP BY 1, 2, 3
+),
+clu AS (
+  SELECT 'date_partitioned' AS layout,
+         CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+           AS g1,
+         l_orderkey // 4096 AS g2,
+         min(CAST(l_shipdate AS DATE)) AS mn,
+         max(CAST(l_shipdate AS DATE)) AS mx
+  FROM lineitem GROUP BY 1, 2, 3
+),
+grp AS (SELECT * FROM nat UNION ALL SELECT * FROM clu),
+preds AS (
+  SELECT t.m, make_date(1998, t.m, 1) AS p_start,
+         CASE WHEN t.m = 12 THEN make_date(1999, 1, 1)
+              ELSE make_date(1998, t.m + 1, 1) END AS p_end
+  FROM UNNEST(range(1, 13)) AS t(m)
+),
+scan AS (
+  SELECT g.layout, CAST(count(*) AS BIGINT) AS scanned
+  FROM grp g JOIN preds p
+    ON g.mn < p.p_end AND g.mx >= p.p_start
+  GROUP BY 1
+),
+ng AS (
+  SELECT layout, CAST(count(*) AS BIGINT) AS n_groups FROM grp
+  GROUP BY 1
+)
+SELECT ng.layout, ng.n_groups, COALESCE(s.scanned, 0) AS groups_scanned,
+       ROUND(CAST(COALESCE(s.scanned, 0) AS DOUBLE)
+             / (12.0 * ng.n_groups), 6) AS avg_scan_fraction,
+       ROUND(1.0 - CAST(COALESCE(s.scanned, 0) AS DOUBLE)
+                   / (12.0 * ng.n_groups), 6) AS skip_rate
+FROM ng LEFT JOIN scan s ON s.layout = ng.layout
+ORDER BY ng.layout
+"""
+
+
+@register(
+    "x482_zonemap_pruning",
+    _X482_ORACLE,
+    doc="zone-map pruning yield audit: simulate row-group min/max "
+        "statistics on l_shipdate under two physical layouts -- "
+        "'arrival' (orderkey-range groups, the layout an append-only "
+        "ingest produces) vs 'date_partitioned' (month partitions "
+        "with orderkey sub-files) -- and replay a 12-predicate "
+        "monthly range workload against the zone maps: the measured "
+        "fraction of row groups a reader must scan, i.e. the "
+        "QUANTIFIED justification for x105's z-order key and the "
+        "layout decision x156's manifest only describes. A real "
+        "engine prunes with exactly this min/max-interval-overlap "
+        "test at planning time (asserted live as PartitionFilters "
+        "in tests/test_layout.py); here it runs as data so the two "
+        "layouts are compared at identical row counts. Exactness: "
+        "group min/max are exact dates, overlap is date comparison, "
+        "counts are integers, two rounded divisions. Scale: two "
+        "group-level aggregates (map-side combined) and a 12-row "
+        "broadcast fan-out -- zone-map tables are metadata-sized "
+        "by construction",
+)
+def x482_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sd = F.col("l_shipdate").cast("date")
+    nat = li.groupBy(
+        F.expr("l_orderkey div 256").alias("g1"),
+        F.lit(0).cast("long").alias("g2"),
+    ).agg(F.min(sd).alias("mn"), F.max(sd).alias("mx")).select(
+        F.lit("arrival").alias("layout"), "g1", "g2", "mn", "mx"
+    )
+    clu = li.groupBy(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("g1"),
+        F.expr("l_orderkey div 4096").alias("g2"),
+    ).agg(F.min(sd).alias("mn"), F.max(sd).alias("mx")).select(
+        F.lit("date_partitioned").alias("layout"), "g1", "g2", "mn",
+        "mx",
+    )
+    grp = nat.unionByName(clu)
+    preds = spark.range(1, 13).select(
+        F.col("id").cast("int").alias("m")
+    ).select(
+        F.make_date(F.lit(1998), F.col("m"), F.lit(1)).alias("p_start"),
+        F.when(
+            F.col("m") == 12,
+            F.make_date(F.lit(1999), F.lit(1), F.lit(1)),
+        )
+        .otherwise(F.make_date(F.lit(1998), F.col("m") + 1, F.lit(1)))
+        .alias("p_end"),
+    )
+    scan = (
+        grp.crossJoin(F.broadcast(preds))
+        .filter(
+            (F.col("mn") < F.col("p_end"))
+            & (F.col("mx") >= F.col("p_start"))
+        )
+        .groupBy("layout")
+        .agg(F.count(F.lit(1)).cast("long").alias("scanned"))
+    )
+    ng = grp.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups")
+    )
+    frac = F.coalesce(F.col("scanned"), F.lit(0)).cast("double") / (
+        F.lit(12.0) * F.col("n_groups")
+    )
+    return (
+        ng.join(scan, "layout", "left")
+        .select(
+            "layout",
+            "n_groups",
+            F.coalesce(F.col("scanned"), F.lit(0))
+            .cast("long")
+            .alias("groups_scanned"),
+            F.round(frac, 6).alias("avg_scan_fraction"),
+            F.round(F.lit(1.0) - frac, 6).alias("skip_rate"),
+        )
+        .orderBy("layout")
+    )
+
+
+_X483_ORACLE = """
+WITH files AS (
+  SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS sz
+  FROM documents GROUP BY 1, 2
+),
+ordered AS (
+  SELECT sz,
+         SUM(sz) OVER (ORDER BY sz DESC, source, lang) AS csum
+  FROM files
+),
+binned AS (
+  SELECT sz, csum, (csum - 1) // 10000 AS bin FROM ordered
+),
+b AS (
+  SELECT bin, CAST(SUM(sz) AS BIGINT) AS fill,
+         CAST(count(*) AS BIGINT) AS nf
+  FROM binned GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_bins,
+         CAST(SUM(fill) AS BIGINT) AS total,
+         CAST(MAX(fill) AS BIGINT) AS max_fill,
+         CAST(MAX(nf) AS BIGINT) AS max_files_per_bin
+  FROM b
+),
+f AS (SELECT CAST(count(*) AS BIGINT) AS n_files FROM files)
+SELECT f.n_files, s.n_bins,
+       (s.total + 9999) // 10000 AS lower_bound_bins,
+       s.max_fill, s.max_files_per_bin,
+       ROUND(CAST(s.total AS DOUBLE) / (s.n_bins * 10000.0), 6)
+         AS mean_fill_ratio
+FROM f, s
+"""
+
+
+@register(
+    "x483_compaction_plan",
+    _X483_ORACLE,
+    doc="small-file compaction planning: pack the (source, lang) "
+        "file inventory (size = total chars) into target-size bins "
+        "by SEQUENTIAL NEXT-FIT over the size-descending list -- "
+        "bins close at the 10k watermark, a straddling item "
+        "overflows its bin (the cumulative-sum formulation: bin = "
+        "(csum-1) div target), which is exactly the rewrite "
+        "batching compact_neardup_index (ops/incremental.py) and a "
+        "lakehouse OPTIMIZE job perform to stop the x295 "
+        "append-only index and per-batch stream sinks from "
+        "accumulating a small-files problem. Reports the plan "
+        "against the ceil(total/target) lower bound. Exactness: "
+        "sizes and cumulative sums are exact integers (integer "
+        "window sum, order-proof), bin ids are integer division, "
+        "one rounded division. Scale: the window rides the FILE "
+        "INVENTORY, metadata-sized by definition (the whole point "
+        "of compaction is #files << #rows); ties broken by "
+        "(source, lang) for a deterministic plan",
+)
+def x483_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = docs.groupBy("source", "lang").agg(
+        F.sum("n_chars").cast("long").alias("sz")
+    )
+    w = Window.orderBy(
+        F.col("sz").desc(), F.col("source"), F.col("lang")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    binned = files.select(
+        "sz",
+        ((F.sum("sz").over(w) - 1) / 10000)
+        .cast("long")
+        .alias("bin"),
+    )
+    b = binned.groupBy("bin").agg(
+        F.sum("sz").cast("long").alias("fill"),
+        F.count(F.lit(1)).cast("long").alias("nf"),
+    )
+    s = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("fill").cast("long").alias("total"),
+        F.max("fill").cast("long").alias("max_fill"),
+        F.max("nf").cast("long").alias("max_files_per_bin"),
+    )
+    f = files.agg(F.count(F.lit(1)).cast("long").alias("n_files"))
+    return f.crossJoin(F.broadcast(s)).select(
+        "n_files",
+        "n_bins",
+        ((F.col("total") + 9999) / 10000)
+        .cast("long")
+        .alias("lower_bound_bins"),
+        "max_fill",
+        "max_files_per_bin",
+        F.round(
+            F.col("total").cast("double")
+            / (F.col("n_bins") * F.lit(10000.0)),
+            6,
+        ).alias("mean_fill_ratio"),
+    )
