@@ -1741,3 +1741,292 @@ def x483_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_fill_ratio"),
     )
+
+
+_X484_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS yq
+  FROM orders GROUP BY 1
+),
+anchor AS (SELECT min(day) AS d0 FROM daily),
+ty AS (
+  SELECT datediff('day', a.d0, d.day) AS t, d.yq, d.day
+  FROM daily d, anchor a
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS HUGEINT) AS st,
+         CAST(SUM(yq) AS HUGEINT) AS sy,
+         CAST(SUM(t * t) AS HUGEINT) AS stt,
+         CAST(SUM(t * yq) AS HUGEINT) AS sty
+  FROM ty
+),
+fit AS (
+  SELECT n,
+         CAST(n * sty - st * sy AS DOUBLE)
+           / CAST(n * stt - st * st AS DOUBLE) AS b,
+         (CAST(sy AS DOUBLE)
+          - CAST(n * sty - st * sy AS DOUBLE)
+            / CAST(n * stt - st * st AS DOUBLE)
+            * CAST(st AS DOUBLE)) / n AS a
+  FROM mom
+),
+res AS (
+  SELECT ty.day,
+         CAST(floor((CAST(ty.yq AS DOUBLE)
+                     - (f.a + f.b * ty.t)) * 10.0) AS BIGINT) AS eq
+  FROM ty, fit f
+),
+num AS (
+  SELECT CAST(SUM(CAST(r2.eq - r1.eq AS HUGEINT)
+                  * CAST(r2.eq - r1.eq AS HUGEINT)) AS HUGEINT)
+           AS dsum,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM res r1 JOIN res r2 ON r2.day = r1.day + 1
+),
+den AS (SELECT CAST(SUM(CAST(eq AS HUGEINT) * CAST(eq AS HUGEINT))
+              AS HUGEINT) AS esum FROM res)
+SELECT m.n AS n_days, num.n_pairs,
+       ROUND(f.b / 100.0, 4) AS slope_dollars_per_day,
+       ROUND(CAST(num.dsum AS DOUBLE) / CAST(den.esum AS DOUBLE), 6)
+         AS durbin_watson,
+       ROUND(1.0 - CAST(num.dsum AS DOUBLE)
+                   / CAST(den.esum AS DOUBLE) / 2.0, 6) AS rho_hat
+FROM mom m, fit f, num, den
+"""
+
+
+@register(
+    "x484_durbin_watson",
+    _X484_ORACLE,
+    doc="Durbin-Watson statistic on the residuals of the daily-"
+        "revenue OLS trend: DW = sum (e_t+1 - e_t)^2 / sum e_t^2 -- "
+        "the residual-autocorrelation check that says whether "
+        "x198-style trend fits can be trusted at face value (DW ~ 2 "
+        "= independent errors; DW << 2 = positive serial "
+        "correlation, meaning OLS confidence intervals lie) -- the "
+        "REGRESSION-diagnostic complement to x290's raw "
+        "autocorrelation. Exactness: revenue in floored integer "
+        "cents, OLS slope/intercept from five exact integer moments "
+        "(x198's recipe), residuals floor-quantized at 1e-3 so both "
+        "quadratic sums are exact integers; consecutive pairing is "
+        "an exact DATE equi-join (x290's recipe -- a gap day "
+        "correctly produces NO pair, where a row-lag would "
+        "fabricate one); two final rounded divisions. Scale: one "
+        "day-grain aggregate, day-cardinality joins",
+)
+def x484_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("yq")
+    )
+    anchor = daily.agg(F.min("day").alias("d0"))
+    ty = daily.crossJoin(F.broadcast(anchor)).select(
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("t"),
+        "yq",
+        "day",
+    )
+    mom = ty.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("decimal(38,0)").alias("st"),
+        F.sum("yq").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("t") * F.col("t"))
+        .cast("decimal(38,0)")
+        .alias("stt"),
+        F.sum(F.col("t") * F.col("yq"))
+        .cast("decimal(38,0)")
+        .alias("sty"),
+    )
+    bnum = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast(
+        "double"
+    )
+    bden = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast(
+        "double"
+    )
+    fit = mom.select(
+        "n",
+        (bnum / bden).alias("b"),
+        (
+            (F.col("sy").cast("double")
+             - bnum / bden * F.col("st").cast("double"))
+            / F.col("n")
+        ).alias("a"),
+    )
+    res = ty.crossJoin(F.broadcast(fit)).select(
+        "day",
+        F.floor(
+            (F.col("yq").cast("double")
+             - (F.col("a") + F.col("b") * F.col("t")))
+            * F.lit(10.0)
+        )
+        .cast("long")
+        .alias("eq"),
+    )
+    r1 = res.select(F.col("day").alias("d1"), F.col("eq").alias("e1"))
+    r2 = res.select(F.col("day").alias("d2"), F.col("eq").alias("e2"))
+    num = r1.join(
+        r2, F.col("d2") == F.date_add(F.col("d1"), 1)
+    ).agg(
+        F.sum(
+            (F.col("e2") - F.col("e1")).cast("decimal(38,0)")
+            * (F.col("e2") - F.col("e1")).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("dsum"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    den = res.agg(
+        F.sum(
+            F.col("eq").cast("decimal(38,0)")
+            * F.col("eq").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("esum"),
+    )
+    dw = F.col("dsum").cast("double") / F.col("esum").cast("double")
+    return (
+        mom.select("n")
+        .crossJoin(F.broadcast(fit.select("b")))
+        .crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("n").alias("n_days"),
+            "n_pairs",
+            F.round(F.col("b") / F.lit(100.0), 4).alias(
+                "slope_dollars_per_day"
+            ),
+            F.round(dw, 6).alias("durbin_watson"),
+            F.round(F.lit(1.0) - dw / F.lit(2.0), 6).alias("rho_hat"),
+        )
+    )
+
+
+_X485_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS DOUBLE) AS y
+  FROM orders GROUP BY 1
+),
+series AS (
+  SELECT row_number() OVER (ORDER BY day) AS t, y FROM daily
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM series),
+init AS (
+  SELECT 2 AS t,
+         (SELECT y FROM series WHERE t = 2) AS l,
+         (SELECT y FROM series WHERE t = 2)
+           - (SELECT y FROM series WHERE t = 1) AS b,
+         (SELECT y FROM series WHERE t = 2) AS prev,
+         CAST(0.0 AS DOUBLE) AS sh, CAST(0.0 AS DOUBLE) AS sn
+),
+rec AS (
+  WITH RECURSIVE walk(t, l, b, prev, sh, sn) AS (
+    SELECT t, l, b, prev, sh, sn FROM init
+    UNION ALL
+    SELECT s.t + 1,
+           0.5 * sr.y + 0.5 * (s.l + s.b),
+           0.5 * ((0.5 * sr.y + 0.5 * (s.l + s.b)) - s.l) + 0.5 * s.b,
+           sr.y,
+           s.sh + (sr.y - (s.l + s.b)) * (sr.y - (s.l + s.b)),
+           s.sn + (sr.y - s.prev) * (sr.y - s.prev)
+    FROM walk s
+    JOIN series sr ON sr.t = s.t + 1
+  )
+  SELECT * FROM walk
+)
+SELECT nn.n AS n_days,
+       ROUND(r.sh / 10000.0, 4) AS sse_holt_dollars2,
+       ROUND(r.sn / 10000.0, 4) AS sse_naive_dollars2,
+       ROUND(1.0 - r.sh / r.sn, 6) AS skill_vs_naive
+FROM rec r, nn WHERE r.t = nn.n
+"""
+
+
+@register(
+    "x485_holt_backtest",
+    _X485_ORACLE,
+    doc="Holt double-exponential smoothing one-step-ahead backtest "
+        "on daily revenue with DYADIC smoothing weights (alpha = "
+        "beta = 0.5, so every smoothing multiply is an exact "
+        "power-of-two scale): level/trend recurrences l' = 0.5y + "
+        "0.5(l+b), b' = 0.5(l'-l) + 0.5b, scored as SSE of forecast "
+        "errors vs the naive y_t-1 carry-forward -- the TREND-aware "
+        "forecaster x292's EWMA (level only) cannot be, and the "
+        "skill-vs-naive framing x452's MASE applies to seasonal "
+        "backtests. Determinism: inputs are exact integer cents as "
+        "doubles; the recurrence is evaluated in ONE explicit "
+        "sequential order on both engines (Spark: in-row aggregate "
+        "fold over the sorted bounded day series; DuckDB: linear "
+        "recursive CTE) with identical expression trees, so every "
+        "intermediate double is bit-identical -- no reordered float "
+        "sum exists anywhere. Scale: the fold rides the bounded "
+        "day-grain series (x292's contract); the corpus-sized work "
+        "is one day aggregate",
+)
+def x485_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("double")
+        .alias("y")
+    )
+    ser = daily.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "y"))),
+            lambda s: s["y"],
+        ).alias("ys")
+    )
+    ys = F.col("ys")
+    init = F.struct(
+        F.element_at(ys, 2).alias("l"),
+        (F.element_at(ys, 2) - F.element_at(ys, 1)).alias("b"),
+        F.element_at(ys, 2).alias("prev"),
+        F.lit(0.0).alias("sh"),
+        F.lit(0.0).alias("sn"),
+    )
+
+    def step(acc, y):
+        lnew = F.lit(0.5) * y + F.lit(0.5) * (acc["l"] + acc["b"])
+        return F.struct(
+            lnew.alias("l"),
+            (
+                F.lit(0.5) * (lnew - acc["l"]) + F.lit(0.5) * acc["b"]
+            ).alias("b"),
+            y.alias("prev"),
+            (
+                acc["sh"]
+                + (y - (acc["l"] + acc["b"]))
+                * (y - (acc["l"] + acc["b"]))
+            ).alias("sh"),
+            (
+                acc["sn"] + (y - acc["prev"]) * (y - acc["prev"])
+            ).alias("sn"),
+        )
+
+    folded = ser.select(
+        F.size(ys).cast("long").alias("n_days"),
+        F.aggregate(
+            F.slice(ys, 3, F.size(ys) - 2), init, step
+        ).alias("st"),
+    )
+    return folded.select(
+        "n_days",
+        F.round(F.col("st.sh") / F.lit(10000.0), 4).alias(
+            "sse_holt_dollars2"
+        ),
+        F.round(F.col("st.sn") / F.lit(10000.0), 4).alias(
+            "sse_naive_dollars2"
+        ),
+        F.round(
+            F.lit(1.0) - F.col("st.sh") / F.col("st.sn"), 6
+        ).alias("skill_vs_naive"),
+    )
