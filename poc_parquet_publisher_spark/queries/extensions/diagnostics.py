@@ -2030,3 +2030,331 @@ def x485_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.col("st.sh") / F.col("st.sn"), 6
         ).alias("skill_vs_naive"),
     )
+
+
+from .foundations import _STOP_EN as _X486_STOP
+
+_X486_ORACLE = f"""
+WITH scored AS (
+  SELECT CAST(FLOOR(ROUND(CAST(len(list_filter(
+                string_split(lower(text), ' '),
+                t -> t IN ({_X486_STOP}))) AS DOUBLE)
+              / len(string_split(lower(text), ' ')), 4)
+              * 10000 + 0.5) AS BIGINT) AS p_s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+c AS (
+  SELECT
+    CAST(SUM(CASE WHEN p_s >= 1500 AND pos = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN p_s >= 1500 AND pos = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN p_s < 1500 AND pos = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN p_s < 1500 AND pos = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS tn
+  FROM scored
+)
+SELECT tp, fp, fn, tn,
+       ROUND(2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1,
+       ROUND(CAST(tp * tn - fp * fn AS DOUBLE)
+             / sqrt((CAST(tp + fp AS DOUBLE)
+                     * CAST(tp + fn AS DOUBLE))
+                    * (CAST(tn + fp AS DOUBLE)
+                       * CAST(tn + fn AS DOUBLE))), 6) AS mcc,
+       ROUND(0.5 * (CAST(tp AS DOUBLE) / (tp + fn)
+                    + CAST(tn AS DOUBLE) / (tn + fp)), 6)
+         AS balanced_accuracy,
+       ROUND(CAST(tp AS DOUBLE) / (tp + fn)
+             + CAST(tn AS DOUBLE) / (tn + fp) - 1.0, 6)
+         AS informedness,
+       ROUND(CAST(tp AS DOUBLE) / (tp + fp)
+             + CAST(tn AS DOUBLE) / (tn + fn) - 1.0, 6)
+         AS markedness
+FROM c
+"""
+
+
+@register(
+    "x486_confusion_panel",
+    _X486_ORACLE,
+    doc="chance-robust operating-point panel for x315's stopword "
+        "scorer at the fixed 0.15 threshold: MCC (the correlation-"
+        "flavored summary that stays honest under the 9:1-ish class "
+        "imbalance where x350's F1 inflates), balanced accuracy, "
+        "informedness (Youden J as TPR+TNR-1) and markedness "
+        "(PPV+NPV-1) -- together the prevalence-invariant picture "
+        "of one deployed threshold, where x350 sweeps thresholds on "
+        "F1/J alone and x349's AUC is threshold-free. Exactness: "
+        "the scorer is x315's integer p_s (round-4 ratio scaled to "
+        "1e4), all four confusion cells are exact integers, every "
+        "metric is fixed-order double arithmetic (MCC's denominator "
+        "as ONE sqrt of a fixed-association double product). "
+        "Scale: expression-only scoring, one 4-accumulator "
+        "reduction, no joins",
+)
+def x486_confusion_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ...ops import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    p_s = F.floor(
+        text.stop_ratio_column("text") * 10000 + F.lit(0.5)
+    ).cast("long")
+    scored = docs.select(
+        p_s.alias("p_s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    hit = F.col("p_s") >= 1500
+    c = scored.agg(
+        F.sum(F.when(hit & (F.col("pos") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(hit & (F.col("pos") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~hit & (F.col("pos") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~hit & (F.col("pos") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    tpr = tp.cast("double") / (tp + fn)
+    tnr = tn.cast("double") / (tn + fp)
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            F.lit(2.0) * tp / (2 * tp + fp + fn).cast("double"), 6
+        ).alias("f1"),
+        F.round(
+            (tp * tn - fp * fn).cast("double")
+            / F.sqrt(
+                ((tp + fp).cast("double") * (tp + fn).cast("double"))
+                * ((tn + fp).cast("double") * (tn + fn).cast("double"))
+            ),
+            6,
+        ).alias("mcc"),
+        F.round(F.lit(0.5) * (tpr + tnr), 6).alias(
+            "balanced_accuracy"
+        ),
+        F.round(tpr + tnr - F.lit(1.0), 6).alias("informedness"),
+        F.round(
+            tp.cast("double") / (tp + fp)
+            + tn.cast("double") / (tn + fn)
+            - F.lit(1.0),
+            6,
+        ).alias("markedness"),
+    )
+
+
+_X487_ORACLE = """
+WITH uq AS (
+  SELECT user_id, CAST(quarter(ts) AS BIGINT) AS q,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT))
+              AS HUGEINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+full_u AS (
+  SELECT user_id FROM uq GROUP BY 1 HAVING count(*) = 4
+),
+m AS (
+  SELECT uq.user_id, uq.q, CAST(uq.s AS DOUBLE) / uq.n AS mv
+  FROM uq JOIN full_u USING (user_id)
+),
+r AS (
+  SELECT user_id, q,
+         CAST(2 * rank() OVER (PARTITION BY user_id ORDER BY mv)
+              + count(*) OVER (PARTITION BY user_id, mv) - 1
+              AS BIGINT) AS r2
+  FROM m
+),
+lsum AS (
+  SELECT CAST(SUM(q * r2) AS HUGEINT) AS l2,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n
+  FROM r
+)
+SELECT n AS n_blocks, CAST(4 AS BIGINT) AS k_treatments,
+       ROUND(CAST(l2 AS DOUBLE) / 2.0, 1) AS page_l,
+       ROUND((CAST(l2 AS DOUBLE) / 2.0 - n * 4 * 25.0 / 4.0)
+             / sqrt(n * 16.0 * 5.0 * 15.0 / 144.0), 4) AS page_z
+FROM lsum
+"""
+
+
+@register(
+    "x487_page_trend_test",
+    _X487_ORACLE,
+    doc="Page's L test for an ORDERED alternative across calendar "
+        "quarters Q1 < Q2 < Q3 < Q4 (blocks = users with all four "
+        "quarters, cell = mean event value): L = sum_j j*R_j "
+        "rises when per-user value ranks trend WITH the quarter "
+        "order -- the monotone-seasonal-drift test x476's Friedman "
+        "(any-difference alternative) dilutes and x384's "
+        "Mann-Kendall applies to one series, not a panel of user "
+        "blocks. Exactness: x476's doubled mid-ranks make L2 = "
+        "sum j*R2_j an exact integer; page_z standardizes with the "
+        "TIE-FREE null moments E[L] = nk(k+1)^2/4, Var[L] = "
+        "nk^2(k+1)(k^2-1)/144 (documented approximation under "
+        "ties -- ties only shrink the variance, so |z| is "
+        "conservative-biased upward and flagged as such). Scale: "
+        "one (user, quarter) aggregate, 4-bounded user-key "
+        "windows, a 2-accumulator reduction",
+)
+def x487_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    vq = F.floor(F.col("value") * F.lit(1000000.0)).cast("long")
+    uq = ev.groupBy(
+        "user_id", F.quarter("ts").cast("long").alias("q")
+    ).agg(
+        F.sum(vq).cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    full_u = (
+        uq.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == 4)
+        .select("user_id")
+    )
+    m = uq.join(full_u, "user_id").select(
+        "user_id",
+        "q",
+        (F.col("s").cast("double") / F.col("n")).alias("mv"),
+    )
+    r = m.select(
+        "user_id",
+        "q",
+        (
+            F.lit(2)
+            * F.rank().over(
+                Window.partitionBy("user_id").orderBy("mv")
+            )
+            + F.count(F.lit(1)).over(
+                Window.partitionBy("user_id", "mv")
+            )
+            - F.lit(1)
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    lsum = r.agg(
+        F.sum(F.col("q") * F.col("r2"))
+        .cast("decimal(38,0)")
+        .alias("l2"),
+        F.countDistinct("user_id").cast("long").alias("n"),
+    )
+    l_half = F.col("l2").cast("double") / F.lit(2.0)
+    nd = F.col("n")
+    return lsum.select(
+        nd.alias("n_blocks"),
+        F.lit(4).cast("long").alias("k_treatments"),
+        F.round(l_half, 1).alias("page_l"),
+        F.round(
+            (l_half - nd * 4 * F.lit(25.0) / F.lit(4.0))
+            / F.sqrt(
+                nd * F.lit(16.0) * F.lit(5.0) * F.lit(15.0)
+                / F.lit(144.0)
+            ),
+            4,
+        ).alias("page_z"),
+    )
+
+
+_X488_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+triples AS (
+  SELECT b.y AS yc, a.y AS yl, c.y AS yr
+  FROM daily b
+  JOIN daily a ON a.day = b.day - 1
+  JOIN daily c ON c.day = b.day + 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(SUM(CASE WHEN (yc > yl AND yc > yr)
+                         OR (yc < yl AND yc < yr)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM triples
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily)
+SELECT nn.n AS n_days, s.m AS n_triples, s.tp AS n_turning_points,
+       ROUND(2.0 * s.m / 3.0, 4) AS expected_turning_points,
+       ROUND((s.tp - 2.0 * s.m / 3.0)
+             / sqrt((16.0 * s.m - 29.0) / 90.0), 4) AS z_score
+FROM s, nn
+"""
+
+
+@register(
+    "x488_turning_point_test",
+    _X488_ORACLE,
+    doc="turning-point randomness test on daily revenue: a day is a "
+        "turning point when it strictly exceeds (or strictly "
+        "undercuts) BOTH calendar neighbors; under i.i.d. "
+        "exchangeability E[T] = 2m/3 and Var[T] = (16m-29)/90 over "
+        "m interior triples, so the z-score flags smooth trending "
+        "(too few turns) or oscillation/overdispersion (too many) "
+        "-- the third lens of the randomness battery next to "
+        "x291's runs test (signs vs median), x457's exponential-gap "
+        "test and x475's record statistics, each sensitive to a "
+        "different departure. Exactness: integer-cent daily sums, "
+        "strict integer comparisons (exact-tie days count as NOT "
+        "turning, stated), exact integer counts, two rounded "
+        "divisions; neighbor pairing is the x290 DATE equi-join so "
+        "gap days drop their triples rather than fabricating "
+        "adjacency. Scale: one day-grain aggregate, two "
+        "day-cardinality self-joins",
+)
+def x488_turning_point_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    b = daily.select(F.col("day").alias("db"), F.col("y").alias("yc"))
+    a = daily.select(F.col("day").alias("da"), F.col("y").alias("yl"))
+    cc = daily.select(F.col("day").alias("dc"), F.col("y").alias("yr"))
+    triples = b.join(
+        a, F.col("da") == F.date_sub(F.col("db"), 1)
+    ).join(cc, F.col("dc") == F.date_add(F.col("db"), 1))
+    turn = (
+        (F.col("yc") > F.col("yl")) & (F.col("yc") > F.col("yr"))
+    ) | ((F.col("yc") < F.col("yl")) & (F.col("yc") < F.col("yr")))
+    s = triples.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.when(turn, 1).otherwise(0)).cast("long").alias("tp"),
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    md = F.col("m").cast("double")
+    return nn.crossJoin(F.broadcast(s)).select(
+        F.col("n").alias("n_days"),
+        F.col("m").alias("n_triples"),
+        F.col("tp").alias("n_turning_points"),
+        F.round(F.lit(2.0) * md / F.lit(3.0), 4).alias(
+            "expected_turning_points"
+        ),
+        F.round(
+            (F.col("tp") - F.lit(2.0) * md / F.lit(3.0))
+            / F.sqrt(
+                (F.lit(16.0) * md - F.lit(29.0)) / F.lit(90.0)
+            ),
+            4,
+        ).alias("z_score"),
+    )
+
