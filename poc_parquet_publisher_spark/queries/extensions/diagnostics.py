@@ -2707,3 +2707,150 @@ def x490_cramer_von_mises(
             6,
         ).alias("cvm_t"),
     )
+
+
+_X492_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+per AS (
+  SELECT i.day,
+         2 + CAST(SUM(CASE WHEN j.x < i.x THEN 2
+                           WHEN j.x = i.x THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r2,
+         2 + CAST(SUM(CASE WHEN j.y < i.y THEN 2
+                           WHEN j.y = i.y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s2,
+         4 + CAST(SUM((CASE WHEN j.x < i.x THEN 2
+                            WHEN j.x = i.x THEN 1 ELSE 0 END)
+                      * (CASE WHEN j.y < i.y THEN 2
+                              WHEN j.y = i.y THEN 1 ELSE 0 END))
+                  AS BIGINT) AS q4
+  FROM daily i JOIN daily j ON i.day <> j.day
+  GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(q4 - 4 AS HUGEINT) * (q4 - 8)) AS HUGEINT)
+           AS d1,
+         CAST(SUM(CAST(r2 - 2 AS HUGEINT) * (r2 - 4)
+                  * (s2 - 2) * (s2 - 4)) AS HUGEINT) AS d2,
+         CAST(SUM(CAST(r2 - 4 AS HUGEINT) * (s2 - 4) * (q4 - 4))
+              AS HUGEINT) AS d3
+  FROM per
+)
+SELECT n AS n_days,
+       ROUND(30.0 * CAST((n - 2) * (n - 3) * d1 + d2
+                         - 2 * (n - 2) * d3 AS DOUBLE)
+             / (16.0 * n * (n - 1.0) * (n - 2.0) * (n - 3.0)
+                * (n - 4.0)), 6) AS hoeffding_d
+FROM agg
+"""
+
+
+@register(
+    "x492_hoeffding_d",
+    _X492_ORACLE,
+    doc="Hoeffding's D dependence test between daily revenue and "
+        "daily order count -- the rank statistic that detects "
+        "NON-MONOTONE dependence the whole existing correlation "
+        "suite is blind to (x147 Pearson = linear, x382 Spearman / "
+        "x357 Kendall = monotone, x154 MI needs binning; on a "
+        "parabola all three read ~0 while D reads 0.24 -- property-"
+        "verified in numpy: D(x,x)=1, D(indep)~0). Exactness: the "
+        "tie convention (half credit) integerizes by DOUBLED "
+        "dominance credits cx2 = 2[x_j<x_i] + [x_j=x_i], giving "
+        "exact integer doubled midranks R2 = 2+sum cx2 and "
+        "quadrupled bivariate ranks Q4 = 4+sum cx2*cy2, so "
+        "D1/D2/D3 and the 16-scaled numerator are exact integers "
+        "with ONE double division. Scale: the corpus collapses to "
+        "the bounded day table FIRST; the O(n^2) dominance scan is "
+        "x357's broadcast-pair pattern over that bounded domain, "
+        "never the fact table",
+)
+def x492_hoeffding_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("x"),
+        F.count(F.lit(1)).cast("long").alias("y"),
+    )
+    i = daily.select(
+        F.col("day").alias("di"), F.col("x").alias("xi"),
+        F.col("y").alias("yi"),
+    )
+    j = daily.select(
+        F.col("day").alias("dj"), F.col("x").alias("xj"),
+        F.col("y").alias("yj"),
+    )
+    cx2 = (
+        F.when(F.col("xj") < F.col("xi"), 2)
+        .when(F.col("xj") == F.col("xi"), 1)
+        .otherwise(0)
+    )
+    cy2 = (
+        F.when(F.col("yj") < F.col("yi"), 2)
+        .when(F.col("yj") == F.col("yi"), 1)
+        .otherwise(0)
+    )
+    per = (
+        i.join(F.broadcast(j), F.col("di") != F.col("dj"))
+        .groupBy("di")
+        .agg(
+            (F.lit(2) + F.sum(cx2)).cast("long").alias("r2"),
+            (F.lit(2) + F.sum(cy2)).cast("long").alias("s2"),
+            (F.lit(4) + F.sum(cx2 * cy2)).cast("long").alias("q4"),
+        )
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (F.col("q4") - 4).cast("decimal(38,0)") * (F.col("q4") - 8)
+        )
+        .cast("decimal(38,0)")
+        .alias("d1"),
+        F.sum(
+            (F.col("r2") - 2).cast("decimal(38,0)")
+            * (F.col("r2") - 4)
+            * (F.col("s2") - 2)
+            * (F.col("s2") - 4)
+        )
+        .cast("decimal(38,0)")
+        .alias("d2"),
+        F.sum(
+            (F.col("r2") - 4).cast("decimal(38,0)")
+            * (F.col("s2") - 4)
+            * (F.col("q4") - 4)
+        )
+        .cast("decimal(38,0)")
+        .alias("d3"),
+    )
+    n = F.col("n")
+    num = (
+        (n - 2).cast("decimal(38,0)") * (n - 3) * F.col("d1")
+        + F.col("d2")
+        - F.lit(2).cast("decimal(38,0)") * (n - 2) * F.col("d3")
+    )
+    return agg.select(
+        n.alias("n_days"),
+        F.round(
+            F.lit(30.0)
+            * num.cast("double")
+            / (
+                F.lit(16.0)
+                * n
+                * (n - F.lit(1.0))
+                * (n - F.lit(2.0))
+                * (n - F.lit(3.0))
+                * (n - F.lit(4.0))
+            ),
+            6,
+        ).alias("hoeffding_d"),
+    )
