@@ -2854,3 +2854,308 @@ def x492_hoeffding_d(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hoeffding_d"),
     )
+
+
+_X493_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+cal AS (SELECT y FROM daily WHERE day < DATE '1999-01-01'),
+tst AS (SELECT y FROM daily WHERE day >= DATE '1999-01-01'),
+cstat AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(SUM(y) AS HUGEINT) AS s
+  FROM cal
+),
+spread AS (
+  SELECT CAST(SUM((2 * rk - m - 1) * CAST(y AS HUGEINT)) AS HUGEINT)
+           AS gmd2
+  FROM (
+    SELECT y, row_number() OVER (ORDER BY y, 1) AS rk FROM cal
+  ), cstat
+),
+below AS (
+  SELECT t.y,
+         CAST(COALESCE((SELECT count(*) FROM cal c
+                        WHERE c.y < t.y), 0) AS BIGINT) AS cl,
+         CAST(COALESCE((SELECT SUM(c.y) FROM cal c
+                        WHERE c.y < t.y), 0) AS HUGEINT) AS sl
+  FROM tst t
+),
+terms AS (
+  SELECT CAST(count(*) AS BIGINT) AS nt,
+         CAST(SUM(2 * (CAST(b.y AS HUGEINT) * b.cl - b.sl)
+                  + (cs.s - CAST(b.y AS HUGEINT) * cs.m))
+              AS HUGEINT) AS absum
+  FROM below b, cstat cs
+)
+SELECT cs.m AS n_calibration_days, t.nt AS n_test_days,
+       ROUND(CAST(t.absum AS DOUBLE) / t.nt / cs.m / 100.0, 4)
+         AS mean_abs_term_dollars,
+       ROUND(2.0 * CAST(sp.gmd2 AS DOUBLE)
+             / (CAST(cs.m AS DOUBLE) * cs.m) / 100.0, 4)
+         AS spread_term_dollars,
+       ROUND(CAST(t.absum AS DOUBLE) / t.nt / cs.m / 100.0
+             - CAST(sp.gmd2 AS DOUBLE)
+               / (CAST(cs.m AS DOUBLE) * cs.m) / 100.0, 4)
+         AS mean_crps_dollars
+FROM cstat cs, spread sp, terms t
+"""
+
+
+@register(
+    "x493_crps_backtest",
+    _X493_ORACLE,
+    doc="CRPS backtest of the climatological forecast: score the "
+        "pre-1999 empirical daily-revenue distribution against each "
+        "post-1999 observation with the continuous ranked "
+        "probability score CRPS(F,y) = E|X-y| - E|X-X'|/2 -- the "
+        "PROPER scoring rule for distributional forecasts that "
+        "x491's Kupiec (one quantile's coverage) and x207's WMAPE "
+        "(point forecasts) cannot provide; climatological CRPS is "
+        "the canonical skill baseline any real forecaster must "
+        "beat. Exactness: both expectations collapse to EXACT "
+        "integer identities -- sum|x-y| = 2(y*cl - sl) + (S - y*m) "
+        "from strictly-below counts/sums (equal values cancel), "
+        "and sum_ij|x_i - x_j| = 2 sum_k (2k - m - 1) x_(k) via "
+        "the sorted Gini-mean-difference form -- so every term is "
+        "an exact HUGEINT/DECIMAL sum with three final rounded "
+        "divisions. Scale: one day-grain aggregate; the rank and "
+        "below-counts ride the bounded calibration day domain "
+        "(broadcast to test days)",
+)
+def x493_crps_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    cal = daily.filter(
+        F.col("day") < F.lit("1999-01-01").cast("date")
+    ).select("y")
+    tst = daily.filter(
+        F.col("day") >= F.lit("1999-01-01").cast("date")
+    ).select("y")
+    cstat = cal.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("y").cast("decimal(38,0)").alias("s"),
+    )
+    ranked = cal.select(
+        "y",
+        F.row_number()
+        .over(Window.orderBy("y"))
+        .cast("long")
+        .alias("rk"),
+    )
+    spread = ranked.crossJoin(F.broadcast(cstat)).agg(
+        F.sum(
+            (2 * F.col("rk") - F.col("m") - 1).cast("decimal(38,0)")
+            * F.col("y")
+        )
+        .cast("decimal(38,0)")
+        .alias("gmd2")
+    )
+    calv = cal.select(F.col("y").alias("cy"))
+    # Dedupe test values BEFORE the below-join: joining raw test rows
+    # would fan each value out by its calibration-match count AND its
+    # own multiplicity, double-counting both cl and w.
+    tdist = tst.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    below = (
+        tdist.join(
+            F.broadcast(calv), F.col("cy") < F.col("y"), "left"
+        )
+        .groupBy("y", "w")
+        .agg(
+            F.count("cy").cast("long").alias("cl"),
+            F.coalesce(F.sum("cy"), F.lit(0))
+            .cast("decimal(38,0)")
+            .alias("sl"),
+        )
+    )
+    terms = (
+        below.crossJoin(F.broadcast(cstat))
+        .agg(
+            F.sum(F.col("w").cast("decimal(38,0)")).cast("long")
+            .alias("nt"),
+            F.sum(
+                F.col("w").cast("decimal(38,0)")
+                * (
+                    F.lit(2).cast("decimal(38,0)")
+                    * (
+                        F.col("y").cast("decimal(38,0)") * F.col("cl")
+                        - F.col("sl")
+                    )
+                    + (
+                        F.col("s")
+                        - F.col("y").cast("decimal(38,0)") * F.col("m")
+                    )
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("absum"),
+        )
+    )
+    md = F.col("m").cast("double")
+    abterm = (
+        F.col("absum").cast("double") / F.col("nt") / F.col("m")
+        / F.lit(100.0)
+    )
+    spterm = (
+        F.lit(2.0) * F.col("gmd2").cast("double") / (md * F.col("m"))
+        / F.lit(100.0)
+    )
+    return (
+        cstat.crossJoin(F.broadcast(spread))
+        .crossJoin(F.broadcast(terms))
+        .select(
+            F.col("m").alias("n_calibration_days"),
+            F.col("nt").alias("n_test_days"),
+            F.round(abterm, 4).alias("mean_abs_term_dollars"),
+            F.round(spterm, 4).alias("spread_term_dollars"),
+            F.round(abterm - spterm / F.lit(2.0), 4).alias(
+                "mean_crps_dollars"
+            ),
+        )
+    )
+
+
+_X494_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+),
+cal AS (SELECT dow, y FROM daily WHERE day < DATE '1999-01-01'),
+tst AS (SELECT dow, y FROM daily WHERE day >= DATE '1999-01-01'),
+qs AS (SELECT unnest([1, 5, 9]) AS q10),
+ranked AS (
+  SELECT dow, y,
+         row_number() OVER (PARTITION BY dow ORDER BY y, 1) AS rn,
+         count(*) OVER (PARTITION BY dow) AS nc
+  FROM cal
+),
+fc AS (
+  SELECT r.dow, q.q10, r.y AS f
+  FROM ranked r JOIN qs q
+    ON r.rn = CAST(ceil(q.q10 * r.nc / 10.0) AS BIGINT)
+),
+loss AS (
+  SELECT f.q10, CAST(count(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN t.y >= f.f
+                  THEN f.q10 * (t.y - f.f)
+                  ELSE (10 - f.q10) * (f.f - t.y) END)
+              AS HUGEINT) AS pl10
+  FROM tst t JOIN fc f ON f.dow = t.dow
+  GROUP BY 1
+)
+SELECT ROUND(q10 / 10.0, 1) AS quantile, n_test,
+       ROUND(CAST(pl10 AS DOUBLE) / n_test / 10.0 / 100.0, 4)
+         AS mean_pinball_dollars
+FROM loss ORDER BY q10
+"""
+
+
+@register(
+    "x494_pinball_backtest",
+    _X494_ORACLE,
+    doc="pinball-loss backtest of per-weekday quantile forecasts: "
+        "calibrate the q in {0.1, 0.5, 0.9} exact order statistics "
+        "of pre-1999 daily revenue PER WEEKDAY (the seasonal-"
+        "climatology quantile model), score post-1999 days with "
+        "the quantile loss L_q = q(y-f)+ / (1-q)(f-y)+ -- the "
+        "PROPER score for a quantile forecast, which x207's WMAPE "
+        "(point) and x491's Kupiec (coverage only, ignores "
+        "magnitude) both miss; per-q losses are how a capacity "
+        "planner chooses between under- and over-provisioning "
+        "risk. Exactness: thresholds are deterministic order "
+        "statistics (ceil(q*n) rank, fixed tie-break); 10q in "
+        "{1, 5, 9} makes every loss 10x-scaled an exact integer, "
+        "so the loss sums are exact with one final division. "
+        "Scale: day-grain aggregate; rank windows ride weekday-"
+        "partitioned bounded calibration domains; the forecast "
+        "table (7 x 3 rows) broadcasts to the test days",
+)
+def x494_pinball_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.dayofweek(F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("dow"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    cal = daily.filter(
+        F.col("day") < F.lit("1999-01-01").cast("date")
+    )
+    tst = daily.filter(
+        F.col("day") >= F.lit("1999-01-01").cast("date")
+    ).select("dow", "y")
+    ranked = cal.select(
+        "dow",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("dow").orderBy("y"))
+        .cast("long")
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("dow"))
+        .cast("long")
+        .alias("nc"),
+    )
+    qs = spark.range(0, 3).select(
+        (F.col("id") * 4 + 1).cast("long").alias("q10")
+    )
+    fc = ranked.crossJoin(F.broadcast(qs)).filter(
+        F.col("rn")
+        == F.ceil(
+            F.col("q10") * F.col("nc") / F.lit(10.0)
+        ).cast("long")
+    ).select("dow", "q10", F.col("y").alias("f"))
+    loss = (
+        tst.join(F.broadcast(fc), "dow")
+        .groupBy("q10")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.col("y") >= F.col("f"),
+                    F.col("q10") * (F.col("y") - F.col("f")),
+                ).otherwise(
+                    (F.lit(10) - F.col("q10"))
+                    * (F.col("f") - F.col("y"))
+                ).cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("pl10"),
+        )
+    )
+    return loss.select(
+        F.round(F.col("q10") / F.lit(10.0), 1).alias("quantile"),
+        "n_test",
+        F.round(
+            F.col("pl10").cast("double")
+            / F.col("n_test")
+            / F.lit(10.0)
+            / F.lit(100.0),
+            4,
+        ).alias("mean_pinball_dollars"),
+    ).orderBy("quantile")
