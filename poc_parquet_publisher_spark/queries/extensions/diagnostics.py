@@ -3159,3 +3159,224 @@ def x494_pinball_backtest(
             4,
         ).alias("mean_pinball_dollars"),
     ).orderBy("quantile")
+
+
+_X495_ORACLE = """
+WITH r AS (
+  SELECT
+    doc_id,
+    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS r1,
+    CASE WHEN len(string_split(text, ' ')) < 5 THEN NULL
+         WHEN text LIKE '% the %' THEN 1 ELSE 0 END AS r2,
+    CASE WHEN length(text) < 30 THEN NULL
+         WHEN length(regexp_replace(text, '[^0-9]', '', 'g')) * 20
+              <= length(text) THEN 1 ELSE 0 END AS r3
+  FROM documents
+),
+u AS (
+  SELECT doc_id,
+         CAST(COALESCE(r1, 0) + COALESCE(r2, 0) + COALESCE(r3, 0)
+              AS BIGINT) AS pos,
+         CAST((CASE WHEN r1 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN r2 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN r3 IS NULL THEN 0 ELSE 1 END)
+              AS BIGINT) AS m
+  FROM r
+),
+uu AS (SELECT pos, m, m - pos AS neg FROM u WHERE m >= 2),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM((pos * (pos - 1) + neg * (neg - 1))
+                  * (6 // (m * (m - 1)))) AS BIGINT) AS pa6,
+         CAST(SUM(pos * (6 // m)) AS BIGINT) AS pi6
+  FROM uu
+)
+SELECT n AS n_units,
+       ROUND(CAST(pa6 AS DOUBLE) / (6.0 * n), 6)
+         AS percent_agreement,
+       ROUND(2.0 * (CAST(pi6 AS DOUBLE) / (6.0 * n))
+             * (1.0 - CAST(pi6 AS DOUBLE) / (6.0 * n)), 6)
+         AS chance_agreement,
+       ROUND((CAST(pa6 AS DOUBLE) / (6.0 * n)
+              - 2.0 * (CAST(pi6 AS DOUBLE) / (6.0 * n))
+                * (1.0 - CAST(pi6 AS DOUBLE) / (6.0 * n)))
+             / (1.0 - 2.0 * (CAST(pi6 AS DOUBLE) / (6.0 * n))
+                      * (1.0 - CAST(pi6 AS DOUBLE) / (6.0 * n))), 6)
+         AS gwet_ac1
+FROM s
+"""
+
+
+@register(
+    "x495_gwet_ac1",
+    _X495_ORACLE,
+    doc="Gwet's AC1 over x473's ragged three-rater panel -- the "
+        "agreement coefficient that stays stable under EXTREME "
+        "prevalence where kappa-family statistics (x298, x391) "
+        "collapse (the 'kappa paradox': 95% raw agreement can "
+        "yield near-zero kappa when one class dominates, because "
+        "kappa's chance term conditions on the skewed marginals; "
+        "AC1's chance term 2pi(1-pi) peaks at pi=0.5 and vanishes "
+        "at the extremes) -- together with x473 the panel gives "
+        "the reliability bracket practitioners actually report. "
+        "Exactness: with unit sizes m in {2,3}, per-unit agreement "
+        "shares and prevalence shares scale by 6 into exact "
+        "integers (6/(m(m-1)) in {1,3}, 6/m in {2,3}), so Pa and "
+        "pi are exact sixths over n with all divisions at the end. "
+        "Scale: expression-only ratings, one 3-accumulator "
+        "reduction, no joins at all",
+)
+def x495_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    r1 = F.when(F.col("n_chars") >= 200, F.lit(1)).otherwise(F.lit(0))
+    r2 = F.when(
+        F.size(F.split(F.col("text"), " ")) < 5, F.lit(None)
+    ).otherwise(
+        F.when(F.col("text").like("% the %"), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+    )
+    r3 = F.when(F.length("text") < 30, F.lit(None)).otherwise(
+        F.when(
+            F.length(F.regexp_replace("text", "[^0-9]", "")) * 20
+            <= F.length("text"),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    u = docs.select(
+        (
+            F.coalesce(r1, F.lit(0))
+            + F.coalesce(r2, F.lit(0))
+            + F.coalesce(r3, F.lit(0))
+        )
+        .cast("long")
+        .alias("pos"),
+        (
+            F.when(r1.isNull(), 0).otherwise(1)
+            + F.when(r2.isNull(), 0).otherwise(1)
+            + F.when(r3.isNull(), 0).otherwise(1)
+        )
+        .cast("long")
+        .alias("m"),
+    ).filter(F.col("m") >= 2)
+    uu = u.select("pos", "m", (F.col("m") - F.col("pos")).alias("neg"))
+    s = uu.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (
+                F.col("pos") * (F.col("pos") - 1)
+                + F.col("neg") * (F.col("neg") - 1)
+            )
+            * F.expr("6 div (m * (m - 1))")
+        )
+        .cast("long")
+        .alias("pa6"),
+        F.sum(F.col("pos") * F.expr("6 div m"))
+        .cast("long")
+        .alias("pi6"),
+    )
+    nd = F.col("n")
+    pa = F.col("pa6").cast("double") / (F.lit(6.0) * nd)
+    pi = F.col("pi6").cast("double") / (F.lit(6.0) * nd)
+    pe = F.lit(2.0) * pi * (F.lit(1.0) - pi)
+    return s.select(
+        nd.alias("n_units"),
+        F.round(pa, 6).alias("percent_agreement"),
+        F.round(pe, 6).alias("chance_agreement"),
+        F.round((pa - pe) / (F.lit(1.0) - pe), 6).alias("gwet_ac1"),
+    )
+
+
+_X496_ORACLE = """
+WITH base AS (
+  SELECT o_totalprice AS v FROM orders
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(v * 100.0) AS BIGINT)) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(floor(v * 100.0) AS BIGINT)
+                  * CAST(floor(v * 100.0) AS HUGEINT)) AS HUGEINT)
+           AS s2,
+         quantile_cont(v, 0.25) AS q1,
+         quantile_cont(v, 0.75) AS q3,
+         min(v) AS lo, max(v) AS hi
+  FROM base
+)
+SELECT n,
+       ROUND(q3 - q1, 4) AS iqr,
+       ROUND(sqrt(CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n)) / 100.0, 4) AS sigma,
+       ROUND(2.0 * (q3 - q1) / cbrt(CAST(n AS DOUBLE)), 4)
+         AS fd_width,
+       CAST(ceil((hi - lo)
+                 / (2.0 * (q3 - q1) / cbrt(CAST(n AS DOUBLE))))
+            AS BIGINT) AS fd_bins,
+       ROUND(3.49 * (sqrt(CAST(s2 AS DOUBLE) / n
+                          - (CAST(s1 AS DOUBLE) / n)
+                            * (CAST(s1 AS DOUBLE) / n)) / 100.0)
+             / cbrt(CAST(n AS DOUBLE)), 4) AS scott_width,
+       CAST(ceil(ln(CAST(n AS DOUBLE)) / ln(2.0)) + 1 AS BIGINT)
+         AS sturges_bins
+FROM s
+"""
+
+
+@register(
+    "x496_binning_advisor",
+    _X496_ORACLE,
+    doc="histogram-binning advisor for order totals: Freedman-"
+        "Diaconis width 2*IQR/n^(1/3) (robust), Scott width "
+        "3.49*sigma/n^(1/3) (efficient under normality), and "
+        "Sturges ceil(log2 n)+1 -- the principled bin-count "
+        "choices x22/x191's fixed-grid histograms take as input, "
+        "resolving the 'how many buckets' question every profiling "
+        "pass (x43, x174) otherwise hard-codes; FD >> Scott "
+        "signals heavy tails (bins sized by x489's verdict). "
+        "Exactness: sigma from exact integer-cent moment sums; "
+        "IQR via the engines' exact interpolated quantile "
+        "(x254's percentile-semantics contract); cbrt/sqrt on "
+        "identical doubles; counts integer. Scale: one sort-"
+        "aggregate for the two quantiles, one moment reduction -- "
+        "no windows, no joins",
+)
+def x496_binning_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    vq = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    s = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(vq).cast("decimal(38,0)").alias("s1"),
+        F.sum(vq.cast("decimal(38,0)") * vq)
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+    nd = F.col("n").cast("double")
+    sigma = (
+        F.sqrt(
+            F.col("s2").cast("double") / F.col("n")
+            - (F.col("s1").cast("double") / F.col("n"))
+            * (F.col("s1").cast("double") / F.col("n"))
+        )
+        / F.lit(100.0)
+    )
+    iqr = F.col("q3") - F.col("q1")
+    fd = F.lit(2.0) * iqr / F.cbrt(nd)
+    return s.select(
+        "n",
+        F.round(iqr, 4).alias("iqr"),
+        F.round(sigma, 4).alias("sigma"),
+        F.round(fd, 4).alias("fd_width"),
+        F.ceil((F.col("hi") - F.col("lo")) / fd)
+        .cast("long")
+        .alias("fd_bins"),
+        F.round(F.lit(3.49) * sigma / F.cbrt(nd), 4).alias(
+            "scott_width"
+        ),
+        (F.ceil(F.log(nd) / F.log(F.lit(2.0))) + 1)
+        .cast("long")
+        .alias("sturges_bins"),
+    )
