@@ -3380,3 +3380,113 @@ def x496_binning_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sturges_bins"),
     )
+
+
+def _x497_oracle() -> str:
+    from .foundations import _STOP_EN, _X03_PAIRS_CTE
+
+    return f"""WITH RECURSIVE {_X03_PAIRS_CTE},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk (node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.node = e.v
+),
+clus AS (SELECT node, MIN(lbl) AS rep FROM walk GROUP BY node),
+scored AS (
+  SELECT doc_id,
+         CAST(FLOOR(ROUND(CAST(len(list_filter(
+                string_split(lower(text), ' '),
+                t2 -> t2 IN ({_STOP_EN}))) AS DOUBLE)
+              / len(string_split(lower(text), ' ')), 4)
+              * 10000 + 0.5) AS BIGINT) AS p_s
+  FROM documents
+),
+g AS (
+  SELECT c.rep,
+         CAST(count(*) AS BIGINT) AS members,
+         CAST(MAX(s.p_s) AS BIGINT) AS best,
+         CAST(MAX(CASE WHEN c.node = c.rep THEN s.p_s END)
+              AS BIGINT) AS repscore
+  FROM clus c JOIN scored s ON s.doc_id = c.node
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN best > repscore THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_regret_clusters,
+       ROUND(CAST(SUM(best - repscore) AS DOUBLE)
+             / count(*) / 10000.0, 6) AS mean_regret,
+       ROUND(CAST(MAX(best - repscore) AS DOUBLE) / 10000.0, 4)
+         AS max_regret
+FROM g
+"""
+
+
+@register(
+    "x497_survivor_regret",
+    _x497_oracle(),
+    doc="survivor-policy quality regret: for every x24 near-dup "
+        "cluster, compare the quality score of the KEPT document "
+        "(min-doc_id convention, x01/x24's policy) against the best "
+        "score in the cluster -- the measured cost of keeping-first "
+        "instead of keeping-BEST, which is the actual decision a "
+        "curation pipeline must make and that x24 (who clusters), "
+        "x11 (who scores) and x120 (who counts) never connect: "
+        "mean/max regret in score units plus how many clusters "
+        "kept a suboptimal survivor. Exactness: clusters from the "
+        "proven min-label propagation; scores are x315's integer "
+        "p_s; best/rep/regret are exact integer max/difference "
+        "with two final divisions. Scale: rides the shared cached "
+        "pair stage (one computation per session across "
+        "x03/x24/x44/x115/x307), then one cluster-keyed aggregate "
+        "over duplicate rows only",
+)
+def x497_survivor_regret(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ...ops import dedup as dedup_ops
+    from ...ops import text
+    from .foundations import _shared_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    clus = dedup_ops.duplicate_clusters(
+        _shared_jaccard_pairs(spark, sf_dir)
+    )
+    p_s = F.floor(
+        text.stop_ratio_column("text") * 10000 + F.lit(0.5)
+    ).cast("long")
+    scored = docs.select(F.col("doc_id"), p_s.alias("p_s"))
+    g = (
+        clus.join(scored, clus["node"] == scored["doc_id"])
+        .groupBy("rep")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("members"),
+            F.max("p_s").cast("long").alias("best"),
+            F.max(
+                F.when(F.col("node") == F.col("rep"), F.col("p_s"))
+            )
+            .cast("long")
+            .alias("repscore"),
+        )
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(
+            F.when(F.col("best") > F.col("repscore"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_regret_clusters"),
+        F.round(
+            F.sum(F.col("best") - F.col("repscore")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(10000.0),
+            6,
+        ).alias("mean_regret"),
+        F.round(
+            F.max(F.col("best") - F.col("repscore")).cast("double")
+            / F.lit(10000.0),
+            4,
+        ).alias("max_regret"),
+    )
