@@ -3490,3 +3490,188 @@ def x497_survivor_regret(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("max_regret"),
     )
+
+
+_X498_ORACLE = """
+WITH bits AS (SELECT unnest([2, 4, 6, 8]) AS b),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+err AS (
+  SELECT bits.b, t.x,
+         CAST(floor((t.x - (floor(t.x * (1 << (bits.b - 1))) + 0.5)
+                            / (1 << (bits.b - 1)))
+                    * 1073741824.0) AS BIGINT) AS eq
+  FROM e, bits, UNNEST(e.v) AS t(x)
+),
+s AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS nvals,
+         CAST(SUM(CAST(eq AS HUGEINT) * eq) AS HUGEINT) AS se2,
+         CAST(MAX(ABS(eq)) AS BIGINT) AS memax
+  FROM err GROUP BY 1
+)
+SELECT CAST(b AS BIGINT) AS bits,
+       CAST(32 / b AS BIGINT) AS compression_x,
+       ROUND(sqrt(CAST(se2 AS DOUBLE) / nvals)
+             / 1073741824.0, 9) AS rmse,
+       ROUND(CAST(memax AS DOUBLE) / 1073741824.0, 9)
+         AS max_abs_err
+FROM s ORDER BY bits
+"""
+
+
+@register(
+    "x498_quantization_curve",
+    _X498_ORACLE,
+    doc="scalar-quantization distortion CURVE for the embedding "
+        "store: for b in {2,4,6,8} bits/dim, midpoint-dequantized "
+        "uniform grids code = floor(v * 2^(b-1)), deq = "
+        "(code + 0.5)/2^(b-1), reporting RMSE and worst-case error "
+        "per bit width -- the rate-distortion table that decides "
+        "how far below x94's fixed int8 an ANN index can compress "
+        "before x438's matryoshka-style recall loss bites (RMSE "
+        "halves per bit: the measured curve verifies the 2x law "
+        "end-to-end). Exactness: embeddings live in [-1, 1], so "
+        "code/dequant/error are ALL exact dyadic arithmetic "
+        "(power-of-two multiplies of float-mantissa values), and "
+        "the error quantizes exactly at 2^30 into integer "
+        "quadratic sums -- zero approximation anywhere. Scale: "
+        "per-row local HOF work fanned out by a 4-row VALUES, one "
+        "(b)-keyed 3-accumulator aggregate, no joins, map-side "
+        "combine",
+)
+def x498_quantization_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = spark.range(1, 5).select(
+        (F.col("id") * 2).cast("int").alias("b")
+    )
+    err = (
+        emb.select(
+            F.transform(
+                "embedding", lambda v: v.cast("double")
+            ).alias("v")
+        )
+        .crossJoin(F.broadcast(bits))
+        .select(
+            "b",
+            F.explode(
+                F.expr(
+                    "transform(v, x -> cast(floor((x - "
+                    "(floor(x * shiftleft(1, b - 1)) + 0.5d) "
+                    "/ shiftleft(1, b - 1)) * 1073741824.0d) "
+                    "as bigint))"
+                )
+            ).alias("eq"),
+        )
+    )
+    s = err.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("nvals"),
+        F.sum(F.col("eq").cast("decimal(38,0)") * F.col("eq"))
+        .cast("decimal(38,0)")
+        .alias("se2"),
+        F.max(F.abs(F.col("eq"))).cast("long").alias("memax"),
+    )
+    return s.select(
+        F.col("b").cast("long").alias("bits"),
+        (F.lit(32) / F.col("b")).cast("long").alias("compression_x"),
+        F.round(
+            F.sqrt(F.col("se2").cast("double") / F.col("nvals"))
+            / F.lit(1073741824.0),
+            9,
+        ).alias("rmse"),
+        F.round(
+            F.col("memax").cast("double") / F.lit(1073741824.0), 9
+        ).alias("max_abs_err"),
+    ).orderBy("bits")
+
+
+_X499_ORACLE = """
+WITH depths AS (SELECT unnest([4, 8, 16, 32]) AS d),
+t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks
+  FROM documents
+),
+p AS (
+  SELECT depths.d,
+         md5(array_to_string(t.toks[1:depths.d], ' ')) AS h
+  FROM t, depths
+  WHERE len(t.toks) >= depths.d
+),
+g AS (
+  SELECT d, h, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2
+),
+s AS (
+  SELECT d, CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(c - 1) AS BIGINT) AS dup_docs,
+         CAST(SUM((c - 1) * d) AS BIGINT) AS cached_tokens
+  FROM g GROUP BY 1
+)
+SELECT CAST(d AS BIGINT) AS depth, n_docs, n_distinct, dup_docs,
+       ROUND(CAST(dup_docs AS DOUBLE) / n_docs, 6)
+         AS prefix_cache_hit_rate,
+       cached_tokens
+FROM s ORDER BY depth
+"""
+
+
+@register(
+    "x499_prefix_cache_curve",
+    _X499_ORACLE,
+    doc="prefix-cache hit-depth curve: for prefix depths d in "
+        "{4, 8, 16, 32} tokens, the fraction of documents whose "
+        "first-d-token prefix was already seen (md5 grouping over "
+        "docs with >= d tokens) and the total prefix tokens a "
+        "dedup-aware KV-cache would re-serve -- the serving-side "
+        "capacity model behind prefix caching, and the DEPTH "
+        "dimension x133's fixed-8-token templated-doc detector "
+        "collapses (hit rate falling off a cliff between d=8 and "
+        "d=16 means template heads with divergent bodies: cache "
+        "the head, not the doc). Exactness: token slices and md5 "
+        "are deterministic, every count exact, one rounded "
+        "division per depth. Scale: one token pass fanned out by "
+        "a 4-row VALUES into a (depth, hash)-keyed groupBy -- "
+        "x133's one-narrow-groupBy shape, map-side combined, no "
+        "shingles, no pairs",
+)
+def x499_prefix_cache_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    depths = spark.range(0, 4).select(
+        F.expr("shiftleft(4, cast(id as int))").alias("d")
+    )
+    t = docs.select(F.split(F.lower("text"), " ").alias("toks"))
+    p = (
+        t.crossJoin(F.broadcast(depths))
+        .filter(F.size("toks") >= F.col("d"))
+        .select(
+            "d",
+            F.md5(
+                F.expr("concat_ws(' ', slice(toks, 1, d))")
+            ).alias("h"),
+        )
+    )
+    g = p.groupBy("d", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    s = g.groupBy("d").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c") - 1).cast("long").alias("dup_docs"),
+        F.sum((F.col("c") - 1) * F.col("d"))
+        .cast("long")
+        .alias("cached_tokens"),
+    )
+    return s.select(
+        F.col("d").cast("long").alias("depth"),
+        "n_docs",
+        "n_distinct",
+        "dup_docs",
+        F.round(
+            F.col("dup_docs").cast("double") / F.col("n_docs"), 6
+        ).alias("prefix_cache_hit_rate"),
+        "cached_tokens",
+    ).orderBy("depth")
