@@ -3675,3 +3675,224 @@ def x499_prefix_cache_curve(
         ).alias("prefix_cache_hit_rate"),
         "cached_tokens",
     ).orderBy("depth")
+
+
+def _x500_oracle() -> str:
+    from .foundations import _STOP_EN
+
+    return f"""
+WITH scored AS (
+  SELECT source,
+         CAST(FLOOR(ROUND(CAST(len(list_filter(
+                string_split(lower(text), ' '),
+                t2 -> t2 IN ({_STOP_EN}))) AS DOUBLE)
+              / len(string_split(lower(text), ' ')), 4)
+              * 10000 + 0.5) AS BIGINT) AS p_s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+cells AS (
+  SELECT source, p_s, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS np
+  FROM scored GROUP BY 1, 2
+),
+doms AS (SELECT DISTINCT p_s AS t FROM cells),
+gtot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+         CAST(SUM(np) AS BIGINT) AS p_all
+  FROM cells
+),
+gsweep AS (
+  SELECT d.t,
+         CAST(SUM(CASE WHEN c.p_s >= d.t THEN c.np ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN c.p_s >= d.t THEN c.n - c.np ELSE 0 END)
+              AS BIGINT) AS fp
+  FROM doms d, cells c
+  GROUP BY 1
+),
+gbest AS (
+  SELECT t AS g_t,
+         ROUND(2.0 * tp / (2.0 * tp + fp + (g.p_all - tp)), 8)
+           AS g_f1
+  FROM gsweep, gtot g
+  ORDER BY ROUND(2.0 * tp / (2.0 * tp + fp + (g.p_all - tp)), 8)
+           DESC, t ASC
+  LIMIT 1
+),
+stot AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS n_s,
+         CAST(SUM(np) AS BIGINT) AS p_s_tot
+  FROM cells GROUP BY 1
+),
+ssweep AS (
+  SELECT c.source, d.t,
+         CAST(SUM(CASE WHEN c.p_s >= d.t THEN c.np ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN c.p_s >= d.t THEN c.n - c.np ELSE 0 END)
+              AS BIGINT) AS fp
+  FROM doms d, cells c
+  GROUP BY 1, 2
+),
+sf1 AS (
+  SELECT s.source, s.t,
+         ROUND(2.0 * s.tp
+               / (2.0 * s.tp + s.fp + (st.p_s_tot - s.tp)), 8)
+           AS f1
+  FROM ssweep s JOIN stot st ON st.source = s.source
+),
+sbest AS (
+  SELECT source, t AS own_t, f1 AS own_f1
+  FROM (
+    SELECT source, t, f1,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY f1 DESC, t ASC) AS rn
+    FROM sf1
+  ) WHERE rn = 1
+),
+transfer AS (
+  SELECT f.source, f.f1 AS global_f1
+  FROM sf1 f, gbest WHERE f.t = gbest.g_t
+)
+SELECT b.source, b.own_t AS own_threshold,
+       ROUND(b.own_f1, 6) AS own_f1,
+       ROUND(tr.global_f1, 6) AS global_threshold_f1,
+       ROUND(b.own_f1 - tr.global_f1, 6) AS transfer_regret
+FROM sbest b JOIN transfer tr ON tr.source = b.source
+ORDER BY b.source
+"""
+
+
+@register(
+    "x500_threshold_transfer",
+    _x500_oracle(),
+    doc="threshold transferability audit for x315's scorer: per "
+        "source, the best-F1 threshold fitted on that source's own "
+        "docs vs the F1 it actually gets under the ONE global "
+        "best-F1 threshold -- the transfer_regret column is the "
+        "measured cost of deploying a single corpus-wide cutoff "
+        "over heterogeneous sources, the per-stratum miscalibration "
+        "x350 (global sweep) and x365 (fairness rates at a fixed "
+        "threshold) each see only half of. Exactness: integer p_s "
+        "scores; sweeps are conditional integer sums over the "
+        "bounded score domain; F1 rounds to 8 before the argmax "
+        "with a deterministic low-threshold tie-break (x350's "
+        "recipe). Scale: one (source, score) contingency pass, "
+        "then all sweeps live on the broadcast-sized score-domain "
+        "x cells grid -- corpus rows are touched once",
+)
+def x500_threshold_transfer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ...ops import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    p_s = F.floor(
+        text.stop_ratio_column("text") * 10000 + F.lit(0.5)
+    ).cast("long")
+    scored = docs.select(
+        "source",
+        p_s.alias("p_s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    cells = scored.groupBy("source", "p_s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("np"),
+    )
+    doms = cells.select(F.col("p_s").alias("t")).distinct()
+    gtot = cells.agg(
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum("np").cast("long").alias("p_all"),
+    )
+    hit = F.col("p_s") >= F.col("t")
+    gsweep = (
+        cells.crossJoin(F.broadcast(doms))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(hit, F.col("np")).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(hit, F.col("n") - F.col("np")).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    gf1 = F.round(
+        F.lit(2.0) * F.col("tp")
+        / (
+            F.lit(2.0) * F.col("tp")
+            + F.col("fp")
+            + (F.col("p_all") - F.col("tp"))
+        ),
+        8,
+    )
+    gbest = (
+        gsweep.crossJoin(F.broadcast(gtot))
+        .select(F.col("t").alias("g_t"), gf1.alias("g_f1"))
+        .orderBy(F.col("g_f1").desc(), F.col("g_t").asc())
+        .limit(1)
+    )
+    stot = cells.groupBy("source").agg(
+        F.sum("np").cast("long").alias("p_s_tot")
+    )
+    ssweep = (
+        cells.crossJoin(F.broadcast(doms))
+        .groupBy("source", "t")
+        .agg(
+            F.sum(F.when(hit, F.col("np")).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(hit, F.col("n") - F.col("np")).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    sf1 = ssweep.join(F.broadcast(stot), "source").select(
+        "source",
+        "t",
+        F.round(
+            F.lit(2.0) * F.col("tp")
+            / (
+                F.lit(2.0) * F.col("tp")
+                + F.col("fp")
+                + (F.col("p_s_tot") - F.col("tp"))
+            ),
+            8,
+        ).alias("f1"),
+    )
+    sbest = (
+        sf1.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("f1").desc(), F.col("t").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("t").alias("own_threshold"),
+            F.col("f1").alias("own_f1"),
+        )
+    )
+    transfer = sf1.join(
+        F.broadcast(gbest), F.col("t") == F.col("g_t")
+    ).select("source", F.col("f1").alias("global_f1"))
+    return (
+        sbest.join(transfer, "source")
+        .select(
+            "source",
+            "own_threshold",
+            F.round(F.col("own_f1"), 6).alias("own_f1"),
+            F.round(F.col("global_f1"), 6).alias(
+                "global_threshold_f1"
+            ),
+            F.round(F.col("own_f1") - F.col("global_f1"), 6).alias(
+                "transfer_regret"
+            ),
+        )
+        .orderBy("source")
+    )
