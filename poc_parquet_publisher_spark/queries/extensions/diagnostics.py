@@ -1908,17 +1908,18 @@ def x484_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _X485_ORACLE = """
-WITH daily AS (
-  SELECT CAST(o_orderdate AS DATE) AS day,
+WITH daily AS MATERIALIZED (
+  SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+           AS day,
          CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
               AS DOUBLE) AS y
   FROM orders GROUP BY 1
 ),
-series AS (
+series AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY day) AS t, y FROM daily
 ),
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM series),
-init AS (
+init AS MATERIALIZED (
   SELECT 2 AS t,
          (SELECT y FROM series WHERE t = 2) AS l,
          (SELECT y FROM series WHERE t = 2)
@@ -1941,7 +1942,7 @@ rec AS (
   )
   SELECT * FROM walk
 )
-SELECT nn.n AS n_days,
+SELECT nn.n AS n_weeks,
        ROUND(r.sh / 10000.0, 4) AS sse_holt_dollars2,
        ROUND(r.sn / 10000.0, 4) AS sse_naive_dollars2,
        ROUND(1.0 - r.sh / r.sn, 6) AS skill_vs_naive
@@ -1953,11 +1954,14 @@ FROM rec r, nn WHERE r.t = nn.n
     "x485_holt_backtest",
     _X485_ORACLE,
     doc="Holt double-exponential smoothing one-step-ahead backtest "
-        "on daily revenue with DYADIC smoothing weights (alpha = "
+        "on weekly revenue with DYADIC smoothing weights (alpha = "
         "beta = 0.5, so every smoothing multiply is an exact "
         "power-of-two scale): level/trend recurrences l' = 0.5y + "
         "0.5(l+b), b' = 0.5(l'-l) + 0.5b, scored as SSE of forecast "
-        "errors vs the naive y_t-1 carry-forward -- the TREND-aware "
+        "errors vs the naive y_t-1 carry-forward (weekly grain "
+        "keeps the sequential oracle recursion bounded at ~350 "
+        "steps; DuckDB's per-iteration overhead makes a 2400-step "
+        "daily recursion pathological, measured) -- the TREND-aware "
         "forecaster x292's EWMA (level only) cannot be, and the "
         "skill-vs-naive framing x452's MASE applies to seasonal "
         "backtests. Determinism: inputs are exact integer cents as "
@@ -1973,7 +1977,9 @@ FROM rec r, nn WHERE r.t = nn.n
 def x485_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
-        F.col("o_orderdate").cast("date").alias("day")
+        F.date_trunc("week", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("day")
     ).agg(
         F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
         .cast("double")
@@ -2013,13 +2019,13 @@ def x485_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     folded = ser.select(
-        F.size(ys).cast("long").alias("n_days"),
+        F.size(ys).cast("long").alias("n_weeks"),
         F.aggregate(
             F.slice(ys, 3, F.size(ys) - 2), init, step
         ).alias("st"),
     )
     return folded.select(
-        "n_days",
+        "n_weeks",
         F.round(F.col("st.sh") / F.lit(10000.0), 4).alias(
             "sse_holt_dollars2"
         ),
@@ -3895,4 +3901,186 @@ def x500_threshold_transfer(
             ),
         )
         .orderBy("source")
+    )
+
+
+_X501_ORACLE = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+           AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+calstats AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS nc,
+         CAST(SUM(y) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS s2
+  FROM daily WHERE day < DATE '1999-01-01'
+),
+ms AS MATERIALIZED (
+  SELECT CAST(s1 AS DOUBLE) / nc AS mu,
+         sqrt(CAST(s2 AS DOUBLE) / nc
+              - (CAST(s1 AS DOUBLE) / nc)
+                * (CAST(s1 AS DOUBLE) / nc)) AS sigma
+  FROM calstats
+),
+series AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY day) AS t,
+         CAST(y AS DOUBLE) AS y,
+         CASE WHEN day >= DATE '1999-01-01' THEN 1 ELSE 0 END AS tst
+  FROM daily
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM series),
+nt AS (SELECT CAST(SUM(tst) AS BIGINT) AS n_test FROM series),
+rec AS (
+  WITH RECURSIVE walk(t, z, na, first, mdev, mu, sigma) AS (
+    SELECT CAST(0 AS BIGINT), ms.mu, CAST(0 AS BIGINT),
+           CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE), ms.mu, ms.sigma
+    FROM ms
+    UNION ALL
+    SELECT sr.t,
+           0.5 * sr.y + 0.5 * s.z,
+           s.na + (CASE WHEN sr.tst = 1
+                         AND ABS((0.5 * sr.y + 0.5 * s.z) - s.mu)
+                             > s.sigma * sqrt(3.0)
+                   THEN 1 ELSE 0 END),
+           CASE WHEN s.first = -1 AND sr.tst = 1
+                     AND ABS((0.5 * sr.y + 0.5 * s.z) - s.mu)
+                         > s.sigma * sqrt(3.0)
+                THEN sr.t ELSE s.first END,
+           CASE WHEN sr.tst = 1
+                THEN GREATEST(s.mdev,
+                              ABS((0.5 * sr.y + 0.5 * s.z) - s.mu))
+                ELSE s.mdev END,
+           s.mu, s.sigma
+    FROM walk s
+    JOIN series sr ON sr.t = s.t + 1
+  )
+  SELECT * FROM walk
+)
+SELECT nt.n_test AS n_test_weeks,
+       r.na AS n_alerts,
+       ROUND(CAST(r.na AS DOUBLE) / nt.n_test, 6) AS alert_rate,
+       r.first AS first_alert_t,
+       ROUND(r.mdev / r.sigma, 4) AS max_dev_sigmas
+FROM rec r, nn, nt WHERE r.t = nn.n
+"""
+
+
+@register(
+    "x501_ewma_control_chart",
+    _X501_ORACLE,
+    doc="EWMA control-chart alerting: smooth the full weekly-revenue "
+        "series with the dyadic alpha = 0.5 recurrence (state warm "
+        "from the pre-1999 calibration mean), flag post-1999 days "
+        "where |z - mu| exceeds the 3-sigma_z limit (sigma_z = "
+        "sigma*sqrt(alpha/(2-alpha)) = sigma*sqrt(1/3), so the "
+        "limit is sigma*sqrt(3)) -- the ONLINE monitoring rule "
+        "x289's offline CUSUM changepoint and x453's binary "
+        "segmentation only reconstruct after the fact: how many "
+        "alert days, when the first fired, and the worst excursion "
+        "in sigmas. Determinism: x485's twin-evaluation recipe -- "
+        "calibration mu/sigma from exact integer moments, the "
+        "recurrence evaluated in ONE explicit sequential order on "
+        "both engines (Spark in-row fold, DuckDB linear recursive "
+        "CTE) with identical expression trees and dyadic smoothing "
+        "multiplies, so alert decisions compare bit-identical "
+        "doubles. Scale: one day-grain aggregate; the fold rides "
+        "the bounded day series",
+)
+def x501_ewma_control_chart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("week", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    cut = F.lit("1999-01-01").cast("date")
+    cal = daily.filter(F.col("day") < cut)
+    calstats = cal.agg(
+        F.count(F.lit(1)).cast("long").alias("nc"),
+        F.sum("y").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    ms = calstats.select(
+        (F.col("s1").cast("double") / F.col("nc")).alias("mu"),
+        F.sqrt(
+            F.col("s2").cast("double") / F.col("nc")
+            - (F.col("s1").cast("double") / F.col("nc"))
+            * (F.col("s1").cast("double") / F.col("nc"))
+        ).alias("sigma"),
+    )
+    ser = daily.agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("day"),
+                        F.col("y").cast("double").alias("y"),
+                        F.when(F.col("day") >= cut, F.lit(1))
+                        .otherwise(F.lit(0))
+                        .cast("long")
+                        .alias("tst"),
+                    )
+                )
+            ),
+            lambda s, i: F.struct(
+                (i + 1).cast("long").alias("t"),
+                s["y"].alias("y"),
+                s["tst"].alias("tst"),
+            ),
+        ).alias("arr"),
+        F.sum(F.when(F.col("day") >= cut, 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    row = ser.crossJoin(F.broadcast(ms))
+    mu, sigma = F.col("mu"), F.col("sigma")
+    limit = sigma * F.sqrt(F.lit(3.0))
+    init = F.struct(
+        mu.alias("z"),
+        F.lit(0).cast("long").alias("na"),
+        F.lit(-1).cast("long").alias("first"),
+        F.lit(0.0).alias("mdev"),
+    )
+
+    def step(acc, e):
+        znew = F.lit(0.5) * e["y"] + F.lit(0.5) * acc["z"]
+        dev = F.abs(znew - mu)
+        alert = (e["tst"] == 1) & (dev > limit)
+        return F.struct(
+            znew.alias("z"),
+            (acc["na"] + F.when(alert, 1).otherwise(0)).alias("na"),
+            F.when(
+                (acc["first"] == -1) & alert, e["t"]
+            ).otherwise(acc["first"]).alias("first"),
+            F.when(
+                e["tst"] == 1, F.greatest(acc["mdev"], dev)
+            ).otherwise(acc["mdev"]).alias("mdev"),
+        )
+
+    folded = row.select(
+        "n_test",
+        "sigma",
+        F.aggregate(F.col("arr"), init, step).alias("st"),
+    )
+    return folded.select(
+        F.col("n_test").alias("n_test_weeks"),
+        F.col("st.na").alias("n_alerts"),
+        F.round(
+            F.col("st.na").cast("double") / F.col("n_test"), 6
+        ).alias("alert_rate"),
+        F.col("st.first").alias("first_alert_t"),
+        F.round(F.col("st.mdev") / F.col("sigma"), 4).alias(
+            "max_dev_sigmas"
+        ),
     )
