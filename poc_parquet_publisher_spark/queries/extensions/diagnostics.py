@@ -4084,3 +4084,147 @@ def x501_ewma_control_chart(
             "max_dev_sigmas"
         ),
     )
+
+
+_X502_ORACLE = """
+WITH s0 AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok
+  FROM documents
+),
+e AS (
+  SELECT md5(lower(text)) AS h, MIN(doc_id) AS keep_id
+  FROM s0 GROUP BY 1
+),
+s1 AS (
+  SELECT s0.doc_id, s0.text, s0.tok FROM s0
+  JOIN e ON s0.doc_id = e.keep_id
+),
+f AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(
+           string_split(lower(text), ' '))), ' ')) AS fp,
+         MIN(doc_id) AS keep_id
+  FROM s1 GROUP BY 1
+),
+s2 AS (
+  SELECT s1.doc_id, s1.tok FROM s1
+  JOIN f ON s1.doc_id = f.keep_id
+),
+t0 AS (SELECT CAST(count(*) AS BIGINT) AS d, CAST(SUM(tok) AS BIGINT) AS t
+       FROM s0),
+t1 AS (SELECT CAST(count(*) AS BIGINT) AS d, CAST(SUM(tok) AS BIGINT) AS t
+       FROM s1),
+t2 AS (SELECT CAST(count(*) AS BIGINT) AS d, CAST(SUM(tok) AS BIGINT) AS t
+       FROM s2)
+SELECT * FROM (
+  SELECT 1 AS stage, 'exact' AS tier,
+         t0.d AS docs_in, t0.d - t1.d AS docs_removed,
+         t0.t AS tokens_in, t0.t - t1.t AS tokens_removed,
+         ROUND(CAST(t0.t - t1.t AS DOUBLE) / t0.t, 6)
+           AS token_removal_rate
+  FROM t0, t1
+  UNION ALL
+  SELECT 2, 'fingerprint', t1.d, t1.d - t2.d, t1.t, t1.t - t2.t,
+         ROUND(CAST(t1.t - t2.t AS DOUBLE) / t1.t, 6)
+  FROM t1, t2
+) ORDER BY stage
+"""
+
+
+@register(
+    "x502_cascade_token_yield",
+    _X502_ORACLE,
+    doc="TOKEN-weighted dedup cascade economics: the exact -> "
+        "fingerprint stages of x244's cascade re-measured in the "
+        "unit that actually prices an LLM training run -- tokens "
+        "removed per stage, not documents (a stage that kills 1%% "
+        "of docs but 8%% of tokens is removing boilerplate GIANTS "
+        "and is worth its cost; doc counts alone invert the "
+        "decision) -- the bridge between x244 (doc-grain marginal "
+        "yield) and x33/x46's token-budget samplers, which consume "
+        "exactly this table. Exactness: x01/x02's verified md5 "
+        "keep-min survivor joins replayed in sequence; token "
+        "counts and all stage sums are exact integers; one rounded "
+        "division per stage. Scale: two hash-groupBys on md5 keys "
+        "over progressively smaller survivor sets -- x244's shape "
+        "with one extra integer column carried through",
+)
+def x502_cascade_token_yield(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s0 = docs.select(
+        "doc_id",
+        "text",
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("tok"),
+    )
+    e = s0.groupBy(F.md5(F.lower("text")).alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    s1 = s0.join(
+        e, s0["doc_id"] == e["keep_id"]
+    ).select(s0["doc_id"], "text", "tok")
+    f = s1.groupBy(
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(F.split(F.lower("text"), " "))
+                ),
+                " ",
+            )
+        ).alias("fp")
+    ).agg(F.min("doc_id").alias("keep_id"))
+    s2 = s1.join(f, s1["doc_id"] == f["keep_id"]).select(
+        s1["doc_id"], "tok"
+    )
+
+    def stats(df):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("d"),
+            F.sum("tok").cast("long").alias("t"),
+        )
+
+    t0, t1, t2 = stats(s0), stats(s1), stats(s2)
+    r1 = (
+        t0.crossJoin(
+            F.broadcast(
+                t1.select(
+                    F.col("d").alias("d1"), F.col("t").alias("t1")
+                )
+            )
+        )
+        .select(
+            F.lit(1).cast("long").alias("stage"),
+            F.lit("exact").alias("tier"),
+            F.col("d").alias("docs_in"),
+            (F.col("d") - F.col("d1")).alias("docs_removed"),
+            F.col("t").alias("tokens_in"),
+            (F.col("t") - F.col("t1")).alias("tokens_removed"),
+            F.round(
+                (F.col("t") - F.col("t1")).cast("double") / F.col("t"),
+                6,
+            ).alias("token_removal_rate"),
+        )
+    )
+    r2 = (
+        t1.crossJoin(
+            F.broadcast(
+                t2.select(
+                    F.col("d").alias("d2"), F.col("t").alias("t2")
+                )
+            )
+        )
+        .select(
+            F.lit(2).cast("long").alias("stage"),
+            F.lit("fingerprint").alias("tier"),
+            F.col("d").alias("docs_in"),
+            (F.col("d") - F.col("d2")).alias("docs_removed"),
+            F.col("t").alias("tokens_in"),
+            (F.col("t") - F.col("t2")).alias("tokens_removed"),
+            F.round(
+                (F.col("t") - F.col("t2")).cast("double") / F.col("t"),
+                6,
+            ).alias("token_removal_rate"),
+        )
+    )
+    return r1.unionByName(r2).orderBy("stage")
