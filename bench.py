@@ -29,6 +29,59 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Host calibration (VERDICT r07 #1): identical code measured 1.43x slower
+# across two sessions on an uncontrolled host, costing a manual re-measure.
+# Every ledger now carries a CALIBRATION block -- a pinned pure-CPU md5
+# loop, a pinned synthetic Spark probe (touches no bench data), and
+# os.getloadavg() -- timed FIRST, so cross-session medians can be compared
+# after dividing by the probe reading. REF_SPARK_PROBE_S pins the probe's
+# reading on the session that introduced it; "normalized" times are
+# raw * (REF_SPARK_PROBE_S / measured_probe_s), i.e. seconds-at-the-
+# reference-host.
+REF_SPARK_PROBE_S = 1.99  # pinned: round-8 session-1 median of 3 warm runs
+REF_CPU_MD5_S = 0.77  # same session, informational
+
+CAL_CPU_ITERS = 300_000
+
+
+def _calibrate_cpu() -> float:
+    import hashlib
+
+    buf = b"\x5a" * 1024
+    t0 = time.perf_counter()
+    h = hashlib.md5()
+    for _ in range(CAL_CPU_ITERS):
+        h = hashlib.md5(buf + h.digest())
+    return round(time.perf_counter() - t0, 3)
+
+
+def _calibrate_spark(spark) -> float:
+    # Pinned synthetic probe: range -> md5 expr -> distinct-mod count.
+    # Exercises codegen + one shuffle at the session's parallelism;
+    # deterministic, zero data dependency, ~1-2 s on the reference host.
+    t0 = time.perf_counter()
+    spark.range(8_000_000, numPartitions=32).selectExpr(
+        "count(distinct crc32(md5(cast(id % 1000000 as string)))) as c"
+    ).collect()
+    return round(time.perf_counter() - t0, 3)
+
+
+def calibration_block(spark) -> dict:
+    cpu = _calibrate_cpu()
+    probe = _calibrate_spark(spark)
+    try:
+        load = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load = None
+    return {
+        "cpu_md5_s": cpu,
+        "spark_probe_s": probe,
+        "ref_spark_probe_s": REF_SPARK_PROBE_S,
+        "ref_cpu_md5_s": REF_CPU_MD5_S,
+        "host_factor": round(probe / REF_SPARK_PROBE_S, 3),
+        "loadavg": load,
+    }
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -90,6 +143,9 @@ def main() -> None:
             .awaitTermination(120)
         )
 
+    calibration = calibration_block(spark)
+    print(f"# calibration: {json.dumps(calibration)}", file=sys.stderr)
+
     timings: dict[str, float] = {}
 
     # Amortized-graph contract for x104: a deployment derives the
@@ -122,7 +178,7 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     if only:
-        _write_result(timings, sf, merge=True)
+        _write_result(timings, sf, calibration, merge=True)
         spark.stop()
         return
 
@@ -219,11 +275,13 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    _write_result(timings, sf)
+    _write_result(timings, sf, calibration)
     spark.stop()
 
 
-def _write_result(timings: dict, sf, merge: bool = False) -> None:
+def _write_result(
+    timings: dict, sf, calibration: dict | None = None, merge: bool = False
+) -> None:
     # The driver captures only the TAIL of stdout, so a single giant
     # JSON line truncates FRONT-first and parses as null every round
     # (BENCH_r03..r05 all have "parsed": null). Persist the FULL map to
@@ -248,6 +306,13 @@ def _write_result(timings: dict, sf, merge: bool = False) -> None:
         "queries": timings,
         "sf": sf,
     }
+    if calibration is not None:
+        scale = REF_SPARK_PROBE_S / calibration["spark_probe_s"]
+        result["calibration"] = calibration
+        result["value_normalized"] = round(total * scale, 3)
+        result["queries_normalized"] = {
+            k: round(v * scale, 3) for k, v in timings.items()
+        }
     with open(local_path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -264,6 +329,9 @@ def _write_result(timings: dict, sf, merge: bool = False) -> None:
         "n_entries": len(timings),
         "full_map": "BENCH_LOCAL.json",
     }
+    if calibration is not None:
+        compact["calibration"] = calibration
+        compact["value_normalized"] = result["value_normalized"]
     print(json.dumps(compact))
 
 
@@ -315,6 +383,23 @@ def medians(n_runs: int = 3) -> None:
         "runs": n_runs,
         "sf": runs[-1].get("sf"),
     }
+    cals = [r["calibration"] for r in runs if r.get("calibration")]
+    if cals:
+        med_cal = {
+            k: round(statistics.median(c[k] for c in cals), 3)
+            for k in ("cpu_md5_s", "spark_probe_s", "host_factor")
+        }
+        med_cal["ref_spark_probe_s"] = REF_SPARK_PROBE_S
+        med_cal["per_run"] = [
+            {k: c[k] for k in ("cpu_md5_s", "spark_probe_s", "loadavg")}
+            for c in cals
+        ]
+        scale = REF_SPARK_PROBE_S / med_cal["spark_probe_s"]
+        result["calibration"] = med_cal
+        result["value_normalized"] = round(result["value"] * scale, 3)
+        result["queries_normalized"] = {
+            k: round(v * scale, 3) for k, v in med.items()
+        }
     with open(os.path.join(here, "BENCH_MEDIANS.json"), "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
         f.write("\n")

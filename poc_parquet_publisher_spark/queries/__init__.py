@@ -70,7 +70,8 @@ def all_oracles() -> dict[str, str]:
 #   round 4:    x12 (driver-green in CORRECTNESS_r04)
 #   round 5:    x13 (driver-green in CORRECTNESS_r05)
 #   round 6:    x14 (driver-green in CORRECTNESS_r06)
-#   round 7:    x18 (head of the list below)
+#   round 7:    x18 (driver-green in CORRECTNESS_r07)
+#   round 8:    x19 (head of the list below)
 #   next rounds: continue down the list, then x22 x25 x26 x27 x29 x30
 #   x31 x33, then later oracle-backed additions (rows-only entries stay
 #   out of the hashed window by design).
@@ -79,7 +80,6 @@ def all_oracles() -> dict[str, str]:
 #   round; each round, move the newly driver-checked head to the
 #   retired list above and promote the next entry.
 _WINDOW_FIRST: list[str] = [
-    "x18_deterministic_split",
     "x19_tfidf",
     "x20_text_scrub",
     "x21_sessionize",

@@ -878,8 +878,17 @@ FROM p, terms
         "addition-order-proof, unlike float cumsums under DuckDB's "
         "segment-tree windows); exp of identical doubles and a "
         "final floored-term integer sum make P engine-identical to "
-        "1e-12. Scale: two hash aggregates over users, then all "
-        "domains are bounded by the smaller arm's success count",
+        "1e-12. Scale: two hash aggregates over users, then the "
+        "explode domains total bB + (aB-1) = n_B + 1 rows -- the "
+        "B-ARM USER COUNT, not its success count (the bB-domain "
+        "product is intrinsic to the lgamma-free term(0), and "
+        "swapping arms via P(pB>pA) = 1 - P(pA>pB) only reaches "
+        "min(n_A, n_B), no asymptotic gain with ~equal arms); the "
+        "single-row explode and the no-partition prefix window put "
+        "those n_B+1 rows through ONE task, safe because users are "
+        "a ~1e-2-of-events dimension (751 rows at sf0.1); a "
+        "many-million-user deployment would need a partitioned "
+        "two-level prefix sum here -- stated, not hidden",
 )
 def x477_bayesian_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1701,18 +1710,18 @@ FROM f, s
         "(source, lang) for a deterministic plan",
 )
 def x483_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     files = docs.groupBy("source", "lang").agg(
         F.sum("n_chars").cast("long").alias("sz")
     )
-    w = Window.orderBy(
-        F.col("sz").desc(), F.col("source"), F.col("lang")
-    ).rowsBetween(Window.unboundedPreceding, 0)
     binned = files.select(
         "sz",
-        ((F.sum("sz").over(w) - 1) / 10000)
+        # true integer floor division (div), matching the oracle's //
+        # and the x475/x482 convention -- double-divide-then-cast is
+        # fragile near 10000-boundaries at extreme cumulative sizes
+        F.expr("(sum(sz) over (order by sz desc, source, lang "
+               "rows between unbounded preceding and current row) - 1) "
+               "div 10000")
         .cast("long")
         .alias("bin"),
     )
@@ -1730,7 +1739,7 @@ def x483_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.crossJoin(F.broadcast(s)).select(
         "n_files",
         "n_bins",
-        ((F.col("total") + 9999) / 10000)
+        F.expr("(total + 9999) div 10000")
         .cast("long")
         .alias("lower_bound_bins"),
         "max_fill",
@@ -2297,7 +2306,7 @@ nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily)
 SELECT nn.n AS n_days, s.m AS n_triples, s.tp AS n_turning_points,
        ROUND(2.0 * s.m / 3.0, 4) AS expected_turning_points,
        ROUND((s.tp - 2.0 * s.m / 3.0)
-             / sqrt((16.0 * s.m - 29.0) / 90.0), 4) AS z_score
+             / sqrt((16.0 * (s.m + 2) - 29.0) / 90.0), 4) AS z_score
 FROM s, nn
 """
 
@@ -2319,8 +2328,13 @@ FROM s, nn
         "turning, stated), exact integer counts, two rounded "
         "divisions; neighbor pairing is the x290 DATE equi-join so "
         "gap days drop their triples rather than fabricating "
-        "adjacency. Scale: one day-grain aggregate, two "
-        "day-cardinality self-joins",
+        "adjacency. Null moments use the STANDARD series-length "
+        "formula Var[T] = (16n-29)/90 evaluated at n = m+2 (exact "
+        "for a gap-free span, where m = n-2; under calendar gaps "
+        "the surviving triples are not contiguous, so the i.i.d. "
+        "null moments are an approximation -- stated, and m-based "
+        "(16m-29)/90 would be anti-conservative). Scale: one "
+        "day-grain aggregate, two day-cardinality self-joins",
 )
 def x488_turning_point_test(
     spark: SparkSession, sf_dir: str
@@ -2358,7 +2372,8 @@ def x488_turning_point_test(
         F.round(
             (F.col("tp") - F.lit(2.0) * md / F.lit(3.0))
             / F.sqrt(
-                (F.lit(16.0) * md - F.lit(29.0)) / F.lit(90.0)
+                (F.lit(16.0) * (md + F.lit(2.0)) - F.lit(29.0))
+                / F.lit(90.0)
             ),
             4,
         ).alias("z_score"),
@@ -2419,10 +2434,14 @@ FROM k
         "on this series or the rank battery (x363/x445/x451) is "
         "required; completes the moment work x267 reports "
         "descriptively into a test statistic. Exactness: daily "
-        "sums floor to integer DOLLARS so the fourth power stays "
-        "inside HUGEINT/DECIMAL(38) at every SF (cents overflow "
-        "at sf0.1: (2.3e9)^4 * 2500 days > 1e38 -- the grain is a "
-        "stated part of the test); four raw-moment sums are exact "
+        "sums floor to integer DOLLARS, which keeps sum(y^4) "
+        "inside HUGEINT/DECIMAL(38) through roughly sf1 (cents "
+        "overflow already at sf0.1: (2.3e9)^4 * 2500 days > 1e38; "
+        "dollar-grain daily revenue ~1e8 at sf1 gives ~1e32*2500 "
+        "< 1e38, but sf10's ~1e9 days overflow -- above sf1 the "
+        "quantization grain must scale with SF, e.g. thousands of "
+        "dollars; the grain-SF contract is a stated part of the "
+        "test); four raw-moment sums are exact "
         "integers, central moments and JB are fixed-order double "
         "arithmetic with m2*sqrt(m2), never pow. Scale: one "
         "day-grain aggregate, one 5-accumulator reduction",

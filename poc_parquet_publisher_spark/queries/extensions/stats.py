@@ -3419,9 +3419,18 @@ def x407_greedy_vocab_cover(
                 [(w,) for w in sorted(covered)], "w string"
             )
             cand = pairs.join(F.broadcast(cov_df), "w", "left_anti")
+        # ONE job per round: the top-1 gain aggregate carries the
+        # picked doc's uncovered words via collect_set (bounded <=
+        # top_words per group -- pairs only holds universe shingles),
+        # so no second filter+collect scan is needed. Unioning the
+        # UNCOVERED words is equivalent to unioning the doc's full
+        # word set: the already-covered ones are no-ops on the set.
         top = (
             cand.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("gain"),
+                F.collect_set("w").alias("new_words"),
+            )
             .orderBy(F.col("gain").desc(), "doc_id")
             .limit(1)
             .collect()
@@ -3429,11 +3438,7 @@ def x407_greedy_vocab_cover(
         if not top:
             break
         doc_id, gain = top[0]["doc_id"], top[0]["gain"]
-        new_words = {
-            r["w"]
-            for r in pairs.filter(F.col("doc_id") == doc_id).collect()
-        }
-        covered |= new_words
+        covered |= set(top[0]["new_words"])
         cum += gain
         picks.append(
             (rnd, doc_id, gain, cum, round(cum / total, 4))
@@ -5272,8 +5277,24 @@ def x420_dedup_tier_containment(
     n_ex = ex.count()
     n_fp = fp.count()
     n_band = bands.count()
-    ex_miss = ex.join(bands, ["id_a", "id_b"], "left_anti").count()
-    fp_miss = fp.join(bands, ["id_a", "id_b"], "left_anti").count()
+    # ONE anti-join job for both miss counts: tag the union of the two
+    # pair sets, anti-join against bands once, split with conditional
+    # counts (count(when) is 0 on an empty frame, unlike sum).
+    miss = (
+        ex.withColumn("src", F.lit("ex"))
+        .unionByName(fp.withColumn("src", F.lit("fp")))
+        .join(bands, ["id_a", "id_b"], "left_anti")
+        .agg(
+            F.count(F.when(F.col("src") == "ex", 1))
+            .cast("long")
+            .alias("ex_miss"),
+            F.count(F.when(F.col("src") == "fp", 1))
+            .cast("long")
+            .alias("fp_miss"),
+        )
+        .collect()[0]
+    )
+    ex_miss, fp_miss = miss["ex_miss"], miss["fp_miss"]
     return spark.createDataFrame(
         [(n_ex, n_fp, n_band, ex_miss, fp_miss)],
         "n_exact_pairs bigint, n_fingerprint_pairs bigint, "
