@@ -43,6 +43,25 @@ def dedup_stream(
     )
 
 
+def _maybe_compact(
+    spark, index_path: str, threshold_files: int | None, compact_fn
+) -> None:
+    """Auto-compaction trigger shared by the incremental streams: each
+    micro-batch appends one parquet generation to the index forever, so
+    a long-running stream accumulates a small-files problem unless an
+    operator remembers to run the compactor. When the index's data-file
+    count exceeds ``threshold_files``, rewrite it via the appropriate
+    ``compact_*_index`` (probe-result-preserving by construction; see
+    ops/incremental.py). Safe inside foreachBatch: availableNow drains
+    micro-batches SERIALLY, so the index is never probed mid-swap."""
+    if threshold_files is None:
+        return
+    from ..pipeline.layout import _list_data_files
+
+    if len(_list_data_files(spark, index_path)) > threshold_files:
+        compact_fn(spark, index_path)
+
+
 def stream_incremental_dedup(
     spark,
     source_dir: str,
@@ -52,6 +71,8 @@ def stream_incremental_dedup(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_threshold_files: int | None = 64,
+    max_files_per_trigger: int | None = None,
 ):
     """Continuous ingest with UNBOUNDED dedup lookback: each micro-batch
     anti-joins the persistent hash index (ops/incremental.py) and
@@ -70,8 +91,15 @@ def stream_incremental_dedup(
     ``out_dir``, removable downstream by hash); the index-first order
     would instead re-match the retry against its own just-indexed
     hashes and emit NOTHING -- silently losing the batch.
+
+    Lifecycle: every micro-batch appends one index generation; when the
+    index data-file count exceeds ``compact_threshold_files`` the sink
+    runs ``compact_hash_index`` inline (probe-preserving rewrite), so a
+    long-running stream keeps file count bounded without an operator.
+    ``None`` disables. ``max_files_per_trigger`` caps source files per
+    micro-batch (test/backfill pacing).
     """
-    from ..ops.incremental import incremental_dedup
+    from ..ops.incremental import compact_hash_index, incremental_dedup
 
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         fresh = incremental_dedup(
@@ -85,10 +113,15 @@ def stream_incremental_dedup(
         fresh.select(
             F.md5(F.lower(F.col(text_col))).alias("h")
         ).write.mode("append").parquet(index_path)
+        _maybe_compact(
+            spark, index_path, compact_threshold_files, compact_hash_index
+        )
 
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return (
-        spark.readStream.schema(schema)
-        .parquet(source_dir)
+        reader.parquet(source_dir)
         .writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
@@ -106,6 +139,8 @@ def stream_incremental_neardup(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    compact_threshold_files: int | None = 64,
+    max_files_per_trigger: int | None = None,
 ):
     """Continuous ingest with UNBOUNDED **near**-dup lookback: each
     micro-batch probes the persistent MinHash-band index
@@ -126,8 +161,16 @@ def stream_incremental_neardup(
     the index first would make the retry match its own signatures at
     jaccard 1.0 and emit nothing, silently dropping the batch from the
     curated output.
+
+    Lifecycle: when the index data-file count exceeds
+    ``compact_threshold_files`` the sink runs ``compact_neardup_index``
+    inline (probe-preserving rewrite, ops/incremental.py), bounding a
+    long-running stream's file count without an operator. ``None``
+    disables. ``max_files_per_trigger`` caps source files per
+    micro-batch (test/backfill pacing).
     """
     from ..ops.incremental import (
+        compact_neardup_index,
         incremental_neardup_dedup,
         neardup_signatures,
     )
@@ -147,10 +190,18 @@ def stream_incremental_neardup(
         neardup_signatures(fresh, id_col, text_col).write.mode(
             "append"
         ).parquet(index_path)
+        _maybe_compact(
+            spark,
+            index_path,
+            compact_threshold_files,
+            compact_neardup_index,
+        )
 
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return (
-        spark.readStream.schema(schema)
-        .parquet(source_dir)
+        reader.parquet(source_dir)
         .writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

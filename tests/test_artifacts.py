@@ -18,6 +18,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from poc_parquet_publisher_spark.queries import REGISTRY, all_queries
 
 all_queries()

@@ -394,3 +394,97 @@ def test_stream_incremental_dedup_two_drops(spark, tmp_path):
         .count()
     )
     assert len(texts) == expected
+
+
+def test_stream_neardup_auto_compaction_bounds_index_files(
+    spark, tmp_path
+):
+    """A 6-micro-batch drain with compact_threshold_files=3 keeps the
+    index's parquet file count <= threshold after every batch (the sink
+    compacts inline when an append pushes it over), while an identical
+    drain with compaction disabled accumulates far more generations --
+    and BOTH indexes give byte-identical probe answers and identical
+    curated survivor sets (compaction is probe-preserving)."""
+    import os
+
+    from poc_parquet_publisher_spark.ops.incremental import (
+        neardup_matches,
+        neardup_signatures,
+    )
+    from poc_parquet_publisher_spark.streaming.dedup import (
+        stream_incremental_neardup,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    def parquet_files(p: str) -> int:
+        return sum(
+            f.endswith(".parquet")
+            for _d, _s, fns in os.walk(p)
+            for f in fns
+        )
+
+    # six one-file drops -> maxFilesPerTrigger=1 forces 6 micro-batches
+    src = str(tmp_path / "drops")
+    for i in range(6):
+        docs.filter(
+            (F.col("doc_id") >= 75 * i) & (F.col("doc_id") < 75 * (i + 1))
+        ).repartition(1).write.mode("append").parquet(src)
+
+    threshold = 3
+    idx_c = str(tmp_path / "idx_compacted")
+    q = stream_incremental_neardup(
+        spark,
+        src,
+        docs.schema,
+        idx_c,
+        str(tmp_path / "out_c"),
+        str(tmp_path / "ckpt_c"),
+        compact_threshold_files=threshold,
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(600)
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 6, f"expected >=6 micro-batches, got {len(batches)}"
+    # the sink compacts immediately after any over-threshold append, so
+    # the post-drain index is bounded by the threshold
+    assert parquet_files(idx_c) <= threshold
+
+    # control: same drops, compaction disabled -> generations accumulate
+    idx_p = str(tmp_path / "idx_plain")
+    assert stream_incremental_neardup(
+        spark,
+        src,
+        docs.schema,
+        idx_p,
+        str(tmp_path / "out_p"),
+        str(tmp_path / "ckpt_p"),
+        compact_threshold_files=None,
+        max_files_per_trigger=1,
+    ).awaitTermination(600)
+    assert parquet_files(idx_p) > threshold
+
+    # probe-preserving: identical curated sets, identical probe matches
+    ids_c = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "out_c")).collect()
+    }
+    ids_p = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "out_p")).collect()
+    }
+    assert ids_c == ids_p and ids_c
+    probe = neardup_signatures(
+        docs.filter(F.col("doc_id") >= 450)
+    ).localCheckpoint()
+
+    def matches(idx: str) -> set:
+        return {
+            (r.new_id, r.old_id, r.jaccard)
+            for r in neardup_matches(
+                probe, spark.read.parquet(idx), threshold=0.5
+            ).collect()
+        }
+
+    m_c, m_p = matches(idx_c), matches(idx_p)
+    assert m_c == m_p and m_c

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from poc_parquet_publisher_spark.queries.declared import (
     q02_scan_project,
     q04_filter,

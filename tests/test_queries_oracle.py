@@ -17,7 +17,28 @@ ORACLE_NAMES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
 ROWS_ONLY_NAMES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 
 
-@pytest.mark.parametrize("name", ORACLE_NAMES)
+def _one_per_module(names: list[str]) -> set[str]:
+    """The smoke tier's registry sample: the first (sorted) entry from
+    each defining module, so every query module keeps at least one
+    end-to-end dual-engine check inside `pytest -m smoke`."""
+    by_module: dict[str, str] = {}
+    for n in names:
+        by_module.setdefault(REGISTRY[n].spark.__module__, n)
+    return set(by_module.values())
+
+
+SMOKE_ORACLE = _one_per_module(ORACLE_NAMES)
+SMOKE_ROWS_ONLY = _one_per_module(ROWS_ONLY_NAMES)
+
+
+def _mark_smoke(names: list[str], chosen: set[str]) -> list:
+    return [
+        pytest.param(n, marks=pytest.mark.smoke) if n in chosen else n
+        for n in names
+    ]
+
+
+@pytest.mark.parametrize("name", _mark_smoke(ORACLE_NAMES, SMOKE_ORACLE))
 def test_oracle_match(name, spark, duck):
     spec = REGISTRY[name]
     df = spec.spark(spark, SF_CORRECTNESS)
@@ -25,7 +46,9 @@ def test_oracle_match(name, spark, duck):
     assert result["match"], f"{name}: {result}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+@pytest.mark.parametrize(
+    "name", _mark_smoke(ROWS_ONLY_NAMES, SMOKE_ROWS_ONLY)
+)
 def test_rows_only_runs(name, spark):
     spec = REGISTRY[name]
     df = spec.spark(spark, SF_CORRECTNESS)
