@@ -4247,3 +4247,1258 @@ def x502_cascade_token_yield(
         )
     )
     return r1.unionByName(r2).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Round-8 wave: method-comparison / assumption-check / audit entries that
+# complete inference families the x430-x502 waves opened (Bland-Altman and
+# Deming beside x479's CCC; Bartlett beside x392's Levene; ICC beside
+# x387's Cronbach; Atkinson beside x436's Theil and x108's Gini), plus the
+# context-window truncation audit a training-data pipeline prices batches
+# with.
+# ---------------------------------------------------------------------------
+
+
+_X503_ORACLE = """
+WITH d AS (
+  SELECT source,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok
+  FROM documents
+),
+cells AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY 1, 2
+),
+w AS (SELECT * FROM (VALUES (16), (32), (48), (64), (96)) AS w(win))
+SELECT c.source, CAST(w.win AS BIGINT) AS window_tokens,
+       CAST(SUM(c.n) AS BIGINT) AS docs,
+       CAST(SUM(CASE WHEN c.tok > w.win THEN c.n ELSE 0 END) AS BIGINT)
+         AS docs_truncated,
+       CAST(SUM(c.n * c.tok) AS BIGINT) AS tokens_total,
+       CAST(SUM(c.n * CASE WHEN c.tok > w.win THEN c.tok - w.win
+                      ELSE 0 END) AS BIGINT) AS tokens_lost,
+       ROUND(CAST(SUM(c.n * CASE WHEN c.tok > w.win THEN c.tok - w.win
+                      ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c.n * c.tok) AS DOUBLE), 6) AS loss_frac
+FROM cells c, w
+GROUP BY 1, 2
+ORDER BY source, window_tokens
+"""
+
+
+@register(
+    "x503_truncation_audit",
+    _X503_ORACLE,
+    doc="context-window truncation audit: per (source, window) the "
+        "token mass LOST to right-truncation at context lengths "
+        "{16,32,48,64,96} (fixture-scaled -- a deployment sweeps "
+        "{512..8192}; doc lengths here are 10-99 tokens) -- the "
+        "batch-pricing view x32's packer needs BEFORE packing (a "
+        "source whose loss_frac stays high at every window needs "
+        "chunking, not packing) and the truncation side of the "
+        "x502 token-economics coin. Exactness: whitespace token "
+        "counts are exact integers; the corpus collapses to "
+        "(source, tok) cells FIRST (bounded: sources x <=100 "
+        "distinct lengths), the x5 window fan-out rides the cell "
+        "table; one rounded division per output row. Scale: one "
+        "corpus pass, then cell-table arithmetic",
+)
+def x503_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            "source",
+            F.size(F.split(F.lower(F.col("text")), " "))
+            .cast("long")
+            .alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wins = spark.createDataFrame(
+        [(16,), (32,), (48,), (64,), (96,)], "win long"
+    )
+    lost = F.when(
+        F.col("tok") > F.col("win"), F.col("tok") - F.col("win")
+    ).otherwise(F.lit(0))
+    return (
+        cells.crossJoin(F.broadcast(wins))
+        .groupBy("source", F.col("win").alias("window_tokens"))
+        .agg(
+            F.sum("n").cast("long").alias("docs"),
+            F.sum(F.when(F.col("tok") > F.col("win"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("docs_truncated"),
+            F.sum(F.col("n") * F.col("tok")).cast("long").alias("tokens_total"),
+            F.sum(F.col("n") * lost).cast("long").alias("tokens_lost"),
+            F.round(
+                F.sum(F.col("n") * lost).cast("double")
+                / F.sum(F.col("n") * F.col("tok")).cast("double"),
+                6,
+            ).alias("loss_frac"),
+        )
+        .orderBy("source", "window_tokens")
+    )
+
+
+# Shared paired daily-revenue measurement for the method-comparison pair
+# (x504 Bland-Altman, x505 Deming): method A = the order header's
+# o_totalprice, method B = the lineitem-derived total
+# extendedprice*(1-discount)*(1+tax) -- in THIS synthetic fixture the two
+# are independent at order grain (measured corr ~ -0.01), so at day grain
+# they form genuinely disagreeing measurements correlated through volume:
+# exactly the method-comparison shape. Both quantize to exact cents with
+# identical expression order on both engines.
+_PAIRED_DAILY_CTE = """
+a AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS av
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                             * (1.0 + l.l_tax) * 100.0) AS BIGINT))
+              AS BIGINT) AS bv
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+),
+p AS (SELECT a.day, a.av, b.bv FROM a JOIN b ON a.day = b.day)
+"""
+
+
+def _paired_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    a = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("av")
+    )
+    b = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * (F.lit(1.0) + F.col("l_tax"))
+                    * F.lit(100.0)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("bv")
+        )
+    )
+    return a.join(b, "day").select("day", "av", "bv")
+
+
+_X504_ORACLE = (
+    "WITH "
+    + _PAIRED_DAILY_CTE
+    + """,
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(av - bv) AS HUGEINT) AS sd1,
+         CAST(SUM(CAST(av - bv AS HUGEINT) * (av - bv)) AS HUGEINT) AS sd2
+  FROM p
+),
+lim AS (
+  SELECT n,
+         CAST(sd1 AS DOUBLE) / n AS mean_d,
+         sqrt((n * CAST(sd2 AS DOUBLE) - CAST(sd1 AS DOUBLE)
+               * CAST(sd1 AS DOUBLE)) / (CAST(n AS DOUBLE) * (n - 1)))
+           AS sd_d
+  FROM m
+),
+outn AS (
+  SELECT CAST(SUM(CASE WHEN CAST(p.av - p.bv AS DOUBLE)
+                            < lim.mean_d - 1.96 * lim.sd_d
+                         OR CAST(p.av - p.bv AS DOUBLE)
+                            > lim.mean_d + 1.96 * lim.sd_d
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outside
+  FROM p, lim
+)
+SELECT lim.n AS n_days,
+       ROUND(lim.mean_d, 4) AS mean_diff,
+       ROUND(lim.sd_d, 4) AS sd_diff,
+       ROUND(lim.mean_d - 1.96 * lim.sd_d, 4) AS loa_lo,
+       ROUND(lim.mean_d + 1.96 * lim.sd_d, 4) AS loa_hi,
+       outn.n_outside,
+       ROUND(1.0 - CAST(outn.n_outside AS DOUBLE) / lim.n, 6)
+         AS frac_within
+FROM lim, outn
+"""
+)
+
+
+@register(
+    "x504_bland_altman",
+    _X504_ORACLE,
+    doc="Bland-Altman agreement limits between two daily revenue "
+        "measurements (order-header totals vs lineitem-derived "
+        "totals, both exact cents; independent at order grain in "
+        "this fixture -- measured corr ~ -0.01 -- so the day-grain "
+        "pair disagrees like two real instruments): mean bias, SD "
+        "of differences, the 1.96-SD limits of agreement and the "
+        "fraction of days inside them -- the METHOD-COMPARISON "
+        "readout x479's Lin CCC summarizes to one number but "
+        "cannot localize (BA says HOW FAR apart the methods run "
+        "and whether bias is systematic). Exactness: integer-cent "
+        "daily sums and differences, n-scaled variance from exact "
+        "HUGEINT/DECIMAL moments, limits computed once from "
+        "identical exact inputs on both engines so the "
+        "inside/outside comparison of each integer difference is "
+        "engine-identical; divisions in double at the end. Scale: "
+        "two day-grain aggregates + one day-cardinality re-scan "
+        "against broadcast limits",
+)
+def x504_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _paired_daily(spark, sf_dir).localCheckpoint(eager=False)
+    d = (F.col("av") - F.col("bv")).cast("decimal(38,0)")
+    m = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d).cast("decimal(38,0)").alias("sd1"),
+        F.sum(d * d).cast("decimal(38,0)").alias("sd2"),
+    )
+    nd = F.col("n").cast("double")
+    mean_d = F.col("sd1").cast("double") / F.col("n")
+    sd_d = F.sqrt(
+        (
+            F.col("n") * F.col("sd2").cast("double")
+            - F.col("sd1").cast("double") * F.col("sd1").cast("double")
+        )
+        / (nd * (F.col("n") - 1))
+    )
+    lim = m.select(
+        "n", mean_d.alias("mean_d"), sd_d.alias("sd_d")
+    )
+    out = (
+        p.crossJoin(F.broadcast(lim))
+        .agg(
+            F.sum(
+                F.when(
+                    (
+                        (F.col("av") - F.col("bv")).cast("double")
+                        < F.col("mean_d") - F.lit(1.96) * F.col("sd_d")
+                    )
+                    | (
+                        (F.col("av") - F.col("bv")).cast("double")
+                        > F.col("mean_d") + F.lit(1.96) * F.col("sd_d")
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outside")
+        )
+    )
+    return lim.crossJoin(F.broadcast(out)).select(
+        F.col("n").alias("n_days"),
+        F.round("mean_d", 4).alias("mean_diff"),
+        F.round("sd_d", 4).alias("sd_diff"),
+        F.round(F.col("mean_d") - F.lit(1.96) * F.col("sd_d"), 4).alias(
+            "loa_lo"
+        ),
+        F.round(F.col("mean_d") + F.lit(1.96) * F.col("sd_d"), 4).alias(
+            "loa_hi"
+        ),
+        "n_outside",
+        F.round(
+            F.lit(1.0) - F.col("n_outside").cast("double") / F.col("n"), 6
+        ).alias("frac_within"),
+    )
+
+
+_X505_ORACLE = (
+    "WITH "
+    + _PAIRED_DAILY_CTE
+    + """,
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(av) AS HUGEINT) AS sa,
+         CAST(SUM(bv) AS HUGEINT) AS sb,
+         CAST(SUM(CAST(av AS HUGEINT) * av) AS HUGEINT) AS saa,
+         CAST(SUM(CAST(bv AS HUGEINT) * bv) AS HUGEINT) AS sbb,
+         CAST(SUM(CAST(av AS HUGEINT) * bv) AS HUGEINT) AS sab
+  FROM p
+),
+s AS (
+  SELECT n,
+         CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+           - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS sxx,
+         CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS syy,
+         CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+           - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) AS sxy,
+         CAST(sa AS DOUBLE) / n AS mx,
+         CAST(sb AS DOUBLE) / n AS my
+  FROM m
+)
+SELECT n AS n_days,
+       ROUND((syy - sxx + sqrt((syy - sxx) * (syy - sxx)
+              + 4.0 * sxy * sxy)) / (2.0 * sxy), 6) AS slope,
+       ROUND(my - ((syy - sxx + sqrt((syy - sxx) * (syy - sxx)
+              + 4.0 * sxy * sxy)) / (2.0 * sxy)) * mx, 4) AS intercept,
+       ROUND(sxy / sqrt(sxx * syy), 6) AS pearson_r
+FROM s
+"""
+)
+
+
+@register(
+    "x505_deming_regression",
+    _X505_ORACLE,
+    doc="Deming (orthogonal, lambda=1) regression of the lineitem-"
+        "derived daily revenue on the header-derived one -- the "
+        "errors-in-BOTH-variables fit OLS gets wrong whenever the "
+        "x-axis is also a measurement (OLS attenuates the slope "
+        "toward 0 by the x-noise share; Deming splits the residual "
+        "orthogonally): slope = (syy - sxx + sqrt((syy-sxx)^2 + "
+        "4sxy^2)) / (2 sxy), the closed form -- completes the "
+        "method-comparison triple with x504's limits of agreement "
+        "and x479's CCC. Exactness: exact integer-cent moments in "
+        "HUGEINT/DECIMAL(38) (day count x (2e9 cents)^2 stays "
+        "under 1e38 through sf1), n-scaled scatter assembled in "
+        "double with fixed operand order, one sqrt, two rounded "
+        "divisions. Scale: two day-grain aggregates + one 6-"
+        "accumulator reduction",
+)
+def x505_deming_regression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    p = _paired_daily(spark, sf_dir)
+    av = F.col("av").cast("decimal(38,0)")
+    bv = F.col("bv").cast("decimal(38,0)")
+    m = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(av).cast("decimal(38,0)").alias("sa"),
+        F.sum(bv).cast("decimal(38,0)").alias("sb"),
+        F.sum(av * F.col("av")).cast("decimal(38,0)").alias("saa"),
+        F.sum(bv * F.col("bv")).cast("decimal(38,0)").alias("sbb"),
+        F.sum(av * F.col("bv")).cast("decimal(38,0)").alias("sab"),
+    )
+    nd = F.col("n").cast("double")
+    sxx = nd * F.col("saa").cast("double") - F.col("sa").cast(
+        "double"
+    ) * F.col("sa").cast("double")
+    syy = nd * F.col("sbb").cast("double") - F.col("sb").cast(
+        "double"
+    ) * F.col("sb").cast("double")
+    sxy = nd * F.col("sab").cast("double") - F.col("sa").cast(
+        "double"
+    ) * F.col("sb").cast("double")
+    slope = (
+        syy - sxx + F.sqrt((syy - sxx) * (syy - sxx) + F.lit(4.0) * sxy * sxy)
+    ) / (F.lit(2.0) * sxy)
+    mx = F.col("sa").cast("double") / F.col("n")
+    my = F.col("sb").cast("double") / F.col("n")
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round(my - slope * mx, 4).alias("intercept"),
+        F.round(sxy / F.sqrt(sxx * syy), 6).alias("pearson_r"),
+    )
+
+
+_X506_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+q AS (
+  SELECT x,
+         CAST(floor(sqrt(CAST(x AS DOUBLE)) * 1000000.0) AS BIGINT) AS s,
+         CAST(floor(ln(CAST(x AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+           AS l
+  FROM cust
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS t,
+         CAST(SUM(s) AS HUGEINT) AS ss,
+         CAST(SUM(l) AS HUGEINT) AS sl
+  FROM q
+)
+SELECT n AS n_customers,
+       ROUND(1.0 - (CAST(ss AS DOUBLE) / 1000000.0)
+                   * (CAST(ss AS DOUBLE) / 1000000.0)
+                   / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 6)
+         AS atkinson_half,
+       ROUND(1.0 - CAST(n AS DOUBLE)
+                   * exp(CAST(sl AS DOUBLE) / 1000000000000.0 / n)
+                   / CAST(t AS DOUBLE), 6) AS atkinson_1
+FROM m
+"""
+
+
+@register(
+    "x506_atkinson_index",
+    _X506_ORACLE,
+    doc="Atkinson inequality of per-customer spend at aversion "
+        "epsilon = 1/2 (A = 1 - (mean sqrt)^2/mean, i.e. one minus "
+        "the squared mean-of-roots over the mean) and epsilon = 1 "
+        "(A = 1 - geomean/mean) -- the WELFARE-weighted inequality "
+        "family x108's Gini (rank-weighted) and x436's Theil "
+        "(entropy) sit beside: epsilon dials how much the bottom "
+        "of the distribution matters, and A_eps is the exact "
+        "fraction of total spend that could be discarded if spend "
+        "were equal at the same welfare. Exactness: spend is exact "
+        "integer cents (> 0 by construction, so sqrt/ln are "
+        "total); sqrt quantizes by 1e6 and ln by 1e12 "
+        "multiply-then-floor (IEEE sqrt/ln of identical integer "
+        "inputs are engine-identical; the floor grid makes the "
+        "cross-row sums exact integers -- the quantization is part "
+        "of the statistic, stated), one exp and two divisions at "
+        "the end. Scale: one customer-grain aggregate + one 4-"
+        "accumulator reduction",
+)
+def x506_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    q = cust.select(
+        "x",
+        F.floor(F.sqrt(F.col("x").cast("double")) * F.lit(1e6))
+        .cast("long")
+        .alias("s"),
+        F.floor(F.log(F.col("x").cast("double")) * F.lit(1e12))
+        .cast("long")
+        .alias("l"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("t"),
+        F.sum(F.col("s").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+        F.sum(F.col("l").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sl"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("n").alias("n_customers"),
+        F.round(
+            F.lit(1.0)
+            - (F.col("ss").cast("double") / F.lit(1e6))
+            * (F.col("ss").cast("double") / F.lit(1e6))
+            / (nd * F.col("t").cast("double")),
+            6,
+        ).alias("atkinson_half"),
+        F.round(
+            F.lit(1.0)
+            - nd
+            * F.exp(F.col("sl").cast("double") / F.lit(1e12) / F.col("n"))
+            / F.col("t").cast("double"),
+            6,
+        ).alias("atkinson_1"),
+    )
+
+
+_X507_ORACLE = """
+WITH v AS (
+  SELECT event_type,
+         CAST(round(value * 100.0, 0) AS BIGINT) AS x
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2
+  FROM v GROUP BY 1
+),
+t AS (
+  SELECT event_type, n,
+         (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+         / (CAST(n AS DOUBLE) * (n - 1.0)) AS var_i
+  FROM g
+),
+terms AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(CAST(round((n - 1) * var_i, 4) AS DECIMAL(38,4)))
+              AS DECIMAL(38,4)) AS ssw,
+         CAST(SUM(CAST(round((n - 1.0) * ln(var_i), 10)
+              AS DECIMAL(38,10))) AS DECIMAL(38,10)) AS slnv,
+         CAST(SUM(CAST(round(1.0 / (n - 1.0), 12) AS DECIMAL(38,12)))
+              AS DECIMAL(38,12)) AS sinv
+  FROM t
+)
+SELECT k AS n_groups, nn AS n_obs,
+       ROUND((CAST(nn - k AS DOUBLE)
+              * ln(CAST(ssw AS DOUBLE) / (nn - k))
+              - CAST(slnv AS DOUBLE))
+             / (1.0 + (CAST(sinv AS DOUBLE) - 1.0 / (nn - k))
+                      / (3.0 * (k - 1.0))), 4) AS bartlett_t,
+       CAST(k - 1 AS BIGINT) AS df
+FROM terms
+"""
+
+
+@register(
+    "x507_bartlett_test",
+    _X507_ORACLE,
+    doc="Bartlett's test for variance homogeneity across event types "
+        "on the SAME domain as x392's Levene (event value cents) -- "
+        "the parametric member of the pair: Bartlett is the most "
+        "powerful equal-variance test under normality and the "
+        "classically recommended pre-check for x393's ANOVA, but "
+        "inflates under heavy tails where Levene holds level (the "
+        "two disagreeing IS the kurtosis diagnostic); T = [(N-k) "
+        "ln(Sp^2) - sum (n_i-1) ln(S_i^2)] / C with the standard "
+        "C correction, df = k-1. Exactness: group variances from "
+        "exact HUGEINT/DECIMAL moments with fixed operand order; "
+        "the three k-row sums quantize per-group (round 4/10/12 "
+        "into DECIMAL) before summing so the aggregation order "
+        "cannot leak into the statistic; ln/divisions in double at "
+        "the end. Scale: one corpus groupBy then 5-row algebra",
+)
+def x507_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("x"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xd).cast("decimal(38,0)").alias("s1"),
+        F.sum(xd * F.col("x")).cast("decimal(38,0)").alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    var_i = (
+        nd * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (nd * (F.col("n") - 1.0))
+    t = g.select("event_type", "n", var_i.alias("var_i"))
+    terms = t.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(
+            F.round((F.col("n") - 1) * F.col("var_i"), 4).cast(
+                "decimal(38,4)"
+            )
+        )
+        .cast("decimal(38,4)")
+        .alias("ssw"),
+        F.sum(
+            F.round(
+                (F.col("n") - 1.0) * F.log(F.col("var_i")), 10
+            ).cast("decimal(38,10)")
+        )
+        .cast("decimal(38,10)")
+        .alias("slnv"),
+        F.sum(
+            F.round(F.lit(1.0) / (F.col("n") - 1.0), 12).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("decimal(38,12)")
+        .alias("sinv"),
+    )
+    kd = F.col("k").cast("double")
+    nk = (F.col("nn") - F.col("k")).cast("double")
+    return terms.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_obs"),
+        F.round(
+            (
+                nk * F.log(F.col("ssw").cast("double") / nk)
+                - F.col("slnv").cast("double")
+            )
+            / (
+                F.lit(1.0)
+                + (F.col("sinv").cast("double") - F.lit(1.0) / nk)
+                / (F.lit(3.0) * (kd - 1.0))
+            ),
+            4,
+        ).alias("bartlett_t"),
+        (F.col("k") - 1).cast("long").alias("df"),
+    )
+
+
+_X508_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+           AS wk,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+),
+grp AS (
+  SELECT wk, CAST(count(*) AS BIGINT) AS ki,
+         CAST(SUM(y) AS HUGEINT) AS si
+  FROM daily GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS nobs,
+         CAST(SUM(y) AS HUGEINT) AS s,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM daily
+),
+gsum AS (
+  SELECT CAST(count(*) AS BIGINT) AS ng,
+         CAST(SUM(CAST(round(CAST(si AS DOUBLE) * CAST(si AS DOUBLE)
+                             / ki, 6) AS DECIMAL(38,6)))
+              AS DECIMAL(38,6)) AS sgq,
+         CAST(SUM(CAST(ki AS HUGEINT) * ki) AS HUGEINT) AS sk2
+  FROM grp
+),
+ms AS (
+  SELECT t.nobs, g.ng,
+         (CAST(g.sgq AS DOUBLE)
+          - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.nobs)
+           / (g.ng - 1.0) AS msb,
+         (CAST(t.syy AS DOUBLE) - CAST(g.sgq AS DOUBLE))
+           / (t.nobs - g.ng) AS msw,
+         (t.nobs - CAST(g.sk2 AS DOUBLE) / t.nobs) / (g.ng - 1.0) AS k0
+  FROM tot t, gsum g
+)
+SELECT ng AS n_weeks, nobs AS n_days,
+       ROUND(k0, 4) AS k0,
+       ROUND(msb / msw, 6) AS f_ratio,
+       ROUND((msb - msw) / (msb + (k0 - 1.0) * msw), 6) AS icc_1_1
+FROM ms
+"""
+
+
+@register(
+    "x508_icc_oneway",
+    _X508_ORACLE,
+    doc="ICC(1,1) one-way random-effects intraclass correlation of "
+        "daily revenue within calendar weeks (groups = weeks, "
+        "measurements = the week's days, unbalanced -- k0 is the "
+        "standard unbalanced group-size correction (N - sum k_i^2 "
+        "/ N)/(n-1)); emits F = MSB/MSW and the ICC, both O(1) "
+        "ratios -- the raw ~1e14-cent^2 mean squares differ "
+        "SUB-ULP between the engines' DECIMAL->double conversions "
+        "(measured: 676.8 vs 676.75 at the 16th significant "
+        "digit), so absolute MS values are deliberately not "
+        "emitted: the share of day-to-day revenue variance "
+        "attributable to the WEEK a day sits in -- the "
+        "variance-decomposition reliability x387's Cronbach (items "
+        "as columns) and x343's seasonal decomposition (explicit "
+        "dow model) each approach differently; ICC near 0 says "
+        "week membership carries no signal, near 1 says days are "
+        "interchangeable within weeks. Exactness: integer-cent "
+        "daily sums; sum si^2/ki per week rounds 6 into DECIMAL "
+        "before the week-row sum (order-free); MSB/MSW/k0 "
+        "assembled in double from exact moments. Scale: one "
+        "day-grain aggregate, one week-grain aggregate, two "
+        "reductions",
+)
+def x508_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.date_trunc("week", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("wk"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    yd = F.col("y").cast("decimal(38,0)")
+    grp = daily.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("long").alias("ki"),
+        F.sum(yd).cast("decimal(38,0)").alias("si"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("nobs"),
+        F.sum(yd).cast("decimal(38,0)").alias("s"),
+        F.sum(yd * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    gsum = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(
+            F.round(
+                F.col("si").cast("double")
+                * F.col("si").cast("double")
+                / F.col("ki"),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("decimal(38,6)")
+        .alias("sgq"),
+        F.sum(F.col("ki").cast("decimal(38,0)") * F.col("ki"))
+        .cast("decimal(38,0)")
+        .alias("sk2"),
+    )
+    j = tot.crossJoin(F.broadcast(gsum))
+    msb = (
+        F.col("sgq").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("nobs")
+    ) / (F.col("ng") - 1.0)
+    msw = (
+        F.col("syy").cast("double") - F.col("sgq").cast("double")
+    ) / (F.col("nobs") - F.col("ng"))
+    k0 = (
+        F.col("nobs") - F.col("sk2").cast("double") / F.col("nobs")
+    ) / (F.col("ng") - 1.0)
+    return j.select(
+        F.col("ng").alias("n_weeks"),
+        F.col("nobs").alias("n_days"),
+        F.round(k0, 4).alias("k0"),
+        F.round(msb / msw, 6).alias("f_ratio"),
+        F.round((msb - msw) / (msb + (k0 - F.lit(1.0)) * msw), 6).alias(
+            "icc_1_1"
+        ),
+    )
+
+
+_X509_ORACLE = """
+WITH c AS (
+  SELECT CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x1,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x2
+  FROM events
+)
+SELECT x1 AS n_purchase, x2 AS n_click,
+       ROUND(CAST(x1 AS DOUBLE) / x2, 6) AS rate_ratio,
+       ROUND(exp(ln(CAST(x1 AS DOUBLE) / x2)
+                 - 1.959964 * sqrt(1.0 / x1 + 1.0 / x2)), 6) AS ci_lo,
+       ROUND(exp(ln(CAST(x1 AS DOUBLE) / x2)
+                 + 1.959964 * sqrt(1.0 / x1 + 1.0 / x2)), 6) AS ci_hi,
+       ROUND((x1 - CAST(x1 + x2 AS DOUBLE) / 2.0)
+             / sqrt(CAST(x1 + x2 AS DOUBLE) / 4.0), 4)
+         AS conditional_z
+FROM c
+"""
+
+
+@register(
+    "x509_rate_ratio_ci",
+    _X509_ORACLE,
+    doc="Poisson rate-ratio inference for purchase vs click volume "
+        "over the shared observation window: the Katz log-interval "
+        "RR * exp(+-z sqrt(1/x1 + 1/x2)) -- the standard two-rate "
+        "CI -- plus the conditional test's z (given x1+x2, x1 is "
+        "Binomial(n, 1/2) under equal rates; the exact-conditioning "
+        "trick that eliminates the unknown exposure entirely), the "
+        "two-sample rate layer x414's single-series overdispersion "
+        "check and x457's Poissonity test stop short of. "
+        "Exactness: exact integer counts, ln/exp/sqrt of identical "
+        "integer-derived doubles, z pinned at 1.959964 (the x460 "
+        "convention); one rounded division per output. Scale: one "
+        "2-accumulator corpus reduction",
+)
+def x509_rate_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x2"),
+    )
+    x1d = F.col("x1").cast("double")
+    x2d = F.col("x2").cast("double")
+    half = F.lit(1.959964) * F.sqrt(
+        F.lit(1.0) / F.col("x1") + F.lit(1.0) / F.col("x2")
+    )
+    tot = (F.col("x1") + F.col("x2")).cast("double")
+    return c.select(
+        F.col("x1").alias("n_purchase"),
+        F.col("x2").alias("n_click"),
+        F.round(x1d / F.col("x2"), 6).alias("rate_ratio"),
+        F.round(F.exp(F.log(x1d / F.col("x2")) - half), 6).alias("ci_lo"),
+        F.round(F.exp(F.log(x1d / F.col("x2")) + half), 6).alias("ci_hi"),
+        F.round(
+            (F.col("x1") - tot / F.lit(2.0))
+            / F.sqrt(tot / F.lit(4.0)),
+            4,
+        ).alias("conditional_z"),
+    )
+
+
+_X510_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS HUGEINT) AS s
+  FROM daily
+),
+c AS (
+  SELECT d.day, CAST(t.n AS HUGEINT) * d.y - t.s AS cv, t.n
+  FROM daily d, tot t
+),
+den AS (SELECT CAST(SUM(cv * cv) AS HUGEINT) AS d2 FROM c),
+lags AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) AS l(lag)),
+num AS (
+  SELECT l.lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(a.cv * b.cv) AS HUGEINT) AS nk
+  FROM lags l
+  JOIN c a ON TRUE
+  JOIN c b ON b.day = a.day + CAST(l.lag AS INTEGER)
+  GROUP BY 1
+),
+r AS (
+  SELECT num.lag, num.n_pairs,
+         ROUND(CAST(num.nk AS DOUBLE) / CAST(den.d2 AS DOUBLE), 10)
+           AS acf,
+         t.n
+  FROM num, den, tot t
+)
+SELECT lag, n_pairs, ROUND(acf, 6) AS acf,
+       ROUND(CAST(n AS DOUBLE) * (n + 2.0)
+             * SUM(CAST(round(acf * acf / (n - lag), 14)
+                        AS DECIMAL(38,14)))
+               OVER (ORDER BY lag
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             4) AS ljung_box_q,
+       ROUND(CAST(n AS DOUBLE)
+             * SUM(CAST(round(acf * acf, 14) AS DECIMAL(38,14)))
+               OVER (ORDER BY lag
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             4) AS box_pierce_q
+FROM r ORDER BY lag
+"""
+
+
+@register(
+    "x510_ljung_box",
+    _X510_ORACLE,
+    doc="Ljung-Box portmanteau test on daily revenue, lags 1-7: the "
+        "cumulative Q(m) = n(n+2) sum r_k^2/(n-k) (Box-Pierce "
+        "beside it) that tests ALL autocorrelations up to each lag "
+        "jointly -- the omnibus whiteness check x290 (two point "
+        "ACFs) and x484 (lag-1 Durbin-Watson) cannot give, and the "
+        "residual-diagnostic gate a forecast backtest (x452/x485) "
+        "should pass before its intervals mean anything. "
+        "Exactness: y is exact integer cents; centering uses the "
+        "n-scaled integer identity c_t = n*y_t - S (exact HUGEINT/"
+        "DECIMAL, ~3e27 max at sf1 -- inside 1e38), so every "
+        "autocovariance numerator and the denominator are exact "
+        "integer sums with the n^2 scale cancelling in r_k; lag "
+        "pairing is the x290 calendar equi-join (gap days drop "
+        "pairs, stated); r_k rounds 10 before squaring, per-lag Q "
+        "terms round 14 into DECIMAL and accumulate over the "
+        "ordered 7-row window. Scale: one day-grain aggregate, 7 "
+        "day-domain equi-joins",
+)
+def x510_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s"),
+    )
+    c = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("n").cast("decimal(38,0)") * F.col("y") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("cv"),
+        "n",
+    ).localCheckpoint(eager=False)
+    den = c.agg(
+        F.sum(F.col("cv") * F.col("cv"))
+        .cast("decimal(38,0)")
+        .alias("d2")
+    )
+    lags = spark.createDataFrame([(k,) for k in range(1, 8)], "lag int")
+    a = c.select(F.col("day").alias("da"), F.col("cv").alias("ca"), "n")
+    b = c.select(F.col("day").alias("db"), F.col("cv").alias("cb"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.expr("date_add(da, lag)"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("ca") * F.col("cb"))
+            .cast("decimal(38,0)")
+            .alias("nk"),
+            F.first("n").alias("n"),
+        )
+    )
+    r = num.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n_pairs",
+        F.round(
+            F.col("nk").cast("double") / F.col("d2").cast("double"), 10
+        ).alias("acf"),
+        "n",
+    )
+    w = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    nd = F.col("n").cast("double")
+    return r.select(
+        "lag",
+        "n_pairs",
+        F.round("acf", 6).alias("acf"),
+        F.round(
+            nd
+            * (F.col("n") + 2.0)
+            * F.sum(
+                F.round(
+                    F.col("acf") * F.col("acf") / (F.col("n") - F.col("lag")),
+                    14,
+                ).cast("decimal(38,14)")
+            ).over(w).cast("double"),
+            4,
+        ).alias("ljung_box_q"),
+        F.round(
+            nd
+            * F.sum(
+                F.round(F.col("acf") * F.col("acf"), 14).cast(
+                    "decimal(38,14)"
+                )
+            ).over(w).cast("double"),
+            4,
+        ).alias("box_pierce_q"),
+    ).orderBy("lag")
+
+
+_X511_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+d1 AS (
+  SELECT CAST(b.y AS HUGEINT) - a.y AS d
+  FROM daily a JOIN daily b ON b.day = a.day + 1
+),
+dq AS (
+  SELECT CAST(b.y AS HUGEINT) - a.y AS d
+  FROM daily a JOIN daily b ON b.day = a.day + 5
+),
+m1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, CAST(SUM(d) AS HUGEINT) AS s,
+         CAST(SUM(d * d) AS HUGEINT) AS s2
+  FROM d1
+),
+mq AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, CAST(SUM(d) AS HUGEINT) AS s,
+         CAST(SUM(d * d) AS HUGEINT) AS s2
+  FROM dq
+),
+v AS (
+  SELECT m1.m AS m1, mq.m AS mq,
+         (m1.m * CAST(m1.s2 AS DOUBLE) - CAST(m1.s AS DOUBLE)
+          * CAST(m1.s AS DOUBLE))
+           / (CAST(m1.m AS DOUBLE) * m1.m) AS v1,
+         (mq.m * CAST(mq.s2 AS DOUBLE) - CAST(mq.s AS DOUBLE)
+          * CAST(mq.s AS DOUBLE))
+           / (CAST(mq.m AS DOUBLE) * mq.m) AS vq
+  FROM m1, mq
+)
+SELECT m1 AS n_diffs_1, mq AS n_diffs_q,
+       ROUND(vq / (5.0 * v1), 6) AS variance_ratio,
+       ROUND((vq / (5.0 * v1) - 1.0)
+             / sqrt(2.0 * (2.0 * 5.0 - 1.0) * (5.0 - 1.0)
+                    / (3.0 * 5.0 * m1)), 4) AS vr_z
+FROM v
+"""
+
+
+@register(
+    "x511_variance_ratio",
+    _X511_ORACLE,
+    doc="Lo-MacKinlay variance-ratio test (q=5) on daily revenue "
+        "changes: under a random walk the variance of 5-day "
+        "changes is 5x the 1-day variance, so VR far from 1 "
+        "separates mean-reversion (VR<1) from trending/momentum "
+        "(VR>1) -- the RANDOM-WALK lens beside x484's "
+        "residual-independence DW and x510's whiteness Q (a "
+        "series can pass whiteness yet fail VR at horizon q); z "
+        "uses the homoskedastic null variance 2(2q-1)(q-1)/(3q m). "
+        "Exactness: differences are exact integers from the "
+        "calendar equi-join (day+1 / day+5 both present -- gaps "
+        "drop pairs, stated); population variances via the "
+        "m-scaled exact-moment identity, assembled in double with "
+        "fixed operand order; two rounded outputs. Scale: one "
+        "day-grain aggregate, two day-domain equi-joins, two "
+        "3-accumulator reductions",
+)
+def x511_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    ).localCheckpoint(eager=False)
+
+    def diffs(k: int):
+        a = daily.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+        b = daily.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+        d = a.join(b, F.col("db") == F.date_add(F.col("da"), k)).select(
+            (F.col("yb").cast("decimal(38,0)") - F.col("ya"))
+            .cast("decimal(38,0)")
+            .alias("d")
+        )
+        return d.agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("d").cast("decimal(38,0)").alias("s"),
+            F.sum(F.col("d") * F.col("d"))
+            .cast("decimal(38,0)")
+            .alias("s2"),
+        )
+
+    m1 = diffs(1).select(
+        F.col("m").alias("m1"), F.col("s").alias("s1"),
+        F.col("s2").alias("s21"),
+    )
+    mq = diffs(5).select(
+        F.col("m").alias("mq"), F.col("s").alias("sq"),
+        F.col("s2").alias("s2q"),
+    )
+    j = m1.crossJoin(F.broadcast(mq))
+    v1 = (
+        F.col("m1") * F.col("s21").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (F.col("m1").cast("double") * F.col("m1"))
+    vq = (
+        F.col("mq") * F.col("s2q").cast("double")
+        - F.col("sq").cast("double") * F.col("sq").cast("double")
+    ) / (F.col("mq").cast("double") * F.col("mq"))
+    vr = vq / (F.lit(5.0) * v1)
+    return j.select(
+        F.col("m1").alias("n_diffs_1"),
+        F.col("mq").alias("n_diffs_q"),
+        F.round(vr, 6).alias("variance_ratio"),
+        F.round(
+            (vr - F.lit(1.0))
+            / F.sqrt(
+                F.lit(2.0)
+                * (F.lit(2.0) * 5.0 - 1.0)
+                * (F.lit(5.0) - 1.0)
+                / (F.lit(3.0) * 5.0 * F.col("m1"))
+            ),
+            4,
+        ).alias("vr_z"),
+    )
+
+
+_X512_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT day, y,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS i,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM daily
+),
+ws AS (SELECT * FROM (VALUES (8),(16),(32),(64),(128)) AS w(win)),
+fan AS (
+  SELECT w.win, i.i // w.win AS blk, i.day, i.y
+  FROM idx i, ws w
+  WHERE i.i // w.win < i.n // w.win
+),
+cb AS (
+  SELECT win, blk, day,
+         CAST(win AS HUGEINT) * y
+           - SUM(CAST(y AS HUGEINT)) OVER (PARTITION BY win, blk) AS c
+  FROM fan
+),
+pre AS (
+  SELECT win, blk,
+         SUM(c) OVER (PARTITION BY win, blk ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS p,
+         c
+  FROM cb
+),
+blkstat AS (
+  SELECT win, blk,
+         CAST(MAX(p) - MIN(p) AS HUGEINT) AS r_scaled,
+         CAST(SUM(c * c) AS HUGEINT) AS m2
+  FROM pre GROUP BY 1, 2
+),
+rs AS (
+  SELECT win, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(CAST(round(CAST(r_scaled AS DOUBLE)
+                             * sqrt(CAST(win AS DOUBLE))
+                             / sqrt(CAST(m2 AS DOUBLE)), 8)
+                       AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS srs
+  FROM blkstat WHERE m2 > 0 GROUP BY 1
+),
+mrs AS (
+  SELECT win, n_blocks,
+         CAST(srs AS DOUBLE) / n_blocks AS mean_rs
+  FROM rs
+),
+fit AS (
+  SELECT CAST(SUM(CAST((CAST(round(ln(win) / ln(2.0), 0) AS BIGINT) - 5)
+                       * CAST(round(ln(mean_rs), 10) AS DECIMAL(38,10))
+                  AS DECIMAL(38,10))) AS DECIMAL(38,10)) AS snum
+  FROM mrs
+)
+SELECT (SELECT n FROM idx LIMIT 1) AS n_days,
+       ROUND(MAX(CASE WHEN win = 8 THEN mean_rs END), 6) AS rs_8,
+       ROUND(MAX(CASE WHEN win = 16 THEN mean_rs END), 6) AS rs_16,
+       ROUND(MAX(CASE WHEN win = 32 THEN mean_rs END), 6) AS rs_32,
+       ROUND(MAX(CASE WHEN win = 64 THEN mean_rs END), 6) AS rs_64,
+       ROUND(MAX(CASE WHEN win = 128 THEN mean_rs END), 6) AS rs_128,
+       ROUND(CAST((SELECT snum FROM fit) AS DOUBLE)
+             / (10.0 * ln(2.0)), 4) AS hurst
+FROM mrs
+"""
+
+
+@register(
+    "x512_hurst_rs",
+    _X512_ORACLE,
+    doc="Hurst exponent of daily revenue by rescaled-range (R/S) "
+        "analysis over dyadic windows {8,16,32,64,128}: mean R/S "
+        "per window size, H = the log-log slope -- H>0.5 = "
+        "long-range persistence, H<0.5 = anti-persistent "
+        "mean-reversion, the LONG-MEMORY lens beside x511's "
+        "fixed-horizon VR and x469's burstiness plane (a series "
+        "can look Poisson at gap grain yet carry H!=0.5 at window "
+        "grain). Exactness: within each full block the n-scaled "
+        "identity c_t = w*y_t - S_block makes cumulative "
+        "deviations exact integers, so R (max-min of prefix sums) "
+        "and M2 = sum c^2 are exact HUGEINT/DECIMAL and R/S = "
+        "R*sqrt(w)/sqrt(M2) is one IEEE expression of exact ints; "
+        "per-block R/S rounds 8 into DECIMAL before block-mean "
+        "sums, ln(mean) rounds 10 before the 5-point slope (exact "
+        "dyadic x-grid makes the slope sum(k-5)*z / (10 ln 2)). "
+        "Scale: windows ride the bounded day domain (x81 "
+        "contract); everything after is 5-row algebra",
+)
+def x512_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    idx = daily.select(
+        "day",
+        "y",
+        (F.row_number().over(Window.orderBy("day")) - 1)
+        .cast("long")
+        .alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    ws = spark.createDataFrame(
+        [(8,), (16,), (32,), (64,), (128,)], "win long"
+    )
+    fan = (
+        idx.crossJoin(F.broadcast(ws))
+        .filter(
+            F.expr("i div win") < F.expr("n div win")
+        )
+        .select(
+            "win", F.expr("i div win").alias("blk"), "day", "y", "n"
+        )
+    )
+    wb = Window.partitionBy("win", "blk")
+    wbo = wb.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cb = fan.select(
+        "win",
+        "blk",
+        "day",
+        "n",
+        (
+            F.col("win").cast("decimal(38,0)") * F.col("y")
+            - F.sum(F.col("y").cast("decimal(38,0)")).over(wb)
+        ).alias("c"),
+    )
+    pre = cb.select(
+        "win", "blk", "n", F.sum("c").over(wbo).alias("p"), "c"
+    )
+    blkstat = pre.groupBy("win", "blk").agg(
+        (F.max("p") - F.min("p")).cast("decimal(38,0)").alias("r_scaled"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("m2"),
+        F.first("n").alias("n"),
+    )
+    rs = (
+        blkstat.filter(F.col("m2") > 0)
+        .groupBy("win")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(
+                F.round(
+                    F.col("r_scaled").cast("double")
+                    * F.sqrt(F.col("win").cast("double"))
+                    / F.sqrt(F.col("m2").cast("double")),
+                    8,
+                ).cast("decimal(38,8)")
+            )
+            .cast("decimal(38,8)")
+            .alias("srs"),
+            F.first("n").alias("n"),
+        )
+    )
+    mrs = rs.select(
+        "win",
+        "n",
+        (F.col("srs").cast("double") / F.col("n_blocks")).alias("mean_rs"),
+    )
+    k = F.round(F.log(F.col("win").cast("double")) / F.log(F.lit(2.0)), 0)
+    fit = mrs.agg(
+        F.sum(
+            (
+                (k.cast("long") - 5)
+                * F.round(F.log("mean_rs"), 10).cast("decimal(38,10)")
+            ).cast("decimal(38,10)")
+        )
+        .cast("decimal(38,10)")
+        .alias("snum"),
+        F.first("n").alias("n_days"),
+        *[
+            F.round(
+                F.max(F.when(F.col("win") == wv, F.col("mean_rs"))), 6
+            ).alias(f"rs_{wv}")
+            for wv in (8, 16, 32, 64, 128)
+        ],
+    )
+    return fit.select(
+        "n_days",
+        "rs_8",
+        "rs_16",
+        "rs_32",
+        "rs_64",
+        "rs_128",
+        F.round(
+            F.col("snum").cast("double") / (F.lit(10.0) * F.log(F.lit(2.0))),
+            4,
+        ).alias("hurst"),
+    )

@@ -47,69 +47,150 @@ HEADS = [
     "x23_curate_pipeline",
     "x251_cogroup_reconcile",
     "x403_recursive_cte",
+    # wave 2 (round-8 verdict task #4): the next tier of heads
+    "x447_heaps_law_fit",
+    "x329_bradley_terry",
+    "x398_dedup_ppl_impact",
+    "x419_self_retrieval_eval",
+    "x28_embedding_neardup_lsh",
+    "x345_hits_authorities",
+    "x274_char_trigrams",
 ]
 
 
+def _write_amped(parts, out_path: str) -> None:
+    amp = parts[0]
+    for p in parts[1:]:
+        amp = amp.unionByName(p)
+    amp.repartition(32).write.mode("overwrite").parquet(out_path)
+
+
 def amplify(spark, copies: int, out_dir: str) -> None:
+    """Per-table guards (not one _DONE marker): wave 2 added part /
+    orders / embeddings, and a marker written by the wave-1 run must
+    not skip materializing them."""
     from pyspark.sql import functions as F
 
-    if os.path.exists(f"{out_dir}/_DONE"):
-        return
     os.makedirs(out_dir, exist_ok=True)
 
-    docs = spark.read.parquet(f"{BASE}/documents.parquet")
-    n_docs = docs.count()
-    parts = []
-    for j in range(copies):
-        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(j * SHIFT))
-        if j > 0:
-            # suffix every whitespace token -> disjoint vocabulary per
-            # copy, within-copy distribution untouched
-            c = c.withColumn(
-                "text",
-                F.array_join(
-                    F.transform(
-                        F.split("text", " "),
-                        lambda t: F.concat(t, F.lit(f"~{j}")),
-                    ),
-                    " ",
-                ),
+    def _needs(table: str) -> bool:
+        return not os.path.exists(f"{out_dir}/{table}.parquet/_SUCCESS")
+
+    if _needs("documents"):
+        docs = spark.read.parquet(f"{BASE}/documents.parquet")
+        parts = []
+        for j in range(copies):
+            c = docs.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(j * SHIFT)
             )
-        parts.append(c)
-    amp = parts[0]
-    for p in parts[1:]:
-        amp = amp.unionByName(p)
-    amp.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}/documents.parquet"
-    )
+            if j > 0:
+                # suffix every whitespace token -> disjoint vocabulary
+                # per copy, within-copy distribution untouched
+                c = c.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split("text", " "),
+                            lambda t: F.concat(t, F.lit(f"~{j}")),
+                        ),
+                        " ",
+                    ),
+                )
+            parts.append(c)
+        _write_amped(parts, f"{out_dir}/documents.parquet")
 
-    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
-    parts = [
-        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(j * SHIFT))
-        .withColumn("l_partkey", F.col("l_partkey") + F.lit(j * SHIFT))
-        .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(j * SHIFT))
-        for j in range(copies)
-    ]
-    amp = parts[0]
-    for p in parts[1:]:
-        amp = amp.unionByName(p)
-    amp.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}/lineitem.parquet"
-    )
+    if _needs("lineitem"):
+        li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+        _write_amped(
+            [
+                li.withColumn(
+                    "l_orderkey", F.col("l_orderkey") + F.lit(j * SHIFT)
+                )
+                .withColumn(
+                    "l_partkey", F.col("l_partkey") + F.lit(j * SHIFT)
+                )
+                .withColumn(
+                    "l_suppkey", F.col("l_suppkey") + F.lit(j * SHIFT)
+                )
+                for j in range(copies)
+            ],
+            f"{out_dir}/lineitem.parquet",
+        )
 
-    ev = spark.read.parquet(f"{BASE}/events.parquet")
-    parts = [
-        ev.withColumn("event_id", F.col("event_id") + F.lit(j * SHIFT))
-        .withColumn("user_id", F.col("user_id") + F.lit(j * SHIFT))
-        for j in range(copies)
-    ]
-    amp = parts[0]
-    for p in parts[1:]:
-        amp = amp.unionByName(p)
-    amp.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}/events.parquet"
-    )
-    open(f"{out_dir}/_DONE", "w").write(f"copies={copies} docs={n_docs}\n")
+    if _needs("events"):
+        ev = spark.read.parquet(f"{BASE}/events.parquet")
+        _write_amped(
+            [
+                ev.withColumn(
+                    "event_id", F.col("event_id") + F.lit(j * SHIFT)
+                ).withColumn(
+                    "user_id", F.col("user_id") + F.lit(j * SHIFT)
+                )
+                for j in range(copies)
+            ],
+            f"{out_dir}/events.parquet",
+        )
+
+    # wave-2 tables ------------------------------------------------
+    if _needs("part"):
+        # p_partkey shifts in lockstep with lineitem.l_partkey so the
+        # x329 broadcast join stays consistent; p_brand is UNSHIFTED on
+        # purpose -- the Bradley-Terry items stay the same 25 brands
+        # while comparison volume grows linearly (more data, same
+        # item universe: the realistic shape)
+        pt = spark.read.parquet(f"{BASE}/part.parquet")
+        _write_amped(
+            [
+                pt.withColumn(
+                    "p_partkey", F.col("p_partkey") + F.lit(j * SHIFT)
+                )
+                for j in range(copies)
+            ],
+            f"{out_dir}/part.parquet",
+        )
+
+    if _needs("orders"):
+        # o_orderkey/o_custkey shift with lineitem's keys -> disjoint
+        # customer-part bipartite subgraphs for x345, degree
+        # distribution preserved per copy
+        od = spark.read.parquet(f"{BASE}/orders.parquet")
+        _write_amped(
+            [
+                od.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(j * SHIFT)
+                ).withColumn(
+                    "o_custkey", F.col("o_custkey") + F.lit(j * SHIFT)
+                )
+                for j in range(copies)
+            ],
+            f"{out_dir}/orders.parquet",
+        )
+
+    if _needs("embeddings"):
+        # copy j circularly rotates each vector by j positions: norms
+        # and all WITHIN-copy pairwise distances are exactly preserved
+        # (rotation is an isometry applied uniformly), while cross-copy
+        # cosine falls to chance level -- verbatim copies would give
+        # every vector (copies-1) exact twins and blow the x28 LSH
+        # candidate set up quadratically in copies, an artifact the
+        # real "10x more vectors" workload does not have
+        em = spark.read.parquet(f"{BASE}/embeddings.parquet")
+        dim = 64
+        parts = []
+        for j in range(copies):
+            c = em.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(j * SHIFT)
+            )
+            if j > 0:
+                c = c.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {j + 1}, {dim - j}), "
+                        f"slice(embedding, 1, {j}))"
+                    ),
+                )
+            parts.append(c)
+        _write_amped(parts, f"{out_dir}/embeddings.parquet")
 
 
 def main() -> None:
@@ -140,19 +221,30 @@ def main() -> None:
         scales.append((sf, d))
 
     queries = all_queries()
+    # HEADS_ONLY=x447_foo,x329_bar probes a subset and MERGES into the
+    # existing SCALE_PROBE.json (wave-2 additions don't re-time wave 1)
+    heads = [h for h in os.environ.get("HEADS_ONLY", "").split(",") if h]
+    heads = heads or HEADS
+    unknown = sorted(set(heads) - set(queries))
+    if unknown:
+        sys.exit(f"HEADS_ONLY names not in registry: {unknown}")
+
+    results: dict[str, dict] = {}
     # x104's amortized-graph contract: derive the edge table per scale
     # once, timed separately (same split as bench.py)
-    results: dict[str, dict] = {}
-    for sf, sf_dir in scales:
-        t0 = time.perf_counter()
-        graph.persist_copurchase_edges(
-            spark,
-            load_table(spark, sf_dir, "lineitem"),
-            graph.copurchase_edge_table_name(sf_dir),
-        )
-        dt = time.perf_counter() - t0
-        results.setdefault("x104_edge_derivation", {})[str(sf)] = round(dt, 3)
-        print(f"# sf{sf} x104_edge_derivation {dt:.1f}s", file=sys.stderr)
+    if "x104_pagerank" in heads:
+        for sf, sf_dir in scales:
+            t0 = time.perf_counter()
+            graph.persist_copurchase_edges(
+                spark,
+                load_table(spark, sf_dir, "lineitem"),
+                graph.copurchase_edge_table_name(sf_dir),
+            )
+            dt = time.perf_counter() - t0
+            results.setdefault("x104_edge_derivation", {})[str(sf)] = round(
+                dt, 3
+            )
+            print(f"# sf{sf} x104_edge_derivation {dt:.1f}s", file=sys.stderr)
 
     # Three passes over (scale x head), keeping the per-cell MINIMUM:
     # single runs of 5-30 s entries carry GC pauses and JIT warmup that
@@ -161,7 +253,7 @@ def main() -> None:
     # cost floor the exponent is about.
     for pass_no in range(3):
         for sf, sf_dir in scales:
-            for name in HEADS:
+            for name in heads:
                 t0 = time.perf_counter()
                 queries[name](spark, sf_dir).count()
                 dt = round(time.perf_counter() - t0, 3)
@@ -191,7 +283,13 @@ def main() -> None:
         }
         print(f"{name}: exponent {slope:.2f}  {out[name]['seconds_by_sf']}")
 
-    with open(os.path.join(ROOT, "SCALE_PROBE.json"), "w") as f:
+    probe_path = os.path.join(ROOT, "SCALE_PROBE.json")
+    if os.path.exists(probe_path):
+        with open(probe_path) as f:
+            merged = json.load(f)
+        merged.update(out)
+        out = merged
+    with open(probe_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
     spark.stop()

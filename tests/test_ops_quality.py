@@ -6371,3 +6371,374 @@ def test_rich_club_matches_bruteforce(spark):
         if prev_nodes is not None:
             assert r["club_nodes"] <= prev_nodes
         prev_nodes = r["club_nodes"]
+
+
+import math
+
+
+def _daily_cents(spark):
+    """Exact integer-cent daily revenue replayed from raw orders."""
+    from collections import defaultdict
+
+    d = defaultdict(int)
+    for r in load_table(spark, SF, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect():
+        d[r["o_orderdate"].date()] += int(
+            math.floor(r["o_totalprice"] * 100.0)
+        )
+    return dict(d)
+
+
+def test_truncation_audit_matches_bruteforce(spark):
+    """x503: replay token loss per (source, window); invariants: loss
+    is monotone non-increasing in window size and 0 beyond max len."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x503_truncation_audit,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "source", "text"
+    ).collect()
+    toks = defaultdict(list)
+    for r in docs:
+        toks[r["source"]].append(len(r["text"].lower().split(" ")))
+    rows = x503_truncation_audit(spark, SF).collect()
+    assert len(rows) == len(toks) * 5
+    by_src = defaultdict(dict)
+    for r in rows:
+        ts = toks[r["source"]]
+        w = r["window_tokens"]
+        lost = sum(max(0, t - w) for t in ts)
+        assert r["docs"] == len(ts)
+        assert r["docs_truncated"] == sum(t > w for t in ts)
+        assert r["tokens_total"] == sum(ts)
+        assert r["tokens_lost"] == lost
+        assert abs(r["loss_frac"] - _round_hu(lost / sum(ts), 6)) < 1e-9
+        by_src[r["source"]][w] = r["tokens_lost"]
+    for src, m in by_src.items():
+        ws = sorted(m)
+        assert all(m[a] >= m[b] for a, b in zip(ws, ws[1:]))
+        assert m[96] == sum(max(0, t - 96) for t in toks[src])
+
+
+def _paired_daily_py(spark):
+    from collections import defaultdict
+
+    a = defaultdict(int)
+    odate = {}
+    for r in load_table(spark, SF, "orders").collect():
+        day = r["o_orderdate"].date()
+        a[day] += int(math.floor(r["o_totalprice"] * 100.0))
+        odate[r["o_orderkey"]] = day
+    b = defaultdict(int)
+    for r in load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+    ).collect():
+        day = odate[r["l_orderkey"]]
+        b[day] += int(
+            math.floor(
+                r["l_extendedprice"]
+                * (1.0 - r["l_discount"])
+                * (1.0 + r["l_tax"])
+                * 100.0
+            )
+        )
+    return [(a[d], b[d]) for d in sorted(set(a) & set(b))]
+
+
+def test_bland_altman_matches_bruteforce(spark):
+    """x504: replay bias/SD/limits; invariants: limits bracket the
+    mean and >=90% of days fall inside 1.96-SD limits isn't assumed
+    (frac_within is whatever the data says) but must equal the
+    replayed count."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x504_bland_altman,
+    )
+
+    p = _paired_daily_py(spark)
+    ds = [av - bv for av, bv in p]
+    n = len(ds)
+    mean_d = sum(ds) / n
+    sd = math.sqrt(
+        (n * sum(d * d for d in ds) - sum(ds) ** 2) / (n * (n - 1))
+    )
+    lo, hi = mean_d - 1.96 * sd, mean_d + 1.96 * sd
+    n_out = sum(1 for d in ds if d < lo or d > hi)
+    r = x504_bland_altman(spark, SF).collect()[0]
+    assert r["n_days"] == n
+    assert abs(r["mean_diff"] - _round_hu(mean_d, 4)) < 1e-9
+    assert abs(r["sd_diff"] - _round_hu(sd, 4)) < 1e-9
+    assert abs(r["loa_lo"] - _round_hu(lo, 4)) < 1e-9
+    assert abs(r["loa_hi"] - _round_hu(hi, 4)) < 1e-9
+    assert r["n_outside"] == n_out
+    assert r["loa_lo"] < r["mean_diff"] < r["loa_hi"]
+    assert abs(r["frac_within"] - _round_hu(1.0 - n_out / n, 6)) < 1e-9
+
+
+def test_deming_matches_bruteforce(spark):
+    """x505: replay the closed-form orthogonal slope; invariants:
+    Deming slope magnitude >= the OLS slope magnitude (attenuation),
+    and the fit line passes through the centroid."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x505_deming_regression,
+    )
+
+    p = _paired_daily_py(spark)
+    n = len(p)
+    sa = sum(a for a, _ in p)
+    sb = sum(b for _, b in p)
+    sxx = n * sum(a * a for a, _ in p) - sa * sa
+    syy = n * sum(b * b for _, b in p) - sb * sb
+    sxy = n * sum(a * b for a, b in p) - sa * sb
+    slope = (syy - sxx + math.sqrt((syy - sxx) ** 2 + 4 * sxy * sxy)) / (
+        2 * sxy
+    )
+    intercept = sb / n - slope * sa / n
+    r = x505_deming_regression(spark, SF).collect()[0]
+    assert r["n_days"] == n
+    assert abs(r["slope"] - _round_hu(slope, 6)) < 1e-9
+    assert abs(r["intercept"] - _round_hu(intercept, 4)) < 1e-9
+    assert abs(r["pearson_r"] - _round_hu(sxy / math.sqrt(sxx * syy), 6)) < 1e-9
+    assert abs(slope) >= abs(sxy / sxx) - 1e-12  # attenuation bound
+
+
+def test_atkinson_matches_bruteforce(spark):
+    """x506: replay both indices on the exact quantization grids;
+    invariants: 0 <= A_half <= A_1 < 1 (A is increasing in aversion
+    epsilon)."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x506_atkinson_index,
+    )
+
+    spend = defaultdict(int)
+    for r in load_table(spark, SF, "orders").collect():
+        spend[r["o_custkey"]] += int(math.floor(r["o_totalprice"] * 100.0))
+    xs = list(spend.values())
+    n, t = len(xs), sum(xs)
+    ss = sum(int(math.floor(math.sqrt(x) * 1e6)) for x in xs)
+    sl = sum(int(math.floor(math.log(x) * 1e12)) for x in xs)
+    a_half = 1.0 - (ss / 1e6) * (ss / 1e6) / (n * t)
+    a_1 = 1.0 - n * math.exp(sl / 1e12 / n) / t
+    r = x506_atkinson_index(spark, SF).collect()[0]
+    assert r["n_customers"] == n
+    assert abs(r["atkinson_half"] - _round_hu(a_half, 6)) < 1e-9
+    assert abs(r["atkinson_1"] - _round_hu(a_1, 6)) < 1e-9
+    assert 0.0 <= r["atkinson_half"] <= r["atkinson_1"] < 1.0
+
+
+def test_bartlett_matches_bruteforce(spark):
+    """x507: replay T with the exact per-group quantization;
+    invariant: T >= 0 and df = k-1."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x507_bartlett_test,
+    )
+
+    g = defaultdict(list)
+    for r in load_table(spark, SF, "events").select(
+        "event_type", "value"
+    ).collect():
+        g[r["event_type"]].append(int(round(r["value"] * 100)))
+    k = len(g)
+    nn = sum(len(v) for v in g.values())
+    ssw = slnv = sinv = 0.0
+    for v in g.values():
+        n = len(v)
+        var = (n * sum(x * x for x in v) - sum(v) ** 2) / (n * (n - 1))
+        ssw += _round_hu((n - 1) * var, 4)
+        slnv += _round_hu((n - 1) * math.log(var), 10)
+        sinv += _round_hu(1.0 / (n - 1), 12)
+    nk = nn - k
+    t_stat = (nk * math.log(ssw / nk) - slnv) / (
+        1.0 + (sinv - 1.0 / nk) / (3.0 * (k - 1))
+    )
+    r = x507_bartlett_test(spark, SF).collect()[0]
+    assert (r["n_groups"], r["n_obs"], r["df"]) == (k, nn, k - 1)
+    assert abs(r["bartlett_t"] - _round_hu(t_stat, 4)) < 1e-6
+    assert r["bartlett_t"] >= 0.0
+
+
+def test_icc_oneway_matches_bruteforce(spark):
+    """x508: replay MSB/MSW/k0/ICC from week groups; invariants:
+    -1/(k0-1) <= ICC <= 1 and F = MSB/MSW > 0."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x508_icc_oneway,
+    )
+
+    daily = _daily_cents(spark)
+    wk = defaultdict(list)
+    import datetime
+
+    for day, y in daily.items():
+        monday = day - datetime.timedelta(days=day.weekday())
+        wk[monday].append(y)
+    nobs = len(daily)
+    ng = len(wk)
+    s = sum(daily.values())
+    syy = sum(y * y for y in daily.values())
+    sgq = sum(
+        _round_hu(sum(v) * sum(v) / len(v), 6) for v in wk.values()
+    )
+    sk2 = sum(len(v) ** 2 for v in wk.values())
+    msb = (sgq - s * s / nobs) / (ng - 1)
+    msw = (syy - sgq) / (nobs - ng)
+    k0 = (nobs - sk2 / nobs) / (ng - 1)
+    icc = (msb - msw) / (msb + (k0 - 1) * msw)
+    r = x508_icc_oneway(spark, SF).collect()[0]
+    assert (r["n_weeks"], r["n_days"]) == (ng, nobs)
+    assert abs(r["k0"] - _round_hu(k0, 4)) < 1e-9
+    assert abs(r["f_ratio"] - _round_hu(msb / msw, 6)) < 1e-6
+    assert abs(r["icc_1_1"] - _round_hu(icc, 6)) < 1e-6
+    assert -1.0 / (k0 - 1) - 1e-9 <= r["icc_1_1"] <= 1.0
+    assert r["f_ratio"] > 0
+
+
+def test_rate_ratio_ci_matches_bruteforce(spark):
+    """x509: replay Katz CI and the conditional z; invariants: CI
+    brackets RR, and z and ln(RR) share a sign."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x509_rate_ratio_ci,
+    )
+
+    rows = load_table(spark, SF, "events").select("event_type").collect()
+    x1 = sum(r["event_type"] == "purchase" for r in rows)
+    x2 = sum(r["event_type"] == "click" for r in rows)
+    rr = x1 / x2
+    half = 1.959964 * math.sqrt(1.0 / x1 + 1.0 / x2)
+    z = (x1 - (x1 + x2) / 2.0) / math.sqrt((x1 + x2) / 4.0)
+    r = x509_rate_ratio_ci(spark, SF).collect()[0]
+    assert (r["n_purchase"], r["n_click"]) == (x1, x2)
+    assert abs(r["rate_ratio"] - _round_hu(rr, 6)) < 1e-9
+    assert abs(r["ci_lo"] - _round_hu(math.exp(math.log(rr) - half), 6)) < 1e-9
+    assert abs(r["ci_hi"] - _round_hu(math.exp(math.log(rr) + half), 6)) < 1e-9
+    assert r["ci_lo"] <= r["rate_ratio"] <= r["ci_hi"]
+    assert abs(r["conditional_z"] - _round_hu(z, 4)) < 1e-9
+    assert (r["conditional_z"] >= 0) == (rr >= 1.0)
+
+
+def test_ljung_box_matches_bruteforce(spark):
+    """x510: replay calendar-paired ACFs and the cumulative Q;
+    invariants: Q is non-decreasing in lag, |acf| <= 1, Box-Pierce
+    <= Ljung-Box at every lag (n+2 > n-k)."""
+    import datetime
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x510_ljung_box,
+    )
+
+    daily = _daily_cents(spark)
+    n = len(daily)
+    s = sum(daily.values())
+    c = {d: n * y - s for d, y in daily.items()}
+    den = sum(v * v for v in c.values())
+    rows = x510_ljung_box(spark, SF).orderBy("lag").collect()
+    assert [r["lag"] for r in rows] == list(range(1, 8))
+    lb = bp = 0.0
+    prev_q = -1.0
+    for r in rows:
+        k = r["lag"]
+        pairs = [
+            (c[d], c[d + datetime.timedelta(days=k)])
+            for d in c
+            if d + datetime.timedelta(days=k) in c
+        ]
+        acf = _round_hu(sum(a * b for a, b in pairs) / den, 10)
+        assert r["n_pairs"] == len(pairs)
+        assert abs(r["acf"] - _round_hu(acf, 6)) < 1e-9
+        assert abs(r["acf"]) <= 1.0
+        lb += _round_hu(acf * acf / (n - k), 14)
+        bp += _round_hu(acf * acf, 14)
+        assert abs(r["ljung_box_q"] - _round_hu(n * (n + 2.0) * lb, 4)) < 1e-6
+        assert abs(r["box_pierce_q"] - _round_hu(n * bp, 4)) < 1e-6
+        assert r["box_pierce_q"] <= r["ljung_box_q"] + 1e-9
+        assert r["ljung_box_q"] >= prev_q
+        prev_q = r["ljung_box_q"]
+
+
+def test_variance_ratio_matches_bruteforce(spark):
+    """x511: replay VR(5) and its z; invariant: VR > 0."""
+    import datetime
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x511_variance_ratio,
+    )
+
+    daily = _daily_cents(spark)
+
+    def var_of_diffs(k):
+        ds = [
+            daily[d + datetime.timedelta(days=k)] - daily[d]
+            for d in daily
+            if d + datetime.timedelta(days=k) in daily
+        ]
+        m = len(ds)
+        return m, (m * sum(d * d for d in ds) - sum(ds) ** 2) / (m * m)
+
+    m1, v1 = var_of_diffs(1)
+    mq, vq = var_of_diffs(5)
+    vr = vq / (5.0 * v1)
+    z = (vr - 1.0) / math.sqrt(2.0 * 9.0 * 4.0 / (15.0 * m1))
+    r = x511_variance_ratio(spark, SF).collect()[0]
+    assert (r["n_diffs_1"], r["n_diffs_q"]) == (m1, mq)
+    assert abs(r["variance_ratio"] - _round_hu(vr, 6)) < 1e-9
+    assert abs(r["vr_z"] - _round_hu(z, 4)) < 1e-9
+    assert r["variance_ratio"] > 0
+
+
+def test_hurst_rs_matches_bruteforce(spark):
+    """x512: numpy replay of block R/S means and the dyadic-grid
+    slope; invariants: every mean R/S >= 1 grows with window size,
+    and 0 < H < 1."""
+    import numpy as np
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x512_hurst_rs,
+    )
+
+    daily = _daily_cents(spark)
+    ys = np.array([daily[d] for d in sorted(daily)], dtype=object)
+    n = len(ys)
+    means = {}
+    for w in (8, 16, 32, 64, 128):
+        vals = []
+        for b in range(n // w):
+            blk = ys[b * w : (b + 1) * w]
+            s_blk = sum(blk)
+            cvals = [w * int(y) - s_blk for y in blk]
+            p = np.cumsum(cvals)
+            m2 = sum(v * v for v in cvals)
+            if m2 == 0:
+                continue
+            vals.append(
+                _round_hu(
+                    float(p.max() - p.min())
+                    * math.sqrt(w)
+                    / math.sqrt(float(m2)),
+                    8,
+                )
+            )
+        means[w] = sum(vals) / len(vals)
+    snum = sum(
+        (int(round(math.log(w) / math.log(2.0))) - 5)
+        * _round_hu(math.log(means[w]), 10)
+        for w in means
+    )
+    hurst = snum / (10.0 * math.log(2.0))
+    r = x512_hurst_rs(spark, SF).collect()[0]
+    assert r["n_days"] == n
+    prev = 0.0
+    for w in (8, 16, 32, 64, 128):
+        got = r[f"rs_{w}"]
+        assert abs(got - _round_hu(means[w], 6)) < 1e-6
+        assert got >= prev  # mean R/S grows with window
+        prev = got
+    assert abs(r["hurst"] - _round_hu(hurst, 4)) < 1e-6
+    assert 0.0 < r["hurst"] < 1.0
