@@ -5502,3 +5502,687 @@ def x512_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("hurst"),
     )
+
+
+_X513_ORACLE = """
+WITH cells AS (
+  SELECT CAST(round(l_discount * 100.0, 0) AS BIGINT) AS i,
+         CAST(round(l_quantity, 0) AS BIGINT) AS j,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(c) AS HUGEINT) AS n FROM cells),
+cd AS (
+  SELECT
+    CAST(SUM(CASE WHEN b.i > a.i AND b.j > a.j
+             THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS HUGEINT)
+      AS conc,
+    CAST(SUM(CASE WHEN b.i > a.i AND b.j < a.j
+             THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS HUGEINT)
+      AS disc
+  FROM cells a, cells b
+),
+tie AS (
+  SELECT
+    CAST((SELECT SUM(CAST(s AS HUGEINT) * (s - 1)) FROM (
+       SELECT SUM(c) AS s FROM cells GROUP BY i)) AS HUGEINT) AS tx2,
+    CAST((SELECT SUM(CAST(s AS HUGEINT) * (s - 1)) FROM (
+       SELECT SUM(c) AS s FROM cells GROUP BY j)) AS HUGEINT) AS ty2
+)
+SELECT CAST(tot.n AS BIGINT) AS n_rows,
+       CAST(cd.conc AS HUGEINT) AS concordant,
+       CAST(cd.disc AS HUGEINT) AS discordant,
+       ROUND(CAST(cd.conc - cd.disc AS DOUBLE)
+             / CAST(cd.conc + cd.disc AS DOUBLE), 6) AS gamma,
+       ROUND(CAST(cd.conc - cd.disc AS DOUBLE)
+             / (CAST(tot.n * (tot.n - 1) - tie.tx2 AS DOUBLE) / 2.0), 6)
+         AS somers_d_yx,
+       ROUND(CAST(cd.conc - cd.disc AS DOUBLE)
+             / (CAST(tot.n * (tot.n - 1) - tie.ty2 AS DOUBLE) / 2.0), 6)
+         AS somers_d_xy,
+       ROUND(CAST(cd.conc - cd.disc AS DOUBLE)
+             / sqrt(CAST(tot.n * (tot.n - 1) - tie.tx2 AS DOUBLE) / 2.0
+                    * (CAST(tot.n * (tot.n - 1) - tie.ty2 AS DOUBLE)
+                       / 2.0)), 6) AS tau_b
+FROM tot, cd, tie
+"""
+
+
+@register(
+    "x513_concordance_panel",
+    _X513_ORACLE,
+    doc="ordinal concordance panel between discount band (x, 11 "
+        "levels) and quantity (y, 50 levels) over every lineitem: "
+        "Goodman-Kruskal gamma (ignores ties), Somers' D_yx and "
+        "D_xy (the ASYMMETRIC predictor->response variants a "
+        "pricing question actually needs: does discount predict "
+        "quantity, not the reverse), and tau-b -- the full "
+        "C/D-based family on ONE tie structure, where x357 "
+        "computes tau-b alone on a different (nation-KPI) domain; "
+        "gamma >= |D| >= tau_b by construction, so the spread "
+        "between them IS the tie mass. Exactness: rows collapse "
+        "to the bounded 11x50 contingency table first; C and D "
+        "are exact HUGEINT/DECIMAL sums over the 550^2 cell-pair "
+        "grid (never row pairs); tie corrections from exact "
+        "marginal sums (n(n-1) ~ 4e11 at sf0.1 -- inside "
+        "HUGEINT/DECIMAL38 through sf10); four final double "
+        "divisions. Scale: one corpus groupBy, then cell-table "
+        "algebra independent of corpus size",
+)
+def x513_concordance_panel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cells = lineitem.groupBy(
+        F.round(F.col("l_discount") * 100.0, 0).cast("long").alias("i"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("j"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(
+        eager=False
+    )
+    tot = cells.agg(
+        F.sum(F.col("c").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("n")
+    )
+    a = cells.select(
+        F.col("i").alias("ia"), F.col("j").alias("ja"),
+        F.col("c").cast("decimal(38,0)").alias("ca"),
+    )
+    b = cells.select(
+        F.col("i").alias("ib"), F.col("j").alias("jb"),
+        F.col("c").cast("decimal(38,0)").alias("cb"),
+    )
+    cd = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.when(
+                (F.col("ib") > F.col("ia")) & (F.col("jb") > F.col("ja")),
+                F.col("ca") * F.col("cb"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("ib") > F.col("ia")) & (F.col("jb") < F.col("ja")),
+                F.col("ca") * F.col("cb"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("disc"),
+    )
+    tx = (
+        cells.groupBy("i")
+        .agg(F.sum("c").cast("decimal(38,0)").alias("s"))
+        .agg(
+            F.sum(F.col("s") * (F.col("s") - 1))
+            .cast("decimal(38,0)")
+            .alias("tx2")
+        )
+    )
+    ty = (
+        cells.groupBy("j")
+        .agg(F.sum("c").cast("decimal(38,0)").alias("s"))
+        .agg(
+            F.sum(F.col("s") * (F.col("s") - 1))
+            .cast("decimal(38,0)")
+            .alias("ty2")
+        )
+    )
+    j = (
+        tot.crossJoin(F.broadcast(cd))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    smd = (F.col("conc") - F.col("disc")).cast("double")
+    px = (
+        (F.col("n") * (F.col("n") - 1) - F.col("tx2")).cast("double")
+        / F.lit(2.0)
+    )
+    py = (
+        (F.col("n") * (F.col("n") - 1) - F.col("ty2")).cast("double")
+        / F.lit(2.0)
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.round(
+            smd / (F.col("conc") + F.col("disc")).cast("double"), 6
+        ).alias("gamma"),
+        F.round(smd / px, 6).alias("somers_d_yx"),
+        F.round(smd / py, 6).alias("somers_d_xy"),
+        F.round(smd / F.sqrt(px * py), 6).alias("tau_b"),
+    )
+
+
+def _x514_oracle() -> str:
+    from ...ops.text import lang_id_oracle_sql
+
+    pred = lang_id_oracle_sql().rsplit("ORDER BY doc_id", 1)[0]
+    return f"""
+WITH pred AS MATERIALIZED ({pred}),
+conf AS (
+  SELECT d.lang AS gold, p.pred_lang AS pred,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+  GROUP BY 1, 2
+),
+u AS (
+  SELECT gold AS i, pred AS j, c, c AS dc FROM conf
+  UNION ALL
+  SELECT pred AS i, gold AS j, c, -c AS dc FROM conf
+),
+pairs AS (
+  SELECT i, j, CAST(SUM(c) AS BIGINT) AS m, CAST(SUM(dc) AS BIGINT) AS d
+  FROM u WHERE i < j GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS df,
+       ROUND(CAST(SUM(CAST(round(CAST(CAST(d AS HUGEINT) * d AS DOUBLE)
+                                 / m, 10) AS DECIMAL(38,10)))
+                  AS DOUBLE), 4) AS bowker_chi2,
+       CAST(SUM(CASE WHEN d <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS asymmetric_pairs
+FROM pairs WHERE m > 0
+"""
+
+
+@register(
+    "x514_bowker_symmetry",
+    _x514_oracle(),
+    doc="Bowker's test of symmetry on the lang-vs-predicted "
+        "confusion table (x298's exact pairing): chi2 = sum over "
+        "label pairs i<j of (n_ij - n_ji)^2/(n_ij + n_ji), df = "
+        "pairs with any off-diagonal mass -- tests whether the "
+        "auto-labeler's ERRORS are direction-neutral (x298's kappa "
+        "scores agreement, x464's confusion panel shows the "
+        "matrix; Bowker asks the McNemar question generalized to "
+        "k>2: is en mislabeled as de exactly as often as de as "
+        "en?), the drift alarm for a labeler whose bias direction "
+        "matters downstream. Exactness: the union-with-negation "
+        "trick builds (n_ij+n_ji, n_ij-n_ji) per unordered pair "
+        "in one groupBy with exact BIGINTs; per-pair terms round "
+        "10 into DECIMAL before the k^2-bounded sum. Scale: one "
+        "corpus pass to the k x k confusion, then k^2 algebra",
+)
+def x514_bowker_symmetry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ...ops import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    conf = (
+        docs.select(
+            F.col("lang").alias("gold"),
+            text.lang_pred_column("text").alias("pred"),
+        )
+        .groupBy("gold", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    u = conf.select(
+        F.col("gold").alias("i"), F.col("pred").alias("j"),
+        F.col("c"), F.col("c").alias("dc"),
+    ).unionByName(
+        conf.select(
+            F.col("pred").alias("i"), F.col("gold").alias("j"),
+            F.col("c"), (-F.col("c")).alias("dc"),
+        )
+    )
+    pairs = (
+        u.filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum("c").cast("long").alias("m"),
+            F.sum("dc").cast("long").alias("d"),
+        )
+        .filter(F.col("m") > 0)
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.round(
+            F.sum(
+                F.round(
+                    (F.col("d").cast("decimal(38,0)") * F.col("d")).cast(
+                        "double"
+                    )
+                    / F.col("m"),
+                    10,
+                ).cast("decimal(38,10)")
+            ).cast("double"),
+            4,
+        ).alias("bowker_chi2"),
+        F.sum(F.when(F.col("d") != 0, 1).otherwise(0))
+        .cast("long")
+        .alias("asymmetric_pairs"),
+    )
+
+
+_X515_ORACLE = """
+WITH j AS (
+  SELECT c.c_mktsegment AS seg,
+         CASE WHEN l.l_discount >= 0.06 THEN 1 ELSE 0 END AS exposed,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+),
+s AS (
+  SELECT seg,
+         CAST(SUM(CASE WHEN exposed = 1 AND ret = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN exposed = 1 AND ret = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN exposed = 0 AND ret = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN exposed = 0 AND ret = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM j GROUP BY 1
+),
+mh AS (
+  SELECT ROUND(
+           CAST(SUM(CAST(round(CAST(a AS DOUBLE) * d / (a+b+c+d), 10)
+                         AS DECIMAL(38,10))) AS DOUBLE)
+           / CAST(SUM(CAST(round(CAST(b AS DOUBLE) * c / (a+b+c+d), 10)
+                           AS DECIMAL(38,10))) AS DOUBLE), 10) AS psi
+  FROM s
+),
+q AS (
+  SELECT s.seg, s.a, CAST(s.a+s.b+s.c+s.d AS DOUBLE) AS n,
+         CAST(s.a+s.b AS DOUBLE) AS r1, CAST(s.a+s.c AS DOUBLE) AS c1,
+         mh.psi
+  FROM s, mh
+),
+root AS (
+  SELECT seg, a, n, r1, c1, psi,
+         CASE WHEN abs(1.0 - psi) < 1e-12 THEN r1 * c1 / n
+              ELSE CASE WHEN
+                ((-((n - r1 - c1) + psi * (r1 + c1)))
+                 + sqrt(((n - r1 - c1) + psi * (r1 + c1))
+                        * ((n - r1 - c1) + psi * (r1 + c1))
+                        + 4.0 * (1.0 - psi) * psi * r1 * c1))
+                / (2.0 * (1.0 - psi))
+                > GREATEST(0.0, r1 + c1 - n)
+               AND
+                ((-((n - r1 - c1) + psi * (r1 + c1)))
+                 + sqrt(((n - r1 - c1) + psi * (r1 + c1))
+                        * ((n - r1 - c1) + psi * (r1 + c1))
+                        + 4.0 * (1.0 - psi) * psi * r1 * c1))
+                / (2.0 * (1.0 - psi))
+                < LEAST(r1, c1)
+              THEN
+                ((-((n - r1 - c1) + psi * (r1 + c1)))
+                 + sqrt(((n - r1 - c1) + psi * (r1 + c1))
+                        * ((n - r1 - c1) + psi * (r1 + c1))
+                        + 4.0 * (1.0 - psi) * psi * r1 * c1))
+                / (2.0 * (1.0 - psi))
+              ELSE
+                ((-((n - r1 - c1) + psi * (r1 + c1)))
+                 - sqrt(((n - r1 - c1) + psi * (r1 + c1))
+                        * ((n - r1 - c1) + psi * (r1 + c1))
+                        + 4.0 * (1.0 - psi) * psi * r1 * c1))
+                / (2.0 * (1.0 - psi))
+              END
+         END AS ae
+  FROM q
+),
+terms AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         MAX(psi) AS psi,
+         CAST(SUM(CAST(round(
+           (a - ae) * (a - ae)
+           * (1.0/ae + 1.0/(r1-ae) + 1.0/(c1-ae)
+              + 1.0/(n-r1-c1+ae)), 8) AS DECIMAL(38,8)))
+           AS DECIMAL(38,8)) AS chi2
+  FROM root
+)
+SELECT k AS n_strata,
+       ROUND(psi, 6) AS or_mh,
+       ROUND(CAST(chi2 AS DOUBLE), 4) AS breslow_day_chi2,
+       CAST(k - 1 AS BIGINT) AS df
+FROM terms
+"""
+
+
+@register(
+    "x515_breslow_day",
+    _X515_ORACLE,
+    doc="Breslow-Day homogeneity test for the discount->return odds "
+        "ratio across the 5 market segments: x385's CMH estimates "
+        "ONE common OR assuming homogeneity -- Breslow-Day tests "
+        "that assumption (per-stratum expected a-cells under the "
+        "MH OR solve the fixed-margin quadratic in closed form, "
+        "chi2 = sum (a - a_e)^2 / Var(a_e), df = k-1), the "
+        "pooling-legitimacy gate that decides between one pooled "
+        "OR and x422-style per-segment reporting. Exactness: "
+        "exact integer 2x2 counts per stratum; MH OR from "
+        "round-10 DECIMAL stratum terms, rounded 10 before reuse; "
+        "the quadratic root (discriminant form B^2 + 4(1-psi) psi "
+        "r1 c1 written to avoid cancellation), range-based root "
+        "selection, and the variance are ONE fixed-order double "
+        "expression per stratum (engine-identical inputs => "
+        "identical doubles); per-stratum chi2 terms round 8 into "
+        "DECIMAL before the k-row sum. Scale: one corpus pass to "
+        "k 2x2 tables, then k-row algebra",
+)
+def x515_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.when(F.col("l_discount") >= 0.06, 1).otherwise(0).alias("ex"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("rt"),
+        )
+    )
+    s = j.groupBy("seg").agg(
+        F.sum(F.when((F.col("ex") == 1) & (F.col("rt") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when((F.col("ex") == 1) & (F.col("rt") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("ex") == 0) & (F.col("rt") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("ex") == 0) & (F.col("rt") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    ).localCheckpoint(eager=False)
+    ntot = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast(
+        "double"
+    )
+    mh = s.agg(
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("a").cast("double") * F.col("d") / ntot, 10
+                ).cast("decimal(38,10)")
+            ).cast("double")
+            / F.sum(
+                F.round(
+                    F.col("b").cast("double") * F.col("c") / ntot, 10
+                ).cast("decimal(38,10)")
+            ).cast("double"),
+            10,
+        ).alias("psi")
+    )
+    q = s.crossJoin(F.broadcast(mh)).select(
+        "seg",
+        "a",
+        ntot.alias("n"),
+        (F.col("a") + F.col("b")).cast("double").alias("r1"),
+        (F.col("a") + F.col("c")).cast("double").alias("c1"),
+        "psi",
+    )
+    n, r1, c1, psi = F.col("n"), F.col("r1"), F.col("c1"), F.col("psi")
+    bq = (n - r1 - c1) + psi * (r1 + c1)
+    disc = F.sqrt(bq * bq + F.lit(4.0) * (F.lit(1.0) - psi) * psi * r1 * c1)
+    root_p = (-bq + disc) / (F.lit(2.0) * (F.lit(1.0) - psi))
+    root_m = (-bq - disc) / (F.lit(2.0) * (F.lit(1.0) - psi))
+    in_range = (root_p > F.greatest(F.lit(0.0), r1 + c1 - n)) & (
+        root_p < F.least(r1, c1)
+    )
+    ae = F.when(F.abs(F.lit(1.0) - psi) < 1e-12, r1 * c1 / n).otherwise(
+        F.when(in_range, root_p).otherwise(root_m)
+    )
+    root = q.select("seg", "a", "n", "r1", "c1", "psi", ae.alias("ae"))
+    aec = F.col("ae")
+    var_inv = (
+        F.lit(1.0) / aec
+        + F.lit(1.0) / (F.col("r1") - aec)
+        + F.lit(1.0) / (F.col("c1") - aec)
+        + F.lit(1.0) / (F.col("n") - F.col("r1") - F.col("c1") + aec)
+    )
+    terms = root.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("psi").alias("psi"),
+        F.sum(
+            F.round(
+                (F.col("a") - aec) * (F.col("a") - aec) * var_inv, 8
+            ).cast("decimal(38,8)")
+        )
+        .cast("decimal(38,8)")
+        .alias("chi2"),
+    )
+    return terms.select(
+        F.col("k").alias("n_strata"),
+        F.round("psi", 6).alias("or_mh"),
+        F.round(F.col("chi2").cast("double"), 4).alias(
+            "breslow_day_chi2"
+        ),
+        (F.col("k") - 1).cast("long").alias("df"),
+    )
+
+
+_X516_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+                       ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2,
+         CAST(SUM(conv) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+              AS BIGINT) AS aobs
+  FROM u
+),
+dom AS (
+  SELECT m.n1, m.n2, m.c1, m.aobs,
+         GREATEST(0, m.c1 - m.n2) AS alo,
+         LEAST(m.c1, m.n1) AS ahi,
+         t.a
+  FROM m, UNNEST(range(GREATEST(0, m.c1 - m.n2),
+                       LEAST(m.c1, m.n1) + 1)) AS t(a)
+),
+steps AS (
+  SELECT a, n1, n2, c1, aobs,
+         CASE WHEN a < LEAST(c1, n1) THEN
+           CAST(floor(
+             (ln(CAST(n1 - a AS DOUBLE))
+              + ln(CAST(c1 - a AS DOUBLE))
+              - ln(CAST(a + 1 AS DOUBLE))
+              - ln(CAST(n2 - c1 + a + 1 AS DOUBLE)))
+             * 1000000000000.0) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS st
+  FROM dom
+),
+lpre AS (
+  SELECT a, n1, n2, c1, aobs,
+         COALESCE(SUM(st) OVER (ORDER BY a
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS l
+  FROM steps
+),
+mx AS (SELECT MAX(l) AS mxl FROM lpre),
+e AS (
+  SELECT a, n1, n2, c1, aobs,
+         CAST(floor(exp(CAST(l - mx.mxl AS DOUBLE) / 1000000000000.0)
+                    * 1000000000000000.0) AS BIGINT) AS ev
+  FROM lpre, mx
+),
+z AS (
+  SELECT CAST(SUM(ev) AS HUGEINT) AS zz,
+         CAST(MAX(CASE WHEN a = aobs THEN ev END) AS BIGINT) AS eobs
+  FROM e
+),
+p AS (
+  SELECT CAST(SUM(CASE WHEN e.ev <= z.eobs THEN CAST(e.ev AS HUGEINT)
+                  ELSE 0 END) AS HUGEINT) AS psum
+  FROM e, z
+)
+SELECT m.n1 AS n_arm_a, m.n2 AS n_arm_b, m.c1 AS n_success,
+       m.aobs AS a_obs,
+       ROUND(CAST(m.aobs AS DOUBLE) * (m.n2 - m.c1 + m.aobs)
+             / (CAST(m.n1 - m.aobs AS DOUBLE) * (m.c1 - m.aobs)), 6)
+         AS odds_ratio,
+       ROUND(CAST(p.psum AS DOUBLE) / CAST(z.zz AS DOUBLE), 8)
+         AS p_two_sided,
+       ROUND((CAST(p.psum AS DOUBLE) - CAST(z.eobs AS DOUBLE) / 2.0)
+             / CAST(z.zz AS DOUBLE), 8) AS mid_p
+FROM m, z, p
+"""
+
+
+@register(
+    "x516_fisher_exact",
+    _X516_ORACLE,
+    doc="Fisher's EXACT 2x2 test on x477's exact framing (arm = "
+        "user_id % 2, success = >= 14 purchases): hypergeometric "
+        "two-sided p by the point-probability rule plus the mid-p "
+        "-- the small-sample-legitimate inference x125's normal "
+        "lift CI and x460's Wilson bounds approximate, and the "
+        "frequentist twin of x477's Bayesian posterior (same "
+        "table, same lgamma-free machinery). The pmf never needs "
+        "factorials: log-pmf ratios telescope over the support "
+        "via the recurrence step ln((n1-a)(c1-a)) - "
+        "ln((a+1)(n2-c1+a+1)), each step 1e-12-floor-quantized so "
+        "the prefix sums are exact integers; probabilities "
+        "max-shift then 1e15-floor to exact integer weights, so "
+        "the <= e_obs tail selection and both p-values are "
+        "engine-identical integer arithmetic with two final "
+        "divisions. Scale: two user-grain aggregates; the support "
+        "domain is min(c1,n1)-max(0,c1-n2)+1 rows (<= the smaller "
+        "margin -- 698 at sf0.1) through one task, x477's stated "
+        "bound",
+)
+def x516_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("conv")
+    )
+    m = u.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum("conv").cast("long").alias("c1"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("aobs"),
+    ).localCheckpoint(eager=False)
+    dom = m.select(
+        "n1",
+        "n2",
+        "c1",
+        "aobs",
+        F.greatest(F.lit(0), F.col("c1") - F.col("n2")).alias("alo"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0).cast("long"), F.col("c1") - F.col("n2")),
+                F.least(F.col("c1"), F.col("n1")),
+            )
+        ).alias("a"),
+    )
+    # per-support-point recurrence step at t = a (applies to a+1);
+    # guarded at the TOP of the support where c1-a or n1-a hits 0 (the
+    # last row's step is never consumed by the shifted prefix window,
+    # but ln(0) = -inf would still poison the cast on both engines)
+    t = F.col("a")
+    step = F.when(
+        t < F.least(F.col("c1"), F.col("n1")),
+        F.floor(
+            (
+                F.log((F.col("n1") - t).cast("double"))
+                + F.log((F.col("c1") - t).cast("double"))
+                - F.log((t + 1).cast("double"))
+                - F.log((F.col("n2") - F.col("c1") + t + 1).cast("double"))
+            )
+            * F.lit(1e12)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    w = Window.orderBy("a").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lpre = dom.select(
+        "a",
+        "n1",
+        "n2",
+        "c1",
+        "aobs",
+        F.coalesce(F.sum(step).over(w), F.lit(0).cast("long")).alias("l"),
+    )
+    mx = lpre.agg(F.max("l").alias("mxl"))
+    e = lpre.crossJoin(F.broadcast(mx)).select(
+        "a",
+        "n1",
+        "n2",
+        "c1",
+        "aobs",
+        F.floor(
+            F.exp((F.col("l") - F.col("mxl")).cast("double") / F.lit(1e12))
+            * F.lit(1e15)
+        )
+        .cast("long")
+        .alias("ev"),
+    )
+    z = e.agg(
+        F.sum(F.col("ev").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("zz"),
+        F.max(F.when(F.col("a") == F.col("aobs"), F.col("ev")))
+        .cast("long")
+        .alias("eobs"),
+    )
+    p = e.crossJoin(F.broadcast(z)).agg(
+        F.sum(
+            F.when(
+                F.col("ev") <= F.col("eobs"),
+                F.col("ev").cast("decimal(38,0)"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("psum")
+    )
+    j = m.crossJoin(F.broadcast(z)).crossJoin(F.broadcast(p))
+    return j.select(
+        F.col("n1").alias("n_arm_a"),
+        F.col("n2").alias("n_arm_b"),
+        F.col("c1").alias("n_success"),
+        F.col("aobs").alias("a_obs"),
+        F.round(
+            F.col("aobs").cast("double")
+            * (F.col("n2") - F.col("c1") + F.col("aobs"))
+            / (
+                (F.col("n1") - F.col("aobs")).cast("double")
+                * (F.col("c1") - F.col("aobs"))
+            ),
+            6,
+        ).alias("odds_ratio"),
+        F.round(
+            F.col("psum").cast("double") / F.col("zz").cast("double"), 8
+        ).alias("p_two_sided"),
+        F.round(
+            (
+                F.col("psum").cast("double")
+                - F.col("eobs").cast("double") / F.lit(2.0)
+            )
+            / F.col("zz").cast("double"),
+            8,
+        ).alias("mid_p"),
+    )

@@ -6742,3 +6742,220 @@ def test_hurst_rs_matches_bruteforce(spark):
         prev = got
     assert abs(r["hurst"] - _round_hu(hurst, 4)) < 1e-6
     assert 0.0 < r["hurst"] < 1.0
+
+
+def test_concordance_panel_matches_bruteforce(spark):
+    """x513: replay C/D/tie counts from the contingency table;
+    invariants: gamma >= |somers| >= tau_b ordering (tie mass only
+    shrinks denominators), all in [-1, 1], and tau_b^2 =
+    D_yx * D_xy (the classic identity)."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x513_concordance_panel,
+    )
+
+    cells = defaultdict(int)
+    for r in load_table(spark, SF, "lineitem").select(
+        "l_discount", "l_quantity"
+    ).collect():
+        cells[(int(round(r["l_discount"] * 100)),
+               int(round(r["l_quantity"])))] += 1
+    items = list(cells.items())
+    conc = disc = 0
+    for (i1, j1), c1 in items:
+        for (i2, j2), c2 in items:
+            if i2 > i1 and j2 > j1:
+                conc += c1 * c2
+            elif i2 > i1 and j2 < j1:
+                disc += c1 * c2
+    n = sum(cells.values())
+    xm = defaultdict(int)
+    ym = defaultdict(int)
+    for (i, j), c in cells.items():
+        xm[i] += c
+        ym[j] += c
+    tx2 = sum(s * (s - 1) for s in xm.values())
+    ty2 = sum(s * (s - 1) for s in ym.values())
+    px = (n * (n - 1) - tx2) / 2.0
+    py = (n * (n - 1) - ty2) / 2.0
+    r = x513_concordance_panel(spark, SF).collect()[0]
+    assert r["n_rows"] == n
+    assert int(r["concordant"]) == conc
+    assert int(r["discordant"]) == disc
+    sm = conc - disc
+    assert abs(r["gamma"] - _round_hu(sm / (conc + disc), 6)) < 1e-9
+    assert abs(r["somers_d_yx"] - _round_hu(sm / px, 6)) < 1e-9
+    assert abs(r["somers_d_xy"] - _round_hu(sm / py, 6)) < 1e-9
+    assert abs(r["tau_b"] - _round_hu(sm / math.sqrt(px * py), 6)) < 1e-9
+    assert abs(r["gamma"]) >= abs(r["somers_d_yx"]) - 1e-9
+    assert abs(r["somers_d_yx"]) * abs(r["somers_d_xy"]) == pytest.approx(
+        r["tau_b"] ** 2, abs=1e-6
+    )
+    for k in ("gamma", "somers_d_yx", "somers_d_xy", "tau_b"):
+        assert -1.0 <= r[k] <= 1.0
+
+
+def test_bowker_symmetry_matches_bruteforce(spark):
+    """x514: replay the pairwise symmetry chi2 from the confusion
+    table; invariants: chi2 >= 0, df >= asymmetric_pairs."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.ops import text
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x514_bowker_symmetry,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    pred = {
+        r["doc_id"]: r["p"]
+        for r in docs.select(
+            "doc_id", text.lang_pred_column("text").alias("p")
+        ).collect()
+    }
+    conf = defaultdict(int)
+    for r in docs.select("doc_id", "lang").collect():
+        conf[(r["lang"], pred[r["doc_id"]])] += 1
+    langs = sorted({i for i, _ in conf} | {j for _, j in conf})
+    chi2 = 0.0
+    df = asym = 0
+    for ii, i in enumerate(langs):
+        for j in langs[ii + 1:]:
+            m = conf.get((i, j), 0) + conf.get((j, i), 0)
+            d = conf.get((i, j), 0) - conf.get((j, i), 0)
+            if m > 0:
+                df += 1
+                chi2 += _round_hu(d * d / m, 10)
+                asym += d != 0
+    r = x514_bowker_symmetry(spark, SF).collect()[0]
+    assert r["df"] == df
+    assert abs(r["bowker_chi2"] - _round_hu(chi2, 4)) < 1e-6
+    assert r["asymmetric_pairs"] == asym
+    assert r["bowker_chi2"] >= 0.0
+    assert r["df"] >= r["asymmetric_pairs"]
+
+
+def test_breslow_day_matches_bruteforce(spark):
+    """x515: replay MH OR, the per-stratum quadratic expected cells
+    and the chi2; invariants: chi2 >= 0, each expected cell inside
+    its margin box, and expected cells reproduce the MH OR."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x515_breslow_day,
+    )
+
+    cust = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in load_table(spark, SF, "customer").collect()
+    }
+    okey = {
+        r["o_orderkey"]: cust[r["o_custkey"]]
+        for r in load_table(spark, SF, "orders").collect()
+    }
+    tab = defaultdict(lambda: [0, 0, 0, 0])  # a, b, c, d
+    for r in load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_discount", "l_returnflag"
+    ).collect():
+        seg = okey[r["l_orderkey"]]
+        ex = r["l_discount"] >= 0.06
+        rt = r["l_returnflag"] == "R"
+        tab[seg][0 if (ex and rt) else 1 if ex else 2 if rt else 3] += 1
+    rsum = ssum = 0.0
+    for a, b, c, d in tab.values():
+        n = a + b + c + d
+        rsum += _round_hu(a * d / n, 10)
+        ssum += _round_hu(b * c / n, 10)
+    psi = _round_hu(rsum / ssum, 10)
+    chi2 = 0.0
+    for a, b, c, d in tab.values():
+        n, r1, c1 = float(a + b + c + d), float(a + b), float(a + c)
+        bq = (n - r1 - c1) + psi * (r1 + c1)
+        disc = math.sqrt(bq * bq + 4.0 * (1.0 - psi) * psi * r1 * c1)
+        rp = (-bq + disc) / (2.0 * (1.0 - psi))
+        rm = (-bq - disc) / (2.0 * (1.0 - psi))
+        ae = rp if max(0.0, r1 + c1 - n) < rp < min(r1, c1) else rm
+        assert max(0.0, r1 + c1 - n) < ae < min(r1, c1)
+        # the expected table reproduces psi
+        got_or = (ae * (n - r1 - c1 + ae)) / ((r1 - ae) * (c1 - ae))
+        assert got_or == pytest.approx(psi, rel=1e-9)
+        vinv = (
+            1.0 / ae
+            + 1.0 / (r1 - ae)
+            + 1.0 / (c1 - ae)
+            + 1.0 / (n - r1 - c1 + ae)
+        )
+        chi2 += _round_hu((a - ae) ** 2 * vinv, 8)
+    r = x515_breslow_day(spark, SF).collect()[0]
+    assert r["n_strata"] == len(tab)
+    assert r["df"] == len(tab) - 1
+    assert abs(r["or_mh"] - _round_hu(psi, 6)) < 1e-9
+    assert abs(r["breslow_day_chi2"] - _round_hu(chi2, 4)) < 1e-6
+    assert r["breslow_day_chi2"] >= 0.0
+
+
+def test_fisher_exact_matches_bruteforce(spark):
+    """x516: replay the quantized hypergeometric tail AND check the
+    unquantized exact p (math.comb) agrees to ~1e-9 -- the
+    quantization grid must not move the decision; invariants: 0 <
+    mid_p < p_two <= 1."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x516_fisher_exact,
+    )
+
+    purch = defaultdict(int)
+    users = set()
+    for rr in load_table(spark, SF, "events").select(
+        "user_id", "event_type"
+    ).collect():
+        users.add(rr["user_id"])
+        if rr["event_type"] == "purchase":
+            purch[rr["user_id"]] += 1
+    n1 = sum(1 for u in users if u % 2 == 0)
+    n2 = len(users) - n1
+    conv = {u for u in users if purch[u] >= 14}
+    c1 = len(conv)
+    aobs = sum(1 for u in conv if u % 2 == 0)
+    alo, ahi = max(0, c1 - n2), min(c1, n1)
+    # quantized replay (the committed statistic)
+    steps = {}
+    for a in range(alo, ahi):
+        steps[a] = int(
+            math.floor(
+                (
+                    math.log(n1 - a)
+                    + math.log(c1 - a)
+                    - math.log(a + 1)
+                    - math.log(n2 - c1 + a + 1)
+                )
+                * 1e12
+            )
+        )
+    ls = {alo: 0}
+    for a in range(alo + 1, ahi + 1):
+        ls[a] = ls[a - 1] + steps[a - 1]
+    mx = max(ls.values())
+    ev = {
+        a: int(math.floor(math.exp((l - mx) / 1e12) * 1e15))
+        for a, l in ls.items()
+    }
+    zz = sum(ev.values())
+    eobs = ev[aobs]
+    psum = sum(v for v in ev.values() if v <= eobs)
+    r = x516_fisher_exact(spark, SF).collect()[0]
+    assert (r["n_arm_a"], r["n_arm_b"], r["n_success"], r["a_obs"]) == (
+        n1, n2, c1, aobs,
+    )
+    assert abs(r["p_two_sided"] - _round_hu(psum / zz, 8)) < 1e-9
+    assert abs(r["mid_p"] - _round_hu((psum - eobs / 2.0) / zz, 8)) < 1e-9
+    # unquantized exact hypergeometric must agree closely
+    tot = math.comb(n1 + n2, c1)
+    pmf = {
+        a: math.comb(n1, a) * math.comb(n2, c1 - a) / tot
+        for a in range(alo, ahi + 1)
+    }
+    p_exact = sum(v for a, v in pmf.items() if v <= pmf[aobs] * (1 + 1e-9))
+    assert r["p_two_sided"] == pytest.approx(p_exact, abs=1e-6)
+    assert 0.0 < r["mid_p"] < r["p_two_sided"] <= 1.0
