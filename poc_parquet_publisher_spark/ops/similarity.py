@@ -484,6 +484,40 @@ def lsh_topk(
     return _ranked_topk(scored, k)
 
 
+def lsh_params_for(
+    n: int,
+    threshold: float,
+    target_recall: float = 0.9,
+    target_bucket: int = 256,
+) -> tuple[int, int]:
+    """Deployment schedule for ``lsh_neardup_pairs``' (n_planes, n_bands).
+
+    Band width grows ~log2(n / target_bucket) so per-band bucket
+    occupancy stays bounded as the corpus grows, then n_bands is
+    re-solved for the recall target from the band collision
+    probability p_band = p1^w, p1 = 1 - acos(threshold)/pi. This is
+    the w ~ log n schedule behind the LSH exponent law (candidates ~
+    n^(1+rho), rho = ln(1/p1)/ln 2): the round-8 scale probe measured
+    x28's fixed fixture parameters at t ~ sf^1.63 vs the c=0.4
+    theoretical optimum n^1.66 (BASELINE.md "Wave 2") -- the exponent
+    is a property of the THRESHOLD; tightening to c=0.9 gives n^1.28
+    under this schedule, and loose-threshold sweeps at scale should
+    route to the IVF tier instead.
+    """
+    import math
+
+    band_w = max(2, math.ceil(math.log2(max(2.0, n / target_bucket))))
+    p1 = 1.0 - math.acos(threshold) / math.pi
+    p_band = p1 ** band_w
+    n_bands = max(
+        1,
+        math.ceil(
+            math.log(1.0 - target_recall) / math.log(1.0 - p_band)
+        ),
+    )
+    return band_w * n_bands, n_bands
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

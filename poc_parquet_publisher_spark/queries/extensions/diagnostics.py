@@ -6186,3 +6186,1293 @@ def x516_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("mid_p"),
     )
+
+
+_X517_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         MIN(ts) AS first_ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_p
+  FROM events GROUP BY 1
+),
+lat AS (
+  SELECT (epoch_us(first_p) - epoch_us(first_ts)) // 3600000000 AS h
+  FROM u WHERE first_p IS NOT NULL
+),
+cells AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS c
+  FROM lat WHERE h >= 1 GROUP BY 1
+),
+pos AS (
+  SELECT h, c,
+         COALESCE(SUM(c) OVER (ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cumb,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM cells
+),
+pts AS (
+  SELECT CAST(round(ln(CAST(h AS DOUBLE)), 10) AS DECIMAL(38,10)) AS x,
+         CAST(round(ln(-ln(1.0 -
+           (CAST(cumb AS DOUBLE) + (c + 1.0) / 2.0 - 0.3)
+           / (n + 0.4))), 10) AS DECIMAL(38,10)) AS y
+  FROM pos
+),
+ls AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(SUM(x) AS DECIMAL(38,10)) AS sx,
+         CAST(SUM(y) AS DECIMAL(38,10)) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,20))) AS DECIMAL(38,20)) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DECIMAL(38,20)) AS sxx
+  FROM pts
+),
+fit AS (
+  SELECT m,
+         (m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           AS shape,
+         CAST(sx AS DOUBLE) / m AS mx,
+         CAST(sy AS DOUBLE) / m AS my
+  FROM ls
+)
+SELECT m AS n_distinct_latencies,
+       (SELECT CAST(SUM(c) AS BIGINT) FROM cells) AS n_users,
+       ROUND(shape, 6) AS weibull_shape,
+       ROUND(exp(-(my - shape * mx) / shape), 4) AS weibull_scale_hours
+FROM fit
+"""
+
+
+@register(
+    "x517_weibull_fit",
+    _X517_ORACLE,
+    doc="Weibull fit of time-to-first-purchase (hours from a user's "
+        "first event to their first purchase, uncensored converters "
+        "only, zero-hour latencies dropped -- stated) by "
+        "median-rank regression: ln(-ln(1-F)) on ln(t) with the "
+        "Bernard plotting position (cum + (c+1)/2 - 0.3)/(n + 0.4) "
+        "evaluated ONCE PER DISTINCT latency at its tie-midpoint "
+        "(deterministic, tie-stable -- a documented variant of the "
+        "per-observation textbook form); shape < 1 = decreasing "
+        "conversion hazard (convert-fast-or-never), shape > 1 = "
+        "wear-in -- the PARAMETRIC layer over x166's raw latencies "
+        "and x305/x368's nonparametric survival curves. Exactness: "
+        "integer-hour latencies; ln/plotting terms round 10 into "
+        "DECIMAL before the cell-domain least-squares sums; slope/"
+        "scale assembled in double with fixed order. Scale: one "
+        "user-grain aggregate, then bounded latency-cell algebra",
+)
+def x517_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_p"),
+    )
+    lat = u.filter(F.col("first_p").isNotNull()).select(
+        F.expr(
+            "CAST(timestampdiff(MICROSECOND, first_ts, first_p) "
+            "DIV 3600000000 AS BIGINT)"
+        ).alias("h")
+    )
+    cells = (
+        lat.filter(F.col("h") >= 1)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wo = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    pos = cells.select(
+        "h",
+        "c",
+        F.coalesce(F.sum("c").over(wo), F.lit(0).cast("long")).alias(
+            "cumb"
+        ),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    fpos = (
+        F.col("cumb").cast("double")
+        + (F.col("c") + 1.0) / 2.0
+        - F.lit(0.3)
+    ) / (F.col("n") + 0.4)
+    pts = pos.select(
+        F.round(F.log(F.col("h").cast("double")), 10)
+        .cast("decimal(38,10)")
+        .alias("x"),
+        F.round(F.log(-F.log(F.lit(1.0) - fpos)), 10)
+        .cast("decimal(38,10)")
+        .alias("y"),
+        "n",
+    )
+    ls = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("decimal(38,10)").alias("sx"),
+        F.sum("y").cast("decimal(38,10)").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,20)"))
+        .cast("decimal(38,20)")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,20)"))
+        .cast("decimal(38,20)")
+        .alias("sxx"),
+        F.max("n").alias("n_users"),
+    )
+    md = F.col("m").cast("double")
+    shape = (
+        md * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        md * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    mx = F.col("sx").cast("double") / F.col("m")
+    my = F.col("sy").cast("double") / F.col("m")
+    return ls.select(
+        F.col("m").alias("n_distinct_latencies"),
+        F.col("n_users"),
+        F.round(shape, 6).alias("weibull_shape"),
+        F.round(F.exp(-(my - shape * mx) / shape), 4).alias(
+            "weibull_scale_hours"
+        ),
+    )
+
+
+_X518_ORACLE = """
+WITH mxx AS (SELECT MAX(ts) AS max_ts FROM events),
+u AS (
+  SELECT user_id % 2 AS grp,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 3600000000 AS lt,
+         CASE WHEN epoch_us((SELECT max_ts FROM mxx))
+                   - epoch_us(MAX(ts)) > 86400000000
+              THEN 1 ELSE 0 END AS observed
+  FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM u
+),
+times AS (
+  SELECT lt,
+         CAST(SUM(CASE WHEN grp = 0 THEN observed ELSE 0 END) AS BIGINT)
+           AS d1,
+         CAST(SUM(observed) AS BIGINT) AS dt
+  FROM u GROUP BY 1 HAVING SUM(observed) > 0
+),
+atrisk AS (
+  SELECT t.lt, t.d1, t.dt,
+         (SELECT CAST(count(*) AS BIGINT) FROM u
+          WHERE u.grp = 0 AND u.lt >= t.lt) AS n1,
+         (SELECT CAST(count(*) AS BIGINT) FROM u
+          WHERE u.lt >= t.lt) AS nt
+  FROM times t
+),
+terms AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_times,
+         CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(CAST(round(CAST(dt AS DOUBLE) * n1 / nt, 10)
+                       AS DECIMAL(38,10))) AS DECIMAL(38,10)) AS e1,
+         CAST(SUM(CAST(round(CASE WHEN nt > 1 THEN
+             CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / nt)
+             * (1.0 - CAST(n1 AS DOUBLE) / nt)
+             * (nt - dt) / (nt - 1.0) ELSE 0.0 END, 10)
+           AS DECIMAL(38,10))) AS DECIMAL(38,10)) AS v
+  FROM atrisk
+)
+SELECT tot.na AS n_group_a, tot.nb AS n_group_b, t.n_times,
+       t.o1 AS observed_a,
+       ROUND(CAST(t.e1 AS DOUBLE), 4) AS expected_a,
+       ROUND((t.o1 - CAST(t.e1 AS DOUBLE))
+             * (t.o1 - CAST(t.e1 AS DOUBLE))
+             / CAST(t.v AS DOUBLE), 4) AS logrank_chi2
+FROM terms t, tot
+"""
+
+
+@register(
+    "x518_logrank_test",
+    _X518_ORACLE,
+    doc="log-rank test between the two user-parity arms on x305's "
+        "exact censored-lifetime construction (hours first-to-last "
+        "event; censored when the last event is within a day of "
+        "corpus end): at each distinct death time O-E and the "
+        "hypergeometric variance accumulate, chi2(1) = "
+        "(sum(O-E))^2 / sum(V) -- THE standard two-sample survival "
+        "comparison that x305/x368 describe one curve at a time "
+        "and x431's RMST summarizes at a horizon; the whole-curve "
+        "test a churn experiment reads first. Exactness: exact "
+        "integer at-risk/death counts per distinct lifetime (the "
+        "at-risk counts are suffix sums over the bounded lifetime "
+        "domain); per-time E and V terms round 10 into DECIMAL "
+        "before summing; one final division. Scale: one user-grain "
+        "aggregate, then lifetime-domain algebra",
+)
+def x518_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("user_id") % 2).alias("grp"),
+            F.expr(
+                "CAST(timestampdiff(MICROSECOND, first_ts, last_ts) "
+                "DIV 3600000000 AS BIGINT)"
+            ).alias("lt"),
+            F.when(
+                F.expr("timestampdiff(MICROSECOND, last_ts, max_ts)")
+                > F.lit(86400000000),
+                1,
+            )
+            .otherwise(0)
+            .alias("observed"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = u.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    times = (
+        u.groupBy("lt")
+        .agg(
+            F.sum(F.when(F.col("grp") == 0, F.col("observed")).otherwise(0))
+            .cast("long")
+            .alias("d1"),
+            F.sum("observed").cast("long").alias("dt"),
+        )
+        .filter(F.col("dt") > 0)
+    )
+    # at-risk via suffix sums over the bounded lifetime domain: count
+    # users (per group / total) with lt >= t without correlated
+    # subqueries -- lifetime-cell suffix windows
+    from pyspark.sql import Window
+
+    ucells = u.groupBy("lt").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("ct"),
+    )
+    wsuf = Window.orderBy(F.col("lt").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    suffix = ucells.select(
+        "lt",
+        F.sum("c1").over(wsuf).cast("long").alias("n1"),
+        F.sum("ct").over(wsuf).cast("long").alias("nt"),
+    )
+    atrisk = times.join(suffix, "lt")
+    n1d = F.col("n1").cast("double")
+    ntd = F.col("nt").cast("double")
+    dtd = F.col("dt").cast("double")
+    terms = atrisk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(
+            F.round(dtd * F.col("n1") / F.col("nt"), 10).cast(
+                "decimal(38,10)"
+            )
+        )
+        .cast("decimal(38,10)")
+        .alias("e1"),
+        F.sum(
+            F.round(
+                F.when(
+                    F.col("nt") > 1,
+                    dtd
+                    * (n1d / ntd)
+                    * (F.lit(1.0) - n1d / ntd)
+                    * (F.col("nt") - F.col("dt"))
+                    / (ntd - F.lit(1.0)),
+                ).otherwise(F.lit(0.0)),
+                10,
+            ).cast("decimal(38,10)")
+        )
+        .cast("decimal(38,10)")
+        .alias("v"),
+    )
+    j = terms.crossJoin(F.broadcast(tot))
+    oe = F.col("o1") - F.col("e1").cast("double")
+    return j.select(
+        F.col("na").alias("n_group_a"),
+        F.col("nb").alias("n_group_b"),
+        "n_times",
+        F.col("o1").alias("observed_a"),
+        F.round(F.col("e1").cast("double"), 4).alias("expected_a"),
+        F.round(oe * oe / F.col("v").cast("double"), 4).alias(
+            "logrank_chi2"
+        ),
+    )
+
+
+_X519_ORACLE = (
+    "WITH "
+    + _PAIRED_DAILY_CTE.replace("p AS (", "pp AS (")
+    + """,
+anchor AS (SELECT MIN(day) AS d0 FROM a),
+ty AS (
+  SELECT datediff('day', an.d0, a.day) AS t, a.av AS y,
+         CASE WHEN a.day < DATE '1999-01-01' THEN 0 ELSE 1 END AS seg
+  FROM a, anchor an
+),
+m AS (
+  SELECT seg,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS HUGEINT) AS st,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+         CAST(SUM(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM ty GROUP BY 1
+),
+mall AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(st) AS HUGEINT) AS st,
+         CAST(SUM(sy) AS HUGEINT) AS sy, CAST(SUM(stt) AS HUGEINT) AS stt,
+         CAST(SUM(sty) AS HUGEINT) AS sty, CAST(SUM(syy) AS HUGEINT) AS syy
+  FROM m
+),
+ssr AS (
+  SELECT seg, n,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+         - (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy / n)
+           * (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy / n)
+           / (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / n) AS r,
+         (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy / n)
+           / (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / n) AS slope
+  FROM m
+),
+ssrall AS (
+  SELECT n,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+         - (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy / n)
+           * (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy / n)
+           / (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / n) AS r
+  FROM mall
+)
+SELECT sa.n AS n_days,
+       (SELECT n FROM ssr WHERE seg = 0) AS n_pre,
+       ROUND((SELECT slope FROM ssr WHERE seg = 0), 6) AS slope_pre,
+       ROUND((SELECT slope FROM ssr WHERE seg = 1), 6) AS slope_post,
+       ROUND(((sa.r - (SELECT SUM(r) FROM ssr)) / 2.0)
+             / ((SELECT SUM(r) FROM ssr) / (sa.n - 4.0)), 4)
+         AS chow_f,
+       CAST(sa.n - 4 AS BIGINT) AS df2
+FROM ssrall sa
+"""
+)
+
+
+@register(
+    "x519_chow_test",
+    _X519_ORACLE,
+    doc="Chow test for a structural break in the daily-revenue "
+        "linear trend at 1999-01-01: F = ((SSR_pooled - SSR_pre - "
+        "SSR_post)/k) / ((SSR_pre + SSR_post)/(n - 2k)), k = 2 -- "
+        "the KNOWN-date break test beside x453's unknown-date "
+        "binary segmentation and x418's DiD (which needs a control "
+        "series; Chow needs only the regime date), with the pre/"
+        "post slopes as the effect readout. Exactness: exact "
+        "integer (day-index, cent) moments per segment in HUGEINT/"
+        "DECIMAL; each segment's SSR is ONE fixed-order double "
+        "expression of those moments (the pooled-vs-sum "
+        "cancellation is computed identically on both engines); "
+        "pooled moments are exact sums of the segment moments. "
+        "Scale: one day-grain aggregate, one 2-row segment "
+        "aggregate, constant algebra. NOTE: x504's shared paired "
+        "CTE is inlined for the day spine only (header series)",
+)
+def x519_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    anchor = daily.agg(F.min("day").alias("d0"))
+    ty = daily.crossJoin(F.broadcast(anchor)).select(
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("t"),
+        F.col("y"),
+        F.when(F.col("day") < F.lit("1999-01-01").cast("date"), 0)
+        .otherwise(1)
+        .alias("seg"),
+    )
+    td = F.col("t").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    m = ty.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(td).cast("decimal(38,0)").alias("st"),
+        F.sum(yd).cast("decimal(38,0)").alias("sy"),
+        F.sum(td * F.col("t")).cast("decimal(38,0)").alias("stt"),
+        F.sum(td * F.col("y")).cast("decimal(38,0)").alias("sty"),
+        F.sum(yd * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    ).localCheckpoint(eager=False)
+
+    def ssr_cols(df):
+        n = F.col("n").cast("double")
+        sy = F.col("sy").cast("double")
+        st = F.col("st").cast("double")
+        stt = F.col("stt").cast("double")
+        sty = F.col("sty").cast("double")
+        syy = F.col("syy").cast("double")
+        sxy = sty - st * sy / F.col("n")
+        sxx = stt - st * st / F.col("n")
+        return (syy - sy * sy / F.col("n")) - sxy * sxy / sxx, sxy / sxx
+
+    r_expr, slope_expr = ssr_cols(m)
+    ssr = m.select(
+        "seg", "n", r_expr.alias("r"), slope_expr.alias("slope")
+    )
+    mall = m.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("st").cast("decimal(38,0)").alias("st"),
+        F.sum("sy").cast("decimal(38,0)").alias("sy"),
+        F.sum("stt").cast("decimal(38,0)").alias("stt"),
+        F.sum("sty").cast("decimal(38,0)").alias("sty"),
+        F.sum("syy").cast("decimal(38,0)").alias("syy"),
+    )
+    r_all, _ = ssr_cols(mall)
+    sall = mall.select(F.col("n"), r_all.alias("r"))
+    piv = ssr.agg(
+        F.max(F.when(F.col("seg") == 0, F.col("n"))).alias("n_pre"),
+        F.max(F.when(F.col("seg") == 0, F.col("slope"))).alias("sl0"),
+        F.max(F.when(F.col("seg") == 1, F.col("slope"))).alias("sl1"),
+        F.sum("r").alias("rsum"),
+    )
+    j = sall.crossJoin(F.broadcast(piv))
+    return j.select(
+        F.col("n").alias("n_days"),
+        F.col("n_pre").cast("long").alias("n_pre"),
+        F.round("sl0", 6).alias("slope_pre"),
+        F.round("sl1", 6).alias("slope_post"),
+        F.round(
+            ((F.col("r") - F.col("rsum")) / F.lit(2.0))
+            / (F.col("rsum") / (F.col("n") - F.lit(4.0))),
+            4,
+        ).alias("chow_f"),
+        (F.col("n") - 4).cast("long").alias("df2"),
+    )
+
+
+_X520_ORACLE = (
+    "WITH "
+    + _PAIRED_DAILY_CTE
+    + """,
+m AS (
+  SELECT CAST(SUM(CASE WHEN av > bv THEN 1 ELSE 0 END) AS BIGINT)
+           AS npos,
+         CAST(SUM(CASE WHEN av < bv THEN 1 ELSE 0 END) AS BIGINT)
+           AS nneg
+  FROM p
+),
+dom AS (
+  SELECT m.npos, m.nneg, m.npos + m.nneg AS mm, t.k
+  FROM m, UNNEST(range(0, m.npos + m.nneg + 1)) AS t(k)
+),
+steps AS (
+  SELECT k, npos, nneg, mm,
+         CASE WHEN k < mm THEN
+           CAST(floor((ln(CAST(mm - k AS DOUBLE))
+                       - ln(CAST(k + 1 AS DOUBLE)))
+                      * 1000000000000.0) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS st
+  FROM dom
+),
+lpre AS (
+  SELECT k, npos, nneg, mm,
+         COALESCE(SUM(st) OVER (ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS l
+  FROM steps
+),
+mx AS (SELECT MAX(l) AS mxl FROM lpre),
+e AS (
+  SELECT k, npos, nneg, mm,
+         CAST(floor(exp(CAST(l - mx.mxl AS DOUBLE) / 1000000000000.0)
+                    * 1000000000000000.0) AS BIGINT) AS ev
+  FROM lpre, mx
+),
+z AS (
+  SELECT CAST(SUM(ev) AS HUGEINT) AS zz,
+         CAST(MAX(CASE WHEN k = npos THEN ev END) AS BIGINT) AS eobs
+  FROM e
+),
+p2 AS (
+  SELECT CAST(SUM(CASE WHEN e.ev <= z.eobs THEN CAST(e.ev AS HUGEINT)
+                  ELSE 0 END) AS HUGEINT) AS psum
+  FROM e, z
+)
+SELECT m.npos AS n_a_above, m.nneg AS n_b_above,
+       m.npos + m.nneg AS n_informative,
+       ROUND(CAST(p2.psum AS DOUBLE) / CAST(z.zz AS DOUBLE), 8)
+         AS p_two_sided,
+       ROUND((m.npos - CAST(m.npos + m.nneg AS DOUBLE) / 2.0)
+             / sqrt(CAST(m.npos + m.nneg AS DOUBLE) / 4.0), 4)
+         AS sign_z
+FROM m, z, p2
+"""
+)
+
+
+@register(
+    "x520_sign_test",
+    _X520_ORACLE,
+    doc="exact sign test on the x504 paired daily measurements "
+        "(header vs lineitem-derived revenue): under H0 each "
+        "informative day is a fair coin, so the EXACT Binomial(m, "
+        "1/2) two-sided p (point-probability rule; tied days "
+        "dropped -- stated) decides whether the bias x504 "
+        "quantifies is systematic in DIRECTION, with no "
+        "distributional assumption at all (x521's signed-rank adds "
+        "magnitude, x444's t adds normality -- this is the "
+        "assumption-free floor of that ladder). Exactness: x516's "
+        "lgamma-free machinery with the p=1/2 factor cancelling "
+        "into the max-shift: quantized log-ratio steps ln(m-k) - "
+        "ln(k+1), exact integer prefix sums, 1e15-floor weights, "
+        "integer tail selection, one division. SATURATION: weights "
+        "below 1e-15 of the mode floor to 0, so p below ~1e-15 "
+        "emits EXACTLY 0 (this fixture's header-vs-lineitem bias "
+        "is that lopsided -- measured); the sign_z column carries "
+        "the magnitude past the grid (the deliberate trade: an "
+        "exact grid over an approximate tail). Scale: one "
+        "day-grain reduction; the support domain is m+1 rows "
+        "through one task (m = informative days, bounded by the "
+        "date range)",
+)
+def x520_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = _paired_daily(spark, sf_dir)
+    m = p.agg(
+        F.sum(F.when(F.col("av") > F.col("bv"), 1).otherwise(0))
+        .cast("long")
+        .alias("npos"),
+        F.sum(F.when(F.col("av") < F.col("bv"), 1).otherwise(0))
+        .cast("long")
+        .alias("nneg"),
+    ).localCheckpoint(eager=False)
+    dom = m.select(
+        "npos",
+        "nneg",
+        (F.col("npos") + F.col("nneg")).alias("mm"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.col("npos") + F.col("nneg")
+            )
+        ).alias("k"),
+    )
+    step = F.when(
+        F.col("k") < F.col("mm"),
+        F.floor(
+            (
+                F.log((F.col("mm") - F.col("k")).cast("double"))
+                - F.log((F.col("k") + 1).cast("double"))
+            )
+            * F.lit(1e12)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    lpre = dom.select(
+        "k",
+        "npos",
+        "nneg",
+        "mm",
+        F.coalesce(F.sum(step).over(w), F.lit(0).cast("long")).alias("l"),
+    )
+    mx = lpre.agg(F.max("l").alias("mxl"))
+    e = lpre.crossJoin(F.broadcast(mx)).select(
+        "k",
+        "npos",
+        "nneg",
+        "mm",
+        F.floor(
+            F.exp((F.col("l") - F.col("mxl")).cast("double") / F.lit(1e12))
+            * F.lit(1e15)
+        )
+        .cast("long")
+        .alias("ev"),
+    )
+    z = e.agg(
+        F.sum(F.col("ev").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("zz"),
+        F.max(F.when(F.col("k") == F.col("npos"), F.col("ev")))
+        .cast("long")
+        .alias("eobs"),
+    )
+    p2 = e.crossJoin(F.broadcast(z)).agg(
+        F.sum(
+            F.when(
+                F.col("ev") <= F.col("eobs"),
+                F.col("ev").cast("decimal(38,0)"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("psum")
+    )
+    j = m.crossJoin(F.broadcast(z)).crossJoin(F.broadcast(p2))
+    mm = (F.col("npos") + F.col("nneg")).cast("double")
+    return j.select(
+        F.col("npos").alias("n_a_above"),
+        F.col("nneg").alias("n_b_above"),
+        (F.col("npos") + F.col("nneg")).cast("long").alias(
+            "n_informative"
+        ),
+        F.round(
+            F.col("psum").cast("double") / F.col("zz").cast("double"), 8
+        ).alias("p_two_sided"),
+        F.round(
+            (F.col("npos") - mm / F.lit(2.0)) / F.sqrt(mm / F.lit(4.0)),
+            4,
+        ).alias("sign_z"),
+    )
+
+
+_X521_ORACLE = (
+    "WITH "
+    + _PAIRED_DAILY_CTE
+    + """,
+d AS (
+  SELECT av - bv AS dd, abs(av - bv) AS ad
+  FROM p WHERE av <> bv
+),
+rk AS (
+  SELECT dd,
+         CAST(2 * RANK() OVER (ORDER BY ad)
+              + COUNT(*) OVER (PARTITION BY ad) - 1 AS BIGINT) AS dr
+  FROM d
+),
+tie AS (
+  SELECT CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS t3
+  FROM (SELECT count(*) AS t FROM d GROUP BY ad)
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN dd > 0 THEN dr ELSE 0 END) AS HUGEINT) AS w2
+  FROM rk
+)
+SELECT s.n AS n_informative,
+       CAST(s.w2 AS BIGINT) AS w_plus_doubled,
+       ROUND((CAST(s.w2 AS DOUBLE) - CAST(s.n AS DOUBLE) * (s.n + 1) / 2.0)
+             / sqrt(4.0 * (CAST(s.n AS DOUBLE) * (s.n + 1)
+                           * (2.0 * s.n + 1) / 24.0
+                           - CAST(tie.t3 AS DOUBLE) / 48.0)), 4)
+         AS wilcoxon_z
+FROM s, tie
+"""
+)
+
+
+@register(
+    "x521_wilcoxon_signed_rank",
+    _X521_ORACLE,
+    doc="Wilcoxon signed-rank test on the x504 paired days: ranks of "
+        "|d| (zeros dropped, midranks for ties) signed by d, W+ "
+        "standardized with the tie-corrected null variance "
+        "n(n+1)(2n+1)/24 - sum(t^3-t)/48 -- the magnitude-aware "
+        "middle rung between x520's sign test (direction only) and "
+        "x444's t (needs normality): a few huge disagreement days "
+        "move W+ by their rank, not their size. Exactness: the "
+        "doubled-midrank identity 2*rank + tiecount - 1 makes "
+        "every rank an exact integer (W2 = 2W+ exact HUGEINT), "
+        "tie correction an exact integer sum; ONE final "
+        "standardization in double (no continuity correction -- "
+        "stated). Scale: differences ride the bounded day domain; "
+        "the rank window is day-cardinality",
+)
+def x521_wilcoxon_signed_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = _paired_daily(spark, sf_dir)
+    d = p.filter(F.col("av") != F.col("bv")).select(
+        (F.col("av") - F.col("bv")).alias("dd"),
+        F.abs(F.col("av") - F.col("bv")).alias("ad"),
+    )
+    rk = d.select(
+        "dd",
+        (
+            2 * F.rank().over(Window.orderBy("ad"))
+            + F.count(F.lit(1)).over(Window.partitionBy("ad"))
+            - 1
+        )
+        .cast("long")
+        .alias("dr"),
+    )
+    tie = (
+        d.groupBy("ad")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+                - F.col("t")
+            )
+            .cast("decimal(38,0)")
+            .alias("t3")
+        )
+    )
+    s = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("dd") > 0, F.col("dr")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("w2"),
+    )
+    j = s.crossJoin(F.broadcast(tie))
+    nd = F.col("n").cast("double")
+    return j.select(
+        F.col("n").alias("n_informative"),
+        F.col("w2").cast("long").alias("w_plus_doubled"),
+        F.round(
+            (
+                F.col("w2").cast("double")
+                - nd * (F.col("n") + 1) / F.lit(2.0)
+            )
+            / F.sqrt(
+                F.lit(4.0)
+                * (
+                    nd * (F.col("n") + 1) * (F.lit(2.0) * F.col("n") + 1)
+                    / F.lit(24.0)
+                    - F.col("t3").cast("double") / F.lit(48.0)
+                )
+            ),
+            4,
+        ).alias("wilcoxon_z"),
+    )
+
+
+_X522_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+obs AS (
+  SELECT CAST(floor((CAST(SUM(CASE WHEN user_id % 2 = 1 THEN s END)
+                          AS DOUBLE)
+                     / SUM(CASE WHEN user_id % 2 = 1 THEN c END)
+                     - CAST(SUM(CASE WHEN user_id % 2 = 0 THEN s END)
+                            AS DOUBLE)
+                       / SUM(CASE WHEN user_id % 2 = 0 THEN c END))
+                    * 100000000.0) AS BIGINT) AS q
+  FROM u
+),
+reps AS (
+  SELECT r.r, CAST(floor(
+           (CAST(SUM(CASE WHEN substr(md5(CAST(u.user_id AS VARCHAR)
+                            || ':perm:' || CAST(r.r AS VARCHAR)), 1, 4)
+                          < '8000' THEN u.s END) AS DOUBLE)
+            / SUM(CASE WHEN substr(md5(CAST(u.user_id AS VARCHAR)
+                            || ':perm:' || CAST(r.r AS VARCHAR)), 1, 4)
+                       < '8000' THEN u.c END)
+            - CAST(SUM(CASE WHEN substr(md5(CAST(u.user_id AS VARCHAR)
+                            || ':perm:' || CAST(r.r AS VARCHAR)), 1, 4)
+                           >= '8000' THEN u.s END) AS DOUBLE)
+              / SUM(CASE WHEN substr(md5(CAST(u.user_id AS VARCHAR)
+                            || ':perm:' || CAST(r.r AS VARCHAR)), 1, 4)
+                         >= '8000' THEN u.c END))
+           * 100000000.0) AS BIGINT) AS q
+  FROM u, UNNEST(range(1, 33)) AS r(r)
+  GROUP BY 1
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_users,
+       ROUND(CAST(obs.q AS DOUBLE) / 100000000.0, 6) AS observed_diff,
+       CAST((SELECT SUM(CASE WHEN abs(reps.q) >= abs(obs.q)
+                        THEN 1 ELSE 0 END) FROM reps) AS BIGINT)
+         AS n_as_extreme,
+       ROUND((1.0 + (SELECT SUM(CASE WHEN abs(reps.q) >= abs(obs.q)
+                              THEN 1 ELSE 0 END) FROM reps))
+             / 33.0, 6) AS p_value
+FROM obs
+"""
+
+
+@register(
+    "x522_rerandomization_test",
+    _X522_ORACLE,
+    doc="md5-derandomized re-randomization test for the arm "
+        "difference in mean event value (cents): 32 deterministic "
+        "pseudo-assignments md5(user:perm:r) < '8000' replay the "
+        "randomization null, p = (1 + #{|stat_r| >= |stat_obs|}) "
+        "/ 33 (add-one rule) -- the assumption-free significance "
+        "layer x328's Poisson bootstrap (variance) and x125's "
+        "normal CI (model) do not give: the null distribution "
+        "comes from re-running the ASSIGNMENT, the Fisherian sharp-"
+        "null logic, derandomized the same way as every hash-split "
+        "in this registry (x18/x421). Exactness: per-user exact "
+        "integer (sum, count); each replicate's statistic is one "
+        "fixed-order double expression 1e8-floor-quantized before "
+        "the integer comparisons, so the extremeness counts are "
+        "engine-exact. Scale: one user-grain aggregate, x32 "
+        "replicate fan-out on the user table, 32-row reduction",
+)
+def x522_rerandomization_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    ).localCheckpoint(eager=False)
+
+    def qdiff(treat_cond):
+        return F.floor(
+            (
+                F.sum(F.when(treat_cond, F.col("s"))).cast("double")
+                / F.sum(F.when(treat_cond, F.col("c")))
+                - F.sum(F.when(~treat_cond, F.col("s"))).cast("double")
+                / F.sum(F.when(~treat_cond, F.col("c")))
+            )
+            * F.lit(1e8)
+        ).cast("long")
+
+    obs = u.agg(qdiff(F.col("user_id") % 2 == 1).alias("q"))
+    reps = (
+        u.crossJoin(
+            F.broadcast(
+                u.sparkSession.createDataFrame(
+                    [(r,) for r in range(1, 33)], "r int"
+                )
+            )
+        )
+        .groupBy("r")
+        .agg(
+            qdiff(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"),
+                            F.lit(":perm:"),
+                            F.col("r").cast("string"),
+                        )
+                    ),
+                    1,
+                    4,
+                )
+                < "8000"
+            ).alias("q")
+        )
+    )
+    nu = u.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    cnt = reps.crossJoin(F.broadcast(obs.select(F.col("q").alias("qo")))).agg(
+        F.sum(
+            F.when(F.abs(F.col("q")) >= F.abs(F.col("qo")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_extreme")
+    )
+    j = nu.crossJoin(F.broadcast(obs)).crossJoin(F.broadcast(cnt))
+    return j.select(
+        "n_users",
+        F.round(F.col("q").cast("double") / F.lit(1e8), 6).alias(
+            "observed_diff"
+        ),
+        F.col("n_extreme").alias("n_as_extreme"),
+        F.round(
+            (F.lit(1.0) + F.col("n_extreme")) / F.lit(33.0), 6
+        ).alias("p_value"),
+    )
+
+
+_X523_ORACLE = """
+WITH s AS (
+  SELECT source,
+         CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS sup
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(sup) AS BIGINT) AS t,
+         CAST(SUM(sup) // 2 AS BIGINT) AS budget,
+         CAST(count(*) AS BIGINT) AS m
+  FROM s
+),
+r AS (
+  SELECT s.source, s.sup, tot.budget, tot.m,
+         CAST(ROW_NUMBER() OVER (ORDER BY s.sup, s.source) AS BIGINT)
+           AS j,
+         COALESCE(SUM(s.sup) OVER (ORDER BY s.sup, s.source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pj
+  FROM s, tot
+),
+lev AS (
+  SELECT MAX(CASE WHEN pj + sup * (m - j + 1) <= budget THEN j
+             ELSE 0 END) AS jstar
+  FROM r
+),
+lam AS (
+  SELECT r.budget, r.m, lev.jstar,
+         (SELECT COALESCE(SUM(sup), 0) FROM r r2
+          WHERE r2.j <= lev.jstar) AS psat,
+         CASE WHEN lev.jstar < r.m THEN
+           (r.budget - (SELECT COALESCE(SUM(sup), 0) FROM r r2
+                        WHERE r2.j <= lev.jstar))
+           // (r.m - lev.jstar)
+         ELSE CAST(0 AS BIGINT) END AS lambda_tok
+  FROM r, lev LIMIT 1
+)
+SELECT r.source, r.sup AS supply_tokens,
+       CASE WHEN r.j <= lam.jstar THEN r.sup
+            ELSE lam.lambda_tok END AS allocation_tokens,
+       CASE WHEN r.j <= lam.jstar THEN 1 ELSE 0 END AS saturated,
+       lam.lambda_tok AS water_level
+FROM r, lam
+ORDER BY r.source
+"""
+
+
+@register(
+    "x523_waterfill_budget",
+    _X523_ORACLE,
+    doc="water-filling allocation of a global token budget (pinned: "
+        "half the corpus) across sources: every source gets "
+        "min(supply, lambda) with ONE water level lambda chosen so "
+        "the budget is exhausted -- small sources keep everything, "
+        "large sources are capped at the same level, the "
+        "max-min-fair allocation a mixing planner actually ships "
+        "(x46's temperature weights SCORE sources; this CUTS the "
+        "budget); the classic sorted-prefix closed form: j* = "
+        "largest rank where saturating through rank j fits the "
+        "budget, lambda = (B - P_j*) div (m - j*) on the integer "
+        "token grid (allocations are exact integers; the < m-token "
+        "floor remainder is deliberately left unallocated -- "
+        "stated). Exactness: exact integer token sums, rank/prefix "
+        "windows over the source domain, integer div. Scale: one "
+        "corpus pass to source supplies, then source-cardinality "
+        "window algebra",
+)
+def x523_waterfill_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.lower(F.col("text")), " ")))
+        .cast("long")
+        .alias("sup")
+    )
+    tot = s.agg(
+        F.sum("sup").cast("long").alias("t"),
+        F.expr("CAST(sum(sup) div 2 AS BIGINT)").alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    wo = Window.orderBy("sup", "source")
+    r = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "sup",
+        "budget",
+        "m",
+        F.row_number().over(wo).cast("long").alias("j"),
+        F.coalesce(
+            F.sum("sup").over(
+                wo.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("pj"),
+    ).localCheckpoint(eager=False)
+    lev = r.agg(
+        F.max(
+            F.when(
+                F.col("pj") + F.col("sup") * (F.col("m") - F.col("j") + 1)
+                <= F.col("budget"),
+                F.col("j"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("jstar")
+    )
+    rj = r.crossJoin(F.broadcast(lev))
+    psat = rj.filter(F.col("j") <= F.col("jstar")).agg(
+        F.coalesce(F.sum("sup"), F.lit(0)).cast("long").alias("psat")
+    )
+    lam = (
+        r.select("budget", "m")
+        .limit(1)
+        .crossJoin(F.broadcast(lev))
+        .crossJoin(F.broadcast(psat))
+        .select(
+            "jstar",
+            F.when(
+                F.col("jstar") < F.col("m"),
+                F.expr("CAST((budget - psat) div (m - jstar) AS BIGINT)"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("lambda_tok"),
+        )
+    )
+    out = r.crossJoin(F.broadcast(lam))
+    return out.select(
+        "source",
+        F.col("sup").alias("supply_tokens"),
+        F.when(F.col("j") <= F.col("jstar"), F.col("sup"))
+        .otherwise(F.col("lambda_tok"))
+        .cast("long")
+        .alias("allocation_tokens"),
+        F.when(F.col("j") <= F.col("jstar"), 1).otherwise(0).alias(
+            "saturated"
+        ),
+        F.col("lambda_tok").alias("water_level"),
+    ).orderBy("source")
+
+
+_X524_ORACLE = """
+WITH d AS (SELECT source, lang FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+hs AS (
+  SELECT CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE))
+                                 * 1000000000000.0) AS BIGINT))
+              AS HUGEINT) AS sc
+  FROM (SELECT count(*) AS c FROM d GROUP BY source)
+),
+hl AS (
+  SELECT CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE))
+                                 * 1000000000000.0) AS BIGINT))
+              AS HUGEINT) AS sc
+  FROM (SELECT count(*) AS c FROM d GROUP BY lang)
+),
+hj AS (
+  SELECT CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE))
+                                 * 1000000000000.0) AS BIGINT))
+              AS HUGEINT) AS sc
+  FROM (SELECT count(*) AS c FROM d GROUP BY source, lang)
+),
+h AS (
+  SELECT n.n,
+         ln(CAST(n.n AS DOUBLE)) - CAST(hs.sc AS DOUBLE)
+           / (n.n * 1000000000000.0) AS h_source,
+         ln(CAST(n.n AS DOUBLE)) - CAST(hl.sc AS DOUBLE)
+           / (n.n * 1000000000000.0) AS h_lang,
+         ln(CAST(n.n AS DOUBLE)) - CAST(hj.sc AS DOUBLE)
+           / (n.n * 1000000000000.0) AS h_joint
+  FROM n, hs, hl, hj
+)
+SELECT n AS n_docs,
+       ROUND(h_source, 6) AS h_source,
+       ROUND(h_lang, 6) AS h_lang,
+       ROUND(h_joint, 6) AS h_joint,
+       ROUND((h_source + h_lang - h_joint) / h_lang, 6)
+         AS u_lang_given_source,
+       ROUND((h_source + h_lang - h_joint) / h_source, 6)
+         AS u_source_given_lang,
+       ROUND(2.0 * (h_source + h_lang - h_joint)
+             / (h_source + h_lang), 6) AS u_symmetric
+FROM h
+"""
+
+
+@register(
+    "x524_theils_u",
+    _X524_ORACLE,
+    doc="Theil's uncertainty coefficient between source and lang: "
+        "U(lang|source) = I(source;lang)/H(lang) -- the share of "
+        "label entropy the source already tells you -- plus the "
+        "reverse direction and the symmetric form; the ASYMMETRIC, "
+        "[0,1]-normalized association x148's chi2 (significance) "
+        "and x480's Cramer's V (symmetric strength) don't give: V "
+        "can't say WHICH variable predicts which, U can. "
+        "Exactness: every entropy uses the exact-count identity "
+        "H = ln n - (1/n) sum c*ln(c) with ln(c) quantized "
+        "1e12-floor, so the three entropy accumulators are exact "
+        "integer sums (count-weighted) and H/U assemble in double "
+        "at the end. Scale: three hash aggregates over the "
+        "(source), (lang), (source,lang) domains -- all bounded",
+)
+def x524_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("source", "lang").localCheckpoint(eager=False)
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def ent_sum(*cols):
+        return (
+            d.groupBy(*cols)
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .agg(
+                F.sum(
+                    F.col("c").cast("decimal(38,0)")
+                    * F.floor(
+                        F.log(F.col("c").cast("double")) * F.lit(1e12)
+                    ).cast("long")
+                )
+                .cast("decimal(38,0)")
+                .alias("sc")
+            )
+        )
+
+    hs = ent_sum("source").select(F.col("sc").alias("scs"))
+    hl = ent_sum("lang").select(F.col("sc").alias("scl"))
+    hj = ent_sum("source", "lang").select(F.col("sc").alias("scj"))
+    j = (
+        n.crossJoin(F.broadcast(hs))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hj))
+    )
+    nd = F.col("n").cast("double")
+
+    def h(sc):
+        return F.log(nd) - sc.cast("double") / (nd * F.lit(1e12))
+
+    h_s, h_l, h_j = h(F.col("scs")), h(F.col("scl")), h(F.col("scj"))
+    mi = h_s + h_l - h_j
+    return j.select(
+        F.col("n").alias("n_docs"),
+        F.round(h_s, 6).alias("h_source"),
+        F.round(h_l, 6).alias("h_lang"),
+        F.round(h_j, 6).alias("h_joint"),
+        F.round(mi / h_l, 6).alias("u_lang_given_source"),
+        F.round(mi / h_s, 6).alias("u_source_given_lang"),
+        F.round(F.lit(2.0) * mi / (h_s + h_l), 6).alias("u_symmetric"),
+    )
+
+
+_X525_ORACLE = """
+WITH d AS (
+  SELECT source,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok
+  FROM documents
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+med AS (
+  SELECT MIN(tok) AS med FROM (
+    SELECT tok, SUM(count(*)) OVER (ORDER BY tok
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM d GROUP BY tok
+  ) c, n
+  WHERE c.cum >= (n.n + 1) // 2
+),
+cells AS (
+  SELECT d.source,
+         CAST(SUM(CASE WHEN d.tok > med.med THEN 1 ELSE 0 END)
+              AS BIGINT) AS above,
+         CAST(SUM(CASE WHEN d.tok <= med.med THEN 1 ELSE 0 END)
+              AS BIGINT) AS notabove
+  FROM d, med GROUP BY 1
+),
+marg AS (
+  SELECT CAST(SUM(above) AS BIGINT) AS ta,
+         CAST(SUM(notabove) AS BIGINT) AS tn,
+         CAST(SUM(above + notabove) AS BIGINT) AS nn,
+         CAST(count(*) AS BIGINT) AS k
+  FROM cells
+)
+SELECT marg.k AS n_groups, (SELECT med FROM med) AS grand_median,
+       ROUND(CAST(SUM(CAST(round(
+         (above - CAST(above + notabove AS DOUBLE) * marg.ta / marg.nn)
+         * (above - CAST(above + notabove AS DOUBLE) * marg.ta / marg.nn)
+         / (CAST(above + notabove AS DOUBLE) * marg.ta / marg.nn)
+         + (notabove - CAST(above + notabove AS DOUBLE) * marg.tn
+            / marg.nn)
+           * (notabove - CAST(above + notabove AS DOUBLE) * marg.tn
+              / marg.nn)
+           / (CAST(above + notabove AS DOUBLE) * marg.tn / marg.nn), 8)
+         AS DECIMAL(38,8))) AS DOUBLE), 4) AS mood_chi2,
+       CAST(marg.k - 1 AS BIGINT) AS df
+FROM cells, marg
+GROUP BY marg.k, marg.ta, marg.tn, marg.nn
+"""
+
+
+@register(
+    "x525_mood_median_test",
+    _X525_ORACLE,
+    doc="Mood's median test across the 20 sources on doc token "
+        "counts: counts above vs not-above the grand LOWER median "
+        "(the smallest value whose cumulative count reaches "
+        "ceil(n/2) -- the x254 DISC seam, so both engines pick the "
+        "same actual value; ties-with-median count as not-above, "
+        "stated), chi2 over the k x 2 table with margin-derived "
+        "expecteds -- the crudest-but-most-robust k-group location "
+        "test: where x363's Kruskal-Wallis uses full rank "
+        "information, Mood's only needs the median crossing, so "
+        "it survives arbitrary monotone distortion and censoring "
+        "of the tails. Exactness: exact integer cells and margins; "
+        "per-cell chi2 terms are one fixed-order double expression "
+        "rounded 8 into DECIMAL before the k-row sum. Scale: one "
+        "corpus pass to (source, above) cells + the bounded "
+        "token-count domain for the median",
+)
+def x525_mood_median_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.size(F.split(F.lower(F.col("text")), " "))
+        .cast("long")
+        .alias("tok"),
+    ).localCheckpoint(eager=False)
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cum = (
+        d.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            "tok",
+            F.sum("c")
+            .over(
+                Window.orderBy("tok").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .cast("long")
+            .alias("cum"),
+        )
+    )
+    med = (
+        cum.crossJoin(F.broadcast(n))
+        .filter(F.col("cum") >= F.expr("CAST((n + 1) div 2 AS BIGINT)"))
+        .agg(F.min("tok").cast("long").alias("med"))
+    )
+    cells = (
+        d.crossJoin(F.broadcast(med))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("tok") > F.col("med"), 1).otherwise(0))
+            .cast("long")
+            .alias("above"),
+            F.sum(F.when(F.col("tok") <= F.col("med"), 1).otherwise(0))
+            .cast("long")
+            .alias("notabove"),
+        )
+    )
+    marg = cells.agg(
+        F.sum("above").cast("long").alias("ta"),
+        F.sum("notabove").cast("long").alias("tn"),
+        F.sum(F.col("above") + F.col("notabove")).cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    jn = cells.crossJoin(F.broadcast(marg))
+    ri = (F.col("above") + F.col("notabove")).cast("double")
+    ea = ri * F.col("ta") / F.col("nn")
+    en = ri * F.col("tn") / F.col("nn")
+    term = (
+        (F.col("above") - ea) * (F.col("above") - ea) / ea
+        + (F.col("notabove") - en) * (F.col("notabove") - en) / en
+    )
+    agg = jn.agg(
+        F.max("k").alias("k"),
+        F.round(
+            F.sum(F.round(term, 8).cast("decimal(38,8)")).cast("double"),
+            4,
+        ).alias("mood_chi2"),
+    )
+    return agg.crossJoin(F.broadcast(med)).select(
+        F.col("k").alias("n_groups"),
+        F.col("med").alias("grand_median"),
+        "mood_chi2",
+        (F.col("k") - 1).cast("long").alias("df"),
+    )

@@ -804,9 +804,17 @@ def x15_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # approximate candidate set; recall vs the exact x09 scan in tests
     doc="scale-tier embedding near-dup: hyperplane-LSH banded self-join "
         "for candidate pairs, then exact cosine on the pair (vectors "
-        "attached via two equi-joins back to the corpus). Sub-quadratic "
-        "and fully distributed -- x09's exact all-pairs scan stays as "
-        "the oracle/correctness tier only",
+        "attached via two equi-joins back to the corpus); x09's exact "
+        "all-pairs scan stays as the oracle/correctness tier only. "
+        "Scale law (measured, round-8 probe): with the fixture-pinned "
+        "(16 planes, 8 bands) this entry runs t ~ n^1.63 over the "
+        "sf0.1->sf1.0 decade -- the hyperplane-LSH THEORETICAL "
+        "optimum n^(1+rho) for its deliberately loose threshold 0.4 "
+        "(rho = ln(1/0.631)/ln 2 = 0.664 -> n^1.66; BASELINE.md "
+        "'Wave 2'): the exponent is a property of the THRESHOLD, not "
+        "the plan. A deployment uses similarity.lsh_params_for's "
+        "w ~ log2(n) schedule (n^1.28 at c=0.9) or routes "
+        "loose-threshold sweeps to x15's IVF tier",
 )
 def x28_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -6959,3 +6959,413 @@ def test_fisher_exact_matches_bruteforce(spark):
     p_exact = sum(v for a, v in pmf.items() if v <= pmf[aobs] * (1 + 1e-9))
     assert r["p_two_sided"] == pytest.approx(p_exact, abs=1e-6)
     assert 0.0 < r["mid_p"] < r["p_two_sided"] <= 1.0
+
+
+def test_weibull_fit_matches_bruteforce(spark):
+    """x517: replay the median-rank regression on latency cells;
+    invariants: shape > 0, scale > 0, and the fitted line's r^2
+    on the plotting points is decent (> 0.8 -- the fixture is
+    near-exponential so the fit should be tight)."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x517_weibull_fit,
+    )
+
+    first_ts = {}
+    first_p = {}
+    for rr in load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect():
+        u = rr["user_id"]
+        if u not in first_ts or rr["ts"] < first_ts[u]:
+            first_ts[u] = rr["ts"]
+        if rr["event_type"] == "purchase" and (
+            u not in first_p or rr["ts"] < first_p[u]
+        ):
+            first_p[u] = rr["ts"]
+    cells = defaultdict(int)
+    for u, tp in first_p.items():
+        h = int((tp - first_ts[u]).total_seconds() * 1e6) // 3_600_000_000
+        if h >= 1:
+            cells[h] += 1
+    n = sum(cells.values())
+    pts = []
+    cumb = 0
+    for h in sorted(cells):
+        c = cells[h]
+        fpos = (cumb + (c + 1) / 2.0 - 0.3) / (n + 0.4)
+        pts.append(
+            (
+                _round_hu(math.log(h), 10),
+                _round_hu(math.log(-math.log(1.0 - fpos)), 10),
+            )
+        )
+        cumb += c
+    m = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    shape = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    scale = math.exp(-(sy / m - shape * sx / m) / shape)
+    r = x517_weibull_fit(spark, SF).collect()[0]
+    assert (r["n_distinct_latencies"], r["n_users"]) == (m, n)
+    assert abs(r["weibull_shape"] - _round_hu(shape, 6)) < 1e-6
+    assert abs(r["weibull_scale_hours"] - _round_hu(scale, 4)) < 1e-3
+    assert r["weibull_shape"] > 0 and r["weibull_scale_hours"] > 0
+    syy = sum(y * y for _, y in pts)
+    r2 = (m * sxy - sx * sy) ** 2 / ((m * sxx - sx * sx) * (m * syy - sy * sy))
+    assert r2 > 0.8
+
+
+def test_logrank_matches_bruteforce(spark):
+    """x518: replay O-E/V over distinct death times; invariants:
+    chi2 >= 0 and sum of expected equals... well, E_a + E_b = d_t
+    per time, so total expected across groups = total deaths."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x518_logrank_test,
+    )
+
+    evs = load_table(spark, SF, "events").select(
+        "user_id", "ts"
+    ).collect()
+    lo, hi = {}, {}
+    for rr in evs:
+        u = rr["user_id"]
+        if u not in lo or rr["ts"] < lo[u]:
+            lo[u] = rr["ts"]
+        if u not in hi or rr["ts"] > hi[u]:
+            hi[u] = rr["ts"]
+    mx = max(hi.values())
+    users = []
+    for u in lo:
+        lt = int((hi[u] - lo[u]).total_seconds() * 1e6) // 3_600_000_000
+        obs = 1 if (mx - hi[u]).total_seconds() * 1e6 > 86_400_000_000 else 0
+        users.append((u % 2, lt, obs))
+    deaths = defaultdict(lambda: [0, 0])
+    for g, lt, obs in users:
+        if obs:
+            deaths[lt][0] += g == 0
+            deaths[lt][1] += 1
+    o1 = e1 = v = 0.0
+    nt_ = 0
+    for t in sorted(deaths):
+        d1, dt = deaths[t]
+        n1 = sum(1 for g, lt, _ in users if g == 0 and lt >= t)
+        nt = sum(1 for _, lt, _ in users if lt >= t)
+        o1 += d1
+        e1 += _round_hu(dt * n1 / nt, 10)
+        if nt > 1:
+            v += _round_hu(
+                dt * (n1 / nt) * (1 - n1 / nt) * (nt - dt) / (nt - 1), 10
+            )
+        nt_ += 1
+    r = x518_logrank_test(spark, SF).collect()[0]
+    assert r["n_times"] == nt_
+    assert r["observed_a"] == int(o1)
+    assert abs(r["expected_a"] - _round_hu(e1, 4)) < 1e-6
+    assert abs(r["logrank_chi2"] - _round_hu((o1 - e1) ** 2 / v, 4)) < 1e-4
+    assert r["logrank_chi2"] >= 0
+
+
+def test_chow_matches_bruteforce(spark):
+    """x519: replay segment SSRs; invariants: F >= 0 (pooled SSR
+    >= sum of segment SSRs -- adding a break never hurts fit)."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x519_chow_test,
+    )
+
+    daily = _daily_cents(spark)
+    d0 = min(daily)
+    import datetime
+
+    cut = datetime.date(1999, 1, 1)
+
+    def ssr_slope(pts):
+        n = len(pts)
+        st = sum(t for t, _ in pts)
+        sy = sum(y for _, y in pts)
+        stt = sum(t * t for t, _ in pts)
+        sty = sum(t * y for t, y in pts)
+        syy = sum(y * y for _, y in pts)
+        sxy = sty - st * sy / n
+        sxx = stt - st * st / n
+        return (syy - sy * sy / n) - sxy * sxy / sxx, sxy / sxx
+
+    pts = [((d - d0).days, y) for d, y in daily.items()]
+    pre = [(t, y) for (t, y), d in zip(pts, daily) if d < cut]
+    post = [(t, y) for (t, y), d in zip(pts, daily) if d >= cut]
+    rp, _sp = ssr_slope(pts)
+    r1, s1 = ssr_slope(pre)
+    r2, s2 = ssr_slope(post)
+    n = len(pts)
+    f = ((rp - r1 - r2) / 2.0) / ((r1 + r2) / (n - 4.0))
+    r = x519_chow_test(spark, SF).collect()[0]
+    assert (r["n_days"], r["n_pre"], r["df2"]) == (n, len(pre), n - 4)
+    assert abs(r["slope_pre"] - _round_hu(s1, 6)) < 1e-6
+    assert abs(r["slope_post"] - _round_hu(s2, 6)) < 1e-6
+    assert abs(r["chow_f"] - _round_hu(f, 4)) < 1e-3
+    assert r["chow_f"] >= 0
+
+
+def test_sign_test_matches_bruteforce(spark):
+    """x520: exact binomial cross-check with math.comb; invariants:
+    p in (0, 1], and p == 1 would require a perfectly balanced
+    split."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x520_sign_test,
+    )
+
+    p = _paired_daily_py(spark)
+    npos = sum(1 for a, b in p if a > b)
+    nneg = sum(1 for a, b in p if a < b)
+    m = npos + nneg
+    tot = 2 ** m
+    pmf_scaled = [math.comb(m, k) for k in range(m + 1)]  # x 2^m
+    pobs = pmf_scaled[npos]
+    p_exact = sum(v for v in pmf_scaled if v <= pobs) / tot
+    r = x520_sign_test(spark, SF).collect()[0]
+    assert (r["n_a_above"], r["n_b_above"], r["n_informative"]) == (
+        npos, nneg, m,
+    )
+    assert r["p_two_sided"] == pytest.approx(p_exact, abs=1e-6)
+    # p saturates to exactly 0 below the 1e-15 weight grid (stated in
+    # the doc); the z column carries the magnitude past the grid
+    assert 0.0 <= r["p_two_sided"] <= 1.0
+    z = (npos - m / 2.0) / math.sqrt(m / 4.0)
+    assert abs(r["sign_z"] - _round_hu(z, 4)) < 1e-9
+    if p_exact < 1e-10:
+        assert abs(r["sign_z"]) > 6.0  # grid saturation only when extreme
+
+
+def test_wilcoxon_signed_rank_matches_bruteforce(spark):
+    """x521: replay doubled midranks, tie correction and z;
+    invariant: W2 between 0 and n(n+1)."""
+    from collections import Counter
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x521_wilcoxon_signed_rank,
+    )
+
+    p = _paired_daily_py(spark)
+    ds = [a - b for a, b in p if a != b]
+    ads = sorted(abs(d) for d in ds)
+    n = len(ds)
+    # doubled midrank of each distinct |d|
+    cnt = Counter(ads)
+    dr = {}
+    seen = 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        dr[v] = 2 * (seen + 1) + c - 1
+        seen += c
+    w2 = sum(dr[abs(d)] for d in ds if d > 0)
+    t3 = sum(c ** 3 - c for c in cnt.values())
+    var4 = 4.0 * (n * (n + 1) * (2 * n + 1) / 24.0 - t3 / 48.0)
+    z = (w2 - n * (n + 1) / 2.0) / math.sqrt(var4)
+    r = x521_wilcoxon_signed_rank(spark, SF).collect()[0]
+    assert r["n_informative"] == n
+    assert r["w_plus_doubled"] == w2
+    assert abs(r["wilcoxon_z"] - _round_hu(z, 4)) < 1e-9
+    assert 0 <= w2 <= n * (n + 1)
+
+
+def test_rerandomization_matches_bruteforce(spark):
+    """x522: replay the 32 md5 pseudo-assignments; invariants:
+    p in [1/33, 1], and the add-one rule is respected."""
+    import hashlib
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x522_rerandomization_test,
+    )
+
+    agg = defaultdict(lambda: [0, 0])
+    for rr in load_table(spark, SF, "events").select(
+        "user_id", "value"
+    ).collect():
+        a = agg[rr["user_id"]]
+        a[0] += int(round(rr["value"] * 100))
+        a[1] += 1
+
+    def qdiff(assign):
+        s1 = c1 = s0 = c0 = 0
+        for u, (s, c) in agg.items():
+            if assign(u):
+                s1 += s
+                c1 += c
+            else:
+                s0 += s
+                c0 += c
+        return int(math.floor((s1 / c1 - s0 / c0) * 1e8))
+
+    qobs = qdiff(lambda u: u % 2 == 1)
+    n_ext = 0
+    for rep in range(1, 33):
+        def assign(u, rep=rep):
+            h = hashlib.md5(f"{u}:perm:{rep}".encode()).hexdigest()
+            return h[:4] < "8000"
+        n_ext += abs(qdiff(assign)) >= abs(qobs)
+    r = x522_rerandomization_test(spark, SF).collect()[0]
+    assert r["n_users"] == len(agg)
+    assert abs(r["observed_diff"] - _round_hu(qobs / 1e8, 6)) < 1e-9
+    assert r["n_as_extreme"] == n_ext
+    assert abs(r["p_value"] - _round_hu((1 + n_ext) / 33.0, 6)) < 1e-9
+    assert 1 / 33.0 - 1e-9 <= r["p_value"] <= 1.0
+
+
+def test_waterfill_matches_bruteforce(spark):
+    """x523: replay the sorted-prefix water level; invariants: total
+    allocation within m tokens of the budget, unsaturated sources
+    all get exactly the water level, saturated sources keep their
+    full supply and sit at or below the level."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x523_waterfill_budget,
+    )
+
+    sup = defaultdict(int)
+    for rr in load_table(spark, SF, "documents").select(
+        "source", "text"
+    ).collect():
+        sup[rr["source"]] += len(rr["text"].lower().split(" "))
+    m = len(sup)
+    budget = sum(sup.values()) // 2
+    order = sorted(sup.items(), key=lambda kv: (kv[1], kv[0]))
+    pj = 0
+    jstar, psat = 0, 0
+    run = 0
+    for j, (_src, s) in enumerate(order, start=1):
+        if run + s * (m - j + 1) <= budget:
+            jstar, psat = j, run + s
+        run += s
+    lam = (budget - psat) // (m - jstar) if jstar < m else 0
+    rows = {r["source"]: r for r in x523_waterfill_budget(spark, SF).collect()}
+    assert len(rows) == m
+    total = 0
+    for j, (src, s) in enumerate(order, start=1):
+        r = rows[src]
+        assert r["supply_tokens"] == s
+        assert r["water_level"] == lam
+        if j <= jstar:
+            assert r["saturated"] == 1 and r["allocation_tokens"] == s
+            assert s <= lam or jstar == m
+        else:
+            assert r["saturated"] == 0 and r["allocation_tokens"] == lam
+        total += r["allocation_tokens"]
+    assert budget - m <= total <= budget
+
+
+def test_theils_u_matches_bruteforce(spark):
+    """x524: replay the three entropies on the quantized-ln grid;
+    invariants: 0 <= U <= 1 in every direction, U_sym between the
+    two conditionals (harmonic-mean-like), H_joint <= H_s + H_l."""
+    from collections import Counter
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x524_theils_u,
+    )
+
+    rows = load_table(spark, SF, "documents").select(
+        "source", "lang"
+    ).collect()
+    n = len(rows)
+
+    def ent(counter):
+        sc = sum(
+            c * int(math.floor(math.log(c) * 1e12))
+            for c in counter.values()
+        )
+        return math.log(n) - sc / (n * 1e12)
+
+    hs = ent(Counter(r["source"] for r in rows))
+    hl = ent(Counter(r["lang"] for r in rows))
+    hj = ent(Counter((r["source"], r["lang"]) for r in rows))
+    mi = hs + hl - hj
+    r = x524_theils_u(spark, SF).collect()[0]
+    assert r["n_docs"] == n
+    assert abs(r["h_source"] - _round_hu(hs, 6)) < 1e-9
+    assert abs(r["h_lang"] - _round_hu(hl, 6)) < 1e-9
+    assert abs(r["h_joint"] - _round_hu(hj, 6)) < 1e-9
+    assert abs(r["u_lang_given_source"] - _round_hu(mi / hl, 6)) < 1e-9
+    assert abs(r["u_source_given_lang"] - _round_hu(mi / hs, 6)) < 1e-9
+    assert abs(r["u_symmetric"] - _round_hu(2 * mi / (hs + hl), 6)) < 1e-9
+    for k in ("u_lang_given_source", "u_source_given_lang", "u_symmetric"):
+        assert -1e-9 <= r[k] <= 1.0
+    assert hj <= hs + hl + 1e-12
+    lo = min(r["u_lang_given_source"], r["u_source_given_lang"])
+    hi2 = max(r["u_lang_given_source"], r["u_source_given_lang"])
+    assert lo - 1e-6 <= r["u_symmetric"] <= hi2 + 1e-6
+
+
+def test_mood_median_matches_bruteforce(spark):
+    """x525: replay the lower median, cells and chi2; invariants:
+    chi2 >= 0, cells sum to n."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x525_mood_median_test,
+    )
+
+    toks = []
+    by_src = defaultdict(list)
+    for rr in load_table(spark, SF, "documents").select(
+        "source", "text"
+    ).collect():
+        t = len(rr["text"].lower().split(" "))
+        toks.append(t)
+        by_src[rr["source"]].append(t)
+    toks.sort()
+    n = len(toks)
+    med = toks[(n + 1) // 2 - 1]
+    ta = sum(1 for t in toks if t > med)
+    tn = n - ta
+    chi2 = 0.0
+    for vs in by_src.values():
+        a = sum(1 for t in vs if t > med)
+        na = len(vs) - a
+        ri = len(vs)
+        ea, en = ri * ta / n, ri * tn / n
+        chi2 += _round_hu((a - ea) ** 2 / ea + (na - en) ** 2 / en, 8)
+    r = x525_mood_median_test(spark, SF).collect()[0]
+    assert r["n_groups"] == len(by_src)
+    assert r["grand_median"] == med
+    assert abs(r["mood_chi2"] - _round_hu(chi2, 4)) < 1e-6
+    assert r["df"] == len(by_src) - 1
+    assert r["mood_chi2"] >= 0
+
+
+def test_lsh_params_schedule_properties():
+    """lsh_params_for: the w ~ log2(n) schedule keeps the band recall
+    guarantee at every scale and shrinks expected random-candidate
+    rate as n grows (the n^(1+rho) law's mechanism)."""
+    from poc_parquet_publisher_spark.ops.similarity import lsh_params_for
+
+    prev_w = 0
+    for n in (200, 2_000, 20_000, 200_000, 2_000_000):
+        for thr in (0.4, 0.9):
+            n_planes, n_bands = lsh_params_for(n, thr, target_recall=0.9)
+            w = n_planes // n_bands
+            p1 = 1.0 - math.acos(thr) / math.pi
+            recall = 1.0 - (1.0 - p1 ** w) ** n_bands
+            assert recall >= 0.9 - 1e-12, (n, thr, recall)
+        # band width grows with n (monotone schedule)
+        w04 = lsh_params_for(n, 0.4)[0] // lsh_params_for(n, 0.4)[1]
+        assert w04 >= prev_w
+        prev_w = w04
+    # fixture scale stays at the small parameters the gates measure
+    n_planes, n_bands = lsh_params_for(200, 0.4)
+    assert n_planes // n_bands == 2
+    # tight thresholds need far fewer bands per unit of band width
+    p_loose = lsh_params_for(1_000_000, 0.4)
+    p_tight = lsh_params_for(1_000_000, 0.9)
+    assert p_tight[1] < p_loose[1]
+    # expected random-pair candidate RATE nb/2^w falls as n grows
+    def rate(n, thr):
+        np_, nb = lsh_params_for(n, thr)
+        return nb / 2.0 ** (np_ // nb)
+    assert rate(2_000_000, 0.9) < rate(20_000, 0.9) < rate(200, 0.9)
