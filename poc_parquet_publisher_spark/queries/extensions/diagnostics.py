@@ -7476,3 +7476,957 @@ def x525_mood_median_test(
         "mood_chi2",
         (F.col("k") - 1).cast("long").alias("df"),
     )
+
+
+_X526_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CASE WHEN CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+              THEN 0 ELSE 1 END AS grp,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+),
+rk AS (
+  SELECT grp,
+         CAST(2 * RANK() OVER (ORDER BY y)
+              + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS dr,
+         CAST(count(*) OVER () AS BIGINT) AS nn
+  FROM daily
+),
+sc AS (
+  SELECT grp, LEAST(dr, 2 * (nn + 1) - dr) AS s2, nn FROM rk
+),
+m AS (
+  SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+         CAST(MAX(nn) AS BIGINT) AS nn,
+         CAST(SUM(CASE WHEN grp = 1 THEN s2 ELSE 0 END) AS HUGEINT)
+           AS t2,
+         CAST(SUM(s2) AS HUGEINT) AS sa,
+         CAST(SUM(CAST(s2 AS HUGEINT) * s2) AS HUGEINT) AS saa
+  FROM sc
+)
+SELECT m1 AS n_post, nn - m1 AS n_pre,
+       CAST(t2 AS BIGINT) AS ab_t_doubled,
+       ROUND((CAST(t2 AS DOUBLE) - CAST(m1 AS DOUBLE) * sa / nn)
+             / sqrt(CAST(m1 AS DOUBLE) * (nn - m1) / (nn - 1.0)
+                    * (CAST(nn AS DOUBLE) * CAST(saa AS DOUBLE)
+                       - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    / (CAST(nn AS DOUBLE) * nn)), 4) AS ansari_z
+FROM m
+"""
+
+
+@register(
+    "x526_ansari_bradley",
+    _X526_ORACLE,
+    doc="Ansari-Bradley rank test for a SCALE difference between "
+        "pre- and post-1999 daily revenue: scores s_i = min(rank, "
+        "N+1-rank) pile mass at the distribution's center, so a "
+        "group with systematically central (low-dispersion) days "
+        "scores high -- the dispersion twin of the location tests "
+        "(x349/x363 ask 'shifted?', this asks 'tighter?'), and the "
+        "rank-robust cousin of x392/x507's variance tests. "
+        "Exactness: the null moments are the EXACT PERMUTATION "
+        "moments computed from the realized score multiset "
+        "(sampling m scores without replacement: E[T] = m*mean, "
+        "Var[T] = m(N-m)/(N-1) * pop-variance), so ties need no "
+        "correction formula AT ALL -- the doubled-midrank identity "
+        "makes every score an exact integer and the variance is "
+        "exact integer moments with one final sqrt. Scale: "
+        "windows ride the bounded day domain",
+)
+def x526_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.when(
+            F.col("o_orderdate").cast("date")
+            < F.lit("1999-01-01").cast("date"),
+            0,
+        )
+        .otherwise(1)
+        .alias("grp"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    rk = daily.select(
+        "grp",
+        (
+            2 * F.rank().over(Window.orderBy("y"))
+            + F.count(F.lit(1)).over(Window.partitionBy("y"))
+            - 1
+        )
+        .cast("long")
+        .alias("dr"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias(
+            "nn"
+        ),
+    )
+    sc = rk.select(
+        "grp",
+        F.least(
+            F.col("dr"), 2 * (F.col("nn") + 1) - F.col("dr")
+        ).alias("s2"),
+        "nn",
+    )
+    s2d = F.col("s2").cast("decimal(38,0)")
+    m = sc.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("m1"),
+        F.max("nn").cast("long").alias("nn"),
+        F.sum(F.when(F.col("grp") == 1, F.col("s2")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("t2"),
+        F.sum(s2d).cast("decimal(38,0)").alias("sa"),
+        F.sum(s2d * F.col("s2")).cast("decimal(38,0)").alias("saa"),
+    )
+    m1d = F.col("m1").cast("double")
+    nnd = F.col("nn").cast("double")
+    sad = F.col("sa").cast("double")
+    var = (
+        m1d
+        * (F.col("nn") - F.col("m1"))
+        / (nnd - 1.0)
+        * (nnd * F.col("saa").cast("double") - sad * sad)
+        / (nnd * F.col("nn"))
+    )
+    return m.select(
+        F.col("m1").alias("n_post"),
+        (F.col("nn") - F.col("m1")).cast("long").alias("n_pre"),
+        F.col("t2").cast("long").alias("ab_t_doubled"),
+        F.round(
+            (F.col("t2").cast("double") - m1d * sad / F.col("nn"))
+            / F.sqrt(var),
+            4,
+        ).alias("ansari_z"),
+    )
+
+
+_X527_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+dom AS (
+  SELECT n.n, t.k FROM n, UNNEST(range(0, n.n + 1)) AS t(k)
+),
+steps AS (
+  SELECT n, k,
+         CASE WHEN k < n THEN
+           CAST(floor((ln(CAST(n - k AS DOUBLE))
+                       - ln(CAST(k + 1 AS DOUBLE)))
+                      * 1000000000000.0) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS st
+  FROM dom
+),
+lpre AS (
+  SELECT n, k,
+         COALESCE(SUM(st) OVER (ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS l
+  FROM steps
+),
+mx AS (SELECT MAX(l) AS mxl FROM lpre),
+e AS (
+  SELECT n, k,
+         CAST(floor(exp(CAST(l - mx.mxl AS DOUBLE) / 1000000000000.0)
+                    * 1000000000000000.0) AS BIGINT) AS ev
+  FROM lpre, mx
+),
+z AS (SELECT CAST(SUM(ev) AS HUGEINT) AS zz FROM e),
+cdf AS (
+  SELECT k,
+         CAST(SUM(ev) OVER (ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS HUGEINT) AS cum,
+         zz
+  FROM e, z
+),
+lrank AS (
+  SELECT COALESCE(MAX(k + 1), 1) AS l,
+         MAX(CASE WHEN CAST(cum AS DOUBLE) / CAST(zz AS DOUBLE)
+                       <= 0.025
+             THEN CAST(cum AS DOUBLE) / CAST(zz AS DOUBLE) END)
+           AS tail_p
+  FROM cdf
+  WHERE CAST(cum AS DOUBLE) / CAST(zz AS DOUBLE) <= 0.025
+),
+ranked AS (
+  SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY y) AS BIGINT) AS r
+  FROM daily
+),
+med AS (
+  SELECT MIN(y) AS med FROM ranked, n WHERE r >= (n.n + 1) // 2
+)
+SELECT n.n AS n_days,
+       (SELECT med FROM med) AS median_cents,
+       lrank.l AS lower_rank,
+       (SELECT y FROM ranked WHERE r = lrank.l) AS ci_lo,
+       (SELECT y FROM ranked, n WHERE r = n.n + 1 - lrank.l) AS ci_hi,
+       ROUND(1.0 - 2.0 * COALESCE(lrank.tail_p, 0.0), 6)
+         AS actual_coverage
+FROM n, lrank
+"""
+
+
+@register(
+    "x527_median_ci",
+    _X527_ORACLE,
+    doc="EXACT order-statistic confidence interval for the median "
+        "daily revenue: the largest rank l with P(Bin(n,1/2) < l) "
+        "<= alpha/2 brackets the median by (y_(l), y_(n+1-l)) with "
+        "GUARANTEED >= 95% coverage regardless of the revenue "
+        "distribution -- the distribution-free interval x308's MAD "
+        "fence and x56's percentile machinery never provide, and "
+        "the actual (conservative) coverage is emitted with it. "
+        "Exactness: the Binomial(n,1/2) CDF comes from x520's "
+        "quantized lgamma-free pmf machinery (exact integer "
+        "weights, exact prefix sums), the rank comparison and "
+        "order statistics are exact integers on the bounded day "
+        "domain. Scale: one day-grain aggregate; the support and "
+        "rank windows are day-cardinality through one task",
+)
+def x527_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    ).localCheckpoint(eager=False)
+    n = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dom = n.select(
+        "n",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n"))).alias(
+            "k"
+        ),
+    )
+    step = F.when(
+        F.col("k") < F.col("n"),
+        F.floor(
+            (
+                F.log((F.col("n") - F.col("k")).cast("double"))
+                - F.log((F.col("k") + 1).cast("double"))
+            )
+            * F.lit(1e12)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    lpre = dom.select(
+        "n",
+        "k",
+        F.coalesce(F.sum(step).over(w), F.lit(0).cast("long")).alias("l"),
+    )
+    mx = lpre.agg(F.max("l").alias("mxl"))
+    e = lpre.crossJoin(F.broadcast(mx)).select(
+        "n",
+        "k",
+        F.floor(
+            F.exp((F.col("l") - F.col("mxl")).cast("double") / F.lit(1e12))
+            * F.lit(1e15)
+        )
+        .cast("long")
+        .alias("ev"),
+    )
+    z = e.agg(
+        F.sum(F.col("ev").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("zz")
+    )
+    cdf = e.crossJoin(F.broadcast(z)).select(
+        "k",
+        (
+            F.sum(F.col("ev").cast("decimal(38,0)")).over(wc).cast(
+                "double"
+            )
+            / F.col("zz").cast("double")
+        ).alias("p"),
+    )
+    lrank = cdf.filter(F.col("p") <= 0.025).agg(
+        F.coalesce(F.max(F.col("k") + 1), F.lit(1)).cast("long").alias(
+            "l"
+        ),
+        F.max("p").alias("tail_p"),
+    )
+    ranked = daily.select(
+        "y", F.row_number().over(Window.orderBy("y")).cast("long").alias("r")
+    ).localCheckpoint(eager=False)
+    med = ranked.crossJoin(F.broadcast(n)).filter(
+        F.col("r") >= F.expr("CAST((n + 1) div 2 AS BIGINT)")
+    ).agg(F.min("y").cast("long").alias("med"))
+    j = n.crossJoin(F.broadcast(lrank)).crossJoin(F.broadcast(med))
+    lo = ranked.join(
+        j.select(F.col("l").alias("r")), "r"
+    ).select(F.col("y").alias("ci_lo"))
+    hi = ranked.join(
+        j.select((F.col("n") + 1 - F.col("l")).cast("long").alias("r")),
+        "r",
+    ).select(F.col("y").alias("ci_hi"))
+    return (
+        j.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("med").alias("median_cents"),
+            F.col("l").alias("lower_rank"),
+            "ci_lo",
+            "ci_hi",
+            F.round(
+                F.lit(1.0)
+                - F.lit(2.0) * F.coalesce(F.col("tail_p"), F.lit(0.0)),
+                6,
+            ).alias("actual_coverage"),
+        )
+    )
+
+
+_X528_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+sq AS (
+  SELECT day, CAST(y AS HUGEINT) * y AS y2,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM daily
+),
+tot AS (SELECT CAST(SUM(y2) AS HUGEINT) AS s2 FROM sq),
+dev AS (
+  SELECT day, t, n,
+         CAST(n AS HUGEINT)
+           * SUM(y2) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - CAST(t AS HUGEINT) * tot.s2 AS num,
+         tot.s2
+  FROM sq, tot
+),
+mx AS (
+  SELECT day, num, s2, n
+  FROM dev
+  ORDER BY abs(CAST(num AS DOUBLE)) DESC, day ASC
+  LIMIT 1
+)
+SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM sq) AS n_days,
+       ROUND(abs(CAST(num AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)), 6)
+         AS cusum_sq_stat,
+       day AS break_day,
+       ROUND(abs(CAST(num AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE))
+             * sqrt(CAST(n AS DOUBLE) / 2.0), 4) AS normalized_stat
+FROM mx
+"""
+
+
+@register(
+    "x528_cusum_squares",
+    _X528_ORACLE,
+    doc="CUSUM-of-squares variance-break scan on daily revenue: "
+        "D_t = sum_{<=t} y^2 / sum y^2 - t/n, statistic = max|D| "
+        "with its argmax day -- the VARIANCE-regime complement of "
+        "x289's mean CUSUM and x453's mean segmentation (a series "
+        "can hold its level while its volatility doubles; only the "
+        "squared path sees it), normalized by sqrt(n/2) for the "
+        "Brownian-bridge comparison. Exactness: D_t's sign and "
+        "magnitude come from the cross-multiplied integer identity "
+        "n*cumsum(y^2) - t*total (exact HUGEINT/DECIMAL, ~2.5e25 "
+        "at sf0.1, inside 1e38 through sf1 at cent grain), so the "
+        "argmax and tie-break (earliest day) are exact integer "
+        "comparisons; two double divisions at the end. Scale: one "
+        "day-grain aggregate, windows on the bounded day domain",
+)
+def x528_cusum_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    sq = daily.select(
+        "day",
+        (F.col("y").cast("decimal(38,0)") * F.col("y")).alias("y2"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias(
+            "n"
+        ),
+    )
+    tot = sq.agg(F.sum("y2").cast("decimal(38,0)").alias("s2"))
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dev = sq.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "t",
+        "n",
+        (
+            F.col("n").cast("decimal(38,0)")
+            * F.sum("y2").over(wcum).cast("decimal(38,0)")
+            - F.col("t").cast("decimal(38,0)") * F.col("s2")
+        ).alias("num"),
+        "s2",
+    )
+    mx = dev.orderBy(
+        F.abs(F.col("num").cast("double")).desc(), F.col("day").asc()
+    ).limit(1)
+    stat = F.abs(F.col("num").cast("double")) / (
+        F.col("n").cast("double") * F.col("s2").cast("double")
+    )
+    return mx.select(
+        F.col("n").alias("n_days"),
+        F.round(stat, 6).alias("cusum_sq_stat"),
+        F.col("day").alias("break_day"),
+        F.round(
+            stat * F.sqrt(F.col("n").cast("double") / F.lit(2.0)), 4
+        ).alias("normalized_stat"),
+    )
+
+
+_X529_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(floor(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+                    / 100.0) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+anchor AS (SELECT MIN(day) AS d0 FROM daily),
+ty AS (
+  SELECT datediff('day', a.d0, d.day) AS t, d.y
+  FROM daily d, anchor a
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS HUGEINT) AS st,
+         CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty
+  FROM ty
+),
+fit AS (
+  SELECT n, st, stt,
+         ROUND((n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE)
+                * CAST(sy AS DOUBLE))
+               / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)
+                  * CAST(st AS DOUBLE)), 10) AS b,
+         ROUND(CAST(sy AS DOUBLE) / n
+               - ((n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE)
+                   * CAST(sy AS DOUBLE))
+                  / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)
+                     * CAST(st AS DOUBLE)))
+                 * CAST(st AS DOUBLE) / n, 10) AS a
+  FROM m
+),
+q AS (
+  SELECT ty.t,
+         CAST(floor((ty.y - fit.a - fit.b * ty.t)
+                    * (ty.y - fit.a - fit.b * ty.t)) AS BIGINT) AS q
+  FROM ty, fit
+),
+m2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS HUGEINT) AS st,
+         CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+         CAST(SUM(q) AS HUGEINT) AS sq,
+         CAST(SUM(CAST(t AS HUGEINT) * q) AS HUGEINT) AS stq,
+         CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sqq
+  FROM q
+)
+SELECT n AS n_days,
+       ROUND((SELECT b FROM fit), 6) AS trend_slope,
+       ROUND(CAST(n AS DOUBLE)
+             * ((n * CAST(stq AS DOUBLE) - CAST(st AS DOUBLE)
+                 * CAST(sq AS DOUBLE))
+                * (n * CAST(stq AS DOUBLE) - CAST(st AS DOUBLE)
+                   * CAST(sq AS DOUBLE)))
+             / ((n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)
+                 * CAST(st AS DOUBLE))
+                * (n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)
+                   * CAST(sq AS DOUBLE))), 4) AS breusch_pagan_lm,
+       CAST(1 AS BIGINT) AS df
+FROM m2
+"""
+
+
+@register(
+    "x529_breusch_pagan",
+    _X529_ORACLE,
+    doc="Breusch-Pagan (Koenker studentized form) heteroskedasticity "
+        "test of the daily-revenue linear trend: LM = n * R^2 of "
+        "the SQUARED residuals regressed on time -- does the "
+        "trend's noise grow with the calendar (it should if revenue "
+        "scales: multiplicative noise on a growing level), the "
+        "assumption check x198's trend fit and x519's Chow F "
+        "quietly lean on (both assume constant error variance), "
+        "complementing x484's DW (correlation) and x507/x392 "
+        "(group variance). Exactness: DOLLAR-grain daily sums (the "
+        "x489 lesson: squared-residual FOURTH-power moments "
+        "overflow DECIMAL38 at cent grain); OLS (a, b) from exact "
+        "integer moments, rounded 10 so both engines square "
+        "IDENTICAL residuals; q = floor(e^2) integerizes the "
+        "squared residuals on the 1-dollar^2 grid (stated part of "
+        "the statistic), making the auxiliary regression's moments "
+        "exact integers again. Scale: one day-grain aggregate, two "
+        "bounded reductions",
+)
+def x529_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.floor(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+            )
+            / F.lit(100.0)
+        )
+        .cast("long")
+        .alias("y")
+    )
+    anchor = daily.agg(F.min("day").alias("d0"))
+    ty = daily.crossJoin(F.broadcast(anchor)).select(
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("t"),
+        "y",
+    ).localCheckpoint(eager=False)
+    td = F.col("t").cast("decimal(38,0)")
+    m = ty.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(td).cast("decimal(38,0)").alias("st"),
+        F.sum(td * F.col("t")).cast("decimal(38,0)").alias("stt"),
+        F.sum(F.col("y").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sy"),
+        F.sum(td * F.col("y")).cast("decimal(38,0)").alias("sty"),
+    )
+    nd = F.col("n").cast("double")
+    b_raw = (
+        nd * F.col("sty").cast("double")
+        - F.col("st").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("stt").cast("double")
+        - F.col("st").cast("double") * F.col("st").cast("double")
+    )
+    fit = m.select(
+        "n",
+        F.round(b_raw, 10).alias("b"),
+        F.round(
+            F.col("sy").cast("double") / F.col("n")
+            - b_raw * F.col("st").cast("double") / F.col("n"),
+            10,
+        ).alias("a"),
+    )
+    q = ty.crossJoin(F.broadcast(fit)).select(
+        "t",
+        F.floor(
+            (F.col("y") - F.col("a") - F.col("b") * F.col("t"))
+            * (F.col("y") - F.col("a") - F.col("b") * F.col("t"))
+        )
+        .cast("long")
+        .alias("q"),
+        "b",
+    )
+    qd = F.col("q").cast("decimal(38,0)")
+    m2 = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(td).cast("decimal(38,0)").alias("st"),
+        F.sum(td * F.col("t")).cast("decimal(38,0)").alias("stt"),
+        F.sum(qd).cast("decimal(38,0)").alias("sq"),
+        F.sum(td * F.col("q")).cast("decimal(38,0)").alias("stq"),
+        F.sum(qd * F.col("q")).cast("decimal(38,0)").alias("sqq"),
+        F.max("b").alias("b"),
+    )
+    num = (
+        nd * F.col("stq").cast("double")
+        - F.col("st").cast("double") * F.col("sq").cast("double")
+    )
+    return m2.select(
+        F.col("n").alias("n_days"),
+        F.round("b", 6).alias("trend_slope"),
+        F.round(
+            nd
+            * (num * num)
+            / (
+                (
+                    nd * F.col("stt").cast("double")
+                    - F.col("st").cast("double")
+                    * F.col("st").cast("double")
+                )
+                * (
+                    nd * F.col("sqq").cast("double")
+                    - F.col("sq").cast("double")
+                    * F.col("sq").cast("double")
+                )
+            ),
+            4,
+        ).alias("breusch_pagan_lm"),
+        F.lit(1).cast("long").alias("df"),
+    )
+
+
+_X530_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+anchor AS (SELECT MIN(day) AS d0 FROM daily),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS HUGEINT) AS s FROM daily),
+c AS (
+  SELECT datediff('day', a.d0, d.day) AS t,
+         CAST(t2.n AS HUGEINT) * d.y - t2.s AS cv
+  FROM daily d, anchor a, tot t2
+),
+per AS (SELECT * FROM (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10),
+                              (11),(12),(13),(14)) AS p(p)),
+ph AS (
+  SELECT per.p, c.cv,
+         CAST(floor(cos(6.283185307179586 * (c.t % per.p) / per.p)
+                    * 10000000000.0) AS BIGINT) AS qc,
+         CAST(floor(sin(6.283185307179586 * (c.t % per.p) / per.p)
+                    * 10000000000.0) AS BIGINT) AS qs
+  FROM c, per
+),
+pw AS (
+  SELECT p,
+         CAST(SUM(cv * qc) AS HUGEINT) AS cc,
+         CAST(SUM(cv * qs) AS HUGEINT) AS ss
+  FROM ph GROUP BY 1
+),
+pwr AS (
+  SELECT p,
+         CAST(cc AS DOUBLE) * CAST(cc AS DOUBLE)
+         + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) AS power
+  FROM pw
+),
+tp AS (SELECT CAST(SUM(CAST(round(power / 1e40, 8)
+                            AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS t
+       FROM pwr)
+SELECT p AS period_days,
+       ROUND(CAST(round(power / 1e40, 8) AS DOUBLE)
+             / CAST(tp.t AS DOUBLE), 6) AS power_share
+FROM pwr, tp
+ORDER BY period_days
+"""
+
+
+@register(
+    "x530_periodogram_scan",
+    _X530_ORACLE,
+    doc="Goertzel-style periodogram scan of daily revenue at candidate "
+        "periods 2-14 days: per period the squared projection onto "
+        "(cos, sin) of the MEAN-CENTERED series, emitted as each "
+        "period's share of the scanned power -- finds ARBITRARY "
+        "cycles where x343/x288 assume the weekly one (a 7-day "
+        "peak here CONFIRMS the dow model; a 10-day peak would "
+        "refute it) and x290 checks only two chosen lags. "
+        "Exactness: centered values are the exact n-scaled "
+        "integers n*y - S; cos/sin evaluate on the p-periodic "
+        "rational grid 2*pi*(t mod p)/p with ONE fixed operand "
+        "order and quantize 1e10-floor to integers, so every "
+        "projection is an exact integer sum (~1.4e26 at sf0.1, "
+        "inside DECIMAL38); powers square in double, shares "
+        "round-8 before the 13-row normalization. Scale: one "
+        "day-grain aggregate, x13 period fan-out on the day "
+        "domain",
+)
+def x530_periodogram_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    anchor = daily.agg(F.min("day").alias("d0"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s"),
+    )
+    c = (
+        daily.crossJoin(F.broadcast(anchor))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.datediff(F.col("day"), F.col("d0")).cast("long").alias("t"),
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("y") - F.col("s")
+            ).alias("cv"),
+        )
+    )
+    per = spark.createDataFrame(
+        [(p,) for p in range(2, 15)], "p long"
+    )
+    arg = F.lit(6.283185307179586) * (F.col("t") % F.col("p")) / F.col("p")
+    ph = c.crossJoin(F.broadcast(per)).select(
+        "p",
+        "cv",
+        F.floor(F.cos(arg) * F.lit(1e10)).cast("long").alias("qc"),
+        F.floor(F.sin(arg) * F.lit(1e10)).cast("long").alias("qs"),
+    )
+    pw = ph.groupBy("p").agg(
+        F.sum(F.col("cv") * F.col("qc"))
+        .cast("decimal(38,0)")
+        .alias("cc"),
+        F.sum(F.col("cv") * F.col("qs"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    pwr = pw.select(
+        "p",
+        (
+            F.col("cc").cast("double") * F.col("cc").cast("double")
+            + F.col("ss").cast("double") * F.col("ss").cast("double")
+        ).alias("power"),
+    )
+    tp = pwr.agg(
+        F.sum(
+            F.round(F.col("power") / F.lit(1e40), 8).cast("decimal(38,8)")
+        )
+        .cast("decimal(38,8)")
+        .alias("t")
+    )
+    return (
+        pwr.crossJoin(F.broadcast(tp))
+        .select(
+            F.col("p").alias("period_days"),
+            F.round(
+                F.round(F.col("power") / F.lit(1e40), 8).cast("double")
+                / F.col("t").cast("double"),
+                6,
+            ).alias("power_share"),
+        )
+        .orderBy("period_days")
+    )
+
+
+_X531_ORACLE = """
+WITH d AS (
+  SELECT source,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok
+  FROM documents
+),
+g AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS nh,
+         CAST(SUM(tok) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(tok AS HUGEINT) * tok) AS HUGEINT) AS s2
+  FROM d GROUP BY 1
+),
+w AS (
+  SELECT source, nh,
+         CAST(round(nh * sqrt((nh * CAST(s2 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                              / (CAST(nh AS DOUBLE) * (nh - 1.0)))
+                    * 1000000.0, 0) AS BIGINT) AS wq
+  FROM g
+),
+tw AS (SELECT CAST(SUM(wq) AS HUGEINT) AS t FROM w),
+alloc AS (
+  SELECT w.source, w.nh, w.wq,
+         CAST((1000 * CAST(w.wq AS HUGEINT)) // tw.t AS BIGINT) AS base,
+         CAST((1000 * CAST(w.wq AS HUGEINT)) % tw.t AS HUGEINT) AS rem
+  FROM w, tw
+),
+leftover AS (
+  SELECT CAST(1000 - SUM(base) AS BIGINT) AS k FROM alloc
+),
+ranked AS (
+  SELECT source, nh, wq, base,
+         CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+              AS BIGINT) AS rr
+  FROM alloc
+)
+SELECT r.source, r.nh AS n_docs,
+       ROUND(CAST(r.wq AS DOUBLE) / 1000000.0 / r.nh, 4) AS sigma_tokens,
+       r.base + CASE WHEN r.rr <= lo.k THEN 1 ELSE 0 END
+         AS eval_allocation
+FROM ranked r, leftover lo
+ORDER BY r.source
+"""
+
+
+@register(
+    "x531_neyman_allocation",
+    _X531_ORACLE,
+    doc="Neyman-optimal allocation of a 1000-doc eval budget across "
+        "sources: n_h proportional to N_h * sigma_h (sources whose "
+        "doc lengths VARY more get more eval docs -- the "
+        "minimum-variance design for estimating the corpus mean "
+        "under stratification), with Hamilton largest-remainder "
+        "rounding to exact integers (x449's apportionment "
+        "discipline applied to x25's stratified-sampling knob: x25 "
+        "allocates proportionally, Neyman adds the variance "
+        "weight). Exactness: per-source sd from exact HUGEINT "
+        "moments, the weight N_h*sigma_h quantizes round-1e6 to an "
+        "integer so quota = 1000*w div/mod total is EXACT integer "
+        "arithmetic and the remainder ranking (ties by source) is "
+        "deterministic; allocations sum to exactly 1000 by "
+        "construction. Scale: one corpus groupBy, source-domain "
+        "window algebra",
+)
+def x531_neyman_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.size(F.split(F.lower(F.col("text")), " "))
+        .cast("long")
+        .alias("tok"),
+    )
+    tokd = F.col("tok").cast("decimal(38,0)")
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum(tokd).cast("decimal(38,0)").alias("s1"),
+        F.sum(tokd * F.col("tok")).cast("decimal(38,0)").alias("s2"),
+    )
+    nhd = F.col("nh").cast("double")
+    sd = F.sqrt(
+        (
+            F.col("nh") * F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+        )
+        / (nhd * (F.col("nh") - 1.0))
+    )
+    w = g.select(
+        "source",
+        "nh",
+        F.round(F.col("nh") * sd * F.lit(1e6), 0).cast("long").alias("wq"),
+    )
+    tw = w.agg(
+        F.sum(F.col("wq").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("t")
+    )
+    alloc = w.crossJoin(F.broadcast(tw)).select(
+        "source",
+        "nh",
+        "wq",
+        F.expr(
+            "CAST((1000 * CAST(wq AS DECIMAL(38,0))) div t AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            "CAST((1000 * CAST(wq AS DECIMAL(38,0))) % t AS DECIMAL(38,0))"
+        ).alias("rem"),
+    )
+    leftover = alloc.agg(
+        (F.lit(1000) - F.sum("base")).cast("long").alias("k")
+    )
+    ranked = alloc.select(
+        "source",
+        "nh",
+        "wq",
+        "base",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), F.col("source").asc()))
+        .cast("long")
+        .alias("rr"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            F.col("nh").alias("n_docs"),
+            F.round(
+                F.col("wq").cast("double") / F.lit(1e6) / F.col("nh"), 4
+            ).alias("sigma_tokens"),
+            (
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("eval_allocation"),
+        )
+        .orderBy("source")
+    )
+
+
+_X532_ORACLE = """
+WITH top5 AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice
+  FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders
+  ) WHERE rn <= 5
+)
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_top,
+       string_agg(CAST(o_orderkey AS VARCHAR), ','
+                  ORDER BY o_totalprice DESC, o_orderkey ASC)
+         AS top_keys_csv
+FROM top5
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "x532_listagg_topk",
+    _X532_ORACLE,
+    doc="Spark 4 LISTAGG ... WITHIN GROUP (ORDER BY ...) surface "
+        "(SQL:2016's ordered string aggregation, new in Spark 4.0) "
+        "over a top-5-per-group window: per order priority the CSV "
+        "of its 5 highest-value order keys in deterministic "
+        "(price desc, key asc) order -- the API-surface member of "
+        "the aggregation family beside q41's array_agg and x184's "
+        "grouped top-N arrays (LISTAGG is what BI exports and "
+        "legacy Oracle/Teradata migrations actually call); "
+        "DuckDB's string_agg(expr, sep ORDER BY ...) is the exact "
+        "dialect twin. Determinism: the window and the aggregation "
+        "share one total (price, key) ordering, so the emitted "
+        "string is byte-identical cross-engine. Scale: one "
+        "partitioned top-k window (TakeOrdered shape), one "
+        "groupBy over <= 5k rows",
+)
+def x532_listagg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ...catalog import ensure_session_confs
+
+    ensure_session_confs(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("x532_orders")
+    return spark.sql(
+        """
+        WITH top5 AS (
+          SELECT o_orderpriority, o_orderkey, o_totalprice
+          FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM x532_orders
+          ) WHERE rn <= 5
+        )
+        SELECT o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n_top,
+               listagg(CAST(o_orderkey AS STRING), ',')
+                 WITHIN GROUP (ORDER BY o_totalprice DESC,
+                               o_orderkey ASC) AS top_keys_csv
+        FROM top5
+        GROUP BY 1 ORDER BY 1
+        """
+    )

@@ -7369,3 +7369,258 @@ def test_lsh_params_schedule_properties():
         np_, nb = lsh_params_for(n, thr)
         return nb / 2.0 ** (np_ // nb)
     assert rate(2_000_000, 0.9) < rate(20_000, 0.9) < rate(200, 0.9)
+
+
+def test_ansari_bradley_matches_bruteforce(spark):
+    """x526: replay doubled AB scores and the EXACT permutation
+    moments from the realized score multiset; invariants: scores
+    symmetric (sum = known closed form), |z| finite."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x526_ansari_bradley,
+    )
+
+    import datetime
+
+    daily = _daily_cents(spark)
+    cut = datetime.date(1999, 1, 1)
+    vals = sorted((y, d) for d, y in daily.items())
+    ys = sorted(daily.values())
+    n = len(ys)
+    # doubled midrank per value
+    from collections import Counter
+
+    cnt = Counter(ys)
+    dr = {}
+    seen = 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        dr[v] = 2 * (seen + 1) + c - 1
+        seen += c
+    s2 = {v: min(r, 2 * (n + 1) - r) for v, r in dr.items()}
+    t2 = sum(s2[y] for d, y in daily.items() if d >= cut)
+    m1 = sum(1 for d in daily if d >= cut)
+    sa = sum(s2[y] for y in daily.values())
+    saa = sum(s2[y] ** 2 for y in daily.values())
+    var = (
+        m1 * (n - m1) / (n - 1.0) * (n * saa - sa * sa) / (n * n)
+    )
+    z = (t2 - m1 * sa / n) / math.sqrt(var)
+    r = x526_ansari_bradley(spark, SF).collect()[0]
+    assert (r["n_post"], r["n_pre"]) == (m1, n - m1)
+    assert r["ab_t_doubled"] == t2
+    assert abs(r["ansari_z"] - _round_hu(z, 4)) < 1e-9
+    assert abs(r["ansari_z"]) < 50
+
+
+def test_median_ci_matches_bruteforce(spark):
+    """x527: cross-check the order-statistic rank against the exact
+    math.comb binomial CDF; invariants: ci_lo <= median <= ci_hi,
+    coverage >= 0.95."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x527_median_ci,
+    )
+
+    ys = sorted(_daily_cents(spark).values())
+    n = len(ys)
+    # exact binomial CDF via comb (scaled by 2^n)
+    tot = 2 ** n
+    cum = 0
+    l = 1
+    tail = 0
+    pmf = 0
+    for k in range(n + 1):
+        pmf = math.comb(n, k)
+        if (cum + pmf) / tot <= 0.025:
+            cum += pmf
+            l = k + 2  # largest k with CDF(k) <= a/2 -> rank k+1... see below
+        else:
+            break
+    # recompute directly: l = 1 + max{k : CDF(k) <= 0.025}
+    cdf = 0
+    lk = 0
+    for k in range(n + 1):
+        cdf += math.comb(n, k)
+        if cdf / tot <= 0.025:
+            lk = k + 1
+    l = lk + 1 if lk else 1
+    r = x527_median_ci(spark, SF).collect()[0]
+    assert r["n_days"] == n
+    assert r["median_cents"] == ys[(n + 1) // 2 - 1]
+    # the quantized CDF may differ from exact by <= 1 rank at the
+    # boundary; accept either and verify coverage from the EXACT cdf
+    assert abs(r["lower_rank"] - l) <= 1
+    lr = r["lower_rank"]
+    assert r["ci_lo"] == ys[lr - 1]
+    assert r["ci_hi"] == ys[n - lr]
+    assert r["ci_lo"] <= r["median_cents"] <= r["ci_hi"]
+    exact_tail = sum(math.comb(n, k) for k in range(lr)) / tot
+    assert 1.0 - 2.0 * exact_tail >= 0.9499
+    assert r["actual_coverage"] >= 0.9499
+
+
+def test_cusum_squares_matches_bruteforce(spark):
+    """x528: replay the max-|D| scan; invariants: stat in [0, 1),
+    break day is an actual day, D at the endpoints ~ 0."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x528_cusum_squares,
+    )
+
+    daily = _daily_cents(spark)
+    days = sorted(daily)
+    n = len(days)
+    s2 = sum(daily[d] ** 2 for d in days)
+    best = (-1, None)
+    cum = 0
+    for t, d in enumerate(days, start=1):
+        cum += daily[d] ** 2
+        num = abs(n * cum - t * s2)
+        if num > best[0]:
+            best = (num, d)
+    stat = best[0] / (n * s2)
+    r = x528_cusum_squares(spark, SF).collect()[0]
+    assert r["n_days"] == n
+    assert r["break_day"] == best[1]
+    assert abs(r["cusum_sq_stat"] - _round_hu(stat, 6)) < 1e-9
+    assert abs(
+        r["normalized_stat"] - _round_hu(stat * math.sqrt(n / 2.0), 4)
+    ) < 1e-3
+    assert 0.0 <= r["cusum_sq_stat"] < 1.0
+
+
+def test_breusch_pagan_matches_bruteforce(spark):
+    """x529: replay the two-stage regression on the dollar grid;
+    invariants: LM >= 0 and LM <= n."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x529_breusch_pagan,
+    )
+
+    daily = _daily_cents(spark)
+    d0 = min(daily)
+    pts = [((d - d0).days, daily[d] // 100) for d in sorted(daily)]
+    n = len(pts)
+    st = sum(t for t, _ in pts)
+    sy = sum(y for _, y in pts)
+    stt = sum(t * t for t, _ in pts)
+    sty = sum(t * y for t, y in pts)
+    b = _round_hu((n * sty - st * sy) / (n * stt - st * st), 10)
+    a = _round_hu(sy / n - (n * sty - st * sy) / (n * stt - st * st)
+                  * st / n, 10)
+    qs = [(t, int(math.floor((y - a - b * t) ** 2))) for t, y in pts]
+    sq = sum(q for _, q in qs)
+    stq = sum(t * q for t, q in qs)
+    sqq = sum(q * q for _, q in qs)
+    num = n * stq - st * sq
+    lm = n * num * num / ((n * stt - st * st) * (n * sqq - sq * sq))
+    r = x529_breusch_pagan(spark, SF).collect()[0]
+    assert r["n_days"] == n
+    assert abs(r["trend_slope"] - _round_hu(b, 6)) < 1e-9
+    assert abs(r["breusch_pagan_lm"] - _round_hu(lm, 4)) < 1e-4
+    assert 0.0 <= r["breusch_pagan_lm"] <= n
+    assert r["df"] == 1
+
+
+def test_periodogram_matches_bruteforce(spark):
+    """x530: replay the quantized projections; invariants: shares
+    sum to ~1, all shares >= 0."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x530_periodogram_scan,
+    )
+
+    daily = _daily_cents(spark)
+    d0 = min(daily)
+    n = len(daily)
+    s = sum(daily.values())
+    powers = {}
+    for p in range(2, 15):
+        cc = ss = 0
+        for d, y in daily.items():
+            t = (d - d0).days
+            arg = 6.283185307179586 * (t % p) / p
+            cv = n * y - s
+            cc += cv * int(math.floor(math.cos(arg) * 1e10))
+            ss += cv * int(math.floor(math.sin(arg) * 1e10))
+        powers[p] = float(cc) * cc + float(ss) * ss
+    tot = sum(_round_hu(v / 1e40, 8) for v in powers.values())
+    rows = x530_periodogram_scan(spark, SF).collect()
+    assert [r["period_days"] for r in rows] == list(range(2, 15))
+    for r in rows:
+        exp = _round_hu(_round_hu(powers[r["period_days"]] / 1e40, 8)
+                        / tot, 6)
+        assert abs(r["power_share"] - exp) < 1e-9
+        assert r["power_share"] >= 0.0
+    assert abs(sum(r["power_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_neyman_allocation_matches_bruteforce(spark):
+    """x531: replay weights and Hamilton rounding; invariants:
+    allocations sum to exactly 1000, every source with docs gets
+    base >= 0, higher N*sigma never gets fewer docs."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x531_neyman_allocation,
+    )
+
+    toks = defaultdict(list)
+    for rr in load_table(spark, SF, "documents").select(
+        "source", "text"
+    ).collect():
+        toks[rr["source"]].append(len(rr["text"].lower().split(" ")))
+    w = {}
+    for src, vs in toks.items():
+        nh = len(vs)
+        var = (nh * sum(v * v for v in vs) - sum(vs) ** 2) / (
+            nh * (nh - 1.0)
+        )
+        w[src] = int(round(nh * math.sqrt(var) * 1e6))
+    tw = sum(w.values())
+    base = {s: 1000 * v // tw for s, v in w.items()}
+    rem = {s: 1000 * v % tw for s, v in w.items()}
+    k = 1000 - sum(base.values())
+    order = sorted(w, key=lambda s: (-rem[s], s))
+    alloc = dict(base)
+    for s in order[:k]:
+        alloc[s] += 1
+    rows = {r["source"]: r for r in
+            x531_neyman_allocation(spark, SF).collect()}
+    assert set(rows) == set(toks)
+    total = 0
+    pairs = []
+    for src, r in rows.items():
+        assert r["n_docs"] == len(toks[src])
+        assert r["eval_allocation"] == alloc[src]
+        total += r["eval_allocation"]
+        pairs.append((w[src], r["eval_allocation"]))
+    assert total == 1000
+    pairs.sort()
+    for (w1, a1), (w2, a2) in zip(pairs, pairs[1:]):
+        if w2 > w1:
+            assert a2 >= a1 - 1  # Hamilton can flip by at most 1
+
+
+def test_listagg_topk_matches_bruteforce(spark):
+    """x532: replay the top-5 CSV per priority; invariants: each CSV
+    has exactly n_top comma-separated DISTINCT keys in price-desc
+    order."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x532_listagg_topk,
+    )
+
+    rows = load_table(spark, SF, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    ).collect()
+    by_p = defaultdict(list)
+    for r in rows:
+        by_p[r["o_orderpriority"]].append(
+            (-r["o_totalprice"], r["o_orderkey"])
+        )
+    got = {r["priority"]: r for r in x532_listagg_topk(spark, SF).collect()}
+    assert set(got) == set(by_p)
+    for p, lst in by_p.items():
+        lst.sort()
+        top = [str(k) for _, k in lst[:5]]
+        assert got[p]["n_top"] == len(top)
+        assert got[p]["top_keys_csv"] == ",".join(top)
+        assert len(set(top)) == len(top)
