@@ -8430,3 +8430,609 @@ def x532_listagg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1 ORDER BY 1
         """
     )
+
+
+_X533_ORACLE = """
+WITH d AS (
+  SELECT source,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok
+  FROM documents
+),
+cells AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY 1, 2
+),
+ch AS (SELECT * FROM (VALUES (16), (32), (64)) AS c(c))
+SELECT cells.source, CAST(ch.c AS BIGINT) AS chunk_tokens,
+       CAST(SUM(n * ((tok - 1) // ch.c)) AS BIGINT) AS broken_bigrams,
+       CAST(SUM(n * (tok - 1)) AS BIGINT) AS total_bigrams,
+       ROUND(CAST(SUM(n * ((tok - 1) // ch.c)) AS DOUBLE)
+             / CAST(SUM(n * (tok - 1)) AS DOUBLE), 6) AS loss_frac
+FROM cells, ch
+GROUP BY 1, 2
+ORDER BY source, chunk_tokens
+"""
+
+
+@register(
+    "x533_chunk_boundary_loss",
+    _X533_ORACLE,
+    doc="chunk-boundary bigram loss per (source, chunk size): a "
+        "non-overlapping chunker at size c severs exactly "
+        "floor((n-1)/c) of a doc's n-1 adjacent-token pairs, and "
+        "this emits that severed fraction at c in {16,32,64} "
+        "(fixture-scaled; a deployment sweeps {512..4096}) -- the "
+        "measured WHY behind chunk overlap: x39 chunks documents, "
+        "x503 prices truncation loss, this prices the CONTEXT "
+        "SEAMS chunking itself introduces (every severed bigram is "
+        "an n-gram/retrieval feature the chunked corpus can no "
+        "longer see). Exactness: closed-form integer identity per "
+        "(source, token-count) cell -- floor divisions on exact "
+        "integers, one rounded division per row; no per-token work "
+        "at all. Scale: one corpus pass to the bounded cell table, "
+        "x3 fan-out on cells",
+)
+def x533_chunk_boundary_loss(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            "source",
+            F.size(F.split(F.lower(F.col("text")), " "))
+            .cast("long")
+            .alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ch = spark.createDataFrame([(16,), (32,), (64,)], "c long")
+    broken = F.col("n") * F.expr("(tok - 1) div c")
+    return (
+        cells.crossJoin(F.broadcast(ch))
+        .groupBy("source", F.col("c").alias("chunk_tokens"))
+        .agg(
+            F.sum(broken).cast("long").alias("broken_bigrams"),
+            F.sum(F.col("n") * (F.col("tok") - 1))
+            .cast("long")
+            .alias("total_bigrams"),
+            F.round(
+                F.sum(broken).cast("double")
+                / F.sum(F.col("n") * (F.col("tok") - 1)).cast("double"),
+                6,
+            ).alias("loss_frac"),
+        )
+        .orderBy("source", "chunk_tokens")
+    )
+
+
+_X534_ORACLE = """
+WITH pos AS (
+  SELECT source,
+         t.i AS p,
+         len(string_split(lower(text), ' ')) AS n,
+         (string_split(lower(text), ' '))[t.i] AS w
+  FROM documents,
+       UNNEST(range(1, len(string_split(lower(text), ' ')) + 1))
+         AS t(i)
+  WHERE len(string_split(lower(text), ' ')) >= 4
+),
+q AS (
+  SELECT source,
+         LEAST(3, (4 * (p - 1)) // n) AS quart,
+         CASE WHEN w IN ('the','a','of','and','to','in','is')
+              THEN 0 ELSE 1 END AS content
+  FROM pos
+),
+cells AS (
+  SELECT source, quart,
+         CAST(SUM(content) AS BIGINT) AS c,
+         CAST(count(*) AS BIGINT) AS t
+  FROM q GROUP BY 1, 2
+)
+SELECT source,
+       ROUND(CAST(MAX(CASE WHEN quart = 0 THEN c END) AS DOUBLE)
+             / MAX(CASE WHEN quart = 0 THEN t END), 6) AS q1_density,
+       ROUND(CAST(MAX(CASE WHEN quart = 3 THEN c END) AS DOUBLE)
+             / MAX(CASE WHEN quart = 3 THEN t END), 6) AS q4_density,
+       ROUND(CAST(MAX(CASE WHEN quart = 0 THEN c END) AS DOUBLE)
+             / MAX(CASE WHEN quart = 0 THEN t END)
+             - CAST(MAX(CASE WHEN quart = 3 THEN c END) AS DOUBLE)
+               / MAX(CASE WHEN quart = 3 THEN t END), 6) AS lead_bias
+FROM cells
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "x534_positional_density",
+    _X534_ORACLE,
+    doc="positional lexical-density audit per source: the "
+        "content-word (non-stopword) share of tokens in each doc's "
+        "FIRST vs LAST position quartile (docs >= 4 tokens; "
+        "quartile = least(3, 4(p-1) div n)), lead_bias = q1 - q4 "
+        "-- headline-heavy or boilerplate-tailed sources show it "
+        "immediately, the POSITION-WITHIN-DOC structure x26's "
+        "boilerplate n-grams and x133's shared prefixes detect "
+        "only when text repeats verbatim (density shifts even "
+        "when the words differ). Uses x12's pinned 7-word English "
+        "stopword list. Exactness: exact integer quartile "
+        "assignment and counts, one rounded division per cell. "
+        "Scale: one posexplode pass to (source, quartile) cells",
+)
+def x534_positional_density(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ...ops.text import LANG_STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    pos = (
+        docs.filter(F.size(toks) >= 4)
+        .select(
+            "source",
+            F.size(toks).cast("long").alias("n"),
+            F.posexplode(toks).alias("p0", "w"),
+        )
+        .select(
+            "source",
+            F.least(
+                F.lit(3), F.expr("(4 * p0) div n").cast("int")
+            ).alias("quart"),
+            F.when(
+                F.col("w").isin(*LANG_STOPWORDS["en"]), 0
+            ).otherwise(1).alias("content"),
+        )
+    )
+    cells = pos.groupBy("source", "quart").agg(
+        F.sum("content").cast("long").alias("c"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    )
+    q1c = F.max(F.when(F.col("quart") == 0, F.col("c")))
+    q1t = F.max(F.when(F.col("quart") == 0, F.col("t")))
+    q4c = F.max(F.when(F.col("quart") == 3, F.col("c")))
+    q4t = F.max(F.when(F.col("quart") == 3, F.col("t")))
+    return (
+        cells.groupBy("source")
+        .agg(
+            F.round(q1c.cast("double") / q1t, 6).alias("q1_density"),
+            F.round(q4c.cast("double") / q4t, 6).alias("q4_density"),
+            F.round(
+                q1c.cast("double") / q1t - q4c.cast("double") / q4t, 6
+            ).alias("lead_bias"),
+        )
+        .orderBy("source")
+    )
+
+
+_X535_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type AS t1,
+         lead(event_type) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+uni AS (
+  SELECT t1 AS g, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1
+),
+nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+bi AS (
+  SELECT t1, t2, CAST(count(*) AS BIGINT) AS c
+  FROM s WHERE t2 IS NOT NULL GROUP BY 1, 2
+),
+tri AS (
+  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS c123
+  FROM s WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
+),
+j AS (
+  SELECT tri.c123,
+         GREATEST(tri.c123 - 1, 0) AS n3,
+         GREATEST(b12.c - 1, 0) AS d3,
+         GREATEST(b23.c - 1, 0) AS n2,
+         GREATEST(u2.c - 1, 0) AS d2,
+         GREATEST(u3.c - 1, 0) AS n1,
+         GREATEST(nn.n - 1, 0) AS d1
+  FROM tri
+  JOIN bi b12 ON b12.t1 = tri.t1 AND b12.t2 = tri.t2
+  JOIN bi b23 ON b23.t1 = tri.t2 AND b23.t2 = tri.t3
+  JOIN uni u2 ON u2.g = tri.t2
+  JOIN uni u3 ON u3.g = tri.t3
+  CROSS JOIN nn
+),
+pick AS (
+  SELECT c123,
+         CASE
+           WHEN CAST(CASE WHEN d1 > 0 THEN n1 ELSE 0 END AS HUGEINT)
+                  * GREATEST(d2, 1) * GREATEST(d3, 1)
+                >= CAST(CASE WHEN d2 > 0 THEN n2 ELSE 0 END AS HUGEINT)
+                  * GREATEST(d1, 1) * GREATEST(d3, 1)
+            AND CAST(CASE WHEN d1 > 0 THEN n1 ELSE 0 END AS HUGEINT)
+                  * GREATEST(d2, 1) * GREATEST(d3, 1)
+                >= CAST(CASE WHEN d3 > 0 THEN n3 ELSE 0 END AS HUGEINT)
+                  * GREATEST(d1, 1) * GREATEST(d2, 1)
+           THEN 1
+           WHEN CAST(CASE WHEN d2 > 0 THEN n2 ELSE 0 END AS HUGEINT)
+                  * GREATEST(d1, 1) * GREATEST(d3, 1)
+                >= CAST(CASE WHEN d3 > 0 THEN n3 ELSE 0 END AS HUGEINT)
+                  * GREATEST(d1, 1) * GREATEST(d2, 1)
+           THEN 2
+           ELSE 3
+         END AS o
+  FROM j
+),
+lam AS (
+  SELECT CAST(SUM(CASE WHEN o = 1 THEN c123 ELSE 0 END) AS BIGINT)
+           AS l1,
+         CAST(SUM(CASE WHEN o = 2 THEN c123 ELSE 0 END) AS BIGINT)
+           AS l2,
+         CAST(SUM(CASE WHEN o = 3 THEN c123 ELSE 0 END) AS BIGINT)
+           AS l3,
+         CAST(SUM(c123) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS k
+  FROM pick
+)
+SELECT k AS n_distinct_trigrams, tot AS n_trigram_tokens,
+       ROUND(CAST(l1 AS DOUBLE) / tot, 6) AS lambda_unigram,
+       ROUND(CAST(l2 AS DOUBLE) / tot, 6) AS lambda_bigram,
+       ROUND(CAST(l3 AS DOUBLE) / tot, 6) AS lambda_trigram
+FROM lam
+"""
+
+
+@register(
+    "x535_deleted_interpolation",
+    _X535_ORACLE,
+    doc="Brants (TnT) deleted-interpolation lambdas for the "
+        "event-type trigram LM: each distinct trigram votes its "
+        "count to whichever order's held-out estimate (c-1)/(C-1) "
+        "is largest -- trigram (c123-1)/(c12-1), bigram "
+        "(c23-1)/(c2-1), unigram (c3-1)/(N-1); ties to the LOWEST "
+        "(most robust) order, zero denominators score 0 (both "
+        "pinned) -- the closed-form smoothing-weight estimator "
+        "beside x383/x395's Kneser-Ney (KN discounts mass INSIDE "
+        "an order; deleted interpolation decides BETWEEN orders, "
+        "and runs in two aggregates where EM would iterate). "
+        "Exactness: the argmax compares rationals by integer "
+        "CROSS-MULTIPLICATION (a/b vs c/d as a*d vs c*b with "
+        "guarded denominators), so order picks are exact integer "
+        "decisions; lambda normalization is one rounded division "
+        "each. Scale: x107's user-keyed lead windows, then "
+        "k^3-bounded trigram-table algebra (5 event types -> <= "
+        "125 rows)",
+)
+def x535_deleted_interpolation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type").over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).localCheckpoint(eager=False)
+    uni = s.groupBy(F.col("t1").alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    nn = uni.agg(F.sum("c").cast("long").alias("n"))
+    bi = (
+        s.filter(F.col("t2").isNotNull())
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tri = (
+        s.filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c123"))
+    )
+    b12 = bi.select(
+        F.col("t1").alias("b1"), F.col("t2").alias("b2"),
+        F.col("c").alias("c12"),
+    )
+    b23 = bi.select(
+        F.col("t1").alias("p2"), F.col("t2").alias("p3"),
+        F.col("c").alias("c23"),
+    )
+    u2 = uni.select(F.col("g").alias("g2"), F.col("c").alias("c2"))
+    u3 = uni.select(F.col("g").alias("g3"), F.col("c").alias("c3"))
+    j = (
+        tri.join(
+            F.broadcast(b12),
+            (F.col("t1") == F.col("b1")) & (F.col("t2") == F.col("b2")),
+        )
+        .join(
+            F.broadcast(b23),
+            (F.col("t2") == F.col("p2")) & (F.col("t3") == F.col("p3")),
+        )
+        .join(F.broadcast(u2), F.col("t2") == F.col("g2"))
+        .join(F.broadcast(u3), F.col("t3") == F.col("g3"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "c123",
+            F.greatest(F.col("c123") - 1, F.lit(0)).alias("n3"),
+            F.greatest(F.col("c12") - 1, F.lit(0)).alias("d3"),
+            F.greatest(F.col("c23") - 1, F.lit(0)).alias("n2"),
+            F.greatest(F.col("c2") - 1, F.lit(0)).alias("d2"),
+            F.greatest(F.col("c3") - 1, F.lit(0)).alias("n1"),
+            F.greatest(F.col("n") - 1, F.lit(0)).alias("d1"),
+        )
+    )
+    # cross-multiplied common-denominator comparison in DECIMAL so the
+    # triple products (n ~ 6e5 each at sf1 -> ~2e17; ~2e20 at sf10)
+    # never overflow int64 on either engine
+    v1 = (
+        F.when(F.col("d1") > 0, F.col("n1"))
+        .otherwise(0)
+        .cast("decimal(38,0)")
+        * F.greatest(F.col("d2"), F.lit(1))
+        * F.greatest(F.col("d3"), F.lit(1))
+    )
+    v2 = (
+        F.when(F.col("d2") > 0, F.col("n2"))
+        .otherwise(0)
+        .cast("decimal(38,0)")
+        * F.greatest(F.col("d1"), F.lit(1))
+        * F.greatest(F.col("d3"), F.lit(1))
+    )
+    v3 = (
+        F.when(F.col("d3") > 0, F.col("n3"))
+        .otherwise(0)
+        .cast("decimal(38,0)")
+        * F.greatest(F.col("d1"), F.lit(1))
+        * F.greatest(F.col("d2"), F.lit(1))
+    )
+    pick = j.select(
+        "c123",
+        F.when((v1 >= v2) & (v1 >= v3), 1)
+        .when(v2 >= v3, 2)
+        .otherwise(3)
+        .alias("o"),
+    )
+    lam = pick.agg(
+        F.sum(F.when(F.col("o") == 1, F.col("c123")).otherwise(0))
+        .cast("long")
+        .alias("l1"),
+        F.sum(F.when(F.col("o") == 2, F.col("c123")).otherwise(0))
+        .cast("long")
+        .alias("l2"),
+        F.sum(F.when(F.col("o") == 3, F.col("c123")).otherwise(0))
+        .cast("long")
+        .alias("l3"),
+        F.sum("c123").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return lam.select(
+        F.col("k").alias("n_distinct_trigrams"),
+        F.col("tot").alias("n_trigram_tokens"),
+        F.round(F.col("l1").cast("double") / F.col("tot"), 6).alias(
+            "lambda_unigram"
+        ),
+        F.round(F.col("l2").cast("double") / F.col("tot"), 6).alias(
+            "lambda_bigram"
+        ),
+        F.round(F.col("l3").cast("double") / F.col("tot"), 6).alias(
+            "lambda_trigram"
+        ),
+    )
+
+
+def _x536_oracle() -> str:
+    from ...ops.text import bm25_topk_sql
+
+    bm25 = bm25_topk_sql()
+    return f"""
+WITH b AS MATERIALIZED ({bm25}),
+r1 AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+              AS BIGINT) AS ra
+  FROM b
+),
+tf AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents)
+  WHERE w IN ('spark', 'join', 'stream')
+  GROUP BY 1
+),
+r2 AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY hits DESC, doc_id)
+              AS BIGINT) AS rb
+  FROM tf
+  ORDER BY hits DESC, doc_id LIMIT 20
+),
+fused AS (
+  SELECT COALESCE(r1.doc_id, r2.doc_id) AS doc_id,
+         r1.ra, r2.rb,
+         ROUND(COALESCE(ROUND(1.0 / (60 + r1.ra), 10), 0.0)
+               + COALESCE(ROUND(1.0 / (60 + r2.rb), 10), 0.0), 8)
+           AS rrf
+  FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id
+)
+SELECT doc_id, COALESCE(ra, -1) AS bm25_rank,
+       COALESCE(rb, -1) AS tf_rank, rrf AS rrf_score
+FROM fused
+ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+@register(
+    "x536_rrf_fusion",
+    _x536_oracle(),
+    doc="reciprocal-rank fusion of two retrieval rankings for the "
+        "SAME fixed query (x106's BM25 top-20 and a raw "
+        "term-frequency top-20): RRF = sum 1/(60+rank) over the "
+        "lists each doc appears in -- THE standard hybrid-search "
+        "combiner (lexical + semantic in production; two lexical "
+        "scorers here keep both sides oracle-exact), score-scale-"
+        "free where a weighted score sum would need calibration "
+        "(x317 evaluates ONE ranking; this MAKES one from "
+        "several). Exactness: ranks are exact integers under "
+        "total (score desc, doc_id) orderings; each 1/(60+r) term "
+        "rounds 10 before the 2-term fixed-order sum, final round "
+        "8; missing-from-list contributes exactly 0 (full outer "
+        "join), absent ranks emitted as -1. Scale: two TakeOrdered "
+        "top-20s, a 40-row fusion join",
+)
+def x536_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ...ops import text as text_ops
+    from ...ops.text import BM25_QUERY_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = text_ops.bm25_topk(docs, "doc_id", "text", top_k=20)
+    r1 = b.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("ra"),
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        )
+        .filter(F.col("w").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+        .orderBy(F.col("hits").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+    r2 = tf.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("hits").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("rb"),
+    )
+    fused = r1.join(
+        r2, "doc_id", "full_outer"
+    ).select(
+        "doc_id",
+        "ra",
+        "rb",
+        F.round(
+            F.coalesce(
+                F.round(F.lit(1.0) / (60 + F.col("ra")), 10), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.round(F.lit(1.0) / (60 + F.col("rb")), 10), F.lit(0.0)
+            ),
+            8,
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            F.coalesce(F.col("ra"), F.lit(-1)).cast("long").alias(
+                "bm25_rank"
+            ),
+            F.coalesce(F.col("rb"), F.lit(-1)).cast("long").alias(
+                "tf_rank"
+            ),
+            F.col("rrf").alias("rrf_score"),
+        )
+    )
+
+
+_X537_ORACLE = f"""
+WITH {{pairs_cte}},
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs),
+und AS (
+  SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+),
+wedges AS (
+  SELECT a.u AS x, a.v AS mid, b.v AS z
+  FROM und a JOIN und b ON a.v = b.u
+  WHERE a.u < b.v
+),
+closedw AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_closed
+  FROM wedges w
+  JOIN edges e ON e.u = w.x AND e.v = w.z
+),
+cnt AS (
+  SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+         CAST((SELECT count(*) FROM wedges) AS BIGINT) AS n_wedges
+)
+SELECT cnt.n_edges, cnt.n_wedges, closedw.n_closed,
+       ROUND(CASE WHEN cnt.n_wedges > 0
+              THEN CAST(closedw.n_closed AS DOUBLE) / cnt.n_wedges
+              ELSE 0.0 END, 6) AS transitivity
+FROM cnt, closedw
+"""
+
+
+def _x537_oracle() -> str:
+    from .foundations import _X03_PAIRS_CTE
+
+    return _X537_ORACLE.format(pairs_cte=_X03_PAIRS_CTE)
+
+
+@register(
+    "x537_neardup_transitivity",
+    _x537_oracle(),
+    doc="transitivity audit of the x03 near-dup pair graph (bigram-"
+        "shingle jaccard >= 0.5): fraction of wedges (a~b, b~c "
+        "with a < c) whose closing pair a~c is ALSO a near-dup -- "
+        "the measured answer to 'is near-duplication an "
+        "equivalence relation here?' that decides whether x24's "
+        "connected-component clusters over-merge (low transitivity "
+        "= long chains glue unrelated docs; high = components are "
+        "genuine duplicate families), the structural audit "
+        "UNDERNEATH x115's survivorship and x497's survivor "
+        "policies. Exactness: exact integer wedge/closure counts "
+        "from equi-joins on the pair table (both directions "
+        "unioned, each wedge counted once via a < c), one rounded "
+        "division. Scale: joins are PAIR-sized (near-dup pairs "
+        "are rare by construction), never corpus-sized",
+)
+def x537_neardup_transitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .foundations import _shared_jaccard_pairs
+
+    pairs = _shared_jaccard_pairs(spark, sf_dir).select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=False)
+    und = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    a = und.select(F.col("u").alias("x"), F.col("v").alias("mid"))
+    bb = und.select(F.col("u").alias("mid2"), F.col("v").alias("z"))
+    wedges = a.join(bb, F.col("mid") == F.col("mid2")).filter(
+        F.col("x") < F.col("z")
+    ).select("x", "mid", "z")
+    e = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("z"))
+    n_closed = wedges.join(e, ["x", "z"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_closed")
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_wedges = wedges.agg(
+        F.count(F.lit(1)).cast("long").alias("n_wedges")
+    )
+    j = (
+        n_edges.crossJoin(F.broadcast(n_wedges))
+        .crossJoin(F.broadcast(n_closed))
+    )
+    return j.select(
+        "n_edges",
+        "n_wedges",
+        "n_closed",
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                F.col("n_closed").cast("double") / F.col("n_wedges"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("transitivity"),
+    )

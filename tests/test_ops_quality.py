@@ -7624,3 +7624,219 @@ def test_listagg_topk_matches_bruteforce(spark):
         assert got[p]["n_top"] == len(top)
         assert got[p]["top_keys_csv"] == ",".join(top)
         assert len(set(top)) == len(top)
+
+
+def test_chunk_boundary_loss_matches_bruteforce(spark):
+    """x533: replay the severed-bigram identity per (source, chunk);
+    invariants: loss strictly decreases in chunk size, and the
+    closed form equals an explicit position simulation."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x533_chunk_boundary_loss,
+    )
+
+    toks = defaultdict(list)
+    for rr in load_table(spark, SF, "documents").select(
+        "source", "text"
+    ).collect():
+        toks[rr["source"]].append(len(rr["text"].lower().split(" ")))
+    rows = x533_chunk_boundary_loss(spark, SF).collect()
+    assert len(rows) == len(toks) * 3
+    for r in rows:
+        c = r["chunk_tokens"]
+        ns = toks[r["source"]]
+        broken = sum((n - 1) // c for n in ns)
+        # explicit simulation: bigram (i, i+1) severed iff i % c == 0
+        sim = sum(
+            sum(1 for i in range(1, n) if i % c == 0) for n in ns
+        )
+        assert broken == sim
+        assert r["broken_bigrams"] == broken
+        assert r["total_bigrams"] == sum(n - 1 for n in ns)
+        assert abs(
+            r["loss_frac"] - _round_hu(broken / sum(n - 1 for n in ns), 6)
+        ) < 1e-9
+    by_src = defaultdict(dict)
+    for r in rows:
+        by_src[r["source"]][r["chunk_tokens"]] = r["broken_bigrams"]
+    for m in by_src.values():
+        assert m[16] >= m[32] >= m[64]
+
+
+def test_positional_density_matches_bruteforce(spark):
+    """x534: replay quartile densities; invariants: densities in
+    [0, 1], lead_bias = q1 - q4 exactly."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.ops.text import LANG_STOPWORDS
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x534_positional_density,
+    )
+
+    stops = set(LANG_STOPWORDS["en"])
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # (content, total) packed
+    tot = defaultdict(lambda: [0, 0, 0, 0])
+    for rr in load_table(spark, SF, "documents").select(
+        "source", "text"
+    ).collect():
+        ws = rr["text"].lower().split(" ")
+        n = len(ws)
+        if n < 4:
+            continue
+        for i, w in enumerate(ws):
+            q = min(3, 4 * i // n)
+            tot[rr["source"]][q] += 1
+            cells[rr["source"]][q] += w not in stops
+    rows = {r["source"]: r for r in
+            x534_positional_density(spark, SF).collect()}
+    assert set(rows) == set(tot)
+    for src, r in rows.items():
+        q1 = cells[src][0] / tot[src][0]
+        q4 = cells[src][3] / tot[src][3]
+        assert abs(r["q1_density"] - _round_hu(q1, 6)) < 1e-9
+        assert abs(r["q4_density"] - _round_hu(q4, 6)) < 1e-9
+        assert abs(r["lead_bias"] - _round_hu(q1 - q4, 6)) < 1e-9
+        assert 0.0 <= r["q1_density"] <= 1.0
+        assert 0.0 <= r["q4_density"] <= 1.0
+
+
+def test_deleted_interpolation_matches_bruteforce(spark):
+    """x535: replay the TnT vote with exact Fraction comparisons
+    (no cross-multiplication shortcuts -- an independent route);
+    invariants: lambdas sum to 1 and are all in [0, 1]."""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x535_deleted_interpolation,
+    )
+
+    evs = defaultdict(list)
+    for rr in load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect():
+        evs[rr["user_id"]].append(
+            (rr["ts"], rr["event_id"], rr["event_type"])
+        )
+    uni = Counter()
+    bi = Counter()
+    tri = Counter()
+    for u, lst in evs.items():
+        lst.sort()
+        types = [t for _, _, t in lst]
+        uni.update(types)
+        for a, b in zip(types, types[1:]):
+            bi[(a, b)] += 1
+        for a, b, c in zip(types, types[1:], types[2:]):
+            tri[(a, b, c)] += 1
+    nn = sum(uni.values())
+    lam = [0, 0, 0]
+    for (a, b, c), c123 in tri.items():
+        def frac(num, den):
+            return Fraction(num, den) if den > 0 and num > 0 else Fraction(0)
+        v3 = frac(c123 - 1, bi[(a, b)] - 1)
+        v2 = frac(bi[(b, c)] - 1, uni[b] - 1)
+        v1 = frac(uni[c] - 1, nn - 1)
+        if v1 >= v2 and v1 >= v3:
+            lam[0] += c123
+        elif v2 >= v3:
+            lam[1] += c123
+        else:
+            lam[2] += c123
+    tot = sum(tri.values())
+    r = x535_deleted_interpolation(spark, SF).collect()[0]
+    assert r["n_distinct_trigrams"] == len(tri)
+    assert r["n_trigram_tokens"] == tot
+    assert abs(r["lambda_unigram"] - _round_hu(lam[0] / tot, 6)) < 1e-9
+    assert abs(r["lambda_bigram"] - _round_hu(lam[1] / tot, 6)) < 1e-9
+    assert abs(r["lambda_trigram"] - _round_hu(lam[2] / tot, 6)) < 1e-9
+    s = r["lambda_unigram"] + r["lambda_bigram"] + r["lambda_trigram"]
+    assert abs(s - 1.0) < 1e-5
+
+
+def test_rrf_fusion_matches_bruteforce(spark):
+    """x536: replay both rankings and the fusion; invariants: a doc
+    in BOTH lists outranks the same ranks split across docs, scores
+    strictly positive, output is the top-10 of the fused set."""
+    from collections import Counter
+
+    from poc_parquet_publisher_spark.ops import text as text_ops
+    from poc_parquet_publisher_spark.ops.text import BM25_QUERY_TERMS
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x536_rrf_fusion,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    b = text_ops.bm25_topk(docs, "doc_id", "text", top_k=20).collect()
+    r1 = {
+        row["doc_id"]: i + 1
+        for i, row in enumerate(
+            sorted(b, key=lambda r: (-r["bm25"], r["doc_id"]))
+        )
+    }
+    hits = Counter()
+    for rr in docs.select("doc_id", "text").collect():
+        for w in rr["text"].lower().split(" "):
+            if w in BM25_QUERY_TERMS:
+                hits[rr["doc_id"]] += 1
+    top_tf = sorted(hits.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    r2 = {d: i + 1 for i, (d, _) in enumerate(top_tf)}
+    fused = {}
+    for d in set(r1) | set(r2):
+        s = 0.0
+        if d in r1:
+            s += _round_hu(1.0 / (60 + r1[d]), 10)
+        if d in r2:
+            s += _round_hu(1.0 / (60 + r2[d]), 10)
+        fused[d] = _round_hu(s, 8)
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = x536_rrf_fusion(spark, SF).collect()
+    assert [(r["doc_id"], r["rrf_score"]) for r in rows] == want
+    for r in rows:
+        assert r["rrf_score"] > 0
+        assert (r["bm25_rank"] == -1) == (r["doc_id"] not in r1)
+        assert (r["tf_rank"] == -1) == (r["doc_id"] not in r2)
+
+
+def test_neardup_transitivity_matches_bruteforce(spark):
+    """x537: replay wedges/closures from the collected pair set;
+    invariants: transitivity in [0, 1], n_closed <= n_wedges, and
+    3 * triangles == n_closed (each triangle closes exactly one
+    a<c wedge per middle vertex... actually three, one per middle)."""
+    from itertools import combinations
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x537_neardup_transitivity,
+        x03_dedup_ngram_jaccard,
+    )
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in x03_dedup_ngram_jaccard(spark, SF).collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    wedges = 0
+    closed = 0
+    for mid, nbrs in adj.items():
+        for x, z in combinations(sorted(nbrs), 2):
+            wedges += 1
+            if (min(x, z), max(x, z)) in pairs:
+                closed += 1
+    tris = 0
+    for a, b in pairs:
+        common = adj[a] & adj[b]
+        tris += len(common)
+    tris //= 3
+    r = x537_neardup_transitivity(spark, SF).collect()[0]
+    assert r["n_edges"] == len(pairs)
+    assert r["n_wedges"] == wedges
+    assert r["n_closed"] == closed
+    assert closed == 3 * tris
+    if wedges:
+        assert abs(r["transitivity"] - _round_hu(closed / wedges, 6)) < 1e-9
+    assert 0.0 <= r["transitivity"] <= 1.0
+    assert r["n_closed"] <= r["n_wedges"]
