@@ -9036,3 +9036,528 @@ def x537_neardup_transitivity(
             6,
         ).alias("transitivity"),
     )
+
+
+_X538_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS i,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM daily
+),
+pairs AS (
+  SELECT a.y AS y1, b.y AS y2
+  FROM idx a JOIN idx b ON b.i = a.i + a.n // 2
+  WHERE a.i < a.n // 2
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN y2 > y1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS npos,
+         CAST(SUM(CASE WHEN y2 < y1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nneg
+  FROM pairs
+)
+SELECT npos AS n_up, nneg AS n_down, npos + nneg AS n_informative,
+       ROUND((npos - CAST(npos + nneg AS DOUBLE) / 2.0)
+             / sqrt(CAST(npos + nneg AS DOUBLE) / 4.0), 4)
+         AS cox_stuart_z
+FROM s
+"""
+
+
+@register(
+    "x538_cox_stuart",
+    _X538_ORACLE,
+    doc="Cox-Stuart trend test on daily revenue: pair day i with day "
+        "i + n/2 (first half vs second half BY POSITION; odd "
+        "middle day drops, ties drop -- both stated) and sign-test "
+        "the pairs -- the assumption-free trend check that needs "
+        "only comparisons, beside x384's O(n^2)-pairwise "
+        "Mann-Kendall and x198's parametric fit (Cox-Stuart is "
+        "what you can still run when values are only ORDINAL); "
+        "the normal-approximation z is the readout (the exact "
+        "binomial tail saturates on this fixture exactly as x520 "
+        "measured -- same machinery, deliberately not repeated). "
+        "Exactness: positional pairing by row_number over the day "
+        "order, exact integer sign counts, one fixed-order double "
+        "expression. Scale: one day-grain aggregate + a "
+        "half-domain self-join on the bounded day index",
+)
+def x538_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    idx = daily.select(
+        "y",
+        (F.row_number().over(Window.orderBy("day")) - 1)
+        .cast("long")
+        .alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias(
+            "n"
+        ),
+    ).localCheckpoint(eager=False)
+    a = idx.filter(F.col("i") < F.expr("n div 2")).select(
+        F.col("y").alias("y1"),
+        (F.col("i") + F.expr("n div 2")).alias("j"),
+    )
+    b = idx.select(F.col("i").alias("j"), F.col("y").alias("y2"))
+    s = a.join(b, "j").agg(
+        F.sum(F.when(F.col("y2") > F.col("y1"), 1).otherwise(0))
+        .cast("long")
+        .alias("npos"),
+        F.sum(F.when(F.col("y2") < F.col("y1"), 1).otherwise(0))
+        .cast("long")
+        .alias("nneg"),
+    )
+    mm = (F.col("npos") + F.col("nneg")).cast("double")
+    return s.select(
+        F.col("npos").alias("n_up"),
+        F.col("nneg").alias("n_down"),
+        (F.col("npos") + F.col("nneg")).cast("long").alias(
+            "n_informative"
+        ),
+        F.round(
+            (F.col("npos") - mm / F.lit(2.0)) / F.sqrt(mm / F.lit(4.0)),
+            4,
+        ).alias("cox_stuart_z"),
+    )
+
+
+_X539_ORACLE = """
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+           AS wk,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+cal AS (
+  SELECT CAST(count(*) AS BIGINT) AS nc,
+         CAST(SUM(y) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS s2
+  FROM weekly WHERE wk < DATE '1999-01-01'
+),
+ms AS (
+  SELECT ROUND(CAST(s1 AS DOUBLE) / nc, 4) AS mu,
+         ROUND(sqrt(CAST(s2 AS DOUBLE) / nc
+               - (CAST(s1 AS DOUBLE) / nc)
+                 * (CAST(s1 AS DOUBLE) / nc)), 4) AS sigma
+  FROM cal
+),
+q AS (
+  SELECT w.wk,
+         CAST(floor((w.y - ms.mu - ms.sigma / 4.0) * 100.0) AS BIGINT)
+           AS qd,
+         ms.sigma
+  FROM weekly w, ms
+),
+ph0 AS (
+  SELECT wk, sigma,
+         SUM(qd) OVER (ORDER BY wk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM q
+),
+ph AS (
+  SELECT wk, sigma, m,
+         MIN(m) OVER (ORDER BY wk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+  FROM ph0
+),
+alarm AS (
+  SELECT wk, sigma, m - mn AS phv
+  FROM ph WHERE wk >= DATE '1999-01-01'
+)
+SELECT CAST(count(*) AS BIGINT) AS n_test_weeks,
+       CAST(SUM(CASE WHEN CAST(phv AS DOUBLE)
+                          > 3.0 * sigma * 100.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       MIN(CASE WHEN CAST(phv AS DOUBLE) > 3.0 * sigma * 100.0
+           THEN wk END) AS first_alarm_week,
+       ROUND(MAX(CAST(phv AS DOUBLE)) / (sigma * 100.0), 4)
+         AS max_ph_sigmas
+FROM alarm
+GROUP BY sigma
+"""
+
+
+@register(
+    "x539_page_hinkley",
+    _X539_ORACLE,
+    doc="Page-Hinkley drift detector on weekly revenue (x501's "
+        "calibration framing: pre-1999 mean/sd, post-1999 "
+        "monitored): PH_t = m_t - min m_i with m_t = cumsum(y - mu "
+        "- delta), delta = sigma/4, alarm at 3 sigma -- the "
+        "standard streaming-ML drift alarm for a sustained mean "
+        "INCREASE, where x501's EWMA tracks level exceedances and "
+        "x289's CUSUM is the offline twin (PH's subtracted "
+        "running-min is what makes it one-pass online). "
+        "Exactness: mu/sigma round 4 from exact calibration "
+        "moments, deviations floor-quantize to integer cents so "
+        "the cumulative sum AND its running minimum are exact "
+        "integer windows (a float cumsum under DuckDB's "
+        "segment-tree windows would be order-dependent -- the "
+        "x477 lesson applied to windows); alarms are integer "
+        "comparisons against the rounded 3-sigma threshold. "
+        "Scale: one week-grain aggregate, windows on the bounded "
+        "week domain",
+)
+def x539_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.date_trunc("week", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("wk")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    cut = F.lit("1999-01-01").cast("date")
+    cal = weekly.filter(F.col("wk") < cut).agg(
+        F.count(F.lit(1)).cast("long").alias("nc"),
+        F.sum(F.col("y").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    mu_raw = F.col("s1").cast("double") / F.col("nc")
+    ms = cal.select(
+        F.round(mu_raw, 4).alias("mu"),
+        F.round(
+            F.sqrt(
+                F.col("s2").cast("double") / F.col("nc") - mu_raw * mu_raw
+            ),
+            4,
+        ).alias("sigma"),
+    )
+    q = weekly.crossJoin(F.broadcast(ms)).select(
+        "wk",
+        F.floor(
+            (F.col("y") - F.col("mu") - F.col("sigma") / F.lit(4.0))
+            * F.lit(100.0)
+        )
+        .cast("long")
+        .alias("qd"),
+        "sigma",
+    )
+    wc = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, 0)
+    ph0 = q.select(
+        "wk", "sigma", F.sum("qd").over(wc).alias("m")
+    )
+    ph = ph0.select(
+        "wk", "sigma", "m", F.min("m").over(wc).alias("mn")
+    )
+    alarm = ph.filter(F.col("wk") >= cut).select(
+        "wk", "sigma", (F.col("m") - F.col("mn")).alias("phv")
+    )
+    thr = F.lit(3.0) * F.col("sigma") * F.lit(100.0)
+    return alarm.groupBy("sigma").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_weeks"),
+        F.sum(F.when(F.col("phv").cast("double") > thr, 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarms"),
+        F.min(
+            F.when(F.col("phv").cast("double") > thr, F.col("wk"))
+        ).alias("first_alarm_week"),
+        F.round(
+            F.max(F.col("phv").cast("double"))
+            / (F.col("sigma") * F.lit(100.0)),
+            4,
+        ).alias("max_ph_sigmas"),
+    ).drop("sigma")
+
+
+_X540_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+           AS mon,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+),
+blocks AS (
+  SELECT mon, CAST(MAX(y) AS BIGINT) AS mx
+  FROM daily GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS nb,
+         CAST(SUM(mx) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS s2,
+         CAST(MAX(mx) AS BIGINT) AS grand_max
+  FROM blocks
+),
+fit AS (
+  SELECT nb, grand_max,
+         CAST(s1 AS DOUBLE) / nb AS mean_mx,
+         sqrt((nb * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+               * CAST(s1 AS DOUBLE))
+              / (CAST(nb AS DOUBLE) * (nb - 1.0))) AS sd_mx
+  FROM m
+)
+SELECT nb AS n_months, grand_max AS record_day_cents,
+       ROUND(sd_mx * 2.449489742783178 / 3.141592653589793, 4)
+         AS gumbel_scale,
+       ROUND(mean_mx - 0.5772156649015329
+             * (sd_mx * 2.449489742783178 / 3.141592653589793), 4)
+         AS gumbel_loc,
+       ROUND(1.0 - exp(-exp(-((grand_max
+              - (mean_mx - 0.5772156649015329
+                 * (sd_mx * 2.449489742783178 / 3.141592653589793)))
+             / (sd_mx * 2.449489742783178 / 3.141592653589793)))), 6)
+         AS p_exceed_record
+FROM fit
+"""
+
+
+@register(
+    "x540_gumbel_block_maxima",
+    _X540_ORACLE,
+    doc="Gumbel extreme-value fit of MONTHLY block maxima of daily "
+        "revenue (method of moments: scale = sd*sqrt(6)/pi, loc = "
+        "mean - gamma*scale with Euler-Mascheroni pinned), plus "
+        "P(a future month's max exceeds the historical record) "
+        "from the fitted CDF -- the BLOCK-MAXIMA side of extreme-"
+        "value theory where x463's Hill index is the peaks-over-"
+        "threshold side: capacity planning asks 'how big can a "
+        "day get', not 'how heavy is the tail'. Exactness: block "
+        "maxima are exact integer cents, mean/sd from exact "
+        "HUGEINT moments; sqrt(6)/pi and gamma enter as pinned "
+        "literals (2.449489742783178 / 3.141592653589793 / "
+        "0.5772156649015329) so both engines evaluate the "
+        "identical double expression; one exp chain at the end. "
+        "Scale: one day-grain aggregate, one month-grain "
+        "aggregate, constant algebra",
+)
+def x540_gumbel_block_maxima(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("mon"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    blocks = daily.groupBy("mon").agg(
+        F.max("y").cast("long").alias("mx")
+    )
+    mxd = F.col("mx").cast("decimal(38,0)")
+    m = blocks.agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum(mxd).cast("decimal(38,0)").alias("s1"),
+        F.sum(mxd * F.col("mx")).cast("decimal(38,0)").alias("s2"),
+        F.max("mx").cast("long").alias("grand_max"),
+    )
+    nbd = F.col("nb").cast("double")
+    mean_mx = F.col("s1").cast("double") / F.col("nb")
+    sd_mx = F.sqrt(
+        (
+            F.col("nb") * F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+        )
+        / (nbd * (F.col("nb") - 1.0))
+    )
+    scale = sd_mx * F.lit(2.449489742783178) / F.lit(3.141592653589793)
+    loc = mean_mx - F.lit(0.5772156649015329) * scale
+    return m.select(
+        F.col("nb").alias("n_months"),
+        F.col("grand_max").alias("record_day_cents"),
+        F.round(scale, 4).alias("gumbel_scale"),
+        F.round(loc, 4).alias("gumbel_loc"),
+        F.round(
+            F.lit(1.0)
+            - F.exp(-F.exp(-((F.col("grand_max") - loc) / scale))),
+            6,
+        ).alias("p_exceed_record"),
+    )
+
+
+_X541_ORACLE = """
+WITH u AS (
+  SELECT user_id % 2 AS arm,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+                       ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv,
+         CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS spend
+  FROM events GROUP BY user_id
+),
+strata AS (
+  SELECT conv,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nt,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nc
+  FROM u GROUP BY 1
+),
+l1 AS (
+  SELECT CAST((SELECT nt FROM strata WHERE conv = 1)
+              * (SELECT nc FROM strata WHERE conv = 0) AS HUGEINT)
+           AS wins1,
+         CAST((SELECT nc FROM strata WHERE conv = 1)
+              * (SELECT nt FROM strata WHERE conv = 0) AS HUGEINT)
+           AS losses1
+),
+sdom AS (
+  SELECT conv, spend,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS ct,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cc
+  FROM u GROUP BY 1, 2
+),
+cum AS (
+  SELECT conv, spend, ct, cc,
+         COALESCE(SUM(cc) OVER (PARTITION BY conv ORDER BY spend
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cc_below,
+         COALESCE(SUM(ct) OVER (PARTITION BY conv ORDER BY spend
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS ct_below,
+         CAST(SUM(ct * cc) OVER (PARTITION BY conv) AS HUGEINT)
+           AS cross_total
+  FROM sdom
+),
+l2 AS (
+  SELECT CAST(SUM(CAST(ct AS HUGEINT) * cc_below) AS HUGEINT) AS wins2,
+         CAST(SUM(CAST(cc AS HUGEINT) * ct_below) AS HUGEINT)
+           AS losses2,
+         CAST(SUM(CAST(ct AS HUGEINT) * cc) AS HUGEINT) AS ties2
+  FROM cum
+)
+SELECT CAST(l1.wins1 + l2.wins2 AS BIGINT) AS wins,
+       CAST(l1.losses1 + l2.losses2 AS BIGINT) AS losses,
+       CAST(l2.ties2 AS BIGINT) AS ties,
+       ROUND(CAST(l1.wins1 + l2.wins2 AS DOUBLE)
+             / CAST(l1.losses1 + l2.losses2 AS DOUBLE), 6)
+         AS win_ratio
+FROM l1, l2
+"""
+
+
+@register(
+    "x541_win_ratio",
+    _X541_ORACLE,
+    doc="Pocock win ratio between the user-parity arms on the "
+        "PRIORITIZED outcome pair (conversion first, then total "
+        "spend): every treat x control pair is compared on "
+        "conversion, spend breaks conversion ties, and WR = "
+        "wins/losses -- the composite-endpoint effect measure "
+        "clinical trials standardized (here: 'did the arm produce "
+        "better customers, conversion before revenue') that a "
+        "single-metric lift (x125) or a rank test on spend alone "
+        "(x349) cannot express. Exactness: the O(n^2) pairwise "
+        "comparison collapses to EXACT integer identities -- "
+        "level-1 wins are a margin product, level-2 spend "
+        "dominance rides cumulative counts over the per-stratum "
+        "spend domain (x492's dominance-credit discipline); exact "
+        "HUGEINT tallies, one rounded division. Scale: one "
+        "user-grain aggregate, spend-domain windows; no pair is "
+        "ever materialized",
+)
+def x541_win_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("conv"),
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("spend"),
+    ).select((F.col("user_id") % 2).alias("arm"), "conv", "spend")
+    strata = u.groupBy("conv").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nt"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nc"),
+    )
+    l1 = strata.agg(
+        (
+            F.sum(F.when(F.col("conv") == 1, F.col("nt")).otherwise(0))
+            .cast("decimal(38,0)")
+            * F.sum(F.when(F.col("conv") == 0, F.col("nc")).otherwise(0))
+        )
+        .cast("decimal(38,0)")
+        .alias("wins1"),
+        (
+            F.sum(F.when(F.col("conv") == 1, F.col("nc")).otherwise(0))
+            .cast("decimal(38,0)")
+            * F.sum(F.when(F.col("conv") == 0, F.col("nt")).otherwise(0))
+        )
+        .cast("decimal(38,0)")
+        .alias("losses1"),
+    )
+    sdom = u.groupBy("conv", "spend").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cc"),
+    )
+    wb = Window.partitionBy("conv").orderBy("spend").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = sdom.select(
+        "conv",
+        "ct",
+        "cc",
+        F.coalesce(F.sum("cc").over(wb), F.lit(0)).cast("long").alias(
+            "cc_below"
+        ),
+        F.coalesce(F.sum("ct").over(wb), F.lit(0)).cast("long").alias(
+            "ct_below"
+        ),
+    )
+    l2 = cum.agg(
+        F.sum(F.col("ct").cast("decimal(38,0)") * F.col("cc_below"))
+        .cast("decimal(38,0)")
+        .alias("wins2"),
+        F.sum(F.col("cc").cast("decimal(38,0)") * F.col("ct_below"))
+        .cast("decimal(38,0)")
+        .alias("losses2"),
+        F.sum(F.col("ct").cast("decimal(38,0)") * F.col("cc"))
+        .cast("decimal(38,0)")
+        .alias("ties2"),
+    )
+    j = l1.crossJoin(F.broadcast(l2))
+    wins = F.col("wins1") + F.col("wins2")
+    losses = F.col("losses1") + F.col("losses2")
+    return j.select(
+        wins.cast("long").alias("wins"),
+        losses.cast("long").alias("losses"),
+        F.col("ties2").cast("long").alias("ties"),
+        F.round(
+            wins.cast("double") / losses.cast("double"), 6
+        ).alias("win_ratio"),
+    )

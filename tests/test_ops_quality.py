@@ -7840,3 +7840,146 @@ def test_neardup_transitivity_matches_bruteforce(spark):
         assert abs(r["transitivity"] - _round_hu(closed / wedges, 6)) < 1e-9
     assert 0.0 <= r["transitivity"] <= 1.0
     assert r["n_closed"] <= r["n_wedges"]
+
+
+def test_cox_stuart_matches_bruteforce(spark):
+    """x538: replay the positional half-pairing; invariants: pairs
+    = n div 2 minus ties, z sign matches the dominant direction."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x538_cox_stuart,
+    )
+
+    daily = _daily_cents(spark)
+    ys = [daily[d] for d in sorted(daily)]
+    n = len(ys)
+    h = n // 2
+    npos = sum(1 for i in range(h) if ys[i + h] > ys[i])
+    nneg = sum(1 for i in range(h) if ys[i + h] < ys[i])
+    m = npos + nneg
+    z = (npos - m / 2.0) / math.sqrt(m / 4.0)
+    r = x538_cox_stuart(spark, SF).collect()[0]
+    assert (r["n_up"], r["n_down"], r["n_informative"]) == (npos, nneg, m)
+    assert abs(r["cox_stuart_z"] - _round_hu(z, 4)) < 1e-9
+    assert m <= h
+    assert (r["cox_stuart_z"] >= 0) == (npos >= nneg)
+
+
+def test_page_hinkley_matches_bruteforce(spark):
+    """x539: replay the integer PH recursion; invariants: PH >= 0
+    everywhere, alarms only when PH crosses 3 sigma."""
+    import datetime
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x539_page_hinkley,
+    )
+
+    weekly = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        monday = d - datetime.timedelta(days=d.weekday())
+        weekly[monday] += int(math.floor(rr["o_totalprice"] * 100.0))
+    cut = datetime.date(1999, 1, 1)
+    cal = [y for w, y in weekly.items() if w < cut]
+    nc = len(cal)
+    mu = _round_hu(sum(cal) / nc, 4)
+    sigma = _round_hu(
+        math.sqrt(sum(y * y for y in cal) / nc - (sum(cal) / nc) ** 2), 4
+    )
+    m = 0
+    mn = 0
+    alarms = 0
+    first = None
+    maxph = 0
+    ntest = 0
+    for w in sorted(weekly):
+        m += int(math.floor((weekly[w] - mu - sigma / 4.0) * 100.0))
+        mn = min(mn, m)
+        ph = m - mn
+        assert ph >= 0
+        if w >= cut:
+            ntest += 1
+            maxph = max(maxph, ph)
+            if ph > 3.0 * sigma * 100.0:
+                alarms += 1
+                if first is None:
+                    first = w
+    r = x539_page_hinkley(spark, SF).collect()[0]
+    assert r["n_test_weeks"] == ntest
+    assert r["n_alarms"] == alarms
+    assert r["first_alarm_week"] == first
+    assert abs(
+        r["max_ph_sigmas"] - _round_hu(maxph / (sigma * 100.0), 4)
+    ) < 1e-6
+
+
+def test_gumbel_matches_bruteforce(spark):
+    """x540: replay the method-of-moments fit; invariants: scale > 0,
+    loc below the record, p_exceed in (0, 1) and conservative (a
+    record is by definition rare under the fitted law)."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x540_gumbel_block_maxima,
+    )
+
+    daily = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        daily[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+    blocks = defaultdict(int)
+    for d, y in daily.items():
+        blocks[(d.year, d.month)] = max(blocks[(d.year, d.month)], y)
+    mx = list(blocks.values())
+    nb = len(mx)
+    mean = sum(mx) / nb
+    sd = math.sqrt(
+        (nb * sum(v * v for v in mx) - sum(mx) ** 2) / (nb * (nb - 1.0))
+    )
+    scale = sd * 2.449489742783178 / 3.141592653589793
+    loc = mean - 0.5772156649015329 * scale
+    gmax = max(mx)
+    p = 1.0 - math.exp(-math.exp(-((gmax - loc) / scale)))
+    r = x540_gumbel_block_maxima(spark, SF).collect()[0]
+    assert (r["n_months"], r["record_day_cents"]) == (nb, gmax)
+    assert abs(r["gumbel_scale"] - _round_hu(scale, 4)) < 1e-6
+    assert abs(r["gumbel_loc"] - _round_hu(loc, 4)) < 1e-6
+    assert abs(r["p_exceed_record"] - _round_hu(p, 6)) < 1e-9
+    assert r["gumbel_scale"] > 0
+    assert r["gumbel_loc"] < gmax
+    assert 0.0 < r["p_exceed_record"] < 0.5
+
+
+def test_win_ratio_matches_bruteforce(spark):
+    """x541: brute-force ALL treat x control pairs at sf0.001 and
+    compare; invariants: wins + losses + ties = nt * nc."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x541_win_ratio,
+    )
+
+    agg = defaultdict(lambda: [0, 0])
+    for rr in load_table(spark, SF, "events").select(
+        "user_id", "event_type", "value"
+    ).collect():
+        a = agg[rr["user_id"]]
+        a[0] += rr["event_type"] == "purchase"
+        a[1] += int(round(rr["value"] * 100))
+    treat = []
+    ctrl = []
+    for u, (p, s) in agg.items():
+        (treat if u % 2 == 1 else ctrl).append((int(p >= 14), s))
+    wins = losses = ties = 0
+    for tc, ts in treat:
+        for cc, cs in ctrl:
+            if tc > cc or (tc == cc and ts > cs):
+                wins += 1
+            elif cc > tc or (tc == cc and cs > ts):
+                losses += 1
+            else:
+                ties += 1
+    r = x541_win_ratio(spark, SF).collect()[0]
+    assert (r["wins"], r["losses"], r["ties"]) == (wins, losses, ties)
+    assert wins + losses + ties == len(treat) * len(ctrl)
+    assert abs(r["win_ratio"] - _round_hu(wins / losses, 6)) < 1e-9
