@@ -1,0 +1,424 @@
+"""Extension entries x542+ (round-8 wave): two-sample and
+ordered-group comparison statistics the x430-x541 inference/
+diagnostics waves still lacked -- the robust SHIFT ESTIMATE
+(Hodges-Lehmann) where x286/x444 give means, the DOSE-RESPONSE
+trend test (Cochran-Armitage) where x148's chi-square is omnibus,
+and the DISTRIBUTION-LEVEL two-sample test (energy distance) that
+sees shape differences a location test (x445) or a variance test
+cannot.
+
+Engine-exactness recipes follow the proven registry contracts
+(SURVEY.md section 5.3): payloads quantize to integer cents before
+any cross-row sum; sums accumulate in DECIMAL(38,0)/HUGEINT;
+divisions happen in DOUBLE with fixed operand order; ROUND guards
+every emitted float.  Pairwise statistics NEVER materialize row
+pairs against corpus cardinality: Hodges-Lehmann pairs ride the
+bounded calendar domain, energy-distance pair sums collapse to
+prefix-sum identities over the distinct-value domain (the x492/
+x541 dominance-credit discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ...catalog import load_table
+from ...scale import global_row_number
+from .. import register
+
+
+_X542_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+wk AS (SELECT day, y FROM daily WHERE dayofweek(day) IN (0, 6)),
+wd AS (SELECT day, y FROM daily WHERE dayofweek(day) NOT IN (0, 6)),
+diffs AS (
+  SELECT CAST(a.y AS HUGEINT) - b.y AS d
+  FROM wk a CROSS JOIN wd b
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST((SELECT count(*) FROM wk) AS BIGINT) AS nw,
+         CAST((SELECT count(*) FROM wd) AS BIGINT) AS nd,
+         CAST((SELECT SUM(y) FROM wk) AS HUGEINT) AS sw,
+         CAST((SELECT SUM(y) FROM wd) AS HUGEINT) AS sd
+  FROM diffs
+),
+rk AS (SELECT d, row_number() OVER (ORDER BY d) AS rn FROM diffs),
+hl AS (
+  SELECT AVG(CAST(rk.d AS DOUBLE)) AS hl_cents
+  FROM rk, m
+  WHERE rk.rn = (m.m + 1) // 2 OR rk.rn = (m.m + 2) // 2
+)
+SELECT m.nw AS n_weekend, m.nd AS n_weekday, m.m AS n_pairs,
+       ROUND(hl.hl_cents, 1) AS hl_shift_cents,
+       ROUND(CAST(m.sw AS DOUBLE) / m.nw
+             - CAST(m.sd AS DOUBLE) / m.nd, 4) AS mean_shift_cents
+FROM m, hl
+"""
+
+
+@register(
+    "x542_hodges_lehmann",
+    _X542_ORACLE,
+    doc="Hodges-Lehmann shift estimate of the weekend-vs-weekday "
+        "daily-revenue effect: the median of ALL weekend-minus-"
+        "weekday pairwise differences -- the robust effect SIZE "
+        "whose significance twin is the rank-sum family (x445 "
+        "Brunner-Munzel decides 'is there a shift', HL says HOW "
+        "BIG in revenue units, immune to the heavy right tail "
+        "that drags the mean difference reported beside it). "
+        "Exactness: daily revenue is exact integer cents, so "
+        "every pairwise difference is an exact integer; the "
+        "median picks the ((m+1) div 2)-th and ((m+2) div 2)-th "
+        "order STATISTICS of the multiset (value-deterministic "
+        "regardless of tie order) and averages them -- a .5-exact "
+        "double. Scale: the pair table is CALENDAR-bounded "
+        "(~686 weekend x ~1713 weekday days, constant in SF, "
+        "never user/row pairs); the weekend side broadcasts, and "
+        "ranking uses scale.global_row_number's two-pass prefix "
+        "rank -- no SinglePartition sort",
+)
+def x542_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    is_wk = F.dayofweek("day").isin(1, 7)
+    wk = daily.filter(is_wk).select(
+        F.col("day").alias("wk_day"), F.col("y").alias("wk_y")
+    )
+    wd = daily.filter(~is_wk).select(
+        F.col("day").alias("wd_day"), F.col("y").alias("wd_y")
+    )
+    diffs = wd.crossJoin(F.broadcast(wk)).select(
+        (F.col("wk_y") - F.col("wd_y")).cast("long").alias("d"),
+        "wk_day",
+        "wd_day",
+    )
+    rk = global_row_number(diffs, ["d", "wk_day", "wd_day"], "rn")
+    m = diffs.agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    ).crossJoin(
+        F.broadcast(
+            wk.agg(
+                F.count(F.lit(1)).cast("long").alias("nw"),
+                F.sum(F.col("wk_y").cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .alias("sw"),
+            )
+        )
+    ).crossJoin(
+        F.broadcast(
+            wd.agg(
+                F.count(F.lit(1)).cast("long").alias("nd"),
+                F.sum(F.col("wd_y").cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .alias("sd"),
+            )
+        )
+    )
+    hl = (
+        rk.crossJoin(F.broadcast(m.select("m")))
+        .filter(
+            (F.col("rn") == F.expr("(m + 1) div 2"))
+            | (F.col("rn") == F.expr("(m + 2) div 2"))
+        )
+        .agg(F.avg(F.col("d").cast("double")).alias("hl_cents"))
+    )
+    return m.crossJoin(F.broadcast(hl)).select(
+        F.col("nw").alias("n_weekend"),
+        F.col("nd").alias("n_weekday"),
+        F.col("m").alias("n_pairs"),
+        F.round("hl_cents", 1).alias("hl_shift_cents"),
+        F.round(
+            F.col("sw").cast("double") / F.col("nw")
+            - F.col("sd").cast("double") / F.col("nd"),
+            4,
+        ).alias("mean_shift_cents"),
+    )
+
+
+_X543_ORACLE = """
+WITH b AS (
+  SELECT CAST(round(l_discount * 100.0, 0) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n_i,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r_i
+  FROM lineitem GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(n_i) AS HUGEINT) AS n,
+         CAST(SUM(r_i) AS HUGEINT) AS r,
+         CAST(SUM(s * n_i) AS HUGEINT) AS sn,
+         CAST(SUM(s * r_i) AS HUGEINT) AS sr,
+         CAST(SUM(s * s * n_i) AS HUGEINT) AS ssn
+  FROM b
+)
+SELECT CAST(n AS BIGINT) AS n_items,
+       CAST(r AS BIGINT) AS n_returns,
+       ROUND(CAST(r AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pbar,
+       ROUND(CAST(n * sr - r * sn AS DOUBLE)
+             / CAST(n * ssn - sn * sn AS DOUBLE), 8)
+         AS trend_slope_per_band,
+       ROUND(CAST(n * sr - r * sn AS DOUBLE)
+             / sqrt(CAST(r * (n - r) AS DOUBLE)
+                    * CAST(n * ssn - sn * sn AS DOUBLE)
+                    / CAST(n AS DOUBLE)), 4) AS ca_z
+FROM t
+"""
+
+
+@register(
+    "x543_cochran_armitage",
+    _X543_ORACLE,
+    doc="Cochran-Armitage trend test: does the return RATE rise "
+        "monotonically with the discount band (scores 0-10)? The "
+        "dose-response member of the categorical suite -- x148's "
+        "chi-square treats bands as unordered and spends 10 df on "
+        "any pattern; CA spends 1 df on the LINEAR trend and so "
+        "sees an ordered drift chi-square dilutes away; the "
+        "weighted-least-squares slope of rate on band is emitted "
+        "beside z as the effect size. Exactness: every moment "
+        "(N, R, sum s*n, sum s*r, sum s^2*n) is an exact integer "
+        "from ONE band-grain aggregate; numerator N*sr - R*sn and "
+        "variance core R(N-R)(N*ssn - sn^2)/N (~3e32 at sf10, "
+        "inside DECIMAL(38)) stay integer-exact until the final "
+        "double division/sqrt. Scale: one corpus groupBy to the "
+        "11-row band domain, then constant algebra",
+)
+def x543_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy(
+        F.round(F.col("l_discount") * 100.0, 0).cast("long").alias("s")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("r_i"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    t = b.agg(
+        F.sum(dec(F.col("n_i"))).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("r_i"))).cast("decimal(38,0)").alias("r"),
+        F.sum(dec(F.col("s") * F.col("n_i")))
+        .cast("decimal(38,0)")
+        .alias("sn"),
+        F.sum(dec(F.col("s") * F.col("r_i")))
+        .cast("decimal(38,0)")
+        .alias("sr"),
+        F.sum(dec(F.col("s") * F.col("s") * F.col("n_i")))
+        .cast("decimal(38,0)")
+        .alias("ssn"),
+    )
+    num = (F.col("n") * F.col("sr") - F.col("r") * F.col("sn")).cast(
+        "decimal(38,0)"
+    )
+    vcore = (F.col("n") * F.col("ssn") - F.col("sn") * F.col("sn")).cast(
+        "decimal(38,0)"
+    )
+    rcore = (F.col("r") * (F.col("n") - F.col("r"))).cast("decimal(38,0)")
+    return t.select(
+        F.col("n").cast("long").alias("n_items"),
+        F.col("r").cast("long").alias("n_returns"),
+        F.round(
+            F.col("r").cast("double") / F.col("n").cast("double"), 6
+        ).alias("pbar"),
+        F.round(num.cast("double") / vcore.cast("double"), 8).alias(
+            "trend_slope_per_band"
+        ),
+        F.round(
+            num.cast("double")
+            / F.sqrt(
+                rcore.cast("double")
+                * vcore.cast("double")
+                / F.col("n").cast("double")
+            ),
+            4,
+        ).alias("ca_z"),
+    )
+
+
+_X545_ORACLE = """
+WITH u AS (
+  SELECT user_id % 2 AS arm,
+         CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS spend
+  FROM events GROUP BY user_id
+),
+dom AS (
+  SELECT spend,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cx,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cy
+  FROM u GROUP BY 1
+),
+cum AS (
+  SELECT spend, cx, cy,
+         COALESCE(SUM(cx) OVER w, 0) AS cxb,
+         COALESCE(SUM(cy) OVER w, 0) AS cyb,
+         COALESCE(SUM(CAST(spend AS HUGEINT) * cx) OVER w, 0) AS sxb,
+         COALESCE(SUM(CAST(spend AS HUGEINT) * cy) OVER w, 0) AS syb
+  FROM dom
+  WINDOW w AS (ORDER BY spend
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+tot AS (
+  SELECT CAST(SUM(cx) AS HUGEINT) AS nx,
+         CAST(SUM(cy) AS HUGEINT) AS ny,
+         CAST(SUM(CAST(spend AS HUGEINT) * cx) AS HUGEINT) AS sxt,
+         CAST(SUM(CAST(spend AS HUGEINT) * cy) AS HUGEINT) AS syt
+  FROM dom
+),
+sums AS (
+  SELECT
+    CAST(SUM(cy * (CAST(spend AS HUGEINT) * cxb - sxb
+         + (sxt - sxb - CAST(spend AS HUGEINT) * (nx - cxb))))
+      AS HUGEINT) AS sxy,
+    CAST(SUM(cx * (CAST(spend AS HUGEINT) * cxb - sxb
+         + (sxt - sxb - CAST(spend AS HUGEINT) * (nx - cxb))))
+      AS HUGEINT) AS sxx,
+    CAST(SUM(cy * (CAST(spend AS HUGEINT) * cyb - syb
+         + (syt - syb - CAST(spend AS HUGEINT) * (ny - cyb))))
+      AS HUGEINT) AS syy
+  FROM cum, tot
+)
+SELECT CAST(t.nx AS BIGINT) AS n_treat,
+       CAST(t.ny AS BIGINT) AS n_ctrl,
+       ROUND(CAST(s.sxy AS DOUBLE)
+             / (CAST(t.nx AS DOUBLE) * CAST(t.ny AS DOUBLE)), 4)
+         AS mean_dist_xy,
+       ROUND(CAST(s.sxx AS DOUBLE)
+             / (CAST(t.nx AS DOUBLE) * CAST(t.nx AS DOUBLE)), 4)
+         AS mean_dist_xx,
+       ROUND(CAST(s.syy AS DOUBLE)
+             / (CAST(t.ny AS DOUBLE) * CAST(t.ny AS DOUBLE)), 4)
+         AS mean_dist_yy,
+       ROUND(2.0 * (CAST(s.sxy AS DOUBLE)
+                    / (CAST(t.nx AS DOUBLE) * CAST(t.ny AS DOUBLE)))
+             - CAST(s.sxx AS DOUBLE)
+               / (CAST(t.nx AS DOUBLE) * CAST(t.nx AS DOUBLE))
+             - CAST(s.syy AS DOUBLE)
+               / (CAST(t.ny AS DOUBLE) * CAST(t.ny AS DOUBLE)), 6)
+         AS e_dist_cents,
+       ROUND((CAST(t.nx AS DOUBLE) * CAST(t.ny AS DOUBLE)
+              / (CAST(t.nx AS DOUBLE) + CAST(t.ny AS DOUBLE)))
+             * (2.0 * (CAST(s.sxy AS DOUBLE)
+                       / (CAST(t.nx AS DOUBLE) * CAST(t.ny AS DOUBLE)))
+                - CAST(s.sxx AS DOUBLE)
+                  / (CAST(t.nx AS DOUBLE) * CAST(t.nx AS DOUBLE))
+                - CAST(s.syy AS DOUBLE)
+                  / (CAST(t.ny AS DOUBLE) * CAST(t.ny AS DOUBLE))), 2)
+         AS t_energy
+FROM sums s, tot t
+"""
+
+
+@register(
+    "x545_energy_distance",
+    _X545_ORACLE,
+    doc="Szekely-Rizzo energy distance between the user-parity arms "
+        "on per-user total spend: E = 2*E|X-Y| - E|X-X'| - E|Y-Y'| "
+        "with the test statistic T = nm/(n+m)*E -- the "
+        "DISTRIBUTION-level two-sample test that is nonzero iff "
+        "the two laws differ AT ALL (location, scale, OR shape), "
+        "where x445 Brunner-Munzel sees stochastic dominance and "
+        "a variance test sees spread; E=0 <=> equal distributions "
+        "is the property neither has. Exactness: all three "
+        "pairwise |difference| sums collapse to EXACT integer "
+        "prefix-sum identities over the distinct-spend domain "
+        "(sum_y |v-y| = v*C_below - S_below + S_above - v*C_above, "
+        "strict windows so equal values contribute exactly 0); "
+        "HUGEINT/DECIMAL(38,0) throughout, three double divisions "
+        "at the end in fixed order. Scale: one user-grain "
+        "aggregate, then spend-domain windows (x541's discipline) "
+        "-- no user pair is ever materialized",
+)
+def x545_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("spend")
+    ).select((F.col("user_id") % 2).alias("arm"), "spend")
+    dom = u.groupBy("spend").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cx"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cy"),
+    )
+    wb = Window.orderBy("spend").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sp = dec(F.col("spend"))
+    cum = dom.select(
+        "spend",
+        "cx",
+        "cy",
+        F.coalesce(F.sum("cx").over(wb), F.lit(0)).cast("long").alias(
+            "cxb"
+        ),
+        F.coalesce(F.sum("cy").over(wb), F.lit(0)).cast("long").alias(
+            "cyb"
+        ),
+        F.coalesce(F.sum(sp * F.col("cx")).over(wb), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("sxb"),
+        F.coalesce(F.sum(sp * F.col("cy")).over(wb), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("syb"),
+    )
+    tot = dom.agg(
+        F.sum("cx").cast("long").alias("nx"),
+        F.sum("cy").cast("long").alias("ny"),
+        F.sum(sp * F.col("cx")).cast("decimal(38,0)").alias("sxt"),
+        F.sum(sp * F.col("cy")).cast("decimal(38,0)").alias("syt"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    fx = (
+        sp * F.col("cxb")
+        - F.col("sxb")
+        + (F.col("sxt") - F.col("sxb") - sp * (F.col("nx") - F.col("cxb")))
+    )
+    fy = (
+        sp * F.col("cyb")
+        - F.col("syb")
+        + (F.col("syt") - F.col("syb") - sp * (F.col("ny") - F.col("cyb")))
+    )
+    sums = j.agg(
+        F.sum(dec(F.col("cy")) * fx).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec(F.col("cx")) * fx).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec(F.col("cy")) * fy).cast("decimal(38,0)").alias("syy"),
+        F.first("nx").alias("nx"),
+        F.first("ny").alias("ny"),
+    )
+    nxd = F.col("nx").cast("double")
+    nyd = F.col("ny").cast("double")
+    mxy = F.col("sxy").cast("double") / (nxd * nyd)
+    mxx = F.col("sxx").cast("double") / (nxd * nxd)
+    myy = F.col("syy").cast("double") / (nyd * nyd)
+    e = 2.0 * mxy - mxx - myy
+    return sums.select(
+        F.col("nx").alias("n_treat"),
+        F.col("ny").alias("n_ctrl"),
+        F.round(mxy, 4).alias("mean_dist_xy"),
+        F.round(mxx, 4).alias("mean_dist_xx"),
+        F.round(myy, 4).alias("mean_dist_yy"),
+        F.round(e, 6).alias("e_dist_cents"),
+        F.round((nxd * nyd / (nxd + nyd)) * e, 2).alias("t_energy"),
+    )

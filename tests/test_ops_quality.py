@@ -7983,3 +7983,188 @@ def test_win_ratio_matches_bruteforce(spark):
     assert (r["wins"], r["losses"], r["ties"]) == (wins, losses, ties)
     assert wins + losses + ties == len(treat) * len(ctrl)
     assert abs(r["win_ratio"] - _round_hu(wins / losses, 6)) < 1e-9
+
+
+def test_hodges_lehmann_matches_bruteforce(spark):
+    """x542: enumerate ALL weekend x weekday pairwise differences at
+    sf0.001 and take the exact multiset median; invariants: the HL
+    estimate lies inside [min diff, max diff] and n_pairs = nw * nd."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x542_hodges_lehmann,
+    )
+
+    daily = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        daily[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+    wk = [y for d, y in daily.items() if d.isoweekday() in (6, 7)]
+    wd = [y for d, y in daily.items() if d.isoweekday() not in (6, 7)]
+    diffs = sorted(a - b for a in wk for b in wd)
+    m = len(diffs)
+    hl = (diffs[(m + 1) // 2 - 1] + diffs[(m + 2) // 2 - 1]) / 2.0
+    mean_shift = sum(wk) / len(wk) - sum(wd) / len(wd)
+    r = x542_hodges_lehmann(spark, SF).collect()[0]
+    assert (r["n_weekend"], r["n_weekday"], r["n_pairs"]) == (
+        len(wk),
+        len(wd),
+        m,
+    )
+    assert abs(r["hl_shift_cents"] - _round_hu(hl, 1)) < 1e-6
+    assert abs(r["mean_shift_cents"] - _round_hu(mean_shift, 4)) < 1e-6
+    assert diffs[0] <= r["hl_shift_cents"] <= diffs[-1]
+
+
+def test_cochran_armitage_matches_replay(spark):
+    """x543: replay the trend z and WLS slope from per-band counts;
+    invariants: slope and z share a sign, pbar in (0,1)."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x543_cochran_armitage,
+    )
+
+    bands = defaultdict(lambda: [0, 0])
+    for rr in load_table(spark, SF, "lineitem").select(
+        "l_discount", "l_returnflag"
+    ).collect():
+        s = int(round(rr["l_discount"] * 100.0))
+        bands[s][0] += 1
+        bands[s][1] += rr["l_returnflag"] == "R"
+    n = sum(v[0] for v in bands.values())
+    rt = sum(v[1] for v in bands.values())
+    sn = sum(s * v[0] for s, v in bands.items())
+    sr = sum(s * v[1] for s, v in bands.items())
+    ssn = sum(s * s * v[0] for s, v in bands.items())
+    num = n * sr - rt * sn
+    vcore = n * ssn - sn * sn
+    z = num / math.sqrt(rt * (n - rt) * vcore / n)
+    r = x543_cochran_armitage(spark, SF).collect()[0]
+    assert (r["n_items"], r["n_returns"]) == (n, rt)
+    assert abs(r["pbar"] - _round_hu(rt / n, 6)) < 1e-9
+    assert abs(
+        r["trend_slope_per_band"] - _round_hu(num / vcore, 8)
+    ) < 1e-9
+    assert abs(r["ca_z"] - _round_hu(z, 4)) < 1e-6
+    assert 0.0 < r["pbar"] < 1.0
+    assert (r["ca_z"] >= 0) == (r["trend_slope_per_band"] >= 0)
+
+
+def test_permutation_entropy_matches_bruteforce(spark):
+    """x544: classify every consecutive-calendar triple in Python with
+    the same (y_i, i) tie-break and compare counts and the normalized
+    entropy; invariants: counts sum to n_triples, 0 <= PE <= 1."""
+    from collections import Counter, defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x544_permutation_entropy,
+    )
+
+    daily = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        daily[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+    import datetime
+
+    cnt = Counter()
+    for d, y0 in daily.items():
+        d1, d2 = d + datetime.timedelta(1), d + datetime.timedelta(2)
+        if d1 not in daily or d2 not in daily:
+            continue
+        trip = [(y0, 0), (daily[d1], 1), (daily[d2], 2)]
+        pat = "".join(str(i) for _, i in sorted(trip))
+        cnt[pat] += 1
+    n = sum(cnt.values())
+    ent = -sum(
+        (c / n) * math.log(c / n) for c in cnt.values() if c
+    ) / math.log(6.0)
+    r = x544_permutation_entropy(spark, SF).collect()[0]
+    assert r["n_triples"] == n
+    for p in ("012", "021", "102", "120", "201", "210"):
+        assert r["c" + p] == cnt.get(p, 0), p
+    assert abs(r["norm_perm_entropy"] - _round_hu(ent, 6)) < 1e-6
+    assert 0.0 <= r["norm_perm_entropy"] <= 1.0
+
+
+def test_energy_distance_matches_bruteforce(spark):
+    """x545: brute-force all three pairwise |difference| sums at
+    sf0.001 and compare means/E/T; invariants: E >= 0 up to rounding
+    (energy distance is nonnegative), T = nm/(n+m)*E."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x545_energy_distance,
+    )
+
+    agg = defaultdict(int)
+    for rr in load_table(spark, SF, "events").select(
+        "user_id", "value"
+    ).collect():
+        agg[rr["user_id"]] += int(round(rr["value"] * 100))
+    xs = [s for u, s in agg.items() if u % 2 == 1]
+    ys = [s for u, s in agg.items() if u % 2 == 0]
+    sxy = sum(abs(a - b) for a in xs for b in ys)
+    sxx = sum(abs(a - b) for a in xs for b in xs)
+    syy = sum(abs(a - b) for a in ys for b in ys)
+    nx, ny = len(xs), len(ys)
+    mxy, mxx, myy = sxy / (nx * ny), sxx / (nx * nx), syy / (ny * ny)
+    e = 2.0 * mxy - mxx - myy
+    t = nx * ny / (nx + ny) * e
+    r = x545_energy_distance(spark, SF).collect()[0]
+    assert (r["n_treat"], r["n_ctrl"]) == (nx, ny)
+    assert abs(r["mean_dist_xy"] - _round_hu(mxy, 4)) < 1e-6
+    assert abs(r["mean_dist_xx"] - _round_hu(mxx, 4)) < 1e-6
+    assert abs(r["mean_dist_yy"] - _round_hu(myy, 4)) < 1e-6
+    assert abs(r["e_dist_cents"] - _round_hu(e, 6)) < 1e-5
+    assert abs(r["t_energy"] - _round_hu(t, 2)) < 1e-4
+    assert r["e_dist_cents"] >= -1e-6
+
+
+def test_yule_walker_pacf_matches_replay(spark):
+    """x546: replay the exact-ACF + Durbin-Levinson algebra in Python
+    (same rounding schedule); invariants: pacf1 = acf1, AR(1)-excess
+    sign of pacf2 = sign(r2 - r1^2), innovation ratio in (0, 1]."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x546_yule_walker_pacf,
+    )
+
+    daily = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        daily[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+    n = len(daily)
+    s = sum(daily.values())
+    cv = {d: n * y - s for d, y in daily.items()}
+    d2 = sum(v * v for v in cv.values())
+    import datetime
+
+    rks = {}
+    for k in (1, 2, 3):
+        nk = sum(
+            v * cv[d + datetime.timedelta(k)]
+            for d, v in cv.items()
+            if d + datetime.timedelta(k) in cv
+        )
+        rks[k] = _round_hu(nk / d2, 10)
+    r1, r2, r3 = rks[1], rks[2], rks[3]
+    phi1 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+    phi2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    pacf3 = (r3 - phi1 * r2 - phi2 * r1) / (
+        1.0 - phi1 * r1 - phi2 * r2
+    )
+    inno = 1.0 - phi1 * r1 - phi2 * r2
+    r = x546_yule_walker_pacf(spark, SF).collect()[0]
+    assert abs(r["acf1"] - _round_hu(r1, 6)) < 1e-9
+    assert abs(r["acf2"] - _round_hu(r2, 6)) < 1e-9
+    assert abs(r["acf3"] - _round_hu(r3, 6)) < 1e-9
+    assert r["pacf1"] == r["acf1"]
+    assert abs(r["pacf2"] - _round_hu(phi2, 6)) < 1e-9
+    assert abs(r["pacf3"] - _round_hu(pacf3, 6)) < 1e-9
+    assert abs(r["ar2_phi1"] - _round_hu(phi1, 6)) < 1e-9
+    assert abs(r["ar2_phi2"] - _round_hu(phi2, 6)) < 1e-9
+    assert abs(r["ar2_innovation_ratio"] - _round_hu(inno, 6)) < 1e-9
+    assert (r["pacf2"] >= 0) == (r2 - r1 * r1 >= -1e-12)
+    assert 0.0 < r["ar2_innovation_ratio"] <= 1.0
