@@ -422,3 +422,344 @@ def x545_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(e, 6).alias("e_dist_cents"),
         F.round((nxd * nyd / (nxd + nyd)) * e, 2).alias("t_energy"),
     )
+
+
+_X547_ORACLE = """
+WITH cells AS (
+  SELECT CAST(round(l_discount * 100.0, 0) AS BIGINT) AS s,
+         CAST(round(l_quantity, 0) AS BIGINT) AS q,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+grp AS (
+  SELECT s, CAST(SUM(cnt) AS HUGEINT) AS n_i FROM cells GROUP BY 1
+),
+val AS (
+  SELECT q, CAST(SUM(cnt) AS HUGEINT) AS t_u FROM cells GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cnt) AS HUGEINT) AS n FROM cells),
+pairs AS (
+  SELECT
+    CAST(SUM(CASE WHEN a.q < b.q
+             THEN CAST(a.cnt AS HUGEINT) * b.cnt ELSE 0 END)
+      AS HUGEINT) AS wins,
+    CAST(SUM(CASE WHEN a.q = b.q
+             THEN CAST(a.cnt AS HUGEINT) * b.cnt ELSE 0 END)
+      AS HUGEINT) AS ties
+  FROM cells a JOIN cells b ON a.s < b.s
+),
+gm AS (
+  SELECT CAST(SUM(n_i * n_i) AS HUGEINT) AS sn2,
+         CAST(SUM(n_i * (n_i - 1)) AS HUGEINT) AS sg1,
+         CAST(SUM(n_i * (n_i - 1) * (2 * n_i + 5)) AS HUGEINT) AS sg2,
+         CAST(SUM(n_i * (n_i - 1) * (n_i - 2)) AS HUGEINT) AS sg3
+  FROM grp
+),
+vm AS (
+  SELECT CAST(SUM(t_u * (t_u - 1)) AS HUGEINT) AS st1,
+         CAST(SUM(t_u * (t_u - 1) * (2 * t_u + 5)) AS HUGEINT) AS st2,
+         CAST(SUM(t_u * (t_u - 1) * (t_u - 2)) AS HUGEINT) AS st3
+  FROM val
+),
+v AS (
+  SELECT
+    CAST(t.n AS DOUBLE) AS nd,
+    CAST(t.n * (t.n - 1) * (2 * t.n + 5) - gm.sg2 - vm.st2 AS DOUBLE)
+      / 72.0
+    + CAST(gm.sg3 AS DOUBLE) * CAST(vm.st3 AS DOUBLE)
+      / (36.0 * CAST(t.n AS DOUBLE) * CAST(t.n - 1 AS DOUBLE)
+         * CAST(t.n - 2 AS DOUBLE))
+    + CAST(gm.sg1 AS DOUBLE) * CAST(vm.st1 AS DOUBLE)
+      / (8.0 * CAST(t.n AS DOUBLE) * CAST(t.n - 1 AS DOUBLE))
+      AS var_jt,
+    CAST(4 * p.wins + 2 * p.ties - (t.n * t.n - gm.sn2) AS DOUBLE)
+      AS num4,
+    p.wins, p.ties, t.n, gm.sn2
+  FROM pairs p, gm, vm, tot t
+)
+SELECT CAST(n AS BIGINT) AS n_items,
+       CAST(wins AS BIGINT) AS wins,
+       CAST(ties AS BIGINT) AS ties,
+       ROUND(CAST(wins AS DOUBLE) + CAST(ties AS DOUBLE) / 2.0, 1)
+         AS jt_stat,
+       ROUND(CAST(n * n - sn2 AS DOUBLE) / 4.0, 2) AS e_jt,
+       ROUND(num4 / (4.0 * sqrt(var_jt)), 4) AS jt_z
+FROM v
+"""
+
+
+@register(
+    "x547_jonckheere_terpstra",
+    _X547_ORACLE,
+    doc="Jonckheere-Terpstra ordered-alternative test: do quantities "
+        "trend upward ACROSS the ordered discount bands? Sums the "
+        "pairwise Mann-Whitney wins over every band pair i<j -- "
+        "the k-group ordered test where x543 needs a binary "
+        "outcome and x487's Page test needs a blocked design; "
+        "tie-corrected null variance (the full three-term "
+        "Terpstra form with group and pooled-value tie moments). "
+        "Exactness: rows collapse to the bounded 11x50 "
+        "(band, quantity) cell grid; wins/ties are exact HUGEINT "
+        "cell-pair products over the <=550^2 grid (never row "
+        "pairs, x513's discipline); the z numerator is the EXACT "
+        "integer 4*JT - 4*E (computed before any double cast, so "
+        "no catastrophic cancellation at sf100 where JT ~ N^2); "
+        "variance terms convert factor-wise to double (the B "
+        "term's product ~1e41 at sf10 exceeds DECIMAL38 as an "
+        "integer, priced and stated). Scale: one corpus groupBy "
+        "to 550 cells, a broadcast cell-grid join, constant "
+        "algebra",
+)
+def x547_jonckheere_terpstra(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.round(F.col("l_discount") * 100.0, 0).cast("long").alias("s"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("q"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cells = cells.localCheckpoint(eager=False)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    grp = cells.groupBy("s").agg(
+        F.sum("cnt").cast("decimal(38,0)").alias("n_i")
+    )
+    val = cells.groupBy("q").agg(
+        F.sum("cnt").cast("decimal(38,0)").alias("t_u")
+    )
+    tot = cells.agg(F.sum("cnt").cast("decimal(38,0)").alias("n"))
+    a = cells.select(
+        F.col("s").alias("sa"), F.col("q").alias("qa"),
+        F.col("cnt").alias("ca"),
+    )
+    b = cells.select(
+        F.col("s").alias("sb"), F.col("q").alias("qb"),
+        F.col("cnt").alias("cb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("sa") < F.col("sb")).agg(
+        F.sum(
+            F.when(
+                F.col("qa") < F.col("qb"),
+                dec(F.col("ca")) * F.col("cb"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).cast("decimal(38,0)").alias("wins"),
+        F.sum(
+            F.when(
+                F.col("qa") == F.col("qb"),
+                dec(F.col("ca")) * F.col("cb"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).cast("decimal(38,0)").alias("ties"),
+    )
+    gm = grp.agg(
+        F.sum(F.col("n_i") * F.col("n_i"))
+        .cast("decimal(38,0)").alias("sn2"),
+        F.sum(F.col("n_i") * (F.col("n_i") - 1))
+        .cast("decimal(38,0)").alias("sg1"),
+        F.sum(F.col("n_i") * (F.col("n_i") - 1) * (2 * F.col("n_i") + 5))
+        .cast("decimal(38,0)").alias("sg2"),
+        F.sum(F.col("n_i") * (F.col("n_i") - 1) * (F.col("n_i") - 2))
+        .cast("decimal(38,0)").alias("sg3"),
+    )
+    vm = val.agg(
+        F.sum(F.col("t_u") * (F.col("t_u") - 1))
+        .cast("decimal(38,0)").alias("st1"),
+        F.sum(F.col("t_u") * (F.col("t_u") - 1) * (2 * F.col("t_u") + 5))
+        .cast("decimal(38,0)").alias("st2"),
+        F.sum(F.col("t_u") * (F.col("t_u") - 1) * (F.col("t_u") - 2))
+        .cast("decimal(38,0)").alias("st3"),
+    )
+    j = (
+        pairs.crossJoin(F.broadcast(gm))
+        .crossJoin(F.broadcast(vm))
+        .crossJoin(F.broadcast(tot))
+    )
+    nd = F.col("n").cast("double")
+    var_jt = (
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("sg2")
+            - F.col("st2")
+        ).cast("double")
+        / 72.0
+        + F.col("sg3").cast("double")
+        * F.col("st3").cast("double")
+        / (36.0 * nd * (nd - 1.0) * (nd - 2.0))
+        + F.col("sg1").cast("double")
+        * F.col("st1").cast("double")
+        / (8.0 * nd * (nd - 1.0))
+    )
+    num4 = (
+        4 * F.col("wins")
+        + 2 * F.col("ties")
+        - (F.col("n") * F.col("n") - F.col("sn2"))
+    ).cast("decimal(38,0)")
+    return j.select(
+        F.col("n").cast("long").alias("n_items"),
+        F.col("wins").cast("long").alias("wins"),
+        F.col("ties").cast("long").alias("ties"),
+        F.round(
+            F.col("wins").cast("double")
+            + F.col("ties").cast("double") / 2.0,
+            1,
+        ).alias("jt_stat"),
+        F.round(
+            (F.col("n") * F.col("n") - F.col("sn2")).cast("double")
+            / 4.0,
+            2,
+        ).alias("e_jt"),
+        F.round(
+            num4.cast("double") / (4.0 * F.sqrt(var_jt)), 4
+        ).alias("jt_z"),
+    )
+
+
+_X548_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+wk AS (
+  SELECT date_trunc('week', day) AS week, isodow(day) - 1 AS wd, y
+  FROM daily
+),
+full_weeks AS (
+  SELECT week FROM wk GROUP BY 1 HAVING count(*) = 7
+),
+blk AS (
+  SELECT w.week, w.wd, w.y FROM wk w
+  JOIN full_weeks f ON f.week = w.week
+),
+rnk AS (
+  SELECT week, wd, y,
+         2 * rank() OVER (PARTITION BY week ORDER BY y)
+           + count(*) OVER (PARTITION BY week, y) - 1 AS r2
+  FROM blk
+),
+rng AS (
+  SELECT week, MAX(y) - MIN(y) AS rg FROM blk GROUP BY 1
+),
+qrk AS (
+  SELECT week,
+         2 * rank() OVER (ORDER BY rg)
+           + count(*) OVER (PARTITION BY rg) - 1 AS q2
+  FROM rng
+),
+s4 AS (
+  SELECT r.week, r.wd,
+         CAST(q.q2 * (r.r2 - 8) AS BIGINT) AS s4
+  FROM rnk r JOIN qrk q ON q.week = r.week
+),
+ab AS (
+  SELECT CAST(count(DISTINCT week) AS BIGINT) AS nb,
+         CAST(SUM(CAST(s4 AS HUGEINT) * s4) AS HUGEINT) AS a16
+  FROM s4
+),
+sj AS (
+  SELECT wd, CAST(SUM(s4) AS BIGINT) AS s4_j FROM s4 GROUP BY 1
+),
+bsum AS (
+  SELECT CAST(SUM(CAST(s4_j AS HUGEINT) * s4_j) AS HUGEINT) AS b16n
+  FROM sj
+)
+SELECT sj.wd AS weekday_mon0,
+       sj.s4_j AS s4_j,
+       CAST(ab.nb AS BIGINT) AS n_blocks,
+       ROUND(CAST(ab.nb - 1 AS DOUBLE) * CAST(bsum.b16n AS DOUBLE)
+             / (CAST(ab.nb AS DOUBLE) * CAST(ab.a16 AS DOUBLE)
+                - CAST(bsum.b16n AS DOUBLE)), 4) AS quade_f
+FROM sj, ab, bsum
+ORDER BY sj.wd
+"""
+
+
+@register(
+    "x548_quade_test",
+    _X548_ORACLE,
+    doc="Quade test for weekday effects on daily revenue with weeks "
+        "as blocks: within-week ranks weighted by the rank of each "
+        "week's RANGE -- the blocked-design test that, unlike "
+        "x476's Friedman (equal block weights), lets high-"
+        "variation weeks count more (more sensitive when effects "
+        "scale with block level, exactly how revenue behaves); "
+        "complete 7-day weeks only (stated). Exactness: ties use "
+        "average ranks computed EXACTLY in half-units (r2 = "
+        "2*rank + ties - 1), block-range ranks likewise, so every "
+        "S_ij is an exact quarter-integer carried as the integer "
+        "S4 = 4*S_ij; A and B assemble from exact BIGINT sums "
+        "(calendar-bounded magnitudes, ~2e13), one double "
+        "division for F. Scale: one day-grain aggregate; windows "
+        "ride the 7-row week partitions and the ~350-row week "
+        "domain",
+)
+def x548_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    wk = daily.select(
+        F.date_trunc("week", F.col("day")).cast("date").alias("week"),
+        F.expr("weekday(day)").cast("long").alias("wd"),
+        "y",
+    )
+    full_weeks = wk.groupBy("week").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).filter(F.col("cnt") == 7).select("week")
+    blk = wk.join(F.broadcast(full_weeks), "week").localCheckpoint(
+        eager=False
+    )
+    r2 = (
+        2 * F.rank().over(Window.partitionBy("week").orderBy("y"))
+        + F.count(F.lit(1)).over(Window.partitionBy("week", "y"))
+        - 1
+    )
+    rnk = blk.select("week", "wd", r2.cast("long").alias("r2"))
+    rng = blk.groupBy("week").agg(
+        (F.max("y") - F.min("y")).cast("long").alias("rg")
+    )
+    q2 = (
+        2 * F.rank().over(Window.orderBy("rg"))
+        + F.count(F.lit(1)).over(Window.partitionBy("rg"))
+        - 1
+    )
+    qrk = rng.select("week", q2.cast("long").alias("q2"))
+    s4 = rnk.join(qrk, "week").select(
+        "week",
+        "wd",
+        (F.col("q2") * (F.col("r2") - 8)).cast("long").alias("s4"),
+    )
+    ab = s4.agg(
+        F.countDistinct("week").cast("long").alias("nb"),
+        F.sum(F.col("s4").cast("decimal(38,0)") * F.col("s4"))
+        .cast("decimal(38,0)")
+        .alias("a16"),
+    )
+    sj = s4.groupBy("wd").agg(
+        F.sum("s4").cast("long").alias("s4_j")
+    )
+    bsum = sj.agg(
+        F.sum(F.col("s4_j").cast("decimal(38,0)") * F.col("s4_j"))
+        .cast("decimal(38,0)")
+        .alias("b16n")
+    )
+    out = sj.crossJoin(F.broadcast(ab)).crossJoin(F.broadcast(bsum))
+    return out.select(
+        F.col("wd").alias("weekday_mon0"),
+        "s4_j",
+        F.col("nb").alias("n_blocks"),
+        F.round(
+            (F.col("nb") - 1).cast("double")
+            * F.col("b16n").cast("double")
+            / (
+                F.col("nb").cast("double") * F.col("a16").cast("double")
+                - F.col("b16n").cast("double")
+            ),
+            4,
+        ).alias("quade_f"),
+    ).orderBy("weekday_mon0")

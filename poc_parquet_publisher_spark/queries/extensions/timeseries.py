@@ -313,3 +313,418 @@ def x546_yule_walker_pacf(
             "ar2_innovation_ratio"
         ),
     )
+
+
+_X549_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS HUGEINT) AS s
+  FROM daily
+),
+c AS (
+  SELECT d.day, CAST(t.n AS HUGEINT) * d.y - t.s AS cv
+  FROM daily d, tot t
+),
+g0 AS (SELECT CAST(SUM(cv * cv) AS HUGEINT) AS n0 FROM c),
+lags AS (SELECT * FROM (VALUES (1), (2), (3), (4), (5)) AS l(lag)),
+num AS (
+  SELECT l.lag, CAST(SUM(a.cv * b.cv) AS HUGEINT) AS nk
+  FROM lags l
+  JOIN c a ON TRUE
+  JOIN c b ON b.day = a.day + CAST(l.lag AS INTEGER)
+  GROUP BY 1
+),
+v AS (
+  SELECT t.n,
+         CAST(g0.n0 AS DOUBLE)
+           / (CAST(t.n AS DOUBLE) * t.n * t.n) AS gamma0,
+         (CAST(g0.n0 AS DOUBLE)
+          + 2.0 * SUM((1.0 - CAST(num.lag AS DOUBLE) / 6.0)
+                      * CAST(num.nk AS DOUBLE)))
+           / (CAST(t.n AS DOUBLE) * t.n * t.n) AS lrv_raw
+  FROM num, g0, tot t
+  GROUP BY t.n, g0.n0
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       ROUND(gamma0, 2) AS gamma0_cents2,
+       ROUND(sqrt(gamma0 / n), 2) AS se_iid_cents,
+       ROUND(sqrt(GREATEST(lrv_raw, 0.0) / n), 2) AS se_nw_cents,
+       ROUND(sqrt(GREATEST(lrv_raw, 0.0) / gamma0), 6)
+         AS nw_iid_se_ratio
+FROM v
+"""
+
+
+@register(
+    "x549_newey_west",
+    _X549_ORACLE,
+    doc="Newey-West HAC standard error of the daily-revenue mean "
+        "(Bartlett kernel, 5 lags): lrv = gamma0 + 2*sum (1-k/6)*"
+        "gamma_k, se = sqrt(lrv/n) beside the iid se and their "
+        "ratio -- the uncertainty CORRECTION x510 motivates (if "
+        "Ljung-Box rejects whiteness, the iid se on any daily-"
+        "mean KPI is wrong by exactly this ratio; >1 means "
+        "positive autocorrelation silently shrinks error bars). "
+        "Exactness: autocovariance numerators reuse x510's "
+        "n-scaled integer-centering identity (exact HUGEINT/"
+        "DECIMAL sums); Bartlett weights are exact rationals "
+        "applied in one fixed-order double expression; the "
+        "kernel guarantees lrv >= 0 on gap-free spans -- calendar "
+        "gaps could in principle break that, so both engines "
+        "clamp with GREATEST(lrv, 0) (stated). Scale: one "
+        "day-grain aggregate, 5 day-domain equi-joins, constant "
+        "algebra",
+)
+def x549_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s"),
+    )
+    c = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("n").cast("decimal(38,0)") * F.col("y") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("cv"),
+        "n",
+    ).localCheckpoint(eager=False)
+    g0 = c.agg(
+        F.sum(F.col("cv") * F.col("cv"))
+        .cast("decimal(38,0)")
+        .alias("n0"),
+        F.first("n").alias("n"),
+    )
+    lags = spark.createDataFrame(
+        [(k,) for k in range(1, 6)], "lag int"
+    )
+    a = c.select(F.col("day").alias("da"), F.col("cv").alias("ca"))
+    b = c.select(F.col("day").alias("db"), F.col("cv").alias("cb"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.expr("date_add(da, lag)"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb"))
+            .cast("decimal(38,0)")
+            .alias("nk")
+        )
+    )
+    v = num.crossJoin(F.broadcast(g0)).agg(
+        F.first("n").alias("n"),
+        F.first("n0").alias("n0"),
+        F.sum(
+            (1.0 - F.col("lag").cast("double") / 6.0)
+            * F.col("nk").cast("double")
+        ).alias("wsum"),
+    )
+    nd = F.col("n").cast("double")
+    n3 = nd * F.col("n") * F.col("n")
+    gamma0 = F.col("n0").cast("double") / n3
+    lrv = (F.col("n0").cast("double") + 2.0 * F.col("wsum")) / n3
+    lrv_c = F.greatest(lrv, F.lit(0.0))
+    return v.select(
+        F.col("n").alias("n_days"),
+        F.round(gamma0, 2).alias("gamma0_cents2"),
+        F.round(F.sqrt(gamma0 / nd), 2).alias("se_iid_cents"),
+        F.round(F.sqrt(lrv_c / nd), 2).alias("se_nw_cents"),
+        F.round(F.sqrt(lrv_c / gamma0), 6).alias("nw_iid_se_ratio"),
+    )
+
+
+_X550_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT CAST(a.y AS HUGEINT) AS x,
+         CAST(b.y AS HUGEINT) - a.y AS d
+  FROM daily a JOIN daily b ON b.day = a.day + 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(d) AS HUGEINT) AS sd,
+         CAST(SUM(x * d) AS HUGEINT) AS sxd,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         CAST(SUM(d * d) AS HUGEINT) AS sdd
+  FROM p
+),
+s AS (
+  SELECT m,
+         CAST(m * sxx - sx * sx AS DOUBLE) AS cxx,
+         CAST(m * sxd - sx * sd AS DOUBLE) AS cxd,
+         CAST(m * sdd - sd * sd AS DOUBLE) AS cdd,
+         CAST(sx AS DOUBLE) AS sxf, CAST(sd AS DOUBLE) AS sdf
+  FROM m
+),
+f AS (
+  SELECT m, cxd / cxx AS beta,
+         (sdf - (cxd / cxx) * sxf) / m AS alpha,
+         ((cdd - cxd * cxd / cxx) / m) / (m - 2) AS s2,
+         cxx / CAST(m AS DOUBLE) AS sxx_c
+  FROM s
+)
+SELECT CAST(m AS BIGINT) AS n_pairs,
+       ROUND(alpha, 4) AS alpha_cents,
+       ROUND(beta, 8) AS beta,
+       ROUND(beta / sqrt(s2 / sxx_c), 4) AS df_t,
+       CAST(CASE WHEN beta / sqrt(s2 / sxx_c) < -2.86
+            THEN 1 ELSE 0 END AS BIGINT) AS reject_unit_root_5pct
+FROM f
+"""
+
+
+@register(
+    "x550_dickey_fuller",
+    _X550_ORACLE,
+    doc="Dickey-Fuller unit-root test on daily revenue: OLS of the "
+        "one-day change on the lagged level (with intercept), "
+        "t-statistic on the level coefficient against the pinned "
+        "5% DF critical value -2.86 (constant-only case, large n) "
+        "-- the STATIONARITY gate of the time-series battery: "
+        "x510/x511/x484 all presume a stable mean; a unit root "
+        "(t > -2.86) says shocks are permanent and every ACF-"
+        "based diagnostic above is measuring drift, not "
+        "dependence. Exactness: lag pairs from the calendar "
+        "equi-join (gaps drop pairs, stated); all six OLS moments "
+        "are exact HUGEINT/DECIMAL sums; centered second moments "
+        "via the m-scaled identity m*S_ab - S_a*S_b stay exact "
+        "until ONE fixed-order double assembly of beta/se/t. "
+        "Scale: one day-grain aggregate, one day-domain "
+        "equi-join, constant algebra",
+)
+def x550_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    p = a.join(b, F.col("db") == F.date_add("da", 1)).select(
+        dec(F.col("ya")).alias("x"),
+        dec(F.col("yb") - F.col("ya")).alias("d"),
+    )
+    m = p.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("d").cast("decimal(38,0)").alias("sd"),
+        F.sum(F.col("x") * F.col("d")).cast("decimal(38,0)").alias("sxd"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("d") * F.col("d")).cast("decimal(38,0)").alias("sdd"),
+    )
+    md = F.col("m").cast("decimal(38,0)")
+    cxx = (md * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cxd = (md * F.col("sxd") - F.col("sx") * F.col("sd")).cast("double")
+    cdd = (md * F.col("sdd") - F.col("sd") * F.col("sd")).cast("double")
+    mf = F.col("m").cast("double")
+    beta = cxd / cxx
+    alpha = (F.col("sd").cast("double") - beta * F.col("sx").cast("double")) / mf
+    s2 = ((cdd - cxd * cxd / cxx) / mf) / (mf - 2.0)
+    sxx_c = cxx / mf
+    t = beta / F.sqrt(s2 / sxx_c)
+    return m.select(
+        F.col("m").alias("n_pairs"),
+        F.round(alpha, 4).alias("alpha_cents"),
+        F.round(beta, 8).alias("beta"),
+        F.round(t, 4).alias("df_t"),
+        F.when(t < -2.86, 1).otherwise(0).cast("long").alias(
+            "reject_unit_root_5pct"
+        ),
+    )
+
+
+_X551_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT CAST(b.y AS HUGEINT) AS y, CAST(a.y AS HUGEINT) AS yl,
+         CAST(b.c AS HUGEINT) AS c, CAST(a.c AS HUGEINT) AS cl
+  FROM daily a JOIN daily b ON b.day = a.day + 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(yl) AS HUGEINT) AS syl,
+         CAST(SUM(c) AS HUGEINT) AS sc,
+         CAST(SUM(cl) AS HUGEINT) AS scl,
+         CAST(SUM(yl * yl) AS HUGEINT) AS sylyl,
+         CAST(SUM(cl * cl) AS HUGEINT) AS sclcl,
+         CAST(SUM(yl * cl) AS HUGEINT) AS sylcl,
+         CAST(SUM(yl * y) AS HUGEINT) AS syly,
+         CAST(SUM(cl * y) AS HUGEINT) AS scly,
+         CAST(SUM(y * y) AS HUGEINT) AS syy,
+         CAST(SUM(c * c) AS HUGEINT) AS scc,
+         CAST(SUM(yl * c) AS HUGEINT) AS sylc,
+         CAST(SUM(cl * c) AS HUGEINT) AS sclc
+  FROM p
+),
+s AS (
+  SELECT m,
+         CAST(m * sylyl - syl * syl AS DOUBLE) AS s11,
+         CAST(m * sclcl - scl * scl AS DOUBLE) AS s22,
+         CAST(m * sylcl - syl * scl AS DOUBLE) AS s12,
+         CAST(m * syly - syl * sy AS DOUBLE) AS s1y,
+         CAST(m * scly - scl * sy AS DOUBLE) AS s2y,
+         CAST(m * syy - sy * sy AS DOUBLE) AS syy_c,
+         CAST(m * sylc - syl * sc AS DOUBLE) AS s1c,
+         CAST(m * sclc - scl * sc AS DOUBLE) AS s2c,
+         CAST(m * scc - sc * sc AS DOUBLE) AS scc_c
+  FROM m
+),
+f AS (
+  SELECT m,
+         (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1y,
+         (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2y,
+         (s2c * s11 - s1c * s12) / (s22 * s11 - s12 * s12) AS b2c,
+         (s1c * s22 - s2c * s12) / (s22 * s11 - s12 * s12) AS b1c,
+         s11, s22, s12, s1y, s2y, syy_c, s1c, s2c, scc_c
+  FROM s
+),
+r AS (
+  SELECT m, b2y, b1c,
+         (syy_c - b1y * s1y - b2y * s2y) AS rssu_y,
+         (syy_c - s1y * s1y / s11) AS rssr_y,
+         (scc_c - b2c * s2c - b1c * s1c) AS rssu_c,
+         (scc_c - s2c * s2c / s22) AS rssr_c
+  FROM f
+)
+SELECT CAST(m AS BIGINT) AS n_pairs,
+       ROUND(b2y, 8) AS beta_orders_to_revenue,
+       ROUND((rssr_y - rssu_y) / (rssu_y / (m - 3)), 4)
+         AS f_orders_to_revenue,
+       ROUND(b1c, 8) AS beta_revenue_to_orders,
+       ROUND((rssr_c - rssu_c) / (rssu_c / (m - 3)), 4)
+         AS f_revenue_to_orders
+FROM r
+"""
+
+
+@register(
+    "x551_granger_causality",
+    _X551_ORACLE,
+    doc="Bivariate lag-1 Granger causality between daily order COUNT "
+        "and daily REVENUE: does yesterday's count predict today's "
+        "revenue beyond yesterday's revenue (and the reverse), "
+        "each an F test of the unrestricted AR-X regression "
+        "against the restricted AR(1) -- the directional lead-lag "
+        "question x147's contemporaneous correlation and x510's "
+        "univariate ACF cannot pose; both directions emitted "
+        "because 'count leads revenue' and 'revenue leads count' "
+        "are different business facts. Exactness: both daily "
+        "series are exact integers (cents / counts) from ONE "
+        "day-grain aggregate; all 13 cross/auto moments are exact "
+        "HUGEINT/DECIMAL sums over calendar lag-1 pairs (gaps "
+        "drop pairs, stated); centered moments via the m-scaled "
+        "identity; the 2-predictor normal equations solve by "
+        "Cramer's rule in ONE fixed-order double expression per "
+        "direction. Scale: one day-grain aggregate, one "
+        "day-domain equi-join, constant algebra",
+)
+def x551_granger_causality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    a = daily.select(
+        F.col("day").alias("da"),
+        F.col("y").alias("yl_raw"),
+        F.col("c").alias("cl_raw"),
+    )
+    b = daily.select(
+        F.col("day").alias("db"),
+        F.col("y").alias("y_raw"),
+        F.col("c").alias("c_raw"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    p = a.join(b, F.col("db") == F.date_add("da", 1)).select(
+        dec(F.col("y_raw")).alias("y"),
+        dec(F.col("yl_raw")).alias("yl"),
+        dec(F.col("c_raw")).alias("c"),
+        dec(F.col("cl_raw")).alias("cl"),
+    )
+    sm = lambda e, n: F.sum(e).cast("decimal(38,0)").alias(n)  # noqa: E731
+    m = p.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        sm(F.col("y"), "sy"),
+        sm(F.col("yl"), "syl"),
+        sm(F.col("c"), "sc"),
+        sm(F.col("cl"), "scl"),
+        sm(F.col("yl") * F.col("yl"), "sylyl"),
+        sm(F.col("cl") * F.col("cl"), "sclcl"),
+        sm(F.col("yl") * F.col("cl"), "sylcl"),
+        sm(F.col("yl") * F.col("y"), "syly"),
+        sm(F.col("cl") * F.col("y"), "scly"),
+        sm(F.col("y") * F.col("y"), "syy"),
+        sm(F.col("c") * F.col("c"), "scc"),
+        sm(F.col("yl") * F.col("c"), "sylc"),
+        sm(F.col("cl") * F.col("c"), "sclc"),
+    )
+    md = F.col("m").cast("decimal(38,0)")
+    cc = lambda sab, sa, sb: (  # noqa: E731
+        md * F.col(sab) - F.col(sa) * F.col(sb)
+    ).cast("double")
+    s11 = cc("sylyl", "syl", "syl")
+    s22 = cc("sclcl", "scl", "scl")
+    s12 = cc("sylcl", "syl", "scl")
+    s1y = cc("syly", "syl", "sy")
+    s2y = cc("scly", "scl", "sy")
+    syy = cc("syy", "sy", "sy")
+    s1c = cc("sylc", "syl", "sc")
+    s2c = cc("sclc", "scl", "sc")
+    scc = cc("scc", "sc", "sc")
+    det = s11 * s22 - s12 * s12
+    b1y = (s1y * s22 - s2y * s12) / det
+    b2y = (s2y * s11 - s1y * s12) / det
+    det2 = s22 * s11 - s12 * s12
+    b2c = (s2c * s11 - s1c * s12) / det2
+    b1c = (s1c * s22 - s2c * s12) / det2
+    rssu_y = syy - b1y * s1y - b2y * s2y
+    rssr_y = syy - s1y * s1y / s11
+    rssu_c = scc - b2c * s2c - b1c * s1c
+    rssr_c = scc - s2c * s2c / s22
+    mf = F.col("m").cast("double")
+    return m.select(
+        F.col("m").alias("n_pairs"),
+        F.round(b2y, 8).alias("beta_orders_to_revenue"),
+        F.round(
+            (rssr_y - rssu_y) / (rssu_y / (mf - 3.0)), 4
+        ).alias("f_orders_to_revenue"),
+        F.round(b1c, 8).alias("beta_revenue_to_orders"),
+        F.round(
+            (rssr_c - rssu_c) / (rssu_c / (mf - 3.0)), 4
+        ).alias("f_revenue_to_orders"),
+    )

@@ -8168,3 +8168,255 @@ def test_yule_walker_pacf_matches_replay(spark):
     assert abs(r["ar2_innovation_ratio"] - _round_hu(inno, 6)) < 1e-9
     assert (r["pacf2"] >= 0) == (r2 - r1 * r1 >= -1e-12)
     assert 0.0 < r["ar2_innovation_ratio"] <= 1.0
+
+
+def test_jonckheere_terpstra_matches_bruteforce(spark):
+    """x547: brute-force every cross-band pair at sf0.001 (wins /
+    ties), replay the tie-corrected variance; invariants: wins +
+    ties <= total cross-band pairs, z sign = (JT - E) sign."""
+    from collections import Counter, defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x547_jonckheere_terpstra,
+    )
+
+    groups = defaultdict(list)
+    for rr in load_table(spark, SF, "lineitem").select(
+        "l_discount", "l_quantity"
+    ).collect():
+        s = int(round(rr["l_discount"] * 100.0))
+        groups[s].append(int(round(rr["l_quantity"])))
+    wins = ties = 0
+    keys = sorted(groups)
+    for i, si in enumerate(keys):
+        for sj in keys[i + 1:]:
+            for qa in groups[si]:
+                for qb in groups[sj]:
+                    if qa < qb:
+                        wins += 1
+                    elif qa == qb:
+                        ties += 1
+    ns = [len(v) for v in groups.values()]
+    n = sum(ns)
+    tv = Counter()
+    for v in groups.values():
+        tv.update(v)
+    sg1 = sum(x * (x - 1) for x in ns)
+    sg2 = sum(x * (x - 1) * (2 * x + 5) for x in ns)
+    sg3 = sum(x * (x - 1) * (x - 2) for x in ns)
+    st1 = sum(t * (t - 1) for t in tv.values())
+    st2 = sum(t * (t - 1) * (2 * t + 5) for t in tv.values())
+    st3 = sum(t * (t - 1) * (t - 2) for t in tv.values())
+    var = (
+        (n * (n - 1) * (2 * n + 5) - sg2 - st2) / 72.0
+        + sg3 * st3 / (36.0 * n * (n - 1) * (n - 2))
+        + sg1 * st1 / (8.0 * n * (n - 1))
+    )
+    sn2 = sum(x * x for x in ns)
+    num4 = 4 * wins + 2 * ties - (n * n - sn2)
+    z = num4 / (4.0 * math.sqrt(var))
+    r = x547_jonckheere_terpstra(spark, SF).collect()[0]
+    assert (r["n_items"], r["wins"], r["ties"]) == (n, wins, ties)
+    assert abs(r["jt_stat"] - _round_hu(wins + ties / 2.0, 1)) < 1e-6
+    assert abs(r["e_jt"] - _round_hu((n * n - sn2) / 4.0, 2)) < 1e-6
+    assert abs(r["jt_z"] - _round_hu(z, 4)) < 1e-6
+    cross_pairs = (n * n - sn2) // 2
+    assert wins + ties <= cross_pairs
+    assert (r["jt_z"] >= 0) == (num4 >= 0)
+
+
+def test_quade_matches_replay(spark):
+    """x548: replay the Quade statistic in Python with scipy-style
+    average ranks over the complete weeks; invariants: sum of S4_j
+    over treatments is 0, F >= 0.  Runs at sf0.01: sf0.001's
+    gap-sparse calendar (1094 of ~2400 days) has NO complete week,
+    so the entry is vacuously empty there (asserted below)."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x548_quade_test,
+    )
+
+    assert x548_quade_test(spark, SF).count() == 0
+
+    SF01 = "/root/testdata/sf0.01"
+    daily = defaultdict(int)
+    for rr in load_table(spark, SF01, "orders").collect():
+        d = rr["o_orderdate"].date()
+        daily[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+    import datetime
+
+    weeks = defaultdict(dict)
+    for d, y in daily.items():
+        wk = d - datetime.timedelta(days=d.isoweekday() - 1)
+        weeks[wk][d.isoweekday() - 1] = y
+    full = {w: m for w, m in weeks.items() if len(m) == 7}
+
+    def avg_rank2(vals):
+        # 2x the average rank of each value in vals
+        out = []
+        for v in vals:
+            less = sum(1 for x in vals if x < v)
+            eq = sum(1 for x in vals if x == v)
+            out.append(2 * less + eq + 1)
+        return out
+
+    rngs = {w: max(m.values()) - min(m.values()) for w, m in full.items()}
+    wk_list = sorted(full)
+    q2s = avg_rank2([rngs[w] for w in wk_list])
+    s4 = defaultdict(int)
+    a16 = 0
+    for w, q2 in zip(wk_list, q2s):
+        vals = [full[w][j] for j in range(7)]
+        r2s = avg_rank2(vals)
+        for j, r2 in enumerate(r2s):
+            v = q2 * (r2 - 8)
+            s4[j] += v
+            a16 += v * v
+    nb = len(wk_list)
+    b16n = sum(v * v for v in s4.values())
+    f = (nb - 1) * b16n / (nb * a16 - b16n)
+    rows = {
+        r["weekday_mon0"]: r
+        for r in x548_quade_test(spark, SF01).collect()
+    }
+    assert len(rows) == 7
+    for j in range(7):
+        assert rows[j]["s4_j"] == s4[j], j
+        assert rows[j]["n_blocks"] == nb
+        assert abs(rows[j]["quade_f"] - _round_hu(f, 4)) < 1e-6
+    assert sum(r["s4_j"] for r in rows.values()) == 0
+    assert rows[0]["quade_f"] >= 0
+
+
+def test_newey_west_matches_replay(spark):
+    """x549: replay gamma_k and the Bartlett-weighted long-run
+    variance; invariants: ratio > 0, se_nw = se_iid * ratio."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x549_newey_west,
+    )
+
+    daily = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        daily[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+    import datetime
+
+    n = len(daily)
+    s = sum(daily.values())
+    cv = {d: n * y - s for d, y in daily.items()}
+    n0 = sum(v * v for v in cv.values())
+    wsum = 0.0
+    for k in range(1, 6):
+        nk = sum(
+            v * cv[d + datetime.timedelta(k)]
+            for d, v in cv.items()
+            if d + datetime.timedelta(k) in cv
+        )
+        wsum += (1.0 - k / 6.0) * nk
+    gamma0 = n0 / (n * n * n)
+    lrv = max((n0 + 2.0 * wsum) / (n * n * n), 0.0)
+    r = x549_newey_west(spark, SF).collect()[0]
+    assert r["n_days"] == n
+    assert abs(r["gamma0_cents2"] - _round_hu(gamma0, 2)) < 1e-6
+    assert abs(r["se_iid_cents"] - _round_hu(math.sqrt(gamma0 / n), 2)) < 1e-6
+    assert abs(r["se_nw_cents"] - _round_hu(math.sqrt(lrv / n), 2)) < 1e-6
+    assert abs(
+        r["nw_iid_se_ratio"] - _round_hu(math.sqrt(lrv / gamma0), 6)
+    ) < 1e-9
+    assert r["nw_iid_se_ratio"] > 0
+
+
+def test_dickey_fuller_matches_replay(spark):
+    """x550: replay the OLS of one-day changes on lagged levels;
+    invariants: a mean-reverting revenue series has beta < 0, and
+    the rejection flag agrees with t vs -2.86."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x550_dickey_fuller,
+    )
+
+    daily = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        daily[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+    import datetime
+
+    pairs = [
+        (y, daily[d + datetime.timedelta(1)] - y)
+        for d, y in daily.items()
+        if d + datetime.timedelta(1) in daily
+    ]
+    m = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sd = sum(d for _, d in pairs)
+    sxd = sum(x * d for x, d in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    sdd = sum(d * d for _, d in pairs)
+    cxx = m * sxx - sx * sx
+    cxd = m * sxd - sx * sd
+    cdd = m * sdd - sd * sd
+    beta = cxd / cxx
+    alpha = (sd - beta * sx) / m
+    s2 = ((cdd - cxd * cxd / cxx) / m) / (m - 2)
+    t = beta / math.sqrt(s2 / (cxx / m))
+    r = x550_dickey_fuller(spark, SF).collect()[0]
+    assert r["n_pairs"] == m
+    assert abs(r["alpha_cents"] - _round_hu(alpha, 4)) < 1e-6
+    assert abs(r["beta"] - _round_hu(beta, 8)) < 1e-9
+    assert abs(r["df_t"] - _round_hu(t, 4)) < 1e-6
+    assert r["reject_unit_root_5pct"] == (1 if t < -2.86 else 0)
+    assert r["beta"] < 0
+
+
+def test_granger_matches_replay(spark):
+    """x551: replay both two-predictor OLS F tests via numpy lstsq
+    residuals; invariants: F >= 0 in both directions."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x551_granger_causality,
+    )
+
+    rev = defaultdict(int)
+    cnt = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        rev[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+        cnt[d] += 1
+    import datetime
+
+    rows = [
+        (rev[d + datetime.timedelta(1)], rev[d],
+         cnt[d + datetime.timedelta(1)], cnt[d])
+        for d in rev
+        if d + datetime.timedelta(1) in rev
+    ]
+    y = np.array([r[0] for r in rows], dtype=float)
+    yl = np.array([r[1] for r in rows], dtype=float)
+    c = np.array([r[2] for r in rows], dtype=float)
+    cl = np.array([r[3] for r in rows], dtype=float)
+    m = len(rows)
+
+    def f_and_beta(resp, p1, p2):
+        Xu = np.column_stack([np.ones(m), p1, p2])
+        Xr = np.column_stack([np.ones(m), p1])
+        bu, *_ = np.linalg.lstsq(Xu, resp, rcond=None)
+        br, *_ = np.linalg.lstsq(Xr, resp, rcond=None)
+        rssu = float(((resp - Xu @ bu) ** 2).sum())
+        rssr = float(((resp - Xr @ br) ** 2).sum())
+        return (rssr - rssu) / (rssu / (m - 3)), float(bu[2])
+
+    f_cy, b_cy = f_and_beta(y, yl, cl)
+    f_yc, b_yc = f_and_beta(c, cl, yl)
+    r = x551_granger_causality(spark, SF).collect()[0]
+    assert r["n_pairs"] == m
+    assert abs(r["f_orders_to_revenue"] - _round_hu(f_cy, 4)) < 1e-3
+    assert abs(r["beta_orders_to_revenue"] - _round_hu(b_cy, 8)) < 1e-6
+    assert abs(r["f_revenue_to_orders"] - _round_hu(f_yc, 4)) < 1e-3
+    assert abs(r["beta_revenue_to_orders"] - _round_hu(b_yc, 8)) < 1e-6
+    assert r["f_orders_to_revenue"] >= 0
+    assert r["f_revenue_to_orders"] >= 0
