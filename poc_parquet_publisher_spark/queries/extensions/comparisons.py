@@ -763,3 +763,267 @@ def x548_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("quade_f"),
     ).orderBy("weekday_mon0")
+
+
+_X552_ORACLE = """
+WITH li AS (
+  SELECT CAST(round(l_discount * 100.0, 0) AS BIGINT) AS x,
+         CAST(round(l_quantity, 0) AS BIGINT) AS m,
+         CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS y
+  FROM lineitem
+),
+mo AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(m) AS HUGEINT) AS sm,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         CAST(SUM(x * m) AS HUGEINT) AS sxm,
+         CAST(SUM(m * m) AS HUGEINT) AS smm,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy,
+         CAST(SUM(m * y) AS HUGEINT) AS smy,
+         CAST(SUM(y * y) AS HUGEINT) AS syy
+  FROM li
+),
+c AS (
+  SELECT CAST(n AS DOUBLE) AS nd,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+         CAST(n * sxm - sx * sm AS DOUBLE) AS cxm,
+         CAST(n * smm - sm * sm AS DOUBLE) AS cmm,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+         CAST(n * smy - sm * sy AS DOUBLE) AS cmy,
+         CAST(n * syy - sy * sy AS DOUBLE) AS cyy
+  FROM mo
+),
+f AS (
+  SELECT nd, cxx, cxm, cmm, cxy, cmy, cyy,
+         cxm / cxx AS a,
+         (cmy * cxx - cxy * cxm) / (cmm * cxx - cxm * cxm) AS b,
+         (cxy * cmm - cmy * cxm) / (cmm * cxx - cxm * cxm) AS b1,
+         cmm * cxx - cxm * cxm AS det
+  FROM c
+),
+se AS (
+  SELECT nd, a, b,
+         cxy / cxx AS total,
+         ((cmm - cxm * cxm / cxx) / nd / (nd - 2.0)) / (cxx / nd)
+           AS se_a2,
+         (((cyy - b1 * cxy - b * cmy) / nd) / (nd - 3.0))
+           * nd * cxx / det AS se_b2
+  FROM f
+)
+SELECT CAST(nd AS BIGINT) AS n_items,
+       ROUND(a, 8) AS a_x_to_m,
+       ROUND(b, 8) AS b_m_to_y,
+       ROUND(a * b, 8) AS indirect_ab,
+       ROUND(a * b / sqrt(b * b * se_a2 + a * a * se_b2), 4)
+         AS sobel_z,
+       ROUND(a * b / total, 6) AS prop_mediated
+FROM se
+"""
+
+
+@register(
+    "x552_sobel_mediation",
+    _X552_ORACLE,
+    doc="Baron-Kenny mediation with the Sobel test on the discount->"
+        "quantity->revenue path: a = OLS slope of quantity on "
+        "discount band, b = slope of line revenue on quantity "
+        "CONTROLLING discount, indirect effect a*b with Sobel z = "
+        "ab/sqrt(b^2 se_a^2 + a^2 se_b^2) and the proportion "
+        "mediated ab/c -- the MECHANISM decomposition ('does the "
+        "discount move revenue THROUGH bigger baskets?') that "
+        "x147's correlations and x543's trend test cannot "
+        "separate. Exactness: all ten raw moments are exact "
+        "HUGEINT/DECIMAL sums at line grain (y^2 sums ~6e21 at "
+        "sf10, inside DECIMAL38 through sf100); centered moments "
+        "via the n-scaled identity; both regressions and both "
+        "standard errors assemble in ONE fixed-order double "
+        "expression. Scale: one corpus aggregate, constant "
+        "algebra -- no joins at all",
+)
+def x552_sobel_mediation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100.0, 0).cast("long").alias("x"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("m"),
+        F.floor(F.col("l_extendedprice") * 100.0).cast("long").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sm = lambda e, n: F.sum(e).cast("decimal(38,0)").alias(n)  # noqa: E731
+    mo = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        sm(dec(F.col("x")), "sx"),
+        sm(dec(F.col("m")), "sm"),
+        sm(dec(F.col("y")), "sy"),
+        sm(dec(F.col("x")) * F.col("x"), "sxx"),
+        sm(dec(F.col("x")) * F.col("m"), "sxm"),
+        sm(dec(F.col("m")) * F.col("m"), "smm"),
+        sm(dec(F.col("x")) * F.col("y"), "sxy"),
+        sm(dec(F.col("m")) * F.col("y"), "smy"),
+        sm(dec(F.col("y")) * F.col("y"), "syy"),
+    )
+    ndc = F.col("n").cast("decimal(38,0)")
+    cc = lambda sab, sa, sb: (  # noqa: E731
+        ndc * F.col(sab) - F.col(sa) * F.col(sb)
+    ).cast("double")
+    nd = F.col("n").cast("double")
+    cxx = cc("sxx", "sx", "sx")
+    cxm = cc("sxm", "sx", "sm")
+    cmm = cc("smm", "sm", "sm")
+    cxy = cc("sxy", "sx", "sy")
+    cmy = cc("smy", "sm", "sy")
+    cyy = cc("syy", "sy", "sy")
+    a = cxm / cxx
+    det = cmm * cxx - cxm * cxm
+    b = (cmy * cxx - cxy * cxm) / det
+    b1 = (cxy * cmm - cmy * cxm) / det
+    total = cxy / cxx
+    se_a2 = ((cmm - cxm * cxm / cxx) / nd / (nd - 2.0)) / (cxx / nd)
+    se_b2 = (((cyy - b1 * cxy - b * cmy) / nd) / (nd - 3.0)) * nd * cxx / det
+    return mo.select(
+        F.col("n").alias("n_items"),
+        F.round(a, 8).alias("a_x_to_m"),
+        F.round(b, 8).alias("b_m_to_y"),
+        F.round(a * b, 8).alias("indirect_ab"),
+        F.round(
+            a * b / F.sqrt(b * b * se_a2 + a * a * se_b2), 4
+        ).alias("sobel_z"),
+        F.round(a * b / total, 6).alias("prop_mediated"),
+    )
+
+
+_X553_ORACLE = """
+WITH b AS (
+  SELECT CAST(round(l_discount * 100.0, 0) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS o_g
+  FROM lineitem GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(n_g) AS HUGEINT) AS n,
+         CAST(SUM(o_g) AS HUGEINT) AS r,
+         CAST(SUM(s * n_g) AS HUGEINT) AS sn,
+         CAST(SUM(s * o_g) AS HUGEINT) AS sr,
+         CAST(SUM(s * s * n_g) AS HUGEINT) AS ssn
+  FROM b
+),
+fit AS (
+  SELECT CAST(n AS DOUBLE) AS nd,
+         CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS pbar,
+         CAST(n * sr - r * sn AS DOUBLE)
+           / CAST(n * ssn - sn * sn AS DOUBLE) AS slope,
+         CAST(sn AS DOUBLE) / CAST(n AS DOUBLE) AS sbar
+  FROM t
+),
+g AS (
+  SELECT b.s, b.n_g, b.o_g,
+         ROUND(fit.pbar + fit.slope * (b.s - fit.sbar), 10) AS p_hat
+  FROM b, fit
+),
+contrib AS (
+  SELECT s, n_g, o_g,
+         ROUND(p_hat * n_g, 4) AS e_g,
+         ROUND(
+           (o_g - p_hat * n_g) * (o_g - p_hat * n_g)
+             / (p_hat * n_g * (1.0 - p_hat)), 6) AS hl_term
+  FROM g
+)
+SELECT s AS band, n_g, o_g AS observed, e_g AS expected,
+       hl_term,
+       ROUND(SUM(CAST(hl_term AS DECIMAL(38,6)))
+               OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING), 4) AS hl_chi2
+FROM contrib ORDER BY s
+"""
+
+
+@register(
+    "x553_hosmer_lemeshow",
+    _X553_ORACLE,
+    doc="Hosmer-Lemeshow calibration test of x543's linear trend "
+        "model: fit p_hat(band) = pbar + slope*(band - mean band) "
+        "on the full corpus, then chi2 = sum (O_g - E_g)^2 / "
+        "(E_g (1 - p_hat)) over the 11 discount bands (df = "
+        "bands - 2) -- the GOODNESS-OF-FIT companion x543 lacks: "
+        "CA says 'is there a trend', HL says 'does the LINEAR "
+        "model actually fit each band', and a big HL with a big "
+        "CA z means the dose-response is real but curved; x356's "
+        "isotonic recalibration is the fix when this rejects. "
+        "Exactness: the model is closed-form off exact integer "
+        "moments; p_hat rounds 10 BEFORE expected counts so both "
+        "engines aggregate identical doubles; per-band terms "
+        "round 6 into DECIMAL before the cross-band sum "
+        "(order-proof). Scale: one corpus groupBy to 11 bands, "
+        "constant algebra",
+)
+def x553_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy(
+        F.round(F.col("l_discount") * 100.0, 0).cast("long").alias("s")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("o_g"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    t = b.agg(
+        F.sum(dec(F.col("n_g"))).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("o_g"))).cast("decimal(38,0)").alias("r"),
+        F.sum(dec(F.col("s") * F.col("n_g")))
+        .cast("decimal(38,0)").alias("sn"),
+        F.sum(dec(F.col("s") * F.col("o_g")))
+        .cast("decimal(38,0)").alias("sr"),
+        F.sum(dec(F.col("s") * F.col("s") * F.col("n_g")))
+        .cast("decimal(38,0)").alias("ssn"),
+    )
+    nd = F.col("n").cast("double")
+    fit = t.select(
+        (F.col("r").cast("double") / nd).alias("pbar"),
+        (
+            (F.col("n") * F.col("sr") - F.col("r") * F.col("sn"))
+            .cast("double")
+            / (F.col("n") * F.col("ssn") - F.col("sn") * F.col("sn"))
+            .cast("double")
+        ).alias("slope"),
+        (F.col("sn").cast("double") / nd).alias("sbar"),
+    )
+    g = b.crossJoin(F.broadcast(fit)).select(
+        "s",
+        "n_g",
+        "o_g",
+        F.round(
+            F.col("pbar") + F.col("slope") * (F.col("s") - F.col("sbar")),
+            10,
+        ).alias("p_hat"),
+    )
+    contrib = g.select(
+        "s",
+        "n_g",
+        "o_g",
+        F.round(F.col("p_hat") * F.col("n_g"), 4).alias("e_g"),
+        F.round(
+            (F.col("o_g") - F.col("p_hat") * F.col("n_g"))
+            * (F.col("o_g") - F.col("p_hat") * F.col("n_g"))
+            / (F.col("p_hat") * F.col("n_g") * (1.0 - F.col("p_hat"))),
+            6,
+        ).alias("hl_term"),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return contrib.select(
+        F.col("s").alias("band"),
+        "n_g",
+        F.col("o_g").alias("observed"),
+        F.col("e_g").alias("expected"),
+        "hl_term",
+        F.round(
+            F.sum(F.col("hl_term").cast("decimal(38,6)")).over(w)
+            .cast("double"),
+            4,
+        ).alias("hl_chi2"),
+    ).orderBy("band")

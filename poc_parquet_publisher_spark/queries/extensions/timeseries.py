@@ -728,3 +728,397 @@ def x551_granger_causality(
             (rssr_c - rssu_c) / (rssu_c / (mf - 3.0)), 4
         ).alias("f_revenue_to_orders"),
     )
+
+
+_X554_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS HUGEINT) AS s
+  FROM daily
+),
+c AS (
+  SELECT d.day, CAST(t.n AS HUGEINT) * d.y - t.s AS cv
+  FROM daily d, tot t
+),
+den AS (SELECT CAST(SUM(cv * cv) AS HUGEINT) AS d2 FROM c),
+adj AS (
+  SELECT CAST(count(*) AS BIGINT) AS np,
+         CAST(SUM(a.cv * b.cv) AS HUGEINT) AS cross_sum,
+         CAST(SUM((a.cv - b.cv) * (a.cv - b.cv)) AS HUGEINT) AS diff2
+  FROM c a JOIN c b ON b.day = a.day + 1
+)
+SELECT t.n AS n_days, adj.np AS n_adj_pairs,
+       ROUND((CAST(t.n AS DOUBLE) / (2.0 * adj.np))
+             * (2.0 * CAST(adj.cross_sum AS DOUBLE))
+             / CAST(den.d2 AS DOUBLE), 6) AS moran_i,
+       ROUND((CAST(t.n - 1 AS DOUBLE) / (2.0 * (2.0 * adj.np)))
+             * (2.0 * CAST(adj.diff2 AS DOUBLE))
+             / CAST(den.d2 AS DOUBLE), 6) AS geary_c,
+       ROUND(-1.0 / (CAST(t.n AS DOUBLE) - 1.0), 6) AS e_moran
+FROM tot t, adj, den
+"""
+
+
+@register(
+    "x554_moran_geary",
+    _X554_ORACLE,
+    doc="Moran's I and Geary's C on daily revenue with lag-1 calendar "
+        "adjacency weights (symmetric: W counts both directions of "
+        "each consecutive-day pair): I measures GLOBAL covariance "
+        "structure (sensitive to regime levels), C the LOCAL "
+        "squared-difference structure (sensitive to day-to-day "
+        "volatility) -- the spatial-statistics pair whose "
+        "divergence (high I with C near 1) distinguishes smooth "
+        "trends from jagged persistence in a way x484's single DW "
+        "(algebraically close to C) cannot; E[I] = -1/(n-1) "
+        "emitted as the null reference. Exactness: both "
+        "numerators and the denominator are exact HUGEINT sums of "
+        "x510's n-scaled integer centerings (the n^2 scale "
+        "cancels in each ratio); three double divisions at the "
+        "end. Scale: one day-grain aggregate, one day-domain "
+        "equi-join, constant algebra",
+)
+def x554_moran_geary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s"),
+    )
+    c = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("n").cast("decimal(38,0)") * F.col("y") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("cv"),
+        "n",
+    ).localCheckpoint(eager=False)
+    den = c.agg(
+        F.sum(F.col("cv") * F.col("cv"))
+        .cast("decimal(38,0)")
+        .alias("d2")
+    )
+    a = c.select(F.col("day").alias("da"), F.col("cv").alias("ca"), "n")
+    b = c.select(F.col("day").alias("db"), F.col("cv").alias("cb"))
+    adj = a.join(b, F.col("db") == F.date_add("da", 1)).agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum(F.col("ca") * F.col("cb"))
+        .cast("decimal(38,0)")
+        .alias("cross_sum"),
+        F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+        .cast("decimal(38,0)")
+        .alias("diff2"),
+        F.first("n").alias("n"),
+    )
+    j = adj.crossJoin(F.broadcast(den))
+    nd = F.col("n").cast("double")
+    npd = F.col("np").cast("double")
+    d2d = F.col("d2").cast("double")
+    return j.select(
+        F.col("n").alias("n_days"),
+        F.col("np").alias("n_adj_pairs"),
+        F.round(
+            (nd / (2.0 * npd))
+            * (2.0 * F.col("cross_sum").cast("double"))
+            / d2d,
+            6,
+        ).alias("moran_i"),
+        F.round(
+            ((nd - 1.0) / (2.0 * (2.0 * npd)))
+            * (2.0 * F.col("diff2").cast("double"))
+            / d2d,
+            6,
+        ).alias("geary_c"),
+        F.round(-1.0 / (nd - 1.0), 6).alias("e_moran"),
+    )
+
+
+_X555_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+sd AS (
+  SELECT CAST(floor(0.2 * sqrt(
+           (count(*) * CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE)
+            - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+           / (CAST(count(*) AS DOUBLE) * (count(*) - 1.0))))
+         AS BIGINT) AS r
+  FROM daily
+),
+tri AS (
+  SELECT a.day, a.y AS y0, b.y AS y1, c.y AS y2
+  FROM daily a
+  JOIN daily b ON b.day = a.day + 1
+  JOIN daily c ON c.day = a.day + 2
+),
+pairs AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS n_cmp,
+    CAST(SUM(CASE WHEN abs(t1.y0 - t2.y0) <= sd.r
+                   AND abs(t1.y1 - t2.y1) <= sd.r
+             THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt,
+    CAST(SUM(CASE WHEN abs(t1.y0 - t2.y0) <= sd.r
+                   AND abs(t1.y1 - t2.y1) <= sd.r
+                   AND abs(t1.y2 - t2.y2) <= sd.r
+             THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt
+  FROM tri t1 JOIN tri t2 ON t1.day <> t2.day, sd
+),
+base AS (SELECT CAST(count(*) AS BIGINT) AS n_templates FROM tri)
+SELECT base.n_templates, sd.r AS r_cents,
+       pairs.b_cnt, pairs.a_cnt,
+       ROUND(-ln(CAST(pairs.a_cnt AS DOUBLE)
+                 / CAST(pairs.b_cnt AS DOUBLE)), 6) AS sample_entropy
+FROM base, sd, pairs
+"""
+
+
+@register(
+    "x555_sample_entropy",
+    _X555_ORACLE,
+    doc="Sample entropy (m=2, r = floor(0.2*sd) cents, Chebyshev "
+        "distance) of daily revenue: -ln(A/B) where B counts "
+        "template pairs matching on 2 consecutive days and A on 3 "
+        "-- the REGULARITY measure (low = patterns repeat, "
+        "high = unpredictable) that, unlike x544's single-triple "
+        "ordinal histogram, asks whether entire VALUE-level "
+        "motifs recur anywhere in the series; self-matches "
+        "excluded per Richman-Moorman. Exactness: templates "
+        "require 3 consecutive calendar days (gaps drop "
+        "templates, stated); the tolerance floors to an exact "
+        "integer so every comparison is integer-exact; A/B are "
+        "exact BIGINT counts; one ln at the end. Scale: the "
+        "template pair table is CALENDAR-bounded (~2000^2 ~ 4M "
+        "comparisons, constant in SF -- one broadcast join, "
+        "x542's bounded-spine discipline), never row pairs",
+)
+def x555_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sd = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("y"))).cast("decimal(38,0)").alias("s1"),
+        F.sum(dec(F.col("y")) * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    ).select(
+        F.floor(
+            0.2
+            * F.sqrt(
+                (
+                    F.col("n") * F.col("s2").cast("double")
+                    - F.col("s1").cast("double")
+                    * F.col("s1").cast("double")
+                )
+                / (F.col("n").cast("double") * (F.col("n") - 1.0))
+            )
+        )
+        .cast("long")
+        .alias("r")
+    )
+    a = daily.select(F.col("day").alias("d0"), F.col("y").alias("y0"))
+    b = daily.select(F.col("day").alias("d1"), F.col("y").alias("y1"))
+    cc = daily.select(F.col("day").alias("d2"), F.col("y").alias("y2"))
+    tri = (
+        a.join(b, F.col("d1") == F.date_add("d0", 1))
+        .join(cc, F.col("d2") == F.date_add("d0", 2))
+        .select("d0", "y0", "y1", "y2")
+        .localCheckpoint(eager=False)
+    )
+    t2 = tri.select(
+        F.col("d0").alias("e0"),
+        F.col("y0").alias("z0"),
+        F.col("y1").alias("z1"),
+        F.col("y2").alias("z2"),
+    )
+    pairs = (
+        tri.join(F.broadcast(t2), F.col("d0") != F.col("e0"))
+        .crossJoin(F.broadcast(sd))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cmp"),
+            F.sum(
+                F.when(
+                    (F.abs(F.col("y0") - F.col("z0")) <= F.col("r"))
+                    & (F.abs(F.col("y1") - F.col("z1")) <= F.col("r")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("b_cnt"),
+            F.sum(
+                F.when(
+                    (F.abs(F.col("y0") - F.col("z0")) <= F.col("r"))
+                    & (F.abs(F.col("y1") - F.col("z1")) <= F.col("r"))
+                    & (F.abs(F.col("y2") - F.col("z2")) <= F.col("r")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("a_cnt"),
+        )
+    )
+    base = tri.agg(F.count(F.lit(1)).cast("long").alias("n_templates"))
+    return (
+        base.crossJoin(F.broadcast(sd))
+        .crossJoin(F.broadcast(pairs))
+        .select(
+            "n_templates",
+            F.col("r").alias("r_cents"),
+            "b_cnt",
+            "a_cnt",
+            F.round(
+                -F.log(
+                    F.col("a_cnt").cast("double")
+                    / F.col("b_cnt").cast("double")
+                ),
+                6,
+            ).alias("sample_entropy"),
+        )
+    )
+
+
+_X556_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS HUGEINT) AS s
+  FROM daily
+),
+c AS (
+  SELECT d.day, d.y,
+         abs(CAST(t.n AS HUGEINT) * d.y - t.s) AS ac
+  FROM daily d, tot t
+),
+agg AS (
+  SELECT CAST(MAX(ac) AS HUGEINT) AS maxc,
+         CAST(SUM(ac * ac) AS HUGEINT) AS d2
+  FROM c
+),
+pick AS (
+  SELECT MIN(c.day) AS outlier_day, MIN(c.y) AS outlier_y
+  FROM c, agg WHERE c.ac = agg.maxc
+),
+g AS (
+  SELECT t.n,
+         (CAST(agg.maxc AS DOUBLE) / t.n)
+           / sqrt(CAST(agg.d2 AS DOUBLE)
+                  / (CAST(t.n AS DOUBLE) * t.n * (t.n - 1.0))) AS gg
+  FROM tot t, agg
+)
+SELECT g.n AS n_days,
+       ROUND(g.gg, 4) AS grubbs_g,
+       pick.outlier_day, pick.outlier_y AS outlier_y_cents,
+       ROUND(2.0 * CAST(g.n AS DOUBLE)
+             * (exp(-g.gg * g.gg / 2.0) / 2.5066282746310002)
+             * (1.0 / (0.226 + 0.64 * g.gg
+                       + sqrt(g.gg * g.gg * 0.4096 + 5.0216))),
+             8) AS p_bound_bonferroni
+FROM g, pick
+"""
+
+
+@register(
+    "x556_grubbs_outlier",
+    _X556_ORACLE,
+    doc="Grubbs max-studentized-deviation outlier test on daily "
+        "revenue: G = max|y - mean|/sd, the flagged day (ties "
+        "broken by earliest date, deterministic on both engines "
+        "because the deviation is an exact integer), and a "
+        "Bonferroni normal-tail p bound 2n*phi-tail(G) -- the "
+        "single-most-anomalous-DAY question x124's MAD rule "
+        "(many outliers, robust center) and x501's EWMA (drift "
+        "alarms) do not answer; the tail uses the Pollak-type "
+        "rational bound phi(x)/(0.226+0.64x+sqrt(0.4096x^2+"
+        "5.0216)) with every constant pinned so both engines "
+        "evaluate the identical expression (an upper BOUND, "
+        "stated, not the exact t-based critical value). "
+        "Exactness: deviations are exact integers via x510's "
+        "n-scaled centering (max and argmax engine-exact); G "
+        "assembles in one fixed-order double expression. Scale: "
+        "one day-grain aggregate, two 1-row folds",
+)
+def x556_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s"),
+    )
+    c = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "y",
+        F.abs(
+            F.col("n").cast("decimal(38,0)") * F.col("y") - F.col("s")
+        ).cast("decimal(38,0)").alias("ac"),
+        "n",
+    ).localCheckpoint(eager=False)
+    agg = c.agg(
+        F.max("ac").cast("decimal(38,0)").alias("maxc"),
+        F.sum(F.col("ac") * F.col("ac"))
+        .cast("decimal(38,0)")
+        .alias("d2"),
+        F.first("n").alias("n"),
+    )
+    pick = c.crossJoin(F.broadcast(agg.select("maxc"))).filter(
+        F.col("ac") == F.col("maxc")
+    ).agg(
+        F.min("day").alias("outlier_day"),
+        F.min("y").alias("outlier_y"),
+    )
+    nd = F.col("n").cast("double")
+    gg = (F.col("maxc").cast("double") / F.col("n")) / F.sqrt(
+        F.col("d2").cast("double") / (nd * F.col("n") * (F.col("n") - 1.0))
+    )
+    g = agg.select(F.col("n"), gg.alias("gg"))
+    return g.crossJoin(F.broadcast(pick)).select(
+        F.col("n").alias("n_days"),
+        F.round("gg", 4).alias("grubbs_g"),
+        "outlier_day",
+        F.col("outlier_y").alias("outlier_y_cents"),
+        F.round(
+            2.0
+            * nd
+            * (F.exp(-F.col("gg") * F.col("gg") / 2.0)
+               / 2.5066282746310002)
+            * (
+                1.0
+                / (
+                    0.226
+                    + 0.64 * F.col("gg")
+                    + F.sqrt(
+                        F.col("gg") * F.col("gg") * 0.4096 + 5.0216
+                    )
+                )
+            ),
+            8,
+        ).alias("p_bound_bonferroni"),
+    )

@@ -8420,3 +8420,203 @@ def test_granger_matches_replay(spark):
     assert abs(r["beta_revenue_to_orders"] - _round_hu(b_yc, 8)) < 1e-6
     assert r["f_orders_to_revenue"] >= 0
     assert r["f_revenue_to_orders"] >= 0
+
+
+def test_sobel_mediation_matches_replay(spark):
+    """x552: replay both regressions via numpy lstsq; invariants:
+    indirect = a*b, prop_mediated = ab/total effect."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x552_sobel_mediation,
+    )
+
+    rows = load_table(spark, SF, "lineitem").select(
+        "l_discount", "l_quantity", "l_extendedprice"
+    ).collect()
+    x = np.array([int(round(r["l_discount"] * 100)) for r in rows], float)
+    m = np.array([int(round(r["l_quantity"])) for r in rows], float)
+    y = np.array(
+        [int(math.floor(r["l_extendedprice"] * 100)) for r in rows], float
+    )
+    n = len(rows)
+    Xa = np.column_stack([np.ones(n), x])
+    ca, *_ = np.linalg.lstsq(Xa, m, rcond=None)
+    a = float(ca[1])
+    resid_m = m - Xa @ ca
+    se_a2 = float((resid_m**2).sum() / (n - 2) / ((x - x.mean()) ** 2).sum())
+    Xb = np.column_stack([np.ones(n), x, m])
+    cb, *_ = np.linalg.lstsq(Xb, y, rcond=None)
+    b = float(cb[2])
+    resid_y = y - Xb @ cb
+    s2 = float((resid_y**2).sum() / (n - 3))
+    xc = np.column_stack([x - x.mean(), m - m.mean()])
+    inv = np.linalg.inv(xc.T @ xc)
+    se_b2 = s2 * float(inv[1, 1])
+    total = float(np.polyfit(x, y, 1)[0])
+    z = a * b / math.sqrt(b * b * se_a2 + a * a * se_b2)
+    r = x552_sobel_mediation(spark, SF).collect()[0]
+    assert r["n_items"] == n
+    assert abs(r["a_x_to_m"] - _round_hu(a, 8)) < 1e-6
+    assert abs(r["b_m_to_y"] - _round_hu(b, 8)) < 1e-4
+    assert abs(r["indirect_ab"] - _round_hu(a * b, 8)) < 1e-4
+    assert abs(r["sobel_z"] - _round_hu(z, 4)) < 1e-2
+    assert abs(r["prop_mediated"] - _round_hu(a * b / total, 6)) < 1e-4
+
+
+def test_hosmer_lemeshow_matches_replay(spark):
+    """x553: replay the linear-probability fit and the HL chi2 with
+    the same rounding schedule; invariants: 11 bands, every
+    expected count positive, chi2 >= 0 and identical on all rows."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x553_hosmer_lemeshow,
+    )
+
+    bands = defaultdict(lambda: [0, 0])
+    for rr in load_table(spark, SF, "lineitem").select(
+        "l_discount", "l_returnflag"
+    ).collect():
+        s = int(round(rr["l_discount"] * 100.0))
+        bands[s][0] += 1
+        bands[s][1] += rr["l_returnflag"] == "R"
+    n = sum(v[0] for v in bands.values())
+    rt = sum(v[1] for v in bands.values())
+    sn = sum(s * v[0] for s, v in bands.items())
+    sr = sum(s * v[1] for s, v in bands.items())
+    ssn = sum(s * s * v[0] for s, v in bands.items())
+    pbar, slope, sbar = rt / n, (n * sr - rt * sn) / (n * ssn - sn * sn), sn / n
+    chi2 = 0.0
+    per = {}
+    for s, (ng, og) in bands.items():
+        ph = _round_hu(pbar + slope * (s - sbar), 10)
+        term = _round_hu((og - ph * ng) ** 2 / (ph * ng * (1 - ph)), 6)
+        per[s] = (_round_hu(ph * ng, 4), term)
+        chi2 += term
+    rows = {r["band"]: r for r in x553_hosmer_lemeshow(spark, SF).collect()}
+    assert len(rows) == 11
+    for s, r in rows.items():
+        assert abs(r["expected"] - per[s][0]) < 1e-6
+        assert abs(r["hl_term"] - per[s][1]) < 1e-6
+        assert abs(r["hl_chi2"] - _round_hu(chi2, 4)) < 1e-6
+        assert r["expected"] > 0
+        assert r["hl_chi2"] >= 0
+
+
+def test_moran_geary_matches_replay(spark):
+    """x554: replay both statistics; invariants: I in [-1,1]-ish
+    band, C > 0, and sign(I - E[I]) opposite sign(C - 1) for
+    positively autocorrelated data."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x554_moran_geary,
+    )
+
+    daily = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        daily[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+    import datetime
+
+    n = len(daily)
+    s = sum(daily.values())
+    cv = {d: n * y - s for d, y in daily.items()}
+    d2 = sum(v * v for v in cv.values())
+    pairs = [
+        (v, cv[d + datetime.timedelta(1)])
+        for d, v in cv.items()
+        if d + datetime.timedelta(1) in cv
+    ]
+    np_ = len(pairs)
+    cross = sum(a * b for a, b in pairs)
+    diff2 = sum((a - b) ** 2 for a, b in pairs)
+    moran = (n / (2.0 * np_)) * (2.0 * cross) / d2
+    geary = ((n - 1) / (2.0 * (2.0 * np_))) * (2.0 * diff2) / d2
+    r = x554_moran_geary(spark, SF).collect()[0]
+    assert (r["n_days"], r["n_adj_pairs"]) == (n, np_)
+    assert abs(r["moran_i"] - _round_hu(moran, 6)) < 1e-9
+    assert abs(r["geary_c"] - _round_hu(geary, 6)) < 1e-9
+    assert abs(r["e_moran"] - _round_hu(-1.0 / (n - 1), 6)) < 1e-9
+    assert -1.5 < r["moran_i"] < 1.5
+    assert r["geary_c"] > 0
+
+
+def test_sample_entropy_matches_bruteforce(spark):
+    """x555: brute-force the template matching at sf0.001;
+    invariants: A <= B (3-coordinate matches are a subset),
+    sampen > 0."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x555_sample_entropy,
+    )
+
+    daily = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        daily[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+    import datetime
+
+    n = len(daily)
+    s1 = sum(daily.values())
+    s2 = sum(y * y for y in daily.values())
+    sd = math.sqrt((n * s2 - s1 * s1) / (n * (n - 1.0)))
+    rtol = int(math.floor(0.2 * sd))
+    tri = []
+    for d, y0 in sorted(daily.items()):
+        d1, d2_ = d + datetime.timedelta(1), d + datetime.timedelta(2)
+        if d1 in daily and d2_ in daily:
+            tri.append((d, y0, daily[d1], daily[d2_]))
+    b_cnt = a_cnt = 0
+    for i, (di, a0, a1, a2) in enumerate(tri):
+        for j, (dj, b0, b1, b2) in enumerate(tri):
+            if di == dj:
+                continue
+            if abs(a0 - b0) <= rtol and abs(a1 - b1) <= rtol:
+                b_cnt += 1
+                if abs(a2 - b2) <= rtol:
+                    a_cnt += 1
+    r = x555_sample_entropy(spark, SF).collect()[0]
+    assert r["n_templates"] == len(tri)
+    assert r["r_cents"] == rtol
+    assert (r["b_cnt"], r["a_cnt"]) == (b_cnt, a_cnt)
+    assert abs(
+        r["sample_entropy"] - _round_hu(-math.log(a_cnt / b_cnt), 6)
+    ) < 1e-9
+    assert a_cnt <= b_cnt
+    assert r["sample_entropy"] > 0
+
+
+def test_grubbs_matches_replay(spark):
+    """x556: replay G, the argmax day, and the tail bound;
+    invariants: G > 0, p bound positive, flagged day holds the
+    max absolute deviation."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x556_grubbs_outlier,
+    )
+
+    daily = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        daily[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+    n = len(daily)
+    s = sum(daily.values())
+    ac = {d: abs(n * y - s) for d, y in daily.items()}
+    maxc = max(ac.values())
+    day = min(d for d, v in ac.items() if v == maxc)
+    d2 = sum(v * v for v in ac.values())
+    g = (maxc / n) / math.sqrt(d2 / (n * n * (n - 1.0)))
+    phi = math.exp(-g * g / 2.0) / 2.5066282746310002
+    p = 2.0 * n * phi * (
+        1.0 / (0.226 + 0.64 * g + math.sqrt(g * g * 0.4096 + 5.0216))
+    )
+    r = x556_grubbs_outlier(spark, SF).collect()[0]
+    assert r["n_days"] == n
+    assert abs(r["grubbs_g"] - _round_hu(g, 4)) < 1e-6
+    assert r["outlier_day"] == day
+    assert r["outlier_y_cents"] == daily[day]
+    assert abs(r["p_bound_bonferroni"] - _round_hu(p, 8)) < 1e-9
+    assert r["grubbs_g"] > 0
+    assert r["p_bound_bonferroni"] > 0
