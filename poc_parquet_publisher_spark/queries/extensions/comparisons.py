@@ -1027,3 +1027,301 @@ def x553_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("hl_chi2"),
     ).orderBy("band")
+
+
+_X557_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS spend
+  FROM orders GROUP BY 1
+),
+dom AS (
+  SELECT spend, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(spend AS HUGEINT) * count(*) AS tv
+  FROM cust GROUP BY 1
+),
+cum AS (
+  SELECT spend, cnt, tv,
+         CAST(COALESCE(SUM(cnt) OVER w, 0) AS HUGEINT) AS cnt_below,
+         CAST(COALESCE(SUM(tv) OVER w, 0) AS HUGEINT) AS spend_below
+  FROM dom
+  WINDOW w AS (ORDER BY spend
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS HUGEINT) AS n,
+         CAST(SUM(tv) AS HUGEINT) AS total
+  FROM dom
+),
+pietra AS (
+  SELECT MAX((cnt_below + cnt) * t.total
+             - (spend_below + tv) * t.n) AS pnum
+  FROM cum, tot t
+),
+deciles AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),
+                                  (9),(10)) AS d(k)),
+pick AS (
+  SELECT d.k,
+         (d.k * t.n + 9) // 10 AS r_k,
+         c.spend_below + (((d.k * t.n + 9) // 10) - c.cnt_below)
+           * CAST(c.spend AS HUGEINT) AS cum_spend
+  FROM deciles d, tot t
+  JOIN cum c ON c.cnt_below < (d.k * t.n + 9) // 10
+            AND (d.k * t.n + 9) // 10 <= c.cnt_below + c.cnt
+)
+SELECT p.k AS decile,
+       CAST(p.r_k AS BIGINT) AS rank_cutoff,
+       ROUND(CAST(p.cum_spend AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+         AS lorenz_share,
+       ROUND(CAST(pt.pnum AS DOUBLE)
+             / (CAST(t.n AS DOUBLE) * CAST(t.total AS DOUBLE)), 6)
+         AS pietra_index
+FROM pick p, tot t, pietra pt
+ORDER BY p.k
+"""
+
+
+@register(
+    "x557_lorenz_pietra",
+    _X557_ORACLE,
+    doc="Empirical Lorenz curve of per-customer spend at the 10 "
+        "decile rank cutoffs (cumulative spend share of the "
+        "poorest ceil(k*n/10) customers) plus the Pietra index "
+        "(max vertical gap between the diagonal and the curve = "
+        "half the relative mean deviation) -- the WHERE of "
+        "inequality that the scalar indices compress away (x108's "
+        "Gini, x436's Theil and x506's Atkinson can all be equal "
+        "while the curves cross; the decile shares show which "
+        "tail drives it). Exactness: cumulative counts/spends are "
+        "exact integers over the distinct-spend domain (x545's "
+        "window discipline); the within-tie interpolation "
+        "(r_k - cnt_below)*v is exact; the Pietra argmax "
+        "maximizes the EXACT integer cnt*total - spend*n before "
+        "any double division. Scale: one customer-grain "
+        "aggregate, spend-domain windows, a 10-row VALUES spine",
+)
+def x557_lorenz_pietra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("spend")
+    )
+    dom = cust.groupBy("spend").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).select(
+        "spend",
+        "cnt",
+        (F.col("spend").cast("decimal(38,0)") * F.col("cnt"))
+        .cast("decimal(38,0)")
+        .alias("tv"),
+    )
+    wb = Window.orderBy("spend").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = dom.select(
+        "spend",
+        "cnt",
+        "tv",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("cnt_below"),
+        F.coalesce(F.sum("tv").over(wb), F.lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("spend_below"),
+    ).localCheckpoint(eager=False)
+    tot = dom.agg(
+        F.sum("cnt").cast("decimal(38,0)").alias("n"),
+        F.sum("tv").cast("decimal(38,0)").alias("total"),
+    )
+    pietra = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            (F.col("cnt_below") + F.col("cnt")) * F.col("total")
+            - (F.col("spend_below") + F.col("tv")) * F.col("n")
+        ).alias("pnum")
+    )
+    deciles = spark.createDataFrame([(k,) for k in range(1, 11)], "k int")
+    ck = cum.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(deciles))
+    r_k = F.expr("(k * n + 9) div 10").cast("decimal(38,0)")
+    pick = ck.filter(
+        (F.col("cnt_below") < r_k)
+        & (r_k <= F.col("cnt_below") + F.col("cnt"))
+    ).select(
+        "k",
+        r_k.cast("long").alias("rank_cutoff"),
+        (
+            F.col("spend_below")
+            + (r_k - F.col("cnt_below")) * F.col("spend")
+        ).cast("decimal(38,0)").alias("cum_spend"),
+        "n",
+        "total",
+    )
+    return pick.crossJoin(F.broadcast(pietra)).select(
+        F.col("k").alias("decile"),
+        "rank_cutoff",
+        F.round(
+            F.col("cum_spend").cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("lorenz_share"),
+        F.round(
+            F.col("pnum").cast("double")
+            / (F.col("n").cast("double") * F.col("total").cast("double")),
+            6,
+        ).alias("pietra_index"),
+    ).orderBy("decile")
+
+
+_X560_ORACLE = """
+WITH o AS (
+  SELECT r.r_name AS region,
+         CAST(floor(o.o_totalprice * 100.0) AS BIGINT) AS y
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+),
+g AS (
+  SELECT region, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(SUM(y) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS s2
+  FROM o GROUP BY 1
+),
+msw AS (
+  SELECT CAST(SUM(n_g) AS HUGEINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         SUM(CAST(round(
+           CAST(n_g * s2 - s1 * s1 AS DOUBLE) / n_g / 10000.0, 4)
+           AS DECIMAL(38,4))) AS ssw_d4
+  FROM g
+),
+pairs AS (
+  SELECT a.region AS region_a, b.region AS region_b,
+         ROUND(CAST(a.s1 AS DOUBLE) / a.n_g
+               - CAST(b.s1 AS DOUBLE) / b.n_g, 4) AS mean_diff,
+         a.n_g AS na, b.n_g AS nb
+  FROM g a JOIN g b ON a.region < b.region
+)
+SELECT p.region_a, p.region_b, p.mean_diff,
+       ROUND(abs(p.mean_diff)
+             / sqrt((CAST(m.ssw_d4 AS DOUBLE) * 10000.0
+                     / (CAST(m.n AS DOUBLE) - m.k)) / 2.0
+                    * (1.0 / p.na + 1.0 / p.nb)), 4) AS q_stat,
+       CAST(CASE WHEN abs(p.mean_diff)
+             / sqrt((CAST(m.ssw_d4 AS DOUBLE) * 10000.0
+                     / (CAST(m.n AS DOUBLE) - m.k)) / 2.0
+                    * (1.0 / p.na + 1.0 / p.nb)) > 3.858
+            THEN 1 ELSE 0 END AS BIGINT) AS significant_5pct
+FROM pairs p, msw m
+ORDER BY p.region_a, p.region_b
+"""
+
+
+@register(
+    "x560_tukey_hsd",
+    _X560_ORACLE,
+    doc="Tukey-Kramer HSD panel: all 10 pairwise region mean-order-"
+        "value contrasts with the studentized-range statistic "
+        "q = |mean_i - mean_j| / sqrt(MSW/2 (1/n_i + 1/n_j)) "
+        "against the pinned q(0.05, k=5, df=inf) = 3.858 -- the "
+        "WHICH-PAIRS answer x393's omnibus ANOVA F cannot give "
+        "(F says 'some region differs', HSD says which, with the "
+        "familywise error held at 5% where 10 naive t tests "
+        "would inflate it). Exactness: per-region n/sum/sumsq "
+        "are exact integer-cent moments off ONE star join "
+        "(dims broadcast); each within-group SS term is the "
+        "exact integer (n_g*s2 - s1^2)/n_g rounded 4 in 1e4-"
+        "cents^2 units into DECIMAL before the 5-row sum "
+        "(order-proof); means round 4 before differencing so "
+        "both engines compare identical doubles. Scale: one "
+        "corpus star join + 5-row algebra",
+)
+def x560_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    o = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.floor(F.col("o_totalprice") * 100.0).cast("long").alias("y"),
+        )
+    )
+    g = o.groupBy("region").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.col("y").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    ).localCheckpoint(eager=False)
+    msw = g.agg(
+        F.sum("n_g").cast("decimal(38,0)").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.round(
+                (F.col("n_g") * F.col("s2") - F.col("s1") * F.col("s1"))
+                .cast("double")
+                / F.col("n_g")
+                / 10000.0,
+                4,
+            ).cast("decimal(38,4)")
+        ).alias("ssw_d4"),
+    )
+    a = g.select(
+        F.col("region").alias("region_a"),
+        F.col("n_g").alias("na"),
+        F.col("s1").alias("s1a"),
+    )
+    b = g.select(
+        F.col("region").alias("region_b"),
+        F.col("n_g").alias("nb"),
+        F.col("s1").alias("s1b"),
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("region_a") < F.col("region_b")
+    ).select(
+        "region_a",
+        "region_b",
+        F.round(
+            F.col("s1a").cast("double") / F.col("na")
+            - F.col("s1b").cast("double") / F.col("nb"),
+            4,
+        ).alias("mean_diff"),
+        "na",
+        "nb",
+    )
+    j = pairs.crossJoin(F.broadcast(msw))
+    mswd = (
+        F.col("ssw_d4").cast("double")
+        * 10000.0
+        / (F.col("n").cast("double") - F.col("k"))
+    )
+    q = F.abs(F.col("mean_diff")) / F.sqrt(
+        mswd / 2.0 * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return j.select(
+        "region_a",
+        "region_b",
+        "mean_diff",
+        F.round(q, 4).alias("q_stat"),
+        F.when(q > 3.858, 1).otherwise(0).cast("long").alias(
+            "significant_5pct"
+        ),
+    ).orderBy("region_a", "region_b")

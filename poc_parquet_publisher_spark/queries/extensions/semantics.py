@@ -6365,3 +6365,166 @@ def x331_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reduction_ratio"),
         )
     )
+
+
+_X559_ORACLE = """
+WITH tok AS (
+  SELECT d.doc_id, s.l[i.i] AS w, i.i AS pos
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+        FROM documents) s
+  JOIN documents d ON d.doc_id = s.doc_id,
+  UNNEST(range(1, len(s.l) + 1)) AS i(i)
+),
+flagged AS (
+  SELECT doc_id, w, pos,
+         CASE WHEN w IN (%s) OR w = '' THEN 1 ELSE 0 END AS is_stop
+  FROM tok
+),
+seg AS (
+  SELECT doc_id, w, pos, is_stop,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS phrase_id
+  FROM flagged
+),
+pw AS (
+  SELECT doc_id, phrase_id, w, pos FROM seg WHERE is_stop = 0
+),
+phr AS (
+  SELECT doc_id, phrase_id,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM pw GROUP BY 1, 2
+),
+wstat AS (
+  SELECT pw.w,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(SUM(phr.plen) AS BIGINT) AS deg
+  FROM pw
+  JOIN phr ON phr.doc_id = pw.doc_id
+          AND phr.phrase_id = pw.phrase_id
+  GROUP BY 1
+),
+wscore AS (
+  SELECT w, ROUND(CAST(deg AS DOUBLE) / freq, 10) AS score
+  FROM wstat
+),
+pscore AS (
+  SELECT phr.phrase,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(MAX(per_occ) AS DOUBLE) AS rake_score
+  FROM phr
+  JOIN (
+    SELECT pw.doc_id, pw.phrase_id,
+           CAST(SUM(CAST(round(ws.score, 10) AS DECIMAL(38,10)))
+                AS DOUBLE) AS per_occ
+    FROM pw JOIN wscore ws ON ws.w = pw.w
+    GROUP BY 1, 2
+  ) occ ON occ.doc_id = phr.doc_id AND occ.phrase_id = phr.phrase_id
+  GROUP BY phr.phrase
+)
+SELECT phrase, n_occurrences,
+       ROUND(rake_score, 4) AS rake_score
+FROM pscore
+ORDER BY ROUND(rake_score, 4) DESC, phrase ASC
+LIMIT 15
+""" % _STOP_EN
+
+
+@register(
+    "x559_rake_keywords",
+    _X559_ORACLE,
+    doc="RAKE keyword extraction (Rose et al.) over the documents "
+        "corpus: candidate phrases are maximal stopword-free token "
+        "runs, word score = degree/frequency over within-phrase "
+        "co-occurrence, phrase score = sum of member word scores; "
+        "top-15 distinct phrases -- the unsupervised KEYPHRASE "
+        "surface beside x106's query-driven BM25 and x19's "
+        "per-term tf-idf (RAKE finds multi-word units with no "
+        "query and no training, the standard cheap keyword pass "
+        "of an LLM-corpus datasheet). Exactness: segmentation is "
+        "an exact integer prefix count of stopword positions "
+        "(per-doc windows); degree/frequency are exact integer "
+        "sums; word scores round 10 into DECIMAL before the "
+        "per-occurrence sum (order-proof), phrase scores round 4 "
+        "with the LIMIT under a total (score DESC, phrase ASC) "
+        "order. Scale: tokenization explodes once; every stage "
+        "is a hash groupBy on (doc, phrase) or word keys -- no "
+        "pairwise anything",
+)
+def x559_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    stop = sorted(text.LANG_STOPWORDS["en"])
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+            "pos0", "w"
+        ),
+    ).select(
+        "doc_id", "w", (F.col("pos0") + 1).alias("pos")
+    )
+    flagged = tok.select(
+        "doc_id",
+        "w",
+        "pos",
+        F.when(F.col("w").isin(*stop) | (F.col("w") == ""), 1)
+        .otherwise(0)
+        .alias("is_stop"),
+    )
+    wseg = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    seg = flagged.select(
+        "doc_id",
+        "w",
+        "pos",
+        "is_stop",
+        F.sum("is_stop").over(wseg).alias("phrase_id"),
+    )
+    pw = seg.filter(F.col("is_stop") == 0).select(
+        "doc_id", "phrase_id", "w", "pos"
+    ).localCheckpoint(eager=False)
+    phr = pw.groupBy("doc_id", "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    wstat = pw.join(phr, ["doc_id", "phrase_id"]).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    wscore = wstat.select(
+        "w",
+        F.round(F.col("deg").cast("double") / F.col("freq"), 10).alias(
+            "score"
+        ),
+    )
+    occ = (
+        pw.join(F.broadcast(wscore), "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.sum(F.round(F.col("score"), 10).cast("decimal(38,10)"))
+            .cast("double")
+            .alias("per_occ")
+        )
+    )
+    pscore = phr.join(occ, ["doc_id", "phrase_id"]).groupBy(
+        "phrase"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("per_occ").cast("double").alias("rake_score"),
+    )
+    return pscore.select(
+        "phrase",
+        "n_occurrences",
+        F.round("rake_score", 4).alias("rake_score"),
+    ).orderBy(
+        F.round("rake_score", 4).desc(), F.col("phrase").asc()
+    ).limit(15)

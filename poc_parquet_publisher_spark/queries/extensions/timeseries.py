@@ -1122,3 +1122,210 @@ def x556_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("p_bound_bonferroni"),
     )
+
+
+def _q12(q):
+    # left-associated 12-fold product: bit-identical on both
+    # engines where pow(x, 12) is not guaranteed to be
+    return q * q * q * q * q * q * q * q * q * q * q * q
+
+
+_X558_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+anchor AS (SELECT MIN(day) AS d0 FROM daily),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS HUGEINT) AS s FROM daily),
+c AS (
+  SELECT datediff('day', a.d0, d.day) AS t,
+         CAST(t2.n AS HUGEINT) * d.y - t2.s AS cv
+  FROM daily d, anchor a, tot t2
+),
+per AS (SELECT * FROM (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10),
+                              (11),(12),(13),(14)) AS p(p)),
+ph AS (
+  SELECT per.p, c.cv,
+         CAST(floor(cos(6.283185307179586 * (c.t % per.p) / per.p)
+                    * 10000000000.0) AS BIGINT) AS qc,
+         CAST(floor(sin(6.283185307179586 * (c.t % per.p) / per.p)
+                    * 10000000000.0) AS BIGINT) AS qs
+  FROM c, per
+),
+pw AS (
+  SELECT p,
+         CAST(SUM(cv * qc) AS HUGEINT) AS cc,
+         CAST(SUM(cv * qs) AS HUGEINT) AS ss
+  FROM ph GROUP BY 1
+),
+pwr AS (
+  SELECT p,
+         CAST(round((CAST(cc AS DOUBLE) * CAST(cc AS DOUBLE)
+                     + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+                    / 1e40, 8) AS DECIMAL(38,8)) AS pd
+  FROM pw
+),
+tp AS (SELECT CAST(SUM(pd) AS DECIMAL(38,8)) AS t FROM pwr),
+shares AS (
+  SELECT p, ROUND(CAST(pd AS DOUBLE) / CAST(tp.t AS DOUBLE), 10)
+           AS sh
+  FROM pwr, tp
+),
+ent AS (
+  SELECT
+    CAST(SUM(CAST(round(
+      CASE WHEN sh <= 0.0 THEN 0.0 ELSE -sh * ln(sh) END, 12)
+      AS DECIMAL(38,12))) AS DOUBLE) AS h,
+    CAST(SUM(CAST(round(
+      CASE WHEN sh <= 0.0 THEN -700.0 ELSE ln(sh) END, 12)
+      AS DECIMAL(38,12))) AS DOUBLE) AS lsum,
+    CAST(SUM(CAST(round(sh, 12) AS DECIMAL(38,12))) AS DOUBLE)
+      AS ssum,
+    MAX(sh) AS g
+  FROM shares
+),
+peak AS (
+  SELECT MIN(s.p) AS peak_period
+  FROM shares s, ent e WHERE s.sh = e.g
+)
+SELECT CAST(13 AS BIGINT) AS n_periods,
+       pk.peak_period,
+       ROUND(e.g, 6) AS fisher_g,
+       ROUND(13.0 * ((1.0-e.g)*(1.0-e.g)*(1.0-e.g)*(1.0-e.g)
+              *(1.0-e.g)*(1.0-e.g)*(1.0-e.g)*(1.0-e.g)
+              *(1.0-e.g)*(1.0-e.g)*(1.0-e.g)*(1.0-e.g)), 8)
+         AS fisher_p_bound,
+       ROUND(e.h / ln(13.0), 6) AS spectral_entropy_norm,
+       ROUND(exp(e.lsum / 13.0) / (e.ssum / 13.0), 6)
+         AS spectral_flatness
+FROM ent e, peak pk
+"""
+
+
+@register(
+    "x558_spectral_summary",
+    _X558_ORACLE,
+    doc="Spectral summary of x530's 13-period revenue periodogram: "
+        "Fisher's g (max power share) with the exact-null upper "
+        "bound m(1-g)^(m-1) for 'is the peak REAL periodicity or "
+        "noise', the normalized spectral entropy (1.0 = white, "
+        "low = concentrated), and spectral flatness (geometric/"
+        "arithmetic mean of shares) -- the DECISION layer x530's "
+        "raw share table leaves to the reader: g answers "
+        "significance, entropy/flatness answer how much of the "
+        "spectrum one cycle owns. Exactness: shares reuse x530's "
+        "quantized-projection recipe verbatim (exact integer "
+        "projections, powers round-8 DECIMAL), normalize round-10, "
+        "and every cross-period sum rounds 12 into DECIMAL first "
+        "(order-proof); the peak period is the MIN period "
+        "attaining the exact max share. Scale: identical to x530 "
+        "-- one day-grain aggregate, x13 fan-out, 13-row algebra",
+)
+def x558_spectral_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    anchor = daily.agg(F.min("day").alias("d0"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s"),
+    )
+    c = daily.crossJoin(F.broadcast(anchor)).crossJoin(
+        F.broadcast(tot)
+    ).select(
+        F.datediff("day", F.col("d0")).cast("long").alias("t"),
+        (F.col("n").cast("decimal(38,0)") * F.col("y") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("cv"),
+    )
+    per = spark.createDataFrame([(p,) for p in range(2, 15)], "p int")
+    tau = F.lit(6.283185307179586)
+    ph = c.crossJoin(F.broadcast(per)).select(
+        "p",
+        "cv",
+        F.floor(
+            F.cos(tau * (F.col("t") % F.col("p")) / F.col("p"))
+            * 10000000000.0
+        ).cast("long").alias("qc"),
+        F.floor(
+            F.sin(tau * (F.col("t") % F.col("p")) / F.col("p"))
+            * 10000000000.0
+        ).cast("long").alias("qs"),
+    )
+    pw = ph.groupBy("p").agg(
+        F.sum(F.col("cv") * F.col("qc"))
+        .cast("decimal(38,0)")
+        .alias("cc"),
+        F.sum(F.col("cv") * F.col("qs"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    pwr = pw.select(
+        "p",
+        F.round(
+            (
+                F.col("cc").cast("double") * F.col("cc").cast("double")
+                + F.col("ss").cast("double") * F.col("ss").cast("double")
+            )
+            / 1e40,
+            8,
+        ).cast("decimal(38,8)").alias("pd"),
+    )
+    tp = pwr.agg(F.sum("pd").cast("decimal(38,8)").alias("t"))
+    shares = pwr.crossJoin(F.broadcast(tp)).select(
+        "p",
+        F.round(
+            F.col("pd").cast("double") / F.col("t").cast("double"), 10
+        ).alias("sh"),
+    ).localCheckpoint(eager=False)
+    ent = shares.agg(
+        F.sum(
+            F.round(
+                F.when(F.col("sh") <= 0.0, F.lit(0.0)).otherwise(
+                    -F.col("sh") * F.log(F.col("sh"))
+                ),
+                12,
+            ).cast("decimal(38,12)")
+        ).cast("double").alias("h"),
+        F.sum(
+            F.round(
+                F.when(F.col("sh") <= 0.0, F.lit(-700.0)).otherwise(
+                    F.log(F.col("sh"))
+                ),
+                12,
+            ).cast("decimal(38,12)")
+        ).cast("double").alias("lsum"),
+        F.sum(F.round(F.col("sh"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("ssum"),
+        F.max("sh").alias("g"),
+    )
+    peak = shares.crossJoin(F.broadcast(ent.select("g"))).filter(
+        F.col("sh") == F.col("g")
+    ).agg(F.min("p").alias("peak_period"))
+    return ent.crossJoin(F.broadcast(peak)).select(
+        F.lit(13).cast("long").alias("n_periods"),
+        "peak_period",
+        F.round(F.col("g"), 6).alias("fisher_g"),
+        F.round(13.0 * _q12(1.0 - F.col("g")), 8).alias(
+            "fisher_p_bound"
+        ),
+        F.round(F.col("h") / F.log(F.lit(13.0)), 6).alias(
+            "spectral_entropy_norm"
+        ),
+        F.round(
+            F.exp(F.col("lsum") / 13.0) / (F.col("ssum") / 13.0), 6
+        ).alias("spectral_flatness"),
+    )

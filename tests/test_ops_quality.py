@@ -8620,3 +8620,225 @@ def test_grubbs_matches_replay(spark):
     assert abs(r["p_bound_bonferroni"] - _round_hu(p, 8)) < 1e-9
     assert r["grubbs_g"] > 0
     assert r["p_bound_bonferroni"] > 0
+
+
+def test_lorenz_pietra_matches_bruteforce(spark):
+    """x557: sort per-customer spends and replay decile shares +
+    Pietra; invariants: shares nondecreasing, share(10) = 1,
+    Pietra >= 0."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x557_lorenz_pietra,
+    )
+
+    cust = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        cust[rr["o_custkey"]] += int(math.floor(rr["o_totalprice"] * 100.0))
+    spends = sorted(cust.values())
+    n = len(spends)
+    total = sum(spends)
+    cumsum = []
+    acc = 0
+    for v in spends:
+        acc += v
+        cumsum.append(acc)
+    rows = {r["decile"]: r for r in x557_lorenz_pietra(spark, SF).collect()}
+    assert len(rows) == 10
+    prev = -1.0
+    for k in range(1, 11):
+        r_k = (k * n + 9) // 10
+        share = _round_hu(cumsum[r_k - 1] / total, 6)
+        assert rows[k]["rank_cutoff"] == r_k
+        assert abs(rows[k]["lorenz_share"] - share) < 1e-9, k
+        assert rows[k]["lorenz_share"] >= prev
+        prev = rows[k]["lorenz_share"]
+    assert rows[10]["lorenz_share"] == 1.0
+    pietra = max(
+        (i + 1) / n - cumsum[i] / total for i in range(n)
+    )
+    assert abs(rows[1]["pietra_index"] - _round_hu(pietra, 6)) < 1e-6
+    assert rows[1]["pietra_index"] >= 0
+
+
+def test_spectral_summary_matches_replay(spark):
+    """x558: replay the quantized projections and all summary stats;
+    invariants: g >= 1/13, entropy in [0,1], flatness in (0,1],
+    p bound in [0, 13]."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x558_spectral_summary,
+    )
+
+    daily = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        daily[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+    n = len(daily)
+    s = sum(daily.values())
+    d0 = min(daily)
+    import decimal
+
+    powers = {}
+    for p in range(2, 15):
+        cc = ss = 0
+        for d, y in daily.items():
+            t = (d - d0).days
+            cv = n * y - s
+            qc = int(math.floor(
+                math.cos(6.283185307179586 * (t % p) / p) * 1e10
+            ))
+            qs = int(math.floor(
+                math.sin(6.283185307179586 * (t % p) / p) * 1e10
+            ))
+            cc += cv * qc
+            ss += cv * qs
+        powers[p] = decimal.Decimal(
+            repr(_round_hu((float(cc) * float(cc)
+                            + float(ss) * float(ss)) / 1e40, 8))
+        )
+    tp = sum(powers.values())
+    shares = {p: _round_hu(float(powers[p]) / float(tp), 10)
+              for p in powers}
+    h = sum(
+        _round_hu(-sh * math.log(sh), 12) for sh in shares.values() if sh > 0
+    )
+    lsum = sum(_round_hu(math.log(sh), 12) for sh in shares.values())
+    ssum = sum(_round_hu(sh, 12) for sh in shares.values())
+    g = max(shares.values())
+    peak = min(p for p, sh in shares.items() if sh == g)
+    q = 1.0 - g
+    p_bound = 13.0 * (q * q * q * q * q * q * q * q * q * q * q * q)
+    r = x558_spectral_summary(spark, SF).collect()[0]
+    assert r["n_periods"] == 13
+    assert r["peak_period"] == peak
+    assert abs(r["fisher_g"] - _round_hu(g, 6)) < 1e-9
+    assert abs(r["fisher_p_bound"] - _round_hu(p_bound, 8)) < 1e-9
+    assert abs(
+        r["spectral_entropy_norm"] - _round_hu(h / math.log(13.0), 6)
+    ) < 1e-6
+    assert abs(
+        r["spectral_flatness"]
+        - _round_hu(math.exp(lsum / 13.0) / (ssum / 13.0), 6)
+    ) < 1e-6
+    assert r["fisher_g"] >= 1.0 / 13.0
+    assert 0.0 <= r["spectral_entropy_norm"] <= 1.0
+    assert 0.0 < r["spectral_flatness"] <= 1.0
+    assert 0.0 <= r["fisher_p_bound"] <= 13.0
+
+
+def test_rake_matches_bruteforce(spark):
+    """x559: full Python RAKE replay (segmentation, degree/frequency,
+    phrase scores, top-15 ordering); invariants: every returned
+    phrase contains no stopword, scores nonincreasing."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.ops import text as text_ops
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x559_rake_keywords,
+    )
+
+    stop = set(text_ops.LANG_STOPWORDS["en"])
+    phrases = []  # (doc_id, phrase_id, [words])
+    for rr in load_table(spark, SF, "documents").collect():
+        words = rr["text"].lower().split(" ")
+        pid = 0
+        cur = []
+        for w in words:
+            if w in stop or w == "":
+                pid += 1
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(cur)
+    freq = defaultdict(int)
+    deg = defaultdict(int)
+    for ph in phrases:
+        for w in ph:
+            freq[w] += 1
+            deg[w] += len(ph)
+    wscore = {w: _round_hu(deg[w] / freq[w], 10) for w in freq}
+    import decimal
+
+    pscore = {}
+    pcount = defaultdict(int)
+    for ph in phrases:
+        key = " ".join(ph)
+        sc = float(
+            sum(
+                decimal.Decimal(repr(_round_hu(wscore[w], 10)))
+                for w in ph
+            )
+        )
+        pscore[key] = sc
+        pcount[key] += 1
+    ranked = sorted(
+        pscore.items(), key=lambda kv: (-_round_hu(kv[1], 4), kv[0])
+    )[:15]
+    rows = x559_rake_keywords(spark, SF).collect()
+    assert len(rows) == 15
+    prev = float("inf")
+    for r, (ph, sc) in zip(rows, ranked):
+        assert r["phrase"] == ph
+        assert r["n_occurrences"] == pcount[ph]
+        assert abs(r["rake_score"] - _round_hu(sc, 4)) < 1e-6
+        assert not (set(r["phrase"].split()) & stop)
+        assert r["rake_score"] <= prev
+        prev = r["rake_score"]
+
+
+def test_tukey_hsd_matches_replay(spark):
+    """x560: replay per-region moments, MSW and all 10 q statistics;
+    invariants: 10 pairs, q >= 0, significance flag consistent."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x560_tukey_hsd,
+    )
+
+    cust2nat = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in load_table(spark, SF, "customer").collect()
+    }
+    nat2reg = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in load_table(spark, SF, "nation").collect()
+    }
+    reg2name = {
+        r["r_regionkey"]: r["r_name"]
+        for r in load_table(spark, SF, "region").collect()
+    }
+    g = defaultdict(lambda: [0, 0, 0])
+    for rr in load_table(spark, SF, "orders").collect():
+        reg = reg2name[nat2reg[cust2nat[rr["o_custkey"]]]]
+        y = int(math.floor(rr["o_totalprice"] * 100.0))
+        g[reg][0] += 1
+        g[reg][1] += y
+        g[reg][2] += y * y
+    n = sum(v[0] for v in g.values())
+    k = len(g)
+    ssw = sum(
+        _round_hu((ng * s2 - s1 * s1) / ng / 10000.0, 4)
+        for ng, s1, s2 in g.values()
+    )
+    msw = ssw * 10000.0 / (n - k)
+    rows = x560_tukey_hsd(spark, SF).collect()
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        na, s1a, _ = (
+            g[r["region_a"]][0],
+            g[r["region_a"]][1],
+            g[r["region_a"]][2],
+        )
+        nb, s1b = g[r["region_b"]][0], g[r["region_b"]][1]
+        md = _round_hu(s1a / na - s1b / nb, 4)
+        q = abs(md) / math.sqrt(msw / 2.0 * (1.0 / na + 1.0 / nb))
+        assert abs(r["mean_diff"] - md) < 1e-6
+        assert abs(r["q_stat"] - _round_hu(q, 4)) < 1e-6
+        assert r["q_stat"] >= 0
+        assert r["significant_5pct"] == (1 if q > 3.858 else 0)
+        assert r["region_a"] < r["region_b"]
