@@ -1325,3 +1325,311 @@ def x560_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant_5pct"
         ),
     ).orderBy("region_a", "region_b")
+
+
+_X561_ORACLE = """
+WITH u AS (
+  SELECT user_id % 2 AS arm,
+         CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS spend
+  FROM events GROUP BY user_id
+),
+dom AS (
+  SELECT spend,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cx,
+         CAST(count(*) AS BIGINT) AS ct
+  FROM u GROUP BY 1
+),
+cum AS (
+  SELECT spend, cx, ct,
+         COALESCE(SUM(ct) OVER (ORDER BY spend
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below
+  FROM dom
+),
+tot AS (
+  SELECT CAST(SUM(cx) AS HUGEINT) AS n,
+         CAST(SUM(ct) AS HUGEINT) AS nn
+  FROM dom
+),
+rs AS (
+  SELECT
+    CAST(SUM(CAST(cx AS HUGEINT)
+         * (2 * below + ct + 1) * (2 * below + ct + 1)) AS HUGEINT)
+      AS s4,
+    CAST(SUM(CAST(cx AS HUGEINT)
+         * (2 * (t.nn + 1) - (2 * below + ct + 1))
+         * (2 * (t.nn + 1) - (2 * below + ct + 1))) AS HUGEINT)
+      AS a4
+  FROM cum, tot t
+),
+z AS (
+  SELECT CAST(t.n AS DOUBLE) AS nd,
+         CAST(t.nn - t.n AS DOUBLE) AS md,
+         CAST(t.nn AS DOUBLE) AS bign,
+         CAST(rs.s4 AS DOUBLE) / 4.0 AS sr2,
+         CAST(rs.a4 AS DOUBLE) / 4.0 AS ar2
+  FROM rs, tot t
+),
+uv AS (
+  SELECT nd, md, bign,
+    (6.0 * sr2 - nd * (bign + 1.0) * (2.0 * bign + 1.0))
+      / sqrt(md * nd * (bign + 1.0) * (2.0 * bign + 1.0)
+             * (8.0 * bign + 11.0) / 5.0) AS u,
+    (6.0 * ar2 - nd * (bign + 1.0) * (2.0 * bign + 1.0))
+      / sqrt(md * nd * (bign + 1.0) * (2.0 * bign + 1.0)
+             * (8.0 * bign + 11.0) / 5.0) AS v,
+    2.0 * (bign * bign - 4.0)
+      / ((2.0 * bign + 1.0) * (8.0 * bign + 11.0)) - 1.0 AS rho
+  FROM z
+)
+SELECT CAST(nd AS BIGINT) AS n_treat,
+       CAST(md AS BIGINT) AS n_ctrl,
+       ROUND(u, 4) AS u_stat,
+       ROUND(v, 4) AS v_stat,
+       ROUND(rho, 6) AS rho,
+       ROUND((u * u + v * v - 2.0 * rho * u * v)
+             / (2.0 * (1.0 - rho * rho)), 4) AS cucconi_c
+FROM uv
+"""
+
+
+@register(
+    "x561_cucconi_test",
+    _X561_ORACLE,
+    doc="Cucconi joint location-scale test between the user-parity "
+        "arms on per-user spend: U standardizes the sum of SQUARED "
+        "pooled midranks of the treatment arm, V the squared "
+        "ANTI-ranks, and C = (U^2 + V^2 - 2 rho UV) / (2(1-rho^2)) "
+        "rejects when EITHER center or spread moved -- the omnibus "
+        "two-sample lens between x445's location-only "
+        "Brunner-Munzel and x545's fully general (but effect-"
+        "unsigned) energy distance; U's sign reads location, V's "
+        "reads scale. Exactness: midranks over the distinct-spend "
+        "domain are exact half-integers (mr2 = 2*below + ct + 1), "
+        "so both squared-rank sums are exact quarter-integer "
+        "HUGEINT sums (~1e19 at sf100, inside DECIMAL38); U, V, "
+        "rho assemble in one fixed-order double expression with "
+        "the exact-moment null constants. Scale: one user-grain "
+        "aggregate, spend-domain windows (x541's discipline)",
+)
+def x561_cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("spend")
+    ).select((F.col("user_id") % 2).alias("arm"), "spend")
+    dom = u.groupBy("spend").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cx"),
+        F.count(F.lit(1)).cast("long").alias("ct"),
+    )
+    wb = Window.orderBy("spend").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = dom.select(
+        "spend",
+        "cx",
+        "ct",
+        F.coalesce(F.sum("ct").over(wb), F.lit(0))
+        .cast("long")
+        .alias("below"),
+    )
+    tot = dom.agg(
+        F.sum("cx").cast("decimal(38,0)").alias("n"),
+        F.sum("ct").cast("decimal(38,0)").alias("nn"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    j = cum.crossJoin(F.broadcast(tot))
+    mr2 = dec(2 * F.col("below") + F.col("ct") + 1)
+    am2 = 2 * (F.col("nn") + 1) - mr2
+    rs = j.agg(
+        F.sum(dec(F.col("cx")) * mr2 * mr2)
+        .cast("decimal(38,0)")
+        .alias("s4"),
+        F.sum(dec(F.col("cx")) * am2 * am2)
+        .cast("decimal(38,0)")
+        .alias("a4"),
+        F.first("n").alias("n"),
+        F.first("nn").alias("nn"),
+    )
+    nd = F.col("n").cast("double")
+    bign = F.col("nn").cast("double")
+    md = (F.col("nn") - F.col("n")).cast("double")
+    sr2 = F.col("s4").cast("double") / 4.0
+    ar2 = F.col("a4").cast("double") / 4.0
+    den = F.sqrt(
+        md * nd * (bign + 1.0) * (2.0 * bign + 1.0)
+        * (8.0 * bign + 11.0) / 5.0
+    )
+    uu = (6.0 * sr2 - nd * (bign + 1.0) * (2.0 * bign + 1.0)) / den
+    vv = (6.0 * ar2 - nd * (bign + 1.0) * (2.0 * bign + 1.0)) / den
+    rho = (
+        2.0 * (bign * bign - 4.0)
+        / ((2.0 * bign + 1.0) * (8.0 * bign + 11.0))
+        - 1.0
+    )
+    return rs.select(
+        F.col("n").cast("long").alias("n_treat"),
+        (F.col("nn") - F.col("n")).cast("long").alias("n_ctrl"),
+        F.round(uu, 4).alias("u_stat"),
+        F.round(vv, 4).alias("v_stat"),
+        F.round(rho, 6).alias("rho"),
+        F.round(
+            (uu * uu + vv * vv - 2.0 * rho * uu * vv)
+            / (2.0 * (1.0 - rho * rho)),
+            4,
+        ).alias("cucconi_c"),
+    )
+
+
+_X564_ORACLE = """
+WITH b AS (
+  SELECT CAST(round(l_discount * 100.0, 0) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS o_g
+  FROM lineitem GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(n_g) AS HUGEINT) AS n,
+         CAST(SUM(o_g) AS HUGEINT) AS r,
+         CAST(SUM(s * n_g) AS HUGEINT) AS sn,
+         CAST(SUM(s * o_g) AS HUGEINT) AS sr,
+         CAST(SUM(s * s * n_g) AS HUGEINT) AS ssn
+  FROM b
+),
+fit AS (
+  SELECT CAST(n AS DOUBLE) AS nd,
+         CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS pbar,
+         CAST(n * sr - r * sn AS DOUBLE)
+           / CAST(n * ssn - sn * sn AS DOUBLE) AS slope,
+         CAST(sn AS DOUBLE) / CAST(n AS DOUBLE) AS sbar
+  FROM t
+),
+g AS (
+  SELECT b.s, b.n_g, b.o_g,
+         ROUND(fit.pbar + fit.slope * (b.s - fit.sbar), 10) AS p,
+         fit.nd
+  FROM b, fit
+),
+terms AS (
+  SELECT nd,
+    SUM(CAST(round((o_g - p * n_g) * (1.0 - 2.0 * p), 8)
+             AS DECIMAL(38,8))) AS znum,
+    SUM(CAST(round(n_g * (1.0 - 2.0 * p) * (1.0 - 2.0 * p)
+                   * p * (1.0 - p), 8) AS DECIMAL(38,8))) AS zden,
+    SUM(CAST(round(o_g * (1.0 - p) * (1.0 - p)
+                   + (n_g - o_g) * p * p, 6)
+             AS DECIMAL(38,6))) AS bsum
+  FROM g GROUP BY nd
+)
+SELECT CAST(nd AS BIGINT) AS n_items,
+       ROUND(CAST(bsum AS DOUBLE) / nd, 8) AS brier_score,
+       ROUND(CAST(znum AS DOUBLE) / sqrt(CAST(zden AS DOUBLE)), 4)
+         AS spiegelhalter_z
+FROM terms
+"""
+
+
+@register(
+    "x564_spiegelhalter_z",
+    _X564_ORACLE,
+    doc="Spiegelhalter's Z calibration test of x553's linear return-"
+        "rate model: Z = sum (y - p)(1 - 2p) / sqrt(sum (1-2p)^2 "
+        "p(1-p)), the UNGROUPED calibration test whose null is "
+        "'the model's probabilities are exactly right' -- the "
+        "per-item companion to x553's grouped HL chi2 (HL can "
+        "miss miscalibration that cancels within a band; Z "
+        "weights every item by how informative its p is), with "
+        "the Brier score emitted beside it as the overall "
+        "accuracy anchor. Exactness: p is constant per discount "
+        "band, so the item sums collapse to exact band-grain "
+        "expressions on integer O_g/n_g and the round-10 p; each "
+        "band term rounds 8 (Brier terms 6) into DECIMAL before "
+        "the 11-row sum (order-proof); one double division + "
+        "sqrt at the end. Scale: one corpus groupBy to 11 bands, "
+        "constant algebra",
+)
+def x564_spiegelhalter_z(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy(
+        F.round(F.col("l_discount") * 100.0, 0).cast("long").alias("s")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("o_g"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    t = b.agg(
+        F.sum(dec(F.col("n_g"))).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("o_g"))).cast("decimal(38,0)").alias("r"),
+        F.sum(dec(F.col("s") * F.col("n_g")))
+        .cast("decimal(38,0)").alias("sn"),
+        F.sum(dec(F.col("s") * F.col("o_g")))
+        .cast("decimal(38,0)").alias("sr"),
+        F.sum(dec(F.col("s") * F.col("s") * F.col("n_g")))
+        .cast("decimal(38,0)").alias("ssn"),
+    )
+    nd = F.col("n").cast("double")
+    fit = t.select(
+        nd.alias("nd"),
+        (F.col("r").cast("double") / nd).alias("pbar"),
+        (
+            (F.col("n") * F.col("sr") - F.col("r") * F.col("sn"))
+            .cast("double")
+            / (F.col("n") * F.col("ssn") - F.col("sn") * F.col("sn"))
+            .cast("double")
+        ).alias("slope"),
+        (F.col("sn").cast("double") / nd).alias("sbar"),
+    )
+    g = b.crossJoin(F.broadcast(fit)).select(
+        "n_g",
+        "o_g",
+        "nd",
+        F.round(
+            F.col("pbar") + F.col("slope") * (F.col("s") - F.col("sbar")),
+            10,
+        ).alias("p"),
+    )
+    p = F.col("p")
+    terms = g.groupBy("nd").agg(
+        F.sum(
+            F.round(
+                (F.col("o_g") - p * F.col("n_g")) * (1.0 - 2.0 * p), 8
+            ).cast("decimal(38,8)")
+        ).alias("znum"),
+        F.sum(
+            F.round(
+                F.col("n_g") * (1.0 - 2.0 * p) * (1.0 - 2.0 * p)
+                * p * (1.0 - p),
+                8,
+            ).cast("decimal(38,8)")
+        ).alias("zden"),
+        F.sum(
+            F.round(
+                F.col("o_g") * (1.0 - p) * (1.0 - p)
+                + (F.col("n_g") - F.col("o_g")) * p * p,
+                6,
+            ).cast("decimal(38,6)")
+        ).alias("bsum"),
+    )
+    return terms.select(
+        F.col("nd").cast("long").alias("n_items"),
+        F.round(F.col("bsum").cast("double") / F.col("nd"), 8).alias(
+            "brier_score"
+        ),
+        F.round(
+            F.col("znum").cast("double")
+            / F.sqrt(F.col("zden").cast("double")),
+            4,
+        ).alias("spiegelhalter_z"),
+    )

@@ -6528,3 +6528,278 @@ def x559_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(
         F.round("rake_score", 4).desc(), F.col("phrase").asc()
     ).limit(15)
+
+
+_X562_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+trans AS (
+  SELECT event_type AS a, nxt AS b, CAST(count(*) AS BIGINT) AS w
+  FROM ordered WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+offd AS (
+  SELECT t.a, t.b, t.w, COALESCE(r.w, 0) AS wr
+  FROM trans t
+  LEFT JOIN trans r ON r.a = t.b AND r.b = t.a
+  WHERE t.a <> t.b
+),
+agg AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS w_offdiag,
+         CAST(SUM(LEAST(w, wr)) AS BIGINT) AS w_recip,
+         CAST(SUM(CASE WHEN a < b THEN 1 ELSE 0 END) AS BIGINT)
+           AS dyads_connected,
+         CAST(SUM(CASE WHEN a < b AND wr > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS dyads_reciprocated
+  FROM offd
+),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS n_transitions FROM trans)
+SELECT tot.n_transitions, agg.w_offdiag,
+       ROUND(CAST(agg.w_recip AS DOUBLE)
+             / CAST(agg.w_offdiag AS DOUBLE), 6)
+         AS reciprocity_weighted,
+       agg.dyads_connected, agg.dyads_reciprocated,
+       ROUND(CAST(agg.dyads_reciprocated AS DOUBLE)
+             / CAST(agg.dyads_connected AS DOUBLE), 6)
+         AS reciprocity_dyadic
+FROM agg, tot
+"""
+
+
+@register(
+    "x562_transition_reciprocity",
+    _X562_ORACLE,
+    doc="Reciprocity of the behavioral transition graph (x96's "
+        "adjacency, off-diagonal only): weighted reciprocity "
+        "sum(min(w_ab, w_ba))/sum(w_ab) -- the share of directed "
+        "flow that is matched by return flow -- beside the dyadic "
+        "version (reciprocated type pairs / connected type pairs); "
+        "high reciprocity means event types alternate (browse<->"
+        "click loops), low means a one-way funnel, the DIRECTIONAL "
+        "structure x96's conditional matrix and x140's stationary "
+        "distribution do not summarize. Exactness: transition "
+        "counts are exact integers off one per-user lead() window "
+        "(ts, event_id total order); the reverse-edge lookup is a "
+        "self-join on the bounded event-type domain (~25 cells); "
+        "two double divisions at the end. Scale: one user-key "
+        "window + one 25-row grid join",
+)
+def x562_transition_reciprocity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    trans = ordered.filter(F.col("nxt").isNotNull()).groupBy(
+        F.col("event_type").alias("a"), F.col("nxt").alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("w")).localCheckpoint(
+        eager=False
+    )
+    rev = trans.select(
+        F.col("a").alias("rb"), F.col("b").alias("ra"),
+        F.col("w").alias("wr"),
+    )
+    offd = trans.filter(F.col("a") != F.col("b")).join(
+        F.broadcast(rev),
+        (F.col("a") == F.col("ra")) & (F.col("b") == F.col("rb")),
+        "left",
+    ).select(
+        "a", "b", "w", F.coalesce(F.col("wr"), F.lit(0)).alias("wr")
+    )
+    agg = offd.agg(
+        F.sum("w").cast("long").alias("w_offdiag"),
+        F.sum(F.least(F.col("w"), F.col("wr")))
+        .cast("long")
+        .alias("w_recip"),
+        F.sum(F.when(F.col("a") < F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("dyads_connected"),
+        F.sum(
+            F.when((F.col("a") < F.col("b")) & (F.col("wr") > 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("dyads_reciprocated"),
+    )
+    tot = trans.agg(
+        F.sum("w").cast("long").alias("n_transitions")
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "n_transitions",
+        "w_offdiag",
+        F.round(
+            F.col("w_recip").cast("double")
+            / F.col("w_offdiag").cast("double"),
+            6,
+        ).alias("reciprocity_weighted"),
+        "dyads_connected",
+        "dyads_reciprocated",
+        F.round(
+            F.col("dyads_reciprocated").cast("double")
+            / F.col("dyads_connected").cast("double"),
+            6,
+        ).alias("reciprocity_dyadic"),
+    )
+
+
+_X563_ORACLE = """
+WITH tok AS (
+  SELECT d.source, t.w
+  FROM (SELECT source, string_split(lower(text), ' ') AS l
+        FROM documents) d,
+  UNNEST(d.l) AS t(w)
+  WHERE t.w <> ''
+),
+topw AS (
+  SELECT w FROM tok GROUP BY w
+  ORDER BY count(*) DESC, w ASC LIMIT 50
+),
+stok AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS toks
+  FROM tok GROUP BY 1
+),
+cnt AS (
+  SELECT tok.source, tok.w, CAST(count(*) AS BIGINT) AS c
+  FROM tok JOIN topw ON topw.w = tok.w
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.source, t.w,
+         ROUND(CAST(COALESCE(c.c, 0) AS DOUBLE) / s.toks, 10) AS f
+  FROM stok s CROSS JOIN topw t
+  LEFT JOIN cnt c ON c.source = s.source AND c.w = t.w
+),
+k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM stok),
+wstat AS (
+  SELECT w,
+         CAST(SUM(CAST(f AS DECIMAL(38,10))) AS DOUBLE) AS sf,
+         CAST(SUM(CAST(round(f * f, 20) AS DECIMAL(38,20)))
+              AS DOUBLE) AS sf2
+  FROM grid GROUP BY 1
+),
+sig AS (
+  SELECT w,
+         CAST(sf AS DOUBLE) / k.k AS mu,
+         sqrt(GREATEST(sf2 / k.k - (sf / k.k) * (sf / k.k), 0.0))
+           AS sigma
+  FROM wstat, k
+),
+z AS (
+  SELECT g.source,
+         CAST(round(abs(g.f - s.mu) / s.sigma, 8) AS DECIMAL(38,8))
+           AS az
+  FROM grid g JOIN sig s ON s.w = g.w
+  WHERE s.sigma > 0.0
+),
+delta AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_words_used,
+         ROUND(CAST(SUM(az) AS DOUBLE) / count(*), 6)
+           AS burrows_delta
+  FROM z GROUP BY 1
+)
+SELECT source, n_words_used, burrows_delta
+FROM delta
+ORDER BY burrows_delta DESC, source ASC
+LIMIT 15
+"""
+
+
+@register(
+    "x563_burrows_delta",
+    _X563_ORACLE,
+    doc="Burrows' delta style-outlier ranking: for the 50 most "
+        "frequent corpus words (function words included, as "
+        "Burrows prescribes), z-score each source's relative "
+        "frequency across sources and rank sources by mean |z| -- "
+        "distance from the corpus's average STYLE profile; the "
+        "stylometric lens (who writes DIFFERENTLY, not about "
+        "what) beside x215's distinctive content terms and x128's "
+        "topic-mix KL, and the standard screen for a machine-"
+        "generated or off-domain source slice in an LLM corpus "
+        "datasheet. Exactness: relative frequencies round 10; "
+        "per-word moments accumulate the rounded values in "
+        "DECIMAL(38,10)/(38,20) (order-proof); sigma guards "
+        "GREATEST(.,0) against rounding negatives and zero-"
+        "variance words are excluded (stated); per-word |z| "
+        "rounds 8 into DECIMAL before the per-source mean; top-15 "
+        "under a total (delta DESC, source ASC) order. Scale: one "
+        "tokenize-explode, word/source hash groupBys, a 50 x "
+        "n_sources broadcast grid",
+)
+def x563_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "").localCheckpoint(eager=False)
+    topw = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        .orderBy(F.col("cw").desc(), F.col("w").asc())
+        .limit(50)
+        .select("w")
+    )
+    stok = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("toks")
+    )
+    cnt = tok.join(F.broadcast(topw), "w").groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = (
+        stok.crossJoin(F.broadcast(topw))
+        .join(cnt, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("toks"),
+                10,
+            ).alias("f"),
+        )
+    )
+    k = stok.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    wstat = grid.groupBy("w").agg(
+        F.sum(F.col("f").cast("decimal(38,10)"))
+        .cast("double")
+        .alias("sf"),
+        F.sum(
+            F.round(F.col("f") * F.col("f"), 20).cast("decimal(38,20)")
+        ).cast("double").alias("sf2"),
+    )
+    sig = wstat.crossJoin(F.broadcast(k)).select(
+        "w",
+        (F.col("sf") / F.col("k")).alias("mu"),
+        F.sqrt(
+            F.greatest(
+                F.col("sf2") / F.col("k")
+                - (F.col("sf") / F.col("k")) * (F.col("sf") / F.col("k")),
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    )
+    z = grid.join(F.broadcast(sig), "w").filter(
+        F.col("sigma") > 0.0
+    ).select(
+        "source",
+        F.round(
+            F.abs(F.col("f") - F.col("mu")) / F.col("sigma"), 8
+        ).cast("decimal(38,8)").alias("az"),
+    )
+    delta = z.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words_used"),
+        F.round(
+            F.sum("az").cast("double") / F.count(F.lit(1)), 6
+        ).alias("burrows_delta"),
+    )
+    return delta.select(
+        "source", "n_words_used", "burrows_delta"
+    ).orderBy(
+        F.col("burrows_delta").desc(), F.col("source").asc()
+    ).limit(15)

@@ -8842,3 +8842,200 @@ def test_tukey_hsd_matches_replay(spark):
         assert r["q_stat"] >= 0
         assert r["significant_5pct"] == (1 if q > 3.858 else 0)
         assert r["region_a"] < r["region_b"]
+
+
+def test_cucconi_matches_bruteforce(spark):
+    """x561: replay with scipy-style midranks computed directly from
+    the pooled sorted sample; invariants: C >= 0, U/V share the
+    null standardization."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x561_cucconi_test,
+    )
+
+    agg = defaultdict(int)
+    for rr in load_table(spark, SF, "events").select(
+        "user_id", "value"
+    ).collect():
+        agg[rr["user_id"]] += int(round(rr["value"] * 100))
+    xs = [s for u, s in agg.items() if u % 2 == 1]
+    ys = [s for u, s in agg.items() if u % 2 == 0]
+    pooled = sorted(xs + ys)
+    nn = len(pooled)
+    # midrank of value v = (#below) + (#eq + 1)/2
+    from bisect import bisect_left, bisect_right
+
+    def midrank(v):
+        lo, hi = bisect_left(pooled, v), bisect_right(pooled, v)
+        return lo + (hi - lo + 1) / 2.0
+
+    sr2 = sum(midrank(v) ** 2 for v in xs)
+    ar2 = sum((nn + 1 - midrank(v)) ** 2 for v in xs)
+    n, m = len(xs), len(ys)
+    den = math.sqrt(
+        m * n * (nn + 1.0) * (2.0 * nn + 1.0) * (8.0 * nn + 11.0) / 5.0
+    )
+    u = (6.0 * sr2 - n * (nn + 1.0) * (2.0 * nn + 1.0)) / den
+    v = (6.0 * ar2 - n * (nn + 1.0) * (2.0 * nn + 1.0)) / den
+    rho = (
+        2.0 * (nn * nn - 4.0) / ((2.0 * nn + 1.0) * (8.0 * nn + 11.0))
+        - 1.0
+    )
+    c = (u * u + v * v - 2.0 * rho * u * v) / (2.0 * (1.0 - rho * rho))
+    r = x561_cucconi_test(spark, SF).collect()[0]
+    assert (r["n_treat"], r["n_ctrl"]) == (n, m)
+    assert abs(r["u_stat"] - _round_hu(u, 4)) < 1e-6
+    assert abs(r["v_stat"] - _round_hu(v, 4)) < 1e-6
+    assert abs(r["rho"] - _round_hu(rho, 6)) < 1e-9
+    assert abs(r["cucconi_c"] - _round_hu(c, 4)) < 1e-6
+    assert r["cucconi_c"] >= 0
+
+
+def test_transition_reciprocity_matches_bruteforce(spark):
+    """x562: rebuild the transition multigraph in Python;
+    invariants: weighted reciprocity in [0,1], dyadic >= weighted
+    is NOT guaranteed but both are in [0,1]."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x562_transition_reciprocity,
+    )
+
+    ev = defaultdict(list)
+    for rr in load_table(spark, SF, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect():
+        ev[rr["user_id"]].append(
+            (rr["ts"], rr["event_id"], rr["event_type"])
+        )
+    w = defaultdict(int)
+    for u, rows in ev.items():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            w[(a, b)] += 1
+    n_trans = sum(w.values())
+    off = {(a, b): c for (a, b), c in w.items() if a != b}
+    w_off = sum(off.values())
+    w_rec = sum(min(c, w.get((b, a), 0)) for (a, b), c in off.items())
+    dyads = {(a, b) for (a, b) in off if a < b}
+    dyads_conn = len(dyads) + sum(
+        1 for (a, b) in off if a > b and (b, a) not in off
+    )
+    dyads_rec = sum(1 for (a, b) in dyads if (b, a) in off)
+    r = x562_transition_reciprocity(spark, SF).collect()[0]
+    assert r["n_transitions"] == n_trans
+    assert r["w_offdiag"] == w_off
+    assert abs(
+        r["reciprocity_weighted"] - _round_hu(w_rec / w_off, 6)
+    ) < 1e-9
+    assert r["dyads_connected"] == dyads_conn
+    assert r["dyads_reciprocated"] == dyads_rec
+    assert 0.0 <= r["reciprocity_weighted"] <= 1.0
+    assert 0.0 <= r["reciprocity_dyadic"] <= 1.0
+
+
+def test_burrows_delta_matches_bruteforce(spark):
+    """x563: full Python replay of the top-50 word z-profile;
+    invariants: all deltas > 0, words_used <= 50, result ordered
+    by delta desc."""
+    from collections import Counter, defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x563_burrows_delta,
+    )
+
+    src_tokens = defaultdict(list)
+    corpus = Counter()
+    for rr in load_table(spark, SF, "documents").collect():
+        ws = [w for w in rr["text"].lower().split(" ") if w != ""]
+        src_tokens[rr["source"]].extend(ws)
+        corpus.update(ws)
+    topw = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    topw = [w for w, _ in topw]
+    sources = sorted(src_tokens)
+    k = len(sources)
+    f = {}
+    for s in sources:
+        c = Counter(src_tokens[s])
+        toks = len(src_tokens[s])
+        for w in topw:
+            f[(s, w)] = _round_hu(c.get(w, 0) / toks, 10)
+    import decimal
+
+    deltas = {}
+    nwords = {}
+    for s in sources:
+        deltas[s] = decimal.Decimal(0)
+        nwords[s] = 0
+    for w in topw:
+        sf = float(sum(decimal.Decimal(repr(f[(s, w)])) for s in sources))
+        sf2 = float(
+            sum(
+                decimal.Decimal(repr(_round_hu(f[(s, w)] ** 2, 20)))
+                for s in sources
+            )
+        )
+        var = max(sf2 / k - (sf / k) * (sf / k), 0.0)
+        sigma = math.sqrt(var)
+        if sigma <= 0.0:
+            continue
+        mu = sf / k
+        for s in sources:
+            deltas[s] += decimal.Decimal(
+                repr(_round_hu(abs(f[(s, w)] - mu) / sigma, 8))
+            )
+            nwords[s] += 1
+    fin = sorted(
+        (
+            (s, nwords[s], _round_hu(float(deltas[s]) / nwords[s], 6))
+            for s in sources
+        ),
+        key=lambda t: (-t[2], t[0]),
+    )[:15]
+    rows = x563_burrows_delta(spark, SF).collect()
+    assert len(rows) == min(15, k)
+    for r, (s, nw, d) in zip(rows, fin):
+        assert r["source"] == s
+        assert r["n_words_used"] == nw
+        assert abs(r["burrows_delta"] - d) < 1e-6
+        assert r["burrows_delta"] > 0
+        assert r["n_words_used"] <= 50
+
+
+def test_spiegelhalter_matches_replay(spark):
+    """x564: replay Z and Brier off the band table with identical
+    rounding; invariants: Brier in (0, 0.25+eps] for a binary
+    outcome with a near-constant model, |Z| finite."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x564_spiegelhalter_z,
+    )
+
+    bands = defaultdict(lambda: [0, 0])
+    for rr in load_table(spark, SF, "lineitem").select(
+        "l_discount", "l_returnflag"
+    ).collect():
+        s = int(round(rr["l_discount"] * 100.0))
+        bands[s][0] += 1
+        bands[s][1] += rr["l_returnflag"] == "R"
+    n = sum(v[0] for v in bands.values())
+    rt = sum(v[1] for v in bands.values())
+    sn = sum(s * v[0] for s, v in bands.items())
+    sr = sum(s * v[1] for s, v in bands.items())
+    ssn = sum(s * s * v[0] for s, v in bands.items())
+    pbar, slope, sbar = rt / n, (n * sr - rt * sn) / (n * ssn - sn * sn), sn / n
+    znum = zden = bsum = 0.0
+    for s, (ng, og) in bands.items():
+        p = _round_hu(pbar + slope * (s - sbar), 10)
+        znum += _round_hu((og - p * ng) * (1.0 - 2.0 * p), 8)
+        zden += _round_hu(ng * (1.0 - 2.0 * p) ** 2 * p * (1.0 - p), 8)
+        bsum += _round_hu(og * (1.0 - p) ** 2 + (ng - og) * p * p, 6)
+    r = x564_spiegelhalter_z(spark, SF).collect()[0]
+    assert r["n_items"] == n
+    assert abs(r["brier_score"] - _round_hu(bsum / n, 8)) < 1e-6
+    assert abs(
+        r["spiegelhalter_z"] - _round_hu(znum / math.sqrt(zden), 4)
+    ) < 1e-6
+    assert 0.0 < r["brier_score"] <= 0.26
