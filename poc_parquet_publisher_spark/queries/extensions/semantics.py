@@ -6803,3 +6803,172 @@ def x563_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(
         F.col("burrows_delta").desc(), F.col("source").asc()
     ).limit(15)
+
+
+_X565_ORACLE = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)
+         ) AS qv
+  FROM embeddings
+),
+nrm AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
+           AS nq
+  FROM q
+),
+pos AS (
+  SELECT vec_id, t.j,
+         CAST(floor(CAST(qv[t.j] AS DOUBLE) * 1048576.0
+                    / sqrt(CAST(nq AS DOUBLE))) AS BIGINT) AS qu
+  FROM nrm, UNNEST(range(1, 65)) AS t(j)
+),
+marg AS (
+  SELECT j,
+         CAST(SUM(qu) AS HUGEINT) AS sj,
+         CAST(SUM(qu * qu) AS HUGEINT) AS ssj
+  FROM pos GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM q
+),
+agg AS (
+  SELECT CAST(SUM(sj * sj) AS HUGEINT) AS sum_sj2,
+         CAST(SUM(ssj) AS HUGEINT) AS ss,
+         CAST(MAX(abs(sj)) AS HUGEINT) AS max_abs_sj
+  FROM marg
+),
+rogue AS (
+  SELECT MIN(m.j) AS rogue_dim
+  FROM marg m, agg a WHERE abs(m.sj) = a.max_abs_sj
+),
+rshare AS (
+  SELECT CAST(m.sj AS DOUBLE) * CAST(m.sj AS DOUBLE)
+           / CAST(a.sum_sj2 AS DOUBLE) AS share
+  FROM marg m, agg a, rogue r WHERE m.j = r.rogue_dim
+)
+SELECT t.n AS n_vecs,
+       ROUND((CAST(a.sum_sj2 AS DOUBLE) - CAST(a.ss AS DOUBLE))
+             / (CAST(t.n AS DOUBLE) * (t.n - 1.0))
+             / 1099511627776.0, 6) AS mean_pairwise_cos,
+       ROUND(CAST(a.sum_sj2 AS DOUBLE)
+             / (CAST(t.n AS DOUBLE) * t.n) / 1099511627776.0, 6)
+         AS mu_norm_sq,
+       r.rogue_dim,
+       ROUND(rs.share, 6) AS rogue_dim_share
+FROM tot t, agg a, rogue r, rshare rs
+"""
+
+
+@register(
+    "x565_embedding_anisotropy",
+    _X565_ORACLE,
+    doc="Ethayarajh-style anisotropy audit of the embedding space: "
+        "the EXACT mean pairwise cosine over ALL vector pairs via "
+        "the sum-vector identity (sum_j S_j^2 - sum|u|^2) / "
+        "(n(n-1)) -- no pair ever materialized -- plus the mean-"
+        "vector norm (its asymptote), the dominant 'rogue' "
+        "dimension and that dimension's share of the common "
+        "direction: anisotropic spaces (mean cos >> 0) make raw "
+        "cosine thresholds (x09/x28/x35 neardup tiers) "
+        "systematically over-match, and a single rogue dimension "
+        "is the usual culprit the fix (centering, x364's PCA "
+        "direction) targets. Exactness: components quantize "
+        "2^20-floor (x472's recipe), the per-vector norm is an "
+        "EXACT integer sum of quantized squares so unit-scaling "
+        "is one identical double op per component, re-quantized "
+        "2^20-floor; all cross-vector sums are exact HUGEINT; "
+        "the rogue argmax compares exact integers (min dim on "
+        "ties). Scale: one embedding scan, a x64 position "
+        "fan-out, 64-row algebra -- O(n*d), never O(n^2)",
+)
+def x565_embedding_anisotropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0)"
+            " AS BIGINT))"
+        ).alias("qv"),
+    ).select(
+        "vec_id",
+        "qv",
+        F.expr(
+            "aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x * x)"
+        ).alias("nq"),
+    )
+    pos = nrm.select(
+        "vec_id",
+        F.posexplode("qv").alias("j0", "qvj"),
+        "nq",
+    ).select(
+        (F.col("j0") + 1).alias("j"),
+        F.floor(
+            F.col("qvj").cast("double")
+            * 1048576.0
+            / F.sqrt(F.col("nq").cast("double"))
+        ).cast("long").alias("qu"),
+    )
+    marg = pos.groupBy("j").agg(
+        F.sum("qu").cast("decimal(38,0)").alias("sj"),
+        F.sum(F.col("qu").cast("decimal(38,0)") * F.col("qu"))
+        .cast("decimal(38,0)")
+        .alias("ssj"),
+    ).localCheckpoint(eager=False)
+    tot = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    agg = marg.agg(
+        F.sum(F.col("sj") * F.col("sj"))
+        .cast("decimal(38,0)")
+        .alias("sum_sj2"),
+        F.sum("ssj").cast("decimal(38,0)").alias("ss"),
+        F.max(F.abs(F.col("sj"))).cast("decimal(38,0)").alias(
+            "max_abs_sj"
+        ),
+    )
+    rogue = marg.crossJoin(
+        F.broadcast(agg.select("max_abs_sj"))
+    ).filter(F.abs(F.col("sj")) == F.col("max_abs_sj")).agg(
+        F.min("j").alias("rogue_dim")
+    )
+    rshare = marg.join(
+        F.broadcast(rogue),
+        F.col("j") == F.col("rogue_dim"),
+    ).crossJoin(F.broadcast(agg.select("sum_sj2"))).select(
+        (
+            F.col("sj").cast("double")
+            * F.col("sj").cast("double")
+            / F.col("sum_sj2").cast("double")
+        ).alias("share")
+    )
+    nd = F.col("n").cast("double")
+    two40 = F.lit(1099511627776.0)
+    return (
+        tot.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(rogue))
+        .crossJoin(F.broadcast(rshare))
+        .select(
+            F.col("n").alias("n_vecs"),
+            F.round(
+                (
+                    F.col("sum_sj2").cast("double")
+                    - F.col("ss").cast("double")
+                )
+                / (nd * (F.col("n") - 1.0))
+                / two40,
+                6,
+            ).alias("mean_pairwise_cos"),
+            F.round(
+                F.col("sum_sj2").cast("double") / (nd * F.col("n"))
+                / two40,
+                6,
+            ).alias("mu_norm_sq"),
+            "rogue_dim",
+            F.round(F.col("share"), 6).alias("rogue_dim_share"),
+        )
+    )

@@ -1329,3 +1329,468 @@ def x558_spectral_summary(
             F.exp(F.col("lsum") / 13.0) / (F.col("ssum") / 13.0), 6
         ).alias("spectral_flatness"),
     )
+
+
+_X566_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+d AS (
+  SELECT a.day,
+         (CAST(b.y AS HUGEINT) - a.y) * (CAST(b.y AS HUGEINT) - a.y)
+           // 100000000 AS q
+  FROM daily a JOIN daily b ON b.day = a.day + 1
+),
+p AS (
+  SELECT a.q AS x, b.q AS z
+  FROM d a JOIN d b ON b.day = a.day + 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(z) AS HUGEINT) AS sz,
+         CAST(SUM(x * z) AS HUGEINT) AS sxz,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         CAST(SUM(z * z) AS HUGEINT) AS szz
+  FROM p
+),
+c AS (
+  SELECT m,
+         CAST(m * sxx - sx * sx AS DOUBLE) AS cxx,
+         CAST(m * sxz - sx * sz AS DOUBLE) AS cxz,
+         CAST(m * szz - sz * sz AS DOUBLE) AS czz
+  FROM m
+)
+SELECT CAST(m AS BIGINT) AS n_pairs,
+       ROUND(cxz / cxx, 8) AS arch_slope,
+       ROUND(cxz * cxz / (cxx * czz), 6) AS r2,
+       ROUND(CAST(m AS DOUBLE) * cxz * cxz / (cxx * czz), 4)
+         AS arch_lm
+FROM c
+"""
+
+
+@register(
+    "x566_arch_lm",
+    _X566_ORACLE,
+    doc="Engle's ARCH LM test (1 lag) on daily revenue changes: "
+        "regress today's SQUARED change on yesterday's, LM = m*R^2 "
+        "~ chi2(1) under no-ARCH -- volatility CLUSTERING (calm "
+        "and wild days bunch) is invisible to every level "
+        "diagnostic in the battery (x510 whiteness, x550 unit "
+        "root, x529's Breusch-Pagan tests variance against a "
+        "COVARIATE, not against its own past); a significant LM "
+        "says risk forecasting needs conditional variance. "
+        "Exactness: changes are exact integer cents off calendar "
+        "lag pairs; squared changes quantize by integer floor "
+        "division d^2 div 1e8 (nonnegative, so Spark div and "
+        "DuckDB // agree; the 1e4-cent grid is part of the "
+        "statistic, stated -- it keeps fourth-moment sums ~2e27 "
+        "at sf100, inside DECIMAL38, where raw d^4 would overflow "
+        "at sf10); five exact moments, m-scaled centered "
+        "identities, one fixed-order double assembly. Scale: one "
+        "day-grain aggregate, two day-domain equi-joins",
+)
+def x566_arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    d = a.join(b, F.col("db") == F.date_add("da", 1)).select(
+        F.col("da").alias("day"),
+        F.expr(
+            "((CAST(yb AS DECIMAL(38,0)) - ya)"
+            " * (CAST(yb AS DECIMAL(38,0)) - ya)) div 100000000"
+        ).cast("decimal(38,0)").alias("q"),
+    ).localCheckpoint(eager=False)
+    da = d.select(F.col("day").alias("pa"), F.col("q").alias("x"))
+    db = d.select(F.col("day").alias("pb"), F.col("q").alias("z"))
+    p = da.join(db, F.col("pb") == F.date_add("pa", 1))
+    m = p.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("z").cast("decimal(38,0)").alias("sz"),
+        F.sum(F.col("x") * F.col("z")).cast("decimal(38,0)").alias("sxz"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("z") * F.col("z")).cast("decimal(38,0)").alias("szz"),
+    )
+    md = F.col("m").cast("decimal(38,0)")
+    cxx = (md * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cxz = (md * F.col("sxz") - F.col("sx") * F.col("sz")).cast("double")
+    czz = (md * F.col("szz") - F.col("sz") * F.col("sz")).cast("double")
+    return m.select(
+        F.col("m").alias("n_pairs"),
+        F.round(cxz / cxx, 8).alias("arch_slope"),
+        F.round(cxz * cxz / (cxx * czz), 6).alias("r2"),
+        F.round(
+            F.col("m").cast("double") * cxz * cxz / (cxx * czz), 4
+        ).alias("arch_lm"),
+    )
+
+
+_X567_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+dom AS (
+  SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM daily GROUP BY 1
+),
+cum AS (
+  SELECT y, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below
+  FROM dom
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+thr AS (
+  SELECT MIN(c.y) AS thr
+  FROM cum c, tot t
+  WHERE c.below < (19 * t.n + 19) // 20
+    AND (19 * t.n + 19) // 20 <= c.below + c.cnt
+),
+ind AS (
+  SELECT d.day,
+         CASE WHEN d.y > thr.thr THEN 1 ELSE 0 END AS i
+  FROM daily d, thr
+),
+tr AS (
+  SELECT
+    CAST(SUM(CASE WHEN a.i = 0 AND b.i = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n00,
+    CAST(SUM(CASE WHEN a.i = 0 AND b.i = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n01,
+    CAST(SUM(CASE WHEN a.i = 1 AND b.i = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n10,
+    CAST(SUM(CASE WHEN a.i = 1 AND b.i = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n11
+  FROM ind a JOIN ind b ON b.day = a.day + 1
+),
+lr AS (
+  SELECT n00, n01, n10, n11,
+         CAST(n00 + n01 + n10 + n11 AS DOUBLE) AS m,
+         CAST(n01 + n11 AS DOUBLE)
+           / CAST(n00 + n01 + n10 + n11 AS DOUBLE) AS pi,
+         CASE WHEN n00 + n01 = 0 THEN 0.0
+              ELSE CAST(n01 AS DOUBLE) / (n00 + n01) END AS pi0,
+         CASE WHEN n10 + n11 = 0 THEN 0.0
+              ELSE CAST(n11 AS DOUBLE) / (n10 + n11) END AS pi1
+  FROM tr
+),
+f AS (
+  SELECT n00, n01, n10, n11, m, pi, pi0, pi1,
+    -2.0 * ((n00 + n10) * (CASE WHEN pi >= 1.0 THEN 0.0
+                                ELSE ln(1.0 - pi) END)
+            + (n01 + n11) * (CASE WHEN pi <= 0.0 THEN 0.0
+                                  ELSE ln(pi) END))
+    + 2.0 * ((CASE WHEN n00 = 0 OR pi0 >= 1.0 THEN 0.0
+                   ELSE n00 * ln(1.0 - pi0) END)
+             + (CASE WHEN n01 = 0 OR pi0 <= 0.0 THEN 0.0
+                     ELSE n01 * ln(pi0) END)
+             + (CASE WHEN n10 = 0 OR pi1 >= 1.0 THEN 0.0
+                     ELSE n10 * ln(1.0 - pi1) END)
+             + (CASE WHEN n11 = 0 OR pi1 <= 0.0 THEN 0.0
+                     ELSE n11 * ln(pi1) END)) AS lr_ind,
+    -2.0 * ((n01 + n11) * ln(0.05) + (n00 + n10) * ln(0.95)
+            - (n01 + n11) * (CASE WHEN pi <= 0.0 THEN 0.0
+                                  ELSE ln(pi) END)
+            - (n00 + n10) * (CASE WHEN pi >= 1.0 THEN 0.0
+                                  ELSE ln(1.0 - pi) END)) AS lr_uc
+  FROM lr
+)
+SELECT n00, n01, n10, n11,
+       ROUND(pi, 6) AS viol_rate,
+       ROUND(pi1 - pi0, 6) AS cluster_gap,
+       ROUND(lr_uc, 4) AS lr_unconditional,
+       ROUND(lr_ind, 4) AS lr_independence,
+       ROUND(lr_uc + lr_ind, 4) AS lr_conditional_coverage
+FROM f
+"""
+
+
+@register(
+    "x567_christoffersen",
+    _X567_ORACLE,
+    doc="Christoffersen's conditional-coverage decomposition of "
+        "exceedance quality: violations = days above the exact "
+        "in-sample 95th-percentile daily revenue; LR_uc (Kupiec, "
+        "rate = 5%?) + LR_ind (violations INDEPENDENT, via the "
+        "2-state Markov likelihood ratio on transition counts "
+        "n00/n01/n10/n11) = LR_cc ~ chi2(2) -- the CLUSTERING "
+        "test x491's Kupiec cannot do: a threshold can hit 5% "
+        "exactly yet fire five days in a row (pi1 >> pi0, the "
+        "emitted cluster_gap), which for capacity planning is a "
+        "different failure than scattered misses. Exactness: the "
+        "threshold is the exact ceil(0.95 n)-th order statistic "
+        "over the distinct daily-value domain; transition counts "
+        "are exact integers off one calendar equi-join; all three "
+        "LRs are fixed-order double expressions with explicit "
+        "0*ln(0) guards. Scale: one day-grain aggregate, bounded "
+        "day-domain windows + one equi-join",
+)
+def x567_christoffersen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    ).localCheckpoint(eager=False)
+    dom = daily.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wb = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    cum = dom.select(
+        "y",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0))
+        .cast("long")
+        .alias("below"),
+    )
+    tot = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rk = F.expr("(19 * n + 19) div 20")
+    thr = cum.crossJoin(F.broadcast(tot)).filter(
+        (F.col("below") < rk) & (rk <= F.col("below") + F.col("cnt"))
+    ).agg(F.min("y").alias("thr"))
+    ind = daily.crossJoin(F.broadcast(thr)).select(
+        "day",
+        F.when(F.col("y") > F.col("thr"), 1).otherwise(0).alias("i"),
+    )
+    a = ind.select(F.col("day").alias("da"), F.col("i").alias("ia"))
+    b = ind.select(F.col("day").alias("db"), F.col("i").alias("ib"))
+    tr = a.join(b, F.col("db") == F.date_add("da", 1)).agg(
+        F.sum(F.when((F.col("ia") == 0) & (F.col("ib") == 0), 1)
+              .otherwise(0)).cast("long").alias("n00"),
+        F.sum(F.when((F.col("ia") == 0) & (F.col("ib") == 1), 1)
+              .otherwise(0)).cast("long").alias("n01"),
+        F.sum(F.when((F.col("ia") == 1) & (F.col("ib") == 0), 1)
+              .otherwise(0)).cast("long").alias("n10"),
+        F.sum(F.when((F.col("ia") == 1) & (F.col("ib") == 1), 1)
+              .otherwise(0)).cast("long").alias("n11"),
+    )
+    n00, n01 = F.col("n00"), F.col("n01")
+    n10, n11 = F.col("n10"), F.col("n11")
+    m = (n00 + n01 + n10 + n11).cast("double")
+    pi = (n01 + n11).cast("double") / m
+    pi0 = F.when(n00 + n01 == 0, F.lit(0.0)).otherwise(
+        n01.cast("double") / (n00 + n01)
+    )
+    pi1 = F.when(n10 + n11 == 0, F.lit(0.0)).otherwise(
+        n11.cast("double") / (n10 + n11)
+    )
+    ln = F.log
+    l1mpi = F.when(pi >= 1.0, F.lit(0.0)).otherwise(ln(1.0 - pi))
+    lpi = F.when(pi <= 0.0, F.lit(0.0)).otherwise(ln(pi))
+    lr_ind = -2.0 * (
+        (n00 + n10) * l1mpi + (n01 + n11) * lpi
+    ) + 2.0 * (
+        F.when((n00 == 0) | (pi0 >= 1.0), F.lit(0.0)).otherwise(
+            n00 * ln(1.0 - pi0)
+        )
+        + F.when((n01 == 0) | (pi0 <= 0.0), F.lit(0.0)).otherwise(
+            n01 * ln(pi0)
+        )
+        + F.when((n10 == 0) | (pi1 >= 1.0), F.lit(0.0)).otherwise(
+            n10 * ln(1.0 - pi1)
+        )
+        + F.when((n11 == 0) | (pi1 <= 0.0), F.lit(0.0)).otherwise(
+            n11 * ln(pi1)
+        )
+    )
+    lr_uc = -2.0 * (
+        (n01 + n11) * F.log(F.lit(0.05))
+        + (n00 + n10) * F.log(F.lit(0.95))
+        - (n01 + n11) * lpi
+        - (n00 + n10) * l1mpi
+    )
+    return tr.select(
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.round(pi, 6).alias("viol_rate"),
+        F.round(pi1 - pi0, 6).alias("cluster_gap"),
+        F.round(lr_uc, 4).alias("lr_unconditional"),
+        F.round(lr_ind, 4).alias("lr_independence"),
+        F.round(lr_uc + lr_ind, 4).alias("lr_conditional_coverage"),
+    )
+
+
+_X568_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS HUGEINT) AS s
+  FROM daily
+),
+c AS (
+  SELECT d.day, CAST(t.n AS HUGEINT) * d.y - t.s AS cv
+  FROM daily d, tot t
+),
+ps AS (
+  SELECT day,
+         CAST(SUM(cv) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS HUGEINT) AS st
+  FROM c
+),
+ss AS (SELECT CAST(SUM(st * st) AS HUGEINT) AS s2 FROM ps),
+g0 AS (SELECT CAST(SUM(cv * cv) AS HUGEINT) AS n0 FROM c),
+lags AS (SELECT * FROM (VALUES (1), (2), (3), (4), (5)) AS l(lag)),
+num AS (
+  SELECT l.lag, CAST(SUM(a.cv * b.cv) AS HUGEINT) AS nk
+  FROM lags l
+  JOIN c a ON TRUE
+  JOIN c b ON b.day = a.day + CAST(l.lag AS INTEGER)
+  GROUP BY 1
+),
+lrv AS (
+  SELECT t.n,
+         GREATEST((CAST(g0.n0 AS DOUBLE)
+                   + 2.0 * SUM((1.0 - CAST(num.lag AS DOUBLE) / 6.0)
+                               * CAST(num.nk AS DOUBLE)))
+                  / (CAST(t.n AS DOUBLE) * t.n * t.n), 0.0) AS v
+  FROM num, g0, tot t
+  GROUP BY t.n, g0.n0
+)
+SELECT CAST(l.n AS BIGINT) AS n_days,
+       ROUND(CAST(ss.s2 AS DOUBLE)
+             / (CAST(l.n AS DOUBLE) * l.n * l.n * l.n) / l.v, 6)
+         AS kpss_level,
+       CAST(CASE WHEN CAST(ss.s2 AS DOUBLE)
+             / (CAST(l.n AS DOUBLE) * l.n * l.n * l.n) / l.v > 0.463
+            THEN 1 ELSE 0 END AS BIGINT)
+         AS reject_level_stationarity_5pct
+FROM lrv l, ss
+"""
+
+
+@register(
+    "x568_kpss_test",
+    _X568_ORACLE,
+    doc="KPSS level-stationarity test on daily revenue: eta = "
+        "(1/n^2) sum S_t^2 / lrv with S_t the cumulative demeaned "
+        "partial sums (calendar order) and lrv the Bartlett-5 "
+        "long-run variance (x549's kernel), against the pinned 5% "
+        "critical value 0.463 -- the CONVERSE gate to x550's "
+        "Dickey-Fuller: DF's null is a unit root, KPSS's null is "
+        "stationarity, and the 2x2 of their verdicts (both "
+        "reject/both accept/split) is the standard diagnosis "
+        "table for trend vs difference stationarity. Exactness: "
+        "partial sums of the n-scaled integer centerings are "
+        "exact (sum cv = 0 makes S_n = 0, a replay-checked "
+        "invariant); sum S_t^2 is an exact HUGEINT (~4e37 at "
+        "sf100 -- the DECIMAL38 bound, priced and stated); "
+        "autocovariances reuse x549 verbatim; one double "
+        "assembly. Scale: one day-grain aggregate, a bounded "
+        "day-domain ordered window (~2400 rows, constant in SF), "
+        "5 equi-joins",
+)
+def x568_kpss_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s"),
+    )
+    c = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("n").cast("decimal(38,0)") * F.col("y") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("cv"),
+        "n",
+    ).localCheckpoint(eager=False)
+    wp = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ps = c.select(
+        F.sum("cv").over(wp).cast("decimal(38,0)").alias("st")
+    )
+    ss = ps.agg(
+        F.sum(F.col("st") * F.col("st"))
+        .cast("decimal(38,0)")
+        .alias("s2")
+    )
+    g0 = c.agg(
+        F.sum(F.col("cv") * F.col("cv"))
+        .cast("decimal(38,0)")
+        .alias("n0"),
+        F.first("n").alias("n"),
+    )
+    lags = spark.createDataFrame([(k,) for k in range(1, 6)], "lag int")
+    a = c.select(F.col("day").alias("da"), F.col("cv").alias("ca"))
+    b = c.select(F.col("day").alias("db"), F.col("cv").alias("cb"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.expr("date_add(da, lag)"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb"))
+            .cast("decimal(38,0)")
+            .alias("nk")
+        )
+    )
+    lrv = num.crossJoin(F.broadcast(g0)).agg(
+        F.first("n").alias("n"),
+        F.greatest(
+            (
+                F.first("n0").cast("double")
+                + 2.0
+                * F.sum(
+                    (1.0 - F.col("lag").cast("double") / 6.0)
+                    * F.col("nk").cast("double")
+                )
+            )
+            / (
+                F.first("n").cast("double")
+                * F.first("n")
+                * F.first("n")
+            ),
+            F.lit(0.0),
+        ).alias("v"),
+    )
+    j = lrv.crossJoin(F.broadcast(ss))
+    nd = F.col("n").cast("double")
+    eta = (
+        F.col("s2").cast("double")
+        / (nd * F.col("n") * F.col("n") * F.col("n"))
+        / F.col("v")
+    )
+    return j.select(
+        F.col("n").alias("n_days"),
+        F.round(eta, 6).alias("kpss_level"),
+        F.when(eta > 0.463, 1).otherwise(0).cast("long").alias(
+            "reject_level_stationarity_5pct"
+        ),
+    )

@@ -9039,3 +9039,197 @@ def test_spiegelhalter_matches_replay(spark):
         r["spiegelhalter_z"] - _round_hu(znum / math.sqrt(zden), 4)
     ) < 1e-6
     assert 0.0 < r["brier_score"] <= 0.26
+
+
+def test_anisotropy_matches_bruteforce(spark):
+    """x565: brute-force ALL pairwise cosines of the quantized unit
+    vectors at sf0.001; invariants: mean_cos in [-1,1], rogue share
+    in (0,1], mu_norm_sq >= 0."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x565_embedding_anisotropy,
+    )
+
+    vecs = []
+    for rr in load_table(spark, SF, "embeddings").collect():
+        qv = [int(math.floor(float(v) * 1048576.0)) for v in rr["embedding"]]
+        nq = sum(x * x for x in qv)
+        qu = [
+            int(math.floor(x * 1048576.0 / math.sqrt(nq))) for x in qv
+        ]
+        vecs.append(qu)
+    n = len(vecs)
+    d = len(vecs[0])
+    sj = [sum(v[j] for v in vecs) for j in range(d)]
+    ss = sum(x * x for v in vecs for x in v)
+    sum_sj2 = sum(s * s for s in sj)
+    two40 = 1099511627776.0
+    mean_cos = (sum_sj2 - ss) / (n * (n - 1.0)) / two40
+    brute = sum(
+        sum(a * b for a, b in zip(vecs[i], vecs[k]))
+        for i in range(n)
+        for k in range(n)
+        if i != k
+    ) / (n * (n - 1.0)) / two40
+    assert abs(mean_cos - brute) < 1e-12
+    max_abs = max(abs(s) for s in sj)
+    rogue = min(j + 1 for j, s in enumerate(sj) if abs(s) == max_abs)
+    share = sj[rogue - 1] ** 2 / sum_sj2
+    r = x565_embedding_anisotropy(spark, SF).collect()[0]
+    assert r["n_vecs"] == n
+    assert abs(r["mean_pairwise_cos"] - _round_hu(mean_cos, 6)) < 1e-9
+    assert abs(
+        r["mu_norm_sq"] - _round_hu(sum_sj2 / (n * n) / two40, 6)
+    ) < 1e-9
+    assert r["rogue_dim"] == rogue
+    assert abs(r["rogue_dim_share"] - _round_hu(share, 6)) < 1e-9
+    assert -1.0 <= r["mean_pairwise_cos"] <= 1.0
+    assert 0.0 < r["rogue_dim_share"] <= 1.0
+    assert r["mu_norm_sq"] >= 0.0
+
+
+def test_arch_lm_matches_replay(spark):
+    """x566: replay the squared-change autoregression; invariants:
+    LM = m * R2, R2 in [0,1]."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x566_arch_lm,
+    )
+
+    daily = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        daily[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+    import datetime
+
+    q = {}
+    for d, y in daily.items():
+        nd = d + datetime.timedelta(1)
+        if nd in daily:
+            q[d] = ((daily[nd] - y) ** 2) // 100000000
+    pairs = [
+        (v, q[d + datetime.timedelta(1)])
+        for d, v in q.items()
+        if d + datetime.timedelta(1) in q
+    ]
+    m = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sz = sum(z for _, z in pairs)
+    sxz = sum(x * z for x, z in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    szz = sum(z * z for _, z in pairs)
+    cxx = m * sxx - sx * sx
+    cxz = m * sxz - sx * sz
+    czz = m * szz - sz * sz
+    r2 = cxz * cxz / (cxx * czz)
+    r = x566_arch_lm(spark, SF).collect()[0]
+    assert r["n_pairs"] == m
+    assert abs(r["arch_slope"] - _round_hu(cxz / cxx, 8)) < 1e-9
+    assert abs(r["r2"] - _round_hu(r2, 6)) < 1e-9
+    assert abs(r["arch_lm"] - _round_hu(m * r2, 4)) < 1e-6
+    assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_christoffersen_matches_replay(spark):
+    """x567: replay threshold, transitions and all three LRs;
+    invariants: lr_cc = lr_uc + lr_ind, all LRs >= -1e-9,
+    transition counts sum to adjacent-pair count."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x567_christoffersen,
+    )
+
+    daily = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        daily[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+    n = len(daily)
+    vals = sorted(daily.values())
+    thr = vals[(19 * n + 19) // 20 - 1]
+    import datetime
+
+    cnt = {"00": 0, "01": 0, "10": 0, "11": 0}
+    for d, y in daily.items():
+        nd = d + datetime.timedelta(1)
+        if nd in daily:
+            a = 1 if y > thr else 0
+            b = 1 if daily[nd] > thr else 0
+            cnt[f"{a}{b}"] += 1
+    n00, n01, n10, n11 = cnt["00"], cnt["01"], cnt["10"], cnt["11"]
+    m = n00 + n01 + n10 + n11
+    pi = (n01 + n11) / m
+    pi0 = n01 / (n00 + n01) if n00 + n01 else 0.0
+    pi1 = n11 / (n10 + n11) if n10 + n11 else 0.0
+
+    def xln(c, v):
+        return 0.0 if c == 0 or v <= 0.0 else c * math.log(v)
+
+    lr_ind = -2.0 * (
+        xln(n00 + n10, 1 - pi) + xln(n01 + n11, pi)
+    ) + 2.0 * (
+        xln(n00, 1 - pi0) + xln(n01, pi0)
+        + xln(n10, 1 - pi1) + xln(n11, pi1)
+    )
+    lr_uc = -2.0 * (
+        (n01 + n11) * math.log(0.05) + (n00 + n10) * math.log(0.95)
+        - xln(n01 + n11, pi) - xln(n00 + n10, 1 - pi)
+    )
+    r = x567_christoffersen(spark, SF).collect()[0]
+    assert (r["n00"], r["n01"], r["n10"], r["n11"]) == (
+        n00, n01, n10, n11,
+    )
+    assert abs(r["viol_rate"] - _round_hu(pi, 6)) < 1e-9
+    assert abs(r["cluster_gap"] - _round_hu(pi1 - pi0, 6)) < 1e-9
+    assert abs(r["lr_unconditional"] - _round_hu(lr_uc, 4)) < 1e-6
+    assert abs(r["lr_independence"] - _round_hu(lr_ind, 4)) < 1e-6
+    assert abs(
+        r["lr_conditional_coverage"] - _round_hu(lr_uc + lr_ind, 4)
+    ) < 1e-6
+    assert r["lr_independence"] >= -1e-9
+    assert r["lr_unconditional"] >= -1e-9
+
+
+def test_kpss_matches_replay(spark):
+    """x568: replay partial sums and eta; invariants: final partial
+    sum is exactly 0 (sum of centerings vanishes), eta > 0, flag
+    consistent with the pinned critical value."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x568_kpss_test,
+    )
+
+    daily = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        daily[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+    n = len(daily)
+    s = sum(daily.values())
+    cv = {d: n * y - s for d, y in daily.items()}
+    st = 0
+    s2 = 0
+    for d in sorted(cv):
+        st += cv[d]
+        s2 += st * st
+    assert st == 0
+    n0 = sum(v * v for v in cv.values())
+    import datetime
+
+    wsum = 0.0
+    for k in range(1, 6):
+        nk = sum(
+            v * cv[d + datetime.timedelta(k)]
+            for d, v in cv.items()
+            if d + datetime.timedelta(k) in cv
+        )
+        wsum += (1.0 - k / 6.0) * nk
+    lrv = max((n0 + 2.0 * wsum) / (n * n * n), 0.0)
+    eta = s2 / (float(n) * n * n * n) / lrv
+    r = x568_kpss_test(spark, SF).collect()[0]
+    assert r["n_days"] == n
+    assert abs(r["kpss_level"] - _round_hu(eta, 6)) < 1e-6
+    assert r["reject_level_stationarity_5pct"] == (
+        1 if eta > 0.463 else 0
+    )
+    assert r["kpss_level"] > 0
