@@ -6972,3 +6972,299 @@ def x565_embedding_anisotropy(
             F.round(F.col("share"), 6).alias("rogue_dim_share"),
         )
     )
+
+
+_X569_ORACLE = """
+WITH tok AS (
+  SELECT d.doc_id, t.w
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+        FROM documents) d,
+  UNNEST(d.l) AS t(w)
+  WHERE t.w <> ''
+),
+topw AS (
+  SELECT w FROM tok GROUP BY w
+  ORDER BY count(*) DESC, w ASC LIMIT 100
+),
+per_doc AS (
+  SELECT tok.doc_id,
+         CAST(count(*) AS BIGINT) AS toks,
+         CAST(SUM(length(tok.w)) AS BIGINT) AS chars,
+         CAST(SUM(CASE WHEN topw.w IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS rare
+  FROM tok LEFT JOIN topw ON topw.w = tok.w
+  GROUP BY 1
+),
+scored AS (
+  SELECT doc_id, toks, rare,
+         ROUND(CAST(rare AS DOUBLE) / toks, 8) AS rare_ratio,
+         ROUND(CAST(chars AS DOUBLE) / toks, 8) AS mean_wlen
+  FROM per_doc
+),
+rk AS (
+  SELECT doc_id, toks, rare, rare_ratio, mean_wlen,
+         row_number() OVER (ORDER BY rare_ratio, mean_wlen, doc_id)
+           AS rn
+  FROM scored
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(toks) AS HUGEINT) AS all_toks
+  FROM scored
+),
+bucketed AS (
+  SELECT r.*,
+         CASE WHEN r.rn <= (1 * t.n + 3) // 4 THEN 1
+              WHEN r.rn <= (2 * t.n + 3) // 4 THEN 2
+              WHEN r.rn <= (3 * t.n + 3) // 4 THEN 3
+              ELSE 4 END AS bucket,
+         t.all_toks
+  FROM rk r, tot t
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(SUM(CAST(rare_ratio AS DECIMAL(38,8))) / count(*), 6)
+         AS avg_rare_ratio,
+       ROUND(SUM(CAST(mean_wlen AS DECIMAL(38,8))) / count(*), 6)
+         AS avg_word_len,
+       ROUND(CAST(SUM(toks) AS DOUBLE) / CAST(MAX(all_toks) AS DOUBLE),
+             6) AS token_share
+FROM bucketed GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "x569_curriculum_buckets",
+    _X569_ORACLE,
+    doc="Curriculum-learning difficulty ordering of the corpus: every "
+        "document scored by (rare-token ratio against the corpus "
+        "top-100 vocabulary, then mean word length, then doc_id -- "
+        "a TOTAL deterministic order), split at the exact quartile "
+        "rank cutoffs into easy->hard buckets with per-bucket "
+        "token shares -- the 'train on easy first' data-ordering "
+        "pass (Bengio et al.) an LLM pipeline schedules batches "
+        "by, built entirely from corpus statistics (no model in "
+        "the loop); x33's token-budget sample and x42's shard "
+        "shuffle consume exactly this kind of ordered manifest. "
+        "Exactness: token/char/rare counts are exact integers "
+        "from one tokenize-explode + one broadcast top-100 "
+        "anti-lookup; ratios round 8 BEFORE ranking so both "
+        "engines sort identical keys; per-bucket means accumulate "
+        "the rounded ratios in DECIMAL(38,8). Scale: ranking is a "
+        "distributed row_number over the rounded score key, "
+        "bucket cutoffs are constant algebra",
+)
+def x569_curriculum_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ...scale import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "").localCheckpoint(eager=False)
+    topw = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        .orderBy(F.col("cw").desc(), F.col("w").asc())
+        .limit(100)
+        .select("w", F.lit(1).alias("in_top"))
+    )
+    per_doc = tok.join(F.broadcast(topw), "w", "left").groupBy(
+        "doc_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("toks"),
+        F.sum(F.length("w")).cast("long").alias("chars"),
+        F.sum(F.when(F.col("in_top").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("rare"),
+    )
+    scored = per_doc.select(
+        "doc_id",
+        "toks",
+        F.round(F.col("rare").cast("double") / F.col("toks"), 8).alias(
+            "rare_ratio"
+        ),
+        F.round(F.col("chars").cast("double") / F.col("toks"), 8).alias(
+            "mean_wlen"
+        ),
+    )
+    rk = global_row_number(
+        scored, ["rare_ratio", "mean_wlen", "doc_id"], "rn"
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("toks").cast("decimal(38,0)").alias("all_toks"),
+    )
+    b = rk.crossJoin(F.broadcast(tot)).select(
+        "toks",
+        "rare_ratio",
+        "mean_wlen",
+        "all_toks",
+        F.when(F.col("rn") <= F.expr("(1 * n + 3) div 4"), 1)
+        .when(F.col("rn") <= F.expr("(2 * n + 3) div 4"), 2)
+        .when(F.col("rn") <= F.expr("(3 * n + 3) div 4"), 3)
+        .otherwise(4)
+        .alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.col("rare_ratio").cast("decimal(38,8)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_rare_ratio"),
+        F.round(
+            F.sum(F.col("mean_wlen").cast("decimal(38,8)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_word_len"),
+        F.round(
+            F.sum("toks").cast("double")
+            / F.max("all_toks").cast("double"),
+            6,
+        ).alias("token_share"),
+    ).orderBy("bucket")
+
+
+_X570_ORACLE = """
+WITH assigned AS (
+  SELECT doc_id, source,
+         CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS
+              VARCHAR), ':shuffle')), 1, 8)) AS BIGINT) % 8
+              AS INT) AS shard,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS toks
+  FROM documents
+),
+cell AS (
+  SELECT shard, source, CAST(count(*) AS BIGINT) AS o,
+         CAST(SUM(toks) AS HUGEINT) AS tk
+  FROM assigned GROUP BY 1, 2
+),
+marg_s AS (
+  SELECT shard, CAST(SUM(o) AS HUGEINT) AS row_n,
+         CAST(SUM(tk) AS HUGEINT) AS row_tk
+  FROM cell GROUP BY 1
+),
+marg_c AS (
+  SELECT source, CAST(SUM(o) AS HUGEINT) AS col_n FROM cell GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(o) AS HUGEINT) AS n FROM cell),
+grid AS (
+  SELECT ms.shard, mc.source,
+         COALESCE(c.o, 0) AS o,
+         ROUND(CAST(ms.row_n AS DOUBLE) * CAST(mc.col_n AS DOUBLE)
+               / CAST(t.n AS DOUBLE), 8) AS e
+  FROM marg_s ms CROSS JOIN marg_c mc
+  LEFT JOIN cell c ON c.shard = ms.shard AND c.source = mc.source,
+  tot t
+),
+chi AS (
+  SELECT SUM(CAST(round((o - e) * (o - e) / e, 6)
+                  AS DECIMAL(38,6))) AS chi2,
+         CAST(count(*) AS BIGINT) AS cells
+  FROM grid
+),
+bal AS (
+  SELECT CAST(MAX(row_tk) AS DOUBLE) / CAST(MIN(row_tk) AS DOUBLE)
+           AS tok_imbalance
+  FROM marg_s
+)
+SELECT CAST(8 AS BIGINT) AS n_shards,
+       chi.cells,
+       ROUND(CAST(chi.chi2 AS DOUBLE), 4) AS chi2_homogeneity,
+       CAST(chi.cells - 8 - (chi.cells / 8) + 1 AS BIGINT) AS df,
+       ROUND(bal.tok_imbalance, 6) AS token_imbalance_ratio
+FROM chi, bal
+"""
+
+
+@register(
+    "x570_shard_balance",
+    _X570_ORACLE,
+    doc="Shard-balance audit of x42's deterministic md5 sharding: a "
+        "chi-square homogeneity test of the source mix across the "
+        "8 training shards (is the hash statistically "
+        "indistinguishable from a random split w.r.t. source "
+        "composition?) plus the max/min shard token-count ratio "
+        "(straggler risk: a 1.2x token imbalance is a 1.2x "
+        "slowest-shard epoch) -- the SHUFFLE-QUALITY check a "
+        "pre-training run wants BEFORE burning compute, which "
+        "x42's manifest itself doesn't assert; df = (shards-1)"
+        "(sources-1). Exactness: cell/margin counts are exact "
+        "integers; expected counts round 8, per-cell chi2 terms "
+        "round 6 into DECIMAL before the grid sum (order-proof); "
+        "the shard function is the byte-identical md5-prefix "
+        "expression on both engines (x42's). Scale: one corpus "
+        "scan to the shard x source cell grid, margins broadcast",
+)
+def x570_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ...ops import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = sampling.shard_shuffle(
+        docs, "doc_id", n_shards=8
+    ).select(
+        "shard",
+        "source",
+        F.size(F.split(F.lower(F.col("text")), " "))
+        .cast("long")
+        .alias("toks"),
+    )
+    cell = assigned.groupBy("shard", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o"),
+        F.sum("toks").cast("decimal(38,0)").alias("tk"),
+    ).localCheckpoint(eager=False)
+    marg_s = cell.groupBy("shard").agg(
+        F.sum("o").cast("decimal(38,0)").alias("row_n"),
+        F.sum("tk").cast("decimal(38,0)").alias("row_tk"),
+    )
+    marg_c = cell.groupBy("source").agg(
+        F.sum("o").cast("decimal(38,0)").alias("col_n")
+    )
+    tot = cell.agg(F.sum("o").cast("decimal(38,0)").alias("n"))
+    grid = (
+        marg_s.crossJoin(F.broadcast(marg_c))
+        .join(cell, ["shard", "source"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            F.round(
+                F.col("row_n").cast("double")
+                * F.col("col_n").cast("double")
+                / F.col("n").cast("double"),
+                8,
+            ).alias("e"),
+        )
+    )
+    chi = grid.agg(
+        F.sum(
+            F.round(
+                (F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+                / F.col("e"),
+                6,
+            ).cast("decimal(38,6)")
+        ).alias("chi2"),
+        F.count(F.lit(1)).cast("long").alias("cells"),
+    )
+    bal = marg_s.agg(
+        (
+            F.max("row_tk").cast("double")
+            / F.min("row_tk").cast("double")
+        ).alias("tok_imbalance")
+    )
+    return chi.crossJoin(F.broadcast(bal)).select(
+        F.lit(8).cast("long").alias("n_shards"),
+        "cells",
+        F.round(F.col("chi2").cast("double"), 4).alias(
+            "chi2_homogeneity"
+        ),
+        (
+            F.col("cells") - 8 - (F.col("cells") / F.lit(8)).cast("long")
+            + 1
+        ).cast("long").alias("df"),
+        F.round("tok_imbalance", 6).alias("token_imbalance_ratio"),
+    )

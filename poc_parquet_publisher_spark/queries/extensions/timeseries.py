@@ -1794,3 +1794,261 @@ def x568_kpss_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject_level_stationarity_5pct"
         ),
     )
+
+
+_X571_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+dom AS (
+  SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM daily GROUP BY 1
+),
+mr AS (
+  SELECT y,
+         2 * COALESCE(SUM(cnt) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS mr2
+  FROM dom
+),
+r AS (
+  SELECT d.day, m.mr2 FROM daily d JOIN mr m ON m.y = d.y
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+num AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CAST(b.mr2 - a.mr2 AS HUGEINT)
+                  * (b.mr2 - a.mr2)) AS HUGEINT) AS num4
+  FROM r a JOIN r b ON b.day = a.day + 1
+),
+den AS (
+  SELECT CAST(SUM(CAST(r.mr2 - (t.n + 1) AS HUGEINT)
+                  * (r.mr2 - (t.n + 1))) AS HUGEINT) AS den4
+  FROM r, tot t
+)
+SELECT t.n AS n_days, num.n_pairs,
+       ROUND(CAST(num.num4 AS DOUBLE) / CAST(den.den4 AS DOUBLE), 6)
+         AS rvn,
+       ROUND((CAST(num.num4 AS DOUBLE) / CAST(den.den4 AS DOUBLE)
+              - 2.0)
+             / sqrt(4.0 * (t.n - 2.0)
+                    * (5.0 * CAST(t.n AS DOUBLE) * t.n
+                       - 2.0 * t.n - 9.0)
+                    / (5.0 * CAST(t.n AS DOUBLE) * (t.n + 1.0)
+                       * (t.n - 1.0) * (t.n - 1.0))), 4)
+         AS bartels_z
+FROM num, den, tot t
+"""
+
+
+@register(
+    "x571_bartels_rvn",
+    _X571_ORACLE,
+    doc="Bartels' rank von Neumann ratio test of randomness on daily "
+        "revenue: RVN = sum (r_{t+1}-r_t)^2 / sum (r_t - rbar)^2 "
+        "over the day-span MIDRANKS -- the rank (outlier-immune) "
+        "twin of x484's Durbin-Watson: RVN < 2 = positive serial "
+        "dependence in the ORDERING of days, RVN > 2 = "
+        "alternation, robust to the revenue tail that leverages "
+        "DW; z against the exact-moment null variance 4(n-2)"
+        "(5n^2-2n-9)/(5n(n+1)(n-1)^2). Exactness: midranks over "
+        "the distinct-value domain are exact half-integers (mr2 "
+        "= 2*below + cnt + 1, mean exactly n+1 in 2-scale), so "
+        "numerator and denominator are exact HUGEINT sums with "
+        "the scale cancelling; calendar gaps drop adjacent pairs "
+        "(stated) and ties make the null variance approximate "
+        "(stated). Scale: one day-grain aggregate, bounded "
+        "value-domain window, one day-domain equi-join",
+)
+def x571_bartels_rvn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    ).localCheckpoint(eager=False)
+    dom = daily.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wb = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    mr = dom.select(
+        "y",
+        (
+            2 * F.coalesce(F.sum("cnt").over(wb), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).cast("long").alias("mr2"),
+    )
+    r = daily.join(mr, "y").select("day", "mr2").localCheckpoint(
+        eager=False
+    )
+    tot = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = r.select(F.col("day").alias("da"), F.col("mr2").alias("ma"))
+    b = r.select(F.col("day").alias("db"), F.col("mr2").alias("mb"))
+    num = a.join(b, F.col("db") == F.date_add("da", 1)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            (F.col("mb") - F.col("ma")).cast("decimal(38,0)")
+            * (F.col("mb") - F.col("ma"))
+        ).cast("decimal(38,0)").alias("num4"),
+    )
+    den = r.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            (F.col("mr2") - (F.col("n") + 1)).cast("decimal(38,0)")
+            * (F.col("mr2") - (F.col("n") + 1))
+        ).cast("decimal(38,0)").alias("den4"),
+        F.first("n").alias("n"),
+    )
+    j = num.crossJoin(F.broadcast(den))
+    nd = F.col("n").cast("double")
+    rvn = F.col("num4").cast("double") / F.col("den4").cast("double")
+    var = (
+        4.0
+        * (F.col("n") - 2.0)
+        * (5.0 * nd * F.col("n") - 2.0 * F.col("n") - 9.0)
+        / (
+            5.0
+            * nd
+            * (F.col("n") + 1.0)
+            * (F.col("n") - 1.0)
+            * (F.col("n") - 1.0)
+        )
+    )
+    return j.select(
+        F.col("n").alias("n_days"),
+        "n_pairs",
+        F.round(rvn, 6).alias("rvn"),
+        F.round((rvn - 2.0) / F.sqrt(var), 4).alias("bartels_z"),
+    )
+
+
+_X572_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+seq AS (
+  SELECT day, y,
+         row_number() OVER (ORDER BY day) AS k,
+         MAX(y) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max,
+         MIN(y) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_min
+  FROM daily
+),
+rec AS (
+  SELECT
+    CAST(SUM(CASE WHEN prev_max IS NULL OR y > prev_max
+             THEN 1 ELSE 0 END) AS BIGINT) AS rec_up,
+    CAST(SUM(CASE WHEN prev_min IS NULL OR y < prev_min
+             THEN 1 ELSE 0 END) AS BIGINT) AS rec_dn,
+    CAST(count(*) AS BIGINT) AS n
+  FROM seq
+),
+h AS (
+  SELECT
+    CAST(SUM(CAST(round(1.0 / k, 14) AS DECIMAL(38,14)))
+         AS DOUBLE) AS hn,
+    CAST(SUM(CAST(round(1.0 / (CAST(k AS DOUBLE) * k), 14)
+                  AS DECIMAL(38,14))) AS DOUBLE) AS h2n
+  FROM seq
+)
+SELECT rec.n AS n_days, rec.rec_up, rec.rec_dn,
+       ROUND(h.hn, 6) AS e_records,
+       ROUND((rec.rec_up - h.hn) / sqrt(h.hn - h.h2n), 4)
+         AS z_up,
+       ROUND((rec.rec_dn - h.hn) / sqrt(h.hn - h.h2n), 4)
+         AS z_dn
+FROM rec, h
+"""
+
+
+@register(
+    "x572_record_counts",
+    _X572_ORACLE,
+    doc="Renyi record-count test on daily revenue: the number of "
+        "days setting a new running MAXIMUM (and minimum), tested "
+        "against the exact iid null E = H_n, Var = H_n - H_n^(2) "
+        "(record indicators are INDEPENDENT with P(record at k) = "
+        "1/k -- Renyi's theorem, no distributional assumption at "
+        "all) -- growth leaves too MANY upper records, mean "
+        "reversion too few, and the up/down asymmetry is a trend "
+        "read that x538's Cox-Stuart gets from paired signs and "
+        "x540's Gumbel fit from block maxima; here it costs two "
+        "prefix extremes. Exactness: records compare exact "
+        "integer cents against strict prefix extremes (ties are "
+        "NOT records, stated); harmonic sums accumulate round-14 "
+        "DECIMAL terms over the day-index domain (order-proof); "
+        "one double assembly. Scale: one day-grain aggregate, "
+        "bounded day-domain ordered windows (~2400 rows, "
+        "constant in SF)",
+)
+def x572_record_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    wp = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wr = Window.orderBy("day")
+    seq = daily.select(
+        "y",
+        F.row_number().over(wr).cast("long").alias("k"),
+        F.max("y").over(wp).alias("prev_max"),
+        F.min("y").over(wp).alias("prev_min"),
+    ).localCheckpoint(eager=False)
+    rec = seq.agg(
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull()
+                | (F.col("y") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("rec_up"),
+        F.sum(
+            F.when(
+                F.col("prev_min").isNull()
+                | (F.col("y") < F.col("prev_min")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("rec_dn"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    h = seq.agg(
+        F.sum(
+            F.round(F.lit(1.0) / F.col("k"), 14).cast("decimal(38,14)")
+        ).cast("double").alias("hn"),
+        F.sum(
+            F.round(
+                F.lit(1.0) / (F.col("k").cast("double") * F.col("k")),
+                14,
+            ).cast("decimal(38,14)")
+        ).cast("double").alias("h2n"),
+    )
+    j = rec.crossJoin(F.broadcast(h))
+    sd = F.sqrt(F.col("hn") - F.col("h2n"))
+    return j.select(
+        F.col("n").alias("n_days"),
+        "rec_up",
+        "rec_dn",
+        F.round(F.col("hn"), 6).alias("e_records"),
+        F.round((F.col("rec_up") - F.col("hn")) / sd, 4).alias("z_up"),
+        F.round((F.col("rec_dn") - F.col("hn")) / sd, 4).alias("z_dn"),
+    )

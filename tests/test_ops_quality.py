@@ -9233,3 +9233,208 @@ def test_kpss_matches_replay(spark):
         1 if eta > 0.463 else 0
     )
     assert r["kpss_level"] > 0
+
+
+def test_curriculum_buckets_matches_bruteforce(spark):
+    """x569: full Python replay of scoring, ranking and bucketing;
+    invariants: buckets partition the corpus, avg_rare_ratio is
+    nondecreasing easy->hard, token shares sum to ~1."""
+    from collections import Counter
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x569_curriculum_buckets,
+    )
+
+    docs = []
+    corpus = Counter()
+    for rr in load_table(spark, SF, "documents").collect():
+        ws = [w for w in rr["text"].lower().split(" ") if w != ""]
+        docs.append((rr["doc_id"], ws))
+        corpus.update(ws)
+    top = {
+        w
+        for w, _ in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :100
+        ]
+    }
+    scored = []
+    for doc_id, ws in docs:
+        toks = len(ws)
+        rare = sum(1 for w in ws if w not in top)
+        chars = sum(len(w) for w in ws)
+        scored.append(
+            (
+                _round_hu(rare / toks, 8),
+                _round_hu(chars / toks, 8),
+                doc_id,
+                toks,
+            )
+        )
+    scored.sort()
+    n = len(scored)
+    cut = [(k * n + 3) // 4 for k in (1, 2, 3)]
+    buckets = {1: [], 2: [], 3: [], 4: []}
+    for rn, row in enumerate(scored, 1):
+        b = 1 if rn <= cut[0] else 2 if rn <= cut[1] else (
+            3 if rn <= cut[2] else 4
+        )
+        buckets[b].append(row)
+    all_toks = sum(t for *_, t in scored)
+    rows = {
+        r["bucket"]: r
+        for r in x569_curriculum_buckets(spark, SF).collect()
+    }
+    assert len(rows) == 4
+    import decimal
+
+    prev = -1.0
+    share_sum = 0.0
+    for b in range(1, 5):
+        grp = buckets[b]
+        assert rows[b]["n_docs"] == len(grp)
+        arr = float(
+            sum(decimal.Decimal(repr(rr)) for rr, *_ in grp)
+        ) / len(grp)
+        awl = float(
+            sum(decimal.Decimal(repr(wl)) for _, wl, *_ in grp)
+        ) / len(grp)
+        assert abs(rows[b]["avg_rare_ratio"] - _round_hu(arr, 6)) < 1e-6
+        assert abs(rows[b]["avg_word_len"] - _round_hu(awl, 6)) < 1e-6
+        ts = sum(t for *_, t in grp) / all_toks
+        assert abs(rows[b]["token_share"] - _round_hu(ts, 6)) < 1e-6
+        assert rows[b]["avg_rare_ratio"] >= prev
+        prev = rows[b]["avg_rare_ratio"]
+        share_sum += rows[b]["token_share"]
+    assert sum(r["n_docs"] for r in rows.values()) == n
+    assert abs(share_sum - 1.0) < 1e-4
+
+
+def test_shard_balance_matches_replay(spark):
+    """x570: replay the md5 shard assignment and the chi-square;
+    invariants: chi2 >= 0, imbalance >= 1, df = 7*(sources-1)."""
+    import hashlib
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x570_shard_balance,
+    )
+
+    cells = defaultdict(lambda: [0, 0])
+    shard_tk = defaultdict(int)
+    sources = set()
+    for rr in load_table(spark, SF, "documents").collect():
+        h = hashlib.md5(f"{rr['doc_id']}:shuffle".encode()).hexdigest()
+        shard = int(h[:8], 16) % 8
+        toks = len(rr["text"].lower().split(" "))
+        cells[(shard, rr["source"])][0] += 1
+        cells[(shard, rr["source"])][1] += toks
+        shard_tk[shard] += toks
+        sources.add(rr["source"])
+    n = sum(v[0] for v in cells.values())
+    row_n = defaultdict(int)
+    col_n = defaultdict(int)
+    for (sh, src), (o, _) in cells.items():
+        row_n[sh] += o
+        col_n[src] += o
+    chi2 = 0.0
+    n_cells = 0
+    for sh in range(8):
+        for src in sources:
+            e = _round_hu(row_n[sh] * col_n[src] / n, 8)
+            o = cells.get((sh, src), [0, 0])[0]
+            chi2 += _round_hu((o - e) ** 2 / e, 6)
+            n_cells += 1
+    imb = max(shard_tk.values()) / min(shard_tk.values())
+    r = x570_shard_balance(spark, SF).collect()[0]
+    assert r["n_shards"] == 8
+    assert r["cells"] == n_cells
+    assert abs(r["chi2_homogeneity"] - _round_hu(chi2, 4)) < 1e-6
+    assert r["df"] == 7 * (len(sources) - 1)
+    assert abs(
+        r["token_imbalance_ratio"] - _round_hu(imb, 6)
+    ) < 1e-9
+    assert r["chi2_homogeneity"] >= 0
+    assert r["token_imbalance_ratio"] >= 1.0
+
+
+def test_bartels_rvn_matches_replay(spark):
+    """x571: replay midranks and RVN; invariants: RVN in (0,4),
+    sign(z) = sign(RVN - 2)."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x571_bartels_rvn,
+    )
+
+    daily = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        daily[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+    vals = sorted(daily.values())
+    from bisect import bisect_left, bisect_right
+
+    def mr2(v):
+        return bisect_left(vals, v) + bisect_right(vals, v) + 1
+
+    n = len(daily)
+    import datetime
+
+    num4 = 0
+    n_pairs = 0
+    for d, y in daily.items():
+        nd = d + datetime.timedelta(1)
+        if nd in daily:
+            num4 += (mr2(daily[nd]) - mr2(y)) ** 2
+            n_pairs += 1
+    den4 = sum((mr2(y) - (n + 1)) ** 2 for y in daily.values())
+    rvn = num4 / den4
+    var = (
+        4.0 * (n - 2) * (5.0 * n * n - 2.0 * n - 9.0)
+        / (5.0 * n * (n + 1.0) * (n - 1.0) * (n - 1.0))
+    )
+    z = (rvn - 2.0) / math.sqrt(var)
+    r = x571_bartels_rvn(spark, SF).collect()[0]
+    assert (r["n_days"], r["n_pairs"]) == (n, n_pairs)
+    assert abs(r["rvn"] - _round_hu(rvn, 6)) < 1e-9
+    assert abs(r["bartels_z"] - _round_hu(z, 4)) < 1e-6
+    assert 0.0 < r["rvn"] < 4.0
+    assert (r["bartels_z"] >= 0) == (rvn >= 2.0)
+
+
+def test_record_counts_matches_bruteforce(spark):
+    """x572: walk the day-ordered series in Python; invariants: the
+    first day is both an upper and lower record, counts >= 1, and
+    E[records] = H_n."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x572_record_counts,
+    )
+
+    daily = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        daily[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+    up = dn = 0
+    mx = mn = None
+    for d in sorted(daily):
+        y = daily[d]
+        if mx is None or y > mx:
+            up += 1
+            mx = max(mx, y) if mx is not None else y
+        mx = max(mx, y)
+        if mn is None or y < mn:
+            dn += 1
+            mn = min(mn, y) if mn is not None else y
+        mn = min(mn, y)
+    n = len(daily)
+    hn = sum(_round_hu(1.0 / k, 14) for k in range(1, n + 1))
+    h2n = sum(_round_hu(1.0 / (float(k) * k), 14) for k in range(1, n + 1))
+    sd = math.sqrt(hn - h2n)
+    r = x572_record_counts(spark, SF).collect()[0]
+    assert r["n_days"] == n
+    assert (r["rec_up"], r["rec_dn"]) == (up, dn)
+    assert abs(r["e_records"] - _round_hu(hn, 6)) < 1e-6
+    assert abs(r["z_up"] - _round_hu((up - hn) / sd, 4)) < 1e-6
+    assert abs(r["z_dn"] - _round_hu((dn - hn) / sd, 4)) < 1e-6
+    assert r["rec_up"] >= 1 and r["rec_dn"] >= 1
