@@ -1633,3 +1633,283 @@ def x564_spiegelhalter_z(
             4,
         ).alias("spiegelhalter_z"),
     )
+
+
+_X574_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y,
+         CASE WHEN dayofweek(CAST(o_orderdate AS DATE)) IN (0, 6)
+              THEN 1 ELSE 2 END AS grp
+  FROM orders GROUP BY 1, 3
+),
+dom AS (
+  SELECT y,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS f1,
+         CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS f2,
+         CAST(count(*) AS BIGINT) AS l
+  FROM daily GROUP BY 1
+),
+cum AS (
+  SELECT y, f1, f2, l,
+         COALESCE(SUM(l) OVER w, 0) AS bb,
+         COALESCE(SUM(f1) OVER w, 0) AS f1b,
+         COALESCE(SUM(f2) OVER w, 0) AS f2b
+  FROM dom
+  WINDOW w AS (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+tot AS (
+  SELECT CAST(SUM(f1) AS BIGINT) AS n1,
+         CAST(SUM(f2) AS BIGINT) AS n2,
+         CAST(SUM(l) AS BIGINT) AS n
+  FROM dom
+),
+terms AS (
+  SELECT
+    SUM(CAST(round(
+      CAST(c.l AS DOUBLE)
+      * CAST(t.n * (4 * c.f1b + 2 * c.f1)
+             - t.n1 * (4 * c.bb + 2 * c.l) AS DOUBLE)
+      * CAST(t.n * (4 * c.f1b + 2 * c.f1)
+             - t.n1 * (4 * c.bb + 2 * c.l) AS DOUBLE)
+      / CAST(4 * t.n * (4 * c.bb + 2 * c.l)
+             - (4 * c.bb + 2 * c.l) * (4 * c.bb + 2 * c.l)
+             - 4 * t.n * c.l AS DOUBLE), 8) AS DECIMAL(38,8))) AS s1,
+    SUM(CAST(round(
+      CAST(c.l AS DOUBLE)
+      * CAST(t.n * (4 * c.f2b + 2 * c.f2)
+             - t.n2 * (4 * c.bb + 2 * c.l) AS DOUBLE)
+      * CAST(t.n * (4 * c.f2b + 2 * c.f2)
+             - t.n2 * (4 * c.bb + 2 * c.l) AS DOUBLE)
+      / CAST(4 * t.n * (4 * c.bb + 2 * c.l)
+             - (4 * c.bb + 2 * c.l) * (4 * c.bb + 2 * c.l)
+             - 4 * t.n * c.l AS DOUBLE), 8) AS DECIMAL(38,8))) AS s2
+  FROM cum c, tot t
+),
+idx AS (
+  SELECT t, SUM(CAST(round(1.0 / t, 14) AS DECIMAL(38,14)))
+              OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS ht
+  FROM (SELECT row_number() OVER (ORDER BY day) AS t FROM daily)
+),
+hh AS (
+  SELECT CAST(ht AS DOUBLE) AS h
+  FROM idx, tot WHERE idx.t = tot.n - 1
+),
+g AS (
+  SELECT CAST(SUM(CAST(round(
+           (1.0 / j.t) * (hh.h - CAST(m.ht AS DOUBLE)), 14)
+           AS DECIMAL(38,14))) AS DOUBLE) AS g
+  FROM idx j
+  JOIN tot ON j.t BETWEEN 2 AND tot.n - 1
+  JOIN idx m ON m.t = tot.n - j.t
+  CROSS JOIN hh
+),
+fin AS (
+  SELECT t.n1, t.n2, t.n,
+         CAST(t.n - 1 AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n)
+           * (CAST(terms.s1 AS DOUBLE) / t.n1
+              + CAST(terms.s2 AS DOUBLE) / t.n2) AS a2,
+         hh.h AS h, g.g AS g,
+         1.0 / t.n1 + 1.0 / t.n2 AS hcap
+  FROM terms, tot t, hh, g
+),
+sig AS (
+  SELECT n1, n2, n, a2,
+    ((( (4.0*g - 6.0) * (2.0 - 1.0) + (10.0 - 6.0*g) * hcap )
+       * CAST(n AS DOUBLE) * n * n
+      + ( (2.0*g - 4.0) * 4.0 + 8.0 * h * 2.0
+          + (2.0*g - 14.0*h - 4.0) * hcap - 8.0*h + 4.0*g - 6.0 )
+        * CAST(n AS DOUBLE) * n
+      + ( (6.0*h + 2.0*g - 2.0) * 4.0 + (4.0*h - 4.0*g + 6.0) * 2.0
+          + (2.0*h - 6.0) * hcap + 4.0*h ) * CAST(n AS DOUBLE)
+      + ( (2.0*h + 6.0) * 4.0 - 4.0*h * 2.0 ))
+     / (CAST(n - 1 AS DOUBLE) * (n - 2.0) * (n - 3.0))) AS var_a2
+  FROM fin
+)
+SELECT n1 AS n_weekend, n2 AS n_weekday,
+       ROUND(a2, 6) AS ad2_a2,
+       ROUND(sqrt(var_a2), 6) AS sigma_a2,
+       ROUND((a2 - 1.0) / sqrt(var_a2), 4) AS ad2_t
+FROM sig
+"""
+
+
+@register(
+    "x574_anderson_darling_2s",
+    _X574_ORACLE,
+    doc="Scholz-Stephens two-sample Anderson-Darling test (tie-"
+        "adjusted midrank version A2_akN, k=2) between weekend and "
+        "weekday daily revenue, standardized to T = (A2 - 1)/sigma "
+        "with the EXACT small-sample variance (the a,b,c,d cubic "
+        "in N with harmonic h = H_{N-1} and the double-harmonic g "
+        "folded to the O(N) identity g = sum_j (1/j)(H_{N-1} - "
+        "H_{N-j})) -- the TAIL-weighted distribution test "
+        "completing the trio on this fixture: x224's KS sees the "
+        "largest ECDF gap, x490's CvM integrates it, AD up-weights "
+        "the tails where revenue differences actually live; x542's "
+        "Hodges-Lehmann gives the shift size this tests. "
+        "Exactness: every A2 ingredient is an exact integer in "
+        "4-scale (mid-counts 4M = 4F_below + 2f, 4b = 4B_below + "
+        "2l; numerator N*4M - n_i*4b and denominator 4N*4b - "
+        "(4b)^2 - 4Nl are exact, the 1/16s cancel); per-value "
+        "terms round 8 into DECIMAL; harmonic prefixes accumulate "
+        "round-14 DECIMAL terms over the bounded day-index "
+        "domain. Scale: one day-grain aggregate, value-domain + "
+        "index-domain windows (~2400 rows, constant in SF)",
+)
+def x574_anderson_darling_2s(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    ).select(
+        "day",
+        "y",
+        F.when(F.dayofweek("day").isin(1, 7), 1).otherwise(2).alias(
+            "grp"
+        ),
+    ).localCheckpoint(eager=False)
+    dom = daily.groupBy("y").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+        F.count(F.lit(1)).cast("long").alias("l"),
+    )
+    wv = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    cum = dom.select(
+        "y",
+        "f1",
+        "f2",
+        "l",
+        F.coalesce(F.sum("l").over(wv), F.lit(0))
+        .cast("long")
+        .alias("bb"),
+        F.coalesce(F.sum("f1").over(wv), F.lit(0))
+        .cast("long")
+        .alias("f1b"),
+        F.coalesce(F.sum("f2").over(wv), F.lit(0))
+        .cast("long")
+        .alias("f2b"),
+    )
+    tot = dom.agg(
+        F.sum("f1").cast("long").alias("n1"),
+        F.sum("f2").cast("long").alias("n2"),
+        F.sum("l").cast("long").alias("n"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    b4 = (4 * F.col("bb") + 2 * F.col("l")).cast("double")
+    den4 = (
+        4 * F.col("n").cast("double") * b4
+        - b4 * b4
+        - 4 * F.col("n").cast("double") * F.col("l")
+    )
+
+    def s_term(fb, f, ni):
+        m4 = (4 * F.col(fb) + 2 * F.col(f)).cast("double")
+        num = F.col("n").cast("double") * m4 - F.col(ni).cast(
+            "double"
+        ) * b4
+        return F.sum(
+            F.round(
+                F.col("l").cast("double") * num * num / den4, 8
+            ).cast("decimal(38,8)")
+        )
+
+    terms = j.agg(
+        s_term("f1b", "f1", "n1").alias("s1"),
+        s_term("f2b", "f2", "n2").alias("s2"),
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.first("n").alias("n"),
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias(
+            "t"
+        )
+    ).select(
+        "t",
+        F.sum(
+            F.round(F.lit(1.0) / F.col("t"), 14).cast("decimal(38,14)")
+        ).over(wt).alias("ht"),
+    ).localCheckpoint(eager=False)
+    hh = idx.crossJoin(F.broadcast(tot.select("n"))).filter(
+        F.col("t") == F.col("n") - 1
+    ).select(F.col("ht").cast("double").alias("h"))
+    m = idx.select(
+        F.col("t").alias("mt"), F.col("ht").alias("mht")
+    )
+    g = (
+        idx.crossJoin(F.broadcast(tot.select("n")))
+        .filter((F.col("t") >= 2) & (F.col("t") <= F.col("n") - 1))
+        .join(m, F.col("mt") == F.col("n") - F.col("t"))
+        .crossJoin(F.broadcast(hh))
+        .agg(
+            F.sum(
+                F.round(
+                    (F.lit(1.0) / F.col("t"))
+                    * (F.col("h") - F.col("mht").cast("double")),
+                    14,
+                ).cast("decimal(38,14)")
+            ).cast("double").alias("g")
+        )
+    )
+    fin = terms.crossJoin(F.broadcast(hh)).crossJoin(F.broadcast(g))
+    nd = F.col("n").cast("double")
+    a2 = (
+        (nd - 1.0)
+        / (nd * F.col("n"))
+        * (
+            F.col("s1").cast("double") / F.col("n1")
+            + F.col("s2").cast("double") / F.col("n2")
+        )
+    )
+    hcap = 1.0 / F.col("n1") + 1.0 / F.col("n2")
+    hv, gv = F.col("h"), F.col("g")
+    var_a2 = (
+        (
+            ((4.0 * gv - 6.0) * (2.0 - 1.0) + (10.0 - 6.0 * gv) * hcap)
+            * nd * F.col("n") * F.col("n")
+            + (
+                (2.0 * gv - 4.0) * 4.0
+                + 8.0 * hv * 2.0
+                + (2.0 * gv - 14.0 * hv - 4.0) * hcap
+                - 8.0 * hv
+                + 4.0 * gv
+                - 6.0
+            )
+            * nd * F.col("n")
+            + (
+                (6.0 * hv + 2.0 * gv - 2.0) * 4.0
+                + (4.0 * hv - 4.0 * gv + 6.0) * 2.0
+                + (2.0 * hv - 6.0) * hcap
+                + 4.0 * hv
+            )
+            * nd
+            + ((2.0 * hv + 6.0) * 4.0 - 4.0 * hv * 2.0)
+        )
+        / ((nd - 1.0) * (nd - 2.0) * (nd - 3.0))
+    )
+    return fin.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        F.round(a2, 6).alias("ad2_a2"),
+        F.round(F.sqrt(var_a2), 6).alias("sigma_a2"),
+        F.round((a2 - 1.0) / F.sqrt(var_a2), 4).alias("ad2_t"),
+    )

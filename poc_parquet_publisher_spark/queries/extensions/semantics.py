@@ -7268,3 +7268,122 @@ def x570_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("df"),
         F.round("tok_imbalance", 6).alias("token_imbalance_ratio"),
     )
+
+
+def _x575_half_cte(n: int) -> str:
+    """One UNION branch of x575's oracle: distinct n-grams of size
+    ``n`` per half (1 = early doc_ids, 2 = late)."""
+    return f"""
+  SELECT {n} AS n, h.half, t.sh
+  FROM (
+    SELECT CASE WHEN d.doc_id * 2 <= r.mn + r.mx THEN 1 ELSE 2 END
+             AS half,
+           string_split(lower(d.text), ' ') AS l
+    FROM documents d, (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx
+                       FROM documents) r
+  ) h,
+  UNNEST(list_transform(
+    range(1, len(h.l) - {n} + 2),
+    i -> array_to_string(h.l[i:i + {n} - 1], ' ')
+  )) AS t(sh)
+  WHERE len(h.l) >= {n}"""
+
+
+_X575_ORACLE = (
+    "WITH grams AS ("
+    + "\n  UNION ALL".join(_x575_half_cte(n) for n in (1, 2, 3, 4, 5))
+    + """
+),
+d1 AS (SELECT DISTINCT n, sh FROM grams WHERE half = 1),
+d2 AS (SELECT DISTINCT n, sh FROM grams WHERE half = 2),
+ov AS (
+  SELECT d2.n,
+         CAST(count(*) AS BIGINT) AS n_grams_late,
+         CAST(SUM(CASE WHEN d1.sh IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_seen_early
+  FROM d2 LEFT JOIN d1 ON d1.n = d2.n AND d1.sh = d2.sh
+  GROUP BY 1
+)
+SELECT n AS ngram_size, n_grams_late, n_seen_early,
+       ROUND(CAST(n_seen_early AS DOUBLE)
+             / CAST(n_grams_late AS DOUBLE), 6) AS containment
+FROM ov ORDER BY n
+"""
+)
+
+
+@register(
+    "x575_ngram_overlap_curve",
+    _X575_ORACLE,
+    doc="n-gram containment curve between corpus halves (early vs "
+        "late doc_ids, the arrival split): for n = 1..5, the "
+        "fraction of the late half's DISTINCT n-grams already "
+        "present in the early half -- the curve's decay rate is "
+        "the standard redundancy fingerprint (unigrams always "
+        "overlap; if 5-grams still do, the late crawl is "
+        "near-duplicate of the early one and dedup (x03/x44) "
+        "will pay for itself), extending x173's single-n arrival "
+        "deciles to the n-DIMENSION and x34's fixed-n "
+        "contamination check to a spectrum. Exactness: exact "
+        "distinct-set counts per (n, half); containment is one "
+        "rounded division; the split threshold doc_id*2 <= "
+        "min+max is exact integer arithmetic. Scale: one "
+        "tokenize pass fanned to 5 shingle sizes, hash "
+        "groupBys/semi-joins on shingle keys -- x03's proven "
+        "shape, no pairwise anything",
+)
+def x575_ngram_overlap_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rng = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    base = docs.crossJoin(F.broadcast(rng)).select(
+        F.when(
+            F.col("doc_id") * 2 <= F.col("mn") + F.col("mx"), 1
+        ).otherwise(2).alias("half"),
+        F.split(F.lower(F.col("text")), " ").alias("l"),
+    ).localCheckpoint(eager=False)
+    parts = []
+    for n in (1, 2, 3, 4, 5):
+        parts.append(
+            base.filter(F.size("l") >= n).select(
+                F.lit(n).alias("n"),
+                "half",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(l) - {n} + 1),"
+                        f" i -> array_join(slice(l, i, {n}), ' '))"
+                    )
+                ).alias("sh"),
+            )
+        )
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = grams.unionAll(p)
+    d1 = grams.filter(F.col("half") == 1).select("n", "sh").distinct()
+    d2 = grams.filter(F.col("half") == 2).select("n", "sh").distinct()
+    ov = d2.join(
+        d1.select(
+            F.col("n").alias("n1"), F.col("sh").alias("sh1"),
+            F.lit(1).alias("seen"),
+        ),
+        (F.col("n") == F.col("n1")) & (F.col("sh") == F.col("sh1")),
+        "left",
+    ).groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams_late"),
+        F.sum(F.when(F.col("seen").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_seen_early"),
+    )
+    return ov.select(
+        F.col("n").alias("ngram_size"),
+        "n_grams_late",
+        "n_seen_early",
+        F.round(
+            F.col("n_seen_early").cast("double")
+            / F.col("n_grams_late").cast("double"),
+            6,
+        ).alias("containment"),
+    ).orderBy("ngram_size")

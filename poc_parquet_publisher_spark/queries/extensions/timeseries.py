@@ -2052,3 +2052,144 @@ def x572_record_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("rec_up") - F.col("hn")) / sd, 4).alias("z_up"),
         F.round((F.col("rec_dn") - F.col("hn")) / sd, 4).alias("z_dn"),
     )
+
+
+_X573_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+dom AS (
+  SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM daily GROUP BY 1
+),
+mr AS (
+  SELECT y,
+         2 * COALESCE(SUM(cnt) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS mr2
+  FROM dom
+),
+seq AS (
+  SELECT d.day,
+         row_number() OVER (ORDER BY d.day) AS t,
+         SUM(m.mr2) OVER (ORDER BY d.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w2
+  FROM daily d JOIN mr m ON m.y = d.y
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+u AS (
+  SELECT s.day, s.t,
+         CAST(s.w2 - s.t * (s.t + 1) - s.t * (t2.n - s.t)
+              AS HUGEINT) AS ut
+  FROM seq s, tot t2 WHERE s.t < t2.n
+),
+mx AS (SELECT CAST(MAX(abs(ut)) AS HUGEINT) AS k FROM u),
+pick AS (
+  SELECT MIN(u.day) AS change_day, MIN(u.t) AS change_t
+  FROM u, mx WHERE abs(u.ut) = mx.k
+)
+SELECT t.n AS n_days,
+       CAST(mx.k AS BIGINT) AS pettitt_k,
+       p.change_day, CAST(p.change_t AS BIGINT) AS change_t,
+       ROUND(2.0 * exp(-6.0 * CAST(mx.k AS DOUBLE) * CAST(mx.k AS
+               DOUBLE)
+             / (CAST(t.n AS DOUBLE) * t.n * t.n
+                + CAST(t.n AS DOUBLE) * t.n)), 8) AS p_approx
+FROM tot t, mx, pick p
+"""
+
+
+@register(
+    "x573_pettitt_test",
+    _X573_ORACLE,
+    doc="Pettitt rank change-point test on daily revenue: K = "
+        "max_t |U_t| with U_t the sign-sum between the first t "
+        "days and the rest, located via the EXACT identity U_t = "
+        "2(W_t - t(t+1)/2) - t(n-t) where W_t is the prefix sum "
+        "of pooled MIDRANKS in calendar order -- O(n) total where "
+        "the naive double sum is O(n^2); the distribution-FREE "
+        "change-point twin of x453's variance-based binary "
+        "segmentation (outlier days move x453's F, not Pettitt's "
+        "ranks; agreement between the two flagged days is the "
+        "robust confirmation), with the standard approximate "
+        "p = 2 exp(-6K^2/(n^3+n^2)). Exactness: midranks are "
+        "exact half-integers so 2-scale prefix sums make every "
+        "U_t an exact integer; the argmax compares exact "
+        "integers (earliest day on ties); ties make the p "
+        "approximation conservative (stated). Scale: one "
+        "day-grain aggregate, bounded value-domain + day-domain "
+        "windows (~2400 rows, constant in SF)",
+)
+def x573_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    ).localCheckpoint(eager=False)
+    dom = daily.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wv = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    mr = dom.select(
+        "y",
+        (
+            2 * F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).cast("long").alias("mr2"),
+    )
+    wd = Window.orderBy("day")
+    wp = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    seq = daily.join(mr, "y").select(
+        "day",
+        F.row_number().over(wd).cast("long").alias("t"),
+        F.sum("mr2").over(wp).cast("long").alias("w2"),
+    )
+    tot = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    u = seq.crossJoin(F.broadcast(tot)).filter(
+        F.col("t") < F.col("n")
+    ).select(
+        "day",
+        "t",
+        (
+            F.col("w2").cast("decimal(38,0)")
+            - F.col("t").cast("decimal(38,0)") * (F.col("t") + 1)
+            - F.col("t").cast("decimal(38,0)") * (F.col("n") - F.col("t"))
+        ).cast("decimal(38,0)").alias("ut"),
+        "n",
+    ).localCheckpoint(eager=False)
+    mx = u.agg(
+        F.max(F.abs(F.col("ut"))).cast("decimal(38,0)").alias("k"),
+        F.first("n").alias("n"),
+    )
+    pick = u.crossJoin(F.broadcast(mx.select("k"))).filter(
+        F.abs(F.col("ut")) == F.col("k")
+    ).agg(
+        F.min("day").alias("change_day"),
+        F.min("t").cast("long").alias("change_t"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    return mx.crossJoin(F.broadcast(pick)).select(
+        F.col("n").alias("n_days"),
+        F.col("k").cast("long").alias("pettitt_k"),
+        "change_day",
+        "change_t",
+        F.round(
+            2.0
+            * F.exp(
+                -6.0 * kd * kd
+                / (nd * F.col("n") * F.col("n") + nd * F.col("n"))
+            ),
+            8,
+        ).alias("p_approx"),
+    )

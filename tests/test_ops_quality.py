@@ -9438,3 +9438,168 @@ def test_record_counts_matches_bruteforce(spark):
     assert abs(r["z_up"] - _round_hu((up - hn) / sd, 4)) < 1e-6
     assert abs(r["z_dn"] - _round_hu((dn - hn) / sd, 4)) < 1e-6
     assert r["rec_up"] >= 1 and r["rec_dn"] >= 1
+
+
+def test_pettitt_matches_bruteforce(spark):
+    """x573: brute-force the O(n^2) sign double-sum at sf0.001 and
+    compare K, the change day and the p approximation; invariants:
+    p in (0, 2], 1 <= change_t < n."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x573_pettitt_test,
+    )
+
+    daily = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        daily[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+    days = sorted(daily)
+    ys = [daily[d] for d in days]
+    n = len(ys)
+    best_k = -1
+    best_day = None
+    best_t = None
+    ut = 0
+    # O(n^2) incremental: U_t = U_{t-1} + sum_j sgn(x_t - x_j)... use
+    # direct double sum per t (n ~ 1100 at sf0.001, fine).
+    for t in range(1, n):
+        u = sum(
+            (0 if ys[j] == ys[i] else (1 if ys[j] > ys[i] else -1))
+            for i in range(t)
+            for j in range(t, n)
+        )
+        if abs(u) > best_k:
+            best_k = abs(u)
+            best_day = days[t - 1]
+            best_t = t
+    p = 2.0 * math.exp(
+        -6.0 * best_k * best_k / (float(n) ** 3 + float(n) ** 2)
+    )
+    r = x573_pettitt_test(spark, SF).collect()[0]
+    assert r["n_days"] == n
+    assert r["pettitt_k"] == best_k
+    assert r["change_day"] == best_day
+    assert r["change_t"] == best_t
+    assert abs(r["p_approx"] - _round_hu(p, 8)) < 1e-9
+    assert 0.0 < r["p_approx"] <= 2.0
+    assert 1 <= r["change_t"] < n
+
+
+def test_anderson_darling_2s_matches_replay(spark):
+    """x574: replay the Scholz-Stephens midrank A2 and the exact
+    small-sample variance (harmonics included); invariants:
+    A2 > 0, sigma > 0."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x574_anderson_darling_2s,
+    )
+
+    daily = defaultdict(int)
+    grp = {}
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        daily[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+        grp[d] = 1 if d.isoweekday() in (6, 7) else 2
+    from collections import Counter
+
+    f1 = Counter(daily[d] for d in daily if grp[d] == 1)
+    f2 = Counter(daily[d] for d in daily if grp[d] == 2)
+    vals = sorted(set(daily.values()))
+    n1, n2 = sum(f1.values()), sum(f2.values())
+    n = n1 + n2
+    bb = c1b = c2b = 0
+    s1 = s2 = 0.0
+    for v in vals:
+        g1, g2 = f1.get(v, 0), f2.get(v, 0)
+        l = g1 + g2
+        b4 = 4 * bb + 2 * l
+        den4 = 4 * n * b4 - b4 * b4 - 4 * n * l
+        m41 = 4 * c1b + 2 * g1
+        m42 = 4 * c2b + 2 * g2
+        s1 += _round_hu(l * float(n * m41 - n1 * b4) ** 2 / den4, 8)
+        s2 += _round_hu(l * float(n * m42 - n2 * b4) ** 2 / den4, 8)
+        bb += l
+        c1b += g1
+        c2b += g2
+    a2 = (n - 1.0) / (float(n) * n) * (s1 / n1 + s2 / n2)
+    hts = []
+    acc = 0.0
+    for t in range(1, n + 1):
+        acc += _round_hu(1.0 / t, 14)
+        hts.append(acc)
+    h = hts[n - 2]
+    g = sum(
+        _round_hu((1.0 / j) * (h - hts[n - j - 1]), 14)
+        for j in range(2, n)
+    )
+    hcap = 1.0 / n1 + 1.0 / n2
+    a = (4.0 * g - 6.0) * (2.0 - 1.0) + (10.0 - 6.0 * g) * hcap
+    b = (
+        (2.0 * g - 4.0) * 4.0
+        + 8.0 * h * 2.0
+        + (2.0 * g - 14.0 * h - 4.0) * hcap
+        - 8.0 * h
+        + 4.0 * g
+        - 6.0
+    )
+    c = (
+        (6.0 * h + 2.0 * g - 2.0) * 4.0
+        + (4.0 * h - 4.0 * g + 6.0) * 2.0
+        + (2.0 * h - 6.0) * hcap
+        + 4.0 * h
+    )
+    d = (2.0 * h + 6.0) * 4.0 - 4.0 * h * 2.0
+    var = (a * float(n) ** 3 + b * float(n) ** 2 + c * n + d) / (
+        (n - 1.0) * (n - 2.0) * (n - 3.0)
+    )
+    r = x574_anderson_darling_2s(spark, SF).collect()[0]
+    assert (r["n_weekend"], r["n_weekday"]) == (n1, n2)
+    assert abs(r["ad2_a2"] - _round_hu(a2, 6)) < 1e-6
+    assert abs(r["sigma_a2"] - _round_hu(math.sqrt(var), 6)) < 1e-6
+    assert abs(
+        r["ad2_t"] - _round_hu((a2 - 1.0) / math.sqrt(var), 4)
+    ) < 1e-4
+    assert r["ad2_a2"] > 0
+    assert r["sigma_a2"] > 0
+
+
+def test_ngram_overlap_curve_matches_bruteforce(spark):
+    """x575: rebuild the 5 containment points in Python; invariants:
+    containment nonincreasing in n, all in [0,1]."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x575_ngram_overlap_curve,
+    )
+
+    docs = [
+        (rr["doc_id"], rr["text"].lower().split(" "))
+        for rr in load_table(spark, SF, "documents").collect()
+    ]
+    mn = min(d for d, _ in docs)
+    mx = max(d for d, _ in docs)
+    rows = {
+        r["ngram_size"]: r
+        for r in x575_ngram_overlap_curve(spark, SF).collect()
+    }
+    assert len(rows) == 5
+    prev = 2.0
+    for n in range(1, 6):
+        early, late = set(), set()
+        for did, ws in docs:
+            if len(ws) < n:
+                continue
+            grams = {
+                " ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)
+            }
+            (early if did * 2 <= mn + mx else late).update(grams)
+        seen = len(late & early)
+        r = rows[n]
+        assert r["n_grams_late"] == len(late)
+        assert r["n_seen_early"] == seen
+        assert abs(
+            r["containment"] - _round_hu(seen / len(late), 6)
+        ) < 1e-9
+        assert 0.0 <= r["containment"] <= 1.0
+        assert r["containment"] <= prev + 1e-9
+        prev = r["containment"]
