@@ -7387,3 +7387,176 @@ def x575_ngram_overlap_curve(
             6,
         ).alias("containment"),
     ).orderBy("ngram_size")
+
+
+_X577_ORACLE = """
+WITH per_doc AS (
+  SELECT doc_id,
+         CAST(len(l) AS BIGINT) AS toks,
+         ROUND(CASE WHEN len(l) < 3 THEN 0.0
+               ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                      range(1, len(l) - 1),
+                      i -> array_to_string(l[i:i + 2], ' ')
+                    ))) AS DOUBLE) / (len(l) - 2) END, 8) AS rep
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+        FROM documents)
+),
+rk AS (
+  SELECT doc_id, toks, rep,
+         row_number() OVER (ORDER BY toks, doc_id) AS rn
+  FROM per_doc
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(toks) AS HUGEINT) AS st,
+         CAST(SUM(CAST(toks AS HUGEINT) * toks) AS HUGEINT) AS stt,
+         CAST(SUM(CAST(rep AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sr,
+         CAST(SUM(CAST(round(rep * rep, 16) AS DECIMAL(38,16)))
+              AS DECIMAL(38,16)) AS srr,
+         CAST(SUM(CAST(round(toks * rep, 8) AS DECIMAL(38,8)))
+              AS DECIMAL(38,8)) AS str
+  FROM per_doc
+),
+corr AS (
+  SELECT ROUND(
+    (CAST(t.n AS DOUBLE) * CAST(t.str AS DOUBLE)
+     - CAST(t.st AS DOUBLE) * CAST(t.sr AS DOUBLE))
+    / sqrt((CAST(t.n AS DOUBLE) * CAST(t.stt AS DOUBLE)
+            - CAST(t.st AS DOUBLE) * CAST(t.st AS DOUBLE))
+           * (CAST(t.n AS DOUBLE) * CAST(t.srr AS DOUBLE)
+              - CAST(t.sr AS DOUBLE) * CAST(t.sr AS DOUBLE))), 6)
+    AS corr_len_rep
+  FROM tot t
+),
+bucketed AS (
+  SELECT r.toks, r.rep,
+         CAST(((r.rn - 1) * 10) // t.n + 1 AS BIGINT) AS decile
+  FROM rk r, tot t
+)
+SELECT b.decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(b.toks AS HUGEINT)) AS DOUBLE)
+             / count(*), 4) AS avg_toks,
+       ROUND(CAST(SUM(CAST(b.rep AS DECIMAL(38,8)))
+                  AS DOUBLE) / count(*), 6) AS avg_repetition,
+       MAX(c.corr_len_rep) AS corr_len_rep
+FROM bucketed b, corr c
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "x577_length_bias_audit",
+    _X577_ORACLE,
+    doc="Length-bias audit of the repetition quality signal: per "
+        "length-decile (exact rank bucketing over (tokens, doc_id) "
+        "-- a total order) the mean within-doc trigram repetition "
+        "ratio, plus the corpus Pearson correlation between length "
+        "and repetition -- the FAIRNESS check on a filter: if "
+        "x127-style repetition rises mechanically with length, a "
+        "fixed repetition cutoff silently becomes a length cutoff "
+        "and the curated corpus (x23/x119) loses its long "
+        "documents; this measures that confound before a "
+        "threshold is chosen. Exactness: repetition = 1 - "
+        "distinct/total positional trigrams, in-row HOFs (x127's "
+        "shape), round 8 BEFORE any cross-row use; decile "
+        "bucketing is exact integer arithmetic on the global row "
+        "number; correlation moments accumulate rounded values in "
+        "DECIMAL(38,8)/(38,16). Scale: one tokenize pass, a "
+        "distributed row_number, one grouped rollup",
+)
+def x577_length_bias_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ...scale import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        F.split(F.lower(F.col("text")), " ").alias("l"),
+    ).select(
+        "doc_id",
+        F.size("l").cast("long").alias("toks"),
+        F.round(
+            F.when(F.size("l") < 3, F.lit(0.0)).otherwise(
+                1.0
+                - F.expr(
+                    "CAST(size(array_distinct(transform("
+                    "sequence(1, size(l) - 2),"
+                    " i -> array_join(slice(l, i, 3), ' ')))) AS DOUBLE)"
+                )
+                / (F.size("l") - 2)
+            ),
+            8,
+        ).alias("rep"),
+    ).localCheckpoint(eager=False)
+    rk = global_row_number(per_doc, ["toks", "doc_id"], "rn")
+    dec8 = lambda c: c.cast("decimal(38,8)")  # noqa: E731
+    tot = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("toks").cast("decimal(38,0)").alias("st"),
+        F.sum(F.col("toks").cast("decimal(38,0)") * F.col("toks"))
+        .cast("decimal(38,0)")
+        .alias("stt"),
+        F.sum(dec8(F.col("rep"))).cast("decimal(38,8)").alias("sr"),
+        F.sum(
+            F.round(F.col("rep") * F.col("rep"), 16).cast(
+                "decimal(38,16)"
+            )
+        ).cast("decimal(38,16)").alias("srr"),
+        F.sum(
+            F.round(F.col("toks") * F.col("rep"), 8).cast(
+                "decimal(38,8)"
+            )
+        ).cast("decimal(38,8)").alias("str"),
+    )
+    nd = F.col("n").cast("double")
+    corr = tot.select(
+        "n",
+        F.round(
+            (
+                nd * F.col("str").cast("double")
+                - F.col("st").cast("double") * F.col("sr").cast("double")
+            )
+            / F.sqrt(
+                (
+                    nd * F.col("stt").cast("double")
+                    - F.col("st").cast("double")
+                    * F.col("st").cast("double")
+                )
+                * (
+                    nd * F.col("srr").cast("double")
+                    - F.col("sr").cast("double")
+                    * F.col("sr").cast("double")
+                )
+            ),
+            6,
+        ).alias("corr_len_rep"),
+    )
+    b = rk.crossJoin(F.broadcast(corr)).select(
+        "toks",
+        "rep",
+        "corr_len_rep",
+        F.expr("((rn - 1) * 10) div n").cast("long").alias(
+            "decile0"
+        ),
+    ).select(
+        "toks",
+        "rep",
+        "corr_len_rep",
+        (F.col("decile0") + 1).alias("decile"),
+    )
+    return b.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.col("toks").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_toks"),
+        F.round(
+            F.sum(dec8(F.col("rep"))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_repetition"),
+        F.max("corr_len_rep").alias("corr_len_rep"),
+    ).orderBy("decile")

@@ -2193,3 +2193,140 @@ def x573_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("p_approx"),
     )
+
+
+_X576_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         isodow(CAST(o_orderdate AS DATE)) - 1 AS wd,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END)
+              AS HUGEINT) AS s_stat
+  FROM daily a JOIN daily b
+    ON b.wd = a.wd AND b.day > a.day
+),
+grp AS (
+  SELECT wd, CAST(count(*) AS BIGINT) AS n_w
+  FROM daily GROUP BY 1
+),
+ties AS (
+  SELECT wd, y, CAST(count(*) AS BIGINT) AS t
+  FROM daily GROUP BY 1, 2
+),
+v AS (
+  SELECT CAST(SUM(n_w * (n_w - 1) * (2 * n_w + 5)) AS HUGEINT) AS a
+  FROM grp
+),
+tv AS (
+  SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS HUGEINT) AS b
+  FROM ties
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+f AS (
+  SELECT t.n, s.s_stat,
+         CAST(v.a - tv.b AS HUGEINT) AS var18,
+         CAST(v.a - tv.b AS DOUBLE) / 18.0 AS var_s
+  FROM s, v, tv, tot t
+)
+SELECT n AS n_days,
+       CAST(s_stat AS BIGINT) AS s_stat,
+       CAST(var18 AS BIGINT) AS var18,
+       ROUND(CASE WHEN s_stat > 0
+                  THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+                  WHEN s_stat < 0
+                  THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+                  ELSE 0.0 END, 4) AS smk_z
+FROM f
+"""
+
+
+@register(
+    "x576_seasonal_mann_kendall",
+    _X576_ORACLE,
+    doc="Seasonal Mann-Kendall trend test on daily revenue with "
+        "weekday strata (Hirsch-Slack): S = sum over SAME-WEEKDAY "
+        "day pairs of sgn(later - earlier), tie-corrected variance "
+        "summed across the 7 strata, continuity-corrected z -- the "
+        "trend test that cannot be fooled by the weekly CYCLE "
+        "x384's all-pairs S conflates with trend (a flat series "
+        "with strong weekday seasonality biases plain MK; "
+        "stratifying compares Mondays only with Mondays), the "
+        "seasonal-data standard in environmental statistics. "
+        "Exactness: S and the 18-scaled variance are exact "
+        "integers (x384's discipline per stratum, summed); one "
+        "double sqrt at the end. Scale: the pair join is "
+        "stratified day-domain x day-domain (~7 * C(350,2), "
+        "bounded by the calendar, constant in SF)",
+)
+def x576_seasonal_mann_kendall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    ).select(
+        "day", F.expr("weekday(day)").cast("long").alias("wd"), "y"
+    ).localCheckpoint(eager=False)
+    a = daily.select(
+        F.col("wd").alias("wa"), F.col("day").alias("da"),
+        F.col("y").alias("ya"),
+    )
+    b = daily.select(
+        F.col("wd").alias("wb"), F.col("day").alias("db"),
+        F.col("y").alias("yb"),
+    )
+    s = a.join(
+        b, (F.col("wb") == F.col("wa")) & (F.col("db") > F.col("da"))
+    ).agg(
+        F.sum(
+            F.when(F.col("yb") > F.col("ya"), 1)
+            .when(F.col("yb") < F.col("ya"), -1)
+            .otherwise(0)
+        ).cast("decimal(38,0)").alias("s_stat")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    grp = daily.groupBy("wd").agg(
+        F.count(F.lit(1)).cast("long").alias("n_w")
+    )
+    va = grp.agg(
+        F.sum(
+            dec(F.col("n_w")) * (F.col("n_w") - 1) * (2 * F.col("n_w") + 5)
+        ).cast("decimal(38,0)").alias("a")
+    )
+    ties = daily.groupBy("wd", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    tv = ties.agg(
+        F.sum(
+            dec(F.col("t")) * (F.col("t") - 1) * (2 * F.col("t") + 5)
+        ).cast("decimal(38,0)").alias("b")
+    )
+    tot = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    f = (
+        s.crossJoin(F.broadcast(va))
+        .crossJoin(F.broadcast(tv))
+        .crossJoin(F.broadcast(tot))
+    )
+    var18 = (F.col("a") - F.col("b")).cast("decimal(38,0)")
+    var_s = var18.cast("double") / 18.0
+    sd = F.col("s_stat").cast("double")
+    return f.select(
+        F.col("n").alias("n_days"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        var18.cast("long").alias("var18"),
+        F.round(
+            F.when(F.col("s_stat") > 0, (sd - 1.0) / F.sqrt(var_s))
+            .when(F.col("s_stat") < 0, (sd + 1.0) / F.sqrt(var_s))
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("smk_z"),
+    )

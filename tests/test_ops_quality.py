@@ -9603,3 +9603,113 @@ def test_ngram_overlap_curve_matches_bruteforce(spark):
         assert 0.0 <= r["containment"] <= 1.0
         assert r["containment"] <= prev + 1e-9
         prev = r["containment"]
+
+
+def test_seasonal_mann_kendall_matches_bruteforce(spark):
+    """x576: brute-force every same-weekday day pair; invariants:
+    var18 > 0, |S| <= total pair count, z sign = S sign."""
+    from collections import Counter, defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x576_seasonal_mann_kendall,
+    )
+
+    daily = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        daily[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+    strata = defaultdict(list)
+    for d in sorted(daily):
+        strata[d.isoweekday() - 1].append(daily[d])
+    s = 0
+    var18 = 0
+    total_pairs = 0
+    for wd, ys in strata.items():
+        nw = len(ys)
+        total_pairs += nw * (nw - 1) // 2
+        for i in range(nw):
+            for j in range(i + 1, nw):
+                s += (ys[j] > ys[i]) - (ys[j] < ys[i])
+        var18 += nw * (nw - 1) * (2 * nw + 5)
+        for t in Counter(ys).values():
+            var18 -= t * (t - 1) * (2 * t + 5)
+    var_s = var18 / 18.0
+    z = (
+        (s - 1.0) / math.sqrt(var_s)
+        if s > 0
+        else ((s + 1.0) / math.sqrt(var_s) if s < 0 else 0.0)
+    )
+    r = x576_seasonal_mann_kendall(spark, SF).collect()[0]
+    assert r["n_days"] == len(daily)
+    assert r["s_stat"] == s
+    assert r["var18"] == var18
+    assert abs(r["smk_z"] - _round_hu(z, 4)) < 1e-6
+    assert r["var18"] > 0
+    assert abs(r["s_stat"]) <= total_pairs
+    assert (r["smk_z"] >= 0) == (s >= 0)
+
+
+def test_length_bias_audit_matches_bruteforce(spark):
+    """x577: full Python replay of trigram repetition, decile
+    bucketing and the length-repetition correlation; invariants:
+    deciles partition the corpus, avg_toks nondecreasing,
+    corr in [-1,1]."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x577_length_bias_audit,
+    )
+
+    per = []
+    for rr in load_table(spark, SF, "documents").collect():
+        ws = rr["text"].lower().split(" ")
+        toks = len(ws)
+        if toks < 3:
+            rep = 0.0
+        else:
+            tris = [" ".join(ws[i:i + 3]) for i in range(toks - 2)]
+            rep = 1.0 - len(set(tris)) / (toks - 2)
+        per.append((toks, rr["doc_id"], _round_hu(rep, 8)))
+    per.sort()
+    n = len(per)
+    import decimal
+
+    st = sum(t for t, _, _ in per)
+    stt = sum(t * t for t, _, _ in per)
+    sr = float(sum(decimal.Decimal(repr(r)) for _, _, r in per))
+    srr = float(
+        sum(decimal.Decimal(repr(_round_hu(r * r, 16))) for _, _, r in per)
+    )
+    strx = float(
+        sum(
+            decimal.Decimal(repr(_round_hu(t * r, 8)))
+            for t, _, r in per
+        )
+    )
+    corr = (n * strx - st * sr) / math.sqrt(
+        (n * stt - st * st) * (n * srr - sr * sr)
+    )
+    rows = {
+        r["decile"]: r for r in x577_length_bias_audit(spark, SF).collect()
+    }
+    assert len(rows) == 10
+    prev = -1.0
+    covered = 0
+    for k in range(1, 11):
+        grp = [
+            per[rn - 1]
+            for rn in range(1, n + 1)
+            if ((rn - 1) * 10) // n + 1 == k
+        ]
+        r = rows[k]
+        assert r["n_docs"] == len(grp)
+        covered += r["n_docs"]
+        at = sum(t for t, _, _ in grp) / len(grp)
+        ar = float(
+            sum(decimal.Decimal(repr(rr)) for _, _, rr in grp)
+        ) / len(grp)
+        assert abs(r["avg_toks"] - _round_hu(at, 4)) < 1e-6
+        assert abs(r["avg_repetition"] - _round_hu(ar, 6)) < 1e-6
+        assert abs(r["corr_len_rep"] - _round_hu(corr, 6)) < 1e-6
+        assert r["avg_toks"] >= prev
+        prev = r["avg_toks"]
+    assert covered == n
+    assert -1.0 <= rows[1]["corr_len_rep"] <= 1.0
