@@ -236,3 +236,42 @@ def test_x104_warm_edge_table_matches_cold(spark):
         assert graph.copurchase_edge_table_name("/other/sf") != tbl
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_prefix_sum_negative_and_large_magnitudes(spark):
+    """The mapInPandas cumsum path must stay exact for NEGATIVE
+    values and magnitudes far above float53 (the n-scaled centering
+    integers several entries feed through day-domain prefix sums are
+    ~1e17 at sf100): int64 arithmetic end-to-end, no silent float
+    round-trip."""
+    from pyspark.sql.window import Window
+
+    big = 1 << 40
+    df = spark.range(2_000).select(
+        F.col("id").alias("k"),
+        (
+            F.when(F.col("id") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+            * (F.col("id") % 1000 + 1)
+            * F.lit(big)
+        ).cast("long").alias("v"),
+    )
+    w = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expected = {
+        (r.k, r.s)
+        for r in df.select(
+            "k", F.sum("v").over(w).cast("long").alias("s")
+        ).collect()
+    }
+    got = {
+        (r.k, r.s)
+        for r in scale.prefix_sum(df.repartition(9), "k", "v", "s")
+        .select("k", F.col("s").cast("long"))
+        .collect()
+    }
+    assert got == expected
+    # alternating signs keep the running total bounded while every
+    # element is ~2^50 -- the cumsum never leaves int64, and the final
+    # value is the exact alternating-series tail, not a float artifact
+    assert any(abs(s) > (1 << 49) for _, s in got)
