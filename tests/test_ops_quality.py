@@ -138,21 +138,26 @@ def test_ivf_topk_recall_vs_brute_force(emb):
 
 
 def test_lsh_neardup_recall_and_exactness_vs_exact_scan(emb):
-    """x28 (banded candidates -> exact scoring) vs x09 (exact all-pairs):
-    every pair x28 emits must carry the exact cosine (so it is a strict
-    subset of the exact result), and recall must clear the LSH band
-    bound for this fixture."""
+    """x28 (banded candidates -> exact scoring) vs x09 (exact all-pairs),
+    driven exactly as the registered entry runs it since round 9 --
+    (n_planes, n_bands) from the lsh_params_for(count, 0.4, 0.95)
+    deployment schedule: every pair x28 emits must carry the exact
+    cosine (a strict subset of the exact result), and recall must clear
+    the schedule's analytic 0.95-survival bound with margin."""
     exact = {
         (r.id_a, r.id_b): r.sim
         for r in similarity.cosine_neardup_pairs(
             emb, "vec_id", "embedding", threshold=0.4
         ).collect()
     }
+    n_planes, n_bands = similarity.lsh_params_for(
+        emb.count(), threshold=0.4, target_recall=0.95
+    )
     approx = {
         (r.id_a, r.id_b): r.sim
         for r in similarity.lsh_neardup_pairs(
             emb, "vec_id", "embedding",
-            dim=64, threshold=0.4, n_planes=16, n_bands=8,
+            dim=64, threshold=0.4, n_planes=n_planes, n_bands=n_bands,
         ).collect()
     }
     assert exact, "fixture should contain near-dup pairs at 0.4"
@@ -161,9 +166,32 @@ def test_lsh_neardup_recall_and_exactness_vs_exact_scan(emb):
         assert pair in exact
         assert sim == pytest.approx(exact[pair], abs=1e-4)
     recall = len(set(approx) & set(exact)) / len(exact)
-    # band_width=2 at cosine>=0.4 gives pair-survival p>=0.98; measured
-    # 1.0 deterministic on the fixture -- leave margin for none
+    # the schedule guarantees per-pair survival >= 0.95 at cosine
+    # exactly 0.4 (higher above); gate at 0.9 for sampling margin
     assert recall >= 0.9
+
+
+def test_lsh_neardup_fixed_params_retired_form_still_subset(emb):
+    """The round-8 fixed (16 planes, 8 bands) form -- retired from the
+    registry in round 9 in favor of the lsh_params_for schedule -- must
+    keep its subset/exactness contract for anyone pinning parameters by
+    hand; the scheduled form's candidate set is the scale-safe one."""
+    exact = {
+        (r.id_a, r.id_b): r.sim
+        for r in similarity.cosine_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    fixed = {
+        (r.id_a, r.id_b): r.sim
+        for r in similarity.lsh_neardup_pairs(
+            emb, "vec_id", "embedding",
+            dim=64, threshold=0.4, n_planes=16, n_bands=8,
+        ).collect()
+    }
+    for pair, sim in fixed.items():
+        assert pair in exact
+        assert sim == pytest.approx(exact[pair], abs=1e-4)
 
 
 def test_ann_scoring_never_collects_corpus(monkeypatch, emb):
