@@ -918,7 +918,9 @@ fit AS (
 ),
 g AS (
   SELECT b.s, b.n_g, b.o_g,
-         ROUND(fit.pbar + fit.slope * (b.s - fit.sbar), 10) AS p_hat
+         ROUND(LEAST(GREATEST(
+                 fit.pbar + fit.slope * (b.s - fit.sbar),
+                 1e-6), 1 - 1e-6), 10) AS p_hat
   FROM b, fit
 ),
 contrib AS (
@@ -995,8 +997,20 @@ def x553_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s",
         "n_g",
         "o_g",
+        # clamp into (1e-6, 1-1e-6) on BOTH engines: a fixture with a
+        # steep fitted trend could push the linear-model p_hat out of
+        # (0,1) and flip the E_g*(1-p_hat) denominator non-positive --
+        # a defect the hash gate cannot see because both engines would
+        # agree on the garbage
         F.round(
-            F.col("pbar") + F.col("slope") * (F.col("s") - F.col("sbar")),
+            F.least(
+                F.greatest(
+                    F.col("pbar")
+                    + F.col("slope") * (F.col("s") - F.col("sbar")),
+                    F.lit(1e-6),
+                ),
+                F.lit(1.0) - F.lit(1e-6),
+            ),
             10,
         ).alias("p_hat"),
     )
@@ -1514,7 +1528,9 @@ fit AS (
 ),
 g AS (
   SELECT b.s, b.n_g, b.o_g,
-         ROUND(fit.pbar + fit.slope * (b.s - fit.sbar), 10) AS p,
+         ROUND(LEAST(GREATEST(
+                 fit.pbar + fit.slope * (b.s - fit.sbar),
+                 1e-6), 1 - 1e-6), 10) AS p,
          fit.nd
   FROM b, fit
 ),
@@ -1595,8 +1611,18 @@ def x564_spiegelhalter_z(
         "n_g",
         "o_g",
         "nd",
+        # same (1e-6, 1-1e-6) clamp as x553: keeps p(1-p) in the z
+        # denominator strictly positive even if a fixture's fitted
+        # trend escapes (0,1)
         F.round(
-            F.col("pbar") + F.col("slope") * (F.col("s") - F.col("sbar")),
+            F.least(
+                F.greatest(
+                    F.col("pbar")
+                    + F.col("slope") * (F.col("s") - F.col("sbar")),
+                    F.lit(1e-6),
+                ),
+                F.lit(1.0) - F.lit(1e-6),
+            ),
             10,
         ).alias("p"),
     )

@@ -7176,7 +7176,7 @@ bal AS (
 SELECT CAST(8 AS BIGINT) AS n_shards,
        chi.cells,
        ROUND(CAST(chi.chi2 AS DOUBLE), 4) AS chi2_homogeneity,
-       CAST(chi.cells - 8 - (chi.cells / 8) + 1 AS BIGINT) AS df,
+       CAST(chi.cells - 8 - (chi.cells // 8) + 1 AS BIGINT) AS df,
        ROUND(bal.tok_imbalance, 6) AS token_imbalance_ratio
 FROM chi, bal
 """
@@ -7263,8 +7263,11 @@ def x570_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_homogeneity"
         ),
         (
-            F.col("cells") - 8 - (F.col("cells") / F.lit(8)).cast("long")
-            + 1
+            # integer floor-div on BOTH engines (// in DuckDB, div
+            # here): the /-then-cast pattern was value-safe only
+            # because cells is a multiple of 8 (full margin cross
+            # join), an invariant the expression shouldn't rely on
+            F.col("cells") - 8 - F.expr("cells div 8") + 1
         ).cast("long").alias("df"),
         F.round("tok_imbalance", 6).alias("token_imbalance_ratio"),
     )

@@ -236,9 +236,14 @@ FROM dl
         "HUGEINT/DECIMAL sums, n^2 cancels in r_k); each r_k "
         "rounds 10 BEFORE the recursion so both engines run the "
         "identical fixed-order double algebra; calendar equi-join "
-        "lag pairing (gap days drop pairs, stated). Scale: one "
-        "day-grain aggregate, 3 day-domain equi-joins, constant "
-        "algebra",
+        "lag pairing (gap days drop pairs, stated). Precondition "
+        "(stated, like x547's DECIMAL38 bound): pacf3's "
+        "denominator is the AR(2) innovation ratio 1 - phi1*r1 - "
+        "phi2*r2, emitted alongside and replay-asserted in (0,1] "
+        "-- a series the AR(2) fits PERFECTLY (ratio = 0) has no "
+        "defined lag-3 partial; both engines would emit the same "
+        "non-finite sentinel. Scale: one day-grain aggregate, 3 "
+        "day-domain equi-joins, constant algebra",
 )
 def x546_yule_walker_pacf(
     spark: SparkSession, sf_dir: str
@@ -1670,7 +1675,7 @@ lrv AS (
          GREATEST((CAST(g0.n0 AS DOUBLE)
                    + 2.0 * SUM((1.0 - CAST(num.lag AS DOUBLE) / 6.0)
                                * CAST(num.nk AS DOUBLE)))
-                  / (CAST(t.n AS DOUBLE) * t.n * t.n), 0.0) AS v
+                  / (CAST(t.n AS DOUBLE) * t.n * t.n), 1e-12) AS v
   FROM num, g0, tot t
   GROUP BY t.n, g0.n0
 )
@@ -1777,7 +1782,11 @@ def x568_kpss_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.first("n")
                 * F.first("n")
             ),
-            F.lit(0.0),
+            # tiny POSITIVE floor (not 0): eta divides by v, and a
+            # calendar-gap-degenerate series driving the Bartlett lrv
+            # to exactly 0 must yield a huge finite eta (declared
+            # behavior), not an incidental Inf/NULL divergence
+            F.lit(1e-12),
         ).alias("v"),
     )
     j = lrv.crossJoin(F.broadcast(ss))
