@@ -1939,3 +1939,384 @@ def x574_anderson_darling_2s(
         F.round(F.sqrt(var_a2), 6).alias("sigma_a2"),
         F.round((a2 - 1.0) / F.sqrt(var_a2), 4).alias("ad2_t"),
     )
+
+
+_X580_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS stratum,
+         CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS t,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem
+),
+strata AS (
+  SELECT stratum,
+         CAST(count(*) AS BIGINT) AS n_s,
+         CAST(SUM(t) AS BIGINT) AS n1,
+         CAST(count(*) - SUM(t) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT)
+           AS sum1,
+         CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT)
+           AS sum0
+  FROM base GROUP BY 1
+),
+pos AS (SELECT * FROM strata WHERE n1 > 0 AND n0 > 0),
+tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM pos),
+naive AS (
+  SELECT ROUND(CAST(SUM(sum1) AS DOUBLE) / CAST(SUM(n1) AS DOUBLE)
+               - CAST(SUM(sum0) AS DOUBLE) / CAST(SUM(n0) AS DOUBLE),
+               6) AS ate_naive
+  FROM pos
+),
+rows_ AS (
+  SELECT p.stratum, p.n_s, p.n1, p.n0,
+         ROUND(CAST(p.n1 AS DOUBLE) / CAST(p.n_s AS DOUBLE), 6)
+           AS p_treat,
+         ROUND(CAST(p.sum1 AS DOUBLE) / CAST(p.n1 AS DOUBLE), 4)
+           AS mean_treated,
+         ROUND(CAST(p.sum0 AS DOUBLE) / CAST(p.n0 AS DOUBLE), 4)
+           AS mean_control,
+         ROUND(CAST(p.sum1 AS DOUBLE) / CAST(p.n1 AS DOUBLE)
+               - CAST(p.sum0 AS DOUBLE) / CAST(p.n0 AS DOUBLE), 4)
+           AS ate_s,
+         ROUND((CAST(p.n_s AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * (CAST(p.sum1 AS DOUBLE) / CAST(p.n1 AS DOUBLE)
+                  - CAST(p.sum0 AS DOUBLE) / CAST(p.n0 AS DOUBLE)),
+               10) AS contrib
+  FROM pos p, tot t
+)
+SELECT stratum, n_s, n1, n0, p_treat, mean_treated, mean_control,
+       ate_s,
+       ROUND(CAST(SUM(CAST(contrib AS DECIMAL(38,10)))
+               OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING) AS DOUBLE), 4)
+         AS ate_stratified,
+       nv.ate_naive
+FROM rows_, naive nv
+ORDER BY stratum
+"""
+
+
+@register(
+    "x580_ipw_stratified_ate",
+    _X580_ORACLE,
+    doc="Propensity-STRATIFIED average treatment effect, closed "
+        "form: treatment = promo-tier discount (>= 0.05), outcome "
+        "= quantity, strata = return flag; within each positivity- "
+        "satisfying stratum (n1 > 0 AND n0 > 0 -- off-support "
+        "strata are EXCLUDED, the IPW positivity assumption made "
+        "explicit) the stratum propensity is exactly n1/n_s, so "
+        "the IPW estimator sum[T y / p - (1-T) y / (1-p)] / n "
+        "collapses ALGEBRAICALLY to the stratified difference "
+        "sum_s (n_s/n)(mean1_s - mean0_s) -- no iterative logistic "
+        "fit, the estimand a causal-curation audit wants when "
+        "comparing corpus slices that self-select into treatment; "
+        "the unadjusted pooled difference rides beside it as "
+        "ate_naive so the confounding correction is visible. "
+        "Exactness: all counts/sums are exact integers; each "
+        "stratum contribution rounds 10 into DECIMAL before the "
+        "cross-strata window sum (order-proof); divisions in "
+        "double. Scale: ONE corpus groupBy to |return flags| = 3 "
+        "strata, constant algebra after",
+)
+def x580_ipw_stratified_ate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("stratum"),
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("t"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    strata = base.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("t").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("t")).cast("long").alias("n0"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sum1"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sum0"),
+    )
+    pos = strata.filter((F.col("n1") > 0) & (F.col("n0") > 0))
+    tot = pos.agg(F.sum("n_s").cast("long").alias("n"))
+    naive = pos.agg(
+        F.round(
+            F.sum("sum1").cast("double") / F.sum("n1").cast("double")
+            - F.sum("sum0").cast("double")
+            / F.sum("n0").cast("double"),
+            6,
+        ).alias("ate_naive")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean1 = d("sum1") / d("n1")
+    mean0 = d("sum0") / d("n0")
+    rows = pos.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_s",
+        "n1",
+        "n0",
+        F.round(d("n1") / d("n_s"), 6).alias("p_treat"),
+        F.round(mean1, 4).alias("mean_treated"),
+        F.round(mean0, 4).alias("mean_control"),
+        F.round(mean1 - mean0, 4).alias("ate_s"),
+        F.round(
+            (d("n_s") / d("n")) * (mean1 - mean0), 10
+        ).alias("contrib"),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        rows.crossJoin(F.broadcast(naive))
+        .select(
+            "stratum",
+            "n_s",
+            "n1",
+            "n0",
+            "p_treat",
+            "mean_treated",
+            "mean_control",
+            "ate_s",
+            F.round(
+                F.sum(F.col("contrib").cast("decimal(38,10)"))
+                .over(w)
+                .cast("double"),
+                4,
+            ).alias("ate_stratified"),
+            "ate_naive",
+        )
+        .orderBy("stratum")
+    )
+
+
+_X581_ORACLE = """
+WITH daily AS MATERIALIZED (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT CAST(abs(a.y - b.y) AS HUGEINT) AS dx,
+         CAST(date_diff('day', a.day, b.day) AS HUGEINT) AS dy
+  FROM daily a JOIN daily b ON b.day > a.day
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS m,
+         CAST(SUM(dx) AS HUGEINT) AS sx,
+         CAST(SUM(dy) AS HUGEINT) AS sy,
+         CAST(SUM(dx * dx) AS HUGEINT) AS sxx,
+         CAST(SUM(dy * dy) AS HUGEINT) AS syy,
+         CAST(SUM(dx * dy) AS HUGEINT) AS sxy
+  FROM pairs
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+r AS (
+  SELECT CAST(m * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                * CAST(m * syy - sy * sy AS DOUBLE)) AS mr,
+         CAST(m AS BIGINT) AS m
+  FROM s
+)
+SELECT nn.n AS n_days, r.m AS m_pairs,
+       ROUND(r.mr, 6) AS mantel_r,
+       ROUND(r.mr * sqrt((CAST(r.m AS DOUBLE) - 2.0)
+                         / (1.0 - r.mr * r.mr)), 4)
+         AS mantel_t_naive
+FROM nn, r
+"""
+
+
+@register(
+    "x581_mantel_test",
+    _X581_ORACLE,
+    doc="Mantel matrix-correlation statistic between the day-domain "
+        "revenue-distance matrix dx(i,j) = |rev_i - rev_j| (exact "
+        "cents) and the temporal-distance matrix dy(i,j) = "
+        "|day_i - day_j| (calendar days): Pearson r over the "
+        "upper-triangle pair entries -- 'do days further apart in "
+        "TIME differ more in REVENUE?', the matrix-level "
+        "autocorrelation read that complements x554's "
+        "neighbor-weighted Moran/Geary (they test adjacent-lag "
+        "clustering; Mantel regresses the WHOLE distance "
+        "structure). mantel_t_naive is the parametric t transform "
+        "r sqrt((m-2)/(1-r^2)) emitted as a REFERENCE only -- the "
+        "pair entries share days, so the honest test permutes "
+        "rows/columns (iterative, out of scope; stated). "
+        "Exactness: dx, dy and all five moment sums are exact "
+        "integers in HUGEINT/DECIMAL38 (largest term m*sxx ~ 1e31 "
+        "at sf1.0, inside int128/DECIMAL38); ONE double division "
+        "+ sqrt at the end. Scale: the pair expansion is the "
+        "CALENDAR-bounded day domain (~2400 days -> ~2.9M pairs, "
+        "CONSTANT in SF -- the x542 bounded-broadcast contract), "
+        "never a corpus-sized cross product; corpus-sized work is "
+        "one day-grain aggregate",
+)
+def x581_mantel_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("db") > F.col("da"))
+        .select(
+            dec(F.abs(F.col("ya") - F.col("yb"))).alias("dx"),
+            dec(F.datediff(F.col("db"), F.col("da"))).alias("dy"),
+        )
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum("dx").cast("decimal(38,0)").alias("sx"),
+        F.sum("dy").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(F.col("dx") * F.col("dy"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mr = (
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        / F.sqrt(
+            (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+            * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+            .cast("double")
+        )
+    )
+    md = F.col("m").cast("double")
+    return nn.crossJoin(F.broadcast(s)).select(
+        F.col("n").alias("n_days"),
+        F.col("m").cast("long").alias("m_pairs"),
+        F.round(mr, 6).alias("mantel_r"),
+        F.round(
+            mr * F.sqrt((md - F.lit(2.0)) / (F.lit(1.0) - mr * mr)),
+            4,
+        ).alias("mantel_t_naive"),
+    )
+
+
+_X582_ORACLE = """
+WITH marked AS (
+  SELECT CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END
+           AS has_digit,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+  FROM documents
+),
+c AS (
+  SELECT
+    CAST(SUM(CASE WHEN has_digit = 1 AND is_en = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN has_digit = 1 AND is_en = 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN has_digit = 0 AND is_en = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+    CAST(SUM(CASE WHEN has_digit = 0 AND is_en = 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM marked
+),
+orr AS (
+  SELECT a, b, cc, d,
+         (CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+           / (CAST(b AS DOUBLE) * CAST(cc AS DOUBLE)) AS odds
+  FROM c
+)
+SELECT a AS n11, b AS n10, cc AS n01, d AS n00,
+       ROUND(odds, 6) AS odds_ratio,
+       ROUND((odds - 1.0) / (odds + 1.0), 6) AS yule_q,
+       ROUND((sqrt(odds) - 1.0) / (sqrt(odds) + 1.0), 6) AS yule_y,
+       CAST(floor(cos(3.141592653589793 / (1.0 + sqrt(odds)))
+                  * 100000000.0) AS BIGINT) AS r_tet_q8
+FROM orr
+"""
+
+
+@register(
+    "x582_tetrachoric",
+    _X582_ORACLE,
+    doc="Tetrachoric correlation (Edwards/Digby approximation "
+        "r_tet = cos(pi / (1 + sqrt(OR)))) between two binary "
+        "document traits (long-doc, n_chars >= 500, x is-English): the "
+        "LATENT bivariate-normal correlation a 2x2 table implies "
+        "-- the construct x480's Cramer's V and x486's MCC do NOT "
+        "estimate (they measure raw table association; r_tet "
+        "answers 'if both traits were thresholded continuous "
+        "normals, how correlated are the LATENTS?'), with Yule's "
+        "Q and Y beside it as the odds-ratio-native association "
+        "ladder. Exactness: cell counts are exact integers; the "
+        "odds ratio and sqrt are IEEE-deterministic; the one "
+        "libm-sensitive call (cos) is emitted floor-QUANTIZED at "
+        "1e8 (the x530 periodogram recipe) so a 1-ulp cross-"
+        "engine cos difference cannot flip a rounded decimal. "
+        "Precondition (stated): all four cells positive (holds on "
+        "the fixture at every SF); a zero off-diagonal cell sends "
+        "OR to 0/Inf where r_tet degenerates to +-1. Scale: one "
+        "corpus scan -> four counts, constant algebra",
+)
+def x582_tetrachoric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    marked = docs.select(
+        F.when(F.col("n_chars") >= 500, 1).otherwise(0).alias(
+            "has_digit"
+        ),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+    )
+    c = marked.agg(
+        F.sum(
+            F.when(
+                (F.col("has_digit") == 1) & (F.col("is_en") == 1), 1
+            ).otherwise(0)
+        ).cast("long").alias("a"),
+        F.sum(
+            F.when(
+                (F.col("has_digit") == 1) & (F.col("is_en") == 0), 1
+            ).otherwise(0)
+        ).cast("long").alias("b"),
+        F.sum(
+            F.when(
+                (F.col("has_digit") == 0) & (F.col("is_en") == 1), 1
+            ).otherwise(0)
+        ).cast("long").alias("cc"),
+        F.sum(
+            F.when(
+                (F.col("has_digit") == 0) & (F.col("is_en") == 0), 1
+            ).otherwise(0)
+        ).cast("long").alias("d"),
+    )
+    odds = (
+        F.col("a").cast("double") * F.col("d").cast("double")
+    ) / (F.col("b").cast("double") * F.col("cc").cast("double"))
+    return c.select(
+        F.col("a").alias("n11"),
+        F.col("b").alias("n10"),
+        F.col("cc").alias("n01"),
+        F.col("d").alias("n00"),
+        F.round(odds, 6).alias("odds_ratio"),
+        F.round((odds - 1.0) / (odds + 1.0), 6).alias("yule_q"),
+        F.round(
+            (F.sqrt(odds) - 1.0) / (F.sqrt(odds) + 1.0), 6
+        ).alias("yule_y"),
+        F.floor(
+            F.cos(
+                F.lit(3.141592653589793)
+                / (F.lit(1.0) + F.sqrt(odds))
+            )
+            * F.lit(100000000.0)
+        ).cast("long").alias("r_tet_q8"),
+    )

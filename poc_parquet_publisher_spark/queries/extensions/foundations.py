@@ -6313,3 +6313,114 @@ def x150_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = load_table(spark, sf_dir, "lineitem")
         edges = graph.symmetric_copurchase_edges(li)
     return graph.bfs_levels(edges, hops=3)
+
+
+@register(
+    "x578_dedup_gain_curve",
+    f"""WITH RECURSIVE {_X03_PAIRS_CTE},
+       edges AS (
+         SELECT id_a AS u, id_b AS v FROM pairs
+         UNION
+         SELECT id_b, id_a FROM pairs
+       ),
+       walk (node, lbl) AS (
+         SELECT u, u FROM edges
+         UNION
+         SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.node = e.v
+       ),
+       comp AS (
+         SELECT node, MIN(lbl) AS rep FROM walk GROUP BY node
+       ),
+       toks AS (
+         SELECT doc_id,
+                CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                  AS n_toks
+         FROM documents
+       ),
+       clus AS (
+         SELECT c.rep,
+                CAST(count(*) AS BIGINT) AS sz,
+                CAST(SUM(t.n_toks) AS BIGINT) AS toks_total,
+                CAST(SUM(CASE WHEN c.node = c.rep THEN t.n_toks
+                         ELSE 0 END) AS BIGINT) AS toks_kept
+         FROM comp c JOIN toks t ON t.doc_id = c.node
+         GROUP BY c.rep
+       ),
+       corpus AS (
+         SELECT CAST(SUM(n_toks) AS BIGINT) AS corpus_toks FROM toks
+       )
+       SELECT clus.sz AS cluster_size,
+              CAST(count(*) AS BIGINT) AS n_clusters,
+              CAST(SUM(clus.sz - 1) AS BIGINT) AS docs_dropped,
+              CAST(SUM(clus.toks_total - clus.toks_kept) AS BIGINT)
+                AS tokens_saved,
+              ROUND(CAST(SUM(clus.toks_total - clus.toks_kept)
+                         AS DOUBLE)
+                    / CAST(co.corpus_toks AS DOUBLE), 6)
+                AS corpus_token_share
+       FROM clus, corpus co
+       GROUP BY clus.sz, co.corpus_toks
+       ORDER BY clus.sz""",
+    doc="dedup GAIN CURVE -- tokens saved as a function of near-dup "
+        "cluster size: for each transitive-cluster size s, how many "
+        "clusters exist, how many docs a keep-one-representative "
+        "dedup drops (s-1 each), how many whitespace tokens that "
+        "saves, and the share of total corpus tokens -- the "
+        "MARGINAL-value read x120's headline datasheet counts stop "
+        "short of (a corpus whose savings sit in a few huge "
+        "clusters dedups cheaply; savings spread across millions "
+        "of pairs cost a full pair join -- this curve is how a "
+        "pipeline decides whether near-dedup pays at all, the "
+        "x502 cascade-economics question answered at cluster "
+        "grain). Survivor = min doc_id per component (x24's CC "
+        "contract). Exactness: sizes and token sums are exact "
+        "integers; one double share division. Scale: composes the "
+        "x03 blocked pair join + x24 label propagation (edge-set "
+        "shuffles only), then a cluster-grain groupBy whose "
+        "cardinality is bounded by the cluster count",
+)
+def x578_dedup_gain_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _shared_jaccard_pairs(spark, sf_dir)
+    comp = dedup.duplicate_clusters(pairs)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), " "))
+        .cast("long")
+        .alias("n_toks"),
+    )
+    clus = (
+        comp.join(toks, comp["node"] == toks["doc_id"])
+        .groupBy("rep")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sz"),
+            F.sum("n_toks").cast("long").alias("toks_total"),
+            F.sum(
+                F.when(
+                    F.col("node") == F.col("rep"), F.col("n_toks")
+                ).otherwise(0)
+            ).cast("long").alias("toks_kept"),
+        )
+    )
+    corpus = toks.agg(
+        F.sum("n_toks").cast("long").alias("corpus_toks")
+    )
+    return (
+        clus.crossJoin(F.broadcast(corpus))
+        .groupBy(F.col("sz").alias("cluster_size"), "corpus_toks")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum(F.col("sz") - 1).cast("long").alias("docs_dropped"),
+            F.sum(F.col("toks_total") - F.col("toks_kept"))
+            .cast("long")
+            .alias("tokens_saved"),
+            F.round(
+                F.sum(F.col("toks_total") - F.col("toks_kept"))
+                .cast("double")
+                / F.first("corpus_toks").cast("double"),
+                6,
+            ).alias("corpus_token_share"),
+        )
+        .drop("corpus_toks")
+        .orderBy("cluster_size")
+    )

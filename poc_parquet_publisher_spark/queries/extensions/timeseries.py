@@ -2339,3 +2339,340 @@ def x576_seasonal_mann_kendall(
             4,
         ).alias("smk_z"),
     )
+
+
+_X579_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+seq AS (
+  SELECT y, row_number() OVER (ORDER BY day) AS k,
+         MAX(y) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max,
+         MIN(y) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_min
+  FROM daily
+),
+rec AS (
+  SELECT
+    CAST(SUM(CASE WHEN prev_max IS NOT NULL AND y > prev_max
+             THEN 1 ELSE 0 END) AS BIGINT) AS u,
+    CAST(SUM(CASE WHEN prev_min IS NOT NULL AND y < prev_min
+             THEN 1 ELSE 0 END) AS BIGINT) AS l,
+    CAST(count(*) AS BIGINT) AS n
+  FROM seq
+),
+h AS (
+  SELECT
+    CAST(SUM(CAST(round(2.0 / CAST(k AS DOUBLE), 14)
+                  AS DECIMAL(38,14))) AS DOUBLE) AS vd,
+    CAST(SUM(CAST(round((2.0 / CAST(k AS DOUBLE))
+                        * (1.0 - 2.0 / CAST(k AS DOUBLE)), 14)
+                  AS DECIMAL(38,14))) AS DOUBLE) AS vs
+  FROM seq WHERE k >= 2
+)
+SELECT rec.n AS n_days, rec.u AS rec_up, rec.l AS rec_dn,
+       CAST(rec.u - rec.l AS BIGINT) AS d_stat,
+       CAST(rec.u + rec.l AS BIGINT) AS s_stat,
+       ROUND(CAST(rec.u - rec.l AS DOUBLE) / sqrt(h.vd), 4) AS z_d,
+       ROUND((CAST(rec.u + rec.l AS DOUBLE) - h.vd) / sqrt(h.vs), 4)
+         AS z_s
+FROM rec, h
+"""
+
+
+@register(
+    "x579_foster_stuart",
+    _X579_ORACLE,
+    doc="Foster-Stuart records test on daily revenue: D = (upper "
+        "records) - (lower records) from t >= 2, tested against "
+        "the exact iid null E[D] = 0, Var(D) = sum 2/t (record "
+        "indicators at distinct t are independent and mutually "
+        "exclusive within a t, so E[D_t^2] = E[U_t + L_t] = 2/t "
+        "-- Foster & Stuart 1954), plus the dispersion companion "
+        "S = U + L with E[S] = sum 2/t, Var(S) = sum (2/t)(1 - "
+        "2/t): z_d reads TREND (too many upper / too few lower "
+        "records), z_s reads SCALE CHANGE (growing variance sets "
+        "records in BOTH directions) -- the up-minus-down "
+        "difference statistic x572's per-direction Renyi z's "
+        "deliberately stop short of (they test each tail against "
+        "H_n; D tests the asymmetry with its own null variance). "
+        "Exactness: records compare exact integer cents against "
+        "strict prefix extremes (ties are NOT records, stated, "
+        "and the first observation is no record -- t starts at "
+        "2); the null-variance harmonic sums accumulate round-14 "
+        "DECIMAL terms over the day-index domain (order-proof); "
+        "one double assembly per z. Scale: one day-grain "
+        "aggregate, bounded day-domain ordered windows (~2400 "
+        "rows, constant in SF)",
+)
+def x579_foster_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    wp = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wr = Window.orderBy("day")
+    seq = daily.select(
+        "y",
+        F.row_number().over(wr).cast("long").alias("k"),
+        F.max("y").over(wp).alias("prev_max"),
+        F.min("y").over(wp).alias("prev_min"),
+    ).localCheckpoint(eager=False)
+    rec = seq.agg(
+        F.sum(
+            F.when(
+                F.col("prev_max").isNotNull()
+                & (F.col("y") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("u"),
+        F.sum(
+            F.when(
+                F.col("prev_min").isNotNull()
+                & (F.col("y") < F.col("prev_min")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("l"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    kd = F.col("k").cast("double")
+    h = seq.filter(F.col("k") >= 2).agg(
+        F.sum(
+            F.round(F.lit(2.0) / kd, 14).cast("decimal(38,14)")
+        ).cast("double").alias("vd"),
+        F.sum(
+            F.round(
+                (F.lit(2.0) / kd) * (F.lit(1.0) - F.lit(2.0) / kd), 14
+            ).cast("decimal(38,14)")
+        ).cast("double").alias("vs"),
+    )
+    j = rec.crossJoin(F.broadcast(h))
+    d = (F.col("u") - F.col("l")).cast("double")
+    s = (F.col("u") + F.col("l")).cast("double")
+    return j.select(
+        F.col("n").alias("n_days"),
+        F.col("u").alias("rec_up"),
+        F.col("l").alias("rec_dn"),
+        (F.col("u") - F.col("l")).cast("long").alias("d_stat"),
+        (F.col("u") + F.col("l")).cast("long").alias("s_stat"),
+        F.round(d / F.sqrt(F.col("vd")), 4).alias("z_d"),
+        F.round((s - F.col("vd")) / F.sqrt(F.col("vs")), 4).alias(
+            "z_s"
+        ),
+    )
+
+
+_X583_ORACLE = """
+WITH weekly AS MATERIALIZED (
+  SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+           AS wk,
+         CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+              AS BIGINT) AS yl
+  FROM orders GROUP BY 1
+),
+series AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY wk) AS t,
+         yl, CAST(yl AS DOUBLE) AS y
+  FROM weekly
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM series),
+m1 AS (SELECT CAST(SUM(yl) AS BIGINT) AS s1 FROM series WHERE t <= 52),
+m2 AS (SELECT CAST(SUM(yl) AS BIGINT) AS s2 FROM series
+       WHERE t > 52 AND t <= 104),
+init AS MATERIALIZED (
+  SELECT 52 AS t,
+         CAST(m1.s1 AS DOUBLE) / 52.0 AS l,
+         (CAST(m2.s2 AS DOUBLE) / 52.0
+          - CAST(m1.s1 AS DOUBLE) / 52.0) / 52.0 AS b,
+         CAST(0.0 AS DOUBLE) AS sh,
+         (SELECT list(y - CAST(m1.s1 AS DOUBLE) / 52.0 ORDER BY t)
+          FROM series WHERE t <= 52) AS s
+  FROM m1, m2
+),
+rec AS (
+  WITH RECURSIVE walk(t, l, b, sh, s) AS (
+    SELECT t, l, b, sh, s FROM init
+    UNION ALL
+    SELECT w.t + 1,
+           0.5 * (sr.y - w.s[1]) + 0.5 * (w.l + w.b),
+           0.5 * ((0.5 * (sr.y - w.s[1]) + 0.5 * (w.l + w.b)) - w.l)
+             + 0.5 * w.b,
+           w.sh + (sr.y - (w.l + w.b + w.s[1]))
+                * (sr.y - (w.l + w.b + w.s[1])),
+           w.s[2:52] || [0.5 * (sr.y
+                    - (0.5 * (sr.y - w.s[1]) + 0.5 * (w.l + w.b)))
+                    + 0.5 * w.s[1]]
+    FROM walk w
+    JOIN series sr ON sr.t = w.t + 1
+  )
+  SELECT * FROM walk
+),
+naive AS (
+  SELECT CAST(SUM(CAST(a.yl - b.yl AS HUGEINT)
+                  * CAST(a.yl - b.yl AS HUGEINT)) AS HUGEINT) AS sn
+  FROM series a JOIN series b ON a.t = b.t + 52
+)
+SELECT nn.n AS n_weeks,
+       ROUND(r.sh / 10000.0, 4) AS sse_hw_dollars2,
+       ROUND(CAST(nv.sn AS DOUBLE) / 10000.0, 4)
+         AS sse_snaive_dollars2,
+       ROUND(1.0 - r.sh / CAST(nv.sn AS DOUBLE), 6)
+         AS skill_vs_seasonal_naive,
+       ROUND(r.l / 100.0, 4) AS final_level_dollars,
+       ROUND(r.b / 100.0, 4) AS final_trend_dollars
+FROM rec r, nn, naive nv WHERE r.t = nn.n
+"""
+
+
+@register(
+    "x583_holt_winters_weekly",
+    _X583_ORACLE,
+    doc="Holt-Winters ADDITIVE seasonal smoothing (period 52) "
+        "one-step-ahead backtest on weekly revenue with DYADIC "
+        "weights (alpha = beta = gamma = 0.5, every smoothing "
+        "multiply an exact power-of-two scale): level l' = "
+        "0.5(y - s_t) + 0.5(l + b), trend b' = 0.5(l' - l) + "
+        "0.5b, seasonal s' = 0.5(y - l') + 0.5 s_t carried as a "
+        "rotating 52-slot queue, scored as SSE of forecast "
+        "errors (l + b + s_t) vs the SEASONAL-naive y_{t-52} "
+        "carry-forward -- the seasonality-aware forecaster "
+        "x485's Holt (level+trend only) cannot be; initialized "
+        "classically (l = mean of year 1, b = (year-2 mean - "
+        "year-1 mean)/52, s_i = y_i - l over year 1). Weekly "
+        "grain keeps the sequential oracle recursion bounded at "
+        "~340 steps (a 2400-step daily recursion is pathological "
+        "in DuckDB, measured round-8). Determinism: inputs are "
+        "exact integer cents (init means divide exact BIGINT "
+        "sums); the recurrence evaluates in ONE explicit "
+        "sequential order on both engines (Spark: in-row "
+        "aggregate fold over the sorted bounded week series with "
+        "the 52-slot queue as an array field; DuckDB: linear "
+        "recursive CTE carrying a LIST, slice [2:52] INCLUSIVE "
+        "pairing Spark's slice(s,2,51)) with identical "
+        "expression trees, so every intermediate double is "
+        "bit-identical; the seasonal-naive SSE is an exact "
+        "integer t = t'+52 equi-join sum. Precondition (stated): "
+        "needs >= 105 present weeks (gap weeks drop, the series "
+        "indexes by presence order). Scale: the fold rides the "
+        "calendar-bounded week series; corpus-sized work is one "
+        "week-grain aggregate",
+)
+def x583_holt_winters_weekly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.date_trunc("week", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("wk")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("yl")
+    )
+    ser = weekly.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("wk", "yl"))),
+            lambda s: s["yl"],
+        ).alias("yls")
+    ).select(
+        "yls",
+        F.transform(F.col("yls"), lambda v: v.cast("double")).alias(
+            "ys"
+        ),
+    )
+    ys, yls = F.col("ys"), F.col("yls")
+    s1 = F.aggregate(
+        F.slice(yls, 1, 52),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    s2 = F.aggregate(
+        F.slice(yls, 53, 52),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    l0 = s1.cast("double") / F.lit(52.0)
+    b0 = (s2.cast("double") / F.lit(52.0) - s1.cast("double")
+          / F.lit(52.0)) / F.lit(52.0)
+    init = F.struct(
+        l0.alias("l"),
+        b0.alias("b"),
+        F.lit(0.0).alias("sh"),
+        F.transform(F.slice(ys, 1, 52), lambda v: v - l0).alias("s"),
+    )
+
+    def step(acc, y):
+        sidx = F.element_at(acc["s"], 1)
+        lnew = (
+            F.lit(0.5) * (y - sidx)
+            + F.lit(0.5) * (acc["l"] + acc["b"])
+        )
+        return F.struct(
+            lnew.alias("l"),
+            (F.lit(0.5) * (lnew - acc["l"]) + F.lit(0.5) * acc["b"])
+            .alias("b"),
+            (
+                acc["sh"]
+                + (y - (acc["l"] + acc["b"] + sidx))
+                * (y - (acc["l"] + acc["b"] + sidx))
+            ).alias("sh"),
+            F.concat(
+                F.slice(acc["s"], 2, 51),
+                F.array(
+                    F.lit(0.5) * (y - lnew) + F.lit(0.5) * sidx
+                ),
+            ).alias("s"),
+        )
+
+    folded = ser.select(
+        F.size(ys).cast("long").alias("n_weeks"),
+        F.aggregate(
+            F.slice(ys, 53, F.size(ys) - 52), init, step
+        ).alias("st"),
+        F.aggregate(
+            F.zip_with(
+                F.slice(yls, 53, F.size(yls) - 52),
+                F.slice(yls, 1, F.size(yls) - 52),
+                # widen BEFORE the square: weekly cents diffs pass
+                # 2^31.5 at sf0.1 already, the square overflows long
+                lambda a, b: (a - b).cast("decimal(38,0)")
+                * (a - b).cast("decimal(38,0)"),
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda a, v: (a + v).cast("decimal(38,0)"),
+        ).alias("sn"),
+    )
+    return folded.select(
+        "n_weeks",
+        F.round(F.col("st.sh") / F.lit(10000.0), 4).alias(
+            "sse_hw_dollars2"
+        ),
+        F.round(
+            F.col("sn").cast("double") / F.lit(10000.0), 4
+        ).alias("sse_snaive_dollars2"),
+        F.round(
+            F.lit(1.0) - F.col("st.sh") / F.col("sn").cast("double"),
+            6,
+        ).alias("skill_vs_seasonal_naive"),
+        F.round(F.col("st.l") / F.lit(100.0), 4).alias(
+            "final_level_dollars"
+        ),
+        F.round(F.col("st.b") / F.lit(100.0), 4).alias(
+            "final_trend_dollars"
+        ),
+    )
