@@ -1073,6 +1073,10 @@ pietra AS (
              - (spend_below + tv) * t.n) AS pnum
   FROM cum, tot t
 ),
+gini AS (
+  SELECT SUM((2 * c.cnt_below + c.cnt - t.n) * c.tv) AS gnum
+  FROM cum c, tot t
+),
 deciles AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),
                                   (9),(10)) AS d(k)),
 pick AS (
@@ -1090,8 +1094,11 @@ SELECT p.k AS decile,
          AS lorenz_share,
        ROUND(CAST(pt.pnum AS DOUBLE)
              / (CAST(t.n AS DOUBLE) * CAST(t.total AS DOUBLE)), 6)
-         AS pietra_index
-FROM pick p, tot t, pietra pt
+         AS pietra_index,
+       ROUND(CAST(g.gnum AS DOUBLE)
+             / (CAST(t.n AS DOUBLE) * CAST(t.total AS DOUBLE)), 6)
+         AS gini_index
+FROM pick p, tot t, pietra pt, gini g
 ORDER BY p.k
 """
 
@@ -1157,6 +1164,20 @@ def x557_lorenz_pietra(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("spend_below") + F.col("tv")) * F.col("n")
         ).alias("pnum")
     )
+    # exact value-domain Gini off the same cum table: a value v with
+    # multiplicity c and cnt_below b contributes v*c*(2b + c - n) to
+    # the classic (2*rank - n - 1) numerator; P <= G <= 2P is pinned
+    # by tests/test_cross_entry.py
+    gini = cum.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            (
+                F.lit(2).cast("decimal(38,0)") * F.col("cnt_below")
+                + F.col("cnt")
+                - F.col("n")
+            )
+            * F.col("tv")
+        ).cast("decimal(38,0)").alias("gnum")
+    )
     deciles = spark.createDataFrame([(k,) for k in range(1, 11)], "k int")
     ck = cum.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(deciles))
     r_k = F.expr("(k * n + 9) div 10").cast("decimal(38,0)")
@@ -1173,20 +1194,36 @@ def x557_lorenz_pietra(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total",
     )
-    return pick.crossJoin(F.broadcast(pietra)).select(
-        F.col("k").alias("decile"),
-        "rank_cutoff",
-        F.round(
-            F.col("cum_spend").cast("double")
-            / F.col("total").cast("double"),
-            6,
-        ).alias("lorenz_share"),
-        F.round(
-            F.col("pnum").cast("double")
-            / (F.col("n").cast("double") * F.col("total").cast("double")),
-            6,
-        ).alias("pietra_index"),
-    ).orderBy("decile")
+    return (
+        pick.crossJoin(F.broadcast(pietra))
+        .crossJoin(F.broadcast(gini))
+        .select(
+            F.col("k").alias("decile"),
+            "rank_cutoff",
+            F.round(
+                F.col("cum_spend").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("lorenz_share"),
+            F.round(
+                F.col("pnum").cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("total").cast("double")
+                ),
+                6,
+            ).alias("pietra_index"),
+            F.round(
+                F.col("gnum").cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("total").cast("double")
+                ),
+                6,
+            ).alias("gini_index"),
+        )
+        .orderBy("decile")
+    )
 
 
 _X560_ORACLE = """

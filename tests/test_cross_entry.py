@@ -146,3 +146,73 @@ def test_hl_shift_and_ad_direction_agree(q):
         ad["n_weekend"],
         ad["n_weekday"],
     )
+
+
+def test_dickey_fuller_kpss_verdicts_not_contradictory(q):
+    """x550 and x568 analyze the SAME daily-revenue series with
+    opposite nulls (DF: unit root; KPSS: stationarity). The
+    CONTRADICTORY quadrant -- DF rejects the unit root (says
+    stationary) while KPSS rejects stationarity (says not) -- signals
+    a shared-ingredient drift (grain, cents quantization, calendar
+    pairing) before it signals any property of revenue; the fixture's
+    strongly mean-reverting series must land in the both-say-
+    stationary quadrant at every SF."""
+    df = q("x550_dickey_fuller")[0]
+    kpss = q("x568_kpss_test")[0]
+    assert not (
+        df["reject_unit_root_5pct"] == 1
+        and kpss["reject_level_stationarity_5pct"] == 1
+    )
+    # fixture quadrant: beta ~ -1 (strong mean reversion) => DF
+    # rejects, KPSS accepts
+    assert df["reject_unit_root_5pct"] == 1
+    assert kpss["reject_level_stationarity_5pct"] == 0
+
+
+def test_two_sample_entries_share_their_splits(q):
+    """The two-sample family must keep talking about the same
+    samples: x545 (energy distance) and x561 (Cucconi) both split
+    per-user spend by user parity -- their arm sizes must be
+    IDENTICAL; x574 (Anderson-Darling) and x542 (Hodges-Lehmann) both
+    split daily revenue weekend/weekday -- ditto. A hash-green change
+    to one module's split silently decouples the family; this is the
+    drift the relation layer exists to catch. Energy's
+    nonnegativity (Szekely: E = 2E|X-Y| - E|X-X'| - E|Y-Y'| >= 0,
+    zero iff equal laws) rides along as the mathematical bound."""
+    en = q("x545_energy_distance")[0]
+    cu = q("x561_cucconi_test")[0]
+    assert en["n_treat"] == cu["n_treat"]
+    assert en["n_ctrl"] == cu["n_ctrl"]
+    ad = q("x574_anderson_darling_2s")[0]
+    hl = q("x542_hodges_lehmann")[0]
+    assert ad["n_weekend"] == hl["n_weekend"]
+    assert ad["n_weekday"] == hl["n_weekday"]
+    assert en["e_dist_cents"] >= 0.0
+    assert en["t_energy"] >= 0.0
+    # the exact identity off x545's own emitted moments
+    assert abs(
+        en["e_dist_cents"]
+        - round(
+            2.0 * en["mean_dist_xy"]
+            - en["mean_dist_xx"]
+            - en["mean_dist_yy"],
+            4,
+        )
+    ) < 2e-4
+
+
+def test_pietra_gini_sandwich(q):
+    """x557 now emits the exact value-domain Gini beside the Pietra
+    index over the SAME per-customer spend distribution. The Lorenz
+    gap g(p) = p - L(p) is concave with maximum P (the Pietra index)
+    and G = 2 * integral g, so P <= G <= 2P is a mathematical
+    sandwich, not a tolerance; each decile's gap is also bounded by
+    P (pointwise, the sup dominates)."""
+    rows = q("x557_lorenz_pietra")
+    p = rows[0]["pietra_index"]
+    g = rows[0]["gini_index"]
+    eps = 2e-6  # two round-6 grid steps
+    assert p - eps <= g <= 2.0 * p + eps
+    for r in rows:
+        gap = r["decile"] / 10.0 - r["lorenz_share"]
+        assert gap <= p + 1e-4

@@ -9741,3 +9741,257 @@ def test_length_bias_audit_matches_bruteforce(spark):
         prev = r["avg_toks"]
     assert covered == n
     assert -1.0 <= rows[1]["corr_len_rep"] <= 1.0
+
+
+def test_foster_stuart_matches_replay(spark):
+    """x579: walk the day-ordered series in Python from t=2; the D and
+    S statistics and both z's must match, and the mutual-exclusion
+    invariant U_t * L_t = 0 holds per step by construction."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x579_foster_stuart,
+    )
+
+    daily = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        daily[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+    days = sorted(daily)
+    ys = [daily[d] for d in days]
+    n = len(ys)
+    u = l = 0
+    mx = mn = ys[0]
+    for t in range(1, n):
+        y = ys[t]
+        if y > mx:
+            u += 1
+        if y < mn:
+            l += 1
+        mx = max(mx, y)
+        mn = min(mn, y)
+    vd = sum(_round_hu(2.0 / float(k), 14) for k in range(2, n + 1))
+    vs = sum(
+        _round_hu((2.0 / float(k)) * (1.0 - 2.0 / float(k)), 14)
+        for k in range(2, n + 1)
+    )
+    r = x579_foster_stuart(spark, SF).collect()[0]
+    assert r["n_days"] == n
+    assert (r["rec_up"], r["rec_dn"]) == (u, l)
+    assert r["d_stat"] == u - l
+    assert r["s_stat"] == u + l
+    assert abs(r["z_d"] - _round_hu((u - l) / math.sqrt(vd), 4)) < 1e-6
+    assert (
+        abs(r["z_s"] - _round_hu((u + l - vd) / math.sqrt(vs), 4))
+        < 1e-6
+    )
+    # S >= |D| always; Var(S) < Var(D) always (vs = vd - sum 4/t^2)
+    assert r["s_stat"] >= abs(r["d_stat"])
+    assert vs < vd
+
+
+def test_ipw_stratified_ate_matches_replay(spark):
+    """x580: recompute the stratified and naive ATEs from raw lineitem
+    rows; the IPW/stratified algebraic identity is the design claim,
+    so replay the IPW sum form and assert it lands on the entry's
+    stratified column."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x580_ipw_stratified_ate,
+    )
+
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, n1, n0, sum1, sum0
+    for rr in load_table(spark, SF, "lineitem").collect():
+        s = rr["l_returnflag"]
+        t = 1 if rr["l_discount"] >= 0.05 else 0
+        y = int(rr["l_quantity"])
+        a = agg[s]
+        a[0] += 1
+        if t:
+            a[1] += 1
+            a[3] += y
+        else:
+            a[2] += 1
+            a[4] += y
+    pos = {s: a for s, a in agg.items() if a[1] > 0 and a[2] > 0}
+    n = sum(a[0] for a in pos.values())
+    # IPW sum form: (1/n) sum_s [sum1_s / p_s - sum0_s / (1 - p_s)]
+    ipw = sum(
+        a[3] / (a[1] / a[0]) - a[4] / (a[2] / a[0])
+        for a in pos.values()
+    ) / n
+    strat = sum(
+        _round_hu((a[0] / n) * (a[3] / a[1] - a[4] / a[2]), 10)
+        for a in pos.values()
+    )
+    naive = sum(a[3] for a in pos.values()) / sum(
+        a[1] for a in pos.values()
+    ) - sum(a[4] for a in pos.values()) / sum(
+        a[2] for a in pos.values()
+    )
+    rows = x580_ipw_stratified_ate(spark, SF).collect()
+    assert len(rows) == len(pos)
+    r0 = rows[0]
+    assert abs(r0["ate_stratified"] - _round_hu(strat, 4)) < 1e-9
+    # the algebraic collapse: IPW with exact stratum propensities IS
+    # the stratified estimator (up to the contrib rounding)
+    assert abs(ipw - strat) < 1e-4
+    assert abs(r0["ate_naive"] - _round_hu(naive, 6)) < 1e-6
+    for r in rows:
+        a = pos[r["stratum"]]
+        assert (r["n_s"], r["n1"], r["n0"]) == (a[0], a[1], a[2])
+        assert abs(r["ate_s"] - _round_hu(a[3] / a[1] - a[4] / a[2], 4)) < 1e-9
+
+
+def test_mantel_matches_replay(spark):
+    """x581: brute-force the upper-triangle pair moments at sf0.001
+    (~1100 days -> ~600k pairs, integer arithmetic exact in Python)."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x581_mantel_test,
+    )
+
+    daily = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        daily[d] += int(math.floor(rr["o_totalprice"] * 100.0))
+    days = sorted(daily)
+    n = len(days)
+    m = sx = sy = sxx = syy = sxy = 0
+    for i in range(n):
+        yi, di = daily[days[i]], days[i]
+        for j in range(i + 1, n):
+            dx = abs(daily[days[j]] - yi)
+            dy = (days[j] - di).days
+            m += 1
+            sx += dx
+            sy += dy
+            sxx += dx * dx
+            syy += dy * dy
+            sxy += dx * dy
+    num = m * sxy - sx * sy
+    den = math.sqrt(float(m * sxx - sx * sx) * float(m * syy - sy * sy))
+    mr = num / den
+    r = x581_mantel_test(spark, SF).collect()[0]
+    assert r["n_days"] == n
+    assert r["m_pairs"] == m == n * (n - 1) // 2
+    assert abs(r["mantel_r"] - _round_hu(mr, 6)) < 1e-9
+    assert (
+        abs(
+            r["mantel_t_naive"]
+            - _round_hu(mr * math.sqrt((m - 2.0) / (1.0 - mr * mr)), 4)
+        )
+        < 1e-6
+    )
+    assert -1.0 < r["mantel_r"] < 1.0
+
+
+def test_tetrachoric_matches_replay(spark):
+    """x582: recount the 2x2 from raw documents and replay the Edwards
+    cos approximation plus Yule's Q/Y; invariants: |Y| <= |Q| (Y is
+    the tetrachoric-consistent shrink of Q) and r_tet between them in
+    magnitude order r_tet ~ Y-ish, all bounded by 1."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x582_tetrachoric,
+    )
+
+    a = b = c = d = 0
+    for rr in load_table(spark, SF, "documents").collect():
+        hd = 1 if rr["n_chars"] >= 500 else 0
+        en = 1 if rr["lang"] == "en" else 0
+        if hd and en:
+            a += 1
+        elif hd:
+            b += 1
+        elif en:
+            c += 1
+        else:
+            d += 1
+    odds = (a * d) / (b * c)
+    q = (odds - 1.0) / (odds + 1.0)
+    y = (math.sqrt(odds) - 1.0) / (math.sqrt(odds) + 1.0)
+    rt = math.cos(math.pi / (1.0 + math.sqrt(odds)))
+    r = x582_tetrachoric(spark, SF).collect()[0]
+    assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (a, b, c, d)
+    assert abs(r["odds_ratio"] - _round_hu(odds, 6)) < 1e-9
+    assert abs(r["yule_q"] - _round_hu(q, 6)) < 1e-9
+    assert abs(r["yule_y"] - _round_hu(y, 6)) < 1e-9
+    # quantized cos: allow 1 integer step of libm slack at the floor
+    assert abs(r["r_tet_q8"] - math.floor(rt * 1e8)) <= 1
+    assert abs(y) <= abs(q)
+    assert abs(r["r_tet_q8"]) <= 10**8
+
+
+def test_holt_winters_weekly_matches_replay(spark):
+    """x583: run the period-52 additive HW recursion in pure Python
+    (same dyadic weights, same classical init) and compare SSEs,
+    final level/trend and the seasonal-naive baseline."""
+    from collections import defaultdict
+
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x583_holt_winters_weekly,
+    )
+
+    import datetime as _dt
+
+    weekly = defaultdict(int)
+    for rr in load_table(spark, SF, "orders").collect():
+        d = rr["o_orderdate"].date()
+        wk = d - _dt.timedelta(days=d.weekday())
+        weekly[wk] += int(math.floor(rr["o_totalprice"] * 100.0))
+    ys = [float(weekly[w]) for w in sorted(weekly)]
+    n = len(ys)
+    assert n >= 105, "fixture must span >= 105 present weeks"
+    s1 = int(sum(ys[:52]))
+    s2 = int(sum(ys[52:104]))
+    level = s1 / 52.0
+    b = (s2 / 52.0 - s1 / 52.0) / 52.0
+    season = [y - level for y in ys[:52]]
+    sh = 0.0
+    for t in range(52, n):
+        y = ys[t]
+        sidx = season[0]
+        f = level + b + sidx
+        sh += (y - f) * (y - f)
+        lnew = 0.5 * (y - sidx) + 0.5 * (level + b)
+        b = 0.5 * (lnew - level) + 0.5 * b
+        season = season[1:] + [0.5 * (y - lnew) + 0.5 * sidx]
+        level = lnew
+    sn = sum(
+        (int(ys[t]) - int(ys[t - 52])) ** 2 for t in range(52, n)
+    )
+    r = x583_holt_winters_weekly(spark, SF).collect()[0]
+    assert r["n_weeks"] == n
+    assert abs(r["sse_hw_dollars2"] - _round_hu(sh / 1e4, 4)) < 1e-4
+    assert r["sse_snaive_dollars2"] == _round_hu(sn / 1e4, 4)
+    assert (
+        abs(r["skill_vs_seasonal_naive"] - _round_hu(1.0 - sh / sn, 6))
+        < 1e-6
+    )
+    assert abs(r["final_level_dollars"] - _round_hu(level / 100.0, 4)) < 1e-4
+    assert abs(r["final_trend_dollars"] - _round_hu(b / 100.0, 4)) < 1e-4
+
+
+def test_dedup_gain_curve_matches_datasheet(spark):
+    """x578 vs x120: the gain curve's docs_dropped summed over sizes
+    must equal the datasheet's n_near_losses, its cluster count must
+    equal n_clusters, and every cluster size is >= 2 (singletons never
+    enter the pair graph)."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x120_dedup_datasheet,
+        x578_dedup_gain_curve,
+    )
+
+    curve = x578_dedup_gain_curve(spark, SF).collect()
+    sheet = x120_dedup_datasheet(spark, SF).collect()[0]
+    assert sum(r["n_clusters"] for r in curve) == sheet["n_clusters"]
+    assert (
+        sum(r["docs_dropped"] for r in curve) == sheet["n_near_losses"]
+    )
+    for r in curve:
+        assert r["cluster_size"] >= 2
+        assert r["docs_dropped"] == (r["cluster_size"] - 1) * r["n_clusters"]
+        assert r["tokens_saved"] > 0
+        assert 0.0 < r["corpus_token_share"] < 1.0
