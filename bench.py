@@ -403,11 +403,15 @@ def medians(n_runs: int = 3) -> None:
     with open(os.path.join(here, "BENCH_MEDIANS.json"), "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(
-        json.dumps(
-            {k: result[k] for k in ("metric", "value", "unit", "runs", "sf")}
-        )
-    )
+    # print raw AND host-normalized side by side (round-8 verdict task:
+    # cross-session closing comparisons are stated in normalized terms)
+    summary = {
+        k: result[k] for k in ("metric", "value", "unit", "runs", "sf")
+    }
+    if "value_normalized" in result:
+        summary["value_normalized"] = result["value_normalized"]
+        summary["host_factor"] = result["calibration"]["host_factor"]
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
