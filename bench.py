@@ -58,12 +58,23 @@ def _calibrate_cpu() -> float:
 def _calibrate_spark(spark) -> float:
     # Pinned synthetic probe: range -> md5 expr -> distinct-mod count.
     # Exercises codegen + one shuffle at the session's parallelism;
-    # deterministic, zero data dependency, ~1-2 s on the reference host.
-    t0 = time.perf_counter()
-    spark.range(8_000_000, numPartitions=32).selectExpr(
-        "count(distinct crc32(md5(cast(id % 1000000 as string)))) as c"
-    ).collect()
-    return round(time.perf_counter() - t0, 3)
+    # deterministic, zero data dependency, ~1-2 s on the reference
+    # host. Median of 3 consecutive runs -- the SAME protocol that
+    # pinned REF_SPARK_PROBE_S ("median of 3 warm runs"); a single
+    # cold probe was measured drifting 3.2-4.4 s across the round-9
+    # median runs, which is exactly the noise the normalization is
+    # supposed to remove, not add.
+    import statistics
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(8_000_000, numPartitions=32).selectExpr(
+            "count(distinct crc32(md5(cast(id % 1000000 as string))))"
+            " as c"
+        ).collect()
+        times.append(time.perf_counter() - t0)
+    return round(statistics.median(times), 3)
 
 
 def calibration_block(spark) -> dict:
