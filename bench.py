@@ -55,15 +55,18 @@ def _calibrate_cpu() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def _calibrate_spark(spark) -> float:
+def _calibrate_spark(spark) -> tuple[float, float]:
     # Pinned synthetic probe: range -> md5 expr -> distinct-mod count.
     # Exercises codegen + one shuffle at the session's parallelism;
     # deterministic, zero data dependency, ~1-2 s on the reference
-    # host. Median of 3 consecutive runs -- the SAME protocol that
-    # pinned REF_SPARK_PROBE_S ("median of 3 warm runs"); a single
-    # cold probe was measured drifting 3.2-4.4 s across the round-9
-    # median runs, which is exactly the noise the normalization is
-    # supposed to remove, not add.
+    # host. Returns (cold_s, warm_median_s): the FIRST run pays JIT/
+    # codegen warmup -- that is the reading every round-7/8 ledger
+    # recorded, so host_factor stays on it for cross-round
+    # continuity -- while the median of the two follow-up runs is the
+    # steady-state host speed (round-9 measured cold 3.2-4.4 s vs
+    # warm ~1.4 s on the same session: the single-cold-probe
+    # host_factor is warmup-dominated, so normalized cross-SESSION
+    # comparisons should quote the warm factor going forward).
     import statistics
 
     times = []
@@ -74,12 +77,12 @@ def _calibrate_spark(spark) -> float:
             " as c"
         ).collect()
         times.append(time.perf_counter() - t0)
-    return round(statistics.median(times), 3)
+    return round(times[0], 3), round(statistics.median(times[1:]), 3)
 
 
 def calibration_block(spark) -> dict:
     cpu = _calibrate_cpu()
-    probe = _calibrate_spark(spark)
+    probe, probe_warm = _calibrate_spark(spark)
     try:
         load = [round(x, 2) for x in os.getloadavg()]
     except OSError:
@@ -87,9 +90,11 @@ def calibration_block(spark) -> dict:
     return {
         "cpu_md5_s": cpu,
         "spark_probe_s": probe,
+        "spark_probe_warm_s": probe_warm,
         "ref_spark_probe_s": REF_SPARK_PROBE_S,
         "ref_cpu_md5_s": REF_CPU_MD5_S,
         "host_factor": round(probe / REF_SPARK_PROBE_S, 3),
+        "host_factor_warm": round(probe_warm / REF_SPARK_PROBE_S, 3),
         "loadavg": load,
     }
 
@@ -398,11 +403,28 @@ def medians(n_runs: int = 3) -> None:
     if cals:
         med_cal = {
             k: round(statistics.median(c[k] for c in cals), 3)
-            for k in ("cpu_md5_s", "spark_probe_s", "host_factor")
+            for k in (
+                "cpu_md5_s",
+                "spark_probe_s",
+                "host_factor",
+            )
         }
+        for k in ("spark_probe_warm_s", "host_factor_warm"):
+            vals = [c[k] for c in cals if k in c]
+            if vals:
+                med_cal[k] = round(statistics.median(vals), 3)
         med_cal["ref_spark_probe_s"] = REF_SPARK_PROBE_S
         med_cal["per_run"] = [
-            {k: c[k] for k in ("cpu_md5_s", "spark_probe_s", "loadavg")}
+            {
+                k: c[k]
+                for k in (
+                    "cpu_md5_s",
+                    "spark_probe_s",
+                    "spark_probe_warm_s",
+                    "loadavg",
+                )
+                if k in c
+            }
             for c in cals
         ]
         scale = REF_SPARK_PROBE_S / med_cal["spark_probe_s"]
