@@ -107,7 +107,13 @@ def main() -> None:
     from poc_parquet_publisher_spark.queries import all_queries
     from poc_parquet_publisher_spark.session import build_session
 
-    spark = build_session(app_name="bench")
+    # explicit heap: the 1g default intermittently OOMs the 3x
+    # calibration probe (32 concurrent partial-distinct hash aggs);
+    # scale_probe.py sets the same knob for the same reason
+    spark = build_session(
+        app_name="bench",
+        extra_conf={"spark.driver.memory": "4g"},
+    )
     queries = all_queries()
     # BENCH_ONLY=x430_foo,x431_bar: time just those entries and merge
     # into the existing ledger (per-entry patch path; the full run
