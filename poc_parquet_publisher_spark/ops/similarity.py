@@ -957,3 +957,153 @@ def pairwise_sims(
         score,
         schema=f"{broadcast_id_out} long, {stream_id_out} long, sim double",
     )
+
+
+def mnn_align_blocked(
+    a_side: DataFrame,
+    b_side: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    csls_k: int = 4,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> DataFrame:
+    """The 100 TB tier of x333's mutual-nearest-neighbor alignment:
+    both sides blocked by ONE shared IVF coarse quantizer, MNN + CSLS
+    run inside the probed blocks.
+
+    x333's registered (oracle-hashed) form scores the exact |A| x |B|
+    product -- measured t ~ n^1.26 in the round-9 scale probe, the
+    by-design quadratic correctness tier. This function is the
+    routing target its contract names: the quantizer trains on a
+    bounded sample of A UNION B (``_fit_centroids_on_sample``, the
+    FAISS posture), every A vector emits its ``n_probe``
+    nearest-centroid blocks and every B vector its home block in one
+    narrow mapInPandas pass (the tiny centroid matrix is the only
+    broadcast -- NEITHER side is ever collected), candidates come
+    from the block equi-join, and exact cosine + per-side top-1 +
+    the CSLS top-k margins are all computed over the candidate set
+    (windows partitioned by vector id). Approximation is confined to
+    the CANDIDATE SET, exactly like ``ivf_topk``: a true mutual pair
+    is missed only if the pair's blocks never co-probe; recall rises
+    with ``n_probe`` and is gated in tests against the exact x333
+    result. Cosines round 6 BEFORE ranking with id tie-breaks
+    (x333's determinism discipline).
+    """
+    from pyspark.sql.window import Window
+
+    spark = a_side.sparkSession
+    union = a_side.select(id_col, vec_col).unionByName(
+        b_side.select(id_col, vec_col)
+    )
+    raw_centers = _fit_centroids_on_sample(
+        union, id_col, vec_col, n_centroids, seed, max_iter
+    )
+    c_norms = np.linalg.norm(raw_centers, axis=1, keepdims=True)
+    c_norms[c_norms == 0.0] = 1.0
+    centers = raw_centers / c_norms
+    bc = spark.sparkContext.broadcast(centers)
+
+    def block_ids(df: DataFrame, out_id: str, k: int) -> DataFrame:
+        """(id, centroid) rows for each vector's k nearest centroids
+        by cosine -- k=1 is the home block, k=n_probe the probe set."""
+
+        def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = bc.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                nm = np.linalg.norm(m, axis=1, keepdims=True)
+                nm[nm == 0.0] = 1.0
+                sims = (m / nm) @ c.T
+                top = np.argsort(-sims, axis=1)[:, :k]
+                ids = pdf[id_col].to_numpy()
+                yield pd.DataFrame(
+                    {
+                        out_id: np.repeat(ids, k),
+                        "centroid": top.reshape(-1).astype(np.int32),
+                    }
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(
+            assign, schema=f"{out_id} long, centroid int"
+        )
+
+    cand = (
+        block_ids(a_side, "a_id", n_probe)
+        .join(block_ids(b_side, "b_id", 1), "centroid")
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    pairs = cand.join(
+        a_side.select(
+            F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va")
+        ),
+        "a_id",
+    ).join(
+        b_side.select(
+            F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb")
+        ),
+        "b_id",
+    )
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["__va"].to_numpy()).astype(np.float64)
+            b = np.stack(pdf["__vb"].to_numpy()).astype(np.float64)
+            na = np.linalg.norm(a, axis=1)
+            na[na == 0.0] = 1.0
+            nb = np.linalg.norm(b, axis=1)
+            nb[nb == 0.0] = 1.0
+            yield pd.DataFrame(
+                {
+                    "a_id": pdf["a_id"],
+                    "b_id": pdf["b_id"],
+                    "cos": np.round(
+                        np.einsum("ij,ij->i", a, b) / (na * nb), 6
+                    ),
+                }
+            )
+
+    scored = pairs.select("a_id", "b_id", "__va", "__vb").mapInPandas(
+        score, schema="a_id long, b_id long, cos double"
+    ).localCheckpoint(eager=False)
+
+    wa = Window.partitionBy("a_id").orderBy(
+        F.col("cos").desc(), F.col("b_id")
+    )
+    wb = Window.partitionBy("b_id").orderBy(
+        F.col("cos").desc(), F.col("a_id")
+    )
+    ranked = scored.select(
+        "a_id",
+        "b_id",
+        "cos",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    ma = ranked.filter(F.col("ra") <= csls_k).groupBy("a_id").agg(
+        F.avg("cos").alias("m_a")
+    )
+    mb = ranked.filter(F.col("rb") <= csls_k).groupBy("b_id").agg(
+        F.avg("cos").alias("m_b")
+    )
+    return (
+        ranked.filter((F.col("ra") == 1) & (F.col("rb") == 1))
+        .join(ma, "a_id")
+        .join(mb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "cos",
+            F.round(
+                2.0 * F.col("cos") - F.col("m_a") - F.col("m_b"), 6
+            ).alias("csls"),
+        )
+        .orderBy("a_id", "b_id")
+    )

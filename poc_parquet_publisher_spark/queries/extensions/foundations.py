@@ -229,9 +229,12 @@ ORDER BY id_a, id_b
     "x09_embedding_neardup",
     _NEARDUP_ORACLE_TMPL.format(thr=0.4),
     doc="embedding-cosine near-dup pairs; correctness tier is the exact "
-        "pair scan, scale tier is x28 (LSH-banded candidates). The "
-        "fixture embeddings are near-random (max pairwise cosine ~0.51), "
-        "so the threshold sits at 0.4 to exercise non-empty output",
+        "pair scan (measured t ~ n^1.21 in the round-9 scale probe -- "
+        "the by-design quadratic oracle tier x28's recall gate scores "
+        "against), scale tier is x28 (LSH-banded candidates, n^1.29 "
+        "under the lsh_params_for schedule). The fixture embeddings "
+        "are near-random (max pairwise cosine ~0.51), so the "
+        "threshold sits at 0.4 to exercise non-empty output",
 )
 def x09_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

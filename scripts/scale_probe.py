@@ -166,6 +166,19 @@ def amplify(spark, copies: int, out_dir: str) -> None:
             f"{out_dir}/orders.parquet",
         )
 
+    # dimension passthrough: region/nation/customer/supplier are NOT
+    # amplified -- at 10x the fact data the dimension universe staying
+    # fixed is the realistic shape (same posture as part.p_brand), and
+    # wave-5 heads (x355 conformal, x441 fingerprint uniformity, ...)
+    # read them
+    for dim_t in ("region", "nation", "customer", "supplier"):
+        if _needs(dim_t):
+            spark.read.parquet(f"{BASE}/{dim_t}.parquet").repartition(
+                4
+            ).write.mode("overwrite").parquet(
+                f"{out_dir}/{dim_t}.parquet"
+            )
+
     if _needs("embeddings"):
         # copy j circularly rotates each vector by j positions: norms
         # and all WITHIN-copy pairwise distances are exactly preserved

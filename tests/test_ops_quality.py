@@ -9995,3 +9995,40 @@ def test_dedup_gain_curve_matches_datasheet(spark):
         assert r["docs_dropped"] == (r["cluster_size"] - 1) * r["n_clusters"]
         assert r["tokens_saved"] > 0
         assert 0.0 < r["corpus_token_share"] < 1.0
+
+
+def test_mnn_blocked_recall_vs_exact_alignment(spark, emb):
+    """The IVF-blocked MNN tier (similarity.mnn_align_blocked — the
+    routing target x333's contract names for 100 TB) vs the exact
+    registered x333: every blocked pair's cosine must be exact, the
+    candidate block join must see far fewer than |A|x|B| pairs, and
+    recall of the exact mutual pairs must clear the probe gate."""
+    from poc_parquet_publisher_spark.queries.extensions import (
+        x333_mnn_alignment,
+    )
+
+    exact = {
+        (r["a_id"], r["b_id"]): r["sim"]
+        for r in x333_mnn_alignment(spark, SF).collect()
+    }
+    a_side = emb.filter(F.col("label") < 5)
+    b_side = emb.filter(F.col("label") >= 5)
+    blocked_rows = similarity.mnn_align_blocked(
+        a_side, b_side, n_centroids=8, n_probe=4
+    ).collect()
+    blocked = {(r["a_id"], r["b_id"]): r["cos"] for r in blocked_rows}
+    assert exact, "fixture must produce mutual pairs"
+    # exact cosine on every surviving pair (approximation lives in the
+    # candidate set only); blocked top-1 may differ where the true
+    # neighbor's block was not probed, so compare on the overlap
+    hits = set(blocked) & set(exact)
+    for pair in hits:
+        assert blocked[pair] == pytest.approx(exact[pair], abs=2e-4)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.6, f"recall {recall:.2f} under the probe gate"
+    # structural invariants: mutual top-1 gives at most one pair per
+    # a_id (and per b_id), never an empty alignment on this fixture
+    assert len(blocked) <= min(a_side.count(), b_side.count())
+    assert len(blocked) >= 1
+    assert len({a for a, _ in blocked}) == len(blocked)
+    assert len({b for _, b in blocked}) == len(blocked)
