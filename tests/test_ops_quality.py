@@ -10032,3 +10032,54 @@ def test_mnn_blocked_recall_vs_exact_alignment(spark, emb):
     assert len(blocked) >= 1
     assert len({a for a, _ in blocked}) == len(blocked)
     assert len({b for _, b in blocked}) == len(blocked)
+
+
+def test_duplicate_clusters_matches_union_find_on_random_graphs(spark):
+    """Differential test for the dedup core (x24/x23/x115/x120/x578 all
+    compose it): on random small pair graphs, min-label propagation
+    must produce EXACTLY the connected components a pure-Python
+    union-find computes -- including chain graphs deeper than the
+    star-like shapes the fixture near-dups form (the convergence-loop
+    shape the fixture never exercises)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    node = st.integers(min_value=0, max_value=14)
+    edge = st.tuples(node, node)
+    graph = st.lists(edge, min_size=1, max_size=20)
+
+    def reference(edges):
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(graph)
+    def run(edges):
+        # drop self-loops the way the pair generators do (id_a < id_b)
+        pairs_py = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+        if not pairs_py:
+            return
+        df = spark.createDataFrame(pairs_py, "id_a long, id_b long")
+        got = {
+            r["node"]: r["rep"]
+            for r in dedup.duplicate_clusters(df).collect()
+        }
+        assert got == reference(pairs_py), (pairs_py, got)
+
+    run()
