@@ -10083,3 +10083,29 @@ def test_duplicate_clusters_matches_union_find_on_random_graphs(spark):
         assert got == reference(pairs_py), (pairs_py, got)
 
     run()
+
+
+def test_mnn_blocked_deterministic_and_never_cartesian(spark, emb):
+    """mnn_align_blocked's 100 TB contract: (a) output is IDENTICAL
+    under different input partitionings (the quantizer trains on an
+    md5-keyed TakeOrdered sample, immune to partition order; every
+    downstream step is an equi-join or a keyed window), and (b) the
+    plan contains no CartesianProduct -- candidates come from the
+    block equi-join only."""
+    a_side = emb.filter(F.col("label") < 5)
+    b_side = emb.filter(F.col("label") >= 5)
+    out1 = similarity.mnn_align_blocked(
+        a_side, b_side, n_centroids=8, n_probe=3
+    )
+    plan = out1._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows1 = [tuple(r) for r in out1.collect()]
+    rows2 = [
+        tuple(r)
+        for r in similarity.mnn_align_blocked(
+            a_side.repartition(7), b_side.repartition(3),
+            n_centroids=8, n_probe=3,
+        ).collect()
+    ]
+    assert rows1 == rows2
+    assert rows1
