@@ -995,11 +995,27 @@ def mnn_align_blocked(
     from pyspark.sql.window import Window
 
     spark = a_side.sparkSession
-    union = a_side.select(id_col, vec_col).unionByName(
-        b_side.select(id_col, vec_col)
+    # The quantizer sample key is SALTED with a side tag: two
+    # independently-keyed corpora may share id values, and a bare
+    # md5(id) would then collide across sides with DIFFERENT vectors,
+    # making the TakeOrdered tie-break partition-order dependent.
+    # md5("a:"||id) vs md5("b:"||id) keeps the training sample
+    # total-order stable whatever the two sides' key spaces are.
+    union = a_side.select(
+        F.concat(F.lit("a:"), F.col(id_col).cast("string")).alias(
+            "__side_id"
+        ),
+        vec_col,
+    ).unionByName(
+        b_side.select(
+            F.concat(F.lit("b:"), F.col(id_col).cast("string")).alias(
+                "__side_id"
+            ),
+            vec_col,
+        )
     )
     raw_centers = _fit_centroids_on_sample(
-        union, id_col, vec_col, n_centroids, seed, max_iter
+        union, "__side_id", vec_col, n_centroids, seed, max_iter
     )
     c_norms = np.linalg.norm(raw_centers, axis=1, keepdims=True)
     c_norms[c_norms == 0.0] = 1.0
@@ -1009,6 +1025,11 @@ def mnn_align_blocked(
     def block_ids(df: DataFrame, out_id: str, k: int) -> DataFrame:
         """(id, centroid) rows for each vector's k nearest centroids
         by cosine -- k=1 is the home block, k=n_probe the probe set."""
+        # An argsort slice past the centroid count yields fewer columns
+        # than np.repeat(ids, k) rows -- an opaque executor-side length
+        # mismatch; probing every block is the honest meaning of
+        # n_probe > n_centroids.
+        k = min(k, centers.shape[0])
 
         def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             c = bc.value

@@ -2252,19 +2252,19 @@ def x581_mantel_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X582_ORACLE = """
 WITH marked AS (
   SELECT CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END
-           AS has_digit,
+           AS is_long,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
   FROM documents
 ),
 c AS (
   SELECT
-    CAST(SUM(CASE WHEN has_digit = 1 AND is_en = 1
+    CAST(SUM(CASE WHEN is_long = 1 AND is_en = 1
              THEN 1 ELSE 0 END) AS BIGINT) AS a,
-    CAST(SUM(CASE WHEN has_digit = 1 AND is_en = 0
+    CAST(SUM(CASE WHEN is_long = 1 AND is_en = 0
              THEN 1 ELSE 0 END) AS BIGINT) AS b,
-    CAST(SUM(CASE WHEN has_digit = 0 AND is_en = 1
+    CAST(SUM(CASE WHEN is_long = 0 AND is_en = 1
              THEN 1 ELSE 0 END) AS BIGINT) AS cc,
-    CAST(SUM(CASE WHEN has_digit = 0 AND is_en = 0
+    CAST(SUM(CASE WHEN is_long = 0 AND is_en = 0
              THEN 1 ELSE 0 END) AS BIGINT) AS d
   FROM marked
 ),
@@ -2310,29 +2310,29 @@ def x582_tetrachoric(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     marked = docs.select(
         F.when(F.col("n_chars") >= 500, 1).otherwise(0).alias(
-            "has_digit"
+            "is_long"
         ),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
     )
     c = marked.agg(
         F.sum(
             F.when(
-                (F.col("has_digit") == 1) & (F.col("is_en") == 1), 1
+                (F.col("is_long") == 1) & (F.col("is_en") == 1), 1
             ).otherwise(0)
         ).cast("long").alias("a"),
         F.sum(
             F.when(
-                (F.col("has_digit") == 1) & (F.col("is_en") == 0), 1
+                (F.col("is_long") == 1) & (F.col("is_en") == 0), 1
             ).otherwise(0)
         ).cast("long").alias("b"),
         F.sum(
             F.when(
-                (F.col("has_digit") == 0) & (F.col("is_en") == 1), 1
+                (F.col("is_long") == 0) & (F.col("is_en") == 1), 1
             ).otherwise(0)
         ).cast("long").alias("cc"),
         F.sum(
             F.when(
-                (F.col("has_digit") == 0) & (F.col("is_en") == 0), 1
+                (F.col("is_long") == 0) & (F.col("is_en") == 0), 1
             ).otherwise(0)
         ).cast("long").alias("d"),
     )

@@ -2489,7 +2489,9 @@ series AS MATERIALIZED (
          yl, CAST(yl AS DOUBLE) AS y
   FROM weekly
 ),
-nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM series),
+nn AS (SELECT CASE WHEN count(*) >= 105 THEN CAST(count(*) AS BIGINT)
+              ELSE CAST(error('x583_holt_winters_weekly requires >= 105 present weeks')
+                        AS BIGINT) END AS n FROM series),
 m1 AS (SELECT CAST(SUM(yl) AS BIGINT) AS s1 FROM series WHERE t <= 52),
 m2 AS (SELECT CAST(SUM(yl) AS BIGINT) AS s2 FROM series
        WHERE t > 52 AND t <= 104),
@@ -2639,8 +2641,25 @@ def x583_holt_winters_weekly(
             ).alias("s"),
         )
 
+    # Loud, cross-engine-identical precondition: a series shorter than
+    # 105 present weeks cannot seed the dyadic init (52+52) plus one
+    # step -- the oracle's nn CTE raises via error() on the same bound,
+    # so both engines fail instead of one throwing an opaque slice
+    # error while the other silently returns zero rows.
     folded = ser.select(
-        F.size(ys).cast("long").alias("n_weeks"),
+        F.when(
+            F.assert_true(
+                F.size(ys) >= 105,
+                F.concat(
+                    F.lit(
+                        "x583_holt_winters_weekly requires >= 105 "
+                        "present weeks; got "
+                    ),
+                    F.size(ys).cast("string"),
+                ),
+            ).isNull(),
+            F.size(ys).cast("long"),
+        ).alias("n_weeks"),
         F.aggregate(
             F.slice(ys, 53, F.size(ys) - 52), init, step
         ).alias("st"),
