@@ -87,8 +87,20 @@ class DirectoryQueue:
         return {"Successful": [{"Id": e["Id"]} for e in entries], "Failed": []}
 
 
-def sqs_client_factory(region: str | None = None, endpoint: str | None = None):
-    """Real-SQS factory (boto3 is optional in this environment)."""
+def sqs_client_factory(
+    region: str | None = None,
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+):
+    """Real-SQS factory (boto3 is optional in this environment).
+
+    Static credentials ride the factory, not the process environment:
+    the factory is pickled into Spark python workers whose daemon may
+    predate any env mutation on the driver (the endpoint-override
+    deployment shape -- LocalStack/minio/moto -- always pairs an
+    explicit endpoint with explicit static creds).
+    """
 
     def make():
         try:
@@ -97,7 +109,13 @@ def sqs_client_factory(region: str | None = None, endpoint: str | None = None):
             raise NotImplementedError(
                 "boto3 is not installed; use DirectoryQueue for local runs"
             ) from exc
-        return boto3.client("sqs", region_name=region, endpoint_url=endpoint)
+        return boto3.client(
+            "sqs",
+            region_name=region,
+            endpoint_url=endpoint,
+            aws_access_key_id=access_key,
+            aws_secret_access_key=secret_key,
+        )
 
     return make
 
