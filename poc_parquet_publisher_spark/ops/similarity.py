@@ -484,6 +484,35 @@ def lsh_topk(
     return _ranked_topk(scored, k)
 
 
+def ivf_params_for(
+    n: int,
+    block_target: int = 64,
+    n_probe: int = 4,
+    max_centroids: int = 1024,
+) -> tuple[int, int]:
+    """Deployment schedule for the IVF-blocked tiers' (n_centroids,
+    n_probe) -- the x28 playbook (lsh_params_for) applied to IVF.
+
+    Holding the EXPECTED BLOCK POPULATION constant (n_centroids ~
+    n / block_target) keeps the candidate equi-join LINEAR in corpus
+    size: candidates ~ n_probe * block_target * n, vs the quadratic
+    n_probe * n^2 / n_centroids a fixed centroid count degrades to.
+    Recall survives the shrinking probed FRACTION because the pairs
+    these tiers exist for (mutual top-1 / near neighbors) are
+    geometrically CLOSE -- close vectors co-probe their shared Voronoi
+    cell with high probability, and n_probe > 1 covers cell-boundary
+    splits; the blocked-MNN gate measures this at every probed scale.
+    Centroid assignment is n * n_centroids * dim of dense BLAS flops --
+    the cheap term at any probe-able scale; n_centroids is capped at
+    max_centroids (>= 4 training rows per centroid from the 4096-row
+    quantizer sample), past which a 100 TB deployment swaps the flat
+    coarse quantizer for a hierarchical one rather than growing the
+    sample.
+    """
+    n_centroids = int(min(max_centroids, max(8, n // block_target)))
+    return n_centroids, min(n_probe, n_centroids)
+
+
 def lsh_params_for(
     n: int,
     threshold: float,
@@ -964,8 +993,8 @@ def mnn_align_blocked(
     b_side: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
-    n_probe: int = 4,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
     csls_k: int = 4,
     seed: int = 42,
     max_iter: int = 8,
@@ -991,10 +1020,30 @@ def mnn_align_blocked(
     with ``n_probe`` and is gated in tests against the exact x333
     result. Cosines round 6 BEFORE ranking with id tie-breaks
     (x333's determinism discipline).
+
+    When ``n_centroids``/``n_probe`` are omitted they derive from the
+    corpus count via ``ivf_params_for`` (constant block population =>
+    linear candidate join -- measured t ~ sf^0.30 over the 0.1-1.0
+    decade vs x333's 1.26, SCALE_PROBE.json). Recall holds only for
+    pairs whose similarity clears the corpus's max-of-noise ceiling --
+    the planted-correspondence gate measures 0.95+ across the decade
+    at the derived schedule; pairs BELOW the ceiling (near-uniform
+    data) are unrecoverable by any sub-quadratic method (SURVEY 4.4e).
     """
     from pyspark.sql.window import Window
 
     spark = a_side.sparkSession
+    if n_centroids is None or n_probe is None:
+        # the x28 lesson: FIXED parameters quietly turn a scale tier
+        # quadratic -- by default derive (n_centroids, n_probe) from
+        # the corpus count so block population stays constant and the
+        # candidate join linear (two count jobs, metadata-cheap)
+        derived_c, derived_p = ivf_params_for(
+            a_side.count() + b_side.count()
+        )
+        n_centroids = derived_c if n_centroids is None else n_centroids
+        n_probe = derived_p if n_probe is None else n_probe
+    n_probe = min(n_probe, n_centroids)
     # The quantizer sample key is SALTED with a side tag: two
     # independently-keyed corpora may share id values, and a bare
     # md5(id) would then collide across sides with DIFFERENT vectors,

@@ -233,7 +233,40 @@ def main() -> None:
         amplify(spark, copies, d)
         scales.append((sf, d))
 
-    queries = all_queries()
+    queries = dict(all_queries())
+
+    # mnn_align_blocked is an op tier, not a registry entry; probe it on
+    # the PLANTED-CORRESPONDENCE workload (a_side = amplified embeddings,
+    # b_side = the same vectors under deterministic ~2% directional
+    # jitter, planted cos ~0.978). This is the workload the tier's
+    # contract is about: true pairs ABOVE the max-of-noise ceiling. The
+    # rotation-amplified fixture itself is near-uniform in 64-dim, so at
+    # sf1.0 92% of its exact MNN pairs are cross-copy max-of-noise
+    # artifacts (sims ~0.47 vs a ~0.46 noise ceiling over 9k candidates)
+    # -- unrecoverable by ANY sub-quadratic method, and absent from real
+    # aligned corpora. Fixture-recall decay documented in SURVEY 4.4d.
+    _MNN_OFF = 10**9
+
+    def _mnn_planted_head(spark_, sf_dir):
+        from pyspark.sql import functions as F
+
+        from poc_parquet_publisher_spark.ops import similarity
+
+        emb = load_table(spark_, sf_dir, "embeddings")
+        a = emb.select("vec_id", "embedding")
+        b = emb.select(
+            (F.col("vec_id") + F.lit(_MNN_OFF)).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, d) -> cast(x * (1.0 + 0.3 "
+                "* sin(vec_id * 97 + d * 131)) as float))"
+            ).alias("embedding"),
+        )
+        # derived (n_centroids, n_probe): ivf_params_for keeps block
+        # population constant, the schedule the exponent is about
+        return similarity.mnn_align_blocked(a, b)
+
+    queries["mnn_align_blocked"] = _mnn_planted_head
+
     # HEADS_ONLY=x447_foo,x329_bar probes a subset and MERGES into the
     # existing SCALE_PROBE.json (wave-2 additions don't re-time wave 1)
     heads = [h for h in os.environ.get("HEADS_ONLY", "").split(",") if h]
@@ -277,6 +310,23 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
+    # planted-correspondence recall per scale for the blocked-MNN tier
+    # (one pass; recall is deterministic, unlike the timings)
+    mnn_recall: dict[str, float] = {}
+    if "mnn_align_blocked" in heads:
+        for sf, sf_dir in scales:
+            pairs = {
+                (r["a_id"], r["b_id"])
+                for r in _mnn_planted_head(spark, sf_dir).collect()
+            }
+            n = load_table(spark, sf_dir, "embeddings").count()
+            planted = sum(1 for x, y in pairs if y - _MNN_OFF == x)
+            mnn_recall[str(sf)] = round(planted / n, 3)
+            print(
+                f"# sf{sf} mnn planted recall {planted}/{n}",
+                file=sys.stderr,
+            )
+
     # least-squares slope of log t vs log sf
     import math
 
@@ -294,6 +344,8 @@ def main() -> None:
             "seconds_by_sf": {str(s): t for s, t in pts},
             "exponent": round(slope, 2),
         }
+        if name == "mnn_align_blocked" and mnn_recall:
+            out[name]["planted_recall_by_sf"] = mnn_recall
         print(f"{name}: exponent {slope:.2f}  {out[name]['seconds_by_sf']}")
 
     probe_path = os.path.join(ROOT, "SCALE_PROBE.json")

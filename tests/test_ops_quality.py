@@ -10214,3 +10214,35 @@ def test_x583_guard_fails_loudly_on_short_series(spark, tmp_path):
     )
     with pytest.raises(Exception, match="105"):
         con.execute(spec.oracle).fetchall()
+
+
+def test_mnn_blocked_planted_correspondence_recall_with_schedule(spark):
+    """The tier's scale contract on the workload it exists for: planted
+    true correspondences (b = a under ~2% deterministic directional
+    jitter, cos ~0.978 -- far above the fixture's ~0.5 max-of-noise
+    ceiling, the shape real aligned corpora have) recovered with the
+    DERIVED ivf_params_for schedule. The scale probe measured 0.999 /
+    0.982 / 0.952 at sf0.1/0.3/1.0 (SCALE_PROBE.json, exponent 0.30 vs
+    exact x333's 1.26); gate this sf0.1-sized point at the cross-scale
+    floor."""
+    from poc_parquet_publisher_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    n = emb.count()
+    off = 10**9
+    a = emb.select("vec_id", "embedding")
+    b = emb.select(
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, d) -> cast(x * (1.0 + 0.3 "
+            "* sin(vec_id * 97 + d * 131)) as float))"
+        ).alias("embedding"),
+    )
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in similarity.mnn_align_blocked(a, b).collect()
+    }
+    planted = sum(1 for x, y in pairs if y - off == x)
+    assert planted / n >= 0.95, f"planted recall {planted / n:.3f}"
+    # derived schedule really engaged (not the 8-centroid floor)
+    assert similarity.ivf_params_for(2 * n) == (62, 4)
