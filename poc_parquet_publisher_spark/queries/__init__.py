@@ -72,25 +72,28 @@ def all_oracles() -> dict[str, str]:
 #   round 6:    x14 (driver-green in CORRECTNESS_r06)
 #   round 7:    x18 (driver-green in CORRECTNESS_r07)
 #   round 8:    x19 (driver-green in CORRECTNESS_r08)
-#   round 9:    x104_pagerank (head of the list below -- the round-8
-#               verdict asked for a never-driver-checked HEAVYWEIGHT
-#               rather than continuing down the x20.. sequence, so the
-#               driver's own hashing starts probing the iterative/graph
-#               tier)
-#   next rounds: x03_dedup_ngram_jaccard (the other heavyweight the
-#   verdict named), then x20 x21 x22 x25 x26 x27 x29 x30 x31 x33, then
-#   later oracle-backed additions (rows-only entries stay out of the
-#   hashed window by design).
+#   round 9:    x104_pagerank (driver-green in CORRECTNESS_r09 -- the
+#               round-8 verdict asked for a never-driver-checked
+#               HEAVYWEIGHT rather than continuing down the x20..
+#               sequence)
+#   round 10:   x23_curate_pipeline (the round-9 verdict's pick: the
+#               end-to-end composition entry -- scrub -> gates -> dedup
+#               -> near-dup -> split -- whose oracle composes six
+#               already-verified stage oracles)
+#   next rounds: x102_source_overlap (the other heavyweight the round-9
+#   verdict named), x03_dedup_ngram_jaccard, then x20 x21 x22 x25 x26
+#   x27 x29 x30 x31 x33, then later oracle-backed additions (rows-only
+#   entries stay out of the hashed window by design).
 #   With the declared set at 49 (q38-q42 added round 3), only ONE
 #   rotated name lands in the driver's 50-entry hashed window per
 #   round; each round, move the newly driver-checked head to the
 #   retired list above and promote the next entry.
 _WINDOW_FIRST: list[str] = [
-    "x104_pagerank",
+    "x23_curate_pipeline",
+    "x102_source_overlap",
     "x03_dedup_ngram_jaccard",
     "x20_text_scrub",
     "x21_sessionize",
-    "x22_histogram",
 ]
 
 
