@@ -41,6 +41,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REF_SPARK_PROBE_S = 1.99  # pinned: round-8 session-1 median of 3 warm runs
 REF_CPU_MD5_S = 0.77  # same session, informational
 
+# Round-9 finding (SURVEY 4.4d): the single COLD spark probe is JIT/
+# codegen-warmup dominated and injected an 18% normalization
+# disagreement between two same-session ledgers whose raw sums agreed
+# at 1.4%. The WARM probe and cpu_md5 are the stable readings, so the
+# primary normalization is now their combined factor (geometric mean of
+# the two ratios -- one Spark-stack-speed axis, one pure-CPU axis).
+# References pinned from the round-9 closing median ledger.
+REF_SPARK_PROBE_WARM_S = 1.113  # round-9 BENCH_MEDIANS calibration
+REF_CPU_MD5_WARM_ANCHOR_S = 0.759  # same ledger's cpu_md5_s median
+
+
+def _pinned_host_factor(calibration: dict) -> float | None:
+    """Combined warm host factor: sqrt((warm/ref_warm) * (cpu/ref_cpu)).
+    >1 means this session is slower than the reference session."""
+    warm = calibration.get("spark_probe_warm_s")
+    cpu = calibration.get("cpu_md5_s")
+    if not warm or not cpu:
+        return None
+    return round(
+        (
+            (warm / REF_SPARK_PROBE_WARM_S)
+            * (cpu / REF_CPU_MD5_WARM_ANCHOR_S)
+        )
+        ** 0.5,
+        3,
+    )
+
 CAL_CPU_ITERS = 300_000
 
 
@@ -335,6 +362,12 @@ def _write_result(
         result["queries_normalized"] = {
             k: round(v * scale, 3) for k, v in timings.items()
         }
+        # primary (round-10 on): warm-pinned normalization -- the cold
+        # probe's 18% warmup noise does not enter this number
+        pinned = _pinned_host_factor(calibration)
+        if pinned:
+            result["host_factor_pinned"] = pinned
+            result["value_normalized_warm"] = round(total / pinned, 3)
     with open(local_path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -439,6 +472,12 @@ def medians(n_runs: int = 3) -> None:
         result["queries_normalized"] = {
             k: round(v * scale, 3) for k, v in med.items()
         }
+        pinned = _pinned_host_factor(med_cal)
+        if pinned:
+            result["host_factor_pinned"] = pinned
+            result["value_normalized_warm"] = round(
+                result["value"] / pinned, 3
+            )
     with open(os.path.join(here, "BENCH_MEDIANS.json"), "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -450,6 +489,9 @@ def medians(n_runs: int = 3) -> None:
     if "value_normalized" in result:
         summary["value_normalized"] = result["value_normalized"]
         summary["host_factor"] = result["calibration"]["host_factor"]
+    if "value_normalized_warm" in result:
+        summary["value_normalized_warm"] = result["value_normalized_warm"]
+        summary["host_factor_pinned"] = result["host_factor_pinned"]
     print(json.dumps(summary))
 
 
