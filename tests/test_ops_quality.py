@@ -10246,3 +10246,110 @@ def test_mnn_blocked_planted_correspondence_recall_with_schedule(spark):
     assert planted / n >= 0.95, f"planted recall {planted / n:.3f}"
     # derived schedule really engaged (not the 8-centroid floor)
     assert similarity.ivf_params_for(2 * n) == (62, 4)
+
+
+def _degenerate_compare(spark, tmp_path, entry_name):
+    """Run a registry entry AND its DuckDB oracle over the synthetic
+    tables in tmp_path and return the harness compare dict."""
+    from poc_parquet_publisher_spark import queries as qmod
+    from tests.oracle_harness import compare, duckdb_connection
+
+    qmod.all_queries()  # force lazy registration
+    spec = qmod.REGISTRY[entry_name]
+    con = duckdb_connection(str(tmp_path))
+    try:
+        return compare(spec.spark(spark, str(tmp_path)), con, spec.oracle)
+    finally:
+        con.close()
+
+
+@pytest.fixture()
+def steep_trend_lineitem(tmp_path):
+    """A lineitem whose fitted linear return-rate trend ESCAPES (0,1):
+    bands s = 0..10 with 10 rows each, return rate jumping 0 -> 1 at
+    s = 5. The closed-form fit is pbar = 6/11, slope = 3/22, so
+    p_hat(0) = -0.136 and p_hat(10) = +1.227 -- both clamp branches of
+    the b3a3400 guard actually execute (the driver fixture never
+    leaves (0,1), so until now the clamps were dead code under test)."""
+    import pandas as pd
+
+    rows = [
+        {
+            "l_discount": s / 100.0,
+            "l_returnflag": "R" if s >= 5 else "N",
+        }
+        for s in range(11)
+        for _ in range(10)
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "lineitem.parquet")
+    return tmp_path
+
+
+def test_x553_clamp_branch_cross_engine_identical(
+    spark, steep_trend_lineitem
+):
+    """x553's p_hat clamp into (1e-6, 1-1e-6) must fire AND keep both
+    engines identical inside the clamped branch (the hash gate cannot
+    see a divergence the fixture never reaches)."""
+    out = _degenerate_compare(
+        spark, steep_trend_lineitem, "x553_hosmer_lemeshow"
+    )
+    assert out["match"], out
+    from poc_parquet_publisher_spark import queries as qmod
+
+    qmod.all_queries()
+    rows = {
+        r["band"]: r
+        for r in qmod.REGISTRY["x553_hosmer_lemeshow"]
+        .spark(spark, str(steep_trend_lineitem))
+        .collect()
+    }
+    # clamp floor at band 0: expected count = 1e-6 * 10 rounds to 0.0
+    assert rows[0]["expected"] == pytest.approx(0.0, abs=1e-4)
+    # clamp ceiling at band 10: expected ~= n_g (p_hat = 1 - 1e-6)
+    assert rows[10]["expected"] == pytest.approx(10.0, abs=1e-4)
+    # every statistic stays finite inside the clamped branch
+    import math
+
+    for r in rows.values():
+        assert math.isfinite(r["hl_term"]) and math.isfinite(r["hl_chi2"])
+
+
+def test_x564_clamp_branch_cross_engine_identical(
+    spark, steep_trend_lineitem
+):
+    """Same degenerate fit through x564's z-score denominator
+    p(1-p): without the clamp this is non-positive at both ends."""
+    out = _degenerate_compare(
+        spark, steep_trend_lineitem, "x564_spiegelhalter_z"
+    )
+    assert out["match"], out
+
+
+def test_x568_lrv_floor_cross_engine_identical(spark, tmp_path):
+    """A CONSTANT daily revenue series drives x568's Bartlett long-run
+    variance to exactly 0; the 1e-12 floor must keep eta a declared
+    finite value (0/1e-12 = 0) IDENTICALLY on both engines instead of
+    an incidental 0/0 NaN-vs-NULL divergence."""
+    import math
+
+    import pandas as pd
+
+    days = pd.date_range("1997-01-01", periods=40, freq="D")
+    pd.DataFrame(
+        {
+            "o_orderdate": days,
+            "o_totalprice": [1000.0] * len(days),
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    out = _degenerate_compare(spark, tmp_path, "x568_kpss_test")
+    assert out["match"], out
+    from poc_parquet_publisher_spark import queries as qmod
+
+    row = (
+        qmod.REGISTRY["x568_kpss_test"]
+        .spark(spark, str(tmp_path))
+        .collect()[0]
+    )
+    stats = [v for v in row.asDict().values() if isinstance(v, float)]
+    assert stats and all(math.isfinite(v) for v in stats), row
