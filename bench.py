@@ -44,19 +44,31 @@ REF_CPU_MD5_S = 0.77  # same session, informational
 # Round-9 finding (SURVEY 4.4d): the single COLD spark probe is JIT/
 # codegen-warmup dominated and injected an 18% normalization
 # disagreement between two same-session ledgers whose raw sums agreed
-# at 1.4%. The WARM probe and cpu_md5 are the stable readings, so the
-# primary normalization is now their combined factor (geometric mean of
-# the two ratios -- one Spark-stack-speed axis, one pure-CPU axis).
-# References pinned from the round-9 closing median ledger.
-REF_SPARK_PROBE_WARM_S = 1.113  # round-9 BENCH_MEDIANS calibration
-REF_CPU_MD5_WARM_ANCHOR_S = 0.759  # same ledger's cpu_md5_s median
+# at 1.4%. The WARM probe and cpu_md5 are the stable readings. Round-10
+# refinement: for median ledgers the estimator is the FLOOR (min) of
+# the per-run readings, not their median -- the same contention
+# rejection the per-entry medians already apply. A median-of-3
+# calibration instants keeps one contended sample's inflation (round-10
+# measured per-run warm probes 1.83/0.79/1.17 in a ledger whose
+# per-entry medians had already discarded that run's inflation), while
+# the floor is the uncontended host speed: the two round-10 ledgers'
+# raw sums disagree 5.2% (real contention) but their FLOOR-normalized
+# sums agree at 0.15%. References pinned as the floors of the round-9
+# closing ledger's per-run readings.
+REF_SPARK_PROBE_WARM_S = 0.864  # round-9 per-run warm floor
+REF_CPU_MD5_WARM_ANCHOR_S = 0.728  # round-9 per-run cpu_md5 floor
 
 
 def _pinned_host_factor(calibration: dict) -> float | None:
-    """Combined warm host factor: sqrt((warm/ref_warm) * (cpu/ref_cpu)).
+    """Combined warm host factor: sqrt((warm/ref_warm) * (cpu/ref_cpu)),
+    preferring the per-run FLOOR readings when present (median ledgers).
     >1 means this session is slower than the reference session."""
-    warm = calibration.get("spark_probe_warm_s")
-    cpu = calibration.get("cpu_md5_s")
+    warm = calibration.get("spark_probe_warm_floor_s") or calibration.get(
+        "spark_probe_warm_s"
+    )
+    cpu = calibration.get("cpu_md5_floor_s") or calibration.get(
+        "cpu_md5_s"
+    )
     if not warm or not cpu:
         return None
     return round(
@@ -453,6 +465,14 @@ def medians(n_runs: int = 3) -> None:
             if vals:
                 med_cal[k] = round(statistics.median(vals), 3)
         med_cal["ref_spark_probe_s"] = REF_SPARK_PROBE_S
+        # contention-rejecting floors across the cold runs (see the
+        # REF_* comment block): these drive host_factor_pinned
+        warm_vals = [
+            c["spark_probe_warm_s"] for c in cals if "spark_probe_warm_s" in c
+        ]
+        if warm_vals:
+            med_cal["spark_probe_warm_floor_s"] = min(warm_vals)
+        med_cal["cpu_md5_floor_s"] = min(c["cpu_md5_s"] for c in cals)
         med_cal["per_run"] = [
             {
                 k: c[k]
