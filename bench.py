@@ -375,11 +375,27 @@ def _write_result(
             k: round(v * scale, 3) for k, v in timings.items()
         }
         # primary (round-10 on): warm-pinned normalization -- the cold
-        # probe's 18% warmup noise does not enter this number
+        # probe's 18% warmup noise does not enter this number. FLOOR
+        # readings exist only on median ledgers (min over the session's
+        # runs); a single run's point-in-time reading is >= the floor
+        # by construction, so normalizing with it systematically reads
+        # FAST and is not comparable to median-ledger values (round-10
+        # advice) -- tag it apart instead of publishing it as the same
+        # metric.
         pinned = _pinned_host_factor(calibration)
         if pinned:
             result["host_factor_pinned"] = pinned
-            result["value_normalized_warm"] = round(total / pinned, 3)
+            if "spark_probe_warm_floor_s" in calibration:
+                result["value_normalized_warm"] = round(total / pinned, 3)
+            else:
+                result["value_normalized_warm_single_run"] = round(
+                    total / pinned, 3
+                )
+                result["value_normalized_warm_single_run_note"] = (
+                    "point-in-time calibration (no per-run floor): "
+                    "biased vs floor-pinned median ledgers; compare "
+                    "only value_normalized_warm across median ledgers"
+                )
     with open(local_path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
         f.write("\n")

@@ -320,28 +320,10 @@ def _fit_centroids_on_sample(
     mat = np.stack([np.asarray(r[vec_col]) for r in sample]).astype(
         np.float64
     )
-    # deterministic init: evenly spaced rows of the (hash-shuffled) sample
-    init_idx = np.linspace(0, len(mat) - 1, n_centroids).astype(np.int64)
-    centers = mat[init_idx].copy()
-    for _ in range(max_iter):
-        d2 = (
-            (mat**2).sum(axis=1, keepdims=True)
-            - 2.0 * (mat @ centers.T)
-            + (centers**2).sum(axis=1)[None, :]
-        )
-        assign = d2.argmin(axis=1)
-        new = np.stack(
-            [
-                mat[assign == c].mean(axis=0)
-                if (assign == c).any()
-                else centers[c]
-                for c in range(n_centroids)
-            ]
-        )
-        if np.allclose(new, centers):
-            break
-        centers = new
-    return centers
+    # deterministic init: evenly spaced rows of the (hash-shuffled)
+    # sample; the Lloyd loop itself is shared with the per-cell
+    # level-2 fits (_fit_hier_centroids)
+    return _lloyd(mat, n_centroids, max_iter)
 
 
 def ivf_topk(
@@ -484,11 +466,17 @@ def lsh_topk(
     return _ranked_topk(scored, k)
 
 
+#: Largest centroid count the FLAT quantizer can train (>= 4 rows per
+#: centroid from ``_fit_centroids_on_sample``'s 4096-row sample); past
+#: it the blocked tiers route to the two-level quantizer below.
+_FLAT_CENTROID_CAP = 1024
+
+
 def ivf_params_for(
     n: int,
     block_target: int = 64,
     n_probe: int = 4,
-    max_centroids: int = 1024,
+    max_centroids: int = _FLAT_CENTROID_CAP,
 ) -> tuple[int, int]:
     """Deployment schedule for the IVF-blocked tiers' (n_centroids,
     n_probe) -- the x28 playbook (lsh_params_for) applied to IVF.
@@ -503,14 +491,177 @@ def ivf_params_for(
     cell with high probability, and n_probe > 1 covers cell-boundary
     splits; the blocked-MNN gate measures this at every probed scale.
     Centroid assignment is n * n_centroids * dim of dense BLAS flops --
-    the cheap term at any probe-able scale; n_centroids is capped at
-    max_centroids (>= 4 training rows per centroid from the 4096-row
-    quantizer sample), past which a 100 TB deployment swaps the flat
-    coarse quantizer for a hierarchical one rather than growing the
-    sample.
+    the cheap term at any probe-able scale.
+
+    The returned count is NOT capped at ``max_centroids``: past it
+    (n > max_centroids * block_target, ~65k vectors) a flat quantizer
+    can no longer train (>= 4 rows per centroid from a 4096-row
+    sample), so ``mnn_align_blocked`` routes to the TWO-LEVEL
+    hierarchical quantizer (``_fit_hier_centroids``: T = ceil(sqrt(n_c))
+    top cells, S = ceil(n_c / T) sub-centroids per cell, both <=
+    max_centroids) which keeps the constant-block-population invariant
+    to max_centroids^2 blocks (~67M vectors at block_target 64). The
+    cap here is max_centroids^2, past which a deployment adds a third
+    level rather than growing per-stage samples.
+
+    Past the flat cap ``n_probe`` also grows by 2 per DOUBLING of the
+    block count -- the measured recall price of more, smaller Voronoi
+    cells (planted block-recall at fixed n_probe=4 decays 0.952 ->
+    0.901 -> 0.884 over 625 -> 1250 -> 2500 blocks; +2 probes per
+    doubling restores 0.980 / 0.972 -- the xcap sweep). Candidates
+    stay n_probe * block_target * n = O(n log n), the quasi-linear
+    toll every sub-quadratic ANN pays to hold recall as cells shrink.
     """
-    n_centroids = int(min(max_centroids, max(8, n // block_target)))
+    n_centroids = int(
+        min(max_centroids * max_centroids, max(8, n // block_target))
+    )
+    if n_centroids > max_centroids:
+        n_probe = n_probe + 2 * math.ceil(
+            math.log2(n_centroids / max_centroids)
+        )
     return n_centroids, min(n_probe, n_centroids)
+
+
+def _lloyd(mat: np.ndarray, k: int, max_iter: int) -> np.ndarray:
+    """Deterministic Lloyd k-means: init = evenly spaced rows of the
+    (caller-ordered) matrix, empty clusters keep their center. Shared
+    by the flat sample fit (driver-side) and the per-cell level-2 fits
+    (executor-side via applyInPandas)."""
+    init_idx = np.linspace(0, len(mat) - 1, k).astype(np.int64)
+    centers = mat[init_idx].copy()
+    for _ in range(max_iter):
+        d2 = (
+            (mat**2).sum(axis=1, keepdims=True)
+            - 2.0 * (mat @ centers.T)
+            + (centers**2).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        new = np.stack(
+            [
+                mat[assign == c].mean(axis=0)
+                if (assign == c).any()
+                else centers[c]
+                for c in range(k)
+            ]
+        )
+        if np.allclose(new, centers):
+            break
+        centers = new
+    return centers
+
+
+def _fit_hier_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_total: int,
+    seed: int,
+    max_iter: int,
+    max_centroids: int = _FLAT_CENTROID_CAP,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Two-level coarse quantizer for block counts past the flat
+    trainable cap -- the scale route ``ivf_params_for``'s schedule
+    prescribes (reference parity: the blocked tiers exist to serve
+    x333's 100 TB contract; the reference itself has no ANN surface).
+
+    Level 1 reuses the flat sample fit for T = ceil(sqrt(n_total)) top
+    cells. Level 2 fits S = ceil(n_total / T) sub-centroids INSIDE
+    each cell with the same deterministic Lloyd, EXECUTOR-side via
+    ``applyInPandas`` over a per-cell sample (the ``per_cell_cap``
+    smallest-md5 rows of each cell -- a keyed window, one shuffle by
+    cell, no driver collect of corpus rows). Both T and S stay <=
+    ``max_centroids``, so each stage trains on >= 4 rows per centroid
+    exactly like the flat tier; total blocks reach max_centroids^2
+    before a third level would be needed. The only driver materializa-
+    tion is the (T x S x dim) centroid table itself -- the same object
+    that must ride the assignment broadcast regardless (FAISS keeps
+    its coarse quantizer in memory for the same reason).
+
+    Returns ``(top_centers [T,d], sub_centers [T,S,d])``, rows
+    L2-normalized for cosine assignment. Cells the SAMPLE leaves empty
+    (level 1 trains on a bounded sample, so thin cells can miss it) or
+    short keep their top center replicated in the unfilled slots --
+    duplicate centers are inert: assignment tie-breaks by block index
+    deterministically.
+    """
+    n_top = max(2, min(max_centroids, int(math.ceil(math.sqrt(n_total)))))
+    n_sub = max(
+        1, min(max_centroids, int(math.ceil(n_total / n_top)))
+    )
+    top_raw = _fit_centroids_on_sample(
+        corpus, id_col, vec_col, n_top, seed, max_iter
+    )
+    t_norms = np.linalg.norm(top_raw, axis=1, keepdims=True)
+    t_norms[t_norms == 0.0] = 1.0
+    top = top_raw / t_norms
+    spark = corpus.sparkSession
+    bc_top = spark.sparkContext.broadcast(top)
+
+    def cell_of(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = bc_top.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            nm = np.linalg.norm(m, axis=1, keepdims=True)
+            nm[nm == 0.0] = 1.0
+            yield pd.DataFrame(
+                {
+                    "cell": ((m / nm) @ t.T)
+                    .argmax(axis=1)
+                    .astype(np.int32),
+                    "__r": pdf["__r"],
+                    "__v": pdf["__v"],
+                }
+            )
+
+    per_cell_cap = int(min(4096, max(32, 8 * n_sub)))
+    sampled = (
+        corpus.select(
+            F.md5(F.col(id_col).cast("string")).alias("__r"),
+            F.col(vec_col).alias("__v"),
+        )
+        .mapInPandas(
+            cell_of, schema="cell int, __r string, __v array<float>"
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("cell").orderBy("__r")
+            ),
+        )
+        .filter(F.col("__rn") <= per_cell_cap)
+        .select("cell", "__r", "__v")
+    )
+
+    def fit_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        # applyInPandas hands groups in arbitrary row order; the md5
+        # sort restores the same total order the flat fit trains under
+        pdf = pdf.sort_values("__r")
+        mat = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        k = min(n_sub, len(mat))
+        centers = _lloyd(mat, k, max_iter)
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])] * k,
+                "sub": list(range(k)),
+                "center": [centers[i].tolist() for i in range(k)],
+            }
+        )
+
+    fitted = (
+        sampled.groupBy("cell")
+        .applyInPandas(
+            fit_cell, schema="cell int, sub int, center array<double>"
+        )
+        .collect()
+    )
+    sub = np.tile(top[:, None, :], (1, n_sub, 1))
+    for r in fitted:
+        sub[r["cell"], r["sub"]] = np.asarray(r["center"])
+    s_norms = np.linalg.norm(sub, axis=2, keepdims=True)
+    s_norms[s_norms == 0.0] = 1.0
+    return top, sub / s_norms
 
 
 def lsh_params_for(
@@ -1024,26 +1175,24 @@ def mnn_align_blocked(
     When ``n_centroids``/``n_probe`` are omitted they derive from the
     corpus count via ``ivf_params_for`` (constant block population =>
     linear candidate join -- measured t ~ sf^0.30 over the 0.1-1.0
-    decade vs x333's 1.26, SCALE_PROBE.json). Recall holds only for
-    pairs whose similarity clears the corpus's max-of-noise ceiling --
-    the planted-correspondence gate measures 0.95+ across the decade
-    at the derived schedule; pairs BELOW the ceiling (near-uniform
-    data) are unrecoverable by any sub-quadratic method (SURVEY 4.4e).
+    decade vs x333's 1.26, SCALE_PROBE.json). Derivation costs ONE
+    ``count()`` job over A UNION B -- metadata-only when both sides
+    are raw parquet scans, one full lineage materialization when they
+    are derived/uncached frames; pass explicit ``n_centroids``/
+    ``n_probe`` to skip it in the latter case. Past the flat cap
+    (derived n_centroids > 1024, i.e. ~65k vectors) the coarse
+    quantizer is the two-level ``_fit_hier_centroids`` and block keys
+    become (cell * n_sub + sub); the constant-block-population
+    invariant -- and with it the linear candidate join -- then holds
+    to ~67M vectors. Recall holds only for pairs whose similarity
+    clears the corpus's max-of-noise ceiling -- the planted-
+    correspondence gate measures 0.95+ across the decade at the
+    derived schedule; pairs BELOW the ceiling (near-uniform data) are
+    unrecoverable by any sub-quadratic method (SURVEY 4.4e).
     """
     from pyspark.sql.window import Window
 
     spark = a_side.sparkSession
-    if n_centroids is None or n_probe is None:
-        # the x28 lesson: FIXED parameters quietly turn a scale tier
-        # quadratic -- by default derive (n_centroids, n_probe) from
-        # the corpus count so block population stays constant and the
-        # candidate join linear (two count jobs, metadata-cheap)
-        derived_c, derived_p = ivf_params_for(
-            a_side.count() + b_side.count()
-        )
-        n_centroids = derived_c if n_centroids is None else n_centroids
-        n_probe = derived_p if n_probe is None else n_probe
-    n_probe = min(n_probe, n_centroids)
     # The quantizer sample key is SALTED with a side tag: two
     # independently-keyed corpora may share id values, and a bare
     # md5(id) would then collide across sides with DIFFERENT vectors,
@@ -1063,44 +1212,133 @@ def mnn_align_blocked(
             vec_col,
         )
     )
-    raw_centers = _fit_centroids_on_sample(
-        union, "__side_id", vec_col, n_centroids, seed, max_iter
-    )
-    c_norms = np.linalg.norm(raw_centers, axis=1, keepdims=True)
-    c_norms[c_norms == 0.0] = 1.0
-    centers = raw_centers / c_norms
-    bc = spark.sparkContext.broadcast(centers)
+    if n_centroids is None or n_probe is None:
+        # the x28 lesson: FIXED parameters quietly turn a scale tier
+        # quadratic -- by default derive (n_centroids, n_probe) from
+        # the corpus count so block population stays constant and the
+        # candidate join linear. ONE count job, over the same union
+        # the quantizer trains on (was two per-side counts).
+        derived_c, derived_p = ivf_params_for(union.count())
+        n_centroids = derived_c if n_centroids is None else n_centroids
+        n_probe = derived_p if n_probe is None else n_probe
+    n_probe = min(n_probe, n_centroids)
 
-    def block_ids(df: DataFrame, out_id: str, k: int) -> DataFrame:
-        """(id, centroid) rows for each vector's k nearest centroids
-        by cosine -- k=1 is the home block, k=n_probe the probe set."""
-        # An argsort slice past the centroid count yields fewer columns
-        # than np.repeat(ids, k) rows -- an opaque executor-side length
-        # mismatch; probing every block is the honest meaning of
-        # n_probe > n_centroids.
-        k = min(k, centers.shape[0])
-
-        def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            c = bc.value
-            for pdf in it:
-                if len(pdf) == 0:
-                    continue
-                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                nm = np.linalg.norm(m, axis=1, keepdims=True)
-                nm[nm == 0.0] = 1.0
-                sims = (m / nm) @ c.T
-                top = np.argsort(-sims, axis=1)[:, :k]
-                ids = pdf[id_col].to_numpy()
-                yield pd.DataFrame(
-                    {
-                        out_id: np.repeat(ids, k),
-                        "centroid": top.reshape(-1).astype(np.int32),
-                    }
-                )
-
-        return df.select(id_col, vec_col).mapInPandas(
-            assign, schema=f"{out_id} long, centroid int"
+    if n_centroids <= _FLAT_CENTROID_CAP:
+        raw_centers = _fit_centroids_on_sample(
+            union, "__side_id", vec_col, n_centroids, seed, max_iter
         )
+        c_norms = np.linalg.norm(raw_centers, axis=1, keepdims=True)
+        c_norms[c_norms == 0.0] = 1.0
+        centers = raw_centers / c_norms
+        bc = spark.sparkContext.broadcast(centers)
+
+        def block_ids(df: DataFrame, out_id: str, k: int) -> DataFrame:
+            """(id, centroid) rows for each vector's k nearest
+            centroids by cosine -- k=1 is the home block, k=n_probe
+            the probe set."""
+            # An argsort slice past the centroid count yields fewer
+            # columns than np.repeat(ids, k) rows -- an opaque
+            # executor-side length mismatch; probing every block is
+            # the honest meaning of n_probe > n_centroids.
+            k = min(k, centers.shape[0])
+
+            def assign(
+                it: Iterator[pd.DataFrame],
+            ) -> Iterator[pd.DataFrame]:
+                c = bc.value
+                for pdf in it:
+                    if len(pdf) == 0:
+                        continue
+                    m = np.stack(pdf[vec_col].to_numpy()).astype(
+                        np.float64
+                    )
+                    nm = np.linalg.norm(m, axis=1, keepdims=True)
+                    nm[nm == 0.0] = 1.0
+                    sims = (m / nm) @ c.T
+                    top = np.argsort(-sims, axis=1)[:, :k]
+                    ids = pdf[id_col].to_numpy()
+                    yield pd.DataFrame(
+                        {
+                            out_id: np.repeat(ids, k),
+                            "centroid": top.reshape(-1).astype(
+                                np.int32
+                            ),
+                        }
+                    )
+
+            return df.select(id_col, vec_col).mapInPandas(
+                assign, schema=f"{out_id} long, centroid int"
+            )
+
+    else:
+        # past the flat trainable cap: two-level quantizer. Block key
+        # = cell * n_sub + sub (fits int32: <= 1024^2 blocks). Each
+        # vector beam-searches its p nearest TOP cells, scores all
+        # their sub-centroids, and keeps the k best (cell, sub) blocks
+        # -- covering boundary splits at BOTH levels the way flat
+        # n_probe covers them at one.
+        hier_top, hier_sub = _fit_hier_centroids(
+            union, "__side_id", vec_col, n_centroids, seed, max_iter
+        )
+        bc = spark.sparkContext.broadcast((hier_top, hier_sub))
+
+        def block_ids(df: DataFrame, out_id: str, k: int) -> DataFrame:
+            k = min(k, hier_top.shape[0] * hier_sub.shape[1])
+
+            def assign(
+                it: Iterator[pd.DataFrame],
+            ) -> Iterator[pd.DataFrame]:
+                t, s = bc.value
+                n_cells, s_per, d = s.shape
+                # beam floor of 4 TOP cells even for the k=1 home
+                # assignment: measured +0.03 planted recall at the
+                # hier points vs a width-2 beam (the home block must
+                # be found in the same search space the probe side
+                # uses, or boundary pairs miss asymmetrically)
+                p = min(n_cells, max(4, k))
+                # bound the gathered [chunk, s_per, d] float64 slab to
+                # ~64 MB per thread
+                chunk = max(32, int(8_000_000 // max(1, s_per * d)))
+                for pdf in it:
+                    if len(pdf) == 0:
+                        continue
+                    ids_all = pdf[id_col].to_numpy()
+                    m_all = np.stack(pdf[vec_col].to_numpy()).astype(
+                        np.float64
+                    )
+                    nm = np.linalg.norm(m_all, axis=1, keepdims=True)
+                    nm[nm == 0.0] = 1.0
+                    m_all = m_all / nm
+                    for lo in range(0, len(m_all), chunk):
+                        m = m_all[lo : lo + chunk]
+                        ids = ids_all[lo : lo + chunk]
+                        cells = np.argsort(-(m @ t.T), axis=1)[:, :p]
+                        cand = np.empty((len(m), p * s_per))
+                        for j in range(p):
+                            cand[:, j * s_per : (j + 1) * s_per] = (
+                                np.einsum(
+                                    "bd,bsd->bs", m, s[cells[:, j]]
+                                )
+                            )
+                        order = np.argsort(-cand, axis=1)[:, :k]
+                        cell_ids = np.take_along_axis(
+                            cells, order // s_per, axis=1
+                        )
+                        block = cell_ids.astype(np.int64) * s_per + (
+                            order % s_per
+                        )
+                        yield pd.DataFrame(
+                            {
+                                out_id: np.repeat(ids, k),
+                                "centroid": block.reshape(-1).astype(
+                                    np.int32
+                                ),
+                            }
+                        )
+
+            return df.select(id_col, vec_col).mapInPandas(
+                assign, schema=f"{out_id} long, centroid int"
+            )
 
     cand = (
         block_ids(a_side, "a_id", n_probe)

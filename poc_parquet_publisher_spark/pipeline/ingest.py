@@ -80,7 +80,7 @@ def read_request_staged(
     request: dict,
     client_factory,
     temp_dir: str | None = None,
-) -> DataFrame:
+) -> tuple[DataFrame, str]:
     """The reference's LITERAL S4 staging path: per-path S3 GetObject ->
     io.Copy into a temp dir -> read the staged parquet files
     (cmd/parquetgo-record-processor/handler.go:108-148).
@@ -95,11 +95,29 @@ def read_request_staged(
     index-prefixed: the reference keys its temp files on
     filepath.Base(path) alone (handler.go:118-121), so two requested
     keys sharing a basename silently clobber each other there.
+
+    LOCAL-MODE ONLY: staged files land on the DRIVER filesystem, so
+    executors can open them only when they share it (``local[*]``, the
+    deployment this leg exists for); on a cluster, use ``read_request``.
+    Guarded loudly rather than failing opaquely at scan time.
+
+    Returns ``(df, staging_dir)``. The CALLER owns ``staging_dir`` and
+    must delete it once the DataFrame is fully consumed -- Spark reads
+    lazily, so this function cannot clean up, and with ``temp_dir=None``
+    the mkdtemp directory would otherwise accumulate across calls (the
+    reference has the same lifecycle: its Lambda tmp dies with the
+    sandbox, handler.go:108-116; long-lived sessions must clean up).
     """
     import os
     import shutil
     import tempfile
 
+    if not spark.sparkContext.master.startswith("local"):
+        raise ValueError(
+            "read_request_staged stages onto the driver filesystem and "
+            "is local-mode only; use read_request (direct s3a) on a "
+            "cluster"
+        )
     bucket = request.get("bucket")
     if not bucket:
         raise ValueError("staged read requires a bucket in the request")
@@ -117,7 +135,7 @@ def read_request_staged(
             shutil.copyfileobj(body, f)
         local_paths.append(local_path)
     ensure_session_confs(spark)
-    return spark.read.parquet(*local_paths)
+    return spark.read.parquet(*local_paths), tmp
 
 
 def json_quarantine(

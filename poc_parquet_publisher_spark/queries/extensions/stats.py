@@ -3359,12 +3359,19 @@ FROM r ORDER BY round
         "coverage of a GIVEN set; this CHOOSES the set). Scale: "
         "the (doc x universe-shingle) pair table is built "
         "ONCE (explode joins the 200-word broadcast universe, "
-        "localCheckpointed); each round is one aggregate over that "
-        "bounded table with the covered set broadcast back -- the "
-        "driver holds only the <= 200-word covered set and k picks "
-        "(TakeOrdered-style bounded contract, never corpus state). "
-        "Oracle: 8 chained MATERIALIZED CTE rounds (k-core re-"
-        "inline defense)",
+        "localCheckpointed); selection is LAZY greedy (CELF, "
+        "Leskovec 2007's cost-effective variant of the same "
+        "1-1/e greedy): ONE aggregate collects the top-M frontier "
+        "docs WITH their <= 200-universe-word sets, then marginal "
+        "gains are re-evaluated driver-side from those sets under "
+        "submodular decay, re-aggregating only when the frontier "
+        "floor could beat the best exact gain -- provably the "
+        "IDENTICAL selection to round-per-round greedy (gain desc, "
+        "doc_id asc ties), at 1-2 Spark jobs instead of k. The "
+        "driver holds only the covered set, k picks, and the "
+        "M x 200-word frontier (bounded contract, never corpus "
+        "state). Oracle: 8 chained MATERIALIZED CTE rounds (k-core "
+        "re-inline defense)",
 )
 def x407_greedy_vocab_cover(
     spark: SparkSession, sf_dir: str
@@ -3405,44 +3412,104 @@ def x407_greedy_vocab_cover(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    covered: set = set()
-    picks = []
-    total = len(uni)
-    cum = 0
-    for rnd in range(1, rounds + 1):
+    import heapq
+
+    # CELF lazy greedy (Leskovec 2007). Marginal gains under a
+    # submodular objective only DECREASE as the covered set grows, so
+    # a refresh-time gain is a valid upper bound later. ONE aggregate
+    # collects the top-M frontier docs WITH their universe-word sets
+    # (each <= top_words strings -- pairs only holds universe
+    # shingles, so the driver state stays bounded at M x top_words);
+    # every later round re-evaluates gains EXACTLY driver-side as
+    # len(words - covered). A doc outside the frontier had
+    # refresh-time gain <= the M-th collected gain ("floor"), hence
+    # current gain <= floor -- so a driver-side pick is provably the
+    # global greedy argmax whenever its exact gain is STRICTLY above
+    # the floor (ties could hide a smaller uncollected doc_id);
+    # otherwise re-aggregate. Selection is therefore IDENTICAL to
+    # round-per-round greedy (gain desc, doc_id asc) -- the oracle
+    # replays that exact sequence -- at 1-2 Spark jobs instead of k
+    # (differential-tested against plain driver-side greedy).
+    frontier = max(64, 8 * rounds)
+
+    def refresh(covered: set) -> list:
         cand = pairs
         if covered:
             # broadcast anti-join, not a growing isin literal list:
-            # keeps the plan size constant across rounds (the literal
-            # form embeds O(rounds x top_words) strings by round 8)
+            # keeps the plan size constant across refreshes (the
+            # literal form embeds O(rounds x top_words) strings)
             cov_df = spark.createDataFrame(
                 [(w,) for w in sorted(covered)], "w string"
             )
             cand = pairs.join(F.broadcast(cov_df), "w", "left_anti")
-        # ONE job per round: the top-1 gain aggregate carries the
-        # picked doc's uncovered words via collect_set (bounded <=
-        # top_words per group -- pairs only holds universe shingles),
-        # so no second filter+collect scan is needed. Unioning the
-        # UNCOVERED words is equivalent to unioning the doc's full
-        # word set: the already-covered ones are no-ops on the set.
-        top = (
+        return (
             cand.groupBy("doc_id")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("gain"),
                 F.collect_set("w").alias("new_words"),
             )
             .orderBy(F.col("gain").desc(), "doc_id")
-            .limit(1)
+            .limit(frontier)
             .collect()
         )
-        if not top:
-            break
-        doc_id, gain = top[0]["doc_id"], top[0]["gain"]
-        covered |= set(top[0]["new_words"])
+
+    covered: set = set()
+    picks: list = []
+    selected: set = set()
+    total = len(uni)
+    cum = 0
+    heap: list = []
+    sets: dict = {}
+    floor = 0
+    need_refresh = True
+
+    def take(doc_id, gain) -> None:
+        nonlocal cum
+        selected.add(doc_id)
+        covered.update(sets[doc_id])
         cum += gain
         picks.append(
-            (rnd, doc_id, gain, cum, round(cum / total, 4))
+            (len(picks) + 1, doc_id, gain, cum, round(cum / total, 4))
         )
+
+    while len(picks) < rounds:
+        if need_refresh:
+            rows = refresh(covered)
+            if not rows:
+                break  # every universe word covered: greedy halts too
+            sets = {r["doc_id"]: set(r["new_words"]) for r in rows}
+            heap = [(-r["gain"], r["doc_id"]) for r in rows]
+            heapq.heapify(heap)
+            # only docs OUTSIDE a full frontier can be unaccounted for
+            floor = rows[-1]["gain"] if len(rows) == frontier else 0
+            # rows[0] is fresh and exact: the global argmax, take it
+            heapq.heappop(heap)
+            take(rows[0]["doc_id"], rows[0]["gain"])
+            need_refresh = False
+            continue
+        # lazy-exact pop: settle the heap top to its current gain
+        while heap:
+            negg, d = heap[0]
+            if d in selected:
+                heapq.heappop(heap)
+                continue
+            exact = len(sets[d] - covered)
+            if exact != -negg:
+                heapq.heapreplace(heap, (-exact, d))
+                continue
+            break
+        if not heap:
+            need_refresh = True
+            continue
+        best_g, best_d = -heap[0][0], heap[0][1]
+        if best_g == 0 and floor == 0:
+            break  # no doc anywhere adds an uncovered word
+        if best_g <= floor:
+            need_refresh = True  # an uncollected doc could beat/tie
+            continue
+        heapq.heappop(heap)
+        take(best_d, best_g)
+
     return docs.sparkSession.createDataFrame(
         picks,
         "round int, doc_id bigint, gain bigint, cum_covered bigint, "

@@ -206,6 +206,144 @@ def amplify(spark, copies: int, out_dir: str) -> None:
         _write_amped(parts, f"{out_dir}/embeddings.parquet")
 
 
+def xcap_main() -> None:
+    """Probe mnn_align_blocked ACROSS the flat-quantizer cap boundary
+    (round-10 verdict task #1). The derived schedule crosses the
+    1024-centroid flat cap at a union of ~65k vectors: the planted
+    workload doubles the embeddings table, so 10x-amplified sf0.1
+    (20k rows -> 40k union -> 625 centroids) is still flat while 20x
+    (40k -> 80k union -> 1250) and 40x (80k -> 160k union -> 2500)
+    route to the two-level hierarchical quantizer. Embeddings-only
+    amplification (the same rotation isometry amplify() uses; all
+    copies < dim=64), scale labels continuing the decade: 1.0/2.0/4.0.
+    Done-bar: the fitted exponent stays ~flat across the boundary and
+    planted recall holds >= 0.95 on BOTH hierarchical points.
+    """
+    from pyspark.sql import functions as F
+
+    from poc_parquet_publisher_spark.ops import similarity
+    from poc_parquet_publisher_spark.session import build_session
+
+    spark = build_session(
+        app_name="scale_probe_xcap",
+        extra_conf={"spark.driver.memory": "24g"},
+    )
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    dim = 64
+    scales: list[tuple[float, str]] = []
+    for sf, copies in ((1.0, 10), (2.0, 20), (4.0, 40)):
+        d = os.path.join(SCRATCH, f"xcap_sf{sf}")
+        out = f"{d}/embeddings.parquet"
+        if not os.path.exists(f"{out}/_SUCCESS"):
+            os.makedirs(d, exist_ok=True)
+            em = spark.read.parquet(f"{BASE}/embeddings.parquet")
+            parts = []
+            for j in range(copies):
+                c = em.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(j * SHIFT)
+                )
+                if j > 0:
+                    c = c.withColumn(
+                        "embedding",
+                        F.expr(
+                            f"concat(slice(embedding, {j + 1}, "
+                            f"{dim - j}), slice(embedding, 1, {j}))"
+                        ),
+                    )
+                parts.append(c)
+            _write_amped(parts, out)
+        scales.append((sf, d))
+
+    off = 10**9
+    # XCAP_FIXED_PROBE=4 pins n_probe (n_centroids still derived):
+    # separates pure DATA scaling (block populations constant, so the
+    # candidate join is linear at fixed probes) from the deliberate
+    # +2-probes-per-doubling recall toll the production schedule pays
+    fixed_probe = int(os.environ.get("XCAP_FIXED_PROBE", "0"))
+    row_name = (
+        f"mnn_align_blocked_xcap_fixed_probe{fixed_probe}"
+        if fixed_probe
+        else "mnn_align_blocked_xcap"
+    )
+
+    def planted_sides(sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        a = emb.select("vec_id", "embedding")
+        b = emb.select(
+            (F.col("vec_id") + F.lit(off)).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, d) -> cast(x * (1.0 + 0.3 "
+                "* sin(vec_id * 97 + d * 131)) as float))"
+            ).alias("embedding"),
+        )
+        return a, b
+
+    def run_mnn(a, b):
+        return similarity.mnn_align_blocked(
+            a, b, n_probe=fixed_probe or None
+        )
+
+    times: dict[str, float] = {}
+    for pass_no in range(3):
+        for sf, sf_dir in scales:
+            a, b = planted_sides(sf_dir)
+            t0 = time.perf_counter()
+            run_mnn(a, b).count()
+            dt = round(time.perf_counter() - t0, 3)
+            times[str(sf)] = min(times.get(str(sf), dt), dt)
+            print(f"# pass{pass_no} xcap sf{sf} {dt:.1f}s", file=sys.stderr)
+
+    recall: dict[str, float] = {}
+    schedule: dict[str, list[int]] = {}
+    for sf, sf_dir in scales:
+        a, b = planted_sides(sf_dir)
+        pairs = {
+            (r["a_id"], r["b_id"])
+            for r in run_mnn(a, b).collect()
+        }
+        n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        planted = sum(1 for x, y in pairs if y - off == x)
+        recall[str(sf)] = round(planted / n, 3)
+        derived = list(similarity.ivf_params_for(2 * n))
+        if fixed_probe:
+            derived[1] = fixed_probe
+        schedule[str(sf)] = derived
+        print(
+            f"# xcap sf{sf} planted recall {planted}/{n} "
+            f"schedule {schedule[str(sf)]}",
+            file=sys.stderr,
+        )
+
+    import math
+
+    pts = sorted((float(s), t) for s, t in times.items())
+    xs = [math.log10(s) for s, _ in pts]
+    ys = [math.log10(max(t, 1e-3)) for _, t in pts]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    row = {
+        "seconds_by_sf": {str(s): t for s, t in pts},
+        "exponent": round(slope, 2),
+        "planted_recall_by_sf": recall,
+        "derived_schedule_by_sf": schedule,
+    }
+    print(f"{row_name}: exponent {slope:.2f} {row}")
+
+    probe_path = os.path.join(ROOT, "SCALE_PROBE.json")
+    merged = {}
+    if os.path.exists(probe_path):
+        with open(probe_path) as f:
+            merged = json.load(f)
+    merged[row_name] = row
+    with open(probe_path, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+        f.write("\n")
+    spark.stop()
+
+
 def main() -> None:
     from poc_parquet_publisher_spark.catalog import load_table
     from poc_parquet_publisher_spark.ops import graph
@@ -361,4 +499,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("XCAP"):
+        xcap_main()
+    else:
+        main()

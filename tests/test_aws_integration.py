@@ -279,7 +279,7 @@ def test_read_request_staged_from_real_s3(spark, moto_endpoint, tmp_path):
             Key=key,
             Body=(tmp_path / fname).read_bytes(),
         )
-    df = ingest.read_request_staged(
+    df, staged_dir = ingest.read_request_staged(
         spark,
         {
             "bucket": "staging-bucket",
@@ -290,6 +290,10 @@ def test_read_request_staged_from_real_s3(spark, moto_endpoint, tmp_path):
         ),
         temp_dir=str(tmp_path / "staged"),
     )
+    # caller-owned staging dir (round-10 advice): the function hands
+    # back the directory it staged into so the caller can delete it
+    # after the DataFrame is consumed
+    assert staged_dir == str(tmp_path / "staged")
     assert df.count() == nation.count()
     assert set(df.columns) == set(nation.columns)
     got = {r["n_nationkey"] for r in df.collect()}
@@ -321,7 +325,7 @@ def test_staged_basename_collision_does_not_clobber(
         Key="day2/part.parquet",
         Body=(tmp_path / "b.parquet").read_bytes(),
     )
-    df = ingest.read_request_staged(
+    df, _staged = ingest.read_request_staged(
         spark,
         {
             "bucket": "collide-bucket",
@@ -354,7 +358,7 @@ def test_staged_pipeline_to_real_queue_roundtrip(
         Body=(tmp_path / "nation.parquet").read_bytes(),
     )
     url = sqs.create_queue(QueueName="pipeline-rt")["QueueUrl"]
-    df = ingest.read_request_staged(
+    df, _staged = ingest.read_request_staged(
         spark,
         {"bucket": "pipeline-bucket", "paths": ["in/nation.parquet"]},
         ingest.s3_client_factory(

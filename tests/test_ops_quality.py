@@ -3329,10 +3329,12 @@ def test_embedding_separability_matches_numpy(spark):
 
 
 def test_greedy_cover_matches_python_replay(spark):
-    """x407: replay the greedy max-cover in pure Python from the
-    (doc, universe-shingle) pairs; marginal gains must be
-    non-increasing (coverage is submodular, greedy takes the max
-    each round)."""
+    """x407: replay PLAIN round-per-round greedy max-cover in pure
+    Python from the (doc, universe-shingle) pairs -- the round-10
+    verdict's CELF equivalence gate: the lazy-greedy (CELF)
+    implementation must select the IDENTICAL (doc, gain) sequence
+    plain greedy does, tie-broken (gain desc, doc_id asc). Marginal
+    gains must also be non-increasing (coverage is submodular)."""
     from collections import Counter, defaultdict
 
     from poc_parquet_publisher_spark.queries.extensions import (
@@ -10244,8 +10246,101 @@ def test_mnn_blocked_planted_correspondence_recall_with_schedule(spark):
     }
     planted = sum(1 for x, y in pairs if y - off == x)
     assert planted / n >= 0.95, f"planted recall {planted / n:.3f}"
-    # derived schedule really engaged (not the 8-centroid floor)
-    assert similarity.ivf_params_for(2 * n) == (62, 4)
+    # derived schedule really engaged (not the 8-centroid floor) --
+    # asserted STRUCTURALLY (round-10 advice): the constant-block-
+    # population formula at the fixture's own count, not a literal
+    # (62, 4) that breaks if the fixture is regenerated a few rows
+    # larger without any code regression
+    derived = similarity.ivf_params_for(2 * n)
+    assert derived == (max(8, (2 * n) // 64), 4)
+    assert derived[0] > 8, "fixture too small to engage the schedule"
+
+
+def test_ivf_schedule_crosses_flat_cap_structurally():
+    """ivf_params_for's two regimes (round-10 verdict task #1): below
+    the flat cap, constant block population at n_probe=4; above it,
+    the count keeps growing (hierarchical tier engages in
+    mnn_align_blocked) and n_probe grows +2 per block-count doubling
+    (the measured recall price of smaller cells). Capped only at
+    max_centroids^2, where a third level would take over."""
+    # flat regime: population-constant count, fixed probes
+    assert similarity.ivf_params_for(10) == (8, 4)  # floor
+    assert similarity.ivf_params_for(4096) == (64, 4)
+    assert similarity.ivf_params_for(65536) == (1024, 4)  # last flat
+    # hierarchical regime: count uncapped, probes grow by 2/doubling
+    assert similarity.ivf_params_for(65664) == (1026, 6)
+    assert similarity.ivf_params_for(160000) == (2500, 8)
+    assert similarity.ivf_params_for(64 * 4096) == (4096, 8)
+    assert similarity.ivf_params_for(64 * 8192) == (8192, 10)
+    # the max_centroids^2 ceiling (third-level territory)
+    huge = similarity.ivf_params_for(2 * 64 * 1024 * 1024)
+    assert huge[0] == 1024 * 1024
+
+
+def test_mnn_blocked_hierarchical_tier_recall_and_determinism(spark):
+    """The two-level quantizer tier (n_centroids past the 1024 flat
+    cap): planted correspondences must be recovered at >= 0.95 and
+    the output must be IDENTICAL under different input partitionings
+    (level-1 sample is md5-TakeOrdered; level-2 per-cell fits sort by
+    the same md5 key inside applyInPandas; assignment is pure numpy
+    over broadcast centers). The full-scale boundary crossing is
+    probed in SCALE_PROBE.json's mnn_align_blocked_xcap row; this
+    pins the tier's mechanics at fixture size."""
+    from poc_parquet_publisher_spark.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    off = 10**9
+    a = emb.select("vec_id", "embedding")
+    b = emb.select(
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, d) -> cast(x * (1.0 + 0.3 "
+            "* sin(vec_id * 97 + d * 131)) as float))"
+        ).alias("embedding"),
+    )
+    out = similarity.mnn_align_blocked(
+        a, b, n_centroids=1100, n_probe=6
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows1 = [tuple(r) for r in out.collect()]
+    pairs = {(r[0], r[1]) for r in rows1}
+    planted = sum(1 for x, y in pairs if y - off == x)
+    assert planted / n >= 0.95, f"hier planted recall {planted / n:.3f}"
+    rows2 = [
+        tuple(r)
+        for r in similarity.mnn_align_blocked(
+            a.repartition(7), b.repartition(3),
+            n_centroids=1100, n_probe=6,
+        ).collect()
+    ]
+    assert rows1 == rows2
+    assert rows1
+
+
+def test_mnn_blocked_derived_params_run_one_count_job(spark, emb, monkeypatch):
+    """Round-10 verdict task #4: deriving (n_centroids, n_probe) must
+    cost ONE count() job over the A-union-B frame the quantizer trains
+    on anyway -- not one per side (on derived/cached lineage each
+    count is a full materialization)."""
+    a_side = emb.filter(F.col("label") < 5)
+    b_side = emb.filter(F.col("label") >= 5)
+    calls: list[int] = []
+    # patch the CONCRETE class (Spark 4's classic DataFrame overrides
+    # the public pyspark.sql.DataFrame API class's count)
+    df_cls = type(a_side)
+    orig = df_cls.count
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(df_cls, "count", counting)
+    # building the plan (no action on the result) runs only the
+    # derivation count + the bounded quantizer-sample collect
+    similarity.mnn_align_blocked(a_side, b_side)
+    assert len(calls) == 1, f"expected 1 derivation count, got {len(calls)}"
 
 
 def _degenerate_compare(spark, tmp_path, entry_name):
