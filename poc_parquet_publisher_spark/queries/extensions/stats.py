@@ -3388,8 +3388,15 @@ def x407_greedy_vocab_cover(
             F.element_at(toks, i + 3),
         ),
     )
-    tok = docs.filter(F.size(toks) >= 3).select(
-        "doc_id", F.explode(shingles).alias("w")
+    # checkpoint the exploded shingle table ONCE: both the universe
+    # aggregate and the pairs build consume it, and re-deriving it is
+    # a second full corpus explode (measured ~40% of the entry's
+    # fixed cost at sf0.1 -- the rounds themselves are cheap CELF
+    # re-aggregates over the tiny checkpointed pairs table)
+    tok = (
+        docs.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(shingles).alias("w"))
+        .localCheckpoint(eager=False)
     )
     uni = [
         r["w"]
@@ -3421,15 +3428,20 @@ def x407_greedy_vocab_cover(
     # (each <= top_words strings -- pairs only holds universe
     # shingles, so the driver state stays bounded at M x top_words);
     # every later round re-evaluates gains EXACTLY driver-side as
-    # len(words - covered). A doc outside the frontier had
-    # refresh-time gain <= the M-th collected gain ("floor"), hence
-    # current gain <= floor -- so a driver-side pick is provably the
-    # global greedy argmax whenever its exact gain is STRICTLY above
-    # the floor (ties could hide a smaller uncollected doc_id);
-    # otherwise re-aggregate. Selection is therefore IDENTICAL to
-    # round-per-round greedy (gain desc, doc_id asc) -- the oracle
-    # replays that exact sequence -- at 1-2 Spark jobs instead of k
-    # (differential-tested against plain driver-side greedy).
+    # len(words - covered). Every doc OUTSIDE the frontier sorts
+    # strictly after the frontier's boundary row (g_M, id_M) in the
+    # selection order (gain desc, doc_id asc): its refresh gain g_u
+    # and id satisfy g_u < g_M OR (g_u == g_M AND id > id_M), and its
+    # CURRENT gain only decays from g_u. A driver-side pick (g*, id*)
+    # is therefore provably the GLOBAL greedy argmax when g* > g_M,
+    # or when g* == g_M with id* <= id_M (an uncollected tie would
+    # need an undecayed g_M gain, forcing its id > id_M >= id*) --
+    # the boundary-id refinement matters on tie-heavy gain
+    # distributions like this corpus's, where a strict g* > g_M
+    # guard degenerates back to one aggregate per round. Otherwise
+    # re-aggregate. Selection is IDENTICAL to round-per-round greedy
+    # -- the oracle replays that exact sequence -- at 1-2 Spark jobs
+    # instead of k (differential-tested against plain greedy).
     frontier = max(64, 8 * rounds)
 
     def refresh(covered: set) -> list:
@@ -3460,7 +3472,8 @@ def x407_greedy_vocab_cover(
     cum = 0
     heap: list = []
     sets: dict = {}
-    floor = 0
+    floor_g = 0
+    floor_id: int | None = None
     need_refresh = True
 
     def take(doc_id, gain) -> None:
@@ -3480,8 +3493,13 @@ def x407_greedy_vocab_cover(
             sets = {r["doc_id"]: set(r["new_words"]) for r in rows}
             heap = [(-r["gain"], r["doc_id"]) for r in rows]
             heapq.heapify(heap)
-            # only docs OUTSIDE a full frontier can be unaccounted for
-            floor = rows[-1]["gain"] if len(rows) == frontier else 0
+            # only docs OUTSIDE a full frontier can be unaccounted
+            # for; they sort strictly after the boundary row
+            if len(rows) == frontier:
+                floor_g = rows[-1]["gain"]
+                floor_id = rows[-1]["doc_id"]
+            else:
+                floor_g, floor_id = 0, None
             # rows[0] is fresh and exact: the global argmax, take it
             heapq.heappop(heap)
             take(rows[0]["doc_id"], rows[0]["gain"])
@@ -3502,9 +3520,14 @@ def x407_greedy_vocab_cover(
             need_refresh = True
             continue
         best_g, best_d = -heap[0][0], heap[0][1]
-        if best_g == 0 and floor == 0:
+        if best_g == 0 and floor_g == 0:
             break  # no doc anywhere adds an uncovered word
-        if best_g <= floor:
+        safe = best_g > floor_g or (
+            best_g == floor_g
+            and floor_id is not None
+            and best_d <= floor_id
+        )
+        if not safe:
             need_refresh = True  # an uncollected doc could beat/tie
             continue
         heapq.heappop(heap)

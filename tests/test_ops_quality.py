@@ -10319,6 +10319,36 @@ def test_mnn_blocked_hierarchical_tier_recall_and_determinism(spark):
     assert rows1
 
 
+def test_fit_hier_centroids_shapes_padding_and_determinism(spark, emb):
+    """_fit_hier_centroids' structural contract: (T, d) + (T, S, d)
+    with T = ceil(sqrt(n_total)), S = ceil(n_total/T), every row
+    L2-normalized; sub-centroid slots a thin cell's sample cannot fill
+    are padded with that cell's (normalized) TOP center, so assignment
+    stays total and deterministic; the whole fit is partition-order
+    invariant (md5-keyed samples at both levels)."""
+    union = emb.select(
+        F.col("vec_id").cast("string").alias("__side_id"), "embedding"
+    )
+    n_total = 60  # T = 8, S = 8 -- small enough that thin cells pad
+    top, sub = similarity._fit_hier_centroids(
+        union, "__side_id", "embedding", n_total, seed=42, max_iter=8
+    )
+    assert top.shape == (8, 64)
+    assert sub.shape == (8, 8, 64)
+    assert np.allclose(np.linalg.norm(top, axis=1), 1.0)
+    assert np.allclose(np.linalg.norm(sub, axis=2), 1.0)
+    top2, sub2 = similarity._fit_hier_centroids(
+        union.repartition(7),
+        "__side_id",
+        "embedding",
+        n_total,
+        seed=42,
+        max_iter=8,
+    )
+    assert np.array_equal(top, top2)
+    assert np.array_equal(sub, sub2)
+
+
 def test_mnn_blocked_derived_params_run_one_count_job(spark, emb, monkeypatch):
     """Round-10 verdict task #4: deriving (n_centroids, n_probe) must
     cost ONE count() job over the A-union-B frame the quantizer trains
