@@ -308,7 +308,19 @@ def _fit_centroids_on_sample(
     ASSIGNMENT touches the full corpus. Replaces a pyspark.ml fit whose
     ``max_iter`` passes over all rows are pure overhead for rough
     Voronoi cells -- recall comes from n_probe, not fit quality.
+
+    Fails LOUDLY past the trainable cap (>= 4 sample rows per
+    centroid): a linspace init over fewer rows than centroids silently
+    duplicates centers and the flat fit degrades to junk cells --
+    callers at that scale must route to ``_fit_hier_centroids`` (as
+    ``mnn_align_blocked`` does past ``_FLAT_CENTROID_CAP``).
     """
+    if n_centroids * 4 > max_train:
+        raise ValueError(
+            f"flat quantizer cannot train {n_centroids} centroids from "
+            f"a {max_train}-row sample (>= 4 rows/centroid needed); "
+            "use the two-level _fit_hier_centroids tier"
+        )
     sample = (
         corpus.select(
             F.md5(F.col(id_col).cast("string")).alias("__r"), vec_col

@@ -233,6 +233,8 @@ def xcap_main() -> None:
     dim = 64
     scales: list[tuple[float, str]] = []
     for sf, copies in ((1.0, 10), (2.0, 20), (4.0, 40)):
+        # the rotation isometry only yields distinct copies below dim
+        assert copies < dim, "rotation amplification needs copies < dim"
         d = os.path.join(SCRATCH, f"xcap_sf{sf}")
         out = f"{d}/embeddings.parquet"
         if not os.path.exists(f"{out}/_SUCCESS"):
