@@ -1400,13 +1400,18 @@ def mnn_align_blocked(
     wb = Window.partitionBy("b_id").orderBy(
         F.col("cos").desc(), F.col("a_id")
     )
+    # THREE consumers read ranked (the mutual top-1 filter and the two
+    # CSLS margin aggregates); without its own checkpoint each re-runs
+    # both window sorts over the full candidate set (the x408
+    # projection-collapse lesson applied to windows -- measured 3x the
+    # window cost in the executed plan)
     ranked = scored.select(
         "a_id",
         "b_id",
         "cos",
         F.row_number().over(wa).alias("ra"),
         F.row_number().over(wb).alias("rb"),
-    )
+    ).localCheckpoint(eager=False)
     ma = ranked.filter(F.col("ra") <= csls_k).groupBy("a_id").agg(
         F.avg("cos").alias("m_a")
     )
