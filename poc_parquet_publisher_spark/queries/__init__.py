@@ -82,7 +82,9 @@ def all_oracles() -> dict[str, str]:
 #               already-verified stage oracles)
 #   round 11:   x102_source_overlap (the other heavyweight the round-9
 #               verdict named; promoted per round-10 verdict task #2)
-#   next rounds: x03_dedup_ngram_jaccard, then x20 x21 x22 x25 x26
+#   round 12:   x03_dedup_ngram_jaccard (promoted per round-11 verdict
+#               task #2)
+#   next rounds: x20 x21 x22 x25 x26
 #   x27 x29 x30 x31 x33, then later oracle-backed additions (rows-only
 #   entries stay out of the hashed window by design).
 #   With the declared set at 49 (q38-q42 added round 3), only ONE
@@ -90,11 +92,11 @@ def all_oracles() -> dict[str, str]:
 #   round; each round, move the newly driver-checked head to the
 #   retired list above and promote the next entry.
 _WINDOW_FIRST: list[str] = [
-    "x102_source_overlap",
     "x03_dedup_ngram_jaccard",
     "x20_text_scrub",
     "x21_sessionize",
     "x22_histogram",
+    "x25_stratified_sample",
 ]
 
 
