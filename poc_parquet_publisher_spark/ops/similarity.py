@@ -332,6 +332,17 @@ def _fit_centroids_on_sample(
     mat = np.stack([np.asarray(r[vec_col]) for r in sample]).astype(
         np.float64
     )
+    # the pre-collect guard bounds n_centroids against the sample CAP;
+    # this one bounds it against the sample the corpus actually yielded
+    # -- a user-pinned n_centroids on a table with fewer rows would
+    # otherwise hit the same silent linspace center duplication
+    if len(mat) < n_centroids:
+        raise ValueError(
+            f"flat quantizer cannot train {n_centroids} centroids from "
+            f"the {len(mat)} rows the corpus yielded (linspace init "
+            "would duplicate centers); lower n_centroids or let "
+            "ivf_params_for derive it from the corpus count"
+        )
     # deterministic init: evenly spaced rows of the (hash-shuffled)
     # sample; the Lloyd loop itself is shared with the per-cell
     # level-2 fits (_fit_hier_centroids)
@@ -596,6 +607,17 @@ def _fit_hier_centroids(
     duplicate centers are inert: assignment tie-breaks by block index
     deterministically.
     """
+    # mirror the flat tier's fail-loud posture: past max_centroids^2
+    # blocks BOTH stages would need to exceed their trainable cap --
+    # third-level territory per the docstring, not a silent clamp that
+    # lets block populations grow unnoticed
+    if n_total > max_centroids * max_centroids:
+        raise ValueError(
+            f"two-level quantizer cannot honor {n_total} blocks "
+            f"(cap {max_centroids}^2 = {max_centroids * max_centroids}); "
+            "a deployment at that scale adds a third level rather than "
+            "growing per-stage samples"
+        )
     n_top = max(2, min(max_centroids, int(math.ceil(math.sqrt(n_total)))))
     n_sub = max(
         1, min(max_centroids, int(math.ceil(n_total / n_top)))
@@ -633,8 +655,13 @@ def _fit_hier_centroids(
             F.md5(F.col(id_col).cast("string")).alias("__r"),
             F.col(vec_col).alias("__v"),
         )
+        # __v rides through as array<double>: a float32 declaration here
+        # would silently downcast double-typed embedding columns for the
+        # level-2 per-cell fits while level 1 trains at source precision
+        # (fit_cell upcasts to float64 either way; the declaration keeps
+        # what the source actually carried)
         .mapInPandas(
-            cell_of, schema="cell int, __r string, __v array<float>"
+            cell_of, schema="cell int, __r string, __v array<double>"
         )
         .withColumn(
             "__rn",

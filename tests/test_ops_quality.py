@@ -10349,6 +10349,36 @@ def test_fit_hier_centroids_shapes_padding_and_determinism(spark, emb):
     assert np.array_equal(sub, sub2)
 
 
+def test_quantizer_sample_and_block_ceiling_guards(spark, emb):
+    """Round-11 advice: both quantizer tiers fail loudly instead of
+    silently degrading. (a) The flat fit raises when the corpus YIELDS
+    fewer sample rows than centroids -- a user-pinned n_centroids on a
+    small table previously passed the cap guard (n_centroids*4 <=
+    max_train) yet still duplicated linspace centers. (b) The two-level
+    fit raises past max_centroids^2 total blocks (third-level
+    territory) rather than clamping T and S and letting block
+    populations grow unnoticed."""
+    import pytest
+
+    tiny = emb.limit(10).select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="rows the corpus yielded"):
+        similarity._fit_centroids_on_sample(
+            tiny, "vec_id", "embedding", 100, seed=42, max_iter=2
+        )
+    with pytest.raises(ValueError, match="third level"):
+        similarity._fit_hier_centroids(
+            tiny.select(
+                F.col("vec_id").cast("string").alias("__side_id"),
+                "embedding",
+            ),
+            "__side_id",
+            "embedding",
+            1024 * 1024 + 1,
+            seed=42,
+            max_iter=2,
+        )
+
+
 def test_mnn_blocked_derived_params_run_one_count_job(spark, emb, monkeypatch):
     """Round-10 verdict task #4: deriving (n_centroids, n_probe) must
     cost ONE count() job over the A-union-B frame the quantizer trains
