@@ -559,13 +559,18 @@ def _lloyd(mat: np.ndarray, k: int, max_iter: int) -> np.ndarray:
             + (centers**2).sum(axis=1)[None, :]
         )
         assign = d2.argmin(axis=1)
-        new = np.stack(
-            [
-                mat[assign == c].mean(axis=0)
-                if (assign == c).any()
-                else centers[c]
-                for c in range(k)
-            ]
+        # vectorized per-cluster mean (the per-cluster mask loop cost
+        # ~5 s at k=625 -- the flat tier's whole fit budget). np.add.at
+        # scatters rows in ascending index order: deterministic for a
+        # given sample, same rough Voronoi cells (recall comes from
+        # n_probe, not ulp-level center positions).
+        sums = np.zeros((k, mat.shape[1]))
+        np.add.at(sums, assign, mat)
+        counts = np.bincount(assign, minlength=k)
+        new = np.where(
+            counts[:, None] > 0,
+            sums / np.maximum(counts, 1)[:, None],
+            centers,
         )
         if np.allclose(new, centers):
             break
@@ -1271,10 +1276,18 @@ def mnn_align_blocked(
         centers = raw_centers / c_norms
         bc = spark.sparkContext.broadcast(centers)
 
-        def block_ids(df: DataFrame, out_id: str, k: int) -> DataFrame:
-            """(id, centroid) rows for each vector's k nearest
+        def block_ids(
+            df: DataFrame, out_id: str, out_vec: str, k: int
+        ) -> DataFrame:
+            """(id, centroid, vec) rows for each vector's k nearest
             centroids by cosine -- k=1 is the home block, k=n_probe
-            the probe set."""
+            the probe set. The ORIGINAL vector rides along so the
+            candidate block join feeds the scorer directly: shuffle
+            volume is k replicas of the side, partitioned by block --
+            independent of the candidate-pair count (the round-11
+            xcap diagnosis: reattaching vectors onto the pair frame
+            by id cost two sort-merge joins over ~1 GB shuffles and
+            GC-bound the sf4.0 point at 64 s vs this shape)."""
             # An argsort slice past the centroid count yields fewer
             # columns than np.repeat(ids, k) rows -- an opaque
             # executor-side length mismatch; probing every block is
@@ -1288,9 +1301,8 @@ def mnn_align_blocked(
                 for pdf in it:
                     if len(pdf) == 0:
                         continue
-                    m = np.stack(pdf[vec_col].to_numpy()).astype(
-                        np.float64
-                    )
+                    vecs = pdf[vec_col].to_numpy()
+                    m = np.stack(vecs).astype(np.float64)
                     nm = np.linalg.norm(m, axis=1, keepdims=True)
                     nm[nm == 0.0] = 1.0
                     sims = (m / nm) @ c.T
@@ -1302,11 +1314,16 @@ def mnn_align_blocked(
                             "centroid": top.reshape(-1).astype(
                                 np.int32
                             ),
+                            out_vec: np.repeat(vecs, k),
                         }
                     )
 
             return df.select(id_col, vec_col).mapInPandas(
-                assign, schema=f"{out_id} long, centroid int"
+                assign,
+                schema=(
+                    f"{out_id} long, centroid int, "
+                    f"{out_vec} array<double>"
+                ),
             )
 
     else:
@@ -1321,7 +1338,9 @@ def mnn_align_blocked(
         )
         bc = spark.sparkContext.broadcast((hier_top, hier_sub))
 
-        def block_ids(df: DataFrame, out_id: str, k: int) -> DataFrame:
+        def block_ids(
+            df: DataFrame, out_id: str, out_vec: str, k: int
+        ) -> DataFrame:
             k = min(k, hier_top.shape[0] * hier_sub.shape[1])
 
             def assign(
@@ -1342,9 +1361,8 @@ def mnn_align_blocked(
                     if len(pdf) == 0:
                         continue
                     ids_all = pdf[id_col].to_numpy()
-                    m_all = np.stack(pdf[vec_col].to_numpy()).astype(
-                        np.float64
-                    )
+                    vecs_all = pdf[vec_col].to_numpy()
+                    m_all = np.stack(vecs_all).astype(np.float64)
                     nm = np.linalg.norm(m_all, axis=1, keepdims=True)
                     nm[nm == 0.0] = 1.0
                     m_all = m_all / nm
@@ -1372,83 +1390,155 @@ def mnn_align_blocked(
                                 "centroid": block.reshape(-1).astype(
                                     np.int32
                                 ),
+                                out_vec: np.repeat(
+                                    vecs_all[lo : lo + chunk], k
+                                ),
                             }
                         )
 
             return df.select(id_col, vec_col).mapInPandas(
-                assign, schema=f"{out_id} long, centroid int"
+                assign,
+                schema=(
+                    f"{out_id} long, centroid int, "
+                    f"{out_vec} array<double>"
+                ),
             )
 
-    cand = (
-        block_ids(a_side, "a_id", n_probe)
-        .join(block_ids(b_side, "b_id", 1), "centroid")
-        .select("a_id", "b_id")
-        .distinct()
+    # Candidate generation + scoring + in-block reduction in ONE
+    # cogrouped pass by block (round-11 xcap diagnosis: the previous
+    # shape -- distinct id-pairs, two sort-merge joins reattaching both
+    # 512-byte vectors, a per-pair Python scorer, then two windows over
+    # every candidate -- shuffled ~1 GB a side, Arrow-transferred both
+    # vectors once PER PAIR (~20 GB at the 160k-union point), and went
+    # GC-bound superlinear across the 80k -> 160k doubling). Here each
+    # block's vectors ship exactly once -- shuffle volume is n_probe
+    # replicas of A plus one replica of B, hash-partitioned by block,
+    # independent of the candidate-pair count -- and the |A_blk| x
+    # |B_blk| cosine matrix is one BLAS matmul (the x333 block-scorer
+    # lesson applied per block).
+    #
+    # Two exactness facts make the in-block reduction safe:
+    # - the b side emits exactly ONE home block per vector, so every
+    #   (a_id, b_id) candidate arises in exactly one block (no distinct
+    #   needed) and ALL of a given b's candidates are in that block --
+    #   b-side ranks (rb) are block-local EXACT;
+    # - a's candidates span its n_probe blocks, so a-side ranks need a
+    #   cross-block window -- but only rows in some per-block a-top-K
+    #   can make a's global top-K (top-K merge), so emitting each
+    #   block's a-top-K plus the rb <= K rows preserves every rank
+    #   <= K exactly: any kept extra row ranks strictly below a's true
+    #   top-K in the window (were it above, it would BE top-K), and
+    #   ra/rb beyond K feed nothing downstream (K = max(csls_k, 1)
+    #   covers the mutual top-1 filter and both CSLS averages).
+    keep_k = max(csls_k, 1)
+
+    def score_block(a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a_id": pd.Series(dtype="int64"),
+                "b_id": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+                "rb": pd.Series(dtype="int32"),
+            }
+        )
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return empty
+        # sort both sides by id so STABLE argsorts break cosine ties
+        # by ascending id -- the same (cos desc, id asc) total order
+        # the previous window ranking used
+        a_pdf = a_pdf.sort_values("a_id")
+        b_pdf = b_pdf.sort_values("b_id")
+        a = np.stack(a_pdf["__va"].to_numpy())
+        b = np.stack(b_pdf["__vb"].to_numpy())
+        na = np.linalg.norm(a, axis=1)
+        na[na == 0.0] = 1.0
+        nb = np.linalg.norm(b, axis=1)
+        nb[nb == 0.0] = 1.0
+        s = np.round((a @ b.T) / np.outer(na, nb), 6)
+        # rank matrices: argsort of a stable argsort of -s gives the
+        # 1-based rank of each entry under (cos desc, id asc)
+        a_rank = np.argsort(
+            np.argsort(-s, axis=1, kind="stable"), axis=1
+        ) + 1
+        rb = np.argsort(
+            np.argsort(-s, axis=0, kind="stable"), axis=0
+        ) + 1
+        keep = (a_rank <= keep_k) | (rb <= keep_k)
+        ai, bj = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "a_id": a_pdf["a_id"].to_numpy()[ai],
+                "b_id": b_pdf["b_id"].to_numpy()[bj],
+                "cos": s[ai, bj],
+                "rb": rb[ai, bj].astype(np.int32),
+            }
+        )
+
+    scored = (
+        block_ids(a_side, "a_id", "__va", n_probe)
+        .groupBy("centroid")
+        .cogroup(
+            block_ids(b_side, "b_id", "__vb", 1).groupBy("centroid")
+        )
+        .applyInPandas(
+            score_block,
+            schema="a_id long, b_id long, cos double, rb int",
+        )
     )
-    pairs = cand.join(
-        a_side.select(
-            F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va")
-        ),
-        "a_id",
-    ).join(
-        b_side.select(
-            F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb")
-        ),
-        "b_id",
-    )
 
-    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            a = np.stack(pdf["__va"].to_numpy()).astype(np.float64)
-            b = np.stack(pdf["__vb"].to_numpy()).astype(np.float64)
-            na = np.linalg.norm(a, axis=1)
-            na[na == 0.0] = 1.0
-            nb = np.linalg.norm(b, axis=1)
-            nb[nb == 0.0] = 1.0
-            yield pd.DataFrame(
-                {
-                    "a_id": pdf["a_id"],
-                    "b_id": pdf["b_id"],
-                    "cos": np.round(
-                        np.einsum("ij,ij->i", a, b) / (na * nb), 6
-                    ),
-                }
-            )
-
-    scored = pairs.select("a_id", "b_id", "__va", "__vb").mapInPandas(
-        score, schema="a_id long, b_id long, cos double"
-    ).localCheckpoint(eager=False)
-
+    # ONE linear plan: the a-side rank, both CSLS margins, and the
+    # mutual filter are all window expressions over the kept rows --
+    # no checkpoint, no joins. (The previous shape checkpointed a
+    # `ranked` frame for three join-based consumers; in a long-lived
+    # session each call left that localCheckpoint pinned until the
+    # 30-min periodic-GC ContextCleaner pass, and the accumulated
+    # blocks degraded repeated calls -- the round-12 xcap in-process
+    # pass times went 20 -> 35 -> 71 s before this rewrite.) m_a
+    # shares wa's partitioning (zero extra shuffle); m_b costs the one
+    # shuffle by b_id that the old groupBy paid anyway. Both margin
+    # averages aggregate over an ORDERED frame, so their float
+    # summation order -- and with it bit-exact determinism under any
+    # input partitioning -- is fixed by (cos desc, id) rather than by
+    # arrival order.
     wa = Window.partitionBy("a_id").orderBy(
         F.col("cos").desc(), F.col("b_id")
     )
-    wb = Window.partitionBy("b_id").orderBy(
+    wa_all = wa.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wb_all = Window.partitionBy("b_id").orderBy(
         F.col("cos").desc(), F.col("a_id")
-    )
-    # THREE consumers read ranked (the mutual top-1 filter and the two
-    # CSLS margin aggregates); without its own checkpoint each re-runs
-    # both window sorts over the full candidate set (the x408
-    # projection-collapse lesson applied to windows -- measured 3x the
-    # window cost in the executed plan)
-    ranked = scored.select(
-        "a_id",
-        "b_id",
-        "cos",
-        F.row_number().over(wa).alias("ra"),
-        F.row_number().over(wb).alias("rb"),
-    ).localCheckpoint(eager=False)
-    ma = ranked.filter(F.col("ra") <= csls_k).groupBy("a_id").agg(
-        F.avg("cos").alias("m_a")
-    )
-    mb = ranked.filter(F.col("rb") <= csls_k).groupBy("b_id").agg(
-        F.avg("cos").alias("m_b")
-    )
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
-        ranked.filter((F.col("ra") == 1) & (F.col("rb") == 1))
-        .join(ma, "a_id")
-        .join(mb, "b_id")
+        scored.select(
+            "a_id",
+            "b_id",
+            "cos",
+            "rb",
+            F.row_number().over(wa).alias("ra"),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "cos",
+            "ra",
+            "rb",
+            F.avg(
+                F.when(F.col("ra") <= csls_k, F.col("cos"))
+            ).over(wa_all).alias("m_a"),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "cos",
+            "ra",
+            "rb",
+            "m_a",
+            F.avg(
+                F.when(F.col("rb") <= csls_k, F.col("cos"))
+            ).over(wb_all).alias("m_b"),
+        )
+        .filter((F.col("ra") == 1) & (F.col("rb") == 1))
         .select(
             "a_id",
             "b_id",

@@ -206,56 +206,182 @@ def amplify(spark, copies: int, out_dir: str) -> None:
         _write_amped(parts, f"{out_dir}/embeddings.parquet")
 
 
+XCAP_PROTOCOL = (
+    "fresh process per (mode, point); sole Spark workload on the host; "
+    "min-of-3 timed runs in-process; recall measured once per point"
+)
+
+# (sf label, copies). Past 63 copies the rotation isometry alone runs
+# out of distinct images (copies must stay < dim), so copy j composes
+# rotation (j % 63 + 1 positions for j > 0 within its sign group) with
+# a SIGN-FLIP pattern (negate odd dimensions for j >= 63): negating a
+# fixed dimension subset is a per-coordinate reflection -- norms and
+# every within-copy inner product are exactly preserved (sum s_d^2
+# u_d v_d = u.v), while cross-group similarity drops to chance just
+# like cross-rotation similarity does.
+XCAP_SCALES: dict[str, int] = {"1.0": 10, "2.0": 20, "4.0": 40, "8.0": 80}
+
+
+def _xcap_amplify(spark, sf: str, copies: int) -> str:
+    from pyspark.sql import functions as F
+
+    dim = 64
+    d = os.path.join(SCRATCH, f"xcap_sf{sf}")
+    out = f"{d}/embeddings.parquet"
+    if os.path.exists(f"{out}/_SUCCESS"):
+        return d
+    os.makedirs(d, exist_ok=True)
+    em = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    parts = []
+    for j in range(copies):
+        rot, flip = j % 63, j >= 63
+        c = em.withColumn("vec_id", F.col("vec_id") + F.lit(j * SHIFT))
+        if rot > 0:
+            c = c.withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {rot + 1}, "
+                    f"{dim - rot}), slice(embedding, 1, {rot}))"
+                ),
+            )
+        if flip:
+            c = c.withColumn(
+                "embedding",
+                F.expr(
+                    "transform(embedding, (x, i) -> "
+                    "IF(i % 2 = 1, -x, x))"
+                ),
+            )
+        parts.append(c)
+    _write_amped(parts, out)
+    return d
+
+
+def _dump_stage_diag(spark) -> None:
+    """Top stages by executor run time with shuffle/spill/GC columns,
+    via the UI REST API (requires spark.ui.enabled=true)."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        apps = json.load(
+            urllib.request.urlopen(f"{base}/api/v1/applications")
+        )
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app_id}/stages"
+                "?status=complete"
+            )
+        )
+    except Exception as exc:  # diag only -- never fail the probe
+        print(f"# diag unavailable: {exc}", file=sys.stderr)
+        return
+    stages.sort(key=lambda s: -s.get("executorRunTime", 0))
+    print(
+        "# stage  runTime_s  gc_s  shufRead_MB  shufWrite_MB  "
+        "memSpill_MB  diskSpill_MB  name",
+        file=sys.stderr,
+    )
+    for s in stages[:14]:
+        print(
+            f"# {s['stageId']:>5}  "
+            f"{s.get('executorRunTime', 0) / 1e3:>8.1f}  "
+            f"{s.get('jvmGcTime', 0) / 1e3:>4.1f}  "
+            f"{s.get('shuffleReadBytes', 0) / 1e6:>10.1f}  "
+            f"{s.get('shuffleWriteBytes', 0) / 1e6:>11.1f}  "
+            f"{s.get('memoryBytesSpilled', 0) / 1e6:>10.1f}  "
+            f"{s.get('diskBytesSpilled', 0) / 1e6:>11.1f}  "
+            f"{s.get('name', '')[:48]}",
+            file=sys.stderr,
+        )
+
+
+def _merge_probe_row(row_name: str, updates: dict) -> dict:
+    """Merge per-point cells into SCALE_PROBE.json's row, recomputing
+    the overall and last-doubling exponents from whatever points the
+    row then holds."""
+    import math
+
+    probe_path = os.path.join(ROOT, "SCALE_PROBE.json")
+    merged = {}
+    if os.path.exists(probe_path):
+        with open(probe_path) as f:
+            merged = json.load(f)
+    row = merged.get(row_name, {})
+    for key, cell in updates.items():
+        if isinstance(cell, dict):
+            row.setdefault(key, {}).update(cell)
+        else:
+            row[key] = cell
+    times = row.get("seconds_by_sf", {})
+    if len(times) >= 2:
+        pts = sorted((float(s), t) for s, t in times.items())
+        xs = [math.log10(s) for s, _ in pts]
+        ys = [math.log10(max(t, 1e-3)) for _, t in pts]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        row["exponent"] = round(
+            sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+            / sum((x - mx) ** 2 for x in xs),
+            2,
+        )
+        (x0, t0), (x1, t1) = pts[-2], pts[-1]
+        row["last_doubling_exponent"] = round(
+            math.log(t1 / t0) / math.log(x1 / x0), 2
+        )
+    row["protocol"] = XCAP_PROTOCOL
+    merged[row_name] = row
+    with open(probe_path, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+        f.write("\n")
+    return row
+
+
 def xcap_main() -> None:
     """Probe mnn_align_blocked ACROSS the flat-quantizer cap boundary
-    (round-10 verdict task #1). The derived schedule crosses the
-    1024-centroid flat cap at a union of ~65k vectors: the planted
-    workload doubles the embeddings table, so 10x-amplified sf0.1
-    (20k rows -> 40k union -> 625 centroids) is still flat while 20x
-    (40k -> 80k union -> 1250) and 40x (80k -> 160k union -> 2500)
-    route to the two-level hierarchical quantizer. Embeddings-only
-    amplification (the same rotation isometry amplify() uses; all
-    copies < dim=64), scale labels continuing the decade: 1.0/2.0/4.0.
-    Done-bar: the fitted exponent stays ~flat across the boundary and
-    planted recall holds >= 0.95 on BOTH hierarchical points.
+    (round-10 verdict task #1; round-11 verdict task #1 re-measure).
+    The derived schedule crosses the 1024-centroid flat cap at a union
+    of ~65k vectors: the planted workload doubles the embeddings
+    table, so 10x-amplified sf0.1 (20k rows -> 40k union -> 625
+    centroids) is still flat while 20x/40x/80x (80k/160k/320k union ->
+    1250/2500/5000 blocks) route to the two-level hierarchical
+    quantizer.
+
+    Round-11 lesson: concurrent Spark sessions contaminated the probe
+    mins (two modes landed within 0.03% at sf4.0), so this runner now
+    times ONE (mode, point) cell per process and merges it into the
+    SCALE_PROBE.json row -- the orchestration contract is the
+    XCAP_PROTOCOL string recorded on every row. Env knobs:
+
+    - XCAP_POINTS=4.0[,8.0]   points to run (default: all)
+    - XCAP_FIXED_PROBE=4      pin n_probe (data-scaling control row)
+    - XCAP_PASSES=3           timed runs per point (min kept)
+    - XCAP_RECALL=0           skip the recall pass (timing-only cell)
+    - XCAP_RECALL_ONLY=1      recall pass only (no timed runs)
+    - XCAP_FIT_ONLY=1         time the quantizer FIT alone (derivation
+                              count + centroid fit, no candidate join)
+                              into the ..._fit_only row
+    - XCAP_DIAG=1             enable the Spark UI and dump top-stage
+                              shuffle/spill/GC metrics + the executed
+                              join strategies after the last run
     """
     from pyspark.sql import functions as F
 
     from poc_parquet_publisher_spark.ops import similarity
     from poc_parquet_publisher_spark.session import build_session
 
-    spark = build_session(
-        app_name="scale_probe_xcap",
-        extra_conf={"spark.driver.memory": "24g"},
-    )
+    diag = os.environ.get("XCAP_DIAG") == "1"
+    extra = {"spark.driver.memory": "24g"}
+    if diag:
+        extra["spark.ui.enabled"] = "true"
+    spark = build_session(app_name="scale_probe_xcap", extra_conf=extra)
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    dim = 64
-    scales: list[tuple[float, str]] = []
-    for sf, copies in ((1.0, 10), (2.0, 20), (4.0, 40)):
-        # the rotation isometry only yields distinct copies below dim
-        assert copies < dim, "rotation amplification needs copies < dim"
-        d = os.path.join(SCRATCH, f"xcap_sf{sf}")
-        out = f"{d}/embeddings.parquet"
-        if not os.path.exists(f"{out}/_SUCCESS"):
-            os.makedirs(d, exist_ok=True)
-            em = spark.read.parquet(f"{BASE}/embeddings.parquet")
-            parts = []
-            for j in range(copies):
-                c = em.withColumn(
-                    "vec_id", F.col("vec_id") + F.lit(j * SHIFT)
-                )
-                if j > 0:
-                    c = c.withColumn(
-                        "embedding",
-                        F.expr(
-                            f"concat(slice(embedding, {j + 1}, "
-                            f"{dim - j}), slice(embedding, 1, {j}))"
-                        ),
-                    )
-                parts.append(c)
-            _write_amped(parts, out)
-        scales.append((sf, d))
+    want = os.environ.get("XCAP_POINTS")
+    points = [p for p in (want.split(",") if want else XCAP_SCALES)]
+    scales = [
+        (sf, _xcap_amplify(spark, sf, XCAP_SCALES[sf])) for sf in points
+    ]
 
     off = 10**9
     # XCAP_FIXED_PROBE=4 pins n_probe (n_centroids still derived):
@@ -263,10 +389,18 @@ def xcap_main() -> None:
     # candidate join is linear at fixed probes) from the deliberate
     # +2-probes-per-doubling recall toll the production schedule pays
     fixed_probe = int(os.environ.get("XCAP_FIXED_PROBE", "0"))
+    fit_only = os.environ.get("XCAP_FIT_ONLY") == "1"
     row_name = (
-        f"mnn_align_blocked_xcap_fixed_probe{fixed_probe}"
+        "mnn_align_blocked_xcap_fit_only"
+        if fit_only
+        else f"mnn_align_blocked_xcap_fixed_probe{fixed_probe}"
         if fixed_probe
         else "mnn_align_blocked_xcap"
+    )
+    passes = int(os.environ.get("XCAP_PASSES", "3"))
+    recall_only = os.environ.get("XCAP_RECALL_ONLY") == "1"
+    do_recall = (
+        os.environ.get("XCAP_RECALL", "1") == "1" and not fit_only
     )
 
     def planted_sides(sf_dir):
@@ -286,63 +420,102 @@ def xcap_main() -> None:
             a, b, n_probe=fixed_probe or None
         )
 
-    times: dict[str, float] = {}
-    for pass_no in range(3):
+    def run_fit(a, b):
+        """The quantizer-fit share of the tier (round-11 verdict task
+        #4): the same side-salted union + derivation count
+        mnn_align_blocked performs, then the centroid fit alone."""
+        union = a.select(
+            F.concat(F.lit("a:"), F.col("vec_id").cast("string")).alias(
+                "__side_id"
+            ),
+            "embedding",
+        ).unionByName(
+            b.select(
+                F.concat(
+                    F.lit("b:"), F.col("vec_id").cast("string")
+                ).alias("__side_id"),
+                "embedding",
+            )
+        )
+        n_c, _ = similarity.ivf_params_for(union.count())
+        if n_c <= similarity._FLAT_CENTROID_CAP:
+            similarity._fit_centroids_on_sample(
+                union, "__side_id", "embedding", n_c, 42, 8
+            )
+        else:
+            similarity._fit_hier_centroids(
+                union, "__side_id", "embedding", n_c, 42, 8
+            )
+
+    last_df = None
+    if not recall_only:
+        for sf, sf_dir in scales:
+            best: float | None = None
+            for pass_no in range(passes):
+                a, b = planted_sides(sf_dir)
+                t0 = time.perf_counter()
+                if fit_only:
+                    run_fit(a, b)
+                else:
+                    last_df = run_mnn(a, b)
+                    last_df.count()
+                dt = round(time.perf_counter() - t0, 3)
+                # a re-run REPLACES any stale cell from an earlier
+                # process (pass 0 writes dt, later passes the min)
+                best = dt if best is None else min(best, dt)
+                _merge_probe_row(
+                    row_name, {"seconds_by_sf": {sf: best}}
+                )
+                print(
+                    f"# pass{pass_no} xcap sf{sf} {dt:.1f}s",
+                    file=sys.stderr,
+                )
+        if diag:
+            if last_df is not None:
+                plan = (
+                    last_df._jdf.queryExecution()
+                    .executedPlan()
+                    .toString()
+                )
+                joins = [
+                    ln.strip()[:100]
+                    for ln in plan.splitlines()
+                    if "Join" in ln or "Exchange" in ln
+                ]
+                print("# executed joins/exchanges:", file=sys.stderr)
+                for j in joins:
+                    print(f"#   {j}", file=sys.stderr)
+            _dump_stage_diag(spark)
+
+    if do_recall:
         for sf, sf_dir in scales:
             a, b = planted_sides(sf_dir)
-            t0 = time.perf_counter()
-            run_mnn(a, b).count()
-            dt = round(time.perf_counter() - t0, 3)
-            times[str(sf)] = min(times.get(str(sf), dt), dt)
-            print(f"# pass{pass_no} xcap sf{sf} {dt:.1f}s", file=sys.stderr)
+            pairs = {
+                (r["a_id"], r["b_id"]) for r in run_mnn(a, b).collect()
+            }
+            n = spark.read.parquet(
+                f"{sf_dir}/embeddings.parquet"
+            ).count()
+            planted = sum(1 for x, y in pairs if y - off == x)
+            derived = list(similarity.ivf_params_for(2 * n))
+            if fixed_probe:
+                derived[1] = fixed_probe
+            row = _merge_probe_row(
+                row_name,
+                {
+                    "planted_recall_by_sf": {
+                        sf: round(planted / n, 3)
+                    },
+                    "derived_schedule_by_sf": {sf: derived},
+                },
+            )
+            print(
+                f"# xcap sf{sf} planted recall {planted}/{n} "
+                f"schedule {derived}",
+                file=sys.stderr,
+            )
 
-    recall: dict[str, float] = {}
-    schedule: dict[str, list[int]] = {}
-    for sf, sf_dir in scales:
-        a, b = planted_sides(sf_dir)
-        pairs = {
-            (r["a_id"], r["b_id"])
-            for r in run_mnn(a, b).collect()
-        }
-        n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-        planted = sum(1 for x, y in pairs if y - off == x)
-        recall[str(sf)] = round(planted / n, 3)
-        derived = list(similarity.ivf_params_for(2 * n))
-        if fixed_probe:
-            derived[1] = fixed_probe
-        schedule[str(sf)] = derived
-        print(
-            f"# xcap sf{sf} planted recall {planted}/{n} "
-            f"schedule {schedule[str(sf)]}",
-            file=sys.stderr,
-        )
-
-    import math
-
-    pts = sorted((float(s), t) for s, t in times.items())
-    xs = [math.log10(s) for s, _ in pts]
-    ys = [math.log10(max(t, 1e-3)) for _, t in pts]
-    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
-    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
-        (x - mx) ** 2 for x in xs
-    )
-    row = {
-        "seconds_by_sf": {str(s): t for s, t in pts},
-        "exponent": round(slope, 2),
-        "planted_recall_by_sf": recall,
-        "derived_schedule_by_sf": schedule,
-    }
-    print(f"{row_name}: exponent {slope:.2f} {row}")
-
-    probe_path = os.path.join(ROOT, "SCALE_PROBE.json")
-    merged = {}
-    if os.path.exists(probe_path):
-        with open(probe_path) as f:
-            merged = json.load(f)
-    merged[row_name] = row
-    with open(probe_path, "w") as f:
-        json.dump(merged, f, indent=1, sort_keys=True)
-        f.write("\n")
+    print(f"{row_name}: {_merge_probe_row(row_name, {})}")
     spark.stop()
 
 
