@@ -208,7 +208,7 @@ def amplify(spark, copies: int, out_dir: str) -> None:
 
 XCAP_PROTOCOL = (
     "fresh process per (mode, point); sole Spark workload on the host; "
-    "min-of-3 timed runs in-process; recall measured once per point"
+    "min-of-4 timed runs in-process; recall measured once per point"
 )
 
 # (sf label, copies). Past 63 copies the rotation isometry alone runs
