@@ -1218,8 +1218,9 @@ def mnn_align_blocked(
 
     When ``n_centroids``/``n_probe`` are omitted they derive from the
     corpus count via ``ivf_params_for`` (constant block population =>
-    linear candidate join -- measured t ~ sf^0.30 over the 0.1-1.0
-    decade vs x333's 1.26, SCALE_PROBE.json). Derivation costs ONE
+    linear candidate volume -- measured 2.4/2.7/4.0 s over the
+    0.1-1.0 decade, overhead-dominated flat, vs x333's n^1.26;
+    SCALE_PROBE.json, round-12 cells). Derivation costs ONE
     ``count()`` job over A UNION B -- metadata-only when both sides
     are raw parquet scans, one full lineage materialization when they
     are derived/uncached frames; pass explicit ``n_centroids``/
