@@ -38,6 +38,15 @@ _BASE_CONF: dict[str, str] = {
     # future Spark default change (currently 100) can't break the series or
     # silently allow runaway recursion.
     "spark.sql.cteRecursionLevelLimit": "100",
+    # ~160 ops/entries localCheckpoint bounded frames (iteration
+    # frontiers, shared derived tables); the ContextCleaner only
+    # discovers abandoned ones via JVM GC, and its safety-net System.gc
+    # fires every 30 MIN by default -- a long-lived session (the bench
+    # sweep, a notebook) accumulates pinned blocks meanwhile (round-12
+    # finding: repeated blocked-MNN calls degraded 20 -> 35 -> 71 s).
+    # A 2-min period bounds that pile-up for ~sub-second full-GC cost
+    # on the local[32] heap.
+    "spark.cleaner.periodicGC.interval": "2min",
     "spark.ui.enabled": "false",
 }
 
