@@ -1453,10 +1453,18 @@ FROM s
 )
 def x481_cochrans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    dtoks = F.array_distinct(toks)
+    # bound arrays (HOF-lambda CSE trap on the top-token transform:
+    # the inlined split re-tokenizes once per distinct token -- see
+    # ops/dedup.py shingles())
+    t = docs.select(
+        "text", F.split(F.lower(F.col("text")), " ").alias("__toks")
+    ).select(
+        "text", "__toks", F.array_distinct("__toks").alias("__dtoks")
+    )
+    toks = F.col("__toks")
+    dtoks = F.col("__dtoks")
     stop = ["the", "a", "of", "and", "to", "in", "is"]
-    d = docs.select(
+    d = t.select(
         F.size(toks).alias("nw"),
         F.length(F.regexp_replace(F.col("text"), " ", "")).alias("lc"),
         F.size(F.filter(dtoks, lambda t: t.isin(*stop))).alias(

@@ -2648,9 +2648,22 @@ FROM pts p CROSS JOIN co ORDER BY p.b
 def x447_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ...ops.dedup import _rebalanced
+
     docs = load_table(spark, sf_dir, "documents")
     tot = docs.agg((F.max("doc_id") + 1).cast("long").alias("nn"))
-    toks = F.split(F.lower("text"), " ")
+    # bound token attribute + rebalanced scan (HOF-lambda CSE trap /
+    # single-split parallelism -- see ops/dedup.py shingles()); the
+    # exploded shingle table is checkpointed ONCE because both the
+    # first-batch groupBy and the per-batch token count consume it
+    t = (
+        _rebalanced(docs)
+        .select(
+            "doc_id", F.split(F.lower("text"), " ").alias("__toks")
+        )
+        .filter(F.size("__toks") >= 3)
+    )
+    toks = F.col("__toks")
     shingles = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 3),
         lambda i: F.concat_ws(
@@ -2661,12 +2674,12 @@ def x447_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     tok = (
-        docs.filter(F.size(toks) >= 3)
-        .crossJoin(F.broadcast(tot))
+        t.crossJoin(F.broadcast(tot))
         .select(
             (F.col("doc_id") * 10 / F.col("nn")).cast("long").alias("b"),
             F.explode(shingles).alias("w"),
         )
+        .localCheckpoint(eager=False)
     )
     firstb = tok.groupBy("w").agg(F.min("b").cast("long").alias("fb"))
     newv = firstb.groupBy(F.col("fb").alias("b")).agg(
@@ -4782,8 +4795,15 @@ def x462_repetition_decay(
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     lags = spark.range(1, 9).select(F.col("id").cast("int").alias("d"))
-    toks = F.split(F.lower("text"), " ")
-    pairs = docs.crossJoin(F.broadcast(lags)).select(
+    # bound token attribute: the lag-match filter indexes the array
+    # per position and the 8-lag crossJoin replays it 8x, so an inlined
+    # split() re-tokenizes 8n times per doc (HOF-lambda CSE trap -- see
+    # ops/dedup.py shingles())
+    t = docs.select(
+        "lang", F.split(F.lower("text"), " ").alias("__toks")
+    )
+    toks = F.col("__toks")
+    pairs = t.crossJoin(F.broadcast(lags)).select(
         "lang",
         "d",
         F.size(
@@ -4805,9 +4825,7 @@ def x462_repetition_decay(
         F.sum("matches").cast("long").alias("m"),
         F.sum("n_pairs").cast("long").alias("np"),
     )
-    tok = docs.select(
-        "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
-    )
+    tok = t.select("lang", F.explode(toks).alias("w"))
     base = (
         tok.groupBy("lang", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))

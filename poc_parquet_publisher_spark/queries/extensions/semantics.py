@@ -1555,12 +1555,22 @@ def x274_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n <= 0 yields a DESCENDING sequence ([1, 0, ...]), not empty --
     # the round-4 bpe_learn_merges trap; DuckDB's range(1, n) is
     # upper-exclusive and simply empties. Filter both sides.
-    g = docs.filter(F.length(F.lower("text")) >= 3).select(
+    # lower(text) bound as an attribute first: inlined in the lambda it
+    # re-lowercases the document once per character position (HOF-lambda
+    # CSE trap, O(n^2) chars/doc -- see ops/dedup.py shingles()); the
+    # single-split scan is rebalanced so the trigram explode
+    # parallelizes (no-op at real scale).
+    lt = (
+        dedup._rebalanced(docs)
+        .select("lang", F.lower(F.col("text")).alias("__lt"))
+        .filter(F.length("__lt") >= 3)
+    )
+    g = lt.select(
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(1, length(lower(text)) - 2), "
-                "i -> substr(lower(text), i, 3))"
+                "transform(sequence(1, length(__lt) - 2), "
+                "i -> substr(__lt, i, 3))"
             )
         ).alias("tri"),
     )

@@ -78,10 +78,23 @@ FROM r GROUP BY source ORDER BY source
 )
 def x381_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    dtoks = F.array_distinct(toks)
+    # token + distinct-token arrays bound as attributes before the
+    # top-token count transform (HOF-lambda CSE trap: the inlined split
+    # would re-tokenize once per DISTINCT TOKEN)
+    t = docs.select(
+        "source",
+        "text",
+        F.split(F.lower(F.col("text")), " ").alias("__toks"),
+    ).select(
+        "source",
+        "text",
+        "__toks",
+        F.array_distinct("__toks").alias("__dtoks"),
+    )
+    toks = F.col("__toks")
+    dtoks = F.col("__dtoks")
     stop = list(text.LANG_STOPWORDS["en"])
-    d = docs.select(
+    d = t.select(
         "source",
         F.size(toks).alias("nw"),
         F.length(F.regexp_replace(F.col("text"), " ", "")).alias("lc"),
@@ -300,18 +313,23 @@ ORDER BY b.c12 DESC, b.w1, b.w2 LIMIT 20
 )
 def x383_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    # one bigram string per position; slice-zip (HOF-CSE-safe)
+    # bind the token array as an attribute before the bigram transform
+    # (HOF-lambda CSE trap: an inlined split() re-tokenizes per bigram
+    # position) and rebalance the single-split scan so the explode runs
+    # on the core budget, not one task
+    t = (
+        dedup._rebalanced(docs)
+        .select(F.split(F.lower(F.col("text")), " ").alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+    )
+    toks = F.col("__toks")
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),
         lambda i: F.concat_ws(
             " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
         ),
     )
-    bg = (
-        docs.filter(F.size(toks) >= 2)
-        .select(F.explode(bigrams).alias("g"))
-    )
+    bg = t.select(F.explode(bigrams).alias("g"))
     big = (
         bg.select(
             F.split(F.col("g"), " ").getItem(0).alias("w1"),
@@ -938,10 +956,17 @@ ORDER BY i.item
 )
 def x387_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    dtoks = F.array_distinct(toks)
+    # bound arrays (HOF-lambda CSE trap on the top-token transform --
+    # see x381)
+    t = docs.select(
+        "text", F.split(F.lower(F.col("text")), " ").alias("__toks")
+    ).select(
+        "text", "__toks", F.array_distinct("__toks").alias("__dtoks")
+    )
+    toks = F.col("__toks")
+    dtoks = F.col("__dtoks")
     stop = list(text.LANG_STOPWORDS["en"])
-    d = docs.select(
+    d = t.select(
         F.size(toks).alias("nw"),
         F.length(F.regexp_replace(F.col("text"), " ", "")).alias("lc"),
         F.size(F.filter(dtoks, lambda t: t.isin(*stop))).alias("nstop"),
@@ -1362,10 +1387,17 @@ FROM m
 )
 def x391_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    dtoks = F.array_distinct(toks)
+    # bound arrays (HOF-lambda CSE trap on the top-token transform --
+    # see x381)
+    t = docs.select(
+        "text", F.split(F.lower(F.col("text")), " ").alias("__toks")
+    ).select(
+        "text", "__toks", F.array_distinct("__toks").alias("__dtoks")
+    )
+    toks = F.col("__toks")
+    dtoks = F.col("__dtoks")
     stop = list(text.LANG_STOPWORDS["en"])
-    d = docs.select(
+    d = t.select(
         F.size(toks).alias("nw"),
         F.length(F.regexp_replace(F.col("text"), " ", "")).alias("lc"),
         F.size(F.filter(dtoks, lambda t: t.isin(*stop))).alias("nstop"),
@@ -1889,14 +1921,25 @@ def x395_kn_heldout_perplexity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
+    # bound token attribute + rebalanced scan (HOF-lambda CSE trap /
+    # single-split parallelism -- see x383); both the train and the
+    # held-out branch evaluate the bigram transform over the bound array
+    base = (
+        dedup._rebalanced(docs)
+        .select(
+            "doc_id",
+            "source",
+            F.split(F.lower(F.col("text")), " ").alias("__toks"),
+        )
+        .filter(F.size("__toks") >= 2)
+    )
+    toks = F.col("__toks")
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),
         lambda i: F.concat_ws(
             " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
         ),
     )
-    base = docs.filter(F.size(toks) >= 2)
     trbg = (
         base.filter(F.col("doc_id") % 10 < 8)
         .select(F.explode(bigrams).alias("g"))
@@ -2095,7 +2138,13 @@ FROM t ORDER BY doc_id
 )
 def x397_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
+    # bound token attribute: the MATTR window slices the array once
+    # per window position, so an inlined split() would re-tokenize per
+    # position (HOF-lambda CSE trap -- see x383)
+    t = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     win_sum = F.aggregate(
         F.transform(
@@ -2108,7 +2157,7 @@ def x397_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ttr = F.round(
         F.size(F.array_distinct(toks)) / n.cast("double"), 6
     )
-    return docs.select(
+    return t.select(
         "doc_id",
         n.cast("long").alias("n_toks"),
         ttr.alias("ttr"),
@@ -2236,14 +2285,26 @@ def x398_dedup_ppl_impact(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
+    # bound token attribute + rebalanced scan (HOF-lambda CSE trap /
+    # single-split parallelism -- see x383); text stays projected for
+    # the exact-dedup survivor hash below
+    base = (
+        dedup._rebalanced(docs)
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            F.split(F.lower(F.col("text")), " ").alias("__toks"),
+        )
+        .filter(F.size("__toks") >= 2)
+    )
+    toks = F.col("__toks")
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),
         lambda i: F.concat_ws(
             " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
         ),
     )
-    base = docs.filter(F.size(toks) >= 2)
     train_raw = base.filter(F.col("doc_id") % 10 < 8)
     survivors = (
         train_raw.groupBy(F.md5(F.lower(F.col("text"))).alias("h"))
@@ -3378,7 +3439,16 @@ def x407_greedy_vocab_cover(
 ) -> DataFrame:
     rounds, top_words = 8, 200
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
+    # bound token attribute + rebalanced scan (HOF-lambda CSE trap /
+    # single-split parallelism -- see x383)
+    t = (
+        dedup._rebalanced(docs)
+        .select(
+            "doc_id", F.split(F.lower(F.col("text")), " ").alias("__toks")
+        )
+        .filter(F.size("__toks") >= 3)
+    )
+    toks = F.col("__toks")
     shingles = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 3),
         lambda i: F.concat_ws(
@@ -3394,8 +3464,7 @@ def x407_greedy_vocab_cover(
     # fixed cost at sf0.1 -- the rounds themselves are cheap CELF
     # re-aggregates over the tiny checkpointed pairs table)
     tok = (
-        docs.filter(F.size(toks) >= 3)
-        .select("doc_id", F.explode(shingles).alias("w"))
+        t.select("doc_id", F.explode(shingles).alias("w"))
         .localCheckpoint(eager=False)
     )
     uni = [
@@ -3633,7 +3702,17 @@ def x408_lsh_tuning_curve(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
+    # token array bound as an attribute BEFORE the shingle transform
+    # (the HOF-lambda CSE trap: an inlined split() re-tokenizes the doc
+    # once per shingle position -- see ops/dedup.py shingles()), and the
+    # single-split scan rebalanced so the md5/min-hash work runs on the
+    # full core budget instead of one task (no-op at real scale)
+    t = (
+        dedup._rebalanced(docs)
+        .select(F.split(F.lower(F.col("text")), " ").alias("__toks"))
+        .filter(F.size("__toks") >= 15)
+    )
+    toks = F.col("__toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 3),
         lambda i: F.concat_ws(
@@ -3649,8 +3728,7 @@ def x408_lsh_tuning_curve(
     # == distinct), and the checkpoint stops Catalyst re-inlining the
     # md5 fold into each of the 16 component expressions
     base = (
-        docs.filter(F.size(toks) >= 15)
-        .select(
+        t.select(
             F.size(toks).alias("n"),
             grams.alias("g"),
         )
@@ -4260,7 +4338,15 @@ def x412_watermark_detect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
+    # bound token attribute (HOF-lambda CSE trap on the per-bigram
+    # md5 transform -- see x383)
+    t = (
+        docs.select(
+            "source", F.split(F.lower(F.col("text")), " ").alias("__toks")
+        )
+        .filter(F.size("__toks") >= 2)
+    )
+    toks = F.col("__toks")
     greens = F.size(
         F.filter(
             F.transform(
@@ -4281,7 +4367,7 @@ def x412_watermark_detect(
             lambda e: e,
         )
     )
-    pos = docs.filter(F.size(toks) >= 2).select(
+    pos = t.select(
         "source",
         (F.size(toks) - 1).alias("n"),
         greens.alias("g"),
@@ -5117,10 +5203,16 @@ def x419_self_retrieval_eval(
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    t = docs.select(
-        "doc_id", toks.alias("toks"), F.size(toks).alias("n")
-    ).localCheckpoint(eager=False)
+    # rebalanced off the single-split scan so the chunk explode and the
+    # per-chunk shingle transforms run on the core budget, not one task
+    t = (
+        dedup._rebalanced(docs)
+        .select(
+            "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+        )
+        .select("doc_id", "toks", F.size("toks").alias("n"))
+        .localCheckpoint(eager=False)
+    )
 
     def shingles_of(arr):
         # sequence(0, n-3) DESCENDS when n < 3 (the x274 trap):
@@ -6267,10 +6359,17 @@ FROM long GROUP BY rule ORDER BY rule
 )
 def x426_filter_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    dtoks = F.array_distinct(toks)
+    # bound arrays + rebalanced scan (HOF-lambda CSE trap on the
+    # top-token transform -- see x381)
+    t = dedup._rebalanced(docs).select(
+        "text", F.split(F.lower(F.col("text")), " ").alias("__toks")
+    ).select(
+        "text", "__toks", F.array_distinct("__toks").alias("__dtoks")
+    )
+    toks = F.col("__toks")
+    dtoks = F.col("__dtoks")
     stop = list(text.LANG_STOPWORDS["en"])
-    r = docs.select(
+    r = t.select(
         F.size(toks).alias("nw"),
         F.size(dtoks).alias("nd"),
         F.when(F.size(toks).between(30, 90), 1).otherwise(0).alias("k1"),
