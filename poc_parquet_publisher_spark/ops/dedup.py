@@ -371,8 +371,12 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """DataFrame wrapper: registers ``df`` and runs the Spark-dialect SQL."""
     spark = df.sparkSession
     view = "__simhash_input"
-    df.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    # rebalance the (possibly single-split) input so the token explode
+    # + 64 bit-contribution sums run on the core budget, not one task
+    _rebalanced(
+        df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
     ).createOrReplaceTempView(view)
     return spark.sql(simhash_sql("spark", source=view))
 
@@ -396,12 +400,16 @@ def simhash_hamming_pairs(
     Output: (id_a, id_b, hamming) with hamming <= max_hamming.
     """
     n_bands = 64 // band_bits
+    # checkpoint the packed signatures ONCE: both sides of the band
+    # self-join (and the hot-band guard) consume this frame, and without
+    # it each consumer re-runs the full simhash derivation (explode +
+    # 64 bit sums + groupBy -- measured as two duplicate map stages)
     packed = sim_df.select(
         "doc_id",
         "simhash",
         F.conv(F.substring("simhash", 1, 32), 2, 10).cast("long").alias("hi"),
         F.conv(F.substring("simhash", 33, 32), 2, 10).cast("long").alias("lo"),
-    )
+    ).localCheckpoint(eager=False)
     banded = packed.select(
         "doc_id",
         "hi",
@@ -1129,8 +1137,15 @@ def source_shingle_overlap(
     anything.
     """
     sa = shingle_arrays(df, source_col, text_col, k)
+    # explode_outer, NOT explode (the shingles() recipe): for inner
+    # generates the optimizer infers a size(sh) > 0 filter and pushes it
+    # below shingle_arrays' rebalance, re-inlining the WHOLE shingle
+    # expression into a pre-shuffle filter on the raw single-split scan
+    # (measured: a 4.4 s single-task stage at sf0.1 -- the entry's
+    # dominant cost). size(toks) >= k already guarantees non-empty
+    # arrays, so outer == inner here.
     ss = sa.select(
-        F.col("doc").alias("src"), F.explode("sh").alias("shingle")
+        F.col("doc").alias("src"), F.explode_outer("sh").alias("shingle")
     )
     # ONE corpus shuffle total: collect_set dedupes (source, shingle)
     # inside the groupBy(shingle) -- a separate .distinct() first would

@@ -3829,8 +3829,14 @@ ORDER BY dim"""
 def x364_pca_power_iteration(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from ...ops.dedup import _rebalanced
+
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select(
+    # rebalance the single-split embeddings scan BEFORE the checkpoint:
+    # the checkpointed (vec_id, i, q) frame otherwise pins ONE partition
+    # and the |dims|^2 self-join expansion below it runs in one task
+    # (measured 2.8 s single-task CPU at sf0.1; no-op at real scale)
+    ex = _rebalanced(emb).select(
         "vec_id",
         F.posexplode(
             F.transform(

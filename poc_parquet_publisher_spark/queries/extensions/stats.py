@@ -2925,13 +2925,17 @@ def x403_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("n_events")
     ).createOrReplaceTempView("x403_daily")
+    # the recursion bound rides the anchor row as a column: a scalar
+    # subquery in the step's WHERE re-runs the MAX(day) aggregate (a
+    # full scan + groupBy job) on EVERY iteration -- ~90 extra jobs at
+    # sf0.1, measured as the bulk of the entry's 218 stages
     return spark.sql(
         """
-        WITH RECURSIVE spine(day) AS (
-          SELECT MIN(day) FROM x403_daily
+        WITH RECURSIVE spine(day, maxd) AS (
+          SELECT MIN(day), MAX(day) FROM x403_daily
           UNION ALL
-          SELECT date_add(day, 1) FROM spine
-          WHERE day < (SELECT MAX(day) FROM x403_daily)
+          SELECT date_add(day, 1), maxd FROM spine
+          WHERE day < maxd
         )
         SELECT s.day, COALESCE(d.n_events, CAST(0 AS BIGINT))
                  AS n_events,

@@ -218,17 +218,37 @@ def prefix_sum(
     )
 
     def cumsum_with_offset(batches):
+        # mapInArrow, not mapInPandas: every non-value column passes
+        # through as its original Arrow buffer (zero copy), where the
+        # pandas path materialized Python objects per row -- DATE/
+        # TIMESTAMP passthrough columns cost ~10 us/row each way as
+        # datetime objects (measured 24 s of task CPU for a 1.2M-row
+        # rank whose tiebreak columns were dates). Only the int64
+        # cumsum itself is computed, via pyarrow.compute.
+        import pyarrow as pa
+        import pyarrow.compute as pc
         from pyspark import TaskContext
 
         running = offsets.get(TaskContext.get().partitionId(), 0)
-        for pdf in batches:
-            vals = pdf[value_col].fillna(0).astype("int64").cumsum()
-            pdf[out_col] = vals + running
-            if len(pdf):
-                running = int(pdf[out_col].iloc[-1])
-            yield pdf
+        cast_opts = pc.CastOptions(
+            target_type=pa.int64(), allow_float_truncate=True
+        )
+        for b in batches:
+            if len(b) == 0:
+                continue
+            vals = pc.fill_null(
+                pc.cast(b.column(value_col), options=cast_opts), 0
+            )
+            cum = pc.add(
+                pc.cumulative_sum(vals), pa.scalar(running, pa.int64())
+            )
+            running = cum[len(cum) - 1].as_py()
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + [cum],
+                names=list(b.schema.names) + [out_col],
+            )
 
-    return part.mapInPandas(cumsum_with_offset, schema=schema)
+    return part.mapInArrow(cumsum_with_offset, schema=schema)
 
 
 def global_row_number(

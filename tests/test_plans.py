@@ -317,7 +317,9 @@ def test_x86_prefix_sum_no_global_window(spark):
     ``Window.orderBy`` over doc-cardinality rows plans as ``Exchange
     SinglePartition`` and serializes the whole curve through one task
     at 100x scale. The gate: no Window node at all, no SinglePartition
-    exchange, and the local pass is an Arrow-batched MapInPandas."""
+    exchange, and the local pass is Arrow-batched (MapInArrow since
+    round 12 -- passthrough columns stay Arrow buffers instead of
+    per-row pandas objects)."""
     from poc_parquet_publisher_spark.queries.extensions import (
         x86_vocab_growth,
     )
@@ -325,7 +327,7 @@ def test_x86_prefix_sum_no_global_window(spark):
     plan = plan_of(x86_vocab_growth(spark, SF))
     assert "Window" not in plan
     assert "Exchange SinglePartition" not in plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
 
 
 def test_dq_rollup_dim_joins_broadcast(spark):

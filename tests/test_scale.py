@@ -275,3 +275,36 @@ def test_prefix_sum_negative_and_large_magnitudes(spark):
     # element is ~2^50 -- the cumsum never leaves int64, and the final
     # value is the exact alternating-series tail, not a float artifact
     assert any(abs(s) > (1 << 49) for _, s in got)
+
+
+def test_prefix_sum_date_passthrough_columns(spark):
+    """Non-numeric passthrough columns (DATE tiebreaks -- the x542
+    shape) ride the Arrow cumsum pass untouched: values identical to
+    the window reference, types preserved. This is the case that
+    motivated the round-12 mapInArrow rewrite -- the pandas path
+    materialized every passthrough DATE as a per-row Python object
+    (measured ~24 s of task CPU on a 1.2M-row rank)."""
+    from pyspark.sql.window import Window
+
+    df = spark.range(3_000).select(
+        F.col("id").alias("k"),
+        F.date_add(F.lit("2030-01-01").cast("date"),
+                   (F.col("id") % 365).cast("int")).alias("day"),
+        (F.col("id") % 7).alias("v"),
+    )
+    w = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expected = {
+        (r.k, r.day, r.s)
+        for r in df.select(
+            "k", "day", F.sum("v").over(w).cast("long").alias("s")
+        ).collect()
+    }
+    out = scale.prefix_sum(df.repartition(6), "k", "v", "s")
+    assert dict(out.dtypes)["day"] == "date"
+    got = {
+        (r.k, r.day, r.s)
+        for r in out.select("k", "day", F.col("s").cast("long")).collect()
+    }
+    assert got == expected
