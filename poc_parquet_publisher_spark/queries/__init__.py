@@ -84,7 +84,9 @@ def all_oracles() -> dict[str, str]:
 #               verdict named; promoted per round-10 verdict task #2)
 #   round 12:   x03_dedup_ngram_jaccard (promoted per round-11 verdict
 #               task #2)
-#   next rounds: x20 x21 x22 x25 x26
+#   round 13:   x20_text_scrub (promoted per round-12 verdict task #8;
+#               x03 retired after its r12 driver-green row)
+#   next rounds: x21 x22 x25 x26
 #   x27 x29 x30 x31 x33, then later oracle-backed additions (rows-only
 #   entries stay out of the hashed window by design).
 #   With the declared set at 49 (q38-q42 added round 3), only ONE
@@ -92,11 +94,11 @@ def all_oracles() -> dict[str, str]:
 #   round; each round, move the newly driver-checked head to the
 #   retired list above and promote the next entry.
 _WINDOW_FIRST: list[str] = [
-    "x03_dedup_ngram_jaccard",
     "x20_text_scrub",
     "x21_sessionize",
     "x22_histogram",
     "x25_stratified_sample",
+    "x26_boilerplate_ngrams",
 ]
 
 

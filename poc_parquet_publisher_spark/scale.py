@@ -200,11 +200,17 @@ def prefix_sum(
         .sortWithinPartitions(*order)
         .localCheckpoint()
     )
+    val_type = part.schema[value_col].dataType.simpleString()
+    val_expr = F.col(value_col)
+    if val_type in ("float", "double"):
+        # NaN propagates through SUM (and the Arrow cast maps it to
+        # INT64_MIN): treat it as 0, matching fillna(0) semantics.
+        val_expr = F.nanvl(val_expr, F.lit(0.0))
     totals = {
         r["pid"]: r["t"] or 0
         for r in part.groupBy(
             F.spark_partition_id().alias("pid")
-        ).agg(F.sum(value_col).alias("t")).collect()
+        ).agg(F.sum(val_expr).alias("t")).collect()
     }
     offsets, acc = {}, 0
     for pid in sorted(totals):
@@ -236,8 +242,15 @@ def prefix_sum(
         for b in batches:
             if len(b) == 0:
                 continue
+            col = b.column(value_col)
+            if pa.types.is_floating(col.type):
+                # NaN is not null: casting it with allow_float_truncate
+                # yields INT64_MIN silently, corrupting every subsequent
+                # running sum. Zero NaNs first (matching the old pandas
+                # fillna(0) semantics).
+                col = pc.if_else(pc.is_nan(col), pa.scalar(0.0, col.type), col)
             vals = pc.fill_null(
-                pc.cast(b.column(value_col), options=cast_opts), 0
+                pc.cast(col, options=cast_opts), 0
             )
             cum = pc.add(
                 pc.cumulative_sum(vals), pa.scalar(running, pa.int64())

@@ -365,7 +365,7 @@ def test_x90_global_rank_no_global_sort(spark):
     plan = plan_of(x90_global_rank(spark, SF))
     assert "Window" not in plan
     assert "Exchange SinglePartition" not in plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
 
 
 def test_pagerank_no_broadcast_of_node_state(spark):
@@ -512,7 +512,7 @@ def test_x153_quantile_normalize_no_global_sort(spark):
 
     plan = plan_of(x153_quantile_normalize(spark, SF))
     assert "Window" not in plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
     # the one allowed SinglePartition is the global count(*)'s FINAL
     # aggregate (partition-count partial rows cross it, never data):
     # every SinglePartition exchange must feed a HashAggregate
@@ -681,8 +681,8 @@ def test_qini_decile_no_single_partition_over_users(spark):
 
     plan = plan_of(x386_qini_curve(spark, SF))
     assert "ntile" not in plan.lower()
-    # the row number comes from the mapInPandas two-pass prefix sum
-    assert "MapInPandas" in plan
+    # the row number comes from the mapInArrow two-pass prefix sum
+    assert "MapInArrow" in plan
     # any Window node must ride the 10-row decile aggregate, never the
     # user-cardinality table -- anchor the check to the window spec's
     # own partition/sort keys (not whole-line substrings, which would
@@ -699,7 +699,7 @@ def test_qini_decile_no_single_partition_over_users(spark):
 
 def test_x441_uniformity_ranks_avoid_single_partition_window(spark):
     """x441: the global AD/KS ranks must come from the two-pass
-    prefix-sum (mapInPandas over a pinned range partitioning), never
+    prefix-sum (mapInArrow over a pinned range partitioning), never
     a SinglePartition window over the corpus -- the x90 gate applied
     to the round-7 uniformity audit."""
     from poc_parquet_publisher_spark.queries.extensions import (
@@ -707,7 +707,7 @@ def test_x441_uniformity_ranks_avoid_single_partition_window(spark):
     )
 
     plan = plan_of(x441_fingerprint_uniformity(spark, SF))
-    assert "MapInPandas" in plan  # the prefix-sum pass
+    assert "MapInArrow" in plan  # the prefix-sum pass
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line.lower():
             raise AssertionError(f"unexpected Window node: {line}")

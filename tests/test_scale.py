@@ -308,3 +308,18 @@ def test_prefix_sum_date_passthrough_columns(spark):
         for r in out.select("k", "day", F.col("s").cast("long")).collect()
     }
     assert got == expected
+
+def test_prefix_sum_float_nan_treated_as_zero(spark):
+    """A float value_col containing NaN must contribute 0 to the running
+    sum (the old pandas path's fillna(0) semantics): pyarrow's cast with
+    allow_float_truncate silently maps NaN to INT64_MIN, which would
+    corrupt that row and every one after it."""
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, float("nan")), (2, 2.0), (3, None), (4, 3.0)],
+        "k int, v double",
+    )
+    got = {
+        (r.k, r.s)
+        for r in scale.prefix_sum(df, "k", "v", "s").select("k", "s").collect()
+    }
+    assert got == {(0, 1), (1, 1), (2, 3), (3, 3), (4, 6)}
