@@ -40,9 +40,13 @@ def curate(
     assignment is a pure
     hash of the id, so reruns and rescales never reshuffle the holdout.
     """
-    scrubbed = text.scrub(docs, id_col, text_col).withColumnRenamed(
-        "scrubbed", text_col
-    )
+    # the scrub + gate projection is regex-heavy per-row CPU; on a
+    # single-split input the eager checkpoint below would run it in ONE
+    # task (measured 3.6 s -> 1.4 s at sf0.1 rebalanced). No-op at real
+    # scale where splits already outnumber cores.
+    scrubbed = text.scrub(
+        dedup._rebalanced(docs), id_col, text_col
+    ).withColumnRenamed("scrubbed", text_col)
 
     # quality + language gates are row-local expressions: compute them
     # INLINE in one projection (no id-joins -- a join per gate would put
@@ -79,7 +83,12 @@ def curate(
     survivors = dedup.exact_dedup(kept, id_col, text_col).select(
         F.col("keep_id").alias(id_col)
     )
-    kept = kept.join(survivors, id_col, "left_semi")
+    # the exactly-deduped corpus feeds TWO consumers (the near-dup pair
+    # derivation and the final anti-join): without its own checkpoint
+    # the md5-groupBy + semi-join replay once per consumer
+    kept = kept.join(survivors, id_col, "left_semi").localCheckpoint(
+        eager=False
+    )
 
     # near-dup removal, transitively: connected components over the
     # qualifying pairs, keep only each cluster's minimum id. (Greedy

@@ -675,7 +675,17 @@ def minhash_banded_pairs(
     the same sorted-array HOF as ``ngram_jaccard_pairs``, and
     ``max_docs_per_band`` caps degenerate bands.
     """
-    arrs = shingle_arrays(df, id_col, text_col, k)
+    return _banded_pairs_from_arrays(
+        shingle_arrays(df, id_col, text_col, k), max_docs_per_band
+    )
+
+
+def _banded_pairs_from_arrays(
+    arrs: DataFrame, max_docs_per_band: int | None = 1000
+) -> DataFrame:
+    """``minhash_banded_pairs`` over a precomputed (doc, sh) shingle-
+    array frame -- callers that also need the arrays for an exact
+    verify pass (``lsh_verified_pairs``) derive them ONCE and share."""
     bands = det_band_keys(F.col("sh"))
     banded = arrs.select(
         "doc", F.posexplode(bands).alias("band_id", "band_key")
@@ -1036,8 +1046,13 @@ def lsh_verified_pairs(
     positives from banding die here; false negatives are bounded by the
     LSH S-curve (1-(1-j^2)^4), measured in tests.
     """
-    cand = minhash_banded_pairs(df, id_col, text_col, k)
+    # NOTE (r13, measured): checkpointing the shingle arrays so the
+    # banding + both verify sides share ONE derivation was TRIED and
+    # reverted -- the arrays are ~3x the text volume, and writing them
+    # to the block store cost more than the two extra (fully parallel)
+    # derivations it saved (cold medians 4.4 s -> 5.1 s at sf0.1).
     arrs = shingle_arrays(df, id_col, text_col, k)
+    cand = _banded_pairs_from_arrays(arrs)
     a = arrs.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
     b = arrs.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
     joined = cand.join(a, "id_a").join(b, "id_b")

@@ -774,7 +774,10 @@ def lsh_neardup_pairs(
     ]
     banded = sig.select(
         F.col(id_col).alias("id"), F.explode(F.array(*bands)).alias("band")
-    )
+    ).localCheckpoint(eager=False)
+    # ^ the banded signatures feed BOTH sides of the self-join: without
+    # the checkpoint the Python (mapInPandas) signature stage runs twice
+    # per query (same fix as the r12 simhash band join).
     cand = (
         banded.withColumnRenamed("id", "id_a")
         .join(banded.withColumnRenamed("id", "id_b"), "band")

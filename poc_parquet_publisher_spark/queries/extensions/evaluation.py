@@ -1547,8 +1547,12 @@ def x345_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = None
     for _ in range(2):
+        # shuffle_hash, not sort-merge: the score tables are node-sized
+        # (never broadcastable at scale), and hashing them per partition
+        # skips sorting the edge side twice per iteration -- x104's
+        # iteration-join posture applied to the bipartite graph
         ar = (
-            ed.join(h, "u")
+            ed.join(h.hint("shuffle_hash"), "u")
             .select(
                 "p",
                 F.round("h", 12).cast("decimal(28,12)").alias("c"),
@@ -1565,7 +1569,7 @@ def x345_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("a"),
         )
         hr = (
-            ed.join(a, "p")
+            ed.join(a.hint("shuffle_hash"), "p")
             .select(
                 "u",
                 F.round("a", 12).cast("decimal(28,12)").alias("c"),

@@ -262,32 +262,54 @@ def x251_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fresh ids.
     ev = load_table(spark, sf_dir, "events")
     ev2 = load_table(spark, sf_dir, "events")
-    v = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    # Cogroup on a hashed USER BUCKET, not the raw user id: per-group
+    # applyInPandas pays ~2.5 ms of Arrow/pandas plumbing per call
+    # (measured 3.8 s for 1500 single-user groups at sf0.1), so the
+    # group key is coarsened to ~4 groups per core and the per-user
+    # reconciliation is vectorized pandas INSIDE each call (guide
+    # section 4.2: hand whole batches to vectorized libraries). The
+    # bucket is a deterministic hash, so results are identical; bucket
+    # count scales with the session's parallelism, keeping per-task
+    # state bounded at any scale.
+    n_buckets = 4 * spark.sparkContext.defaultParallelism
+    ub = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("ub")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", ub
+    )
     p = ev2.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts"
+        "user_id", "ts", ub
     )
 
     def reconcile(key, vdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
-        nv = len(vdf)
-        np_ = len(pdf)
-        if np_ == 0:
-            blind = 0
-        elif nv == 0:
-            blind = np_
-        else:
-            blind = int((pdf["ts"] < vdf["ts"].min()).sum())
-        return pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "nv": [nv],
-                "np": [np_],
-                "blind": [blind],
-            }
+        va = (
+            vdf.groupby("user_id")["ts"].agg(nv="count", first_view="min")
+            if len(vdf)
+            else pd.DataFrame(columns=["nv", "first_view"])
         )
+        if len(pdf):
+            pj = pdf.merge(
+                va["first_view"] if len(va) else va,
+                how="left",
+                left_on="user_id",
+                right_index=True,
+            )
+            blind_mask = pj["first_view"].isna() | (
+                pj["ts"] < pj["first_view"]
+            )
+            pa = pj.assign(blind=blind_mask).groupby("user_id").agg(
+                np=("ts", "count"), blind=("blind", "sum")
+            )
+        else:
+            pa = pd.DataFrame(columns=["np", "blind"])
+        out = va.drop(columns=["first_view"], errors="ignore").join(
+            pa, how="outer"
+        )
+        out = out.fillna(0).astype("int64").reset_index()
+        return out[["user_id", "nv", "np", "blind"]]
 
     u = (
-        v.groupBy("user_id")
-        .cogroup(p.groupBy("user_id"))
+        v.groupBy("ub")
+        .cogroup(p.groupBy("ub"))
         .applyInPandas(
             reconcile,
             "user_id bigint, nv bigint, np bigint, blind bigint",
@@ -6078,26 +6100,47 @@ def x329_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ok", "b")
         .agg(F.sum("cc").cast("long").alias("c"))
     )
-    a = ob.alias("a")
-    bb = ob.alias("bb")
+    # brand pairs expand INSIDE each order's collected (brand, cents)
+    # array (x76/x104's HOF shape -- orders hold a handful of brands),
+    # never via an ob self-join on ok: the join formulation shuffles
+    # the order-brand table twice and sort-merges it against itself,
+    # where this is one groupBy(ok) reusing nothing but the already-
+    # aggregated rows. array_sort orders by the struct's first field
+    # (the brand), so x.b < y.b inside the slice for free.
+    bl = ob.groupBy("ok").agg(
+        F.array_sort(F.collect_list(F.struct("b", "c"))).alias("bs")
+    ).filter(F.size("bs") >= 2)
+    bs = F.col("bs")
     pr = (
-        a.join(
-            bb,
-            (F.col("a.ok") == F.col("bb.ok"))
-            & (F.col("a.b") < F.col("bb.b")),
+        bl.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        bs,
+                        lambda x, i: F.transform(
+                            F.slice(bs, i + F.lit(2), F.size(bs)),
+                            lambda y: F.struct(
+                                x["b"].alias("i"),
+                                y["b"].alias("j"),
+                                F.when(x["c"] >= y["c"], 1)
+                                .otherwise(0)
+                                .alias("win_i"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.b").alias("i"),
-            F.col("bb.b").alias("j"),
-            F.when(F.col("a.c") >= F.col("bb.c"), 1)
-            .otherwise(0)
-            .alias("win_i"),
-        )
+        .select("p.*")
         .groupBy("i", "j")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("win_i").cast("long").alias("wi"),
         )
+        # brand^2-bounded (<=600 rows) but derived from the corpus-
+        # sized pair expansion: the union below consumes it TWICE --
+        # checkpoint here so the expansion runs once, not per branch
+        .localCheckpoint()
     )
     sm = pr.select("i", "j", "n", F.col("wi").alias("w")).union(
         pr.select(
@@ -6132,12 +6175,19 @@ def x329_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("b")
             .agg(F.sum("term").alias("den"))
         )
+        # checkpoint the brand-sized (<=25 rows) iterate: WITHOUT this,
+        # each round references the previous s twice (si, sj) and raw
+        # twice (tot + the normalize), so the logical plan QUADRUPLES
+        # per iteration -- the 3-round plan reached 1379 physical
+        # operators / 254 SortMergeJoins and the entry's cost was
+        # planning, not data (guide section 3.3: materialize
+        # intermediates to truncate very wide plans).
         raw = wt.join(den, "b").select(
             "b",
             F.round(
                 F.col("wins") / F.col("den").cast("double"), 12
             ).alias("sr"),
-        )
+        ).localCheckpoint()
         tot = raw.agg(
             F.sum(F.col("sr").cast("decimal(28,12)")).alias("tot")
         )

@@ -101,7 +101,18 @@ def write_bucketed(
         fs = p.getFileSystem(hconf)
         if fs.exists(p):
             fs.delete(p, True)
-    writer = df.write.bucketBy(n_buckets, bucket_col)
+    # One file per bucket: without the repartition, EVERY writer task
+    # emits a file for every bucket it sees -- a 32-partition input
+    # yields up to 32 x n_buckets tiny files, and every later scan of
+    # the table pays n_input_partitions file-opens per bucket (measured
+    # 640 x ~20 KB files for a 13 MB edge table; PageRank's three
+    # iteration scans each lost ~1 s/task to file opens). The exchange
+    # this adds is keyed identically to the bucket spec, so the write
+    # itself is what a bucketed shuffle would do anyway (guide section 6
+    # small-files; section 2.4 shared partitioning).
+    writer = df.repartition(n_buckets, bucket_col).write.bucketBy(
+        n_buckets, bucket_col
+    )
     if sort:
         writer = writer.sortBy(bucket_col)
     writer.mode(mode).format("parquet").saveAsTable(table)
